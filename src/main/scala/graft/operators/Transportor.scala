@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.api.java.UDF1
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
+import graft.plans._
+import graft.sources.TableIO
+import scala.collection.mutable
+
+/** The plan interpreter — Spark-native `DBT::doTransport`
+  * (reference: src/DBT.php:85-225).
+  *
+  * Where the reference streams 2000-row chunks through single-threaded
+  * PHP loops (src/DBT.php:144-214), graft compiles each table's map to
+  * ONE lazy DataFrame chain — scan → filter → orderBy → projections /
+  * UDFs → lookup joins → aggregate-lookup joins → temp-column drop —
+  * and lets Catalyst/Tungsten/AQE pick physical strategy. Lookup
+  * hashes become hash joins (broadcast when small), N+1 correlated
+  * probes become single equi joins, chunking becomes partitioning.
+  *
+  * Execution order across tables comes from [[graft.plans.Toposort]];
+  * within a table everything is distributed.
+  */
+final class Transportor(
+    io: TableIO,
+    plan: TransportPlan,
+    preSeeded: Set[String] = Set.empty) {
+
+  /** Memo of built frames by plan key, temp columns still present —
+    * the reference's `finished[]` (src/DBT.php:54, 119-122). Lazy
+    * DataFrames, so nothing executes until an action/write. */
+  private val built = mutable.LinkedHashMap.empty[String, DataFrame]
+
+  /** Execution order (dependencies first). */
+  def executionOrder: Seq[String] = Toposort(plan)
+
+  /** Build every table frame in dependency order and return the final
+    * per-TARGET-table frames (temp columns dropped, aliased entries
+    * targeting the same physical table unioned — README.md:59-63).
+    * Side-effect free; see [[runAndWrite]] for the writing variant. */
+  def run(): Map[String, DataFrame] = {
+    validateSeeds()
+    executionOrder.foreach(resolveKey)
+    val out = mutable.LinkedHashMap.empty[String, DataFrame]
+    executionOrder.foreach { key =>
+      val df = dropTemps(plan.byKey(key), built(key))
+      val name = plan.targetName(key)
+      out(name) = out.get(name).map(_.unionByName(df)).getOrElse(df)
+    }
+    out.toMap
+  }
+
+  /** Full migration: build, write each target table, then fire
+    * `run_after_transport` hooks (reference destructor,
+    * src/DBT.php:596-613 — hooks run after all transports; temp
+    * columns are never written because [[run]] already drops them,
+    * replacing the reference's temp-column DDL + drop dance,
+    * src/DBT.php:423-446, 604-613). */
+  def runAndWrite(): Map[String, DataFrame] = {
+    val frames = run()
+    frames.foreach { case (name, df) => io.writeTarget(name, df) }
+    plan.tables.foreach { case (_, m) => m.runAfterTransport.foreach(_.apply()) }
+    frames
+  }
+
+  /** Build a single table's final frame (dependencies resolved
+    * in-memory, temp columns dropped). */
+  def frame(key: String): DataFrame =
+    dropTemps(plan.byKey(key), resolveKey(key))
+
+  // ---------------------------------------------------------------- internals
+
+  private def resolveKey(key: String): DataFrame =
+    built.getOrElseUpdate(key, buildFrame(plan.byKey(key)))
+
+  /** Reference checkSeed (src/DBT.php:512-518): pre-seeded lookup
+    * tables must exist and be non-empty. */
+  private def validateSeeds(): Unit =
+    preSeeded.foreach { t =>
+      require(!io.readTarget(t).isEmpty,
+        s"pre-seeded target table '$t' is empty (reference checkSeed, src/DBT.php:512-518)")
+    }
+
+  private def readSide(source: SearchSource, table: String): DataFrame = source match {
+    case SearchSource.Original => io.readOriginal(table)
+    case SearchSource.Target =>
+      plan.keyFor(table) match {
+        case Some(k) => resolveKey(k) // temp columns visible to dependents
+        case None if preSeeded.contains(table) => io.readTarget(table)
+        case None =>
+          throw new NoSuchElementException(
+            s"target-side lookup table '$table' is neither in the plan nor pre-seeded")
+      }
+  }
+
+  private def dropTemps(map: TableMap, df: DataFrame): DataFrame = {
+    val temps = map.columns.filter(_.deleteAfterTransport).map(_.target) ++
+      map.columns.collect { case a: Affection if a.deleteAfterTransport =>
+        a.alsoFills.map(_._2)
+      }.flatten
+    if (temps.isEmpty) df else df.drop(temps.distinct: _*)
+  }
+
+  private def buildFrame(map: TableMap): DataFrame = map.middle match {
+    case Some(m) => buildMiddle(m)
+    case None =>
+      val source = map.originalTable.getOrElse(throw new IllegalArgumentException(
+        "table map needs original_table or middle (src/DBT.php:135-144)"))
+      var df = io.readOriginal(source)
+      if (map.extraConditions.nonEmpty) df = df.filter(Predicates.all(map.extraConditions))
+      map.order.foreach { o =>
+        df = df.orderBy(if (o.direction == "desc") col(o.orderBy).desc else col(o.orderBy).asc)
+      }
+      if (map.columns.isEmpty) df // passthrough scan
+      else {
+        val outCols = mutable.ArrayBuffer.empty[String]
+        map.columns.foreach { spec =>
+          df = applyColumn(df, spec)
+          outCols += spec.target
+          spec match {
+            case a: Affection => outCols ++= a.alsoFills.map(_._2)
+            case _            =>
+          }
+        }
+        df.select(outCols.toSeq.map(col): _*)
+      }
+  }
+
+  private def applyColumn(df: DataFrame, spec: ColumnSpec): DataFrame = spec match {
+    case Rename(t, orig, default, _) =>
+      df.withColumn(t, withDefault(col(orig), default))
+    case Inject(t, v, _) =>
+      df.withColumn(t, lit(v))
+    case Derived(t, e, default, _) =>
+      df.withColumn(t, withDefault(e, default))
+    case RowUdf(t, fn, dt, default, _) =>
+      val f = makeRowUdf(fn, dt)
+      df.withColumn(t, withDefault(f(struct(df.columns.map(col).toSeq: _*)), default))
+    case Affection(t, e, mainField, alsoFills, _) =>
+      val tmp = s"__aff_$t"
+      val withStruct = df.withColumn(tmp, e)
+      val filled = alsoFills.foldLeft(withStruct.withColumn(t, col(tmp)(mainField))) {
+        case (d, (field, targetCol)) => d.withColumn(targetCol, col(tmp)(field))
+      }
+      filled.drop(tmp)
+    case r: Refer  => applyRefer(df, r)
+    case r: Refers => applyRefers(df, r)
+  }
+
+  private def withDefault(c: Column, default: Option[Any]): Column =
+    default.map(d => coalesce(c, lit(d))).getOrElse(c)
+
+  /** Scala-closure UDF over the whole row (reference `function`,
+    * src/DBT.php:395-408). Java-UDF API keeps the untyped
+    * Row => Any shape without legacy-UDF flags. */
+  private def makeRowUdf(fn: Row => Any, dt: DataType) =
+    udf(new UDF1[Row, Any] { override def call(r: Row): Any = fn(r) }, dt)
+
+  /** rtrim normalization, string keys only. The reference rtrims every
+    * lookup key blindly (src/DBT.php:306, 310-312) because PHP array
+    * keys compare loosely; for typed columns that is only meaningful —
+    * and only cheap — for strings. */
+  private def normKey(df: DataFrame, c: Column): Column =
+    if (df.select(c).schema.head.dataType == StringType) rtrim(c) else c
+
+  private def maybeBroadcast(df: DataFrame, flag: Boolean): DataFrame =
+    if (flag) broadcast(df) else df
+
+  /** J1 single-key batched lookup / J2 composite-key lookup
+    * (src/DBT.php:277-343). See [[graft.plans.Refer]] scaladoc for the
+    * semantics mapping. */
+  private def applyRefer(df: DataFrame, r: Refer): DataFrame = {
+    val lookup = readSide(r.searchSource, r.searchTable)
+      .filter(Predicates.all(r.conditions))
+
+    if (r.accordingColumns.size == 1) {
+      // J1: dedup lookup keys (reference pluck-hash, src/DBT.php:300-307;
+      // last-wins there is order-undefined — deterministic min here),
+      // left join, default on miss (src/DBT.php:317).
+      val keyCol = s"__graft_k_${r.target}"
+      val wCol = s"__graft_w_${r.target}"
+      val lk0 = lookup.select(col(r.searchColumns.head).as(keyCol), col(r.wantedColumn).as(wCol))
+      val lk = lk0.select(normKey(lk0, col(keyCol)).as(keyCol), col(wCol))
+        .groupBy(keyCol).agg(min(col(wCol)).as(wCol))
+      val probeRaw = r.preFormat.map(_.apply(col(r.accordingColumns.head)))
+        .getOrElse(col(r.accordingColumns.head))
+      val probe = normKey(df, probeRaw)
+      val joined = df.join(maybeBroadcast(lk, r.broadcastLookup), probe === lk(keyCol), "left")
+      val hit = col(wCol).isNotNull
+      val formatted = r.formatWanted.map(_.apply(col(wCol))).getOrElse(col(wCol))
+      val value = r.default match {
+        case Some(d) => when(hit, formatted).otherwise(lit(d))
+        case None    => when(hit, formatted)
+      }
+      joined.withColumn(r.target, value).drop(keyCol, wCol)
+    } else {
+      // J2: one multi-key left join replaces the reference's
+      // query-per-row correlated lookup (src/DBT.php:320-343).
+      // Miss => NULL, never default (src/DBT.php:340) — preserved.
+      val wCol = s"__graft_w_${r.target}"
+      val keyCols = r.searchColumns.indices.map(i => s"__graft_k${i}_${r.target}")
+      val lk = lookup.select(
+        r.searchColumns.zip(keyCols).map { case (s, k) => col(s).as(k) } :+
+          col(r.wantedColumn).as(wCol): _*)
+        .groupBy(keyCols.map(col): _*).agg(min(col(wCol)).as(wCol))
+      val cond = r.accordingColumns.zip(keyCols)
+        .map { case (a, k) => col(a) === lk(k) }.reduce(_ && _)
+      val joined = df.join(maybeBroadcast(lk, r.broadcastLookup), cond, "left")
+      val formatted = r.formatWanted.map(_.apply(col(wCol))).getOrElse(col(wCol))
+      joined.withColumn(r.target, when(col(wCol).isNotNull, formatted))
+        .drop(keyCols :+ wCol: _*)
+    }
+  }
+
+  /** J3 aggregate lookup (reference `refers` / multiReferExtractor,
+    * src/DBT.php:227-268): group lookup side by search key, fold with
+    * the processor aggregate, left-join back, default on miss.
+    * Spark gives partial aggregation (map-side combine) before the
+    * shuffle for free — the reference materialized whole groups in
+    * driver memory. */
+  private def applyRefers(df: DataFrame, r: Refers): DataFrame = {
+    val keyCol = s"__graft_k_${r.target}"
+    val aggCol = s"__graft_a_${r.target}"
+    val lookup = readSide(r.searchSource, r.searchTable)
+      .filter(Predicates.all(r.conditions))
+    val agg = lookup
+      .groupBy(normKey(lookup, col(r.searchColumn)).as(keyCol))
+      .agg(r.processor.as(aggCol))
+    val probe = normKey(df, col(r.accordingColumn))
+    df.join(maybeBroadcast(agg, r.broadcastLookup), probe === agg(keyCol), "left")
+      .withColumn(r.target, withDefault(col(aggCol), r.default))
+      .drop(keyCol, aggCol)
+  }
+
+  /** J4 many-to-many bridge (reference middleExtractor,
+    * src/DBT.php:448-505): read the "one" side, pre_format the
+    * according column into a key array (default: trimmed-CSV split,
+    * README.md:349), explode, inner-join the "many" side on its search
+    * column — replacing the reference's per-one-row "many"-side query
+    * (src/DBT.php:490). */
+  private def buildMiddle(m: Middle): DataFrame = {
+    val oneW = "__graft_one_w"
+    val key = "__graft_key"
+    val manyW = "__graft_many_w"
+    val manyS = "__graft_many_s"
+
+    val one0 = readSide(m.one.referSource, m.one.referTable)
+      .select(col(m.one.wantedColumn).as(oneW), col(m.one.accordingColumn).as("__graft_acc"))
+    val keys = m.one.preFormat.map(_.apply(col("__graft_acc")))
+      .getOrElse(split(trim(col("__graft_acc")), ","))
+    val exploded = one0.withColumn(key, explode(keys)).drop("__graft_acc")
+
+    val many0 = readSide(m.many.referSource, m.many.referTable)
+      .select(col(m.many.wantedColumn).as(manyW), col(m.many.searchColumn).as(manyS))
+
+    val keyType = exploded.schema(key).dataType
+    val searchMatch =
+      if (many0.schema(manyS).dataType == keyType) col(key) === col(manyS)
+      else col(key) === col(manyS).cast(keyType)
+
+    exploded.join(many0, searchMatch, "inner")
+      .select(col(oneW).as(m.one.fillColumn), col(manyW).as(m.many.fillColumn))
+  }
+}

@@ -1,0 +1,470 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import graft.operators.Transportor
+import graft.plans._
+import graft.sources.{OverlayIO, ParquetDirIO}
+
+/** One named query per reference operator (SURVEY.md §2 inventory),
+  * exercised THROUGH the graft engine over the driver's TPC-H-ish
+  * parquet fixtures, each with an equivalent DuckDB oracle SQL.
+  *
+  * Numeric discipline for oracle hash-parity: every aggregate over
+  * doubles is computed in exact DECIMAL(18,2/4) then cast back to
+  * DOUBLE on both sides, so Spark's and DuckDB's summation order
+  * cannot produce differing low bits.
+  */
+object ParityQueries {
+
+  private def io(spark: SparkSession, dir: String) = new ParquetDirIO(spark, dir, dir)
+  private def pq(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * parquet reader rejects; read nanos as long and floor to micros
+    * (integer `div`, not FP division — nanos ~1.7e18 exceed double
+    * precision). DuckDB reads the same column as TIMESTAMP_NS and
+    * `epoch_us` floors identically, so oracle parity holds. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    pq(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------------
+  // S1/S2: chunked + filtered scan (filters pushed down by Catalyst,
+  // like the reference compiles extra_conditions into source SQL).
+  private val qFilterScan: Q = (s, dir) => {
+    val plan = TransportPlan.of(
+      "orders_f" -> TableMap(
+        originalTable = Some("orders"),
+        extraConditions = Seq(
+          Condition.Eq("o_orderstatus", "F"),
+          Condition.Gt("o_totalprice", 50000.0),
+          Condition.Ne("o_orderpriority", null),
+          Condition.Lt("o_orderdate", java.sql.Timestamp.valueOf("2001-01-01 00:00:00")))))
+    new Transportor(io(s, dir), plan).frame("orders_f")
+  }
+
+  // 2.3 full predicate set incl. raw-SQL passthrough.
+  private val qPredicateSet: Q = (s, dir) => {
+    val plan = TransportPlan.of(
+      "part_f" -> TableMap(
+        originalTable = Some("part"),
+        extraConditions = Seq(
+          Condition.Like("p_type", "%ECO%"),
+          Condition.NotLike("p_name", "%green%"),
+          Condition.In("p_size", Seq(1, 5, 9, 15, 23, 24)),
+          Condition.NotIn("p_brand", Seq("Brand#11", "Brand#12")),
+          Condition.Between("p_retailprice", 900.0, 1600.0),
+          Condition.NotBetween("p_size", 10, 14),
+          Condition.Raw("p_partkey % 2 = 0"))))
+    new Transportor(io(s, dir), plan).frame("part_f")
+  }
+
+  // S3 ordered scan.
+  private val qOrderedScan: Q = (s, dir) => {
+    val plan = TransportPlan.of(
+      "big_orders" -> TableMap(
+        originalTable = Some("orders"),
+        columns = Seq(Rename("o_orderkey", "o_orderkey"), Rename("o_totalprice", "o_totalprice")),
+        extraConditions = Seq(Condition.Gt("o_totalprice", 150000.0)),
+        order = Some(Order("o_totalprice", "desc"))))
+    new Transportor(io(s, dir), plan).frame("big_orders")
+  }
+
+  // P1 rename projection.
+  private val qRename: Q = (s, dir) => {
+    val plan = TransportPlan.of(
+      "new_customer" -> TableMap(
+        originalTable = Some("customer"),
+        columns = Seq(
+          Rename("id", "c_custkey"),
+          Rename("username", "c_name"),
+          Rename("nation_id", "c_nationkey"),
+          Rename("balance", "c_acctbal"))))
+    new Transportor(io(s, dir), plan).frame("new_customer")
+  }
+
+  // P2 constant/default injection.
+  private val qInject: Q = (s, dir) => {
+    val plan = TransportPlan.of(
+      "cust_tagged" -> TableMap(
+        originalTable = Some("customer"),
+        columns = Seq(
+          Rename("id", "c_custkey"),
+          Inject("status", "migrated"),
+          Inject("batch_no", 1))))
+    new Transportor(io(s, dir), plan).frame("cust_tagged")
+  }
+
+  // P3 NULL-coalescing default (null source/UDF value => default).
+  private val qNullDefault: Q = (s, dir) => {
+    val plan = TransportPlan.of(
+      "cust_seg" -> TableMap(
+        originalTable = Some("customer"),
+        columns = Seq(
+          Rename("id", "c_custkey"),
+          Derived("seg", expr("nullif(c_mktsegment, 'BUILDING')"), default = Some("REPLACED")))))
+    new Transportor(io(s, dir), plan).frame("cust_seg")
+  }
+
+  // P4 scalar row UDF — the true closure escape hatch, instantiated
+  // with a SQL-mirrorable body (reference README.md:118-133).
+  private val qRowUdf: Q = (s, dir) => {
+    val plan = TransportPlan.of(
+      "cust_udf" -> TableMap(
+        originalTable = Some("customer"),
+        columns = Seq(
+          Rename("id", "c_custkey"),
+          RowUdf("tagged",
+            r => r.getAs[String]("c_name") + "-" + r.getAs[Long]("c_custkey"),
+            StringType))))
+    new Transportor(io(s, dir), plan).frame("cust_udf")
+  }
+
+  // P5 affection: one computation filling multiple target columns.
+  private val qAffection: Q = (s, dir) => {
+    val parts = split(col("c_name"), "#")
+    val plan = TransportPlan.of(
+      "cust_parsed" -> TableMap(
+        originalTable = Some("customer"),
+        columns = Seq(
+          Rename("id", "c_custkey"),
+          Affection("name_prefix",
+            struct(parts.getItem(0).as("p"), parts.getItem(1).cast("bigint").as("n")),
+            mainField = "p",
+            alsoFills = Seq("n" -> "name_num")))))
+    new Transportor(io(s, dir), plan).frame("cust_parsed")
+  }
+
+  // P6 temp column: materialized for downstream use, dropped from output.
+  private val qTempDrop: Q = (s, dir) => {
+    val plan = TransportPlan.of(
+      "cust_tmp" -> TableMap(
+        originalTable = Some("customer"),
+        columns = Seq(
+          Rename("id", "c_custkey"),
+          Rename("temp_seg", "c_mktsegment", deleteAfterTransport = true),
+          Derived("seg_tag", concat(col("temp_seg"), lit(":"), col("c_name"))))))
+    new Transportor(io(s, dir), plan).frame("cust_tmp")
+  }
+
+  // J1 single-key batched lookup join: miss => default.
+  private val qReferSingle: Q = (s, dir) => {
+    val plan = TransportPlan.of(
+      "orders_named" -> TableMap(
+        originalTable = Some("orders"),
+        columns = Seq(
+          Rename("o_orderkey", "o_orderkey"),
+          Rename("o_custkey", "o_custkey"),
+          Refer("cust_name",
+            accordingColumns = Seq("o_custkey"),
+            searchSource = SearchSource.Original,
+            searchTable = "customer",
+            searchColumns = Seq("c_custkey"),
+            wantedColumn = "c_name",
+            default = Some("UNKNOWN"),
+            conditions = Seq(Condition.Gt("c_acctbal", 2000.0)),
+            broadcastLookup = true))))
+    new Transportor(io(s, dir), plan).frame("orders_named")
+  }
+
+  // J1 with pre_format + format_wanted key/result UDF wraps.
+  private val qReferFormatted: Q = (s, dir) => {
+    val plan = TransportPlan.of(
+      "supp_nation" -> TableMap(
+        originalTable = Some("supplier"),
+        columns = Seq(
+          Rename("s_suppkey", "s_suppkey"),
+          Refer("nation_tag",
+            accordingColumns = Seq("s_nationkey"),
+            searchSource = SearchSource.Original,
+            searchTable = "nation",
+            searchColumns = Seq("n_nationkey"),
+            wantedColumn = "n_name",
+            default = Some("NONE"),
+            preFormat = Some(c => c + lit(0)), // identity-normalizing key UDF
+            formatWanted = Some(c => lower(c)),
+            broadcastLookup = true))))
+    new Transportor(io(s, dir), plan).frame("supp_nation")
+  }
+
+  // J2 composite-key lookup: miss => NULL (never default — reference
+  // asymmetry, src/DBT.php:340 vs :317).
+  private val qReferComposite: Q = (s, dir) => {
+    val plan = TransportPlan.of(
+      "li_big" -> TableMap(
+        originalTable = Some("lineitem"),
+        columns = Seq(
+          Rename("l_orderkey", "l_orderkey"),
+          Rename("l_linenumber", "l_linenumber"),
+          Refer("big_qty",
+            accordingColumns = Seq("l_orderkey", "l_linenumber"),
+            searchSource = SearchSource.Original,
+            searchTable = "lineitem",
+            searchColumns = Seq("l_orderkey", "l_linenumber"),
+            wantedColumn = "l_quantity",
+            default = Some(-1.0), // must be IGNORED on composite miss
+            conditions = Seq(Condition.Gt("l_quantity", 25.0))))))
+    new Transportor(io(s, dir), plan).frame("li_big")
+  }
+
+  // J3 aggregate lookup: group lookup side, fold, default on miss.
+  private val qRefersAgg: Q = (s, dir) => {
+    val plan = TransportPlan.of(
+      "orders_spend" -> TableMap(
+        originalTable = Some("orders"),
+        columns = Seq(
+          Rename("o_orderkey", "o_orderkey"),
+          Refers("total_spend",
+            accordingColumn = "o_orderkey",
+            searchSource = SearchSource.Original,
+            searchTable = "lineitem",
+            searchColumn = "l_orderkey",
+            processor = sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+            default = Some(0.0),
+            conditions = Seq(Condition.Gt("l_quantity", 10.0))))))
+    new Transportor(io(s, dir), plan).frame("orders_spend")
+  }
+
+  // J4 many-to-many bridge: CSV FK list exploded + joined.
+  private val qMiddleBridge: Q = (s, dir) => {
+    val csv = pq(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok_id"), col("l_partkey"))
+      .groupBy("ok_id")
+      .agg(concat_ws(",", sort_array(collect_list(col("l_partkey").cast("string")))).as("part_csv"))
+    val overlay = new OverlayIO(io(s, dir), Map("orders_csv" -> csv))
+    val plan = TransportPlan.of(
+      "order_parts" -> TableMap(
+        originalTable = None,
+        middle = Some(Middle(
+          one = MiddleOne(SearchSource.Original, "orders_csv",
+            wantedColumn = "ok_id", accordingColumn = "part_csv", fillColumn = "order_id"),
+          many = MiddleMany(SearchSource.Original, "part",
+            wantedColumn = "p_partkey", searchColumn = "p_partkey", fillColumn = "part_id")))))
+    new Transportor(overlay, plan).frame("order_parts")
+  }
+
+  // J5/orchestration: refer against a TARGET-side table that the plan
+  // itself fills — toposort resolves dim_nation before cust.
+  private val qReferTargetDep: Q = (s, dir) => {
+    val plan = TransportPlan.of(
+      "dim_nation" -> TableMap(
+        originalTable = Some("nation"),
+        columns = Seq(Rename("nation_id", "n_nationkey"), Rename("nation_name", "n_name"))),
+      "cust_located" -> TableMap(
+        originalTable = Some("customer"),
+        columns = Seq(
+          Rename("id", "c_custkey"),
+          Refer("nation_name",
+            accordingColumns = Seq("c_nationkey"),
+            searchSource = SearchSource.Target,
+            searchTable = "dim_nation",
+            searchColumns = Seq("nation_id"),
+            wantedColumn = "nation_name",
+            default = Some("NONE"),
+            broadcastLookup = true))))
+    new Transportor(io(s, dir), plan).frame("cust_located")
+  }
+
+  // 2.7 implicit union: two map entries appending into one target.
+  private val qUnionAppend: Q = (s, dir) => {
+    def seg(k: String, v: String) = k -> TableMap(
+      originalTable = Some("customer"),
+      targetTable = Some("seg_union"),
+      columns = Seq(
+        Rename("id", "c_custkey"),
+        Rename("segment", "c_mktsegment")),
+      extraConditions = Seq(Condition.Eq("c_mktsegment", v)))
+    val plan = TransportPlan.of(seg("seg_a", "AUTOMOBILE"), seg("seg_b", "BUILDING"))
+    new Transportor(io(s, dir), plan).run()("seg_union")
+  }
+
+  // ------------------------------------------------------------------
+  // Beyond-reference relational ops (SURVEY.md §2.15), Spark built-ins.
+
+  private val qAggGroup: Q = (s, dir) =>
+    pq(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  private val qDistinct: Q = (s, dir) =>
+    pq(s, dir, "customer").select("c_mktsegment").distinct()
+
+  private val qTopK: Q = (s, dir) =>
+    pq(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_totalprice")
+
+  private val qWindowRank: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    pq(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  private val qEventsHourly: Q = (s, dir) =>
+    events(s, dir)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"), col("value"))
+      .groupBy("h", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+
+  /** Batch sessionization (30-min inactivity gap) — the oracle-checkable
+    * twin of the Structured Streaming sessionizer in graft.streaming. */
+  private val qEventsSessionize: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val prev = lag(col("ts"), 1).over(byUser)
+    val isNew = when(prev.isNull || unix_micros(col("ts")) - unix_micros(prev) > 1800000000L, 1)
+      .otherwise(0)
+    events(s, dir)
+      .withColumn("__new", isNew)
+      .withColumn("session_seq",
+        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("bigint"))
+      .select("user_id", "event_id", "session_seq")
+  }
+
+  // ------------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q_filter_scan" -> qFilterScan,
+    "q_predicate_set" -> qPredicateSet,
+    "q_ordered_scan" -> qOrderedScan,
+    "q_rename" -> qRename,
+    "q_inject" -> qInject,
+    "q_null_default" -> qNullDefault,
+    "q_row_udf" -> qRowUdf,
+    "q_affection" -> qAffection,
+    "q_temp_drop" -> qTempDrop,
+    "q_refer_single" -> qReferSingle,
+    "q_refer_formatted" -> qReferFormatted,
+    "q_refer_composite" -> qReferComposite,
+    "q_refers_agg" -> qRefersAgg,
+    "q_middle_bridge" -> qMiddleBridge,
+    "q_refer_target_dep" -> qReferTargetDep,
+    "q_union_append" -> qUnionAppend,
+    "q_agg_group" -> qAggGroup,
+    "q_distinct" -> qDistinct,
+    "q_topk" -> qTopK,
+    "q_window_rank" -> qWindowRank,
+    "q_events_hourly" -> qEventsHourly,
+    "q_events_sessionize" -> qEventsSessionize)
+
+  val oracle: Map[String, String] = Map(
+    "q_filter_scan" ->
+      """SELECT * FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
+        |  AND o_orderpriority IS NOT NULL
+        |  AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00'""".stripMargin,
+    "q_predicate_set" ->
+      """SELECT * FROM part
+        |WHERE p_type LIKE '%ECO%' AND p_name NOT LIKE '%green%'
+        |  AND p_size IN (1,5,9,15,23,24)
+        |  AND p_brand NOT IN ('Brand#11','Brand#12')
+        |  AND p_retailprice BETWEEN 900.0 AND 1600.0
+        |  AND p_size NOT BETWEEN 10 AND 14
+        |  AND p_partkey % 2 = 0""".stripMargin,
+    "q_ordered_scan" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 150000.0 ORDER BY o_totalprice DESC",
+    "q_rename" ->
+      "SELECT c_custkey AS id, c_name AS username, c_nationkey AS nation_id, c_acctbal AS balance FROM customer",
+    "q_inject" ->
+      "SELECT c_custkey AS id, 'migrated' AS status, 1 AS batch_no FROM customer",
+    "q_null_default" ->
+      "SELECT c_custkey AS id, COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'REPLACED') AS seg FROM customer",
+    "q_row_udf" ->
+      "SELECT c_custkey AS id, c_name || '-' || CAST(c_custkey AS VARCHAR) AS tagged FROM customer",
+    "q_affection" ->
+      """SELECT c_custkey AS id, str_split(c_name, '#')[1] AS name_prefix,
+        |       CAST(str_split(c_name, '#')[2] AS BIGINT) AS name_num
+        |FROM customer""".stripMargin,
+    "q_temp_drop" ->
+      "SELECT c_custkey AS id, c_mktsegment || ':' || c_name AS seg_tag FROM customer",
+    "q_refer_single" ->
+      """SELECT o.o_orderkey, o.o_custkey, COALESCE(l.c_name, 'UNKNOWN') AS cust_name
+        |FROM orders o
+        |LEFT JOIN (SELECT c_custkey, MIN(c_name) AS c_name FROM customer
+        |           WHERE c_acctbal > 2000.0 GROUP BY c_custkey) l
+        |ON o.o_custkey = l.c_custkey""".stripMargin,
+    "q_refer_formatted" ->
+      """SELECT s.s_suppkey,
+        |       CASE WHEN l.n_name IS NOT NULL THEN lower(l.n_name) ELSE 'NONE' END AS nation_tag
+        |FROM supplier s
+        |LEFT JOIN (SELECT n_nationkey, MIN(n_name) AS n_name FROM nation GROUP BY n_nationkey) l
+        |ON s.s_nationkey + 0 = l.n_nationkey""".stripMargin,
+    "q_refer_composite" ->
+      """SELECT li.l_orderkey, li.l_linenumber, b.w AS big_qty
+        |FROM lineitem li
+        |LEFT JOIN (SELECT l_orderkey AS k1, l_linenumber AS k2, MIN(l_quantity) AS w
+        |           FROM lineitem WHERE l_quantity > 25.0 GROUP BY 1, 2) b
+        |ON li.l_orderkey = b.k1 AND li.l_linenumber = b.k2""".stripMargin,
+    "q_refers_agg" ->
+      """SELECT o.o_orderkey, COALESCE(l.s, 0.0) AS total_spend
+        |FROM orders o
+        |LEFT JOIN (SELECT l_orderkey,
+        |                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |           FROM lineitem WHERE l_quantity > 10.0 GROUP BY l_orderkey) l
+        |ON o.o_orderkey = l.l_orderkey""".stripMargin,
+    "q_middle_bridge" ->
+      """SELECT l_orderkey AS order_id, l_partkey AS part_id FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part)""".stripMargin,
+    "q_refer_target_dep" ->
+      """SELECT c.c_custkey AS id, COALESCE(l.nation_name, 'NONE') AS nation_name
+        |FROM customer c
+        |LEFT JOIN (SELECT n_nationkey AS nation_id, MIN(n_name) AS nation_name
+        |           FROM nation GROUP BY 1) l
+        |ON c.c_nationkey = l.nation_id""".stripMargin,
+    "q_union_append" ->
+      """SELECT c_custkey AS id, c_mktsegment AS segment FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |UNION ALL
+        |SELECT c_custkey AS id, c_mktsegment AS segment FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer",
+    "q_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts,
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |       CAST(SUM(CASE WHEN prev_ts IS NULL
+        |                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM t""".stripMargin)
+}

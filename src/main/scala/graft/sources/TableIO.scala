@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** The engine's two-connection abstraction. The reference holds two
+  * Laravel connections, "original" (source) and "target" (sink)
+  * (src/DBT.php:17-19, 58-66); graft abstracts them as named-table
+  * readers/writers so the same [[graft.operators.Transportor]] runs
+  * over parquet directories, JDBC databases, or in-memory test
+  * fixtures.
+  */
+trait TableIO {
+  def readOriginal(table: String): DataFrame
+  /** Read a pre-seeded table on the target side (reference
+    * `setSeed` tables, src/DBT.php:560-562 — assumed populated). */
+  def readTarget(table: String): DataFrame
+  def writeTarget(table: String, df: DataFrame): Unit
+}
+
+/** Parquet-directory-backed IO: `dir/<table>.parquet` per table —
+  * the layout of the driver fixtures (/root/repo/TESTDATA.md).
+  * Parquet scans give Catalyst column pruning + predicate pushdown
+  * + partition-sized splits for free; at 100 TB this is the layout
+  * that scales (splittable files, min/max row-group stats).
+  */
+final class ParquetDirIO(
+    spark: SparkSession,
+    originalDir: String,
+    targetDir: String,
+    writeMode: String = "overwrite") extends TableIO {
+  def readOriginal(table: String): DataFrame =
+    spark.read.parquet(s"$originalDir/$table.parquet")
+  def readTarget(table: String): DataFrame =
+    spark.read.parquet(s"$targetDir/$table.parquet")
+  def writeTarget(table: String, df: DataFrame): Unit =
+    df.write.mode(writeMode).parquet(s"$targetDir/$table.parquet")
+}
+
+/** In-memory IO for tests and for side-effect-free plan evaluation:
+  * originals are fixed DataFrames, target writes land in a mutable
+  * registry readable back as pre-seeded tables. */
+final class InMemoryIO(
+    original: Map[String, DataFrame],
+    seededTarget: Map[String, DataFrame] = Map.empty) extends TableIO {
+  val written: mutable.LinkedHashMap[String, DataFrame] = mutable.LinkedHashMap.empty
+  def readOriginal(table: String): DataFrame =
+    original.getOrElse(table,
+      throw new NoSuchElementException(s"no original table '$table'"))
+  def readTarget(table: String): DataFrame =
+    written.getOrElse(table, seededTarget.getOrElse(table,
+      throw new NoSuchElementException(s"no target table '$table'")))
+  def writeTarget(table: String, df: DataFrame): Unit = {
+    // Same-target appends (aliased map entries, README.md:59-63)
+    // accumulate via unionByName.
+    written(table) = written.get(table).map(_.unionByName(df)).getOrElse(df)
+  }
+}
+
+/** JDBC-backed IO — the production shape of the reference's two
+  * database connections (src/DBT.php:17-19). The reference paginates
+  * with count + skip/take in 2000-row chunks (src/DBT.php:28,
+  * 144-171); Spark replaces that with partitioned reads: when
+  * `partitionColumn` bounds are configured for a table, the scan is
+  * split into `numPartitions` range predicates executed by different
+  * tasks — the cluster-scale replacement for single-threaded
+  * chunking. `fetchSize`/`batchSize` tune per-roundtrip row counts
+  * like the reference's `setChunk` (src/DBT.php:553-555).
+  */
+final class JdbcIO(
+    spark: SparkSession,
+    originalUrl: String,
+    targetUrl: String,
+    originalProps: Map[String, String] = Map.empty,
+    targetProps: Map[String, String] = Map.empty,
+    partitioning: Map[String, JdbcPartitioning] = Map.empty,
+    fetchSize: Int = 10000,
+    batchSize: Int = 10000,
+    writeMode: String = "append") extends TableIO {
+
+  private def props(m: Map[String, String]): java.util.Properties = {
+    val p = new java.util.Properties()
+    m.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+
+  def readOriginal(table: String): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", originalUrl)
+      .option("dbtable", table)
+      .option("fetchsize", fetchSize.toString)
+    val withProps = originalProps.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+    partitioning.get(table) match {
+      case Some(p) => withProps
+        .option("partitionColumn", p.column)
+        .option("lowerBound", p.lowerBound.toString)
+        .option("upperBound", p.upperBound.toString)
+        .option("numPartitions", p.numPartitions.toString)
+        .load()
+      case None => withProps.load()
+    }
+  }
+
+  def readTarget(table: String): DataFrame =
+    targetProps.foldLeft(
+      spark.read.format("jdbc").option("url", targetUrl).option("dbtable", table)
+    ) { case (r, (k, v)) => r.option(k, v) }.load()
+
+  def writeTarget(table: String, df: DataFrame): Unit =
+    df.write.mode(writeMode)
+      .option("batchsize", batchSize.toString)
+      .jdbc(targetUrl, table, props(targetProps))
+}
+
+/** Range-partitioning spec for one JDBC source table. */
+final case class JdbcPartitioning(
+    column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)
+
+/** Composite IO: overlay derived/virtual original tables (e.g. a
+  * query-built DataFrame) over a base IO. */
+final class OverlayIO(base: TableIO, overlays: Map[String, DataFrame]) extends TableIO {
+  def readOriginal(table: String): DataFrame =
+    overlays.getOrElse(table, base.readOriginal(table))
+  def readTarget(table: String): DataFrame = base.readTarget(table)
+  def writeTarget(table: String, df: DataFrame): Unit = base.writeTarget(table, df)
+}
