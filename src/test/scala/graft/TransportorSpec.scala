@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.Transportor
+import graft.plans._
+import graft.sources.InMemoryIO
+
+/** Orchestration + operator edge cases beyond the README goldens. */
+class TransportorSpec extends SparkSpec {
+
+  test("toposort: target-side refer dependencies run first; cycles throw") {
+    val t = df("k BIGINT", Row(1L))
+    def refTo(name: String) = TableMap(Some("src"), Seq(
+      Rename("k", "k"),
+      Refer("x", Seq("k"), SearchSource.Target, name, Seq("k"), "k")))
+    val plan = TransportPlan.of(
+      "a" -> refTo("b"), "b" -> refTo("c"), "c" -> TableMap(Some("src"), Seq(Rename("k", "k"))))
+    assert(Toposort(plan) == Seq("c", "b", "a"))
+
+    val cyclic = TransportPlan.of("a" -> refTo("b"), "b" -> refTo("a"))
+    assertThrows[IllegalStateException](Toposort(cyclic))
+    val _ = t
+  }
+
+  test("transport_after explicit edge is honored") {
+    val plan = TransportPlan.of(
+      "late" -> TableMap(Some("src"), Seq(Rename("k", "k")), transportAfter = Some("early")),
+      "early" -> TableMap(Some("src"), Seq(Rename("k", "k"))))
+    assert(Toposort(plan) == Seq("early", "late"))
+  }
+
+  test("J1 duplicate lookup keys are deduplicated deterministically (min wanted)") {
+    val base = df("k STRING", Row("a"))
+    val lookup = df("key STRING, v BIGINT", Row("a", 9L), Row("a", 3L), Row("a", 7L))
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(
+        Rename("k", "k"),
+        Refer("v", Seq("k"), SearchSource.Original, "lookup", Seq("key"), "v"))))
+    val io = new InMemoryIO(Map("base" -> base, "lookup" -> lookup))
+    assertRows(new Transportor(io, plan).frame("out"), Seq(Row("a", 3L)))
+  }
+
+  test("J1 rtrim normalization applies to string keys on both sides") {
+    val base = df("k STRING", Row("x  "), Row("y"))
+    val lookup = df("key STRING, v BIGINT", Row("x", 1L), Row("y   ", 2L))
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(
+        Rename("k", "k"),
+        Refer("v", Seq("k"), SearchSource.Original, "lookup", Seq("key"), "v"))))
+    val io = new InMemoryIO(Map("base" -> base, "lookup" -> lookup))
+    assertRows(new Transportor(io, plan).frame("out"), Seq(Row("x  ", 1L), Row("y", 2L)))
+  }
+
+  test("J1 null wanted value on a matched key counts as a miss (PHP isset semantics)") {
+    val base = df("k STRING", Row("a"))
+    val lookup = df("key STRING, v STRING", Row("a", null))
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(
+        Rename("k", "k"),
+        Refer("v", Seq("k"), SearchSource.Original, "lookup", Seq("key"), "v",
+          default = Some("D")))))
+    val io = new InMemoryIO(Map("base" -> base, "lookup" -> lookup))
+    assertRows(new Transportor(io, plan).frame("out"), Seq(Row("a", "D")))
+  }
+
+  test("pre_format applies to the probe key; format_wanted only on hits") {
+    val base = df("k STRING", Row("A-1"), Row("B-9"))
+    val lookup = df("key STRING, v STRING", Row("1", "one"))
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(
+        Rename("k", "k"),
+        Refer("v", Seq("k"), SearchSource.Original, "lookup", Seq("key"), "v",
+          default = Some("MISS"),
+          preFormat = Some(c => element_at(split(c, "-"), 2)),
+          formatWanted = Some(c => upper(c))))))
+    val io = new InMemoryIO(Map("base" -> base, "lookup" -> lookup))
+    // hit formats to upper; miss takes the raw default, not format(default)
+    assertRows(new Transportor(io, plan).frame("out"),
+      Seq(Row("A-1", "ONE"), Row("B-9", "MISS")))
+  }
+
+  test("affection fills main + extra target columns from one struct") {
+    val base = df("full STRING", Row("ann:30"))
+    val parts = split(col("full"), ":")
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(
+        Affection("name",
+          struct(parts.getItem(0).as("n"), parts.getItem(1).cast("int").as("a")),
+          mainField = "n", alsoFills = Seq("a" -> "age")))))
+    val io = new InMemoryIO(Map("base" -> base))
+    val got = new Transportor(io, plan).frame("out")
+    assert(got.columns.toSeq == Seq("name", "age"))
+    assertRows(got, Seq(Row("ann", 30)))
+  }
+
+  test("aliased entries targeting one table union on run(); writes + hooks fire") {
+    var hookRan = false
+    val base = df("id BIGINT, seg STRING", Row(1L, "A"), Row(2L, "B"))
+    def entry(k: String, v: String, hook: Option[() => Unit] = None) =
+      k -> TableMap(Some("base"), Seq(Rename("id", "id")),
+        targetTable = Some("all"),
+        extraConditions = Seq(Condition.Eq("seg", v)),
+        runAfterTransport = hook)
+    val plan = TransportPlan.of(
+      entry("ka", "A", Some(() => hookRan = true)), entry("kb", "B"))
+    val io = new InMemoryIO(Map("base" -> base))
+    val frames = new Transportor(io, plan).runAndWrite()
+    assert(frames.keySet == Set("all"))
+    assertRows(io.readTarget("all"), Seq(Row(1L), Row(2L)))
+    assert(hookRan)
+  }
+
+  test("pre-seeded lookup tables must be non-empty (checkSeed)") {
+    val base = df("k BIGINT", Row(1L))
+    val empty = df("k BIGINT")
+    val plan = TransportPlan.of("out" -> TableMap(Some("base"), Seq(Rename("k", "k"))))
+    val io = new InMemoryIO(Map("base" -> base), Map("seeded" -> empty))
+    assertThrows[IllegalArgumentException](
+      new Transportor(io, plan, preSeeded = Set("seeded")).run())
+  }
+
+  test("middle resolves target-side halves via the plan (dependency ordering)") {
+    val materials = df("mid BIGINT, csv STRING", Row(1L, "10,20"))
+    val typesSrc = df("tid BIGINT, nm STRING", Row(10L, "x"), Row(20L, "y"), Row(30L, "z"))
+    val plan = TransportPlan.of(
+      "bridge" -> TableMap(None, middle = Some(Middle(
+        one = MiddleOne(SearchSource.Original, "materials", "mid", "csv", "material_id"),
+        many = MiddleMany(SearchSource.Target, "new_types", "type_id", "type_id", "type_id")))),
+      "new_types" -> TableMap(Some("types_src"), Seq(Rename("type_id", "tid"))))
+    assert(Toposort(plan) == Seq("new_types", "bridge"))
+    val io = new InMemoryIO(Map("materials" -> materials, "types_src" -> typesSrc))
+    assertRows(new Transportor(io, plan).frame("bridge"), Seq(Row(1L, 10L), Row(1L, 20L)))
+  }
+
+  test("passthrough scan (no column specs) keeps the source schema") {
+    val base = df("a BIGINT, b STRING", Row(1L, "x"))
+    val plan = TransportPlan.of("out" -> TableMap(Some("base")))
+    val io = new InMemoryIO(Map("base" -> base))
+    assert(new Transportor(io, plan).frame("out").columns.toSeq == Seq("a", "b"))
+  }
+}
