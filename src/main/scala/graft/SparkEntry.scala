@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.ParityQueries
+import graft.queries.{ExtensionQueries, ParityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,10 +14,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.all
+    ParityQueries.all ++ ExtensionQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops (those
+    * get the driver's weaker rows-only check; their correctness is
+    * instead covered in ScalaTest against brute-force ground truth). */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracle
+    ParityQueries.oracle ++ ExtensionQueries.oracle
 }

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines, built from
+  * codegen'd `org.apache.spark.sql.functions` only (no UDFs) so they
+  * stay inside whole-stage codegen and push work to executors
+  * unchanged at any scale. Each has a DuckDB-SQL-expressible
+  * definition so results stay oracle-checkable.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  /** Token count as BIGINT (whitespace tokenization). */
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("bigint")
+
+  /** A BPE-ish subword proxy count: alternating letter/digit/other
+    * runs, the usual cheap stand-in for tokenizer cost estimation. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-z])(?=[^a-z])|(?<=[0-9])(?=[^0-9])|\\s+"),
+      t => t =!= lit(""))).cast("bigint")
+
+  /** Canonical-form document fingerprint: md5 of the
+    * lowercased, whitespace-collapsed, trimmed text. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Word n-gram shingles over the whitespace tokens (the MinHash
+    * input). Documents shorter than n words shingle to the whole
+    * document joined — never an empty set — so every doc gets a
+    * signature. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+    when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks)))
+  }
+
+  // ----------------------------------------------------------------- langid
+
+  /** Marker-word sets for the n-gram-heuristic language detector.
+    * Deliberately tiny and SQL-mirrorable: each marker hit (padded,
+    * lowercased substring match) scores 1; argmax wins, alphabetical
+    * tie-break, zero hits => 'und'. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " die ", " nicht ", " ist "),
+    "en" -> Seq(" the ", " and ", " of ", " is ", " to "),
+    "es" -> Seq(" el ", " los ", " las ", " es ", " una "),
+    "fr" -> Seq(" le ", " les ", " est ", " une ", " dans "))
+
+  private def padded(text: Column): Column =
+    concat(lit(" "), lower(text), lit(" "))
+
+  /** Per-language marker-hit score. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(m => when(padded(text).contains(m), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Heuristic language ID over the marker table. */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.map { case (lang, ms) => lang -> langScore(text, ms) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // alphabetical order + "first match wins" = deterministic tie-break
+    val pick = scored.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  // ---------------------------------------------------------------- quality
+
+  /** Ratio of alphabetic characters (letters+spaces vs everything). */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Ratio of punctuation characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Ratio of stopword tokens (English stopword list). */
+  val stopwords: Seq[String] = Seq("the", "and", "of", "is", "to", "a", "in", "that", "it", "for")
+  def stopwordRatio(text: Column): Column =
+    size(filter(tokens(lower(text)), t => t.isin(stopwords.map(lit): _*)))
+      .cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column =
+    (length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double"))
+
+  /** Composite quality score in [0,1]-ish: favors alphabetic prose of
+    * reasonable length with some stopword mass — the standard cheap
+    * pre-filter before expensive model-based scoring. Fixed
+    * evaluation order keeps the double arithmetic bit-identical
+    * across engines. */
+  def qualityScore(text: Column): Column =
+    alphaRatio(text) * lit(0.4) +
+      stopwordRatio(text) * lit(0.3) +
+      least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) * lit(0.2) +
+      (lit(1.0) - punctRatio(text)) * lit(0.1)
+}

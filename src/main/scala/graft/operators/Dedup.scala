@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{HashExpressions, SimilarityFunctions, TextFunctions}
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale posture (100 TB): every variant is candidate-generation via
+  * bucketing (a shuffle on a short key) followed by per-bucket work —
+  * never an all-pairs cross join. The only self-joins are on LSH
+  * bucket keys, whose fan-out is controlled by band/bit parameters;
+  * skewed buckets (boilerplate shingles, zero vectors) are the known
+  * hazard and AQE skew-join handles residuals.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by raw text: one row per distinct text
+    * with the surviving (minimum) id and the multiplicity. A single
+    * hash-aggregate shuffle on the dedup key; with map-side partial
+    * aggregation this is the cheapest possible exact dedup. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup by canonical fingerprint (md5 of normalized text):
+    * keeps the first row per fingerprint. Shuffles on the 16-byte
+    * digest instead of full document text — at 100 TB that is the
+    * difference between shuffling 100 TB and shuffling ~3 GB/billion
+    * docs. */
+  def exactByFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol).asc)
+    df.withColumn("fp", fp)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs:
+    * shingle → k-hash MinHash signature → `bands` bands of `k/bands`
+    * rows → band-bucket self-join. Returns distinct (id_a < id_b)
+    * pairs that collide in >=1 band, with their exact shingle-Jaccard
+    * attached for threshold filtering.
+    *
+    * The signature is computed by the native [[graft.functions.MinHashSignature]]
+    * expression (one tight loop, no per-hash array allocations); band
+    * buckets use the codegen'd murmur `hash` builtin. The join is a
+    * shuffle on (band index, band hash) — uniform by construction
+    * unless the corpus shares boilerplate; cap pathological buckets
+    * upstream by filtering near-empty docs.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      jaccardThreshold: Double = 0.0): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sh = TextFunctions.shingles(col(textCol), shingleN)
+    val prep = df.select(
+      col(idCol).as("id"),
+      array_distinct(sh).as("sh"),
+      HashExpressions.minhashSignature(sh, numHashes).as("sig"))
+
+    val bandCols = (0 until bands).map { j =>
+      hash(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand), lit(j)).as(s"b$j")
+    }
+    val banded = prep.select((col("id") +: col("sh") +: bandCols): _*)
+    val exploded = banded.select(
+      col("id"), col("sh"),
+      posexplode(array((0 until bands).map(j => col(s"b$j")): _*)).as(Seq("band_idx", "band_hash")))
+
+    val a = exploded.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("band_idx"), col("band_hash"))
+    val b = exploded.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("band_idx"), col("band_hash"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    val jaccard = (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+    pairs.withColumn("jaccard", jaccard)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-duplicate pairs within `maxHamming` bits.
+    * Candidate generation by the pigeonhole block trick: split the 64
+    * bits into `maxHamming + 1` blocks — any pair within the radius
+    * must agree exactly on >=1 block, so a self-join per block bucket
+    * finds all of them without an all-pairs scan. Verification is the
+    * codegen'd `bit_count(a ^ b)`.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val blockBits = 64 / blocks
+    val sim = HashExpressions.simhash64(TextFunctions.tokens(lower(col(textCol))))
+    val prep = df.select(col(idCol).as("id"), sim.as("simhash"))
+
+    val blockCols = (0 until blocks).map { j =>
+      // block j = bits [j*blockBits, (j+1)*blockBits) (last takes the tail)
+      val width = if (j == blocks - 1) 64 - j * blockBits else blockBits
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(col("simhash"), j * blockBits).bitwiseAND(lit(mask)).as(s"blk$j")
+    }
+    val withBlocks = prep.select((col("id") +: col("simhash") +: blockCols): _*)
+    val exploded = withBlocks.select(
+      col("id"), col("simhash"),
+      posexplode(array((0 until blocks).map(j => col(s"blk$j")): _*)).as(Seq("blk_idx", "blk_val")))
+
+    val a = exploded.select(col("id").as("id_a"), col("simhash").as("sim_a"),
+      col("blk_idx"), col("blk_val"))
+    val b = exploded.select(col("id").as("id_b"), col("simhash").as("sim_b"),
+      col("blk_idx"), col("blk_val"))
+    a.join(b, Seq("blk_idx", "blk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Character/word n-gram Jaccard similarity pairs — MinHash-LSH
+    * candidates re-scored with exact n-gram Jaccard (the LSH step
+    * bounds the pair count; the exact score removes LSH false
+    * positives). */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    minhashPairs(df, idCol, textCol, shingleN = n, jaccardThreshold = threshold)
+
+  /** Embedding-cosine near-duplicate pairs: sign-LSH bucket join, then
+    * exact cosine filter. `numPlanes` trades recall vs bucket size
+    * (2^numPlanes expected buckets). */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.9,
+      numPlanes: Int = 10,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = SimilarityFunctions.hyperplanes(numPlanes, dim, seed)
+    val prep = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      SimilarityFunctions.lshBucket(col(vecCol), planes).as("bucket"))
+    val a = prep.select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
+    val b = prep.select(col("id").as("id_b"), col("vec").as("vec_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", SimilarityFunctions.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

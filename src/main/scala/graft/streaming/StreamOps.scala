@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream
+  * (`events(event_id, ts, user_id, event_type, value, props)`).
+  *
+  * The reference engine is strictly batch (SURVEY.md §2.10); these are
+  * the north-star streaming extensions. Each transform takes a
+  * DataFrame so the same code runs on `readStream` (incremental,
+  * watermarked state) and on a batch read (backfill) — the
+  * batch-equivalent parity queries in
+  * [[graft.queries.ParityQueries]] (q_events_hourly,
+  * q_events_sessionize) are the oracle-checked twins.
+  */
+object StreamOps {
+
+  final case class Event(event_id: Long, user_id: Long, tsMicros: Long,
+      event_type: String, value: Double)
+
+  final case class SessionAssign(user_id: Long, event_id: Long, session_seq: Long)
+
+  private final case class SessionState(lastTsMicros: Long, seq: Long)
+
+  /** Tumbling-window hourly aggregate with a 2h watermark: the
+    * streaming form of q_events_hourly. State is bounded by the
+    * watermark horizon — at 100 TB/day ingest the state store holds
+    * only ~2h × |event_type| windows per partition. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("total_value"))
+
+  /** Stateful sessionization via flatMapGroupsWithState: 30-minute
+    * inactivity gap starts a new session; state per user is one
+    * (lastTs, seq) pair. Events inside each micro-batch are sorted
+    * per group before applying the gap rule, so a single-batch run
+    * reproduces the batch sessionizer exactly. ProcessingTime timeout
+    * reaps idle users' state. */
+  def sessionize(events: Dataset[Event],
+      gapMicros: Long = 30L * 60 * 1000 * 1000): Dataset[SessionAssign] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+            val out = it.toArray.sortBy(e => (e.tsMicros, e.event_id)).map { e =>
+              val newSession = st.lastTsMicros == Long.MinValue ||
+                e.tsMicros - st.lastTsMicros > gapMicros
+              st = SessionState(e.tsMicros, if (newSession) st.seq + 1 else st.seq)
+              SessionAssign(userId, e.event_id, st.seq)
+            }
+            state.update(st)
+            state.setTimeoutDuration("1 hour")
+            out.iterator
+          }
+        })
+  }
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's `private[sql]` Column <-> Expression converters
+  * (org.apache.spark.sql.classic.ExpressionUtils). Custom Catalyst
+  * expressions need a Column wrapper to participate in the DataFrame
+  * API; Spark 4 hid the direct constructor, and the sanctioned
+  * workaround for extension libraries is a shim inside the sql
+  * package tree. This is the only file outside the graft namespace.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.functions.{HashExpressions, SimilarityFunctions, TextFunctions}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup / similarity / text / multimodal operators: deterministic
+  * unit semantics plus LSH-vs-brute-force ground truth. */
+class ExtensionSpec extends SparkSpec {
+
+  private def docs = df("doc_id BIGINT, text STRING",
+    Row(1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    Row(2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    Row(3L, "completely different content about spark query engines and shuffles"),
+    Row(4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    Row(5L, "THE  Quick   Brown fox jumps over the lazy dog near the river bank")) // fp-dup of 1
+
+  test("minhash signature is deterministic and identical for equal shingle sets") {
+    val sig = docs.select(col("doc_id"),
+      HashExpressions.minhashSignature(TextFunctions.shingles(col("text"), 3)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(1L) == sig(4L))
+    assert(sig(1L) != sig(3L))
+    assert(sig(1L).size == 64)
+  }
+
+  test("minhashPairs finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 3,
+      numHashes = 64, bands = 16, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated never passes 0.5
+  }
+
+  test("minhash LSH candidates cover all high-jaccard pairs on a broader corpus (vs brute force)") {
+    // deterministic synthetic corpus: clusters of small perturbations
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val rows = (0 until 40).map { i =>
+      val words = base.split(" ").toVector.updated(i % 16, s"w$i")
+      Row(i.toLong, words.mkString(" "))
+    }
+    val corpus = df("doc_id BIGINT, text STRING", rows: _*)
+    // brute-force ground truth at jaccard >= 0.6 over the same shingles
+    val sh = corpus.select(col("doc_id"),
+      array_distinct(TextFunctions.shingles(col("text"), 2)).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("j", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("j") >= 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.minhashPairs(corpus, "doc_id", "text", shingleN = 2,
+      numHashes = 64, bands = 32, jaccardThreshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    // exact-jaccard filter removes FPs => got ⊆ truth; banding at r=2 keeps recall high
+    assert(got.subsetOf(truth))
+    assert(got.size >= (truth.size * 0.9).toInt,
+      s"LSH recall too low: ${got.size}/${truth.size}")
+  }
+
+  test("simhashPairs: exact dup at hamming 0; near-dup within radius; unrelated outside") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("exact dedup groups and fingerprint dedup (case/whitespace-insensitive)") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.count() == 4) // 1==4 exactly
+    val kept = Dedup.exactByFingerprint(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L)) // 4 exact-dups 1; 5 normalizes to 1
+  }
+
+  test("cosine matches a hand computation; zero vector yields 0") {
+    val v = df("id BIGINT, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+      Row(1L, Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      Row(2L, Seq(1.0, 2.0), Seq(2.0, 4.0)),
+      Row(3L, Seq(0.0, 0.0), Seq(1.0, 1.0)))
+    val got = v.select(col("id"), SimilarityFunctions.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 0.0) < 1e-12)
+    assert(math.abs(got(2L) - 1.0) < 1e-12)
+    assert(got(3L) == 0.0)
+  }
+
+  test("LSH top-k recall vs brute force on the embeddings fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val brute = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(rest, "vec_id", "embedding", q, 10,
+      numPlanes = 8, probeHamming = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(lsh.size == 10)
+    // random-ish fixture vectors: multi-probe at hamming<=3 of 8 planes
+    // must recover a meaningful fraction of the true neighbors
+    assert((brute intersect lsh).size >= 4,
+      s"ANN recall too low: ${(brute intersect lsh).size}/10")
+  }
+
+  test("multimodal: pack schema, deterministic stub decode, batch shape") {
+    val packed = Multimodal.pack(docs, "doc_id", "text")
+    assert(packed.schema.fieldNames.toSeq ==
+      Seq("doc_id", "media_type", "payload", "byte_len"))
+    assert(packed.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.features(spark, docs, "doc_id", "text")
+    assert(feats.count() == 5)
+    val f1 = feats.filter(col("doc_id") === 1).head()
+    val f4 = feats.filter(col("doc_id") === 4).head()
+    assert(f1.getLong(f1.fieldIndex("feat_hash")) == f4.getLong(f4.fieldIndex("feat_hash"))) // same payload => same features
+    assert(f1.getInt(f1.fieldIndex("width")) >= 64 && f1.getInt(f1.fieldIndex("height")) >= 64)
+  }
+
+  test("language id picks marker-matching language, 'und' when nothing matches") {
+    val t = df("doc_id BIGINT, text STRING",
+      Row(1L, "the cat and the dog of the house is to blame"),
+      Row(2L, "der Hund und die Katze ist nicht da"),
+      Row(3L, "xyzzy plugh 12345"))
+    val got = t.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+  }
+
+  test("token count / fingerprint normalize whitespace and case") {
+    val t = df("doc_id BIGINT, text STRING",
+      Row(1L, "  a  b   c "), Row(2L, "A b C"))
+    val got = t.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L)._1 == 3L && got(2L)._1 == 3L)
+    assert(got(1L)._2 == got(2L)._2) // same canonical form
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+/** Structured Streaming operators, driven synchronously with the
+  * memory sink; sessionize is additionally checked against the
+  * oracle-verified batch sessionizer (q_events_sessionize logic). */
+class StreamingSpec extends SparkSpec {
+
+  private def eventsDf = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("streaming hourlyCounts over a file stream matches the batch aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    eventsDf.coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = eventsDf.schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly")
+        .select("h", "event_type", "n", "total_value").collect().toSet
+      val batch = eventsDf
+        .select(date_trunc("hour", col("ts")).as("h"), col("event_type"), col("value"))
+        .groupBy("h", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize (flatMapGroupsWithState) matches the batch sessionizer") {
+    import spark.implicits._
+    val ev = eventsDf.select(
+      col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+      col("event_type"), col("value")).as[Event]
+
+    val streamed = StreamOps.sessionize(ev)
+      .collect().map(s => (s.user_id, s.event_id) -> s.session_seq).toMap
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val prev = lag(col("ts"), 1).over(w)
+    val batch = eventsDf
+      .withColumn("__new",
+        when(prev.isNull || unix_micros(col("ts")) - unix_micros(prev) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("__new")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)).cast("bigint"))
+      .select("user_id", "event_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+}
