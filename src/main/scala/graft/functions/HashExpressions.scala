@@ -61,16 +61,95 @@ object Hashing {
   }
 }
 
+/** `shingle_hashes(text, n)` — hashed word n-gram shingles straight
+  * from the raw text: tokenize on whitespace (lowercasing inline),
+  * hash each token, combine n consecutive token hashes
+  * order-sensitively, and return the DISTINCT shingle hashes sorted
+  * as array<long>.
+  *
+  * This replaces a `split → filter → transform(sequence, slice,
+  * concat_ws) → array_distinct` builtin chain that allocated every
+  * shingle as a string; one pass here allocates only the output
+  * array. Texts shorter than n words produce the single whole-text
+  * shingle, so every document gets a non-empty set. Downstream
+  * Jaccard over the hashes instead of the strings is the standard
+  * collision-negligible shortcut (64-bit space vs ~1e5 shingles/doc).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    // tokenize + hash tokens in one sweep
+    val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var h = Hashing.FnvOffset
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (inTok) { tokenHashes += Hashing.mix64(h); h = Hashing.FnvOffset; inTok = false }
+      } else {
+        val lc = Character.toLowerCase(c)
+        // FNV over the UTF-16 code unit's bytes
+        h ^= (lc & 0xffL); h *= Hashing.FnvPrime
+        h ^= ((lc >> 8) & 0xffL); h *= Hashing.FnvPrime
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) tokenHashes += Hashing.mix64(h)
+
+    val m = tokenHashes.length
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (m == 0) {
+      out.add(Hashing.mix64(Hashing.FnvOffset))
+    } else if (m < n) {
+      var acc = 1125899906842597L
+      var k = 0
+      while (k < m) { acc = acc * Hashing.FnvPrime + tokenHashes(k); k += 1 }
+      out.add(Hashing.mix64(acc))
+    } else {
+      var i2 = 0
+      while (i2 <= m - n) {
+        var acc = 1125899906842597L
+        var k = 0
+        while (k < n) { acc = acc * Hashing.FnvPrime + tokenHashes(i2 + k); k += 1 }
+        out.add(Hashing.mix64(acc))
+        i2 += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 /** `minhash_signature(shingles)` — the k-element MinHash signature of
-  * a string array: `sig[j] = min over shingles of mix(fnv64(s) ^ salt_j)`.
-  * Equal signatures on a band of rows ⇒ probable Jaccard similarity
-  * (the standard shingle→minhash→band LSH construction).
-  * An empty shingle set yields Long.MaxValue in every slot.
+  * a shingle array: `sig[j] = min over shingles of mix(h(s) ^ salt_j)`.
+  * Accepts either array<string> (hashes each shingle) or array<long>
+  * (pre-hashed via [[ShingleHashes]] — the fast path). Equal
+  * signatures on a band of rows ⇒ probable Jaccard similarity (the
+  * standard shingle→minhash→band LSH construction). An empty shingle
+  * set yields Long.MaxValue in every slot.
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
 
   private lazy val salts: Array[Long] = Hashing.salts(numHashes, seed)
+  private lazy val preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -81,7 +160,8 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = Hashing.fnv64(arr.getUTF8String(i).getBytes)
+      val h = if (preHashed) arr.getLong(i)
+        else Hashing.fnv64(arr.getUTF8String(i).getBytes)
       var j = 0
       while (j < numHashes) {
         val g = Hashing.mix64(h ^ salts(j))
@@ -105,6 +185,11 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   */
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
 
+  private lazy val preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -114,7 +199,8 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = Hashing.mix64(Hashing.fnv64(arr.getUTF8String(i).getBytes))
+      val h = if (preHashed) arr.getLong(i)
+        else Hashing.mix64(Hashing.fnv64(arr.getUTF8String(i).getBytes))
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -136,6 +222,12 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 }
 
 object HashExpressions {
+  /** Hashed word n-gram shingles straight from a text column
+    * (array<long>, distinct, sorted) — the fast input to
+    * [[minhashSignature]] / [[simhash64]] and to hashed-Jaccard. */
+  def shingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
   /** MinHash signature Column over an array<string> shingle column. */
   def minhashSignature(shingles: Column, numHashes: Int = 64, seed: Long = 42L): Column =
     ColumnBridge.column(

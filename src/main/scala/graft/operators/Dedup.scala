@@ -61,32 +61,46 @@ object Dedup {
       jaccardThreshold: Double = 0.0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sh = TextFunctions.shingles(col(textCol), shingleN)
+    // one-pass native tokenize+shingle+hash (ShingleHashes), then the
+    // signature over the pre-hashed shingles — no per-shingle strings
+    val sh = HashExpressions.shingleHashes(col(textCol), shingleN)
     val prep = df.select(
       col(idCol).as("id"),
-      array_distinct(sh).as("sh"),
       HashExpressions.minhashSignature(sh, numHashes).as("sig"))
 
-    val bandCols = (0 until bands).map { j =>
-      hash(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand), lit(j)).as(s"b$j")
-    }
-    val banded = prep.select((col("id") +: col("sh") +: bandCols): _*)
-    val exploded = banded.select(
-      col("id"), col("sh"),
-      posexplode(array((0 until bands).map(j => col(s"b$j")): _*)).as(Seq("band_idx", "band_hash")))
+    // Candidate generation shuffles ONLY (id, band) pairs — never the
+    // shingle arrays. At scale the banded self-join fan-out dominates;
+    // keeping its payload to 24 bytes/row instead of the whole shingle
+    // set is the difference between shuffling ids and shuffling the
+    // corpus. Shingle sets are re-attached afterwards, for surviving
+    // candidates only.
+    val exploded = prep.select(
+      col("id"),
+      posexplode(array((0 until bands).map { j =>
+        hash(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand), lit(j))
+      }: _*)).as(Seq("band_idx", "band_hash")))
 
-    val a = exploded.select(col("id").as("id_a"), col("sh").as("sh_a"),
-      col("band_idx"), col("band_hash"))
-    val b = exploded.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      col("band_idx"), col("band_hash"))
-    val pairs = a.join(b, Seq("band_idx", "band_hash"))
+    val a = exploded.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))
+    val b = exploded.select(col("id").as("id_b"), col("band_idx"), col("band_hash"))
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    val jaccard = (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-    pairs.withColumn("jaccard", jaccard)
+    // Exact-jaccard rescoring (over hashed shingles): shingle only the
+    // candidate rows — the join prunes the text scan to surviving ids,
+    // a tiny fraction of the corpus, so re-deriving shingle hashes
+    // after the join is far cheaper than carrying or caching them
+    // corpus-wide.
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    val shA = HashExpressions.shingleHashes(col("t_a"), shingleN)
+    val shB = HashExpressions.shingleHashes(col("t_b"), shingleN)
+    val jaccard = (size(array_intersect(shA, shB)).cast("double") /
+      size(array_union(shA, shB)).cast("double"))
+    candidates
+      .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
+      .withColumn("jaccard", jaccard)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -105,7 +119,8 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
     val blockBits = 64 / blocks
-    val sim = HashExpressions.simhash64(TextFunctions.tokens(lower(col(textCol))))
+    // 1-gram ShingleHashes = hashed token set, computed in one native pass
+    val sim = HashExpressions.simhash64(HashExpressions.shingleHashes(col(textCol), 1))
     val prep = df.select(col(idCol).as("id"), sim.as("simhash"))
 
     val blockCols = (0 until blocks).map { j =>
@@ -155,13 +170,21 @@ object Dedup {
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     val planes = SimilarityFunctions.hyperplanes(numPlanes, dim, seed)
+    // norms computed once per row before the bucket join, not once per pair
     val prep = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      SimilarityFunctions.norm(col(vecCol)).as("nrm"),
       SimilarityFunctions.lshBucket(col(vecCol), planes).as("bucket"))
-    val a = prep.select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
-    val b = prep.select(col("id").as("id_b"), col("vec").as("vec_b"), col("bucket"))
+    val a = prep.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("nrm").as("nrm_a"), col("bucket"))
+    val b = prep.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("nrm").as("nrm_b"), col("bucket"))
+    val denom = col("nrm_a") * col("nrm_b")
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", SimilarityFunctions.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine",
+        when(denom > 0.0,
+          SimilarityFunctions.dot(col("vec_a"), col("vec_b")) / denom)
+          .otherwise(lit(0.0)))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
