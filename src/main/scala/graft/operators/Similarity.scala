@@ -30,6 +30,63 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN top-k: the corpus is assigned to
+    * `nlist` centroid cells (nearest-centroid by cosine); a query
+    * scores only the rows in its `nprobe` closest cells.
+    *
+    * Centroid selection here is deterministic sampling (the first
+    * `nlist` rows by id) — the IVF skeleton; swap in k-means
+    * refinement without touching the assignment/probe machinery.
+    * Centroids live driver-side (nlist × dim doubles — tiny) and are
+    * baked into the assignment expression as literals, so cell
+    * assignment is a single codegen'd scan with NO shuffle and no
+    * cross join. `nprobe == nlist` degrades gracefully to exact
+    * brute force (the recall=1 case, used by tests).
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    // deterministic centroid sample
+    val centroids: Array[Array[Double]] = df
+      .orderBy(col(idCol).asc).limit(nlist)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(centroids.nonEmpty, "empty corpus")
+
+    def cosineScalar(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na > 0 && nb > 0) d / math.sqrt(na * nb) else 0.0
+    }
+    val q = query.map(_.toDouble)
+    val probeCells: Seq[Int] = centroids.zipWithIndex
+      .map { case (c, i) => i -> cosineScalar(q, c) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(math.min(nprobe, centroids.length))
+      .map(_._1).toSeq
+
+    // nearest-centroid assignment as a literal-folded expression
+    val sims = array(centroids.toIndexedSeq.map { c =>
+      SimilarityFunctions.cosine(col(vecCol), array(c.toIndexedSeq.map(lit): _*))
+    }: _*)
+    val cell = array_position(sims, array_max(sims)) - lit(1)
+
+    val qLit = array(query.map(v => lit(v.toDouble)).toIndexedSeq: _*)
+    df.withColumn("__cell", cell)
+      .filter(col("__cell").isin(probeCells.map(_.toLong): _*))
+      .select(col(idCol).as("id"),
+        SimilarityFunctions.cosine(col(vecCol), qLit).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN top-k: probe all buckets within `probeHamming`
     * bits of the query's bucket (multi-probe raises recall without
     * re-bucketing), exact cosine on the candidates only. */

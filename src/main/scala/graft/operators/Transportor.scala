@@ -56,10 +56,29 @@ final class Transportor(
     * src/DBT.php:596-613 — hooks run after all transports; temp
     * columns are never written because [[run]] already drops them,
     * replacing the reference's temp-column DDL + drop dance,
-    * src/DBT.php:423-446, 604-613). */
-  def runAndWrite(): Map[String, DataFrame] = {
+    * src/DBT.php:423-446, 604-613).
+    *
+    * `writeParallelism > 1` submits the per-table write jobs
+    * concurrently: inter-table dependencies live entirely in the
+    * (lazy) frame lineage, never in write-order, so independent
+    * tables' jobs overlap and Spark's scheduler interleaves their
+    * stages — the cluster-scale replacement for the reference's
+    * strictly sequential table loop. */
+  def runAndWrite(writeParallelism: Int = 1): Map[String, DataFrame] = {
     val frames = run()
-    frames.foreach { case (name, df) => io.writeTarget(name, df) }
+    if (writeParallelism <= 1) {
+      frames.foreach { case (name, df) => io.writeTarget(name, df) }
+    } else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writeParallelism)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(frames.toSeq.map { case (name, df) =>
+          Future(io.writeTarget(name, df))
+        }), Duration.Inf)
+      finally pool.shutdown()
+    }
     plan.tables.foreach { case (_, m) => m.runAfterTransport.foreach(_.apply()) }
     frames
   }

@@ -34,6 +34,13 @@ object ExtensionQueries {
       col("doc_id"),
       TextFunctions.langId(col("text")).as("lang_pred"))
 
+  // rows-only: the BPE-ish subword split uses lookbehind, which
+  // DuckDB's RE2 can't mirror
+  private val qTextSubwords: Q = (s, dir) =>
+    pq(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.subwordCount(col("text")).as("n_subwords"))
+
   private val qTextQuality: Q = (s, dir) =>
     pq(s, dir, "documents").select(
       col("doc_id"),
@@ -81,6 +88,10 @@ object ExtensionQueries {
       "vec_id", "embedding", queryVec(s, dir), k = 10,
       numPlanes = 8, probeHamming = 3)
 
+  private val qSimIvfTopK: Q = (s, dir) =>
+    Similarity.ivfTopK(pq(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec(s, dir), k = 10, nlist = 16, nprobe = 4)
+
   // -------------------------------------------------------------- multimodal
 
   private val qMultimodalMeta: Q = (s, dir) =>
@@ -104,6 +115,8 @@ object ExtensionQueries {
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_sim_brute_topk" -> qSimBruteTopK,
     "q_sim_lsh_topk" -> qSimLshTopK,
+    "q_sim_ivf_topk" -> qSimIvfTopK,
+    "q_text_subwords" -> qTextSubwords,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode)
 

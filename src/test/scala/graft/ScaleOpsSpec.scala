@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, SkewJoin, Transportor}
+import graft.plans._
+import graft.sources.InMemoryIO
+
+/** Scale-path utilities: salted joins, parallel writes, IVF ANN. */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("salted left join is row-identical to the plain join under heavy skew") {
+    // 900 rows on one hot key + a long tail
+    val leftRows = (0 until 900).map(i => Row(i.toLong, 1L)) ++
+      (0 until 100).map(i => Row((1000 + i).toLong, (i % 7 + 2).toLong))
+    val left = df("row_id BIGINT, k BIGINT", leftRows: _*)
+    val right = df("rk BIGINT, v STRING",
+      (1L to 8L).map(i => Row(i, s"v$i")): _*)
+
+    val plain = left.join(right, left("k") === right("rk"), "left")
+      .select(col("row_id"), col("k"), col("v"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val salted = SkewJoin.saltedLeftJoin(left, right, "k", "rk", saltFactor = 8)
+      .select(col("row_id"), col("k"), col("v"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(salted == plain)
+  }
+
+  test("salted join preserves left rows with unmatched keys (outer semantics)") {
+    val left = df("row_id BIGINT, k BIGINT", Row(1L, 99L))
+    val right = df("rk BIGINT, v STRING", Row(1L, "x"))
+    val got = SkewJoin.saltedLeftJoin(left, right, "k", "rk", 4).collect()
+    assert(got.length == 1 && got(0).isNullAt(2))
+  }
+
+  test("parallel writes produce the same target tables as sequential") {
+    val base = df("id BIGINT, seg STRING",
+      (1L to 50L).map(i => Row(i, if (i % 2 == 0) "A" else "B")): _*)
+    def plan = TransportPlan.of(
+      "ta" -> TableMap(Some("base"), Seq(Rename("id", "id")),
+        extraConditions = Seq(Condition.Eq("seg", "A"))),
+      "tb" -> TableMap(Some("base"), Seq(Rename("id", "id")),
+        extraConditions = Seq(Condition.Eq("seg", "B"))))
+    val seqIo = new InMemoryIO(Map("base" -> base))
+    new Transportor(seqIo, plan).runAndWrite()
+    val parIo = new InMemoryIO(Map("base" -> base))
+    new Transportor(parIo, plan).runAndWrite(writeParallelism = 2)
+    assert(parIo.written.keySet == seqIo.written.keySet)
+    parIo.written.keys.foreach { t =>
+      assert(parIo.readTarget(t).collect().map(_.getLong(0)).sorted.toSeq ==
+        seqIo.readTarget(t).collect().map(_.getLong(0)).sorted.toSeq)
+    }
+  }
+
+  test("IVF with nprobe == nlist is exactly brute force; partial probe is a subset superset-free top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val brute = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Similarity.ivfTopK(rest, "vec_id", "embedding", q, 10, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute) // probing every cell = exact
+    val partial = Similarity.ivfTopK(rest, "vec_id", "embedding", q, 10, nlist = 8, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(partial.size == 10)
+    assert((brute.map(_._1).toSet intersect partial).nonEmpty)
+  }
+}
