@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -17,9 +17,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * the hot loop of the whole dedup pipeline. One expression with a
   * tight primitive loop (no per-element allocation) is the Spark-
   * preferred escape hatch when builtins can't express the operator
-  * efficiently (custom Expression > UDF). `CodegenFallback` is
-  * acceptable here: the loop body dominates; codegen would only
-  * inline the dispatch.
+  * efficiently (custom Expression > UDF). Each expression implements
+  * `doGenCode` by dispatching into its compiled eval loop through a
+  * codegen reference object, so the enclosing stage keeps whole-stage
+  * codegen (a CodegenFallback would knock the whole stage into
+  * interpreted projection).
   *
   * Hash: FNV-1a 64 over UTF-8 bytes, then per-function SplitMix64
   * finalizers — both public-domain algorithms.
@@ -76,11 +78,24 @@ object Hashing {
   * collision-negligible shortcut (64-bit space vs ~1e5 shingles/doc).
   */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, "shingle width must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
+
+  // Codegen: call straight into this instance's eval loop via a
+  // reference object — the loop stays compiled Scala AND the
+  // surrounding stage keeps whole-stage codegen (a CodegenFallback
+  // would force the entire stage into interpreted projection).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalInput($c);")
+  }
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalInput(input: Any): Any = nullSafeEval(input)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
@@ -143,7 +158,7 @@ case class ShingleHashes(child: Expression, n: Int)
   * set yields Long.MaxValue in every slot.
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private lazy val salts: Array[Long] = Hashing.salts(numHashes, seed)
   private lazy val preHashed: Boolean = child.dataType match {
@@ -153,6 +168,15 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalInput($c);")
+  }
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalInput(input: Any): Any = nullSafeEval(input)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -183,7 +207,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   * within a small Hamming distance (computed downstream with the
   * codegen'd builtin `bit_count(a ^ b)`).
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   private lazy val preHashed: Boolean = child.dataType match {
     case ArrayType(LongType, _) => true
@@ -192,6 +216,15 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((java.lang.Long) $ref.evalInput($c)).longValue();")
+  }
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalInput(input: Any): Any = nullSafeEval(input)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -36,6 +36,17 @@ object StreamOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup on a key expression with watermark-bounded
+    * state: the streaming twin of Dedup.exactByFingerprint. State
+    * holds one entry per distinct key inside the watermark horizon;
+    * late duplicates beyond the horizon age out (the documented
+    * at-most-horizon dedup guarantee of dropDuplicates-with-watermark). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Stateful sessionization via flatMapGroupsWithState: 30-minute
     * inactivity gap starts a new session; state per user is one
     * (lastTs, seq) pair. Events inside each micro-batch are sorted

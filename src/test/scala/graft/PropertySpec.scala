@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import graft.operators.Transportor
+import graft.plans._
+import graft.sources.InMemoryIO
+
+/** Property-based checks (SURVEY.md §5.4): engine operators against
+  * their algebraic definitions over randomized inputs. */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8) // each case spins Spark jobs — keep tight
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def mkDf(schema: String, rows: Seq[Row]) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType.fromDDL(schema))
+
+  private val keyGen = Gen.chooseNum(0L, 6L)
+  private val baseGen = Gen.nonEmptyListOf(keyGen)
+  private val lookupGen = Gen.nonEmptyListOf(Gen.zip(keyGen, Gen.alphaStr.map(_.take(5))))
+
+  // J1 refer ≡ left join + dedup(min) + coalesce(default)
+  property("refer(J1) == leftJoin+minDedup+coalesce") =
+    Prop.forAll(baseGen, lookupGen) { (keys, lookup) =>
+      val base = mkDf("k BIGINT", keys.map(Row(_)))
+      val lk = mkDf("sk BIGINT, v STRING", lookup.map { case (k, v) => Row(k, v) })
+      val plan = TransportPlan.of("out" -> TableMap(Some("base"), Seq(
+        Rename("k", "k"),
+        Refer("v", Seq("k"), SearchSource.Original, "lk", Seq("sk"), "v",
+          default = Some("D")))))
+      val io = new InMemoryIO(Map("base" -> base, "lk" -> lk))
+      val got = new Transportor(io, plan).frame("out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+      val expectLookup = lookup.groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).min
+      }
+      val want = keys.map(k => (k, expectLookup.getOrElse(k, "D"))).sorted
+      got == want
+    }
+
+  // J4 middle: explode(split(concat_ws(csv))) round-trips the FK multiset
+  property("middle explode(split(join(xs))) == xs pairs") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 5L),
+      Gen.nonEmptyListOf(Gen.chooseNum(1L, 9L)).map(_.take(4))))) { oneSide =>
+      val ones = oneSide.zipWithIndex.map { case ((_, fks), i) =>
+        (i.toLong, fks)
+      }
+      val oneDf = mkDf("oid BIGINT, csv STRING",
+        ones.map { case (id, fks) => Row(id, fks.mkString(",")) })
+      val manyDf = mkDf("mid BIGINT, nm STRING", (1L to 9L).map(i => Row(i, s"m$i")))
+      val plan = TransportPlan.of("bridge" -> TableMap(None, middle = Some(Middle(
+        MiddleOne(SearchSource.Original, "one", "oid", "csv", "a"),
+        MiddleMany(SearchSource.Original, "many", "mid", "mid", "b")))))
+      val io = new InMemoryIO(Map("one" -> oneDf, "many" -> manyDf))
+      val got = new Transportor(io, plan).frame("bridge")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = ones.flatMap { case (id, fks) => fks.map(f => (id, f)) }.sorted
+      got == want
+    }
+
+  // refers(J3, sum) ≡ groupBy-sum + coalesce(default)
+  property("refers(J3,sum) == groupBySum+coalesce") =
+    Prop.forAll(baseGen, Gen.listOf(Gen.zip(keyGen, Gen.chooseNum(-50, 50)))) {
+      (keys, amounts) =>
+        val base = mkDf("k BIGINT", keys.map(Row(_)))
+        val lk = mkDf("sk BIGINT, amt BIGINT",
+          amounts.map { case (k, a) => Row(k, a.toLong) })
+        val plan = TransportPlan.of("out" -> TableMap(Some("base"), Seq(
+          Rename("k", "k"),
+          Refers("total", "k", SearchSource.Original, "lk", "sk",
+            processor = sum(col("amt")), default = Some(0L)))))
+        val io = new InMemoryIO(Map("base" -> base, "lk" -> lk))
+        val got = new Transportor(io, plan).frame("out")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val sums = amounts.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2.toLong).sum }
+        val want = keys.map(k => (k, sums.getOrElse(k, 0L))).sorted
+        got == want
+    }
+
+  // predicate NULL rewrites: Eq(c,null) keeps exactly the null rows,
+  // Ne(c,null) exactly the non-null rows, and they partition the table
+  property("null predicate rewrites partition the table") =
+    Prop.forAll(Gen.listOf(Gen.option(Gen.chooseNum(0, 9)))) { vals =>
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        Row(i.toLong, v.map(Integer.valueOf).orNull)
+      }
+      val t = mkDf("id BIGINT, x INT", rows)
+      val io = new InMemoryIO(Map("t" -> t))
+      def count(c: Condition) = new Transportor(io,
+        TransportPlan.of("o" -> TableMap(Some("t"), extraConditions = Seq(c)))).frame("o").count()
+      val nulls = count(Condition.Eq("x", null))
+      val notNulls = count(Condition.Ne("x", null))
+      nulls == vals.count(_.isEmpty) && nulls + notNulls == vals.size
+    }
+}

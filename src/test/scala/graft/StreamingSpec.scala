@@ -36,6 +36,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-horizon duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    // duplicate every event once
+    eventsDf.unionAll(eventsDf).coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(eventsDf.schema).parquet(dir)
+    val q = StreamOps.dedupStream(stream, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == eventsDf.count())
+    } finally q.stop()
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) matches the batch sessionizer") {
     import spark.implicits._
     val ev = eventsDf.select(
