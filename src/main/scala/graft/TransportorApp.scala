@@ -44,6 +44,7 @@ object TransportorApp {
     val cpus = args.getOrElse("cpus", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val spark = SparkSession.builder()
       .master(args.getOrElse("master", s"local[$cpus]"))
+      .withExtensions(new graft.functions.GraftExtensions)
       .appName(s"graft-transport-$className")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

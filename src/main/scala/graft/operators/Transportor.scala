@@ -35,11 +35,48 @@ final class Transportor(
   /** Execution order (dependencies first). */
   def executionOrder: Seq[String] = Toposort(plan)
 
+  /** Upfront plan validation with named errors — misconfigurations
+    * fail before any job runs, not mid-migration (the reference
+    * surfaces most of these as PHP runtime fatals mid-chunk). */
+  def validate(): Unit = {
+    plan.tables.foreach { case (key, m) =>
+      if (m.middle.isEmpty && m.originalTable.isEmpty)
+        throw new IllegalArgumentException(
+          s"table '$key': needs original_table or middle (src/DBT.php:135-144)")
+      if (m.middle.nonEmpty && m.columns.nonEmpty)
+        throw new IllegalArgumentException(
+          s"table '$key': middle tables take no column specs (reference ignores them " +
+            "silently, src/DBT.php:135-136; graft fails fast)")
+      val targets = m.columns.map(_.target) ++
+        m.columns.collect { case a: Affection => a.alsoFills.map(_._2) }.flatten
+      val dups = targets.groupBy(identity).collect { case (t, ts) if ts.size > 1 => t }
+      if (dups.nonEmpty)
+        throw new IllegalArgumentException(
+          s"table '$key': duplicate target column(s) ${dups.mkString(", ")}")
+      m.columns.foreach {
+        case r: Refer if r.searchSource == SearchSource.Target &&
+            plan.keyFor(r.searchTable).isEmpty && !preSeeded.contains(r.searchTable) =>
+          throw new NoSuchElementException(
+            s"table '$key': refer '${r.target}' looks up target table " +
+              s"'${r.searchTable}' which is neither in the plan nor pre-seeded")
+        case r: Refers if r.searchSource == SearchSource.Target &&
+            plan.keyFor(r.searchTable).isEmpty && !preSeeded.contains(r.searchTable) =>
+          throw new NoSuchElementException(
+            s"table '$key': refers '${r.target}' looks up target table " +
+              s"'${r.searchTable}' which is neither in the plan nor pre-seeded")
+        case _ =>
+      }
+    }
+    Toposort(plan) // cycle check
+    ()
+  }
+
   /** Build every table frame in dependency order and return the final
     * per-TARGET-table frames (temp columns dropped, aliased entries
     * targeting the same physical table unioned — README.md:59-63).
     * Side-effect free; see [[runAndWrite]] for the writing variant. */
   def run(): Map[String, DataFrame] = {
+    validate()
     validateSeeds()
     executionOrder.foreach(resolveKey)
     val out = mutable.LinkedHashMap.empty[String, DataFrame]

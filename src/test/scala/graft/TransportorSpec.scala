@@ -133,6 +133,28 @@ class TransportorSpec extends SparkSpec {
     assertRows(new Transportor(io, plan).frame("bridge"), Seq(Row(1L, 10L), Row(1L, 20L)))
   }
 
+  test("validate(): duplicate targets, middle+columns, missing lookup table fail fast") {
+    val base = df("k BIGINT", Row(1L))
+    val io = new InMemoryIO(Map("base" -> base))
+    def t(plan: TransportPlan) = new Transportor(io, plan)
+
+    assertThrows[IllegalArgumentException](t(TransportPlan.of(
+      "a" -> TableMap(Some("base"), Seq(Rename("x", "k"), Inject("x", 1)))))
+      .validate())
+    assertThrows[IllegalArgumentException](t(TransportPlan.of(
+      "a" -> TableMap(Some("base"), Seq(Rename("x", "k")),
+        middle = Some(Middle(
+          MiddleOne(SearchSource.Original, "base", "k", "k", "a"),
+          MiddleMany(SearchSource.Original, "base", "k", "k", "b"))))))
+      .validate())
+    assertThrows[NoSuchElementException](t(TransportPlan.of(
+      "a" -> TableMap(Some("base"), Seq(
+        Refer("x", Seq("k"), SearchSource.Target, "nowhere", Seq("k"), "k")))))
+      .validate())
+    assertThrows[IllegalArgumentException](t(TransportPlan.of(
+      "a" -> TableMap(None))).validate())
+  }
+
   test("passthrough scan (no column specs) keeps the source schema") {
     val base = df("a BIGINT, b STRING", Row(1L, "x"))
     val plan = TransportPlan.of("out" -> TableMap(Some("base")))
