@@ -37,11 +37,11 @@ object Similarity {
     * Centroid selection here is deterministic sampling (the first
     * `nlist` rows by id) — the IVF skeleton; swap in k-means
     * refinement without touching the assignment/probe machinery.
-    * Centroids live driver-side (nlist × dim doubles — tiny) and are
-    * baked into the assignment expression as literals, so cell
-    * assignment is a single codegen'd scan with NO shuffle and no
-    * cross join. `nprobe == nlist` degrades gracefully to exact
-    * brute force (the recall=1 case, used by tests).
+    * Centroids live driver-side (nlist × dim doubles — tiny) and ship
+    * to executors inside the assignment UDF's closure, so cell
+    * assignment is a single scan with NO shuffle and no cross join.
+    * `nprobe == nlist` degrades gracefully to exact brute force (the
+    * recall=1 case, used by tests).
     */
   def ivfTopK(
       df: DataFrame,
@@ -72,15 +72,33 @@ object Similarity {
       .take(math.min(nprobe, centroids.length))
       .map(_._1).toSeq
 
-    // nearest-centroid assignment as a literal-folded expression
-    val sims = array(centroids.toIndexedSeq.map { c =>
-      SimilarityFunctions.cosine(col(vecCol), array(c.toIndexedSeq.map(lit): _*))
-    }: _*)
-    val cell = array_position(sims, array_max(sims)) - lit(1)
+    // Nearest-centroid assignment as a closure UDF with the centroid
+    // matrix captured (shipped with the task closure). An
+    // expression-tree formulation would inline nlist × dim literal
+    // nodes (~1k for 16×64), which blows up codegen compilation time;
+    // the UDF keeps the per-row loop tight and the plan tiny.
+    val centroidsB = centroids
+    val assignCell = udf { (vec: Seq[Float]) =>
+      var best = -1; var bestSim = Double.MinValue
+      var c = 0
+      while (c < centroidsB.length) {
+        val ctr = centroidsB(c)
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val lim = math.min(ctr.length, vec.length)
+        while (i < lim) {
+          val x = vec(i).toDouble
+          d += x * ctr(i); na += x * x; nb += ctr(i) * ctr(i); i += 1
+        }
+        val sim = if (na > 0 && nb > 0) d / math.sqrt(na * nb) else 0.0
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      best
+    }
 
     val qLit = array(query.map(v => lit(v.toDouble)).toIndexedSeq: _*)
-    df.withColumn("__cell", cell)
-      .filter(col("__cell").isin(probeCells.map(_.toLong): _*))
+    df.withColumn("__cell", assignCell(col(vecCol)))
+      .filter(col("__cell").isin(probeCells: _*))
       .select(col(idCol).as("id"),
         SimilarityFunctions.cosine(col(vecCol), qLit).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)

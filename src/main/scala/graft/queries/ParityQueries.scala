@@ -234,10 +234,12 @@ object ParityQueries {
 
   // J4 many-to-many bridge: CSV FK list exploded + joined.
   private val qMiddleBridge: Q = (s, dir) => {
+    // collect_list order is nondeterministic but the exploded pair
+    // multiset is order-independent, so no sort is needed
     val csv = pq(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok_id"), col("l_partkey"))
       .groupBy("ok_id")
-      .agg(concat_ws(",", sort_array(collect_list(col("l_partkey").cast("string")))).as("part_csv"))
+      .agg(concat_ws(",", collect_list(col("l_partkey").cast("string"))).as("part_csv"))
     val overlay = new OverlayIO(io(s, dir), Map("orders_csv" -> csv))
     val plan = TransportPlan.of(
       "order_parts" -> TableMap(
