@@ -233,27 +233,35 @@ final class Transportor(
     if (r.accordingColumns.size == 1) {
       // J1: dedup lookup keys (reference pluck-hash, src/DBT.php:300-307;
       // last-wins there is order-undefined — deterministic min here),
-      // left join, default on miss (src/DBT.php:317).
+      // left join. Probe normalization order follows the reference
+      // exactly: rtrim FIRST, then pre_format (src/DBT.php:309-313 —
+      // `pre_format(rtrim(value))`), with no re-trim of the formatted
+      // key. Result shape is `coalesce(format_wanted(w), default)`
+      // (src/DBT.php:314-318): format_wanted applies even to a missed
+      // (null) lookup, and default kicks in whenever the formatted
+      // value is null.
       val keyCol = s"__graft_k_${r.target}"
       val wCol = s"__graft_w_${r.target}"
       val lk0 = lookup.select(col(r.searchColumns.head).as(keyCol), col(r.wantedColumn).as(wCol))
       val lk = lk0.select(normKey(lk0, col(keyCol)).as(keyCol), col(wCol))
         .groupBy(keyCol).agg(min(col(wCol)).as(wCol))
-      val probeRaw = r.preFormat.map(_.apply(col(r.accordingColumns.head)))
-        .getOrElse(col(r.accordingColumns.head))
-      val probe = normKey(df, probeRaw)
+      val probeNorm = normKey(df, col(r.accordingColumns.head))
+      val probe = r.preFormat.map(_.apply(probeNorm)).getOrElse(probeNorm)
       val joined = df.join(maybeBroadcast(lk, r.broadcastLookup), probe === lk(keyCol), "left")
-      val hit = col(wCol).isNotNull
       val formatted = r.formatWanted.map(_.apply(col(wCol))).getOrElse(col(wCol))
       val value = r.default match {
-        case Some(d) => when(hit, formatted).otherwise(lit(d))
-        case None    => when(hit, formatted)
+        case Some(d) => coalesce(formatted, lit(d))
+        case None    => formatted
       }
       joined.withColumn(r.target, value).drop(keyCol, wCol)
     } else {
       // J2: one multi-key left join replaces the reference's
       // query-per-row correlated lookup (src/DBT.php:320-343).
-      // Miss => NULL, never default (src/DBT.php:340) — preserved.
+      // pre_format applies per key value (src/DBT.php:324-329); each
+      // pair matches with `queryComposer(=)` semantics, so a NULL key
+      // matches IS NULL rows => null-safe equality. Miss => NULL,
+      // never default (src/DBT.php:340) — preserved. format_wanted
+      // only on hits (src/DBT.php:334-338).
       val wCol = s"__graft_w_${r.target}"
       val keyCols = r.searchColumns.indices.map(i => s"__graft_k${i}_${r.target}")
       val lk = lookup.select(
@@ -261,7 +269,10 @@ final class Transportor(
           col(r.wantedColumn).as(wCol): _*)
         .groupBy(keyCols.map(col): _*).agg(min(col(wCol)).as(wCol))
       val cond = r.accordingColumns.zip(keyCols)
-        .map { case (a, k) => col(a) === lk(k) }.reduce(_ && _)
+        .map { case (a, k) =>
+          val probe = r.preFormat.map(_.apply(col(a))).getOrElse(col(a))
+          probe <=> lk(k)
+        }.reduce(_ && _)
       val joined = df.join(maybeBroadcast(lk, r.broadcastLookup), cond, "left")
       val formatted = r.formatWanted.map(_.apply(col(wCol))).getOrElse(col(wCol))
       joined.withColumn(r.target, when(col(wCol).isNotNull, formatted))
@@ -283,7 +294,10 @@ final class Transportor(
     val agg = lookup
       .groupBy(normKey(lookup, col(r.searchColumn)).as(keyCol))
       .agg(r.processor.as(aggCol))
-    val probe = normKey(df, col(r.accordingColumn))
+    // probe normalization mirrors the reference: pre_format(rtrim(v))
+    // (src/DBT.php:256-261)
+    val probeNorm = normKey(df, col(r.accordingColumn))
+    val probe = r.preFormat.map(_.apply(probeNorm)).getOrElse(probeNorm)
     df.join(maybeBroadcast(agg, r.broadcastLookup), probe === agg(keyCol), "left")
       .withColumn(r.target, withDefault(col(aggCol), r.default))
       .drop(keyCol, aggCol)
@@ -301,8 +315,13 @@ final class Transportor(
     val manyW = "__graft_many_w"
     val manyS = "__graft_many_s"
 
+    // The reference skips "one" rows whose according value is PHP-empty
+    // before pre_format (src/DBT.php:485-487). We skip null/'' — not
+    // PHP's "0"-is-empty quirk, which would silently drop legitimate
+    // zero keys.
     val one0 = readSide(m.one.referSource, m.one.referTable)
       .select(col(m.one.wantedColumn).as(oneW), col(m.one.accordingColumn).as("__graft_acc"))
+      .filter(col("__graft_acc").isNotNull && col("__graft_acc").cast("string") =!= "")
     val keys = m.one.preFormat.map(_.apply(col("__graft_acc")))
       .getOrElse(split(trim(col("__graft_acc")), ","))
     val exploded = one0.withColumn(key, explode(keys)).drop("__graft_acc")

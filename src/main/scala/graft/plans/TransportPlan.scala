@@ -150,11 +150,19 @@ final case class Affection(
   * Composite key (J2): the reference does an N+1 correlated point
   * lookup per row and yields NULL on a miss — no default, an
   * asymmetry we preserve (src/DBT.php:320-343, miss at :340 vs :317).
-  * Spark-first: one multi-key left-outer join; the N+1 disappears.
+  * Spark-first: one multi-key left-outer join with null-safe key
+  * equality (the reference probes each pair through queryComposer's
+  * `=`, whose NULL value rewrites to IS NULL); the N+1 disappears.
   *
-  * `preFormat` normalizes the probe key before matching
-  * (src/DBT.php:295-298, 309-313); `formatWanted` post-processes the
-  * looked-up value on a hit only (src/DBT.php:314-318, 334-338).
+  * `preFormat` normalizes the probe key before matching — applied
+  * AFTER rtrim, `pre_format(rtrim(v))`, exactly as the reference
+  * (src/DBT.php:295-298, 309-313), and per-key in the composite case
+  * (src/DBT.php:324-329). `formatWanted` post-processes the looked-up
+  * value; in the single-key shape the result is
+  * `coalesce(format_wanted(w), default)` — the closure sees even a
+  * missed (null) lookup and default applies to a null RESULT
+  * (src/DBT.php:314-318) — while the composite shape formats on hits
+  * only (src/DBT.php:334-338).
   * `broadcastLookup` forces a broadcast hint for small dimensions;
   * default leaves strategy choice to Catalyst/AQE.
   */
@@ -193,6 +201,7 @@ final case class Refers(
     searchColumn: String,
     processor: Column,
     default: Option[Any] = None,
+    preFormat: Option[Column => Column] = None,
     conditions: Seq[Condition] = Nil,
     broadcastLookup: Boolean = false,
     deleteAfterTransport: Boolean = false) extends ColumnSpec

@@ -80,6 +80,47 @@ class TransportorSpec extends SparkSpec {
       Seq(Row("A-1", "ONE"), Row("B-9", "MISS")))
   }
 
+  test("J1 default applies when format_wanted nulls a HIT value (coalesce shape)") {
+    val base = df("k STRING", Row("a"), Row("b"))
+    val lookup = df("key STRING, v STRING", Row("a", "x"), Row("b", "ok"))
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(
+        Rename("k", "k"),
+        Refer("v", Seq("k"), SearchSource.Original, "lookup", Seq("key"), "v",
+          default = Some("D"),
+          formatWanted = Some(c => when(c === "x", lit(null)).otherwise(c))))))
+    val io = new InMemoryIO(Map("base" -> base, "lookup" -> lookup))
+    // "a" hits but format nulls it => default (reference ?? semantics)
+    assertRows(new Transportor(io, plan).frame("out"), Seq(Row("a", "D"), Row("b", "ok")))
+  }
+
+  test("J2 composite refer: pre_format per key and null-safe equality") {
+    val base = df("k1 STRING, k2 INT", Row("A-1", 7), Row("B-2", null))
+    val lookup = df("s1 STRING, s2 INT, v STRING",
+      Row("1", 7, "hit1"), Row("2", null, "hitnull"))
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(
+        Rename("k1", "k1"),
+        Refer("v", Seq("k1", "k2"), SearchSource.Original, "lookup", Seq("s1", "s2"), "v",
+          preFormat = Some(c =>
+            when(c.cast("string").contains("-"), element_at(split(c.cast("string"), "-"), 2))
+              .otherwise(c))))))
+    val io = new InMemoryIO(Map("base" -> base, "lookup" -> lookup))
+    // null k2 matches the IS NULL lookup row (queryComposer `= NULL` rewrite)
+    assertRows(new Transportor(io, plan).frame("out"),
+      Seq(Row("A-1", "hit1"), Row("B-2", "hitnull")))
+  }
+
+  test("middle skips one-side rows with null/empty according values") {
+    val one = df("oid BIGINT, csv STRING", Row(1L, "5"), Row(2L, null), Row(3L, ""))
+    val many = df("mid BIGINT", Row(5L))
+    val plan = TransportPlan.of("bridge" -> TableMap(None, middle = Some(Middle(
+      MiddleOne(SearchSource.Original, "one", "oid", "csv", "a"),
+      MiddleMany(SearchSource.Original, "many", "mid", "mid", "b")))))
+    val io = new InMemoryIO(Map("one" -> one, "many" -> many))
+    assertRows(new Transportor(io, plan).frame("bridge"), Seq(Row(1L, 5L)))
+  }
+
   test("affection fills main + extra target columns from one struct") {
     val base = df("full STRING", Row("ann:30"))
     val parts = split(col("full"), ":")
