@@ -116,6 +116,42 @@ final class JdbcIO(
 final case class JdbcPartitioning(
     column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)
 
+/** Bucketing spec: hash-bucket (and optionally sort) a table on its
+  * join key at write time. */
+final case class BucketSpec(columns: Seq[String], numBuckets: Int,
+    sortColumns: Seq[String] = Nil)
+
+/** Catalog-table IO with bucketing: tables written through
+  * `bucketBy(...).saveAsTable` and read back via `spark.table`.
+  *
+  * Scale rationale: two tables bucketed on the same key with the same
+  * bucket count join WITHOUT a shuffle — the physical plan has no
+  * Exchange on either side (verified in BucketedIOSpec). For the
+  * repeated-join workloads the transport engine produces (fact tables
+  * refer-joined to the same dimensions run after run), paying one
+  * bucketed write amortizes every subsequent join's shuffle away.
+  * Tables without a spec write as plain catalog parquet tables.
+  */
+final class BucketedCatalogIO(
+    spark: SparkSession,
+    buckets: Map[String, BucketSpec] = Map.empty,
+    writeMode: String = "overwrite") extends TableIO {
+  def readOriginal(table: String): DataFrame = spark.table(table)
+  def readTarget(table: String): DataFrame = spark.table(table)
+  def writeTarget(table: String, df: DataFrame): Unit = {
+    val w = df.write.mode(writeMode).format("parquet")
+    buckets.get(table) match {
+      case Some(b) =>
+        val bucketed = w.bucketBy(b.numBuckets, b.columns.head, b.columns.tail: _*)
+        val sorted =
+          if (b.sortColumns.nonEmpty) bucketed.sortBy(b.sortColumns.head, b.sortColumns.tail: _*)
+          else bucketed
+        sorted.saveAsTable(table)
+      case None => w.saveAsTable(table)
+    }
+  }
+}
+
 /** Composite IO: overlay derived/virtual original tables (e.g. a
   * query-built DataFrame) over a base IO. */
 final class OverlayIO(base: TableIO, overlays: Map[String, DataFrame]) extends TableIO {
