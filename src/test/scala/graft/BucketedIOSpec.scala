@@ -9,6 +9,19 @@ import graft.sources.{BucketSpec, BucketedCatalogIO}
 class BucketedIOSpec extends SparkSpec {
 
   test("join of two co-bucketed tables has no shuffle") {
+    // clear catalog entries AND orphaned warehouse dirs from prior JVMs
+    Seq("b_orders", "b_lines").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     val io = new BucketedCatalogIO(spark, Map(
       "b_orders" -> BucketSpec(Seq("k"), 4, Seq("k")),
       "b_lines" -> BucketSpec(Seq("k"), 4, Seq("k"))))
