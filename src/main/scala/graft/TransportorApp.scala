@@ -36,11 +36,20 @@ object TransportorApp {
         val Array(k, v) = a.drop(2).split("=", 2)
         k -> v
     }.toMap
-    val className = args.getOrElse("class", sys.error("missing --class=<TransportJob object>"))
-    val job = {
-      val clazz = Class.forName(className + "$") // Scala object MODULE
-      clazz.getField("MODULE$").get(null).asInstanceOf[TransportJob]
+    // a migration is either a Scala TransportJob object (--class=) or a
+    // declarative JSON plan (--plan=), mirroring the reference's
+    // config-array-driven surface
+    val job: TransportJob = (args.get("class"), args.get("plan")) match {
+      case (Some(className), None) =>
+        val clazz = Class.forName(className + "$") // Scala object MODULE
+        clazz.getField("MODULE$").get(null).asInstanceOf[TransportJob]
+      case (None, Some(planPath)) =>
+        new TransportJob {
+          def plan: TransportPlan = graft.plans.PlanConfig.fromFile(planPath)
+        }
+      case _ => sys.error("need exactly one of --class=<TransportJob> or --plan=<plan.json>")
     }
+    val className = args.getOrElse("class", args.getOrElse("plan", "json"))
     val cpus = args.getOrElse("cpus", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val spark = SparkSession.builder()
       .master(args.getOrElse("master", s"local[$cpus]"))

@@ -47,6 +47,22 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Streaming near-duplicate suppression: drop events whose text
+    * payload MinHash-signature-matches one already seen inside the
+    * watermark horizon. The native MinHashSignature expression runs
+    * per-row inside the streaming plan; identical signatures ==
+    * near-identical text (full-signature match is the strictest LSH
+    * band). State = one entry per distinct signature in-horizon. */
+  def nearDupDropStream(docs: DataFrame, textCol: String, tsCol: String = "ts",
+      watermark: String = "2 hours", shingleN: Int = 3): DataFrame =
+    docs
+      .withColumn("__sig",
+        graft.functions.HashExpressions.minhashSignature(
+          graft.functions.HashExpressions.shingleHashes(col(textCol), shingleN)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("__sig")
+      .drop("__sig")
+
   /** Stateful sessionization via flatMapGroupsWithState: 30-minute
     * inactivity gap starts a new session; state per user is one
     * (lastTs, seq) pair. Events inside each micro-batch are sorted

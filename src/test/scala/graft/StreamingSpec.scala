@@ -49,6 +49,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup drop suppresses signature-identical texts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    import org.apache.spark.sql.Row
+    val docs = df("doc_id BIGINT, ts TIMESTAMP, text STRING",
+      Row(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "the quick brown fox jumps over"),
+      Row(2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "THE  Quick brown FOX jumps over"), // same shingles
+      Row(3L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "completely different text entirely here"))
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = StreamOps.nearDupDropStream(stream, "text")
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("neardup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept.size == 2 && kept.contains(3L))
+      assert(kept.intersect(Set(1L, 2L)).size == 1) // one of the near-dups survives
+    } finally q.stop()
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) matches the batch sessionizer") {
     import spark.implicits._
     val ev = eventsDf.select(
