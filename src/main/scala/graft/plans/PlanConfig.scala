@@ -59,12 +59,21 @@ import scala.jdk.CollectionConverters._
   */
 object PlanConfig {
 
-  def fromFile(path: String): TransportPlan =
-    fromJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8))
+  /** Load a plan from a .json / .yaml / .yml file. */
+  def fromFile(path: String): TransportPlan = {
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (path.endsWith(".yaml") || path.endsWith(".yml")) fromYaml(text) else fromJson(text)
+  }
 
-  def fromJson(json: String): TransportPlan = {
-    val root = new ObjectMapper().readTree(json)
+  def fromYaml(yaml: String): TransportPlan =
+    fromTree(new ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory()).readTree(yaml))
+
+  def fromJson(json: String): TransportPlan =
+    fromTree(new ObjectMapper().readTree(json))
+
+  private def fromTree(root: JsonNode): TransportPlan = {
     val tablesNode = req(root, "tables", "plan root")
     val tables = tablesNode.fields().asScala.map { e =>
       e.getKey -> parseTable(e.getKey, e.getValue)

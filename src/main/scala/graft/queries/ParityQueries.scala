@@ -274,6 +274,33 @@ object ParityQueries {
     new Transportor(io(s, dir), plan).frame("cust_located")
   }
 
+  // Config-driven surface: the same engine driven by a declarative
+  // JSON plan (the reference's config-array-is-the-program property).
+  private val qJsonPlan: Q = (s, dir) => {
+    val json =
+      """{ "tables": {
+        |  "supp_tagged": {
+        |    "original_table": "supplier",
+        |    "columns": [
+        |      {"target": "s_suppkey", "original": "s_suppkey"},
+        |      {"target": "sname", "expr": "upper(s_name)"},
+        |      {"target": "origin", "refer": {
+        |         "according_column": "s_nationkey",
+        |         "search_source": "original", "search_table": "nation",
+        |         "search_column": "n_nationkey", "wanted_column": "n_name",
+        |         "default": "NONE", "broadcast": true}},
+        |      {"target": "li_count", "refers": {
+        |         "according_column": "s_suppkey",
+        |         "search_source": "original", "search_table": "lineitem",
+        |         "search_column": "l_suppkey",
+        |         "processor": "count(1)", "default": 0}}
+        |    ],
+        |    "extra_conditions": [["s_acctbal", ">", 0.0]]
+        |  }
+        |} }""".stripMargin
+    new Transportor(io(s, dir), graft.plans.PlanConfig.fromJson(json)).frame("supp_tagged")
+  }
+
   // 2.7 implicit union: two map entries appending into one target.
   private val qUnionAppend: Q = (s, dir) => {
     def seg(k: String, v: String) = k -> TableMap(
@@ -359,6 +386,7 @@ object ParityQueries {
     "q_refers_agg" -> qRefersAgg,
     "q_middle_bridge" -> qMiddleBridge,
     "q_refer_target_dep" -> qReferTargetDep,
+    "q_json_plan" -> qJsonPlan,
     "q_union_append" -> qUnionAppend,
     "q_agg_group" -> qAggGroup,
     "q_distinct" -> qDistinct,
@@ -431,6 +459,16 @@ object ParityQueries {
         |LEFT JOIN (SELECT n_nationkey AS nation_id, MIN(n_name) AS nation_name
         |           FROM nation GROUP BY 1) l
         |ON c.c_nationkey = l.nation_id""".stripMargin,
+    "q_json_plan" ->
+      """SELECT s.s_suppkey, upper(s.s_name) AS sname,
+        |       COALESCE(n.n_name, 'NONE') AS origin,
+        |       COALESCE(l.c, 0) AS li_count
+        |FROM supplier s
+        |LEFT JOIN (SELECT n_nationkey, MIN(n_name) AS n_name FROM nation GROUP BY 1) n
+        |  ON s.s_nationkey = n.n_nationkey
+        |LEFT JOIN (SELECT l_suppkey, count(1) AS c FROM lineitem GROUP BY 1) l
+        |  ON s.s_suppkey = l.l_suppkey
+        |WHERE s.s_acctbal > 0.0""".stripMargin,
     "q_union_append" ->
       """SELECT c_custkey AS id, c_mktsegment AS segment FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         |UNION ALL

@@ -76,6 +76,23 @@ class PlanConfigSpec extends SparkSpec {
       Seq(Row(1L, 1L), Row(1L, 2L), Row(2L, 2L)))
   }
 
+  test("YAML plans parse to the same ADT as JSON") {
+    val yaml =
+      """tables:
+        |  out:
+        |    original_table: src
+        |    columns:
+        |      - {target: id, original: k}
+        |      - {target: status, default: ok}
+        |    extra_conditions:
+        |      - [k, ">", 1]
+        |""".stripMargin
+    val plan = PlanConfig.fromYaml(yaml)
+    val io = new InMemoryIO(Map("src" -> df("k BIGINT", Row(1L), Row(2L), Row(3L))))
+    assertRows(new Transportor(io, plan).frame("out"),
+      Seq(Row(2L, "ok"), Row(3L, "ok")))
+  }
+
   test("bad shapes fail with named errors") {
     def bad(json: String) = intercept[IllegalArgumentException](PlanConfig.fromJson(json))
     assert(bad("""{ "tables": { "t": { "original_table": "s",
