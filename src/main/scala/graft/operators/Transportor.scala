@@ -243,11 +243,26 @@ final class Transportor(
       val keyCol = s"__graft_k_${r.target}"
       val wCol = s"__graft_w_${r.target}"
       val lk0 = lookup.select(col(r.searchColumns.head).as(keyCol), col(r.wantedColumn).as(wCol))
-      val lk = lk0.select(normKey(lk0, col(keyCol)).as(keyCol), col(wCol))
+      val lkDedup = lk0.select(normKey(lk0, col(keyCol)).as(keyCol), col(wCol))
         .groupBy(keyCol).agg(min(col(wCol)).as(wCol))
       val probeNorm = normKey(df, col(r.accordingColumns.head))
       val probe = r.preFormat.map(_.apply(probeNorm)).getOrElse(probeNorm)
-      val joined = df.join(maybeBroadcast(lk, r.broadcastLookup), probe === lk(keyCol), "left")
+      val joined =
+        if (r.saltFactor <= 1)
+          df.join(maybeBroadcast(lkDedup, r.broadcastLookup), probe === lkDedup(keyCol), "left")
+        else {
+          // skew salting: split hot probe keys across saltFactor
+          // sub-partitions (deterministic row-hash salt), replicate the
+          // deduped lookup once per salt — identical rows, bounded tasks
+          val saltCol = s"__graft_salt_${r.target}"
+          val salted = df.withColumn(saltCol,
+            pmod(hash(df.columns.map(col).toSeq: _*), lit(r.saltFactor)))
+          val replicated = lkDedup.withColumn(saltCol,
+            explode(sequence(lit(0), lit(r.saltFactor - 1))))
+          salted.join(maybeBroadcast(replicated, r.broadcastLookup),
+              probe === replicated(keyCol) && salted(saltCol) === replicated(saltCol), "left")
+            .drop(saltCol)
+        }
       val formatted = r.formatWanted.map(_.apply(col(wCol))).getOrElse(col(wCol))
       val value = r.default match {
         case Some(d) => coalesce(formatted, lit(d))

@@ -129,6 +129,7 @@ object PlanConfig {
     formatWanted = template(n, "format_wanted", "__val__"),
     conditions = parseConditions(opt(n, "extra_conditions")),
     broadcastLookup = opt(n, "broadcast").exists(_.asBoolean(false)),
+    saltFactor = opt(n, "salt_factor").map(_.asInt(1)).getOrElse(1),
     deleteAfterTransport = del)
 
   private def parseRefers(table: String, target: String, n: JsonNode,

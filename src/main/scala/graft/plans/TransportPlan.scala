@@ -164,7 +164,11 @@ final case class Affection(
   * (src/DBT.php:314-318) — while the composite shape formats on hits
   * only (src/DBT.php:334-338).
   * `broadcastLookup` forces a broadcast hint for small dimensions;
-  * default leaves strategy choice to Catalyst/AQE.
+  * default leaves strategy choice to Catalyst/AQE. `saltFactor > 1`
+  * salts the single-key join for extreme probe-key skew (hot
+  * customer / null bucket): the base side splits each key into
+  * saltFactor deterministic sub-keys and the (deduplicated) lookup
+  * replicates to match — row-identical output, bounded task sizes.
   */
 final case class Refer(
     target: String,
@@ -178,7 +182,9 @@ final case class Refer(
     formatWanted: Option[Column => Column] = None,
     conditions: Seq[Condition] = Nil,
     broadcastLookup: Boolean = false,
+    saltFactor: Int = 1,
     deleteAfterTransport: Boolean = false) extends ColumnSpec {
+  require(saltFactor >= 1, s"refer '$target': saltFactor must be >= 1")
   require(accordingColumns.nonEmpty, s"refer '$target': empty according columns")
   require(accordingColumns.size == searchColumns.size,
     s"refer '$target': according/search arity mismatch " +

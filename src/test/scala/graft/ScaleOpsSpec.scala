@@ -33,6 +33,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.length == 1 && got(0).isNullAt(2))
   }
 
+  test("Refer(saltFactor) is row-identical to the unsalted refer") {
+    val base = df("row_id BIGINT, k BIGINT",
+      ((0 until 500).map(i => Row(i.toLong, 1L)) ++
+        (0 until 50).map(i => Row((1000 + i).toLong, (i % 5 + 2).toLong))): _*)
+    val lookup = df("sk BIGINT, v STRING", (1L to 6L).map(i => Row(i, s"v$i")): _*)
+    def frame(salt: Int) = {
+      val plan = TransportPlan.of("out" -> TableMap(Some("base"), Seq(
+        Rename("row_id", "row_id"),
+        Refer("v", Seq("k"), SearchSource.Original, "lookup", Seq("sk"), "v",
+          default = Some("D"), saltFactor = salt))))
+      new Transportor(new InMemoryIO(Map("base" -> base, "lookup" -> lookup)), plan)
+        .frame("out").collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    }
+    assert(frame(8) == frame(1))
+  }
+
   test("parallel writes produce the same target tables as sequential") {
     val base = df("id BIGINT, seg STRING",
       (1L to 50L).map(i => Row(i, if (i % 2 == 0) "A" else "B")): _*)
