@@ -92,6 +92,12 @@ object ExtensionQueries {
     Similarity.ivfTopK(pq(s, dir, "embeddings").filter(col("vec_id") =!= 0),
       "vec_id", "embedding", queryVec(s, dir), k = 10, nlist = 16, nprobe = 4)
 
+  // --------------------------------------------------------------- profiling
+
+  private val qProfile: Q = (s, dir) =>
+    graft.operators.Profile.profile(pq(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+
   // -------------------------------------------------------------- multimodal
 
   private val qMultimodalMeta: Q = (s, dir) =>
@@ -117,6 +123,7 @@ object ExtensionQueries {
     "q_sim_lsh_topk" -> qSimLshTopK,
     "q_sim_ivf_topk" -> qSimIvfTopK,
     "q_text_subwords" -> qTextSubwords,
+    "q_profile" -> qProfile,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode)
 
@@ -177,5 +184,13 @@ object ExtensionQueries {
         |  FROM documents) t
         |WHERE rn = 1""".stripMargin,
     "q_multimodal_meta" ->
-      "SELECT doc_id, 'image/stub' AS media_type, CAST(strlen(text) AS BIGINT) AS byte_len FROM documents")
+      "SELECT doc_id, 'image/stub' AS media_type, CAST(strlen(text) AS BIGINT) AS byte_len FROM documents",
+    "q_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice").map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n"))
 }

@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import graft.operators.Transportor
+import graft.plans.TransportPlan
+import graft.sources.{OverlayIO, TableIO}
 
 /** Structured Streaming operators over the events stream
   * (`events(event_id, ts, user_id, event_type, value, props)`).
@@ -35,6 +38,36 @@ object StreamOps {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("total_value"))
+
+  /** Continuous transport: run one table's declarative TableMap over a
+    * STREAMING source. Each micro-batch overlays the batch DataFrame
+    * as the map's original table and executes the same Transportor
+    * compilation (renames, defaults, derived columns, refer lookup
+    * joins against static/pre-seeded tables), appending the result to
+    * the target — incremental micro-batch ETL the reference's
+    * chunk loop could never restart safely (exactly-once via the
+    * checkpoint + idempotent sink contract).
+    *
+    * The map must not depend on target-side tables produced by the
+    * same plan (cross-stream joins need their own watermark design). */
+  def transportStream(
+      stream: DataFrame,
+      plan: TransportPlan,
+      tableKey: String,
+      io: TableIO,
+      checkpointDir: String): StreamingQuery = {
+    val map = plan.byKey(tableKey)
+    val sourceName = map.originalTable.getOrElse(
+      throw new IllegalArgumentException("streaming transport needs original_table"))
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val overlay = new OverlayIO(io, Map(sourceName -> batch.toDF()))
+        val frame = new Transportor(overlay, plan).frame(tableKey)
+        io.writeTarget(plan.targetName(tableKey), frame)
+      }
+      .start()
+  }
 
   /** Streaming exact dedup on a key expression with watermark-bounded
     * state: the streaming twin of Dedup.exactByFingerprint. State

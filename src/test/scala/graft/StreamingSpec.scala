@@ -49,6 +49,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous transport: TableMap with refer join runs per micro-batch") {
+    import org.apache.spark.sql.Row
+    import graft.plans._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tstream_ck").toString
+    eventsDf.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val dim = df("etype STRING, code BIGINT",
+      Row("click", 1L), Row("purchase", 2L), Row("signup", 3L), Row("error", 4L), Row("view", 5L))
+    val io = new graft.sources.InMemoryIO(Map("event_types" -> dim))
+    val plan = TransportPlan.of(
+      "fact_events" -> TableMap(Some("events_stream"), Seq(
+        Rename("eid", "event_id"),
+        Rename("uid", "user_id"),
+        Refer("type_code", Seq("event_type"), SearchSource.Original, "event_types",
+          Seq("etype"), "code", default = Some(-1L), broadcastLookup = true))))
+
+    val stream = spark.readStream.schema(eventsDf.schema).parquet(dir)
+    val q = graft.streaming.StreamOps.transportStream(stream, plan, "fact_events", io, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val out = io.readTarget("fact_events")
+    assert(out.columns.toSeq == Seq("eid", "uid", "type_code"))
+    assert(out.count() == eventsDf.count())
+    assert(out.filter(org.apache.spark.sql.functions.col("type_code") === -1L).count() == 0)
+  }
+
   test("streaming near-dup drop suppresses signature-identical texts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_neardup").toString
     import org.apache.spark.sql.Row
