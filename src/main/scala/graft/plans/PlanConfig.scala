@@ -98,21 +98,29 @@ object PlanConfig {
     val target = str(req(n, "target", s"column in '$table'"))
     val del = opt(n, "delete_after_transport").exists(_.asBoolean(false))
     val default = opt(n, "default").map(value)
-    (opt(n, "original"), opt(n, "expr"), opt(n, "refer"), opt(n, "refers")) match {
-      case (Some(o), None, None, None) =>
+    (opt(n, "original"), opt(n, "expr"), opt(n, "refer"), opt(n, "refers"),
+        opt(n, "affection")) match {
+      case (Some(o), None, None, None, None) =>
         Rename(target, o.asText(), default, del)
-      case (None, Some(e), None, None) =>
+      case (None, Some(e), None, None, None) =>
         Derived(target, expr(e.asText()), default, del)
-      case (None, None, Some(r), None) =>
+      case (None, None, Some(r), None, None) =>
         parseRefer(table, target, r, default, del)
-      case (None, None, None, Some(r)) =>
+      case (None, None, None, Some(r), None) =>
         parseRefers(table, target, r, default, del)
-      case (None, None, None, None) if default.isDefined =>
+      case (None, None, None, None, Some(a)) =>
+        Affection(target,
+          expr(str(req(a, "expr", s"affection '$target'"))),
+          mainField = str(req(a, "main_field", s"affection '$target'")),
+          alsoFills = opt(a, "also_fills").map(_.fields().asScala.map(e =>
+            e.getKey -> e.getValue.asText()).toSeq).getOrElse(Nil),
+          deleteAfterTransport = del)
+      case (None, None, None, None, None) if default.isDefined =>
         Inject(target, default.get, del)
       case _ =>
         throw new IllegalArgumentException(
-          s"column '$target' in '$table': need exactly one of original/expr/refer/refers " +
-            "(or default alone for constant injection)")
+          s"column '$target' in '$table': need exactly one of original/expr/refer/refers/" +
+            "affection (or default alone for constant injection)")
     }
   }
 

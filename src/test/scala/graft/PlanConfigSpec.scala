@@ -76,6 +76,19 @@ class PlanConfigSpec extends SparkSpec {
       Seq(Row(1L, 1L), Row(1L, 2L), Row(2L, 2L)))
   }
 
+  test("JSON affection fills main + extra columns from one struct expr") {
+    val json =
+      """{ "tables": { "out": { "original_table": "src", "columns": [
+        |  {"target": "name", "affection": {
+        |     "expr": "struct(split(full, ':')[0] AS n, cast(split(full, ':')[1] AS int) AS a)",
+        |     "main_field": "n", "also_fills": {"a": "age"}}}
+        |] } } }""".stripMargin
+    val io = new InMemoryIO(Map("src" -> df("full STRING", Row("ann:30"))))
+    val got = new Transportor(io, PlanConfig.fromJson(json)).frame("out")
+    assert(got.columns.toSeq == Seq("name", "age"))
+    assertRows(got, Seq(Row("ann", 30)))
+  }
+
   test("YAML plans parse to the same ADT as JSON") {
     val yaml =
       """tables:
