@@ -353,6 +353,22 @@ object ParityQueries {
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
 
+  /** As-of join: each click enriched with the latest prior purchase
+    * value of the same user — oracle-checked against DuckDB's native
+    * ASOF LEFT JOIN. */
+  private val qAsofJoin: Q = (s, dir) => {
+    val ev = events(s, dir)
+    graft.operators.AsOfJoin.asofLeft(
+      left = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts"),
+      right = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value"),
+      keyColumns = Seq("user_id"),
+      leftTime = "ts", rightTime = "ts",
+      valueColumns = Seq("value" -> "last_purchase_value"))
+      .select("event_id", "user_id", "last_purchase_value")
+  }
+
   /** Batch sessionization (30-min inactivity gap) — the oracle-checkable
     * twin of the Structured Streaming sessionizer in graft.streaming. */
   private val qEventsSessionize: Q = (s, dir) => {
@@ -393,7 +409,8 @@ object ParityQueries {
     "q_topk" -> qTopK,
     "q_window_rank" -> qWindowRank,
     "q_events_hourly" -> qEventsHourly,
-    "q_events_sessionize" -> qEventsSessionize)
+    "q_events_sessionize" -> qEventsSessionize,
+    "q_asof_join" -> qAsofJoin)
 
   val oracle: Map[String, String] = Map(
     "q_filter_scan" ->
@@ -496,6 +513,11 @@ object ParityQueries {
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.value AS last_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
     "q_events_sessionize" ->
       """WITH t AS (
         |  SELECT user_id, event_id, ts,

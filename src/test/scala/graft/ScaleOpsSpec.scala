@@ -68,6 +68,20 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("as-of join carries the latest at-or-before right value per key") {
+    import graft.operators.AsOfJoin
+    val left = df("id BIGINT, k BIGINT, t BIGINT",
+      Row(1L, 1L, 10L), Row(2L, 1L, 20L), Row(3L, 1L, 5L), Row(4L, 2L, 10L))
+    val right = df("k BIGINT, t BIGINT, v STRING",
+      Row(1L, 10L, "a"),  // equal-time: qualifies (<=)
+      Row(1L, 15L, "b"),
+      Row(2L, 99L, "z"))  // after every left row of k=2
+    val got = AsOfJoin.asofLeft(left, right, Seq("k"), "t", "t",
+      Seq("v" -> "last_v"))
+      .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> null, 4L -> null))
+  }
+
   test("IVF with nprobe == nlist is exactly brute force; partial probe is a subset superset-free top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
