@@ -369,6 +369,24 @@ object ParityQueries {
       .select("event_id", "user_id", "last_purchase_value")
   }
 
+  /** Range join: click/purchase pairs of the same user within 30
+    * minutes — binning construction, oracle-checked against DuckDB's
+    * inequality join. */
+  private val qRangeJoin: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        unix_micros(col("ts")).as("ct"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        (unix_micros(col("ts")) - lit(1800000000L)).as("lo"),
+        (unix_micros(col("ts")) + lit(1800000000L)).as("hi"))
+    graft.operators.RangeJoin.pointInRange(
+      clicks, purchases, Seq("cu" -> "pu"), "ct", "lo", "hi",
+      binWidth = 1800000000L)
+      .select("click_id", "purchase_id")
+  }
+
   /** Batch sessionization (30-min inactivity gap) — the oracle-checkable
     * twin of the Structured Streaming sessionizer in graft.streaming. */
   private val qEventsSessionize: Q = (s, dir) => {
@@ -410,7 +428,8 @@ object ParityQueries {
     "q_window_rank" -> qWindowRank,
     "q_events_hourly" -> qEventsHourly,
     "q_events_sessionize" -> qEventsSessionize,
-    "q_asof_join" -> qAsofJoin)
+    "q_asof_join" -> qAsofJoin,
+    "q_range_join" -> qRangeJoin)
 
   val oracle: Map[String, String] = Map(
     "q_filter_scan" ->
@@ -513,6 +532,12 @@ object ParityQueries {
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_range_join" ->
+      """SELECT l.event_id AS click_id, r.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND epoch_us(l.ts) BETWEEN epoch_us(r.ts) - 1800000000 AND epoch_us(r.ts) + 1800000000""".stripMargin,
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, r.value AS last_purchase_value
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l

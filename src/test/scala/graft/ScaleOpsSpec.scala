@@ -82,6 +82,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "a", 2L -> "b", 3L -> null, 4L -> null))
   }
 
+  test("binned range join equals the cross-join-filter ground truth") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(7)
+    val pts = df("pid BIGINT, k BIGINT, p BIGINT",
+      (0 until 200).map(i => Row(i.toLong, (i % 3).toLong, rnd.nextInt(1000).toLong)): _*)
+    val ranges = df("rid BIGINT, rk BIGINT, lo BIGINT, hi BIGINT",
+      (0 until 50).map { i =>
+        val lo = rnd.nextInt(900).toLong
+        Row((1000 + i).toLong, (i % 3).toLong, lo, lo + rnd.nextInt(150).toLong)
+      }: _*)
+    val truth = pts.crossJoin(ranges)
+      .filter(col("k") === col("rk") && col("p").between(col("lo"), col("hi")))
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = RangeJoin.pointInRange(pts, ranges, Seq("k" -> "rk"), "p", "lo", "hi", binWidth = 64L)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth)
+    assert(truth.nonEmpty)
+  }
+
   test("IVF with nprobe == nlist is exactly brute force; partial probe is a subset superset-free top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
