@@ -345,6 +345,35 @@ object ParityQueries {
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
   }
 
+  // §2.15: grouping sets — ROLLUP over returnflag/linestatus.
+  private val qRollup: Q = (s, dir) =>
+    pq(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+
+  // §2.15: JSON functions — extract a typed field from the props blob.
+  private val qJsonExtract: Q = (s, dir) =>
+    events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("k_value"))
+
+  // §2.15: string/date/math scalar sampler (tie-free functions only:
+  // round() differs between engines at banker's-rounding ties).
+  private val qScalarFuncs: Q = (s, dir) =>
+    pq(s, dir, "orders").select(
+      col("o_orderkey"),
+      upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
+      length(col("o_orderstatus")).cast("bigint").as("status_len"),
+      year(col("o_orderdate")).cast("bigint").as("y"),
+      month(col("o_orderdate")).cast("bigint").as("m"),
+      dayofmonth(col("o_orderdate")).cast("bigint").as("d"),
+      abs(col("o_totalprice") - lit(100000.0)).as("price_dev"),
+      floor(col("o_totalprice") / lit(1000.0)).cast("bigint").as("price_k"),
+      pmod(col("o_orderkey"), lit(7L)).cast("bigint").as("k_mod"),
+      concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("joined"))
+
   private val qEventsHourly: Q = (s, dir) =>
     events(s, dir)
       .select(date_trunc("hour", col("ts")).as("h"), col("event_type"), col("value"))
@@ -429,7 +458,10 @@ object ParityQueries {
     "q_events_hourly" -> qEventsHourly,
     "q_events_sessionize" -> qEventsSessionize,
     "q_asof_join" -> qAsofJoin,
-    "q_range_join" -> qRangeJoin)
+    "q_range_join" -> qRangeJoin,
+    "q_rollup" -> qRollup,
+    "q_json_extract" -> qJsonExtract,
+    "q_scalar_funcs" -> qScalarFuncs)
 
   val oracle: Map[String, String] = Map(
     "q_filter_scan" ->
@@ -532,6 +564,25 @@ object ParityQueries {
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        |FROM events""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(substring(o_orderpriority, 1, 3)) AS prio3,
+        |  CAST(length(o_orderstatus) AS BIGINT) AS status_len,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  abs(o_totalprice - 100000.0) AS price_dev,
+        |  CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k,
+        |  CAST(o_orderkey % 7 AS BIGINT) AS k_mod,
+        |  concat_ws('|', o_orderstatus, o_orderpriority) AS joined
+        |FROM orders""".stripMargin,
     "q_range_join" ->
       """SELECT l.event_id AS click_id, r.event_id AS purchase_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
