@@ -345,6 +345,21 @@ object ParityQueries {
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
   }
 
+  // §2.15: semi/anti joins — customers with / without open orders.
+  private val qSemiJoin: Q = (s, dir) => {
+    val open = pq(s, dir, "orders").filter(col("o_orderstatus") === "O")
+    pq(s, dir, "customer")
+      .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  private val qAntiJoin: Q = (s, dir) => {
+    val open = pq(s, dir, "orders").filter(col("o_orderstatus") === "O")
+    pq(s, dir, "customer")
+      .join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
   // §2.15: grouping sets — ROLLUP over returnflag/linestatus.
   private val qRollup: Q = (s, dir) =>
     pq(s, dir, "lineitem")
@@ -461,7 +476,9 @@ object ParityQueries {
     "q_range_join" -> qRangeJoin,
     "q_rollup" -> qRollup,
     "q_json_extract" -> qJsonExtract,
-    "q_scalar_funcs" -> qScalarFuncs)
+    "q_scalar_funcs" -> qScalarFuncs,
+    "q_semi_join" -> qSemiJoin,
+    "q_anti_join" -> qAntiJoin)
 
   val oracle: Map[String, String] = Map(
     "q_filter_scan" ->
@@ -564,6 +581,14 @@ object ParityQueries {
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty

@@ -28,13 +28,20 @@ final class ParquetDirIO(
     spark: SparkSession,
     originalDir: String,
     targetDir: String,
-    writeMode: String = "overwrite") extends TableIO {
+    writeMode: String = "overwrite",
+    maxRecordsPerFile: Option[Long] = None) extends TableIO {
   def readOriginal(table: String): DataFrame =
     spark.read.parquet(s"$originalDir/$table.parquet")
   def readTarget(table: String): DataFrame =
     spark.read.parquet(s"$targetDir/$table.parquet")
-  def writeTarget(table: String, df: DataFrame): Unit =
-    df.write.mode(writeMode).parquet(s"$targetDir/$table.parquet")
+  def writeTarget(table: String, df: DataFrame): Unit = {
+    // file sizing: at scale, both tiny-file storms (per-task dribbles)
+    // and monolithic files (no scan parallelism) hurt — cap records
+    // per file and let the writer split
+    val w = df.write.mode(writeMode)
+    maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
+      .parquet(s"$targetDir/$table.parquet")
+  }
 }
 
 /** In-memory IO for tests and for side-effect-free plan evaluation:
