@@ -25,7 +25,15 @@ import scala.collection.mutable
 final class Transportor(
     io: TableIO,
     plan: TransportPlan,
-    preSeeded: Set[String] = Set.empty) {
+    preSeeded: Set[String] = Set.empty,
+    preload: Set[String] = Set.empty) {
+
+  /** Cache handles for preloaded lookup tables (reference `$preload`,
+    * src/DBT.php:21-26, 71-78 — declared there but dead; here it
+    * marks hot lookup tables reused across several refers so the scan
+    * + dedup work happens once and later joins read the cached
+    * relation). */
+  private val preloaded = mutable.Map.empty[String, DataFrame]
 
   /** Memo of built frames by plan key, temp columns still present —
     * the reference's `finished[]` (src/DBT.php:54, 119-122). Lazy
@@ -138,16 +146,21 @@ final class Transportor(
         s"pre-seeded target table '$t' is empty (reference checkSeed, src/DBT.php:512-518)")
     }
 
-  private def readSide(source: SearchSource, table: String): DataFrame = source match {
-    case SearchSource.Original => io.readOriginal(table)
-    case SearchSource.Target =>
-      plan.keyFor(table) match {
-        case Some(k) => resolveKey(k) // temp columns visible to dependents
-        case None if preSeeded.contains(table) => io.readTarget(table)
-        case None =>
-          throw new NoSuchElementException(
-            s"target-side lookup table '$table' is neither in the plan nor pre-seeded")
-      }
+  private def readSide(source: SearchSource, table: String): DataFrame = {
+    val df = source match {
+      case SearchSource.Original => io.readOriginal(table)
+      case SearchSource.Target =>
+        plan.keyFor(table) match {
+          case Some(k) => resolveKey(k) // temp columns visible to dependents
+          case None if preSeeded.contains(table) => io.readTarget(table)
+          case None =>
+            throw new NoSuchElementException(
+              s"target-side lookup table '$table' is neither in the plan nor pre-seeded")
+        }
+    }
+    if (preload.contains(table))
+      preloaded.getOrElseUpdate(table, df.cache())
+    else df
   }
 
   private def dropTemps(map: TableMap, df: DataFrame): DataFrame = {

@@ -88,6 +88,28 @@ object PropertySpec extends Properties("graft") {
         got == want
     }
 
+  // as-of join ≡ per-row "latest right at-or-before" scan
+  property("asofLeft == latest-at-or-before semantics") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 50L))),
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 50L)))) {
+      (leftRaw, rightRaw) =>
+        val lefts = leftRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        // distinct (k,t) on the right: equal-timestamp duplicates are
+        // order-undefined in any as-of definition
+        val rights = rightRaw.distinct.map { case (k, t) => (k, t, s"v${k}_$t") }
+        val l = mkDf("id BIGINT, k BIGINT, t BIGINT", lefts.map(x => Row(x._1, x._2, x._3)))
+        val r = mkDf("k BIGINT, t BIGINT, v STRING", rights.map(x => Row(x._1, x._2, x._3)))
+        val got = graft.operators.AsOfJoin
+          .asofLeft(l, r, Seq("k"), "t", "t", Seq("v" -> "lv"))
+          .collect().map(row => row.getLong(1) -> Option(row.getString(3))).toMap
+        val want = lefts.map { case (id, k, t) =>
+          id -> rights.filter(rr => rr._1 == k && rr._2 <= t)
+            .sortBy(_._2).lastOption.map(_._3)
+        }.toMap
+        got == want
+    }
+
   // predicate NULL rewrites: Eq(c,null) keeps exactly the null rows,
   // Ne(c,null) exactly the non-null rows, and they partition the table
   property("null predicate rewrites partition the table") =
