@@ -31,20 +31,31 @@ object Bench {
     // fixture data (each trial re-reads parquet)
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to trials).map { _ =>
+      // A failed trial must NOT enter the timings: a fast crash would
+      // silently improve times.min and the total. Failed queries are
+      // reported as -1 plus an `errors` entry instead.
+      val times = (1 to trials).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some(Right((System.nanoTime() - t0) / 1e9))
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Some(Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      val ok = times.collect { case Right(t) => t }
+      val err = times.collectFirst { case Left(m) => m }
+      (name, if (ok.nonEmpty) ok.min else -1.0, err.filter(_ => ok.isEmpty))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(m)) =>
+      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"").takeWhile(_ != '\n') + "\""
+    }
+    val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -150,10 +150,17 @@ final class Transportor(
     val df = source match {
       case SearchSource.Original => io.readOriginal(table)
       case SearchSource.Target =>
-        plan.keyFor(table) match {
-          case Some(k) => resolveKey(k) // temp columns visible to dependents
-          case None if preSeeded.contains(table) => io.readTarget(table)
-          case None =>
+        plan.keysFor(table) match {
+          case Seq(k) => resolveKey(k) // temp columns visible to dependents
+          case ks if ks.nonEmpty =>
+            // Several aliased entries append into this physical table
+            // (README.md:59-63): the reference reads the table with
+            // every alias's rows in it, so union them all. Temp columns
+            // are dropped first — aliases share only the final target
+            // schema (temps stay visible through single-alias deps).
+            ks.map(k => dropTemps(plan.byKey(k), resolveKey(k))).reduce(_.unionByName(_))
+          case _ if preSeeded.contains(table) => io.readTarget(table)
+          case _ =>
             throw new NoSuchElementException(
               s"target-side lookup table '$table' is neither in the plan nor pre-seeded")
         }
@@ -183,9 +190,22 @@ final class Transportor(
       }
       if (map.columns.isEmpty) df // passthrough scan
       else {
+        // RowUdf closures receive the PRISTINE source row (the
+        // reference passes $source untouched by earlier column specs,
+        // src/DBT.php:395, 407-408). Snapshot the source columns into
+        // hidden aliases before any spec can overwrite a same-named
+        // column; the final select drops the snapshots.
+        val hasRowUdf = map.columns.exists(_.isInstanceOf[RowUdf])
+        val sourceCols = df.columns.toSeq
+        if (hasRowUdf)
+          df = df.select(df.columns.map(col).toSeq ++
+            sourceCols.map(c => col(c).as(s"__graft_src_$c")): _*)
+        val srcStruct =
+          if (hasRowUdf) struct(sourceCols.map(c => col(s"__graft_src_$c").as(c)): _*)
+          else struct(sourceCols.map(col): _*)
         val outCols = mutable.ArrayBuffer.empty[String]
         map.columns.foreach { spec =>
-          df = applyColumn(df, spec)
+          df = applyColumn(df, spec, srcStruct)
           outCols += spec.target
           spec match {
             case a: Affection => outCols ++= a.alsoFills.map(_._2)
@@ -196,7 +216,8 @@ final class Transportor(
       }
   }
 
-  private def applyColumn(df: DataFrame, spec: ColumnSpec): DataFrame = spec match {
+  private def applyColumn(df: DataFrame, spec: ColumnSpec, srcStruct: Column): DataFrame =
+    spec match {
     case Rename(t, orig, default, _) =>
       df.withColumn(t, withDefault(col(orig), default))
     case Inject(t, v, _) =>
@@ -205,7 +226,7 @@ final class Transportor(
       df.withColumn(t, withDefault(e, default))
     case RowUdf(t, fn, dt, default, _) =>
       val f = makeRowUdf(fn, dt)
-      df.withColumn(t, withDefault(f(struct(df.columns.map(col).toSeq: _*)), default))
+      df.withColumn(t, withDefault(f(srcStruct), default))
     case Affection(t, e, mainField, alsoFills, _) =>
       val tmp = s"__aff_$t"
       val withStruct = df.withColumn(tmp, e)

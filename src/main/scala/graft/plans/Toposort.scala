@@ -35,8 +35,10 @@ object Toposort {
       (if (m.one.referSource == SearchSource.Target) Seq(m.one.referTable) else Nil) ++
         (if (m.many.referSource == SearchSource.Target) Seq(m.many.referTable) else Nil)
     }
+    // keysFor, not keyFor: a lookup against a multi-alias target table
+    // depends on EVERY entry that appends into it.
     (map.transportAfter.toSeq ++ refs ++ mids)
-      .flatMap(plan.keyFor)
+      .flatMap(plan.keysFor)
       .distinct
   }
 

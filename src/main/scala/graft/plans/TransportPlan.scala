@@ -280,10 +280,20 @@ final case class TransportPlan(tables: Seq[(String, TableMap)]) {
     byKey(key).targetTable.getOrElse(key)
 
   /** Map a referenced table name (key or physical name) back to its
-    * plan key, if the plan fills it. */
-  def keyFor(name: String): Option[String] =
-    if (byKey.contains(name)) Some(name)
-    else tables.collectFirst { case (k, m) if m.targetTable.contains(name) => k }
+    * plan key, if the plan fills it. When several aliased entries
+    * append into one physical `targetTable` (README.md:59-63) this
+    * returns the first; use [[keysFor]] anywhere the full physical
+    * table contents matter (target-side lookups, dependency edges). */
+  def keyFor(name: String): Option[String] = keysFor(name).headOption
+
+  /** ALL plan keys that fill the named table — the exact plan key
+    * itself, or every aliased entry whose `targetTable` matches. A
+    * target-side lookup against a multi-alias table must see the union
+    * of all of them, because the reference reads the physical table
+    * after every alias appended into it (src/DBT.php:280-288). */
+  def keysFor(name: String): Seq[String] =
+    if (byKey.contains(name)) Seq(name)
+    else tables.collect { case (k, m) if m.targetTable.contains(name) => k }
 }
 
 object TransportPlan {

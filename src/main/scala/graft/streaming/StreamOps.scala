@@ -85,7 +85,12 @@ object StreamOps {
     * watermark horizon. The native MinHashSignature expression runs
     * per-row inside the streaming plan; identical signatures ==
     * near-identical text (full-signature match is the strictest LSH
-    * band). State = one entry per distinct signature in-horizon. */
+    * band). State = one entry per distinct signature in-horizon:
+    * dropDuplicatesWithinWatermark evicts each signature's state once
+    * the watermark passes its first-seen event time, so state is
+    * bounded by the horizon even though the signature itself is not an
+    * event-time column (plain dropDuplicates on a non-event-time key
+    * would never evict and grow without bound). */
   def nearDupDropStream(docs: DataFrame, textCol: String, tsCol: String = "ts",
       watermark: String = "2 hours", shingleN: Int = 3): DataFrame =
     docs
@@ -93,7 +98,7 @@ object StreamOps {
         graft.functions.HashExpressions.minhashSignature(
           graft.functions.HashExpressions.shingleHashes(col(textCol), shingleN)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("__sig")
+      .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
 
   /** Stateful sessionization via flatMapGroupsWithState: 30-minute

@@ -202,4 +202,45 @@ class TransportorSpec extends SparkSpec {
     val io = new InMemoryIO(Map("base" -> base))
     assert(new Transportor(io, plan).frame("out").columns.toSeq == Seq("a", "b"))
   }
+
+  test("target-side lookup against a multi-alias table sees the union of all aliases") {
+    // Two aliased entries append into physical table "dim"
+    // (README.md:59-63); a downstream refer against "dim" must resolve
+    // keys transported by EITHER alias, exactly as the reference reads
+    // the physical table after both appends (src/DBT.php:280-288).
+    val srcA = df("k BIGINT, v STRING", Row(1L, "fromA"))
+    val srcB = df("k BIGINT, v STRING", Row(2L, "fromB"))
+    val probe = df("fk BIGINT", Row(1L), Row(2L), Row(3L))
+    val plan = TransportPlan.of(
+      "dim_a" -> TableMap(Some("srcA"),
+        Seq(Rename("k", "k"), Rename("v", "v")), targetTable = Some("dim")),
+      "dim_b" -> TableMap(Some("srcB"),
+        Seq(Rename("k", "k"), Rename("v", "v")), targetTable = Some("dim")),
+      "fact" -> TableMap(Some("probe"), Seq(
+        Rename("fk", "fk"),
+        Refer("dim_v", Seq("fk"), SearchSource.Target, "dim", Seq("k"), "v",
+          default = Some("miss")))))
+    val io = new InMemoryIO(Map("srcA" -> srcA, "srcB" -> srcB, "probe" -> probe))
+    val tr = new Transportor(io, plan)
+    assert(tr.executionOrder.indexOf("fact") == 2) // both aliases are dependencies
+    assertRows(tr.frame("fact"),
+      Seq(Row(1L, "fromA"), Row(2L, "fromB"), Row(3L, "miss")))
+  }
+
+  test("RowUdf receives the pristine source row even after earlier specs overwrite columns") {
+    // The reference passes the untouched $source row to `function`
+    // closures (src/DBT.php:395, 407-408); earlier column specs must
+    // not leak into what the closure sees.
+    val base = df("name STRING, qty BIGINT", Row("ann", 5L))
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(
+        // overwrites source column "name" before the RowUdf runs
+        Derived("name", concat(col("name"), lit("-MUTATED"))),
+        RowUdf("echo",
+          (r: Row) => r.getAs[String]("name") + ":" + r.getAs[Long]("qty"),
+          org.apache.spark.sql.types.StringType))))
+    val io = new InMemoryIO(Map("base" -> base))
+    assertRows(new Transportor(io, plan).frame("out"),
+      Seq(Row("ann-MUTATED", "ann:5"))) // udf saw "ann", not "ann-MUTATED"
+  }
 }
