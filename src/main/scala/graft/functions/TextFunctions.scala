@@ -19,11 +19,13 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     size(tokens(text)).cast("bigint")
 
-  /** A BPE-ish subword proxy count: alternating letter/digit/other
-    * runs, the usual cheap stand-in for tokenizer cost estimation. */
+  /** A BPE-ish subword proxy count: maximal lowercase / uppercase /
+    * digit / symbol runs, the usual cheap stand-in for tokenizer cost
+    * estimation. Pure alternation (no lookaround) so RE2 engines —
+    * i.e. the DuckDB oracle — match Java regex exactly. */
+  val subwordPattern = "[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\\s]+"
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?<=[a-z])(?=[^a-z])|(?<=[0-9])(?=[^0-9])|\\s+"),
-      t => t =!= lit(""))).cast("bigint")
+    size(regexp_extract_all(text, lit(subwordPattern), lit(0))).cast("bigint")
 
   /** Canonical-form document fingerprint: md5 of the
     * lowercased, whitespace-collapsed, trimmed text. */

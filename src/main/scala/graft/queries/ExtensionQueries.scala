@@ -9,10 +9,12 @@ import graft.operators.{Dedup, Similarity}
 /** The LLM-training-data-pipeline operators (north-star extensions,
   * SURVEY.md §7.5): dedup, similarity search, text analysis,
   * multimodal plumbing — each a first-class `queries()` entry over
-  * the `documents`/`embeddings` fixtures. SQL-expressible ones carry
-  * DuckDB oracles; LSH/hash-based ones are rows-only (their
-  * correctness is covered by ScalaTest against brute-force ground
-  * truth instead).
+  * the `documents`/`embeddings` fixtures. Everything SQL-expressible
+  * carries a DuckDB oracle — including the vector queries, whose
+  * double-fold arithmetic and seeded LSH hyperplanes are mirrored
+  * bit-exactly in generated SQL. Only the murmur/FNV-hash-based ones
+  * (minhash/simhash bands, multimodal stub decode) are rows-only;
+  * those are covered by ScalaTest against brute-force ground truth.
   */
 object ExtensionQueries {
 
@@ -34,8 +36,6 @@ object ExtensionQueries {
       col("doc_id"),
       TextFunctions.langId(col("text")).as("lang_pred"))
 
-  // rows-only: the BPE-ish subword split uses lookbehind, which
-  // DuckDB's RE2 can't mirror
   private val qTextSubwords: Q = (s, dir) =>
     pq(s, dir, "documents").select(
       col("doc_id"),
@@ -160,7 +160,116 @@ object ExtensionQueries {
        | / CAST(greatest($nTokensSql, 1) AS DOUBLE))""".stripMargin
   }
 
+  // ---- vector-math mirrors -------------------------------------------------
+  // Spark computes dot products as an ordered left fold in DOUBLE
+  // (SimilarityFunctions.dot = aggregate(zip_with(...))); DuckDB's
+  // list_reduce(list_transform(...)) performs the IDENTICAL sequence
+  // of IEEE double ops, so cosine scores hash-match bit-for-bit —
+  // verified: the driver-style sha over both engines' parquet agrees.
+  // Embedding fixtures are 64-dim (TESTDATA.md).
+  private val DIM = 64
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${DIM + 1}), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** `when(|a||b| > 0, a·b / (|a|·|b|)).otherwise(0)` — the
+    * SimilarityFunctions.cosine shape (sqrt(na)*sqrt(nb), NOT
+    * sqrt(na*nb) — the two differ in the last ulp). */
+  private def cosineSql(a: String, b: String): String =
+    s"CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) > 0.0 " +
+      s"THEN ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) " +
+      "ELSE 0.0 END"
+
+  /** The IVF scalar form: d / sqrt(na*nb) (Similarity.cosineScalar /
+    * assignCell use the fused sqrt). */
+  private def cosineFusedSql(a: String, b: String): String =
+    s"CASE WHEN ${dotSql(a, a)} > 0.0 AND ${dotSql(b, b)} > 0.0 " +
+      s"THEN ${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}) " +
+      "ELSE 0.0 END"
+
+  /** Scala Double.toString is the shortest round-trip repr, which
+    * DuckDB parses back to the identical double — the seeded
+    * hyperplanes embed as exact literals. */
+  private def planeLit(p: Array[Double]): String =
+    p.map(_.toString).mkString("[", ", ", "]")
+
+  /** Sign-LSH bucket id: bit i set iff vec·plane_i >= 0, exactly
+    * SimilarityFunctions.lshBucket (bits are disjoint, so + == OR). */
+  private def bucketSql(vec: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotSql(vec, planeLit(p))} >= 0.0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val simBruteTopkSql: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id AS id, ${cosineSql("e.embedding", "q.qv")} AS cosine
+       |FROM embeddings e, q WHERE e.vec_id <> 0
+       |ORDER BY cosine DESC, id ASC LIMIT 10""".stripMargin
+
+  private val simLshTopkSql: String = {
+    val planes = graft.functions.SimilarityFunctions.hyperplanes(8, DIM, 42L)
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qb AS (SELECT ${bucketSql("qv", planes)} AS qbucket FROM q),
+       |c AS (SELECT vec_id AS id, embedding AS vec,
+       |             ${bucketSql("embedding", planes)} AS bucket
+       |      FROM embeddings WHERE vec_id <> 0)
+       |SELECT c.id, ${cosineSql("c.vec", "q.qv")} AS cosine
+       |FROM c, q, qb
+       |WHERE bit_count(xor(c.bucket, qb.qbucket)) <= 3
+       |ORDER BY cosine DESC, id ASC LIMIT 10""".stripMargin
+  }
+
+  private val dedupEmbeddingSql: String = {
+    val planes = graft.functions.SimilarityFunctions.hyperplanes(6, DIM, 42L)
+    s"""WITH p AS (SELECT vec_id AS id, embedding AS vec,
+       |                  sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+       |                  ${bucketSql("embedding", planes)} AS bucket
+       |           FROM embeddings)
+       |SELECT id_a, id_b, cosine FROM (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    CASE WHEN a.nrm * b.nrm > 0.0
+       |         THEN ${dotSql("a.vec", "b.vec")} / (a.nrm * b.nrm)
+       |         ELSE 0.0 END AS cosine
+       |  FROM p a JOIN p b ON a.bucket = b.bucket AND a.id < b.id) t
+       |WHERE cosine >= 0.2""".stripMargin
+  }
+
+  private val simIvfTopkSql: String = {
+    // centroid cells = first nlist=16 corpus rows by id; assignment =
+    // argmax fused-cosine with earliest-cell tie-break (assignCell's
+    // strict >); probe cells = top nprobe=4 by the same score from the
+    // query; exact cosine re-rank on probed rows only.
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id <> 0),
+       |cents AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, vec AS cvec
+       |          FROM (SELECT id, vec FROM corpus ORDER BY id LIMIT 16) t),
+       |assigned AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT e.id, e.vec, c.cell,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+       |    FROM corpus e CROSS JOIN cents c) t WHERE rn = 1),
+       |probe AS (
+       |  SELECT cell FROM (
+       |    SELECT c.cell, ${cosineFusedSql("q.qv", "c.cvec")} AS s FROM cents c, q) t
+       |  ORDER BY s DESC, cell ASC LIMIT 4)
+       |SELECT a.id, ${cosineSql("a.vec", "q.qv")} AS cosine
+       |FROM assigned a, q
+       |WHERE a.cell IN (SELECT cell FROM probe)
+       |ORDER BY cosine DESC, id ASC LIMIT 10""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_text_subwords" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextFunctions.subwordPattern}')) AS BIGINT)
+         |    AS n_subwords
+         |FROM documents""".stripMargin,
+    "q_sim_brute_topk" -> simBruteTopkSql,
+    "q_sim_lsh_topk" -> simLshTopkSql,
+    "q_sim_ivf_topk" -> simIvfTopkSql,
+    "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_text_stats" ->
       s"""SELECT doc_id, $nTokensSql AS n_tokens,
          |       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp

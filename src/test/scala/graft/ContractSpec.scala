@@ -2,14 +2,16 @@ package graft
 
 /** Guards on the driver contract so future edits can't silently drift:
   * every query either carries oracle SQL or sits on the documented
-  * rows-only allowlist (non-SQL-expressible hash/LSH/stub operators,
-  * each covered by ground-truth ScalaTests instead). */
+  * rows-only allowlist. Only operators built on murmur/FNV hashes
+  * (minhash/simhash band buckets, the multimodal stub decoder) remain
+  * rows-only — those hashes have no DuckDB mirror; each is covered by
+  * ground-truth ScalaTests instead. The vector/cosine queries are
+  * fully oracled via bit-exact double-fold SQL mirrors. */
 class ContractSpec extends SparkSpec {
 
   private val rowsOnlyAllowlist = Set(
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard",
-    "q_dedup_embedding", "q_sim_brute_topk", "q_sim_lsh_topk",
-    "q_sim_ivf_topk", "q_text_subwords", "q_multimodal_decode")
+    "q_multimodal_decode")
 
   test("every query has oracle SQL or a documented rows-only waiver") {
     val queries = SparkEntry.queries.keySet
