@@ -12,6 +12,16 @@ import org.apache.spark.sql.SparkSession
   * lands on no particular query.
   */
 object Bench {
+  /** Escape a string for embedding in a JSON literal: backslash,
+    * quote, and EVERY control char < 0x20 (tab/CR/etc. would
+    * otherwise produce an invalid JSON line). */
+  private[graft] def jsonEscape(s: String): String = s.flatMap {
+    case '\\'            => "\\\\"
+    case '"'             => "\\\""
+    case c if c < 0x20   => f"\\u${c.toInt}%04x"
+    case c               => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -48,10 +58,13 @@ object Bench {
       val err = times.collectFirst { case Left(m) => m }
       (name, if (ok.nonEmpty) ok.min else -1.0, err.filter(_ => ok.isEmpty))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // Failed queries are OMITTED from the timing map (a -1 sentinel in
+    // `queries` would poison any consumer summing the values) and show
+    // up only under `errors`.
+    val qs = results.collect { case (k, v, _) if v >= 0 => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
-      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"").takeWhile(_ != '\n') + "\""
+      "\"" + k + "\":\"" + jsonEscape(m) + "\""
     }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum

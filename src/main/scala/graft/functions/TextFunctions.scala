@@ -11,9 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Whitespace spelled as an explicit character class: Java regex
+    * (Spark) counts `\x0B` (vertical tab) in `\s`, RE2 (the DuckDB
+    * oracle) does not — so `\s` in a shared pattern silently diverges
+    * on VT-bearing text. Both engines get this identical class
+    * instead; it matches Java's `\s` membership. */
+  val wsChars = " \\t\\n\\x0B\\f\\r"
+  val wsClass = s"[$wsChars]"
+
   /** Whitespace tokens with empties removed. */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= lit(""))
+    filter(split(text, wsClass + "+"), t => t =!= lit(""))
 
   /** Token count as BIGINT (whitespace tokenization). */
   def tokenCount(text: Column): Column =
@@ -21,16 +29,17 @@ object TextFunctions {
 
   /** A BPE-ish subword proxy count: maximal lowercase / uppercase /
     * digit / symbol runs, the usual cheap stand-in for tokenizer cost
-    * estimation. Pure alternation (no lookaround) so RE2 engines —
-    * i.e. the DuckDB oracle — match Java regex exactly. */
-  val subwordPattern = "[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+    * estimation. Pure alternation (no lookaround) and an explicit
+    * whitespace class (no `\s`) so RE2 engines — i.e. the DuckDB
+    * oracle — match Java regex exactly. */
+  val subwordPattern = s"[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9$wsChars]+"
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit(subwordPattern), lit(0))).cast("bigint")
 
   /** Canonical-form document fingerprint: md5 of the
     * lowercased, whitespace-collapsed, trimmed text. */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+    md5(trim(regexp_replace(lower(text), wsClass + "+", " ")))
 
   /** Word n-gram shingles over the whitespace tokens (the MinHash
     * input). Documents shorter than n words shingle to the whole
@@ -95,7 +104,7 @@ object TextFunctions {
 
   /** Mean token length. */
   def meanTokenLen(text: Column): Column =
-    (length(regexp_replace(text, "\\s+", "")).cast("double") /
+    (length(regexp_replace(text, wsClass + "+", "")).cast("double") /
       greatest(tokenCount(text), lit(1)).cast("double"))
 
   /** Composite quality score in [0,1]-ish: favors alphabetic prose of

@@ -91,7 +91,11 @@ final class Transportor(
     executionOrder.foreach { key =>
       val df = dropTemps(plan.byKey(key), built(key))
       val name = plan.targetName(key)
-      out(name) = out.get(name).map(_.unionByName(df)).getOrElse(df)
+      // allowMissingColumns: aliased entries appending into one
+      // physical table may fill different column subsets; the reference
+      // (a SQL INSERT per alias) null-fills the absent ones.
+      out(name) = out.get(name)
+        .map(_.unionByName(df, allowMissingColumns = true)).getOrElse(df)
     }
     out.toMap
   }
@@ -158,7 +162,11 @@ final class Transportor(
             // every alias's rows in it, so union them all. Temp columns
             // are dropped first — aliases share only the final target
             // schema (temps stay visible through single-alias deps).
-            ks.map(k => dropTemps(plan.byKey(k), resolveKey(k))).reduce(_.unionByName(_))
+            // allowMissingColumns: an append into one physical table
+            // null-fills columns an alias doesn't set (SQL INSERT
+            // semantics), so a partial-column alias must not throw.
+            ks.map(k => dropTemps(plan.byKey(k), resolveKey(k)))
+              .reduce(_.unionByName(_, allowMissingColumns = true))
           case _ if preSeeded.contains(table) => io.readTarget(table)
           case _ =>
             throw new NoSuchElementException(

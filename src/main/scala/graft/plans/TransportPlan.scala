@@ -287,13 +287,17 @@ final case class TransportPlan(tables: Seq[(String, TableMap)]) {
   def keyFor(name: String): Option[String] = keysFor(name).headOption
 
   /** ALL plan keys that fill the named table — the exact plan key
-    * itself, or every aliased entry whose `targetTable` matches. A
+    * itself AND every aliased entry whose `targetTable` matches. A
     * target-side lookup against a multi-alias table must see the union
     * of all of them, because the reference reads the physical table
-    * after every alias appended into it (src/DBT.php:280-288). */
+    * after every alias appended into it (src/DBT.php:280-288). The two
+    * conditions merge (not short-circuit): a bare-key entry `dim` plus
+    * an alias `dim_b -> targetTable "dim"` both fill physical `dim`,
+    * so `keysFor("dim")` must return both. A key whose own
+    * `targetTable` points elsewhere (`x -> targetTable "y"`) is still
+    * found by its plan key, preserving direct-key lookup. */
   def keysFor(name: String): Seq[String] =
-    if (byKey.contains(name)) Seq(name)
-    else tables.collect { case (k, m) if m.targetTable.contains(name) => k }
+    tables.collect { case (k, m) if k == name || m.targetTable.contains(name) => k }
 }
 
 object TransportPlan {

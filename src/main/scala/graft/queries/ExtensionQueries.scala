@@ -128,11 +128,14 @@ object ExtensionQueries {
     "q_multimodal_decode" -> qMultimodalDecode)
 
   // DuckDB mirrors of the SQL-expressible subset. RE2 notes: DuckDB
-  // regexp_replace needs the 'g' flag for replace-all (Spark default).
+  // regexp_replace needs the 'g' flag for replace-all (Spark default);
+  // whitespace is the shared explicit class (TextFunctions.wsClass),
+  // never `\s`, because Java and RE2 disagree on \x0B membership.
+  private val ws = TextFunctions.wsClass
   private val tokensSql =
-    """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
+    s"""list_filter(regexp_split_to_array(text, '$ws+'), x -> x <> '')"""
   private val tokensLowerSql =
-    """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
+    s"""list_filter(regexp_split_to_array(lower(text), '$ws+'), x -> x <> '')"""
 
   private def langScoreSql(markers: Seq[String]): String =
     markers.map(m => s"(CASE WHEN position('$m' IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END)")
@@ -272,7 +275,7 @@ object ExtensionQueries {
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_text_stats" ->
       s"""SELECT doc_id, $nTokensSql AS n_tokens,
-         |       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |       md5(trim(regexp_replace(lower(text), '$ws+', ' ', 'g'))) AS fp
          |FROM documents""".stripMargin,
     "q_text_langid" -> langCaseSql,
     "q_text_quality" ->
@@ -286,9 +289,9 @@ object ExtensionQueries {
     "q_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text",
     "q_dedup_fingerprint" ->
-      """SELECT doc_id, fp FROM (
-        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-        |         row_number() OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      s"""SELECT doc_id, fp FROM (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '$ws+', ' ', 'g'))) AS fp,
+        |         row_number() OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '$ws+', ' ', 'g')))
         |                            ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1""".stripMargin,

@@ -227,6 +227,58 @@ class TransportorSpec extends SparkSpec {
       Seq(Row(1L, "fromA"), Row(2L, "fromB"), Row(3L, "miss")))
   }
 
+  test("keysFor merges a bare-key entry with aliases targeting it (no short-circuit)") {
+    // Advisor r2: 'dim' (no targetTable) plus 'dim_b' -> targetTable
+    // 'dim' both fill physical 'dim'; a target-side lookup must see
+    // BOTH, not just the bare-key entry. Direct-key lookup of an entry
+    // whose own targetTable points elsewhere still works.
+    val srcA = df("k BIGINT, v STRING", Row(1L, "fromBare"))
+    val srcB = df("k BIGINT, v STRING", Row(2L, "fromAlias"))
+    val probe = df("fk BIGINT", Row(1L), Row(2L), Row(3L))
+    val plan = TransportPlan.of(
+      "dim" -> TableMap(Some("srcA"), Seq(Rename("k", "k"), Rename("v", "v"))),
+      "dim_b" -> TableMap(Some("srcB"),
+        Seq(Rename("k", "k"), Rename("v", "v")), targetTable = Some("dim")),
+      "fact" -> TableMap(Some("probe"), Seq(
+        Rename("fk", "fk"),
+        Refer("dim_v", Seq("fk"), SearchSource.Target, "dim", Seq("k"), "v",
+          default = Some("miss")))))
+    assert(plan.keysFor("dim") == Seq("dim", "dim_b"))
+    // direct-key lookup: a key with a different physical target is
+    // still addressable by its plan key
+    val aliased = TransportPlan.of(
+      "x" -> TableMap(Some("srcA"), Seq(Rename("k", "k")), targetTable = Some("y")))
+    assert(aliased.keysFor("x") == Seq("x"))
+    val io = new InMemoryIO(Map("srcA" -> srcA, "srcB" -> srcB, "probe" -> probe))
+    val tr = new Transportor(io, plan)
+    assert(tr.executionOrder.indexOf("fact") == 2)
+    assertRows(tr.frame("fact"),
+      Seq(Row(1L, "fromBare"), Row(2L, "fromAlias"), Row(3L, "miss")))
+  }
+
+  test("aliases filling different column subsets null-fill the union (INSERT semantics)") {
+    // An append into one physical table null-fills columns an alias
+    // doesn't set; strict unionByName would throw AnalysisException.
+    val srcA = df("k BIGINT, v STRING", Row(1L, "hasV"))
+    val srcB = df("k BIGINT", Row(2L))
+    val probe = df("fk BIGINT", Row(1L), Row(2L))
+    val plan = TransportPlan.of(
+      "dim_a" -> TableMap(Some("srcA"),
+        Seq(Rename("k", "k"), Rename("v", "v")), targetTable = Some("dim")),
+      "dim_b" -> TableMap(Some("srcB"), Seq(Rename("k", "k")), targetTable = Some("dim")),
+      "fact" -> TableMap(Some("probe"), Seq(
+        Rename("fk", "fk"),
+        Refer("dim_v", Seq("fk"), SearchSource.Target, "dim", Seq("k"), "v",
+          default = Some("miss")))))
+    val io = new InMemoryIO(Map("srcA" -> srcA, "srcB" -> srcB, "probe" -> probe))
+    val tr = new Transportor(io, plan)
+    // run(): union of the written "dim" table null-fills v for dim_b rows
+    val frames = tr.run()
+    assertRows(frames("dim").select("k", "v"), Seq(Row(1L, "hasV"), Row(2L, null)))
+    // target-side lookup: k=2 exists but its v is null => miss => default
+    assertRows(tr.frame("fact"), Seq(Row(1L, "hasV"), Row(2L, "miss")))
+  }
+
   test("RowUdf receives the pristine source row even after earlier specs overwrite columns") {
     // The reference passes the untouched $source row to `function`
     // closures (src/DBT.php:395, 407-408); earlier column specs must
