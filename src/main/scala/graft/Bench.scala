@@ -36,6 +36,19 @@ object Bench {
 
     // session/codegen warmup (no fixture data cached)
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Library/codegen first-touch warmup: Jackson (plan-config
+    // parsing), broadcast-join and aggregate codegen, and the noop
+    // write path. Measured: the first query to touch these paid ~3s of
+    // one-time init — BENCH_r02's q_json_plan 3.5× "regression" was
+    // exactly this landing inside its first timed trial. Synthetic
+    // data only; no fixture parquet is read or cached here.
+    graft.plans.PlanConfig.fromJson(
+      """{"tables":{"w":{"original_table":"t",
+        |"columns":[{"target":"k","original":"k"}]}}}""".stripMargin)
+    val wa = spark.range(1000).toDF("k")
+    val wb = spark.range(100).toDF("k")
+    wa.join(org.apache.spark.sql.functions.broadcast(wb), "k")
+      .groupBy("k").count().write.format("noop").mode("overwrite").save()
 
     // best-of-N wall time per query: damps JIT/GC noise without caching
     // fixture data (each trial re-reads parquet)
