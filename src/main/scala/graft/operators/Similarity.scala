@@ -30,18 +30,76 @@ object Similarity {
       .limit(k)
   }
 
+  /** Fused-sqrt cosine over double arrays: ascending-index left fold,
+    * `d / sqrt(na * nb)` — the exact arithmetic the DuckDB oracle's
+    * `cosineFusedSql` mirrors, so keep the op order stable. */
+  private[graft] def cosineScalar(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) {
+      d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na > 0 && nb > 0) d / math.sqrt(na * nb) else 0.0
+  }
+
+  /** Deterministic Lloyd (k-means) refinement over a driver-side
+    * sample. Initial centroids = the first `nlist` sample vectors;
+    * each iteration reassigns every sample vector to its
+    * best-fused-cosine centroid (strict `>`, earliest cell wins ties)
+    * and recomputes each non-empty cell's centroid as the per-dim
+    * mean, summed as an ORDERED left fold in sample (= id) order.
+    * Every op is plain double arithmetic in a fixed order, so the
+    * DuckDB oracle replays it bit-identically with
+    * `list(vec ORDER BY id)` + `list_reduce` — the same technique the
+    * dot-product mirror uses. Empty cells keep their previous
+    * centroid. Sample-first-N initialization is deliberately
+    * deterministic (no RNG): reproducibility across engines beats
+    * k-means++ quality here, and 2 Lloyd passes already separate
+    * clustered data (see ScaleOpsSpec recall test).
+    */
+  private[graft] def refineCentroids(
+      sample: Array[Array[Double]],
+      nlist: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty centroid sample")
+    var cents = sample.take(nlist)
+    val dim = sample(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](cents.length, dim)
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.MinValue; var c = 0
+        while (c < cents.length) {
+          val sim = cosineScalar(v, cents(c))
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(i => sums(c)(i) / counts(c))
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN top-k: the corpus is assigned to
     * `nlist` centroid cells (nearest-centroid by cosine); a query
     * scores only the rows in its `nprobe` closest cells.
     *
-    * Centroid selection here is deterministic sampling (the first
-    * `nlist` rows by id) — the IVF skeleton; swap in k-means
-    * refinement without touching the assignment/probe machinery.
-    * Centroids live driver-side (nlist × dim doubles — tiny) and ship
-    * to executors inside the assignment UDF's closure, so cell
-    * assignment is a single scan with NO shuffle and no cross join.
-    * `nprobe == nlist` degrades gracefully to exact brute force (the
-    * recall=1 case, used by tests).
+    * Centroids = `refineIters` Lloyd passes over a deterministic
+    * sample (the first `sampleSize` rows by id — see
+    * [[refineCentroids]]); `refineIters = 0` degrades to the plain
+    * first-`nlist` skeleton. Centroids live driver-side (nlist × dim
+    * doubles — tiny; the sample collect is `sampleSize` rows, bounded
+    * and documented) and ship to executors inside the assignment
+    * UDF's closure, so cell assignment is a single scan with NO
+    * shuffle and no cross join. `nprobe == nlist` degrades gracefully
+    * to exact brute force (the recall=1 case, used by tests).
     */
   def ivfTopK(
       df: DataFrame,
@@ -50,21 +108,18 @@ object Similarity {
       query: Array[Float],
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    // deterministic centroid sample
-    val centroids: Array[Array[Double]] = df
-      .orderBy(col(idCol).asc).limit(nlist)
+      nprobe: Int = 4,
+      refineIters: Int = 2,
+      sampleSize: Int = 256): DataFrame = {
+    // deterministic sample, ascending id (order matters: the oracle
+    // replays the centroid folds in this exact order)
+    val sample: Array[Array[Double]] = df
+      .orderBy(col(idCol).asc).limit(math.max(nlist, sampleSize))
       .select(vecCol).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    require(centroids.nonEmpty, "empty corpus")
+    require(sample.nonEmpty, "empty corpus")
+    val centroids = refineCentroids(sample, nlist, refineIters)
 
-    def cosineScalar(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) {
-        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      if (na > 0 && nb > 0) d / math.sqrt(na * nb) else 0.0
-    }
     val q = query.map(_.toDouble)
     val probeCells: Seq[Int] = centroids.zipWithIndex
       .map { case (c, i) => i -> cosineScalar(q, c) }

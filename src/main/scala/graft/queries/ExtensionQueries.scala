@@ -239,23 +239,54 @@ object ExtensionQueries {
   }
 
   private val simIvfTopkSql: String = {
-    // centroid cells = first nlist=16 corpus rows by id; assignment =
-    // argmax fused-cosine with earliest-cell tie-break (assignCell's
-    // strict >); probe cells = top nprobe=4 by the same score from the
-    // query; exact cosine re-rank on probed rows only.
+    // Mirrors Similarity.ivfTopK(nlist=16, nprobe=4, refineIters=2,
+    // sampleSize=256) end to end:
+    //   cents0  = first 16 sample rows by id;
+    //   assignN = argmax fused-cosine over centsN-1 with earliest-cell
+    //             tie-break (refineCentroids' strict >);
+    //   updN    = per-dim mean of each cell's members, summed as an
+    //             ORDERED left fold in id order (list(vec ORDER BY id)
+    //             + list_reduce — identical IEEE op sequence to the
+    //             driver-side Scala loop, the dotSql technique);
+    //   centsN  = updN, empty cells keeping their previous centroid;
+    //   final assignment over the FULL corpus, probe top-4 cells by
+    //   query fused-cosine, exact cosine re-rank on probed rows only.
+    val iters = 2
+    def iterCtes(i: Int): String = {
+      val prev = s"cents${i - 1}"
+      s"""assign$i AS (
+         |  SELECT id, vec, cell FROM (
+         |    SELECT s.id, s.vec, c.cell,
+         |      row_number() OVER (PARTITION BY s.id
+         |        ORDER BY ${cosineFusedSql("s.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+         |    FROM samp s CROSS JOIN $prev c) t WHERE rn = 1),
+         |upd$i AS (
+         |  SELECT cell,
+         |    list_transform(range(1, ${DIM + 1}), d ->
+         |      list_reduce(list_transform(vecs, v -> CAST(v[d] AS DOUBLE)),
+         |                  (x, y) -> x + y) / len(vecs)) AS cvec
+         |  FROM (SELECT cell, list(vec ORDER BY id) AS vecs
+         |        FROM assign$i GROUP BY cell) g),
+         |cents$i AS (
+         |  SELECT p.cell, COALESCE(u.cvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN upd$i u ON p.cell = u.cell)""".stripMargin
+    }
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id <> 0),
-       |cents AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, vec AS cvec
-       |          FROM (SELECT id, vec FROM corpus ORDER BY id LIMIT 16) t),
+       |samp AS (SELECT id, vec FROM corpus ORDER BY id LIMIT 256),
+       |cents0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
+       |                  list_transform(vec, x -> CAST(x AS DOUBLE)) AS cvec
+       |           FROM (SELECT id, vec FROM samp ORDER BY id LIMIT 16) t),
+       |${(1 to iters).map(iterCtes).mkString(",\n")},
        |assigned AS (
        |  SELECT id, vec, cell FROM (
        |    SELECT e.id, e.vec, c.cell,
        |      row_number() OVER (PARTITION BY e.id
        |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
-       |    FROM corpus e CROSS JOIN cents c) t WHERE rn = 1),
+       |    FROM corpus e CROSS JOIN cents$iters c) t WHERE rn = 1),
        |probe AS (
        |  SELECT cell FROM (
-       |    SELECT c.cell, ${cosineFusedSql("q.qv", "c.cvec")} AS s FROM cents c, q) t
+       |    SELECT c.cell, ${cosineFusedSql("q.qv", "c.cvec")} AS s FROM cents$iters c, q) t
        |  ORDER BY s DESC, cell ASC LIMIT 4)
        |SELECT a.id, ${cosineSql("a.vec", "q.qv")} AS cosine
        |FROM assigned a, q
