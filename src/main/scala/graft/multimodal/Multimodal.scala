@@ -8,11 +8,13 @@ import graft.functions.Hashing
   * typed metadata, decoded/feature-extracted in batched executor-side
   * loops.
   *
-  * The Spark-side shape is real and tested — schema, partitioning,
-  * batch iteration — while the actual media decode is a STUB (this
-  * container has no image/audio codecs): `decodeStub` derives
-  * deterministic fake features from the payload bytes. Swapping in a
-  * real decoder touches only [[decodeStub]]'s body; everything else
+  * Image payloads decode for REAL via the JDK's `javax.imageio`
+  * (PNG/JPEG/GIF/BMP ship with the JVM — no external codecs): true
+  * width/height plus a bounded-cost pixel-content fingerprint.
+  * Payloads ImageIO can't parse (audio/video/unknown — codecs this
+  * container lacks) fall back to [[decodeStub]], a deterministic fake
+  * parse of the payload bytes, keeping the pipeline total. Swapping in
+  * further codecs touches only the decode dispatch; everything else
   * (the `mapPartitions` batching, the output schema, the pipeline
   * wiring) stays.
   *
@@ -49,9 +51,70 @@ object Multimodal {
       col(textCol).cast("binary").as("payload"),
       octet_length(col(textCol)).cast("bigint").as("byte_len"))
 
-  /** STUB decoder — deterministic fake parse of the payload bytes.
-    * ??? in spirit: replace with a real codec (JPEG/PNG/ffmpeg) when
-    * available; signature and batch shape are the real contract. */
+  /** Magic-byte media-type sniff for real binary payloads (the
+    * JDK-decodable image formats plus octet-stream fallthrough). */
+  def sniffMediaType(payload: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < payload.length) payload(i) & 0xFF else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "image/png"
+    else if (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF) "image/jpeg"
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') "image/gif"
+    else if (at(0) == 'B' && at(1) == 'M') "image/bmp"
+    else "application/octet-stream"
+  }
+
+  /** Pack a real binary column (actual image/audio blobs) with sniffed
+    * media type — the production twin of [[pack]]. */
+  def packBinary(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val sniff = udf((b: Array[Byte]) => sniffMediaType(b))
+    df.select(
+      col(idCol).cast("bigint").as("doc_id"),
+      sniff(col(binCol)).as("media_type"),
+      col(binCol).as("payload"),
+      octet_length(col(binCol)).cast("bigint").as("byte_len"))
+  }
+
+  /** Deterministic bounded-cost content fingerprint: FNV-1a over an
+    * 8×8 grid sample of ARGB pixels — O(1) per image regardless of
+    * resolution, so a 100-megapixel payload costs the same as a
+    * thumbnail. */
+  def pixelHash(im: java.awt.image.BufferedImage): Long = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val bb = java.nio.ByteBuffer.allocate(8 * 8 * 4)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        bb.putInt(im.getRGB(gx * w / 8, gy * h / 8))
+        gx += 1
+      }
+      gy += 1
+    }
+    Hashing.mix64(Hashing.fnv64(bb.array()))
+  }
+
+  /** Real image decode via `javax.imageio` (JDK-only; PNG/JPEG/GIF/
+    * BMP). None when the payload isn't a decodable image — the caller
+    * falls back to the stub so the pipeline stays total. */
+  def tryDecodeImage(item: MediaItem): Option[MediaFeatures] = {
+    val parsed =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(item.payload)))
+      catch { case _: java.io.IOException => None }
+    parsed.map { im =>
+      MediaFeatures(
+        doc_id = item.doc_id,
+        byte_len = item.byte_len,
+        width = im.getWidth,
+        height = im.getHeight,
+        n_frames = 1,
+        feat_hash = pixelHash(im))
+    }
+  }
+
+  /** STUB decoder for non-image payloads — deterministic fake parse of
+    * the payload bytes. Audio/video codecs aren't in this container;
+    * when they are, add a tryDecode* sibling and extend [[decode]]'s
+    * dispatch — signature and batch shape are the real contract. */
   def decodeStub(item: MediaItem): MediaFeatures = {
     val h = Hashing.mix64(Hashing.fnv64(item.payload))
     MediaFeatures(
@@ -63,6 +126,10 @@ object Multimodal {
       feat_hash = h)
   }
 
+  /** Decode dispatch: real ImageIO parse first, stub fallback. */
+  def decode(item: MediaItem): MediaFeatures =
+    tryDecodeImage(item).getOrElse(decodeStub(item))
+
   /** Batched feature extraction: partitions stream through in
     * micro-batches of `batchSize` rows — the decoder-setup
     * amortization point. Parallelism = input partitions; repartition
@@ -71,9 +138,12 @@ object Multimodal {
   def extractFeatures(items: Dataset[MediaItem], batchSize: Int = 32): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
+      // per-task decoder setup: keep ImageIO off its disk-backed
+      // stream cache (executor temp dirs) — decode stays in-memory
+      javax.imageio.ImageIO.setUseCache(false)
       it.grouped(batchSize).flatMap { batch =>
-        // real impl: init decoder once here, decode the batch vectorized
-        batch.map(decodeStub)
+        // per-batch amortization point: heavier codecs init here once
+        batch.map(decode)
       }
     }
   }

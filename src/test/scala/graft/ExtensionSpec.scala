@@ -120,6 +120,42 @@ class ExtensionSpec extends SparkSpec {
     assert(f1.getInt(f1.fieldIndex("width")) >= 64 && f1.getInt(f1.fieldIndex("height")) >= 64)
   }
 
+  test("multimodal: ImageIO decodes real PNG/JPEG payloads to true dimensions") {
+    import spark.implicits._
+    def image(wd: Int, ht: Int, seed: Int, format: String): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        wd, ht, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until ht; x <- 0 until wd)
+        im.setRGB(x, y, (x * 31 + y * 17 + seed * 101) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, format, bos)
+      bos.toByteArray
+    }
+    val png1 = image(20, 10, 1, "png")
+    val png2 = image(7, 33, 2, "png")
+    val jpg = image(16, 24, 3, "jpg")
+    val txt = "definitely not an image".getBytes("UTF-8")
+    val items = Seq(
+      Multimodal.MediaItem(1L, Multimodal.sniffMediaType(png1), png1, png1.length.toLong),
+      Multimodal.MediaItem(2L, Multimodal.sniffMediaType(png2), png2, png2.length.toLong),
+      Multimodal.MediaItem(3L, Multimodal.sniffMediaType(jpg), jpg, jpg.length.toLong),
+      Multimodal.MediaItem(4L, Multimodal.sniffMediaType(txt), txt, txt.length.toLong))
+    assert(items.map(_.media_type) ==
+      Seq("image/png", "image/png", "image/jpeg", "application/octet-stream"))
+    val got = Multimodal.extractFeatures(items.toDS(), batchSize = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    // true decoded dimensions, not stub fakes
+    assert(got(1L).width == 20 && got(1L).height == 10)
+    assert(got(2L).width == 7 && got(2L).height == 33)
+    assert(got(3L).width == 16 && got(3L).height == 24)
+    // content hash matches a direct local ImageIO ground-truth decode
+    val truth = Multimodal.pixelHash(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png1)))
+    assert(got(1L).feat_hash == truth)
+    // non-image payloads still flow through the deterministic stub
+    assert(got(4L) == Multimodal.decodeStub(items(3)))
+  }
+
   test("language id picks marker-matching language, 'und' when nothing matches") {
     val t = df("doc_id BIGINT, text STRING",
       Row(1L, "the cat and the dog of the house is to blame"),
