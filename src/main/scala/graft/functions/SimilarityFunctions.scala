@@ -36,11 +36,55 @@ object SimilarityFunctions {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Plane-count threshold above which [[lshBucket]] switches from
+    * the literal-expression form to the closure UDF: the expression
+    * form inlines numPlanes × dim literal nodes, and janino's
+    * per-method codegen limits blow up around ~1k nodes (16 planes ×
+    * 64 dims). Below it, the expression form stays — codegen'd and
+    * SQL-mirrorable for the oracled queries (6–10 planes). */
+  val lshExprMaxPlanes = 10
+
   /** Pack the sign bits of plane dot-products into one BIGINT bucket
-    * id. numPlanes <= 63. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    * id. numPlanes <= 63. Dispatches on plane count — see
+    * [[lshExprMaxPlanes]]; both paths produce bit-identical buckets
+    * (ascending-index double fold, commutative multiplies). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    require(planes.length <= 63, s"numPlanes ${planes.length} > 63 overflows the BIGINT bucket")
+    if (planes.length <= lshExprMaxPlanes) lshBucketExpr(vec, planes)
+    else lshBucketUdf(vec, planes)
+  }
+
+  /** Literal-expression bucket form: whole-stage-codegen'd, and its
+    * arithmetic is mirrorable in oracle SQL. Keep plane counts at or
+    * under [[lshExprMaxPlanes]]. */
+  def lshBucketExpr(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit).toIndexedSeq: _*)
       when(dot(vec, planeLit) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+
+  /** Closure-UDF bucket form for high plane counts: the plane matrix
+    * ships inside the task closure instead of the expression tree, so
+    * the plan stays tiny at any numPlanes. Breaks codegen for this
+    * one column only; same ascending-index double folds as the
+    * expression form, so buckets are bit-identical. Input column must
+    * be array<float> (the embedding schema). */
+  def lshBucketUdf(vec: Column, planes: Array[Array[Double]]): Column = {
+    val planesB = planes
+    val f = udf { (v: Seq[Float]) =>
+      var bucket = 0L
+      var i = 0
+      while (i < planesB.length) {
+        val p = planesB(i)
+        var d = 0.0
+        var j = 0
+        val lim = math.min(p.length, v.length)
+        while (j < lim) { d += v(j).toDouble * p(j); j += 1 }
+        if (d >= 0.0) bucket |= (1L << i)
+        i += 1
+      }
+      bucket
+    }
+    f(vec)
+  }
 }

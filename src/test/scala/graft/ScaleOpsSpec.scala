@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import graft.functions.SimilarityFunctions
 import graft.operators.{Similarity, SkewJoin, Transportor}
 import graft.plans._
 import graft.sources.InMemoryIO
@@ -99,6 +100,23 @@ class ScaleOpsSpec extends SparkSpec {
       .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == truth)
     assert(truth.nonEmpty)
+  }
+
+  test("LSH bucket UDF path is bit-identical to the expression path; 32-plane smoke") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planes8 = SimilarityFunctions.hyperplanes(8, 64, 42L)
+    val both = emb.select(col("vec_id"),
+      SimilarityFunctions.lshBucketExpr(col("embedding"), planes8).as("e"),
+      SimilarityFunctions.lshBucketUdf(col("embedding"), planes8).as("u"))
+    assert(both.filter(col("e") =!= col("u")).count() == 0)
+    // 32 planes × 64 dims would inline ~2k literal nodes in the
+    // expression form (janino blowup territory); the dispatch must
+    // route to the UDF and the e2e query must still return top-k
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val topk = Similarity.lshTopK(rest, "vec_id", "embedding", q, 10,
+      numPlanes = 32, probeHamming = 12)
+    assert(topk.count() == 10)
   }
 
   test("k-means refinement beats first-N centroids at nprobe < nlist on clustered data") {
