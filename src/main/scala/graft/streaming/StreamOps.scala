@@ -27,6 +27,12 @@ object StreamOps {
 
   private final case class SessionState(lastTsMicros: Long, seq: Long)
 
+  /** Event-time sessionizer state, kept as a plain tuple because
+    * Spark's state-encoder codegen handles nested product types more
+    * reliably than a bespoke case class holding a collection:
+    * (pending events in the reorder horizon, last finalized ts, seq). */
+  private type SessionBuffer = (List[Event], Long, Long)
+
   /** Tumbling-window hourly aggregate with a 2h watermark: the
     * streaming form of q_events_hourly. State is bounded by the
     * watermark horizon — at 100 TB/day ingest the state store holds
@@ -106,7 +112,14 @@ object StreamOps {
     * (lastTs, seq) pair. Events inside each micro-batch are sorted
     * per group before applying the gap rule, so a single-batch run
     * reproduces the batch sessionizer exactly. ProcessingTime timeout
-    * reaps idle users' state. */
+    * reaps idle users' state.
+    *
+    * This is the BATCH/BACKFILL path (and is exact on in-order
+    * streams): events already processed are never revisited, so a
+    * cross-micro-batch late arrival would be sequenced against the
+    * then-current state, not its true event-time position. For
+    * out-of-order streams use [[sessionizeEventTime]], which buffers
+    * until the watermark closes each event's reorder window. */
   def sessionize(events: Dataset[Event],
       gapMicros: Long = 30L * 60 * 1000 * 1000): Dataset[SessionAssign] = {
     import events.sparkSession.implicits._
@@ -129,6 +142,78 @@ object StreamOps {
             state.setTimeoutDuration("1 hour")
             out.iterator
           }
+        })
+  }
+
+  /** Emit every buffered event whose time the watermark has passed
+    * (no further in-horizon arrival can precede it), in event-time
+    * order, extending the session chain; keep the rest pending. */
+  private def flushReady(
+      userId: Long,
+      st: SessionBuffer,
+      wmMicros: Long,
+      gapMicros: Long): (List[SessionAssign], SessionBuffer) = {
+    val (pending, lastTs, seq0) = st
+    val (ready, rest) = pending.partition(_.tsMicros <= wmMicros)
+    var last = lastTs
+    var seq = seq0
+    val out = ready.sortBy(e => (e.tsMicros, e.event_id)).map { e =>
+      val newSession = last == Long.MinValue || e.tsMicros - last > gapMicros
+      seq = if (newSession) seq + 1 else seq
+      last = e.tsMicros
+      SessionAssign(userId, e.event_id, seq)
+    }
+    (out, (rest, last, seq))
+  }
+
+  /** Event-time sessionization for out-of-order STREAMS: incoming
+    * events buffer in per-user state and are finalized only once the
+    * watermark passes their event time — at that point no in-horizon
+    * arrival can precede them (anything earlier than the watermark is
+    * dropped by the framework as late), so the emitted sequence is
+    * identical however the same events are split across micro-batches
+    * (StreamingSpec replays 1-batch vs 3-batch to prove it).
+    * EventTimeTimeout re-fires the group when the watermark reaches
+    * its earliest pending event, flushing without waiting for new
+    * per-user traffic.
+    *
+    * State per user = pending events inside the reorder horizon plus
+    * one (lastTs, seq) pair; the pair persists after the buffer
+    * drains so session numbering stays continuous across idle gaps
+    * (the batch sessionizer's per-user ordinal semantics — evicting
+    * it would reset seq). At scale, state is bounded by the horizon:
+    * watermarkDelay × per-user event rate.
+    *
+    * Streaming-only by design: batch execution never advances a
+    * watermark, so nothing would flush — use [[sessionize]] for
+    * batch/backfill (same gap rule, oracle-checked via
+    * q_events_sessionize). */
+  def sessionizeEventTime(
+      events: Dataset[Event],
+      gapMicros: Long = 30L * 60 * 1000 * 1000,
+      watermarkDelay: String = "30 minutes"): Dataset[SessionAssign] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("__event_time", timestamp_micros(col("tsMicros")))
+      .withWatermark("__event_time", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionBuffer]) => {
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val st0 = state.getOption.getOrElse((Nil: List[Event], Long.MinValue, 0L))
+          val st1 = if (state.hasTimedOut) st0
+            else st0.copy(_1 = st0._1 ++ it)
+          val (out, st2) = flushReady(userId, st1, wmMicros, gapMicros)
+          state.update(st2)
+          if (st2._1.nonEmpty) {
+            // fire again once the watermark reaches the earliest
+            // pending event (+1ms: the timeout must sit strictly
+            // beyond the current watermark)
+            val earliestMs = st2._1.map(_.tsMicros).min / 1000L
+            state.setTimeoutTimestamp(math.max(earliestMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
         })
   }
 }

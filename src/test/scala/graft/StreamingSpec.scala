@@ -96,6 +96,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time sessionize: identical assignments whether events arrive in 1 or 3 batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, uid: Long, tsSec: Long) = Event(id, uid, tsSec * 1000000L, "e", 1.0)
+    // event 2 (ts 10060) ARRIVES after event 4 (ts 15000) — the
+    // cross-batch out-of-order case the processing-time sessionizer
+    // would missequence; the sentinels only push the final watermark
+    // past every real event so the buffers fully flush
+    val b1 = Seq(ev(1, 1, 10000), ev(4, 1, 15000), ev(10, 2, 10100))
+    val b2 = Seq(ev(2, 1, 10060), ev(11, 2, 12000))
+    val sentinelIds = Set(98L, 99L)
+    val b3 = Seq(ev(3, 1, 15060), ev(12, 2, 12100), ev(99, 1, 200000), ev(98, 2, 200000))
+
+    def run(name: String, batches: Seq[Seq[Event]]): Map[(Long, Long), Long] = {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.sessionizeEventTime(ms.toDS(), watermarkDelay = "2 hours")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        q.processAllAvailable()
+        spark.table(name).as[StreamOps.SessionAssign].collect()
+          .filterNot(s => sentinelIds.contains(s.event_id))
+          .map(s => (s.user_id, s.event_id) -> s.session_seq).toMap
+      } finally q.stop()
+    }
+
+    val three = run("sess3", Seq(b1, b2, b3))
+    val one = run("sess1", Seq(b1 ++ b2 ++ b3))
+    assert(three == one)
+    // ground truth from the 30-min gap rule in EVENT-TIME order:
+    // user 1: 10000,10060 | 15000,15060 — user 2: 10100 | 12000,12100
+    val expect = Map(
+      (1L, 1L) -> 1L, (1L, 2L) -> 1L, (1L, 4L) -> 2L, (1L, 3L) -> 2L,
+      (2L, 10L) -> 1L, (2L, 11L) -> 2L, (2L, 12L) -> 2L)
+    assert(three == expect)
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) matches the batch sessionizer") {
     import spark.implicits._
     val ev = eventsDf.select(
