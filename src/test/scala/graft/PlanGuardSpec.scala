@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Permanent plan-shape regression gate over the WHOLE query catalog:
+  * the properties the scale story depends on — no quadratic join
+  * strategies anywhere, predicate pushdown reaching the parquet
+  * scans — asserted from `explain("formatted")` text for every
+  * `SparkEntry.queries` entry, so a refactor that silently degrades a
+  * plan (a dropped equi-key turning a join cartesian, a cast blocking
+  * pushdown) fails CI instead of surfacing as a 100× regression at
+  * cluster scale.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("no query plans a CartesianProduct or BroadcastNestedLoopJoin") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = planOf(name)
+      val bad = plan.linesIterator
+        .filter(l => l.contains("CartesianProduct") || l.contains("BroadcastNestedLoopJoin"))
+        .toSeq
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString("; ")}")
+    }
+    assert(offenders.isEmpty,
+      s"scale-hostile join strategy planned by:\n${offenders.mkString("\n")}")
+  }
+
+  test("filtered scans push their predicates into the parquet reader") {
+    val filteredScans = Seq("q_filter_scan", "q_predicate_set", "q_ordered_scan")
+    filteredScans.foreach { name =>
+      val plan = planOf(name)
+      val pushed = plan.linesIterator.map(_.trim).filter(_.startsWith("PushedFilters:")).toSeq
+      assert(pushed.nonEmpty, s"$name: no PushedFilters section in plan\n$plan")
+      assert(pushed.exists(l => !l.endsWith("[]")),
+        s"$name: every PushedFilters list is empty — pushdown lost: $pushed")
+    }
+  }
+}
