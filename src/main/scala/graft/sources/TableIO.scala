@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import scala.collection.mutable
 
 /** The engine's two-connection abstraction. The reference holds two
@@ -29,18 +30,48 @@ final class ParquetDirIO(
     originalDir: String,
     targetDir: String,
     writeMode: String = "overwrite",
-    maxRecordsPerFile: Option[Long] = None) extends TableIO {
+    maxRecordsPerFile: Option[Long] = None,
+    upsertKeys: Map[String, Seq[String]] = Map.empty) extends TableIO {
   def readOriginal(table: String): DataFrame =
     spark.read.parquet(s"$originalDir/$table.parquet")
   def readTarget(table: String): DataFrame =
     spark.read.parquet(s"$targetDir/$table.parquet")
+
+  private def fs(path: org.apache.hadoop.fs.Path) =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def writeTarget(table: String, df: DataFrame): Unit = {
-    // file sizing: at scale, both tiny-file storms (per-task dribbles)
-    // and monolithic files (no scan parallelism) hurt — cap records
-    // per file and let the writer split
-    val w = df.write.mode(writeMode)
-    maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
-      .parquet(s"$targetDir/$table.parquet")
+    val pathStr = s"$targetDir/$table.parquet"
+    val path = new org.apache.hadoop.fs.Path(pathStr)
+    upsertKeys.get(table) match {
+      case Some(keys) if fs(path).exists(path) =>
+        // Keyed upsert (re-runnable migrations — closes the
+        // reference's transaction-wrapper gap, SURVEY §7.4, for
+        // half-written re-runs): existing rows whose key matches an
+        // incoming row are replaced, everything else kept. A direct
+        // self-overwrite would corrupt (the scan feeding the write
+        // reads the files being replaced), so the merge lands in a
+        // staging dir first and swaps in via delete+rename — on a
+        // mid-swap crash the staging dir still holds the full merged
+        // result for manual recovery.
+        val incomingKeys = df.select(keys.map(col): _*).distinct()
+        val keep = readTarget(table).join(incomingKeys, keys, "left_anti")
+        val merged = keep.unionByName(df)
+        val staging = new org.apache.hadoop.fs.Path(s"$pathStr.__graft_staging")
+        val w = merged.write.mode("overwrite")
+        maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
+          .parquet(staging.toString)
+        val f = fs(path)
+        f.delete(path, true)
+        require(f.rename(staging, path), s"staging swap failed for $pathStr")
+      case _ =>
+        // file sizing: at scale, both tiny-file storms (per-task
+        // dribbles) and monolithic files (no scan parallelism) hurt —
+        // cap records per file and let the writer split
+        val w = df.write.mode(writeMode)
+        maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
+          .parquet(pathStr)
+    }
   }
 }
 
@@ -49,7 +80,8 @@ final class ParquetDirIO(
   * registry readable back as pre-seeded tables. */
 final class InMemoryIO(
     original: Map[String, DataFrame],
-    seededTarget: Map[String, DataFrame] = Map.empty) extends TableIO {
+    seededTarget: Map[String, DataFrame] = Map.empty,
+    upsertKeys: Map[String, Seq[String]] = Map.empty) extends TableIO {
   val written: mutable.LinkedHashMap[String, DataFrame] = mutable.LinkedHashMap.empty
   def readOriginal(table: String): DataFrame =
     original.getOrElse(table,
@@ -58,9 +90,23 @@ final class InMemoryIO(
     written.getOrElse(table, seededTarget.getOrElse(table,
       throw new NoSuchElementException(s"no target table '$table'")))
   def writeTarget(table: String, df: DataFrame): Unit = {
-    // Same-target appends (aliased map entries, README.md:59-63)
-    // accumulate via unionByName.
-    written(table) = written.get(table).map(_.unionByName(df)).getOrElse(df)
+    written(table) = upsertKeys.get(table) match {
+      case Some(keys) =>
+        // keyed upsert: matching rows replaced, others kept; a
+        // pre-seeded table merges with its seed (a re-run against an
+        // already-populated target is exactly the upsert use case)
+        written.get(table).orElse(seededTarget.get(table)) match {
+          case Some(cur) =>
+            cur.join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
+              .unionByName(df)
+          case None => df
+        }
+      case None =>
+        // Same-target appends (aliased map entries, README.md:59-63)
+        // accumulate via unionByName; a first write SHADOWS any seed
+        // (historic append semantics, relied on by the specs).
+        written.get(table).map(_.unionByName(df)).getOrElse(df)
+    }
   }
 }
 
@@ -83,7 +129,8 @@ final class JdbcIO(
     partitioning: Map[String, JdbcPartitioning] = Map.empty,
     fetchSize: Int = 10000,
     batchSize: Int = 10000,
-    writeMode: String = "append") extends TableIO {
+    writeMode: String = "append",
+    upsertKeys: Map[String, Seq[String]] = Map.empty) extends TableIO {
 
   private def props(m: Map[String, String]): java.util.Properties = {
     val p = new java.util.Properties()
@@ -114,9 +161,65 @@ final class JdbcIO(
     ) { case (r, (k, v)) => r.option(k, v) }.load()
 
   def writeTarget(table: String, df: DataFrame): Unit =
-    df.write.mode(writeMode)
-      .option("batchsize", batchSize.toString)
-      .jdbc(targetUrl, table, props(targetProps))
+    upsertKeys.get(table) match {
+      case Some(keys) => upsertWrite(table, df, keys)
+      case None =>
+        df.write.mode(writeMode)
+          .option("batchsize", batchSize.toString)
+          .jdbc(targetUrl, table, props(targetProps))
+    }
+
+  /** Keyed upsert via staging table + set-based delete-insert: the
+    * batch lands in `<table>__graft_staging` through the normal
+    * distributed JDBC write, then ONE driver-side transaction runs
+    * `DELETE ... WHERE EXISTS (match on keys)` + `INSERT ... SELECT`
+    * against the database — the merge itself is set-based SQL executed
+    * by the DB engine (no per-row round trips, no driver-side data),
+    * and a failure before COMMIT leaves the target untouched. This
+    * closes the reference's transaction-wrapper gap (its
+    * `DB::transaction` wrapper, src/TransportorTemp.temp:13-19;
+    * SURVEY §7.4) for re-runnable migrations: a crashed half-written
+    * run re-runs to the same final state instead of duplicating rows.
+    * A missing target table degrades to a plain append (first run
+    * creates it). */
+  private def upsertWrite(table: String, df: DataFrame, keys: Seq[String]): Unit = {
+    val conn = java.sql.DriverManager.getConnection(targetUrl, props(targetProps))
+    val targetExists =
+      try {
+        val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+        try rs.next() finally rs.close()
+      } catch { case _: java.sql.SQLException => conn.close(); throw new IllegalStateException(
+        s"cannot probe target table '$table'") }
+    try {
+      if (!targetExists) {
+        df.write.mode("append")
+          .option("batchsize", batchSize.toString)
+          .jdbc(targetUrl, table, props(targetProps))
+      } else {
+        val staging = s"${table}__graft_staging"
+        df.write.mode("overwrite")
+          .option("batchsize", batchSize.toString)
+          .jdbc(targetUrl, staging, props(targetProps))
+        // Spark's JDBC writer creates columns as case-preserving
+        // QUOTED identifiers; unquoted names would case-normalize and
+        // miss them, so quote the keys exactly as the frame spells
+        // them (both staging and target are Spark-written).
+        val matchPred = keys.map(k => s"""s."$k" = $table."$k"""").mkString(" AND ")
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try {
+          st.executeUpdate(
+            s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $staging s WHERE $matchPred)")
+          st.executeUpdate(s"INSERT INTO $table SELECT * FROM $staging")
+          conn.commit()
+          st.executeUpdate(s"DROP TABLE $staging")
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally st.close()
+      }
+    } finally conn.close()
+  }
 }
 
 /** Range-partitioning spec for one JDBC source table. */

@@ -50,4 +50,43 @@ class JdbcIOSpec extends SparkSpec {
     assert(back.count() == 48)
     assert(back.columns.map(_.toLowerCase).sorted.toSeq == Seq("sid", "username"))
   }
+
+  test("JDBC keyed upsert: staging delete-insert makes re-runs idempotent") {
+    val srcUrl = freshDb("upsrc")
+    val dstUrl = freshDb("updst")
+    val conn = DriverManager.getConnection(srcUrl)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE people (id BIGINT, name VARCHAR(40))")
+      val ins = conn.prepareStatement("INSERT INTO people VALUES (?, ?)")
+      (1 to 10).foreach { i =>
+        ins.setLong(1, i.toLong); ins.setString(2, s"p$i"); ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally conn.close()
+
+    val io = new JdbcIO(spark, srcUrl, dstUrl,
+      upsertKeys = Map("staff" -> Seq("sid")))
+    val plan = TransportPlan.of(
+      "staff" -> TableMap(Some("people"), Seq(
+        Rename("sid", "id"), Rename("username", "name"))))
+
+    new Transportor(io, plan).runAndWrite() // first run creates the table
+    new Transportor(io, plan).runAndWrite() // re-run must not duplicate
+    assert(io.readTarget("staff").count() == 10)
+
+    // mutate the source: update one row, add one — the upsert must
+    // replace the matching key and append the new one
+    val c2 = DriverManager.getConnection(srcUrl)
+    try {
+      val st = c2.createStatement()
+      st.executeUpdate("UPDATE people SET name = 'renamed' WHERE id = 1")
+      st.executeUpdate("INSERT INTO people VALUES (11, 'p11')")
+    } finally c2.close()
+    new Transportor(io, plan).runAndWrite()
+    val back = io.readTarget("staff")
+    assert(back.count() == 11)
+    import org.apache.spark.sql.functions.col
+    assert(back.filter(col("sid") === 1L).head().getString(1) == "renamed")
+  }
 }

@@ -279,6 +279,41 @@ class TransportorSpec extends SparkSpec {
     assertRows(tr.frame("fact"), Seq(Row(1L, "hasV"), Row(2L, "miss")))
   }
 
+  test("upsert write mode makes re-runs idempotent and converges on changed sources") {
+    import graft.sources.OverlayIO
+    val base1 = df("id BIGINT, v STRING", Row(1L, "a"), Row(2L, "b"))
+    val base2 = df("id BIGINT, v STRING", Row(2L, "B2"), Row(3L, "c"))
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(Rename("id", "id"), Rename("v", "v"))))
+    val io = new InMemoryIO(Map("base" -> base1), upsertKeys = Map("out" -> Seq("id")))
+    new Transportor(io, plan).runAndWrite()
+    new Transportor(io, plan).runAndWrite() // identical re-run: no duplicate rows
+    assertRows(io.readTarget("out"), Seq(Row(1L, "a"), Row(2L, "b")))
+    // changed source: key 2 updated in place, key 3 added, key 1 kept
+    new Transportor(new OverlayIO(io, Map("base" -> base2)), plan).runAndWrite()
+    assertRows(io.readTarget("out"), Seq(Row(1L, "a"), Row(2L, "B2"), Row(3L, "c")))
+  }
+
+  test("ParquetDirIO upsert merges via staging swap; re-runs converge") {
+    import graft.sources.ParquetDirIO
+    val src = java.nio.file.Files.createTempDirectory("graft_upsert_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_upsert_dst").toString
+    df("id BIGINT, v STRING", Row(1L, "a"), Row(2L, "b"))
+      .write.mode("overwrite").parquet(s"$src/base.parquet")
+    val io = new ParquetDirIO(spark, src, dst, upsertKeys = Map("out" -> Seq("id")))
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(Rename("id", "id"), Rename("v", "v"))))
+    new Transportor(io, plan).runAndWrite()
+    new Transportor(io, plan).runAndWrite() // re-run against existing files
+    assertRows(io.readTarget("out"), Seq(Row(1L, "a"), Row(2L, "b")))
+    df("id BIGINT, v STRING", Row(2L, "B2"), Row(3L, "c"))
+      .write.mode("overwrite").parquet(s"$src/base.parquet")
+    new Transportor(io, plan).runAndWrite()
+    assertRows(io.readTarget("out"), Seq(Row(1L, "a"), Row(2L, "B2"), Row(3L, "c")))
+    // the staging dir swapped away cleanly
+    assert(!new java.io.File(s"$dst/out.parquet.__graft_staging").exists())
+  }
+
   test("RowUdf receives the pristine source row even after earlier specs overwrite columns") {
     // The reference passes the untouched $source row to `function`
     // closures (src/DBT.php:395, 407-408); earlier column specs must
