@@ -13,8 +13,33 @@ import graft.functions.{HashExpressions, SimilarityFunctions, TextFunctions}
   * bucket keys, whose fan-out is controlled by band/bit parameters;
   * skewed buckets (boilerplate shingles, zero vectors) are the known
   * hazard and AQE skew-join handles residuals.
-  */
+  *
+  * Pair volume is quadratic in per-bucket multiplicity BY DEFINITION
+  * (D copies of one document are D·(D-1)/2 pairs), so a corpus with
+  * heavy boilerplate or mass duplication makes the pair OUTPUT itself
+  * explode — measured: a 10× fully-replicated corpus multiplied
+  * near-dup pair runtime ~100× (see BASELINE.md sf1 notes). The
+  * `maxBucketSize` cap on each near-dup operator drops buckets larger
+  * than the cap before the self-join — the standard "too-common
+  * bucket" guard: mega-buckets are boilerplate, and their pairs are
+  * junk that exact-dedup (cheap, linear) already catches. */
 object Dedup {
+
+  /** Keep only bucket keys whose membership is within `cap`: one
+    * partial-aggregated count over the (short) bucket key, joined
+    * back on the same key — the shuffle partitioning is reused, and
+    * the payload is the key + a count, never the documents. */
+  private def capBuckets(
+      exploded: DataFrame, keyCols: Seq[String], cap: Option[Int]): DataFrame =
+    cap match {
+      case Some(n) =>
+        val small = exploded.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__bucket_n"))
+          .filter(col("__bucket_n") <= n)
+          .drop("__bucket_n")
+        exploded.join(small, keyCols)
+      case None => exploded
+    }
 
   /** Exact duplicate groups by raw text: one row per distinct text
     * with the surviving (minimum) id and the multiplicity. A single
@@ -58,7 +83,8 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      jaccardThreshold: Double = 0.0): DataFrame = {
+      jaccardThreshold: Double = 0.0,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     // one-pass native tokenize+shingle+hash (ShingleHashes), then the
@@ -74,11 +100,12 @@ object Dedup {
     // set is the difference between shuffling ids and shuffling the
     // corpus. Shingle sets are re-attached afterwards, for surviving
     // candidates only.
-    val exploded = prep.select(
+    val exploded0 = prep.select(
       col("id"),
       posexplode(array((0 until bands).map { j =>
         hash(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand), lit(j))
       }: _*)).as(Seq("band_idx", "band_hash")))
+    val exploded = capBuckets(exploded0, Seq("band_idx", "band_hash"), maxBucketSize)
 
     val a = exploded.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))
     val b = exploded.select(col("id").as("id_b"), col("band_idx"), col("band_hash"))
@@ -116,7 +143,8 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val blocks = maxHamming + 1
     val blockBits = 64 / blocks
     // 1-gram ShingleHashes = hashed token set, computed in one native pass
@@ -130,9 +158,10 @@ object Dedup {
       shiftrightunsigned(col("simhash"), j * blockBits).bitwiseAND(lit(mask)).as(s"blk$j")
     }
     val withBlocks = prep.select((col("id") +: col("simhash") +: blockCols): _*)
-    val exploded = withBlocks.select(
+    val exploded0 = withBlocks.select(
       col("id"), col("simhash"),
       posexplode(array((0 until blocks).map(j => col(s"blk$j")): _*)).as(Seq("blk_idx", "blk_val")))
+    val exploded = capBuckets(exploded0, Seq("blk_idx", "blk_val"), maxBucketSize)
 
     val a = exploded.select(col("id").as("id_a"), col("simhash").as("sim_a"),
       col("blk_idx"), col("blk_val"))
@@ -168,12 +197,15 @@ object Dedup {
       threshold: Double = 0.9,
       numPlanes: Int = 10,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val planes = SimilarityFunctions.hyperplanes(numPlanes, dim, seed)
     // norms computed once per row before the bucket join, not once per pair
-    val prep = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      SimilarityFunctions.norm(col(vecCol)).as("nrm"),
-      SimilarityFunctions.lshBucket(col(vecCol), planes).as("bucket"))
+    val prep = capBuckets(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        SimilarityFunctions.norm(col(vecCol)).as("nrm"),
+        SimilarityFunctions.lshBucket(col(vecCol), planes).as("bucket")),
+      Seq("bucket"), maxBucketSize)
     val a = prep.select(col("id").as("id_a"), col("vec").as("vec_a"),
       col("nrm").as("nrm_a"), col("bucket"))
     val b = prep.select(col("id").as("id_b"), col("vec").as("vec_b"),

@@ -193,6 +193,12 @@ final class Transportor(
         "table map needs original_table or middle (src/DBT.php:135-144)"))
       var df = io.readOriginal(source)
       if (map.extraConditions.nonEmpty) df = df.filter(Predicates.all(map.extraConditions))
+      // Reference-mandated source ORDER BY (src/DBT.php:168). SCALE
+      // WARNING: this is a GLOBAL sort — a full range-shuffle of the
+      // source — whose ordering an appending parquet/JDBC write then
+      // mostly discards. Keep `order` only when the destination truly
+      // needs ordered ingestion; at 100 TB it is usually the most
+      // expensive line in the plan.
       map.order.foreach { o =>
         df = df.orderBy(if (o.direction == "desc") col(o.orderBy).desc else col(o.orderBy).asc)
       }

@@ -120,6 +120,43 @@ class ExtensionSpec extends SparkSpec {
     assert(f1.getInt(f1.fieldIndex("width")) >= 64 && f1.getInt(f1.fieldIndex("height")) >= 64)
   }
 
+  test("maxBucketSize drops mega-buckets but keeps small-bucket near-dup pairs") {
+    // 40 identical boilerplate docs form one mega-bucket (780 junk
+    // pairs — the quadratic blowup measured at sf1); one genuine
+    // near-dup pair lives in its own tiny bucket and must survive
+    val boiler = "common boilerplate header text repeated everywhere in this synthetic corpus"
+    val unique = "a genuinely unique document about spark lsh dedup bucket capping"
+    val rows = (1L to 40L).map(i => Row(i, boiler)) ++ Seq(
+      Row(100L, unique), Row(101L, unique)) // duplicate pair in its own tiny bucket
+    val docs = df("doc_id BIGINT, text STRING", rows: _*)
+
+    val uncapped = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)))
+    assert(uncapped.size >= 780) // the 40-copy group alone is 780 pairs
+
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+      maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
+
+    val cappedMh = Dedup.minhashPairs(docs, "doc_id", "text",
+      jaccardThreshold = 0.5, maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedMh == Set((100L, 101L)))
+
+    // embedding path: 30 identical vectors = one mega-bucket
+    import spark.implicits._
+    val vecs = (1L to 30L).map(i => (i, Seq.fill(8)(1.0f) ++ Seq.fill(56)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val unc = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, numPlanes = 6)
+    assert(unc.count() == 435) // 30*29/2
+    val cap = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, numPlanes = 6, maxBucketSize = Some(10))
+    assert(cap.count() == 0)
+  }
+
   test("multimodal: ImageIO decodes real PNG/JPEG payloads to true dimensions") {
     import spark.implicits._
     def image(wd: Int, ht: Int, seed: Int, format: String): Array[Byte] = {
