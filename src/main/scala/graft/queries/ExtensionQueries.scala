@@ -29,6 +29,7 @@ object ExtensionQueries {
     pq(s, dir, "documents").select(
       col("doc_id"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.meanTokenLen(col("text")).as("mean_token_len"),
       TextFunctions.fingerprint(col("text")).as("fp"))
 
   private val qTextLangid: Q = (s, dir) =>
@@ -306,6 +307,8 @@ object ExtensionQueries {
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_text_stats" ->
       s"""SELECT doc_id, $nTokensSql AS n_tokens,
+         |       (CAST(length(regexp_replace(text, '$ws+', '', 'g')) AS DOUBLE)
+         |        / CAST(greatest($nTokensSql, 1) AS DOUBLE)) AS mean_token_len,
          |       md5(trim(regexp_replace(lower(text), '$ws+', ' ', 'g'))) AS fp
          |FROM documents""".stripMargin,
     "q_text_langid" -> langCaseSql,

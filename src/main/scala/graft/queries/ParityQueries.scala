@@ -317,19 +317,10 @@ object ParityQueries {
   // ------------------------------------------------------------------
   // Beyond-reference relational ops (SURVEY.md §2.15), Spark built-ins.
 
-  /** Money-sum shape chosen for speed AND cross-engine exactness:
-    * each value rounds to integer "cents" (`round(x*scale)` — both
-    * engines round doubles half-away-from-zero, and the inputs are
-    * identical doubles), then sums in an exact integer accumulator —
-    * Spark DECIMAL(38,0) (compact-long-backed until astronomically
-    * large), DuckDB HUGEINT — so the result is order-independent and
-    * overflow-proof at any corpus size, unlike a plain BIGINT sum
-    * (overflows ~9.2e18 cents/group) or a DOUBLE sum (order-
-    * dependent). Measured at 10× (sf1): the previous
-    * double→DECIMAL(18,x) cast-per-row path GC-spiked to 25-50 s
-    * under contention; this form stays within ~1.4× of the bare scan. */
+  /** See [[graft.functions.ExactAgg.moneySum]] — exact integer-cents
+    * sums, bit-exact across engines and overflow-proof at scale. */
   private def moneySum(c: Column, scale: Int): Column =
-    sum(round(c * scale).cast("bigint").cast("decimal(38,0)")).cast("double") / scale.toDouble
+    graft.functions.ExactAgg.moneySum(c, scale)
 
   private val qAggGroup: Q = (s, dir) =>
     pq(s, dir, "lineitem")
@@ -408,7 +399,7 @@ object ParityQueries {
       .groupBy("h", "event_type")
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        moneySum(col("value"), 100).as("total_value"))
 
   /** As-of join: each click enriched with the latest prior purchase
     * value of the same user — oracle-checked against DuckDB's native
@@ -595,7 +586,7 @@ object ParityQueries {
         |WHERE rn <= 3""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

@@ -42,7 +42,7 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        graft.functions.ExactAgg.moneySum(col("value"), 100).as("total_value"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("total_value"))
 
   /** Continuous transport: run one table's declarative TableMap over a

@@ -30,7 +30,7 @@ class StreamingSpec extends SparkSpec {
         .select(date_trunc("hour", col("ts")).as("h"), col("event_type"), col("value"))
         .groupBy("h", "event_type")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+          graft.functions.ExactAgg.moneySum(col("value"), 100).as("total_value"))
         .collect().toSet
       assert(streamed == batch)
     } finally q.stop()
