@@ -118,22 +118,20 @@ object Similarity {
       .select(vecCol).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.nonEmpty, "empty corpus")
-    val centroids = refineCentroids(sample, nlist, refineIters)
+    ivfTopKWithCentroids(df, idCol, vecCol, query, k,
+      refineCentroids(sample, nlist, refineIters), nprobe)
+  }
 
-    val q = query.map(_.toDouble)
-    val probeCells: Seq[Int] = centroids.zipWithIndex
-      .map { case (c, i) => i -> cosineScalar(q, c) }
-      .sortBy { case (i, s) => (-s, i) }
-      .take(math.min(nprobe, centroids.length))
-      .map(_._1).toSeq
-
-    // Nearest-centroid assignment as a closure UDF with the centroid
-    // matrix captured (shipped with the task closure). An
-    // expression-tree formulation would inline nlist × dim literal
-    // nodes (~1k for 16×64), which blows up codegen compilation time;
-    // the UDF keeps the per-row loop tight and the plan tiny.
+  /** Nearest-centroid assignment as a closure UDF with the centroid
+    * matrix captured (shipped with the task closure). An
+    * expression-tree formulation would inline nlist × dim literal
+    * nodes (~1k for 16×64), which blows up codegen compilation time;
+    * the UDF keeps the per-row loop tight and the plan tiny. Same
+    * fused cosine + strict-> earliest-cell tie-break as
+    * [[refineCentroids]]. */
+  private def assignCellUdf(centroids: Array[Array[Double]]) = {
     val centroidsB = centroids
-    val assignCell = udf { (vec: Seq[Float]) =>
+    udf { (vec: Seq[Float]) =>
       var best = -1; var bestSim = Double.MinValue
       var c = 0
       while (c < centroidsB.length) {
@@ -150,14 +148,93 @@ object Similarity {
       }
       best
     }
+  }
 
+  /** IVF probe + exact re-rank for a given centroid set: assign every
+    * row (single scan, no shuffle), keep the query's `nprobe` best
+    * cells, exact cosine on those rows only. */
+  def ivfTopKWithCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      centroids: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    val q = query.map(_.toDouble)
+    val probeCells: Seq[Int] = centroids.zipWithIndex
+      .map { case (c, i) => i -> cosineScalar(q, c) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(math.min(nprobe, centroids.length))
+      .map(_._1).toSeq
     val qLit = array(query.map(v => lit(v.toDouble)).toIndexedSeq: _*)
-    df.withColumn("__cell", assignCell(col(vecCol)))
+    df.withColumn("__cell", assignCellUdf(centroids)(col(vecCol)))
       .filter(col("__cell").isin(probeCells: _*))
       .select(col(idCol).as("id"),
         SimilarityFunctions.cosine(col(vecCol), qLit).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** Distributed Lloyd refinement over the FULL corpus — the scale
+    * path when a driver-side sample can't represent the data (the
+    * sample variant collects `sampleSize` rows; this collects only
+    * `nlist × dim` partial sums per iteration, regardless of corpus
+    * size).
+    *
+    * Deterministic by construction, independent of partitioning: each
+    * vector component is quantized to an integer (`round(x · 2^quantBits)`)
+    * and the per-(cell, dim) sums accumulate in DECIMAL(38,0) — exact
+    * integer math, so any aggregation order yields the identical
+    * result (a double sum would drift with partitioning; verified by
+    * a repartition-invariance test). The centroid update divides the
+    * exact sum by the exact count in double precision. Quantization
+    * at the default 2^30 keeps component error ≤ 2^-31 — irrelevant
+    * to cluster quality — while the DECIMAL(38,0) accumulator leaves
+    * ~1e28 headroom over any realistic corpus.
+    *
+    * Per iteration: one scan (assignment UDF) + one partial-aggregated
+    * shuffle of nlist×dim keyed sums. Empty cells keep their previous
+    * centroid. */
+  def kmeansCentroidsDistributed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      iters: Int = 2,
+      quantBits: Int = 30): Array[Array[Double]] = {
+    val quant = (1L << quantBits).toDouble
+    // deterministic init: first nlist rows by id (bounded collect)
+    var cents: Array[Array[Double]] = df
+      .orderBy(col(idCol).asc).limit(nlist)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(cents.nonEmpty, "empty corpus")
+    val dim = cents(0).length
+
+    var it = 0
+    while (it < iters) {
+      val partials = df
+        .select(assignCellUdf(cents)(col(vecCol)).as("cell"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(
+          sum(round(col("x").cast("double") * quant).cast("bigint").cast("decimal(38,0)"))
+            .as("qsum"),
+          count(lit(1)).as("n"))
+        .collect() // nlist × dim rows — bounded, independent of corpus size
+      val next = cents.map(_.clone)
+      partials.foreach { r =>
+        val cell = r.getInt(0)
+        val d = r.getInt(1)
+        val qsum = r.getDecimal(2)
+        val n = r.getLong(3)
+        next(cell)(d) = qsum.doubleValue / n / quant
+      }
+      cents = next
+      it += 1
+    }
+    cents
   }
 
   /** LSH-bucketed ANN top-k: probe all buckets within `probeHamming`

@@ -156,6 +156,47 @@ class ScaleOpsSpec extends SparkSpec {
     assert(refined >= 0.9, s"refined recall $refined below 0.9")
   }
 
+  test("distributed k-means is partitioning-invariant and matches the driver-side Lloyd") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val centers = Array.tabulate(4) { j =>
+      Array.tabulate(dim)(d => if (d / 4 == j) 5.0 else 0.0)
+    }
+    val pts = (0 until 256).map { i =>
+      val cl = if (i < 64) 0 else i % 4
+      val noise = if (cl == 0) 0.5 else 2.0
+      (i.toLong + 1,
+        Array.tabulate(dim)(d => (centers(cl)(d) + rnd.nextGaussian() * noise).toFloat).toSeq)
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+
+    // exact integer accumulation makes the result identical under ANY
+    // partitioning — the property a double sum could not give
+    val c3 = Similarity.kmeansCentroidsDistributed(
+      emb.repartition(3), "vec_id", "embedding", nlist = 8, iters = 2)
+    val c11 = Similarity.kmeansCentroidsDistributed(
+      emb.repartition(11), "vec_id", "embedding", nlist = 8, iters = 2)
+    assert(c3.map(_.toSeq).toSeq == c11.map(_.toSeq).toSeq)
+
+    // quantized distributed Lloyd tracks the driver-side exact Lloyd
+    // over the same (full) corpus to within quantization error
+    val sample = emb.orderBy(col("vec_id").asc).select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val driver = Similarity.refineCentroids(sample, nlist = 8, iters = 2)
+    c3.zip(driver).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-6) }
+    }
+
+    // and the refined centroids drive a high-recall partial probe
+    val qv = centers(3).map(x => (x + 0.1).toFloat)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 20)
+      .collect().map(_.getLong(0)).toSet
+    val got = Similarity.ivfTopKWithCentroids(emb, "vec_id", "embedding", qv, 20,
+      c3, nprobe = 2).collect().map(_.getLong(0)).toSet
+    assert((got intersect brute).size.toDouble / brute.size >= 0.9)
+  }
+
   test("IVF with nprobe == nlist is exactly brute force; partial probe is a subset superset-free top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
