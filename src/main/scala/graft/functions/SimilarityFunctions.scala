@@ -72,18 +72,27 @@ object SimilarityFunctions {
   def lshBucketUdf(vec: Column, planes: Array[Array[Double]]): Column = {
     val planesB = planes
     val f = udf { (v: Seq[Float]) =>
-      var bucket = 0L
-      var i = 0
-      while (i < planesB.length) {
-        val p = planesB(i)
-        var d = 0.0
-        var j = 0
-        val lim = math.min(p.length, v.length)
-        while (j < lim) { d += v(j).toDouble * p(j); j += 1 }
-        if (d >= 0.0) bucket |= (1L << i)
-        i += 1
+      // Degenerate-input parity with the expression path: a NULL
+      // vector yields bucket 0 there (null dot → `when` falls through
+      // on every plane), and a length-mismatched vector also yields
+      // bit 0 per plane (zip_with null-pads the shorter side, so the
+      // fold returns null). Mirror both instead of NPE/partial dots.
+      if (v == null) 0L
+      else {
+        var bucket = 0L
+        var i = 0
+        while (i < planesB.length) {
+          val p = planesB(i)
+          if (v.length == p.length) {
+            var d = 0.0
+            var j = 0
+            while (j < p.length) { d += v(j).toDouble * p(j); j += 1 }
+            if (d >= 0.0) bucket |= (1L << i)
+          }
+          i += 1
+        }
+        bucket
       }
-      bucket
     }
     f(vec)
   }

@@ -63,9 +63,11 @@ object Multimodal {
   }
 
   /** Pack a real binary column (actual image/audio blobs) with sniffed
-    * media type — the production twin of [[pack]]. */
+    * media type — the production twin of [[pack]]. Null payloads sniff
+    * to octet-stream rather than crashing the task. */
   def packBinary(df: DataFrame, idCol: String, binCol: String): DataFrame = {
-    val sniff = udf((b: Array[Byte]) => sniffMediaType(b))
+    val sniff = udf((b: Array[Byte]) =>
+      if (b == null) "application/octet-stream" else sniffMediaType(b))
     df.select(
       col(idCol).cast("bigint").as("doc_id"),
       sniff(col(binCol)).as("media_type"),
@@ -93,23 +95,51 @@ object Multimodal {
     Hashing.mix64(Hashing.fnv64(bb.array()))
   }
 
+  /** Refuse to materialize images above this pixel count: a payload
+    * whose magic bytes match an image format but whose header is
+    * garbage (e.g. text starting with "GIF8" or "BM") can declare a
+    * bogus multi-gigapixel size and the decoder would try to allocate
+    * it. Header dimensions are read FIRST (cheap, no pixel decode)
+    * and checked against this bound. */
+  val maxDecodePixels: Long = 64L * 1000 * 1000
+
   /** Real image decode via `javax.imageio` (JDK-only; PNG/JPEG/GIF/
-    * BMP). None when the payload isn't a decodable image — the caller
-    * falls back to the stub so the pipeline stays total. */
-  def tryDecodeImage(item: MediaItem): Option[MediaFeatures] = {
-    val parsed =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(item.payload)))
-      catch { case _: java.io.IOException => None }
-    parsed.map { im =>
-      MediaFeatures(
-        doc_id = item.doc_id,
-        byte_len = item.byte_len,
-        width = im.getWidth,
-        height = im.getHeight,
-        n_frames = 1,
-        feat_hash = pixelHash(im))
-    }
-  }
+    * BMP). None when the payload isn't a decodable image, when its
+    * header declares an implausible size, or when the plugin throws
+    * ANY non-fatal exception (ImageIO readers throw runtime
+    * exceptions, not just IOException, on malformed input) — the
+    * caller falls back to the stub so the pipeline stays total. */
+  def tryDecodeImage(item: MediaItem): Option[MediaFeatures] =
+    try {
+      if (item.payload == null) None
+      else {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(item.payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val w = reader.getWidth(0)
+              val h = reader.getHeight(0)
+              if (w <= 0 || h <= 0 || w.toLong * h > maxDecodePixels) None
+              else {
+                val im = reader.read(0)
+                Some(MediaFeatures(
+                  doc_id = item.doc_id,
+                  byte_len = item.byte_len,
+                  width = w,
+                  height = h,
+                  n_frames = 1,
+                  feat_hash = pixelHash(im)))
+              }
+            } finally reader.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decoder for non-image payloads — deterministic fake parse of
     * the payload bytes. Audio/video codecs aren't in this container;

@@ -43,25 +43,41 @@ final class ParquetDirIO(
   def writeTarget(table: String, df: DataFrame): Unit = {
     val pathStr = s"$targetDir/$table.parquet"
     val path = new org.apache.hadoop.fs.Path(pathStr)
+    val staging = new org.apache.hadoop.fs.Path(s"$pathStr.__graft_staging")
+    val f = fs(path)
+    // Crash recovery from a previous interrupted swap (write staging →
+    // delete target → rename staging): if the target is GONE but a
+    // staging dir remains, the crash hit between delete and rename —
+    // the staging dir holds the full merged result, so complete the
+    // swap now (otherwise the no-target branch below would silently
+    // rebuild the table from the incoming batch alone, dropping every
+    // previously kept row). If BOTH exist, the crash hit before the
+    // delete: the target is intact and the staging merge was never
+    // committed — discard it and redo the merge fresh.
+    if (upsertKeys.contains(table) && f.exists(staging)) {
+      if (!f.exists(path))
+        require(f.rename(staging, path), s"staging recovery failed for $pathStr")
+      else
+        f.delete(staging, true)
+    }
     upsertKeys.get(table) match {
-      case Some(keys) if fs(path).exists(path) =>
+      case Some(keys) if f.exists(path) =>
         // Keyed upsert (re-runnable migrations — closes the
         // reference's transaction-wrapper gap, SURVEY §7.4, for
         // half-written re-runs): existing rows whose key matches an
         // incoming row are replaced, everything else kept. A direct
         // self-overwrite would corrupt (the scan feeding the write
         // reads the files being replaced), so the merge lands in a
-        // staging dir first and swaps in via delete+rename — on a
-        // mid-swap crash the staging dir still holds the full merged
-        // result for manual recovery.
+        // staging dir first and swaps in via delete+rename.
+        // allowMissingColumns: a re-run after the plan adds a column
+        // null-fills the old rows (INSERT semantics) instead of
+        // throwing.
         val incomingKeys = df.select(keys.map(col): _*).distinct()
         val keep = readTarget(table).join(incomingKeys, keys, "left_anti")
-        val merged = keep.unionByName(df)
-        val staging = new org.apache.hadoop.fs.Path(s"$pathStr.__graft_staging")
+        val merged = keep.unionByName(df, allowMissingColumns = true)
         val w = merged.write.mode("overwrite")
         maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
           .parquet(staging.toString)
-        val f = fs(path)
         f.delete(path, true)
         require(f.rename(staging, path), s"staging swap failed for $pathStr")
       case _ =>
@@ -98,7 +114,7 @@ final class InMemoryIO(
         written.get(table).orElse(seededTarget.get(table)) match {
           case Some(cur) =>
             cur.join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
-              .unionByName(df)
+              .unionByName(df, allowMissingColumns = true)
           case None => df
         }
       case None =>
@@ -184,12 +200,19 @@ final class JdbcIO(
     * creates it). */
   private def upsertWrite(table: String, df: DataFrame, keys: Seq[String]): Unit = {
     val conn = java.sql.DriverManager.getConnection(targetUrl, props(targetProps))
+    // Existence probe via a zero-row SELECT, not getTables metadata:
+    // unquoted identifiers fold differently per database (Derby/Oracle
+    // uppercase, PostgreSQL lowercase, MySQL filesystem-dependent), so
+    // a metadata lookup on a guessed case can silently miss and every
+    // run would take the append path — duplicating rows, the exact
+    // failure upsert exists to prevent. The SELECT resolves the name
+    // through the same SQL path the merge statements use.
     val targetExists =
       try {
-        val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
-        try rs.next() finally rs.close()
-      } catch { case _: java.sql.SQLException => conn.close(); throw new IllegalStateException(
-        s"cannot probe target table '$table'") }
+        val st = conn.createStatement()
+        try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+        finally st.close()
+      } catch { case _: java.sql.SQLException => false }
     try {
       if (!targetExists) {
         df.write.mode("append")
@@ -203,14 +226,18 @@ final class JdbcIO(
         // Spark's JDBC writer creates columns as case-preserving
         // QUOTED identifiers; unquoted names would case-normalize and
         // miss them, so quote the keys exactly as the frame spells
-        // them (both staging and target are Spark-written).
+        // them. The INSERT lists columns EXPLICITLY in frame order on
+        // both sides — a positional `SELECT *` would silently
+        // misassign when a pre-existing target's column order differs
+        // from the frame's.
+        val cols = df.schema.fieldNames.map(c => s""""$c"""").mkString(", ")
         val matchPred = keys.map(k => s"""s."$k" = $table."$k"""").mkString(" AND ")
         conn.setAutoCommit(false)
         val st = conn.createStatement()
         try {
           st.executeUpdate(
             s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $staging s WHERE $matchPred)")
-          st.executeUpdate(s"INSERT INTO $table SELECT * FROM $staging")
+          st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
           conn.commit()
           st.executeUpdate(s"DROP TABLE $staging")
           conn.commit()

@@ -177,12 +177,17 @@ object StreamOps {
     * its earliest pending event, flushing without waiting for new
     * per-user traffic.
     *
-    * State per user = pending events inside the reorder horizon plus
-    * one (lastTs, seq) pair; the pair persists after the buffer
-    * drains so session numbering stays continuous across idle gaps
-    * (the batch sessionizer's per-user ordinal semantics — evicting
-    * it would reset seq). At scale, state is bounded by the horizon:
-    * watermarkDelay × per-user event rate.
+    * State per user = pending events inside the reorder horizon
+    * (bounded: watermarkDelay × per-user event rate) plus one
+    * (lastTs, seq) pair. By default the pair persists after the
+    * buffer drains so session numbering stays continuous across idle
+    * gaps (the batch sessionizer's per-user ordinal semantics) — at
+    * the cost of one small state row per distinct user EVER seen,
+    * which on an unbounded-cardinality stream grows without bound.
+    * Set `idleStateTimeout` to evict a user's state after that much
+    * idle event time: state becomes horizon-bounded, and a user
+    * returning later restarts at session_seq 1 (the documented
+    * trade).
     *
     * Streaming-only by design: batch execution never advances a
     * watermark, so nothing would flush — use [[sessionize]] for
@@ -191,7 +196,8 @@ object StreamOps {
   def sessionizeEventTime(
       events: Dataset[Event],
       gapMicros: Long = 30L * 60 * 1000 * 1000,
-      watermarkDelay: String = "30 minutes"): Dataset[SessionAssign] = {
+      watermarkDelay: String = "30 minutes",
+      idleStateTimeoutMs: Option[Long] = None): Dataset[SessionAssign] = {
     import events.sparkSession.implicits._
     events
       .withColumn("__event_time", timestamp_micros(col("tsMicros")))
@@ -202,16 +208,27 @@ object StreamOps {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionBuffer]) => {
           val wmMicros = state.getCurrentWatermarkMs() * 1000L
           val st0 = state.getOption.getOrElse((Nil: List[Event], Long.MinValue, 0L))
-          val st1 = if (state.hasTimedOut) st0
-            else st0.copy(_1 = st0._1 ++ it)
+          val arrived = if (state.hasTimedOut) Nil else it.toList
+          val st1 = st0.copy(_1 = st0._1 ++ arrived)
           val (out, st2) = flushReady(userId, st1, wmMicros, gapMicros)
-          state.update(st2)
           if (st2._1.nonEmpty) {
+            state.update(st2)
             // fire again once the watermark reaches the earliest
             // pending event (+1ms: the timeout must sit strictly
             // beyond the current watermark)
             val earliestMs = st2._1.map(_.tsMicros).min / 1000L
             state.setTimeoutTimestamp(math.max(earliestMs, state.getCurrentWatermarkMs() + 1L))
+          } else idleStateTimeoutMs match {
+            case Some(_) if state.hasTimedOut && arrived.isEmpty && out.isEmpty =>
+              // idle timeout fired with nothing buffered, arrived, or
+              // flushed: this user has been silent for the idle window
+              // — evict (seq restarts if they return)
+              state.remove()
+            case Some(idle) =>
+              state.update(st2)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + math.max(idle, 1L))
+            case None =>
+              state.update(st2)
           }
           out.iterator
         })

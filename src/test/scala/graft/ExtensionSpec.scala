@@ -193,6 +193,22 @@ class ExtensionSpec extends SparkSpec {
     assert(got(4L) == Multimodal.decodeStub(items(3)))
   }
 
+  test("multimodal: image-magic-prefixed garbage and null payloads fall back, never crash") {
+    import spark.implicits._
+    // text that SNIFFS as an image (magic-byte prefix) but whose
+    // header is garbage — the decoder must reject it (header parse or
+    // implausible-size guard), not throw or allocate gigabytes
+    val traps = Seq(
+      Multimodal.MediaItem(1L, "t", "GIF89a is a common image format on the early web".getBytes("UTF-8"), 48L),
+      Multimodal.MediaItem(2L, "t", "BMW announced record sales figures this quarter".getBytes("UTF-8"), 47L),
+      Multimodal.MediaItem(3L, "t", Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 77, 1), 10L))
+    val got = Multimodal.extractFeatures(traps.toDS()).collect().map(f => f.doc_id -> f).toMap
+    traps.foreach { t => assert(got(t.doc_id) == Multimodal.decodeStub(t)) }
+    // null payload: tryDecodeImage declines (stub would also NPE on
+    // hashing, so only assert the try path and the sniffer)
+    assert(Multimodal.tryDecodeImage(Multimodal.MediaItem(4L, "t", null, 0L)).isEmpty)
+  }
+
   test("language id picks marker-matching language, 'und' when nothing matches") {
     val t = df("doc_id BIGINT, text STRING",
       Row(1L, "the cat and the dog of the house is to blame"),

@@ -119,6 +119,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(topk.count() == 10)
   }
 
+  test("LSH bucket paths agree on degenerate inputs (null vector, wrong dimension)") {
+    import spark.implicits._
+    val planes = SimilarityFunctions.hyperplanes(8, 4, 42L)
+    val rows: Seq[(Long, Seq[Float])] = Seq(
+      1L -> Seq(1f, 2f, 3f, 4f),   // well-formed
+      2L -> null,                   // null vector
+      3L -> Seq(1f, 2f))            // wrong dimension (2 vs 4)
+    val d = rows.toDF("id", "vec")
+    val both = d.select(col("id"),
+      SimilarityFunctions.lshBucketExpr(col("vec"), planes).as("e"),
+      SimilarityFunctions.lshBucketUdf(col("vec"), planes).as("u"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    both.foreach { case (id, (e, u)) => assert(e == u, s"id=$id expr=$e udf=$u") }
+    assert(both(2L) == ((0L, 0L))) // null vector buckets to 0 on both paths
+    assert(both(3L) == ((0L, 0L))) // dimension mismatch buckets to 0 on both paths
+  }
+
   test("k-means refinement beats first-N centroids at nprobe < nlist on clustered data") {
     // 4 well-separated clusters; ids ordered so the first 64 rows all
     // sit in cluster 0 — the worst case for first-N-by-id centroids

@@ -134,6 +134,40 @@ class StreamingSpec extends SparkSpec {
     assert(three == expect)
   }
 
+  test("event-time sessionize idle eviction resets seq; default persists it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, uid: Long, tsSec: Long) = Event(id, uid, tsSec * 1000000L, "e", 1.0)
+    // user 1: one early session; user 2 is the watermark mover whose
+    // sentinels advance event time far enough to fire user 1's idle
+    // timeout before user 1 speaks again
+    val batches = Seq(
+      Seq(ev(1, 1, 1000), ev(90, 2, 1000)),
+      Seq(ev(91, 2, 50000)),            // wm -> ~49990: flushes user 1, arms idle timeout
+      Seq(ev(92, 2, 100000)),           // wm -> ~99990: idle timeout fires (evict if enabled)
+      Seq(ev(2, 1, 150000), ev(93, 2, 200000))) // user 1 returns; final sentinel flushes
+    def run(name: String, idle: Option[Long]): Map[Long, Long] = {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.sessionizeEventTime(ms.toDS(), watermarkDelay = "10 seconds",
+        idleStateTimeoutMs = idle)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        q.processAllAvailable()
+        spark.table(name).as[StreamOps.SessionAssign].collect()
+          .filter(_.user_id == 1L).map(s => s.event_id -> s.session_seq).toMap
+      } finally q.stop()
+    }
+    // default: (lastTs, seq) persists while idle -> second session is seq 2
+    val persisted = run("sess_keep", None)
+    assert(persisted == Map(1L -> 1L, 2L -> 2L))
+    // with idle eviction: user 1's state is reaped during the silence,
+    // so the returning event restarts at seq 1 (the documented trade)
+    val evicted = run("sess_evict", Some(10000L))
+    assert(evicted == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) matches the batch sessionizer") {
     import spark.implicits._
     val ev = eventsDf.select(

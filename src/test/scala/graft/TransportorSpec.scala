@@ -314,6 +314,42 @@ class TransportorSpec extends SparkSpec {
     assert(!new java.io.File(s"$dst/out.parquet.__graft_staging").exists())
   }
 
+  test("ParquetDirIO upsert recovers a crash between delete and rename") {
+    import graft.sources.ParquetDirIO
+    val src = java.nio.file.Files.createTempDirectory("graft_crash_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_crash_dst").toString
+    df("id BIGINT, v STRING", Row(3L, "c"))
+      .write.mode("overwrite").parquet(s"$src/base.parquet")
+    // simulate the crash window: the merged result reached the staging
+    // dir, the old target was deleted, the rename never happened
+    df("id BIGINT, v STRING", Row(1L, "a"), Row(2L, "b"))
+      .write.parquet(s"$dst/out.parquet.__graft_staging")
+    val io = new ParquetDirIO(spark, src, dst, upsertKeys = Map("out" -> Seq("id")))
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(Rename("id", "id"), Rename("v", "v"))))
+    new Transportor(io, plan).runAndWrite()
+    // recovery first (staging becomes the target), THEN the upsert —
+    // so the previously merged rows survive instead of being clobbered
+    assertRows(io.readTarget("out"), Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+    assert(!new java.io.File(s"$dst/out.parquet.__graft_staging").exists())
+  }
+
+  test("upsert re-run null-fills a newly added column instead of throwing") {
+    val base1 = df("id BIGINT, v STRING", Row(1L, "a"))
+    val base2 = df("id BIGINT, v STRING, extra STRING", Row(2L, "b", "x"))
+    val io = new InMemoryIO(Map("b1" -> base1, "b2" -> base2),
+      upsertKeys = Map("out" -> Seq("id")))
+    val p1 = TransportPlan.of(
+      "out" -> TableMap(Some("b1"), Seq(Rename("id", "id"), Rename("v", "v"))))
+    val p2 = TransportPlan.of(
+      "out" -> TableMap(Some("b2"),
+        Seq(Rename("id", "id"), Rename("v", "v"), Rename("extra", "extra"))))
+    new Transportor(io, p1).runAndWrite()
+    new Transportor(io, p2).runAndWrite() // plan evolved: +extra column
+    assertRows(io.readTarget("out").select("id", "v", "extra"),
+      Seq(Row(1L, "a", null), Row(2L, "b", "x")))
+  }
+
   test("RowUdf receives the pristine source row even after earlier specs overwrite columns") {
     // The reference passes the untouched $source row to `function`
     // closures (src/DBT.php:395, 407-408); earlier column specs must
