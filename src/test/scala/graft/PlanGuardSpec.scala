@@ -32,13 +32,23 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("filtered scans push their predicates into the parquet reader") {
-    val filteredScans = Seq("q_filter_scan", "q_predicate_set", "q_ordered_scan")
+    val filteredScans = Seq("q_filter_scan", "q_predicate_set", "q_ordered_scan", "q_agg_group")
     filteredScans.foreach { name =>
       val plan = planOf(name)
       val pushed = plan.linesIterator.map(_.trim).filter(_.startsWith("PushedFilters:")).toSeq
       assert(pushed.nonEmpty, s"$name: no PushedFilters section in plan\n$plan")
       assert(pushed.exists(l => !l.endsWith("[]")),
         s"$name: every PushedFilters list is empty — pushdown lost: $pushed")
+    }
+  }
+
+  test("group aggregates keep map-side partial aggregation") {
+    // losing the partial/final split turns a combine-then-shuffle into
+    // shuffling every input row — invisible at sf0.01, fatal at 100 TB
+    Seq("q_agg_group", "q_refers_agg", "q_events_hourly", "q_rollup").foreach { name =>
+      val plan = planOf(name)
+      assert(plan.contains("partial_"),
+        s"$name: no partial aggregation stage in plan\n$plan")
     }
   }
 }
