@@ -91,6 +91,46 @@ final class ParquetDirIO(
   }
 }
 
+/** Directory IO over any Spark DataSource format — the ingestion
+  * shape for raw training-data corpora, where JSONL (`format="json"`)
+  * is the lingua franca and CSV/ORC/text appear at the edges. Layout
+  * mirrors [[ParquetDirIO]]: `dir/<table>.<ext>` per table.
+  *
+  * Scale notes: JSONL/CSV are splittable when uncompressed or
+  * zstd/bzip2-compressed, so scans parallelize like parquet minus
+  * column pruning/stats — use this for INGESTION and write parquet
+  * out the other side (the default `writeFormat`). Malformed lines
+  * are the norm in web-scale corpora: the default PERMISSIVE mode
+  * nulls them instead of failing the job; pass an explicit schema
+  * through `readOptions` + [[schemas]] to skip Spark's
+  * whole-data inference pass, which at 100 TB is a full extra scan.
+  */
+final class FormatDirIO(
+    spark: SparkSession,
+    originalDir: String,
+    targetDir: String,
+    readFormat: String = "json",
+    writeFormat: String = "parquet",
+    readOptions: Map[String, String] = Map.empty,
+    writeOptions: Map[String, String] = Map.empty,
+    schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty,
+    writeMode: String = "overwrite") extends TableIO {
+  private def ext(fmt: String): String = if (fmt == "json") "jsonl" else fmt
+  def readOriginal(table: String): DataFrame = {
+    val r = spark.read.format(readFormat)
+      .option("mode", "PERMISSIVE")
+      .options(readOptions)
+    schemas.get(table).fold(r)(r.schema)
+      .load(s"$originalDir/$table.${ext(readFormat)}")
+  }
+  def readTarget(table: String): DataFrame =
+    spark.read.format(writeFormat).options(writeOptions)
+      .load(s"$targetDir/$table.${ext(writeFormat)}")
+  def writeTarget(table: String, df: DataFrame): Unit =
+    df.write.mode(writeMode).format(writeFormat).options(writeOptions)
+      .save(s"$targetDir/$table.${ext(writeFormat)}")
+}
+
 /** In-memory IO for tests and for side-effect-free plan evaluation:
   * originals are fixed DataFrames, target writes land in a mutable
   * registry readable back as pre-seeded tables. */

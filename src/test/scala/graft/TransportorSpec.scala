@@ -350,6 +350,36 @@ class TransportorSpec extends SparkSpec {
       Seq(Row(1L, "a", null), Row(2L, "b", "x")))
   }
 
+  test("FormatDirIO ingests JSONL (with malformed lines) and writes parquet") {
+    import graft.sources.FormatDirIO
+    import org.apache.spark.sql.types._
+    val src = java.nio.file.Files.createTempDirectory("graft_jsonl_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_jsonl_dst").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "the quick brown fox"}""",
+      """{"doc_id": 2, "text": "jumps over the lazy dog"}""",
+      """this line is not json at all""",
+      """{"doc_id": 3, "text": "a third document"}""")
+    val dir = new java.io.File(s"$src/docs.jsonl"); dir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$src/docs.jsonl/part-00000.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val io = new FormatDirIO(spark, src, dst, schemas = Map("docs" -> schema))
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("docs"), Seq(
+        Rename("doc_id", "doc_id"),
+        Derived("n_tokens", graft.functions.TextFunctions.tokenCount(col("text"))))))
+    new Transportor(io, plan).runAndWrite()
+    // the malformed line nulls out (PERMISSIVE), not a job failure;
+    // the output landed as parquet and reads back
+    val back = io.readTarget("out").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(back == Map(1L -> 4L, 2L -> 5L, 3L -> 3L, -1L -> -1L))
+  }
+
   test("RowUdf receives the pristine source row even after earlier specs overwrite columns") {
     // The reference passes the untouched $source row to `function`
     // closures (src/DBT.php:395, 407-408); earlier column specs must
