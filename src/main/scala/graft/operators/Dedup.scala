@@ -187,6 +187,64 @@ object Dedup {
       threshold: Double = 0.5): DataFrame =
     minhashPairs(df, idCol, textCol, shingleN = n, jaccardThreshold = threshold)
 
+  /** Connected components over near-duplicate PAIRS — the dedup
+    * endgame: pairs only say "a matches b"; keep-one-per-cluster
+    * needs the transitive closure (a~b, b~c ⇒ one cluster {a,b,c}).
+    * Returns one row per id that appears in any pair, labeled with
+    * its component representative `rep` = the minimum id in the
+    * component — deterministic, so the DuckDB oracle's recursive-CTE
+    * closure reproduces it exactly.
+    *
+    * Spark-first construction: iterative min-label propagation — each
+    * pass joins labels across edges and keeps the elementwise min —
+    * converging in O(component diameter) passes, each a pair of
+    * shuffles on integer keys. Per-iteration `localCheckpoint`
+    * truncates the otherwise exponentially nesting lineage, and
+    * convergence is detected by counting changed labels (one action
+    * per pass). Near-dup components are shallow in practice
+    * (duplicates of a duplicate are duplicates); `maxIter` guards the
+    * pathological chain and the operator THROWS if unconverged rather
+    * than returning a silently incomplete clustering. */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .union(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("nid"), col("rep").as("nrep")),
+          col("dst") === col("nid"))
+        .groupBy("src").agg(min("nrep").as("minrep"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("minrep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.select(col("id").as("oid"), col("rep").as("oldrep")),
+          col("id") === col("oid"))
+        .filter(col("rep") =!= col("oldrep"))
+        .count()
+      converged = changed == 0
+      labels = updated
+      i += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge within $maxIter label-propagation passes " +
+        "(component diameter exceeds maxIter) — raise maxIter")
+    labels.select("id", "rep")
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-LSH bucket join, then
     * exact cosine filter. `numPlanes` trades recall vs bucket size
     * (2^numPlanes expected buckets). */

@@ -74,6 +74,14 @@ object ExtensionQueries {
     Dedup.embeddingNearDupPairs(pq(s, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.2, numPlanes = 6)
 
+  /** Transitive closure of the (oracled) embedding near-dup pairs:
+    * one row per paired id with its component's minimum id as `rep` —
+    * the keep-one-per-cluster assignment. */
+  private val qDedupComponents: Q = (s, dir) =>
+    Dedup.connectedComponents(
+      Dedup.embeddingNearDupPairs(pq(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.2, numPlanes = 6))
+
   // -------------------------------------------------------------- similarity
 
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
@@ -120,6 +128,7 @@ object ExtensionQueries {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_embedding" -> qDedupEmbedding,
+    "q_dedup_components" -> qDedupComponents,
     "q_sim_brute_topk" -> qSimBruteTopK,
     "q_sim_lsh_topk" -> qSimLshTopK,
     "q_sim_ivf_topk" -> qSimIvfTopK,
@@ -295,7 +304,24 @@ object ExtensionQueries {
        |ORDER BY cosine DESC, id ASC LIMIT 10""".stripMargin
   }
 
+  /** Recursive-CTE transitive closure over the embedding near-dup
+    * pairs: every label reachable through the undirected edge set
+    * propagates, and min(label) per id = the component's minimum id —
+    * exactly Dedup.connectedComponents' min-label fixpoint (integer
+    * arithmetic only, so the match is exact by construction). */
+  private val dedupComponentsSql: String =
+    s"""WITH RECURSIVE pairs AS ($dedupEmbeddingSql),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |labels(id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, l.label FROM edges e JOIN labels l ON e.dst = l.id
+       |)
+       |SELECT id, min(label) AS rep FROM labels GROUP BY id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_dedup_components" -> dedupComponentsSql,
     "q_text_subwords" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${TextFunctions.subwordPattern}')) AS BIGINT)

@@ -120,6 +120,36 @@ class ExtensionSpec extends SparkSpec {
     assert(f1.getInt(f1.fieldIndex("width")) >= 64 && f1.getInt(f1.fieldIndex("height")) >= 64)
   }
 
+  test("connectedComponents matches brute union-find on chains, cycles, and isolates") {
+    // chain 1-2-3-4, cycle 10-11-12-10, bridge 4-10 merging them,
+    // separate pair 50-51, long chain 100..110 exercising propagation depth
+    val pairRows = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (4L, 10L), (50L, 51L)) ++ (100L until 110L).map(i => (i, i + 1))
+    val pairs = df("id_a BIGINT, id_b BIGINT", pairRows.map(p => Row(p._1, p._2)): _*)
+    val got = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairRows.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = pairRows.flatMap(p => Seq(p._1, p._2)).distinct
+    val truth = ids.map(i => i -> find(i)).toMap
+    assert(got == truth)
+    // the merged chain+cycle component labels everyone with the min id
+    assert(got(12L) == 1L && got(4L) == 1L)
+    assert(got(51L) == 50L)
+    assert(got(110L) == 100L)
+  }
+
+  test("connectedComponents throws instead of returning a partial clustering") {
+    val pairs = df("id_a BIGINT, id_b BIGINT",
+      (1L until 30L).map(i => Row(i, i + 1)): _*) // diameter 29 chain
+    assertThrows[IllegalArgumentException](
+      graft.operators.Dedup.connectedComponents(pairs, maxIter = 3).collect())
+  }
+
   test("maxBucketSize drops mega-buckets but keeps small-bucket near-dup pairs") {
     // 40 identical boilerplate docs form one mega-bucket (780 junk
     // pairs — the quadratic blowup measured at sf1); one genuine
