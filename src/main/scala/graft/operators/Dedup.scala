@@ -218,6 +218,14 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
       .localCheckpoint()
+    // Convergence via the label-sum invariant: every rep is
+    // non-increasing, so the exact total (DECIMAL(38,0) — no long
+    // overflow, no float drift) strictly decreases until fixpoint.
+    // One cheap aggregate per pass instead of a join-and-count
+    // against the previous labels.
+    def repSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = repSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -225,17 +233,23 @@ object Dedup {
         .join(labels.select(col("id").as("nid"), col("rep").as("nrep")),
           col("dst") === col("nid"))
         .groupBy("src").agg(min("nrep").as("minrep"))
-      val updated = labels
+      val stepped = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("minrep"), col("rep"))).as("rep"))
+      // pointer doubling: compose rep through itself (rep(rep(v))) so
+      // labels hop 2^k positions after k passes — convergence in
+      // O(log diameter) passes instead of O(diameter), which is what
+      // keeps long chains from serializing the whole job
+      val updated = stepped.as("a")
+        .join(stepped.select(col("id").as("rid"), col("rep").as("rrep")),
+          col("a.rep") === col("rid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("rrep"), col("a.rep")).as("rep"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.select(col("id").as("oid"), col("rep").as("oldrep")),
-          col("id") === col("oid"))
-        .filter(col("rep") =!= col("oldrep"))
-        .count()
-      converged = changed == 0
+      val newSum = repSum(updated)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       labels = updated
       i += 1
     }
