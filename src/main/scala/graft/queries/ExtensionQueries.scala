@@ -42,6 +42,19 @@ object ExtensionQueries {
       col("doc_id"),
       TextFunctions.subwordCount(col("text")).as("n_subwords"))
 
+  /** The canonical pre-training corpus filter: language gate +
+    * composite quality threshold + token-length band, in one pass —
+    * every predicate codegen'd builtins over the text column, so the
+    * whole filter runs inside one WholeStageCodegen over the scan. */
+  private val qPipelineFilter: Q = (s, dir) =>
+    pq(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("lang_pred") === "en" && col("quality") >= 0.5 &&
+        col("n_tokens").between(5, 1000))
+
   private val qTextQuality: Q = (s, dir) =>
     pq(s, dir, "documents").select(
       col("doc_id"),
@@ -122,6 +135,7 @@ object ExtensionQueries {
     "q_text_stats" -> qTextStats,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
+    "q_pipeline_filter" -> qPipelineFilter,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_fingerprint" -> qDedupFingerprint,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -151,14 +165,21 @@ object ExtensionQueries {
     markers.map(m => s"(CASE WHEN position('$m' IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END)")
       .mkString(" + ")
 
-  private val langCaseSql: String = {
+  /** lang-id as reusable SQL pieces: `langBestSql` (max marker score,
+    * aliased __best by callers) and `langPredCaseSql` (the CASE over
+    * __best) — composed by both the standalone lang query and the
+    * pipeline-filter query. */
+  private val (langBestSql, langPredCaseSql): (String, String) = {
     val scores = TextFunctions.langMarkers.map { case (l, ms) => l -> s"(${langScoreSql(ms)})" }
     val best = s"greatest(${scores.map(_._2).mkString(", ")})"
     val arms = scores.map { case (l, s) => s"WHEN $s = __best AND __best > 0 THEN '$l'" }
       .mkString(" ")
-    s"""SELECT doc_id, CASE $arms ELSE 'und' END AS lang_pred
-       |FROM (SELECT doc_id, text, $best AS __best FROM documents) t""".stripMargin
+    (best, s"CASE $arms ELSE 'und' END")
   }
+
+  private val langCaseSql: String =
+    s"""SELECT doc_id, $langPredCaseSql AS lang_pred
+       |FROM (SELECT doc_id, text, $langBestSql AS __best FROM documents) t""".stripMargin
 
   private val alphaRatioSql =
     """(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
@@ -346,6 +367,16 @@ object ExtensionQueries {
          |    + least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.2
          |    + (1.0 - $punctRatioSql) * 0.1 AS quality
          |FROM documents""".stripMargin,
+    "q_pipeline_filter" ->
+      s"""SELECT doc_id, lang_pred, quality, n_tokens FROM (
+         |  SELECT doc_id,
+         |    $langPredCaseSql AS lang_pred,
+         |    $alphaRatioSql * 0.4 + $stopRatioSql * 0.3
+         |      + least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.2
+         |      + (1.0 - $punctRatioSql) * 0.1 AS quality,
+         |    $nTokensSql AS n_tokens
+         |  FROM (SELECT doc_id, text, $langBestSql AS __best FROM documents) t) w
+         |WHERE lang_pred = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 1000""".stripMargin,
     "q_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text",
     "q_dedup_fingerprint" ->
