@@ -195,29 +195,49 @@ object Dedup {
     * component — deterministic, so the DuckDB oracle's recursive-CTE
     * closure reproduces it exactly.
     *
-    * Spark-first construction: iterative min-label propagation — each
-    * pass joins labels across edges and keeps the elementwise min —
-    * converging in O(component diameter) passes, each a pair of
-    * shuffles on integer keys. Per-iteration `localCheckpoint`
-    * truncates the otherwise exponentially nesting lineage, and
-    * convergence is detected by counting changed labels (one action
-    * per pass). Near-dup components are shallow in practice
-    * (duplicates of a duplicate are duplicates); `maxIter` guards the
-    * pathological chain and the operator THROWS if unconverged rather
-    * than returning a silently incomplete clustering. */
+    * Spark-first construction: iterative min-label propagation with
+    * pointer doubling — each pass takes the elementwise min across
+    * edges, then composes labels through themselves, converging in
+    * O(log diameter) passes of integer-key shuffles. Per-iteration
+    * `localCheckpoint` truncates the otherwise exponentially nesting
+    * lineage (superseded iterations' checkpoint blocks are freed
+    * eagerly; the RETURNED frame stays backed by the final
+    * checkpoint). Convergence is detected by the exact label-sum
+    * invariant (labels only decrease). Near-dup components are
+    * shallow in practice (duplicates of a duplicate are duplicates);
+    * `maxIter` guards the pathological chain and the operator THROWS
+    * if unconverged rather than returning a silently incomplete
+    * clustering.
+    *
+    * NOTE: being iterative, this EXECUTES during construction (the
+    * result is a materialized RDD scan, not a lazy plan) — budget it
+    * like an action, not a transformation. */
   def connectedComponents(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs
+    // Materialize the normalized pair set ONCE before the two-way
+    // union: the upstream pair generation (an LSH self-join + rescore)
+    // would otherwise execute twice, once per union branch.
+    val normPairs = pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .union(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint()
+    val edges = normPairs
+      .union(normPairs.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    freeCheckpoint(normPairs)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
       .localCheckpoint()
+    // zero pairs (clean corpus) => zero components, not an NPE in the
+    // convergence arithmetic below
+    if (labels.isEmpty) {
+      freeCheckpoint(edges)
+      return labels.select("id", "rep")
+    }
     // Convergence via the label-sum invariant: every rep is
     // non-increasing, so the exact total (DECIMAL(38,0) — no long
     // overflow, no float drift) strictly decreases until fixpoint.
@@ -250,14 +270,26 @@ object Dedup {
       val newSum = repSum(updated)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
+      freeCheckpoint(labels) // superseded iteration's blocks
       labels = updated
       i += 1
     }
+    freeCheckpoint(edges)
     require(converged,
       s"connectedComponents did not converge within $maxIter label-propagation passes " +
         "(component diameter exceeds maxIter) — raise maxIter")
     labels.select("id", "rep")
   }
+
+  /** Deterministically release a `localCheckpoint`ed frame's storage
+    * blocks (the ContextCleaner would reclaim them eventually after
+    * GC, but iterative loops should not stack dead checkpoint blocks
+    * in the block manager while they run). No-op for other plans. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Embedding-cosine near-duplicate pairs: sign-LSH bucket join, then
     * exact cosine filter. `numPlanes` trades recall vs bucket size

@@ -143,6 +143,11 @@ class ExtensionSpec extends SparkSpec {
     assert(got(110L) == 100L)
   }
 
+  test("connectedComponents on zero pairs returns an empty frame, not an NPE") {
+    val empty = df("id_a BIGINT, id_b BIGINT")
+    assert(graft.operators.Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("connectedComponents throws instead of returning a partial clustering") {
     val pairs = df("id_a BIGINT, id_b BIGINT",
       (1L until 30L).map(i => Row(i, i + 1)): _*) // diameter 29 chain

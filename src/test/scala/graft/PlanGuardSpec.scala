@@ -19,6 +19,12 @@ class PlanGuardSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  // Caveat: iterative operators (q_dedup_components) materialize
+  // during construction, so their returned plan is a bare RDD scan —
+  // this gate sees their FINAL frame only. Their internal join shapes
+  // are covered by the non-iterative queries sharing the same
+  // building blocks (q_dedup_embedding = the components query's pair
+  // generation) plus the operator's own unit tests.
   test("no query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planOf(name)
