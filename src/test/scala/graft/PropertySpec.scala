@@ -110,6 +110,29 @@ object PropertySpec extends Properties("graft") {
         got == want
     }
 
+  // connected components ≡ union-find over random undirected pair sets
+  property("connectedComponents == union-find") =
+    Prop.forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 24L)))) {
+      rawPairs =>
+        // drop self-loops (a pair (x,x) carries no clustering info but
+        // is a legal input — keep some via distinct ids only)
+        val pairs = rawPairs.filter { case (a, b) => a != b }
+        val pairDf = mkDf("id_a BIGINT, id_b BIGINT", pairs.map(p => Row(p._1, p._2)))
+        val got = graft.operators.Dedup.connectedComponents(pairDf, maxIter = 30)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        got == ids.map(i => i -> find(i)).toMap
+    }
+
   // predicate NULL rewrites: Eq(c,null) keeps exactly the null rows,
   // Ne(c,null) exactly the non-null rows, and they partition the table
   property("null predicate rewrites partition the table") =
