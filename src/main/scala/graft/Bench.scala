@@ -53,7 +53,16 @@ object Bench {
     // best-of-N wall time per query: damps JIT/GC noise without caching
     // fixture data (each trial re-reads parquet)
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-loop filters (driver leaves both unset => full catalog):
+    // SPARK_GRAFT_ONLY=q_a,q_b runs just those; SPARK_GRAFT_EXCLUDE
+    // drops named queries (e.g. the iterative connected-components
+    // run, for the bench protocol's contamination A/B)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val exclude = sys.env.get("SPARK_GRAFT_EXCLUDE").map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) && !exclude.contains(name) }
+      .map { case (name, fn) =>
       // A failed trial must NOT enter the timings: a fast crash would
       // silently improve times.min and the total. Failed queries are
       // reported as -1 plus an `errors` entry instead.
@@ -65,6 +74,14 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           Some(Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+        } finally {
+          // Iterative operators (connectedComponents) persist state
+          // during construction; drop it so one query's blocks never
+          // pollute the block manager — and the timings — of every
+          // query that runs after it. The bench owns this session and
+          // caches nothing across queries, so a blanket sweep is safe.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
         }
       }
       val ok = times.collect { case Right(t) => t }

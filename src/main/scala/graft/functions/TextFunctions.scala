@@ -96,10 +96,17 @@ object TextFunctions {
     length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
-  /** Ratio of stopword tokens (English stopword list). */
+  /** Ratio of stopword tokens (English stopword list). Lowercases
+    * per TOKEN instead of re-splitting `lower(text)`: lowercasing
+    * never introduces whitespace, so `tokens(lower(text)) ≡
+    * lower-each(tokens(text))` — and `tokens(text)` is the same
+    * subexpression the other quality terms use, so one regex split
+    * per row serves the whole score (codegen subexpression
+    * elimination reuses it; a second `split(lower(text))` would not
+    * unify with it). */
   val stopwords: Seq[String] = Seq("the", "and", "of", "is", "to", "a", "in", "that", "it", "for")
   def stopwordRatio(text: Column): Column =
-    size(filter(tokens(lower(text)), t => t.isin(stopwords.map(lit): _*)))
+    size(filter(tokens(text), t => lower(t).isin(stopwords.map(lit): _*)))
       .cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
 
   /** Mean token length. */

@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   * Cost is O(n log n) per key partition — the same as the dedicated
   * as-of implementations in columnar engines, without a custom
   * SparkPlan.
+  *
+  * Skew caveat: the running window serializes WITHIN a key, so one
+  * pathological hot key (a large fraction of all rows under a single
+  * key value) bounds the parallelism at that key's size. That is
+  * inherent to as-of semantics — the carry-forward is a sequential
+  * scan in time order — not to this encoding; engines with native
+  * as-of operators have the same per-key critical path. Salting does
+  * NOT apply (splitting a key loses the carry across the split).
   */
 object AsOfJoin {
 

@@ -198,44 +198,68 @@ object Dedup {
     * Spark-first construction: iterative min-label propagation with
     * pointer doubling — each pass takes the elementwise min across
     * edges, then composes labels through themselves, converging in
-    * O(log diameter) passes of integer-key shuffles. Per-iteration
-    * `localCheckpoint` truncates the otherwise exponentially nesting
-    * lineage (superseded iterations' checkpoint blocks are freed
-    * eagerly; the RETURNED frame stays backed by the final
-    * checkpoint). Convergence is detected by the exact label-sum
-    * invariant (labels only decrease). Near-dup components are
-    * shallow in practice (duplicates of a duplicate are duplicates);
-    * `maxIter` guards the pathological chain and the operator THROWS
-    * if unconverged rather than returning a silently incomplete
-    * clustering.
+    * O(log diameter) passes of integer-key shuffles. Convergence is
+    * detected by the exact label-sum invariant (labels only
+    * decrease). Near-dup components are shallow in practice
+    * (duplicates of a duplicate are duplicates); `maxIter` guards the
+    * pathological chain and the operator THROWS if unconverged rather
+    * than returning a silently incomplete clustering.
+    *
+    * Iteration state management: each pass's result is cut loose from
+    * its (otherwise exponentially nesting) logical plan by rebuilding
+    * a fresh frame over the pass's persisted row RDD — RDD lineage
+    * stays intact and linear, so every block is recomputable after
+    * executor loss (unlike `localCheckpoint`, whose truncated lineage
+    * makes lost blocks fatal) and superseded passes are unpersisted
+    * with no "cannot be recomputed" hazard. With `checkpointDir` set,
+    * passes instead write reliable checkpoints (`df.checkpoint()`)
+    * to that directory — the cluster-durability option for long jobs
+    * on preemptible executors; checkpoint files live until the
+    * application ends (or `spark.cleaner.referenceTracking
+    * .cleanCheckpoints=true` reclaims them).
+    *
+    * The RETURNED frame's backing blocks stay persisted so downstream
+    * consumers (the keep-one-per-cluster join) read it warm; call
+    * [[release]] when done with it — the result stays valid (it
+    * recomputes from lineage), the storage is just dropped.
     *
     * NOTE: being iterative, this EXECUTES during construction (the
-    * result is a materialized RDD scan, not a lazy plan) — budget it
+    * result is a materialized scan, not a lazy plan) — budget it
     * like an action, not a transformation. */
   def connectedComponents(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // Truncate the logical plan and materialize: persisted row RDD +
+    // fresh frame over it (or a reliable checkpoint when configured).
+    def materialize(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(_) => df.checkpoint() // eager, HDFS-durable, lineage-free
+      case None =>
+        val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.count() // force now, so upstream never re-executes
+        spark.createDataFrame(rdd, df.schema)
+    }
     // Materialize the normalized pair set ONCE before the two-way
     // union: the upstream pair generation (an LSH self-join + rescore)
     // would otherwise execute twice, once per union branch.
-    val normPairs = pairs
+    val normPairs = materialize(pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint()
-    val edges = normPairs
+      .filter(col("src").isNotNull && col("dst").isNotNull))
+    val edges = materialize(normPairs
       .union(normPairs.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    freeCheckpoint(normPairs)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
-      .localCheckpoint()
+      .distinct())
+    release(normPairs)
+    var labels = materialize(edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")))
     // zero pairs (clean corpus) => zero components, not an NPE in the
     // convergence arithmetic below
     if (labels.isEmpty) {
-      freeCheckpoint(edges)
+      release(labels)
+      release(edges)
       return labels.select("id", "rep")
     }
     // Convergence via the label-sum invariant: every rep is
@@ -248,48 +272,62 @@ object Dedup {
     var prevSum = repSum(labels)
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("nid"), col("rep").as("nrep")),
-          col("dst") === col("nid"))
-        .groupBy("src").agg(min("nrep").as("minrep"))
-      val stepped = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("minrep"), col("rep"))).as("rep"))
-      // pointer doubling: compose rep through itself (rep(rep(v))) so
-      // labels hop 2^k positions after k passes — convergence in
-      // O(log diameter) passes instead of O(diameter), which is what
-      // keeps long chains from serializing the whole job
-      val updated = stepped.as("a")
-        .join(stepped.select(col("id").as("rid"), col("rep").as("rrep")),
-          col("a.rep") === col("rid"), "left")
-        .select(col("a.id").as("id"),
-          coalesce(col("rrep"), col("a.rep")).as("rep"))
-        .localCheckpoint()
-      val newSum = repSum(updated)
-      converged = newSum.compareTo(prevSum) == 0
-      prevSum = newSum
-      freeCheckpoint(labels) // superseded iteration's blocks
-      labels = updated
-      i += 1
+    try {
+      while (!converged && i < maxIter) {
+        val neighborMin = edges
+          .join(labels.select(col("id").as("nid"), col("rep").as("nrep")),
+            col("dst") === col("nid"))
+          .groupBy("src").agg(min("nrep").as("minrep"))
+        val stepped = labels
+          .join(neighborMin, labels("id") === neighborMin("src"), "left")
+          .select(col("id"),
+            least(col("rep"), coalesce(col("minrep"), col("rep"))).as("rep"))
+        // pointer doubling: compose rep through itself (rep(rep(v))) so
+        // labels hop 2^k positions after k passes — convergence in
+        // O(log diameter) passes instead of O(diameter), which is what
+        // keeps long chains from serializing the whole job
+        val updated = materialize(stepped.as("a")
+          .join(stepped.select(col("id").as("rid"), col("rep").as("rrep")),
+            col("a.rep") === col("rid"), "left")
+          .select(col("a.id").as("id"),
+            coalesce(col("rrep"), col("a.rep")).as("rep")))
+        val newSum = repSum(updated)
+        converged = newSum.compareTo(prevSum) == 0
+        prevSum = newSum
+        release(labels) // superseded pass's blocks
+        labels = updated
+        i += 1
+      }
+    } finally {
+      release(edges)
+      if (!converged) release(labels) // throwing below — don't strand blocks
     }
-    freeCheckpoint(edges)
     require(converged,
       s"connectedComponents did not converge within $maxIter label-propagation passes " +
         "(component diameter exceeds maxIter) — raise maxIter")
     labels.select("id", "rep")
   }
 
-  /** Deterministically release a `localCheckpoint`ed frame's storage
-    * blocks (the ContextCleaner would reclaim them eventually after
-    * GC, but iterative loops should not stack dead checkpoint blocks
-    * in the block manager while they run). No-op for other plans. */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+  /** Drop the persisted storage behind an RDD-backed frame (e.g. a
+    * [[connectedComponents]] result) once consumers are done with it.
+    * Walks each plan leaf's RDD lineage and unpersists the NEAREST
+    * persisted ancestor on each path (stopping there — deeper
+    * persisted state, like the still-live edge set during iteration,
+    * belongs to other frames). The frame REMAINS usable — its RDD
+    * lineage is intact, so later reads just recompute. No-op for
+    * ordinary lazy plans. */
+  def release(df: DataFrame): Unit = {
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit = if (seen.add(r.id)) {
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        r.unpersist(blocking = false) // stop: deeper persists are not ours
+      else r.dependencies.foreach(d => walk(d.rdd))
+    }
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => walk(lr.rdd)
       case _ => ()
     }
+  }
 
   /** Embedding-cosine near-duplicate pairs: sign-LSH bucket join, then
     * exact cosine filter. `numPlanes` trades recall vs bucket size

@@ -119,7 +119,14 @@ object StreamOps {
     * cross-micro-batch late arrival would be sequenced against the
     * then-current state, not its true event-time position. For
     * out-of-order streams use [[sessionizeEventTime]], which buffers
-    * until the watermark closes each event's reorder window. */
+    * until the watermark closes each event's reorder window.
+    *
+    * Skew caveat (both sessionizers): state and ordering are per
+    * user, so one pathological hot user serializes at that key —
+    * inherent to session semantics (a session is a sequential walk of
+    * one user's timeline), and un-saltable without changing what a
+    * session means. Keys are users, so real skew is bounded by the
+    * busiest single user, not by corpus size. */
   def sessionize(events: Dataset[Event],
       gapMicros: Long = 30L * 60 * 1000 * 1000): Dataset[SessionAssign] = {
     import events.sparkSession.implicits._

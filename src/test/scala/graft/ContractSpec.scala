@@ -9,9 +9,10 @@ package graft
   * fully oracled via bit-exact double-fold SQL mirrors. */
 class ContractSpec extends SparkSpec {
 
-  private val rowsOnlyAllowlist = Set(
-    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard",
-    "q_multimodal_decode")
+  // Only the imageio decode remains rows-only (not SQL-expressible);
+  // the minhash/simhash/ngram hash queries are oracled via the
+  // HashSql FNV/SplitMix64 DuckDB replay as of round 4.
+  private val rowsOnlyAllowlist = Set("q_multimodal_decode")
 
   test("every query has oracle SQL or a documented rows-only waiver") {
     val queries = SparkEntry.queries.keySet

@@ -143,6 +143,44 @@ class ExtensionSpec extends SparkSpec {
     assert(got(110L) == 100L)
   }
 
+  test("connectedComponents with a reliable checkpointDir matches the default path") {
+    val pairRows = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 10L), (50L, 51L))
+    val pairs = df("id_a BIGINT, id_b BIGINT", pairRows.map(p => Row(p._1, p._2)): _*)
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    try {
+      val got = graft.operators.Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+        50L -> 50L, 51L -> 50L))
+      // reliable checkpoints actually got written (cluster-durable state)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "expected reliable checkpoint files on disk")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("connectedComponents releases its working state; release() frees the result") {
+    // start from a clean block manager — earlier tests' results are
+    // legitimately still persisted
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val pairs = df("id_a BIGINT, id_b BIGINT",
+      (1L until 20L).map(i => Row(i, i + 1)): _*)
+    val result = graft.operators.Dedup.connectedComponents(pairs)
+    val persisted = spark.sparkContext.getPersistentRDDs
+    // only the result's own backing RDD may remain persisted —
+    // superseded passes, the edge set, and the pair set are freed
+    assert(persisted.size <= 1,
+      s"iteration state leaked: ${persisted.size} persisted RDDs")
+    assert(result.count() == 20)
+    graft.operators.Dedup.release(result)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "release() must unpersist the result's backing RDD")
+    // released frame stays valid — it recomputes from lineage
+    assert(result.count() == 20)
+  }
+
   test("connectedComponents on zero pairs returns an empty frame, not an NPE") {
     val empty = df("id_a BIGINT, id_b BIGINT")
     assert(graft.operators.Dedup.connectedComponents(empty).count() == 0)

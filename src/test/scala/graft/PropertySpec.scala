@@ -118,8 +118,10 @@ object PropertySpec extends Properties("graft") {
         // is a legal input — keep some via distinct ids only)
         val pairs = rawPairs.filter { case (a, b) => a != b }
         val pairDf = mkDf("id_a BIGINT, id_b BIGINT", pairs.map(p => Row(p._1, p._2)))
-        val got = graft.operators.Dedup.connectedComponents(pairDf, maxIter = 30)
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val resultDf = graft.operators.Dedup.connectedComponents(pairDf, maxIter = 30)
+        val got = resultDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // 100 generated runs in one JVM: drop each result's storage
+        graft.operators.Dedup.release(resultDf)
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
           val p = parent.getOrElse(x, x)
