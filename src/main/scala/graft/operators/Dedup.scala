@@ -234,34 +234,39 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    // Truncate the logical plan and materialize: persisted row RDD +
-    // fresh frame over it (or a reliable checkpoint when configured).
-    def materialize(df: DataFrame): DataFrame = checkpointDir match {
+    // Truncate the logical plan behind a persisted InternalRow RDD
+    // (or a reliable checkpoint when configured). Staying in the
+    // UnsafeRow representation (graftshim bridge) skips the
+    // InternalRow↔Row codec a `df.rdd` round-trip would pay twice per
+    // pass; the per-row copy() is required because the execution RDD
+    // reuses its row buffer. `eager` forces computation NOW — only
+    // needed when the next consumer would otherwise read the frame
+    // twice in one job (the union below); everywhere else the
+    // following aggregate action materializes the persisted blocks on
+    // first touch with no extra job.
+    def materialize(df: DataFrame, eager: Boolean = false): DataFrame = checkpointDir match {
       case Some(_) => df.checkpoint() // eager, HDFS-durable, lineage-free
       case None =>
-        val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        rdd.count() // force now, so upstream never re-executes
-        spark.createDataFrame(rdd, df.schema)
+        val rdd = df.queryExecution.toRdd.map(_.copy())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (eager) rdd.count()
+        // fromDataset-shaped rebuild: carries the origin's output
+        // partitioning/ordering so next-pass joins on the same key
+        // reuse the layout instead of re-shuffling every iteration
+        org.apache.spark.sql.graftshim.ColumnBridge.dataFrameFromInternalRows(df, rdd)
     }
     // Materialize the normalized pair set ONCE before the two-way
     // union: the upstream pair generation (an LSH self-join + rescore)
     // would otherwise execute twice, once per union branch.
     val normPairs = materialize(pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull))
+      .filter(col("src").isNotNull && col("dst").isNotNull), eager = true)
     val edges = materialize(normPairs
       .union(normPairs.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
     release(normPairs)
     var labels = materialize(edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id")))
-    // zero pairs (clean corpus) => zero components, not an NPE in the
-    // convergence arithmetic below
-    if (labels.isEmpty) {
-      release(labels)
-      release(edges)
-      return labels.select("id", "rep")
-    }
     // Convergence via the label-sum invariant: every rep is
     // non-increasing, so the exact total (DECIMAL(38,0) — no long
     // overflow, no float drift) strictly decreases until fixpoint.
@@ -270,6 +275,14 @@ object Dedup {
     def repSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = repSum(labels)
+    // zero pairs (clean corpus) => zero components. SUM over an empty
+    // frame is NULL — doubling as the emptiness probe keeps init at
+    // one job instead of an isEmpty take plus the sum.
+    if (prevSum == null) {
+      release(labels)
+      release(edges)
+      return labels.select("id", "rep")
+    }
     var converged = false
     var i = 0
     try {

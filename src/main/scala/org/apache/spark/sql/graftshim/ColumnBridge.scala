@@ -15,6 +15,26 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Rebuild a frame over an InternalRow RDD computed FROM `origin`,
+    * preserving the origin plan's output partitioning and ordering —
+    * exactly what `Dataset.localCheckpoint` does minus the
+    * checkpoint (`LogicalRDD.fromDataset` / `Dataset.ofRows` are
+    * private[sql]). For iterative operators that persist each pass:
+    * staying in the UnsafeRow representation skips the
+    * InternalRow↔Row codec round-trip of `df.rdd` +
+    * `createDataFrame`, and the carried partitioning lets the next
+    * pass's same-key joins reuse the layout instead of re-shuffling
+    * every iteration. */
+  def dataFrameFromInternalRows(
+      origin: org.apache.spark.sql.DataFrame,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
+      : org.apache.spark.sql.DataFrame = {
+    val cds = origin.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      cds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(rdd, cds, isStreaming = false))
+  }
+
   /** Register a function builder into an existing session's registry
     * (sessionState is private[sql]; the extensions hook only applies
     * at session build time). */
