@@ -254,6 +254,29 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `mix64(x)` — the SplitMix64 finalizer over a LONG column. Used
+  * for deterministic corpus splitting (train/val/test): a strong
+  * avalanche mixer turns sequential ids into uniform buckets, and the
+  * identical fold is replayable in DuckDB SQL ([[graft.queries]]'
+  * HashSql), so split assignments stay oracle-checkable —
+  * `rand(seed)` would be engine-private and `hash()` differs between
+  * engines. */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mix64"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = classOf[Hashing.type].getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $m.mix64($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Hashing.mix64(input.asInstanceOf[Long])
+
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Hashed word n-gram shingles straight from a text column
     * (array<long>, distinct, sorted) — the fast input to
@@ -269,4 +292,8 @@ object HashExpressions {
   /** SimHash64 Column over an array<string> token column. */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** SplitMix64 finalizer Column over a LONG column. */
+  def mix64(c: Column): Column =
+    ColumnBridge.column(Mix64(ColumnBridge.expression(c)))
 }

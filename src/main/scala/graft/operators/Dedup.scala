@@ -342,6 +342,28 @@ object Dedup {
     }
   }
 
+  /** The dedup ENDGAME, composed end to end: given near-duplicate
+    * pairs (from any of the candidate generators here), compute the
+    * transitive closure and keep exactly one row per duplicate
+    * cluster — the member with the minimum id — plus every row that
+    * was never paired. One [[connectedComponents]] run + one
+    * broadcast-friendly left-anti join against the (tiny, one row per
+    * DROPPED duplicate) exclusion set; the corpus itself is never
+    * shuffled. The returned frame holds the components result's
+    * persisted blocks warm — pass it to [[release]] when done. */
+  def keepOnePerCluster(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val comp = connectedComponents(pairs, idA, idB, maxIter, checkpointDir)
+    val dropIds = comp.filter(col("id") =!= col("rep")).select(col("id"))
+    df.join(dropIds, df(idCol) === dropIds("id"), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-LSH bucket join, then
     * exact cosine filter. `numPlanes` trades recall vs bucket size
     * (2^numPlanes expected buckets). */

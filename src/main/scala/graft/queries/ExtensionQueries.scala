@@ -101,6 +101,21 @@ object ExtensionQueries {
     Dedup.ngramJaccardPairs(pq(s, dir, "documents"), "doc_id", "text",
       n = 2, threshold = 0.4)
 
+  /** End-to-end text-dedup endgame: minhash near-dup pairs →
+    * transitive closure → keep min-id per cluster + all unpaired
+    * docs. Same pair parameters as q_dedup_minhash. */
+  private val qDedupKeepOne: Q = (s, dir) =>
+    Dedup.keepOnePerCluster(
+      pq(s, dir, "documents"), "doc_id",
+      Dedup.minhashPairs(pq(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5))
+      .select("doc_id")
+
+  /** Deterministic hash-based train/val/test split (80/10/10). */
+  private val qSampleSplit: Q = (s, dir) =>
+    graft.operators.Sampling.hashSplit(pq(s, dir, "documents"), "doc_id")
+      .select("doc_id", "split_bucket", "split")
+
   private val qDedupEmbedding: Q = (s, dir) =>
     Dedup.embeddingNearDupPairs(pq(s, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.2, numPlanes = 6)
@@ -159,6 +174,8 @@ object ExtensionQueries {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_dedup_keep_one" -> qDedupKeepOne,
+    "q_sample_split" -> qSampleSplit,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_components" -> qDedupComponents,
     "q_sim_brute_topk" -> qSimBruteTopK,
@@ -422,14 +439,42 @@ object ExtensionQueries {
        |WHERE jaccard >= $threshold""".stripMargin
   }
 
+  /** Mirrors `Sampling.hashSplit(80, 10)`: SplitMix64 of the id
+    * (HashSql.mixCtes replay), bucket = mixed >>> 1 mod 100. doc_id
+    * is nonnegative, so the unsigned HUGEINT start value equals the
+    * signed long bit pattern. */
+  private val sampleSplitSql: String =
+    s"""WITH m0 AS MATERIALIZED (SELECT doc_id, CAST(doc_id AS HUGEINT) AS x FROM documents),
+       |${HashSql.mixCtes("m", "m0", "doc_id")}
+       |SELECT doc_id, CAST((x // 2) % 100 AS BIGINT) AS split_bucket,
+       |       CASE WHEN (x // 2) % 100 < 80 THEN 'train'
+       |            WHEN (x // 2) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM m4""".stripMargin
+
+  /** Mirrors `Dedup.keepOnePerCluster` over the minhash pairs: the
+    * recursive closure labels every paired id with its component
+    * minimum; ids that are not that minimum are dropped, everything
+    * else (including never-paired docs) is kept. */
+  private val dedupKeepOneSql: String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (${minhashPairsSql(3, 64, 16, 0.5)}),
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |labels(id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, l.label FROM edges e JOIN labels l ON e.dst = l.id),
+       |dropped AS (SELECT id FROM (SELECT id, min(label) AS rep FROM labels GROUP BY id) t
+       |            WHERE id <> rep)
+       |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
+
   /** Recursive-CTE transitive closure over the embedding near-dup
     * pairs: every label reachable through the undirected edge set
     * propagates, and min(label) per id = the component's minimum id —
     * exactly Dedup.connectedComponents' min-label fixpoint (integer
     * arithmetic only, so the match is exact by construction). */
   private val dedupComponentsSql: String =
-    s"""WITH RECURSIVE pairs AS ($dedupEmbeddingSql),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+    s"""WITH RECURSIVE pairs AS MATERIALIZED ($dedupEmbeddingSql),
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION ALL SELECT id_b, id_a FROM pairs),
        |labels(id, label) AS (
        |  SELECT DISTINCT src, src FROM edges
@@ -442,6 +487,8 @@ object ExtensionQueries {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),
     "q_dedup_ngram_jaccard" -> minhashPairsSql(2, 64, 16, 0.4),
+    "q_dedup_keep_one" -> dedupKeepOneSql,
+    "q_sample_split" -> sampleSplitSql,
     "q_dedup_components" -> dedupComponentsSql,
     "q_text_subwords" ->
       s"""SELECT doc_id,

@@ -181,6 +181,46 @@ class ExtensionSpec extends SparkSpec {
     assert(result.count() == 20)
   }
 
+  test("keepOnePerCluster keeps the min id per cluster plus unpaired rows") {
+    val docs = df("doc_id BIGINT, text STRING",
+      (1L to 6L).map(i => Row(i, s"doc $i")): _*)
+    // clusters {1,2,3} and {5,6}; 4 unpaired
+    val pairs = df("id_a BIGINT, id_b BIGINT",
+      Row(1L, 2L), Row(2L, 3L), Row(5L, 6L))
+    val kept = graft.operators.Dedup.keepOnePerCluster(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
+  test("hashSplit is a deterministic, complete, uniform-ish partition") {
+    val rows = (0L until 1000L).map(i => Row(i))
+    val d = df("doc_id BIGINT", rows: _*)
+    val s1 = graft.operators.Sampling.hashSplit(d, "doc_id")
+    val byId = s1.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // complete partition: every row has exactly one label
+    assert(byId.size == 1000 && byId.values.forall(Set("train", "val", "test")))
+    // deterministic: a second evaluation assigns identically
+    val s2 = graft.operators.Sampling.hashSplit(d, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId == s2)
+    // avalanche: sequential ids spread ~80/10/10 (loose bands)
+    val n = byId.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 700 && n("train") < 900, s"train=${n("train")}")
+    assert(n("val") > 50 && n("val") < 170, s"val=${n("val")}")
+    assert(n("test") > 50 && n("test") < 170, s"test=${n("test")}")
+    // the Column expression agrees with the reference Scala mixer
+    val mixed = d.select(graft.functions.HashExpressions.mix64(col("doc_id")))
+      .collect().map(_.getLong(0))
+    assert(mixed.toSeq == (0L until 1000L).map(graft.functions.Hashing.mix64))
+    // hashSample(20) == the under-20 bucket subset, no extra columns
+    val sampled = graft.operators.Sampling.hashSample(d, "doc_id", 20)
+    assert(sampled.columns.toSeq == Seq("doc_id"))
+    val expect = (0L until 1000L).filter { i =>
+      java.lang.Long.remainderUnsigned(graft.functions.Hashing.mix64(i) >>> 1, 100) < 20
+    }.toSet
+    assert(sampled.collect().map(_.getLong(0)).toSet == expect)
+  }
+
   test("connectedComponents on zero pairs returns an empty frame, not an NPE") {
     val empty = df("id_a BIGINT, id_b BIGINT")
     assert(graft.operators.Dedup.connectedComponents(empty).count() == 0)
