@@ -30,6 +30,26 @@ class TransportorSpec extends SparkSpec {
     assert(Toposort(plan) == Seq("early", "late"))
   }
 
+  test("Reconcile passes on a faithful write and names a corrupted table") {
+    val base = df("k STRING, v BIGINT", Row("a", 1L), Row("b", 2L), Row("c", null))
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(Rename("k", "k"), Rename("v", "v"))))
+    val io = new InMemoryIO(Map("base" -> base))
+    val t = new Transportor(io, plan)
+    val frames = t.runAndWrite()
+    val rep = graft.operators.Reconcile.report(io, frames).collect()
+    assert(rep.length == 1 && rep.head.getBoolean(5), rep.mkString(","))
+    graft.operators.Reconcile.assertClean(io, frames) // no throw
+    // corrupt the written table: same row count, one value changed —
+    // the count matches but the content checksum must not
+    io.written("out") = df("k STRING, v BIGINT", Row("a", 1L), Row("b", 99L), Row("c", null))
+    val rep2 = graft.operators.Reconcile.report(io, frames).collect()
+    assert(!rep2.head.getBoolean(5))
+    assert(rep2.head.getLong(1) == rep2.head.getLong(2)) // counts agree; checksum caught it
+    assertThrows[IllegalArgumentException](
+      graft.operators.Reconcile.assertClean(io, frames))
+  }
+
   test("J1 duplicate lookup keys are deduplicated deterministically (min wanted)") {
     val base = df("k STRING", Row("a"))
     val lookup = df("key STRING, v BIGINT", Row("a", 9L), Row("a", 3L), Row("a", 7L))
