@@ -274,6 +274,19 @@ final class Transportor(
   /** J1 single-key batched lookup / J2 composite-key lookup
     * (src/DBT.php:277-343). See [[graft.plans.Refer]] scaladoc for the
     * semantics mapping. */
+  /** Deterministic min over the deduped lookup's wanted column.
+    * Strings dispatch to the hash-aggregatable
+    * [[graft.functions.MinString]] (ObjectHashAggregate — no sort of
+    * the lookup table; the builtin string `min` falls back to
+    * SortAggregate); everything else keeps the builtin `min`
+    * (HashAggregate already). Identical ordering and results. */
+  private def minWanted(frame: DataFrame, wCol: String): Column =
+    frame.schema(wCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        graft.functions.MinString.minString(col(wCol))
+      case _ => min(col(wCol))
+    }
+
   private def applyRefer(df: DataFrame, r: Refer): DataFrame = {
     val lookup = readSide(r.searchSource, r.searchTable)
       .filter(Predicates.all(r.conditions))
@@ -292,7 +305,7 @@ final class Transportor(
       val wCol = s"__graft_w_${r.target}"
       val lk0 = lookup.select(col(r.searchColumns.head).as(keyCol), col(r.wantedColumn).as(wCol))
       val lkDedup = lk0.select(normKey(lk0, col(keyCol)).as(keyCol), col(wCol))
-        .groupBy(keyCol).agg(min(col(wCol)).as(wCol))
+        .groupBy(keyCol).agg(minWanted(lk0, wCol).as(wCol))
       val probeNorm = normKey(df, col(r.accordingColumns.head))
       val probe = r.preFormat.map(_.apply(probeNorm)).getOrElse(probeNorm)
       val joined =
@@ -330,7 +343,7 @@ final class Transportor(
       val lk = lookup.select(
         r.searchColumns.zip(keyCols).map { case (s, k) => col(s).as(k) } :+
           col(r.wantedColumn).as(wCol): _*)
-        .groupBy(keyCols.map(col): _*).agg(min(col(wCol)).as(wCol))
+        .groupBy(keyCols.map(col): _*).agg(minWanted(lookup.select(col(r.wantedColumn).as(wCol)), wCol).as(wCol))
       val cond = r.accordingColumns.zip(keyCols)
         .map { case (a, k) =>
           val probe = r.preFormat.map(_.apply(col(a))).getOrElse(col(a))

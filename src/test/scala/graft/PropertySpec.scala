@@ -135,6 +135,21 @@ object PropertySpec extends Properties("graft") {
         got == ids.map(i => i -> find(i)).toMap
     }
 
+  // hashSplit: complete deterministic partition for ARBITRARY longs
+  // (including negatives, which the oracle's nonneg-id shortcut never
+  // sees) — bucket and label must equal the reference Scala mixer
+  property("hashSplit == reference mixer, complete partition") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) { ids0 =>
+      val ids = ids0.distinct
+      val d = mkDf("id BIGINT", ids.map(Row(_)))
+      val got = graft.operators.Sampling.hashSplit(d, "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      got.length == ids.size && got.forall { case (id, b, s) =>
+        val eb = (graft.functions.Hashing.mix64(id) >>> 1) % 100
+        b == eb && s == (if (eb < 80) "train" else if (eb < 90) "val" else "test")
+      }
+    }
+
   // predicate NULL rewrites: Eq(c,null) keeps exactly the null rows,
   // Ne(c,null) exactly the non-null rows, and they partition the table
   property("null predicate rewrites partition the table") =

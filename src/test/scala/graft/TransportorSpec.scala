@@ -61,6 +61,22 @@ class TransportorSpec extends SparkSpec {
     assertRows(new Transportor(io, plan).frame("out"), Seq(Row("a", 3L)))
   }
 
+  test("J1 string lookup dedup is hash-based (ObjectHashAggregate), never a sort") {
+    val base = df("k STRING", Row("a"), Row("b"))
+    val lookup = df("key STRING, v STRING", Row("a", "z"), Row("a", "y"), Row("b", "x"))
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(
+        Rename("k", "k"),
+        Refer("v", Seq("k"), SearchSource.Original, "lookup", Seq("key"), "v"))))
+    val io = new InMemoryIO(Map("base" -> base, "lookup" -> lookup))
+    val frame = new Transportor(io, plan).frame("out")
+    // min semantics identical to the builtin: "y" < "z"
+    assertRows(frame, Seq(Row("a", "y"), Row("b", "x")))
+    val physical = frame.queryExecution.executedPlan.toString
+    assert(physical.contains("ObjectHashAggregate"), physical)
+    assert(!physical.contains("SortAggregate"), physical)
+  }
+
   test("J1 rtrim normalization applies to string keys on both sides") {
     val base = df("k STRING", Row("x  "), Row("y"))
     val lookup = df("key STRING, v BIGINT", Row("x", 1L), Row("y   ", 2L))
