@@ -467,6 +467,29 @@ object ExtensionQueries {
        |            WHERE id <> rep)
        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
 
+  /** Mirrors `Multimodal.features` over the documents fixture —
+    * every fixture payload is ASCII text with no image magic bytes
+    * (verified: no `BM`/`GIF8` prefixes; JPEG/PNG magics are
+    * non-ASCII), so ImageIO finds no reader and every row takes the
+    * DETERMINISTIC stub: h = mix64(fnv64(utf8 bytes)),
+    * width = 64 + |h| mod 1920, height = 64 + (h >>> 11) mod 1080,
+    * n_frames = 1 + (h >>> 23) mod 32 (`Multimodal.decodeStub`). The
+    * real-image decode path is ground-truth-tested in ScalaTest
+    * against `javax.imageio` — this oracle covers the stub contract
+    * the catalog query actually exercises. */
+  private val multimodalDecodeSql: String =
+    s"""WITH f0 AS MATERIALIZED (
+       |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+       |         ${HashSql.textFnvU("text")} AS x
+       |  FROM documents),
+       |${HashSql.mixCtes("f", "f0", "doc_id, byte_len")}
+       |SELECT doc_id, byte_len,
+       |  CAST(64 + (abs(hs) % 1920) AS INTEGER) AS width,
+       |  CAST(64 + ((x // 2048) % 1080) AS INTEGER) AS height,
+       |  CAST(1 + ((x // 8388608) % 32) AS INTEGER) AS n_frames,
+       |  hs AS feat_hash
+       |FROM (SELECT doc_id, byte_len, x, ${HashSql.toS("x")} AS hs FROM f4) t""".stripMargin
+
   /** Recursive-CTE transitive closure over the embedding near-dup
     * pairs: every label reachable through the undirected edge set
     * propagates, and min(label) per id = the component's minimum id —
@@ -489,6 +512,7 @@ object ExtensionQueries {
     "q_dedup_ngram_jaccard" -> minhashPairsSql(2, 64, 16, 0.4),
     "q_dedup_keep_one" -> dedupKeepOneSql,
     "q_sample_split" -> sampleSplitSql,
+    "q_multimodal_decode" -> multimodalDecodeSql,
     "q_dedup_components" -> dedupComponentsSql,
     "q_text_subwords" ->
       s"""SELECT doc_id,

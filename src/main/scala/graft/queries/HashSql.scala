@@ -88,6 +88,17 @@ private[queries] object HashSql {
         s" (h, c) -> $perChar))")
   }
 
+  /** Unmixed FNV-1a 64 over a text column's UTF-8 BYTES (mirrors
+    * [[Hashing.fnv64]] on `text.getBytes("UTF-8")` — for the ASCII
+    * fixture, bytes == codepoints). Apply the SplitMix64 stages
+    * (e.g. [[mixCtes]]) downstream. */
+  def textFnvU(textCol: String): String = {
+    val perByte = mulmod(ux("h", "c"), Hashing.FnvPrime)
+    s"list_reduce(list_prepend(${u(Hashing.FnvOffset)}," +
+      s" list_transform(range(1, length($textCol) + 1)," +
+      s" i -> CAST(unicode($textCol[i]) AS HUGEINT))), (h, c) -> $perByte)"
+  }
+
   private val ShingleBase = 1125899906842597L
 
   /** DISTINCT mixed shingle hashes over a (mixed) token-hash list

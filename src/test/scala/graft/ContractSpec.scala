@@ -9,10 +9,10 @@ package graft
   * fully oracled via bit-exact double-fold SQL mirrors. */
 class ContractSpec extends SparkSpec {
 
-  // Only the imageio decode remains rows-only (not SQL-expressible);
-  // the minhash/simhash/ngram hash queries are oracled via the
-  // HashSql FNV/SplitMix64 DuckDB replay as of round 4.
-  private val rowsOnlyAllowlist = Set("q_multimodal_decode")
+  // Round 4 closed the last waiver: every catalog query now carries
+  // a DuckDB oracle (the multimodal decode's stub contract is
+  // SQL-mirrored; its real-image path stays ScalaTest ground truth).
+  private val rowsOnlyAllowlist = Set.empty[String]
 
   test("every query has oracle SQL or a documented rows-only waiver") {
     val queries = SparkEntry.queries.keySet
