@@ -150,6 +150,23 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // MinString (the ObjectHashAggregate-eligible string min behind the
+  // J1/J2 lookup dedup) must agree with the builtin min on arbitrary
+  // grouped strings — nulls, empties, non-ASCII, multi-partition
+  // partial/merge/serialize paths included
+  property("MinString == builtin min over random grouped strings") = {
+    val tricky = Gen.oneOf("", " ", "ÿ", "é́", " ", "ZZ", "a b")
+    val strGen = Gen.option(Gen.oneOf(Gen.alphaStr.map(_.take(6)), tricky))
+    Prop.forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0, 5), strGen))) { rows =>
+      val d = mkDf("k INT, v STRING",
+        rows.map { case (k, v) => Row(Integer.valueOf(k), v.orNull) })
+      def run(agg: org.apache.spark.sql.Column) =
+        d.groupBy("k").agg(agg.as("m")).collect()
+          .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+      run(graft.functions.MinString.minString(col("v"))) == run(min(col("v")))
+    }
+  }
+
   // predicate NULL rewrites: Eq(c,null) keeps exactly the null rows,
   // Ne(c,null) exactly the non-null rows, and they partition the table
   property("null predicate rewrites partition the table") =

@@ -330,6 +330,33 @@ class TransportorSpec extends SparkSpec {
     assertRows(io.readTarget("out"), Seq(Row(1L, "a"), Row(2L, "B2"), Row(3L, "c")))
   }
 
+  test("Reconcile verifies a real parquet round-trip (types survive re-read)") {
+    import graft.sources.ParquetDirIO
+    val src = java.nio.file.Files.createTempDirectory("graft_rec_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_rec_dst").toString
+    // mixed types incl. null, timestamp, double — the canonicalized
+    // string digest must agree between the in-memory frame and the
+    // frame re-read from parquet
+    df("id BIGINT, v STRING, w DOUBLE, ts TIMESTAMP",
+      Row(1L, "a", 1.5, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      Row(2L, null, Double.NaN, null))
+      .write.mode("overwrite").parquet(s"$src/base.parquet")
+    val io = new ParquetDirIO(spark, src, dst)
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(
+        Rename("id", "id"), Rename("v", "v"), Rename("w", "w"), Rename("ts", "ts"))))
+    val frames = new Transportor(io, plan).runAndWrite()
+    graft.operators.Reconcile.assertClean(io, frames) // no throw
+    // drop a row behind the IO's back (collect first — can't overwrite
+    // a parquet path while reading it): the count catches it
+    val survivor = io.readTarget("out").filter(col("id") === 1L).collect().toSeq
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(survivor, 1), frames("out").schema)
+      .write.mode("overwrite").parquet(s"$dst/out.parquet")
+    val rep = graft.operators.Reconcile.report(io, frames).collect().head
+    assert(!rep.getBoolean(5) && rep.getLong(1) == 2L && rep.getLong(2) == 1L)
+  }
+
   test("ParquetDirIO upsert merges via staging swap; re-runs converge") {
     import graft.sources.ParquetDirIO
     val src = java.nio.file.Files.createTempDirectory("graft_upsert_src").toString
