@@ -10,6 +10,25 @@ import org.apache.spark.sql.SparkSession
   * prune the projected columns and skip most of the work being
   * measured). A short warmup runs first so JVM/codegen startup cost
   * lands on no particular query.
+  *
+  * Robustness to a LOADED box (the measured failure mode of two
+  * driver-run benches — BASELINE.md BENCH_NOTES "residual load
+  * decay": a bench started right after a heavy test+verify chain
+  * reads 25-40% high while the machine's load average decays, and
+  * the inflation lands on whichever queries run FIRST):
+  *
+  *   1. A bounded SETTLE GATE before any timing: while the 1-min
+  *      loadavg is >= `SPARK_GRAFT_SETTLE_LOAD` (default 2.0) sleep,
+  *      up to `SPARK_GRAFT_SETTLE_CAP_SEC` (default 180 s) total —
+  *      the cap guarantees completion on a genuinely busy box.
+  *   2. Trials are INTERLEAVED FULL-CATALOG PASSES, not back-to-back
+  *      runs of the same query: pass 1 times all queries in order,
+  *      then pass 2 times all queries again, and each query reports
+  *      its per-pass minimum. Back-to-back trials put BOTH samples of
+  *      an early-alphabet query inside the same worst minute of a
+  *      load spike (BENCH_r04: 25.3 s on a 1.3 s query); interleaved
+  *      passes separate the samples by a whole catalog (~tens of
+  *      seconds), so a decaying spike can pin at most one of them.
   */
 object Bench {
   /** Escape a string for embedding in a JSON literal: backslash,
@@ -21,6 +40,15 @@ object Bench {
     case c if c < 0x20   => f"\\u${c.toInt}%04x"
     case c               => c.toString
   }
+
+  /** 1-minute load average from /proc/loadavg; None when unreadable
+    * (non-Linux or restricted container — the gate then no-ops). */
+  private[graft] def loadavg1(): Option[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split("\\s+").headOption.map(_.toDouble)
+      finally src.close()
+    } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,8 +78,22 @@ object Bench {
     wa.join(org.apache.spark.sql.functions.broadcast(wb), "k")
       .groupBy("k").count().write.format("noop").mode("overwrite").save()
 
-    // best-of-N wall time per query: damps JIT/GC noise without caching
-    // fixture data (each trial re-reads parquet)
+    // Settle gate: don't start timing while the box is still digesting
+    // whatever ran before us (the driver runs bench straight after the
+    // test+verify+oracle chain). Bounded so a busy-by-design box still
+    // finishes; the JSON line records what was waited and why.
+    val settleLoad = sys.env.getOrElse("SPARK_GRAFT_SETTLE_LOAD", "2.0").toDouble
+    val settleCapSec = sys.env.getOrElse("SPARK_GRAFT_SETTLE_CAP_SEC", "180").toLong
+    val loadAtStart = loadavg1()
+    val settleT0 = System.nanoTime()
+    while (loadavg1().exists(_ >= settleLoad) &&
+        (System.nanoTime() - settleT0) / 1e9 < settleCapSec) {
+      System.err.println(s"[bench] loadavg ${loadavg1().getOrElse(-1.0)} >= " +
+        s"$settleLoad — settling (cap ${settleCapSec}s)")
+      Thread.sleep(5000)
+    }
+    val settleSec = (System.nanoTime() - settleT0) / 1e9
+
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
     // dev-loop filters (driver leaves both unset => full catalog):
     // SPARK_GRAFT_ONLY=q_a,q_b runs just those; SPARK_GRAFT_EXCLUDE
@@ -60,34 +102,44 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val exclude = sys.env.get("SPARK_GRAFT_EXCLUDE").map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set.empty[String])
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) && !exclude.contains(name) }
-      .map { case (name, fn) =>
-      // A failed trial must NOT enter the timings: a fast crash would
-      // silently improve times.min and the total. Failed queries are
-      // reported as -1 plus an `errors` entry instead.
-      val times = (1 to trials).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some(Right((System.nanoTime() - t0) / 1e9))
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          Some(Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
-        } finally {
-          // Iterative operators (connectedComponents) persist state
-          // during construction; drop it so one query's blocks never
-          // pollute the block manager — and the timings — of every
-          // query that runs after it. The bench owns this session and
-          // caches nothing across queries, so a blanket sweep is safe.
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-        }
+
+    // One timed run of one query. A failed run must NOT enter the
+    // timings: a fast crash would silently improve the per-query min
+    // and the total. Failures surface under `errors` instead.
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+      } finally {
+        // Iterative operators (connectedComponents) persist state
+        // during construction; drop it so one query's blocks never
+        // pollute the block manager — and the timings — of every
+        // query that runs after it. The bench owns this session and
+        // caches nothing across queries, so a blanket sweep is safe.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
-      val ok = times.collect { case Right(t) => t }
-      val err = times.collectFirst { case Left(m) => m }
+    }
+
+    // Interleaved passes: time the WHOLE catalog, then time it again.
+    val passes: Seq[Map[String, Either[String, Double]]] =
+      (1 to trials).map { _ =>
+        catalog.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
+      }
+    val results = catalog.map { case (name, _) =>
+      val samples = passes.map(_(name))
+      val ok = samples.collect { case Right(t) => t }
+      val err = samples.collectFirst { case Left(m) => m }
       (name, if (ok.nonEmpty) ok.min else -1.0, err.filter(_ => ok.isEmpty))
     }
+
     // Failed queries are OMITTED from the timing map (a -1 sentinel in
     // `queries` would poison any consumer summing the values) and show
     // up only under `errors`.
@@ -98,7 +150,9 @@ object Bench {
     }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val loadJson = loadAtStart.fold("")(l => s""","loadavg_start":$l""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson""" +
+      s""","settle_sec":${f"$settleSec%.1f"}$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
