@@ -234,26 +234,16 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    // Truncate the logical plan behind a persisted InternalRow RDD
-    // (or a reliable checkpoint when configured). Staying in the
-    // UnsafeRow representation (graftshim bridge) skips the
-    // InternalRow↔Row codec a `df.rdd` round-trip would pay twice per
-    // pass; the per-row copy() is required because the execution RDD
-    // reuses its row buffer. `eager` forces computation NOW — only
-    // needed when the next consumer would otherwise read the frame
-    // twice in one job (the union below); everywhere else the
-    // following aggregate action materializes the persisted blocks on
-    // first touch with no extra job.
+    // Plan truncation per pass: persisted-RDD rebuild (see
+    // persistMaterialize) or a reliable checkpoint when configured.
+    // `eager` forces computation NOW — only needed when the next
+    // consumer would otherwise read the frame twice in one job (the
+    // union below); everywhere else the following aggregate action
+    // materializes the persisted blocks on first touch with no extra
+    // job.
     def materialize(df: DataFrame, eager: Boolean = false): DataFrame = checkpointDir match {
       case Some(_) => df.checkpoint() // eager, HDFS-durable, lineage-free
-      case None =>
-        val rdd = df.queryExecution.toRdd.map(_.copy())
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (eager) rdd.count()
-        // fromDataset-shaped rebuild: carries the origin's output
-        // partitioning/ordering so next-pass joins on the same key
-        // reuse the layout instead of re-shuffling every iteration
-        org.apache.spark.sql.graftshim.ColumnBridge.dataFrameFromInternalRows(df, rdd)
+      case None => persistMaterialize(df, eager)
     }
     // Materialize the normalized pair set ONCE before the two-way
     // union: the upstream pair generation (an LSH self-join + rescore)
@@ -261,9 +251,22 @@ object Dedup {
     val normPairs = materialize(pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull), eager = true)
-    val edges = materialize(normPairs
-      .union(normPairs.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
+    // Static edge set, built once with two fusions baked in:
+    //  - SELF-LOOPS (s,s) for every node: the per-pass neighbor-min
+    //    aggregate then includes the node's own label, replacing the
+    //    old separate least()-join-back against labels — one join +
+    //    one aggregate per pass instead of two joins + one aggregate.
+    //  - pre-partitioned by the join key `dst`, so every pass's
+    //    edges-join-labels shuffles ONLY the labels side; the edge
+    //    layout is computed once and reused from the persisted blocks
+    //    (the materialize rebuild carries outputPartitioning).
+    val edges = materialize({
+      val und = normPairs
+        .union(normPairs.select(col("dst").as("src"), col("src").as("dst")))
+      und.union(und.select(col("src"), col("src").as("dst")))
+        .distinct()
+        .repartition(col("dst"))
+    })
     release(normPairs)
     var labels = materialize(edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id")))
@@ -287,18 +290,23 @@ object Dedup {
     var i = 0
     try {
       while (!converged && i < maxIter) {
-        val neighborMin = edges
+        // Fused neighbor-min: the self-loops in `edges` make the
+        // min-over-neighbors aggregate include each node's own label,
+        // so `least(rep, min(nrep))` and the join back to labels
+        // collapse into this single join + aggregate.
+        val stepped = materialize(edges
           .join(labels.select(col("id").as("nid"), col("rep").as("nrep")),
             col("dst") === col("nid"))
-          .groupBy("src").agg(min("nrep").as("minrep"))
-        val stepped = labels
-          .join(neighborMin, labels("id") === neighborMin("src"), "left")
-          .select(col("id"),
-            least(col("rep"), coalesce(col("minrep"), col("rep"))).as("rep"))
+          .groupBy("src").agg(min("nrep").as("rep"))
+          .withColumnRenamed("src", "id"))
         // pointer doubling: compose rep through itself (rep(rep(v))) so
         // labels hop 2^k positions after k passes — convergence in
         // O(log diameter) passes instead of O(diameter), which is what
-        // keeps long chains from serializing the whole job
+        // keeps long chains from serializing the whole job. `stepped`
+        // is materialized so its two appearances in this self-join
+        // compute the aggregate once (second stage reads the persisted
+        // blocks) — previously it was lazy and the whole neighbor-min
+        // pipeline ran twice per pass.
         val updated = materialize(stepped.as("a")
           .join(stepped.select(col("id").as("rid"), col("rep").as("rrep")),
             col("a.rep") === col("rid"), "left")
@@ -307,6 +315,7 @@ object Dedup {
         val newSum = repSum(updated)
         converged = newSum.compareTo(prevSum) == 0
         prevSum = newSum
+        release(stepped)
         release(labels) // superseded pass's blocks
         labels = updated
         i += 1
@@ -319,6 +328,20 @@ object Dedup {
       s"connectedComponents did not converge within $maxIter label-propagation passes " +
         "(component diameter exceeds maxIter) — raise maxIter")
     labels.select("id", "rep")
+  }
+
+  /** Truncate a frame's logical plan behind a persisted InternalRow
+    * RDD. Staying in the UnsafeRow representation (graftshim bridge)
+    * skips the InternalRow↔Row codec a `df.rdd` round-trip would pay;
+    * the per-row copy() is required because the execution RDD reuses
+    * its row buffer. The fromDataset-shaped rebuild carries the
+    * origin's output partitioning/ordering so downstream joins on the
+    * same key reuse the layout instead of re-shuffling. */
+  private def persistMaterialize(df: DataFrame, eager: Boolean): DataFrame = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (eager) rdd.count()
+    org.apache.spark.sql.graftshim.ColumnBridge.dataFrameFromInternalRows(df, rdd)
   }
 
   /** Drop the persisted storage behind an RDD-backed frame (e.g. a
@@ -347,10 +370,19 @@ object Dedup {
     * transitive closure and keep exactly one row per duplicate
     * cluster — the member with the minimum id — plus every row that
     * was never paired. One [[connectedComponents]] run + one
-    * broadcast-friendly left-anti join against the (tiny, one row per
+    * broadcast-friendly left-anti join against the (one row per
     * DROPPED duplicate) exclusion set; the corpus itself is never
-    * shuffled. The returned frame holds the components result's
-    * persisted blocks warm — pass it to [[release]] when done. */
+    * shuffled.
+    *
+    * With `releaseAfter` (the default) the drop set — a single id
+    * column, a small fraction of the already-small components
+    * labeling — is materialized into its own persisted blocks and the
+    * full components result is released IMMEDIATELY, so dropping the
+    * returned frame without action strands at most the tiny drop set
+    * (pass the result to [[release]] to free that too). Set it false
+    * to keep the whole components labeling warm instead (e.g. when
+    * the caller reuses the same closure for other joins) — then the
+    * caller owns the release. */
   def keepOnePerCluster(
       df: DataFrame,
       idCol: String,
@@ -358,9 +390,16 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      releaseAfter: Boolean = true): DataFrame = {
     val comp = connectedComponents(pairs, idA, idB, maxIter, checkpointDir)
-    val dropIds = comp.filter(col("id") =!= col("rep")).select(col("id"))
+    val dropIds0 = comp.filter(col("id") =!= col("rep")).select(col("id"))
+    val dropIds =
+      if (releaseAfter) {
+        val materialized = persistMaterialize(dropIds0, eager = true)
+        release(comp)
+        materialized
+      } else dropIds0
     df.join(dropIds, df(idCol) === dropIds("id"), "left_anti")
   }
 

@@ -181,6 +181,26 @@ class ExtensionSpec extends SparkSpec {
     assert(result.count() == 20)
   }
 
+  test("keepOnePerCluster auto-releases the components labeling") {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val docs = df("doc_id BIGINT, text STRING",
+      (1L to 6L).map(i => Row(i, s"doc $i")): _*)
+    val pairs = df("id_a BIGINT, id_b BIGINT",
+      Row(1L, 2L), Row(2L, 3L), Row(5L, 6L))
+    val kept = graft.operators.Dedup.keepOnePerCluster(docs, "doc_id", pairs)
+    // the full components labeling was released at construction; only
+    // the materialized drop set (one id column) stays persisted
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
+      "auto-release left components state persisted")
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 4L, 5L))
+    graft.operators.Dedup.release(kept)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "release(result) must free the drop set")
+    // released frame stays valid — recomputes from lineage
+    assert(kept.count() == 3)
+  }
+
   test("keepOnePerCluster keeps the min id per cluster plus unpaired rows") {
     val docs = df("doc_id BIGINT, text STRING",
       (1L to 6L).map(i => Row(i, s"doc $i")): _*)
