@@ -214,14 +214,26 @@ object Similarity {
 
     var it = 0
     while (it < iters) {
+      // ExactCentsSum: same exact integer fold as a DECIMAL(38,0) sum
+      // but with a fixed-width two-long buffer — no per-(row,dim)
+      // Decimal allocation across the corpus×dim exploded rows
+      val qsum = org.apache.spark.sql.graftshim.ColumnBridge.column(
+        graft.functions.ExactCentsSum(
+          org.apache.spark.sql.graftshim.ColumnBridge.expression(
+            round(col("x").cast("double") * quant).cast("bigint")))
+          .toAggregateExpression())
+      // Two-step select: with `select(udf(vec), posexplode(vec))` the
+      // analyzer's ExtractGenerator keeps non-generator expressions in
+      // the Project ABOVE the Generate, so the assignment UDF would
+      // re-evaluate once per exploded DIM (64× per row — measured 3×
+      // the whole query's cost). Projecting the cell first pins it
+      // below the Generate: once per row, carried through as a
+      // required child output.
       val partials = df
-        .select(assignCellUdf(cents)(col(vecCol)).as("cell"),
-          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .select(assignCellUdf(cents)(col(vecCol)).as("cell"), col(vecCol).as("__vec"))
+        .select(col("cell"), posexplode(col("__vec")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
-        .agg(
-          sum(round(col("x").cast("double") * quant).cast("bigint").cast("decimal(38,0)"))
-            .as("qsum"),
-          count(lit(1)).as("n"))
+        .agg(qsum.as("qsum"), count(lit(1)).as("n"))
         .collect() // nlist × dim rows — bounded, independent of corpus size
       val next = cents.map(_.clone)
       partials.foreach { r =>

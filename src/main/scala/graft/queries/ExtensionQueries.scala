@@ -147,6 +147,53 @@ object ExtensionQueries {
     Similarity.ivfTopK(pq(s, dir, "embeddings").filter(col("vec_id") =!= 0),
       "vec_id", "embedding", queryVec(s, dir), k = 10, nlist = 16, nprobe = 4)
 
+  /** IVF top-k with centroids refined by the DISTRIBUTED k-means —
+    * the 100 TB centroid path (per iteration: one scan + an
+    * nlist×dim keyed partial-aggregated shuffle; only nlist×dim
+    * quantized sums ever reach the driver), oracle-gated like the
+    * sample-based variant. */
+  private val qSimIvfDistributed: Q = (s, dir) => {
+    val corpus = pq(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val cents = Similarity.kmeansCentroidsDistributed(
+      corpus, "vec_id", "embedding", nlist = 8, iters = 2)
+    Similarity.ivfTopKWithCentroids(
+      corpus, "vec_id", "embedding", queryVec(s, dir), k = 10, cents, nprobe = 4)
+  }
+
+  // --------------------------------------------------------------- ingestion
+
+  /** JSONL ingestion end to end through [[graft.sources.FormatDirIO]]:
+    * a JSONL twin of the `documents` fixture is materialized (from the
+    * fixture parquet — derived, not synthesized) under the repo's
+    * target dir, then a transport plan reads it back through the
+    * json-format IO and applies rename + derived-column specs. The
+    * `coalesce(1)` is fixture-twin materialization only — a real
+    * ingest keeps the source's parallelism. */
+  private val qIngestJsonl: Q = (s, dir) => {
+    val twin = jsonlTwinDir(dir)
+    pq(s, dir, "documents").select("doc_id", "text", "lang")
+      .coalesce(1)
+      .write.mode("overwrite").json(s"$twin/documents.jsonl")
+    val io = new graft.sources.FormatDirIO(
+      s, originalDir = twin, targetDir = s"$twin/out", readFormat = "json")
+    val plan = graft.plans.TransportPlan.of(
+      "docs_ingested" -> graft.plans.TableMap(
+        originalTable = Some("documents"),
+        columns = Seq(
+          graft.plans.Rename("doc_id", "doc_id"),
+          graft.plans.Rename("lang_tag", "lang"),
+          graft.plans.Derived("n_tokens", TextFunctions.tokenCount(col("text"))))))
+    new graft.operators.Transportor(io, plan).frame("docs_ingested")
+  }
+
+  /** Twin location keyed by the sf dir's basename so concurrent runs
+    * at different scales never clobber each other. The ORACLE for
+    * q_ingest_jsonl reads the sf0.01 twin (the driver's correctness
+    * gate scale) — it compares against the same JSONL bytes the Spark
+    * query ingested, which is the right oracle for an ingest path. */
+  private def jsonlTwinDir(dir: String): String =
+    s"/root/repo/target/jsonl/${new java.io.File(dir).getName}"
+
   // --------------------------------------------------------------- profiling
 
   private val qProfile: Q = (s, dir) =>
@@ -181,6 +228,8 @@ object ExtensionQueries {
     "q_sim_brute_topk" -> qSimBruteTopK,
     "q_sim_lsh_topk" -> qSimLshTopK,
     "q_sim_ivf_topk" -> qSimIvfTopK,
+    "q_sim_ivf_distributed" -> qSimIvfDistributed,
+    "q_ingest_jsonl" -> qIngestJsonl,
     "q_text_subwords" -> qTextSubwords,
     "q_profile" -> qProfile,
     "q_multimodal_meta" -> qMultimodalMeta,
@@ -360,6 +409,72 @@ object ExtensionQueries {
        |ORDER BY cosine DESC, id ASC LIMIT 10""".stripMargin
   }
 
+  /** Mirrors `Similarity.kmeansCentroidsDistributed(nlist=8, iters=2,
+    * quantBits=30)` + `ivfTopKWithCentroids(nprobe=4)`:
+    *   cents0  = first 8 corpus rows by id;
+    *   assignN = argmax fused-cosine over centsN-1, earliest-cell
+    *             tie-break, over the FULL corpus (not a sample);
+    *   updN    = per-(cell,dim) quantized-integer mean — each
+    *             component rounds to round(x * 2^30) BIGINT, sums
+    *             exactly (DuckDB promotes to HUGEINT = Spark's
+    *             DECIMAL(38,0) fold), then CAST(sum AS DOUBLE)/n/2^30
+    *             in that exact op order. Order-INDEPENDENT by
+    *             construction, which is why this path scales to any
+    *             corpus: no list(... ORDER BY id) materialization.
+    *   Final: assign full corpus to cents2, probe top-4 cells by
+    *   query fused-cosine, exact cosine re-rank on probed rows. */
+  private val simIvfDistributedSql: String = {
+    val nlist = 8
+    val iters = 2
+    val quant = "1073741824.0" // 2^30, the quantBits=30 default
+    def iterCtes(i: Int): String = {
+      val prev = s"cents${i - 1}"
+      s"""assign$i AS (
+         |  SELECT id, vec, cell FROM (
+         |    SELECT e.id, e.vec, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+         |    FROM corpus e CROSS JOIN $prev c) t WHERE rn = 1),
+         |upd$i AS (
+         |  SELECT cell, list(val ORDER BY d) AS cvec FROM (
+         |    SELECT cell, d,
+         |      CAST(SUM(CAST(round(CAST(vec[d] AS DOUBLE) * $quant) AS BIGINT)) AS DOUBLE)
+         |        / COUNT(*) / $quant AS val
+         |    FROM assign$i CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS d) dims
+         |    GROUP BY cell, d) g GROUP BY cell),
+         |cents$i AS (
+         |  SELECT p.cell, COALESCE(u.cvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN upd$i u ON p.cell = u.cell)""".stripMargin
+    }
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id <> 0),
+       |cents0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
+       |                  list_transform(vec, x -> CAST(x AS DOUBLE)) AS cvec
+       |           FROM (SELECT id, vec FROM corpus ORDER BY id LIMIT $nlist) t),
+       |${(1 to iters).map(iterCtes).mkString(",\n")},
+       |assigned AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT e.id, e.vec, c.cell,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+       |    FROM corpus e CROSS JOIN cents$iters c) t WHERE rn = 1),
+       |probe AS (
+       |  SELECT cell FROM (
+       |    SELECT c.cell, ${cosineFusedSql("q.qv", "c.cvec")} AS s FROM cents$iters c, q) t
+       |  ORDER BY s DESC, cell ASC LIMIT 4)
+       |SELECT a.id, ${cosineSql("a.vec", "q.qv")} AS cosine
+       |FROM assigned a, q
+       |WHERE a.cell IN (SELECT cell FROM probe)
+       |ORDER BY cosine DESC, id ASC LIMIT 10""".stripMargin
+  }
+
+  /** Reads the SAME JSONL bytes `q_ingest_jsonl` ingested (the sf0.01
+    * twin — the driver's correctness-gate scale; Verify materializes
+    * it before oracle_sql.json is compared). */
+  private val ingestJsonlSql: String =
+    s"""SELECT doc_id, lang AS lang_tag, $nTokensSql AS n_tokens
+       |FROM read_json_auto('/root/repo/target/jsonl/sf0.01/documents.jsonl/*.json')""".stripMargin
+
   // ---- hash-dedup mirrors --------------------------------------------------
   // FNV-1a/SplitMix64/MinHash/SimHash replayed in DuckDB via HashSql
   // (unsigned-HUGEINT domain, 32-bit-limb wrapping multiply) — turns
@@ -522,6 +637,8 @@ object ExtensionQueries {
     "q_sim_brute_topk" -> simBruteTopkSql,
     "q_sim_lsh_topk" -> simLshTopkSql,
     "q_sim_ivf_topk" -> simIvfTopkSql,
+    "q_sim_ivf_distributed" -> simIvfDistributedSql,
+    "q_ingest_jsonl" -> ingestJsonlSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_text_stats" ->
       s"""SELECT doc_id, $nTokensSql AS n_tokens,
