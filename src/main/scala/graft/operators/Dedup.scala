@@ -167,11 +167,16 @@ object Dedup {
       col("blk_idx"), col("blk_val"))
     val b = exploded.select(col("id").as("id_b"), col("simhash").as("sim_b"),
       col("blk_idx"), col("blk_val"))
+    // Hamming verify BEFORE the pair-dedup: bit_count on the joined
+    // row is nearly free, and rejected candidates then never enter
+    // the dropDuplicates shuffle — the distinct carries only verified
+    // pairs (hamming is a function of the pair, so filtering first
+    // cannot change the surviving set).
     a.join(b, Seq("blk_idx", "blk_val"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
   }
 
