@@ -194,6 +194,33 @@ object ExtensionQueries {
   private def jsonlTwinDir(dir: String): String =
     s"/root/repo/target/jsonl/${new java.io.File(dir).getName}"
 
+  /** CSV sibling of [[qIngestJsonl]], exercising the csv format path
+    * and FormatDirIO's explicit-schema read (no inference drift: both
+    * engines see BIGINT/VARCHAR exactly as declared). Text is left
+    * out of the CSV twin on purpose — the quoting dialect is the
+    * format's own concern, not the transport's, and the JSONL twin
+    * already round-trips the full text column. */
+  private val qIngestCsv: Q = (s, dir) => {
+    val twin = s"/root/repo/target/csvtwin/${new java.io.File(dir).getName}"
+    pq(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(s"$twin/documents.csv")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    val io = new graft.sources.FormatDirIO(
+      s, originalDir = twin, targetDir = s"$twin/out", readFormat = "csv",
+      readOptions = Map("header" -> "true"),
+      schemas = Map("documents" -> schema))
+    val plan = graft.plans.TransportPlan.of(
+      "docs_csv" -> graft.plans.TableMap(
+        originalTable = Some("documents"),
+        columns = Seq(
+          graft.plans.Rename("doc_id", "doc_id"),
+          graft.plans.Rename("lang_tag", "lang"),
+          graft.plans.Derived("n_chars_x2", col("n_chars") * 2))))
+    new graft.operators.Transportor(io, plan).frame("docs_csv")
+  }
+
   // --------------------------------------------------------------- profiling
 
   private val qProfile: Q = (s, dir) =>
@@ -230,6 +257,7 @@ object ExtensionQueries {
     "q_sim_ivf_topk" -> qSimIvfTopK,
     "q_sim_ivf_distributed" -> qSimIvfDistributed,
     "q_ingest_jsonl" -> qIngestJsonl,
+    "q_ingest_csv" -> qIngestCsv,
     "q_text_subwords" -> qTextSubwords,
     "q_profile" -> qProfile,
     "q_multimodal_meta" -> qMultimodalMeta,
@@ -639,6 +667,9 @@ object ExtensionQueries {
     "q_sim_ivf_topk" -> simIvfTopkSql,
     "q_sim_ivf_distributed" -> simIvfDistributedSql,
     "q_ingest_jsonl" -> ingestJsonlSql,
+    "q_ingest_csv" ->
+      """SELECT doc_id, lang AS lang_tag, n_chars * 2 AS n_chars_x2
+        |FROM read_csv_auto('/root/repo/target/csvtwin/sf0.01/documents.csv/*.csv', header = true)""".stripMargin,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_text_stats" ->
       s"""SELECT doc_id, $nTokensSql AS n_tokens,

@@ -54,6 +54,17 @@ class ExactAggSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("works as a window aggregate") {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+    val d = df("k STRING, v BIGINT",
+      Row("a", 5L), Row("a", 7L), Row("b", -3L), Row("b", null))
+    val perKey = d.withColumn("s", exactSum(col("v")).over(w))
+      .select("k", "s").distinct().collect()
+      .map(r => r.getString(0) -> Option(r.getDecimal(1)).map(_.longValueExact())).toMap
+    assert(perKey("a").contains(12L))
+    assert(perKey("b").contains(-3L))
+  }
+
   test("plans as codegen'd HashAggregate (fixed-width buffer)") {
     val d = df("k STRING, v DOUBLE", Row("a", 1.5), Row("b", 2.5))
     val plan = d.groupBy("k").agg(ExactAgg.moneySum(col("v"), 100).as("s"))
