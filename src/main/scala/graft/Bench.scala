@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   * the inflation lands on whichever queries run FIRST):
   *
   *   1. A bounded SETTLE GATE before any timing: while the 1-min
-  *      loadavg is >= `SPARK_GRAFT_SETTLE_LOAD` (default 2.0) sleep,
+  *      loadavg is >= `SPARK_GRAFT_SETTLE_LOAD` (default 1.5) sleep,
   *      up to `SPARK_GRAFT_SETTLE_CAP_SEC` (default 180 s) total —
   *      the cap guarantees completion on a genuinely busy box.
   *   2. Trials are INTERLEAVED FULL-CATALOG PASSES, not back-to-back
