@@ -109,6 +109,31 @@ object TextFunctions {
     size(filter(tokens(text), t => lower(t).isin(stopwords.map(lit): _*)))
       .cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
 
+  /** Corpus vocabulary builder — the token-statistics pass every
+    * tokenizer-training / frequency-filter pipeline starts with: one
+    * row per token with total occurrences (`freq`) and document
+    * frequency (`df`), top `k` by (freq desc, token asc) — a total
+    * order, so the cut is deterministic and cross-engine stable.
+    *
+    * Scale posture: explode + hash-aggregate on the token — the
+    * canonical map-side-combine shape; partial aggregation collapses
+    * each partition to its distinct tokens before the shuffle. The
+    * exact `count(DISTINCT doc_id)` costs an Expand (2× rows
+    * pre-aggregate); at extreme scale swap it for
+    * `approx_count_distinct` — kept exact here because the oracle
+    * hash-checks it. */
+  def vocabulary(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
   /** Mean token length. */
   def meanTokenLen(text: Column): Column =
     (length(regexp_replace(text, wsClass + "+", "")).cast("double") /

@@ -44,6 +44,9 @@ object ExtensionQueries {
       col("doc_id"),
       TextFunctions.subwordCount(col("text")).as("n_subwords"))
 
+  private val qTextVocab: Q = (s, dir) =>
+    TextFunctions.vocabulary(pq(s, dir, "documents"), "doc_id", "text", k = 50)
+
   /** The canonical pre-training corpus filter: language gate +
     * composite quality threshold + token-length band, in one pass —
     * every predicate codegen'd builtins over the text column, so the
@@ -259,6 +262,7 @@ object ExtensionQueries {
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_ingest_csv" -> qIngestCsv,
     "q_text_subwords" -> qTextSubwords,
+    "q_text_vocab" -> qTextVocab,
     "q_profile" -> qProfile,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode)
@@ -678,6 +682,12 @@ object ExtensionQueries {
          |       md5(trim(regexp_replace(lower(text), '$ws+', ' ', 'g'))) AS fp
          |FROM documents""".stripMargin,
     "q_text_langid" -> langCaseSql,
+    "q_text_vocab" ->
+      s"""SELECT token, freq, df FROM (
+         |  SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS df
+         |  FROM (SELECT doc_id, unnest($tokensLowerSql) AS token FROM documents) t
+         |  GROUP BY token)
+         |ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin,
     "q_text_quality" ->
       s"""SELECT doc_id,
          |  $alphaRatioSql AS alpha_ratio,

@@ -342,6 +342,18 @@ class ExtensionSpec extends SparkSpec {
     assert(Multimodal.tryDecodeImage(Multimodal.MediaItem(4L, "t", null, 0L)).isEmpty)
   }
 
+  test("vocabulary: freq/df counts with deterministic tie-break cut") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(1L, "apple banana apple"),
+      Row(2L, "Banana cherry"),
+      Row(3L, "apple cherry cherry"))
+    val got = graft.functions.TextFunctions.vocabulary(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // apple freq 3 df 2; banana freq 2 df 2 (case-folded); cherry freq 3 df 2
+    // ties on freq=3 break alphabetically: apple before cherry
+    assert(got == Seq(("apple", 3L, 2L), ("cherry", 3L, 2L)))
+  }
+
   test("language id picks marker-matching language, 'und' when nothing matches") {
     val t = df("doc_id BIGINT, text STRING",
       Row(1L, "the cat and the dog of the house is to blame"),
