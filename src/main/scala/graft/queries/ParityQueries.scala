@@ -174,6 +174,32 @@ object ParityQueries {
     new Transportor(io(s, dir), plan).frame("orders_named")
   }
 
+  // J1 under skew salting: saltFactor splits each probe key into
+  // deterministic sub-keys and replicates the (deduplicated) lookup
+  // to match — bounded task sizes under a hot key, row-identical
+  // output. Shares q_refer_single's oracle SQL because salting MUST
+  // be result-invariant; this row gates that invariant continuously.
+  // broadcastLookup is off so the salted shuffle-join path (where
+  // salting actually matters) is the one exercised.
+  private val qReferSalted: Q = (s, dir) => {
+    val plan = TransportPlan.of(
+      "orders_named" -> TableMap(
+        originalTable = Some("orders"),
+        columns = Seq(
+          Rename("o_orderkey", "o_orderkey"),
+          Rename("o_custkey", "o_custkey"),
+          Refer("cust_name",
+            accordingColumns = Seq("o_custkey"),
+            searchSource = SearchSource.Original,
+            searchTable = "customer",
+            searchColumns = Seq("c_custkey"),
+            wantedColumn = "c_name",
+            default = Some("UNKNOWN"),
+            conditions = Seq(Condition.Gt("c_acctbal", 2000.0)),
+            saltFactor = 4))))
+    new Transportor(io(s, dir), plan).frame("orders_named")
+  }
+
   // J1 with pre_format + format_wanted key/result UDF wraps.
   private val qReferFormatted: Q = (s, dir) => {
     val plan = TransportPlan.of(
@@ -463,6 +489,7 @@ object ParityQueries {
     "q_affection" -> qAffection,
     "q_temp_drop" -> qTempDrop,
     "q_refer_single" -> qReferSingle,
+    "q_refer_salted" -> qReferSalted,
     "q_refer_formatted" -> qReferFormatted,
     "q_refer_composite" -> qReferComposite,
     "q_refers_agg" -> qRefersAgg,
@@ -515,6 +542,13 @@ object ParityQueries {
     "q_temp_drop" ->
       "SELECT c_custkey AS id, c_mktsegment || ':' || c_name AS seg_tag FROM customer",
     "q_refer_single" ->
+      """SELECT o.o_orderkey, o.o_custkey, COALESCE(l.c_name, 'UNKNOWN') AS cust_name
+        |FROM orders o
+        |LEFT JOIN (SELECT c_custkey, MIN(c_name) AS c_name FROM customer
+        |           WHERE c_acctbal > 2000.0 GROUP BY c_custkey) l
+        |ON o.o_custkey = l.c_custkey""".stripMargin,
+    // identical SQL on purpose: salting is result-invariant
+    "q_refer_salted" ->
       """SELECT o.o_orderkey, o.o_custkey, COALESCE(l.c_name, 'UNKNOWN') AS cust_name
         |FROM orders o
         |LEFT JOIN (SELECT c_custkey, MIN(c_name) AS c_name FROM customer
