@@ -427,6 +427,22 @@ object ParityQueries {
         count(lit(1)).as("n"),
         moneySum(col("value"), 100).as("total_value"))
 
+  /** Hopping-window aggregation — 1 h windows sliding every 30 min,
+    * so each event lands in exactly two overlapping windows. The
+    * batch twin of `window(ts, size, slide)` streaming aggregation
+    * (§2.10); both engines align windows to the epoch (UTC session
+    * timezone), and the DuckDB mirror spells the two memberships out
+    * explicitly (`time_bucket(30 min)` and the same minus 30 min). */
+  private val qEventsHopping: Q = (s, dir) =>
+    events(s, dir)
+      .select(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"), col("value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("value"))
+      .groupBy("ws", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        moneySum(col("value"), 100).as("total_value"))
+
   /** As-of join: each click enriched with the latest prior purchase
     * value of the same user — oracle-checked against DuckDB's native
     * ASOF LEFT JOIN. */
@@ -502,6 +518,7 @@ object ParityQueries {
     "q_topk" -> qTopK,
     "q_window_rank" -> qWindowRank,
     "q_events_hourly" -> qEventsHourly,
+    "q_events_hopping" -> qEventsHopping,
     "q_events_sessionize" -> qEventsSessionize,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
@@ -622,6 +639,14 @@ object ParityQueries {
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
         |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_hopping" ->
+      """SELECT ws, event_type, count(*) AS n,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+        |FROM (SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |               - (o.k * INTERVAL '30 minutes') AS ws,
+        |             event_type, value
+        |      FROM events CROSS JOIN (VALUES (0), (1)) o(k)) t
+        |GROUP BY 1, 2""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
