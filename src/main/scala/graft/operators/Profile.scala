@@ -17,6 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** One output row per profiled column with exact linear-interpolated
+    * quartiles (SQL `percentile` — the same `lower + (higher-lower) *
+    * frac` interpolation DuckDB's `quantile_cont` performs, so the
+    * doubles match the oracle bit-for-bit on shared input). EXACT
+    * percentile sorts the column per aggregate — the right default
+    * for a profiling pass you run once per migration; at 100 TB
+    * switch to `approx_percentile` (KLL-sketch-style, fixed memory)
+    * when ±0.1% error is acceptable. Same one-aggregate-per-column
+    * shape as [[profile]] (each job scans and shuffles exactly one
+    * column). */
+  def quantiles(
+      df: DataFrame,
+      columns: Seq[String],
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame =
+    columns.map { c =>
+      val arr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+      df.select(col(c)).agg(
+        expr(s"percentile($c, $arr)").as("qs"))
+        .select(lit(c).as("column") +:
+          probs.zipWithIndex.map { case (p, i) =>
+            element_at(col("qs"), i + 1).as(s"q${(p * 100).round}")
+          }: _*)
+    }.reduce(_.unionByName(_))
+
   /** One output row per profiled column, with stringified min/max so
     * heterogeneous column types stack into one frame. */
   def profile(df: DataFrame, columns: Seq[String], approxDistinct: Boolean = false): DataFrame =

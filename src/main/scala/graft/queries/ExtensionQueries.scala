@@ -230,6 +230,10 @@ object ExtensionQueries {
     graft.operators.Profile.profile(pq(s, dir, "orders"),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
 
+  private val qProfileQuantiles: Q = (s, dir) =>
+    graft.operators.Profile.quantiles(pq(s, dir, "orders"),
+      Seq("o_totalprice", "o_custkey"))
+
   // -------------------------------------------------------------- multimodal
 
   private val qMultimodalMeta: Q = (s, dir) =>
@@ -264,6 +268,7 @@ object ExtensionQueries {
     "q_text_subwords" -> qTextSubwords,
     "q_text_vocab" -> qTextVocab,
     "q_profile" -> qProfile,
+    "q_profile_quantiles" -> qProfileQuantiles,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode)
 
@@ -717,6 +722,13 @@ object ExtensionQueries {
         |WHERE rn = 1""".stripMargin,
     "q_multimodal_meta" ->
       "SELECT doc_id, 'image/stub' AS media_type, CAST(strlen(text) AS BIGINT) AS byte_len FROM documents",
+    "q_profile_quantiles" -> Seq("o_totalprice", "o_custkey").map { c =>
+      s"""SELECT '$c' AS "column",
+         |  quantile_cont($c, 0.25) AS q25,
+         |  quantile_cont($c, 0.5) AS q50,
+         |  quantile_cont($c, 0.75) AS q75
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "q_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice").map { c =>
       s"""SELECT '$c' AS "column", count(*) AS n_rows,
          |  count(*) - count($c) AS n_nulls,
