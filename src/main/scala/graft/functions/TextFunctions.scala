@@ -53,6 +53,25 @@ object TextFunctions {
     when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks)))
   }
 
+  // ------------------------------------------------------------- redaction
+
+  /** PII scrubbing patterns — training corpora are redacted before
+    * anything else touches them. Both are RE2-safe (character classes
+    * and counted repetition only — no lookaround, no backreferences)
+    * so the DuckDB oracle applies the IDENTICAL pattern. Deliberately
+    * conservative: emails and long digit-runs (phone/account
+    * numbers); real deployments layer more patterns the same way. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val longNumberPattern = "[+]?[0-9][0-9 ()+-]{6,}[0-9]"
+
+  /** Replace emails then long digit-runs with typed placeholder
+    * tokens. Pure codegen'd `regexp_replace` — one pass over the
+    * text, no UDF, scales with scan bytes. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      longNumberPattern, "<NUMBER>")
+
   // ----------------------------------------------------------------- langid
 
   /** Marker-word sets for the n-gram-heuristic language detector.

@@ -47,6 +47,15 @@ object ExtensionQueries {
   private val qTextVocab: Q = (s, dir) =>
     TextFunctions.vocabulary(pq(s, dir, "documents"), "doc_id", "text", k = 50)
 
+  /** PII redaction over the corpus (the fixture is synthetic prose,
+    * so most rows pass through unchanged — the mechanics are pinned
+    * by ExtensionSpec on real emails/numbers; the oracle checks the
+    * identical RE2-safe patterns engine-for-engine). */
+  private val qTextRedact: Q = (s, dir) =>
+    pq(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.redact(col("text")).as("clean_text"))
+
   /** The canonical pre-training corpus filter: language gate +
     * composite quality threshold + token-length band, in one pass —
     * every predicate codegen'd builtins over the text column, so the
@@ -267,6 +276,7 @@ object ExtensionQueries {
     "q_ingest_csv" -> qIngestCsv,
     "q_text_subwords" -> qTextSubwords,
     "q_text_vocab" -> qTextVocab,
+    "q_text_redact" -> qTextRedact,
     "q_profile" -> qProfile,
     "q_profile_quantiles" -> qProfileQuantiles,
     "q_multimodal_meta" -> qMultimodalMeta,
@@ -687,6 +697,14 @@ object ExtensionQueries {
          |       md5(trim(regexp_replace(lower(text), '$ws+', ' ', 'g'))) AS fp
          |FROM documents""".stripMargin,
     "q_text_langid" -> langCaseSql,
+    // DuckDB single-quoted strings pass backslashes through verbatim,
+    // so the shared Scala pattern strings interpolate unchanged.
+    "q_text_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(text, '${TextFunctions.emailPattern}', '<EMAIL>', 'g'),
+         |    '${TextFunctions.longNumberPattern}', '<NUMBER>', 'g') AS clean_text
+         |FROM documents""".stripMargin,
     "q_text_vocab" ->
       s"""SELECT token, freq, df FROM (
          |  SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS df

@@ -45,6 +45,22 @@ object StreamOps {
         graft.functions.ExactAgg.moneySum(col("value"), 100).as("total_value"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("total_value"))
 
+  /** Hopping (sliding) window aggregate — 1 h windows every 30 min by
+    * default, each event in size/slide overlapping windows: the
+    * streaming form of q_events_hopping. Same bounded-state argument
+    * as [[hourlyCounts]], ×(size/slide) live windows. */
+  def hoppingCounts(
+      events: DataFrame,
+      size: String = "1 hour",
+      slide: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.ExactAgg.moneySum(col("value"), 100).as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total_value"))
+
   /** Continuous transport: run one table's declarative TableMap over a
     * STREAMING source. Each micro-batch overlays the batch DataFrame
     * as the map's original table and executes the same Transportor

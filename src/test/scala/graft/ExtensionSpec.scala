@@ -342,6 +342,19 @@ class ExtensionSpec extends SparkSpec {
     assert(Multimodal.tryDecodeImage(Multimodal.MediaItem(4L, "t", null, 0L)).isEmpty)
   }
 
+  test("redact replaces emails and long numbers, leaves prose alone") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(1L, "contact jane.doe+spam@example.co.uk or call +1 (555) 123-4567 now"),
+      Row(2L, "order 1234567890 shipped; see a@b.io"),
+      Row(3L, "plain prose with numbers like 42 and 7 stays intact"))
+    val got = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.redact(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "contact <EMAIL> or call <NUMBER> now")
+    assert(got(2L) == "order <NUMBER> shipped; see <EMAIL>")
+    assert(got(3L) == "plain prose with numbers like 42 and 7 stays intact")
+  }
+
   test("vocabulary: freq/df counts with deterministic tie-break cut") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(1L, "apple banana apple"),

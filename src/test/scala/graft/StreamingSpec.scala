@@ -36,6 +36,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hoppingCounts matches the batch sliding-window aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hop_stream").toString
+    eventsDf.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(eventsDf.schema).parquet(dir)
+    val q = StreamOps.hoppingCounts(stream)
+      .writeStream.format("memory").queryName("hopping").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hopping")
+        .select("ws", "event_type", "n", "total_value").collect().toSet
+      val batch = eventsDf
+        .select(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"), col("value"))
+        .select(col("w.start").as("ws"), col("event_type"), col("value"))
+        .groupBy("ws", "event_type")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.ExactAgg.moneySum(col("value"), 100).as("total_value"))
+        .collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
     // duplicate every event once
