@@ -45,4 +45,30 @@ object Sampling {
     hashSplit(df, idCol, trainPct = pct, valPct = 0)
       .filter(col("split") === "train")
       .drop("split", "split_bucket")
+
+  /** Deterministic STRATIFIED sample — per-stratum keep percentages
+    * (the class-rebalancing op: e.g. keep 10% of 'en', 100% of the
+    * rare languages). A row is kept iff its hash bucket falls below
+    * its stratum's percentage; strata not in the map fall back to
+    * `defaultPct`. Same zero-shuffle, partition-independent posture
+    * as [[hashSplit]] — the keep decision is a pure function of
+    * (id, stratum), so rebalanced corpora are reproducible at audit
+    * time. The whole predicate is one codegen'd CASE over the mixed
+    * id. */
+  def stratifiedHashSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      pctByStratum: Map[String, Int],
+      defaultPct: Int = 100): DataFrame = {
+    (pctByStratum.values.toSeq :+ defaultPct).foreach(p =>
+      require(p >= 0 && p <= 100, s"invalid stratum percentage $p"))
+    val bucket = shiftrightunsigned(
+      HashExpressions.mix64(col(idCol).cast("long")), 1) % 100
+    val threshold = pctByStratum.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultPct)) { case ((stratum, pct), acc) =>
+        when(col(strataCol) === stratum, lit(pct)).otherwise(acc)
+      }
+    df.filter(bucket < threshold)
+  }
 }

@@ -128,6 +128,14 @@ object ExtensionQueries {
     graft.operators.Sampling.hashSplit(pq(s, dir, "documents"), "doc_id")
       .select("doc_id", "split_bucket", "split")
 
+  /** Stratified rebalance: keep 40% of 'en', all of 'de', 80% of
+    * everything else — deterministic per (doc_id, lang). */
+  private val qSampleStratified: Q = (s, dir) =>
+    graft.operators.Sampling.stratifiedHashSample(
+      pq(s, dir, "documents"), "doc_id", "lang",
+      pctByStratum = Map("en" -> 40, "de" -> 100), defaultPct = 80)
+      .select("doc_id", "lang")
+
   private val qDedupEmbedding: Q = (s, dir) =>
     Dedup.embeddingNearDupPairs(pq(s, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.2, numPlanes = 6)
@@ -266,6 +274,7 @@ object ExtensionQueries {
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_keep_one" -> qDedupKeepOne,
     "q_sample_split" -> qSampleSplit,
+    "q_sample_stratified" -> qSampleStratified,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_components" -> qDedupComponents,
     "q_sim_brute_topk" -> qSimBruteTopK,
@@ -613,6 +622,16 @@ object ExtensionQueries {
        |            WHEN (x // 2) % 100 < 90 THEN 'val' ELSE 'test' END AS split
        |FROM m4""".stripMargin
 
+  /** Mirrors `Sampling.stratifiedHashSample(en->40, de->100, default
+    * 80)`: same SplitMix64 bucket as [[sampleSplitSql]], thresholded
+    * by a per-stratum CASE. */
+  private val sampleStratifiedSql: String =
+    s"""WITH s0 AS MATERIALIZED (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS x FROM documents),
+       |${HashSql.mixCtes("s", "s0", "doc_id, lang")}
+       |SELECT doc_id, lang FROM s4
+       |WHERE (x // 2) % 100 <
+       |  (CASE WHEN lang = 'de' THEN 100 WHEN lang = 'en' THEN 40 ELSE 80 END)""".stripMargin
+
   /** Mirrors `Dedup.keepOnePerCluster` over the minhash pairs: the
     * recursive closure labels every paired id with its component
     * minimum; ids that are not that minimum are dropped, everything
@@ -674,6 +693,7 @@ object ExtensionQueries {
     "q_dedup_ngram_jaccard" -> minhashPairsSql(2, 64, 16, 0.4),
     "q_dedup_keep_one" -> dedupKeepOneSql,
     "q_sample_split" -> sampleSplitSql,
+    "q_sample_stratified" -> sampleStratifiedSql,
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_dedup_components" -> dedupComponentsSql,
     "q_text_subwords" ->

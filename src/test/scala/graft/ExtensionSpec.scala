@@ -241,6 +241,24 @@ class ExtensionSpec extends SparkSpec {
     assert(sampled.collect().map(_.getLong(0)).toSet == expect)
   }
 
+  test("stratifiedHashSample: per-stratum rates, default fallback, determinism") {
+    val docs = df("doc_id BIGINT, lang STRING",
+      (0L until 3000L).map(i =>
+        Row(i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr")): _*)
+    val sampled = graft.operators.Sampling.stratifiedHashSample(
+      docs, "doc_id", "lang", Map("en" -> 40, "de" -> 100), defaultPct = 80)
+    val byLang = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 1000L)                        // 100%: every row
+    assert(byLang("en") > 300 && byLang("en") < 500)     // ~40% of 1000
+    assert(byLang("fr") > 700 && byLang("fr") < 900)     // ~80% of 1000
+    // deterministic and partition-independent
+    val again = graft.operators.Sampling.stratifiedHashSample(
+      docs.repartition(7), "doc_id", "lang", Map("en" -> 40, "de" -> 100), 80)
+    assert(sampled.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("connectedComponents on zero pairs returns an empty frame, not an NPE") {
     val empty = df("id_a BIGINT, id_b BIGINT")
     assert(graft.operators.Dedup.connectedComponents(empty).count() == 0)
