@@ -249,6 +249,33 @@ object Similarity {
     cents
   }
 
+  /** Per-group embedding centroids (mean pooling) — the aggregation
+    * behind class prototypes, topic centroids, and cluster summaries.
+    * Same exact-quantized fold as [[kmeansCentroidsDistributed]]:
+    * components round to `round(x·2^quantBits)` integers and sum in
+    * the fixed-width [[graft.functions.ExactCentsSum]], so the result
+    * is bit-reproducible under any partitioning and the shuffle
+    * carries only |groups|·dim keyed sums regardless of corpus size.
+    * Output: one row per (group, dim 1..d, value) — long format, so
+    * downstream joins/pivots choose their own shape. */
+  def groupCentroids(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      quantBits: Int = 30): DataFrame = {
+    val quant = (1L << quantBits).toDouble
+    val qsum = org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.ExactCentsSum(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(
+          round(col("x").cast("double") * quant).cast("bigint")))
+        .toAggregateExpression())
+    df.select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("dim0", "x")))
+      .groupBy("grp", "dim0")
+      .agg(qsum.as("qsum"), count(lit(1)).as("n"))
+      .select(col("grp"), (col("dim0") + 1).as("dim"),
+        (col("qsum").cast("double") / col("n") / quant).as("value"))
+  }
+
   /** LSH-bucketed ANN top-k: probe all buckets within `probeHamming`
     * bits of the query's bucket (multi-probe raises recall without
     * re-bucketing), exact cosine on the candidates only. */

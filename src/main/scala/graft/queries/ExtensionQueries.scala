@@ -180,6 +180,12 @@ object ExtensionQueries {
       corpus, "vec_id", "embedding", queryVec(s, dir), k = 10, cents, nprobe = 4)
   }
 
+  /** Per-label embedding centroid (mean pooling, exact quantized
+    * fold — bit-reproducible under any partitioning). */
+  private val qEmbedCentroids: Q = (s, dir) =>
+    Similarity.groupCentroids(
+      pq(s, dir, "embeddings").filter(col("vec_id") =!= 0), "label", "embedding")
+
   // --------------------------------------------------------------- ingestion
 
   /** JSONL ingestion end to end through [[graft.sources.FormatDirIO]]:
@@ -281,6 +287,7 @@ object ExtensionQueries {
     "q_sim_lsh_topk" -> qSimLshTopK,
     "q_sim_ivf_topk" -> qSimIvfTopK,
     "q_sim_ivf_distributed" -> qSimIvfDistributed,
+    "q_embed_centroids" -> qEmbedCentroids,
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_ingest_csv" -> qIngestCsv,
     "q_text_subwords" -> qTextSubwords,
@@ -524,6 +531,17 @@ object ExtensionQueries {
        |ORDER BY cosine DESC, id ASC LIMIT 10""".stripMargin
   }
 
+  /** Mirrors `Similarity.groupCentroids(quantBits=30)`: quantized
+    * BIGINT sums (HUGEINT-exact in DuckDB = Spark's two-long exact
+    * fold) divided back in the same op order. */
+  private val embedCentroidsSql: String =
+    s"""SELECT label AS grp, d AS dim,
+       |  CAST(SUM(CAST(round(CAST(embedding[d] AS DOUBLE) * 1073741824.0) AS BIGINT)) AS DOUBLE)
+       |    / COUNT(*) / 1073741824.0 AS value
+       |FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS d) dims
+       |WHERE vec_id <> 0
+       |GROUP BY label, d""".stripMargin
+
   /** Reads the SAME JSONL bytes `q_ingest_jsonl` ingested (the sf0.01
     * twin — the driver's correctness-gate scale; Verify materializes
     * it before oracle_sql.json is compared). */
@@ -705,6 +723,7 @@ object ExtensionQueries {
     "q_sim_lsh_topk" -> simLshTopkSql,
     "q_sim_ivf_topk" -> simIvfTopkSql,
     "q_sim_ivf_distributed" -> simIvfDistributedSql,
+    "q_embed_centroids" -> embedCentroidsSql,
     "q_ingest_jsonl" -> ingestJsonlSql,
     "q_ingest_csv" ->
       """SELECT doc_id, lang AS lang_tag, n_chars * 2 AS n_chars_x2
