@@ -180,6 +180,34 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Edit-distance near-duplicate pairs: MinHash-LSH candidates
+    * re-scored with exact Levenshtein distance — the fuzzy-matching
+    * gate for short-to-medium fields (titles, names, template'd
+    * docs). Levenshtein is O(|a|·|b|) PER PAIR: the LSH step is what
+    * makes it feasible (bounded candidates, never all pairs), and on
+    * long free text prefer the Jaccard rescore — distance grows with
+    * length and the quadratic cost with it. Both engines' levenshtein
+    * is the standard unit-cost DP, so the oracle matches exactly. */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int = 10,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    minhashPairs(df, idCol, textCol, shingleN, numHashes, bands,
+      jaccardThreshold = 0.0, maxBucketSize = maxBucketSize)
+      .select("id_a", "id_b")
+      .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .filter(col("dist") <= maxDistance)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** Character/word n-gram Jaccard similarity pairs — MinHash-LSH
     * candidates re-scored with exact n-gram Jaccard (the LSH step
     * bounds the pair count; the exact score removes LSH false

@@ -113,6 +113,10 @@ object ExtensionQueries {
     Dedup.ngramJaccardPairs(pq(s, dir, "documents"), "doc_id", "text",
       n = 2, threshold = 0.4)
 
+  private val qDedupEditdist: Q = (s, dir) =>
+    Dedup.editDistancePairs(pq(s, dir, "documents"), "doc_id", "text",
+      maxDistance = 10)
+
   /** End-to-end text-dedup endgame: minhash near-dup pairs →
     * transitive closure → keep min-id per cluster + all unpaired
     * docs. Same pair parameters as q_dedup_minhash. */
@@ -278,6 +282,7 @@ object ExtensionQueries {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_dedup_editdist" -> qDedupEditdist,
     "q_dedup_keep_one" -> qDedupKeepOne,
     "q_sample_split" -> qSampleSplit,
     "q_sample_stratified" -> qSampleStratified,
@@ -640,6 +645,20 @@ object ExtensionQueries {
        |            WHEN (x // 2) % 100 < 90 THEN 'val' ELSE 'test' END AS split
        |FROM m4""".stripMargin
 
+  /** Mirrors `Dedup.editDistancePairs(maxDistance=10)`: the full
+    * banded-candidate replay (threshold 0 — every band collision),
+    * re-scored with DuckDB's levenshtein (the same unit-cost DP as
+    * Spark's). */
+  private val dedupEditdistSql: String =
+    s"""WITH cand AS MATERIALIZED (${minhashPairsSql(3, 64, 16, 0.0)})
+       |SELECT id_a, id_b, dist FROM (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(levenshtein(da.text, db.text) AS INTEGER) AS dist
+       |  FROM cand c
+       |  JOIN documents da ON da.doc_id = c.id_a
+       |  JOIN documents db ON db.doc_id = c.id_b) t
+       |WHERE dist <= 10""".stripMargin
+
   /** Mirrors `Sampling.stratifiedHashSample(en->40, de->100, default
     * 80)`: same SplitMix64 bucket as [[sampleSplitSql]], thresholded
     * by a per-stratum CASE. */
@@ -709,6 +728,7 @@ object ExtensionQueries {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),
     "q_dedup_ngram_jaccard" -> minhashPairsSql(2, 64, 16, 0.4),
+    "q_dedup_editdist" -> dedupEditdistSql,
     "q_dedup_keep_one" -> dedupKeepOneSql,
     "q_sample_split" -> sampleSplitSql,
     "q_sample_stratified" -> sampleStratifiedSql,

@@ -71,6 +71,20 @@ class ExtensionSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("editDistancePairs: LSH candidates gated by exact levenshtein") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(1L, "the quick brown fox jumps over the lazy dog tonight"),
+      Row(2L, "the quick brown fox jumps over the lazy cat tonight"), // dist 3
+      Row(3L, "the quick brown fox jumps over the lazy dog tonight"), // dist 0 to 1
+      Row(4L, "completely different content about spark aggregation plans"))
+    val pairs = graft.operators.Dedup.editDistancePairs(
+        docs, "doc_id", "text", maxDistance = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 3L, 0)))
+    assert(pairs.contains((1L, 2L, 3)) && pairs.contains((2L, 3L, 3)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("exact dedup groups and fingerprint dedup (case/whitespace-insensitive)") {
     val groups = Dedup.exactGroups(docs, "doc_id", "text")
     assert(groups.count() == 4) // 1==4 exactly
