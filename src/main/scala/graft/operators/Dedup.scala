@@ -203,6 +203,11 @@ object Dedup {
       .select("id_a", "id_b")
       .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
       .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
+      // exact pre-filter: a length difference of d needs >= d edits,
+      // so pairs that can't pass skip the O(|a|·|b|) DP entirely —
+      // results identical, the dominant per-pair cost avoided for
+      // length-mismatched candidates
+      .filter(abs(length(col("t_a")) - length(col("t_b"))) <= maxDistance)
       .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
       .filter(col("dist") <= maxDistance)
       .select("id_a", "id_b", "dist")
