@@ -21,6 +21,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // coalesce(1) is for this sf0.01-scale oracle-diff fixture ONLY
+      // (one file per query keeps the DuckDB compare simple) — never
+      // copy it into a real write path; it serializes the write.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -44,8 +47,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __SF_BASENAME__ -> the scale this dump actually ran at, so
+    // scale-dependent oracles (the ingest twins) always read the
+    // fixture THIS run materialized, not a baked-in sf0.01.
+    val sfBase = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SF_BASENAME__", sfBase))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

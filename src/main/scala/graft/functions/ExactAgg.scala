@@ -101,11 +101,23 @@ case class ExactCentsSum(child: Expression)
   }
 
   /** hi * 2^62 + lo in DECIMAL(38,0) — the only decimal math, once
-    * per output group. */
+    * per output group. Overflow guard: |hi| beyond 2^62 means the
+    * total passed ±2^124, inside the guard band before hi's silent
+    * long wrap at ±2^125. hi moves by at most 3 per update/merge, so
+    * any overflow reachable in fewer than ~2^61 input rows per group
+    * lands in the band and RAISES here instead of wrapping — the old
+    * DECIMAL(38,0) sum errored on overflow too; a silent wrap would
+    * be a wrong answer. Checked once per group, not per row. */
   override lazy val evaluateExpression: Expression = {
     val dec = DecimalType(38, 0)
     val v = Add(Multiply(Cast(hi, dec), Cast(bLit, dec)), Cast(lo, dec))
-    If(Not(seen), Literal.create(null, dec), Cast(v, dec))
+    val band = Literal(1L << 62)
+    val overflow = Or(GreaterThan(hi, band), LessThan(hi, UnaryMinus(band)))
+    If(Not(seen), Literal.create(null, dec),
+      If(overflow,
+        Cast(RaiseError(Literal(
+          "exact_cents_sum overflow: |group total| exceeded 2^124")), dec),
+        Cast(v, dec)))
   }
 
   override protected def withNewChildInternal(newChild: Expression): ExactCentsSum =

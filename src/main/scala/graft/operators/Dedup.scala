@@ -208,8 +208,12 @@ object Dedup {
       // results identical, the dominant per-pair cost avoided for
       // length-mismatched candidates
       .filter(abs(length(col("t_a")) - length(col("t_b"))) <= maxDistance)
-      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
-      .filter(col("dist") <= maxDistance)
+      // threshold form: the DP banded to the bound — O(|a|·d) per
+      // pair instead of O(|a|·|b|), returning -1 past the bound.
+      // Distances WITHIN the bound are exact, so the plain-levenshtein
+      // oracle + post-filter still matches hash-for-hash.
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDistance))
+      .filter(col("dist") >= 0 && col("dist") <= maxDistance)
       .select("id_a", "id_b", "dist")
   }
 

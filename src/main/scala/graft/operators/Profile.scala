@@ -33,8 +33,10 @@ object Profile {
       probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame =
     columns.map { c =>
       val arr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+      // backticks: names with spaces/dots/keywords must parse like
+      // profile()'s col(c) path does
       df.select(col(c)).agg(
-        expr(s"percentile($c, $arr)").as("qs"))
+        expr(s"percentile(`$c`, $arr)").as("qs"))
         .select(lit(c).as("column") +:
           probs.zipWithIndex.map { case (p, i) =>
             element_at(col("qs"), i + 1).as(s"q${(p * 100).round}")

@@ -216,13 +216,19 @@ object ExtensionQueries {
     new graft.operators.Transportor(io, plan).frame("docs_ingested")
   }
 
+  /** Twin root under the repo's build dir, resolved from the working
+    * directory (sbt and the driver both run from the repo root) — no
+    * hardcoded checkout path, so a relocated clone still verifies. */
+  private[queries] val twinRoot: String = new java.io.File("target").getAbsolutePath
+
   /** Twin location keyed by the sf dir's basename so concurrent runs
-    * at different scales never clobber each other. The ORACLE for
-    * q_ingest_jsonl reads the sf0.01 twin (the driver's correctness
-    * gate scale) — it compares against the same JSONL bytes the Spark
-    * query ingested, which is the right oracle for an ingest path. */
+    * at different scales never clobber each other. The ORACLE carries
+    * the `__SF_BASENAME__` placeholder, which Verify substitutes with
+    * the basename of the sf dir it actually ran at (see Verify.main)
+    * — the oracle then compares against the same JSONL bytes the
+    * Spark query ingested at ANY scale, not a baked-in sf0.01. */
   private def jsonlTwinDir(dir: String): String =
-    s"/root/repo/target/jsonl/${new java.io.File(dir).getName}"
+    s"$twinRoot/jsonl/${new java.io.File(dir).getName}"
 
   /** CSV sibling of [[qIngestJsonl]], exercising the csv format path
     * and FormatDirIO's explicit-schema read (no inference drift: both
@@ -231,7 +237,7 @@ object ExtensionQueries {
     * format's own concern, not the transport's, and the JSONL twin
     * already round-trips the full text column. */
   private val qIngestCsv: Q = (s, dir) => {
-    val twin = s"/root/repo/target/csvtwin/${new java.io.File(dir).getName}"
+    val twin = s"$twinRoot/csvtwin/${new java.io.File(dir).getName}"
     pq(s, dir, "documents").select("doc_id", "lang", "n_chars")
       .coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(s"$twin/documents.csv")
@@ -547,12 +553,13 @@ object ExtensionQueries {
        |WHERE vec_id <> 0
        |GROUP BY label, d""".stripMargin
 
-  /** Reads the SAME JSONL bytes `q_ingest_jsonl` ingested (the sf0.01
-    * twin — the driver's correctness-gate scale; Verify materializes
-    * it before oracle_sql.json is compared). */
+  /** Reads the SAME JSONL bytes `q_ingest_jsonl` ingested — the twin
+    * of whatever scale Verify ran at (`__SF_BASENAME__` is substituted
+    * at dump time; Verify materializes the twin before oracle_sql.json
+    * is compared). */
   private val ingestJsonlSql: String =
     s"""SELECT doc_id, lang AS lang_tag, $nTokensSql AS n_tokens
-       |FROM read_json_auto('/root/repo/target/jsonl/sf0.01/documents.jsonl/*.json')""".stripMargin
+       |FROM read_json_auto('$twinRoot/jsonl/__SF_BASENAME__/documents.jsonl/*.json')""".stripMargin
 
   // ---- hash-dedup mirrors --------------------------------------------------
   // FNV-1a/SplitMix64/MinHash/SimHash replayed in DuckDB via HashSql
@@ -746,8 +753,8 @@ object ExtensionQueries {
     "q_embed_centroids" -> embedCentroidsSql,
     "q_ingest_jsonl" -> ingestJsonlSql,
     "q_ingest_csv" ->
-      """SELECT doc_id, lang AS lang_tag, n_chars * 2 AS n_chars_x2
-        |FROM read_csv_auto('/root/repo/target/csvtwin/sf0.01/documents.csv/*.csv', header = true)""".stripMargin,
+      s"""SELECT doc_id, lang AS lang_tag, n_chars * 2 AS n_chars_x2
+         |FROM read_csv_auto('$twinRoot/csvtwin/__SF_BASENAME__/documents.csv/*.csv', header = true)""".stripMargin,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_text_stats" ->
       s"""SELECT doc_id, $nTokensSql AS n_tokens,

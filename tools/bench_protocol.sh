@@ -5,8 +5,11 @@
 # What it does, in order:
 #   1. refuses to run on a loaded box (1-min loadavg must be < 2.0) —
 #      machine contention is the #1 cause of phantom "regressions";
-#   2. runs the full catalog N times (default 3) at sf0.1 local[32],
-#      best-of-2 trials inside each run (the driver's config);
+#   2. runs the full catalog N times (default 3) at sf0.1 local[32];
+#      inside each run, Bench itself takes the per-query min over 3
+#      INTERLEAVED full-catalog passes (SPARK_GRAFT_BENCH_PASSES —
+#      round-5 semantics; the old SPARK_GRAFT_BENCH_TRIALS name still
+#      works but counts passes now, not back-to-back trials);
 #   3. runs the catalog once more EXCLUDING q_dedup_components — the
 #      iterative operator that persists state during construction — to
 #      measure cross-query contamination (should be ~zero: Bench
