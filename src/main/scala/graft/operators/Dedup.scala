@@ -76,6 +76,28 @@ object Dedup {
     * unless the corpus shares boilerplate; cap pathological buckets
     * upstream by filtering near-empty docs.
     */
+  /** (id, band_idx, band_hash) rows for every document — the LSH
+    * candidate-generation key shared by the self-join
+    * ([[minhashPairs]]) and cross-corpus ([[dedupAgainst]]) paths.
+    * One pass: native tokenize+shingle+hash (ShingleHashes), the
+    * MinHash signature over the pre-hashed shingles (no per-shingle
+    * strings), then `bands` murmur band hashes exploded to rows. */
+  private def bandExplode(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sh = HashExpressions.shingleHashes(col(textCol), shingleN)
+    df.select(
+        col(idCol).as("id"),
+        HashExpressions.minhashSignature(sh, numHashes).as("sig"))
+      .select(
+        col("id"),
+        posexplode(array((0 until bands).map { j =>
+          hash(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand), lit(j))
+        }: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -85,26 +107,13 @@ object Dedup {
       bands: Int = 16,
       jaccardThreshold: Double = 0.0,
       maxBucketSize: Option[Int] = None): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
-    // one-pass native tokenize+shingle+hash (ShingleHashes), then the
-    // signature over the pre-hashed shingles — no per-shingle strings
-    val sh = HashExpressions.shingleHashes(col(textCol), shingleN)
-    val prep = df.select(
-      col(idCol).as("id"),
-      HashExpressions.minhashSignature(sh, numHashes).as("sig"))
-
     // Candidate generation shuffles ONLY (id, band) pairs — never the
     // shingle arrays. At scale the banded self-join fan-out dominates;
     // keeping its payload to 24 bytes/row instead of the whole shingle
     // set is the difference between shuffling ids and shuffling the
     // corpus. Shingle sets are re-attached afterwards, for surviving
     // candidates only.
-    val exploded0 = prep.select(
-      col("id"),
-      posexplode(array((0 until bands).map { j =>
-        hash(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand), lit(j))
-      }: _*)).as(Seq("band_idx", "band_hash")))
+    val exploded0 = bandExplode(df, idCol, textCol, shingleN, numHashes, bands)
     val exploded = capBuckets(exploded0, Seq("band_idx", "band_hash"), maxBucketSize)
 
     val a = exploded.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))
@@ -228,6 +237,112 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5): DataFrame =
     minhashPairs(df, idCol, textCol, shingleN = n, jaccardThreshold = threshold)
+
+  /** One-time corpus index for INCREMENTAL dedup ([[dedupAgainst]]):
+    * one row per (document, band) carrying the document's canonical
+    * fingerprint and its LSH band bucket — everything a new batch
+    * needs to probe the corpus without touching corpus text.
+    *
+    * Production shape at 100 TB: build this ONCE per corpus (one scan,
+    * no join), write it bucketed by `(band_idx, band_hash)`
+    * (TableIO.writeBucketed) — each daily batch's probe join then
+    * shuffles only the batch side, and the corpus is never re-scanned,
+    * re-shingled, or self-paired per batch. Appending a deduped batch
+    * to the corpus appends its index rows the same way. */
+  def corpusIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sh = HashExpressions.shingleHashes(col(textCol), shingleN)
+    corpus.select(
+        col(idCol).as("id"),
+        TextFunctions.fingerprint(col(textCol)).as("fp"),
+        HashExpressions.minhashSignature(sh, numHashes).as("sig"))
+      .select(
+        col("id"), col("fp"),
+        posexplode(array((0 until bands).map { j =>
+          hash(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand), lit(j))
+        }: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Incremental / cross-corpus dedup — the daily-ingest shape: drop
+    * every row of `newDf` that duplicates (exactly or nearly) a row
+    * of `corpusDf`, WITHOUT ever pairing the corpus with itself.
+    * Returns the surviving `newDf` rows unchanged (all columns).
+    *
+    * Two stages, mirroring the self-join operators:
+    *   1. EXACT — left-anti join of the batch against the corpus's
+    *      distinct canonical fingerprints (16-byte md5 keys): the
+    *      overwhelmingly common case (verbatim re-crawls) dies here
+    *      without shingling cost on either side.
+    *   2. NEAR — the batch survivors' LSH band buckets probe the
+    *      corpus index; band collisions are re-scored with exact
+    *      shingle-Jaccard (corpus TEXT is read only for surviving
+    *      candidates — a batch-sized fraction), and any match ≥
+    *      `jaccardThreshold` drops the batch row.
+    *
+    * Pass a precomputed [[corpusIndex]] via `index` to make per-batch
+    * corpus-side work O(probed buckets) instead of O(corpus): with it,
+    * the corpus is signatured exactly once EVER, not once per batch
+    * (ExtensionSpec pins that no signature expression is applied to
+    * the corpus when an index is supplied). `maxBucketSize` caps
+    * corpus-side mega-buckets (boilerplate) exactly like the
+    * self-join operators.
+    *
+    * Within-batch duplicates are deliberately NOT removed — that is
+    * [[minhashPairs]] + [[keepOnePerCluster]] composed on the batch,
+    * a separate (and independently parameterized) decision. */
+  def dedupAgainst(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      jaccardThreshold: Double = 0.5,
+      maxBucketSize: Option[Int] = None,
+      index: Option[DataFrame] = None): DataFrame = {
+    val idx = index.getOrElse(
+      corpusIndex(corpusDf, idCol, textCol, shingleN, numHashes, bands))
+    val idxCapped = capBuckets(idx, Seq("band_idx", "band_hash"), maxBucketSize)
+
+    // stage 1: exact fingerprint anti-join (distinct corpus fps — the
+    // index repeats each fp once per band; dedup to one 16-byte key)
+    val corpusFps = idx.select(col("fp").as("__fp")).distinct()
+    val afterExact = newDf
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .join(corpusFps, Seq("__fp"), "left_anti")
+
+    // stage 2: LSH probe of the corpus buckets by the batch survivors
+    val newBands = bandExplode(afterExact, idCol, textCol, shingleN, numHashes, bands)
+    val candidates = newBands
+      .join(idxCapped.select(col("id").as("cid"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .select("id", "cid")
+      .dropDuplicates("id", "cid")
+    // exact-jaccard rescore: texts joined for surviving candidates only
+    val newTexts = newDf.select(col(idCol).as("id"), col(textCol).as("t_n"))
+    val corpusTexts = corpusDf.select(col(idCol).as("cid"), col(textCol).as("t_c"))
+    val shN = HashExpressions.shingleHashes(col("t_n"), shingleN)
+    val shC = HashExpressions.shingleHashes(col("t_c"), shingleN)
+    val jaccard = (size(array_intersect(shN, shC)).cast("double") /
+      size(array_union(shN, shC)).cast("double"))
+    val matched = candidates
+      .join(newTexts, "id")
+      .join(corpusTexts, "cid")
+      .filter(jaccard >= jaccardThreshold)
+      .select("id")
+      .distinct()
+    afterExact
+      .join(matched, afterExact(idCol) === matched("id"), "left_anti")
+      .drop("__fp")
+  }
 
   /** Connected components over near-duplicate PAIRS — the dedup
     * endgame: pairs only say "a matches b"; keep-one-per-cluster

@@ -127,6 +127,23 @@ object ExtensionQueries {
         shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5))
       .select("doc_id")
 
+  /** Incremental dedup of a "daily batch" (doc_id % 10 >= 8) against
+    * the standing corpus (doc_id % 10 < 8): exact-fingerprint
+    * anti-join, then LSH band probe + jaccard rescore — the corpus is
+    * never self-paired. Survivor ids of the batch. Same minhash
+    * parameters as q_dedup_minhash, so the cross pairs it must drop
+    * are exactly that query's pairs straddling the split (6 of them
+    * at sf0.01). */
+  private val qDedupIncremental: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    Dedup.dedupAgainst(
+      docs.filter(col("doc_id") % 10 >= 8),
+      docs.filter(col("doc_id") % 10 < 8),
+      "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
+      .select("doc_id")
+  }
+
   /** Deterministic hash-based train/val/test split (80/10/10). */
   private val qSampleSplit: Q = (s, dir) =>
     graft.operators.Sampling.hashSplit(pq(s, dir, "documents"), "doc_id")
@@ -290,6 +307,7 @@ object ExtensionQueries {
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_editdist" -> qDedupEditdist,
     "q_dedup_keep_one" -> qDedupKeepOne,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_sample_split" -> qSampleSplit,
     "q_sample_stratified" -> qSampleStratified,
     "q_dedup_embedding" -> qDedupEmbedding,
@@ -640,6 +658,47 @@ object ExtensionQueries {
        |WHERE jaccard >= $threshold""".stripMargin
   }
 
+  /** Mirrors `Dedup.dedupAgainst` on the doc_id % 10 split: the same
+    * signature/band replay as [[minhashPairsSql]] computed ONCE over
+    * all documents, with the candidate join restricted to
+    * batch-side × corpus-side instead of a self-join. The exact stage
+    * is the fingerprint semi-join; the final survivor set subtracts
+    * both hit sets — set-identical to the engine's
+    * anti-join-then-probe staging (a batch row dropped by stage 1
+    * never reaches stage 2 in either formulation). */
+  private val dedupIncrementalSql: String = {
+    val (shingleN, numHashes, bands, threshold) = (3, 64, 16, 0.5)
+    val rpb = numHashes / bands
+    val bandSelects = (0 until bands).map { j =>
+      s"SELECT doc_id, $j AS band_idx, sig[${j * rpb + 1}:${(j + 1) * rpb}] AS bv FROM sig"
+    }.mkString("\nUNION ALL ")
+    val inter = "len(list_filter(sn.sh, x -> list_contains(sc.sh, x)))"
+    s"""WITH ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents),
+       |sh AS MATERIALIZED (SELECT doc_id, ${HashSql.shingleHashes("ths", shingleN)} AS sh FROM ths),
+       |shx AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+       |salt AS (SELECT * FROM (VALUES ${HashSql.saltRows(numHashes, 42L)}) AS v(salt_idx, s)),
+       |mx0 AS MATERIALIZED (SELECT doc_id, salt_idx, ${HashSql.ux("h", "s")} AS x FROM shx CROSS JOIN salt),
+       |${HashSql.mixCtes("mx", "mx0", "doc_id, salt_idx")},
+       |sig AS MATERIALIZED (SELECT doc_id, list(mn ORDER BY salt_idx) AS sig FROM
+       |  (SELECT doc_id, salt_idx, min(${HashSql.toS("x")}) AS mn FROM mx4
+       |   GROUP BY doc_id, salt_idx) g GROUP BY doc_id),
+       |band AS MATERIALIZED ($bandSelects),
+       |fps AS MATERIALIZED (SELECT doc_id,
+       |  md5(trim(regexp_replace(lower(text), '$ws+', ' ', 'g'))) AS fp FROM documents),
+       |exact_hit AS (SELECT n.doc_id FROM fps n WHERE n.doc_id % 10 >= 8 AND EXISTS (
+       |  SELECT 1 FROM fps c WHERE c.doc_id % 10 < 8 AND c.fp = n.fp)),
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS cid
+       |  FROM band a JOIN band b ON a.band_idx = b.band_idx AND a.bv = b.bv
+       |  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8),
+       |lsh_hit AS (SELECT DISTINCT c.nid AS doc_id FROM cand c
+       |  JOIN sh sn ON sn.doc_id = c.nid JOIN sh sc ON sc.doc_id = c.cid
+       |  WHERE CAST($inter AS DOUBLE) /
+       |        CAST(len(sn.sh) + len(sc.sh) - $inter AS DOUBLE) >= $threshold)
+       |SELECT doc_id FROM documents WHERE doc_id % 10 >= 8
+       |  AND doc_id NOT IN (SELECT doc_id FROM exact_hit)
+       |  AND doc_id NOT IN (SELECT doc_id FROM lsh_hit)""".stripMargin
+  }
+
   /** Mirrors `Sampling.hashSplit(80, 10)`: SplitMix64 of the id
     * (HashSql.mixCtes replay), bucket = mixed >>> 1 mod 100. doc_id
     * is nonnegative, so the unsigned HUGEINT start value equals the
@@ -737,6 +796,7 @@ object ExtensionQueries {
     "q_dedup_ngram_jaccard" -> minhashPairsSql(2, 64, 16, 0.4),
     "q_dedup_editdist" -> dedupEditdistSql,
     "q_dedup_keep_one" -> dedupKeepOneSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
     "q_sample_split" -> sampleSplitSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_multimodal_decode" -> multimodalDecodeSql,

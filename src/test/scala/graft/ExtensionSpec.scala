@@ -226,6 +226,50 @@ class ExtensionSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("dedupAgainst drops exact/fp/near corpus matches, keeps novel rows, never self-pairs the corpus") {
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      // corpus-INTERNAL exact dup: must not affect the batch result and
+      // must never appear in the output (the corpus is not self-paired)
+      Row(101L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      Row(102L, "completely different content about spark query engines and shuffles"))
+    val batch = df("doc_id BIGINT, text STRING",
+      Row(1L, "THE  Quick   Brown fox jumps over the lazy dog near the river bank"), // fp-dup of 100
+      Row(2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 100
+      Row(3L, "entirely novel text about streaming watermarks and state stores"))
+    val out = Dedup.dedupAgainst(batch, corpus, "doc_id", "text", jaccardThreshold = 0.5)
+    assert(out.columns.toSeq == batch.columns.toSeq) // schema passes through
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("dedupAgainst with a precomputed index never re-signatures the corpus") {
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      Row(102L, "completely different content about spark query engines and shuffles"))
+    val batch = df("doc_id BIGINT, text STRING",
+      Row(2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      Row(3L, "entirely novel text about streaming watermarks and state stores"))
+    // persist the index like production would, so its lazy plan (which
+    // contains the corpus signature expression) is not re-executed —
+    // the read-back frame is a plain scan
+    val dir = java.nio.file.Files.createTempDirectory("graft_cindex").toString
+    Dedup.corpusIndex(corpus, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val out = Dedup.dedupAgainst(batch, corpus, "doc_id", "text",
+      jaccardThreshold = 0.5, index = Some(idx))
+    // behavior identical to the index-free path
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
+    // the plan signatures ONLY the batch side: exactly one
+    // MinHashSignature expression — per-batch corpus-side work is the
+    // bucket probe plus candidate rescore, not a corpus re-signature
+    val sigs = out.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(_.collect {
+        case _: graft.functions.MinHashSignature => 1
+      }.sum).sum
+    }.sum
+    assert(sigs == 1, s"expected 1 batch-side signature expression, plan has $sigs")
+  }
+
   test("hashSplit is a deterministic, complete, uniform-ish partition") {
     val rows = (0L until 1000L).map(i => Row(i))
     val d = df("doc_id BIGINT", rows: _*)

@@ -118,6 +118,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup drop over a replayed corpus matches batch dedupAgainst") {
+    // The streaming twin of incremental dedup: the standing corpus
+    // replays as micro-batch 1, the daily batch arrives as micro-batch
+    // 2 — batch-2 survivors must equal Dedup.dedupAgainst(batch,
+    // corpus) under the SAME match rule. nearDupDropStream drops on
+    // full-signature equality, which is dedupAgainst with the
+    // strictest band (bands = 1 — the whole signature is the bucket
+    // key) and no jaccard gate (threshold 0: a full-signature
+    // collision IS the match).
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val corpus = df("doc_id BIGINT, ts TIMESTAMP, text STRING",
+      Row(100L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "the quick brown fox jumps over the lazy dog"),
+      Row(101L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "completely different text about query engines"))
+    val batch = df("doc_id BIGINT, ts TIMESTAMP, text STRING",
+      Row(1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "THE  Quick brown FOX jumps over the lazy dog"), // sig-dup of 100
+      Row(2L, java.sql.Timestamp.valueOf("2024-01-01 00:11:00"), "entirely novel text on watermarks and state"),
+      Row(3L, java.sql.Timestamp.valueOf("2024-01-01 00:12:00"), "another novel document about sessionization"))
+    corpus.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(corpus.schema).parquet(dir)
+    val q = StreamOps.nearDupDropStream(stream, "text")
+      .writeStream.format("memory").queryName("incdedup_out").outputMode("append").start()
+    try {
+      q.processAllAvailable() // corpus replay = micro-batch 1
+      batch.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable() // the new batch = micro-batch 2
+      val streamSurvivors = spark.table("incdedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet.intersect(Set(1L, 2L, 3L))
+      val batchSurvivors = graft.operators.Dedup.dedupAgainst(
+        batch, corpus, "doc_id", "text",
+        numHashes = 64, bands = 1, jaccardThreshold = 0.0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchSurvivors == Set(2L, 3L))
+      assert(streamSurvivors == batchSurvivors)
+    } finally q.stop()
+  }
+
   test("event-time sessionize: identical assignments whether events arrive in 1 or 3 batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
