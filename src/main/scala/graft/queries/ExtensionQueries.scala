@@ -113,6 +113,20 @@ object ExtensionQueries {
     Dedup.ngramJaccardPairs(pq(s, dir, "documents"), "doc_id", "text",
       n = 2, threshold = 0.4)
 
+  /** The 100 TB mega-bucket guard, oracle-gated: q_dedup_minhash's
+    * parameters with `maxBucketSize = 2` — band buckets holding more
+    * than 2 docs (boilerplate / mass duplication) are dropped BEFORE
+    * the self-join, so their quadratic pair fan-out never happens
+    * (sf1 measured 466→9.5 s under 10× replication, BASELINE.md). The
+    * cap bites on this fixture (fewer pairs than q_dedup_minhash) and
+    * the DuckDB mirror applies the identical count filter, so the
+    * load-bearing knob is continuously hash-checked, not anecdotal. */
+  private val qDedupMinhashCapped: Q = (s, dir) =>
+    Dedup.minhashPairs(pq(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
+      maxBucketSize = Some(2))
+      .select("id_a", "id_b", "jaccard")
+
   private val qDedupEditdist: Q = (s, dir) =>
     Dedup.editDistancePairs(pq(s, dir, "documents"), "doc_id", "text",
       maxDistance = 10)
@@ -303,6 +317,7 @@ object ExtensionQueries {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_fingerprint" -> qDedupFingerprint,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_minhash_capped" -> qDedupMinhashCapped,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_editdist" -> qDedupEditdist,
@@ -628,11 +643,23 @@ object ExtensionQueries {
     * identical except for the same vanishing-collision caveat as
     * [[dedupSimhashSql]]. */
   private def minhashPairsSql(
-      shingleN: Int, numHashes: Int, bands: Int, threshold: Double): String = {
+      shingleN: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxBucketSize: Option[Int] = None): String = {
     val rpb = numHashes / bands
     val bandSelects = (0 until bands).map { j =>
       s"SELECT doc_id, $j AS band_idx, sig[${j * rpb + 1}:${(j + 1) * rpb}] AS bv FROM sig"
     }.mkString("\nUNION ALL ")
+    // the capBuckets mirror: keep only band buckets within the cap
+    // (the count filter is deterministic, so it replays exactly)
+    val bandCte = maxBucketSize match {
+      case Some(cap) =>
+        s"""band0 AS MATERIALIZED ($bandSelects),
+           |band AS MATERIALIZED (SELECT b.doc_id, b.band_idx, b.bv FROM band0 b
+           |  JOIN (SELECT band_idx, bv FROM band0 GROUP BY band_idx, bv
+           |        HAVING count(*) <= $cap) g
+           |    ON b.band_idx = g.band_idx AND b.bv = g.bv),""".stripMargin
+      case None => s"band AS MATERIALIZED ($bandSelects),"
+    }
     val inter = "len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))"
     // signature via the exploded hash×salt cross product (see
     // HashSql.mixCtes): sig[j] = min in SIGNED order of
@@ -646,7 +673,7 @@ object ExtensionQueries {
        |sig AS MATERIALIZED (SELECT doc_id, list(mn ORDER BY salt_idx) AS sig FROM
        |  (SELECT doc_id, salt_idx, min(${HashSql.toS("x")}) AS mn FROM mx4
        |   GROUP BY doc_id, salt_idx) g GROUP BY doc_id),
-       |band AS MATERIALIZED ($bandSelects),
+       |$bandCte
        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM band a JOIN band b ON a.band_idx = b.band_idx AND a.bv = b.bv
        |              AND a.doc_id < b.doc_id)
@@ -793,6 +820,7 @@ object ExtensionQueries {
   val oracle: Map[String, String] = Map(
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),
+    "q_dedup_minhash_capped" -> minhashPairsSql(3, 64, 16, 0.5, Some(2)),
     "q_dedup_ngram_jaccard" -> minhashPairsSql(2, 64, 16, 0.4),
     "q_dedup_editdist" -> dedupEditdistSql,
     "q_dedup_keep_one" -> dedupKeepOneSql,
