@@ -176,6 +176,78 @@ object Similarity {
       .limit(k)
   }
 
+  /** Top-`nprobe` centroid cells for each vector, closest first
+    * (fused cosine, strict `>` + earliest-cell tie-break — the same
+    * order [[assignCellUdf]] and [[refineCentroids]] use), as an
+    * array for the caller to explode. Closure UDF for the same
+    * reason as [[assignCellUdf]]: nlist × dim literals would bloat
+    * codegen. */
+  private def probeCellsUdf(centroids: Array[Array[Double]], nprobe: Int) = {
+    val centroidsB = centroids
+    udf { (vec: Seq[Float]) =>
+      val sims = Array.tabulate(centroidsB.length) { c =>
+        val ctr = centroidsB(c)
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val lim = math.min(ctr.length, vec.length)
+        while (i < lim) {
+          val x = vec(i).toDouble
+          d += x * ctr(i); na += x * x; nb += ctr(i) * ctr(i); i += 1
+        }
+        if (na > 0 && nb > 0) d / math.sqrt(na * nb) else 0.0
+      }
+      sims.indices.sortBy(c => (-sims(c), c)).take(nprobe)
+    }
+  }
+
+  /** BATCH-query IVF ANN — RAG-style retrieval and corpus-vs-corpus
+    * linking: a DataFrame of query vectors, each answered with its
+    * exact-cosine top-k over the rows of its `nprobe` closest IVF
+    * cells. Output: (query_id, id, cosine), k rows per query.
+    *
+    * Shape: both sides are cell-assigned by closure UDFs in a single
+    * scan each (no shuffle to assign); queries explode to their
+    * nprobe probe cells; the probe is an EQUI-join on the cell id —
+    * never query × corpus; the per-query top-k is a window keyed by
+    * query id. Per-query work is corpus/nlist × nprobe rows, the
+    * recall/cost dial.
+    *
+    * Scale posture (100 TB corpus, millions of queries): the corpus
+    * side shuffles once keyed by cell — or zero times when the
+    * corpus is stored bucketed by its cell assignment, the
+    * production layout; the query side shuffles |queries| × nprobe
+    * tiny (id, cell) rows. Hot cells (skewed data) are AQE
+    * skew-join territory; raising nlist shrinks every cell. */
+  def ivfTopKBatch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    val np = math.min(nprobe, centroids.length)
+    // the probe UDF is the generator's CHILD here (evaluated once per
+    // query row) — not a sibling projection of a generator, which
+    // ExtractGenerator would re-evaluate per exploded element (see
+    // kmeansCentroidsDistributed's two-step select)
+    val qSide = queries.select(
+      col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"),
+      explode(probeCellsUdf(centroids, np)(col(queryVecCol))).as("__cell"))
+    val cSide = corpus.select(
+      col(idCol).as("id"), col(vecCol).as("__vec"),
+      assignCellUdf(centroids)(col(vecCol)).as("__cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
+    qSide.join(cSide, "__cell")
+      .select(col("query_id"), col("id"),
+        SimilarityFunctions.cosine(col("__vec"), col("__qvec")).as("cosine"))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .select("query_id", "id", "cosine")
+  }
+
   /** Distributed Lloyd refinement over the FULL corpus — the scale
     * path when a driver-side sample can't represent the data (the
     * sample variant collects `sampleSize` rows; this collects only

@@ -215,6 +215,20 @@ object ExtensionQueries {
       corpus, "vec_id", "embedding", queryVec(s, dir), k = 10, cents, nprobe = 4)
   }
 
+  /** Batch-query ANN — one retrieval job answering MANY queries:
+    * vec_id 1..5 are the query set, vec_id >= 6 the corpus; centroids
+    * from the distributed k-means, probe top-2 cells per query, exact
+    * cosine top-5 per query via a window. */
+  private val qSimBatchTopK: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val cents = Similarity.kmeansCentroidsDistributed(
+      corpus, "vec_id", "embedding", nlist = 8, iters = 2)
+    Similarity.ivfTopKBatch(queries, corpus, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, cents, nprobe = 2)
+  }
+
   /** Per-label embedding centroid (mean pooling, exact quantized
     * fold — bit-reproducible under any partitioning). */
   private val qEmbedCentroids: Q = (s, dir) =>
@@ -331,6 +345,7 @@ object ExtensionQueries {
     "q_sim_lsh_topk" -> qSimLshTopK,
     "q_sim_ivf_topk" -> qSimIvfTopK,
     "q_sim_ivf_distributed" -> qSimIvfDistributed,
+    "q_sim_batch_topk" -> qSimBatchTopK,
     "q_embed_centroids" -> qEmbedCentroids,
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_ingest_csv" -> qIngestCsv,
@@ -530,9 +545,13 @@ object ExtensionQueries {
     *             corpus: no list(... ORDER BY id) materialization.
     *   Final: assign full corpus to cents2, probe top-4 cells by
     *   query fused-cosine, exact cosine re-rank on probed rows. */
-  private val simIvfDistributedSql: String = {
-    val nlist = 8
-    val iters = 2
+  /** The distributed-k-means CTE chain (`cents0` .. `cents$iters`)
+    * over a previously-defined `corpus(id, vec)` CTE — the exact
+    * replay of `Similarity.kmeansCentroidsDistributed(quantBits=30)`,
+    * shared by the single-query distributed oracle and the batch
+    * oracle (which differ only in their corpus predicate and probe
+    * stage). */
+  private def kmeansDistributedCtes(nlist: Int, iters: Int): String = {
     val quant = "1073741824.0" // 2^30, the quantBits=30 default
     def iterCtes(i: Int): String = {
       val prev = s"cents${i - 1}"
@@ -553,12 +572,18 @@ object ExtensionQueries {
          |  SELECT p.cell, COALESCE(u.cvec, p.cvec) AS cvec
          |  FROM $prev p LEFT JOIN upd$i u ON p.cell = u.cell)""".stripMargin
     }
-    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id <> 0),
-       |cents0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
+    s"""cents0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
        |                  list_transform(vec, x -> CAST(x AS DOUBLE)) AS cvec
        |           FROM (SELECT id, vec FROM corpus ORDER BY id LIMIT $nlist) t),
-       |${(1 to iters).map(iterCtes).mkString(",\n")},
+       |${(1 to iters).map(iterCtes).mkString(",\n")}""".stripMargin
+  }
+
+  private val simIvfDistributedSql: String = {
+    val nlist = 8
+    val iters = 2
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id <> 0),
+       |${kmeansDistributedCtes(nlist, iters)},
        |assigned AS (
        |  SELECT id, vec, cell FROM (
        |    SELECT e.id, e.vec, c.cell,
@@ -573,6 +598,37 @@ object ExtensionQueries {
        |FROM assigned a, q
        |WHERE a.cell IN (SELECT cell FROM probe)
        |ORDER BY cosine DESC, id ASC LIMIT 10""".stripMargin
+  }
+
+  /** Mirrors [[qSimBatchTopK]]: the same distributed-k-means CTE
+    * chain over the vec_id >= 6 corpus, then PER-QUERY probe (top-2
+    * cells by fused query-centroid cosine, earliest-cell tie-break —
+    * Similarity.probeCellsUdf's order) and per-query exact-cosine
+    * top-5 (window keyed by query id — the batch twin of the LIMIT
+    * in the single-query oracles). */
+  private val simBatchTopkSql: String = {
+    val (nlist, iters, k, nprobe) = (8, 2, 5, 2)
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 6),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+       |${kmeansDistributedCtes(nlist, iters)},
+       |assigned AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT e.id, e.vec, c.cell,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+       |    FROM corpus e CROSS JOIN cents$iters c) t WHERE rn = 1),
+       |probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosineFusedSql("q.qv", "c.cvec")} DESC, c.cell ASC) AS rn
+       |    FROM qs q CROSS JOIN cents$iters c) t WHERE rn <= $nprobe)
+       |SELECT query_id, id, cosine FROM (
+       |  SELECT p.qid AS query_id, a.id, ${cosineSql("a.vec", "q.qv")} AS cosine,
+       |    row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY ${cosineSql("a.vec", "q.qv")} DESC, a.id ASC) AS rn
+       |  FROM probe p JOIN assigned a ON a.cell = p.cell JOIN qs q ON q.qid = p.qid) t
+       |WHERE rn <= $k""".stripMargin
   }
 
   /** Mirrors `Similarity.groupCentroids(quantBits=30)`: quantized
@@ -838,6 +894,7 @@ object ExtensionQueries {
     "q_sim_lsh_topk" -> simLshTopkSql,
     "q_sim_ivf_topk" -> simIvfTopkSql,
     "q_sim_ivf_distributed" -> simIvfDistributedSql,
+    "q_sim_batch_topk" -> simBatchTopkSql,
     "q_embed_centroids" -> embedCentroidsSql,
     "q_ingest_jsonl" -> ingestJsonlSql,
     "q_ingest_csv" ->

@@ -228,4 +228,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(partial.size == 10)
     assert((brute.map(_._1).toSet intersect partial).nonEmpty)
   }
+
+  test("batch IVF top-k at nprobe == nlist equals per-query brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val cents = Similarity.kmeansCentroidsDistributed(
+      corpus, "vec_id", "embedding", nlist = 4, iters = 1)
+    // probing every cell makes the batch path exact — one joined job
+    // must reproduce 5 independent brute-force runs, scores included
+    val batch = Similarity.ivfTopKBatch(queries, corpus, "vec_id", "embedding",
+      "vec_id", "embedding", k = 7, cents, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    val qVecs = queries.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    qVecs.foreach { case (qid, qv) =>
+      val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", qv, 7)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).sortBy(_._2).toSeq
+      assert(batch(qid) == brute, s"query $qid diverged from brute force")
+    }
+    // partial probe: still k rows per query, never a wrong-query leak
+    val partial = Similarity.ivfTopKBatch(queries, corpus, "vec_id", "embedding",
+      "vec_id", "embedding", k = 7, cents, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(partial.groupBy(_._1).forall(_._2.length == 7))
+    assert(partial.map(_._1).toSet == qVecs.map(_._1).toSet)
+  }
 }
