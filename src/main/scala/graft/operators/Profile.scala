@@ -22,24 +22,34 @@ object Profile {
     * frac` interpolation DuckDB's `quantile_cont` performs, so the
     * doubles match the oracle bit-for-bit on shared input). EXACT
     * percentile sorts the column per aggregate — the right default
-    * for a profiling pass you run once per migration; at 100 TB
-    * switch to `approx_percentile` (KLL-sketch-style, fixed memory)
-    * when ±0.1% error is acceptable. Same one-aggregate-per-column
-    * shape as [[profile]] (each job scans and shuffles exactly one
-    * column). */
+    * for a profiling pass you run once per migration; at 100 TB pass
+    * `approx = true` for `approx_percentile` (GK-sketch, fixed
+    * memory, no per-column sort): rank error is bounded by
+    * n/`accuracy` and the result is an actual element, not an
+    * interpolation — within one order-statistic gap of the exact
+    * value (the parity-band test pins it). Same
+    * one-aggregate-per-column shape as [[profile]] (each job scans
+    * and shuffles exactly one column). */
   def quantiles(
       df: DataFrame,
       columns: Seq[String],
-      probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame =
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame =
     columns.map { c =>
       val arr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
       // backticks: names with spaces/dots/keywords must parse like
       // profile()'s col(c) path does
-      df.select(col(c)).agg(
-        expr(s"percentile(`$c`, $arr)").as("qs"))
+      val agg =
+        if (approx) expr(s"approx_percentile(`$c`, $arr, $accuracy)")
+        else expr(s"percentile(`$c`, $arr)")
+      df.select(col(c)).agg(agg.as("qs"))
         .select(lit(c).as("column") +:
           probs.zipWithIndex.map { case (p, i) =>
-            element_at(col("qs"), i + 1).as(s"q${(p * 100).round}")
+            // cast: approx_percentile returns the column's own type
+            // (it picks an element); exact percentile is already
+            // double — one schema for both paths
+            element_at(col("qs"), i + 1).cast("double").as(s"q${(p * 100).round}")
           }: _*)
     }.reduce(_.unionByName(_))
 

@@ -443,6 +443,47 @@ class ExtensionSpec extends SparkSpec {
     assert(got == Seq(("apple", 3L, 2L), ("cherry", 3L, 2L)))
   }
 
+  test("vocabulary approxDf keeps the exact cut; doc frequencies within the HLL band") {
+    val rows = (0 until 60).map { i =>
+      // token "common" in every doc, "half" in every other, "rare" in one
+      val parts = Seq("common") ++ (if (i % 2 == 0) Seq("half") else Nil) ++
+        (if (i == 7) Seq("rare") else Nil)
+      Row(i.toLong, parts.mkString(" "))
+    }
+    val corpus = df("doc_id BIGINT, text STRING", rows: _*)
+    def vocab(approx: Boolean) =
+      TextFunctions.vocabulary(corpus, "doc_id", "text", k = 3, approxDf = approx)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val exact = vocab(approx = false)
+    val approx = vocab(approx = true)
+    // the cut and the exact freq column are identical — ordering never
+    // depends on df
+    assert(exact.map(t => (t._1, t._2)).toSeq == approx.map(t => (t._1, t._2)).toSeq)
+    exact.zip(approx).foreach { case ((tok, _, dfExact), (_, _, dfApprox)) =>
+      assert(math.abs(dfApprox - dfExact).toDouble <= math.max(1.0, dfExact * 0.1),
+        s"token $tok: approx df $dfApprox too far from exact $dfExact")
+    }
+  }
+
+  test("quantiles approx lands on elements within one order-statistic gap of exact") {
+    // 1..101: quartiles fall exactly ON elements — approx (which picks
+    // an element) must equal exact; 1..100: exact interpolates halfway,
+    // approx picks a neighbor — banded by the adjacent element gap
+    def vals(n: Int) = df("v BIGINT", (1 to n).map(i => Row(i.toLong)): _*)
+    def qs(d: org.apache.spark.sql.DataFrame, approx: Boolean) =
+      graft.operators.Profile.quantiles(d, Seq("v"), approx = approx)
+        .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))).head
+    assert(qs(vals(101), approx = true) == qs(vals(101), approx = false))
+    val (e25, e50, e75) = qs(vals(100), approx = false)
+    val (a25, a50, a75) = qs(vals(100), approx = true)
+    Seq((e25, a25), (e50, a50), (e75, a75)).foreach { case (e, a) =>
+      assert(math.abs(a - e) <= 1.0, s"approx $a vs exact $e out of band")
+    }
+    // both paths share one output schema (double quantile columns)
+    val schema = graft.operators.Profile.quantiles(vals(10), Seq("v"), approx = true).schema
+    assert(schema.fields.drop(1).forall(_.dataType.typeName == "double"))
+  }
+
   test("language id picks marker-matching language, 'und' when nothing matches") {
     val t = df("doc_id BIGINT, text STRING",
       Row(1L, "the cat and the dog of the house is to blame"),
