@@ -560,6 +560,48 @@ object Dedup {
     df.join(dropIds, df(idCol) === dropIds("id"), "left_anti")
   }
 
+  /** Embedding-space [[dedupAgainst]] — incremental near-dup removal
+    * for the vector modality: drop every `newDf` row whose embedding
+    * is within cosine `threshold` of ANY corpus row, without pairing
+    * the corpus with itself. Sign-LSH bucket probe (same hyperplanes
+    * as [[embeddingNearDupPairs]]) + exact cosine on bucket
+    * collisions only; `maxBucketSize` caps corpus-side mega-buckets
+    * (zero/degenerate vectors are the classic offender). Returns the
+    * surviving `newDf` rows unchanged. The production shape mirrors
+    * the text path: persist the corpus's (id, bucket, norm, vec)
+    * projection bucketed by `bucket` and each batch's probe join
+    * shuffles only the batch. */
+  def embeddingDedupAgainst(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.9,
+      numPlanes: Int = 10,
+      dim: Int = 64,
+      seed: Long = 42L,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val planes = SimilarityFunctions.hyperplanes(numPlanes, dim, seed)
+    val cIdx = capBuckets(
+      corpusDf.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        SimilarityFunctions.norm(col(vecCol)).as("cnrm"),
+        SimilarityFunctions.lshBucket(col(vecCol), planes).as("bucket")),
+      Seq("bucket"), maxBucketSize)
+    val nSide = newDf.select(col(idCol).as("id"), col(vecCol).as("nvec"),
+      SimilarityFunctions.norm(col(vecCol)).as("nnrm"),
+      SimilarityFunctions.lshBucket(col(vecCol), planes).as("bucket"))
+    val denom = col("nnrm") * col("cnrm")
+    val matched = nSide.join(cIdx, Seq("bucket"))
+      .withColumn("cosine",
+        when(denom > 0.0,
+          SimilarityFunctions.dot(col("nvec"), col("cvec")) / denom)
+          .otherwise(lit(0.0)))
+      .filter(col("cosine") >= threshold)
+      .select("id")
+      .distinct()
+    newDf.join(matched, newDf(idCol) === matched("id"), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-LSH bucket join, then
     * exact cosine filter. `numPlanes` trades recall vs bucket size
     * (2^numPlanes expected buckets). */

@@ -175,6 +175,19 @@ object ExtensionQueries {
     Dedup.embeddingNearDupPairs(pq(s, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.2, numPlanes = 6)
 
+  /** Embedding-modality incremental dedup: the vec_id % 10 >= 8 batch
+    * probed against the rest of the embeddings table (same split shape
+    * and same LSH parameters as q_dedup_embedding, so the cross-split
+    * near-dup pairs are the ones it must drop). Survivor ids. */
+  private val qDedupIncrementalEmb: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    Dedup.embeddingDedupAgainst(
+      emb.filter(col("vec_id") % 10 >= 8),
+      emb.filter(col("vec_id") % 10 < 8),
+      "vec_id", "embedding", threshold = 0.2, numPlanes = 6)
+      .select("vec_id")
+  }
+
   /** Transitive closure of the (oracled) embedding near-dup pairs:
     * one row per paired id with its component's minimum id as `rep` —
     * the keep-one-per-cluster assignment. */
@@ -340,6 +353,7 @@ object ExtensionQueries {
     "q_sample_split" -> qSampleSplit,
     "q_sample_stratified" -> qSampleStratified,
     "q_dedup_embedding" -> qDedupEmbedding,
+    "q_dedup_incremental_emb" -> qDedupIncrementalEmb,
     "q_dedup_components" -> qDedupComponents,
     "q_sim_brute_topk" -> qSimBruteTopK,
     "q_sim_lsh_topk" -> qSimLshTopK,
@@ -473,6 +487,25 @@ object ExtensionQueries {
        |         ELSE 0.0 END AS cosine
        |  FROM p a JOIN p b ON a.bucket = b.bucket AND a.id < b.id) t
        |WHERE cosine >= 0.2""".stripMargin
+  }
+
+  /** Mirrors [[qDedupIncrementalEmb]]: the [[dedupEmbeddingSql]]
+    * bucket/norm projection with the self-join replaced by a
+    * batch-side × corpus-side join on the vec_id % 10 split; batch
+    * ids with any cosine >= 0.2 bucket match are dropped. */
+  private val dedupIncrementalEmbSql: String = {
+    val planes = graft.functions.SimilarityFunctions.hyperplanes(6, DIM, 42L)
+    s"""WITH p AS (SELECT vec_id AS id, embedding AS vec,
+       |                  sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+       |                  ${bucketSql("embedding", planes)} AS bucket
+       |           FROM embeddings)
+       |SELECT id AS vec_id FROM p
+       |WHERE id % 10 >= 8 AND id NOT IN (
+       |  SELECT n.id FROM p n JOIN p c
+       |    ON n.bucket = c.bucket AND n.id % 10 >= 8 AND c.id % 10 < 8
+       |  WHERE (CASE WHEN n.nrm * c.nrm > 0.0
+       |              THEN ${dotSql("n.vec", "c.vec")} / (n.nrm * c.nrm)
+       |              ELSE 0.0 END) >= 0.2)""".stripMargin
   }
 
   private val simIvfTopkSql: String = {
@@ -901,6 +934,7 @@ object ExtensionQueries {
       s"""SELECT doc_id, lang AS lang_tag, n_chars * 2 AS n_chars_x2
          |FROM read_csv_auto('$twinRoot/csvtwin/__SF_BASENAME__/documents.csv/*.csv', header = true)""".stripMargin,
     "q_dedup_embedding" -> dedupEmbeddingSql,
+    "q_dedup_incremental_emb" -> dedupIncrementalEmbSql,
     "q_text_stats" ->
       s"""SELECT doc_id, $nTokensSql AS n_tokens,
          |       (CAST(length(regexp_replace(text, '$ws+', '', 'g')) AS DOUBLE)

@@ -270,6 +270,27 @@ class ExtensionSpec extends SparkSpec {
     assert(sigs == 1, s"expected 1 batch-side signature expression, plan has $sigs")
   }
 
+  test("embeddingDedupAgainst drops cosine matches vs the corpus, keeps novel vectors") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8)(r.nextFloat() * 2 - 1)
+    }
+    def frame(rows: (Long, Seq[Float])*) = spark.createDataFrame(
+      rows.map { case (id, v) => Row(id, v) }.asJava, schema)
+    val base = vec(1)
+    val nearBase = base.updated(0, base.head + 0.01f) // cosine ~1 vs base
+    val corpus = frame(100L -> base, 101L -> base /* internal dup: irrelevant */ ,
+      102L -> vec(2))
+    val batch = frame(1L -> nearBase, 2L -> vec(9), 3L -> vec(10))
+    val kept = Dedup.embeddingDedupAgainst(batch, corpus, "vec_id", "embedding",
+      threshold = 0.95, numPlanes = 4, dim = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(2L) && kept.contains(3L) && !kept.contains(1L))
+  }
+
   test("hashSplit is a deterministic, complete, uniform-ish partition") {
     val rows = (0L until 1000L).map(i => Row(i))
     val d = df("doc_id BIGINT", rows: _*)
