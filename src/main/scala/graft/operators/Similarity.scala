@@ -348,6 +348,63 @@ object Similarity {
         (col("qsum").cast("double") / col("n") / quant).as("value"))
   }
 
+  /** All bucket ids within Hamming distance `probeHamming` of `base`
+    * over `numPlanes` bits — the multi-probe enumeration,
+    * C(numPlanes, ≤h) buckets (37 for 8 planes at h=2). Enumerating
+    * the ball is what keeps the batch probe an EQUI-join on the
+    * bucket id: the single-query path can afford a bit_count filter
+    * over the corpus, but a batch of queries with a non-equi Hamming
+    * predicate would plan as a broadcast nested-loop join. */
+  private[graft] def hammingBall(
+      base: Long, numPlanes: Int, probeHamming: Int): Seq[Long] =
+    (0 to probeHamming).flatMap(h =>
+      (0 until numPlanes).combinations(h).map(
+        _.foldLeft(base)((b, i) => b ^ (1L << i))))
+
+  /** BATCH-query LSH ANN — the centroid-free sibling of
+    * [[ivfTopKBatch]]: each query explodes to its Hamming-ball probe
+    * buckets, the corpus is bucketed once by sign-LSH, candidates
+    * come from an equi-join on the bucket id, and exact cosine +
+    * per-query window picks the top k. Output (query_id, id, cosine).
+    *
+    * Scale: corpus bucketing is one scan (and in production the
+    * corpus is STORED bucketed by its LSH bucket — zero corpus
+    * shuffle per batch); the query side is |queries| × C(planes, ≤h)
+    * tiny rows. `probeHamming = numPlanes` degrades to exact brute
+    * force (the ball covers every bucket — the parity-test case). */
+  def lshTopKBatch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numPlanes: Int = 10,
+      dim: Int = 64,
+      probeHamming: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val planes = SimilarityFunctions.hyperplanes(numPlanes, dim, seed)
+    val ball = udf((b: Long) => hammingBall(b, numPlanes, probeHamming))
+    val qSide = queries.select(
+      col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"),
+      explode(ball(SimilarityFunctions.lshBucket(col(queryVecCol), planes)))
+        .as("bucket"))
+    val cSide = corpus.select(
+      col(idCol).as("id"), col(vecCol).as("__vec"),
+      SimilarityFunctions.lshBucket(col(vecCol), planes).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
+    // ball buckets are distinct, so a corpus row appears at most once
+    // per query — no candidate dedup needed before the window
+    qSide.join(cSide, "bucket")
+      .select(col("query_id"), col("id"),
+        SimilarityFunctions.cosine(col("__vec"), col("__qvec")).as("cosine"))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .select("query_id", "id", "cosine")
+  }
+
   /** LSH-bucketed ANN top-k: probe all buckets within `probeHamming`
     * bits of the query's bucket (multi-probe raises recall without
     * re-bucketing), exact cosine on the candidates only. */

@@ -242,6 +242,19 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 5, cents, nprobe = 2)
   }
 
+  /** Batch-query LSH ANN — the centroid-free batch retrieval path:
+    * same query/corpus split as q_sim_batch_topk, Hamming-ball probe
+    * (h=2 over 8 planes = 37 probe buckets per query) via equi-join
+    * on the bucket id, exact cosine top-5 per query. */
+  private val qSimLshBatch: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    Similarity.lshTopKBatch(
+      emb.filter(col("vec_id").between(1, 5)),
+      emb.filter(col("vec_id") >= 6),
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, numPlanes = 8, probeHamming = 2)
+  }
+
   /** Per-label embedding centroid (mean pooling, exact quantized
     * fold — bit-reproducible under any partitioning). */
   private val qEmbedCentroids: Q = (s, dir) =>
@@ -360,6 +373,7 @@ object ExtensionQueries {
     "q_sim_ivf_topk" -> qSimIvfTopK,
     "q_sim_ivf_distributed" -> qSimIvfDistributed,
     "q_sim_batch_topk" -> qSimBatchTopK,
+    "q_sim_lsh_batch" -> qSimLshBatch,
     "q_embed_centroids" -> qEmbedCentroids,
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_ingest_csv" -> qIngestCsv,
@@ -664,6 +678,27 @@ object ExtensionQueries {
        |WHERE rn <= $k""".stripMargin
   }
 
+  /** Mirrors [[qSimLshBatch]]: the candidate rule "corpus bucket
+    * within Hamming h of the query bucket" is IDENTICAL whether
+    * enumerated (the engine's equi-join Hamming ball) or predicated
+    * (this oracle's bit_count theta join) — same set, so the same
+    * per-query exact-cosine top-5. */
+  private val simLshBatchSql: String = {
+    val planes = graft.functions.SimilarityFunctions.hyperplanes(8, DIM, 42L)
+    s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qv,
+       |                   ${bucketSql("embedding", planes)} AS qbucket
+       |            FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+       |c AS (SELECT vec_id AS id, embedding AS vec,
+       |             ${bucketSql("embedding", planes)} AS bucket
+       |      FROM embeddings WHERE vec_id >= 6)
+       |SELECT query_id, id, cosine FROM (
+       |  SELECT q.qid AS query_id, c.id, ${cosineSql("c.vec", "q.qv")} AS cosine,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosineSql("c.vec", "q.qv")} DESC, c.id ASC) AS rn
+       |  FROM qs q JOIN c ON bit_count(xor(c.bucket, q.qbucket)) <= 2) t
+       |WHERE rn <= 5""".stripMargin
+  }
+
   /** Mirrors `Similarity.groupCentroids(quantBits=30)`: quantized
     * BIGINT sums (HUGEINT-exact in DuckDB = Spark's two-long exact
     * fold) divided back in the same op order. */
@@ -928,6 +963,7 @@ object ExtensionQueries {
     "q_sim_ivf_topk" -> simIvfTopkSql,
     "q_sim_ivf_distributed" -> simIvfDistributedSql,
     "q_sim_batch_topk" -> simBatchTopkSql,
+    "q_sim_lsh_batch" -> simLshBatchSql,
     "q_embed_centroids" -> embedCentroidsSql,
     "q_ingest_jsonl" -> ingestJsonlSql,
     "q_ingest_csv" ->

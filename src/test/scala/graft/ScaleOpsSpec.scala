@@ -255,4 +255,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(partial.groupBy(_._1).forall(_._2.length == 7))
     assert(partial.map(_._1).toSet == qVecs.map(_._1).toSet)
   }
+
+  test("batch LSH top-k: full Hamming ball equals brute force; candidate rule matches single-query path") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    // ball radius = numPlanes covers every bucket => exact
+    val full = Similarity.lshTopKBatch(queries, corpus, "vec_id", "embedding",
+      "vec_id", "embedding", k = 6, numPlanes = 4, probeHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    queries.select("vec_id", "embedding").collect().foreach { r =>
+      val (qid, qv) = (r.getLong(0), r.getSeq[Float](1).toArray)
+      val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", qv, 6)
+        .collect().map(b => (qid, b.getLong(0), b.getDouble(1))).sortBy(_._2).toSeq
+      assert(full(qid) == brute, s"query $qid diverged from brute force")
+    }
+    // the enumerated Hamming ball and the single-query bit_count
+    // filter define the SAME candidate set: a one-query batch must
+    // reproduce lshTopK exactly
+    val oneQ = emb.filter(col("vec_id") === 3)
+    val qv3 = oneQ.select("embedding").head().getSeq[Float](0).toArray
+    val single = Similarity.lshTopK(corpus, "vec_id", "embedding", qv3, 8,
+      numPlanes = 8, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val batch1 = Similarity.lshTopKBatch(oneQ, corpus, "vec_id", "embedding",
+      "vec_id", "embedding", k = 8, numPlanes = 8, probeHamming = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(batch1 == single)
+  }
 }
