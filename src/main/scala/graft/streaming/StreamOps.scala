@@ -123,6 +123,40 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
 
+  /** Continuous incremental dedup — the streaming form of
+    * [[graft.operators.Dedup.dedupAgainst]]: every micro-batch is
+    * deduped AGAINST a static corpus before `sink` handles the
+    * survivors. The corpus [[graft.operators.Dedup.corpusIndex]] is
+    * built ONCE here and persisted, so each micro-batch pays only its
+    * own signatures plus the bucket probe — the corpus is never
+    * re-signatured per batch (exactly the property the batch path's
+    * plan test pins).
+    *
+    * Scope: the corpus is FIXED at query start (refreshing it is a
+    * query restart — the checkpoint makes that safe). Within-stream
+    * repeats are [[nearDupDropStream]]'s job; compose the two for
+    * "new vs corpus, then new vs itself". */
+  def dedupAgainstStream(
+      docs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      jaccardThreshold: Double = 0.5)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val idx = graft.operators.Dedup
+      .corpusIndex(corpus, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(graft.operators.Dedup.dedupAgainst(
+          batch.toDF(), corpus, idCol, textCol,
+          jaccardThreshold = jaccardThreshold, index = Some(idx)))
+      }
+      .start()
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState: 30-minute
     * inactivity gap starts a new session; state per user is one
     * (lastTs, seq) pair. Events inside each micro-batch are sorted

@@ -155,6 +155,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupAgainstStream drops corpus matches per micro-batch, passes novel docs to the sink") {
+    import org.apache.spark.sql.Row
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_das_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_das_ckpt").toString
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      Row(101L, "completely different content about spark query engines and shuffles"))
+    val schema = corpus.schema
+    val survivors = scala.collection.mutable.Set.empty[Long]
+    val q = StreamOps.dedupAgainstStream(
+      spark.readStream.schema(schema).parquet(srcDir),
+      corpus, "doc_id", "text", ckpt)(out =>
+      survivors ++= out.select("doc_id").collect().map(_.getLong(0)))
+    try {
+      df("doc_id BIGINT, text STRING",
+        Row(1L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 100
+        Row(2L, "entirely novel text about streaming watermarks and state stores"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      df("doc_id BIGINT, text STRING",
+        Row(3L, "THE  Quick   Brown fox jumps over the lazy dog near the river bank"), // fp-dup of 100
+        Row(4L, "a second novel document mentioning sessionization and state"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(2L, 4L))
+    } finally q.stop()
+  }
+
   test("event-time sessionize: identical assignments whether events arrive in 1 or 3 batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
