@@ -182,4 +182,24 @@ object PropertySpec extends Properties("graft") {
       val notNulls = count(Condition.Ne("x", null))
       nulls == vals.count(_.isEmpty) && nulls + notNulls == vals.size
     }
+
+  // the multi-probe Hamming ball (batch LSH ANN's candidate rule):
+  // exactly the bucket ids within the radius, each exactly once —
+  // |ball| = sum C(n, k) for k <= h, every member within h bit flips
+  // of the base, and every h'-flip neighbor (h' <= h) is present
+  property("hammingBall enumerates the exact Hamming ball") =
+    Prop.forAll(Gen.chooseNum(1, 12), Gen.chooseNum(0, 3),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (n, h0, seed) =>
+      val h = math.min(h0, n)
+      val base = seed & ((1L << n) - 1) // bucket ids live in n bits
+      val ball = graft.operators.Similarity.hammingBall(base, n, h)
+      def choose(n: Int, k: Int): Long =
+        (1 to k).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
+      val expectedSize = (0 to h).map(choose(n, _)).sum
+      val distinct = ball.toSet
+      distinct.size == ball.size &&
+        ball.size == expectedSize &&
+        distinct.forall(b => java.lang.Long.bitCount(b ^ base) <= h) &&
+        distinct.contains(base)
+    }
 }
