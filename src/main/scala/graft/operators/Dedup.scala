@@ -350,6 +350,41 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Benchmark decontamination — flag corpus documents that share any
+    * word `shingleN`-gram with an evaluation set (the standard
+    * n-gram-overlap test-set-leakage check run before training).
+    * Returns one row per contaminated corpus document with the number
+    * of distinct shared shingle hashes (`n_shared` ≥ 1); anti-join the
+    * result against the corpus to drop them.
+    *
+    * Scale posture: the eval side collapses to its DISTINCT shingle
+    * hashes — benchmarks are tiny relative to a training corpus, so
+    * that set broadcasts and the corpus-side explode never shuffles
+    * for the probe: one broadcast-hash-join over exploded 8-byte
+    * hashes, then one (doc_id)-keyed count aggregate over matches
+    * only (a vanishing fraction of the corpus). Corpus text is
+    * shingled by the same native [[HashExpressions.shingleHashes]]
+    * sweep as the near-dup operators — hashes, never gram strings, on
+    * the wire. */
+  def contaminationMatches(
+      corpus: DataFrame,
+      evalDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5): DataFrame = {
+    val evalShingles = evalDf
+      .select(explode(HashExpressions.shingleHashes(col(textCol), shingleN)).as("sh"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(HashExpressions.shingleHashes(col(textCol), shingleN)).as("sh"))
+      .join(broadcast(evalShingles), "sh")
+      // shingleHashes emits DISTINCT hashes per document, so this
+      // count IS the distinct shared-shingle count — no extra dedup.
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Connected components over near-duplicate PAIRS — the dedup
     * endgame: pairs only say "a matches b"; keep-one-per-cluster
     * needs the transitive closure (a~b, b~c ⇒ one cluster {a,b,c}).

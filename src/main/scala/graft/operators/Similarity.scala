@@ -348,6 +348,41 @@ object Similarity {
         (col("qsum").cast("double") / col("n") / quant).as("value"))
   }
 
+  /** Embedding outlier detection against group centroids — the
+    * embedding-QC pass that surfaces mislabeled / off-distribution
+    * vectors: each vector's cosine to its OWN group's mean-pooled
+    * centroid (from [[groupCentroids]], exact-quantized so the
+    * centroid is partitioning-independent), keeping the `k` LEAST
+    * similar per group (cosine asc, id asc — a total order).
+    *
+    * Scale posture: the centroid table is |groups| rows — broadcast
+    * to the corpus join, so the only corpus-sized work is one scan
+    * computing cosines plus the per-group top-k window (shuffle on
+    * the group key; per-group k rows survive). The long-format
+    * centroids pivot to vectors via an `array_sort(collect_list)` of
+    * |groups|·dim rows — driver-scale, not corpus-scale. */
+  def centroidOutliers(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      vecCol: String,
+      k: Int,
+      quantBits: Int = 30): DataFrame = {
+    val centVecs = groupCentroids(df, groupCol, vecCol, quantBits)
+      .groupBy("grp")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("value")))),
+        s => s.getField("value")).as("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("cosine").asc, col("id").asc)
+    df.select(col(idCol).as("id"), col(groupCol).as("grp"), col(vecCol).as("vec"))
+      .join(broadcast(centVecs), "grp")
+      .withColumn("cosine", SimilarityFunctions.cosine(col("vec"), col("cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("id"), col("grp"), col("cosine"))
+  }
+
   /** All bucket ids within Hamming distance `probeHamming` of `base`
     * over `numPlanes` bits — the multi-probe enumeration,
     * C(numPlanes, ≤h) buckets (37 for 8 planes at h=2). Enumerating

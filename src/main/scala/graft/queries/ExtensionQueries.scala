@@ -85,6 +85,34 @@ object ExtensionQueries {
         col("quality") >= 0.5 && col("n_tokens").between(5, 1000))
       .drop("__mid")
 
+  /** Gopher-style within-document repetition metrics over word
+    * 2-grams — the degenerate-text filter that runs before any
+    * cross-document dedup. */
+  private val qTextRepetition: Q = (s, dir) =>
+    TextFunctions.repetitionStats(pq(s, dir, "documents"), "doc_id", "text", n = 2)
+
+  /** Benchmark decontamination: the doc_id % 50 == 0 rows stand in
+    * for an eval set; every other document sharing any word 4-gram
+    * with it is flagged with its shared-shingle count (4 bites on the
+    * fixture's vocabulary — 19 flagged docs at sf0.01 — where 5 is
+    * near-vacuous and 3 flags half the corpus). Same hashed shingles
+    * as the near-dup operators, so [[HashSql]] replays the overlap
+    * hash-for-hash. */
+  private val qTextDecontam: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    Dedup.contaminationMatches(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", shingleN = 4)
+  }
+
+  /** Concat-and-chunk sequence packing: per-source token stream in
+    * doc_id order, cut every 512 tokens — each document's start
+    * offset and landing chunk. */
+  private val qPackChunks: Q = (s, dir) =>
+    graft.operators.Packing.concatChunks(
+      pq(s, dir, "documents"), "doc_id", "source", "text", capacity = 512)
+
   private val qTextQuality: Q = (s, dir) =>
     pq(s, dir, "documents").select(
       col("doc_id"),
@@ -261,6 +289,15 @@ object ExtensionQueries {
     Similarity.groupCentroids(
       pq(s, dir, "embeddings").filter(col("vec_id") =!= 0), "label", "embedding")
 
+  /** Embedding QC: the 3 least-centroid-similar vectors per label
+    * (cosine to the label's exact-quantized mean centroid) — the
+    * mislabel/off-distribution surfacing pass. */
+  private val qEmbedOutliers: Q = (s, dir) =>
+    Similarity.centroidOutliers(
+      pq(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+      "vec_id", "label", "embedding", k = 3)
+      .select(col("id").as("vec_id"), col("grp").as("label"), col("cosine"))
+
   // --------------------------------------------------------------- ingestion
 
   /** JSONL ingestion end to end through [[graft.sources.FormatDirIO]]:
@@ -353,6 +390,10 @@ object ExtensionQueries {
     "q_text_stats" -> qTextStats,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
+    "q_text_repetition" -> qTextRepetition,
+    "q_text_decontam" -> qTextDecontam,
+    "q_pack_chunks" -> qPackChunks,
+    "q_embed_outliers" -> qEmbedOutliers,
     "q_pipeline_filter" -> qPipelineFilter,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_fingerprint" -> qDedupFingerprint,
@@ -902,6 +943,70 @@ object ExtensionQueries {
        |            WHERE id <> rep)
        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
 
+  /** Mirrors [[qTextRepetition]] (`TextFunctions.repetitionStats`,
+    * n=2): the shingle construction replays `TextFunctions.shingles`
+    * branch for branch (≥n tokens ⇒ every n-window joined by ' ';
+    * fewer ⇒ one whole-doc gram), then the same two-level count
+    * aggregate; the fraction divisions are integer-exact numerators
+    * over identical casts. */
+  private val textRepetitionSql: String = {
+    val n = 2
+    s"""WITH toks AS (SELECT doc_id, $tokensLowerSql AS tk FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(tk) >= $n
+       |  THEN list_transform(range(1, len(tk) - ${n - 1} + 1),
+       |                      i -> array_to_string(tk[i:i+${n - 1}], ' '))
+       |  ELSE [array_to_string(tk, ' ')] END AS grams FROM toks),
+       |c AS (SELECT doc_id, gram, count(*) AS cnt FROM
+       |  (SELECT doc_id, unnest(grams) AS gram FROM g) x GROUP BY doc_id, gram)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+       |  CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_gram_frac,
+       |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_gram_frac
+       |FROM c GROUP BY doc_id""".stripMargin
+  }
+
+  /** Mirrors [[qTextDecontam]] (`Dedup.contaminationMatches`, n=4):
+    * the [[HashSql]] token/shingle-hash replay on both sides of the
+    * doc_id % 50 split, joined on the shingle hash. The per-document
+    * shingle lists are DISTINCT by construction (both engines), so
+    * count(*) is the distinct shared-shingle count. */
+  private val textDecontamSql: String =
+    s"""WITH ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents),
+       |sh AS MATERIALIZED (SELECT doc_id, ${HashSql.shingleHashes("ths", 4)} AS sh FROM ths),
+       |ev AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % 50 = 0),
+       |cx AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id % 50 <> 0)
+       |SELECT cx.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM cx JOIN ev ON cx.h = ev.h
+       |GROUP BY cx.doc_id""".stripMargin
+
+  /** Mirrors [[qPackChunks]] (`Packing.concatChunks`, capacity 512):
+    * the identical per-source windowed running token sum (integer
+    * arithmetic end to end — HUGEINT window sums cast back). */
+  private val packChunksSql: String =
+    s"""SELECT doc_id, source, n_tokens,
+       |  CAST(start_offset AS BIGINT) AS start_offset,
+       |  CAST(start_offset // 512 AS BIGINT) AS chunk_id
+       |FROM (SELECT doc_id, source, $nTokensSql AS n_tokens,
+       |  COALESCE(SUM($nTokensSql) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |FROM documents) t""".stripMargin
+
+  /** Mirrors [[qEmbedOutliers]] (`Similarity.centroidOutliers`, k=3):
+    * [[embedCentroidsSql]] as the centroid CTE (same exact-quantized
+    * fold), vectors re-assembled in dim order, then the identical
+    * ordered-fold cosine and (cosine asc, id asc) window cut. */
+  private val embedOutliersSql: String =
+    s"""WITH cent AS MATERIALIZED ($embedCentroidsSql),
+       |cv AS (SELECT grp, list(value ORDER BY dim) AS cvec FROM cent GROUP BY grp),
+       |e AS (SELECT vec_id AS id, label AS grp, embedding AS vec
+       |      FROM embeddings WHERE vec_id <> 0)
+       |SELECT vec_id, label, cosine FROM (
+       |  SELECT e.id AS vec_id, e.grp AS label,
+       |    ${cosineSql("e.vec", "c.cvec")} AS cosine,
+       |    row_number() OVER (PARTITION BY e.grp
+       |      ORDER BY ${cosineSql("e.vec", "c.cvec")} ASC, e.id ASC) AS rn
+       |  FROM e JOIN cv c ON e.grp = c.grp) t
+       |WHERE rn <= 3""".stripMargin
+
   /** Mirrors `Multimodal.features` over the documents fixture —
     * every fixture payload is ASCII text with no image magic bytes
     * (verified: no `BM`/`GIF8` prefixes; JPEG/PNG magics are
@@ -978,6 +1083,10 @@ object ExtensionQueries {
          |       md5(trim(regexp_replace(lower(text), '$ws+', ' ', 'g'))) AS fp
          |FROM documents""".stripMargin,
     "q_text_langid" -> langCaseSql,
+    "q_text_repetition" -> textRepetitionSql,
+    "q_text_decontam" -> textDecontamSql,
+    "q_pack_chunks" -> packChunksSql,
+    "q_embed_outliers" -> embedOutliersSql,
     // DuckDB single-quoted strings pass backslashes through verbatim,
     // so the shared Scala pattern strings interpolate unchanged.
     "q_text_redact" ->

@@ -527,4 +527,71 @@ class ExtensionSpec extends SparkSpec {
     assert(got(1L)._1 == 3L && got(2L)._1 == 3L)
     assert(got(1L)._2 == got(2L)._2) // same canonical form
   }
+
+  test("repetitionStats: hand-counted bigram repetition, short-doc fallback") {
+    val t = df("doc_id BIGINT, text STRING",
+      // "a b a b a b": bigrams [a b, b a, a b, b a, a b] -> 5 grams,
+      // 2 distinct, top "a b" x3
+      Row(1L, "a b a b a b"),
+      // all distinct bigrams
+      Row(2L, "one two three four"),
+      // 1 token < n -> single whole-doc gram
+      Row(3L, "solo"))
+    val got = TextFunctions.repetitionStats(t, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((5L, 3.0 / 5.0, 3.0 / 5.0)))
+    assert(got(2L) == ((3L, 0.0, 1.0 / 3.0)))
+    assert(got(3L) == ((1L, 0.0, 1.0)))
+  }
+
+  test("contaminationMatches flags shared n-grams with distinct counts, skips clean docs") {
+    val eval = df("doc_id BIGINT, text STRING",
+      Row(100L, "the quick brown fox jumps high"))
+    val corpus = df("doc_id BIGINT, text STRING",
+      // shares "the quick brown fox" AND "quick brown fox jumps" -> 2
+      Row(1L, "once the quick brown fox jumps away"),
+      // repeats the same shared 4-gram twice -> still 1 distinct
+      Row(2L, "the quick brown fox then the quick brown fox"),
+      // no shared 4-gram
+      Row(3L, "a completely unrelated sentence about engines"))
+    val got = Dedup.contaminationMatches(corpus, eval, "doc_id", "text", shingleN = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("concatChunks: per-group running offsets, chunk boundaries, group reset") {
+    val t = df("doc_id BIGINT, source STRING, text STRING",
+      Row(1L, "a", "w w w"),       // a: offset 0, chunk 0
+      Row(2L, "a", "w w w w"),     // a: offset 3, chunk 0
+      Row(3L, "a", "w w"),         // a: offset 7, chunk 1 (capacity 5)
+      Row(10L, "b", "w w w w w w"),// b resets: offset 0, chunk 0
+      Row(11L, "b", "w"))          // b: offset 6, chunk 1
+    val got = graft.operators.Packing
+      .concatChunks(t, "doc_id", "source", "text", capacity = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((0L, 0L)), 2L -> ((3L, 0L)), 3L -> ((7L, 1L)),
+      10L -> ((0L, 0L)), 11L -> ((6L, 1L))))
+  }
+
+  test("centroidOutliers ranks the off-cluster vector least similar, k cuts per group") {
+    val rows =
+      // group g1: three near-identical vectors + one opposite-ish
+      Seq(Row(1L, "g1", Seq(1.0f, 0.0f, 0.1f)),
+        Row(2L, "g1", Seq(1.0f, 0.1f, 0.0f)),
+        Row(3L, "g1", Seq(0.9f, 0.0f, 0.0f)),
+        Row(4L, "g1", Seq(-1.0f, 0.2f, 0.0f)),
+        // group g2: two vectors, both kept at k=2
+        Row(5L, "g2", Seq(0.0f, 1.0f, 0.0f)),
+        Row(6L, "g2", Seq(0.0f, 0.9f, 0.5f)))
+    val t = df("vec_id BIGINT, label STRING, embedding ARRAY<FLOAT>", rows: _*)
+    val got = Similarity.centroidOutliers(t, "vec_id", "label", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val g1 = got.filter(_._2 == "g1").sortBy(_._3)
+    assert(g1.map(_._1).head == 4L) // the flipped vector is the worst outlier
+    assert(got.count(_._2 == "g1") == 2 && got.count(_._2 == "g2") == 2)
+    // every returned cosine is a valid similarity
+    assert(got.forall(x => x._3 >= -1.0001 && x._3 <= 1.0001))
+  }
 }
