@@ -71,4 +71,52 @@ object Sampling {
       }
     df.filter(bucket < threshold)
   }
+
+  /** Deterministic DOMAIN-MIX sampling — downsample a corpus so its
+    * domain proportions approach a TARGET distribution (the "30% web,
+    * 30% code, 20% books…" data-mixture step of training-corpus
+    * assembly), keeping as much data as possible: the most
+    * target-underrepresented domain is kept whole and every other
+    * domain is hash-downsampled to match it. Domains absent from
+    * `targets` are dropped.
+    *
+    * Per domain d with count c_d and target weight t_d:
+    * scale = min_d(c_d / t_d); keep-rate_d = scale·t_d / c_d ≤ 1,
+    * quantized to `granularity` hash buckets (keep iff
+    * mix64(id) >>> 1 mod granularity < floor(rate·granularity)).
+    *
+    * Scale posture: one count aggregate (|domains| rows), a window
+    * min + rate projection over that driver-scale table, then a
+    * BROADCAST join of the rates back onto the corpus with the same
+    * zero-shuffle hash-threshold filter as [[hashSplit]] — corpus-
+    * sized work is one scan + one aggregate, and the keep decision
+    * stays a pure function of (id, domain, the domain histogram), so
+    * the mixture is reproducible at audit time. */
+  def mixToTarget(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      targets: Seq[(String, Double)],
+      granularity: Int = 10000): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.forall(_._2 > 0), "target weights must be positive")
+    require(granularity > 0, "granularity must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targetDf = targets.toDF("__dom", "__tgt")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rates = df.groupBy(col(domainCol).as("__dom")).agg(count(lit(1)).as("__cnt"))
+      .join(targetDf, "__dom") // inner: non-target domains drop here
+      .withColumn("__scale",
+        min(col("__cnt").cast("double") / col("__tgt")).over(w))
+      .withColumn("__bp",
+        floor(least(col("__scale") * col("__tgt") / col("__cnt").cast("double"),
+          lit(1.0)) * granularity).cast("bigint"))
+      .select(col("__dom"), col("__bp"))
+    val bucket = shiftrightunsigned(
+      HashExpressions.mix64(col(idCol).cast("long")), 1) % granularity
+    df.join(broadcast(rates), df(domainCol) === rates("__dom"))
+      .filter(bucket < col("__bp"))
+      .drop("__dom", "__bp")
+  }
 }

@@ -199,6 +199,20 @@ object ExtensionQueries {
       pctByStratum = Map("en" -> 40, "de" -> 100), defaultPct = 80)
       .select("doc_id", "lang")
 
+  /** The data-mixture targets for [[qSampleMix]] — shared constant so
+    * the Spark query and the DuckDB mirror quantize the identical
+    * rates ('zh' intentionally absent ⇒ dropped). */
+  private val mixTargets: Seq[(String, Double)] =
+    Seq("en" -> 0.3, "de" -> 0.3, "es" -> 0.2, "fr" -> 0.2)
+
+  /** Domain-mix sampling: downsample the corpus toward the 30/30/20/20
+    * language mixture, keeping the most-underrepresented language
+    * whole; 'zh' (no target) is dropped entirely. */
+  private val qSampleMix: Q = (s, dir) =>
+    graft.operators.Sampling.mixToTarget(
+      pq(s, dir, "documents"), "doc_id", "lang", mixTargets)
+      .select("doc_id", "lang")
+
   private val qDedupEmbedding: Q = (s, dir) =>
     Dedup.embeddingNearDupPairs(pq(s, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.2, numPlanes = 6)
@@ -406,6 +420,7 @@ object ExtensionQueries {
     "q_dedup_incremental" -> qDedupIncremental,
     "q_sample_split" -> qSampleSplit,
     "q_sample_stratified" -> qSampleStratified,
+    "q_sample_mix" -> qSampleMix,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_incremental_emb" -> qDedupIncrementalEmb,
     "q_dedup_components" -> qDedupComponents,
@@ -903,6 +918,27 @@ object ExtensionQueries {
        |            WHEN (x // 2) % 100 < 90 THEN 'val' ELSE 'test' END AS split
        |FROM m4""".stripMargin
 
+  /** Mirrors [[qSampleMix]] (`Sampling.mixToTarget`, granularity
+    * 10000): same SplitMix64 bucket replay as [[sampleSplitSql]]; the
+    * per-domain keep threshold re-derives scale = min(count/target)
+    * and rate = scale·target/count in the IDENTICAL double op order
+    * (Scala Double.toString literals round-trip in DuckDB), so the
+    * floor-quantized basis points match bit for bit. */
+  private val sampleMixSql: String = {
+    val tgtRows = mixTargets
+      .map { case (d, t) => s"('$d', ${t.toString})" }.mkString(", ")
+    s"""WITH x0 AS MATERIALIZED (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS x FROM documents),
+       |${HashSql.mixCtes("x", "x0", "doc_id, lang")},
+       |tgt(dom, t) AS (SELECT * FROM (VALUES $tgtRows) v(dom, t)),
+       |cnt AS (SELECT lang AS dom, count(*) AS c FROM documents GROUP BY lang),
+       |bp AS (SELECT cnt.dom,
+       |  CAST(floor(least((MIN(CAST(c AS DOUBLE) / t) OVER ()) * t / CAST(c AS DOUBLE), 1.0)
+       |       * 10000) AS BIGINT) AS bp
+       |  FROM cnt JOIN tgt ON cnt.dom = tgt.dom)
+       |SELECT m.doc_id, m.lang FROM x4 m JOIN bp ON m.lang = bp.dom
+       |WHERE (m.x // 2) % 10000 < bp.bp""".stripMargin
+  }
+
   /** Mirrors `Dedup.editDistancePairs(maxDistance=10)`: the full
     * banded-candidate replay (threshold 0 — every band collision),
     * re-scored with DuckDB's levenshtein (the same unit-cost DP as
@@ -1056,6 +1092,7 @@ object ExtensionQueries {
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_sample_split" -> sampleSplitSql,
     "q_sample_stratified" -> sampleStratifiedSql,
+    "q_sample_mix" -> sampleMixSql,
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_dedup_components" -> dedupComponentsSql,
     "q_text_subwords" ->

@@ -575,6 +575,29 @@ class ExtensionSpec extends SparkSpec {
       10L -> ((0L, 0L)), 11L -> ((6L, 1L))))
   }
 
+  test("mixToTarget: constrained domain kept whole, others downsampled toward the mix, untargeted dropped") {
+    // 40 'a' rows, 10 'b' rows, 5 'c' rows; targets a=0.5, b=0.5.
+    // scale = min(40/0.5, 10/0.5) = 20 -> keep all of b (rate 1.0),
+    // ~25% of a (rate 20*0.5/40 = 0.25), none of c.
+    val rows = (0L until 40L).map(i => Row(i, "a")) ++
+      (100L until 110L).map(i => Row(i, "b")) ++
+      (200L until 205L).map(i => Row(i, "c"))
+    val t = df("doc_id BIGINT, dom STRING", rows: _*)
+    val got = graft.operators.Sampling.mixToTarget(
+      t, "doc_id", "dom", Seq("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDom = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom.getOrElse("c", 0) == 0)        // untargeted domain dropped
+    assert(byDom("b") == 10)                    // most-constrained domain whole
+    // 'a' downsampled to ~25% (hash-quantized; wide tolerance)
+    assert(byDom("a") >= 3 && byDom("a") <= 18)
+    // determinism: same input -> identical keep set
+    val again = graft.operators.Sampling.mixToTarget(
+      t, "doc_id", "dom", Seq("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("centroidOutliers ranks the off-cluster vector least similar, k cuts per group") {
     val rows =
       // group g1: three near-identical vectors + one opposite-ish
