@@ -365,25 +365,38 @@ object Dedup {
     * only (a vanishing fraction of the corpus). Corpus text is
     * shingled by the same native [[HashExpressions.shingleHashes]]
     * sweep as the near-dup operators — hashes, never gram strings, on
-    * the wire. */
+    * the wire.
+    *
+    * Pass a precomputed [[evalShingleSet]] via `evalShingles` when
+    * probing MANY batches against the same eval set (the streaming
+    * path): the eval side is then shingled once ever, not once per
+    * probe. */
   def contaminationMatches(
       corpus: DataFrame,
       evalDf: DataFrame,
       idCol: String,
       textCol: String,
-      shingleN: Int = 5): DataFrame = {
-    val evalShingles = evalDf
-      .select(explode(HashExpressions.shingleHashes(col(textCol), shingleN)).as("sh"))
-      .distinct()
+      shingleN: Int = 5,
+      evalShingles: Option[DataFrame] = None): DataFrame = {
+    val evalSh = evalShingles.getOrElse(evalShingleSet(evalDf, textCol, shingleN))
     corpus
       .select(col(idCol).as("doc_id"),
         explode(HashExpressions.shingleHashes(col(textCol), shingleN)).as("sh"))
-      .join(broadcast(evalShingles), "sh")
+      .join(broadcast(evalSh), "sh")
       // shingleHashes emits DISTINCT hashes per document, so this
       // count IS the distinct shared-shingle count — no extra dedup.
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** The eval set's distinct shingle hashes (column `sh`) — the
+    * reusable probe side of [[contaminationMatches]]; persist it when
+    * probing repeatedly (streaming / multi-batch decontamination). */
+  def evalShingleSet(
+      evalDf: DataFrame, textCol: String, shingleN: Int = 5): DataFrame =
+    evalDf
+      .select(explode(HashExpressions.shingleHashes(col(textCol), shingleN)).as("sh"))
+      .distinct()
 
   /** Connected components over near-duplicate PAIRS — the dedup
     * endgame: pairs only say "a matches b"; keep-one-per-cluster

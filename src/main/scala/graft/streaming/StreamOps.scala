@@ -157,6 +157,39 @@ object StreamOps {
       .start()
   }
 
+  /** Continuous benchmark decontamination — the streaming form of
+    * [[graft.operators.Dedup.contaminationMatches]]: every
+    * micro-batch drops its documents that share any word
+    * `shingleN`-gram with the static eval set before `sink` sees the
+    * survivors. The eval set's distinct shingle hashes are computed
+    * ONCE here and persisted ([[graft.operators.Dedup.evalShingleSet]]),
+    * so each micro-batch pays only its own shingling plus a broadcast
+    * probe — the eval set is never re-shingled per batch.
+    *
+    * Scope mirrors [[dedupAgainstStream]]: the eval set is FIXED at
+    * query start; refreshing it is a checkpointed query restart. */
+  def decontaminateStream(
+      docs: DataFrame,
+      evalDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      shingleN: Int = 5)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val evalSh = graft.operators.Dedup
+      .evalShingleSet(evalDf, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.toDF()
+        val hits = graft.operators.Dedup.contaminationMatches(
+          b, evalDf, idCol, textCol, shingleN, evalShingles = Some(evalSh))
+        sink(b.join(hits, b(idCol) === hits("doc_id"), "left_anti"))
+      }
+      .start()
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState: 30-minute
     * inactivity gap starts a new session; state per user is one
     * (lastTs, seq) pair. Events inside each micro-batch are sorted

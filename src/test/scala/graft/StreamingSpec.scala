@@ -183,6 +183,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStream drops eval-overlapping docs per micro-batch, matches the batch operator") {
+    import org.apache.spark.sql.Row
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_dcs_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dcs_ckpt").toString
+    val evalSet = df("doc_id BIGINT, text STRING",
+      Row(100L, "the quick brown fox jumps high above"))
+    val schema = evalSet.schema
+    val b1 = df("doc_id BIGINT, text STRING",
+      Row(1L, "once the quick brown fox jumps away"), // shares a 4-gram -> dropped
+      Row(2L, "entirely novel text about streaming watermarks and state stores"))
+    val b2 = df("doc_id BIGINT, text STRING",
+      Row(3L, "we saw the quick brown fox jumps high again"), // shares -> dropped
+      Row(4L, "a second novel document mentioning sessionization and state"))
+    val survivors = scala.collection.mutable.Set.empty[Long]
+    val q = StreamOps.decontaminateStream(
+      spark.readStream.schema(schema).parquet(srcDir),
+      evalSet, "doc_id", "text", ckpt, shingleN = 4)(out =>
+      survivors ++= out.select("doc_id").collect().map(_.getLong(0)))
+    try {
+      b1.coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(2L, 4L))
+      // parity: the batch operator on the replayed batches drops the same ids
+      val replay = b1.union(b2)
+      val batchHits = graft.operators.Dedup
+        .contaminationMatches(replay, evalSet, "doc_id", "text", shingleN = 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchHits == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("event-time sessionize: identical assignments whether events arrive in 1 or 3 batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
