@@ -277,12 +277,103 @@ case class Mix64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `repetition_hash_stats(text, n)` — the within-document repetition
+  * statistics over word n-gram hashes, one pass per row:
+  * `[n_grams, n_distinct, max_freq]` as array<long> (total n-gram
+  * instances, distinct values, and the most frequent value's count).
+  *
+  * Same tokenize+hash+window-fold sweep as [[ShingleHashes]] but
+  * KEEPING duplicates: the window hashes are sorted primitively
+  * (`Arrays.sort` on long[]) and the distinct/longest-run counts read
+  * off adjacent equality — O(g log g) per row, zero boxing, no
+  * intermediate gram strings. This is the whole repetition-filter
+  * operator in a single projection: the higher-order-builtin
+  * formulation (`array_sort` + `aggregate` with a struct accumulator)
+  * allocates a struct per gram per row in interpreted lambda eval and
+  * measured ~60× slower at sf1; the explode + two-shuffle aggregate
+  * measured ~4× slower at sf0.1 (see BASELINE.md round-6 notes).
+  * Gram equality is 64-bit-hash equality — exact except for
+  * vanishing (2^-64-scale) collisions; the DuckDB oracle replays the
+  * identical hashes, so the gate is still bit-exact. */
+case class RepetitionHashStats(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "gram width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_hash_stats"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repStats", this, classOf[RepetitionHashStats].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalInput($c);")
+  }
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalInput(input: Any): Any = nullSafeEval(input)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    // tokenize + hash tokens in one sweep (identical to ShingleHashes)
+    val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var h = Hashing.FnvOffset
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (inTok) { tokenHashes += Hashing.mix64(h); h = Hashing.FnvOffset; inTok = false }
+      } else {
+        val lc = Character.toLowerCase(c)
+        h ^= (lc & 0xffL); h *= Hashing.FnvPrime
+        h ^= ((lc >> 8) & 0xffL); h *= Hashing.FnvPrime
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) tokenHashes += Hashing.mix64(h)
+
+    val m = tokenHashes.length
+    if (m < n) return new GenericArrayData(Array(1L, 1L, 1L)) // single whole-doc gram
+    val g = m - n + 1
+    val grams = new Array[Long](g)
+    var i2 = 0
+    while (i2 <= m - n) {
+      var acc = 1125899906842597L
+      var k = 0
+      while (k < n) { acc = acc * Hashing.FnvPrime + tokenHashes(i2 + k); k += 1 }
+      grams(i2) = Hashing.mix64(acc)
+      i2 += 1
+    }
+    java.util.Arrays.sort(grams)
+    var distinct = 1L
+    var run = 1L
+    var best = 1L
+    var j = 1
+    while (j < g) {
+      if (grams(j) == grams(j - 1)) {
+        run += 1
+        if (run > best) best = run
+      } else { distinct += 1; run = 1 }
+      j += 1
+    }
+    new GenericArrayData(Array(g.toLong, distinct, best))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionHashStats =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Hashed word n-gram shingles straight from a text column
     * (array<long>, distinct, sorted) — the fast input to
     * [[minhashSignature]] / [[simhash64]] and to hashed-Jaccard. */
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
+  /** [n_grams, n_distinct, max_freq] over word n-gram hashes — the
+    * one-pass repetition-filter statistics. */
+  def repetitionHashStats(text: Column, n: Int): Column =
+    ColumnBridge.column(RepetitionHashStats(ColumnBridge.expression(text), n))
 
   /** MinHash signature Column over an array<string> shingle column. */
   def minhashSignature(shingles: Column, numHashes: Int = 64, seed: Long = 42L): Column =

@@ -169,48 +169,29 @@ object TextFunctions {
     *                      their value — (total − distinct) / total,
     *   - `top_gram_frac`  mass of the single most frequent n-gram.
     *
-    * Scale posture: entirely ROW-LOCAL — sort the document's gram
-    * array once, then distinct-count and longest-equal-run come from
-    * one pass over the sorted array (an `aggregate` fold carrying
-    * (prev, run, best)). No explode, no shuffle, no aggregation: the
-    * operator is a projection, so it scales exactly like the scan and
-    * composes into the same WholeStageCodegen pass as the other
-    * per-document filters. (The alternative explode + groupBy(doc_id,
-    * gram) shape costs two corpus-sized shuffles keyed by strings —
-    * measured 5.0 s vs 1.3 s on the sf0.1 fixture.) Divisions are
-    * guarded by construction: every doc yields ≥1 gram
-    * ([[shingles]] never returns an empty array). */
+    * Scale posture: entirely ROW-LOCAL — one native-expression pass
+    * per document ([[HashExpressions.repetitionHashStats]]: tokenize,
+    * hash, window-fold, primitive sort, run scan). No explode, no
+    * shuffle, no aggregation: the operator is a projection, so it
+    * scales exactly like the scan and stays inside the stage's
+    * whole-stage codegen. Gram identity is 64-bit hash identity (the
+    * same collision-negligible shortcut as the near-dup operators);
+    * the DuckDB oracle replays the hashes, keeping the gate
+    * bit-exact. Divisions are guarded by construction: every doc
+    * yields ≥1 gram (short docs collapse to one whole-doc gram). */
   def repetitionStats(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
-      n: Int): org.apache.spark.sql.DataFrame = {
-    val sorted = array_sort(shingles(col(textCol), n))
-    // longest run of equal adjacent grams in the sorted array = the
-    // max frequency of any gram value. Null-typed `prev` seeds the
-    // fold: `null === g` is null, so the first element takes the
-    // otherwise(1) branch.
-    val acc0 = struct(
-      lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
-    val folded = aggregate(sorted, acc0, (acc, g) => {
-      val run = when(acc.getField("prev") === g, acc.getField("run") + lit(1L))
-        .otherwise(lit(1L))
-      struct(g.as("prev"), run.as("run"),
-        greatest(acc.getField("best"), run).as("best"))
-    })
-    df.select(col(idCol).as("doc_id"), sorted.as("__sg"), folded.getField("best").as("__mf"))
+      n: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        HashExpressions.repetitionHashStats(col(textCol), n).as("__st"))
       .select(col("doc_id"),
-        size(col("__sg")).cast("bigint").as("n_grams"),
-        size(col("__sg")).cast("bigint").as("__n"),
-        size(array_distinct(col("__sg"))).cast("bigint").as("__nd"),
-        col("__mf"))
-      .select(col("doc_id"),
-        col("n_grams"),
-        ((col("__n") - col("__nd")).cast("double") /
-          col("__n").cast("double")).as("dup_gram_frac"),
-        (col("__mf").cast("double") /
-          col("__n").cast("double")).as("top_gram_frac"))
-  }
+        col("__st").getItem(0).as("n_grams"),
+        ((col("__st").getItem(0) - col("__st").getItem(1)).cast("double") /
+          col("__st").getItem(0).cast("double")).as("dup_gram_frac"),
+        (col("__st").getItem(2).cast("double") /
+          col("__st").getItem(0).cast("double")).as("top_gram_frac"))
 
   /** Mean token length. */
   def meanTokenLen(text: Column): Column =

@@ -980,20 +980,17 @@ object ExtensionQueries {
        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
 
   /** Mirrors [[qTextRepetition]] (`TextFunctions.repetitionStats`,
-    * n=2): the shingle construction replays `TextFunctions.shingles`
-    * branch for branch (≥n tokens ⇒ every n-window joined by ' ';
-    * fewer ⇒ one whole-doc gram), then the same two-level count
-    * aggregate; the fraction divisions are integer-exact numerators
-    * over identical casts. */
+    * n=2, the native `RepetitionHashStats` expression): the
+    * [[HashSql]] token/shingle-hash replay WITH multiplicities
+    * (`shingleHashesAll`), then per-(doc, hash) counts — sum/count/
+    * max reproduce total/distinct/max-frequency exactly; the fraction
+    * divisions are integer-exact numerators over identical casts. */
   private val textRepetitionSql: String = {
     val n = 2
-    s"""WITH toks AS (SELECT doc_id, $tokensLowerSql AS tk FROM documents),
-       |g AS (SELECT doc_id, CASE WHEN len(tk) >= $n
-       |  THEN list_transform(range(1, len(tk) - ${n - 1} + 1),
-       |                      i -> array_to_string(tk[i:i+${n - 1}], ' '))
-       |  ELSE [array_to_string(tk, ' ')] END AS grams FROM toks),
-       |c AS (SELECT doc_id, gram, count(*) AS cnt FROM
-       |  (SELECT doc_id, unnest(grams) AS gram FROM g) x GROUP BY doc_id, gram)
+    s"""WITH ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents),
+       |g AS MATERIALIZED (SELECT doc_id, ${HashSql.shingleHashesAll("ths", n)} AS gh FROM ths),
+       |c AS (SELECT doc_id, h, count(*) AS cnt FROM
+       |  (SELECT doc_id, unnest(gh) AS h FROM g) x GROUP BY doc_id, h)
        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
        |  CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_gram_frac,
        |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_gram_frac

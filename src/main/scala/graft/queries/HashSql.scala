@@ -107,7 +107,13 @@ private[queries] object HashSql {
     * whole-document shingle; else every n-token window, each folded
     * `acc = acc·FNV_PRIME + tokenHash` from base 1125899906842597 and
     * finalized with SplitMix64. */
-  def shingleHashes(thsCol: String, n: Int): String = {
+  def shingleHashes(thsCol: String, n: Int): String =
+    s"list_distinct(${shingleHashesAll(thsCol, n)})"
+
+  /** All mixed shingle hashes WITH duplicates (document order) — the
+    * same three branches as [[shingleHashes]] minus the distinct:
+    * the repetition-statistics replay needs multiplicities. */
+  def shingleHashesAll(thsCol: String, n: Int): String = {
     def fold(lst: String): String =
       s"list_reduce(list_prepend(${u(ShingleBase)}, $lst)," +
         s" (acc, th) -> ((${mulmod("acc", Hashing.FnvPrime)} + th) % $M64))"
@@ -116,7 +122,7 @@ private[queries] object HashSql {
     val windows = mixList(
       s"list_transform(range(1, len($thsCol) - ${n - 1} + 1)," +
         s" i -> ${fold(s"($thsCol[i:i+${n - 1}])")})")
-    s"list_distinct(CASE WHEN len($thsCol) = 0 THEN [$emptyDoc]" +
+    s"(CASE WHEN len($thsCol) = 0 THEN [$emptyDoc]" +
       s" WHEN len($thsCol) < $n THEN $whole ELSE $windows END)"
   }
 

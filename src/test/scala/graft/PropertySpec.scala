@@ -187,6 +187,51 @@ object PropertySpec extends Properties("graft") {
   // exactly the bucket ids within the radius, each exactly once —
   // |ball| = sum C(n, k) for k <= h, every member within h bit flips
   // of the base, and every h'-flip neighbor (h' <= h) is present
+  // packing invariants: per group, offsets are the exclusive prefix
+  // sums of token counts in id order, and chunk ids are monotone
+  property("concatChunks == exclusive prefix sums per group") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.chooseNum(0L, 50L), Gen.oneOf("g1", "g2"),
+        Gen.chooseNum(0, 7).map(n => Seq.fill(n)("w").mkString(" "))))) { rows0 =>
+      // distinct ids: the operator orders by id within a group
+      val rows = rows0.distinctBy(_._1)
+      val df0 = mkDf("id BIGINT, g STRING, text STRING",
+        rows.map { case (i, g, t) => Row(i, g, t) })
+      val got = graft.operators.Packing
+        .concatChunks(df0, "id", "g", "text", capacity = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      got.groupBy(_._2).forall { case (_, grp) =>
+        val ordered = grp.sortBy(_._1)
+        val offsets = ordered.scanLeft(0L)(_ + _._3).init
+        ordered.map(_._4).sameElements(offsets) &&
+          ordered.forall(x => x._5 == x._4 / 5) &&
+          ordered.map(_._5).toSeq == ordered.map(_._5).toSeq.sorted
+      }
+    }
+
+  // mixToTarget: untargeted domains vanish; the binding domain (the
+  // one that sets the scale) is kept whole; every kept row existed
+  property("mixToTarget keeps the binding domain whole, drops untargeted") =
+    Prop.forAll(
+      Gen.zip(Gen.chooseNum(1, 30), Gen.chooseNum(1, 30), Gen.chooseNum(0, 10))) {
+      case (na, nb, nc) =>
+        val rows = (0L until na).map(i => Row(i, "a")) ++
+          (1000L until 1000L + nb).map(i => Row(i, "b")) ++
+          (2000L until 2000L + nc).map(i => Row(i, "c"))
+        val df0 = mkDf("id BIGINT, dom STRING", rows)
+        val targets = Seq("a" -> 0.5, "b" -> 0.5)
+        val got = graft.operators.Sampling.mixToTarget(df0, "id", "dom", targets)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val byDom = got.groupBy(_._2).view.mapValues(_.length).toMap
+        val binding = if (na / 0.5 <= nb / 0.5) "a" else "b"
+        val bindingN = if (binding == "a") na else nb
+        byDom.getOrElse("c", 0) == 0 &&
+          byDom.getOrElse(binding, 0) == bindingN &&
+          got.map(_._1).toSet.subsetOf(rows.map(_.getLong(0)).toSet)
+    }
+
   property("hammingBall enumerates the exact Hamming ball") =
     Prop.forAll(Gen.chooseNum(1, 12), Gen.chooseNum(0, 3),
       Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (n, h0, seed) =>
