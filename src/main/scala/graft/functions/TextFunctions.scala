@@ -193,6 +193,42 @@ object TextFunctions {
         (col("__st").getItem(2).cast("double") /
           col("__st").getItem(0).cast("double")).as("top_gram_frac"))
 
+  /** Per-document top-`k` TF-IDF terms — cheap keyword extraction
+    * for corpus exploration / tagging. Score is the ratio form
+    * `tf · N / df` (monotone in the usual `tf · log(N/df)` for fixed
+    * tf, and free of cross-engine `log` rounding, so the oracle
+    * matches bit-for-bit); the (score desc, token asc) order is
+    * total, making the top-k cut deterministic.
+    *
+    * Scale posture: term frequencies and document frequencies are
+    * each one hash-aggregate with map-side partial combine (the tf
+    * key carries doc_id, so it shuffles uniformly even for stopword
+    * tokens); the tf⋈df join is token-keyed — df is vocabulary-sized,
+    * so AQE broadcast-joins it under real-corpus vocabularies, and
+    * the per-doc top-k window shuffles on doc_id (uniform). N is one
+    * count scalar. Filter stopwords/low-df upstream when the corpus
+    * warrants. */
+  def topTfidfTerms(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val nDocs = df.count()
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("tfidf",
+        col("tf").cast("double") * lit(nDocs.toDouble) / col("df").cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("doc_id", "token", "tfidf")
+  }
+
   /** Mean token length. */
   def meanTokenLen(text: Column): Column =
     (length(regexp_replace(text, wsClass + "+", "")).cast("double") /

@@ -53,6 +53,39 @@ object Profile {
           }: _*)
     }.reduce(_.unionByName(_))
 
+  /** Equi-width histogram of a numeric column: `bins` buckets over
+    * [min, max], one output row per non-empty bucket with its bounds
+    * and count. The max value lands in the last bucket (the standard
+    * closed-right top bucket); a constant column collapses to one
+    * bucket.
+    *
+    * Scale posture: one min/max aggregate (two doubles to the
+    * driver — the same scalar-collect pattern as the ANN query
+    * vector, never a 1-row cross join, which would plan as a nested-
+    * loop join), then one projection + hash-aggregate keyed by the
+    * bucket id (≤ `bins` groups, map-side partial). Bucket arithmetic
+    * is fixed-order double math on the driver-computed width, so the
+    * DuckDB oracle reproduces the exact cuts. */
+  def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val row = df.agg(
+      min(col(c).cast("double")).as("mn"),
+      max(col(c).cast("double")).as("mx")).head()
+    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    val width = (mx - mn) / bins
+    val bucket =
+      if (width == 0.0) lit(0L)
+      else least(lit(bins - 1L), floor((col(c).cast("double") - mn) / width))
+    df.filter(col(c).isNotNull)
+      .select(bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(mn) + col("bucket") * width).as("lo"),
+        (lit(mn) + (col("bucket") + 1) * width).as("hi"),
+        col("n"))
+  }
+
   /** One output row per profiled column, with stringified min/max so
     * heterogeneous column types stack into one frame. */
   def profile(df: DataFrame, columns: Seq[String], approxDistinct: Boolean = false): DataFrame =

@@ -389,6 +389,16 @@ object ExtensionQueries {
     graft.operators.Profile.quantiles(pq(s, dir, "orders"),
       Seq("o_totalprice", "o_custkey"))
 
+  /** Equi-width 10-bucket histogram of order totals — the value-
+    * distribution profiling pass. */
+  private val qProfileHistogram: Q = (s, dir) =>
+    graft.operators.Profile.histogram(pq(s, dir, "orders"), "o_totalprice", bins = 10)
+
+  /** Per-document top-3 TF-IDF terms (ratio score — see
+    * `TextFunctions.topTfidfTerms`). */
+  private val qTextTfidf: Q = (s, dir) =>
+    TextFunctions.topTfidfTerms(pq(s, dir, "documents"), "doc_id", "text", k = 3)
+
   // -------------------------------------------------------------- multimodal
 
   private val qMultimodalMeta: Q = (s, dir) =>
@@ -438,6 +448,8 @@ object ExtensionQueries {
     "q_text_redact" -> qTextRedact,
     "q_profile" -> qProfile,
     "q_profile_quantiles" -> qProfileQuantiles,
+    "q_profile_histogram" -> qProfileHistogram,
+    "q_text_tfidf" -> qTextTfidf,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode)
 
@@ -1164,6 +1176,40 @@ object ExtensionQueries {
         |WHERE rn = 1""".stripMargin,
     "q_multimodal_meta" ->
       "SELECT doc_id, 'image/stub' AS media_type, CAST(strlen(text) AS BIGINT) AS byte_len FROM documents",
+    // Mirrors Profile.histogram(bins=10): min/max/width derived in
+    // the same double op order ((mx-mn)/10, then least(9, floor((x -
+    // mn)/w))), so the bucket cuts and bounds match bit for bit; the
+    // width=0 degenerate collapses to bucket 0 in both engines.
+    "q_profile_histogram" ->
+      s"""WITH mm AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS mn,
+         |                   max(CAST(o_totalprice AS DOUBLE)) AS mx FROM orders),
+         |p AS (SELECT mn, (mx - mn) / 10 AS w FROM mm),
+         |b AS (SELECT CASE WHEN p.w = 0 THEN 0
+         |        ELSE CAST(least(9, floor((CAST(o_totalprice AS DOUBLE) - p.mn) / p.w)) AS BIGINT)
+         |      END AS bucket
+         |      FROM orders, p WHERE o_totalprice IS NOT NULL)
+         |SELECT b.bucket, p.mn + b.bucket * p.w AS lo,
+         |       p.mn + (b.bucket + 1) * p.w AS hi,
+         |       count(*) AS n
+         |FROM b, p
+         |GROUP BY b.bucket, p.mn, p.w""".stripMargin,
+    // Mirrors TextFunctions.topTfidfTerms(k=3): same tf/df counts,
+    // same (tf·N)/df double order, same (tfidf desc, token asc) cut.
+    "q_text_tfidf" ->
+      s"""WITH tf AS MATERIALIZED (
+         |  SELECT doc_id, token, count(*) AS tf FROM
+         |    (SELECT doc_id, unnest($tokensLowerSql) AS token FROM documents) x
+         |  GROUP BY doc_id, token),
+         |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+         |SELECT doc_id, token, tfidf FROM (
+         |  SELECT tf.doc_id, tf.token,
+         |    CAST(tf.tf AS DOUBLE) * n.nd / CAST(d.df AS DOUBLE) AS tfidf,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY CAST(tf.tf AS DOUBLE) * n.nd / CAST(d.df AS DOUBLE) DESC,
+         |               tf.token ASC) AS rn
+         |  FROM tf JOIN dfreq d ON tf.token = d.token, n) t
+         |WHERE rn <= 3""".stripMargin,
     "q_profile_quantiles" -> Seq("o_totalprice", "o_custkey").map { c =>
       s"""SELECT '$c' AS "column",
          |  quantile_cont($c, 0.25) AS q25,

@@ -598,6 +598,36 @@ class ExtensionSpec extends SparkSpec {
     assert(got.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("histogram: hand-computed buckets, max in top bucket, constant column collapses") {
+    val t = df("v DOUBLE",
+      Row(0.0), Row(1.0), Row(4.9), Row(5.0), Row(9.9), Row(10.0))
+    // min 0, max 10, 2 bins, width 5: [0,5) -> {0, 1, 4.9}; [5,10] -> {5, 9.9, 10}
+    val got = graft.operators.Profile.histogram(t, "v", bins = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got == Map(0L -> ((0.0, 5.0, 3L)), 1L -> ((5.0, 10.0, 3L))))
+    val const = df("v DOUBLE", Row(7.0), Row(7.0))
+    val g2 = graft.operators.Profile.histogram(const, "v", bins = 4).collect()
+    assert(g2.length == 1 && g2.head.getLong(0) == 0L && g2.head.getLong(3) == 2L)
+  }
+
+  test("topTfidfTerms: rare term outranks common term, k cuts, deterministic ties") {
+    val t = df("doc_id BIGINT, text STRING",
+      Row(1L, "common rare common unique"),
+      Row(2L, "common filler filler"),
+      Row(3L, "common other"))
+    // df: common=3, rare=1, unique=1, filler=1, other=1; N=3
+    val got = TextFunctions.topTfidfTerms(t, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val d1 = got.filter(_._1 == 1L).map(x => (x._2, x._3)).sortBy(-_._2)
+    // doc 1: rare tf=1 df=1 -> 3.0; unique tf=1 df=1 -> 3.0; common tf=2 df=3 -> 2.0
+    // top-2 by (score desc, token asc): rare and unique (both 3.0), common cut
+    assert(d1.map(_._1).toSet == Set("rare", "unique"))
+    val d2 = got.filter(_._1 == 2L).map(_._2).toSet
+    // doc 2: filler tf=2 df=1 -> 6.0; common tf=1 df=3 -> 1.0
+    assert(d2 == Set("filler", "common"))
+    assert(got.count(_._1 == 2L) == 2)
+  }
+
   test("centroidOutliers ranks the off-cluster vector least similar, k cuts per group") {
     val rows =
       // group g1: three near-identical vectors + one opposite-ish
