@@ -689,4 +689,103 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Bloom-prefiltered exact incremental dedup — the cheapest daily-
+    * ingest gate: drop batch rows whose canonical fingerprint
+    * ([[TextFunctions.fingerprint]]) already exists in the standing
+    * corpus, with NO corpus shuffle anywhere in the plan.
+    *
+    * A plain fingerprint anti-join repartitions BOTH sides on the
+    * 16-byte key — at 100 TB that shuffles the whole corpus to answer
+    * a question that is "no" for almost every batch row. Instead:
+    *  1. the corpus folds into a Bloom filter over its fingerprints
+    *     (one `treeAggregate` scan, fixed memory, mergeable partials);
+    *  2. the batch probes the broadcast filter — bloom-NEGATIVE rows
+    *     are definitively new (no false negatives) and skip the join
+    *     entirely; the surviving candidate fingerprints are the true
+    *     duplicates plus an `fpp` fraction of the batch;
+    *  3. that tiny candidate set broadcasts INTO a corpus-side
+    *     left-semi probe (corpus scanned map-side, never shuffled) to
+    *     confirm which candidates really exist, and the confirmed set
+    *     broadcasts back for the final batch-side anti-join.
+    * The result is EXACTLY the anti-join's answer (false positives
+    * are weeded out in step 3), which is what lets the DuckDB oracle
+    * gate it with plain SQL; the bloom parameters affect cost only.
+    *
+    * Pass a precomputed `bloom` (from [[corpusBloom]], persisted
+    * across batches) and the corpus is scanned once per batch — or
+    * zero times when the confirm probe reads a compacted fingerprint
+    * table instead of raw text. */
+  def bloomDedupAgainst(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+    val corpusFps = corpusDf.select(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+    val filter = bloom.getOrElse(corpusBloom(corpusDf, textCol, expectedItems, fpp))
+    val bc = newDf.sparkSession.sparkContext.broadcast(filter)
+    // UDF rationale: Spark's BloomFilterMightContain expression is
+    // internal to runtime join filtering — functions._ exposes no
+    // sketch probe — so a deterministic Scala UDF is the only route.
+    // It is a per-row bit probe on an already-computed fingerprint,
+    // off every aggregate hot path.
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val withFp = newDf.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+    val candidateFps = withFp
+      .filter(mightContain(col("__fp")))
+      .select("__fp")
+      .distinct()
+    // Corpus-side confirm: broadcast the candidates, semi-probe the
+    // corpus map-side; `hits` is at most the candidate set.
+    val hits = corpusFps
+      .join(broadcast(candidateFps), Seq("__fp"), "left_semi")
+      .distinct()
+    // One batch-side anti-join against the broadcast confirmed set
+    // handles bloom-negatives (never in `hits`) and bloom false
+    // positives (probed, not confirmed) alike.
+    withFp
+      .join(broadcast(hits), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
+  /** The corpus fingerprint Bloom filter for [[bloomDedupAgainst]] —
+    * build once, persist, reuse across every daily batch. Size
+    * `expectedItems` at the corpus cardinality: ~9.6 bits/item at
+    * fpp=0.01 puts a billion-document corpus at ~1.2 GB, a broadcast
+    * a 1000-executor cluster handles routinely. */
+  def corpusBloom(
+      corpusDf: DataFrame,
+      textCol: String,
+      expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    corpusDf.select(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+      .stat.bloomFilter("__fp", expectedItems, fpp)
+
+  /** Cross-document duplicated-span census — the exact-substring
+    * contamination sweep (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better") at word-`spanN`-gram granularity:
+    * every span hash appearing in at least `minDocs` DISTINCT
+    * documents, with its document frequency. The boilerplate
+    * detector: spans shared by thousands of documents are templates,
+    * licenses, and navigation chrome.
+    *
+    * [[HashExpressions.shingleHashes]] emits DISTINCT hashes per
+    * document, so a plain `count(*)` per hash IS the document
+    * frequency — one native hashing pass over the scan, one explode,
+    * one hash-aggregate shuffle of 8-byte keys with map-side
+    * partials. Text never leaves the scan stage, and the `minDocs`
+    * filter runs inside the aggregate's output — the result is the
+    * (tiny) duplicated tail, not the corpus-sized full census. */
+  def duplicatedSpans(
+      df: DataFrame,
+      textCol: String,
+      spanN: Int = 8,
+      minDocs: Int = 2): DataFrame =
+    df.select(explode(HashExpressions.shingleHashes(col(textCol), spanN)).as("span_hash"))
+      .groupBy("span_hash")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
 }

@@ -86,6 +86,38 @@ object Profile {
         col("n"))
   }
 
+  /** Keep rows at or above their group's `q`-quantile of `value` —
+    * the "top half by quality score, per language" corpus gate that
+    * turns a profiling number into a filter. Two stages:
+    * a per-group threshold aggregate (|groups| rows — tiny) that
+    * BROADCASTS back into a single filtered pass over the corpus, so
+    * the corpus itself is scanned once and never shuffled.
+    *
+    * The threshold uses the same exact-interpolated `percentile` as
+    * [[quantiles]] (bit-matching DuckDB's `quantile_cont`, which is
+    * what lets the oracle replay the cut); exact percentile buffers
+    * each group's values, so at 100 TB set `approx = true` for the
+    * GK-sketch `approx_percentile` — the gate then keeps a value
+    * within bounded rank error of the exact cut. */
+  def quantileGate(
+      df: DataFrame,
+      value: org.apache.spark.sql.Column,
+      groupCol: String,
+      q: Double,
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val scored = df.withColumn("__v", value)
+    val agg =
+      if (approx) expr(s"approx_percentile(__v, ${q}D, $accuracy)")
+      else expr(s"percentile(__v, ${q}D)")
+    val thresholds = scored.groupBy(col(groupCol)).agg(agg.cast("double").as("__thr"))
+    scored
+      .join(broadcast(thresholds), Seq(groupCol))
+      .filter(col("__v") >= col("__thr"))
+      .drop("__v", "__thr")
+  }
+
   /** One output row per profiled column, with stringified min/max so
     * heterogeneous column types stack into one frame. */
   def profile(df: DataFrame, columns: Seq[String], approxDistinct: Boolean = false): DataFrame =

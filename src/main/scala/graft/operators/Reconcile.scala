@@ -63,6 +63,41 @@ object Reconcile {
       "checksum_written", "ok")
   }
 
+  /** Snapshot diff between two corpus versions keyed by `keyCol`:
+    * one row per key that was ADDED (new only), REMOVED (old only),
+    * or CHANGED (present in both, any of `compareCols` differs under
+    * null-safe equality); unchanged keys produce nothing, so the
+    * result is the (small) delta, not the corpus. The daily "what did
+    * this refresh actually touch" audit between ingests.
+    *
+    * Scale posture: one full-outer shuffle join on the snapshot key —
+    * the minimum any keyed diff costs — comparing only the projected
+    * `compareCols`. Write both snapshots bucketed by the key
+    * ([[graft.sources.TableIO]] bucketed tables) and even that
+    * exchange disappears (BucketedIOSpec's zero-Exchange join shape).
+    * For wide rows, pass a precomputed fingerprint column instead of
+    * the raw columns so only key+digest ever shuffles. */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val o = oldDf.select((keyCol +: compareCols).map(c => col(c).as(s"__o_$c")): _*)
+    val n = newDf.select((keyCol +: compareCols).map(c => col(c).as(s"__n_$c")): _*)
+    val changed = compareCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    o.join(n, col(s"__o_$keyCol") === col(s"__n_$keyCol"), "full_outer")
+      .select(
+        coalesce(col(s"__o_$keyCol"), col(s"__n_$keyCol")).as(keyCol),
+        when(col(s"__o_$keyCol").isNull, lit("added"))
+          .when(col(s"__n_$keyCol").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .as("change"))
+      .filter(col("change").isNotNull)
+  }
+
   /** Throwing variant for pipelines: any mismatch aborts with the
     * offending tables named. */
   def assertClean(io: TableIO, frames: Map[String, DataFrame]): Unit = {

@@ -186,6 +186,60 @@ object ExtensionQueries {
       .select("doc_id")
   }
 
+  /** Bloom-prefiltered exact incremental dedup on the same daily-batch
+    * split as [[qDedupIncremental]] (doc_id % 10 >= 8 batch vs < 8
+    * corpus): batch survivors whose canonical fingerprint is absent
+    * from the corpus, with the corpus never shuffled (bloom
+    * treeAggregate + broadcast probes only). Semantically EXACT — the
+    * bloom only prefilters and its false positives are confirmed away
+    * — so the oracle is the plain fingerprint anti-join, identical
+    * under ANY fpp. */
+  private val qDedupBloom: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    // the batch carries re-keyed copies of corpus rows (% 40 == 0,
+    // id + 1e6) so the drop path bites on the fixture at every scale
+    // — the fixture corpus itself has no cross-split exact dupes
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+      .unionByName(
+        docs.filter(col("doc_id") % 10 < 8 && col("doc_id") % 40 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+    Dedup.bloomDedupAgainst(
+      batch,
+      docs.filter(col("doc_id") % 10 < 8),
+      "doc_id", "text", expectedItems = 1L << 17, fpp = 0.01)
+      .select("doc_id")
+  }
+
+  /** Cross-document duplicated-span census: hashed word 8-grams
+    * appearing in >= 2 distinct documents with their doc frequency —
+    * the exact-substring/boilerplate sweep over the corpus. */
+  private val qSpanDupes: Q = (s, dir) =>
+    Dedup.duplicatedSpans(pq(s, dir, "documents"), "text", spanN = 8, minDocs = 2)
+
+  /** Per-language median-quality gate: keep documents at or above
+    * their language's exact median composite quality score — the
+    * profiling-driven corpus filter (threshold aggregate broadcast
+    * back over one corpus pass). */
+  private val qQualityGate: Q = (s, dir) =>
+    graft.operators.Profile.quantileGate(
+      pq(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality")),
+      col("quality"), "lang", q = 0.5)
+
+  /** Corpus snapshot diff: the "old" snapshot drops doc_id % 11 == 3,
+    * the "new" one drops % 13 == 5 and rewrites text for % 17 == 0 —
+    * the diff reports exactly the added / removed / changed keys
+    * between the two derived versions. */
+  private val qSnapshotDiff: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    graft.operators.Reconcile.snapshotDiff(
+      docs.filter(col("doc_id") % 11 =!= 3),
+      docs.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 0, upper(col("text"))).otherwise(col("text"))),
+      "doc_id", Seq("text"))
+  }
+
   /** Deterministic hash-based train/val/test split (80/10/10). */
   private val qSampleSplit: Q = (s, dir) =>
     graft.operators.Sampling.hashSplit(pq(s, dir, "documents"), "doc_id")
@@ -428,6 +482,10 @@ object ExtensionQueries {
     "q_dedup_editdist" -> qDedupEditdist,
     "q_dedup_keep_one" -> qDedupKeepOne,
     "q_dedup_incremental" -> qDedupIncremental,
+    "q_dedup_bloom" -> qDedupBloom,
+    "q_span_dupes" -> qSpanDupes,
+    "q_quality_gate" -> qQualityGate,
+    "q_snapshot_diff" -> qSnapshotDiff,
     "q_sample_split" -> qSampleSplit,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_mix" -> qSampleMix,
@@ -918,6 +976,67 @@ object ExtensionQueries {
        |  AND doc_id NOT IN (SELECT doc_id FROM lsh_hit)""".stripMargin
   }
 
+  /** Mirrors [[qDedupBloom]]: the bloom filter is a pure prefilter
+    * (no false negatives; false positives are confirmed away against
+    * the real fingerprint set), so the survivor set IS the exact
+    * fingerprint anti-join — one line of SQL gates the whole
+    * sketch+broadcast plan. */
+  private val dedupBloomSql: String =
+    s"""WITH fps AS MATERIALIZED (SELECT doc_id,
+       |  md5(trim(regexp_replace(lower(text), '$ws+', ' ', 'g'))) AS fp FROM documents),
+       |batch AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 >= 8
+       |          UNION ALL
+       |          SELECT doc_id + 1000000, fp FROM fps
+       |          WHERE doc_id % 10 < 8 AND doc_id % 40 = 0)
+       |SELECT b.doc_id FROM batch b
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM fps c WHERE c.doc_id % 10 < 8 AND c.fp = b.fp)""".stripMargin
+
+  /** Mirrors [[qSpanDupes]] (`Dedup.duplicatedSpans`, n=8, minDocs=2):
+    * the [[HashSql]] token/shingle-hash replay (distinct per doc), one
+    * unnest + count per hash, signed back to Spark's long domain. */
+  private val spanDupesSql: String =
+    s"""WITH ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents),
+       |sh AS MATERIALIZED (SELECT doc_id, ${HashSql.shingleHashes("ths", 8)} AS sh FROM ths),
+       |shx AS (SELECT doc_id, unnest(sh) AS h FROM sh)
+       |SELECT ${HashSql.toS("h")} AS span_hash, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM shx GROUP BY h
+       |HAVING count(*) >= 2""".stripMargin
+
+  /** Mirrors [[qQualityGate]] (`Profile.quantileGate`, q=0.5): the
+    * [[oracle q_text_quality]] composite score with DuckDB's
+    * `quantile_cont` as the per-language cut — the same
+    * linear-interpolated median as Spark's exact `percentile` (the
+    * q_profile_quantiles bit-parity), so the >= comparison agrees
+    * row for row. */
+  private val qualityGateSql: String =
+    s"""WITH s AS MATERIALIZED (SELECT doc_id, lang,
+       |  $alphaRatioSql * 0.4 + $stopRatioSql * 0.3
+       |    + least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.2
+       |    + (1.0 - $punctRatioSql) * 0.1 AS quality
+       |FROM documents),
+       |thr AS (SELECT lang, quantile_cont(quality, 0.5) AS t FROM s GROUP BY lang)
+       |SELECT s.doc_id, s.lang, s.quality FROM s JOIN thr ON s.lang = thr.lang
+       |WHERE s.quality >= thr.t""".stripMargin
+
+  /** Mirrors [[qSnapshotDiff]] (`Reconcile.snapshotDiff`): the same
+    * derived old/new snapshots, full-outer joined; text is non-null
+    * throughout, so SQL `<>` matches the engine's null-safe
+    * inequality. */
+  private val snapshotDiffSql: String =
+    s"""SELECT doc_id, change FROM (
+       |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       |    CASE WHEN o.doc_id IS NULL THEN 'added'
+       |         WHEN n.doc_id IS NULL THEN 'removed'
+       |         WHEN o.text <> n.text THEN 'changed' END AS change
+       |  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3) o
+       |  FULL OUTER JOIN (
+       |    SELECT doc_id,
+       |      CASE WHEN doc_id % 17 = 0 THEN upper(text) ELSE text END AS text
+       |    FROM documents WHERE doc_id % 13 <> 5) n
+       |  ON o.doc_id = n.doc_id) t
+       |WHERE change IS NOT NULL""".stripMargin
+
   /** Mirrors `Sampling.hashSplit(80, 10)`: SplitMix64 of the id
     * (HashSql.mixCtes replay), bucket = mixed >>> 1 mod 100. doc_id
     * is nonnegative, so the unsigned HUGEINT start value equals the
@@ -1099,6 +1218,10 @@ object ExtensionQueries {
     "q_dedup_editdist" -> dedupEditdistSql,
     "q_dedup_keep_one" -> dedupKeepOneSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_dedup_bloom" -> dedupBloomSql,
+    "q_span_dupes" -> spanDupesSql,
+    "q_quality_gate" -> qualityGateSql,
+    "q_snapshot_diff" -> snapshotDiffSql,
     "q_sample_split" -> sampleSplitSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_sample_mix" -> sampleMixSql,

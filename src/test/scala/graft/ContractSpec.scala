@@ -31,6 +31,10 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("entry: the flagship query returns rows at sf0.001 (driver smoke twin)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("preloaded lookup tables are cached once and reused") {
     import org.apache.spark.sql.Row
     import graft.plans._

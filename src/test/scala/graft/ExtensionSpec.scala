@@ -647,4 +647,86 @@ class ExtensionSpec extends SparkSpec {
     // every returned cosine is a valid similarity
     assert(got.forall(x => x._3 >= -1.0001 && x._3 <= 1.0001))
   }
+
+  test("bloomDedupAgainst equals the exact anti-join even under a saturated (all-positive) bloom") {
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(1L, "alpha beta gamma"), Row(2L, "delta epsilon zeta"), Row(3L, "eta theta iota"))
+    val batch = df("doc_id BIGINT, text STRING",
+      Row(10L, "ALPHA  beta gamma"), // fp-dup of corpus 1 (case/ws canonicalized)
+      Row(11L, "delta epsilon zeta"), // exact dup of corpus 2
+      Row(12L, "kappa lambda mu"), // novel
+      Row(13L, "nu xi omicron")) // novel
+    val expected = Set(12L, 13L)
+    val got = Dedup.bloomDedupAgainst(batch, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // a deliberately undersized filter (expectedItems=1, fpp≈0.5) fires
+    // false positives on novel rows — the confirm join must weed every
+    // one out, so the answer cannot change with the bloom's quality
+    val gotSaturated = Dedup.bloomDedupAgainst(batch, corpus, "doc_id", "text",
+      expectedItems = 1L, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotSaturated == expected)
+    // and a precomputed corpusBloom short-circuits the build, same answer
+    val pre = Dedup.corpusBloom(corpus, "text")
+    val gotPre = Dedup.bloomDedupAgainst(batch, corpus, "doc_id", "text", bloom = Some(pre))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotPre == expected)
+  }
+
+  test("duplicatedSpans finds shared 8-grams with doc frequency, skips unique spans") {
+    val shared = "one two three four five six seven eight"
+    val t = df("doc_id BIGINT, text STRING",
+      Row(1L, s"prefix $shared tail words here"),
+      Row(2L, s"$shared completely different ending tokens"),
+      Row(3L, s"other material then $shared"),
+      Row(4L, "nothing in common with anything else at all yes"))
+    val got = Dedup.duplicatedSpans(t, "text", spanN = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the shared 8-gram's hash appears with df=3; doc 4 contributes nothing
+    val sharedHash = df("t STRING", Row(shared))
+      .select(explode(HashExpressions.shingleHashes(col("t"), 8)).as("h"))
+      .head().getLong(0)
+    assert(got(sharedHash) == 3L)
+    // no span is counted twice for one doc (hashes are distinct per doc)
+    assert(got.values.forall(_ <= 4L))
+    // minDocs cuts: nothing with df < 2 survives
+    assert(Dedup.duplicatedSpans(t, "text", spanN = 8, minDocs = 4).count() == 0L)
+  }
+
+  test("quantileGate keeps rows at/above the per-group exact quantile; approx stays in band") {
+    val rows = (1 to 9).map(i => Row(i.toLong, "a", i.toDouble)) ++
+      Seq(Row(20L, "b", 5.0), Row(21L, "b", 15.0))
+    val t = df("id BIGINT, grp STRING, v DOUBLE", rows: _*)
+    // group a: median of 1..9 = 5 => keep 5..9; group b: median of
+    // {5,15} interpolates to 10 => keep only 15
+    val got = graft.operators.Profile.quantileGate(t, col("v"), "grp", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(5L, 6L, 7L, 8L, 9L, 21L))
+    // approx path: the gate value is an actual element within one
+    // order-statistic gap of the exact cut, so the kept set sits
+    // between "v >= 6" (cut one above) and "v >= 4" (one below)
+    val approx = graft.operators.Profile.quantileGate(t, col("v"), "grp", 0.5, approx = true)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(approx.subsetOf(Set(4L, 5L, 6L, 7L, 8L, 9L, 20L, 21L)))
+    assert(Set(6L, 7L, 8L, 9L).subsetOf(approx))
+  }
+
+  test("snapshotDiff labels added/removed/changed, drops unchanged, null-safe compare") {
+    val old = df("k BIGINT, a STRING, b STRING",
+      Row(1L, "x", "y"), // unchanged
+      Row(2L, "x", null), // unchanged (null-safe: null == null)
+      Row(3L, "x", "y"), // changed in new
+      Row(4L, "x", "y"), // removed
+      Row(5L, null, "z")) // changed: null -> value
+    val neu = df("k BIGINT, a STRING, b STRING",
+      Row(1L, "x", "y"),
+      Row(2L, "x", null),
+      Row(3L, "x", "Y2"),
+      Row(5L, "now", "z"),
+      Row(6L, "new", "row")) // added
+    val got = graft.operators.Reconcile.snapshotDiff(old, neu, "k", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(3L -> "changed", 4L -> "removed", 5L -> "changed", 6L -> "added"))
+  }
 }

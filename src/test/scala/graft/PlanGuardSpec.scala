@@ -48,6 +48,26 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("bloom dedup joins only by broadcast — the corpus is never exchange-partitioned") {
+    // the operator's whole reason to exist: both the corpus-side
+    // confirm probe and the batch-side final anti-join must be
+    // broadcast joins; a hash-partitioned Exchange feeding a
+    // SortMergeJoin would mean the corpus shuffles after all
+    val plan = planOf("q_dedup_bloom")
+    assert(plan.contains("BroadcastHashJoin"), s"q_dedup_bloom: no broadcast join\n$plan")
+    val shuffled = plan.linesIterator
+      .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      .toSeq
+    assert(shuffled.isEmpty,
+      s"q_dedup_bloom: shuffle-partitioned join planned: $shuffled")
+  }
+
+  test("quantile gate broadcasts its threshold table back over the corpus") {
+    val plan = planOf("q_quality_gate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_quality_gate: threshold join is not broadcast\n$plan")
+  }
+
   test("group aggregates keep map-side partial aggregation") {
     // losing the partial/final split turns a combine-then-shuffle into
     // shuffling every input row — invisible at sf0.01, fatal at 100 TB
