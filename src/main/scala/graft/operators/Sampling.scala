@@ -92,6 +92,36 @@ object Sampling {
     * sized work is one scan + one aggregate, and the keep decision
     * stays a pure function of (id, domain, the domain histogram), so
     * the mixture is reproducible at audit time. */
+  /** Deterministic per-group cap: keep at most `k` rows per group,
+    * chosen by SplitMix64 hash order of the id (ties broken by id) —
+    * the "at most K documents per domain/host" dominance cap that
+    * stops one crawl source from swamping the mixture. Unlike the
+    * rate-based samplers the cap is EXACT per group, and unlike
+    * `orderBy(rand())` the kept set is a pure function of
+    * (id, group) — reproducible at audit time.
+    *
+    * Scale posture: one shuffle on the group key + a per-group sort
+    * of an 8-byte hash pair — the minimal exact-k shape. A single
+    * pathologically hot group serializes into one task; if groups can
+    * be corpus-scale, prefer the rate-based [[mixToTarget]] /
+    * [[stratifiedHashSample]] (zero-shuffle) and accept approximate
+    * counts. */
+  def capPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(
+        shiftrightunsigned(HashExpressions.mix64(col(idCol).cast("long")), 1).asc,
+        col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   def mixToTarget(
       df: DataFrame,
       idCol: String,

@@ -418,21 +418,69 @@ object Similarity {
       numPlanes: Int = 10,
       dim: Int = 64,
       probeHamming: Int = 2,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    lshBatchCore(queries, corpus, queryIdCol, queryVecCol, idCol, vecCol,
+      k, numPlanes, dim, probeHamming, seed, labelPair = None)
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the `k` most-similar corpus vectors carrying a DIFFERENT
+    * label — the near-boundary examples a retrieval/embedding model
+    * must learn to separate. Identical plan shape to [[lshTopKBatch]]
+    * (Hamming-ball equi-join on the LSH bucket, exact cosine, per-
+    * query window) with a label-inequality residual filter applied to
+    * the joined candidates BEFORE the window, so same-label neighbors
+    * never displace true negatives from the top k. */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      queryLabelCol: String,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      numPlanes: Int = 10,
+      dim: Int = 64,
+      probeHamming: Int = 2,
+      seed: Long = 42L): DataFrame =
+    lshBatchCore(queries, corpus, queryIdCol, queryVecCol, idCol, vecCol,
+      k, numPlanes, dim, probeHamming, seed,
+      labelPair = Some((queryLabelCol, labelCol)))
+
+  private def lshBatchCore(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numPlanes: Int,
+      dim: Int,
+      probeHamming: Int,
+      seed: Long,
+      labelPair: Option[(String, String)]): DataFrame = {
     val planes = SimilarityFunctions.hyperplanes(numPlanes, dim, seed)
     val ball = udf((b: Long) => hammingBall(b, numPlanes, probeHamming))
     val qSide = queries.select(
-      col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"),
-      explode(ball(SimilarityFunctions.lshBucket(col(queryVecCol), planes)))
-        .as("bucket"))
+      Seq(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec")) ++
+        labelPair.map(p => col(p._1).as("__qlabel")) :+
+        explode(ball(SimilarityFunctions.lshBucket(col(queryVecCol), planes)))
+          .as("bucket"): _*)
     val cSide = corpus.select(
-      col(idCol).as("id"), col(vecCol).as("__vec"),
-      SimilarityFunctions.lshBucket(col(vecCol), planes).as("bucket"))
+      Seq(col(idCol).as("id"), col(vecCol).as("__vec"),
+        SimilarityFunctions.lshBucket(col(vecCol), planes).as("bucket")) ++
+        labelPair.map(p => col(p._2).as("__clabel")): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
     // ball buckets are distinct, so a corpus row appears at most once
     // per query — no candidate dedup needed before the window
-    qSide.join(cSide, "bucket")
+    val joined = qSide.join(cSide, "bucket")
+    val filtered = labelPair
+      .map(_ => joined.filter(col("__qlabel") =!= col("__clabel")))
+      .getOrElse(joined)
+    filtered
       .select(col("query_id"), col("id"),
         SimilarityFunctions.cosine(col("__vec"), col("__qvec")).as("cosine"))
       .withColumn("__rnk", row_number().over(w))

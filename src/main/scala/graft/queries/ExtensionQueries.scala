@@ -245,6 +245,14 @@ object ExtensionQueries {
     graft.operators.Sampling.hashSplit(pq(s, dir, "documents"), "doc_id")
       .select("doc_id", "split_bucket", "split")
 
+  /** Per-source dominance cap: at most 12 documents per source,
+    * chosen by SplitMix64 hash order — the "no host swamps the
+    * mixture" gate. */
+  private val qSampleCap: Q = (s, dir) =>
+    graft.operators.Sampling.capPerGroup(
+      pq(s, dir, "documents"), "doc_id", "source", k = 12)
+      .select("doc_id", "source")
+
   /** Stratified rebalance: keep 40% of 'en', all of 'de', 80% of
     * everything else — deterministic per (doc_id, lang). */
   private val qSampleStratified: Q = (s, dir) =>
@@ -348,6 +356,20 @@ object ExtensionQueries {
       emb.filter(col("vec_id").between(1, 5)),
       emb.filter(col("vec_id") >= 6),
       "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, numPlanes = 8, probeHamming = 2)
+  }
+
+  /** Hard-negative mining over the batch-ANN split: for each query
+    * (vec_id 1..5), the 5 most-similar corpus vectors (vec_id >= 6)
+    * with a DIFFERENT label — q_sim_lsh_batch's retrieval with the
+    * same-label candidates filtered out before the top-k cut. */
+  private val qSimHardNegatives: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    Similarity.hardNegatives(
+      emb.filter(col("vec_id").between(1, 5)),
+      emb.filter(col("vec_id") >= 6),
+      "vec_id", "embedding", "label",
+      "vec_id", "embedding", "label",
       k = 5, numPlanes = 8, probeHamming = 2)
   }
 
@@ -487,6 +509,7 @@ object ExtensionQueries {
     "q_quality_gate" -> qQualityGate,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_sample_split" -> qSampleSplit,
+    "q_sample_cap" -> qSampleCap,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_mix" -> qSampleMix,
     "q_dedup_embedding" -> qDedupEmbedding,
@@ -498,6 +521,7 @@ object ExtensionQueries {
     "q_sim_ivf_distributed" -> qSimIvfDistributed,
     "q_sim_batch_topk" -> qSimBatchTopK,
     "q_sim_lsh_batch" -> qSimLshBatch,
+    "q_sim_hard_negatives" -> qSimHardNegatives,
     "q_embed_centroids" -> qEmbedCentroids,
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_ingest_csv" -> qIngestCsv,
@@ -1084,6 +1108,40 @@ object ExtensionQueries {
        |  JOIN documents db ON db.doc_id = c.id_b) t
        |WHERE dist <= 10""".stripMargin
 
+  /** Mirrors [[qSampleCap]] (`Sampling.capPerGroup`, k=12): the same
+    * SplitMix64 replay as [[sampleSplitSql]]; Spark's
+    * `shiftrightunsigned(mix64(id), 1)` is `x // 2` in the unsigned
+    * HUGEINT domain, so the per-source (hash, id) sort order — and
+    * therefore the kept set — matches exactly. */
+  private val sampleCapSql: String =
+    s"""WITH c0 AS MATERIALIZED (SELECT doc_id, source, CAST(doc_id AS HUGEINT) AS x FROM documents),
+       |${HashSql.mixCtes("c", "c0", "doc_id, source")}
+       |SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY (x // 2) ASC, doc_id ASC) AS rn
+       |  FROM c4) t
+       |WHERE rn <= 12""".stripMargin
+
+  /** Mirrors [[qSimHardNegatives]]: [[simLshBatchSql]]'s candidate
+    * rule plus the label-inequality residual — filtered before the
+    * per-query window, exactly like the engine. */
+  private val simHardNegativesSql: String = {
+    val planes = graft.functions.SimilarityFunctions.hyperplanes(8, DIM, 42L)
+    s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qv, label AS ql,
+       |                   ${bucketSql("embedding", planes)} AS qbucket
+       |            FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+       |c AS (SELECT vec_id AS id, embedding AS vec, label AS cl,
+       |             ${bucketSql("embedding", planes)} AS bucket
+       |      FROM embeddings WHERE vec_id >= 6)
+       |SELECT query_id, id, cosine FROM (
+       |  SELECT q.qid AS query_id, c.id, ${cosineSql("c.vec", "q.qv")} AS cosine,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosineSql("c.vec", "q.qv")} DESC, c.id ASC) AS rn
+       |  FROM qs q JOIN c ON bit_count(xor(c.bucket, q.qbucket)) <= 2
+       |       AND c.cl <> q.ql) t
+       |WHERE rn <= 5""".stripMargin
+  }
+
   /** Mirrors `Sampling.stratifiedHashSample(en->40, de->100, default
     * 80)`: same SplitMix64 bucket as [[sampleSplitSql]], thresholded
     * by a per-stratum CASE. */
@@ -1223,6 +1281,7 @@ object ExtensionQueries {
     "q_quality_gate" -> qualityGateSql,
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_sample_split" -> sampleSplitSql,
+    "q_sample_cap" -> sampleCapSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_sample_mix" -> sampleMixSql,
     "q_multimodal_decode" -> multimodalDecodeSql,
@@ -1238,6 +1297,7 @@ object ExtensionQueries {
     "q_sim_ivf_distributed" -> simIvfDistributedSql,
     "q_sim_batch_topk" -> simBatchTopkSql,
     "q_sim_lsh_batch" -> simLshBatchSql,
+    "q_sim_hard_negatives" -> simHardNegativesSql,
     "q_embed_centroids" -> embedCentroidsSql,
     "q_ingest_jsonl" -> ingestJsonlSql,
     "q_ingest_csv" ->

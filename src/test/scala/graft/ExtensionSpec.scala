@@ -712,6 +712,38 @@ class ExtensionSpec extends SparkSpec {
     assert(Set(6L, 7L, 8L, 9L).subsetOf(approx))
   }
 
+  test("capPerGroup keeps exactly k per group, deterministically, independent of layout") {
+    val rows = (0 until 30).map(i => Row(i.toLong, s"g${i % 3}"))
+    val t = df("id BIGINT, grp STRING", rows: _*)
+    val got = graft.operators.Sampling.capPerGroup(t, "id", "grp", k = 4)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(got.groupBy(_._1).forall(_._2.length == 4))
+    // a cap above the group size keeps everything
+    assert(graft.operators.Sampling.capPerGroup(t, "id", "grp", k = 100).count() == 30L)
+    // partition-layout independence: same kept set after repartition
+    val again = graft.operators.Sampling.capPerGroup(t.repartition(7), "id", "grp", k = 4)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(got.toSet == again.toSet)
+  }
+
+  test("hardNegatives returns only different-label neighbors and matches brute force at full probe") {
+    val rows = Seq(
+      Row(1L, "a", Seq(1.0f, 0.0f, 0.0f)), // query, label a
+      Row(10L, "a", Seq(0.99f, 0.1f, 0.0f)), // same label — must never appear
+      Row(11L, "b", Seq(0.98f, 0.2f, 0.0f)), // the hardest negative
+      Row(12L, "b", Seq(0.0f, 1.0f, 0.0f)), // easy negative
+      Row(13L, "c", Seq(0.7f, 0.7f, 0.0f))) // mid negative
+    val t = df("vec_id BIGINT, label STRING, embedding ARRAY<FLOAT>", rows: _*)
+    val queries = t.filter(col("vec_id") === 1L)
+    val corpus = t.filter(col("vec_id") >= 10L)
+    // full-probe (h = planes) makes the candidate set exhaustive
+    val got = Similarity.hardNegatives(queries, corpus,
+      "vec_id", "embedding", "label", "vec_id", "embedding", "label",
+      k = 2, numPlanes = 4, dim = 3, probeHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 11L), (1L, 13L))) // ranked by cosine, same-label 10 excluded
+  }
+
   test("snapshotDiff labels added/removed/changed, drops unchanged, null-safe compare") {
     val old = df("k BIGINT, a STRING, b STRING",
       Row(1L, "x", "y"), // unchanged
