@@ -157,6 +157,35 @@ object StreamOps {
       .start()
   }
 
+  /** Continuous exact incremental dedup — the streaming form of
+    * [[graft.operators.Dedup.bloomDedupAgainst]] and the cheapest
+    * possible continuous ingest gate: the corpus fingerprint bloom is
+    * built ONCE at query start ([[graft.operators.Dedup.corpusBloom]]),
+    * so each micro-batch pays one fingerprint projection, a broadcast
+    * bit probe, and a broadcast confirm join against the corpus —
+    * never a corpus shuffle, never a corpus re-scan for the filter.
+    * Scope mirrors [[dedupAgainstStream]]: the corpus is FIXED at
+    * query start; folding each day's survivors into the bloom is a
+    * checkpointed query restart with a rebuilt filter. */
+  def bloomDedupStream(
+      docs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val bloom = graft.operators.Dedup.corpusBloom(corpus, textCol, expectedItems, fpp)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(graft.operators.Dedup.bloomDedupAgainst(
+          batch.toDF(), corpus, idCol, textCol, bloom = Some(bloom)))
+      }
+      .start()
+  }
+
   /** Continuous benchmark decontamination — the streaming form of
     * [[graft.operators.Dedup.contaminationMatches]]: every
     * micro-batch drops its documents that share any word

@@ -183,6 +183,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloomDedupStream drops exact corpus dupes per micro-batch, matches the batch operator") {
+    import org.apache.spark.sql.Row
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_bds_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bds_ckpt").toString
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      Row(101L, "completely different content about spark query engines and shuffles"))
+    val schema = corpus.schema
+    val b1 = df("doc_id BIGINT, text STRING",
+      Row(1L, "THE  Quick   Brown fox jumps over the lazy dog near the river bank"), // fp-dup of 100
+      Row(2L, "entirely novel text about streaming watermarks and state stores"))
+    val b2 = df("doc_id BIGINT, text STRING",
+      Row(3L, "completely different content about spark query engines and shuffles"), // exact dup of 101
+      Row(4L, "a second novel document mentioning sessionization and state"))
+    val survivors = scala.collection.mutable.Set.empty[Long]
+    val q = StreamOps.bloomDedupStream(
+      spark.readStream.schema(schema).parquet(srcDir),
+      corpus, "doc_id", "text", ckpt)(out =>
+      survivors ++= out.select("doc_id").collect().map(_.getLong(0)))
+    try {
+      b1.coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(2L, 4L))
+      // parity: the batch operator on the replayed batches keeps the same ids
+      val batchKept = graft.operators.Dedup
+        .bloomDedupAgainst(b1.union(b2), corpus, "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchKept == survivors.toSet)
+    } finally q.stop()
+  }
+
   test("decontaminateStream drops eval-overlapping docs per micro-batch, matches the batch operator") {
     import org.apache.spark.sql.Row
     val srcDir = java.nio.file.Files.createTempDirectory("graft_dcs_src").toString
