@@ -363,6 +363,103 @@ case class RepetitionHashStats(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `cdc_chunk_hashes(text, maskBits)` — content-defined chunking of a
+  * document into variable-length token runs, one 64-bit hash per
+  * chunk (document order, duplicates kept): a chunk ENDS at every
+  * token where the rolling 2-token window hash (the word-2-gram
+  * shingle hash of [previous token, this token]) has its low
+  * `maskBits` bits zero — expected chunk length 2^maskBits tokens —
+  * and the final partial chunk is always emitted. The boundary
+  * window is TWO tokens (a classic small-window Rabin-style CDC), not
+  * one, because a 1-token rule degenerates on small vocabularies:
+  * whether ANY boundary exists then depends on a fixed ~1/2^maskBits
+  * subset of the vocabulary (measured on the synthetic fixture: 31
+  * distinct tokens, zero of them boundary at maskBits=3 — every doc
+  * one chunk); token PAIRS square the alphabet and restore the
+  * expected cut rate.
+  *
+  * Boundaries depend only on LOCAL content, so a shared passage
+  * chunks identically in every document containing it no matter what
+  * precedes it — the property fixed-width shingling lacks and the
+  * reason CDC powers partial-duplicate detection (re-crawls, quote
+  * farms, template wrap-arounds) and chunk-level storage dedup.
+  *
+  * Same one-sweep tokenize+hash loop as [[ShingleHashes]]; chunk and
+  * boundary hashes fold token hashes order-sensitively from the same
+  * base, so the DuckDB oracle replays them with the existing
+  * [[Hashing]] mirror machinery. A document with no tokens yields the
+  * single empty-fold hash (mirroring ShingleHashes' non-empty
+  * guarantee). */
+case class CdcChunkHashes(child: Expression, maskBits: Int)
+    extends UnaryExpression {
+  require(maskBits >= 1 && maskBits <= 32, "maskBits must be in [1,32]")
+
+  private val mask = (1L << maskBits) - 1L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_chunk_hashes"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdcChunks", this, classOf[CdcChunkHashes].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalInput($c);")
+  }
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalInput(input: Any): Any = nullSafeEval(input)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[Long](8)
+    var acc = 1125899906842597L // chunk fold base, shared with ShingleHashes
+    var chunkLen = 0
+    var sawToken = false
+    var prevTh = 0L // rolling window: previous token's mixed hash
+    // tokenize + hash tokens in one sweep (identical to ShingleHashes),
+    // folding each token hash into the running chunk as it completes
+    var h = Hashing.FnvOffset
+    var inTok = false
+    var i = 0
+    def endToken(): Unit = {
+      val th = Hashing.mix64(h)
+      h = Hashing.FnvOffset
+      acc = acc * Hashing.FnvPrime + th
+      chunkLen += 1
+      // 2-token window hash == the word-2-gram shingle hash; the
+      // window slides ACROSS cut points (pure content-defined state)
+      if (sawToken) {
+        val b = Hashing.mix64(
+          (1125899906842597L * Hashing.FnvPrime + prevTh) * Hashing.FnvPrime + th)
+        if ((b & mask) == 0L) {
+          out += Hashing.mix64(acc)
+          acc = 1125899906842597L
+          chunkLen = 0
+        }
+      }
+      prevTh = th
+      sawToken = true
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (inTok) { inTok = false; endToken() }
+      } else {
+        val lc = Character.toLowerCase(c)
+        h ^= (lc & 0xffL); h *= Hashing.FnvPrime
+        h ^= ((lc >> 8) & 0xffL); h *= Hashing.FnvPrime
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) endToken()
+    if (chunkLen > 0 || !sawToken) out += Hashing.mix64(acc)
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkHashes =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Hashed word n-gram shingles straight from a text column
     * (array<long>, distinct, sorted) — the fast input to
@@ -387,4 +484,9 @@ object HashExpressions {
   /** SplitMix64 finalizer Column over a LONG column. */
   def mix64(c: Column): Column =
     ColumnBridge.column(Mix64(ColumnBridge.expression(c)))
+
+  /** Content-defined chunk hashes of a text column (array<long>,
+    * document order) — the partial-duplicate / chunk-dedup input. */
+  def cdcChunkHashes(text: Column, maskBits: Int): Column =
+    ColumnBridge.column(CdcChunkHashes(ColumnBridge.expression(text), maskBits))
 }

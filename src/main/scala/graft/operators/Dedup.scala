@@ -764,6 +764,51 @@ object Dedup {
     corpusDf.select(TextFunctions.fingerprint(col(textCol)).as("__fp"))
       .stat.bloomFilter("__fp", expectedItems, fpp)
 
+  /** Per-document content-defined chunks: one row per (id, chunk
+    * index, chunk hash) from [[HashExpressions.cdcChunkHashes]] — the
+    * storable chunk index for chunk-level dedup and partial-overlap
+    * lookups. Pure projection + explode; text never shuffles. */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maskBits: Int = 5): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(HashExpressions.cdcChunkHashes(col(textCol), maskBits))
+          .as(Seq("chunk_idx", "chunk_hash")))
+
+  /** Partial-duplicate document pairs via content-defined chunking:
+    * documents sharing at least `minShared` distinct CDC chunks —
+    * catches the re-crawl/quote/template overlaps that whole-document
+    * near-dup misses when the surrounding text differs, because CDC
+    * boundaries align on the shared passage regardless of what
+    * precedes it.
+    *
+    * Scale posture: the same bucketed-candidate shape as every other
+    * near-dup operator — a self-join on the 8-byte chunk hash (per-doc
+    * DISTINCT chunks, so pair counts are distinct-overlap counts),
+    * with [[capBuckets]] available for chunks shared corpus-wide
+    * (boilerplate passages — the quadratic hazard, same knob as
+    * minhash's `maxBucketSize`), then one pair-keyed count aggregate. */
+  def cdcChunkPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maskBits: Int = 5,
+      minShared: Int = 1,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol, maskBits)
+      .select("id", "chunk_hash").distinct()
+    val capped = capBuckets(chunks, Seq("chunk_hash"), maxBucketSize)
+    val a = capped.select(col("id").as("id_a"), col("chunk_hash"))
+    val b = capped.select(col("id").as("id_b"), col("chunk_hash"))
+    a.join(b, Seq("chunk_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared_chunks"))
+      .filter(col("n_shared_chunks") >= minShared)
+  }
+
   /** Cross-document duplicated-span census — the exact-substring
     * contamination sweep (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better") at word-`spanN`-gram granularity:

@@ -159,6 +159,15 @@ object ExtensionQueries {
     Dedup.editDistancePairs(pq(s, dir, "documents"), "doc_id", "text",
       maxDistance = 10)
 
+  /** Partial-duplicate pairs via content-defined chunking: documents
+    * sharing >= 2 distinct CDC chunks (maskBits=3 ≈ 8-token chunks),
+    * with corpus-wide chunks (> 8 docs — short boilerplate runs)
+    * capped out before the pair join — the same mega-bucket knob as
+    * q_dedup_minhash_capped, here load-bearing from day one. */
+  private val qDedupCdc: Q = (s, dir) =>
+    Dedup.cdcChunkPairs(pq(s, dir, "documents"), "doc_id", "text",
+      maskBits = 3, minShared = 2, maxBucketSize = Some(8))
+
   /** End-to-end text-dedup endgame: minhash near-dup pairs →
     * transitive closure → keep min-id per cluster + all unpaired
     * docs. Same pair parameters as q_dedup_minhash. */
@@ -502,6 +511,7 @@ object ExtensionQueries {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_editdist" -> qDedupEditdist,
+    "q_dedup_cdc" -> qDedupCdc,
     "q_dedup_keep_one" -> qDedupKeepOne,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_bloom" -> qDedupBloom,
@@ -1027,6 +1037,42 @@ object ExtensionQueries {
        |FROM shx GROUP BY h
        |HAVING count(*) >= 2""".stripMargin
 
+  /** Mirrors [[qDedupCdc]] (`Dedup.cdcChunkPairs`, maskBits=3,
+    * minShared=2, cap=8): per-token chunk assignment replayed with a
+    * window count of boundary tokens (mixed hash ≡ 0 mod 2^3) among
+    * STRICT predecessors, each chunk's ordered token-hash fold via
+    * [[HashSql.foldHashSql]], per-doc DISTINCT chunk hashes, the
+    * cap's distinct-doc count filter, then the pair count join. */
+  private val dedupCdcSql: String = {
+    s"""WITH ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents),
+       |tok0 AS (SELECT doc_id, ths, unnest(range(1, len(ths) + 1)) AS pos FROM ths),
+       |tok AS MATERIALIZED (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ths[pos] AS th FROM tok0),
+       |lagc AS MATERIALIZED (SELECT doc_id, pos, th,
+       |  lag(th) OVER (PARTITION BY doc_id ORDER BY pos) AS pth FROM tok),
+       |pf0 AS MATERIALIZED (SELECT doc_id, pos, th,
+       |  ${HashSql.pairFoldU("pth", "th")} AS x FROM lagc),
+       |${HashSql.mixCtes("pf", "pf0", "doc_id, pos, th")},
+       |ck AS MATERIALIZED (SELECT doc_id, pos, th,
+       |  COALESCE(SUM(CASE WHEN x IS NOT NULL AND x % 8 = 0 THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |  FROM pf4),
+       |cf AS MATERIALIZED (SELECT doc_id, chunk_id, list(th ORDER BY pos) AS chunk_ths
+       |  FROM ck GROUP BY doc_id, chunk_id),
+       |cd AS MATERIALIZED (SELECT DISTINCT doc_id, ch FROM (
+       |  SELECT doc_id, ${HashSql.foldHashSql("chunk_ths")} AS ch FROM cf
+       |  UNION ALL
+       |  SELECT doc_id, ${HashSql.emptyChunkHash} AS ch FROM ths WHERE len(ths) = 0) u),
+       |capped AS MATERIALIZED (SELECT c.doc_id, c.ch FROM cd c
+       |  JOIN (SELECT ch FROM cd GROUP BY ch HAVING count(*) <= 8) g ON c.ch = g.ch)
+       |SELECT id_a, id_b, n_shared_chunks FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(count(*) AS BIGINT) AS n_shared_chunks
+       |  FROM capped a JOIN capped b ON a.ch = b.ch AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id) t
+       |WHERE n_shared_chunks >= 2""".stripMargin
+  }
+
   /** Mirrors [[qQualityGate]] (`Profile.quantileGate`, q=0.5): the
     * [[oracle q_text_quality]] composite score with DuckDB's
     * `quantile_cont` as the per-language cut — the same
@@ -1277,6 +1323,7 @@ object ExtensionQueries {
     "q_dedup_keep_one" -> dedupKeepOneSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_bloom" -> dedupBloomSql,
+    "q_dedup_cdc" -> dedupCdcSql,
     "q_span_dupes" -> spanDupesSql,
     "q_quality_gate" -> qualityGateSql,
     "q_snapshot_diff" -> snapshotDiffSql,

@@ -126,6 +126,29 @@ private[queries] object HashSql {
       s" WHEN len($thsCol) < $n THEN $whole ELSE $windows END)"
   }
 
+  /** mix64 of the order-sensitive FNV fold of a (mixed) hash-list
+    * column from the shingle base — ONE shingle/chunk hash, the
+    * scalar form of [[shingleHashesAll]]'s window fold (the CDC
+    * chunk-hash replay). */
+  def foldHashSql(lst: String): String = {
+    val folded = s"list_reduce(list_prepend(${u(ShingleBase)}, $lst)," +
+      s" (acc, th) -> ((${mulmod("acc", Hashing.FnvPrime)} + th) % $M64))"
+    s"(${mixList(s"[$folded]")})[1]"
+  }
+
+  /** The engine's empty-document chunk hash (mix64 of the bare
+    * shingle base) as a HUGEINT literal. */
+  def emptyChunkHash: String = u(Hashing.mix64(ShingleBase))
+
+  /** UNMIXED 2-element shingle fold ((base·P + a)·P + b) mod 2^64 —
+    * the CDC boundary-window hash input; run the SplitMix64 stages
+    * ([[mixCtes]]) downstream. NULL `a` (no predecessor) propagates
+    * to a NULL result. */
+  def pairFoldU(a: String, b: String): String = {
+    val bp = u(ShingleBase * Hashing.FnvPrime) // wrapping const fold base·P
+    s"((${mulmod(s"(($bp + $a) % $M64)", Hashing.FnvPrime)} + $b) % $M64)"
+  }
+
   /** Four chained CTEs applying the SplitMix64 stages to a column
     * `x` carried alongside `keys` — the exploded-rows (vectorized,
     * lambda-free) variant of [[mixList]]: per-row column arithmetic

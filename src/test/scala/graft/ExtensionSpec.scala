@@ -712,6 +712,51 @@ class ExtensionSpec extends SparkSpec {
     assert(Set(6L, 7L, 8L, 9L).subsetOf(approx))
   }
 
+  test("cdcChunkPairs catches a shared passage that whole-document near-dup misses") {
+    val rnd = new scala.util.Random(7)
+    def prose(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(100000)}").mkString(" ")
+    val passage = prose(40) // the shared quote / template block
+    val a = prose(80) + " " + passage
+    val b = passage + " " + prose(80)
+    val c = prose(120) // unrelated
+    val t = df("doc_id BIGINT, text STRING",
+      Row(1L, a), Row(2L, b), Row(3L, c))
+    // whole-doc jaccard of a/b is ~0.2 — minhash at 0.5 sees nothing
+    assert(Dedup.minhashPairs(t, "doc_id", "text", shingleN = 3,
+      numHashes = 64, bands = 16, jaccardThreshold = 0.5).count() == 0L)
+    // CDC chunking aligns on the passage: the pair surfaces
+    val pairs = Dedup.cdcChunkPairs(t, "doc_id", "text", maskBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 >= 1L) // at least one full chunk inside the passage
+    // determinism + layout independence
+    val again = Dedup.cdcChunkPairs(t.repartition(5), "doc_id", "text", maskBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == pairs.toSet)
+  }
+
+  test("cdcChunks: concatenation-invariant boundaries, empty doc gets one chunk") {
+    // the defining CDC property: a passage chunks identically under
+    // different prefixes (after the first in-passage boundary)
+    val rnd = new scala.util.Random(11)
+    def prose(n: Int) = Seq.fill(n)(s"t${rnd.nextInt(100000)}").mkString(" ")
+    val passage = prose(60)
+    val t = df("doc_id BIGINT, text STRING",
+      Row(1L, prose(30) + " " + passage),
+      Row(2L, prose(90) + " " + passage),
+      Row(3L, ""))
+    val chunks = Dedup.cdcChunks(t, "doc_id", "text", maskBits = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = chunks.groupBy(_._1)
+    // both docs end with identical chunk tails (shared passage)
+    val tail1 = byDoc(1L).sortBy(_._2).map(_._3).toSeq
+    val tail2 = byDoc(2L).sortBy(_._2).map(_._3).toSeq
+    val common = tail1.reverse.zip(tail2.reverse).takeWhile(p => p._1 == p._2)
+    assert(common.nonEmpty, "no shared chunk tail across prefixes")
+    // empty doc: exactly one (empty-fold) chunk, never an empty array
+    assert(byDoc(3L).length == 1)
+  }
+
   test("capPerGroup keeps exactly k per group, deterministically, independent of layout") {
     val rows = (0 until 30).map(i => Row(i.toLong, s"g${i % 3}"))
     val t = df("id BIGINT, grp STRING", rows: _*)
