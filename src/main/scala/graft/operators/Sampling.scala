@@ -72,6 +72,57 @@ object Sampling {
     df.filter(bucket < threshold)
   }
 
+  /** Deterministic TEMPERATURE sampling — downsample toward the
+    * `w_d ∝ c_d^(1/T)` domain weighting (the multilingual/multi-source
+    * rebalancing of XLM-R and Pile-style mixtures): T=1 keeps natural
+    * proportions, larger T flattens toward uniform across domains,
+    * lifting low-resource domains' share. Target `targetRows` total;
+    * per-domain keep-rate = min(1, targetRows·(w_d/Σw)/c_d), quantized
+    * to `granularity` hash buckets with the same zero-shuffle
+    * SplitMix64 threshold filter as [[hashSplit]].
+    *
+    * Determinism: the domain histogram is |domains| rows — collected
+    * and folded in SORTED domain order on the driver (the bounded-
+    * collect pattern of Profile.histogram), so Σw and every rate are
+    * fixed-order double math that an oracle replays bit-for-bit
+    * (T=2's weights are `sqrt` — IEEE-exact in any engine; other T
+    * go through `pow`, which is correctly-rounded-ish but not
+    * IEEE-pinned — keep oracle-gated configs on T=2). The keep
+    * decision stays a pure function of (id, domain, histogram). */
+  def temperatureSample(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      targetRows: Long,
+      temperature: Double = 2.0,
+      granularity: Int = 10000): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    require(granularity > 0, "granularity must be positive")
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val weights = counts.map { case (d, c) =>
+      d -> (if (temperature == 2.0) math.sqrt(c.toDouble)
+            else math.pow(c.toDouble, 1.0 / temperature))
+    }
+    // ordered left fold over sorted domains — replayable op sequence
+    val sumW = weights.foldLeft(0.0)(_ + _._2)
+    val bp: Map[String, Long] = counts.zip(weights).map { case ((d, c), (_, w)) =>
+      d -> math.floor(
+        math.min(targetRows.toDouble * (w / sumW) / c.toDouble, 1.0) * granularity).toLong
+    }.toMap
+    val threshold = bp.toSeq.sortBy(_._1)
+      .foldRight(lit(0L)) { case ((dom, b), acc) =>
+        when(col(domainCol) === dom, lit(b)).otherwise(acc)
+      }
+    val bucket = shiftrightunsigned(
+      HashExpressions.mix64(col(idCol).cast("long")), 1) % granularity
+    df.filter(bucket < threshold)
+  }
+
   /** Deterministic DOMAIN-MIX sampling — downsample a corpus so its
     * domain proportions approach a TARGET distribution (the "30% web,
     * 30% code, 20% books…" data-mixture step of training-corpus

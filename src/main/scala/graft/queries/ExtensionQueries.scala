@@ -276,6 +276,16 @@ object ExtensionQueries {
   private val mixTargets: Seq[(String, Double)] =
     Seq("en" -> 0.3, "de" -> 0.3, "es" -> 0.2, "fr" -> 0.2)
 
+  /** Temperature sampling at T=2 toward 300 rows: low-resource
+    * languages keep a larger share than their natural proportion
+    * (w ∝ sqrt(count) — the IEEE-exact temperature, so the oracle
+    * replays the rate arithmetic bit-for-bit). */
+  private val qSampleTemperature: Q = (s, dir) =>
+    graft.operators.Sampling.temperatureSample(
+      pq(s, dir, "documents"), "doc_id", "lang",
+      targetRows = 300, temperature = 2.0)
+      .select("doc_id", "lang")
+
   /** Domain-mix sampling: downsample the corpus toward the 30/30/20/20
     * language mixture, keeping the most-underrepresented language
     * whole; 'zh' (no target) is dropped entirely. */
@@ -522,6 +532,7 @@ object ExtensionQueries {
     "q_sample_cap" -> qSampleCap,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_mix" -> qSampleMix,
+    "q_sample_temperature" -> qSampleTemperature,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_incremental_emb" -> qDedupIncrementalEmb,
     "q_dedup_components" -> qDedupComponents,
@@ -1140,6 +1151,26 @@ object ExtensionQueries {
        |WHERE (m.x // 2) % 10000 < bp.bp""".stripMargin
   }
 
+  /** Mirrors [[qSampleTemperature]] (`Sampling.temperatureSample`,
+    * T=2, target 300): same SplitMix64 bucket replay; Σw is the
+    * ordered left fold over SORTED domains (list_reduce with a 0.0
+    * seed — the driver's foldLeft), weights are `sqrt` (exact in both
+    * engines at T=2), and the rate arithmetic repeats the driver's
+    * `min(tgt·(w/Σw)/c, 1)·granularity` op order literally. */
+  private val sampleTemperatureSql: String =
+    s"""WITH t0 AS MATERIALIZED (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS x FROM documents),
+       |${HashSql.mixCtes("t", "t0", "doc_id, lang")},
+       |cnt AS (SELECT lang AS dom, count(*) AS c FROM documents GROUP BY lang),
+       |sw AS (SELECT list_reduce(
+       |  list_prepend(0.0, list(sqrt(CAST(c AS DOUBLE)) ORDER BY dom)),
+       |  (a, b) -> a + b) AS sumw FROM cnt),
+       |bp AS (SELECT dom,
+       |  CAST(floor(least(300.0 * (sqrt(CAST(c AS DOUBLE)) / sumw) / CAST(c AS DOUBLE), 1.0)
+       |       * 10000) AS BIGINT) AS bp
+       |  FROM cnt, sw)
+       |SELECT m.doc_id, m.lang FROM t4 m JOIN bp ON m.lang = bp.dom
+       |WHERE (m.x // 2) % 10000 < bp.bp""".stripMargin
+
   /** Mirrors `Dedup.editDistancePairs(maxDistance=10)`: the full
     * banded-candidate replay (threshold 0 — every band collision),
     * re-scored with DuckDB's levenshtein (the same unit-cost DP as
@@ -1331,6 +1362,7 @@ object ExtensionQueries {
     "q_sample_cap" -> sampleCapSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_sample_mix" -> sampleMixSql,
+    "q_sample_temperature" -> sampleTemperatureSql,
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_dedup_components" -> dedupComponentsSql,
     "q_text_subwords" ->

@@ -789,6 +789,31 @@ class ExtensionSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 11L), (1L, 13L))) // ranked by cosine, same-label 10 excluded
   }
 
+  test("temperatureSample lifts low-resource domains; T=1 keeps natural proportions") {
+    val rows = (0 until 900).map(i => Row(i.toLong, "big")) ++
+      (900 until 1000).map(i => Row(i.toLong, "small"))
+    val t = df("id BIGINT, dom STRING", rows: _*)
+    def rates(out: Array[(String, Long)]) = {
+      val kept = out.groupBy(_._1).view.mapValues(_.length.toDouble)
+      (kept.getOrElse("big", 0.0) / 900, kept.getOrElse("small", 0.0) / 100)
+    }
+    val t2 = graft.operators.Sampling.temperatureSample(t, "id", "dom", targetRows = 400)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val (bigR2, smallR2) = rates(t2)
+    // T=2: keep-rate ∝ 1/sqrt(c) — the rare domain keeps a 3× higher rate
+    assert(smallR2 > bigR2 * 2.0, s"no flattening: big=$bigR2 small=$smallR2")
+    val t1 = graft.operators.Sampling.temperatureSample(t, "id", "dom",
+      targetRows = 400, temperature = 1.0)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val (bigR1, smallR1) = rates(t1)
+    // T=1: both domains keep ~40% (equal rates up to hash noise)
+    assert(math.abs(bigR1 - smallR1) < 0.1, s"T=1 should be proportional: $bigR1 vs $smallR1")
+    // deterministic under re-layout
+    val again = graft.operators.Sampling.temperatureSample(t.repartition(7), "id", "dom",
+      targetRows = 400).collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(again.toSet == t2.toSet)
+  }
+
   test("snapshotDiff labels added/removed/changed, drops unchanged, null-safe compare") {
     val old = df("k BIGINT, a STRING, b STRING",
       Row(1L, "x", "y"), // unchanged
