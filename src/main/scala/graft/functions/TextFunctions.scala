@@ -159,6 +159,38 @@ object TextFunctions {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** Out-of-vocabulary rate per document against a FIXED vocabulary
+    * (typically the tokenizer's): the fraction of token OCCURRENCES
+    * not in `vocab` — the "will this text shred into bytes" quality
+    * signal that length/punctuation ratios miss. One row per doc:
+    * (id, n_tokens, oov_rate); an empty document scores 0.0.
+    *
+    * Scale posture: a pure projection — the vocabulary embeds as a
+    * broadcast-sized literal array (tokenizer vocabularies are
+    * driver-scale by definition) and each row pays one tokenize +
+    * membership sweep; no explode, no shuffle, nothing leaves the
+    * row. The membership lambda is interpreted (higher-order
+    * `filter`), but its accumulator is scalar — the acceptable HOF
+    * case (SCALING.md); at extreme vocab sizes switch to the
+    * explode + broadcast-join formulation and accept the shuffle.
+    * The fraction is an exact integer numerator over the token
+    * count, so the DuckDB replay is bit-identical. */
+  def oovRate(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(vocab.nonEmpty, "vocabulary must be non-empty")
+    val vocabArr = array(vocab.map(lit): _*)
+    val toks = tokens(lower(col(textCol)))
+    val oov = size(filter(toks, t => !array_contains(vocabArr, t)))
+    df.select(
+      col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      (oov.cast("double") /
+        greatest(tokenCount(col(textCol)), lit(1)).cast("double")).as("oov_rate"))
+  }
+
   /** Within-document repetition metrics over word n-grams — the
     * Gopher-style repetition filters (duplicated-n-gram fraction and
     * most-frequent-n-gram mass) that training pipelines use to drop

@@ -47,6 +47,17 @@ object ExtensionQueries {
   private val qTextVocab: Q = (s, dir) =>
     TextFunctions.vocabulary(pq(s, dir, "documents"), "doc_id", "text", k = 50)
 
+  /** Per-document OOV rate against the corpus's own top-20 vocabulary
+    * (stand-in for a tokenizer vocab): the top-k collect is bounded
+    * and deterministic (freq desc, token asc), the scoring pass a
+    * zero-shuffle projection. */
+  private val qTextOov: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    val vocab = TextFunctions.vocabulary(docs, "doc_id", "text", k = 20)
+      .select("token").collect().map(_.getString(0)).toSeq.sorted
+    TextFunctions.oovRate(docs, "doc_id", "text", vocab)
+  }
+
   /** PII redaction over the corpus (the fixture is synthetic prose,
     * so most rows pass through unchanged — the mechanics are pinned
     * by ExtensionSpec on real emails/numbers; the oracle checks the
@@ -548,6 +559,7 @@ object ExtensionQueries {
     "q_ingest_csv" -> qIngestCsv,
     "q_text_subwords" -> qTextSubwords,
     "q_text_vocab" -> qTextVocab,
+    "q_text_oov" -> qTextOov,
     "q_text_redact" -> qTextRedact,
     "q_profile" -> qProfile,
     "q_profile_quantiles" -> qProfileQuantiles,
@@ -1403,6 +1415,20 @@ object ExtensionQueries {
          |    regexp_replace(text, '${TextFunctions.emailPattern}', '<EMAIL>', 'g'),
          |    '${TextFunctions.longNumberPattern}', '<NUMBER>', 'g') AS clean_text
          |FROM documents""".stripMargin,
+    // Mirrors [[qTextOov]]: the same top-20 (freq desc, token asc)
+    // vocabulary cut, then a per-row membership sweep — the oov count
+    // is an exact integer over the token count, both engines dividing
+    // the identical numerator/denominator.
+    "q_text_oov" ->
+      s"""WITH v AS (SELECT token FROM (
+         |  SELECT token, count(*) AS freq
+         |  FROM (SELECT unnest($tokensLowerSql) AS token FROM documents) t
+         |  GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20)),
+         |vl AS (SELECT list(token) AS vs FROM v)
+         |SELECT doc_id, $nTokensSql AS n_tokens,
+         |  CAST(len(list_filter($tokensLowerSql, t -> NOT list_contains(vl.vs, t))) AS DOUBLE)
+         |    / CAST(greatest($nTokensSql, 1) AS DOUBLE) AS oov_rate
+         |FROM documents, vl""".stripMargin,
     "q_text_vocab" ->
       s"""SELECT token, freq, df FROM (
          |  SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS df

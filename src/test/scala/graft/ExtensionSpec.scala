@@ -789,6 +789,20 @@ class ExtensionSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 11L), (1L, 13L))) // ranked by cosine, same-label 10 excluded
   }
 
+  test("oovRate: hand-computed occurrence fractions, case-folded, empty doc scores 0") {
+    val t = df("doc_id BIGINT, text STRING",
+      Row(1L, "The cat sat on the mat"), // the,cat,sat,on,the,mat: oov = sat,on,mat = 3/6
+      Row(2L, "cat cat cat"), // all in vocab
+      Row(3L, "xyzzy plugh"), // all oov
+      Row(4L, ""))
+    val got = TextFunctions.oovRate(t, "doc_id", "text", Seq("the", "cat", "mat"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((6L, 2.0 / 6.0))) // sat,on oov; mat IS in vocab
+    assert(got(2L) == ((3L, 0.0)))
+    assert(got(3L) == ((2L, 1.0)))
+    assert(got(4L) == ((0L, 0.0)))
+  }
+
   test("temperatureSample lifts low-resource domains; T=1 keeps natural proportions") {
     val rows = (0 until 900).map(i => Row(i.toLong, "big")) ++
       (900 until 1000).map(i => Row(i.toLong, "small"))
