@@ -232,6 +232,33 @@ object PropertySpec extends Properties("graft") {
           got.map(_._1).toSet.subsetOf(rows.map(_.getLong(0)).toSet)
     }
 
+  // the bloom is a pure prefilter: whatever the corpus/batch overlap
+  // and however saturated the filter, the survivor set must equal the
+  // exact fingerprint anti-join
+  property("bloomDedupAgainst == exact anti-join under any bloom quality") = {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon")
+    val textGen = Gen.nonEmptyListOf(wordGen).map(_.take(6).mkString(" "))
+    val docsGen = Gen.nonEmptyListOf(textGen).map(_.take(12))
+    Prop.forAll(docsGen, docsGen, Gen.oneOf(1L, 1000L)) { (corpusT, batchT, items) =>
+      val corpus = mkDf("doc_id BIGINT, text STRING",
+        corpusT.zipWithIndex.map { case (t, i) => Row(i.toLong, t) })
+      val batch = mkDf("doc_id BIGINT, text STRING",
+        batchT.zipWithIndex.map { case (t, i) => Row(1000L + i, t) })
+      // items=1 saturates the filter (every probe positive) — the
+      // confirm join must still produce the exact answer
+      val got = graft.operators.Dedup
+        .bloomDedupAgainst(batch, corpus, "doc_id", "text",
+          expectedItems = items, fpp = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val corpusSet = corpusT.map(_.trim.toLowerCase.replaceAll("\\s+", " ")).toSet
+      val want = batchT.zipWithIndex.collect {
+        case (t, i) if !corpusSet.contains(t.trim.toLowerCase.replaceAll("\\s+", " ")) =>
+          1000L + i
+      }.toSet
+      got == want
+    }
+  }
+
   property("hammingBall enumerates the exact Hamming ball") =
     Prop.forAll(Gen.chooseNum(1, 12), Gen.chooseNum(0, 3),
       Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (n, h0, seed) =>
