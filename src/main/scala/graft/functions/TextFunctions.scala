@@ -72,6 +72,29 @@ object TextFunctions {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       longNumberPattern, "<NUMBER>")
 
+  /** URL canonicalization for crawl dedup — the normalization that
+    * makes `https://Site.COM:443/p/?utm_source=x` and
+    * `https://site.com/p` the same key: strip the fragment, strip
+    * tracking parameters (utm_*, fbclid, gclid), lowercase ONLY the
+    * scheme+authority (path/query case is significant per RFC 3986),
+    * drop default ports (:80 http, :443 https), and drop a trailing
+    * slash. Pure codegen'd regexp/substring chain, RE2-compatible
+    * patterns (no lookaround) so the DuckDB oracle applies the same
+    * steps — only the capture-replacement token differs ($1 Java, \\1
+    * RE2). One pass per step over the scan, no UDF. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?", "")
+    val tidy = regexp_replace(noTrack, "[?&]$", "")
+    val schemeHost = regexp_extract(tidy, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val rest = tidy.substr(length(schemeHost) + 1, lit(1000000))
+    val shCanon = regexp_replace(
+      regexp_replace(lower(schemeHost), "^(http://.*):80$", "$1"),
+      "^(https://.*):443$", "$1")
+    regexp_replace(concat(shCanon, rest), "/$", "")
+  }
+
   // ----------------------------------------------------------------- langid
 
   /** Marker-word sets for the n-gram-heuristic language detector.

@@ -118,6 +118,41 @@ object Profile {
       .drop("__v", "__thr")
   }
 
+  /** Robust outlier detection on a numeric column: rows where
+    * |x − median| > k · MAD (median absolute deviation) — the
+    * standard profiling-driven anomaly flag that, unlike mean/stddev
+    * z-scores, is not itself dragged by the outliers it hunts.
+    * Returns the flagged rows with `value`, `med`, `mad` attached.
+    *
+    * Scale posture: two tiny exact-percentile aggregates (median,
+    * then median of |x − med|) whose SINGLE-ROW results broadcast
+    * back into one filtered corpus pass — three scans total, each
+    * pruned to one column plus the output projection. The medians
+    * use the same `percentile`/`quantile_cont` bit-parity as
+    * [[quantiles]]; a constant column has MAD 0 and flags nothing
+    * (no division anywhere). Exact percentile sorts per aggregate —
+    * at 100 TB swap `approx = true` like [[quantileGate]]. */
+  def madOutliers(
+      df: DataFrame,
+      c: String,
+      k: Double = 3.0,
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def pct(in: DataFrame, e: String): Double = {
+      val agg = if (approx) expr(s"approx_percentile($e, 0.5D, $accuracy)")
+        else expr(s"percentile($e, 0.5D)")
+      in.agg(agg.cast("double")).head().getDouble(0)
+    }
+    val med = pct(df.select(col(c).cast("double").as("__x")), "__x")
+    val mad = pct(
+      df.select(abs(col(c).cast("double") - med).as("__d")), "__d")
+    df.withColumn("value", col(c).cast("double"))
+      .filter(abs(col("value") - med) > k * mad)
+      .withColumn("med", lit(med))
+      .withColumn("mad", lit(mad))
+  }
+
   /** One output row per profiled column, with stringified min/max so
     * heterogeneous column types stack into one frame. */
   def profile(df: DataFrame, columns: Seq[String], approxDistinct: Boolean = false): DataFrame =

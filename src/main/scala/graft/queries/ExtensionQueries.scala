@@ -124,6 +124,19 @@ object ExtensionQueries {
     graft.operators.Packing.concatChunks(
       pq(s, dir, "documents"), "doc_id", "source", "text", capacity = 512)
 
+  /** URL canonicalization over deterministic synthetic URLs derived
+    * from (source, doc_id) — uppercase host, default port, utm/fbclid
+    * params, and a fragment all present so every normalization step
+    * bites on every row. */
+  private val qUrlCanonical: Q = (s, dir) =>
+    pq(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.canonicalizeUrl(concat(
+        lit("https://"), upper(col("source")), lit(".Example.COM:443/Docs/"),
+        col("doc_id").cast("string"), lit("/?utm_source=feed&id="),
+        col("doc_id").cast("string"), lit("&utm_campaign=x&fbclid=abc#frag")))
+        .as("url"))
+
   private val qTextQuality: Q = (s, dir) =>
     pq(s, dir, "documents").select(
       col("doc_id"),
@@ -500,6 +513,13 @@ object ExtensionQueries {
   private val qProfileHistogram: Q = (s, dir) =>
     graft.operators.Profile.histogram(pq(s, dir, "orders"), "o_totalprice", bins = 10)
 
+  /** Robust MAD outliers on order totals (|x − median| > 1.9·MAD — uniform-ish totals cap at 2·MAD, so the classic 3 never fires on this fixture) —
+    * the anomaly flag a migration runs before trusting a numeric
+    * column. */
+  private val qProfileOutliers: Q = (s, dir) =>
+    graft.operators.Profile.madOutliers(pq(s, dir, "orders"), "o_totalprice", k = 1.9)
+      .select("o_orderkey", "value", "med", "mad")
+
   /** Per-document top-3 TF-IDF terms (ratio score — see
     * `TextFunctions.topTfidfTerms`). */
   private val qTextTfidf: Q = (s, dir) =>
@@ -560,10 +580,12 @@ object ExtensionQueries {
     "q_text_subwords" -> qTextSubwords,
     "q_text_vocab" -> qTextVocab,
     "q_text_oov" -> qTextOov,
+    "q_url_canonical" -> qUrlCanonical,
     "q_text_redact" -> qTextRedact,
     "q_profile" -> qProfile,
     "q_profile_quantiles" -> qProfileQuantiles,
     "q_profile_histogram" -> qProfileHistogram,
+    "q_profile_outliers" -> qProfileOutliers,
     "q_text_tfidf" -> qTextTfidf,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode)
@@ -1481,6 +1503,39 @@ object ExtensionQueries {
          |       count(*) AS n
          |FROM b, p
          |GROUP BY b.bucket, p.mn, p.w""".stripMargin,
+    // Mirrors [[qUrlCanonical]] (TextFunctions.canonicalizeUrl): the
+    // identical RE2-safe step chain; only the capture-replacement
+    // token differs (Java $1, RE2 \1 — single-quoted SQL passes the
+    // backslash through verbatim).
+    "q_url_canonical" -> {
+      val raw = "'https://' || upper(source) || '.Example.COM:443/Docs/' || " +
+        "CAST(doc_id AS VARCHAR) || '/?utm_source=feed&id=' || " +
+        "CAST(doc_id AS VARCHAR) || '&utm_campaign=x&fbclid=abc#frag'"
+      s"""WITH u0 AS (SELECT doc_id, $raw AS u FROM documents),
+         |u1 AS (SELECT doc_id, regexp_replace(u, '#.*$$', '') AS u FROM u0),
+         |u2 AS (SELECT doc_id,
+         |  regexp_replace(u, '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '', 'g') AS u FROM u1),
+         |u3 AS (SELECT doc_id, regexp_replace(u, '[?&]$$', '') AS u FROM u2),
+         |sp AS (SELECT doc_id, u,
+         |  regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS sh FROM u3),
+         |cn AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(lower(sh), '^(http://.*):80$$', '\\1'),
+         |                 '^(https://.*):443$$', '\\1')
+         |    || substr(u, length(sh) + 1, 1000000) AS u
+         |  FROM sp)
+         |SELECT doc_id, regexp_replace(u, '/$$', '') AS url FROM cn""".stripMargin
+    },
+    // Mirrors Profile.madOutliers(k=1.9): quantile_cont medians (the
+    // established percentile bit-parity), |x-med| > 1.9*mad in the
+    // identical double op order, med/mad attached as the same values.
+    "q_profile_outliers" ->
+      """WITH m AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med FROM orders),
+        |d AS (SELECT quantile_cont(abs(CAST(o_totalprice AS DOUBLE) - m.med), 0.5) AS mad,
+        |             m.med AS med
+        |      FROM orders, m GROUP BY m.med)
+        |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS value, d.med, d.mad
+        |FROM orders, d
+        |WHERE abs(CAST(o_totalprice AS DOUBLE) - d.med) > 1.9 * d.mad""".stripMargin,
     // Mirrors TextFunctions.topTfidfTerms(k=3): same tf/df counts,
     // same (tf·N)/df double order, same (tfidf desc, token asc) cut.
     "q_text_tfidf" ->

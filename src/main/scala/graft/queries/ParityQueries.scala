@@ -492,6 +492,30 @@ object ParityQueries {
       .select("user_id", "event_id", "session_seq")
   }
 
+  /** Per-session rollup on top of [[qEventsSessionize]]'s assignment:
+    * event count, span, and exact-quantized value mass per
+    * (user, session) — the session-features table every behavioral
+    * pipeline derives next. One extra hash-aggregate over the
+    * sessionized frame (map-side partials; the window's user_id
+    * partitioning is reused by the aggregate's shuffle key prefix). */
+  private val qEventsSessionStats: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val prev = lag(col("ts"), 1).over(byUser)
+    val isNew = when(prev.isNull || unix_micros(col("ts")) - unix_micros(prev) > 1800000000L, 1)
+      .otherwise(0)
+    events(s, dir)
+      .withColumn("__new", isNew)
+      .withColumn("session_seq",
+        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("bigint"))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
+        // cents-quantized exact sum — order-independent, oracle-exact
+        sum(round(col("value") * 100).cast("bigint")).as("sum_cents"))
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -520,6 +544,7 @@ object ParityQueries {
     "q_events_hourly" -> qEventsHourly,
     "q_events_hopping" -> qEventsHopping,
     "q_events_sessionize" -> qEventsSessionize,
+    "q_events_session_stats" -> qEventsSessionStats,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
     "q_rollup" -> qRollup,
@@ -695,5 +720,25 @@ object ParityQueries {
         |                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
         |            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-        |FROM t""".stripMargin)
+        |FROM t""".stripMargin,
+    // per-session rollup over the identical session assignment; the
+    // value mass is a cents-quantized integer sum (order-independent,
+    // DuckDB's HUGEINT sum cast back to BIGINT = Spark's long sum)
+    "q_events_session_stats" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |       CAST(SUM(CASE WHEN prev_ts IS NULL
+        |                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM t)
+        |SELECT user_id, session_seq,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY user_id, session_seq""".stripMargin)
 }

@@ -789,6 +789,35 @@ class ExtensionSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 11L), (1L, 13L))) // ranked by cosine, same-label 10 excluded
   }
 
+  test("madOutliers: hand-computed median/MAD flags only the true outlier; constant column flags none") {
+    val t = df("id BIGINT, v DOUBLE",
+      ((1 to 9).map(i => Row(i.toLong, i.toDouble)) :+ Row(10L, 100.0)): _*)
+    // median 5.5, MAD = median{4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,94.5} = 2.5
+    val got = graft.operators.Profile.madOutliers(t, "v", k = 3.0)
+      .select("id", "med", "mad")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(10L))
+    assert(got.head._2 == 5.5 && got.head._3 == 2.5)
+    val const = df("id BIGINT, v DOUBLE", (1 to 5).map(i => Row(i.toLong, 7.0)): _*)
+    assert(graft.operators.Profile.madOutliers(const, "v", k = 3.0).count() == 0L)
+  }
+
+  test("canonicalizeUrl: tracking params, case, default ports, fragments, trailing slash") {
+    val cases = Seq(
+      "https://Site.COM:443/P/Q/?utm_source=a&x=1&fbclid=z#frag" -> "https://site.com/P/Q/?x=1",
+      "http://EXAMPLE.org:80/a/" -> "http://example.org/a",
+      "http://example.org:8080/a" -> "http://example.org:8080/a", // non-default port kept
+      "https://h.io/p?utm_only=1" -> "https://h.io/p",
+      "https://h.io/CaseKept/Path" -> "https://h.io/CaseKept/Path")
+    val t = df("id BIGINT, u STRING",
+      cases.zipWithIndex.map { case ((in, _), i) => Row(i.toLong, in) }: _*)
+    val got = t.select(col("id"), TextFunctions.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((_, want), i) =>
+      assert(got(i.toLong) == want, s"case $i: got ${got(i.toLong)} want $want")
+    }
+  }
+
   test("oovRate: hand-computed occurrence fractions, case-folded, empty doc scores 0") {
     val t = df("doc_id BIGINT, text STRING",
       Row(1L, "The cat sat on the mat"), // the,cat,sat,on,the,mat: oov = sat,on,mat = 3/6
