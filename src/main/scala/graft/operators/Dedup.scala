@@ -809,6 +809,65 @@ object Dedup {
       .filter(col("n_shared_chunks") >= minShared)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: documents where
+    * |shingles(A) ∩ shingles(B)| / min(|A|, |B|) ≥ `threshold` —
+    * the quote/subset detector. Jaccard normalizes by the UNION, so a
+    * small document quoted inside a large one scores near zero and
+    * minhash-LSH (tuned for Jaccard) rarely even surfaces the pair;
+    * containment normalizes by the smaller side and flags it.
+    *
+    * Candidate generation is a self-join on the raw 8-byte shingle
+    * hash (per-doc DISTINCT — [[HashExpressions.shingleHashes]]),
+    * which is broader than banded minhash ON PURPOSE: containment
+    * candidates must include any-shared-shingle pairs. That makes
+    * [[capBuckets]]'s `maxBucketSize` the load-bearing knob here —
+    * corpus-wide shingles (stopword runs, boilerplate) are exactly
+    * the buckets the cap exists to drop — and the pair aggregate
+    * counts only surviving collisions. Returns (id_a, id_b,
+    * n_shared, containment) with containment = shared/min-size. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      threshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      HashExpressions.shingleHashes(col(textCol), shingleN).as("sh"))
+    val sizes = base.select(col("id"), size(col("sh")).cast("long").as("n_sh"))
+    val exploded = capBuckets(
+      base.select(col("id"), explode(col("sh")).as("h")), Seq("h"), maxBucketSize)
+    val a = exploded.select(col("id").as("id_a"), col("h"))
+    val b = exploded.select(col("id").as("id_b"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_shared", "containment")
+  }
+
+  /** Append a new batch to a standing MinHash+LSH [[corpusIndex]] —
+    * the daily index-maintenance step that keeps [[dedupAgainst]]'s
+    * per-batch corpus work at O(probed buckets) FOREVER: signature
+    * the (already-deduped) new rows once, union onto the stored
+    * index, write back. Pure union of (id, band, hash, fp) rows —
+    * no shuffle beyond the new batch's own signatures. */
+  def appendToIndex(
+      index: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame =
+    index.unionByName(
+      corpusIndex(newDf, idCol, textCol, shingleN, numHashes, bands))
+
   /** Cross-document duplicated-span census — the exact-substring
     * contamination sweep (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better") at word-`spanN`-gram granularity:

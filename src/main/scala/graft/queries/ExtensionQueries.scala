@@ -183,6 +183,13 @@ object ExtensionQueries {
     Dedup.editDistancePairs(pq(s, dir, "documents"), "doc_id", "text",
       maxDistance = 10)
 
+  /** Containment near-dup pairs (shared/min-size >= 0.6 over word
+    * 5-gram shingles, shingle buckets capped at 16) — the
+    * quote/subset detector Jaccard-tuned LSH misses. */
+  private val qDedupContainment: Q = (s, dir) =>
+    Dedup.containmentPairs(pq(s, dir, "documents"), "doc_id", "text",
+      shingleN = 5, threshold = 0.6, maxBucketSize = Some(16))
+
   /** Partial-duplicate pairs via content-defined chunking: documents
     * sharing >= 2 distinct CDC chunks (maskBits=3 ≈ 8-token chunks),
     * with corpus-wide chunks (> 8 docs — short boilerplate runs)
@@ -553,6 +560,7 @@ object ExtensionQueries {
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_editdist" -> qDedupEditdist,
     "q_dedup_cdc" -> qDedupCdc,
+    "q_dedup_containment" -> qDedupContainment,
     "q_dedup_keep_one" -> qDedupKeepOne,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_bloom" -> qDedupBloom,
@@ -1118,6 +1126,25 @@ object ExtensionQueries {
        |WHERE n_shared_chunks >= 2""".stripMargin
   }
 
+  /** Mirrors [[qDedupContainment]] (`Dedup.containmentPairs`, n=5,
+    * threshold=0.6, cap=16): shingle replay, capped shingle-hash
+    * self-join, shared count over min-size in the identical double
+    * op order. */
+  private val dedupContainmentSql: String =
+    s"""WITH ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents),
+       |sh AS MATERIALIZED (SELECT doc_id, ${HashSql.shingleHashes("ths", 5)} AS sh FROM ths),
+       |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh),
+       |ex0 AS MATERIALIZED (SELECT doc_id, unnest(sh) AS h FROM sh),
+       |ex AS MATERIALIZED (SELECT e.doc_id, e.h FROM ex0 e
+       |  JOIN (SELECT h FROM ex0 GROUP BY h HAVING count(*) <= 16) g ON e.h = g.h),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+       |      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b, n_shared,
+       |       CAST(n_shared AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+       |FROM p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
+       |WHERE CAST(n_shared AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.6""".stripMargin
+
   /** Mirrors [[qQualityGate]] (`Profile.quantileGate`, q=0.5): the
     * [[oracle q_text_quality]] composite score with DuckDB's
     * `quantile_cont` as the per-language cut — the same
@@ -1389,6 +1416,7 @@ object ExtensionQueries {
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_bloom" -> dedupBloomSql,
     "q_dedup_cdc" -> dedupCdcSql,
+    "q_dedup_containment" -> dedupContainmentSql,
     "q_span_dupes" -> spanDupesSql,
     "q_quality_gate" -> qualityGateSql,
     "q_snapshot_diff" -> snapshotDiffSql,

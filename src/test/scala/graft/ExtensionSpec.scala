@@ -712,6 +712,39 @@ class ExtensionSpec extends SparkSpec {
     assert(Set(6L, 7L, 8L, 9L).subsetOf(approx))
   }
 
+  test("containmentPairs flags a quoted subset that Jaccard-tuned minhash misses") {
+    val rnd = new scala.util.Random(13)
+    val big = Seq.fill(60)(s"c${rnd.nextInt(100000)}")
+    val quote = big.slice(20, 35) // 15-token contiguous quote
+    val t = df("doc_id BIGINT, text STRING",
+      Row(1L, big.mkString(" ")),
+      Row(2L, quote.mkString(" ")),
+      Row(3L, Seq.fill(40)(s"z${rnd.nextInt(100000)}").mkString(" ")))
+    // whole-doc jaccard of (1,2) is ~0.2 — minhash at 0.5 sees nothing
+    assert(Dedup.minhashPairs(t, "doc_id", "text", shingleN = 5,
+      numHashes = 64, bands = 16, jaccardThreshold = 0.5).count() == 0L)
+    val got = Dedup.containmentPairs(t, "doc_id", "text", shingleN = 5, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // every 5-shingle of the quote appears in big => containment 1.0
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) == 1.0)
+  }
+
+  test("appendToIndex: probing the appended index equals re-indexing corpus+batch1") {
+    val corpus = docs.filter(col("doc_id") <= 3L)
+    val b1 = docs.filter(col("doc_id") === 4L) // exact dup of 1 joins the corpus
+    val b2 = docs.filter(col("doc_id") === 5L) // fp-dup of 1 probes next day
+    val grown = corpus.unionByName(b1)
+    val viaAppend = Dedup.dedupAgainst(b2, grown, "doc_id", "text",
+      index = Some(Dedup.appendToIndex(
+        Dedup.corpusIndex(corpus, "doc_id", "text"), b1, "doc_id", "text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaReindex = Dedup.dedupAgainst(b2, grown, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaAppend == viaReindex)
+    assert(viaAppend.isEmpty) // the fp-dup is caught either way
+  }
+
   test("cdcChunkPairs catches a shared passage that whole-document near-dup misses") {
     val rnd = new scala.util.Random(7)
     def prose(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(100000)}").mkString(" ")
