@@ -520,6 +520,17 @@ object ExtensionQueries {
   private val qProfileHistogram: Q = (s, dir) =>
     graft.operators.Profile.histogram(pq(s, dir, "orders"), "o_totalprice", bins = 10)
 
+  /** Z-value (Morton) layout key over (custkey, orderkey) low 16
+    * bits — the write-layout key that makes two-column range filters
+    * prune parquet row groups (see [[graft.sources.Layout]]); the
+    * catalog row gates the bit-interleave arithmetic itself. */
+  private val qZorderValue: Q = (s, dir) =>
+    pq(s, dir, "orders").select(
+      col("o_orderkey"),
+      graft.sources.Layout.zValue(
+        col("o_custkey").bitwiseAND(lit(0xFFFFL)),
+        col("o_orderkey").bitwiseAND(lit(0xFFFFL))).as("zval"))
+
   /** Robust MAD outliers on order totals (|x − median| > 1.9·MAD — uniform-ish totals cap at 2·MAD, so the classic 3 never fires on this fixture) —
     * the anomaly flag a migration runs before trusting a numeric
     * column. */
@@ -594,6 +605,7 @@ object ExtensionQueries {
     "q_profile_quantiles" -> qProfileQuantiles,
     "q_profile_histogram" -> qProfileHistogram,
     "q_profile_outliers" -> qProfileOutliers,
+    "q_zorder_value" -> qZorderValue,
     "q_text_tfidf" -> qTextTfidf,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode)
@@ -1531,6 +1543,15 @@ object ExtensionQueries {
          |       count(*) AS n
          |FROM b, p
          |GROUP BY b.bucket, p.mn, p.w""".stripMargin,
+    // Mirrors [[qZorderValue]] (Layout.zValue, 16 bits): identical
+    // shift/mask interleave on BIGINT — integer-exact in both engines.
+    "q_zorder_value" -> {
+      val terms = (0 until 16).flatMap { i =>
+        Seq(s"((((o_custkey & 65535) >> $i) & 1) << ${2 * i})",
+          s"((((o_orderkey & 65535) >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" | ")
+      s"SELECT o_orderkey, CAST($terms AS BIGINT) AS zval FROM orders"
+    },
     // Mirrors [[qUrlCanonical]] (TextFunctions.canonicalizeUrl): the
     // identical RE2-safe step chain; only the capture-replacement
     // token differs (Java $1, RE2 \1 — single-quoted SQL passes the

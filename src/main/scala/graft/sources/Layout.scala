@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout helpers for scan pruning — the write-side half of the
+  * 100 TB story: parquet skips row groups by min/max statistics, so
+  * a table FILTERED on two columns prunes well only if the data is
+  * CLUSTERED on both at once. Sorting on (a, b) clusters a perfectly
+  * and b not at all; interleaving the bits of a and b (Z-order /
+  * Morton order) clusters both, which is what keeps
+  * `WHERE a BETWEEN ... AND b BETWEEN ...` reading a small fraction
+  * of files instead of all of them.
+  */
+object Layout {
+
+  /** The Z-value (Morton code) of two non-negative integer columns:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1 —
+    * `bits` low bits of each are interleaved (16 by default; 2·bits
+    * must fit a long). Pure codegen'd shift/mask builtins — no UDF —
+    * and integer-exact, so the DuckDB oracle reproduces it with the
+    * same shift arithmetic. Rank values beyond `bits` bits before
+    * interleaving (percent_rank·2^bits) rather than widening.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(
+          shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(
+          shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Range-partition a frame by the Z-value of two columns — the
+    * layout to WRITE with when downstream scans filter on both
+    * columns. `repartitionByRange` samples the z-values and assigns
+    * contiguous z-ranges to partitions, so each output file covers a
+    * small rectangle of (a, b) space and parquet min/max stats prune
+    * it; a plain sort-by-(a,b) layout prunes only the leading column.
+    * One range shuffle at write time buys every future scan's
+    * pruning — the standard warehouse trade. */
+  def zOrderByRange(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      numPartitions: Int,
+      bits: Int = 16): DataFrame = {
+    require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
+    df.withColumn("__z", zValue(col(colA), col(colB), bits))
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+}

@@ -822,6 +822,35 @@ class ExtensionSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 11L), (1L, 13L))) // ranked by cosine, same-label 10 excluded
   }
 
+  test("zValue interleaves bits exactly; z-range layout clusters BOTH columns") {
+    // hand-checked Morton codes
+    val t0 = df("a BIGINT, b BIGINT", Row(0L, 0L), Row(1L, 0L), Row(0L, 1L),
+      Row(3L, 5L), Row(65535L, 65535L))
+    val z = t0.select(graft.sources.Layout.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // interleave(3=0b11, 5=0b101) = a bits at even, b at odd:
+    // a:1,1 -> 1,4; b:1,0,1 -> 2,32 => 1+4+2+32 = 39
+    assert(z == Seq(0L, 1L, 2L, 39L, (1L << 32) - 1))
+    // clustering: 4096 uniform (a,b) points into 16 z-range buckets —
+    // each bucket must cover a small rectangle of BOTH dimensions,
+    // which is the parquet min/max pruning property; a lexicographic
+    // (a, b) sort clusters only `a`
+    val rnd = new scala.util.Random(5)
+    val pts = (0 until 4096).map(_ => Row(rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val tp = df("a BIGINT, b BIGINT", pts: _*)
+    val laid = graft.sources.Layout.zOrderByRange(tp, "a", "b", numPartitions = 16)
+      .withColumn("p", org.apache.spark.sql.functions.spark_partition_id())
+    val spans = laid.groupBy("p")
+      .agg((max(col("a")) - min(col("a"))).as("sa"), (max(col("b")) - min(col("b"))).as("sb"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val avgA = spans.map(_._1).sum.toDouble / spans.length / 65536.0
+    val avgB = spans.map(_._2).sum.toDouble / spans.length / 65536.0
+    // 16 z-range buckets ≈ 4x4 grid => ~25-50% span per dim; lexicographic
+    // sort gives ~6% for a but ~100% for b — both must be clustered here
+    assert(avgA < 0.7 && avgB < 0.7, s"no 2-D clustering: a=$avgA b=$avgB")
+    assert(spans.length == 16)
+  }
+
   test("madOutliers: hand-computed median/MAD flags only the true outlier; constant column flags none") {
     val t = df("id BIGINT, v DOUBLE",
       ((1 to 9).map(i => Row(i.toLong, i.toDouble)) :+ Row(10L, 100.0)): _*)
