@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream — "users who did A,
+  * then B, then C within T" — the conversion query behind every
+  * product/behavior pipeline.
+  *
+  * Semantics: GREEDY first completion (ClickHouse-windowFunnel-like,
+  * anchored at the first step-1 event): t1 = the user's earliest
+  * step-1 timestamp; t(i) = the earliest step-i timestamp STRICTLY
+  * after t(i-1); the funnel completes iff t(k) − t1 ≤ `withinUs`.
+  * Greedy anchoring is deterministic and exactly SQL-replayable
+  * (k chained min-aggregates), which is what lets the DuckDB oracle
+  * gate it; the re-anchoring variant (try every step-1 occurrence)
+  * is a different operator with quadratic worst-case semantics.
+  *
+  * Scale posture: one pass per step over ONLY that step's events
+  * (the type filter reaches the scan), each a user-keyed
+  * min-aggregate joined to the (users-who-reached-previous-step)
+  * frame — monotonically shrinking, broadcast-able once conversion
+  * bites. No windows over full event history, no per-user event
+  * buffering. */
+object Funnel {
+
+  /** First funnel completion per user. Returns one row per completing
+    * user: (userCol, started_at, completed_at, duration_us). */
+  def firstCompletion(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      withinUs: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs at least 2 steps, got ${steps.size}")
+    require(withinUs > 0, s"withinUs must be positive, got $withinUs")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("__user")).agg(min(col(tsCol)).as("t1"))
+    val k = steps.size
+    val completed = steps.tail.zipWithIndex.foldLeft(first) { case (acc, (step, i)) =>
+      events.filter(col(typeCol) === step)
+        .select(col(userCol).as("__user"), col(tsCol).as("__ts"))
+        .join(acc, "__user")
+        .filter(col("__ts") > col(s"t${i + 1}"))
+        .groupBy(col("__user") +: (1 to i + 1).map(j => col(s"t$j")): _*)
+        .agg(min(col("__ts")).as(s"t${i + 2}"))
+    }
+    completed
+      .filter(unix_micros(col(s"t$k")) - unix_micros(col("t1")) <= withinUs)
+      .select(col("__user").as(userCol), col("t1").as("started_at"),
+        col(s"t$k").as("completed_at"),
+        (unix_micros(col(s"t$k")) - unix_micros(col("t1"))).as("duration_us"))
+  }
+}

@@ -516,6 +516,19 @@ object ParityQueries {
         sum(round(col("value") * 100).cast("bigint")).as("sum_cents"))
   }
 
+  /** view → click → purchase funnel, first greedy completion within
+    * 24 h ([[graft.operators.Funnel.firstCompletion]]); timestamps
+    * surfaced as epoch micros so the cross-engine compare never
+    * depends on timestamp-unit metadata. */
+  private val qEventsFunnel: Q = (s, dir) =>
+    graft.operators.Funnel.firstCompletion(
+      events(s, dir), "user_id", "event_type", "ts",
+      steps = Seq("view", "click", "purchase"), withinUs = 86400000000L)
+      .select(col("user_id"),
+        unix_micros(col("started_at")).as("started_us"),
+        unix_micros(col("completed_at")).as("completed_us"),
+        col("duration_us"))
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -545,6 +558,7 @@ object ParityQueries {
     "q_events_hopping" -> qEventsHopping,
     "q_events_sessionize" -> qEventsSessionize,
     "q_events_session_stats" -> qEventsSessionStats,
+    "q_events_funnel" -> qEventsFunnel,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
     "q_rollup" -> qRollup,
@@ -740,5 +754,20 @@ object ParityQueries {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
         |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-        |FROM s GROUP BY user_id, session_seq""".stripMargin)
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    // greedy first-completion funnel: t1 = earliest 'view', then the
+    // earliest 'click' strictly after t1, then the earliest
+    // 'purchase' strictly after t2; completion iff t3 - t1 <= 24h
+    "q_events_funnel" ->
+      """WITH f1 AS (SELECT user_id, min(ts) AS t1
+        |            FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |f2 AS (SELECT e.user_id, f1.t1, min(e.ts) AS t2
+        |       FROM events e JOIN f1 ON e.user_id = f1.user_id AND e.ts > f1.t1
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id, f1.t1),
+        |f3 AS (SELECT e.user_id, f2.t1, min(e.ts) AS t3
+        |       FROM events e JOIN f2 ON e.user_id = f2.user_id AND e.ts > f2.t2
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id, f2.t1)
+        |SELECT user_id, epoch_us(t1) AS started_us, epoch_us(t3) AS completed_us,
+        |       epoch_us(t3) - epoch_us(t1) AS duration_us
+        |FROM f3 WHERE epoch_us(t3) - epoch_us(t1) <= 86400000000""".stripMargin)
 }

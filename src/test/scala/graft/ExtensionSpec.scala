@@ -822,6 +822,26 @@ class ExtensionSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 11L), (1L, 13L))) // ranked by cosine, same-label 10 excluded
   }
 
+  test("funnel firstCompletion: greedy anchoring, strict order, window cut, missing steps") {
+    def ev(id: Long, u: Long, t: Long, typ: String) = Row(id, u, new java.sql.Timestamp(t), typ)
+    val H = 3600L * 1000 // ms per hour
+    val t = df("event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING",
+      // user 1: A@0h, B@1h, C@2h -> completes, duration 2h
+      ev(1, 1, 0, "A"), ev(2, 1, 1 * H, "B"), ev(3, 1, 2 * H, "C"),
+      // user 2: completes but only after 30h -> outside the 24h window
+      ev(4, 2, 0, "A"), ev(5, 2, 1 * H, "B"), ev(6, 2, 30 * H, "C"),
+      // user 3: C before B -> strict order never satisfied
+      ev(7, 3, 0, "A"), ev(8, 3, 2 * H, "C"), ev(9, 3, 3 * H, "B"),
+      // user 4: no B at all
+      ev(10, 4, 0, "A"), ev(11, 4, 1 * H, "C"),
+      // user 5: greedy anchor at the FIRST A (0h); B@1h, C@23h fits
+      ev(12, 5, 0, "A"), ev(13, 5, 20 * H, "A"), ev(14, 5, 1 * H, "B"), ev(15, 5, 23 * H, "C"))
+    val got = graft.operators.Funnel.firstCompletion(
+      t, "user_id", "event_type", "ts", Seq("A", "B", "C"), withinUs = 24L * 3600 * 1000000)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 2L * 3600 * 1000000, 5L -> 23L * 3600 * 1000000))
+  }
+
   test("zValue interleaves bits exactly; z-range layout clusters BOTH columns") {
     // hand-checked Morton codes
     val t0 = df("a BIGINT, b BIGINT", Row(0L, 0L), Row(1L, 0L), Row(0L, 1L),
