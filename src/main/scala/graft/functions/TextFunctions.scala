@@ -182,6 +182,26 @@ object TextFunctions {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** Word n-gram vocabulary — [[vocabulary]]'s generalization to
+    * n >= 2, the count table behind n-gram language-model scoring
+    * and gram-level contamination lists: top-`k` grams by corpus
+    * frequency (ties broken by gram text) with document frequency
+    * attached. Same explode + one hash-aggregate shuffle shape as
+    * the unigram vocabulary; grams are [[shingles]]' strings, so
+    * documents shorter than n contribute their whole-text gram. */
+  def vocabularyNgrams(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("freq").desc, col("gram").asc)
+      .limit(k)
+
   /** Out-of-vocabulary rate per document against a FIXED vocabulary
     * (typically the tokenizer's): the fraction of token OCCURRENCES
     * not in `vocab` — the "will this text shred into bytes" quality

@@ -52,4 +52,34 @@ object Funnel {
         col(s"t$k").as("completed_at"),
         (unix_micros(col(s"t$k")) - unix_micros(col("t1"))).as("duration_us"))
   }
+
+  /** Cohort retention triangle: users bucketed by the period of
+    * their FIRST event (the cohort), counted in every later period
+    * they reappear — one row per (cohort_period, period_offset) with
+    * the distinct-user count; offset 0 is the cohort's size. All
+    * integer arithmetic (`div` on epoch micros), so the DuckDB
+    * mirror is exact.
+    *
+    * Scale posture: one (user, period)-distinct pass (the per-user
+    * event history collapses to at most one row per period — the
+    * aggregate's map side does it), one user-keyed min for the
+    * cohort assignment joined back, then a tiny
+    * (cohort, offset)-keyed count. Nothing scales with raw event
+    * volume past the first distinct. */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      periodUs: Long = 7L * 24 * 3600 * 1000000): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val period = expr(s"unix_micros($tsCol) div ${periodUs}L")
+    val userPeriods = events
+      .select(col(userCol).as("__user"), period.as("__p"))
+      .distinct()
+    val cohorts = userPeriods.groupBy("__user").agg(min(col("__p")).as("__cohort"))
+    userPeriods.join(cohorts, "__user")
+      .groupBy(col("__cohort").as("cohort_period"),
+        (col("__p") - col("__cohort")).as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -543,6 +543,19 @@ object ExtensionQueries {
   private val qTextTfidf: Q = (s, dir) =>
     TextFunctions.topTfidfTerms(pq(s, dir, "documents"), "doc_id", "text", k = 3)
 
+  /** Top-40 word bigrams with doc frequency — the n-gram LM count
+    * table. */
+  private val qTextBigrams: Q = (s, dir) =>
+    TextFunctions.vocabularyNgrams(pq(s, dir, "documents"), "doc_id", "text", n = 2, k = 40)
+
+  /** Weekly cohort retention triangle over the events stream. */
+  private val qEventsRetention: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = pq(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.operators.Funnel.cohortRetention(ev, "user_id", "ts")
+  }
+
   // -------------------------------------------------------------- multimodal
 
   private val qMultimodalMeta: Q = (s, dir) =>
@@ -607,6 +620,8 @@ object ExtensionQueries {
     "q_profile_outliers" -> qProfileOutliers,
     "q_zorder_value" -> qZorderValue,
     "q_text_tfidf" -> qTextTfidf,
+    "q_text_bigrams" -> qTextBigrams,
+    "q_events_retention" -> qEventsRetention,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode)
 
@@ -1543,6 +1558,35 @@ object ExtensionQueries {
          |       count(*) AS n
          |FROM b, p
          |GROUP BY b.bucket, p.mn, p.w""".stripMargin,
+    // Mirrors [[qTextBigrams]] (vocabularyNgrams n=2 k=40): shingles'
+    // two branches (windows when len >= n, whole-doc gram otherwise),
+    // same (freq desc, gram asc) cut.
+    "q_text_bigrams" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '$ws+'), x -> x <> '') AS t
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, list_aggregate(t[i:i+1], 'string_agg', ' ') AS gram
+         |  FROM toks, unnest(range(1, len(t) - 2 + 2)) r(i) WHERE len(t) >= 2
+         |  UNION ALL
+         |  SELECT doc_id, COALESCE(list_aggregate(t, 'string_agg', ' '), '') AS gram
+         |  FROM toks WHERE len(t) < 2)
+         |SELECT gram, freq, df FROM (
+         |  SELECT gram, count(*) AS freq, count(DISTINCT doc_id) AS df
+         |  FROM grams GROUP BY gram)
+         |ORDER BY freq DESC, gram ASC LIMIT 40""".stripMargin,
+    // Mirrors [[qEventsRetention]] (Funnel.cohortRetention, weekly):
+    // integer period arithmetic (`div` == `//` on epoch micros),
+    // per-(user, period) distinct, min-period cohort join, count.
+    "q_events_retention" ->
+      """WITH up AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS p FROM events),
+        |c AS (SELECT user_id, min(p) AS cohort FROM up GROUP BY user_id)
+        |SELECT CAST(c.cohort AS BIGINT) AS cohort_period,
+        |       CAST(up.p - c.cohort AS BIGINT) AS period_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM up JOIN c ON up.user_id = c.user_id
+        |GROUP BY c.cohort, up.p - c.cohort""".stripMargin,
     // Mirrors [[qZorderValue]] (Layout.zValue, 16 bits): identical
     // shift/mask interleave on BIGINT — integer-exact in both engines.
     "q_zorder_value" -> {

@@ -842,6 +842,20 @@ class ExtensionSpec extends SparkSpec {
     assert(got == Map(1L -> 2L * 3600 * 1000000, 5L -> 23L * 3600 * 1000000))
   }
 
+  test("cohortRetention: hand-computed triangle, distinct users per period, cohort by first event") {
+    val D = 24L * 3600 * 1000 // ms per day; period = 2 days
+    def ev(u: Long, day: Long) = Row(u, new java.sql.Timestamp(day * D))
+    val t = df("user_id BIGINT, ts TIMESTAMP",
+      // periods of 2 days: p0 = days 0-1, p1 = days 2-3, p2 = days 4-5
+      ev(1, 0), ev(1, 1), ev(1, 4), // u1: cohort p0, active p0 (twice -> once) and p2
+      ev(2, 0), ev(2, 2), // u2: cohort p0, active p0, p1
+      ev(3, 2)) // u3: cohort p1, active p1
+    val got = graft.operators.Funnel.cohortRetention(t, "user_id", "ts",
+      periodUs = 2L * 24 * 3600 * 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
+  }
+
   test("zValue interleaves bits exactly; z-range layout clusters BOTH columns") {
     // hand-checked Morton codes
     val t0 = df("a BIGINT, b BIGINT", Row(0L, 0L), Row(1L, 0L), Row(0L, 1L),
