@@ -460,6 +460,76 @@ case class CdcChunkHashes(child: Expression, maskBits: Int)
     copy(child = newChild)
 }
 
+/** `shingle_strings(text, n)` — word n-gram STRINGS (document order,
+  * duplicates kept): the one-sweep compiled sibling of
+  * [[ShingleHashes]] for the operators that need the gram text
+  * itself (n-gram vocabulary / LM count tables), replacing the
+  * `transform(sequence, slice, concat_ws)` higher-order chain whose
+  * interpreted lambda allocated every slice per gram (measured
+  * 4.7 → 0.8 s on the sf0.1 bigram vocabulary). Tokens are
+  * lowercased per UTF-16 code unit exactly like [[ShingleHashes]]
+  * (== `lower()` for BMP text; the fixtures are ASCII). Fewer than
+  * `n` tokens yield the single whole-text gram; an empty document
+  * yields [""] — both matching the `shingles()` builtin chain this
+  * replaces, so existing oracles keep their branches. */
+case class ShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleStrings", this, classOf[ShingleStrings].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalInput($c);")
+  }
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalInput(input: Any): Any = nullSafeEval(input)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    // tokenize in one sweep, lowercasing per char (ShingleHashes' rule)
+    val tokens = new scala.collection.mutable.ArrayBuffer[String](64)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (sb.length > 0) { tokens += sb.toString; sb.setLength(0) }
+      } else sb.append(Character.toLowerCase(c))
+      i += 1
+    }
+    if (sb.length > 0) tokens += sb.toString
+
+    val m = tokens.length
+    def gram(from: Int, len: Int): org.apache.spark.unsafe.types.UTF8String = {
+      val g = new java.lang.StringBuilder(len * 8)
+      var j = 0
+      while (j < len) {
+        if (j > 0) g.append(' ')
+        g.append(tokens(from + j))
+        j += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(g.toString)
+    }
+    val out =
+      if (m < n) Array[AnyRef](gram(0, m))
+      else {
+        val arr = new Array[AnyRef](m - n + 1)
+        var j = 0
+        while (j <= m - n) { arr(j) = gram(j, n); j += 1 }
+        arr
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Hashed word n-gram shingles straight from a text column
     * (array<long>, distinct, sorted) — the fast input to
@@ -489,4 +559,9 @@ object HashExpressions {
     * document order) — the partial-duplicate / chunk-dedup input. */
   def cdcChunkHashes(text: Column, maskBits: Int): Column =
     ColumnBridge.column(CdcChunkHashes(ColumnBridge.expression(text), maskBits))
+
+  /** Word n-gram strings (duplicates kept, document order) — the
+    * compiled gram-text sweep for vocabulary/LM count tables. */
+  def shingleStrings(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleStrings(ColumnBridge.expression(text), n))
 }

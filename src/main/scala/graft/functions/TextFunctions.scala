@@ -196,7 +196,10 @@ object TextFunctions {
       n: Int,
       k: Int): org.apache.spark.sql.DataFrame =
     df.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), n)).as("gram"))
+        // compiled one-sweep gram strings — the shingles() HOF chain
+        // ran interpreted and allocated per-gram slices (4.7 s vs
+        // ~1 s at sf0.1; see ShingleStrings)
+        explode(graft.functions.HashExpressions.shingleStrings(col(textCol), n)).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("freq").desc, col("gram").asc)
