@@ -71,7 +71,9 @@ class PlanGuardSpec extends SparkSpec {
   test("group aggregates keep map-side partial aggregation") {
     // losing the partial/final split turns a combine-then-shuffle into
     // shuffling every input row — invisible at sf0.01, fatal at 100 TB
-    Seq("q_agg_group", "q_refers_agg", "q_events_hourly", "q_rollup").foreach { name =>
+    Seq("q_agg_group", "q_refers_agg", "q_events_hourly", "q_rollup",
+      "q_span_dupes", "q_text_bigrams", "q_dedup_containment",
+      "q_events_retention", "q_events_session_stats").foreach { name =>
       val plan = planOf(name)
       assert(plan.contains("partial_"),
         s"$name: no partial aggregation stage in plan\n$plan")

@@ -259,6 +259,39 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  // greedy funnel vs a brute-force fold over each user's sorted events
+  property("funnel firstCompletion == brute-force greedy fold") = {
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1L, 4L), // user
+      Gen.chooseNum(0L, 40L), // minute
+      Gen.oneOf("A", "B", "C", "X"))).map(_.take(40))
+    Prop.forAll(evGen) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, min, t), i) =>
+        Row(i.toLong, u, new java.sql.Timestamp(min * 60000L), t)
+      }
+      val df0 = mkDf("event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING", rows)
+      val withinUs = 20L * 60 * 1000000 // 20 minutes
+      val got = graft.operators.Funnel.firstCompletion(
+        df0, "user_id", "event_type", "ts", Seq("A", "B", "C"), withinUs)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      // brute force: greedy earliest chain per user over sorted events
+      val want = evs.groupBy(_._1).flatMap { case (u, es) =>
+        val sorted = es.map(e => (e._2 * 60000000L, e._3)).sorted
+        def firstAfter(typ: String, after: Long, strict: Boolean): Option[Long] =
+          sorted.collectFirst {
+            case (ts, t) if t == typ && (if (strict) ts > after else ts >= after) => ts
+          }
+        for {
+          t1 <- firstAfter("A", Long.MinValue, strict = false)
+          t2 <- firstAfter("B", t1, strict = true)
+          t3 <- firstAfter("C", t2, strict = true)
+          if t3 - t1 <= withinUs
+        } yield u -> (t3 - t1)
+      }
+      got == want
+    }
+  }
+
   property("hammingBall enumerates the exact Hamming ball") =
     Prop.forAll(Gen.chooseNum(1, 12), Gen.chooseNum(0, 3),
       Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (n, h0, seed) =>
