@@ -809,6 +809,40 @@ object Dedup {
       .filter(col("n_shared_chunks") >= minShared)
   }
 
+  /** Incremental partial-duplicate detection — [[cdcChunkPairs]]'s
+    * cross-corpus form, completing the incremental family (exact
+    * [[bloomDedupAgainst]], minhash [[dedupAgainst]], embedding
+    * [[embeddingDedupAgainst]]): batch documents sharing at least
+    * `minShared` distinct CDC chunks with ANY corpus document, as
+    * (id, cid, n_shared) match rows. The corpus side is its (id,
+    * chunk_hash) index — pass a precomputed/persisted one via
+    * `index` and per-batch corpus work is the hash join probe alone,
+    * never a re-chunking; `maxBucketSize` caps corpus-wide
+    * boilerplate chunks before the join, exactly like the self-join
+    * variant. */
+  def cdcChunkPairsAgainst(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      maskBits: Int = 5,
+      minShared: Int = 1,
+      maxBucketSize: Option[Int] = None,
+      index: Option[DataFrame] = None): DataFrame = {
+    val corpusChunks = capBuckets(
+      index.getOrElse(
+        cdcChunks(corpusDf, idCol, textCol, maskBits)
+          .select(col("id"), col("chunk_hash")).distinct())
+        .select(col("id").as("cid"), col("chunk_hash")),
+      Seq("chunk_hash"), maxBucketSize)
+    cdcChunks(newDf, idCol, textCol, maskBits)
+      .select("id", "chunk_hash").distinct()
+      .join(corpusChunks, Seq("chunk_hash"))
+      .groupBy("id", "cid")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Asymmetric CONTAINMENT near-dup pairs: documents where
     * |shingles(A) ∩ shingles(B)| / min(|A|, |B|) ≥ `threshold` —
     * the quote/subset detector. Jaccard normalizes by the UNION, so a

@@ -183,6 +183,21 @@ object ExtensionQueries {
     Dedup.editDistancePairs(pq(s, dir, "documents"), "doc_id", "text",
       maxDistance = 10)
 
+  /** Incremental CDC: the %10 batch (plus re-keyed corpus rows so
+    * full-overlap matches exist at every scale, as in q_dedup_bloom)
+    * probed against the corpus chunk index — flagged (id, cid) match
+    * rows with shared-chunk counts. */
+  private val qDedupCdcIncremental: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+      .unionByName(
+        docs.filter(col("doc_id") % 10 < 8 && col("doc_id") % 40 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+    Dedup.cdcChunkPairsAgainst(
+      batch, docs.filter(col("doc_id") % 10 < 8),
+      "doc_id", "text", maskBits = 3, minShared = 2, maxBucketSize = Some(8))
+  }
+
   /** Containment near-dup pairs (shared/min-size >= 0.6 over word
     * 5-gram shingles, shingle buckets capped at 16) — the
     * quote/subset detector Jaccard-tuned LSH misses. */
@@ -584,6 +599,7 @@ object ExtensionQueries {
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_editdist" -> qDedupEditdist,
     "q_dedup_cdc" -> qDedupCdc,
+    "q_dedup_cdc_incremental" -> qDedupCdcIncremental,
     "q_dedup_containment" -> qDedupContainment,
     "q_dedup_keep_one" -> qDedupKeepOne,
     "q_dedup_incremental" -> qDedupIncremental,
@@ -1123,8 +1139,12 @@ object ExtensionQueries {
     * STRICT predecessors, each chunk's ordered token-hash fold via
     * [[HashSql.foldHashSql]], per-doc DISTINCT chunk hashes, the
     * cap's distinct-doc count filter, then the pair count join. */
-  private val dedupCdcSql: String = {
-    s"""WITH ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents),
+  /** The CDC per-document DISTINCT chunk-hash CTE chain (ths → token
+    * positions → rolling pair-fold boundary → chunk folds → `cd`),
+    * shared by the self-join and incremental CDC oracles (both at
+    * maskBits=3 — the `% 8` boundary). */
+  private val cdcCdCtes: String =
+    s"""ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents),
        |tok0 AS (SELECT doc_id, ths, unnest(range(1, len(ths) + 1)) AS pos FROM ths),
        |tok AS MATERIALIZED (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ths[pos] AS th FROM tok0),
        |lagc AS MATERIALIZED (SELECT doc_id, pos, th,
@@ -1142,7 +1162,10 @@ object ExtensionQueries {
        |cd AS MATERIALIZED (SELECT DISTINCT doc_id, ch FROM (
        |  SELECT doc_id, ${HashSql.foldHashSql("chunk_ths")} AS ch FROM cf
        |  UNION ALL
-       |  SELECT doc_id, ${HashSql.emptyChunkHash} AS ch FROM ths WHERE len(ths) = 0) u),
+       |  SELECT doc_id, ${HashSql.emptyChunkHash} AS ch FROM ths WHERE len(ths) = 0) u)""".stripMargin
+
+  private val dedupCdcSql: String =
+    s"""WITH $cdcCdCtes,
        |capped AS MATERIALIZED (SELECT c.doc_id, c.ch FROM cd c
        |  JOIN (SELECT ch FROM cd GROUP BY ch HAVING count(*) <= 8) g ON c.ch = g.ch)
        |SELECT id_a, id_b, n_shared_chunks FROM (
@@ -1151,7 +1174,26 @@ object ExtensionQueries {
        |  FROM capped a JOIN capped b ON a.ch = b.ch AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id) t
        |WHERE n_shared_chunks >= 2""".stripMargin
-  }
+
+  /** Mirrors [[qDedupCdcIncremental]]: the same `cd` chunk sets, the
+    * corpus side capped at 8 distinct corpus docs per chunk (the
+    * engine caps the corpus index only), the batch side including
+    * the re-keyed corpus rows, joined on the chunk hash. */
+  private val dedupCdcIncrementalSql: String =
+    s"""WITH $cdcCdCtes,
+       |corpus AS MATERIALIZED (SELECT c.doc_id AS cid, c.ch FROM cd c
+       |  JOIN (SELECT ch FROM cd WHERE doc_id % 10 < 8 GROUP BY ch
+       |        HAVING count(*) <= 8) g ON c.ch = g.ch
+       |  WHERE c.doc_id % 10 < 8),
+       |batch AS (SELECT doc_id AS id, ch FROM cd WHERE doc_id % 10 >= 8
+       |          UNION ALL
+       |          SELECT doc_id + 1000000, ch FROM cd
+       |          WHERE doc_id % 10 < 8 AND doc_id % 40 = 0)
+       |SELECT id, cid, n_shared FROM (
+       |  SELECT b.id, c.cid, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM batch b JOIN corpus c ON b.ch = c.ch
+       |  GROUP BY b.id, c.cid) t
+       |WHERE n_shared >= 2""".stripMargin
 
   /** Mirrors [[qDedupContainment]] (`Dedup.containmentPairs`, n=5,
     * threshold=0.6, cap=16): shingle replay, capped shingle-hash
@@ -1443,6 +1485,7 @@ object ExtensionQueries {
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_bloom" -> dedupBloomSql,
     "q_dedup_cdc" -> dedupCdcSql,
+    "q_dedup_cdc_incremental" -> dedupCdcIncrementalSql,
     "q_dedup_containment" -> dedupContainmentSql,
     "q_span_dupes" -> spanDupesSql,
     "q_quality_gate" -> qualityGateSql,

@@ -712,6 +712,33 @@ class ExtensionSpec extends SparkSpec {
     assert(Set(6L, 7L, 8L, 9L).subsetOf(approx))
   }
 
+  test("cdcChunkPairsAgainst flags batch/corpus overlaps; precomputed index gives identical matches") {
+    val rnd = new scala.util.Random(17)
+    def prose(n: Int) = Seq.fill(n)(s"p${rnd.nextInt(100000)}").mkString(" ")
+    val passage = prose(50)
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(1L, prose(60) + " " + passage),
+      Row(2L, prose(70)))
+    val exact = corpus.filter(col("doc_id") === 1L)
+      .withColumn("doc_id", lit(10L)) // full re-crawl of corpus doc 1
+    val batch = df("doc_id BIGINT, text STRING",
+      Row(11L, passage + " " + prose(40)), // partial overlap with corpus 1
+      Row(12L, prose(55))) // novel
+      .unionByName(exact)
+    val got = Dedup.cdcChunkPairsAgainst(batch, corpus, "doc_id", "text",
+      maskBits = 3, minShared = 1)
+      .select("id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((10L, 1L)) && got.contains((11L, 1L)))
+    assert(!got.exists(_._1 == 12L))
+    // a persisted chunk index probes identically
+    val idx = Dedup.cdcChunks(corpus, "doc_id", "text", maskBits = 3)
+      .select("id", "chunk_hash").distinct()
+    val viaIdx = Dedup.cdcChunkPairsAgainst(batch, corpus, "doc_id", "text",
+      maskBits = 3, minShared = 1, index = Some(idx))
+      .select("id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIdx == got)
+  }
+
   test("containmentPairs flags a quoted subset that Jaccard-tuned minhash misses") {
     val rnd = new scala.util.Random(13)
     val big = Seq.fill(60)(s"c${rnd.nextInt(100000)}")
