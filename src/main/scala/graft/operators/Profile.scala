@@ -118,6 +118,37 @@ object Profile {
       .drop("__v", "__thr")
   }
 
+  /** Quantile bucketing — assign each row to one of `n` buckets by
+    * the exact quantile cut points of `c` (the curriculum/length-
+    * bucketing step: "quartile of token count" without `ntile`'s
+    * global sort). `ntile` needs a single-partition window over the
+    * whole corpus; here the n−1 cut points are ONE aggregate row
+    * collected to the driver and the assignment is a codegen'd
+    * comparison chain — zero global sort, one corpus scan. Values
+    * equal to a cut point land in the lower bucket, so bucket sizes
+    * are equal only up to ties (the documented difference from exact
+    * ntile). `approx = true` swaps the GK sketch in at extreme
+    * scale, like [[quantiles]]/[[quantileGate]]. */
+  def quantileBuckets(
+      df: DataFrame,
+      c: String,
+      n: Int,
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(n >= 2, s"need at least 2 buckets, got $n")
+    val probs = (1 until n).map(i => i.toDouble / n)
+    val arr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val agg =
+      if (approx) expr(s"approx_percentile(`$c`, $arr, $accuracy)")
+      else expr(s"percentile(`$c`, $arr)")
+    val cuts = df.select(col(c)).agg(agg.as("qs"))
+      .head().getSeq[Any](0).map(_.toString.toDouble)
+    val bucket = cuts.foldLeft(lit(1L)) { (acc, t) =>
+      acc + when(col(c).cast("double") > t, 1L).otherwise(0L)
+    }
+    df.withColumn("bucket", bucket)
+  }
+
   /** Robust outlier detection on a numeric column: rows where
     * |x − median| > k · MAD (median absolute deviation) — the
     * standard profiling-driven anomaly flag that, unlike mean/stddev

@@ -546,6 +546,13 @@ object ExtensionQueries {
         col("o_custkey").bitwiseAND(lit(0xFFFFL)),
         col("o_orderkey").bitwiseAND(lit(0xFFFFL))).as("zval"))
 
+  /** Length-quartile curriculum buckets over n_chars — quantile cut
+    * points broadcast into one comparison-chain scan, never a global
+    * ntile sort. */
+  private val qProfileBuckets: Q = (s, dir) =>
+    graft.operators.Profile.quantileBuckets(
+      pq(s, dir, "documents").select("doc_id", "n_chars"), "n_chars", n = 4)
+
   /** Robust MAD outliers on order totals (|x − median| > 1.9·MAD — uniform-ish totals cap at 2·MAD, so the classic 3 never fires on this fixture) —
     * the anomaly flag a migration runs before trusting a numeric
     * column. */
@@ -634,6 +641,7 @@ object ExtensionQueries {
     "q_profile_quantiles" -> qProfileQuantiles,
     "q_profile_histogram" -> qProfileHistogram,
     "q_profile_outliers" -> qProfileOutliers,
+    "q_profile_buckets" -> qProfileBuckets,
     "q_zorder_value" -> qZorderValue,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_bigrams" -> qTextBigrams,
@@ -1661,6 +1669,18 @@ object ExtensionQueries {
          |  FROM sp)
          |SELECT doc_id, regexp_replace(u, '/$$', '') AS url FROM cn""".stripMargin
     },
+    // Mirrors Profile.quantileBuckets(n=4): the same quantile_cont
+    // cut points, the same strict-> comparison chain (ties land low).
+    "q_profile_buckets" ->
+      """WITH q AS (SELECT quantile_cont(n_chars, 0.25) AS t1,
+        |                  quantile_cont(n_chars, 0.5) AS t2,
+        |                  quantile_cont(n_chars, 0.75) AS t3 FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(1 + (CASE WHEN CAST(n_chars AS DOUBLE) > q.t1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN CAST(n_chars AS DOUBLE) > q.t2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN CAST(n_chars AS DOUBLE) > q.t3 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS bucket
+        |FROM documents, q""".stripMargin,
     // Mirrors Profile.madOutliers(k=1.9): quantile_cont medians (the
     // established percentile bit-parity), |x-med| > 1.9*mad in the
     // identical double op order, med/mad attached as the same values.

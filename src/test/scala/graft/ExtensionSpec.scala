@@ -912,6 +912,18 @@ class ExtensionSpec extends SparkSpec {
     assert(spans.length == 16)
   }
 
+  test("quantileBuckets: quartile assignment with ties-low; approx stays within one bucket") {
+    val t = df("id BIGINT, v BIGINT", (1 to 8).map(i => Row(i.toLong, i.toLong)): _*)
+    // cuts at quantile_cont .25/.5/.75 of 1..8 = 2.75, 4.5, 6.25
+    val got = graft.operators.Profile.quantileBuckets(t, "v", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 3L, 6L -> 3L, 7L -> 4L, 8L -> 4L))
+    val approx = graft.operators.Profile.quantileBuckets(t, "v", n = 4, approx = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1 to 8).forall(i => math.abs(approx(i.toLong) - got(i.toLong)) <= 1))
+  }
+
   test("madOutliers: hand-computed median/MAD flags only the true outlier; constant column flags none") {
     val t = df("id BIGINT, v DOUBLE",
       ((1 to 9).map(i => Row(i.toLong, i.toDouble)) :+ Row(10L, 100.0)): _*)
