@@ -548,7 +548,7 @@ object Dedup {
     * its row buffer. The fromDataset-shaped rebuild carries the
     * origin's output partitioning/ordering so downstream joins on the
     * same key reuse the layout instead of re-shuffling. */
-  private def persistMaterialize(df: DataFrame, eager: Boolean): DataFrame = {
+  private[operators] def persistMaterialize(df: DataFrame, eager: Boolean): DataFrame = {
     val rdd = df.queryExecution.toRdd.map(_.copy())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (eager) rdd.count()

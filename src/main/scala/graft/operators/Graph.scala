@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality — the corpus-quality weighting signal web
+  * pipelines derive from the host/page graph (RefinedWeb, CCNet-style
+  * crawls rank hosts before sampling; the reference engine has no
+  * graph surface, so this is pure north-star extension).
+  *
+  * The whole computation runs in FIXED-POINT INTEGER arithmetic
+  * (ranks are longs scaled by 2^scaleBits): every operation is an
+  * integer multiply / floor-divide / sum, so results are bit-exact
+  * regardless of partitioning, aggregation order, or engine — the
+  * DuckDB oracle replays the identical recurrence with zero float
+  * tolerance. Precision at the default 2^34 scale is ~6e-11 per rank,
+  * far below anything a downstream sampling rate can see.
+  *
+  * Scale posture (100 TB graph): classic Pregel shape. The edge set
+  * (src, dst, w, wout) is materialized ONCE, pre-partitioned by
+  * `src` — each of the `iterations` passes joins the (node, rq) rank
+  * frame to it (shuffling ONLY the rank side, one integer pair per
+  * node) and aggregates contributions by `dst` (map-side partial
+  * sums of longs). Per-pass shuffle volume is O(|nodes| + |edges'
+  * partial sums|), independent of anything text-sized. The dangling
+  * mass is one scalar aggregate per pass (driver-held, like the
+  * convergence probe in [[Dedup.connectedComponents]] — never a
+  * cartesian broadcast).
+  *
+  * Overflow bound: contributions compute `(rq * w) / wout` with
+  * `rq <= 2^scaleBits` and `w <= wout`, so the product is bounded by
+  * 2^scaleBits * max(wout); at the default 34 bits any weighted
+  * out-degree below ~5.4e8 is safe. For heavier graphs lower
+  * `scaleBits` (the bound check throws rather than wrapping).
+  */
+object Graph {
+
+  /** Weighted PageRank over an edge list; returns one row per node:
+    * (node, rank_q, rank) where `rank_q` is the fixed-point long and
+    * `rank = rank_q / 2^scaleBits` its double view (exact conversion
+    * + one exactly-rounded divide — still deterministic).
+    *
+    * Recurrence (all integer, Q = 2^scaleBits, damping = num/den):
+    * {{{
+    *   teleport = ((den - num) * Q) / (den * N)
+    *   contrib(u->v) = (rq(u) * w(u,v)) / wout(u)
+    *   rq'(v) = teleport + num * (sum_u contrib + dangling/N) / den
+    * }}}
+    * where `dangling` is the summed rank of nodes without out-edges.
+    * Self-loops and multi-edges are honored as given (pre-aggregate
+    * weights upstream if needed); nodes = distinct(src) ∪ distinct(dst).
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      weightCol: Option[String] = None,
+      iterations: Int = 8,
+      dampNum: Long = 85,
+      dampDen: Long = 100,
+      scaleBits: Int = 34): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0, 1]")
+    require(scaleBits >= 10 && scaleBits <= 40, "scaleBits out of range")
+    val q = 1L << scaleBits
+
+    def mat(df: DataFrame, eager: Boolean = false): DataFrame =
+      Dedup.persistMaterialize(df, eager)
+
+    // One-time edge normalization: per-edge weight + the source's
+    // weighted out-degree, pre-partitioned by the per-pass join key.
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val rawEdges = edges.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      w.as("w"))
+    val e = mat(rawEdges
+      .withColumn("wout", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .repartition(col("src")), eager = true)
+
+    val maxWout = e.agg(max(col("wout"))).head().getLong(0)
+    require(maxWout.toDouble * q < Long.MaxValue.toDouble * 0.99,
+      s"wout=$maxWout overflows at scaleBits=$scaleBits — lower scaleBits")
+
+    val nodes = mat(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(), eager = true)
+    val n = nodes.count()
+    val teleport = ((dampDen - dampNum) * q) / (dampDen * n)
+
+    // Sources with out-edges, for the dangling-mass probe.
+    val srcSet = mat(e.select(col("src").as("node")).distinct(), eager = true)
+
+    var ranks = mat(nodes.withColumn("rq", lit(q / n)))
+    try {
+      for (_ <- 1 to iterations) {
+        val dangling = ranks.join(srcSet, Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("rq")), lit(0L))).head().getLong(0)
+        val perNodeDangling = dangling / n
+        // `div` (not `/`): Spark's `/` on longs is double division;
+        // integral truncating div == DuckDB's `//` for nonnegative
+        // operands, which every value here is.
+        val contribs = e
+          .join(ranks.select(col("node").as("src"), col("rq")), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("(rq * w) div wout")).as("s"))
+        val next = mat(nodes
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"$teleport + ($dampNum * (coalesce(s, 0) + " +
+              s"$perNodeDangling)) div $dampDen").as("rq")), eager = true)
+        Dedup.release(ranks)
+        ranks = next
+      }
+      ranks.select(col("node"), col("rq").as("rank_q"),
+        (col("rq").cast("double") / lit(q.toDouble)).as("rank"))
+    } finally {
+      Dedup.release(e); Dedup.release(nodes); Dedup.release(srcSet)
+    }
+  }
+}

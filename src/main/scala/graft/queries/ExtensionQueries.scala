@@ -578,6 +578,24 @@ object ExtensionQueries {
     graft.operators.Funnel.cohortRetention(ev, "user_id", "ts")
   }
 
+  /** Fixed-point PageRank over the customer-nation → supplier-nation
+    * trade graph (edge weight = lineitem count) — the link-graph
+    * quality-weighting signal, here exercised on the densest graph the
+    * fixtures induce. All-integer recurrence, so the oracle replays
+    * it without any float tolerance ([[graft.operators.Graph]]). */
+  private val qGraphPagerank: Q = (s, dir) => {
+    val edges = pq(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(pq(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(pq(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(pq(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.operators.Graph.pageRank(edges, weightCol = Some("w"))
+  }
+
   // -------------------------------------------------------------- multimodal
 
   private val qMultimodalMeta: Q = (s, dir) =>
@@ -646,6 +664,7 @@ object ExtensionQueries {
     "q_text_tfidf" -> qTextTfidf,
     "q_text_bigrams" -> qTextBigrams,
     "q_events_retention" -> qEventsRetention,
+    "q_graph_pagerank" -> qGraphPagerank,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode)
 
@@ -1238,6 +1257,50 @@ object ExtensionQueries {
        |SELECT s.doc_id, s.lang, s.quality FROM s JOIN thr ON s.lang = thr.lang
        |WHERE s.quality >= thr.t""".stripMargin
 
+  /** Mirrors [[qGraphPagerank]] ([[graft.operators.Graph.pageRank]],
+    * 8 iterations, damping 85/100, Q = 2^34): the identical
+    * all-integer recurrence unrolled one CTE pair per iteration.
+    * DuckDB's `//` equals Spark's `div` for the nonnegative operands
+    * here; explicit BIGINT casts keep DuckDB's HUGEINT-widening SUMs
+    * on the same 64-bit type the engine carries (values are bounded
+    * by Q·max(wout) by construction, so the casts never truncate).
+    * The final double view divides by a power of two — exact. */
+  private val graphPagerankSql: String = {
+    val q = 1L << 34
+    val iters = (1 to 8).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT CAST(COALESCE(SUM(rq), 0) AS BIGINT) AS dang FROM r${k - 1}
+         |  WHERE node NOT IN (SELECT src FROM ew)),
+         |r$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |    (SELECT t FROM params) + (85 * (COALESCE(s.s, 0) +
+         |      (SELECT dang FROM d$k) // (SELECT n FROM params))) // 100 AS rq
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM((r.rq * e.w) // e.wout) AS BIGINT) AS s
+         |    FROM ew e JOIN r${k - 1} r ON r.node = e.src GROUP BY e.dst) s
+         |  ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |ew AS MATERIALIZED (
+       |  SELECT src, dst, w,
+       |    CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS wout FROM edges),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |params AS MATERIALIZED (
+       |  SELECT count(*) AS n, (15 * $q) // (100 * count(*)) AS t FROM nodes),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, $q // (SELECT n FROM params) AS rq FROM nodes),
+       |$iters
+       |SELECT CAST(node AS BIGINT) AS node, rq AS rank_q,
+       |  CAST(rq AS DOUBLE) / ${q.toDouble} AS "rank" FROM r8""".stripMargin
+  }
+
   /** Mirrors [[qSnapshotDiff]] (`Reconcile.snapshotDiff`): the same
     * derived old/new snapshots, full-outer joined; text is non-null
     * throughout, so SQL `<>` matches the engine's null-safe
@@ -1505,6 +1568,7 @@ object ExtensionQueries {
     "q_sample_temperature" -> sampleTemperatureSql,
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_dedup_components" -> dedupComponentsSql,
+    "q_graph_pagerank" -> graphPagerankSql,
     "q_text_subwords" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${TextFunctions.subwordPattern}')) AS BIGINT)
