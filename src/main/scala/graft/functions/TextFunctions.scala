@@ -237,6 +237,67 @@ object TextFunctions {
         greatest(tokenCount(col(textCol)), lit(1)).cast("double")).as("oov_rate"))
   }
 
+  /** Bigram language-model scoring — the CCNet-style perplexity
+    * filter: fit an add-one-smoothed bigram model on `train`, then
+    * score every `docs` row with its average negative log-likelihood
+    * per bigram (high = unnatural text). One row per scored doc with
+    * >= 1 bigram: (doc_id, n_bigrams, nll_q, avg_nll); sub-2-token
+    * docs carry no bigram evidence and are excluded on BOTH sides.
+    *
+    * P(w|prev) = (c(prev,w) + 1) / (c(prev,·) + V), V = train token
+    * vocabulary size. Each bigram contributes the fixed-point long
+    * `floor(ln(P) · 2^logScaleBits)`, so the per-doc aggregation is
+    * an order-independent integer sum and the result is bit-stable
+    * under any partitioning. The quantization also absorbs sub-ulp
+    * `ln` differences across engines: a disagreement needs a value
+    * within ~1e-10 of a floor boundary (ln is computed once per
+    * distinct (c, ctx) pair of small integers — a few hundred values
+    * on any corpus), which is what lets the DuckDB oracle replay the
+    * score exactly. `avg_nll = nll_q / 2^bits / n` is two exactly
+    * rounded divides in a fixed order — also bit-stable.
+    *
+    * Scale posture: the model is train-bigram-count sized (bounded by
+    * observed V²; tokenizer-scale in practice) and BROADCAST to both
+    * joins; scoring is one compiled [[HashExpressions.shingleStrings]]
+    * sweep + explode + broadcast lookups, then a single (doc_id)-keyed
+    * long-sum aggregate whose map-side combine collapses each doc's
+    * grams before the shuffle — net shuffle volume is one row per
+    * document. Nothing text-sized crosses the wire. */
+  def lmScore(
+      docs: org.apache.spark.sql.DataFrame,
+      train: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      logScaleBits: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(logScaleBits >= 8 && logScaleBits <= 40, "logScaleBits out of range")
+    val scale = (1L << logScaleBits).toDouble
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .filter(tokenCount(col(textCol)) >= 2)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.HashExpressions.shingleStrings(col(textCol), 2)).as("gram"))
+    val trainGrams = grams(train)
+    val cb = trainGrams.groupBy("gram").agg(count(lit(1)).as("cb"))
+    val ctx = trainGrams
+      .groupBy(substring_index(col("gram"), " ", 1).as("prev"))
+      .agg(count(lit(1)).as("cctx"))
+    // bounded driver scalar (vocabulary size), like the IVF centroid
+    // sample — never a cartesian broadcast
+    val v = train.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    val lq = floor(log(
+      (coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col("cctx"), lit(0L)) + lit(v)).cast("double")) * lit(scale))
+      .cast("long")
+    grams(docs)
+      .join(broadcast(cb), Seq("gram"), "left")
+      .join(broadcast(ctx), substring_index(col("gram"), " ", 1) === col("prev"), "left")
+      .select(col("doc_id"), lq.as("lq"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lq"))).as("nll_q"))
+      .withColumn("avg_nll",
+        col("nll_q").cast("double") / lit(scale) / col("n_bigrams").cast("double"))
+  }
+
   /** Within-document repetition metrics over word n-grams — the
     * Gopher-style repetition filters (duplicated-n-gram fraction and
     * most-frequent-n-gram mass) that training pipelines use to drop

@@ -578,6 +578,14 @@ object ExtensionQueries {
     graft.operators.Funnel.cohortRetention(ev, "user_id", "ts")
   }
 
+  /** Bigram-LM perplexity scoring: the model fit on the 80% train
+    * split (doc_id % 10 < 8), every >= 2-token document scored with
+    * its avg negative log-likelihood ([[TextFunctions.lmScore]]). */
+  private val qTextPerplexity: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    TextFunctions.lmScore(docs, docs.filter(col("doc_id") % 10 < 8), "doc_id", "text")
+  }
+
   /** Fixed-point PageRank over the customer-nation → supplier-nation
     * trade graph (edge weight = lineitem count) — the link-graph
     * quality-weighting signal, here exercised on the densest graph the
@@ -665,6 +673,7 @@ object ExtensionQueries {
     "q_text_bigrams" -> qTextBigrams,
     "q_events_retention" -> qEventsRetention,
     "q_graph_pagerank" -> qGraphPagerank,
+    "q_text_perplexity" -> qTextPerplexity,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode)
 
@@ -1257,6 +1266,40 @@ object ExtensionQueries {
        |SELECT s.doc_id, s.lang, s.quality FROM s JOIN thr ON s.lang = thr.lang
        |WHERE s.quality >= thr.t""".stripMargin
 
+  /** Mirrors [[qTextPerplexity]] ([[TextFunctions.lmScore]], add-one
+    * bigram LM, 2^20 fixed-point log quantization): identical token /
+    * gram derivation, identical COALESCE-then-divide probability op
+    * order, `floor(ln(p) * 1048576.0)` quantized per bigram BEFORE
+    * the per-doc sum — integer sums are order-independent, and the
+    * quantization absorbs any sub-ulp ln() disagreement between
+    * engines. V counts ALL train tokens (no >= 2-token filter),
+    * exactly like the Scala side. */
+  private val textPerplexitySql: String = {
+    val ws = graft.functions.TextFunctions.wsClass
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '$ws+'), x -> x <> '') AS t
+       |  FROM documents),
+       |bg AS MATERIALIZED (
+       |  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram, t[i] AS prev
+       |  FROM toks, unnest(range(1, len(t))) r(i) WHERE len(t) >= 2),
+       |bgtr AS (SELECT * FROM bg WHERE doc_id % 10 < 8),
+       |cb AS (SELECT gram, count(*) AS cb FROM bgtr GROUP BY gram),
+       |ctx AS (SELECT prev, count(*) AS cctx FROM bgtr GROUP BY prev),
+       |vs AS (SELECT count(DISTINCT u) AS v FROM (
+       |  SELECT unnest(t) AS u FROM toks WHERE doc_id % 10 < 8)),
+       |sc AS (SELECT bg.doc_id,
+       |  CAST(floor(ln(CAST(COALESCE(cb.cb, 0) + 1 AS DOUBLE) /
+       |      CAST(COALESCE(ctx.cctx, 0) + (SELECT v FROM vs) AS DOUBLE))
+       |    * 1048576.0) AS BIGINT) AS lq
+       |  FROM bg LEFT JOIN cb USING (gram) LEFT JOIN ctx USING (prev))
+       |SELECT doc_id, n_bigrams, nll_q,
+       |  (CAST(nll_q AS DOUBLE) / 1048576.0) / CAST(n_bigrams AS DOUBLE) AS avg_nll
+       |FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |        CAST(-SUM(lq) AS BIGINT) AS nll_q
+       |      FROM sc GROUP BY doc_id)""".stripMargin
+  }
+
   /** Mirrors [[qGraphPagerank]] ([[graft.operators.Graph.pageRank]],
     * 8 iterations, damping 85/100, Q = 2^34): the identical
     * all-integer recurrence unrolled one CTE pair per iteration.
@@ -1569,6 +1612,7 @@ object ExtensionQueries {
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_dedup_components" -> dedupComponentsSql,
     "q_graph_pagerank" -> graphPagerankSql,
+    "q_text_perplexity" -> textPerplexitySql,
     "q_text_subwords" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${TextFunctions.subwordPattern}')) AS BIGINT)

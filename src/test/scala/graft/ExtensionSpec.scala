@@ -992,6 +992,29 @@ class ExtensionSpec extends SparkSpec {
     assert(again.toSet == t2.toSet)
   }
 
+  test("lmScore: hand-computed add-one bigram NLL; train-only model; short docs excluded") {
+    val train = df("doc_id BIGINT, text STRING",
+      Row(1L, "a b a b"), // bigrams: (a,b) x2, (b,a) x1
+      Row(2L, "a c"), //            (a,c) x1
+      Row(3L, "d")) // no bigram, but token d counts toward V
+    val score = df("doc_id BIGINT, text STRING",
+      Row(10L, "a b c"), // (a,b) seen 2x of ctx(a)=3; (b,c) unseen, ctx(b)=1
+      Row(11L, "z q"), //   both tokens unseen: p = 1/V
+      Row(12L, "a")) // < 2 tokens: excluded
+    val got = TextFunctions.lmScore(score, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(!got.contains(12L))
+    val v = 4.0 // {a, b, c, d}
+    val expect10 = -(math.log(3.0 / (3 + v)) + math.log(1.0 / (1 + v))) / 2
+    val expect11 = -math.log(1.0 / v) // ctx(z) = 0
+    assert(got(10L)._1 == 2L)
+    assert(math.abs(got(10L)._2 - expect10) < 1e-5, s"${got(10L)._2} vs $expect10")
+    assert(got(11L)._1 == 1L)
+    assert(math.abs(got(11L)._2 - expect11) < 1e-5, s"${got(11L)._2} vs $expect11")
+    // natural text scores lower NLL than shuffled text under its own model
+    assert(got(10L)._2 < expect11)
+  }
+
   test("snapshotDiff labels added/removed/changed, drops unchanged, null-safe compare") {
     val old = df("k BIGINT, a STRING, b STRING",
       Row(1L, "x", "y"), // unchanged
