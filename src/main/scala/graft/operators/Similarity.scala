@@ -518,4 +518,158 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }
+
+  // --------------------------------------------------------- product quantization
+
+  /** Per-subspace L2 Lloyd refinement — PQ codebook training. Same
+    * deterministic shape as [[refineCentroids]] (first-`k` seed,
+    * sample-order accumulation, empty cells keep their previous
+    * centroid) but under SQUARED EUCLIDEAN distance with strict `<`
+    * + earliest-cell tie-break: PQ reconstructs subvector VALUES, so
+    * magnitude matters and cosine is the wrong training metric. */
+  private[graft] def refineCentroidsL2(
+      sample: Array[Array[Double]],
+      k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty codebook sample")
+    var cents = sample.take(k)
+    val dim = sample(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](cents.length, dim)
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(i => sums(c)(i) / counts(c))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** PQ codebooks: `m` per-subspace L2-k-means codebooks of `ksub`
+    * codewords each, trained on the deterministic first-`sampleSize`
+    * rows by id (the [[ivfTopK]] sampling convention). Result shape:
+    * codebooks(j)(c) = codeword c of subspace j (dim/m doubles).
+    * Driver-side by design — m·ksub·(dim/m) = ksub·dim doubles. */
+  def pqCodebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int = 16,
+      refineIters: Int = 2,
+      sampleSize: Int = 256): Array[Array[Array[Double]]] = {
+    val sample: Array[Array[Double]] = df
+      .orderBy(col(idCol).asc).limit(math.max(ksub, sampleSize))
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val ds = dim / m
+    Array.tabulate(m) { j =>
+      refineCentroidsL2(sample.map(_.slice(j * ds, (j + 1) * ds)), ksub, refineIters)
+    }
+  }
+
+  /** PQ encoding: each vector compressed to `m` codeword indices
+    * (argmin squared-L2 per subspace, strict `<` earliest-win — the
+    * training-side assignment rule). THIS is the 100 TB artifact: m
+    * small ints (m bytes at ksub <= 256) replace dim floats — a
+    * 32× compression at the default 64-dim/8-subspace/16-codeword
+    * setup — and the scan-shaped encode never shuffles. */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val cb = codebooks
+    val enc = udf { (vec: Seq[Float]) =>
+      val m = cb.length; val ds = cb(0)(0).length
+      Array.tabulate(m) { j =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cb(j).length) {
+          var d = 0.0; var i = 0
+          while (i < ds) {
+            val t = vec(j * ds + i).toDouble - cb(j)(c)(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    df.select(col(idCol).as("id"), enc(col(vecCol)).as("code"))
+  }
+
+  /** PQ ANN top-k by asymmetric distance computation: train codebooks
+    * on the id-ordered sample, encode the corpus, then score every
+    * row from a driver-built ADC lookup table — approx cosine =
+    * ADC-dot / (|q| · sqrt(Σ_j |codeword_j|²)), i.e. the query
+    * against each row's RECONSTRUCTION. One scan, no shuffle before
+    * the TakeOrdered top-k; every float fold has a fixed order
+    * (subspaces ascending, dims ascending), so scores are bit-stable
+    * and the DuckDB oracle replays training + encode + ADC end to
+    * end. Exactness knob: ksub = sampleSize with refineIters = 0
+    * degrades to vector quantization on the sample itself (used by
+    * the recall spec); production recall comes from raising ksub/m,
+    * re-ranking the PQ top-k' exactly is [[bruteForceTopK]] over the
+    * surviving candidate set. */
+  def pqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      refineIters: Int = 2,
+      sampleSize: Int = 256): DataFrame = {
+    val cb = pqCodebooks(df, idCol, vecCol, m, ksub, refineIters, sampleSize)
+    val q = query.map(_.toDouble)
+    val ds = q.length / m
+    // ADC table + codeword norms, driver-side (m × ksub doubles)
+    val adc = Array.tabulate(m) { j =>
+      Array.tabulate(cb(j).length) { c =>
+        var d = 0.0; var i = 0
+        while (i < ds) { d += q(j * ds + i) * cb(j)(c)(i); i += 1 }
+        d
+      }
+    }
+    val cwNorm2 = Array.tabulate(m) { j =>
+      Array.tabulate(cb(j).length) { c =>
+        var n = 0.0; var i = 0
+        while (i < ds) { n += cb(j)(c)(i) * cb(j)(c)(i); i += 1 }
+        n
+      }
+    }
+    var qn2 = 0.0
+    var qi = 0
+    while (qi < q.length) { qn2 += q(qi) * q(qi); qi += 1 }
+    val qn = math.sqrt(qn2)
+    val score = udf { (code: Seq[Int]) =>
+      var dot = 0.0; var nx = 0.0; var j = 0
+      while (j < code.length) {
+        dot += adc(j)(code(j)); nx += cwNorm2(j)(code(j)); j += 1
+      }
+      if (nx > 0.0) dot / (qn * math.sqrt(nx)) else 0.0
+    }
+    pqEncode(df, idCol, vecCol, cb)
+      .select(col("id"), score(col("code")).as("approx_cos"))
+      .orderBy(col("approx_cos").desc, col("id").asc)
+      .limit(k)
+  }
 }

@@ -371,6 +371,13 @@ object ExtensionQueries {
     pq(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
 
+  /** PQ-compressed ANN: codebooks trained on the id-ordered sample,
+    * corpus encoded to 8 nibble codes, ADC-scored top-10
+    * ([[Similarity.pqTopK]] — the 32× index-compression scale path). */
+  private val qSimPqTopK: Q = (s, dir) =>
+    Similarity.pqTopK(pq(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec(s, dir), k = 10)
+
   private val qSimBruteTopK: Q = (s, dir) =>
     Similarity.bruteForceTopK(pq(s, dir, "embeddings").filter(col("vec_id") =!= 0),
       "vec_id", "embedding", queryVec(s, dir), k = 10)
@@ -649,6 +656,7 @@ object ExtensionQueries {
     "q_dedup_incremental_emb" -> qDedupIncrementalEmb,
     "q_dedup_components" -> qDedupComponents,
     "q_sim_brute_topk" -> qSimBruteTopK,
+    "q_sim_pq_topk" -> qSimPqTopK,
     "q_sim_lsh_topk" -> qSimLshTopK,
     "q_sim_ivf_topk" -> qSimIvfTopK,
     "q_sim_ivf_distributed" -> qSimIvfDistributed,
@@ -868,6 +876,78 @@ object ExtensionQueries {
        |FROM assigned a, q
        |WHERE a.cell IN (SELECT cell FROM probe)
        |ORDER BY cosine DESC, id ASC LIMIT 10""".stripMargin
+  }
+
+  /** Mirrors [[qSimPqTopK]] (`Similarity.pqTopK`, m=8, ksub=16,
+    * refineIters=2, sampleSize=256) end to end: per-subspace L2
+    * Lloyd on the id-ordered sample (ordered-fold means — the
+    * [[simIvfTopkSql]] technique, partitioned by subspace `j`),
+    * argmin-encode of the full corpus (strict `<` == `dist ASC, cell
+    * ASC` row_number), then the ADC score with every fold in the
+    * engine's order: dims ascending within a subspace, subspaces
+    * ascending per row, all seeded 0.0. */
+  private val simPqTopkSql: String = {
+    val m = 8; val ds = DIM / m; val ksub = 16; val iters = 2
+    def l2(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${ds + 1}), i -> " +
+        s"($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)"
+    def iterCtes(i: Int): String = {
+      val prev = s"cents${i - 1}"
+      s"""assign$i AS (
+         |  SELECT id, j, sv, cell FROM (
+         |    SELECT s.id, s.j, s.sv, c.cell,
+         |      row_number() OVER (PARTITION BY s.id, s.j
+         |        ORDER BY ${l2("s.sv", "c.cvec")} ASC, c.cell ASC) AS rn
+         |    FROM sub s JOIN $prev c ON s.j = c.j) t WHERE rn = 1),
+         |upd$i AS (
+         |  SELECT j, cell,
+         |    list_transform(range(1, ${ds + 1}), d ->
+         |      list_reduce(list_prepend(0.0, list_transform(svs, v -> v[d])),
+         |                  (x, y) -> x + y) / len(svs)) AS cvec
+         |  FROM (SELECT j, cell, list(sv ORDER BY id) AS svs
+         |        FROM assign$i GROUP BY j, cell) g),
+         |cents$i AS (
+         |  SELECT p.j, p.cell, COALESCE(u.cvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN upd$i u ON p.j = u.j AND p.cell = u.cell)""".stripMargin
+    }
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id <> 0),
+       |samp AS (SELECT id, vec FROM corpus ORDER BY id LIMIT 256),
+       |sub AS MATERIALIZED (
+       |  SELECT id, j, list_transform(range(1, ${ds + 1}), i ->
+       |    CAST(vec[j * $ds + i] AS DOUBLE)) AS sv
+       |  FROM samp, unnest(range(0, $m)) r(j)),
+       |cents0 AS (
+       |  SELECT j, row_number() OVER (PARTITION BY j ORDER BY id) - 1 AS cell,
+       |         sv AS cvec
+       |  FROM sub QUALIFY row_number() OVER (PARTITION BY j ORDER BY id) <= $ksub),
+       |${(1 to iters).map(iterCtes).mkString(",\n")},
+       |csub AS MATERIALIZED (
+       |  SELECT id, j, list_transform(range(1, ${ds + 1}), i ->
+       |    CAST(vec[j * $ds + i] AS DOUBLE)) AS sv
+       |  FROM corpus, unnest(range(0, $m)) r(j)),
+       |enc AS (
+       |  SELECT id, j, cell FROM (
+       |    SELECT s.id, s.j, c.cell,
+       |      row_number() OVER (PARTITION BY s.id, s.j
+       |        ORDER BY ${l2("s.sv", "c.cvec")} ASC, c.cell ASC) AS rn
+       |    FROM csub s JOIN cents$iters c ON s.j = c.j) t WHERE rn = 1),
+       |terms AS (
+       |  SELECT e.id, e.j,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${ds + 1}), i ->
+       |      CAST(q.qv[e.j * $ds + i] AS DOUBLE) * c.cvec[i])), (x, y) -> x + y) AS dj,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${ds + 1}), i ->
+       |      c.cvec[i] * c.cvec[i])), (x, y) -> x + y) AS nj
+       |  FROM enc e JOIN cents$iters c ON e.j = c.j AND e.cell = c.cell, q),
+       |sc AS (
+       |  SELECT id,
+       |    list_reduce(list_prepend(0.0, list(dj ORDER BY j)), (x, y) -> x + y) AS dt,
+       |    list_reduce(list_prepend(0.0, list(nj ORDER BY j)), (x, y) -> x + y) AS nx
+       |  FROM terms GROUP BY id)
+       |SELECT id, CASE WHEN nx > 0.0
+       |  THEN dt / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(nx)) ELSE 0.0 END AS approx_cos
+       |FROM sc, q
+       |ORDER BY approx_cos DESC, id ASC LIMIT 10""".stripMargin
   }
 
   /** Mirrors `Similarity.kmeansCentroidsDistributed(nlist=8, iters=2,
@@ -1621,6 +1701,7 @@ object ExtensionQueries {
     "q_sim_brute_topk" -> simBruteTopkSql,
     "q_sim_lsh_topk" -> simLshTopkSql,
     "q_sim_ivf_topk" -> simIvfTopkSql,
+    "q_sim_pq_topk" -> simPqTopkSql,
     "q_sim_ivf_distributed" -> simIvfDistributedSql,
     "q_sim_batch_topk" -> simBatchTopkSql,
     "q_sim_lsh_batch" -> simLshBatchSql,

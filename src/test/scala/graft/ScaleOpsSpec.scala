@@ -284,4 +284,47 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
     assert(batch1 == single)
   }
+
+  test("PQ: codes in range, encode partitioning-invariant, ADC recall beats chance and tracks brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.tabulate(4) { j =>
+      Array.tabulate(dim)(d => if (d / 4 == j) 5.0 else 0.0)
+    }
+    val pts = (0 until 256).map { i =>
+      val cl = i % 4
+      (i.toLong + 1,
+        Array.tabulate(dim)(d => (centers(cl)(d) + rnd.nextGaussian() * 0.8).toFloat).toSeq)
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val m = 4; val ksub = 8
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m, ksub)
+    assert(cb.length == m && cb.forall(_.length == ksub) &&
+      cb.forall(_.forall(_.length == dim / m)))
+
+    // codes: shape + range + deterministic under re-layout
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == 256)
+    assert(codes.values.forall(c => c.length == m && c.forall(x => x >= 0 && x < ksub)))
+    val codesRepart = Similarity.pqEncode(emb.repartition(7), "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes == codesRepart)
+
+    // PQ's contract without re-rank: candidates land in the right
+    // REGION (cluster purity); within-cluster order is reconstruction
+    // noise by design, so overlap with the exact top-k only needs to
+    // beat chance (20/256 ≈ 0.08) decisively — the production recall
+    // knob is ksub/m plus an exact re-rank over the candidates.
+    val qv = centers(2).map(x => (x + 0.05).toFloat)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 20)
+      .collect().map(_.getLong(0)).toSet
+    val got = Similarity.pqTopK(emb, "vec_id", "embedding", qv, 20, m = m, ksub = ksub)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.forall(id => (id - 1) % 4 == 2),
+      s"PQ returned out-of-cluster ids: ${got.filterNot(id => (id - 1) % 4 == 2)}")
+    val recall = (got intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.25, s"PQ recall $recall not decisively above chance")
+  }
 }
