@@ -198,4 +198,59 @@ object Profile {
         .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
           col("n_distinct"), col("min_value"), col("max_value"))
     }.reduce(_.unionByName(_))
+
+  /** Pairwise Pearson correlation over fixed-precision numeric
+    * columns — the multicollinearity / redundant-feature check of a
+    * profiling pass. One row per unordered column pair:
+    * (col_a, col_b, n_rows, corr).
+    *
+    * Exactness: each value quantizes to integer units
+    * (`round(x·scale)` — half-away-from-zero in both engines) and
+    * every moment (Σx, Σx², Σxy) accumulates EXACTLY via
+    * [[graft.functions.ExactCentsSum]]'s two-long buffer — order
+    * independent, so the result is bit-stable under any partitioning
+    * and the DuckDB mirror (HUGEINT sums) reproduces it. The closed
+    * form then runs in doubles from the exact integer sums in one
+    * fixed op order; a zero-variance column yields NULL (no division
+    * by zero). Quantization bound: |x·scale| must stay within ~2^31
+    * so the per-row products fit a long (money-scale data at
+    * scale=100 clears this by orders of magnitude; overflow of the
+    * SUM itself cannot happen below ±2^125).
+    *
+    * Scale posture: ONE aggregate pass over the k chosen columns —
+    * k + k·(k+1)/2 fixed-width long-pair accumulators with map-side
+    * partial merge; shuffle volume is one buffer row per partition,
+    * independent of corpus size. (Unlike [[profile]]'s per-column
+    * jobs, a single pass is right here: no count(distinct) EXPAND is
+    * involved and the moments all want the same scan.) */
+  def correlation(df: DataFrame, columns: Seq[String], scale: Int = 100): DataFrame = {
+    require(columns.size >= 2, "need at least two columns to correlate")
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    def exactSum(e: Column): Column = ColumnBridge.column(
+      graft.functions.ExactCentsSum(ColumnBridge.expression(e.cast("bigint")))
+        .toAggregateExpression())
+    def q(c: String): Column = round(col(c) * scale).cast("bigint")
+    val pairs = columns.combinations(2).map(p => (p(0), p(1))).toSeq
+    val moments =
+      columns.map(c => exactSum(q(c)).as(s"s_$c")) ++
+        columns.map(c => exactSum(q(c) * q(c)).as(s"ss_$c")) ++
+        pairs.map { case (a, b) => exactSum(q(a) * q(b)).as(s"sp_${a}_$b") }
+    val aggd = df.agg(count(lit(1)).as("__n"), moments: _*)
+    val n = col("__n").cast("double")
+    def d(name: String) = col(name).cast("double")
+    val out = array(pairs.map { case (a, b) =>
+      val num = n * d(s"sp_${a}_$b") - d(s"s_$a") * d(s"s_$b")
+      // variance terms guarded > 0 BEFORE sqrt: exact integer sums
+      // make them nonnegative mathematically, but the double cast
+      // can cancel a near-constant column to a tiny negative, and
+      // engines disagree on sqrt(<0) (DuckDB errors)
+      val va = n * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")
+      val vb = n * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").as("n_rows"),
+        when(va > 0.0 && vb > 0.0, num / (sqrt(va) * sqrt(vb))).as("corr"))
+    }: _*)
+    aggd.select(explode(out).as("p")).select("p.*")
+  }
 }

@@ -567,6 +567,17 @@ object ExtensionQueries {
     graft.operators.Profile.madOutliers(pq(s, dir, "orders"), "o_totalprice", k = 1.9)
       .select("o_orderkey", "value", "med", "mad")
 
+  /** The numeric columns [[qProfileCorr]] correlates — shared with
+    * the oracle generator so both sides derive the identical pair
+    * list. All money/rate columns, so the cents quantization is
+    * orders of magnitude inside the long-product bound. */
+  private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Exact-sum Pearson correlation matrix over lineitem's numeric
+    * columns ([[graft.operators.Profile.correlation]]). */
+  private val qProfileCorr: Q = (s, dir) =>
+    graft.operators.Profile.correlation(pq(s, dir, "lineitem"), corrCols)
+
   /** Per-document top-3 TF-IDF terms (ratio score — see
     * `TextFunctions.topTfidfTerms`). */
   private val qTextTfidf: Q = (s, dir) =>
@@ -676,6 +687,7 @@ object ExtensionQueries {
     "q_profile_histogram" -> qProfileHistogram,
     "q_profile_outliers" -> qProfileOutliers,
     "q_profile_buckets" -> qProfileBuckets,
+    "q_profile_corr" -> qProfileCorr,
     "q_zorder_value" -> qZorderValue,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_bigrams" -> qTextBigrams,
@@ -1346,6 +1358,33 @@ object ExtensionQueries {
        |SELECT s.doc_id, s.lang, s.quality FROM s JOIN thr ON s.lang = thr.lang
        |WHERE s.quality >= thr.t""".stripMargin
 
+  /** Mirrors [[qProfileCorr]] (`Profile.correlation`, scale=100):
+    * identical cents quantization (round is half-away-from-zero in
+    * both engines), HUGEINT sums == ExactCentsSum's exact two-long
+    * fold, then the identical cast-to-double closed form with the
+    * variance-positivity guard before each sqrt. */
+  private val profileCorrSql: String = {
+    val pairs = corrCols.combinations(2).map(p => (p(0), p(1))).toSeq
+    def qv(c: String) = s"CAST(round($c * 100) AS BIGINT)"
+    val sums = (corrCols.map(c => s"SUM(${qv(c)}) AS s_$c") ++
+      corrCols.map(c => s"SUM(${qv(c)} * ${qv(c)}) AS ss_$c") ++
+      pairs.map { case (a, b) => s"SUM(${qv(a)} * ${qv(b)}) AS sp_${a}_$b" })
+      .mkString(",\n    ")
+    def dbl(x: String) = s"CAST($x AS DOUBLE)"
+    val blocks = pairs.map { case (a, b) =>
+      val num = s"${dbl("n")} * ${dbl(s"sp_${a}_$b")} - ${dbl(s"s_$a")} * ${dbl(s"s_$b")}"
+      val va = s"${dbl("n")} * ${dbl(s"ss_$a")} - ${dbl(s"s_$a")} * ${dbl(s"s_$a")}"
+      val vb = s"${dbl("n")} * ${dbl(s"ss_$b")} - ${dbl(s"s_$b")} * ${dbl(s"s_$b")}"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n AS n_rows,
+         |  CASE WHEN ($va) > 0.0 AND ($vb) > 0.0
+         |    THEN ($num) / (sqrt($va) * sqrt($vb)) END AS corr FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (SELECT count(*) AS n,
+       |    $sums
+       |  FROM lineitem)
+       |$blocks""".stripMargin
+  }
+
   /** Mirrors [[qTextPerplexity]] ([[TextFunctions.lmScore]], add-one
     * bigram LM, 2^20 fixed-point log quantization): identical token /
     * gram derivation, identical COALESCE-then-divide probability op
@@ -1693,6 +1732,7 @@ object ExtensionQueries {
     "q_dedup_components" -> dedupComponentsSql,
     "q_graph_pagerank" -> graphPagerankSql,
     "q_text_perplexity" -> textPerplexitySql,
+    "q_profile_corr" -> profileCorrSql,
     "q_text_subwords" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${TextFunctions.subwordPattern}')) AS BIGINT)

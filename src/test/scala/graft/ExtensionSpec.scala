@@ -924,6 +924,25 @@ class ExtensionSpec extends SparkSpec {
     assert((1 to 8).forall(i => math.abs(approx(i.toLong) - got(i.toLong)) <= 1))
   }
 
+  test("correlation: exact +1/-1 on linear columns, NULL on constants, partitioning-invariant") {
+    val t = df("x DOUBLE, y DOUBLE, z DOUBLE, k DOUBLE",
+      Row(1.0, 2.0, 9.0, 5.0), Row(2.0, 4.0, 7.0, 5.0),
+      Row(3.0, 6.0, 5.0, 5.0), Row(4.0, 8.0, 3.0, 5.0), Row(5.0, 10.0, 1.0, 5.0))
+    val got = graft.operators.Profile.correlation(t, Seq("x", "y", "z", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got.size == 6)
+    assert(math.abs(got(("x", "y")).get - 1.0) < 1e-12) // y = 2x
+    assert(math.abs(got(("x", "z")).get + 1.0) < 1e-12) // z = 11 - 2x
+    assert(got(("x", "k")).isEmpty && got(("y", "k")).isEmpty) // zero variance -> NULL
+    assert(got(("x", "y")).get == got(("x", "y")).get)
+    // exact integer moments => identical bits under re-layout
+    val again = graft.operators.Profile.correlation(t.repartition(4), Seq("x", "y", "z", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(again == got)
+  }
+
   test("madOutliers: hand-computed median/MAD flags only the true outlier; constant column flags none") {
     val t = df("id BIGINT, v DOUBLE",
       ((1 to 9).map(i => Row(i.toLong, i.toDouble)) :+ Row(10L, 100.0)): _*)
