@@ -43,4 +43,42 @@ object Packing {
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("chunk_id", expr(s"start_offset DIV $capacity"))
   }
+
+  /** Split long documents into overlapping token windows — the RAG /
+    * context-window chunker (the inverse of [[concatChunks]]: instead
+    * of packing short docs into sequences, long docs are cut into
+    * `chunkTokens`-token pieces that stride by `chunkTokens -
+    * overlapTokens`). One row per chunk: (id, chunk_idx, chunk_text,
+    * n_tokens); chunks keep original token case/order, the last
+    * chunk may be short, an empty document yields no chunks.
+    *
+    * Scale posture: a zero-shuffle projection + generator — the
+    * window-start array builds in one projected select and the
+    * explode happens in the NEXT select (never alongside other
+    * expensive expressions: ExtractGenerator re-evaluates
+    * non-generator expressions once per exploded element — the
+    * measured 64× trap, SCALING.md). Output text is bounded by
+    * (1 + overlap/stride)× the input. */
+  def splitChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlapTokens")
+    val step = chunkTokens - overlapTokens
+    df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col("id"), transform(
+        sequence(lit(0), size(col("__t")) - 1, lit(step)),
+        s => struct(
+          concat_ws(" ", slice(col("__t"), s + 1, lit(chunkTokens))).as("chunk_text"),
+          least(lit(chunkTokens), size(col("__t")) - s).cast("long").as("n_tokens")))
+        .as("__chunks"))
+      .select(col("id"), posexplode(col("__chunks")).as(Seq("chunk_idx", "c")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.chunk_text"), col("c.n_tokens"))
+  }
 }

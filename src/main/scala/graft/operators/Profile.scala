@@ -253,4 +253,45 @@ object Profile {
     }: _*)
     aggd.select(explode(out).as("p")).select("p.*")
   }
+
+  /** Count-anomaly detection over pre-bucketed observations: count
+    * rows per (key, bucket), then flag the buckets whose count sits
+    * more than `k` population standard deviations from the key's own
+    * mean — the "did ingestion spike/drop this hour" monitor. One
+    * row per flagged bucket: (key, bucket, n_events, mean, variance).
+    *
+    * Determinism: counts and their squares sum as exact longs; mean
+    * and variance derive from those integers in one fixed double op
+    * order, and the flag compares SQUARED deviation against
+    * k²·variance (no sqrt — no domain edge, one comparison). Buckets
+    * with no rows are absent by construction (this flags anomalies
+    * among OBSERVED buckets; a missing-bucket gap check is a
+    * different query — generate the calendar and left-join).
+    *
+    * Scale posture: two hash aggregates and one join, all keyed by
+    * `key` after the first — the (key, bucket) count collapses the
+    * corpus map-side, everything after works on bucket-cardinality
+    * data. Count squares bound: per-bucket counts must stay under
+    * ~3e9 for the long square (any real bucketing is far below). */
+  def countAnomalies(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = df.groupBy(col(keyCol).as("key"), col(bucketCol).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = counts.groupBy(col("key"))
+      .agg(count(lit(1)).as("__nb"), sum(col("n_events")).as("__sc"),
+        sum(col("n_events") * col("n_events")).as("__sc2"))
+    val nD = col("__nb").cast("double")
+    val scD = col("__sc").cast("double")
+    val sc2D = col("__sc2").cast("double")
+    val cD = col("n_events").cast("double")
+    counts.join(stats, "key")
+      .withColumn("mean", scD / nD)
+      .withColumn("variance", (nD * sc2D - scD * scD) / (nD * nD))
+      .filter((cD - col("mean")) * (cD - col("mean")) > lit(k * k) * col("variance"))
+      .select(col("key"), col("bucket"), col("n_events"), col("mean"), col("variance"))
+  }
 }

@@ -157,6 +157,35 @@ object Sampling {
     * be corpus-scale, prefer the rate-based [[mixToTarget]] /
     * [[stratifiedHashSample]] (zero-shuffle) and accept approximate
     * counts. */
+  /** Per-row weighted downsampling toward an expected `targetRows`
+    * (Horvitz-Thompson: keep probability ∝ the row's own weight,
+    * rate_i = min(targetRows · w_i / Σw, 1)) — the quality- or
+    * length-weighted corpus sampler. Same deterministic machinery as
+    * the domain samplers: weights quantize to integers
+    * (round(w · weightScale) — the scale cancels in the ratio), the
+    * total is ONE exact long-sum driver scalar, and each row keeps
+    * iff its SplitMix64 bucket clears its own floor-quantized rate —
+    * zero-shuffle, partition-layout-independent, replayed exactly by
+    * the oracle. Rows with non-positive weight get rate 0. */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      targetRows: Long,
+      weightScale: Int = 10000,
+      granularity: Int = 10000): DataFrame = {
+    require(targetRows > 0, "targetRows must be positive")
+    require(weightScale > 0 && granularity > 0, "scales must be positive")
+    val wq = round(col(weightCol) * weightScale).cast("long")
+    val totalQ = df.agg(coalesce(sum(wq), lit(0L))).head().getLong(0)
+    require(totalQ > 0, "total weight must be positive")
+    val rate = lit(targetRows.toDouble) * (wq.cast("double") / lit(totalQ.toDouble))
+    val bp = floor(least(rate, lit(1.0)) * granularity).cast("long")
+    val bucket = shiftrightunsigned(
+      HashExpressions.mix64(col(idCol).cast("long")), 1) % granularity
+    df.filter(wq > 0 && bucket < bp)
+  }
+
   def capPerGroup(
       df: DataFrame,
       idCol: String,

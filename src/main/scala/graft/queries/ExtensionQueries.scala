@@ -604,6 +604,30 @@ object ExtensionQueries {
     TextFunctions.lmScore(docs, docs.filter(col("doc_id") % 10 < 8), "doc_id", "text")
   }
 
+  /** Length-weighted corpus sampling toward 200 expected rows
+    * ([[graft.operators.Sampling.weightedSample]] with n_chars as
+    * the weight — longer documents proportionally likelier). */
+  private val qSampleWeighted: Q = (s, dir) =>
+    graft.operators.Sampling.weightedSample(
+      pq(s, dir, "documents"), "doc_id", "n_chars", targetRows = 200)
+      .select("doc_id", "n_chars")
+
+  /** RAG-style chunking: 40-token windows striding by 32 (8-token
+    * overlap) over every document ([[graft.operators.Packing.splitChunks]]). */
+  private val qPackSplit: Q = (s, dir) =>
+    graft.operators.Packing.splitChunks(pq(s, dir, "documents"), "doc_id", "text",
+      chunkTokens = 40, overlapTokens = 8)
+
+  /** Hourly ingest-volume anomalies per event type at 1.5σ
+    * ([[graft.operators.Profile.countAnomalies]] — the k is chosen so
+    * the near-uniform fixture still flags its tail hours; production
+    * monitors run 3σ). */
+  private val qEventsAnomaly: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = pq(s, dir, "events").withColumn("hour", expr("ts div 3600000000000"))
+    graft.operators.Profile.countAnomalies(ev, "event_type", "hour", k = 1.5)
+  }
+
   /** Fixed-point PageRank over the customer-nation → supplier-nation
     * trade graph (edge weight = lineitem count) — the link-graph
     * quality-weighting signal, here exercised on the densest graph the
@@ -663,6 +687,9 @@ object ExtensionQueries {
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_mix" -> qSampleMix,
     "q_sample_temperature" -> qSampleTemperature,
+    "q_sample_weighted" -> qSampleWeighted,
+    "q_pack_split" -> qPackSplit,
+    "q_events_anomaly" -> qEventsAnomaly,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_incremental_emb" -> qDedupIncrementalEmb,
     "q_dedup_components" -> qDedupComponents,
@@ -1358,6 +1385,65 @@ object ExtensionQueries {
        |SELECT s.doc_id, s.lang, s.quality FROM s JOIN thr ON s.lang = thr.lang
        |WHERE s.quality >= thr.t""".stripMargin
 
+  /** Mirrors [[qSampleWeighted]] (`Sampling.weightedSample`, scale
+    * 10000, granularity 10000, target 200): the usual SplitMix64
+    * bucket replay; the exact integer weight total is re-derived as
+    * a HUGEINT sum (== the engine's long sum), and the per-row rate
+    * repeats `targetRows · (wq / total)` in the identical double op
+    * order before the floor quantization. */
+  private val sampleWeightedSql: String = {
+    val wq = "CAST(round(n_chars * 10000) AS BIGINT)"
+    s"""WITH w0 AS MATERIALIZED (SELECT doc_id, n_chars, CAST(doc_id AS HUGEINT) AS x FROM documents),
+       |${HashSql.mixCtes("w", "w0", "doc_id, n_chars")},
+       |tot AS (SELECT CAST(SUM($wq) AS BIGINT) AS tq FROM documents)
+       |SELECT doc_id, n_chars FROM w4 m, tot
+       |WHERE $wq > 0 AND (m.x // 2) % 10000 <
+       |  CAST(floor(least(200.0 * (CAST($wq AS DOUBLE) / CAST(tq AS DOUBLE)), 1.0)
+       |       * 10000) AS BIGINT)""".stripMargin
+  }
+
+  /** Mirrors [[qPackSplit]] (`Packing.splitChunks(40, 8)`): identical
+    * tokenization (NO lowercasing — chunks preserve case), window
+    * starts 0, 32, 64, ... strictly below the token count, slices
+    * clamped at the tail in both engines. */
+  private val packSplitSql: String = {
+    val ws = graft.functions.TextFunctions.wsClass
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id AS id,
+       |    list_filter(regexp_split_to_array(text, '$ws+'), x -> x <> '') AS t
+       |  FROM documents)
+       |SELECT id, CAST(s // 32 AS BIGINT) AS chunk_idx,
+       |  list_aggregate(t[s+1:s+40], 'string_agg', ' ') AS chunk_text,
+       |  CAST(least(40, len(t) - s) AS BIGINT) AS n_tokens
+       |FROM toks, unnest(range(0, len(t), 32)) r(s)
+       |WHERE len(t) > 0""".stripMargin
+  }
+
+  /** Mirrors [[qEventsAnomaly]] (`Profile.countAnomalies`, k=1.5,
+    * hour = ts div 3600000000000 on raw nanos): exact long counts
+    * and squares per key, the identical cast-to-double mean/variance
+    * op order, and the squared-deviation comparison (no sqrt). */
+  private val eventsAnomalySql: String = {
+    val k2 = (1.5 * 1.5).toString
+    s"""WITH c AS (
+       |  SELECT event_type AS key, epoch_ns(ts) // 3600000000000 AS bucket,
+       |         count(*) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT key, count(*) AS nb, CAST(SUM(n_events) AS BIGINT) AS sc,
+       |         CAST(SUM(n_events * n_events) AS BIGINT) AS sc2
+       |  FROM c GROUP BY key)
+       |SELECT key, bucket, n_events, mean, variance FROM (
+       |  SELECT c.key, c.bucket, c.n_events,
+       |    CAST(sc AS DOUBLE) / CAST(nb AS DOUBLE) AS mean,
+       |    (CAST(nb AS DOUBLE) * CAST(sc2 AS DOUBLE)
+       |      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+       |      / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)) AS variance
+       |  FROM c JOIN st ON c.key = st.key) t
+       |WHERE (CAST(n_events AS DOUBLE) - mean) * (CAST(n_events AS DOUBLE) - mean)
+       |      > $k2 * variance""".stripMargin
+  }
+
   /** Mirrors [[qProfileCorr]] (`Profile.correlation`, scale=100):
     * identical cents quantization (round is half-away-from-zero in
     * both engines), HUGEINT sums == ExactCentsSum's exact two-long
@@ -1733,6 +1819,9 @@ object ExtensionQueries {
     "q_graph_pagerank" -> graphPagerankSql,
     "q_text_perplexity" -> textPerplexitySql,
     "q_profile_corr" -> profileCorrSql,
+    "q_sample_weighted" -> sampleWeightedSql,
+    "q_pack_split" -> packSplitSql,
+    "q_events_anomaly" -> eventsAnomalySql,
     "q_text_subwords" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${TextFunctions.subwordPattern}')) AS BIGINT)

@@ -924,6 +924,60 @@ class ExtensionSpec extends SparkSpec {
     assert((1 to 8).forall(i => math.abs(approx(i.toLong) - got(i.toLong)) <= 1))
   }
 
+  test("splitChunks: hand-computed overlapping windows; empty doc yields none; case preserved") {
+    val t = df("doc_id BIGINT, text STRING",
+      Row(1L, "A b c d e f g h i j"), // 10 tokens, chunk 4 step 3
+      Row(2L, "  \t "), // empty after tokenization
+      Row(3L, "solo"))
+    val got = graft.operators.Packing.splitChunks(t, "doc_id", "text",
+      chunkTokens = 4, overlapTokens = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, "A b c d", 4L),
+      (1L, 1L, "d e f g", 4L),
+      (1L, 2L, "g h i j", 4L),
+      (1L, 3L, "j", 1L),
+      (3L, 0L, "solo", 1L)))
+  }
+
+  test("weightedSample: rate-1 rows always kept, zero weight dropped, deterministic under re-layout") {
+    val rows = (1L to 400L).map(i =>
+      Row(i, if (i == 1) 0.0 else if (i <= 6) 1000.0 else 1.0))
+    val t = df("id BIGINT, w DOUBLE", rows: _*)
+    val got = graft.operators.Sampling.weightedSample(t, "id", "w", targetRows = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.contains(1L)) // zero weight never sampled
+    // w=1000 rows have rate = 50*1000/5394 >> 1 -> always kept
+    assert((2L to 6L).forall(got.contains))
+    // light rows keep ~ rate = 50*1/5394 ≈ 0.9% -> far fewer than half survive
+    val light = got.count(_ > 6L)
+    assert(light < 40, s"expected sparse light-row survival, got $light")
+    val again = graft.operators.Sampling.weightedSample(
+      t.repartition(7), "id", "w", targetRows = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
+
+  test("countAnomalies: flags exactly the spiked bucket at the hand-computed threshold") {
+    // key A: 9 buckets of 10 events + 1 bucket of 100 -> z(spike) = 3.0
+    // exactly; k=2.5 flags only the spike (and k=3 would not, strict >)
+    val rows =
+      (0 until 9).flatMap(b => Seq.fill(10)(Row("A", b.toLong))) ++
+        Seq.fill(100)(Row("A", 9L)) ++
+        Seq.fill(20)(Row("B", 0L)) // single-bucket key: variance 0, never flags
+    val t = df("k STRING, bucket BIGINT", rows: _*)
+    val got = graft.operators.Profile.countAnomalies(t, "k", "bucket", k = 2.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 1)
+    val (k0, b0, n0, mean0, var0) = got.head
+    assert(k0 == "A" && b0 == 9L && n0 == 100L)
+    assert(mean0 == 19.0 && var0 == 729.0)
+    val none = graft.operators.Profile.countAnomalies(t, "k", "bucket", k = 3.0)
+    assert(none.count() == 0) // z = 3.0 is NOT > 3.0
+  }
+
   test("correlation: exact +1/-1 on linear columns, NULL on constants, partitioning-invariant") {
     val t = df("x DOUBLE, y DOUBLE, z DOUBLE, k DOUBLE",
       Row(1.0, 2.0, 9.0, 5.0), Row(2.0, 4.0, 7.0, 5.0),
