@@ -254,6 +254,43 @@ object Profile {
     aggd.select(explode(out).as("p")).select("p.*")
   }
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * Spark's `hll_sketch_agg`) — the 100 TB form of the distinct
+    * profile: one fixed-size (2^lgK registers) sketch per group,
+    * buildable incrementally per ingest batch and UNIONABLE across
+    * batches/partitions without rescanning history — the property
+    * `approx_count_distinct` (estimate-only output) cannot give.
+    * Output: (group, sketch BINARY, estimate). Persist the sketch
+    * column; re-estimate after any [[mergeSketches]] union.
+    *
+    * No DuckDB oracle: the estimator is library-specific (its HLL
+    * differs from DataSketches). The ScalaTest pins the estimate
+    * against exact distinct counts and the union-vs-whole identity
+    * band instead. */
+  def distinctSketch(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK out of datasketches range: $lgK")
+    df.groupBy(col(groupCol))
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sketch"))
+      .withColumn("estimate", expr("hll_sketch_estimate(sketch)"))
+  }
+
+  /** Union previously-built HLL sketches (per group if `by` is given,
+    * else one global row) — the cross-batch / cross-shard merge. */
+  def mergeSketches(
+      sketches: DataFrame,
+      sketchCol: String = "sketch",
+      by: Seq[String] = Nil): DataFrame = {
+    val agg = expr(s"hll_union_agg($sketchCol)").as("sketch")
+    val merged =
+      if (by.isEmpty) sketches.agg(agg)
+      else sketches.groupBy(by.map(col): _*).agg(agg)
+    merged.withColumn("estimate", expr("hll_sketch_estimate(sketch)"))
+  }
+
   /** Count-anomaly detection over pre-bucketed observations: count
     * rows per (key, bucket), then flag the buckets whose count sits
     * more than `k` population standard deviations from the key's own

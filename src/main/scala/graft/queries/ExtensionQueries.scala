@@ -604,6 +604,18 @@ object ExtensionQueries {
     TextFunctions.lmScore(docs, docs.filter(col("doc_id") % 10 < 8), "doc_id", "text")
   }
 
+  /** Per-source distinct-fingerprint HLL sketches, estimated
+    * ([[graft.operators.Profile.distinctSketch]]). No SQL oracle —
+    * the DataSketches estimator has no DuckDB twin; the driver's
+    * rows-only check applies and ProfileSketchSpec pins the estimate
+    * band + merge identity against exact counts. */
+  private val qProfileHll: Q = (s, dir) =>
+    graft.operators.Profile.distinctSketch(
+      pq(s, dir, "documents")
+        .withColumn("fp", TextFunctions.fingerprint(col("text")).cast("string")),
+      "source", "fp")
+      .select(col("source"), col("estimate"))
+
   /** Length-weighted corpus sampling toward 200 expected rows
     * ([[graft.operators.Sampling.weightedSample]] with n_chars as
     * the weight — longer documents proportionally likelier). */
@@ -715,6 +727,7 @@ object ExtensionQueries {
     "q_profile_outliers" -> qProfileOutliers,
     "q_profile_buckets" -> qProfileBuckets,
     "q_profile_corr" -> qProfileCorr,
+    "q_profile_hll" -> qProfileHll,
     "q_zorder_value" -> qZorderValue,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_bigrams" -> qTextBigrams,

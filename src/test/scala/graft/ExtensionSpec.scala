@@ -959,6 +959,26 @@ class ExtensionSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("distinctSketch: estimates within 5% of exact, union matches whole-corpus build") {
+    val rows = (1L to 3000L).map(i => Row(i, s"g${i % 3}", s"v${i % 700}"))
+    val t = df("id BIGINT, g STRING, v STRING", rows: _*)
+    val perGroup = graft.operators.Profile.distinctSketch(t, "g", "v")
+    val est = perGroup.collect().map(r => r.getString(0) -> r.getLong(2).toDouble).toMap
+    val exact = t.groupBy("g").agg(countDistinct(col("v")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, d) =>
+      assert(math.abs(est(g) - d) / d < 0.05, s"group $g: est ${est(g)} vs exact $d")
+    }
+    // merged per-group sketches track the whole-corpus sketch estimate
+    val merged = graft.operators.Profile.mergeSketches(perGroup)
+      .collect().head.getLong(1).toDouble
+    val whole = graft.operators.Profile.distinctSketch(
+      t.withColumn("all", lit("all")), "all", "v")
+      .collect().head.getLong(2).toDouble
+    assert(math.abs(merged - whole) / whole < 0.02, s"merged $merged vs whole $whole")
+    assert(math.abs(merged - 700.0) / 700.0 < 0.05)
+  }
+
   test("countAnomalies: flags exactly the spiked bucket at the hand-computed threshold") {
     // key A: 9 buckets of 10 events + 1 bucket of 100 -> z(spike) = 3.0
     // exactly; k=2.5 flags only the spike (and k=3 would not, strict >)
