@@ -104,6 +104,37 @@ object Dedup {
         }: _*)).as(Seq("band_idx", "band_hash")))
   }
 
+  /** Band-bucket size census — the observability behind the
+    * `maxBucketSize` knob: the distribution of LSH bucket sizes
+    * ((bucket_size, n_buckets) histogram rows), run BEFORE a
+    * near-dup pass to see where the pair fan-out (Σ size²) would
+    * come from and where to set the cap. Buckets key on the RAW
+    * signature band slice (not its murmur band hash), so the census
+    * is exactly the collision structure the oracle replays —
+    * hash-collision-free by construction.
+    *
+    * Scale posture: same one-pass signature sweep as the dedup
+    * operators, shuffling (band_idx, 4-long slice) pairs; two
+    * map-side-combined aggregates; output is histogram-sized. */
+  def bucketCensus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sh = HashExpressions.shingleHashes(col(textCol), shingleN)
+    df.select(col(idCol).as("id"),
+        HashExpressions.minhashSignature(sh, numHashes).as("sig"))
+      .select(posexplode(array((0 until bands).map { j =>
+        slice(col("sig"), j * rowsPerBand + 1, rowsPerBand)
+      }: _*)).as(Seq("band_idx", "bv")))
+      .groupBy("band_idx", "bv").agg(count(lit(1)).as("bucket_size"))
+      .groupBy("bucket_size").agg(count(lit(1)).as("n_buckets"))
+  }
+
   def minhashPairs(
       df: DataFrame,
       idCol: String,

@@ -82,4 +82,43 @@ object Funnel {
         (col("__p") - col("__cohort")).as("period_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Item co-occurrence with lift — market-basket mining over any
+    * (group, item) observation stream: one row per unordered item
+    * pair seen together in at least one group, with
+    * `lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)` (> 1 ⇒ the
+    * pair co-occurs more than independence predicts). Counts are
+    * presence-based (distinct per group), the lift arithmetic is an
+    * exact-integer-to-double chain in one fixed op order — fully
+    * oracle-replayable, no logs (this is PMI's argument without the
+    * transcendental).
+    *
+    * Scale posture: the corpus collapses to DISTINCT (group, item)
+    * first — the self-join then fans out only per-group item-set
+    * squares. |items per group| is the knob: event-taxonomy or
+    * product-category cardinality (tens), never raw event volume.
+    * For heavy-tailed item sets, cap per-group items upstream
+    * ([[Sampling.capPerGroup]]) exactly like the dedup bucket cap.
+    * N (distinct groups) is one bounded driver scalar. */
+  def cooccurrenceLift(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String): DataFrame = {
+    val items = df.select(col(groupCol).as("__g"), col(itemCol).as("item")).distinct()
+    val nGroups = items.select("__g").distinct().count()
+    require(nGroups > 0, "no groups to mine")
+    val counts = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.__g") === col("b.__g") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(counts.select(col("item").as("item_a"), col("n_item").as("n_a")), "item_a")
+      .join(counts.select(col("item").as("item_b"), col("n_item").as("n_b")), "item_b")
+      .withColumn("lift",
+        (col("n_ab").cast("double") * lit(nGroups.toDouble)) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+      .select("item_a", "item_b", "n_ab", "lift")
+  }
 }

@@ -89,14 +89,24 @@ object Graph {
     val n = nodes.count()
     val teleport = ((dampDen - dampNum) * q) / (dampDen * n)
 
-    // Sources with out-edges, for the dangling-mass probe.
+    // Sources with out-edges, for the dangling-mass probe. When every
+    // node has an out-edge (the common strongly-out-connected case),
+    // the dangling mass is identically zero — skip the per-iteration
+    // scalar aggregate AND the eager per-iteration materialization:
+    // the whole iteration chain then executes as ONE job of chained
+    // shuffle stages over the persisted edge blocks instead of
+    // 2 jobs/pass (measured 3.3 s -> see BASELINE; the driver pays
+    // per-job overhead ~8x otherwise on small graphs).
     val srcSet = mat(e.select(col("src").as("node")).distinct(), eager = true)
+    val nDangling = n - srcSet.count()
 
     var ranks = mat(nodes.withColumn("rq", lit(q / n)))
     try {
       for (_ <- 1 to iterations) {
-        val dangling = ranks.join(srcSet, Seq("node"), "left_anti")
-          .agg(coalesce(sum(col("rq")), lit(0L))).head().getLong(0)
+        val dangling =
+          if (nDangling == 0) 0L
+          else ranks.join(srcSet, Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("rq")), lit(0L))).head().getLong(0)
         val perNodeDangling = dangling / n
         // `div` (not `/`): Spark's `/` on longs is double division;
         // integral truncating div == DuckDB's `//` for nonnegative
@@ -105,11 +115,14 @@ object Graph {
           .join(ranks.select(col("node").as("src"), col("rq")), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(expr("(rq * w) div wout")).as("s"))
+        // eager only when the NEXT pass needs a driver action anyway
+        // (the dangling aggregate); otherwise stay lazy — correctness
+        // is unaffected (linear lineage, single downstream consumer)
         val next = mat(nodes
           .join(contribs, Seq("node"), "left")
           .select(col("node"),
             expr(s"$teleport + ($dampNum * (coalesce(s, 0) + " +
-              s"$perNodeDangling)) div $dampDen").as("rq")), eager = true)
+              s"$perNodeDangling)) div $dampDen").as("rq")), eager = nDangling > 0)
         Dedup.release(ranks)
         ranks = next
       }

@@ -604,6 +604,44 @@ object ExtensionQueries {
     TextFunctions.lmScore(docs, docs.filter(col("doc_id") % 10 < 8), "doc_id", "text")
   }
 
+  /** Event-type co-occurrence lift per user
+    * ([[graft.operators.Funnel.cooccurrenceLift]] — market-basket
+    * mining; lift is PMI's ratio argument, kept transcendental-free
+    * so the oracle is exact). */
+  private val qEventsCooccur: Q = (s, dir) => {
+    // nanos TIMESTAMP column in the schema ⇒ the read needs the
+    // legacy long mapping even though ts is never selected
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.operators.Funnel.cooccurrenceLift(
+      pq(s, dir, "events"), "user_id", "event_type")
+  }
+
+  /** LSH band-bucket size histogram ([[Dedup.bucketCensus]] — the
+    * observability behind the maxBucketSize cap). */
+  private val qDedupBucketCensus: Q = (s, dir) =>
+    Dedup.bucketCensus(pq(s, dir, "documents"), "doc_id", "text")
+
+  /** ORC ingestion through the declarative transport (the
+    * [[qIngestCsv]] twin for the columnar format Spark reads
+    * natively; DuckDB has no ORC reader, so the oracle replays the
+    * transform over the parquet SOURCE the twin was derived from —
+    * content-identical by construction). */
+  private val qIngestOrc: Q = (s, dir) => {
+    val twin = s"$twinRoot/orctwin/${new java.io.File(dir).getName}"
+    pq(s, dir, "documents").select("doc_id", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").orc(s"$twin/documents.orc")
+    val io = new graft.sources.FormatDirIO(
+      s, originalDir = twin, targetDir = s"$twin/out", readFormat = "orc")
+    val plan = graft.plans.TransportPlan.of(
+      "docs_orc" -> graft.plans.TableMap(
+        originalTable = Some("documents"),
+        columns = Seq(
+          graft.plans.Rename("doc_id", "doc_id"),
+          graft.plans.Rename("src_tag", "source"),
+          graft.plans.Derived("n_chars_p1", col("n_chars") + 1))))
+    new graft.operators.Transportor(io, plan).frame("docs_orc")
+  }
+
   /** Per-source distinct-fingerprint HLL sketches, estimated
     * ([[graft.operators.Profile.distinctSketch]]). No SQL oracle —
     * the DataSketches estimator has no DuckDB twin; the driver's
@@ -702,6 +740,9 @@ object ExtensionQueries {
     "q_sample_weighted" -> qSampleWeighted,
     "q_pack_split" -> qPackSplit,
     "q_events_anomaly" -> qEventsAnomaly,
+    "q_events_cooccur" -> qEventsCooccur,
+    "q_dedup_bucket_census" -> qDedupBucketCensus,
+    "q_ingest_orc" -> qIngestOrc,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_incremental_emb" -> qDedupIncrementalEmb,
     "q_dedup_components" -> qDedupComponents,
@@ -1398,6 +1439,47 @@ object ExtensionQueries {
        |SELECT s.doc_id, s.lang, s.quality FROM s JOIN thr ON s.lang = thr.lang
        |WHERE s.quality >= thr.t""".stripMargin
 
+  /** Mirrors [[qEventsCooccur]] (`Funnel.cooccurrenceLift`): distinct
+    * (user, type) presence, pair counts via the ordered self-join,
+    * lift as the identical exact-integer-to-double chain. */
+  private val eventsCooccurSql: String =
+    """WITH it AS (SELECT DISTINCT user_id AS g, event_type AS item FROM events),
+      |ic AS (SELECT item, count(*) AS n_item FROM it GROUP BY item),
+      |ng AS (SELECT count(DISTINCT g) AS n FROM it),
+      |p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+      |      FROM it a JOIN it b ON a.g = b.g AND a.item < b.item GROUP BY 1, 2)
+      |SELECT item_a, item_b, n_ab,
+      |  (CAST(n_ab AS DOUBLE) * CAST((SELECT n FROM ng) AS DOUBLE)) /
+      |  (CAST(ca.n_item AS DOUBLE) * CAST(cb.n_item AS DOUBLE)) AS lift
+      |FROM p JOIN ic ca ON ca.item = p.item_a
+      |       JOIN ic cb ON cb.item = p.item_b""".stripMargin
+
+  /** Mirrors [[qDedupBucketCensus]] (`Dedup.bucketCensus`): the
+    * [[minhashPairsSql]] signature replay, then bucket sizes keyed on
+    * the raw band slices (the engine buckets on the same slices, so
+    * the histogram is collision-structure-identical). */
+  private val dedupBucketCensusSql: String = {
+    val (shingleN, numHashes, bands) = (3, 64, 16)
+    val rpb = numHashes / bands
+    val bandSelects = (0 until bands).map { j =>
+      s"SELECT doc_id, $j AS band_idx, sig[${j * rpb + 1}:${(j + 1) * rpb}] AS bv FROM sig"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents),
+       |sh AS MATERIALIZED (SELECT doc_id, ${HashSql.shingleHashes("ths", shingleN)} AS sh FROM ths),
+       |shx AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+       |salt AS (SELECT * FROM (VALUES ${HashSql.saltRows(numHashes, 42L)}) AS v(salt_idx, s)),
+       |mx0 AS MATERIALIZED (SELECT doc_id, salt_idx, ${HashSql.ux("h", "s")} AS x FROM shx CROSS JOIN salt),
+       |${HashSql.mixCtes("mx", "mx0", "doc_id, salt_idx")},
+       |sig AS MATERIALIZED (SELECT doc_id, list(mn ORDER BY salt_idx) AS sig FROM
+       |  (SELECT doc_id, salt_idx, min(${HashSql.toS("x")}) AS mn FROM mx4
+       |   GROUP BY doc_id, salt_idx) g GROUP BY doc_id),
+       |band AS MATERIALIZED ($bandSelects)
+       |SELECT bucket_size, CAST(count(*) AS BIGINT) AS n_buckets FROM (
+       |  SELECT band_idx, bv, count(*) AS bucket_size
+       |  FROM band GROUP BY band_idx, bv) g
+       |GROUP BY bucket_size""".stripMargin
+  }
+
   /** Mirrors [[qSampleWeighted]] (`Sampling.weightedSample`, scale
     * 10000, granularity 10000, target 200): the usual SplitMix64
     * bucket replay; the exact integer weight total is re-derived as
@@ -1835,6 +1917,10 @@ object ExtensionQueries {
     "q_sample_weighted" -> sampleWeightedSql,
     "q_pack_split" -> packSplitSql,
     "q_events_anomaly" -> eventsAnomalySql,
+    "q_events_cooccur" -> eventsCooccurSql,
+    "q_dedup_bucket_census" -> dedupBucketCensusSql,
+    "q_ingest_orc" ->
+      "SELECT doc_id, source AS src_tag, n_chars + 1 AS n_chars_p1 FROM documents",
     "q_text_subwords" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${TextFunctions.subwordPattern}')) AS BIGINT)

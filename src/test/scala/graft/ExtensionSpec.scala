@@ -959,6 +959,28 @@ class ExtensionSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("cooccurrenceLift: hand-computed lift; presence-based (duplicates ignored); no self-pairs") {
+    val t = df("u BIGINT, item STRING",
+      Row(1L, "a"), Row(1L, "b"), Row(1L, "a"), // duplicate (1,a) must not double-count
+      Row(2L, "a"), Row(2L, "b"),
+      Row(3L, "a"),
+      Row(4L, "c"))
+    val got = graft.operators.Funnel.cooccurrenceLift(t, "u", "item")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 1) // only (a,b) ever co-occurs
+    val (a, b, nab, lift) = got.head
+    assert(a == "a" && b == "b" && nab == 2L)
+    assert(lift == 2.0 * 4.0 / (3.0 * 2.0)) // n_ab·N / (n_a·n_b)
+  }
+
+  test("bucketCensus: histogram mass equals bands x docs; duplicate docs land in shared buckets") {
+    val hist = Dedup.bucketCensus(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // size -> n_buckets
+    assert(hist.map { case (size, n) => size * n }.sum == 16L * 5)
+    // docs 1 and 4 are identical => every band has at least one bucket of size >= 2
+    assert(hist.keys.max >= 2L)
+  }
+
   test("distinctSketch: estimates within 5% of exact, union matches whole-corpus build") {
     val rows = (1L to 3000L).map(i => Row(i, s"g${i % 3}", s"v${i % 700}"))
     val t = df("id BIGINT, g STRING, v STRING", rows: _*)
