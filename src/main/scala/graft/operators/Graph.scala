@@ -58,7 +58,8 @@ object Graph {
       iterations: Int = 8,
       dampNum: Long = 85,
       dampDen: Long = 100,
-      scaleBits: Int = 34): DataFrame = {
+      scaleBits: Int = 34,
+      seeds: Seq[Long] = Nil): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0, 1]")
     require(scaleBits >= 10 && scaleBits <= 40, "scaleBits out of range")
@@ -87,7 +88,17 @@ object Graph {
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct(), eager = true)
     val n = nodes.count()
-    val teleport = ((dampDen - dampNum) * q) / (dampDen * n)
+    require(n > 0, "empty graph")
+    // Personalized (topic-sensitive) PageRank: a non-empty seed set
+    // receives ALL teleport and dangling mass ((1-d)/|S| to each
+    // seed, 0 elsewhere) — ranks then measure proximity to the
+    // seeds. Empty seeds = classic uniform teleport. The seed list
+    // is a driver-side literal by design (seed sets are query-sized);
+    // both the engine and the oracle inline the same IN-list.
+    val nTeleport = if (seeds.isEmpty) n else seeds.size.toLong
+    val teleport = ((dampDen - dampNum) * q) / (dampDen * nTeleport)
+    val isSeed: org.apache.spark.sql.Column =
+      if (seeds.isEmpty) lit(true) else col("node").isin(seeds: _*)
 
     // Sources with out-edges, for the dangling-mass probe. When every
     // node has an out-edge (the common strongly-out-connected case),
@@ -107,7 +118,7 @@ object Graph {
           if (nDangling == 0) 0L
           else ranks.join(srcSet, Seq("node"), "left_anti")
             .agg(coalesce(sum(col("rq")), lit(0L))).head().getLong(0)
-        val perNodeDangling = dangling / n
+        val perNodeDangling = dangling / nTeleport
         // `div` (not `/`): Spark's `/` on longs is double division;
         // integral truncating div == DuckDB's `//` for nonnegative
         // operands, which every value here is.
@@ -120,9 +131,12 @@ object Graph {
         // is unaffected (linear lineage, single downstream consumer)
         val next = mat(nodes
           .join(contribs, Seq("node"), "left")
+          .withColumn("__tp", when(isSeed, lit(teleport)).otherwise(lit(0L)))
+          .withColumn("__dg", when(isSeed, lit(perNodeDangling)).otherwise(lit(0L)))
           .select(col("node"),
-            expr(s"$teleport + ($dampNum * (coalesce(s, 0) + " +
-              s"$perNodeDangling)) div $dampDen").as("rq")), eager = nDangling > 0)
+            expr(s"__tp + ($dampNum * (coalesce(s, 0) + __dg)) div $dampDen")
+              .as("rq")),
+          eager = nDangling > 0)
         Dedup.release(ranks)
         ranks = next
       }

@@ -81,4 +81,36 @@ object Packing {
       .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("c.chunk_text"), col("c.n_tokens"))
   }
+
+  /** Deterministic weight-balanced sharding: rows ranked by
+    * (weight desc, id asc) and dealt SERPENTINE across `numShards`
+    * (0..n-1 then n-1..0 — the boustrophedon deal, which cancels the
+    * round-robin bias that hands shard 0 the heaviest row of every
+    * round). The greedy-LPT family: shard loads land within one
+    * max-weight of each other. Output: (id, weight, shard).
+    *
+    * Scale posture: ranking needs a TOTAL order on weight, so the
+    * window runs per `groupCol` partition (shard within shard-group —
+    * the production shape, same argument as [[concatChunks]]); the
+    * single-group default inherits the q_ordered_scan global-sort
+    * caveat and is meant for driver-scale row counts (model shards,
+    * file manifests), not corpora. */
+  def balancedShards(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      numShards: Int,
+      groupCol: Option[String] = None): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val w = groupCol
+      .map(g => Window.partitionBy(col(g)))
+      .getOrElse(Window.partitionBy())
+      .orderBy(col(weightCol).desc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w).cast("long") - 1)
+      .withColumn("shard", expr(
+        s"CASE WHEN ((__rn div $numShards) % 2) = 0 THEN __rn % $numShards " +
+          s"ELSE ${numShards - 1} - (__rn % $numShards) END"))
+      .select(col(idCol).as("id") +: groupCol.map(col).toSeq :+
+        col(weightCol).as("weight") :+ col("shard"): _*)
+  }
 }

@@ -683,8 +683,10 @@ object ExtensionQueries {
     * quality-weighting signal, here exercised on the densest graph the
     * fixtures induce. All-integer recurrence, so the oracle replays
     * it without any float tolerance ([[graft.operators.Graph]]). */
-  private val qGraphPagerank: Q = (s, dir) => {
-    val edges = pq(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+  /** The customer-nation → supplier-nation trade graph shared by both
+    * rank queries (edge weight = lineitem count). */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       .join(pq(s, dir, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .join(pq(s, dir, "customer").select("c_custkey", "c_nationkey"),
@@ -693,8 +695,24 @@ object ExtensionQueries {
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
-    graft.operators.Graph.pageRank(edges, weightCol = Some("w"))
-  }
+
+  private val qGraphPagerank: Q = (s, dir) =>
+    graft.operators.Graph.pageRank(tradeEdges(s, dir), weightCol = Some("w"))
+
+  private val pprSeeds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+
+  /** Personalized PageRank from nations 0-4: all teleport/dangling
+    * mass returns to the seed set, so ranks measure trade proximity
+    * to those five economies. */
+  private val qGraphPpr: Q = (s, dir) =>
+    graft.operators.Graph.pageRank(tradeEdges(s, dir), weightCol = Some("w"),
+      seeds = pprSeeds)
+
+  /** Serpentine weight-balanced sharding of each language's documents
+    * into 4 shards by n_chars ([[graft.operators.Packing.balancedShards]]). */
+  private val qPackShards: Q = (s, dir) =>
+    graft.operators.Packing.balancedShards(pq(s, dir, "documents"),
+      "doc_id", "n_chars", numShards = 4, groupCol = Some("lang"))
 
   // -------------------------------------------------------------- multimodal
 
@@ -774,6 +792,8 @@ object ExtensionQueries {
     "q_text_bigrams" -> qTextBigrams,
     "q_events_retention" -> qEventsRetention,
     "q_graph_pagerank" -> qGraphPagerank,
+    "q_graph_ppr" -> qGraphPpr,
+    "q_pack_shards" -> qPackShards,
     "q_text_perplexity" -> qTextPerplexity,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode)
@@ -1608,16 +1628,40 @@ object ExtensionQueries {
     * on the same 64-bit type the engine carries (values are bounded
     * by Q·max(wout) by construction, so the casts never truncate).
     * The final double view divides by a power of two — exact. */
-  private val graphPagerankSql: String = {
+  private val graphPagerankSql: String = graphRankSql(None)
+
+  /** Both rank oracles share the generator; `seeds = Some(S)` emits
+    * the personalized form — teleport and dangling mass routed to the
+    * IN-list seeds with |S| as the divisor, matching the engine's
+    * literal-seeded arithmetic. */
+  private def graphRankSql(seeds: Option[Seq[Long]]): String = {
     val q = 1L << 34
+    // classic: teleport/divisor derived from the node count in-query;
+    // seeded: both are exact integer literals (the engine inlines the
+    // identical driver-computed values)
+    val (tpExpr, dangDiv) = seeds match {
+      case None =>
+        ("(SELECT t FROM params)", "(SELECT n FROM params)")
+      case Some(ss) =>
+        val tp = (15L * q) / (100L * ss.size)
+        val inList = ss.mkString(", ")
+        (s"CASE WHEN n.node IN ($inList) THEN $tp ELSE 0 END", s"${ss.size}")
+    }
+    val dangTerm = seeds match {
+      case None => s"(SELECT dang FROM d__K) // $dangDiv"
+      case Some(ss) =>
+        s"CASE WHEN n.node IN (${ss.mkString(", ")}) " +
+          s"THEN (SELECT dang FROM d__K) // $dangDiv ELSE 0 END"
+    }
     val iters = (1 to 8).map { k =>
+      val dt = dangTerm.replace("d__K", s"d$k")
       s"""d$k AS MATERIALIZED (
          |  SELECT CAST(COALESCE(SUM(rq), 0) AS BIGINT) AS dang FROM r${k - 1}
          |  WHERE node NOT IN (SELECT src FROM ew)),
          |r$k AS MATERIALIZED (
          |  SELECT n.node,
-         |    (SELECT t FROM params) + (85 * (COALESCE(s.s, 0) +
-         |      (SELECT dang FROM d$k) // (SELECT n FROM params))) // 100 AS rq
+         |    $tpExpr + (85 * (COALESCE(s.s, 0) +
+         |      $dt)) // 100 AS rq
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS node, CAST(SUM((r.rq * e.w) // e.wout) AS BIGINT) AS s
          |    FROM ew e JOIN r${k - 1} r ON r.node = e.src GROUP BY e.dst) s
@@ -1912,6 +1956,14 @@ object ExtensionQueries {
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_dedup_components" -> dedupComponentsSql,
     "q_graph_pagerank" -> graphPagerankSql,
+    "q_graph_ppr" -> graphRankSql(Some(pprSeeds)),
+    "q_pack_shards" ->
+      """SELECT doc_id AS id, lang, n_chars AS weight,
+        |  CASE WHEN ((rn // 4) % 2) = 0 THEN rn % 4 ELSE 3 - (rn % 4) END AS shard
+        |FROM (SELECT doc_id, lang, n_chars,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY n_chars DESC, doc_id ASC) - 1 AS rn
+        |      FROM documents) t""".stripMargin,
     "q_text_perplexity" -> textPerplexitySql,
     "q_profile_corr" -> profileCorrSql,
     "q_sample_weighted" -> sampleWeightedSql,

@@ -959,6 +959,18 @@ class ExtensionSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("balancedShards: serpentine deal matches hand assignment; loads stay within one max weight") {
+    val t = df("id BIGINT, w BIGINT",
+      (1L to 8L).map(i => Row(i, 11L - i)): _*) // weights 10,9,...,3
+    val got = graft.operators.Packing.balancedShards(t, "id", "w", numShards = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // ranks 0..7 -> rounds (0,1,2)(2,1,0)(0,1): hand-dealt serpentine
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 1L, 6L -> 0L, 7L -> 0L, 8L -> 1L))
+    val loads = (1L to 8L).groupBy(got).view.mapValues(_.map(11L - _).sum)
+    assert(loads.values.max - loads.values.min <= 10) // within one max weight
+  }
+
   test("cooccurrenceLift: hand-computed lift; presence-based (duplicates ignored); no self-pairs") {
     val t = df("u BIGINT, item STRING",
       Row(1L, "a"), Row(1L, "b"), Row(1L, "a"), // duplicate (1,a) must not double-count

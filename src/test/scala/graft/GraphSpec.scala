@@ -62,6 +62,24 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("personalized PageRank: teleport mass returns to seeds; unreachable nodes drain to zero") {
+    // 0 <-> 1 strongly connected; 2 points in but is unreachable from
+    // the seeds, so with teleport pinned to {0, 1} its rank must die.
+    val g = edges((0L, 1L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+    val r = Graph.pageRank(g, weightCol = Some("w"), iterations = 20,
+      seeds = Seq(0L, 1L))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val q = 1L << 34
+    assert(r(2L) == 0L, s"unreachable non-seed kept rank ${r(2L)}")
+    assert(r(0L) > 0L && r(1L) > 0L)
+    // all mass concentrates on the seed cycle (floor loss only)
+    assert(r(0L) + r(1L) > q - 20L * 3 * 3)
+    // classic (unseeded) run keeps node 2 at its teleport floor instead
+    val classic = Graph.pageRank(g, weightCol = Some("w"), iterations = 20)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(classic(2L) > 0L)
+  }
+
   test("unweighted default counts each edge once; self-loops are honored") {
     val g = df("src BIGINT, dst BIGINT", Row(1L, 1L), Row(1L, 2L), Row(2L, 1L))
     val r = Graph.pageRank(g, iterations = 6)
