@@ -73,10 +73,37 @@ class PlanGuardSpec extends SparkSpec {
     // shuffling every input row — invisible at sf0.01, fatal at 100 TB
     Seq("q_agg_group", "q_refers_agg", "q_events_hourly", "q_rollup",
       "q_span_dupes", "q_text_bigrams", "q_dedup_containment",
-      "q_events_retention", "q_events_session_stats").foreach { name =>
+      "q_events_retention", "q_events_session_stats",
+      "q_text_perplexity", "q_profile_corr", "q_events_cooccur").foreach { name =>
       val plan = planOf(name)
       assert(plan.contains("partial_"),
         s"$name: no partial aggregation stage in plan\n$plan")
+    }
+  }
+
+  test("lmScore joins its model by broadcast — the corpus never shuffles for lookups") {
+    // the 100 TB contract: the bigram/context tables are
+    // tokenizer-scale and must broadcast; a SortMergeJoin here means
+    // the full exploded gram stream hash-partitions twice
+    val plan = planOf("q_text_perplexity")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_text_perplexity: model lookup is not broadcast\n$plan")
+    val shuffled = plan.linesIterator
+      .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      .toSeq
+    assert(shuffled.isEmpty,
+      s"q_text_perplexity: shuffle-partitioned join planned: $shuffled")
+  }
+
+  test("rate samplers stay zero-shuffle projections") {
+    // weightedSample's keep decision is per-row arithmetic; ANY
+    // Exchange in the plan means the sampler started shuffling the
+    // corpus (the property that makes it free at 100 TB)
+    Seq("q_sample_weighted", "q_sample_split", "q_sample_stratified").foreach { name =>
+      val plan = planOf(name)
+      val exchanges = plan.linesIterator.map(_.trim)
+        .filter(l => l.matches("""\(\d+\) Exchange.*""")).toSeq
+      assert(exchanges.isEmpty, s"$name: sampler plans a shuffle: $exchanges\n$plan")
     }
   }
 }
