@@ -591,13 +591,12 @@ object Similarity {
     * small ints (m bytes at ksub <= 256) replace dim floats — a
     * 32× compression at the default 64-dim/8-subspace/16-codeword
     * setup — and the scan-shaped encode never shuffles. */
-  def pqEncode(
-      df: DataFrame,
-      idCol: String,
-      vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+  /** The PQ argmin-encode as a closure UDF (the [[assignCellUdf]]
+    * rationale: m·ksub·ds literal expression nodes would bloat
+    * codegen). */
+  private def encodeUdf(codebooks: Array[Array[Array[Double]]]) = {
     val cb = codebooks
-    val enc = udf { (vec: Seq[Float]) =>
+    udf { (vec: Seq[Float]) =>
       val m = cb.length; val ds = cb(0)(0).length
       Array.tabulate(m) { j =>
         var best = 0; var bestD = Double.MaxValue; var c = 0
@@ -612,8 +611,14 @@ object Similarity {
         best
       }
     }
-    df.select(col(idCol).as("id"), enc(col(vecCol)).as("code"))
   }
+
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(idCol).as("id"), encodeUdf(codebooks)(col(vecCol)).as("code"))
 
   /** PQ ANN top-k by asymmetric distance computation: train codebooks
     * on the id-ordered sample, encode the corpus, then score every
@@ -671,5 +676,66 @@ object Similarity {
       .select(col("id"), score(col("code")).as("approx_cos"))
       .orderBy(col("approx_cos").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** IVF-PQ batch retrieval — the production ANN index shape (FAISS
+    * IVFPQ): the coarse quantizer prunes each query to its `nprobe`
+    * cells, and candidates are scored from their PQ CODES — the
+    * corpus side of the join carries (id, cell, m-byte code), never
+    * the vectors. Per query: window top-k by the same ADC
+    * approximate cosine as [[pqTopK]] (identical fold order, so a
+    * one-cell/one-query degenerate setup reproduces it exactly).
+    *
+    * Scale posture: one equi-join on cell between query-probe rows
+    * (|Q|·nprobe) and the code-only index; per-pair work is
+    * O(dim) in the scoring UDF but over the PRUNED candidate set,
+    * and the shuffled candidate payload is the 8-byte id + m codes —
+    * the vectors stay in the scan. Exact re-rank of the shortlist =
+    * join ids back to vectors ([[bruteForceTopK]] shape). */
+  def ivfPqTopKBatch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int): DataFrame = {
+    val np = math.min(nprobe, centroids.length)
+    val cb = codebooks
+    val ds = cb(0)(0).length
+    val qSide = queries.select(
+      col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"),
+      explode(probeCellsUdf(centroids, np)(col(queryVecCol))).as("__cell"))
+    val cSide = corpus.select(
+      col(idCol).as("id"),
+      assignCellUdf(centroids)(col(vecCol)).as("__cell"),
+      encodeUdf(cb)(col(vecCol)).as("__code"))
+    // ADC per pair, [[pqTopK]]'s exact fold order: per-subspace dot /
+    // norm folds (dims ascending), then subspace-ascending sums
+    val score = udf { (qvec: Seq[Float], code: Seq[Int]) =>
+      var qn2 = 0.0; var i = 0
+      while (i < qvec.length) { val x = qvec(i).toDouble; qn2 += x * x; i += 1 }
+      var dot = 0.0; var nx = 0.0; var j = 0
+      while (j < code.length) {
+        val cw = cb(j)(code(j))
+        var dj = 0.0; var nj = 0.0; var d = 0
+        while (d < ds) {
+          dj += qvec(j * ds + d).toDouble * cw(d); nj += cw(d) * cw(d); d += 1
+        }
+        dot += dj; nx += nj; j += 1
+      }
+      if (nx > 0.0) dot / (math.sqrt(qn2) * math.sqrt(nx)) else 0.0
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_cos").desc, col("id").asc)
+    qSide.join(cSide, "__cell")
+      .select(col("query_id"), col("id"),
+        score(col("__qvec"), col("__code")).as("approx_cos"))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .select("query_id", "id", "approx_cos")
   }
 }

@@ -378,6 +378,23 @@ object ExtensionQueries {
     Similarity.pqTopK(pq(s, dir, "embeddings").filter(col("vec_id") =!= 0),
       "vec_id", "embedding", queryVec(s, dir), k = 10)
 
+  /** IVF-PQ batch retrieval: sample-Lloyd coarse cells prune each
+    * query to 2 of 8 cells; candidates score from their PQ codes only
+    * ([[Similarity.ivfPqTopKBatch]] — the FAISS-IVFPQ shape). Same
+    * query/corpus split as q_sim_batch_topk. */
+  private val qSimIvfPqBatch: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val sample = corpus.orderBy(col("vec_id").asc).limit(256)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val cents = Similarity.refineCentroids(sample, 8, 2)
+    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8)
+    Similarity.ivfPqTopKBatch(queries, corpus, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, cents, cb, nprobe = 2)
+  }
+
   private val qSimBruteTopK: Q = (s, dir) =>
     Similarity.bruteForceTopK(pq(s, dir, "embeddings").filter(col("vec_id") =!= 0),
       "vec_id", "embedding", queryVec(s, dir), k = 10)
@@ -766,6 +783,7 @@ object ExtensionQueries {
     "q_dedup_components" -> qDedupComponents,
     "q_sim_brute_topk" -> qSimBruteTopK,
     "q_sim_pq_topk" -> qSimPqTopK,
+    "q_sim_ivfpq_batch" -> qSimIvfPqBatch,
     "q_sim_lsh_topk" -> qSimLshTopK,
     "q_sim_ivf_topk" -> qSimIvfTopK,
     "q_sim_ivf_distributed" -> qSimIvfDistributed,
@@ -1061,6 +1079,125 @@ object ExtensionQueries {
        |  THEN dt / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(nx)) ELSE 0.0 END AS approx_cos
        |FROM sc, q
        |ORDER BY approx_cos DESC, id ASC LIMIT 10""".stripMargin
+  }
+
+  /** Mirrors [[qSimIvfPqBatch]] (`Similarity.ivfPqTopKBatch`, coarse
+    * 8 cells nprobe 2, PQ m=8 ksub=16): the [[simIvfTopkSql]]
+    * cosine-Lloyd chain (coarse, `cents*`) and the [[simPqTopkSql]]
+    * per-subspace L2 chain (`pcents*`) run over the SAME id-ordered
+    * sample; corpus rows carry (cell, code), queries probe their top-2
+    * cells, and the joined candidates score by the identical ADC
+    * folds. */
+  private val simIvfPqBatchSql: String = {
+    val (nlist, iters, k, nprobe) = (8, 2, 5, 2)
+    val m = 8; val ds = DIM / m; val ksub = 16
+    def l2(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${ds + 1}), i -> " +
+        s"($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)"
+    def coarseIter(i: Int): String = {
+      val prev = s"cents${i - 1}"
+      s"""cassign$i AS (
+         |  SELECT id, vec, cell FROM (
+         |    SELECT s.id, s.vec, c.cell,
+         |      row_number() OVER (PARTITION BY s.id
+         |        ORDER BY ${cosineFusedSql("s.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+         |    FROM samp s CROSS JOIN $prev c) t WHERE rn = 1),
+         |cupd$i AS (
+         |  SELECT cell,
+         |    list_transform(range(1, ${DIM + 1}), d ->
+         |      list_reduce(list_transform(vecs, v -> CAST(v[d] AS DOUBLE)),
+         |                  (x, y) -> x + y) / len(vecs)) AS cvec
+         |  FROM (SELECT cell, list(vec ORDER BY id) AS vecs
+         |        FROM cassign$i GROUP BY cell) g),
+         |cents$i AS (
+         |  SELECT p.cell, COALESCE(u.cvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN cupd$i u ON p.cell = u.cell)""".stripMargin
+    }
+    def pqIter(i: Int): String = {
+      val prev = s"pcents${i - 1}"
+      s"""passign$i AS (
+         |  SELECT id, j, sv, cell FROM (
+         |    SELECT s.id, s.j, s.sv, c.cell,
+         |      row_number() OVER (PARTITION BY s.id, s.j
+         |        ORDER BY ${l2("s.sv", "c.cvec")} ASC, c.cell ASC) AS rn
+         |    FROM psub s JOIN $prev c ON s.j = c.j) t WHERE rn = 1),
+         |pupd$i AS (
+         |  SELECT j, cell,
+         |    list_transform(range(1, ${ds + 1}), d ->
+         |      list_reduce(list_prepend(0.0, list_transform(svs, v -> v[d])),
+         |                  (x, y) -> x + y) / len(svs)) AS cvec
+         |  FROM (SELECT j, cell, list(sv ORDER BY id) AS svs
+         |        FROM passign$i GROUP BY j, cell) g),
+         |pcents$i AS (
+         |  SELECT p.j, p.cell, COALESCE(u.cvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN pupd$i u ON p.j = u.j AND p.cell = u.cell)""".stripMargin
+    }
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 6),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+       |samp AS (SELECT id, vec FROM corpus ORDER BY id LIMIT 256),
+       |cents0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
+       |                  list_transform(vec, x -> CAST(x AS DOUBLE)) AS cvec
+       |           FROM (SELECT id, vec FROM samp ORDER BY id LIMIT $nlist) t),
+       |${(1 to iters).map(coarseIter).mkString(",\n")},
+       |psub AS MATERIALIZED (
+       |  SELECT id, j, list_transform(range(1, ${ds + 1}), i ->
+       |    CAST(vec[j * $ds + i] AS DOUBLE)) AS sv
+       |  FROM samp, unnest(range(0, $m)) r(j)),
+       |pcents0 AS (
+       |  SELECT j, row_number() OVER (PARTITION BY j ORDER BY id) - 1 AS cell,
+       |         sv AS cvec
+       |  FROM psub QUALIFY row_number() OVER (PARTITION BY j ORDER BY id) <= $ksub),
+       |${(1 to iters).map(pqIter).mkString(",\n")},
+       |assigned AS MATERIALIZED (
+       |  SELECT id, cell FROM (
+       |    SELECT e.id, c.cell,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+       |    FROM corpus e CROSS JOIN cents$iters c) t WHERE rn = 1),
+       |csub AS MATERIALIZED (
+       |  SELECT id, j, list_transform(range(1, ${ds + 1}), i ->
+       |    CAST(vec[j * $ds + i] AS DOUBLE)) AS sv
+       |  FROM corpus, unnest(range(0, $m)) r(j)),
+       |enc AS MATERIALIZED (
+       |  SELECT id, j, cell FROM (
+       |    SELECT s.id, s.j, c.cell,
+       |      row_number() OVER (PARTITION BY s.id, s.j
+       |        ORDER BY ${l2("s.sv", "c.cvec")} ASC, c.cell ASC) AS rn
+       |    FROM csub s JOIN pcents$iters c ON s.j = c.j) t WHERE rn = 1),
+       |probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosineFusedSql("q.qv", "c.cvec")} DESC, c.cell ASC) AS rn
+       |    FROM qs q CROSS JOIN cents$iters c) t WHERE rn <= $nprobe),
+       |pairs AS (
+       |  SELECT p.qid, a.id FROM probe p JOIN assigned a ON a.cell = p.cell),
+       |terms AS (
+       |  SELECT pr.qid, pr.id, e.j,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${ds + 1}), i ->
+       |      CAST(q.qv[e.j * $ds + i] AS DOUBLE) * c.cvec[i])), (x, y) -> x + y) AS dj,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${ds + 1}), i ->
+       |      c.cvec[i] * c.cvec[i])), (x, y) -> x + y) AS nj
+       |  FROM pairs pr
+       |  JOIN enc e ON e.id = pr.id
+       |  JOIN pcents$iters c ON c.j = e.j AND c.cell = e.cell
+       |  JOIN qs q ON q.qid = pr.qid),
+       |sc AS (
+       |  SELECT qid, id,
+       |    list_reduce(list_prepend(0.0, list(dj ORDER BY j)), (x, y) -> x + y) AS dt,
+       |    list_reduce(list_prepend(0.0, list(nj ORDER BY j)), (x, y) -> x + y) AS nx
+       |  FROM terms GROUP BY qid, id)
+       |SELECT query_id, id, approx_cos FROM (
+       |  SELECT s.qid AS query_id, s.id,
+       |    CASE WHEN s.nx > 0.0
+       |      THEN s.dt / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(s.nx)) ELSE 0.0 END
+       |      AS approx_cos,
+       |    row_number() OVER (PARTITION BY s.qid
+       |      ORDER BY CASE WHEN s.nx > 0.0
+       |        THEN s.dt / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(s.nx)) ELSE 0.0 END
+       |        DESC, s.id ASC) AS rn
+       |  FROM sc s JOIN qs q ON q.qid = s.qid) t
+       |WHERE rn <= $k""".stripMargin
   }
 
   /** Mirrors `Similarity.kmeansCentroidsDistributed(nlist=8, iters=2,
@@ -1982,6 +2119,7 @@ object ExtensionQueries {
     "q_sim_lsh_topk" -> simLshTopkSql,
     "q_sim_ivf_topk" -> simIvfTopkSql,
     "q_sim_pq_topk" -> simPqTopkSql,
+    "q_sim_ivfpq_batch" -> simIvfPqBatchSql,
     "q_sim_ivf_distributed" -> simIvfDistributedSql,
     "q_sim_batch_topk" -> simBatchTopkSql,
     "q_sim_lsh_batch" -> simLshBatchSql,

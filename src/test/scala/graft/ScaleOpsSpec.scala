@@ -327,4 +327,30 @@ class ScaleOpsSpec extends SparkSpec {
     val recall = (got intersect brute).size.toDouble / brute.size
     assert(recall >= 0.25, s"PQ recall $recall not decisively above chance")
   }
+
+  test("IVF-PQ batch with all cells probed reproduces single-query PQ scoring exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val pts = (0 until 200).map { i =>
+      (i.toLong + 1, Array.tabulate(dim)(d =>
+        (rnd.nextGaussian() + (if (i % 2 == d % 2) 3.0 else 0.0)).toFloat).toSeq)
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") > 1)
+    val oneQ = emb.filter(col("vec_id") === 1)
+    val qv = oneQ.select("embedding").head().getSeq[Float](0).toArray
+    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, ksub = 8)
+    val sample = corpus.orderBy(col("vec_id").asc).limit(256)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val cents = Similarity.refineCentroids(sample, 4, 2)
+    // nprobe = nlist => no pruning => identical ADC ranking to pqTopK
+    val batch = Similarity.ivfPqTopKBatch(oneQ, corpus, "vec_id", "embedding",
+      "vec_id", "embedding", k = 10, cents, cb, nprobe = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val single = Similarity.pqTopK(corpus, "vec_id", "embedding", qv, 10,
+      m = 4, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(batch == single, s"\nbatch:  $batch\nsingle: $single")
+  }
 }
