@@ -642,7 +642,8 @@ object Similarity {
       m: Int = 8,
       ksub: Int = 16,
       refineIters: Int = 2,
-      sampleSize: Int = 256): DataFrame = {
+      sampleSize: Int = 256,
+      rerank: Int = 0): DataFrame = {
     val cb = pqCodebooks(df, idCol, vecCol, m, ksub, refineIters, sampleSize)
     val q = query.map(_.toDouble)
     val ds = q.length / m
@@ -672,10 +673,25 @@ object Similarity {
       }
       if (nx > 0.0) dot / (qn * math.sqrt(nx)) else 0.0
     }
-    pqEncode(df, idCol, vecCol, cb)
+    val adcTopK = pqEncode(df, idCol, vecCol, cb)
       .select(col("id"), score(col("code")).as("approx_cos"))
       .orderBy(col("approx_cos").desc, col("id").asc)
-      .limit(k)
+      .limit(if (rerank <= 0) k else k * rerank)
+    if (rerank <= 0) adcTopK
+    else {
+      // exact re-rank of the ADC shortlist: the candidate ids are a
+      // bounded driver list (k·rerank), so the vector read is an
+      // IN-filtered scan — pushdown-pruned, no join, no shuffle —
+      // and the final order is TRUE cosine. This is the production
+      // recall recipe: PQ narrows, exact cosine decides.
+      val ids = adcTopK.select("id").collect().map(_.getLong(0)).toSeq
+      val qLit = array(query.map(v => lit(v.toDouble)).toIndexedSeq: _*)
+      df.filter(col(idCol).isin(ids: _*))
+        .select(col(idCol).as("id"),
+          SimilarityFunctions.cosine(col(vecCol), qLit).as("cosine"))
+        .orderBy(col("cosine").desc, col("id").asc)
+        .limit(k)
+    }
   }
 
   /** IVF-PQ batch retrieval — the production ANN index shape (FAISS

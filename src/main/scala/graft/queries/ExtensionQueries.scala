@@ -395,6 +395,12 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 5, cents, cb, nprobe = 2)
   }
 
+  /** PQ narrow + exact decide: ADC shortlist of 40, true-cosine
+    * top-10 (`pqTopK(rerank = 4)`). */
+  private val qSimPqRerank: Q = (s, dir) =>
+    Similarity.pqTopK(pq(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec(s, dir), k = 10, rerank = 4)
+
   private val qSimBruteTopK: Q = (s, dir) =>
     Similarity.bruteForceTopK(pq(s, dir, "embeddings").filter(col("vec_id") =!= 0),
       "vec_id", "embedding", queryVec(s, dir), k = 10)
@@ -784,6 +790,7 @@ object ExtensionQueries {
     "q_sim_brute_topk" -> qSimBruteTopK,
     "q_sim_pq_topk" -> qSimPqTopK,
     "q_sim_ivfpq_batch" -> qSimIvfPqBatch,
+    "q_sim_pq_rerank" -> qSimPqRerank,
     "q_sim_lsh_topk" -> qSimLshTopK,
     "q_sim_ivf_topk" -> qSimIvfTopK,
     "q_sim_ivf_distributed" -> qSimIvfDistributed,
@@ -1017,7 +1024,9 @@ object ExtensionQueries {
     * ASC` row_number), then the ADC score with every fold in the
     * engine's order: dims ascending within a subspace, subspaces
     * ascending per row, all seeded 0.0. */
-  private val simPqTopkSql: String = {
+  private val simPqTopkSql: String = simPqSql(10)
+
+  private def simPqSql(limit: Int): String = {
     val m = 8; val ds = DIM / m; val ksub = 16; val iters = 2
     def l2(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(range(1, ${ds + 1}), i -> " +
@@ -1078,8 +1087,20 @@ object ExtensionQueries {
        |SELECT id, CASE WHEN nx > 0.0
        |  THEN dt / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(nx)) ELSE 0.0 END AS approx_cos
        |FROM sc, q
-       |ORDER BY approx_cos DESC, id ASC LIMIT 10""".stripMargin
+       |ORDER BY approx_cos DESC, id ASC LIMIT $limit""".stripMargin
   }
+
+  /** Mirrors `Similarity.pqTopK(k=10, rerank=4)`: the ADC top-40
+    * shortlist ([[simPqSql]]) re-scored with TRUE cosine — the
+    * production narrow-then-decide recipe, exact on the shortlist. */
+  private val simPqRerankSql: String =
+    s"""WITH cand AS MATERIALIZED (${simPqSql(40)}),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id <> 0)
+       |SELECT id, cosine FROM (
+       |  SELECT e.id, ${cosineSql("e.vec", "q.qv")} AS cosine
+       |  FROM cand c JOIN corpus e ON e.id = c.id, q) t
+       |ORDER BY cosine DESC, id ASC LIMIT 10""".stripMargin
 
   /** Mirrors [[qSimIvfPqBatch]] (`Similarity.ivfPqTopKBatch`, coarse
     * 8 cells nprobe 2, PQ m=8 ksub=16): the [[simIvfTopkSql]]
@@ -2120,6 +2141,7 @@ object ExtensionQueries {
     "q_sim_ivf_topk" -> simIvfTopkSql,
     "q_sim_pq_topk" -> simPqTopkSql,
     "q_sim_ivfpq_batch" -> simIvfPqBatchSql,
+    "q_sim_pq_rerank" -> simPqRerankSql,
     "q_sim_ivf_distributed" -> simIvfDistributedSql,
     "q_sim_batch_topk" -> simBatchTopkSql,
     "q_sim_lsh_batch" -> simLshBatchSql,

@@ -326,6 +326,14 @@ class ScaleOpsSpec extends SparkSpec {
       s"PQ returned out-of-cluster ids: ${got.filterNot(id => (id - 1) % 4 == 2)}")
     val recall = (got intersect brute).size.toDouble / brute.size
     assert(recall >= 0.25, s"PQ recall $recall not decisively above chance")
+
+    // exact re-rank of a 4x shortlist recovers most of the true top-k
+    val reranked = Similarity.pqTopK(emb, "vec_id", "embedding", qv, 20,
+      m = m, ksub = ksub, rerank = 4)
+      .collect().map(_.getLong(0)).toSet
+    val rerankRecall = (reranked intersect brute).size.toDouble / brute.size
+    assert(rerankRecall > recall, s"re-rank $rerankRecall did not beat ADC $recall")
+    assert(rerankRecall >= 0.6, s"re-rank recall $rerankRecall below 0.6")
   }
 
   test("IVF-PQ batch with all cells probed reproduces single-query PQ scoring exactly") {
