@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel analysis over an event stream — "users who did A,
@@ -81,6 +82,37 @@ object Funnel {
       .groupBy(col("__cohort").as("cohort_period"),
         (col("__p") - col("__cohort")).as("period_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * streams: one row per observed (cur, next) consecutive pair with
+    * its count and conditional probability P(next | cur) — the
+    * user-journey transition table behind funnel design and
+    * next-action prediction baselines. Consecutive = by (ts, tieCol)
+    * within a user; the tie column makes same-timestamp order
+    * deterministic (and the oracle exact). Probability is an
+    * exact-count double division — no transcendentals.
+    *
+    * Scale posture: one window per user partition (lead over the
+    * event columns only), then bounded-cardinality aggregates
+    * (|types|² rows). The corpus shuffles once, on the user key. */
+  def transitionMatrix(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val pairs = df
+      .select(col(typeCol).as("cur"), lead(col(typeCol), 1).over(w).as("next"))
+      .filter(col("next").isNotNull)
+      .groupBy("cur", "next").agg(count(lit(1)).as("n_transitions"))
+    val totals = pairs.groupBy("cur").agg(sum(col("n_transitions")).as("__tot"))
+    pairs.join(totals, "cur")
+      .withColumn("prob",
+        col("n_transitions").cast("double") / col("__tot").cast("double"))
+      .select("cur", "next", "n_transitions", "prob")
   }
 
   /** Item co-occurrence with lift — market-basket mining over any

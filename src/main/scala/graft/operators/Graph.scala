@@ -146,4 +146,34 @@ object Graph {
       Dedup.release(e); Dedup.release(nodes); Dedup.release(srcSet)
     }
   }
+
+  /** Per-node triangle participation counts over the UNDIRECTED
+    * simple graph induced by the edge list (direction and weights
+    * dropped, self-loops excluded) — the local clustering signal
+    * (spam rings and link farms triangle-bomb; organic link
+    * neighborhoods don't). One row per node appearing in >= 1
+    * triangle: (node, n_triangles).
+    *
+    * The classic two-equi-join enumeration with the a < b < c
+    * canonical ordering, so each triangle counts exactly once. Scale
+    * posture: joins key on single node ids (never a cross product —
+    * the ordering predicates are post-join filters on equi-joined
+    * rows); fan-out is Σ deg² on the middle vertex, the standard
+    * bound — pre-cap hub degrees upstream for adversarial graphs. */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .distinct()
+    val tri = und.as("e1")
+      .join(und.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
+      .join(und.select(col("a"), col("b").as("c")).as("e3"), Seq("a", "c"))
+      .select("a", "b", "c")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

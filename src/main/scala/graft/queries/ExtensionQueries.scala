@@ -731,6 +731,20 @@ object ExtensionQueries {
     graft.operators.Graph.pageRank(tradeEdges(s, dir), weightCol = Some("w"),
       seeds = pprSeeds)
 
+  /** Markov next-event transition matrix per user
+    * ([[graft.operators.Funnel.transitionMatrix]], ties broken by
+    * event_id). */
+  private val qEventsTransitions: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.operators.Funnel.transitionMatrix(
+      pq(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+  }
+
+  /** Per-nation triangle counts over the undirected trade graph
+    * ([[graft.operators.Graph.triangleCounts]]). */
+  private val qGraphTriangles: Q = (s, dir) =>
+    graft.operators.Graph.triangleCounts(tradeEdges(s, dir))
+
   /** Serpentine weight-balanced sharding of each language's documents
     * into 4 shards by n_chars ([[graft.operators.Packing.balancedShards]]). */
   private val qPackShards: Q = (s, dir) =>
@@ -818,6 +832,8 @@ object ExtensionQueries {
     "q_events_retention" -> qEventsRetention,
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_ppr" -> qGraphPpr,
+    "q_graph_triangles" -> qGraphTriangles,
+    "q_events_transitions" -> qEventsTransitions,
     "q_pack_shards" -> qPackShards,
     "q_text_perplexity" -> qTextPerplexity,
     "q_multimodal_meta" -> qMultimodalMeta,
@@ -2115,6 +2131,44 @@ object ExtensionQueries {
     "q_dedup_components" -> dedupComponentsSql,
     "q_graph_pagerank" -> graphPagerankSql,
     "q_graph_ppr" -> graphRankSql(Some(pprSeeds)),
+    // Mirrors qGraphTriangles: same canonical a<b<c enumeration over
+    // the deduped undirected trade edges, exploded to per-node counts.
+    "q_graph_triangles" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS s, su.s_nationkey AS d
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier su ON l.l_suppkey = su.s_suppkey),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM e WHERE s <> d),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |       CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT unnest([a, b, c]) AS node FROM tri) t
+        |GROUP BY node""".stripMargin,
+    // Mirrors qEventsTransitions: identical lead window keyed
+    // (user, ts, event_id) over TIMESTAMP_NS order == the engine's
+    // raw-nanos long order; probability is the same exact-count
+    // double division.
+    "q_events_transitions" ->
+      """WITH nx AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS next
+        |  FROM events),
+        |p AS (SELECT cur, next, count(*) AS n_transitions
+        |      FROM nx WHERE next IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur, CAST(SUM(n_transitions) AS BIGINT) AS tot
+        |      FROM p GROUP BY cur)
+        |SELECT p.cur, p.next, p.n_transitions,
+        |  CAST(p.n_transitions AS DOUBLE) / CAST(t.tot AS DOUBLE) AS prob
+        |FROM p JOIN t ON p.cur = t.cur""".stripMargin,
     "q_pack_shards" ->
       """SELECT doc_id AS id, lang, n_chars AS weight,
         |  CASE WHEN ((rn // 4) % 2) = 0 THEN rn % 4 ELSE 3 - (rn % 4) END AS shard

@@ -959,6 +959,20 @@ class ExtensionSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("transitionMatrix: hand-computed conditional probabilities; ties ordered by tie column") {
+    val t = df("u BIGINT, e STRING, ts BIGINT, eid BIGINT",
+      Row(1L, "A", 10L, 1L), Row(1L, "B", 20L, 2L),
+      Row(1L, "A", 30L, 3L), Row(1L, "C", 40L, 4L),
+      Row(2L, "A", 10L, 5L), Row(2L, "B", 10L, 6L)) // same ts: eid orders A before B
+    val got = graft.operators.Funnel.transitionMatrix(t, "u", "e", "ts", "eid")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      ("A", "B") -> (2L, 2.0 / 3.0),
+      ("A", "C") -> (1L, 1.0 / 3.0),
+      ("B", "A") -> (1L, 1.0)))
+  }
+
   test("balancedShards: serpentine deal matches hand assignment; loads stay within one max weight") {
     val t = df("id BIGINT, w BIGINT",
       (1L to 8L).map(i => Row(i, 11L - i)): _*) // weights 10,9,...,3

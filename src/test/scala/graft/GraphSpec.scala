@@ -80,6 +80,15 @@ class GraphSpec extends SparkSpec {
     assert(classic(2L) > 0L)
   }
 
+  test("triangleCounts: hand-enumerated K4-minus-an-edge; direction, duplicates, self-loops normalized away") {
+    // edges 1-2,1-3,1-4,2-3,2-4 (no 3-4): triangles (1,2,3) and (1,2,4)
+    val g = edges((1L, 2L, 1L), (3L, 1L, 1L), (1L, 4L, 1L), (2L, 3L, 1L),
+      (2L, 4L, 1L), (2L, 1L, 9L), /* reverse duplicate */ (3L, 3L, 1L) /* self-loop */)
+    val got = Graph.triangleCounts(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("unweighted default counts each edge once; self-loops are honored") {
     val g = df("src BIGINT, dst BIGINT", Row(1L, 1L), Row(1L, 2L), Row(2L, 1L))
     val r = Graph.pageRank(g, iterations = 6)
