@@ -103,11 +103,7 @@ object Graph {
     // Sources with out-edges, for the dangling-mass probe. When every
     // node has an out-edge (the common strongly-out-connected case),
     // the dangling mass is identically zero — skip the per-iteration
-    // scalar aggregate AND the eager per-iteration materialization:
-    // the whole iteration chain then executes as ONE job of chained
-    // shuffle stages over the persisted edge blocks instead of
-    // 2 jobs/pass (measured 3.3 s -> see BASELINE; the driver pays
-    // per-job overhead ~8x otherwise on small graphs).
+    // scalar aggregate (one saved job per pass).
     val srcSet = mat(e.select(col("src").as("node")).distinct(), eager = true)
     val nDangling = n - srcSet.count()
 
@@ -126,9 +122,12 @@ object Graph {
           .join(ranks.select(col("node").as("src"), col("rq")), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(expr("(rq * w) div wout")).as("s"))
-        // eager only when the NEXT pass needs a driver action anyway
-        // (the dangling aggregate); otherwise stay lazy — correctness
-        // is unaffected (linear lineage, single downstream consumer)
+        // ALWAYS eager: a lazy chain was A/B'd and lost — it defers
+        // every pass into the caller's first action, where the edge
+        // persist is already released (measured 42 s at sf1 before
+        // the materialize-before-release guard) and measures no
+        // better than eager even after the guard (3.59 vs 3.32 s at
+        // sf0.1 quiet; 7.4 vs 6.2 at sf1).
         val next = mat(nodes
           .join(contribs, Seq("node"), "left")
           .withColumn("__tp", when(isSeed, lit(teleport)).otherwise(lit(0L)))
@@ -136,7 +135,7 @@ object Graph {
           .select(col("node"),
             expr(s"__tp + ($dampNum * (coalesce(s, 0) + __dg)) div $dampDen")
               .as("rq")),
-          eager = nDangling > 0)
+          eager = true)
         Dedup.release(ranks)
         ranks = next
       }
