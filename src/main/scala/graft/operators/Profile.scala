@@ -331,4 +331,41 @@ object Profile {
       .filter((cD - col("mean")) * (cD - col("mean")) > lit(k * k) * col("variance"))
       .select(col("key"), col("bucket"), col("n_events"), col("mean"), col("variance"))
   }
+
+  /** Rolling time-series aggregates per key: bucket the rows into
+    * integer ticks, then a trailing RANGE window of `window` ticks
+    * (current tick inclusive) over each key's series — moving sum /
+    * max / average of per-tick event counts, the ingest-volume
+    * trend line behind [[countAnomalies]]'s point alarms. A RANGE
+    * (not ROWS) frame keys the window on tick VALUES, so gaps in the
+    * series shrink the divisor instead of silently stretching the
+    * window over absent buckets.
+    *
+    * Determinism: the frame content is a set — sums/counts of longs
+    * are order-independent, and `roll_avg` is one integer-to-double
+    * divide at the end.
+    *
+    * Scale posture: the corpus collapses to (key, tick) counts in one
+    * map-side-partial hash aggregate; the window then sorts only
+    * key-cardinality × tick-cardinality rows. Per-key partitions are
+    * bounded by the tick range (hours of history), so the window
+    * never sees corpus-sized partitions. */
+  def rollingCounts(
+      df: DataFrame,
+      keyCol: String,
+      tickCol: String,
+      window: Int = 6): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val counts = df.groupBy(col(keyCol).as("key"), col(tickCol).cast("long").as("tick"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("tick"))
+      .rangeBetween(-(window - 1).toLong, 0L)
+    counts
+      .withColumn("roll_sum", sum(col("n_events")).over(w))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_max", max(col("n_events")).over(w))
+      .withColumn("roll_avg",
+        col("roll_sum").cast("double") / col("roll_n").cast("double"))
+  }
 }

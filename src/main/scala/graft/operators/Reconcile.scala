@@ -98,6 +98,46 @@ object Reconcile {
       .filter(col("change").isNotNull)
   }
 
+  /** Slowly-changing-dimension type-2 history from an observation
+    * log: collapse each key's consecutive runs of an identical
+    * tracked attribute into validity intervals — one row per run with
+    * `valid_from` (first observation of the run), `valid_to` (start
+    * of the NEXT run, NULL while current) and `is_current`. This is
+    * the standard warehouse history build the reference's
+    * overwrite-only transport cannot express.
+    *
+    * Determinism: ordering is (tsCol, tieCol) per key — callers pass
+    * a unique tie-breaker so equal timestamps collapse identically
+    * everywhere. Change detection is a lag comparison; NULL attribute
+    * values are honored as a distinct state (null-safe equality).
+    *
+    * Scale posture: one shuffle by key for the window, then pure
+    * per-partition lag/lead/filter — no joins, no second shuffle
+    * (the lead over filtered change-points reuses the same
+    * partitioning and ordering, so Catalyst plans a single Window
+    * exchange). Per-key partitions are each key's OWN history — the
+    * log can be petabytes as long as no single key's history is. */
+  def scd2(
+      df: DataFrame,
+      keyCol: String,
+      attrCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val changed = df
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      // first row per key (lag NULL + attr non-null) must open a run
+      // too, hence null-safe inequality rather than a plain <>
+      .filter(!(col("__prev") <=> col(attrCol)))
+    changed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col(attrCol), col("valid_from"),
+        col("valid_to"), col("is_current"))
+  }
+
   /** Throwing variant for pipelines: any mismatch aborts with the
     * offending tables named. */
   def assertClean(io: TableIO, frames: Map[String, DataFrame]): Unit = {

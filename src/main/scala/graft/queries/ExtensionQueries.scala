@@ -701,6 +701,48 @@ object ExtensionQueries {
     graft.operators.Profile.countAnomalies(ev, "event_type", "hour", k = 1.5)
   }
 
+  /** Hourly ingest-volume trend per event type: 6-hour trailing
+    * moving sum/max/average over the per-hour counts
+    * ([[graft.operators.Profile.rollingCounts]] — the trend line
+    * behind [[qEventsAnomaly]]'s point alarms). */
+  private val qEventsRolling: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = pq(s, dir, "events").withColumn("hour", expr("ts div 3600000000000"))
+    graft.operators.Profile.rollingCounts(ev, "event_type", "hour", window = 6)
+  }
+
+  /** SCD-2 history build over the event log: each user's consecutive
+    * runs of the same event_type collapse into validity intervals
+    * with `valid_from`/`valid_to`/`is_current`
+    * ([[graft.operators.Reconcile.scd2]], ties broken by event_id).
+    * Validity bounds are epoch MICROS: DuckDB reads ns parquet
+    * timestamps at µs precision, so the oracle can only mirror µs —
+    * `div 1000` here, `epoch_us` there (ordering is unaffected; ties
+    * break on event_id identically both sides). */
+  private val qScd2: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.operators.Reconcile.scd2(
+      pq(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "event_type", "ts_us", "event_id")
+  }
+
+  /** Zone-map manifest of a Z-ordered 8-file documents twin
+    * ([[graft.sources.Layout.zoneMaps]] over [[graft.sources.Layout.zOrderByRange]]
+    * output): per-file row count + min/max of both clustering
+    * columns — the file-pruning index of the write-side layout
+    * story. The oracle recomputes the same statistics from the same
+    * twin files (`filename=true`), so the check covers both the
+    * manifest math and the layout plumbing. */
+  private val qLayoutZonemaps: Q = (s, dir) => {
+    val twin = s"$twinRoot/ztwin/${new java.io.File(dir).getName}"
+    graft.sources.Layout.zOrderByRange(
+      pq(s, dir, "documents").select("doc_id", "n_chars"),
+      "doc_id", "n_chars", numPartitions = 8)
+      .write.mode("overwrite").parquet(s"$twin/documents.parquet")
+    graft.sources.Layout.zoneMaps(
+      s.read.parquet(s"$twin/documents.parquet"), Seq("doc_id", "n_chars"))
+  }
+
   /** Fixed-point PageRank over the customer-nation → supplier-nation
     * trade graph (edge weight = lineitem count) — the link-graph
     * quality-weighting signal, here exercised on the densest graph the
@@ -834,6 +876,9 @@ object ExtensionQueries {
     "q_graph_ppr" -> qGraphPpr,
     "q_graph_triangles" -> qGraphTriangles,
     "q_events_transitions" -> qEventsTransitions,
+    "q_events_rolling" -> qEventsRolling,
+    "q_scd2" -> qScd2,
+    "q_layout_zonemaps" -> qLayoutZonemaps,
     "q_pack_shards" -> qPackShards,
     "q_text_perplexity" -> qTextPerplexity,
     "q_multimodal_meta" -> qMultimodalMeta,
@@ -1733,6 +1778,57 @@ object ExtensionQueries {
        |      > $k2 * variance""".stripMargin
   }
 
+  /** Mirrors [[qEventsRolling]] (`Profile.rollingCounts`, 6-tick
+    * trailing RANGE frame): same hourly counts, same window frame;
+    * DuckDB's windowed SUM(BIGINT) widens to HUGEINT so it casts
+    * back, and roll_avg is the identical single divide of the two
+    * frame aggregates. */
+  private val eventsRollingSql: String =
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT event_type AS key, epoch_ns(ts) // 3600000000000 AS tick,
+       |         count(*) AS n_events
+       |  FROM events GROUP BY 1, 2)
+       |SELECT key, tick, n_events,
+       |  CAST(SUM(n_events) OVER w AS BIGINT) AS roll_sum,
+       |  COUNT(*) OVER w AS roll_n,
+       |  MAX(n_events) OVER w AS roll_max,
+       |  CAST(CAST(SUM(n_events) OVER w AS BIGINT) AS DOUBLE)
+       |    / CAST(COUNT(*) OVER w AS DOUBLE) AS roll_avg
+       |FROM c
+       |WINDOW w AS (PARTITION BY key ORDER BY tick
+       |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Mirrors [[qScd2]] (`Reconcile.scd2` over the event log): lag
+    * detects run starts (IS DISTINCT FROM == the engine's null-safe
+    * inequality), lead over the filtered change-points supplies
+    * valid_to — identical (ts, event_id) ordering both sides. */
+  private val scd2Sql: String =
+    s"""WITH o AS MATERIALIZED (
+       |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |                          ORDER BY epoch_us(ts), event_id) AS prev
+       |  FROM events),
+       |ch AS MATERIALIZED (
+       |  SELECT user_id, event_type, t AS valid_from,
+       |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to
+       |  FROM o WHERE prev IS DISTINCT FROM event_type)
+       |SELECT user_id, event_type, valid_from, valid_to,
+       |  valid_to IS NULL AS is_current FROM ch""".stripMargin
+
+  /** Mirrors [[qLayoutZonemaps]]: recomputes the per-file statistics
+    * from the SAME twin files the engine wrote (`filename=true`), so
+    * any disagreement in grouping, counting, or min/max surfaces as
+    * a hash break. file_idx parses the part index — the only stable
+    * piece of a parquet part name. */
+  private val layoutZonemapsSql: String =
+    s"""SELECT CAST(regexp_extract(filename, 'part-(\\d+)', 1) AS INTEGER) AS file_idx,
+       |  count(*) AS n_rows,
+       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
+       |FROM read_parquet('$twinRoot/ztwin/__SF_BASENAME__/documents.parquet/*.parquet',
+       |                  filename = true)
+       |GROUP BY 1""".stripMargin
+
   /** Mirrors [[qProfileCorr]] (`Profile.correlation`, scale=100):
     * identical cents quantization (round is half-away-from-zero in
     * both engines), HUGEINT sums == ExactCentsSum's exact two-long
@@ -2181,6 +2277,9 @@ object ExtensionQueries {
     "q_sample_weighted" -> sampleWeightedSql,
     "q_pack_split" -> packSplitSql,
     "q_events_anomaly" -> eventsAnomalySql,
+    "q_events_rolling" -> eventsRollingSql,
+    "q_scd2" -> scd2Sql,
+    "q_layout_zonemaps" -> layoutZonemapsSql,
     "q_events_cooccur" -> eventsCooccurSql,
     "q_dedup_bucket_census" -> dedupBucketCensusSql,
     "q_ingest_orc" ->

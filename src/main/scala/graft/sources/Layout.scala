@@ -53,4 +53,28 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Zone-map manifest of a written parquet directory: one row per
+    * data file with its row count and per-column min/max — the
+    * file-level statistics index a table format (or a scan planner
+    * with no footer access) uses to prune files before opening them.
+    * Pairs with [[zOrderByRange]]: a well-clustered layout shows
+    * tight, barely-overlapping [min, max] rectangles; a random
+    * layout shows every file spanning the whole domain, i.e. zero
+    * pruning. `file_idx` is the part index parsed from the file name
+    * (stable across rewrites; the writer UUID in the basename is
+    * not).
+    *
+    * Scale posture: embarrassingly parallel — one scan, the grouping
+    * key is the split's own file, so the aggregate is map-side-total
+    * per file and the shuffle carries one row per (file, stats). */
+  def zoneMaps(df: DataFrame, statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "zoneMaps needs at least one column")
+    val aggs = statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    }
+    df.groupBy(regexp_extract(input_file_name(), "part-(\\d+)", 1)
+        .cast("int").as("file_idx"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
 }
