@@ -530,6 +530,85 @@ case class ShingleStrings(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `unigram_entropy_q(text, scaleBits)` — [n_tokens, ent_q]: token
+  * count and the fixed-point unigram (Shannon) entropy of the
+  * document's own token distribution, the information-density
+  * quality signal (boilerplate and keyword-stuffed documents score
+  * low). Formulated shuffle-free as
+  * H = (1/m)·Σ_types c·ln(m/c), with each type's c·ln(m/c) FLOORED
+  * to 2^scaleBits fixed point before the sum — the floor absorbs
+  * sub-ulp `ln` differences between engines (the
+  * [[graft.functions.TextFunctions.lmScore]] discipline), and the
+  * integer `ent_q` is order-independent, so the DuckDB oracle
+  * replays it bit-for-bit from the same token hashes.
+  *
+  * One pass per document: tokenize+hash (the [[ShingleHashes]]
+  * sweep), primitive sort, run-scan. A projection, not an
+  * aggregation — no explode, no shuffle; scales exactly like the
+  * scan. Token identity is 64-bit-hash identity (collisions
+  * 2^-64-negligible and mirrored by the oracle). Empty documents
+  * return [0, 0]. */
+case class UnigramEntropyQ(child: Expression, scaleBits: Int)
+    extends UnaryExpression {
+  require(scaleBits >= 8 && scaleBits <= 40, "scaleBits out of range")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "unigram_entropy_q"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramEntropy", this, classOf[UnigramEntropyQ].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalInput($c);")
+  }
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalInput(input: Any): Any = nullSafeEval(input)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var h = Hashing.FnvOffset
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (inTok) { tokenHashes += Hashing.mix64(h); h = Hashing.FnvOffset; inTok = false }
+      } else {
+        val lc = Character.toLowerCase(c)
+        h ^= (lc & 0xffL); h *= Hashing.FnvPrime
+        h ^= ((lc >> 8) & 0xffL); h *= Hashing.FnvPrime
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) tokenHashes += Hashing.mix64(h)
+
+    val m = tokenHashes.length
+    if (m == 0) return new GenericArrayData(Array(0L, 0L))
+    val hs = tokenHashes.toArray
+    java.util.Arrays.sort(hs)
+    val scale = (1L << scaleBits).toDouble
+    val mD = m.toDouble
+    var entQ = 0L
+    var run = 1
+    var j = 1
+    while (j <= m) {
+      if (j < m && hs(j) == hs(j - 1)) run += 1
+      else {
+        // per-type term, floored BEFORE the sum: ((c * ln(m/c)) * Q)
+        entQ += math.floor((run.toDouble * Math.log(mD / run.toDouble)) * scale).toLong
+        run = 1
+      }
+      j += 1
+    }
+    new GenericArrayData(Array(m.toLong, entQ))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEntropyQ =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Hashed word n-gram shingles straight from a text column
     * (array<long>, distinct, sorted) — the fast input to
@@ -564,4 +643,8 @@ object HashExpressions {
     * compiled gram-text sweep for vocabulary/LM count tables. */
   def shingleStrings(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleStrings(ColumnBridge.expression(text), n))
+
+  /** [n_tokens, ent_q] — one-pass fixed-point unigram entropy. */
+  def unigramEntropyQ(text: Column, scaleBits: Int = 20): Column =
+    ColumnBridge.column(UnigramEntropyQ(ColumnBridge.expression(text), scaleBits))
 }

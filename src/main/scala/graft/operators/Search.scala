@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Full-text retrieval primitives over a document corpus: the
+  * inverted-index build and BM25 ranking a training-data pipeline
+  * uses for corpus search, decontamination lookups, and
+  * quality-by-query probes. The reference engine has no text-search
+  * surface — this extends the north-star LLM-pipeline suite.
+  */
+object Search {
+
+  /** Inverted index: one row per distinct token with its document
+    * frequency and the ascending posting list (comma-joined — a
+    * canonical string form both the driver's hash gate and any
+    * downstream consumer can compare bit-for-bit).
+    *
+    * Scale posture: per-document token dedup is ROW-LOCAL
+    * (`array_distinct` inside the projection), so the explode emits
+    * each (doc, token) pair once and the only shuffle is the
+    * final groupBy(token) — map-side-partial counts plus the
+    * posting-list merge. Hot tokens (stopwords) concentrate their
+    * posting lists on one reducer; at corpus scale you shard postings
+    * by (token, doc_id range) — the groupBy key generalizes to that
+    * composite directly — and prune stopwords upstream (the
+    * [[graft.functions.TextFunctions.vocabulary]] census tells you
+    * which). */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        array_distinct(TextFunctions.tokens(lower(col(textCol)))).as("__toks"))
+      .select(col("doc_id"), explode(col("__toks")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
+
+  /** BM25 top-k retrieval for one query (a literal term set) against
+    * the corpus. Scores are fixed-point longs (`score_q`, scaled by
+    * 2^scaleBits) summed from per-term contributions floored BEFORE
+    * the sum — the same transcendental-taming as
+    * [[graft.functions.TextFunctions.lmScore]]: the coarse floor
+    * absorbs sub-ulp `ln` differences between engines, and the
+    * integer sum is order-independent, so the DuckDB oracle
+    * hash-matches. `score` is the double view (two exact divides).
+    *
+    * BM25 per (doc, term): idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl))
+    * with idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Scale posture: the corpus is scanned twice — once for the
+    * (N, Σlen) scalar pair, once to build the matched (doc, term, tf)
+    * frame (tokens are filtered to the query terms INSIDE the
+    * projection, so the explode fans out only matching tokens — for
+    * a q-term query that's O(q) rows per doc, not O(len)). The
+    * matched frame is materialized once and reused for both the
+    * per-term document frequencies and the scoring join; df stats
+    * broadcast (term-cardinality rows). Final top-k is
+    * TakeOrdered — no global sort. Ties break on doc_id, so the
+    * cut is deterministic. */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      topK: Int = 50,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      scaleBits: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val scale = (1L << scaleBits).toDouble
+
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      TextFunctions.tokenCount(col(textCol)).as("len"),
+      TextFunctions.tokens(lower(col(textCol))).as("__toks"))
+
+    val corpus = base.agg(count(lit(1)).as("n"), sum(col("len")).as("sl")).head()
+    val nDocs = corpus.getLong(0)
+    val avgdl = corpus.getLong(1).toDouble / nDocs.toDouble
+
+    val termArr = array(terms.map(lit(_)): _*)
+    // project __toks first, explode in the NEXT select: a generator
+    // alongside heavy expressions re-evaluates them per element
+    val matched = Dedup.persistMaterialize(
+      base.select(col("doc_id"), col("len"),
+          explode(filter(col("__toks"), t => array_contains(termArr, t))).as("term"))
+        .groupBy("doc_id", "len", "term").agg(count(lit(1)).as("tf")),
+      eager = true)
+
+    val dfStats = matched.groupBy("term").agg(count(lit(1)).as("dft"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("dft").cast("double") + lit(0.5)) /
+        (col("dft").cast("double") + lit(0.5)))
+    val tfD = col("tf").cast("double")
+    val den = tfD + lit(k1) *
+      (lit(1.0 - b) + lit(b) * (col("len").cast("double") / lit(avgdl)))
+    val wq = floor((col("__idf") * ((tfD * lit(k1 + 1.0)) / den)) * lit(scale))
+      .cast("long")
+
+    matched
+      .join(broadcast(dfStats.withColumn("__idf", idf).select("term", "__idf")),
+        Seq("term"))
+      .select(col("doc_id"), wq.as("wq"))
+      .groupBy("doc_id").agg(sum(col("wq")).as("score_q"))
+      .withColumn("score", col("score_q").cast("double") / lit(scale))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(topK)
+  }
+}

@@ -701,6 +701,38 @@ object ExtensionQueries {
     graft.operators.Profile.countAnomalies(ev, "event_type", "hour", k = 1.5)
   }
 
+  /** Inverted index over the corpus: token → document frequency +
+    * ascending posting list ([[graft.operators.Search.invertedIndex]]). */
+  private val qTextPostings: Q = (s, dir) =>
+    graft.operators.Search.invertedIndex(pq(s, dir, "documents"), "doc_id", "text")
+
+  /** The BM25 probe query: one rare term (high idf) + two common
+    * ones, so the ranking exercises both idf spread and length
+    * normalization. */
+  private val bm25Terms: Seq[String] = Seq("dup", "data", "query")
+
+  /** BM25 top-50 retrieval for the probe query
+    * ([[graft.operators.Search.bm25TopK]], fixed-point scores). */
+  private val qTextBm25: Q = (s, dir) =>
+    graft.operators.Search.bm25TopK(
+      pq(s, dir, "documents"), "doc_id", "text", bm25Terms)
+
+  /** Per-document unigram entropy, fixed-point
+    * ([[graft.functions.HashExpressions.unigramEntropyQ]] — the
+    * information-density quality signal; one native pass, no
+    * shuffle). `entropy` is nats derived from the integer `ent_q`. */
+  private val qTextEntropy: Q = (s, dir) =>
+    pq(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.unigramEntropyQ(col("text")).as("__e"))
+      .select(col("doc_id"),
+        col("__e").getItem(0).as("n_tokens"),
+        col("__e").getItem(1).as("ent_q"))
+      .withColumn("entropy",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise((col("ent_q").cast("double") / lit((1L << 20).toDouble)) /
+            col("n_tokens").cast("double")))
+
   /** Hourly ingest-volume trend per event type: 6-hour trailing
     * moving sum/max/average over the per-hour counts
     * ([[graft.operators.Profile.rollingCounts]] — the trend line
@@ -879,6 +911,9 @@ object ExtensionQueries {
     "q_events_rolling" -> qEventsRolling,
     "q_scd2" -> qScd2,
     "q_layout_zonemaps" -> qLayoutZonemaps,
+    "q_text_postings" -> qTextPostings,
+    "q_text_bm25" -> qTextBm25,
+    "q_text_entropy" -> qTextEntropy,
     "q_pack_shards" -> qPackShards,
     "q_text_perplexity" -> qTextPerplexity,
     "q_multimodal_meta" -> qMultimodalMeta,
@@ -1778,6 +1813,78 @@ object ExtensionQueries {
        |      > $k2 * variance""".stripMargin
   }
 
+  /** Mirrors [[qTextPostings]] (`Search.invertedIndex`): per-doc
+    * token dedup, then count + ordered comma-joined posting list
+    * (BIGINT→VARCHAR casts render identically in both engines). */
+  private val textPostingsSql: String =
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT doc_id, unnest($tokensLowerSql) AS token FROM documents),
+       |t AS MATERIALIZED (SELECT DISTINCT doc_id, token FROM x)
+       |SELECT token, count(*) AS doc_freq,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+       |FROM t GROUP BY token""".stripMargin
+
+  /** Mirrors [[qTextBm25]] (`Search.bm25TopK`, k1=1.2, b=0.75,
+    * Q=2^20, top 50): every double literal is the Scala-computed
+    * value's `toString` (round-trips in DuckDB), avgdl/N re-derive
+    * from the same two integers in the same single-divide op order,
+    * and per-(doc,term) contributions floor to fixed point BEFORE
+    * the sum — the [[textPerplexitySql]] transcendental discipline.
+    * The LIMIT cut is deterministic: integer score ties break on
+    * doc_id both sides. */
+  private val textBm25Sql: String = {
+    val terms = bm25Terms.map(t => s"x = '$t'").mkString(" OR ")
+    val k1 = 1.2.toString
+    val k1p1 = (1.2 + 1.0).toString
+    val oneMinusB = (1.0 - 0.75).toString
+    val b = 0.75.toString
+    val avgdl = "(CAST((SELECT sl FROM corpus) AS DOUBLE) / CAST((SELECT n FROM corpus) AS DOUBLE))"
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, len($tokensSql) AS len,
+       |         list_filter($tokensLowerSql, x -> $terms) AS mt
+       |  FROM documents),
+       |corpus AS MATERIALIZED (
+       |  SELECT count(*) AS n, CAST(SUM(len) AS BIGINT) AS sl FROM base),
+       |matched AS MATERIALIZED (
+       |  SELECT doc_id, len, unnest(mt) AS term FROM base),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, len, term, count(*) AS tf FROM matched GROUP BY 1, 2, 3),
+       |dft AS MATERIALIZED (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+       |idf AS MATERIALIZED (SELECT term,
+       |  ln(1.0 + (CAST((SELECT n FROM corpus) AS DOUBLE) - CAST(dft AS DOUBLE) + 0.5)
+       |       / (CAST(dft AS DOUBLE) + 0.5)) AS idf FROM dft),
+       |scored AS MATERIALIZED (
+       |  SELECT t.doc_id,
+       |    CAST(floor((i.idf * ((CAST(t.tf AS DOUBLE) * $k1p1) /
+       |      (CAST(t.tf AS DOUBLE) + $k1 * ($oneMinusB + $b *
+       |        (CAST(t.len AS DOUBLE) / $avgdl))))) * 1048576.0) AS BIGINT) AS wq
+       |  FROM tf t JOIN idf i ON t.term = i.term)
+       |SELECT doc_id, score_q, CAST(score_q AS DOUBLE) / 1048576.0 AS score FROM (
+       |  SELECT doc_id, CAST(SUM(wq) AS BIGINT) AS score_q FROM scored GROUP BY doc_id)
+       |ORDER BY score_q DESC, doc_id LIMIT 50""".stripMargin
+  }
+
+  /** Mirrors [[qTextEntropy]] (`UnigramEntropyQ`, Q=2^20): replays
+    * the token hashes via [[HashSql.tokenHashes]], counts types per
+    * doc, floors each type's (c·ln(m/c))·Q term, integer-sums.
+    * unnest drops empty docs, which is sound here: every fixture doc
+    * has ≥10 tokens (the engine would emit [0,0] rows). */
+  private val textEntropySql: String =
+    s"""WITH th AS MATERIALIZED (
+       |  SELECT doc_id, ${HashSql.tokenHashes("text")} AS hs FROM documents),
+       |tc AS MATERIALIZED (
+       |  SELECT doc_id, len(hs) AS m, unnest(hs) AS h FROM th),
+       |ct AS MATERIALIZED (
+       |  SELECT doc_id, m, h, count(*) AS c FROM tc GROUP BY 1, 2, 3),
+       |eq AS MATERIALIZED (
+       |  SELECT doc_id, m AS n_tokens,
+       |    CAST(SUM(CAST(floor((CAST(c AS DOUBLE) * ln(CAST(m AS DOUBLE) / CAST(c AS DOUBLE)))
+       |      * 1048576.0) AS BIGINT)) AS BIGINT) AS ent_q
+       |  FROM ct GROUP BY 1, 2)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, ent_q,
+       |  (CAST(ent_q AS DOUBLE) / 1048576.0) / CAST(n_tokens AS DOUBLE) AS entropy
+       |FROM eq""".stripMargin
+
   /** Mirrors [[qEventsRolling]] (`Profile.rollingCounts`, 6-tick
     * trailing RANGE frame): same hourly counts, same window frame;
     * DuckDB's windowed SUM(BIGINT) widens to HUGEINT so it casts
@@ -1841,7 +1948,13 @@ object ExtensionQueries {
       corrCols.map(c => s"SUM(${qv(c)} * ${qv(c)}) AS ss_$c") ++
       pairs.map { case (a, b) => s"SUM(${qv(a)} * ${qv(b)}) AS sp_${a}_$b" })
       .mkString(",\n    ")
-    def dbl(x: String) = s"CAST($x AS DOUBLE)"
+    // HUGEINT→DOUBLE via VARCHAR: DuckDB's direct cast computes
+    // hi·2^64 + lo in double arithmetic (double-rounded once sums
+    // cross 2^64 — first bitten at sf0.1), while the string parse is
+    // correctly rounded, matching Spark's DECIMAL(38,0)→DOUBLE
+    // (BigDecimal.doubleValue == parseDouble). Exact for sub-2^53
+    // values, so routing every operand through it is safe.
+    def dbl(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
     val blocks = pairs.map { case (a, b) =>
       val num = s"${dbl("n")} * ${dbl(s"sp_${a}_$b")} - ${dbl(s"s_$a")} * ${dbl(s"s_$b")}"
       val va = s"${dbl("n")} * ${dbl(s"ss_$a")} - ${dbl(s"s_$a")} * ${dbl(s"s_$a")}"
@@ -2280,6 +2393,9 @@ object ExtensionQueries {
     "q_events_rolling" -> eventsRollingSql,
     "q_scd2" -> scd2Sql,
     "q_layout_zonemaps" -> layoutZonemapsSql,
+    "q_text_postings" -> textPostingsSql,
+    "q_text_bm25" -> textBm25Sql,
+    "q_text_entropy" -> textEntropySql,
     "q_events_cooccur" -> eventsCooccurSql,
     "q_dedup_bucket_census" -> dedupBucketCensusSql,
     "q_ingest_orc" ->
