@@ -733,6 +733,27 @@ object ExtensionQueries {
           .otherwise((col("ent_q").cast("double") / lit((1L << 20).toDouble)) /
             col("n_tokens").cast("double")))
 
+  /** Per-dimension embedding profile — n / min / max / mean /
+    * variance from fixed-point exact sums
+    * ([[graft.operators.Embeddings.dimStats]], the whitening-input
+    * inspection pass). */
+  private val qEmbedDimstats: Q = (s, dir) =>
+    graft.operators.Embeddings.dimStats(pq(s, dir, "embeddings"), "embedding")
+
+  /** Asymmetric per-dim int8 quantization of the embedding table
+    * ([[graft.operators.Embeddings.quantizeInt8]] — SQ8 codes as the
+    * canonical comma-joined string). */
+  private val qEmbedQuantize: Q = (s, dir) =>
+    graft.operators.Embeddings.quantizeInt8(
+      pq(s, dir, "embeddings"), "vec_id", "embedding")
+
+  /** Exact corpus Gram matrix, upper triangle
+    * ([[graft.operators.Embeddings.gramUpperTri]] — the PCA /
+    * whitening input, native per-row product sweep + dimension-sized
+    * aggregation). */
+  private val qEmbedGram: Q = (s, dir) =>
+    graft.operators.Embeddings.gramUpperTri(pq(s, dir, "embeddings"), "embedding")
+
   /** Hourly ingest-volume trend per event type: 6-hour trailing
     * moving sum/max/average over the per-hour counts
     * ([[graft.operators.Profile.rollingCounts]] — the trend line
@@ -914,6 +935,9 @@ object ExtensionQueries {
     "q_text_postings" -> qTextPostings,
     "q_text_bm25" -> qTextBm25,
     "q_text_entropy" -> qTextEntropy,
+    "q_embed_dimstats" -> qEmbedDimstats,
+    "q_embed_quantize" -> qEmbedQuantize,
+    "q_embed_gram" -> qEmbedGram,
     "q_pack_shards" -> qPackShards,
     "q_text_perplexity" -> qTextPerplexity,
     "q_multimodal_meta" -> qMultimodalMeta,
@@ -1885,6 +1909,66 @@ object ExtensionQueries {
        |  (CAST(ent_q AS DOUBLE) / 1048576.0) / CAST(n_tokens AS DOUBLE) AS entropy
        |FROM eq""".stripMargin
 
+  /** Mirrors [[qEmbedDimstats]] (`Embeddings.dimStats`, Q=2^24,
+    * Q2=2^28): same exact min/max, same fixed-point integer sums
+    * (round for the mean, floor for E[x²] — both replay
+    * bit-for-bit), same double derivation op order. DuckDB
+    * SUM(BIGINT) widens to HUGEINT, so the sums cast back before
+    * the double math. */
+  private val embedDimstatsSql: String =
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT d AS dim, CAST(embedding[d] AS DOUBLE) AS v
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS d) dims),
+       |a AS MATERIALIZED (
+       |  SELECT dim, CAST(count(*) AS BIGINT) AS n, min(v) AS min_v, max(v) AS max_v,
+       |    CAST(SUM(CAST(round(v * 16777216.0) AS BIGINT)) AS BIGINT) AS sum_q,
+       |    CAST(SUM(CAST(floor(v * v * 268435456.0) AS BIGINT)) AS BIGINT) AS ssq_q
+       |  FROM x GROUP BY dim)
+       |SELECT dim, n, min_v, max_v,
+       |  (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) / 16777216.0) AS mean,
+       |  ((CAST(ssq_q AS DOUBLE) / CAST(n AS DOUBLE) / 268435456.0) -
+       |   (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) / 16777216.0) *
+       |   (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) / 16777216.0)) AS variance
+       |FROM a""".stripMargin
+
+  /** Mirrors [[qEmbedQuantize]] (`Embeddings.quantizeInt8`): per-dim
+    * min and step re-derive from the same exact min/max in the same
+    * single-divide op order, codes floor/clamp identically
+    * (including the x = max boundary — both engines compute the
+    * identical doubles), BIGINT→VARCHAR renders identically. */
+  private val embedQuantizeSql: String =
+    s"""WITH st AS MATERIALIZED (
+       |  SELECT d, min(CAST(embedding[d] AS DOUBLE)) AS mn,
+       |    (max(CAST(embedding[d] AS DOUBLE)) - min(CAST(embedding[d] AS DOUBLE))) / 256.0 AS step
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS d) dims
+       |  GROUP BY d),
+       |c AS MATERIALIZED (
+       |  SELECT e.vec_id, s.d,
+       |    CASE WHEN s.step = 0 THEN 0
+       |         ELSE least(255, greatest(0,
+       |           CAST(floor((CAST(e.embedding[s.d] AS DOUBLE) - s.mn) / s.step) AS BIGINT))) END AS code
+       |  FROM embeddings e CROSS JOIN st s)
+       |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY d) AS codes
+       |FROM c GROUP BY vec_id""".stripMargin
+
+  /** Mirrors [[qEmbedGram]] (`UpperTriProductsQ` + sum, Q=2^28):
+    * identical per-term `floor(v_i·v_j·Q)` quantization makes the
+    * sum order-independent; HUGEINT casts back to BIGINT and the
+    * double view divides once (sums ≪ 2^53 at every fixture
+    * scale, so the direct DOUBLE cast is exact). */
+  private val embedGramSql: String =
+    s"""WITH pr AS MATERIALIZED (
+       |  SELECT ii.i AS i, jj.j AS j,
+       |    CAST(floor(CAST(embedding[ii.i] AS DOUBLE) * CAST(embedding[jj.j] AS DOUBLE)
+       |      * 268435456.0) AS BIGINT) AS p
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) ii
+       |  CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS j) jj
+       |  WHERE jj.j >= ii.i)
+       |SELECT i, j, CAST(SUM(p) AS BIGINT) AS gram_q,
+       |  CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE) / 268435456.0 AS gram
+       |FROM pr GROUP BY i, j""".stripMargin
+
   /** Mirrors [[qEventsRolling]] (`Profile.rollingCounts`, 6-tick
     * trailing RANGE frame): same hourly counts, same window frame;
     * DuckDB's windowed SUM(BIGINT) widens to HUGEINT so it casts
@@ -2396,6 +2480,9 @@ object ExtensionQueries {
     "q_text_postings" -> textPostingsSql,
     "q_text_bm25" -> textBm25Sql,
     "q_text_entropy" -> textEntropySql,
+    "q_embed_dimstats" -> embedDimstatsSql,
+    "q_embed_quantize" -> embedQuantizeSql,
+    "q_embed_gram" -> embedGramSql,
     "q_events_cooccur" -> eventsCooccurSql,
     "q_dedup_bucket_census" -> dedupBucketCensusSql,
     "q_ingest_orc" ->
