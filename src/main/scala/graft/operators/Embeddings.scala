@@ -38,7 +38,13 @@ object Embeddings {
   def dimStats(df: DataFrame, vecCol: String, quantBits: Int = 24): DataFrame = {
     val q = (1L << quantBits).toDouble
     val q2 = (1L << (2 * quantBits - 20)).toDouble
-    df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim0", "x")))
+    // __mid is the qPipelineFilter pushdown barrier: without it the
+    // generator-inferred filter (size > 0 AND isnotnull) pushes below
+    // this projection and re-evaluates the array cast 2-3x per row.
+    df.select(col(vecCol).cast("array<double>").as("__v"),
+        monotonically_increasing_id().as("__mid"))
+      .select(posexplode(col("__v")).as(Seq("dim0", "x")), col("__mid"))
+      .filter(col("__mid") >= 0)
       .groupBy("dim0")
       .agg(
         count(lit(1)).as("n"),
@@ -111,9 +117,14 @@ object Embeddings {
     val pairs = for (i <- 1 to d; j <- i to d) yield (i.toLong, j.toLong)
     val iArr = typedLit(pairs.map(_._1))
     val jArr = typedLit(pairs.map(_._2))
+    // __mid pins the generator-inferred filter above this projection
+    // (else the 2080-product sweep runs 2-3x per row — the
+    // qPipelineFilter barrier pattern, measured there 1.23 -> 0.96 s)
     df.select(VectorExpressions.upperTriProductsQ(
-        col(vecCol).cast("array<double>"), quantBits).as("__p"))
-      .select(posexplode(col("__p")).as(Seq("k", "p")))
+        col(vecCol).cast("array<double>"), quantBits).as("__p"),
+        monotonically_increasing_id().as("__mid"))
+      .select(posexplode(col("__p")).as(Seq("k", "p")), col("__mid"))
+      .filter(col("__mid") >= 0)
       .groupBy("k").agg(sum(col("p")).as("gram_q"))
       .select(
         element_at(iArr, col("k") + 1).as("i"),

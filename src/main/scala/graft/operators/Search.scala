@@ -28,9 +28,14 @@ object Search {
     * [[graft.functions.TextFunctions.vocabulary]] census tells you
     * which). */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // __mid is the qPipelineFilter pushdown barrier: without it the
+    // generator-inferred filter (size > 0 AND isnotnull) pushes below
+    // the projection and re-tokenizes every document 2-3x.
     df.select(col(idCol).cast("long").as("doc_id"),
-        array_distinct(TextFunctions.tokens(lower(col(textCol)))).as("__toks"))
-      .select(col("doc_id"), explode(col("__toks")).as("token"))
+        array_distinct(TextFunctions.tokens(lower(col(textCol)))).as("__toks"),
+        monotonically_increasing_id().as("__mid"))
+      .select(col("doc_id"), explode(col("__toks")).as("token"), col("__mid"))
+      .filter(col("__mid") >= 0)
       .groupBy("token")
       .agg(count(lit(1)).as("doc_freq"),
         concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
@@ -83,7 +88,12 @@ object Search {
     // alongside heavy expressions re-evaluates them per element
     val matched = Dedup.persistMaterialize(
       base.select(col("doc_id"), col("len"),
-          explode(filter(col("__toks"), t => array_contains(termArr, t))).as("term"))
+          filter(col("__toks"), t => array_contains(termArr, t)).as("__mt"),
+          monotonically_increasing_id().as("__mid"))
+        .select(col("doc_id"), col("len"), explode(col("__mt")).as("term"),
+          col("__mid"))
+        .filter(col("__mid") >= 0) // barrier: keeps the inferred
+        // size/isnotnull filter from re-tokenizing below the projection
         .groupBy("doc_id", "len", "term").agg(count(lit(1)).as("tf")),
       eager = true)
 
