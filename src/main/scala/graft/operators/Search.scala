@@ -116,4 +116,67 @@ object Search {
       .orderBy(col("score_q").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** PMI-scored collocations — the phrase-mining pass behind
+    * tokenizer vocabulary extension and multi-word-expression
+    * lists: the top-`k` word bigrams by pointwise mutual information
+    * `ln( (c_ab/B) / ((c_a/T)·(c_b/T)) )` among those with
+    * `c_ab >= minCount` occurrences. Scores are fixed-point longs
+    * (`pmi_q`, floored at 2^scaleBits — the coarse floor absorbs
+    * sub-ulp `ln` differences between engines; every operand is an
+    * integer count divided in a pinned order, so the DuckDB oracle
+    * hash-matches). Ties break on bigram text — a total order.
+    *
+    * Scale posture: ONE corpus scan — unigrams and bigrams (the
+    * compiled [[graft.functions.ShingleStrings]] sweep) explode
+    * together and share a single vocab-keyed count shuffle with
+    * map-side partials. Everything after operates on the
+    * vocab-sized count table (persisted once): totals collapse to
+    * two driver scalars, and the two unigram-count joins are
+    * vocab × vocab — AQE broadcasts the small side. Final top-k is
+    * TakeOrdered, no global sort. */
+  def collocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 5L,
+      k: Int = 50,
+      scaleBits: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val scale = (1L << scaleBits).toDouble
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val bigrams = when(TextFunctions.tokenCount(col(textCol)) >= 2,
+      graft.functions.HashExpressions.shingleStrings(col(textCol), 2))
+      .otherwise(array().cast("array<string>"))
+    // __mid: the generator-filter pushdown barrier (see invertedIndex)
+    val counts = Dedup.persistMaterialize(
+      df.select(concat(toks, bigrams).as("__grams"),
+          monotonically_increasing_id().as("__mid"))
+        .select(explode(col("__grams")).as("gram"), col("__mid"))
+        .filter(col("__mid") >= 0)
+        .groupBy("gram").agg(count(lit(1)).as("c")),
+      eager = true)
+    val isBigram = col("gram").contains(" ")
+    val tot = counts.agg(
+      sum(when(!isBigram, col("c"))).as("t"),
+      sum(when(isBigram, col("c"))).as("b")).head()
+    require(!tot.isNullAt(0) && !tot.isNullAt(1),
+      "collocations needs at least one bigram in the corpus")
+    val totT = tot.getLong(0).toDouble
+    val totB = tot.getLong(1).toDouble
+    def uniAs(key: String, cnt: String) =
+      counts.filter(!isBigram).select(col("gram").as(key), col("c").as(cnt))
+    val ratio = (col("c").cast("double") / lit(totB)) /
+      ((col("ca").cast("double") / lit(totT)) *
+        (col("cb").cast("double") / lit(totT)))
+    counts.filter(isBigram && col("c") >= minCount)
+      .withColumn("__a", substring_index(col("gram"), " ", 1))
+      .withColumn("__b", substring_index(col("gram"), " ", -1))
+      .join(uniAs("__a", "ca"), "__a")
+      .join(uniAs("__b", "cb"), "__b")
+      .select(col("gram").as("bigram"), col("c").as("c_ab"),
+        floor(log(ratio) * lit(scale)).cast("long").as("pmi_q"))
+      .withColumn("pmi", col("pmi_q").cast("double") / lit(scale))
+      .orderBy(col("pmi_q").desc, col("bigram").asc)
+      .limit(k)
+  }
 }

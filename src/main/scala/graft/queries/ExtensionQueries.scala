@@ -754,6 +754,13 @@ object ExtensionQueries {
   private val qEmbedGram: Q = (s, dir) =>
     graft.operators.Embeddings.gramUpperTri(pq(s, dir, "embeddings"), "embedding")
 
+  /** PMI-scored collocations — top-50 word bigrams by pointwise
+    * mutual information among those seen ≥5 times
+    * ([[graft.operators.Search.collocations]], the phrase-mining
+    * pass; fixed-point scores). */
+  private val qTextColloc: Q = (s, dir) =>
+    graft.operators.Search.collocations(pq(s, dir, "documents"), "text")
+
   /** Hourly ingest-volume trend per event type: 6-hour trailing
     * moving sum/max/average over the per-hour counts
     * ([[graft.operators.Profile.rollingCounts]] — the trend line
@@ -938,6 +945,7 @@ object ExtensionQueries {
     "q_embed_dimstats" -> qEmbedDimstats,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_embed_gram" -> qEmbedGram,
+    "q_text_colloc" -> qTextColloc,
     "q_pack_shards" -> qPackShards,
     "q_text_perplexity" -> qTextPerplexity,
     "q_multimodal_meta" -> qMultimodalMeta,
@@ -1969,6 +1977,36 @@ object ExtensionQueries {
        |  CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE) / 268435456.0 AS gram
        |FROM pr GROUP BY i, j""".stripMargin
 
+  /** Mirrors [[qTextColloc]] (`Search.collocations`, minCount=5,
+    * k=50, Q=2^20): same unigram+bigram count table (the
+    * [[q_text_bigrams]] gram construction), same integer counts
+    * divided in the same pinned order, `ln` floored to fixed point
+    * (absorbing sub-ulp engine differences), same
+    * (pmi_q desc, bigram asc) total order for the LIMIT cut. */
+  private val textCollocSql: String =
+    s"""WITH toks AS MATERIALIZED (SELECT $tokensLowerSql AS t FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT unnest(t) AS gram FROM toks
+       |  UNION ALL
+       |  SELECT list_aggregate(t[i:i+1], 'string_agg', ' ') AS gram
+       |  FROM toks, unnest(range(1, len(t))) r(i) WHERE len(t) >= 2),
+       |c AS MATERIALIZED (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY gram),
+       |tot AS MATERIALIZED (
+       |  SELECT CAST(SUM(CASE WHEN position(' ' IN gram) = 0 THEN c END) AS BIGINT) AS t,
+       |         CAST(SUM(CASE WHEN position(' ' IN gram) > 0 THEN c END) AS BIGINT) AS b
+       |  FROM c)
+       |SELECT bigram, c_ab, pmi_q, CAST(pmi_q AS DOUBLE) / 1048576.0 AS pmi FROM (
+       |  SELECT bg.gram AS bigram, bg.c AS c_ab,
+       |    CAST(floor(ln((CAST(bg.c AS DOUBLE) / CAST((SELECT b FROM tot) AS DOUBLE)) /
+       |      ((CAST(ua.c AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE))
+       |       * (CAST(ub.c AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE))))
+       |      * 1048576.0) AS BIGINT) AS pmi_q
+       |  FROM c bg
+       |  JOIN c ua ON ua.gram = split_part(bg.gram, ' ', 1)
+       |  JOIN c ub ON ub.gram = split_part(bg.gram, ' ', 2)
+       |  WHERE position(' ' IN bg.gram) > 0 AND bg.c >= 5) s
+       |ORDER BY pmi_q DESC, bigram ASC LIMIT 50""".stripMargin
+
   /** Mirrors [[qEventsRolling]] (`Profile.rollingCounts`, 6-tick
     * trailing RANGE frame): same hourly counts, same window frame;
     * DuckDB's windowed SUM(BIGINT) widens to HUGEINT so it casts
@@ -2483,6 +2521,7 @@ object ExtensionQueries {
     "q_embed_dimstats" -> embedDimstatsSql,
     "q_embed_quantize" -> embedQuantizeSql,
     "q_embed_gram" -> embedGramSql,
+    "q_text_colloc" -> textCollocSql,
     "q_events_cooccur" -> eventsCooccurSql,
     "q_dedup_bucket_census" -> dedupBucketCensusSql,
     "q_ingest_orc" ->

@@ -46,6 +46,25 @@ class SearchSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq == Seq(4L, 5L))
   }
 
+  test("collocations: hand-computed PMI, rare-pair ranking, minCount gate") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(1L, "new york new york"), Row(2L, "san francisco"), Row(3L, "new day"))
+    val got = Search.collocations(docs, "text", minCount = 1, k = 10).collect()
+    // T=8 unigrams (new:3 york:2 san:1 francisco:1 day:1), B=5 bigrams
+    val q = (1L << 20).toDouble
+    def pmiQ(cab: Double, ca: Double, cb: Double): Long =
+      math.floor(math.log((cab / 5.0) / ((ca / 8.0) * (cb / 8.0))) * q).toLong
+    val want = Map(
+      "new york" -> pmiQ(2, 3, 2), "york new" -> pmiQ(1, 2, 3),
+      "san francisco" -> pmiQ(1, 1, 1), "new day" -> pmiQ(1, 3, 1))
+    assert(got.map(r => r.getString(0) -> r.getLong(2)).toMap == want)
+    // the exclusive pair outranks the frequent-word pair
+    assert(got.head.getString(0) == "san francisco")
+    // minCount gate: only the repeated bigram survives at 2
+    val gated = Search.collocations(docs, "text", minCount = 2, k = 10).collect()
+    assert(gated.map(_.getString(0)).toSeq == Seq("new york"))
+  }
+
   test("unigramEntropyQ: zero for constant docs, ln(k) for uniform, [0,0] when empty") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(1L, "a a a a"), Row(2L, "a b c d"), Row(3L, ""), Row(4L, "a a b b"))
