@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.VectorExpressions
+import graft.functions.{SimilarityFunctions, VectorExpressions}
 
 /** Corpus-level embedding-table operators: per-dimension statistics,
   * int8 quantization, and the exact Gram matrix — the preprocessing
@@ -131,5 +131,83 @@ object Embeddings {
         element_at(jArr, col("k") + 1).as("j"),
         col("gram_q"),
         (col("gram_q").cast("double") / q).as("gram"))
+  }
+
+  /** Dominant eigenvector of the corpus Gram matrix by `iters`
+    * rounds of MAX-NORM power iteration in fixed point — no sqrt,
+    * no ln, so every step is exact-integer or
+    * identical-IEEE-double arithmetic and the DuckDB oracle replays
+    * the full recurrence bit-for-bit (the PageRank all-integer
+    * discipline): matvec terms
+    * `floor((g_q/2^gramBits)·(v_q/2^vecBits)·2^prodBits)`
+    * integer-sum order-independently; renormalization divides two
+    * exact integers (`floor(w_q / max|w_q| · 2^vecBits)`). The Gram
+    * is d×d — driver-scale by construction — so iteration runs
+    * locally on the [[gramUpperTri]] collect; corpus-sized work is
+    * only the one Gram pass. Gram PSD ⇒ the dominant eigenvalue is
+    * real and nonnegative; the all-ones start vector is generic.
+    * Returns the 1-based `v_q` array (max component = 2^vecBits). */
+  def topEigenvectorQ(
+      df: DataFrame,
+      vecCol: String,
+      iters: Int = 8,
+      gramBits: Int = 28,
+      vecBits: Int = 20,
+      prodBits: Int = 30): Array[Long] = {
+    require(iters >= 1 && iters <= 64, "iters out of range")
+    val rows = gramUpperTri(df, vecCol, gramBits).select("i", "j", "gram_q").collect()
+    val d = rows.map(_.getLong(1)).max.toInt
+    val g = Array.ofDim[Long](d + 1, d + 1)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      g(i)(j) = r.getLong(2); g(j)(i) = r.getLong(2)
+    }
+    val qg = (1L << gramBits).toDouble
+    val qv = (1L << vecBits).toDouble
+    val qp = (1L << prodBits).toDouble
+    var vq = Array.fill(d + 1)(1L << vecBits)
+    var it = 0
+    while (it < iters) {
+      val wq = new Array[Long](d + 1)
+      var i = 1
+      while (i <= d) {
+        var s = 0L
+        var j = 1
+        while (j <= d) {
+          s += math.floor((g(i)(j).toDouble / qg) * (vq(j).toDouble / qv) * qp).toLong
+          j += 1
+        }
+        wq(i) = s
+        i += 1
+      }
+      val ma = wq.drop(1).map(math.abs).max
+      require(ma > 0, "power iteration degenerated to the zero vector")
+      vq = Array.tabulate(d + 1)(i =>
+        if (i == 0) 0L else math.floor(wq(i).toDouble / ma.toDouble * qv).toLong)
+      it += 1
+    }
+    vq.drop(1)
+  }
+
+  /** First principal-component projection of every vector: the
+    * corpus dots against the [[topEigenvectorQ]] direction
+    * (broadcast as a literal — the eigenvector's components are
+    * exact dyadic rationals, so both engines hold identical
+    * doubles). The dot is the ordered left fold both engines mirror
+    * bit-for-bit (`SimilarityFunctions.dot`).
+    *
+    * Scale posture: one Gram pass (dimension-sized shuffle) +
+    * driver-local d×d iteration + one zero-shuffle projection
+    * scan — the whole pipeline is two corpus reads regardless of
+    * row count. */
+  def pcaProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int = 8): DataFrame = {
+    val qv = (1L << 20).toDouble
+    val v = topEigenvectorQ(df, vecCol, iters).map(_.toDouble / qv).toSeq
+    df.select(col(idCol).cast("long").as("vec_id"),
+      SimilarityFunctions.dot(col(vecCol), typedLit(v)).as("pc1"))
   }
 }

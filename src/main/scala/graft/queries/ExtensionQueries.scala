@@ -754,6 +754,14 @@ object ExtensionQueries {
   private val qEmbedGram: Q = (s, dir) =>
     graft.operators.Embeddings.gramUpperTri(pq(s, dir, "embeddings"), "embedding")
 
+  /** First-PC projection of the embedding table
+    * ([[graft.operators.Embeddings.pcaProject]] — max-norm
+    * fixed-point power iteration on the Gram matrix, 8 rounds, then
+    * the bit-exact dot fold per vector). */
+  private val qEmbedPca: Q = (s, dir) =>
+    graft.operators.Embeddings.pcaProject(
+      pq(s, dir, "embeddings"), "vec_id", "embedding")
+
   /** PMI-scored collocations — top-50 word bigrams by pointwise
     * mutual information among those seen ≥5 times
     * ([[graft.operators.Search.collocations]], the phrase-mining
@@ -946,6 +954,7 @@ object ExtensionQueries {
     "q_embed_quantize" -> qEmbedQuantize,
     "q_embed_gram" -> qEmbedGram,
     "q_text_colloc" -> qTextColloc,
+    "q_embed_pca" -> qEmbedPca,
     "q_pack_shards" -> qPackShards,
     "q_text_perplexity" -> qTextPerplexity,
     "q_multimodal_meta" -> qMultimodalMeta,
@@ -2007,6 +2016,47 @@ object ExtensionQueries {
        |  WHERE position(' ' IN bg.gram) > 0 AND bg.c >= 5) s
        |ORDER BY pmi_q DESC, bigram ASC LIMIT 50""".stripMargin
 
+  /** Mirrors [[qEmbedPca]] (`Embeddings.pcaProject`, 8 iterations,
+    * Qg=2^28, Qv=2^20, Qp=2^30): replays the [[embedGramSql]] Gram,
+    * mirrors it to full form, then unrolls the max-norm power
+    * recurrence as 8 MATERIALIZED CTE stages — every matvec term is
+    * floored to fixed point BEFORE the integer sum and every
+    * renormalization divides two exact integers, so no step
+    * involves a transcendental and the eigenvector's dyadic
+    * components agree bit-for-bit. The final projection is the
+    * established bit-exact dot fold. */
+  private val embedPcaSql: String = {
+    val (qg, qv, qp) = ("268435456.0", "1048576.0", "1073741824.0")
+    val iters = 8
+    val chain = (1 to iters).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT g.i AS dim, CAST(SUM(CAST(floor((CAST(g.gram_q AS DOUBLE) / $qg)
+         |    * (CAST(v.vq AS DOUBLE) / $qv) * $qp) AS BIGINT)) AS BIGINT) AS wq
+         |  FROM gfull g JOIN v${t - 1} v ON g.j = v.dim GROUP BY g.i),
+         |m$t AS MATERIALIZED (SELECT max(abs(wq)) AS ma FROM w$t),
+         |v$t AS MATERIALIZED (SELECT dim,
+         |  CAST(floor(CAST(wq AS DOUBLE) / CAST((SELECT ma FROM m$t) AS DOUBLE) * $qv) AS BIGINT) AS vq
+         |  FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH gup AS MATERIALIZED (
+       |  SELECT ii.i AS i, jj.j AS j,
+       |    CAST(SUM(CAST(floor(CAST(embedding[ii.i] AS DOUBLE) * CAST(embedding[jj.j] AS DOUBLE)
+       |      * $qg) AS BIGINT)) AS BIGINT) AS gram_q
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) ii
+       |  CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS j) jj
+       |  WHERE jj.j >= ii.i GROUP BY ii.i, jj.j),
+       |gfull AS MATERIALIZED (
+       |  SELECT i, j, gram_q FROM gup
+       |  UNION ALL SELECT j AS i, i AS j, gram_q FROM gup WHERE i <> j),
+       |v0 AS MATERIALIZED (
+       |  SELECT unnest(range(1, ${DIM + 1})) AS dim, CAST(1048576 AS BIGINT) AS vq),
+       |$chain,
+       |vf AS MATERIALIZED (
+       |  SELECT list(CAST(vq AS DOUBLE) / $qv ORDER BY dim) AS vl FROM v$iters)
+       |SELECT vec_id, ${dotSql("embedding", "vl")} AS pc1 FROM embeddings, vf""".stripMargin
+  }
+
   /** Mirrors [[qEventsRolling]] (`Profile.rollingCounts`, 6-tick
     * trailing RANGE frame): same hourly counts, same window frame;
     * DuckDB's windowed SUM(BIGINT) widens to HUGEINT so it casts
@@ -2522,6 +2572,7 @@ object ExtensionQueries {
     "q_embed_quantize" -> embedQuantizeSql,
     "q_embed_gram" -> embedGramSql,
     "q_text_colloc" -> textCollocSql,
+    "q_embed_pca" -> embedPcaSql,
     "q_events_cooccur" -> eventsCooccurSql,
     "q_dedup_bucket_census" -> dedupBucketCensusSql,
     "q_ingest_orc" ->

@@ -47,6 +47,30 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got((1L, 1L)) == (20.0 * q).toLong)
   }
 
+  test("topEigenvectorQ converges to the analytic dominant eigenvector") {
+    // rows (3,1) and (1,3): G = [[10,6],[6,10]], eigvecs (1,1) l=16 / (1,-1) l=4
+    val data = df("vec_id BIGINT, embedding ARRAY<DOUBLE>",
+      Row(1L, Seq(3.0, 1.0)), Row(2L, Seq(1.0, 3.0)))
+    val vq = Embeddings.topEigenvectorQ(data, "embedding")
+    assert(vq.length == 2)
+    val qv = (1L << 20).toDouble
+    // max-norm scaling: dominant (1,1) -> both components ~= 1
+    assert(math.abs(vq(0) / qv - 1.0) < 1e-3, s"v1=${vq(0) / qv}")
+    assert(math.abs(vq(1) / qv - 1.0) < 1e-3, s"v2=${vq(1) / qv}")
+  }
+
+  test("pcaProject: projections match the hand dot against the converged direction") {
+    val data = df("vec_id BIGINT, embedding ARRAY<DOUBLE>",
+      Row(1L, Seq(3.0, 1.0)), Row(2L, Seq(1.0, 3.0)), Row(3L, Seq(-2.0, -2.0)))
+    val got = Embeddings.pcaProject(data, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // G dominated by the (1,1) direction; projections ~ x+y (times ~1)
+    assert(math.abs(got(1L) - 4.0) < 0.05 && math.abs(got(2L) - 4.0) < 0.05)
+    assert(math.abs(got(3L) + 4.0) < 0.05)
+    // opposite-side vectors land on opposite signs
+    assert(got(1L) * got(3L) < 0)
+  }
+
   test("gramUpperTri flat-index mapping covers exactly the upper triangle") {
     val got = Embeddings.gramUpperTri(vecs, "embedding")
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
