@@ -645,6 +645,42 @@ object Dedup {
     df.join(dropIds, df(idCol) === dropIds("id"), "left_anti")
   }
 
+  /** [[keepOnePerCluster]]'s quality-aware sibling — the survivor
+    * policy real pipelines actually want: per duplicate cluster keep
+    * the member with the HIGHEST `score` (ties on minimum id — a
+    * total order when the score column is computed identically on
+    * both sides, as every graft score is), drop the rest, pass every
+    * never-paired row through.
+    *
+    * Scale posture: scoring joins the CLUSTER LABELING (duplicate-
+    * cluster-sized, broadcast) against one corpus projection, so the
+    * per-cluster window runs over clustered rows only; the corpus
+    * pays one scan plus the same broadcast left-anti drop-set join
+    * as [[keepOnePerCluster]] — it is never shuffled. */
+  def keepBestPerCluster(
+      df: DataFrame,
+      idCol: String,
+      score: Column,
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val comp = connectedComponents(pairs, idA, idB, maxIter, checkpointDir)
+    val scored = df.select(col(idCol).as("id"), score.as("__score"))
+      .join(broadcast(comp), "id")
+    val w = Window.partitionBy(col("rep"))
+      .orderBy(col("__score").desc, col("id").asc)
+    val dropIds0 = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1).select(col("id"))
+    val dropIds = {
+      val materialized = persistMaterialize(dropIds0, eager = true)
+      release(comp)
+      materialized
+    }
+    df.join(dropIds, df(idCol) === dropIds("id"), "left_anti")
+  }
+
   /** Embedding-space [[dedupAgainst]] — incremental near-dup removal
     * for the vector modality: drop every `newDf` row whose embedding
     * is within cosine `threshold` of ANY corpus row, without pairing

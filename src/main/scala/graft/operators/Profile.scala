@@ -368,4 +368,48 @@ object Profile {
       .withColumn("roll_avg",
         col("roll_sum").cast("double") / col("roll_n").cast("double"))
   }
+
+  /** Population-stability-index drift between two snapshots of a
+    * numeric column — the monitoring gate that catches a shifted
+    * ingest distribution before it poisons a training mix. Values
+    * bucket into fixed-width bins (`floor(v / binWidth)` — exact in
+    * both engines); each bin present in BOTH snapshots contributes
+    * `(p_a − p_b)·ln(p_a / p_b)`, floored to 2^scaleBits fixed point
+    * (`term_q`) so the per-bin terms — and any downstream integer
+    * sum into a total PSI — replay bit-for-bit in the DuckDB oracle
+    * (the ln-flooring discipline). Bins present on only one side are
+    * dropped (the PSI term is undefined at zero mass — the standard
+    * epsilon dodge traded for an exact, reproducible statistic);
+    * totals still count every row, so the emitted probabilities are
+    * true marginals. PSI > 0.2 is the conventional "investigate"
+    * line.
+    *
+    * Scale posture: each snapshot collapses to bin-cardinality rows
+    * in one map-side-partial hash aggregate; totals are two driver
+    * scalars; the bin join is bin × bin. Corpus-sized work is the
+    * two scans, nothing else. */
+  def psiDrift(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      valueCol: String,
+      binWidth: Double,
+      scaleBits: Int = 20): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    val scale = (1L << scaleBits).toDouble
+    def binned(df: DataFrame, cName: String) =
+      df.select(floor(col(valueCol) / lit(binWidth)).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(cName))
+    val a = Dedup.persistMaterialize(binned(dfA, "c_a"), eager = true)
+    val b = Dedup.persistMaterialize(binned(dfB, "c_b"), eager = true)
+    val na = a.agg(sum(col("c_a"))).head().getLong(0)
+    val nb = b.agg(sum(col("c_b"))).head().getLong(0)
+    require(na > 0 && nb > 0, "psiDrift needs non-empty snapshots on both sides")
+    val pa = col("c_a").cast("double") / lit(na.toDouble)
+    val pb = col("c_b").cast("double") / lit(nb.toDouble)
+    a.join(b, "bin")
+      .select(col("bin"), col("c_a"), col("c_b"),
+        pa.as("p_a"), pb.as("p_b"),
+        floor((pa - pb) * log(pa / pb) * lit(scale)).cast("long").as("term_q"))
+      .withColumn("term", col("term_q").cast("double") / lit(scale))
+  }
 }

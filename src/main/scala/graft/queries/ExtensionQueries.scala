@@ -754,6 +754,32 @@ object ExtensionQueries {
   private val qEmbedGram: Q = (s, dir) =>
     graft.operators.Embeddings.gramUpperTri(pq(s, dir, "embeddings"), "embedding")
 
+  /** Quality-aware near-dup survivor selection: same minhash pair
+    * generation and closure as [[qDedupKeepOne]], but each cluster
+    * keeps its HIGHEST-quality member (ties on min doc_id) — the
+    * survivor policy production pipelines actually run
+    * ([[graft.operators.Dedup.keepBestPerCluster]]). */
+  private val qDedupKeepBest: Q = (s, dir) =>
+    Dedup.keepBestPerCluster(
+      pq(s, dir, "documents"), "doc_id",
+      TextFunctions.qualityScore(col("text")),
+      Dedup.minhashPairs(pq(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5))
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+
+  /** Distribution drift between the first and second half of the
+    * order history: per-bin PSI terms over o_totalprice
+    * ([[graft.operators.Profile.psiDrift]], 25k-wide bins, split at
+    * 1998-01-01). */
+  private val qProfileDrift: Q = (s, dir) => {
+    val o = pq(s, dir, "orders")
+    val split = to_timestamp(lit("1998-01-01"))
+    graft.operators.Profile.psiDrift(
+      o.filter(col("o_orderdate") < split),
+      o.filter(col("o_orderdate") >= split),
+      "o_totalprice", binWidth = 25000.0)
+  }
+
   /** First-PC projection of the embedding table
     * ([[graft.operators.Embeddings.pcaProject]] — max-norm
     * fixed-point power iteration on the Gram matrix, 8 rounds, then
@@ -955,6 +981,8 @@ object ExtensionQueries {
     "q_embed_gram" -> qEmbedGram,
     "q_text_colloc" -> qTextColloc,
     "q_embed_pca" -> qEmbedPca,
+    "q_dedup_keep_best" -> qDedupKeepBest,
+    "q_profile_drift" -> qProfileDrift,
     "q_pack_shards" -> qPackShards,
     "q_text_perplexity" -> qTextPerplexity,
     "q_multimodal_meta" -> qMultimodalMeta,
@@ -2057,6 +2085,62 @@ object ExtensionQueries {
        |SELECT vec_id, ${dotSql("embedding", "vl")} AS pc1 FROM embeddings, vf""".stripMargin
   }
 
+  /** Mirrors [[qDedupKeepBest]] (`Dedup.keepBestPerCluster`): the
+    * [[dedupKeepOneSql]] recursive closure over the same minhash
+    * pairs, but the drop set comes from a per-cluster
+    * (quality DESC, id ASC) row_number — the quality doubles are the
+    * [[qualityGateSql]] composite computed in the identical op
+    * order, so the ranking agrees row for row. */
+  private val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (${minhashPairsSql(3, 64, 16, 0.5)}),
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |labels(id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, l.label FROM edges e JOIN labels l ON e.dst = l.id),
+       |comp AS (SELECT id, min(label) AS rep FROM labels GROUP BY id),
+       |s AS MATERIALIZED (SELECT doc_id,
+       |  $alphaRatioSql * 0.4 + $stopRatioSql * 0.3
+       |    + least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.2
+       |    + (1.0 - $punctRatioSql) * 0.1 AS quality
+       |  FROM documents),
+       |dropped AS (SELECT id FROM (
+       |  SELECT c.id, row_number() OVER (
+       |    PARTITION BY c.rep ORDER BY s.quality DESC, c.id ASC) AS rn
+       |  FROM comp c JOIN s ON s.doc_id = c.id) t WHERE rn > 1)
+       |SELECT doc_id, quality FROM s
+       |WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
+
+  /** Mirrors [[qProfileDrift]] (`Profile.psiDrift`, 25k bins, split
+    * 1998-01-01, Q=2^20): same floor-binning, totals as the same
+    * exact integers, probabilities divided in the same order, the
+    * PSI term's ln floored to fixed point (absorbing sub-ulp engine
+    * differences), one-sided bins dropped by the same inner join. */
+  private val profileDriftSql: String =
+    s"""WITH a AS MATERIALIZED (
+       |  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin FROM orders
+       |  WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+       |b AS MATERIALIZED (
+       |  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+       |ca AS MATERIALIZED (SELECT bin, CAST(count(*) AS BIGINT) AS c_a FROM a GROUP BY bin),
+       |cb AS MATERIALIZED (SELECT bin, CAST(count(*) AS BIGINT) AS c_b FROM b GROUP BY bin),
+       |t AS MATERIALIZED (
+       |  SELECT CAST((SELECT count(*) FROM a) AS DOUBLE) AS na,
+       |         CAST((SELECT count(*) FROM b) AS DOUBLE) AS nb)
+       |SELECT bin, c_a, c_b, p_a, p_b, term_q,
+       |  CAST(term_q AS DOUBLE) / 1048576.0 AS term FROM (
+       |  SELECT ca.bin AS bin, c_a, c_b,
+       |    CAST(c_a AS DOUBLE) / (SELECT na FROM t) AS p_a,
+       |    CAST(c_b AS DOUBLE) / (SELECT nb FROM t) AS p_b,
+       |    CAST(floor((CAST(c_a AS DOUBLE) / (SELECT na FROM t)
+       |        - CAST(c_b AS DOUBLE) / (SELECT nb FROM t))
+       |      * ln((CAST(c_a AS DOUBLE) / (SELECT na FROM t))
+       |        / (CAST(c_b AS DOUBLE) / (SELECT nb FROM t)))
+       |      * 1048576.0) AS BIGINT) AS term_q
+       |  FROM ca JOIN cb ON ca.bin = cb.bin) s""".stripMargin
+
   /** Mirrors [[qEventsRolling]] (`Profile.rollingCounts`, 6-tick
     * trailing RANGE frame): same hourly counts, same window frame;
     * DuckDB's windowed SUM(BIGINT) widens to HUGEINT so it casts
@@ -2573,6 +2657,8 @@ object ExtensionQueries {
     "q_embed_gram" -> embedGramSql,
     "q_text_colloc" -> textCollocSql,
     "q_embed_pca" -> embedPcaSql,
+    "q_dedup_keep_best" -> dedupKeepBestSql,
+    "q_profile_drift" -> profileDriftSql,
     "q_events_cooccur" -> eventsCooccurSql,
     "q_dedup_bucket_census" -> dedupBucketCensusSql,
     "q_ingest_orc" ->

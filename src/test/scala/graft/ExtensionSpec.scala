@@ -226,6 +226,37 @@ class ExtensionSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("keepBestPerCluster keeps the max-score member, ties on min id, unpaired pass") {
+    val docs = df("doc_id BIGINT, score DOUBLE",
+      Row(1L, 0.2), Row(2L, 0.9), Row(3L, 0.9), Row(4L, 0.5),
+      Row(5L, 0.1), Row(6L, 0.7))
+    // clusters {1,2,3} (best: 2 and 3 tie at 0.9 -> min id 2) and
+    // {5,6} (best: 6); 4 unpaired
+    val pairs = df("id_a BIGINT, id_b BIGINT",
+      Row(1L, 2L), Row(2L, 3L), Row(5L, 6L))
+    val kept = graft.operators.Dedup.keepBestPerCluster(
+        docs, "doc_id", col("score"), pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L))
+  }
+
+  test("psiDrift: hand-computed terms, one-sided bins dropped, marginals use full totals") {
+    val a = df("v DOUBLE", Row(5.0), Row(5.0), Row(15.0), Row(35.0))
+    val b = df("v DOUBLE", Row(5.0), Row(15.0), Row(15.0), Row(25.0))
+    val got = graft.operators.Profile.psiDrift(a, b, "v", binWidth = 10.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // shared bins 0 and 1; bin 3 (A-only) and bin 2 (B-only) dropped
+    assert(got.keySet == Set(0L, 1L))
+    val q = (1L << 20).toDouble
+    def termQ(ca: Double, cb: Double): Long =
+      math.floor((ca / 4.0 - cb / 4.0) * math.log((ca / 4.0) / (cb / 4.0)) * q).toLong
+    assert(got(0L).getLong(1) == 2L && got(0L).getLong(2) == 1L)
+    assert(got(0L).getLong(5) == termQ(2, 1))
+    assert(got(1L).getLong(5) == termQ(1, 2))
+    // totals include the dropped bins: p_a uses n=4, not 3
+    assert(got(0L).getDouble(3) == 0.5)
+  }
+
   test("dedupAgainst drops exact/fp/near corpus matches, keeps novel rows, never self-pairs the corpus") {
     val corpus = df("doc_id BIGINT, text STRING",
       Row(100L, "the quick brown fox jumps over the lazy dog near the river bank"),
