@@ -292,6 +292,62 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  // PSI terms are nonnegative by construction ((p_a-p_b) and
+  // ln(p_a/p_b) always share sign), so each floored term is >= -1
+  // (the floor can dip one ulp-bucket under zero); bins surviving the
+  // inner join carry positive counts on both sides.
+  property("psiDrift terms >= -1, shared bins only, exact counts") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(0, 49)),
+      Gen.nonEmptyListOf(Gen.chooseNum(0, 49))) { (xs, ys) =>
+      val a = mkDf("v DOUBLE", xs.map(x => Row(x.toDouble)))
+      val b = mkDf("v DOUBLE", ys.map(y => Row(y.toDouble)))
+      val got = graft.operators.Profile.psiDrift(a, b, "v", binWidth = 10.0)
+        .collect()
+      val binsA = xs.groupBy(_ / 10).map { case (k, v) => (k.toLong, v.size.toLong) }
+      val binsB = ys.groupBy(_ / 10).map { case (k, v) => (k.toLong, v.size.toLong) }
+      val shared = binsA.keySet intersect binsB.keySet
+      got.map(_.getLong(0)).toSet == shared &&
+        got.forall(r => r.getLong(5) >= -1L) &&
+        got.forall(r => binsA(r.getLong(0)) == r.getLong(1) &&
+          binsB(r.getLong(0)) == r.getLong(2))
+    }
+
+  // int8 quantization: every code in [0,255], and within a dimension
+  // codes are monotone in the raw value (floor of an increasing map).
+  property("quantizeInt8 codes bounded and monotone per dim") =
+    Prop.forAll(Gen.listOfN(6,
+      Gen.listOfN(3, Gen.chooseNum(-100, 100).map(_ / 10.0)))) { vecs =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }
+      val d = mkDf("vec_id BIGINT, embedding ARRAY<DOUBLE>", rows)
+      val got = graft.operators.Embeddings.quantizeInt8(d, "vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getString(1).split(",").map(_.toLong))
+        .toMap
+      val byDim = (0 until 3).forall { dim =>
+        val pairs = vecs.zipWithIndex.map { case (v, i) => (v(dim), got(i.toLong)(dim)) }
+        pairs.forall { case (_, c) => c >= 0 && c <= 255 } &&
+          pairs.sortBy(_._1).map(_._2).sliding(2).forall {
+            case Seq(x, y) => x <= y; case _ => true }
+      }
+      byDim
+    }
+
+  // unigram entropy: 0 <= H <= ln(n_tokens), with H = 0 iff the doc
+  // repeats one token (or is empty).
+  property("unigramEntropyQ in [0, ln n] with exact token count") =
+    Prop.forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "e f"))) { toks =>
+      val text = toks.mkString(" ")
+      val expected = text.split("[ ]+").filter(_.nonEmpty)
+      val d = mkDf("doc_id BIGINT, text STRING", Seq(Row(1L, text)))
+      val Array(r) = d.select(
+        graft.functions.HashExpressions.unigramEntropyQ(col("text")).as("e"))
+        .collect()
+      val e = r.getSeq[Long](0)
+      val n = e(0); val q = (1L << 20).toDouble
+      n == expected.length && e(1) >= 0 &&
+        (n == 0 || e(1).toDouble / q <= n * math.log(n.toDouble) + 1e-9)
+    }
+
   property("hammingBall enumerates the exact Hamming ball") =
     Prop.forAll(Gen.chooseNum(1, 12), Gen.chooseNum(0, 3),
       Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (n, h0, seed) =>
