@@ -23,6 +23,12 @@ object ExtensionQueries {
   private def pq(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events with `ts` normalized to a UTC-session TIMESTAMP regardless
+    * of the generator's physical parquet type — see
+    * [[ParityQueries.events]] for the nanos-vs-micros story. */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    ParityQueries.events(spark, dir)
+
   type Q = (SparkSession, String) => DataFrame
 
   // ------------------------------------------------------------ text analysis
@@ -612,12 +618,8 @@ object ExtensionQueries {
     TextFunctions.vocabularyNgrams(pq(s, dir, "documents"), "doc_id", "text", n = 2, k = 40)
 
   /** Weekly cohort retention triangle over the events stream. */
-  private val qEventsRetention: Q = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = pq(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    graft.operators.Funnel.cohortRetention(ev, "user_id", "ts")
-  }
+  private val qEventsRetention: Q = (s, dir) =>
+    graft.operators.Funnel.cohortRetention(events(s, dir), "user_id", "ts")
 
   /** Bigram-LM perplexity scoring: the model fit on the 80% train
     * split (doc_id % 10 < 8), every >= 2-token document scored with
@@ -631,13 +633,9 @@ object ExtensionQueries {
     * ([[graft.operators.Funnel.cooccurrenceLift]] — market-basket
     * mining; lift is PMI's ratio argument, kept transcendental-free
     * so the oracle is exact). */
-  private val qEventsCooccur: Q = (s, dir) => {
-    // nanos TIMESTAMP column in the schema ⇒ the read needs the
-    // legacy long mapping even though ts is never selected
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private val qEventsCooccur: Q = (s, dir) =>
     graft.operators.Funnel.cooccurrenceLift(
-      pq(s, dir, "events"), "user_id", "event_type")
-  }
+      events(s, dir), "user_id", "event_type")
 
   /** LSH band-bucket size histogram ([[Dedup.bucketCensus]] — the
     * observability behind the maxBucketSize cap). */
@@ -696,8 +694,7 @@ object ExtensionQueries {
     * the near-uniform fixture still flags its tail hours; production
     * monitors run 3σ). */
   private val qEventsAnomaly: Q = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = pq(s, dir, "events").withColumn("hour", expr("ts div 3600000000000"))
+    val ev = events(s, dir).withColumn("hour", expr("unix_micros(ts) div 3600000000"))
     graft.operators.Profile.countAnomalies(ev, "event_type", "hour", k = 1.5)
   }
 
@@ -800,8 +797,7 @@ object ExtensionQueries {
     * ([[graft.operators.Profile.rollingCounts]] — the trend line
     * behind [[qEventsAnomaly]]'s point alarms). */
   private val qEventsRolling: Q = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = pq(s, dir, "events").withColumn("hour", expr("ts div 3600000000000"))
+    val ev = events(s, dir).withColumn("hour", expr("unix_micros(ts) div 3600000000"))
     graft.operators.Profile.rollingCounts(ev, "event_type", "hour", window = 6)
   }
 
@@ -809,16 +805,14 @@ object ExtensionQueries {
     * runs of the same event_type collapse into validity intervals
     * with `valid_from`/`valid_to`/`is_current`
     * ([[graft.operators.Reconcile.scd2]], ties broken by event_id).
-    * Validity bounds are epoch MICROS: DuckDB reads ns parquet
-    * timestamps at µs precision, so the oracle can only mirror µs —
-    * `div 1000` here, `epoch_us` there (ordering is unaffected; ties
-    * break on event_id identically both sides). */
-  private val qScd2: Q = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * Validity bounds are epoch MICROS: DuckDB reads parquet
+    * timestamps at µs precision, so the oracle mirrors µs —
+    * `unix_micros` here, `epoch_us` there (ordering is unaffected;
+    * ties break on event_id identically both sides). */
+  private val qScd2: Q = (s, dir) =>
     graft.operators.Reconcile.scd2(
-      pq(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      events(s, dir).withColumn("ts_us", expr("unix_micros(ts)")),
       "user_id", "event_type", "ts_us", "event_id")
-  }
 
   /** Zone-map manifest of a Z-ordered 8-file documents twin
     * ([[graft.sources.Layout.zoneMaps]] over [[graft.sources.Layout.zOrderByRange]]
@@ -870,11 +864,9 @@ object ExtensionQueries {
   /** Markov next-event transition matrix per user
     * ([[graft.operators.Funnel.transitionMatrix]], ties broken by
     * event_id). */
-  private val qEventsTransitions: Q = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private val qEventsTransitions: Q = (s, dir) =>
     graft.operators.Funnel.transitionMatrix(
-      pq(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
-  }
+      events(s, dir), "user_id", "event_type", "ts", "event_id")
 
   /** Per-nation triangle counts over the undirected trade graph
     * ([[graft.operators.Graph.triangleCounts]]). */

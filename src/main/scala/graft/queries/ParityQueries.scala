@@ -23,14 +23,26 @@ object ParityQueries {
   private def pq(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects; read nanos as long and floor to micros
-    * (integer `div`, not FP division — nanos ~1.7e18 exceed double
-    * precision). DuckDB reads the same column as TIMESTAMP_NS and
-    * `epoch_us` floors identically, so oracle parity holds. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  /** events.parquet's `ts` physical type varies across generator
+    * versions: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read as long via `nanosAsLong` and floor to micros
+    * with integer `div`, since nanos ~1.7e18 exceed double precision)
+    * vs TIMESTAMP(MICROS) with isAdjustedToUTC=false (read natively
+    * as TIMESTAMP_NTZ). Both normalize to a session-tz TIMESTAMP —
+    * all graft sessions pin spark.sql.session.timeZone=UTC, so the
+    * NTZ→LTZ cast is value-preserving. DuckDB reads either physical
+    * type and `epoch_us`/`epoch_ns` floor identically, so oracle
+    * parity holds under both generators. */
+  def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    pq(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = pq(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   type Q = (SparkSession, String) => DataFrame

@@ -9,11 +9,8 @@ import graft.streaming.StreamOps.Event
   * oracle-verified batch sessionizer (q_events_sessionize logic). */
 class StreamingSpec extends SparkSpec {
 
-  private def eventsDf = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventsDf =
+    graft.queries.ParityQueries.events(spark, "/root/testdata/sf0.001")
 
   test("streaming hourlyCounts over a file stream matches the batch aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
