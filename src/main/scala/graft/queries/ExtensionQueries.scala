@@ -831,6 +831,55 @@ object ExtensionQueries {
       s.read.parquet(s"$twin/documents.parquet"), Seq("doc_id", "n_chars"))
   }
 
+  /** Small-file compaction plan over a fresh z-ordered twin's
+    * manifest ([[graft.sources.Layout.compactionPlan]]): adjacent
+    * files in min-doc_id order grouped into ~150-row merge runs. The
+    * oracle recomputes the manifest from the same twin files and
+    * replays the integer cumulative-sum grouping, covering layout
+    * plumbing + plan math end to end. */
+  private val qLayoutCompaction: Q = (s, dir) => {
+    val twin = s"$twinRoot/ctwin/${new java.io.File(dir).getName}"
+    graft.sources.Layout.zOrderByRange(
+      pq(s, dir, "documents").select("doc_id", "n_chars"),
+      "doc_id", "n_chars", numPartitions = 8)
+      .write.mode("overwrite").parquet(s"$twin/documents.parquet")
+    val manifest = graft.sources.Layout.zoneMaps(
+      s.read.parquet(s"$twin/documents.parquet"), Seq("doc_id"))
+    graft.sources.Layout.compactionPlan(
+      manifest, "file_idx", "n_rows", "min_doc_id", target = 150L)
+  }
+
+  /** The part-name domain shared by the fuzzy-match queries: distinct
+    * names with `min(p_partkey)` as a deterministic dense id (entity
+    * resolution resolves VALUES, not rows — the domain is orders of
+    * magnitude smaller than the table). */
+  private def partNames(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "part").groupBy("p_name").agg(min("p_partkey").as("name_id"))
+
+  /** Exact trigram-Jaccard similarity self-join over the distinct
+    * part-name domain ([[graft.operators.FuzzyJoin.similarPairs]],
+    * t = 0.25 — an exact binary fraction, so threshold compares are
+    * bit-identical across engines). The oracle runs the QUADRATIC
+    * pairwise scan; a hash match therefore proves the prefix filter
+    * lost no pair. */
+  private val qFuzzyJoin: Q = (s, dir) =>
+    graft.operators.FuzzyJoin.similarPairs(
+      partNames(s, dir), "name_id", "p_name", threshold = 0.25)
+
+  /** Entity resolution end to end: fuzzy pairs → connected
+    * components → every part row labeled with its name cluster's
+    * canonical id ([[graft.operators.FuzzyJoin.resolveEntities]]).
+    * The oracle replays the quadratic pair scan + recursive-CTE
+    * closure (integer min-label fixpoint — exact by construction). */
+  private val qEntityResolution: Q = (s, dir) => {
+    val ents = graft.operators.FuzzyJoin.resolveEntities(
+      partNames(s, dir), "name_id", "p_name", threshold = 0.25)
+    pq(s, dir, "part").select("p_partkey", "p_name")
+      .join(partNames(s, dir), Seq("p_name"))
+      .join(ents, Seq("name_id"))
+      .select("p_partkey", "p_name", "entity_id")
+  }
+
   /** Fixed-point PageRank over the customer-nation → supplier-nation
     * trade graph (edge weight = lineitem count) — the link-graph
     * quality-weighting signal, here exercised on the densest graph the
@@ -965,6 +1014,9 @@ object ExtensionQueries {
     "q_events_rolling" -> qEventsRolling,
     "q_scd2" -> qScd2,
     "q_layout_zonemaps" -> qLayoutZonemaps,
+    "q_layout_compaction" -> qLayoutCompaction,
+    "q_fuzzy_join" -> qFuzzyJoin,
+    "q_entity_resolution" -> qEntityResolution,
     "q_text_postings" -> qTextPostings,
     "q_text_bm25" -> qTextBm25,
     "q_text_entropy" -> qTextEntropy,
@@ -2184,6 +2236,69 @@ object ExtensionQueries {
        |                  filename = true)
        |GROUP BY 1""".stripMargin
 
+  /** Manifest recomputed from the compaction twin's files, then the
+    * cumulative-sum merge grouping replayed with DuckDB's `//`
+    * (integer division, like Spark's `div` — the plan is integer
+    * arithmetic end to end). */
+  private val layoutCompactionSql: String =
+    s"""WITH m AS MATERIALIZED (
+       |  SELECT CAST(regexp_extract(filename, 'part-(\\d+)', 1) AS INTEGER) AS file_idx,
+       |    count(*) AS n_rows, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+       |  FROM read_parquet('$twinRoot/ctwin/__SF_BASENAME__/documents.parquet/*.parquet',
+       |                    filename = true)
+       |  GROUP BY 1)
+       |SELECT file_idx, n_rows, min_doc_id, max_doc_id,
+       |  CAST((sum(n_rows) OVER (ORDER BY min_doc_id, file_idx) - n_rows) // 150
+       |       AS BIGINT) AS merge_group
+       |FROM m""".stripMargin
+
+  /** The quadratic ground truth for [[qFuzzyJoin]]: distinct
+    * part-name domain (min-partkey ids), normalized char trigram
+    * SETS, full pairwise intersection counts, exact Jaccard ≥ 0.25.
+    * No prefix/length filtering here — a hash match proves the Spark
+    * side's filters are lossless. Same normalization both sides
+    * (lower, non-alphanumeric runs → one space, trim); Jaccard is
+    * one IEEE double division of exact integers on both engines. */
+  private val fuzzyPairsSql: String =
+    s"""WITH names AS MATERIALIZED (
+       |  SELECT min(p_partkey) AS id,
+       |         trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) AS norm
+       |  FROM part GROUP BY p_name),
+       |gsets AS MATERIALIZED (
+       |  SELECT id, list_distinct(list_transform(range(1, length(norm) - 1),
+       |                                          i -> norm[i:i+2])) AS gs
+       |  FROM names WHERE length(norm) >= 3),
+       |grams AS MATERIALIZED (SELECT id, unnest(gs) AS gram FROM gsets),
+       |sizes AS MATERIALIZED (SELECT id, len(gs) AS sz FROM gsets),
+       |inter AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+       |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.id = inter.id_a
+       |JOIN sizes sb ON sb.id = inter.id_b
+       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.25""".stripMargin
+
+  /** [[fuzzyPairsSql]] pairs → recursive-CTE min-label closure (the
+    * [[dedupComponentsSql]] technique) → every part row labeled with
+    * its name cluster's canonical (minimum) name_id. */
+  private val entityResolutionSql: String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED ($fuzzyPairsSql),
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |labels(id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, l.label FROM edges e JOIN labels l ON e.dst = l.id
+       |),
+       |reps AS (SELECT id, min(label) AS rep FROM labels GROUP BY id),
+       |named AS (SELECT p_name, min(p_partkey) AS name_id FROM part GROUP BY p_name)
+       |SELECT p.p_partkey, p.p_name, coalesce(r.rep, n.name_id) AS entity_id
+       |FROM part p
+       |JOIN named n ON p.p_name = n.p_name
+       |LEFT JOIN reps r ON r.id = n.name_id""".stripMargin
+
   /** Mirrors [[qProfileCorr]] (`Profile.correlation`, scale=100):
     * identical cents quantization (round is half-away-from-zero in
     * both engines), HUGEINT sums == ExactCentsSum's exact two-long
@@ -2641,6 +2756,9 @@ object ExtensionQueries {
     "q_events_rolling" -> eventsRollingSql,
     "q_scd2" -> scd2Sql,
     "q_layout_zonemaps" -> layoutZonemapsSql,
+    "q_layout_compaction" -> layoutCompactionSql,
+    "q_fuzzy_join" -> fuzzyPairsSql,
+    "q_entity_resolution" -> entityResolutionSql,
     "q_text_postings" -> textPostingsSql,
     "q_text_bm25" -> textBm25Sql,
     "q_text_entropy" -> textEntropySql,

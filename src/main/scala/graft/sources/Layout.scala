@@ -77,4 +77,36 @@ object Layout {
         .cast("int").as("file_idx"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
+
+  /** Small-file compaction plan over a [[zoneMaps]]-style manifest:
+    * files ordered by their clustering key (`orderCol`, ties on
+    * `fileCol`) are grouped into consecutive runs of ~`target` units
+    * (bytes, rows — whatever `sizeCol` measures): a file opens a new
+    * merge group exactly when the cumulative size BEFORE it crosses a
+    * multiple of `target`. Grouping ADJACENT files in clustering
+    * order is the point — the merged files' [min, max] zones stay
+    * tight, so compaction never undoes the pruning the layout paid
+    * for. Integer `div` end to end: the plan is deterministic and the
+    * oracle replays it exactly.
+    *
+    * Scale posture: the input is file-level METADATA (one row per
+    * data file — ~10^5-10^6 rows for a 100 TB table), so the single
+    * global-order window this runs is a deliberate, documented
+    * exception to the no-global-sort rule; planning output feeds a
+    * rewrite job, it is not itself a data-scale operator. */
+  def compactionPlan(
+      manifest: DataFrame,
+      fileCol: String,
+      sizeCol: String,
+      orderCol: String,
+      target: Long): DataFrame = {
+    require(target > 0, s"target must be positive, got $target")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(orderCol), col(fileCol))
+    manifest
+      .withColumn("__cum", sum(col(sizeCol).cast("long")).over(w))
+      .withColumn("merge_group",
+        expr(s"(__cum - CAST($sizeCol AS BIGINT)) div ${target}L"))
+      .drop("__cum")
+  }
 }
