@@ -96,6 +96,66 @@ object FuzzyJoin {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-frame variant of [[similarPairs]] — the fuzzy LOOKUP
+    * shape: every (left, right) pair with char-n-gram Jaccard ≥
+    * `threshold`. Same lossless prefix filtering; the rare-first gram
+    * order is computed over BOTH sides (any consistent total order
+    * preserves the theorem — a shared one just prunes best). Run
+    * both sides on their DISTINCT value domains; this is the
+    * batch-vs-corpus shape of [[Dedup.dedupAgainst]] applied to
+    * short-string matching. */
+  def similarJoin(
+      left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      threshold: Double,
+      n: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val lb = left.select(col(leftId).as("left_id"), charGrams(col(leftStr), n).as("lg"))
+      .filter(size(col("lg")) > 0)
+    val rb = right.select(col(rightId).as("right_id"), charGrams(col(rightStr), n).as("rg"))
+      .filter(size(col("rg")) > 0)
+    val lt = lb.select(col("left_id"), size(col("lg")).as("lsz"), explode(col("lg")).as("gram"))
+    val rt = rb.select(col("right_id"), size(col("rg")).as("rsz"), explode(col("rg")).as("gram"))
+    val freq = lt.select("gram").unionAll(rt.select("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    val lp = lt.join(freq, "gram")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("left_id").orderBy(col("gram_df"), col("gram"))))
+      .filter(col("rnk") <= col("lsz") - floor(lit(threshold) * col("lsz")) + 1)
+    val rp = rt.join(freq, "gram")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("right_id").orderBy(col("gram_df"), col("gram"))))
+      .filter(col("rnk") <= col("rsz") - floor(lit(threshold) * col("rsz")) + 1)
+    val cands = lp.as("l").join(rp.as("r"),
+        col("l.gram") === col("r.gram") &&
+        least(col("lsz"), col("rsz")) >=
+          floor(lit(threshold) * greatest(col("lsz"), col("rsz"))))
+      .select(col("left_id"), col("right_id")).distinct()
+    cands.join(lb, Seq("left_id")).join(rb, Seq("right_id"))
+      .withColumn("inter", size(array_intersect(col("lg"), col("rg"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("lg")) + size(col("rg")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("left_id", "right_id", "jaccard")
+  }
+
+  /** The fuzzy REFER: for each left value, its single best right
+    * match at Jaccard ≥ `threshold` — max similarity, ties broken by
+    * minimum right id (deterministic: the Jaccard doubles are the
+    * same exact-integer division on every engine). Left values with
+    * no match above threshold are absent — callers left-join and
+    * apply their default, exactly like the reference's
+    * default-on-miss refer semantics. */
+  def bestMatches(
+      left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      threshold: Double,
+      n: Int = 3): DataFrame =
+    similarJoin(left, leftId, leftStr, right, rightId, rightStr, threshold, n)
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy("left_id").orderBy(col("jaccard").desc, col("right_id"))))
+      .filter(col("__rnk") === 1).drop("__rnk")
+
   /** Entity resolution over a value domain: fuzzy pairs →
     * [[Dedup.connectedComponents]] → every id labeled with its
     * cluster's minimum id (singletons label themselves). Input ids

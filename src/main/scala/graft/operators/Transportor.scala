@@ -72,6 +72,11 @@ final class Transportor(
           throw new NoSuchElementException(
             s"table '$key': refers '${r.target}' looks up target table " +
               s"'${r.searchTable}' which is neither in the plan nor pre-seeded")
+        case r: FuzzyRefer if r.searchSource == SearchSource.Target &&
+            plan.keyFor(r.searchTable).isEmpty && !preSeeded.contains(r.searchTable) =>
+          throw new NoSuchElementException(
+            s"table '$key': fuzzy refer '${r.target}' looks up target table " +
+              s"'${r.searchTable}' which is neither in the plan nor pre-seeded")
         case _ =>
       }
     }
@@ -248,8 +253,9 @@ final class Transportor(
         case (d, (field, targetCol)) => d.withColumn(targetCol, col(tmp)(field))
       }
       filled.drop(tmp)
-    case r: Refer  => applyRefer(df, r)
-    case r: Refers => applyRefers(df, r)
+    case r: Refer      => applyRefer(df, r)
+    case r: Refers     => applyRefers(df, r)
+    case r: FuzzyRefer => applyFuzzyRefer(df, r)
   }
 
   private def withDefault(c: Column, default: Option[Any]): Column =
@@ -354,6 +360,35 @@ final class Transportor(
       joined.withColumn(r.target, when(col(wCol).isNotNull, formatted))
         .drop(keyCols :+ wCol: _*)
     }
+  }
+
+  /** Approximate-key lookup (see [[graft.plans.FuzzyRefer]]): resolve
+    * each DISTINCT probe value to its best canonical match
+    * ([[FuzzyJoin.bestMatches]] — lossless prefix-filtered candidate
+    * generation, exact Jaccard verify, max-sim/min-key pick), attach
+    * the deterministic wanted value (same min discipline as the exact
+    * refer's dedup), then fill rows with ONE equi-join on the probe
+    * value. The fuzzy stage runs on the value domains only; the
+    * corpus-side cost is the final join. */
+  private def applyFuzzyRefer(df: DataFrame, r: FuzzyRefer): DataFrame = {
+    val lookup = readSide(r.searchSource, r.searchTable)
+      .filter(Predicates.all(r.conditions))
+    val keyCol = s"__graft_k_${r.target}"
+    val wCol = s"__graft_w_${r.target}"
+    val probeCol = s"__graft_p_${r.target}"
+    val canon = lookup.select(col(r.searchColumn).as(keyCol), col(r.wantedColumn).as(wCol))
+    val canonDedup = canon.groupBy(keyCol).agg(minWanted(canon, wCol).as(wCol))
+    val probes = df.select(col(r.accordingColumn).as(probeCol)).distinct()
+    val resolved = FuzzyJoin.bestMatches(
+        probes, probeCol, probeCol, canonDedup, keyCol, keyCol,
+        r.threshold, r.gramN)
+      .select(col("left_id").as(probeCol), col("right_id").as(keyCol))
+      .join(canonDedup, Seq(keyCol))
+      .select(col(probeCol), col(wCol))
+    val joined = df.join(maybeBroadcast(resolved, r.broadcastLookup),
+      df(r.accordingColumn) === resolved(probeCol), "left")
+    joined.withColumn(r.target, withDefault(col(wCol), r.default))
+      .drop(probeCol, wCol)
   }
 
   /** J3 aggregate lookup (reference `refers` / multiReferExtractor,

@@ -32,7 +32,12 @@ import scala.jdk.CollectionConverters._
   *            "according_column": "id",
   *            "search_source": "original", "search_table": "accounts",
   *            "search_column": "user_id",
-  *            "processor": "sum(amount)", "default": 0.0}}
+  *            "processor": "sum(amount)", "default": 0.0}},
+  *         {"target": "vendor_id", "fuzzy_refer": {
+  *            "according_column": "vendor_name",
+  *            "search_source": "target", "search_table": "dim_vendor",
+  *            "search_column": "name", "wanted_column": "id",
+  *            "threshold": 0.5, "gram_n": 3, "default": -1}}
   *       ],
   *       "extra_conditions": [["name", "<>", "wangwu"], {"raw": "id % 2 = 0"}],
   *       "order": {"order_by": "id", "direction": "desc"},
@@ -99,28 +104,30 @@ object PlanConfig {
     val del = opt(n, "delete_after_transport").exists(_.asBoolean(false))
     val default = opt(n, "default").map(value)
     (opt(n, "original"), opt(n, "expr"), opt(n, "refer"), opt(n, "refers"),
-        opt(n, "affection")) match {
-      case (Some(o), None, None, None, None) =>
+        opt(n, "affection"), opt(n, "fuzzy_refer")) match {
+      case (Some(o), None, None, None, None, None) =>
         Rename(target, o.asText(), default, del)
-      case (None, Some(e), None, None, None) =>
+      case (None, Some(e), None, None, None, None) =>
         Derived(target, expr(e.asText()), default, del)
-      case (None, None, Some(r), None, None) =>
+      case (None, None, Some(r), None, None, None) =>
         parseRefer(table, target, r, default, del)
-      case (None, None, None, Some(r), None) =>
+      case (None, None, None, Some(r), None, None) =>
         parseRefers(table, target, r, default, del)
-      case (None, None, None, None, Some(a)) =>
+      case (None, None, None, None, Some(a), None) =>
         Affection(target,
           expr(str(req(a, "expr", s"affection '$target'"))),
           mainField = str(req(a, "main_field", s"affection '$target'")),
           alsoFills = opt(a, "also_fills").map(_.fields().asScala.map(e =>
             e.getKey -> e.getValue.asText()).toSeq).getOrElse(Nil),
           deleteAfterTransport = del)
-      case (None, None, None, None, None) if default.isDefined =>
+      case (None, None, None, None, None, Some(f)) =>
+        parseFuzzyRefer(table, target, f, default, del)
+      case (None, None, None, None, None, None) if default.isDefined =>
         Inject(target, default.get, del)
       case _ =>
         throw new IllegalArgumentException(
           s"column '$target' in '$table': need exactly one of original/expr/refer/refers/" +
-            "affection (or default alone for constant injection)")
+            "affection/fuzzy_refer (or default alone for constant injection)")
     }
   }
 
@@ -138,6 +145,21 @@ object PlanConfig {
     conditions = parseConditions(opt(n, "extra_conditions")),
     broadcastLookup = opt(n, "broadcast").exists(_.asBoolean(false)),
     saltFactor = opt(n, "salt_factor").map(_.asInt(1)).getOrElse(1),
+    deleteAfterTransport = del)
+
+  private def parseFuzzyRefer(table: String, target: String, n: JsonNode,
+      default: Option[Any], del: Boolean): FuzzyRefer = FuzzyRefer(
+    target = target,
+    accordingColumn = str(req(n, "according_column", s"fuzzy_refer '$target'")),
+    searchSource = source(n),
+    searchTable = str(req(n, "search_table", s"fuzzy_refer '$target'")),
+    searchColumn = str(req(n, "search_column", s"fuzzy_refer '$target'")),
+    wantedColumn = str(req(n, "wanted_column", s"fuzzy_refer '$target'")),
+    threshold = req(n, "threshold", s"fuzzy_refer '$target'").asDouble(),
+    gramN = opt(n, "gram_n").map(_.asInt(3)).getOrElse(3),
+    default = default.orElse(opt(n, "default").map(value)),
+    conditions = parseConditions(opt(n, "extra_conditions")),
+    broadcastLookup = opt(n, "broadcast").exists(_.asBoolean(false)),
     deleteAfterTransport = del)
 
   private def parseRefers(table: String, target: String, n: JsonNode,

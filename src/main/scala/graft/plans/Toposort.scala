@@ -27,9 +27,10 @@ object Toposort {
     * external target tables) carry no edge. */
   def dependencies(plan: TransportPlan, map: TableMap): Seq[String] = {
     val refs = map.columns.flatMap {
-      case r: Refer if r.searchSource == SearchSource.Target   => Seq(r.searchTable)
-      case r: Refers if r.searchSource == SearchSource.Target  => Seq(r.searchTable)
-      case _                                                   => Nil
+      case r: Refer if r.searchSource == SearchSource.Target      => Seq(r.searchTable)
+      case r: Refers if r.searchSource == SearchSource.Target     => Seq(r.searchTable)
+      case r: FuzzyRefer if r.searchSource == SearchSource.Target => Seq(r.searchTable)
+      case _                                                      => Nil
     }
     val mids = map.middle.toSeq.flatMap { m =>
       (if (m.one.referSource == SearchSource.Target) Seq(m.one.referTable) else Nil) ++

@@ -212,6 +212,35 @@ final case class Refers(
     broadcastLookup: Boolean = false,
     deleteAfterTransport: Boolean = false) extends ColumnSpec
 
+/** Approximate-key lookup — the fuzzy [[Refer]] for dirty string
+  * keys (misspelled vendor names, inconsistent host spellings): each
+  * DISTINCT probe value resolves to its best lookup match at
+  * char-`gramN`-gram Jaccard ≥ `threshold`
+  * ([[graft.operators.FuzzyJoin.bestMatches]] — max similarity, ties
+  * by minimum search value), and the row-level fill is one equi-join
+  * on the resolved value; miss ⇒ `default` (NULL without one).
+  * Extension beyond the reference's exact-key refer
+  * (src/DBT.php:277-343): same target/search/wanted/default surface,
+  * approximate key equality. Matching cost is per DISTINCT value —
+  * the domains, not the tables, size the fuzzy stage. */
+final case class FuzzyRefer(
+    target: String,
+    accordingColumn: String,
+    searchSource: SearchSource,
+    searchTable: String,
+    searchColumn: String,
+    wantedColumn: String,
+    threshold: Double,
+    gramN: Int = 3,
+    default: Option[Any] = None,
+    conditions: Seq[Condition] = Nil,
+    broadcastLookup: Boolean = false,
+    deleteAfterTransport: Boolean = false) extends ColumnSpec {
+  require(threshold > 0 && threshold <= 1,
+    s"fuzzy refer '$target': threshold must be in (0,1], got $threshold")
+  require(gramN >= 1, s"fuzzy refer '$target': gramN must be >= 1, got $gramN")
+}
+
 /** "One" half of a many-to-many bridge (reference `middle.one`,
   * src/DBT.php:456-489; README.md:336-352): scan `referTable`
   * reading `(wantedColumn, accordingColumn)`, run `preFormat` over

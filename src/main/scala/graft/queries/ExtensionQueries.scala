@@ -866,6 +866,50 @@ object ExtensionQueries {
     graft.operators.FuzzyJoin.similarPairs(
       partNames(s, dir), "name_id", "p_name", threshold = 0.25)
 
+  /** The fuzzy REFER ([[graft.operators.FuzzyJoin.bestMatches]]):
+    * names observed in the odd-partkey shard matched against the
+    * even-partkey shard's canonical domain — per left name, the
+    * single best match at Jaccard ≥ 0.25 (ties → min right id).
+    * The oracle replays the quadratic cross scan + the same
+    * (jaccard DESC, right_id) window rank. */
+  private val qFuzzyLookup: Q = (s, dir) => {
+    val part = pq(s, dir, "part")
+    val leftDom = part.filter(col("p_partkey") % 2 === 1)
+      .groupBy("p_name").agg(min("p_partkey").as("left_id"))
+    val rightDom = part.filter(col("p_partkey") % 2 === 0)
+      .groupBy("p_name").agg(min("p_partkey").as("right_id"))
+    graft.operators.FuzzyJoin.bestMatches(
+      leftDom, "left_id", "p_name", rightDom, "right_id", "p_name",
+      threshold = 0.25)
+  }
+
+  /** The fuzzy refer THROUGH the declarative engine
+    * ([[graft.plans.FuzzyRefer]]): part names dirtied with a trailing
+    * character resolve back to the canonical name domain at
+    * Jaccard ≥ 0.5 and pull the canonical min retail price;
+    * default −1.0 on miss. The oracle replays the quadratic
+    * best-match scan plus the row-level left join. */
+  private val qReferFuzzy: Q = (s, dir) => {
+    val io = new graft.sources.ParquetDirIO(s, dir, dir)
+    val plan = graft.plans.TransportPlan.of(
+      "part_fz" -> graft.plans.TableMap(
+        originalTable = Some("part"),
+        columns = Seq(
+          graft.plans.Rename("p_partkey", "p_partkey"),
+          graft.plans.Derived("obs_name", concat(col("p_name"), lit("x"))),
+          graft.plans.FuzzyRefer(
+            target = "canon_price",
+            accordingColumn = "obs_name",
+            searchSource = graft.plans.SearchSource.Original,
+            searchTable = "part",
+            searchColumn = "p_name",
+            wantedColumn = "p_retailprice",
+            threshold = 0.5,
+            default = Some(-1.0d),
+            broadcastLookup = true))))
+    new graft.operators.Transportor(io, plan).frame("part_fz")
+  }
+
   /** Entity resolution end to end: fuzzy pairs → connected
     * components → every part row labeled with its name cluster's
     * canonical id ([[graft.operators.FuzzyJoin.resolveEntities]]).
@@ -1016,6 +1060,8 @@ object ExtensionQueries {
     "q_layout_zonemaps" -> qLayoutZonemaps,
     "q_layout_compaction" -> qLayoutCompaction,
     "q_fuzzy_join" -> qFuzzyJoin,
+    "q_fuzzy_lookup" -> qFuzzyLookup,
+    "q_refer_fuzzy" -> qReferFuzzy,
     "q_entity_resolution" -> qEntityResolution,
     "q_text_postings" -> qTextPostings,
     "q_text_bm25" -> qTextBm25,
@@ -2280,6 +2326,78 @@ object ExtensionQueries {
        |JOIN sizes sb ON sb.id = inter.id_b
        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.25""".stripMargin
 
+  /** Quadratic cross-scan ground truth for [[qFuzzyLookup]]: both
+    * shard domains' trigram sets, every cross pair's exact Jaccard,
+    * then the same (jaccard DESC, right_id) best-match window. The
+    * tiny value domains (64 names a side) make the quadratic oracle
+    * cheap at any fixture scale. */
+  private val fuzzyLookupSql: String =
+    s"""WITH ldom AS MATERIALIZED (
+       |  SELECT min(p_partkey) AS left_id,
+       |         trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) AS norm
+       |  FROM part WHERE p_partkey % 2 = 1 GROUP BY p_name),
+       |rdom AS MATERIALIZED (
+       |  SELECT min(p_partkey) AS right_id,
+       |         trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) AS norm
+       |  FROM part WHERE p_partkey % 2 = 0 GROUP BY p_name),
+       |lg AS MATERIALIZED (
+       |  SELECT left_id, list_distinct(list_transform(range(1, length(norm) - 1),
+       |                                               i -> norm[i:i+2])) AS gs
+       |  FROM ldom WHERE length(norm) >= 3),
+       |rg AS MATERIALIZED (
+       |  SELECT right_id, list_distinct(list_transform(range(1, length(norm) - 1),
+       |                                                i -> norm[i:i+2])) AS gs
+       |  FROM rdom WHERE length(norm) >= 3),
+       |pairs AS (
+       |  SELECT left_id, right_id,
+       |         CAST(len(list_intersect(l.gs, r.gs)) AS DOUBLE)
+       |           / (len(l.gs) + len(r.gs) - len(list_intersect(l.gs, r.gs))) AS jaccard
+       |  FROM lg l, rg r),
+       |ranked AS (
+       |  SELECT left_id, right_id, jaccard,
+       |         row_number() OVER (PARTITION BY left_id
+       |                            ORDER BY jaccard DESC, right_id) AS rnk
+       |  FROM pairs WHERE jaccard >= 0.25)
+       |SELECT left_id, right_id, jaccard FROM ranked WHERE rnk = 1""".stripMargin
+
+  /** Quadratic replay of [[qReferFuzzy]]: canonical name domain with
+    * its deterministic min wanted value, dirtied probe domain, exact
+    * cross-pair Jaccard, (jaccard DESC, key) best-match pick at the
+    * 0.5 threshold, then the row-level left join + default — the
+    * whole declarative fuzzy-refer path in one SQL mirror. */
+  private val referFuzzySql: String =
+    s"""WITH canon AS MATERIALIZED (
+       |  SELECT p_name AS k, min(p_retailprice) AS w,
+       |         trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) AS norm
+       |  FROM part GROUP BY p_name),
+       |probes AS MATERIALIZED (
+       |  SELECT DISTINCT p_name || 'x' AS probe,
+       |         trim(regexp_replace(lower(p_name || 'x'), '[^a-z0-9]+', ' ', 'g')) AS norm
+       |  FROM part),
+       |pg AS MATERIALIZED (
+       |  SELECT probe, list_distinct(list_transform(range(1, length(norm) - 1),
+       |                                             i -> norm[i:i+2])) AS gs
+       |  FROM probes WHERE length(norm) >= 3),
+       |cg AS MATERIALIZED (
+       |  SELECT k, list_distinct(list_transform(range(1, length(norm) - 1),
+       |                                         i -> norm[i:i+2])) AS gs
+       |  FROM canon WHERE length(norm) >= 3),
+       |pairs AS (
+       |  SELECT probe, k,
+       |         CAST(len(list_intersect(p.gs, c.gs)) AS DOUBLE)
+       |           / (len(p.gs) + len(c.gs) - len(list_intersect(p.gs, c.gs))) AS jaccard
+       |  FROM pg p, cg c),
+       |best AS (
+       |  SELECT probe, k FROM (
+       |    SELECT probe, k,
+       |           row_number() OVER (PARTITION BY probe
+       |                              ORDER BY jaccard DESC, k) AS rnk
+       |    FROM pairs WHERE jaccard >= 0.5) WHERE rnk = 1),
+       |resolved AS (SELECT b.probe, c.w FROM best b JOIN canon c ON c.k = b.k)
+       |SELECT p.p_partkey, p.p_name || 'x' AS obs_name,
+       |       coalesce(r.w, -1.0) AS canon_price
+       |FROM part p LEFT JOIN resolved r ON p.p_name || 'x' = r.probe""".stripMargin
+
   /** [[fuzzyPairsSql]] pairs → recursive-CTE min-label closure (the
     * [[dedupComponentsSql]] technique) → every part row labeled with
     * its name cluster's canonical (minimum) name_id. */
@@ -2758,6 +2876,8 @@ object ExtensionQueries {
     "q_layout_zonemaps" -> layoutZonemapsSql,
     "q_layout_compaction" -> layoutCompactionSql,
     "q_fuzzy_join" -> fuzzyPairsSql,
+    "q_fuzzy_lookup" -> fuzzyLookupSql,
+    "q_refer_fuzzy" -> referFuzzySql,
     "q_entity_resolution" -> entityResolutionSql,
     "q_text_postings" -> textPostingsSql,
     "q_text_bm25" -> textBm25Sql,

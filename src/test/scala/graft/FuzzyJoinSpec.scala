@@ -81,6 +81,37 @@ class FuzzyJoinSpec extends SparkSpec {
     graft.operators.Dedup.release(ents)
   }
 
+  test("similarJoin + bestMatches match quadratic cross brute force") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "ring", "bolt", "gear")
+    def mk(n: Int, off: Long) = (1L to n.toLong).map { i =>
+      (i + off) -> Seq.fill(1 + rnd.nextInt(3))(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val lv = mk(40, 0L); val rv = mk(30, 1000L)
+    val l = spark.createDataFrame(lv).toDF("id", "s")
+    val r = spark.createDataFrame(rv).toDF("id", "s")
+    val t = 0.25
+    val bruteAll = (for {
+      (ia, sa) <- lv; (ib, sb) <- rv
+      ga = grams(sa); gb = grams(sb)
+      if ga.nonEmpty && gb.nonEmpty
+      inter = (ga & gb).size
+      j = inter.toDouble / (ga.size + gb.size - inter)
+      if j >= t
+    } yield (ia, ib, j)).toSet
+    val gotAll = graft.operators.FuzzyJoin
+      .similarJoin(l, "id", "s", r, "id", "s", threshold = t)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(gotAll == bruteAll)
+    val bruteBest = bruteAll.groupBy(_._1).map { case (_, ps) =>
+      ps.minBy(p => (-p._3, p._2))
+    }.toSet
+    val gotBest = graft.operators.FuzzyJoin
+      .bestMatches(l, "id", "s", r, "id", "s", threshold = t)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(gotBest == bruteBest)
+  }
+
   test("compactionPlan: groups are contiguous runs opening at target boundaries") {
     val m = df("f INT, sz BIGINT, k BIGINT",
       Row(0, 60L, 10L), Row(1, 60L, 20L), Row(2, 60L, 30L),

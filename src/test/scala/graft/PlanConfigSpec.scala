@@ -89,6 +89,25 @@ class PlanConfigSpec extends SparkSpec {
     assertRows(got, Seq(Row("ann", 30)))
   }
 
+  test("JSON fuzzy_refer resolves dirty keys with default on miss") {
+    val json =
+      """{ "tables": { "out": { "original_table": "obs", "columns": [
+        |  {"target": "id", "original": "id"},
+        |  {"target": "price", "fuzzy_refer": {
+        |     "according_column": "name",
+        |     "search_source": "original", "search_table": "canon",
+        |     "search_column": "cname", "wanted_column": "p",
+        |     "threshold": 0.4, "default": -1.0}}
+        |] } } }""".stripMargin
+    val io = new InMemoryIO(Map(
+      "obs" -> df("id BIGINT, name STRING",
+        Row(1L, "smal ring"), Row(2L, "qqqq")),
+      "canon" -> df("cname STRING, p DOUBLE",
+        Row("small ring", 10.0), Row("red gear", 30.0))))
+    assertRows(new Transportor(io, PlanConfig.fromJson(json)).frame("out"),
+      Seq(Row(1L, 10.0), Row(2L, -1.0)))
+  }
+
   test("YAML plans parse to the same ADT as JSON") {
     val yaml =
       """tables:

@@ -459,4 +459,32 @@ class TransportorSpec extends SparkSpec {
     assertRows(new Transportor(io, plan).frame("out"),
       Seq(Row("ann-MUTATED", "ann:5"))) // udf saw "ann", not "ann-MUTATED"
   }
+
+  test("FuzzyRefer: best-match fill, min-key ties, default on miss, dep edge") {
+    val obs = df("id BIGINT, name STRING",
+      Row(1L, "smal ring"),   // typo -> matches "small ring"
+      Row(2L, "blue boltz"),  // matches "blue bolt"
+      Row(3L, "qqqq"))        // no match above threshold -> default
+    val canon = df("cname STRING, price DOUBLE",
+      Row("small ring", 10.0), Row("blue bolt", 20.0), Row("red gear", 30.0),
+      Row("small ring", 11.0)) // duplicate key -> deterministic min wanted
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("obs"), Seq(
+        Rename("id", "id"),
+        FuzzyRefer("canon_price", "name", SearchSource.Original, "canon",
+          "cname", "price", threshold = 0.4, default = Some(-1.0d)))))
+    val io = new InMemoryIO(Map("obs" -> obs, "canon" -> canon))
+    assertRows(new Transportor(io, plan).frame("out"),
+      Seq(Row(1L, 10.0), Row(2L, 20.0), Row(3L, -1.0)))
+
+    // target-side fuzzy lookup orders the canon build first
+    val dep = TransportPlan.of(
+      "probe_t" -> TableMap(Some("obs"), Seq(
+        Rename("id", "id"),
+        FuzzyRefer("cp", "name", SearchSource.Target, "canon_t",
+          "cname", "price", threshold = 0.4))),
+      "canon_t" -> TableMap(Some("canon"), Seq(
+        Rename("cname", "cname"), Rename("price", "price"))))
+    assert(Toposort(dep) == Seq("canon_t", "probe_t"))
+  }
 }
