@@ -412,4 +412,26 @@ object Profile {
         floor((pa - pb) * log(pa / pb) * lit(scale)).cast("long").as("term_q"))
       .withColumn("term", col("term_q").cast("double") / lit(scale))
   }
+
+  /** Per-group percentile calibration: each row's `percent_rank` of
+    * `valueCol` WITHIN its group — the score normalization step
+    * before a global quality threshold (a raw score of 0.6 means
+    * different things from different sources; its within-source
+    * percentile does not). `(rank - 1) / (n - 1)` with SQL rank
+    * semantics (ties share a rank), one exact integer division per
+    * row — engine-identical, so the oracle replays it bit-for-bit.
+    * Singleton groups calibrate to 0.0 (percent_rank's convention).
+    *
+    * Scale posture: one hash shuffle on the group key + a per-group
+    * sort window — the partition-by keeps it off the global-sort
+    * path; group cardinality (sources, languages) bounds nothing,
+    * row counts per group bound task memory like any window. */
+  def percentileRank(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(valueCol))
+    df.withColumn("pct", percent_rank().over(w))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.HashExpressions
 
@@ -228,5 +229,37 @@ object Sampling {
     df.join(broadcast(rates), df(domainCol) === rates("__dom"))
       .filter(bucket < col("__bp"))
       .drop("__dom", "__bp")
+  }
+
+  /** Budgeted per-group selection — the data-mixture shape "spend at
+    * most `budgetPermille`/1000 of each group's total `costCol` mass,
+    * taking rows best-first by `orderCol`": rows sort (orderCol DESC,
+    * id) within their group and a row is kept iff the cost
+    * accumulated BEFORE it is strictly under the group's budget, so
+    * each group's best row always survives (even one whose own cost
+    * exceeds the whole budget — a budget that selects nothing selects
+    * noise instead at the margin). All-integer arithmetic
+    * (`cum*1000 < budget*total` — no FP mass fractions), so the
+    * selection is deterministic and oracle-exact.
+    *
+    * Scale posture: one group-keyed shuffle + per-group sort window
+    * and a windowed group total — no global sort, no second scan. */
+  def budgetPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      orderCol: String,
+      costCol: String,
+      budgetPermille: Int): DataFrame = {
+    require(budgetPermille > 0 && budgetPermille <= 1000,
+      s"budgetPermille in (0,1000]: $budgetPermille")
+    val order = Window.partitionBy(groupCol)
+      .orderBy(col(orderCol).desc, col(idCol))
+    val whole = Window.partitionBy(groupCol)
+    df.withColumn("__cum", sum(col(costCol).cast("long")).over(order))
+      .withColumn("__tot", sum(col(costCol).cast("long")).over(whole))
+      .filter((col("__cum") - col(costCol).cast("long")) * 1000 <
+        col("__tot") * budgetPermille)
+      .drop("__cum", "__tot")
   }
 }

@@ -849,6 +849,26 @@ object ExtensionQueries {
       manifest, "file_idx", "n_rows", "min_doc_id", target = 150L)
   }
 
+  /** Per-source percentile calibration of document length
+    * ([[graft.operators.Profile.percentileRank]]): a raw score means
+    * different things from different sources; its within-source
+    * percent_rank is the comparable quantity a global threshold
+    * should cut on. Exact `(rank-1)/(n-1)` both engines. */
+  private val qQualityCalibrated: Q = (s, dir) =>
+    graft.operators.Profile.percentileRank(
+      pq(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      "source", "n_chars")
+
+  /** Budgeted per-source selection
+    * ([[graft.operators.Sampling.budgetPerGroup]]): longest documents
+    * first until 30% of each source's character mass is spent —
+    * the data-mixture shape "best rows under a per-domain token
+    * budget", all-integer so the oracle replays it exactly. */
+  private val qSampleBudget: Q = (s, dir) =>
+    graft.operators.Sampling.budgetPerGroup(
+      pq(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      "doc_id", "source", "n_chars", "n_chars", budgetPermille = 300)
+
   /** The part-name domain shared by the fuzzy-match queries: distinct
     * names with `min(p_partkey)` as a deterministic dense id (entity
     * resolution resolves VALUES, not rows — the domain is orders of
@@ -1063,6 +1083,8 @@ object ExtensionQueries {
     "q_fuzzy_lookup" -> qFuzzyLookup,
     "q_refer_fuzzy" -> qReferFuzzy,
     "q_entity_resolution" -> qEntityResolution,
+    "q_quality_calibrated" -> qQualityCalibrated,
+    "q_sample_budget" -> qSampleBudget,
     "q_text_postings" -> qTextPostings,
     "q_text_bm25" -> qTextBm25,
     "q_text_entropy" -> qTextEntropy,
@@ -2360,6 +2382,27 @@ object ExtensionQueries {
        |  FROM pairs WHERE jaccard >= 0.25)
        |SELECT left_id, right_id, jaccard FROM ranked WHERE rnk = 1""".stripMargin
 
+  /** percent_rank shares (rank−1)/(n−1) tie semantics across engines,
+    * so the calibration mirror is a one-window replay. */
+  private val qualityCalibratedSql: String =
+    """SELECT doc_id, source, n_chars,
+      |       percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pct
+      |FROM documents""".stripMargin
+
+  /** Integer replay of the budget selection: running cost in the same
+    * (n_chars DESC, doc_id) order, keep while the mass BEFORE the row
+    * is under 300‰ of the source total. */
+  private val sampleBudgetSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, n_chars,
+      |         sum(n_chars) OVER (PARTITION BY source
+      |                            ORDER BY n_chars DESC, doc_id
+      |                            ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(n_chars) OVER (PARTITION BY source) AS tot
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars FROM w
+      |WHERE (cum - n_chars) * 1000 < tot * 300""".stripMargin
+
   /** Quadratic replay of [[qReferFuzzy]]: canonical name domain with
     * its deterministic min wanted value, dirtied probe domain, exact
     * cross-pair Jaccard, (jaccard DESC, key) best-match pick at the
@@ -2879,6 +2922,8 @@ object ExtensionQueries {
     "q_fuzzy_lookup" -> fuzzyLookupSql,
     "q_refer_fuzzy" -> referFuzzySql,
     "q_entity_resolution" -> entityResolutionSql,
+    "q_quality_calibrated" -> qualityCalibratedSql,
+    "q_sample_budget" -> sampleBudgetSql,
     "q_text_postings" -> textPostingsSql,
     "q_text_bm25" -> textBm25Sql,
     "q_text_entropy" -> textEntropySql,

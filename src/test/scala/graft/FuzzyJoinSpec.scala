@@ -112,6 +112,37 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(gotBest == bruteBest)
   }
 
+  test("budgetPerGroup: best-first under the mass budget, best row always kept") {
+    val d = df("id BIGINT, g STRING, c BIGINT",
+      Row(1L, "a", 50L), Row(2L, "a", 30L), Row(3L, "a", 20L),   // tot 100
+      Row(4L, "b", 90L), Row(5L, "b", 10L),                      // tot 100
+      Row(6L, "c", 5L))                                          // singleton
+    val got = graft.operators.Sampling
+      .budgetPerGroup(d, "id", "g", "c", "c", budgetPermille = 500)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // a: cum-before 0,50,80 -> keep 1 (0<50) and 2? 50*1000 < 100*500 false -> keep {1}
+    // b: 90 first (0<50k) then 10: 90*1000 < 100*500 false -> keep {4}
+    // c: singleton always kept even though 5 = 100% of mass
+    assert(got == Set(1L, 4L, 6L))
+    // wider budget admits more best-first rows, still cuts over-budget tails
+    val wider = graft.operators.Sampling
+      .budgetPerGroup(d, "id", "g", "c", "c", budgetPermille = 750)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // a: 0 < 75 keep, 50 < 75 keep, 80 < 75 drop; b: keep 90%-row only
+    assert(wider == Set(1L, 2L, 4L, 6L))
+  }
+
+  test("percentileRank: within-group percent_rank with tie semantics") {
+    val d = df("id BIGINT, g STRING, v BIGINT",
+      Row(1L, "a", 10L), Row(2L, "a", 20L), Row(3L, "a", 20L), Row(4L, "a", 30L),
+      Row(5L, "b", 7L))
+    val got = graft.operators.Profile.percentileRank(d, "g", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) == 0.0 && got(4L) == 1.0)
+    assert(got(2L) == got(3L) && got(2L) == 1.0 / 3.0) // ties share (rank-1)/(n-1)
+    assert(got(5L) == 0.0) // singleton convention
+  }
+
   test("compactionPlan: groups are contiguous runs opening at target boundaries") {
     val m = df("f INT, sz BIGINT, k BIGINT",
       Row(0, 60L, 10L), Row(1, 60L, 20L), Row(2, 60L, 30L),

@@ -95,6 +95,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(org.apache.spark.sql.functions.col("type_code") === -1L).count() == 0)
   }
 
+  test("continuous transport: FuzzyRefer resolves dirty keys per micro-batch") {
+    import org.apache.spark.sql.Row
+    import graft.plans._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fzstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fzstream_ck").toString
+    val obs = df("id BIGINT, name STRING",
+      Row(1L, "smal ring"), Row(2L, "blue boltz"), Row(3L, "qqqq"))
+    obs.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val canon = df("cname STRING, price DOUBLE",
+      Row("small ring", 10.0), Row("blue bolt", 20.0), Row("red gear", 30.0))
+    val io = new graft.sources.InMemoryIO(Map("canon" -> canon))
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("obs_stream"), Seq(
+        Rename("id", "id"),
+        FuzzyRefer("canon_price", "name", SearchSource.Original, "canon",
+          "cname", "price", threshold = 0.4, default = Some(-1.0d)))))
+
+    val stream = spark.readStream.schema(obs.schema).parquet(dir)
+    val q = graft.streaming.StreamOps.transportStream(stream, plan, "out", io, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    // the fuzzy stage (windows + joins) runs on each micro-batch's
+    // BATCH plan inside foreachBatch — no streaming-unsupported ops
+    assertRows(io.readTarget("out").select("id", "canon_price"),
+      Seq(Row(1L, 10.0), Row(2L, 20.0), Row(3L, -1.0)))
+  }
+
   test("streaming near-dup drop suppresses signature-identical texts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_neardup").toString
     import org.apache.spark.sql.Row
