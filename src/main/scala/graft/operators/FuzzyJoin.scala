@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   * resolves values, not rows), which is typically orders of magnitude
   * smaller than the corpus.
   *
-  * Reference analogue: the refer surface of src/DBT.php:259-352 joins
+  * Reference analogue: the refer surface of src/DBT.php:277-343 joins
   * on exact (optionally rtrim'd/formatted) keys; this extends the
   * same lookup idea to approximate keys.
   */
