@@ -348,6 +348,48 @@ object PropertySpec extends Properties("graft") {
         (n == 0 || e(1).toDouble / q <= n * math.log(n.toDouble) + 1e-9)
     }
 
+  property("budgetPerGroup == per-group greedy scan, partition-invariant") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(1L, 50L))),
+      Gen.chooseNum(1, 1000)) { (rows, permille) =>
+      val withIds = rows.zipWithIndex.map { case ((g, c), i) => (i.toLong, g, c) }
+      val d = mkDf("id BIGINT, g STRING, c BIGINT",
+        withIds.map { case (i, g, c) => Row(i, g, c) })
+      val got = graft.operators.Sampling
+        .budgetPerGroup(d, "id", "g", "c", "c", permille)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val gotRepart = graft.operators.Sampling
+        .budgetPerGroup(d.repartition(7), "id", "g", "c", "c", permille)
+        .select("id").collect().map(_.getLong(0)).toSet
+      // reference: greedy per-group scan in (cost desc, id) order
+      val want = withIds.groupBy(_._2).flatMap { case (_, grp) =>
+        val tot = grp.map(_._3).sum
+        var cum = 0L
+        grp.sortBy(t => (-t._3, t._1)).flatMap { case (i, _, c) =>
+          val keep = cum * 1000 < tot * permille
+          cum += c
+          if (keep) Some(i) else None
+        }
+      }.toSet
+      got == want && gotRepart == want
+    }
+
+  property("percentileRank is percent_rank: bounds, ties, monotone") =
+    Prop.forAll(Gen.nonEmptyListOf(
+        Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 9L)))) { rows =>
+      val withIds = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      val d = mkDf("id BIGINT, g STRING, v BIGINT",
+        withIds.map { case (i, g, v) => Row(i, g, v) })
+      val got = graft.operators.Profile.percentileRank(d, "g", "v")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      got.forall { case (_, g, v, p) =>
+        val grp = withIds.filter(_._2 == g)
+        val below = grp.count(_._3 < v)
+        val expected = if (grp.size == 1) 0.0 else below.toDouble / (grp.size - 1)
+        p >= 0.0 && p <= 1.0 && p == expected
+      }
+    }
+
   property("hammingBall enumerates the exact Hamming ball") =
     Prop.forAll(Gen.chooseNum(1, 12), Gen.chooseNum(0, 3),
       Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (n, h0, seed) =>
