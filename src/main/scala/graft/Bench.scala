@@ -167,8 +167,15 @@ object Bench {
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val loadJson = loadAtStart.fold("")(l => s""","loadavg_start":$l""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson""" +
-      s""","settle_sec":${f"$settleSec%.1f"}$loadJson,"sf":"$sfDir"}""")
+    // Key order is truncation armor (BENCH_r06's driver artifact kept
+    // only the TAIL of stdout, losing the head — and with it the
+    // headline): metric/value lead the line per the driver contract,
+    // the per-query map (the only unbounded part) goes LAST, and the
+    // total repeats after it as `total_sec` — so a capture window
+    // clipped at EITHER end still contains the headline number.
+    println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","settle_sec":${f"$settleSec%.1f"}$loadJson,"sf":"$sfDir"""" +
+      s"""$errJson,"queries":$qs,"total_sec":$total}""")
     spark.stop()
   }
 }

@@ -277,6 +277,27 @@ case class Mix64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `text_fnv64(text)` — unmixed FNV-1a 64 over a string column's
+  * UTF-8 bytes ([[Hashing.fnv64]]). The scalar text→long hash whose
+  * DuckDB mirror is `HashSql.textFnvU` (byte-for-byte on ASCII input);
+  * compose with [[Mix64]] for a uniform 64-bit value — the KMV
+  * distinct-sketch input. */
+case class TextFnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "text_fnv64"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = classOf[Hashing.type].getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $m.fnv64($c.getBytes());")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Hashing.fnv64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def withNewChildInternal(newChild: Expression): TextFnv64 =
+    copy(child = newChild)
+}
+
 /** `repetition_hash_stats(text, n)` — the within-document repetition
   * statistics over word n-gram hashes, one pass per row:
   * `[n_grams, n_distinct, max_freq]` as array<long> (total n-gram
@@ -633,6 +654,10 @@ object HashExpressions {
   /** SplitMix64 finalizer Column over a LONG column. */
   def mix64(c: Column): Column =
     ColumnBridge.column(Mix64(ColumnBridge.expression(c)))
+
+  /** Unmixed FNV-1a 64 Column over a STRING column's UTF-8 bytes. */
+  def textFnv64(c: Column): Column =
+    ColumnBridge.column(TextFnv64(ColumnBridge.expression(c)))
 
   /** Content-defined chunk hashes of a text column (array<long>,
     * document order) — the partial-duplicate / chunk-dedup input. */

@@ -94,14 +94,27 @@ object Packing {
     * the production shape, same argument as [[concatChunks]]); the
     * single-group default inherits the q_ordered_scan global-sort
     * caveat and is meant for driver-scale row counts (model shards,
-    * file manifests), not corpora. */
+    * file manifests), not corpora — SELF-ENFORCED: without `groupCol`
+    * the input is counted (one cheap pre-scan on a driver-scale
+    * manifest) and anything over `maxUngroupedRows` throws, so the
+    * caveat can't be ignored into a corpus-wide single-partition
+    * sort. Pass `groupCol` for production scale. */
   def balancedShards(
       df: DataFrame,
       idCol: String,
       weightCol: String,
       numShards: Int,
-      groupCol: Option[String] = None): DataFrame = {
+      groupCol: Option[String] = None,
+      maxUngroupedRows: Long = 1000000L): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
+    if (groupCol.isEmpty) {
+      val n = df.count()
+      require(n <= maxUngroupedRows,
+        s"balancedShards without groupCol ranks ALL $n rows in one " +
+          s"window partition (global sort); that is driver-scale only " +
+          s"(<= $maxUngroupedRows rows). Pass groupCol to shard within " +
+          "groups at corpus scale.")
+    }
     val w = groupCol
       .map(g => Window.partitionBy(col(g)))
       .getOrElse(Window.partitionBy())

@@ -291,6 +291,84 @@ object Profile {
     merged.withColumn("estimate", expr("hll_sketch_estimate(sketch)"))
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch per group — the
+    * fully ORACLE-CHECKABLE sibling of [[distinctSketch]]: the sketch
+    * is the k smallest DISTINCT values of a 64-bit hash column
+    * (unsigned-ascending array<bigint>, [[graft.functions.KmvAgg]]),
+    * and both the sketch content and the estimate replay bit-for-bit
+    * in plain SQL (`list_sort(list_distinct(list(x)))[1:k]` over the
+    * same hashes), which no HLL library can offer. Still mergeable:
+    * union = re-insert one sketch into the other ([[kmvMerge]]).
+    *
+    * Estimate: with fewer than k distinct hashes the sketch holds ALL
+    * of them — exact count. Otherwise the classic KMV estimator
+    * `floor((k−1)·2^64 / kth_min)` (unsigned k-th smallest), computed
+    * EXACTLY: the only non-integer step, the division, runs in
+    * DECIMAL(38) with the remainder subtracted first, so the quotient
+    * is an exact integer in both engines (DuckDB mirrors it as HUGEINT
+    * floor-division). Standard error ≈ 1/√(k−2).
+    *
+    * `hash` must be a uniform 64-bit hash (e.g.
+    * `mix64(text_fnv64(canonical_text))`); nulls are skipped.
+    *
+    * Output: (group, sketch array<bigint>, n_kept, kth nullable —
+    * the signed bits of the unsigned k-th minimum, null while the
+    * group is below k — and estimate).
+    *
+    * Scale posture: one hash aggregate with a fixed k-slot long-array
+    * buffer per live group (ObjectHashAggregate — no sort fallback);
+    * shuffle volume is ≤ k longs per group per partition. The
+    * estimate math runs once per OUTPUT group row. */
+  def kmvSketch(
+      df: DataFrame,
+      groupCol: String,
+      hash: org.apache.spark.sql.Column,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.KmvAgg.kmvAgg(hash, k).as("sketch"))
+      .select(col(groupCol) +: kmvEstimateCols(k): _*)
+  }
+
+  /** Union previously-built KMV sketches (per group if `by` is given,
+    * else one global row) — explode + re-aggregate with the same
+    * bounded buffer, so the merged sketch is EXACTLY the sketch of
+    * the concatenated inputs (KMV's closure property; the ScalaTest
+    * pins merge ≡ whole-corpus build value-for-value, not just
+    * estimate-for-estimate). */
+  def kmvMerge(
+      sketches: DataFrame,
+      k: Int,
+      sketchCol: String = "sketch",
+      by: Seq[String] = Nil): DataFrame = {
+    val exploded = sketches.select(
+      by.map(col) :+ explode(col(sketchCol)).as("__h"): _*)
+    val agg = graft.functions.KmvAgg.kmvAgg(col("__h"), k).as("sketch")
+    val merged =
+      if (by.isEmpty) exploded.agg(agg)
+      else exploded.groupBy(by.map(col): _*).agg(agg)
+    merged.select(by.map(col) ++ kmvEstimateCols(k): _*)
+  }
+
+  /** (sketch, n_kept, kth, estimate) projection over a `sketch`
+    * column — the exact-integer KMV estimator shared by
+    * [[kmvSketch]]/[[kmvMerge]]. */
+  private def kmvEstimateCols(k: Int): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val nKept = size(col("sketch")).cast("bigint")
+    val kth = when(nKept === k, element_at(col("sketch"), k))
+    val m64 = lit("18446744073709551616").cast(dec) // 2^64
+    // kth's signed long bits -> unsigned value, exactly, in DECIMAL
+    val u = when(kth < 0, kth.cast(dec) + m64).otherwise(kth.cast(dec))
+    val a = lit((BigInt(k - 1) << 64).toString).cast(dec) // (k-1)·2^64
+    // (a - a%u)/u: the true quotient is an exact integer (<= 21
+    // digits), so Spark's scale-6 decimal division rounds nothing
+    val est = when(kth.isNull, nKept)
+      .otherwise(((a - a % u) / u).cast("bigint"))
+    Seq(col("sketch"), nKept.as("n_kept"), kth.as("kth"), est.as("estimate"))
+  }
+
   /** Count-anomaly detection over pre-bucketed observations: count
     * rows per (key, bucket), then flag the buckets whose count sits
     * more than `k` population standard deviations from the key's own
@@ -429,9 +507,13 @@ object Profile {
   def percentileRank(
       df: DataFrame,
       groupCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String,
+      outputCol: String = "pct"): DataFrame = {
+    require(!df.columns.contains(outputCol),
+      s"percentileRank output column '$outputCol' already exists on the " +
+        "input — pass a different outputCol instead of silently overwriting")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col(valueCol))
-    df.withColumn("pct", percent_rank().over(w))
+    df.withColumn(outputCol, percent_rank().over(w))
   }
 }

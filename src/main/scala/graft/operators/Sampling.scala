@@ -96,8 +96,16 @@ object Sampling {
       domainCol: String,
       targetRows: Long,
       temperature: Double = 2.0,
-      granularity: Int = 10000): DataFrame = {
+      granularity: Int = 10000,
+      oracleExact: Boolean = false): DataFrame = {
     require(temperature > 0, s"temperature must be positive, got $temperature")
+    // self-enforcing oracle caveat: only T=1 (pow(x,1) == x) and T=2
+    // (sqrt — IEEE-exact) have engine-pinned weight math; any other T
+    // goes through pow, whose last bit is not IEEE-mandated, so an
+    // oracle-gated config must not use it
+    require(!oracleExact || temperature == 1.0 || temperature == 2.0,
+      s"oracleExact temperature sampling supports only T=1 or T=2 " +
+        s"(IEEE-pinned weight math); got T=$temperature")
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     require(granularity > 0, "granularity must be positive")
     val counts = df.groupBy(col(domainCol).as("__dom"))
@@ -240,7 +248,19 @@ object Sampling {
     * exceeds the whole budget — a budget that selects nothing selects
     * noise instead at the margin). All-integer arithmetic
     * (`cum*1000 < budget*total` — no FP mass fractions), so the
-    * selection is deterministic and oracle-exact.
+    * selection is deterministic and oracle-exact. The cumulative
+    * window is explicitly ROWS-framed: with the default RANGE frame,
+    * rows tied on (orderCol, idCol) would be peers whose "mass before
+    * me" includes each other — diverging from the greedy semantics
+    * and the ROWS-framed oracle whenever idCol is not unique per
+    * group.
+    *
+    * Integer bound: the comparison multiplies per-group cost mass by
+    * 1000 in LONG — exact below ~9.2e15 mass units per group (at
+    * which point non-ANSI Spark would wrap silently while DuckDB
+    * errors). That is ~9 quadrillion tokens in ONE group, two orders
+    * beyond a full 100 TB corpus; documented rather than paid for
+    * with per-row DECIMAL allocation in the hot filter.
     *
     * Scale posture: one group-keyed shuffle + per-group sort window
     * and a windowed group total — no global sort, no second scan. */
@@ -255,6 +275,7 @@ object Sampling {
       s"budgetPermille in (0,1000]: $budgetPermille")
     val order = Window.partitionBy(groupCol)
       .orderBy(col(orderCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(groupCol)
     df.withColumn("__cum", sum(col(costCol).cast("long")).over(order))
       .withColumn("__tot", sum(col(costCol).cast("long")).over(whole))

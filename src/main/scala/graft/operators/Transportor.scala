@@ -112,12 +112,23 @@ final class Transportor(
     * replacing the reference's temp-column DDL + drop dance,
     * src/DBT.php:423-446, 604-613).
     *
-    * `writeParallelism > 1` submits the per-table write jobs
-    * concurrently: inter-table dependencies live entirely in the
-    * (lazy) frame lineage, never in write-order, so independent
-    * tables' jobs overlap and Spark's scheduler interleaves their
-    * stages — the cluster-scale replacement for the reference's
-    * strictly sequential table loop. */
+    * `writeParallelism > 1` submits write jobs concurrently ONE TOPO
+    * LEVEL AT A TIME ([[Toposort.levels]]): tables within a level are
+    * mutually independent by construction, so their jobs overlap and
+    * Spark's scheduler interleaves their stages — the cluster-scale
+    * replacement for the reference's strictly sequential table loop,
+    * which leaves a 1000-executor cluster idle between small tables.
+    * The level barrier keeps a dependent table's write (whose lazy
+    * lineage recomputes its parents, same as the sequential path)
+    * from racing the parents' own writes for cluster resources.
+    * Each table's write runs under its own scheduler pool
+    * (`spark.scheduler.pool` = `graft-<table>`; with
+    * `spark.scheduler.mode=FAIR` the level's jobs share executors
+    * evenly — under default FIFO they still overlap, first-submitted
+    * first for slots) and its own job group (`graft-write-<table>`)
+    * so the Spark UI / event log attributes every stage to its
+    * table. A target name appended by aliases from several levels
+    * writes once, at its DEEPEST alias's level. */
   def runAndWrite(writeParallelism: Int = 1): Map[String, DataFrame] = {
     val frames = run()
     if (writeParallelism <= 1) {
@@ -125,13 +136,34 @@ final class Transportor(
     } else {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
+      val keyLevel: Map[String, Int] = Toposort.levels(plan).zipWithIndex
+        .flatMap { case (ks, i) => ks.map(_ -> i) }.toMap
+      val nameLevel: Map[String, Int] = plan.keys.groupBy(plan.targetName)
+        .map { case (n, ks) => n -> ks.map(keyLevel).max }
       val pool = java.util.concurrent.Executors.newFixedThreadPool(writeParallelism)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(
-        Future.sequence(frames.toSeq.map { case (name, df) =>
-          Future(io.writeTarget(name, df))
-        }), Duration.Inf)
-      finally pool.shutdown()
+      try {
+        frames.toSeq.groupBy { case (name, _) => nameLevel(name) }
+          .toSeq.sortBy(_._1)
+          .foreach { case (_, wave) =>
+            Await.result(
+              Future.sequence(wave.map { case (name, df) =>
+                Future {
+                  val sc = df.sparkSession.sparkContext
+                  // thread-local properties: each pool thread tags its
+                  // own jobs, no cross-talk between concurrent writes
+                  sc.setLocalProperty("spark.scheduler.pool", s"graft-$name")
+                  sc.setJobGroup(s"graft-write-$name", s"transport write $name",
+                    interruptOnCancel = false)
+                  try io.writeTarget(name, df)
+                  finally {
+                    sc.clearJobGroup()
+                    sc.setLocalProperty("spark.scheduler.pool", null)
+                  }
+                }
+              }), Duration.Inf)
+          }
+      } finally pool.shutdown()
     }
     plan.tables.foreach { case (_, m) => m.runAfterTransport.foreach(_.apply()) }
     frames

@@ -43,6 +43,26 @@ object Toposort {
       .distinct
   }
 
+  /** Execution order grouped into dependency LEVELS: level 0 holds
+    * tables with no in-plan dependencies, level i+1 tables whose
+    * deepest dependency sits at level i (longest-path layering).
+    * Tables within one level are mutually independent by
+    * construction — the unit of concurrent submission for
+    * [[graft.operators.Transportor.runAndWrite]]. Declaration order
+    * within each level; throws on cycles (delegates the check). */
+  def levels(plan: TransportPlan): Seq[Seq[String]] = {
+    apply(plan) // cycle check up front — the memoized recursion below must not see one
+    val lvl = mutable.Map.empty[String, Int]
+    def level(key: String): Int = lvl.getOrElseUpdate(key, {
+      val deps = dependencies(plan, plan.byKey(key))
+      if (deps.isEmpty) 0 else deps.map(level).max + 1
+    })
+    plan.keys.foreach(k => level(k))
+    (0 to plan.keys.map(lvl).maxOption.getOrElse(0))
+      .map(i => plan.keys.filter(k => lvl(k) == i))
+      .filter(_.nonEmpty)
+  }
+
   /** Full execution order (every plan key exactly once, dependencies
     * first, declaration order as tie-break). Throws on cycles. */
   def apply(plan: TransportPlan): Seq[String] = {

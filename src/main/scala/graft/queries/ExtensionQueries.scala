@@ -50,6 +50,16 @@ object ExtensionQueries {
       col("doc_id"),
       TextFunctions.subwordCount(col("text")).as("n_subwords"))
 
+  /** Real BPE vocabulary training — 8 merge rounds over the corpus
+    * word table ([[graft.operators.Bpe.train]]; the learned merge
+    * table replaces [[qTextSubwords]]'s regex proxy as the actual
+    * tokenizer-training artifact). The oracle unrolls the 8 rounds as
+    * chained DuckDB CTEs — the PageRank replay technique — each stage
+    * recomputing the argmax pair and re-merging with `replace`'s
+    * shared left-to-right non-overlapping semantics. */
+  private val qTextBpe: Q = (s, dir) =>
+    graft.operators.Bpe.train(pq(s, dir, "documents"), "text", numMerges = 8)
+
   private val qTextVocab: Q = (s, dir) =>
     TextFunctions.vocabulary(pq(s, dir, "documents"), "doc_id", "text", k = 50)
 
@@ -335,7 +345,7 @@ object ExtensionQueries {
   private val qSampleTemperature: Q = (s, dir) =>
     graft.operators.Sampling.temperatureSample(
       pq(s, dir, "documents"), "doc_id", "lang",
-      targetRows = 300, temperature = 2.0)
+      targetRows = 300, temperature = 2.0, oracleExact = true)
       .select("doc_id", "lang")
 
   /** Domain-mix sampling: downsample the corpus toward the 30/30/20/20
@@ -663,17 +673,27 @@ object ExtensionQueries {
     new graft.operators.Transportor(io, plan).frame("docs_orc")
   }
 
-  /** Per-source distinct-fingerprint HLL sketches, estimated
-    * ([[graft.operators.Profile.distinctSketch]]). No SQL oracle —
-    * the DataSketches estimator has no DuckDB twin; the driver's
-    * rows-only check applies and ProfileSketchSpec pins the estimate
-    * band + merge identity against exact counts. */
-  private val qProfileHll: Q = (s, dir) =>
-    graft.operators.Profile.distinctSketch(
+  /** Per-source distinct-document KMV sketch, k=16
+    * ([[graft.operators.Profile.kmvSketch]] over
+    * `mix64(text_fnv64(canonical_text))` — the same canonicalization
+    * as [[TextFunctions.fingerprint]]). Unlike the DataSketches HLL
+    * variant ([[graft.operators.Profile.distinctSketch]], which stays
+    * in the library ScalaTest-banded — its estimator has no SQL twin),
+    * every column here INCLUDING the estimate replays bit-for-bit in
+    * DuckDB: the sketch is the k smallest distinct mix64 hashes and
+    * the estimator is exact integer math. k=16 so the fixture's
+    * ~25-docs-per-source groups exercise the estimator branch, not
+    * just the exact-count fallback. */
+  private val qProfileKmv: Q = (s, dir) => {
+    import graft.functions.HashExpressions
+    val canonical = trim(regexp_replace(lower(col("text")),
+      TextFunctions.wsClass + "+", " "))
+    graft.operators.Profile.kmvSketch(
       pq(s, dir, "documents")
-        .withColumn("fp", TextFunctions.fingerprint(col("text")).cast("string")),
-      "source", "fp")
-      .select(col("source"), col("estimate"))
+        .withColumn("__h", HashExpressions.mix64(HashExpressions.textFnv64(canonical))),
+      "source", col("__h"), k = 16)
+      .select("source", "n_kept", "kth", "estimate")
+  }
 
   /** Length-weighted corpus sampling toward 200 expected rows
     * ([[graft.operators.Sampling.weightedSample]] with n_chars as
@@ -938,9 +958,17 @@ object ExtensionQueries {
   private val qEntityResolution: Q = (s, dir) => {
     val ents = graft.operators.FuzzyJoin.resolveEntities(
       partNames(s, dir), "name_id", "p_name", threshold = 0.25)
+    // The mapping is |name domain| rows of two longs: collect it and
+    // RELEASE the persisted blocks now (FuzzyJoin's scaladoc asks the
+    // caller to), rather than leaking them until the harness sweep.
+    // The corpus join then broadcasts a LocalRelation — the same
+    // broadcast-only plan shape PlanGuardSpec pins.
+    val entRows = java.util.Arrays.asList(ents.collect(): _*)
+    val entSchema = ents.schema
+    graft.operators.Dedup.release(ents)
     pq(s, dir, "part").select("p_partkey", "p_name")
       .join(partNames(s, dir), Seq("p_name"))
-      .join(ents, Seq("name_id"))
+      .join(broadcast(s.createDataFrame(entRows, entSchema)), Seq("name_id"))
       .select("p_partkey", "p_name", "entity_id")
   }
 
@@ -1056,6 +1084,7 @@ object ExtensionQueries {
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_ingest_csv" -> qIngestCsv,
     "q_text_subwords" -> qTextSubwords,
+    "q_text_bpe" -> qTextBpe,
     "q_text_vocab" -> qTextVocab,
     "q_text_oov" -> qTextOov,
     "q_url_canonical" -> qUrlCanonical,
@@ -1066,7 +1095,7 @@ object ExtensionQueries {
     "q_profile_outliers" -> qProfileOutliers,
     "q_profile_buckets" -> qProfileBuckets,
     "q_profile_corr" -> qProfileCorr,
-    "q_profile_hll" -> qProfileHll,
+    "q_profile_kmv" -> qProfileKmv,
     "q_zorder_value" -> qZorderValue,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_bigrams" -> qTextBigrams,
@@ -2840,7 +2869,43 @@ object ExtensionQueries {
        |)
        |SELECT id, min(label) AS rep FROM labels GROUP BY id""".stripMargin
 
+  /** Mirrors [[qTextBpe]] ([[graft.operators.Bpe.train]], n rounds):
+    * the merge loop unrolled as n chained CTE stages (the PageRank
+    * replay technique). Stage i recomputes the pair histogram of word
+    * table w{i} (overlapping adjacent counts, freq-weighted), takes
+    * the (cnt DESC, a, b) argmax, and derives w{i+1} with the same
+    * `<a><b>` → `<ab>` string replace the engine runs — both engines'
+    * `replace` scans left-to-right non-overlapping, which IS greedy
+    * BPE, and the `<`/`>` walls make overlap impossible anyway. */
+  private def textBpeSql(n: Int): String = {
+    val stages = (0 until n).map { i =>
+      s"""p$i AS (
+         |  SELECT a, b, SUM(freq) AS cnt FROM (
+         |    SELECT freq, syms[j] AS a, syms[j + 1] AS b
+         |    FROM (SELECT freq, regexp_extract_all(symseq, '<([^>]*)>', 1) AS syms
+         |          FROM w$i) t,
+         |         unnest(range(1, len(syms))) r(j)) pr
+         |  GROUP BY a, b),
+         |m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |w${i + 1} AS MATERIALIZED (SELECT word, freq,
+         |  replace(symseq, '<' || m.a || '><' || m.b || '>', '<' || m.a || m.b || '>') AS symseq
+         |  FROM w$i, m$i m)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 until n).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_idx, a AS left_sym, b AS right_sym, " +
+        s"a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wf AS (SELECT word, count(*) AS freq FROM (
+       |  SELECT unnest($tokensLowerSql) AS word FROM documents) tw
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY word),
+       |w0 AS MATERIALIZED (SELECT word, freq,
+       |  regexp_replace(word, '(.)', '<\\1>', 'g') AS symseq FROM wf),
+       |$stages
+       |$sel""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_text_bpe" -> textBpeSql(8),
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),
     "q_dedup_minhash_capped" -> minhashPairsSql(3, 64, 16, 0.5, Some(2)),
@@ -3045,6 +3110,29 @@ object ExtensionQueries {
          |       count(*) AS n
          |FROM b, p
          |GROUP BY b.bucket, p.mn, p.w""".stripMargin,
+    // Mirrors [[qProfileKmv]] (Profile.kmvSketch k=16): same canonical
+    // text -> FNV-1a -> SplitMix64 hash chain as the Spark side
+    // (textFnvU + mixCtes), then the KMV sketch IS plain SQL — the k
+    // smallest distinct hashes per source (list_sort over nonnegative
+    // HUGEINTs = the unsigned order KmvBuffer keeps), the k-th one
+    // surfaced in signed-bits form, and the estimator exact HUGEINT
+    // floor-division (the Spark side's remainder-subtracted DECIMAL
+    // division computes the identical integer).
+    "q_profile_kmv" ->
+      s"""WITH c0 AS (SELECT doc_id, source,
+         |  trim(regexp_replace(lower(text), '$ws+', ' ', 'g')) AS ctext FROM documents),
+         |f0 AS (SELECT doc_id, source, ${HashSql.textFnvU("ctext")} AS x FROM c0),
+         |${HashSql.mixCtes("f", "f0", "doc_id, source")},
+         |g AS (SELECT source, list_sort(list_distinct(list(x))) AS xs FROM f4 GROUP BY source),
+         |sk AS (SELECT source,
+         |        CAST(least(len(xs), 16) AS BIGINT) AS n_kept,
+         |        (CASE WHEN len(xs) >= 16 THEN xs[16] ELSE NULL END) AS kth_u
+         |      FROM g)
+         |SELECT source, n_kept, ${HashSql.toS("kth_u")} AS kth,
+         |  CAST(CASE WHEN kth_u IS NULL THEN n_kept
+         |       ELSE (CAST('${(BigInt(15) << 64).toString}' AS HUGEINT) // kth_u)
+         |       END AS BIGINT) AS estimate
+         |FROM sk""".stripMargin,
     // Mirrors [[qTextBigrams]] (vocabularyNgrams n=2 k=40): shingles'
     // two branches (windows when len >= n, whole-doc gram otherwise),
     // same (freq desc, gram asc) cut.

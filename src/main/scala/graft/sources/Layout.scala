@@ -103,10 +103,17 @@ object Layout {
     require(target > 0, s"target must be positive, got $target")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(orderCol), col(fileCol))
+    // collision-checked temp name (a manifest column literally named
+    // __cum must survive) + backtick-quoted identifiers in the one
+    // expr() string, so size columns with spaces/dots/backticks parse
+    // and resolve correctly
+    val cum = Iterator.from(0).map(i => s"__cum$i")
+      .find(n => !manifest.columns.contains(n)).get
+    val sizeQ = "`" + sizeCol.replace("`", "``") + "`"
     manifest
-      .withColumn("__cum", sum(col(sizeCol).cast("long")).over(w))
+      .withColumn(cum, sum(col(sizeCol).cast("long")).over(w))
       .withColumn("merge_group",
-        expr(s"(__cum - CAST($sizeCol AS BIGINT)) div ${target}L"))
-      .drop("__cum")
+        expr(s"(`$cum` - CAST($sizeQ AS BIGINT)) div ${target}L"))
+      .drop(cum)
   }
 }

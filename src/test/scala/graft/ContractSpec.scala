@@ -9,14 +9,14 @@ package graft
   * fully oracled via bit-exact double-fold SQL mirrors. */
 class ContractSpec extends SparkSpec {
 
-  // Round 4 closed the last hash-based waiver (the multimodal
-  // decode's stub contract is SQL-mirrored; its real-image path stays
-  // ScalaTest ground truth). Round 6 adds ONE principled waiver:
-  // q_profile_hll's DataSketches HLL estimator is library-specific
-  // (DuckDB's approx_count_distinct is a different HLL — no mirror
-  // can exist); ExtensionSpec pins its 5% estimate band against
-  // exact distinct counts and the union-vs-whole merge identity.
-  private val rowsOnlyAllowlist = Set("q_profile_hll")
+  // Round 7 closed the last waiver: the catalog's distinct-sketch row
+  // is now the KMV sketch (q_profile_kmv — k smallest distinct mix64
+  // hashes, exact-integer estimator), fully SQL-replayable. The
+  // DataSketches HLL variant stays in the library (Profile.
+  // distinctSketch) covered by ExtensionSpec's estimate band + merge
+  // identity; its estimator is library-specific, so it never rides
+  // the driver catalog. Every catalog query carries oracle SQL.
+  private val rowsOnlyAllowlist = Set.empty[String]
 
   test("every query has oracle SQL or a documented rows-only waiver") {
     val queries = SparkEntry.queries.keySet

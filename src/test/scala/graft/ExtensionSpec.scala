@@ -1058,6 +1058,102 @@ class ExtensionSpec extends SparkSpec {
     assert(math.abs(merged - 700.0) / 700.0 < 0.05)
   }
 
+  test("Bpe.train matches the hand-computed merge sequence (ties, greedy re-merge)") {
+    // freqs: low:3 lower:2 newest:3 widest:1 — classic Sennrich corpus
+    val t = df("doc_id BIGINT, text STRING",
+      Row(1L, "low low low lower lower newest"),
+      Row(2L, "newest newest widest"))
+    val got = graft.operators.Bpe.train(t, "text", numMerges = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // round 0: (l,o)=(o,w)=(w,e)=5 -> tie-break picks (l,o)
+    // round 1: (lo,w)=(w,e)=5 -> "lo" < "w"
+    // round 2: (e,s)=(s,t)=4 -> "e" < "s"; round 3: (es,t)=4
+    assert(got == Seq(
+      (0L, "l", "o", "lo", 5L), (1L, "lo", "w", "low", 5L),
+      (2L, "e", "s", "es", 4L), (3L, "es", "t", "est", 4L)))
+    // overlapping pairs COUNT (aaa -> 2), merge is greedy left-to-right
+    val aaa = graft.operators.Bpe.train(
+      df("doc_id BIGINT, text STRING", Row(1L, "aaa")), "text", 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(aaa == Seq(("a", "a", 2L)))
+  }
+
+  test("Bpe.segment applies learned merges in order to unseen words") {
+    val merges = Seq("l" -> "o", "lo" -> "w", "e" -> "s", "es" -> "t")
+    val segs = graft.operators.Bpe.segment(
+      df("doc_id BIGINT, text STRING", Row(1L, "lowest slow")),
+      "doc_id", "text", merges)
+      .collect().map(r => r.getString(1) -> r.getSeq[String](2)).toMap
+    assert(segs("lowest") == Seq("low", "est"))
+    assert(segs("slow") == Seq("s", "low"))
+  }
+
+  test("kmvSketch: below-k exact, estimator bit-replays the closed form, merge == whole-corpus sketch") {
+    import graft.functions.Hashing
+    val rows = (1L to 3000L).map(i => Row(i, s"g${i % 3}", i % 997))
+    val t = df("id BIGINT, g STRING, v BIGINT", rows: _*)
+      .withColumn("__h", HashExpressions.mix64(col("v")))
+      .withColumn("all", lit("all"))
+
+    // expected sketch from first principles: the 64 unsigned-smallest
+    // distinct mix64 hashes, estimator floor((k-1)*2^64 / kth)
+    val distinctHashes = (0L until 997L).map(Hashing.mix64)
+    val sortedU = distinctHashes.distinct
+      .sortWith((a, b) => java.lang.Long.compareUnsigned(a, b) < 0)
+    val expSketch = sortedU.take(64)
+    val kthU = BigInt(expSketch.last) & ((BigInt(1) << 64) - 1)
+    val expEst = ((BigInt(63) << 64) / kthU).toLong
+
+    // below k: the sketch holds everything, estimate is exact, kth null
+    val exact = graft.operators.Profile.kmvSketch(t, "all", col("__h"), k = 2048)
+      .collect().head
+    assert(exact.getLong(2) == 997L && exact.isNullAt(3) && exact.getLong(4) == 997L)
+
+    // estimator branch: sketch content and estimate match the replay
+    val est = graft.operators.Profile.kmvSketch(t, "all", col("__h"), k = 64)
+      .collect().head
+    assert(est.getSeq[Long](1) == expSketch)
+    assert(est.getLong(2) == 64L && est.getLong(3) == expSketch.last)
+    assert(est.getLong(4) == expEst)
+    // and the estimate lands in the 3-sigma KMV band around truth
+    assert(math.abs(est.getLong(4) - 997.0) / 997.0 < 3.0 / math.sqrt(62.0))
+
+    // merge closure: per-group sketches re-aggregated == whole-corpus
+    // sketch VALUE-FOR-VALUE (not just estimate-for-estimate)
+    val perGroup = graft.operators.Profile.kmvSketch(t, "g", col("__h"), k = 64)
+    val merged = graft.operators.Profile.kmvMerge(perGroup, k = 64).collect().head
+    assert(merged.getSeq[Long](0) == expSketch)
+    assert(merged.getLong(3) == expEst)
+  }
+
+  test("scale caveats self-enforce: ungrouped balancedShards row cap, oracleExact temperature set") {
+    val big = spark.range(50).toDF("id").withColumn("w", col("id") % 7)
+    // over the (lowered) cap without groupCol: refuses the global sort
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Packing.balancedShards(big, "id", "w", numShards = 3,
+        maxUngroupedRows = 10)
+    }
+    assert(e1.getMessage.contains("groupCol"))
+    // with groupCol the same row count is fine (no count pre-scan runs)
+    assert(graft.operators.Packing.balancedShards(big.withColumn("g", col("id") % 2),
+      "id", "w", numShards = 3, groupCol = Some("g")).count() == 50)
+
+    val t = df("id BIGINT, dom STRING", Row(1L, "a"), Row(2L, "b"))
+    // pow-based temperatures are refused under oracleExact...
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Sampling.temperatureSample(t, "id", "dom",
+        targetRows = 1, temperature = 3.0, oracleExact = true)
+    }
+    assert(e2.getMessage.contains("T=3.0"))
+    // ...while the IEEE-pinned ones pass, and unflagged callers keep
+    // the old free-T behavior
+    graft.operators.Sampling.temperatureSample(t, "id", "dom",
+      targetRows = 1, temperature = 1.0, oracleExact = true).count()
+    graft.operators.Sampling.temperatureSample(t, "id", "dom",
+      targetRows = 1, temperature = 3.0).count()
+  }
+
   test("countAnomalies: flags exactly the spiked bucket at the hand-computed threshold") {
     // key A: 9 buckets of 10 events + 1 bucket of 100 -> z(spike) = 3.0
     // exactly; k=2.5 flags only the spike (and k=3 would not, strict >)

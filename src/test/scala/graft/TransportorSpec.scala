@@ -487,4 +487,78 @@ class TransportorSpec extends SparkSpec {
         Rename("cname", "cname"), Rename("price", "price"))))
     assert(Toposort(dep) == Seq("canon_t", "probe_t"))
   }
+
+  test("Toposort.levels: diamond plan layers into independent waves") {
+    def refTo(names: String*) = TableMap(Some("src"),
+      Rename("k", "k") +: names.map(n =>
+        Refer(s"x_$n", Seq("k"), SearchSource.Target, n, Seq("k"), "k")))
+    val seed = TableMap(Some("src"), Seq(Rename("k", "k")))
+    // d -> {b, c} -> a; e independent    =>    [a, e], [b, c], [d]
+    val plan = TransportPlan.of(
+      "d" -> refTo("b", "c"), "b" -> refTo("a"), "c" -> refTo("a"),
+      "a" -> seed, "e" -> seed)
+    assert(Toposort.levels(plan) == Seq(Seq("a", "e"), Seq("b", "c"), Seq("d")))
+    // every level's tables are pairwise independent (no dep edge within)
+    Toposort.levels(plan).foreach { lvl =>
+      lvl.foreach { k =>
+        assert(Toposort.dependencies(plan, plan.byKey(k)).forall(!lvl.contains(_)))
+      }
+    }
+  }
+
+  test("parallel runAndWrite overlaps same-level writes (latch proof + job-group windows)") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import scala.collection.concurrent.TrieMap
+    // listener: job-group -> [start, end] windows, from the event times
+    val starts = TrieMap.empty[Int, (String, Long)]
+    val windows = TrieMap.empty[String, (Long, Long)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null && g.startsWith("graft-write-")) starts(js.jobId) = (g, js.time)
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        starts.remove(je.jobId).foreach { case (g, t0) => windows(g) = (t0, je.time) }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      TransportorSpec.overlapLatch = new CountDownLatch(2)
+      TransportorSpec.overlapSeen = false
+      val rendezvous = udf { id: Long =>
+        TransportorSpec.overlapLatch.countDown()
+        // both writes must be IN FLIGHT at once to release the latch;
+        // a sequential schedule times out here and fails the assert
+        if (TransportorSpec.overlapLatch.await(20, TimeUnit.SECONDS))
+          TransportorSpec.overlapSeen = true
+        id
+      }
+      val base = df("k BIGINT", (1L to 4L).map(Row(_)): _*).repartition(1)
+      val plan = TransportPlan.of(
+        "ta" -> TableMap(Some("base"), Seq(Derived("k", rendezvous(col("k"))))),
+        "tb" -> TableMap(Some("base"), Seq(Derived("k", rendezvous(col("k"))))))
+      // materializing IO: the write IS a Spark job (InMemoryIO's map
+      // insert would stay lazy and never run the rendezvous UDF)
+      val io = new graft.sources.TableIO {
+        def readOriginal(table: String) = base
+        def readTarget(table: String) = throw new NoSuchElementException(table)
+        def writeTarget(table: String, d: org.apache.spark.sql.DataFrame): Unit =
+          d.write.format("noop").mode("overwrite").save()
+      }
+      new Transportor(io, plan).runAndWrite(writeParallelism = 2)
+      assert(TransportorSpec.overlapSeen, "same-level writes did not overlap")
+      // job-group windows recorded for both tables, and they intersect
+      var waited = 0
+      while (windows.size < 2 && waited < 100) { Thread.sleep(100); waited += 1 }
+      val Seq((s1, e1), (s2, e2)) =
+        Seq("graft-write-ta", "graft-write-tb").map(windows(_))
+      assert(s1 < e2 && s2 < e1,
+        s"job-group windows disjoint: [$s1,$e1] vs [$s2,$e2]")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
+
+object TransportorSpec {
+  // shared by the rendezvous UDF's task closures (local mode: one JVM)
+  @volatile var overlapLatch: java.util.concurrent.CountDownLatch = _
+  @volatile var overlapSeen: Boolean = false
 }
