@@ -52,13 +52,18 @@ object Multimodal {
       octet_length(col(textCol)).cast("bigint").as("byte_len"))
 
   /** Magic-byte media-type sniff for real binary payloads (the
-    * JDK-decodable image formats plus octet-stream fallthrough). */
+    * JDK-decodable image formats, the header-parsed audio formats,
+    * octet-stream fallthrough). */
   def sniffMediaType(payload: Array[Byte]): String = {
     def at(i: Int): Int = if (i < payload.length) payload(i) & 0xFF else -1
     if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "image/png"
     else if (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF) "image/jpeg"
     else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') "image/gif"
     else if (at(0) == 'B' && at(1) == 'M') "image/bmp"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "audio/wav"
+    else if ((at(0) == 'I' && at(1) == 'D' && at(2) == '3') ||
+      (at(0) == 0xFF && (at(1) & 0xE0) == 0xE0)) "audio/mpeg"
     else "application/octet-stream"
   }
 
@@ -182,5 +187,178 @@ object Multimodal {
   def features(spark: SparkSession, df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import spark.implicits._
     extractFeatures(pack(df, idCol, textCol).as[MediaItem]).toDF()
+  }
+
+  // ------------------------------------------------------------------- audio
+
+  /** Parsed audio header metadata. Field applicability is per-format
+    * (WAV carries exact sample counts; MP3 carries the frame bitrate
+    * and a whole-payload duration estimate) — absent fields are null,
+    * never faked. */
+  final case class AudioFeatures(
+      doc_id: Long,
+      media_type: String,
+      sample_rate: Option[Long],
+      channels: Option[Long],
+      bits_per_sample: Option[Long],
+      n_samples: Option[Long],
+      duration_ms: Option[Long],
+      bitrate_kbps: Option[Long])
+
+  private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xFF
+  private def le16(p: Array[Byte], i: Int): Int = u8(p, i) | (u8(p, i + 1) << 8)
+  private def le32(p: Array[Byte], i: Int): Long =
+    (u8(p, i).toLong | (u8(p, i + 1).toLong << 8) |
+      (u8(p, i + 2).toLong << 16) | (u8(p, i + 3).toLong << 24)) & 0xFFFFFFFFL
+
+  /** WAV/RIFF header parse — pure public byte-format knowledge (RIFF
+    * chunk walk; `fmt ` for rate/channels/width, `data` for the
+    * sample count). No codec needed: PCM metadata IS the header.
+    * Integer math only (n_samples = data_size/block_align,
+    * duration_ms = n_samples·1000/rate — both floor divisions), so
+    * the derived fields are exactly replayable. None on anything
+    * malformed — the caller falls back to the stub. */
+  def tryDecodeWav(docId: Long, payload: Array[Byte]): Option[AudioFeatures] =
+    try {
+      if (payload == null || payload.length < 12 ||
+        !(u8(payload, 0) == 'R' && u8(payload, 1) == 'I' && u8(payload, 2) == 'F' &&
+          u8(payload, 3) == 'F' && u8(payload, 8) == 'W' && u8(payload, 9) == 'A' &&
+          u8(payload, 10) == 'V' && u8(payload, 11) == 'E')) None
+      else {
+        var pos = 12
+        var sr = -1L; var ch = -1; var bits = -1; var block = -1; var dataSize = -1L
+        while (pos + 8 <= payload.length) {
+          val id = new String(payload, pos, 4, "US-ASCII")
+          val size = le32(payload, pos + 4)
+          if (id == "fmt " && size >= 16 && pos + 24 <= payload.length) {
+            ch = le16(payload, pos + 10)
+            sr = le32(payload, pos + 12)
+            block = le16(payload, pos + 20)
+            bits = le16(payload, pos + 22)
+          } else if (id == "data") dataSize = size
+          // RIFF chunks are word-aligned: odd sizes carry a pad byte
+          pos += 8 + size.toInt + (size.toInt & 1)
+        }
+        if (sr <= 0 || ch <= 0 || block <= 0 || dataSize < 0) None
+        else {
+          val nSamples = dataSize / block
+          Some(AudioFeatures(docId, "audio/wav",
+            sample_rate = Some(sr), channels = Some(ch.toLong),
+            bits_per_sample = Some(bits.toLong), n_samples = Some(nSamples),
+            duration_ms = Some(nSamples * 1000L / sr), bitrate_kbps = None))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** MPEG-1 Layer III bitrate table (kbps, header indices 1..14) and
+    * sample-rate table — the public frame-header format. */
+  private val Mp3Bitrates =
+    Array(32L, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3SampleRates = Array(44100L, 48000L, 32000L)
+
+  /** MP3 header parse: skip an ID3v2 tag (syncsafe size) if present,
+    * then read the first MPEG-1 Layer III frame header — bitrate and
+    * sample-rate indices, channel mode. Duration is the standard
+    * whole-payload CBR estimate: bytes_after_id3 · 8 / bitrate_kbps,
+    * floored — exact integer math, replayable. */
+  def tryDecodeMp3(docId: Long, payload: Array[Byte]): Option[AudioFeatures] =
+    try {
+      if (payload == null || payload.length < 4) None
+      else {
+        val off =
+          if (u8(payload, 0) == 'I' && u8(payload, 1) == 'D' && u8(payload, 2) == '3' &&
+            payload.length >= 10) {
+            val size = (u8(payload, 6) << 21) | (u8(payload, 7) << 14) |
+              (u8(payload, 8) << 7) | u8(payload, 9)
+            10 + size
+          } else 0
+        if (off + 4 > payload.length) None
+        else {
+          val h1 = u8(payload, off + 1)
+          val h2 = u8(payload, off + 2)
+          val h3 = u8(payload, off + 3)
+          val version = (h1 >> 3) & 3
+          val layer = (h1 >> 1) & 3
+          val bIdx = (h2 >> 4) & 15
+          val sIdx = (h2 >> 2) & 3
+          if (u8(payload, off) != 0xFF || (h1 & 0xE0) != 0xE0 ||
+            version != 3 || layer != 1 || // MPEG-1, Layer III only
+            bIdx < 1 || bIdx > 14 || sIdx > 2) None
+          else {
+            val bitrate = Mp3Bitrates(bIdx - 1)
+            val mode = (h3 >> 6) & 3 // 11 = mono, everything else 2ch
+            Some(AudioFeatures(docId, "audio/mpeg",
+              sample_rate = Some(Mp3SampleRates(sIdx)),
+              channels = Some(if (mode == 3) 1L else 2L),
+              bits_per_sample = None, n_samples = None,
+              duration_ms = Some((payload.length - off).toLong * 8L / bitrate),
+              bitrate_kbps = Some(bitrate)))
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Audio decode dispatch with the stub discipline of [[decode]]:
+    * parse failures and non-audio payloads degrade to a typed null
+    * row (sniffed media_type kept) instead of crashing the task. */
+  def decodeAudio(item: MediaItem): AudioFeatures = {
+    val sniffed = if (item.payload == null) "application/octet-stream"
+      else sniffMediaType(item.payload)
+    val parsed = sniffed match {
+      case "audio/wav"  => tryDecodeWav(item.doc_id, item.payload)
+      case "audio/mpeg" => tryDecodeMp3(item.doc_id, item.payload)
+      case _            => None
+    }
+    parsed.getOrElse(AudioFeatures(item.doc_id, sniffed,
+      None, None, None, None, None, None))
+  }
+
+  /** Batched audio metadata extraction — same mapPartitions
+    * micro-batch shape as [[extractFeatures]]. */
+  def extractAudio(items: Dataset[MediaItem], batchSize: Int = 32): Dataset[AudioFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeAudio)))
+  }
+
+  /** Build a real canonical RIFF/WAVE payload (PCM): 44-byte header +
+    * data truncated to whole blocks. Usable for real PCM; in the
+    * catalog it materializes the deterministic header-field contract
+    * the oracle replays. */
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      data: Array[Byte]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && bitsPerSample % 8 == 0)
+    val block = channels * bitsPerSample / 8
+    val ds = data.length - data.length % block
+    val bb = java.nio.ByteBuffer.allocate(44 + ds)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + ds)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * block).putShort(block.toShort)
+      .putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(ds)
+      .put(data, 0, ds)
+    bb.array()
+  }
+
+  /** Build an MP3-framed payload: ID3v2 tag (syncsafe `id3Pad` bytes
+    * of padding), one MPEG-1 Layer III frame header, then `data` as
+    * the frame body. */
+  def mp3Bytes(bitrateIdx: Int, srIdx: Int, stereo: Boolean, id3Pad: Int,
+      data: Array[Byte]): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 && srIdx >= 0 && srIdx <= 2 &&
+      id3Pad >= 0 && id3Pad < (1 << 28))
+    val bb = java.nio.ByteBuffer.allocate(10 + id3Pad + 4 + data.length)
+    bb.put("ID3".getBytes("US-ASCII")).put(3.toByte).put(0.toByte).put(0.toByte)
+      .put(((id3Pad >> 21) & 0x7F).toByte).put(((id3Pad >> 14) & 0x7F).toByte)
+      .put(((id3Pad >> 7) & 0x7F).toByte).put((id3Pad & 0x7F).toByte)
+    bb.position(bb.position() + id3Pad) // zeroed tag padding
+    bb.put(0xFF.toByte).put(0xFB.toByte) // sync + MPEG-1 + Layer III
+      .put(((bitrateIdx << 4) | (srIdx << 2)).toByte)
+      .put((if (stereo) 0x00 else 0xC0).toByte) // mode: stereo / mono
+      .put(data)
+    bb.array()
   }
 }

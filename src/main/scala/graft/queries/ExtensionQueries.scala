@@ -1029,6 +1029,38 @@ object ExtensionQueries {
   private val qMultimodalDecode: Q = (s, dir) =>
     Multimodal.features(s, pq(s, dir, "documents"), "doc_id", "text")
 
+  /** Audio-metadata extraction through the REAL header parsers: each
+    * document materializes as a genuine byte payload — even doc_ids a
+    * canonical RIFF/WAVE (rate/channels cycling per id, text bytes as
+    * PCM data), odd ids an ID3v2-tagged MPEG-1 Layer III frame
+    * (bitrate/rate/mode cycling) — which [[Multimodal.extractAudio]]
+    * then parses back byte-for-byte ([[Multimodal.tryDecodeWav]],
+    * [[Multimodal.tryDecodeMp3]]). The oracle replays the
+    * construction contract in integer SQL, so a parser that misreads
+    * any header field hash-mismatches immediately. */
+  private val qMultimodalAudio: Q = (s, dir) => {
+    import s.implicits._
+    val items = pq(s, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val payload =
+          if (id % 2 == 0) {
+            val k = id / 2
+            Multimodal.wavBytes(
+              (8000 + (k % 5) * 4000).toInt, (1 + k % 2).toInt, 16, bytes)
+          } else {
+            val k = (id - 1) / 2
+            Multimodal.mp3Bytes(
+              (1 + k % 14).toInt, (k % 3).toInt, k % 2 == 0,
+              ((id % 7) * 10).toInt, bytes)
+          }
+        Multimodal.MediaItem(id, "", payload, payload.length.toLong)
+      }
+    Multimodal.extractAudio(items).toDF()
+  }
+
   // ------------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1127,7 +1159,8 @@ object ExtensionQueries {
     "q_pack_shards" -> qPackShards,
     "q_text_perplexity" -> qTextPerplexity,
     "q_multimodal_meta" -> qMultimodalMeta,
-    "q_multimodal_decode" -> qMultimodalDecode)
+    "q_multimodal_decode" -> qMultimodalDecode,
+    "q_multimodal_audio" -> qMultimodalAudio)
 
   // DuckDB mirrors of the SQL-expressible subset. RE2 notes: DuckDB
   // regexp_replace needs the 'g' flag for replace-all (Spark default);
@@ -2904,8 +2937,37 @@ object ExtensionQueries {
        |$sel""".stripMargin
   }
 
+  // Mirrors [[qMultimodalAudio]]: the WAV/MP3 payloads are BUILT from
+  // (doc_id, strlen(text)) by a fixed contract, so every parsed header
+  // field replays as integer SQL — sample counts are floor divisions
+  // over the truncated PCM data size, the MP3 duration the standard
+  // bytes·8/kbps CBR estimate over the post-ID3 payload (4 header
+  // bytes + text bytes).
+  private val multimodalAudioSql: String =
+    """WITH a AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len,
+      |  doc_id // 2 AS kw, (doc_id - 1) // 2 AS km,
+      |  doc_id % 2 = 0 AS iswav FROM documents),
+      |b AS (SELECT *,
+      |  8000 + (kw % 5) * 4000 AS wsr,
+      |  (1 + (kw % 2)) * 2 AS blk,
+      |  ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(1 + (km % 14) AS INTEGER)] AS br,
+      |  ([44100,48000,32000])[CAST(km % 3 AS INTEGER) + 1] AS msr
+      |  FROM a)
+      |SELECT doc_id,
+      |  CASE WHEN iswav THEN 'audio/wav' ELSE 'audio/mpeg' END AS media_type,
+      |  CAST(CASE WHEN iswav THEN wsr ELSE msr END AS BIGINT) AS sample_rate,
+      |  CAST(CASE WHEN iswav THEN 1 + (kw % 2)
+      |       WHEN km % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS channels,
+      |  CAST(CASE WHEN iswav THEN 16 END AS BIGINT) AS bits_per_sample,
+      |  CAST(CASE WHEN iswav THEN (len - (len % blk)) // blk END AS BIGINT) AS n_samples,
+      |  CAST(CASE WHEN iswav THEN ((len - (len % blk)) // blk) * 1000 // wsr
+      |       ELSE (4 + len) * 8 // br END AS BIGINT) AS duration_ms,
+      |  CAST(CASE WHEN NOT iswav THEN br END AS BIGINT) AS bitrate_kbps
+      |FROM b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_text_bpe" -> textBpeSql(8),
+    "q_multimodal_audio" -> multimodalAudioSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),
     "q_dedup_minhash_capped" -> minhashPairsSql(3, 64, 16, 0.5, Some(2)),

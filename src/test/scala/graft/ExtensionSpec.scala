@@ -1058,6 +1058,37 @@ class ExtensionSpec extends SparkSpec {
     assert(math.abs(merged - 700.0) / 700.0 < 0.05)
   }
 
+  test("WAV/MP3 header parsers read back exactly what the builders wrote; garbage degrades to nulls") {
+    import graft.multimodal.Multimodal
+    // WAV: 22050 Hz stereo 16-bit, 1001 data bytes -> truncated to 1000
+    val wav = Multimodal.wavBytes(22050, 2, 16, Array.fill[Byte](1001)(7))
+    assert(Multimodal.sniffMediaType(wav) == "audio/wav")
+    val w = Multimodal.tryDecodeWav(1L, wav).get
+    assert(w.sample_rate.contains(22050L) && w.channels.contains(2L) &&
+      w.bits_per_sample.contains(16L) && w.n_samples.contains(250L) &&
+      w.duration_ms.contains(250L * 1000 / 22050) && w.bitrate_kbps.isEmpty)
+
+    // MP3: 128 kbps (idx 9) 44100 Hz stereo behind a 30-byte-pad ID3 tag
+    val mp3 = Multimodal.mp3Bytes(9, 0, stereo = true, id3Pad = 30,
+      Array.fill[Byte](996)(1))
+    assert(Multimodal.sniffMediaType(mp3) == "audio/mpeg")
+    val m = Multimodal.tryDecodeMp3(2L, mp3).get
+    assert(m.sample_rate.contains(44100L) && m.channels.contains(2L) &&
+      m.bitrate_kbps.contains(128L) && m.bits_per_sample.isEmpty)
+    assert(m.duration_ms.contains(1000L * 8 / 128)) // (4 + 996) bytes after ID3
+    // mono mode bit
+    assert(Multimodal.tryDecodeMp3(3L,
+      Multimodal.mp3Bytes(1, 2, stereo = false, 0, Array[Byte](0)))
+      .get.channels.contains(1L))
+
+    // corruption degrades, never throws: truncated WAV, bad MP3 sync
+    assert(Multimodal.tryDecodeWav(4L, wav.take(20)).isEmpty)
+    assert(Multimodal.tryDecodeMp3(5L, Array[Byte]('I', 'D', '3', 0)).isEmpty)
+    val junk = Multimodal.decodeAudio(
+      Multimodal.MediaItem(6L, "", Array[Byte](1, 2, 3), 3L))
+    assert(junk.media_type == "application/octet-stream" && junk.sample_rate.isEmpty)
+  }
+
   test("Bpe.train matches the hand-computed merge sequence (ties, greedy re-merge)") {
     // freqs: low:3 lower:2 newest:3 widest:1 — classic Sennrich corpus
     val t = df("doc_id BIGINT, text STRING",

@@ -51,6 +51,39 @@ class JdbcIOSpec extends SparkSpec {
     assert(back.columns.map(_.toLowerCase).sorted.toSeq == Seq("sid", "username"))
   }
 
+  test("JDBC filtered transport pushes its predicate into the JDBC scan") {
+    // the production path deserves the same pushdown guard parquet has
+    // (PlanGuardSpec): a filtered transport over JDBC must ship its
+    // predicate to the source database — losing it means every range
+    // partition hauls the full table over the wire at migration scale
+    val srcUrl = freshDb("pushsrc")
+    val conn = DriverManager.getConnection(srcUrl)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE people (id BIGINT, name VARCHAR(40), dept VARCHAR(10))")
+      val ins = conn.prepareStatement("INSERT INTO people VALUES (?, ?, ?)")
+      (1 to 20).foreach { i =>
+        ins.setLong(1, i.toLong); ins.setString(2, s"p$i")
+        ins.setString(3, if (i % 2 == 0) "eng" else "ops")
+        ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally conn.close()
+
+    val io = new JdbcIO(spark, srcUrl, freshDb("pushdst"),
+      partitioning = Map("people" -> JdbcPartitioning("id", 1, 20, 2)))
+    val plan = TransportPlan.of(
+      "staff" -> TableMap(Some("people"), Seq(Rename("sid", "id")),
+        extraConditions = Seq(Condition.Eq("dept", "eng"))))
+    val text = new Transportor(io, plan).frame("staff").queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = text.linesIterator.map(_.trim)
+      .filter(_.startsWith("PushedFilters:")).toSeq
+    assert(pushed.nonEmpty, s"no PushedFilters section in JDBC plan\n$text")
+    assert(pushed.exists(_.toLowerCase.contains("equalto(dept,eng)")),
+      s"dept predicate not pushed to the JDBC source: $pushed\n$text")
+  }
+
   test("JDBC keyed upsert: staging delete-insert makes re-runs idempotent") {
     val srcUrl = freshDb("upsrc")
     val dstUrl = freshDb("updst")

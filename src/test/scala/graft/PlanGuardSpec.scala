@@ -95,6 +95,54 @@ class PlanGuardSpec extends SparkSpec {
       s"q_text_perplexity: shuffle-partitioned join planned: $shuffled")
   }
 
+  test("fuzzy pair candidates join as an EQUI join keyed on the prefix gram") {
+    // the prefix-filtering theorem's whole value: candidate generation
+    // must plan as a hash/merge equi join on the gram key — anything
+    // nested-loop-shaped means the quadratic scan the operator exists
+    // to avoid (the catalog sweep bans BNLJ; this pins the positive
+    // shape for the operator itself, q_fuzzy_join included)
+    val names = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(org.apache.spark.sql.functions.col("p_name")).distinct()
+      .withColumn("name_id",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+    val plan = graft.operators.FuzzyJoin
+      .similarPairs(names, "name_id", "p_name", threshold = 0.25)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"similarPairs planned a quadratic join\n$plan")
+    val equiJoins = plan.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toSeq
+    assert(equiJoins.nonEmpty, s"similarPairs: no equi join planned\n$plan")
+    val keyLines = plan.linesIterator.filter(_.matches(""".*(Left|Right) keys.*""")).toSeq
+    assert(keyLines.exists(_.contains("gram")),
+      s"similarPairs: no join keyed on gram: $keyLines\n$plan")
+  }
+
+  test("resolveEntities leaves no persisted blocks behind after release") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val names = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(org.apache.spark.sql.functions.col("p_name")).distinct()
+      .withColumn("name_id",
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("p_name")))
+    val ents = graft.operators.FuzzyJoin.resolveEntities(
+      names, "name_id", "p_name", threshold = 0.25)
+    assert(ents.count() > 0)
+    graft.operators.Dedup.release(ents)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"resolveEntities leaked persisted RDDs: $leaked")
+  }
+
+  test("splitChunks stays a zero-shuffle Generate") {
+    val plan = planOf("q_pack_split")
+    assert(plan.contains("Generate"), s"q_pack_split: no Generate in plan\n$plan")
+    val exchanges = plan.linesIterator.map(_.trim)
+      .filter(l => l.matches("""\(\d+\) Exchange.*""")).toSeq
+    assert(exchanges.isEmpty, s"q_pack_split: chunker plans a shuffle: $exchanges\n$plan")
+  }
+
   test("rate samplers stay zero-shuffle projections") {
     // weightedSample's keep decision is per-row arithmetic; ANY
     // Exchange in the plan means the sampler started shuffling the
