@@ -51,7 +51,27 @@ object Bpe {
   /** Train `numMerges` BPE merges over `textCol`'s whitespace words.
     * Returns the merge table ordered by `merge_idx`; stops early if
     * the vocabulary runs out of adjacent pairs. */
-  def train(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def train(df: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    trainLoop(df, textCol, numMerges)._1
+
+  /** The trained SEGMENTATION — each corpus word with its subword
+    * split after `numMerges` learned merges (the inference half, run
+    * on the same word table training ran on): (word, freq,
+    * n_subwords, symseq). `symseq` is the canonical `<s1><s2>…`
+    * form, `n_subwords` its length — the tokenizer-cost statistic
+    * the regex proxy [[graft.functions.TextFunctions.subwordCount]]
+    * only approximates. */
+  def trainAndSegment(df: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    trainLoop(df, textCol, numMerges)._2
+      .select(col("word"), col("freq"),
+        size(regexp_extract_all(col("symseq"), lit("<([^>]*)>"), lit(1)))
+          .cast("bigint").as("n_subwords"),
+        col("symseq"))
+
+  private def trainLoop(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int): (DataFrame, DataFrame) = {
     require(numMerges >= 1 && numMerges <= 4096,
       s"numMerges in [1,4096], got $numMerges")
     val spark = df.sparkSession
@@ -93,8 +113,9 @@ object Bpe {
         i += 1
       }
       import spark.implicits._
-      merges.toSeq
-        .toDF("merge_idx", "left_sym", "right_sym", "merged", "pair_count")
+      (merges.toSeq
+        .toDF("merge_idx", "left_sym", "right_sym", "merged", "pair_count"),
+        cur)
     } finally base.unpersist(blocking = false)
   }
 

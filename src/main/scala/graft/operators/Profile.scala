@@ -323,11 +323,22 @@ object Profile {
       df: DataFrame,
       groupCol: String,
       hash: org.apache.spark.sql.Column,
+      k: Int = 256): DataFrame =
+    kmvSketchBy(df, Seq(groupCol), hash, k)
+
+  /** [[kmvSketch]] over a composite group key (e.g. per source per
+    * ingest batch — the shape whose per-batch sketches [[kmvMerge]]
+    * later unions without rescanning history). */
+  def kmvSketchBy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      hash: org.apache.spark.sql.Column,
       k: Int = 256): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2, got $k")
-    df.groupBy(col(groupCol))
+    require(groupCols.nonEmpty, "kmvSketchBy needs at least one group column")
+    df.groupBy(groupCols.map(col): _*)
       .agg(graft.functions.KmvAgg.kmvAgg(hash, k).as("sketch"))
-      .select(col(groupCol) +: kmvEstimateCols(k): _*)
+      .select(groupCols.map(col) ++ kmvEstimateCols(k): _*)
   }
 
   /** Union previously-built KMV sketches (per group if `by` is given,

@@ -60,6 +60,15 @@ object ExtensionQueries {
   private val qTextBpe: Q = (s, dir) =>
     graft.operators.Bpe.train(pq(s, dir, "documents"), "text", numMerges = 8)
 
+  /** The inference half of BPE — every corpus word with its subword
+    * segmentation after the 8 learned merges
+    * ([[graft.operators.Bpe.trainAndSegment]]). Oracle: the SAME
+    * unrolled CTE chain as [[qTextBpe]], read out at the final word
+    * state `w8` instead of the merge rows — one oracle program
+    * continuously proving both halves agree. */
+  private val qTextBpeSegment: Q = (s, dir) =>
+    graft.operators.Bpe.trainAndSegment(pq(s, dir, "documents"), "text", numMerges = 8)
+
   private val qTextVocab: Q = (s, dir) =>
     TextFunctions.vocabulary(pq(s, dir, "documents"), "doc_id", "text", k = 50)
 
@@ -695,6 +704,26 @@ object ExtensionQueries {
       .select("source", "n_kept", "kth", "estimate")
   }
 
+  /** KMV merge closure under the driver gate: per-(source, batch)
+    * sketches (doc_id parity as the fake ingest batch) unioned back
+    * per source ([[graft.operators.Profile.kmvMerge]]) — and the
+    * oracle is [[qProfileKmv]]'s DIRECT single-pass SQL verbatim,
+    * because merged ≡ whole-corpus is exactly the closure property
+    * the incremental-profile design rests on. A merge bug of any
+    * kind hash-mismatches immediately. */
+  private val qProfileKmvMerge: Q = (s, dir) => {
+    import graft.functions.HashExpressions
+    val canonical = trim(regexp_replace(lower(col("text")),
+      TextFunctions.wsClass + "+", " "))
+    val parts = graft.operators.Profile.kmvSketchBy(
+      pq(s, dir, "documents")
+        .withColumn("__h", HashExpressions.mix64(HashExpressions.textFnv64(canonical)))
+        .withColumn("__batch", pmod(col("doc_id"), lit(2))),
+      Seq("source", "__batch"), col("__h"), k = 16)
+    graft.operators.Profile.kmvMerge(parts, k = 16, by = Seq("source"))
+      .select("source", "n_kept", "kth", "estimate")
+  }
+
   /** Length-weighted corpus sampling toward 200 expected rows
     * ([[graft.operators.Sampling.weightedSample]] with n_chars as
     * the weight — longer documents proportionally likelier). */
@@ -1117,6 +1146,8 @@ object ExtensionQueries {
     "q_ingest_csv" -> qIngestCsv,
     "q_text_subwords" -> qTextSubwords,
     "q_text_bpe" -> qTextBpe,
+    "q_text_bpe_segment" -> qTextBpeSegment,
+    "q_profile_kmv_merge" -> qProfileKmvMerge,
     "q_text_vocab" -> qTextVocab,
     "q_text_oov" -> qTextOov,
     "q_url_canonical" -> qUrlCanonical,
@@ -2910,7 +2941,7 @@ object ExtensionQueries {
     * `<a><b>` → `<ab>` string replace the engine runs — both engines'
     * `replace` scans left-to-right non-overlapping, which IS greedy
     * BPE, and the `<`/`>` walls make overlap impossible anyway. */
-  private def textBpeSql(n: Int): String = {
+  private def textBpeSql(n: Int, segment: Boolean = false): String = {
     val stages = (0 until n).map { i =>
       s"""p$i AS (
          |  SELECT a, b, SUM(freq) AS cnt FROM (
@@ -2924,10 +2955,17 @@ object ExtensionQueries {
          |  replace(symseq, '<' || m.a || '><' || m.b || '>', '<' || m.a || m.b || '>') AS symseq
          |  FROM w$i, m$i m)""".stripMargin
     }.mkString(",\n")
-    val sel = (0 until n).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_idx, a AS left_sym, b AS right_sym, " +
-        s"a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$i")
-      .mkString("\nUNION ALL\n")
+    val sel =
+      if (segment)
+        // inference readout: the final word state IS the segmentation
+        s"""SELECT word, freq,
+           |  CAST(len(regexp_extract_all(symseq, '<([^>]*)>', 1)) AS BIGINT) AS n_subwords,
+           |  symseq
+           |FROM w$n""".stripMargin
+      else (0 until n).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_idx, a AS left_sym, b AS right_sym, " +
+          s"a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$i")
+        .mkString("\nUNION ALL\n")
     s"""WITH wf AS (SELECT word, count(*) AS freq FROM (
        |  SELECT unnest($tokensLowerSql) AS word FROM documents) tw
        |  WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY word),
@@ -2964,6 +3002,22 @@ object ExtensionQueries {
       |       ELSE (4 + len) * 8 // br END AS BIGINT) AS duration_ms,
       |  CAST(CASE WHEN NOT iswav THEN br END AS BIGINT) AS bitrate_kbps
       |FROM b""".stripMargin
+
+  private val profileKmvSql: String =
+    s"""WITH c0 AS (SELECT doc_id, source,
+       |  trim(regexp_replace(lower(text), '$ws+', ' ', 'g')) AS ctext FROM documents),
+       |f0 AS (SELECT doc_id, source, ${HashSql.textFnvU("ctext")} AS x FROM c0),
+       |${HashSql.mixCtes("f", "f0", "doc_id, source")},
+       |g AS (SELECT source, list_sort(list_distinct(list(x))) AS xs FROM f4 GROUP BY source),
+       |sk AS (SELECT source,
+       |        CAST(least(len(xs), 16) AS BIGINT) AS n_kept,
+       |        (CASE WHEN len(xs) >= 16 THEN xs[16] ELSE NULL END) AS kth_u
+       |      FROM g)
+       |SELECT source, n_kept, ${HashSql.toS("kth_u")} AS kth,
+       |  CAST(CASE WHEN kth_u IS NULL THEN n_kept
+       |       ELSE (CAST('${(BigInt(15) << 64).toString}' AS HUGEINT) // kth_u)
+       |       END AS BIGINT) AS estimate
+       |FROM sk""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_text_bpe" -> textBpeSql(8),
@@ -3180,21 +3234,13 @@ object ExtensionQueries {
     // surfaced in signed-bits form, and the estimator exact HUGEINT
     // floor-division (the Spark side's remainder-subtracted DECIMAL
     // division computes the identical integer).
-    "q_profile_kmv" ->
-      s"""WITH c0 AS (SELECT doc_id, source,
-         |  trim(regexp_replace(lower(text), '$ws+', ' ', 'g')) AS ctext FROM documents),
-         |f0 AS (SELECT doc_id, source, ${HashSql.textFnvU("ctext")} AS x FROM c0),
-         |${HashSql.mixCtes("f", "f0", "doc_id, source")},
-         |g AS (SELECT source, list_sort(list_distinct(list(x))) AS xs FROM f4 GROUP BY source),
-         |sk AS (SELECT source,
-         |        CAST(least(len(xs), 16) AS BIGINT) AS n_kept,
-         |        (CASE WHEN len(xs) >= 16 THEN xs[16] ELSE NULL END) AS kth_u
-         |      FROM g)
-         |SELECT source, n_kept, ${HashSql.toS("kth_u")} AS kth,
-         |  CAST(CASE WHEN kth_u IS NULL THEN n_kept
-         |       ELSE (CAST('${(BigInt(15) << 64).toString}' AS HUGEINT) // kth_u)
-         |       END AS BIGINT) AS estimate
-         |FROM sk""".stripMargin,
+    "q_profile_kmv" -> profileKmvSql,
+    // Same SQL ON PURPOSE: the merge query unions per-(source, batch)
+    // sketches back per source, and KMV's closure property says that
+    // must equal the direct whole-source sketch — the oracle holds
+    // the merge path to exactly that.
+    "q_profile_kmv_merge" -> profileKmvSql,
+    "q_text_bpe_segment" -> textBpeSql(8, segment = true),
     // Mirrors [[qTextBigrams]] (vocabularyNgrams n=2 k=40): shingles'
     // two branches (windows when len >= n, whole-doc gram otherwise),
     // same (freq desc, gram asc) cut.

@@ -1110,6 +1110,19 @@ class ExtensionSpec extends SparkSpec {
     assert(aaa == Seq(("a", "a", 2L)))
   }
 
+  test("Bpe.trainAndSegment returns the final word state consistent with the merge table") {
+    val t = df("doc_id BIGINT, text STRING",
+      Row(1L, "low low low lower lower newest"),
+      Row(2L, "newest newest widest"))
+    val segs = graft.operators.Bpe.trainAndSegment(t, "text", numMerges = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // after merges lo, low, es, est (see the train test):
+    assert(segs("low") == ((3L, 1L, "<low>")))
+    assert(segs("lower") == ((2L, 3L, "<low><e><r>")))
+    assert(segs("newest") == ((3L, 4L, "<n><e><w><est>")))
+    assert(segs("widest") == ((1L, 4L, "<w><i><d><est>")))
+  }
+
   test("Bpe.segment applies learned merges in order to unseen words") {
     val merges = Seq("l" -> "o", "lo" -> "w", "e" -> "s", "es" -> "t")
     val segs = graft.operators.Bpe.segment(

@@ -143,6 +143,21 @@ class PlanGuardSpec extends SparkSpec {
     assert(exchanges.isEmpty, s"q_pack_split: chunker plans a shuffle: $exchanges\n$plan")
   }
 
+  test("KMV sketch aggregates hash-based with map-side partials, never a sort fallback") {
+    // the fixed-width-buffer promise: kmv_agg must be ObjectHashAggregate
+    // (hash-based) with a partial stage before the exchange — a
+    // SortAggregate here would sort the corpus per profile pass
+    Seq("q_profile_kmv", "q_profile_kmv_merge").foreach { name =>
+      val plan = planOf(name)
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$name: kmv_agg not ObjectHashAggregate\n$plan")
+      assert(!plan.contains("SortAggregate"),
+        s"$name: SortAggregate fallback planned\n$plan")
+      assert(plan.contains("partial_kmv_agg"),
+        s"$name: no partial kmv_agg stage\n$plan")
+    }
+  }
+
   test("rate samplers stay zero-shuffle projections") {
     // weightedSample's keep decision is per-row arithmetic; ANY
     // Exchange in the plan means the sampler started shuffling the

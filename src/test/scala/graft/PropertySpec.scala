@@ -390,6 +390,34 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // KMV buffer ≡ sorted-unsigned distinct take-k, under ANY insertion
+  // order and ANY split into merged sub-buffers (the mergeability the
+  // incremental profile rests on). Pure JVM — no Spark jobs.
+  property("KmvBuffer == sortedUnsignedDistinct.take(k) under any order/split") =
+    Prop.forAll(
+      Gen.chooseNum(2, 9),
+      Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+      Gen.chooseNum(0, 100)) { (k, values0, splitPct) =>
+      // salt in duplicates + a negative (high-unsigned) band
+      val values = values0 ++ values0.take(3) ++ Seq(-1L, Long.MinValue, 0L)
+      val expected = values.distinct
+        .sortWith((a, b) => java.lang.Long.compareUnsigned(a, b) < 0)
+        .take(k)
+      def fill(vs: Seq[Long]): graft.functions.KmvBuffer = {
+        val b = new graft.functions.KmvBuffer(k)
+        vs.foreach(b.add); b
+      }
+      val direct = fill(values)
+      val cut = values.size * splitPct / 100
+      val (va, vb) = values.splitAt(cut)
+      val merged = fill(va)
+      val other = fill(vb)
+      var i = 0
+      while (i < other.size) { merged.add(other.arr(i)); i += 1 }
+      direct.arr.take(direct.size).toSeq == expected &&
+        merged.arr.take(merged.size).toSeq == expected
+    }
+
   property("hammingBall enumerates the exact Hamming ball") =
     Prop.forAll(Gen.chooseNum(1, 12), Gen.chooseNum(0, 3),
       Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (n, h0, seed) =>

@@ -180,6 +180,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV profile: per-micro-batch sketches merge to the exact batch sketch") {
+    // the incremental distinct-profile story end to end: each ingest
+    // micro-batch contributes its own bounded sketch rows (foreachBatch
+    // + kmvSketchBy), history is never rescanned, and the cross-batch
+    // kmvMerge must equal the whole-corpus batch sketch VALUE-for-value
+    // (KMV closure — the property q_profile_kmv_merge holds at the
+    // driver gate, here proven through the real streaming machinery)
+    import org.apache.spark.sql.Row
+    import graft.functions.HashExpressions
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_kmv_src").toString
+    val rows1 = (1L to 400L).map(i => Row(s"g${i % 2}", i % 97))
+    val rows2 = (401L to 800L).map(i => Row(s"g${i % 2}", i % 89))
+    val all = df("g STRING, v BIGINT", (rows1 ++ rows2): _*)
+    val schema = all.schema
+    val sketchRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var sketchSchema: org.apache.spark.sql.types.StructType = null
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val sk = graft.operators.Profile.kmvSketchBy(
+          batch.withColumn("__h", HashExpressions.mix64(col("v")))
+            .withColumn("__b", lit(id)),
+          Seq("g", "__b"), col("__h"), k = 32)
+        sketchSchema = sk.schema
+        sketchRows.synchronized { sketchRows ++= sk.collect() }
+        ()
+      }.start()
+    try {
+      df("g STRING, v BIGINT", rows1: _*).coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      df("g STRING, v BIGINT", rows2: _*).coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(sketchRows.nonEmpty && sketchRows.map(_.getLong(1)).toSet.size >= 2,
+        "expected sketch rows from at least two micro-batches")
+      val parts = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(sketchRows.toSeq: _*)), sketchSchema)
+      val merged = graft.operators.Profile.kmvMerge(parts, k = 32, by = Seq("g"))
+        .collect().map(r => r.getString(0) ->
+          (r.getSeq[Long](1), r.getLong(2), r.getLong(4))).toMap
+      val direct = graft.operators.Profile.kmvSketch(
+        all.withColumn("__h", HashExpressions.mix64(col("v"))), "g", col("__h"), k = 32)
+        .collect().map(r => r.getString(0) ->
+          (r.getSeq[Long](1), r.getLong(2), r.getLong(4))).toMap
+      assert(merged == direct, s"merged $merged vs direct $direct")
+    } finally q.stop()
+  }
+
   test("dedupAgainstStream drops corpus matches per micro-batch, passes novel docs to the sink") {
     import org.apache.spark.sql.Row
     val srcDir = java.nio.file.Files.createTempDirectory("graft_das_src").toString
