@@ -119,10 +119,19 @@ object Bpe {
     } finally base.unpersist(blocking = false)
   }
 
+  /** Above this many merges the replace chain dispatches to a closure
+    * UDF: a 4096-deep nested expression tree is the janino
+    * compile-blowup shape the IVF assignment already hit (SCALING.md
+    * round-2 notes — 15 s compiles); a tight string loop in a UDF is
+    * the same math with O(1) codegen. Below it, the literal chain
+    * stays whole-stage-codegen'd. */
+  val maxCodegenMerges: Int = 64
+
   /** Segment each word of `textCol` with a learned merge table
     * (applied in merge_idx order — the inference half of BPE; the
-    * merge list is tokenizer-scale and folds into the projection as
-    * a literal replace chain). Output: (id, word, subwords). */
+    * merge list is tokenizer-scale and rides the projection as a
+    * literal replace chain, or as a closure loop above
+    * [[maxCodegenMerges]]). Output: (id, word, subwords). */
   def segment(
       df: DataFrame,
       idCol: String,
@@ -131,10 +140,25 @@ object Bpe {
     val words = df.select(col(idCol),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
-    val init = regexp_replace(col("word"), "(.)", "<$1>")
-    val seq = merges.foldLeft(init) { case (acc, (a, b)) =>
-      org.apache.spark.sql.functions.replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
-    }
+    val seq =
+      if (merges.size <= maxCodegenMerges) {
+        val init = regexp_replace(col("word"), "(.)", "<$1>")
+        merges.foldLeft(init) { case (acc, (a, b)) =>
+          org.apache.spark.sql.functions.replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+        }
+      } else {
+        // same fold, identical results, bounded codegen
+        val table = merges.map { case (a, b) => (s"<$a><$b>", s"<$a$b>") }.toArray
+        val apply = udf { w: String =>
+          var s = w.replaceAll("(.)", "<$1>")
+          var i = 0
+          while (i < table.length) {
+            s = s.replace(table(i)._1, table(i)._2); i += 1
+          }
+          s
+        }
+        apply(col("word"))
+      }
     words.withColumn("subwords",
       regexp_extract_all(seq, lit("<([^>]*)>"), lit(1)))
   }

@@ -1131,6 +1131,14 @@ class ExtensionSpec extends SparkSpec {
       .collect().map(r => r.getString(1) -> r.getSeq[String](2)).toMap
     assert(segs("lowest") == Seq("low", "est"))
     assert(segs("slow") == Seq("s", "low"))
+    // the janino-safe closure path (> maxCodegenMerges) is bit-identical
+    val padded = merges ++ (1 to graft.operators.Bpe.maxCodegenMerges + 1)
+      .map(i => s"zz$i" -> s"zz$i") // inert pairs: symbols never present
+    val segs2 = graft.operators.Bpe.segment(
+      df("doc_id BIGINT, text STRING", Row(1L, "lowest slow")),
+      "doc_id", "text", padded)
+      .collect().map(r => r.getString(1) -> r.getSeq[String](2)).toMap
+    assert(segs2 == segs)
   }
 
   test("kmvSketch: below-k exact, estimator bit-replays the closed form, merge == whole-corpus sketch") {
