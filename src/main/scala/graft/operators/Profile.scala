@@ -361,6 +361,67 @@ object Profile {
     merged.select(by.map(col) ++ kmvEstimateCols(k): _*)
   }
 
+  /** Pairwise set-overlap estimates between groups from ONE pass of
+    * KMV sketches — the cross-source contamination / vocabulary-
+    * overlap diagnostic (e.g. hash = 3-gram shingle hashes: "how much
+    * of crawl A's phrasing reappears in crawl B"). For every
+    * unordered group pair, the classic KMV Jaccard estimator: take
+    * the k unsigned-smallest of A ∪ B (a uniform sample of the
+    * union), count how many live in BOTH sketches, and report
+    * `jaccard_permille = matches · 1000 / |union sample|` — all
+    * integer math, so the DuckDB oracle replays it exactly. Output:
+    * (g_a, g_b, n_union_kept, n_match, jaccard_permille), one row
+    * per pair with g_a < g_b (string group keys).
+    *
+    * Scale posture: one corpus pass builds the |groups| sketches
+    * (persisted — the pair stage reads them twice); the group DOMAIN
+    * is bounded (sources, languages), so pair enumeration collects it
+    * (the Profile.histogram bounded-collect pattern) and rejoins via
+    * two BROADCAST equi-joins — never an inequality join, which
+    * would plan the BroadcastNestedLoopJoin the catalog gate bans.
+    * Per-pair math is array ops over two ≤k-element arrays. */
+  def kmvOverlap(
+      df: DataFrame,
+      groupCol: String,
+      hash: org.apache.spark.sql.Column,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val sk = Dedup.persistMaterialize(
+      df.groupBy(col(groupCol).cast("string").as("__g"))
+        .agg(graft.functions.KmvAgg.kmvAgg(hash, k).as("sketch")),
+      eager = true)
+    val groups = sk.select("__g").collect().map(_.getString(0)).sorted
+    val pairRows = for {
+      i <- groups.indices; j <- (i + 1) until groups.length
+    } yield org.apache.spark.sql.Row(groups(i), groups(j))
+    val spark = df.sparkSession
+    val pairs = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(pairRows: _*)),
+      org.apache.spark.sql.types.StructType.fromDDL("g_a STRING, g_b STRING"))
+    val joined = pairs
+      .join(broadcast(sk.select(col("__g").as("g_a"), col("sketch").as("__sa"))), Seq("g_a"))
+      .join(broadcast(sk.select(col("__g").as("g_b"), col("sketch").as("__sb"))), Seq("g_b"))
+    // k smallest of A ∪ B in UNSIGNED order: flip the sign bit so the
+    // signed array_sort sorts unsigned, flip back after the slice
+    val flip = lit(Long.MinValue)
+    val unionK = transform(
+      slice(array_sort(transform(array_union(col("__sa"), col("__sb")),
+        x => x.bitwiseXOR(flip))), 1, k),
+      x => x.bitwiseXOR(flip))
+    val inBoth = filter(unionK,
+      x => array_contains(col("__sa"), x) && array_contains(col("__sb"), x))
+    joined
+      .withColumn("n_union_kept", size(unionK).cast("bigint"))
+      .withColumn("n_match", size(inBoth).cast("bigint"))
+      .withColumn("jaccard_permille",
+        when(col("n_union_kept") > 0,
+          // `div`, not `/`: long FLOOR division (Spark's `/` on longs
+          // is double division — a float in an exact-integer contract)
+          expr("n_match * 1000 div n_union_kept")).otherwise(0L)
+          .cast("bigint"))
+      .select("g_a", "g_b", "n_union_kept", "n_match", "jaccard_permille")
+  }
+
   /** (sketch, n_kept, kth, estimate) projection over a `sketch`
     * column — the exact-integer KMV estimator shared by
     * [[kmvSketch]]/[[kmvMerge]]. */

@@ -704,6 +704,20 @@ object ExtensionQueries {
       .select("source", "n_kept", "kth", "estimate")
   }
 
+  /** Cross-source 3-gram overlap matrix
+    * ([[graft.operators.Profile.kmvOverlap]] over shingle hashes,
+    * k=64): for every source pair, the KMV Jaccard estimate of their
+    * shingle-set overlap — the "how much of crawl A's phrasing
+    * reappears in crawl B" contamination diagnostic, in integer
+    * permille so the oracle replays the estimator exactly. */
+  private val qProfileKmvOverlap: Q = (s, dir) => {
+    val shingled = pq(s, dir, "documents")
+      .select(col("source"),
+        graft.functions.HashExpressions.shingleHashes(col("text"), 3).as("__sh"))
+      .select(col("source"), explode(col("__sh")).as("__h"))
+    graft.operators.Profile.kmvOverlap(shingled, "source", col("__h"), k = 64)
+  }
+
   /** KMV merge closure under the driver gate: per-(source, batch)
     * sketches (doc_id parity as the fake ingest batch) unioned back
     * per source ([[graft.operators.Profile.kmvMerge]]) — and the
@@ -1148,6 +1162,7 @@ object ExtensionQueries {
     "q_text_bpe" -> qTextBpe,
     "q_text_bpe_segment" -> qTextBpeSegment,
     "q_profile_kmv_merge" -> qProfileKmvMerge,
+    "q_profile_kmv_overlap" -> qProfileKmvOverlap,
     "q_text_vocab" -> qTextVocab,
     "q_text_oov" -> qTextOov,
     "q_url_canonical" -> qUrlCanonical,
@@ -3019,9 +3034,36 @@ object ExtensionQueries {
        |       END AS BIGINT) AS estimate
        |FROM sk""".stripMargin
 
+  /** Mirrors [[qProfileKmvOverlap]]: the same per-source top-64
+    * shingle-hash KMV sketches (tokenHashes + shingleHashes replay,
+    * nonnegative-HUGEINT sort = the buffer's unsigned order), pairs
+    * by an inequality join (fine in the ORACLE — the Spark side
+    * enumerates the bounded group domain + broadcast equi-joins to
+    * stay off the BNLJ path), then the identical integer estimator:
+    * k smallest of the union, membership count in both, floor
+    * permille. */
+  private val profileKmvOverlapSql: String =
+    s"""WITH t0 AS (SELECT doc_id, source, ${HashSql.tokenHashes("text")} AS ths FROM documents),
+       |sh AS (SELECT source, unnest(${HashSql.shingleHashes("ths", 3)}) AS x FROM t0),
+       |g AS (SELECT source, (list_sort(list_distinct(list(x))))[1:64] AS xs
+       |      FROM sh GROUP BY source),
+       |p AS (SELECT a.source AS g_a, b.source AS g_b, a.xs AS xa, b.xs AS xb
+       |      FROM g a JOIN g b ON a.source < b.source),
+       |u AS (SELECT g_a, g_b, xa, xb,
+       |        (list_sort(list_distinct(list_concat(xa, xb))))[1:64] AS ux FROM p),
+       |m AS (SELECT g_a, g_b, ux,
+       |        len(list_filter(ux, x -> list_contains(xa, x) AND list_contains(xb, x))) AS nm
+       |      FROM u)
+       |SELECT g_a, g_b, CAST(len(ux) AS BIGINT) AS n_union_kept,
+       |  CAST(nm AS BIGINT) AS n_match,
+       |  CAST(CASE WHEN len(ux) > 0 THEN (nm * 1000) // len(ux) ELSE 0 END AS BIGINT)
+       |    AS jaccard_permille
+       |FROM m""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_text_bpe" -> textBpeSql(8),
     "q_multimodal_audio" -> multimodalAudioSql,
+    "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),
     "q_dedup_minhash_capped" -> minhashPairsSql(3, 64, 16, 0.5, Some(2)),

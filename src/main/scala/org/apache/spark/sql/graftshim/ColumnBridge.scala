@@ -15,6 +15,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Fully convert a Column's ColumnNode tree into a CATALYST
+    * expression tree (ExpressionUtils.expression wraps the node in a
+    * lazy ColumnNodeExpression leaf whose children are ColumnNodes,
+    * not expressions — useless for tree walks). Static lineage
+    * extraction needs the real tree to collect UnresolvedAttributes
+    * from. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Rebuild a frame over an InternalRow RDD computed FROM `origin`,
     * preserving the origin plan's output partitioning and ordering —
     * exactly what `Dataset.localCheckpoint` does minus the

@@ -1206,6 +1206,32 @@ class ExtensionSpec extends SparkSpec {
       targetRows = 1, temperature = 3.0).count()
   }
 
+  test("kmvOverlap: identical groups hit 1000 permille, disjoint 0, partial matches the exact replay") {
+    import graft.functions.Hashing
+    val rows =
+      (1L to 100L).map(v => Row("a", v)) ++
+        (1L to 100L).map(v => Row("b", v)) ++        // identical to a
+        (200L to 300L).map(v => Row("c", v)) ++      // disjoint from a/b
+        ((1L to 50L) ++ (300L to 350L)).map(v => Row("d", v)) // half-overlaps a
+    val t = df("g STRING, v BIGINT", rows: _*)
+      .withColumn("__h", HashExpressions.mix64(col("v")))
+    val got = graft.operators.Profile.kmvOverlap(t, "g", col("__h"), k = 32)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("a", "b")) == ((32L, 32L, 1000L)))
+    assert(got(("a", "c"))._2 == 0L && got(("a", "c"))._3 == 0L)
+    // exact replay of the (a, d) estimator from first principles
+    def uSort(vs: Seq[Long]) = vs.distinct
+      .sortWith((x, y) => java.lang.Long.compareUnsigned(x, y) < 0)
+    val ska = uSort((1L to 100L).map(Hashing.mix64)).take(32)
+    val skd = uSort(((1L to 50L) ++ (300L to 350L)).map(Hashing.mix64)).take(32)
+    val ux = uSort(ska ++ skd).take(32)
+    val nm = ux.count(x => ska.contains(x) && skd.contains(x)).toLong
+    assert(got(("a", "d")) == ((32L, nm, nm * 1000 / 32)))
+    // and the sample estimate sits in a sane band around true J = 1/3
+    assert(nm * 1000 / 32 > 100 && nm * 1000 / 32 < 600)
+  }
+
   test("countAnomalies: flags exactly the spiked bucket at the hand-computed threshold") {
     // key A: 9 buckets of 10 events + 1 bucket of 100 -> z(spike) = 3.0
     // exactly; k=2.5 flags only the spike (and k=3 would not, strict >)

@@ -488,6 +488,41 @@ class TransportorSpec extends SparkSpec {
     assert(Toposort(dep) == Seq("canon_t", "probe_t"))
   }
 
+  test("Lineage.report walks every spec shape; impactOf inverts probe-side reads") {
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(
+        Rename("id", "src_id"),
+        Inject("version", 7),
+        Derived("total", col("price") * col("qty"), deleteAfterTransport = true),
+        Refer("nation", Seq("nkey"), SearchSource.Target, "dim_nation",
+          Seq("n_id"), "n_name"),
+        Refers("order_sum", "cust", SearchSource.Original, "orders", "o_cust",
+          sum(col("o_total")))),
+        targetTable = Some("physical_out")),
+      "dim_nation" -> TableMap(Some("nation"), Seq(Rename("n_id", "n_nationkey"),
+        Rename("n_name", "n_name"))))
+    val edges = Lineage.report(plan)
+    def edge(colName: String, role: String) =
+      edges.find(e => e.targetColumn == colName && e.role == role).get
+    assert(edge("id", "probe").sourceColumns == Seq("src_id"))
+    assert(edge("version", "probe").sourceColumns.isEmpty)
+    val d = edge("total", "probe")
+    assert(d.sourceColumns.toSet == Set("price", "qty") && d.isTemp)
+    assert(edge("nation", "probe").sourceColumns == Seq("nkey"))
+    val lk = edge("nation", "lookup")
+    assert(lk.sourceTable == "<target-side> dim_nation" &&
+      lk.sourceColumns == Seq("n_id", "n_name"))
+    val rs = edge("order_sum", "lookup")
+    assert(rs.sourceTable == "orders" && rs.sourceColumns.toSet == Set("o_cust", "o_total"))
+    assert(edges.forall(_.targetTable != "out"), "alias resolved to physical name")
+
+    val impact = Lineage.impactOf(plan)
+    assert(impact("base.price") == Seq("physical_out" -> "total"))
+    assert(impact("nation.n_nationkey") == Seq("dim_nation" -> "n_id"))
+    // DataFrame form materializes
+    assert(Lineage.toDf(spark, plan).count() == edges.length)
+  }
+
   test("Toposort.levels: diamond plan layers into independent waves") {
     def refTo(names: String*) = TableMap(Some("src"),
       Rename("k", "k") +: names.map(n =>
