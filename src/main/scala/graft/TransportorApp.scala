@@ -28,6 +28,8 @@ trait TransportJob {
   * Usage:
   *   runMain graft.TransportorApp --class=my.pkg.MyJob \
   *     --original-dir=/data/src --target-dir=/data/out [--cpus=8]
+  *     [--write-parallelism=4]   # level-parallel writes (Toposort.levels)
+  *     [--lineage=only]          # print column lineage, run nothing
   */
 object TransportorApp {
   def main(rawArgs: Array[String]): Unit = {
@@ -62,10 +64,21 @@ object TransportorApp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val t = new Transportor(job.io(spark, args), job.plan, job.preSeeded)
-      val frames = t.runAndWrite()
-      frames.foreach { case (name, df) =>
-        println(s"[transport] wrote $name")
+      // --lineage=only: static impact analysis, no IO touched — the
+      // dry-run a migration review wants before anything executes
+      if (args.get("lineage").contains("only")) {
+        graft.plans.Lineage.report(job.plan).foreach { e =>
+          println(s"[lineage] ${e.targetTable}.${e.targetColumn} <- " +
+            s"${e.sourceTable}[${e.sourceColumns.mkString(", ")}] " +
+            s"(${e.kind}/${e.role}${if (e.isTemp) ", temp" else ""})")
+        }
+      } else {
+        val t = new Transportor(job.io(spark, args), job.plan, job.preSeeded)
+        val frames = t.runAndWrite(
+          writeParallelism = args.getOrElse("write-parallelism", "1").toInt)
+        frames.foreach { case (name, df) =>
+          println(s"[transport] wrote $name")
+        }
       }
     } finally spark.stop()
   }
