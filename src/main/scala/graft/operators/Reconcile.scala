@@ -138,6 +138,42 @@ object Reconcile {
         col("valid_to"), col("is_current"))
   }
 
+  /** Schema drift between the plan's frames and what the target
+    * actually holds — the metadata half of [[report]] (content
+    * checksums catch value drift; this catches the re-run against a
+    * target whose table someone altered, or a plan evolution the
+    * sink hasn't seen). One row per divergence:
+    * (table, column, kind ∈ missing_in_target | extra_in_target |
+    * type_changed, planned_type, target_type). Pure catalog metadata
+    * — zero data scanned, safe to run before anything writes.
+    * Name matching is case-insensitive (JDBC catalogs fold case;
+    * Derby upper-cases, parquet preserves), type comparison on the
+    * case-folded DDL string. */
+  def schemaDiff(io: TableIO, frames: Map[String, DataFrame]): Seq[(String, String, String, String, String)] =
+    frames.toSeq.sortBy(_._1).flatMap { case (name, planned) =>
+      val target = scala.util.Try(io.readTarget(name)).toOption
+      target match {
+        case None =>
+          planned.schema.fields.map(f =>
+            (name, f.name, "missing_in_target", f.dataType.sql, ""))
+        case Some(t) =>
+          val want = planned.schema.fields
+            .map(f => f.name.toLowerCase -> f).toMap
+          val have = t.schema.fields
+            .map(f => f.name.toLowerCase -> f).toMap
+          val missing = (want.keySet -- have.keySet).toSeq.sorted.map(c =>
+            (name, want(c).name, "missing_in_target", want(c).dataType.sql, ""))
+          val extra = (have.keySet -- want.keySet).toSeq.sorted.map(c =>
+            (name, have(c).name, "extra_in_target", "", have(c).dataType.sql))
+          val changed = (want.keySet & have.keySet).toSeq.sorted
+            .filter(c => want(c).dataType.sql.toLowerCase !=
+              have(c).dataType.sql.toLowerCase)
+            .map(c => (name, want(c).name, "type_changed",
+              want(c).dataType.sql, have(c).dataType.sql))
+          missing ++ extra ++ changed
+      }
+    }
+
   /** Throwing variant for pipelines: any mismatch aborts with the
     * offending tables named. */
   def assertClean(io: TableIO, frames: Map[String, DataFrame]): Unit = {

@@ -488,6 +488,27 @@ class TransportorSpec extends SparkSpec {
     assert(Toposort(dep) == Seq("canon_t", "probe_t"))
   }
 
+  test("schemaDiff names missing/extra/type-changed columns; clean round-trip reports nothing") {
+    import graft.operators.Reconcile
+    val base = df("k BIGINT, v STRING", Row(1L, "a"))
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(Rename("k", "k"), Rename("v", "v"))))
+    val io = new InMemoryIO(Map("base" -> base))
+    val frames = new Transportor(io, plan).runAndWrite()
+    assert(Reconcile.schemaDiff(io, frames).isEmpty)
+    // drift the target: drop v, add extra, retype k
+    io.written("out") = df("k STRING, extra BIGINT", Row("1", 9L))
+    val drift = Reconcile.schemaDiff(io, frames)
+      .map { case (_, c, kind, _, _) => c -> kind }.toSet
+    assert(drift == Set("v" -> "missing_in_target", "extra" -> "extra_in_target",
+      "k" -> "type_changed"))
+    // a target table that doesn't exist yet reports every column missing
+    val io2 = new InMemoryIO(Map("base" -> base))
+    val unwritten = new Transportor(io2, plan).run()
+    assert(Reconcile.schemaDiff(io2, unwritten)
+      .forall(_._3 == "missing_in_target"))
+  }
+
   test("Lineage.report walks every spec shape; impactOf inverts probe-side reads") {
     val plan = TransportPlan.of(
       "out" -> TableMap(Some("base"), Seq(
