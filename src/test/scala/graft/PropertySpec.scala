@@ -390,6 +390,24 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // BPE segmentation is a partition of the word: whatever merge table
+  // is applied, the subwords concatenate back to the original word
+  // (the invariant that makes a tokenizer lossless).
+  property("Bpe.segment subwords always rejoin to the word") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8))),
+      Gen.listOf(Gen.zip(
+        Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(3)),
+        Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(3))))) { (words, merges) =>
+      val text = words.mkString(" ")
+      val rows = graft.operators.Bpe.segment(
+        mkDf("id BIGINT, t STRING", Seq(Row(1L, text))), "id", "t", merges)
+        .collect().map(r => r.getString(1) -> r.getSeq[String](2))
+      rows.nonEmpty && rows.forall { case (w, subs) =>
+        subs.mkString == w && subs.forall(_.nonEmpty)
+      }
+    }
+
   // KMV buffer ≡ sorted-unsigned distinct take-k, under ANY insertion
   // order and ANY split into merged sub-buffers (the mergeability the
   // incremental profile rests on). Pure JVM — no Spark jobs.
