@@ -116,4 +116,67 @@ object Layout {
         expr(s"(`$cum` - CAST($sizeQ AS BIGINT)) div ${target}L"))
       .drop(cum)
   }
+
+  /** EXECUTE a [[compactionPlan]] over a parquet directory: each merge
+    * group's part files rewrite into ONE file, internally re-sorted on
+    * the clustering key, written to `outDir` — the planning half's
+    * missing other half (plan → rewrite). The caller swaps `outDir`
+    * in (the [[ParquetDirIO]] staging-swap discipline) — this function
+    * never touches `dir`, so a crash mid-compaction loses nothing.
+    *
+    * Output files are named `part-NNNNN-compacted.parquet` with NNNNN
+    * = the merge group id, so [[zoneMaps]]' `part-(\\d+)` index parse
+    * keeps working on the compacted layout and the file order IS the
+    * clustering order (adjacent groups stay adjacent — the property
+    * the whole plan exists to preserve).
+    *
+    * Scale posture: the plan is file-level metadata (bounded collect);
+    * each group rewrite reads only its own files and sorts ~`target`
+    * units in one task (that is what `target` is — the intended file
+    * size). Groups rewrite independently; run them through a pool for
+    * a large backlog (the [[graft.operators.Transportor.runAndWrite]]
+    * pattern) — sequential here keeps the executor simple and the
+    * memory bound explicit. Returns the number of files written. */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      outDir: String,
+      plan: DataFrame,
+      orderCol: String,
+      fileIdxCol: String = "file_idx"): Int = {
+    val rows = plan.select(col(fileIdxCol).cast("int"), col("merge_group").cast("long"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    require(rows.nonEmpty, "compact: empty plan")
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val f = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxToPath: Map[Int, String] = f.listStatus(dirPath).toSeq
+      .map(_.getPath)
+      .flatMap { p =>
+        "part-(\\d+)".r.findFirstMatchIn(p.getName)
+          .map(m => m.group(1).toInt -> p.toString)
+      }.toMap
+    val missing = rows.map(_._1).filterNot(idxToPath.contains)
+    require(missing.isEmpty,
+      s"compact: plan names file indices absent from $dir: ${missing.mkString(", ")}")
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    f.mkdirs(outPath)
+    val groups = rows.groupBy(_._2).toSeq.sortBy(_._1)
+    groups.foreach { case (g, members) =>
+      val paths = members.map(m => idxToPath(m._1)).sorted
+      val staging = new org.apache.hadoop.fs.Path(s"$outDir/.__graft_compact_$g")
+      spark.read.parquet(paths: _*)
+        .coalesce(1)
+        .sortWithinPartitions(orderCol)
+        .write.mode("overwrite").parquet(staging.toString)
+      val written = f.listStatus(staging).map(_.getPath)
+        .filter(_.getName.startsWith("part-"))
+      require(written.length == 1,
+        s"compact: group $g produced ${written.length} files, expected 1")
+      require(f.rename(written.head,
+        new org.apache.hadoop.fs.Path(f"$outDir/part-$g%05d-compacted.parquet")),
+        s"compact: rename failed for group $g")
+      f.delete(staging, true)
+    }
+    groups.size
+  }
 }

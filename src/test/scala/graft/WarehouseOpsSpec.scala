@@ -64,4 +64,35 @@ class WarehouseOpsSpec extends SparkSpec {
       .sortBy(_._1)
     assert(iv.sliding(2).forall { case Array((_, hi), (lo, _)) => hi < lo })
   }
+
+  test("compact executes the plan: adjacent merges, content identical, zones stay disjoint") {
+    val dir = java.nio.file.Files.createTempDirectory("cpk_in").toString
+    val out = java.nio.file.Files.createTempDirectory("cpk_out").toString + "/c"
+    val data = df("id BIGINT, v BIGINT",
+      (0L until 120L).map(i => Row(i, 1000L - i)): _*)
+    // 6 small files, clustered on id
+    data.repartitionByRange(6, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    val zm = Layout.zoneMaps(spark.read.parquet(dir), Seq("id"))
+    // plan with target = 2 files' worth of rows => 3 merge groups
+    val plan = Layout.compactionPlan(zm, "file_idx", "n_rows", "min_id", target = 40L)
+    assert(plan.select("merge_group").distinct().count() == 3)
+    val nOut = Layout.compact(spark, dir, out, plan, orderCol = "id")
+    assert(nOut == 3)
+    // content identical
+    val back = spark.read.parquet(out)
+    assert(back.count() == 120L)
+    assert(back.select(sum(col("v"))).head().getLong(0) ==
+      data.select(sum(col("v"))).head().getLong(0))
+    // compacted layout: 3 files, still disjoint id rectangles in
+    // clustering order (the property compaction must not undo)
+    val zm2 = Layout.zoneMaps(back, Seq("id")).collect()
+    assert(zm2.length == 3)
+    val iv2 = zm2.map(r => (r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))).sortBy(_._1)
+    assert(iv2.sliding(2).forall { case Array((_, hi), (lo, _)) => hi < lo })
+    // plan naming an absent file index fails fast
+    val bad = plan.withColumn("file_idx", col("file_idx") + 100)
+    assertThrows[IllegalArgumentException](
+      Layout.compact(spark, dir, out + "2", bad, "id"))
+  }
 }
