@@ -588,4 +588,38 @@ object Profile {
       .partitionBy(groupCol).orderBy(col(valueCol))
     df.withColumn(outputCol, percent_rank().over(w))
   }
+
+  /** Re-identification risk report over quasi-identifier columns —
+    * the governance pass a training corpus with people in it owes its
+    * subjects: k-anonymity (every QI combination shared by ≥ k rows)
+    * and l-diversity (every QI group spans ≥ l distinct values of the
+    * sensitive attribute — k-anonymity alone is defeated when a
+    * small group is homogeneous in the thing you wanted hidden). One
+    * row per occupied QI cell with its size, its sensitive-value
+    * diversity, and both flags; `filter(!$"k_anonymous" || !$"l_diverse")`
+    * is the suppression worklist.
+    *
+    * Exact counts, not estimates — a privacy gate built on a sketch
+    * under-counts exactly the rare cells that matter most.
+    *
+    * Scale posture: one hash shuffle on the QI key (partial
+    * aggregation upstream) + a count-distinct Expand for the
+    * diversity term — the same cost envelope as any two-measure
+    * groupBy; QI-cell cardinality is the output size, bounded by the
+    * corpus, and no cell's row SET is ever materialized. */
+  def privacyRisk(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      k: Int,
+      l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "privacyRisk needs at least one quasi-identifier")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1: k=$k l=$l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .withColumn("k_anonymous", col("group_size") >= k)
+      .withColumn("l_diverse", col("distinct_sensitive") >= l)
+  }
 }

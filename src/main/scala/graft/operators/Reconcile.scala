@@ -98,6 +98,42 @@ object Reconcile {
       .filter(col("change").isNotNull)
   }
 
+  /** [[snapshotDiff]] with column-level attribution: for CHANGED keys
+    * the result also names WHICH of `compareCols` moved —
+    * `changed_cols` is their comma-joined subset in `compareCols`
+    * order (added/removed rows carry NULL; there is no old/new pair
+    * to attribute). This is the review artifact for a refresh: "2 %
+    * of rows changed, and 95 % of those only touched `quality`" reads
+    * very differently from "2 % of rows changed text".
+    *
+    * Same scale posture as [[snapshotDiff]] — one full-outer keyed
+    * shuffle, attribution is pure per-row projection on top
+    * (`concat_ws` skips the NULLs the non-changed WHENs produce, so
+    * no array materializes). */
+  def rowDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "rowDiff needs at least one compare column")
+    val o = oldDf.select((keyCol +: compareCols).map(c => col(c).as(s"__o_$c")): _*)
+    val n = newDf.select((keyCol +: compareCols).map(c => col(c).as(s"__n_$c")): _*)
+    val diffs = compareCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+    val changed = diffs.reduce(_ || _)
+    o.join(n, col(s"__o_$keyCol") === col(s"__n_$keyCol"), "full_outer")
+      .select(
+        coalesce(col(s"__o_$keyCol"), col(s"__n_$keyCol")).as(keyCol),
+        when(col(s"__o_$keyCol").isNull, lit("added"))
+          .when(col(s"__n_$keyCol").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .as("change"),
+        when(col(s"__o_$keyCol").isNotNull && col(s"__n_$keyCol").isNotNull && changed,
+          concat_ws(",", compareCols.zip(diffs).map { case (c, d) =>
+            when(d, lit(c))
+          }: _*)).as("changed_cols"))
+      .filter(col("change").isNotNull)
+  }
+
   /** Slowly-changing-dimension type-2 history from an observation
     * log: collapse each key's consecutive runs of an identical
     * tracked attribute into validity intervals — one row per run with

@@ -320,6 +320,95 @@ object ExtensionQueries {
       "doc_id", Seq("text"))
   }
 
+  /** [[qSnapshotDiff]]'s column-attribution sibling
+    * ([[graft.operators.Reconcile.rowDiff]]): same two synthetic
+    * snapshot versions plus a second mutated column (`lang`), so the
+    * `changed_cols` attribution exercises every subset — text-only,
+    * lang-only, both. */
+  private val qSnapshotRowdiff: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    graft.operators.Reconcile.rowDiff(
+      docs.filter(col("doc_id") % 11 =!= 3),
+      docs.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 0, upper(col("text"))).otherwise(col("text")))
+        .withColumn("lang",
+          when(col("doc_id") % 19 === 0, lit("xx")).otherwise(col("lang"))),
+      "doc_id", Seq("text", "lang"))
+  }
+
+  /** One-scan declarative quality gate ([[graft.operators.Checks]]):
+    * six constraints over lineitem fold into a single `.agg(...)` —
+    * two of them (the 0.05 discount cap, l_orderkey-alone uniqueness)
+    * deliberately fail so the report's violation counts and `passed`
+    * flag are load-bearing, not vacuously true. */
+  private val qCheckSuite: Q = (s, dir) => {
+    import graft.operators.Checks
+    Checks.suite(pq(s, dir, "lineitem"), Seq(
+      Checks.notNull("l_shipdate"),
+      Checks.inRange("l_quantity", 1, 50),
+      Checks.inRange("l_discount", 0, 0.05),
+      Checks.nonNegative("l_extendedprice"),
+      Checks.acceptedValues("l_returnflag", Seq("A", "N", "R")),
+      Checks.matches("l_linestatus", "^[OF]$"),
+      Checks.uniqueRows("l_orderkey", "l_linenumber"),
+      Checks.uniqueRows("l_orderkey")))
+  }
+
+  /** Referential-integrity gate ([[Checks.foreignKey]]): two healthy
+    * FKs (orders→customer, lineitem→supplier) plus one checked
+    * against a deliberately thinned parent (customers with
+    * c_custkey % 3 = 0 only) so the orphan-count branch is exercised
+    * with real violations. */
+  private val qCheckFk: Q = (s, dir) => {
+    import graft.operators.Checks
+    val orders = pq(s, dir, "orders")
+    val customer = pq(s, dir, "customer")
+    Checks.foreignKey(orders, Seq("o_custkey"), customer, Seq("c_custkey"))
+      .unionByName(Checks.foreignKey(
+        pq(s, dir, "lineitem"), Seq("l_suppkey"),
+        pq(s, dir, "supplier"), Seq("s_suppkey")))
+      .unionByName(Checks.foreignKey(
+        orders, Seq("o_custkey"),
+        customer.filter(col("c_custkey") % 3 === 0), Seq("c_custkey"),
+        name = "foreign_key(o_custkey->thinned_customer)"))
+  }
+
+  /** Re-identification risk over customer
+    * ([[graft.operators.Profile.privacyRisk]]): QI =
+    * (nation, market segment), sensitive attribute = the
+    * thousand-dollar account-balance bucket; k=10, l=8 so both flags
+    * split the cells at sf0.01. */
+  private val qPrivacyRisk: Q = (s, dir) =>
+    graft.operators.Profile.privacyRisk(
+      pq(s, dir, "customer")
+        .withColumn("bal_bucket",
+          floor(col("c_acctbal") / 1000).cast("long"))
+        .withColumn("c_nationkey", col("c_nationkey").cast("long")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 10, l = 8)
+
+  /** Incremental aggregate maintenance
+    * ([[graft.operators.Incremental]]): lineitem splits into a
+    * "corpus" (6/7ths) and a "delta" (1/7th); the query aggregates
+    * the corpus once, then `refresh`es with the delta. The oracle is
+    * the DIRECT aggregate over the whole table — so the row hash
+    * continuously proves the mergeable-state closure property
+    * `merge(agg(a), agg(b)) == agg(a ∪ b)` that makes O(delta)
+    * refreshes sound at corpus scale. */
+  private val qAggIncremental: Q = (s, dir) => {
+    import graft.operators.Incremental
+    import Incremental.Measure
+    val li = pq(s, dir, "lineitem")
+      .withColumn("qty_d", col("l_quantity").cast("decimal(18,2)"))
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val ms = Seq(Measure("count"), Measure("sum", "qty_d"),
+      Measure("min", "l_shipdate"), Measure("max", "l_shipdate"))
+    val state = Incremental.aggregate(li.filter(col("l_orderkey") % 7 =!= 0), keys, ms)
+    Incremental.refresh(state, li.filter(col("l_orderkey") % 7 === 0), keys, ms)
+      .withColumn("sum_qty", col("sum_qty_d").cast("double"))
+      .drop("sum_qty_d")
+  }
+
   /** Deterministic hash-based train/val/test split (80/10/10). */
   private val qSampleSplit: Q = (s, dir) =>
     graft.operators.Sampling.hashSplit(pq(s, dir, "documents"), "doc_id")
@@ -894,6 +983,37 @@ object ExtensionQueries {
       s.read.parquet(s"$twin/documents.parquet"), Seq("doc_id", "n_chars"))
   }
 
+  /** Zone-map pruning over the same z-ordered twin as
+    * [[qLayoutZonemaps]] ([[graft.sources.Layout.pruneFiles]]): which
+    * files must a `doc_id BETWEEN 100 AND 260` scan read? The oracle
+    * recomputes the manifest from the twin files and replays the
+    * interval-overlap test — so the hash gates the entire
+    * layout→stats→skip chain, the mechanism partition pruning rests
+    * on at 100 TB. */
+  private val qLayoutPrune: Q = (s, dir) => {
+    val twin = s"$twinRoot/ztwin/${new java.io.File(dir).getName}"
+    graft.sources.Layout.zOrderByRange(
+      pq(s, dir, "documents").select("doc_id", "n_chars"),
+      "doc_id", "n_chars", numPartitions = 8)
+      .write.mode("overwrite").parquet(s"$twin/documents.parquet")
+    graft.sources.Layout.pruneFiles(
+      graft.sources.Layout.zoneMaps(
+        s.read.parquet(s"$twin/documents.parquet"), Seq("doc_id", "n_chars")),
+      "doc_id", lit(100L), lit(260L))
+  }
+
+  /** Hourly event counts per type, gap-filled to a dense per-type
+    * hourly grid ([[graft.operators.Resample.gapFill]]): every hour
+    * between each type's first and last event appears, absent hours
+    * as zero. */
+  private val qEventsGapfill: Q = (s, dir) => {
+    val hourly = events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+    graft.operators.Resample.gapFill(hourly, "event_type", "h", "1 hour",
+      Map("n" -> 0L))
+  }
+
   /** Small-file compaction plan over a fresh z-ordered twin's
     * manifest ([[graft.sources.Layout.compactionPlan]]): adjacent
     * files in min-doc_id order grouped into ~150-row merge runs. The
@@ -1131,6 +1251,11 @@ object ExtensionQueries {
     "q_span_dupes" -> qSpanDupes,
     "q_quality_gate" -> qQualityGate,
     "q_snapshot_diff" -> qSnapshotDiff,
+    "q_snapshot_rowdiff" -> qSnapshotRowdiff,
+    "q_check_suite" -> qCheckSuite,
+    "q_check_fk" -> qCheckFk,
+    "q_privacy_risk" -> qPrivacyRisk,
+    "q_agg_incremental" -> qAggIncremental,
     "q_sample_split" -> qSampleSplit,
     "q_sample_cap" -> qSampleCap,
     "q_sample_stratified" -> qSampleStratified,
@@ -1186,6 +1311,8 @@ object ExtensionQueries {
     "q_scd2" -> qScd2,
     "q_layout_zonemaps" -> qLayoutZonemaps,
     "q_layout_compaction" -> qLayoutCompaction,
+    "q_layout_prune" -> qLayoutPrune,
+    "q_events_gapfill" -> qEventsGapfill,
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_fuzzy_lookup" -> qFuzzyLookup,
     "q_refer_fuzzy" -> qReferFuzzy,
@@ -2428,6 +2555,40 @@ object ExtensionQueries {
        |       AS BIGINT) AS merge_group
        |FROM m""".stripMargin
 
+  /** Mirrors [[qLayoutPrune]]: recomputes the zone-map manifest from
+    * the SAME z-ordered twin files, then replays the interval-overlap
+    * keep test (NULL stats conservatively kept). */
+  private val layoutPruneSql: String =
+    s"""WITH m AS MATERIALIZED (
+       |  SELECT CAST(regexp_extract(filename, 'part-(\\d+)', 1) AS INTEGER) AS file_idx,
+       |    count(*) AS n_rows,
+       |    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       |    min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
+       |  FROM read_parquet('$twinRoot/ztwin/__SF_BASENAME__/documents.parquet/*.parquet',
+       |                    filename = true)
+       |  GROUP BY 1)
+       |SELECT * FROM m
+       |WHERE min_doc_id IS NULL OR max_doc_id IS NULL
+       |   OR (max_doc_id >= 100 AND min_doc_id <= 260)""".stripMargin
+
+  /** Mirrors [[qEventsGapfill]]: the hourly aggregate, per-type
+    * bounds, a LATERAL generate_series grid, and the zero-coalescing
+    * left join — engine-identical hour arithmetic (date_trunc +
+    * 1-hour stepping on microsecond timestamps is exact in both). */
+  private val eventsGapfillSql: String =
+    s"""WITH hourly AS MATERIALIZED (
+       |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (
+       |  SELECT event_type, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1),
+       |grid AS (
+       |  SELECT event_type,
+       |         unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS h
+       |  FROM bounds)
+       |SELECT g.event_type, g.h, coalesce(hh.n, 0) AS n
+       |FROM grid g LEFT JOIN hourly hh
+       |  ON g.event_type = hh.event_type AND g.h = hh.h""".stripMargin
+
   /** The quadratic ground truth for [[qFuzzyJoin]]: distinct
     * part-name domain (min-partkey ids), normalized char trigram
     * SETS, full pairwise intersection counts, exact Jaccard ≥ 0.25.
@@ -2720,6 +2881,117 @@ object ExtensionQueries {
        |    FROM documents WHERE doc_id % 13 <> 5) n
        |  ON o.doc_id = n.doc_id) t
        |WHERE change IS NOT NULL""".stripMargin
+
+  /** Mirrors [[qSnapshotRowdiff]]: the [[snapshotDiffSql]] full-outer
+    * shape plus `IS DISTINCT FROM` attribution per compare column;
+    * `concat_ws` skips the non-changed CASEs' NULLs in both engines,
+    * so the comma-joined list replays exactly. */
+  private val snapshotRowdiffSql: String =
+    s"""SELECT doc_id, change,
+       |  CASE WHEN change = 'changed' THEN concat_ws(',',
+       |    CASE WHEN o_text IS DISTINCT FROM n_text THEN 'text' END,
+       |    CASE WHEN o_lang IS DISTINCT FROM n_lang THEN 'lang' END)
+       |  END AS changed_cols
+       |FROM (
+       |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       |    o.text AS o_text, n.text AS n_text,
+       |    o.lang AS o_lang, n.lang AS n_lang,
+       |    CASE WHEN o.doc_id IS NULL THEN 'added'
+       |         WHEN n.doc_id IS NULL THEN 'removed'
+       |         WHEN o.text IS DISTINCT FROM n.text
+       |           OR o.lang IS DISTINCT FROM n.lang THEN 'changed' END AS change
+       |  FROM (SELECT doc_id, text, lang FROM documents WHERE doc_id % 11 <> 3) o
+       |  FULL OUTER JOIN (
+       |    SELECT doc_id,
+       |      CASE WHEN doc_id % 17 = 0 THEN upper(text) ELSE text END AS text,
+       |      CASE WHEN doc_id % 19 = 0 THEN 'xx' ELSE lang END AS lang
+       |    FROM documents WHERE doc_id % 13 <> 5) n
+       |  ON o.doc_id = n.doc_id) t
+       |WHERE change IS NOT NULL""".stripMargin
+
+  /** Mirrors [[qCheckSuite]]: every violation count as one aggregate
+    * over a single lineitem pass, pivoted to report rows by UNION
+    * ALL; uniqueness counts a ROW() struct so NULL key fields would
+    * still count as combinations, matching Spark's
+    * `countDistinct(struct(...))`. */
+  private val checkSuiteSql: String =
+    s"""WITH t AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS total,
+       |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+       |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+       |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+       |    CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+       |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+       |    CAST(sum(CASE WHEN NOT regexp_matches(l_linestatus, '^[OF]$$') THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+       |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS v6,
+       |    CAST(count(*) - count(DISTINCT (l_orderkey)) AS BIGINT) AS v7
+       |  FROM lineitem)
+       |SELECT check_name, kind, col_name, violations, total AS total_rows,
+       |       violations = 0 AS passed
+       |FROM (
+       |  SELECT 'not_null(l_shipdate)' AS check_name, 'not_null' AS kind,
+       |         'l_shipdate' AS col_name, v0 AS violations, total FROM t
+       |  UNION ALL SELECT 'in_range(l_quantity)', 'in_range', 'l_quantity', v1, total FROM t
+       |  UNION ALL SELECT 'in_range(l_discount)', 'in_range', 'l_discount', v2, total FROM t
+       |  UNION ALL SELECT 'non_negative(l_extendedprice)', 'non_negative', 'l_extendedprice', v3, total FROM t
+       |  UNION ALL SELECT 'accepted_values(l_returnflag)', 'accepted_values', 'l_returnflag', v4, total FROM t
+       |  UNION ALL SELECT 'matches(l_linestatus)', 'matches', 'l_linestatus', v5, total FROM t
+       |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', 'unique', 'l_orderkey,l_linenumber', v6, total FROM t
+       |  UNION ALL SELECT 'unique(l_orderkey)', 'unique', 'l_orderkey', v7, total FROM t
+       |) r""".stripMargin
+
+  /** Mirrors [[qCheckFk]]: orphan counts via NOT EXISTS anti-join
+    * semantics (NULL keys exempt, matching SQL FK convention). */
+  private val checkFkSql: String =
+    s"""SELECT check_name, kind, col_name, violations, total_rows,
+       |       violations = 0 AS passed
+       |FROM (
+       |  SELECT 'foreign_key(o_custkey)' AS check_name, 'foreign_key' AS kind,
+       |    'o_custkey' AS col_name,
+       |    CAST((SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+       |          AND NOT EXISTS (SELECT 1 FROM customer c
+       |                          WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS violations,
+       |    CAST((SELECT count(*) FROM orders) AS BIGINT) AS total_rows
+       |  UNION ALL
+       |  SELECT 'foreign_key(l_suppkey)', 'foreign_key', 'l_suppkey',
+       |    CAST((SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+       |          AND NOT EXISTS (SELECT 1 FROM supplier s
+       |                          WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT),
+       |    CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'foreign_key(o_custkey->thinned_customer)', 'foreign_key', 'o_custkey',
+       |    CAST((SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+       |          AND NOT EXISTS (SELECT 1 FROM customer c
+       |                          WHERE c.c_custkey % 3 = 0
+       |                            AND c.c_custkey = o.o_custkey)) AS BIGINT),
+       |    CAST((SELECT count(*) FROM orders) AS BIGINT)
+       |) r""".stripMargin
+
+  /** Mirrors [[qPrivacyRisk]]: exact group sizes + distinct
+    * sensitive-bucket counts per QI cell; the bucket arithmetic
+    * (double divide, floor, BIGINT cast) is IEEE-identical in both
+    * engines. */
+  private val privacyRiskSql: String =
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+       |  CAST(count(*) AS BIGINT) AS group_size,
+       |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT)
+       |    AS distinct_sensitive,
+       |  count(*) >= 10 AS k_anonymous,
+       |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 8 AS l_diverse
+       |FROM customer
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors [[qAggIncremental]] — deliberately NOT incrementally:
+    * one direct aggregate over all of lineitem. Hash equality here IS
+    * the closure property of the mergeable-state decomposition. */
+  private val aggIncrementalSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(count(*) AS BIGINT) AS count_rows,
+       |  min(l_shipdate) AS min_l_shipdate,
+       |  max(l_shipdate) AS max_l_shipdate,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       |FROM lineitem
+       |GROUP BY 1, 2""".stripMargin
 
   /** Mirrors `Sampling.hashSplit(80, 10)`: SplitMix64 of the id
     * (HashSql.mixCtes replay), bucket = mixed >>> 1 mod 100. doc_id
@@ -3078,6 +3350,11 @@ object ExtensionQueries {
     "q_span_dupes" -> spanDupesSql,
     "q_quality_gate" -> qualityGateSql,
     "q_snapshot_diff" -> snapshotDiffSql,
+    "q_snapshot_rowdiff" -> snapshotRowdiffSql,
+    "q_check_suite" -> checkSuiteSql,
+    "q_check_fk" -> checkFkSql,
+    "q_privacy_risk" -> privacyRiskSql,
+    "q_agg_incremental" -> aggIncrementalSql,
     "q_sample_split" -> sampleSplitSql,
     "q_sample_cap" -> sampleCapSql,
     "q_sample_stratified" -> sampleStratifiedSql,
@@ -3141,6 +3418,8 @@ object ExtensionQueries {
     "q_scd2" -> scd2Sql,
     "q_layout_zonemaps" -> layoutZonemapsSql,
     "q_layout_compaction" -> layoutCompactionSql,
+    "q_layout_prune" -> layoutPruneSql,
+    "q_events_gapfill" -> eventsGapfillSql,
     "q_fuzzy_join" -> fuzzyPairsSql,
     "q_fuzzy_lookup" -> fuzzyLookupSql,
     "q_refer_fuzzy" -> referFuzzySql,

@@ -78,6 +78,20 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
+  /** Zone-map file skipping — the read-side payoff of [[zOrderByRange]]
+    * + [[zoneMaps]]: given a manifest and a range predicate
+    * `lo <= c <= hi`, the manifest rows whose [min_c, max_c] interval
+    * can intersect it — i.e. the files a scan must actually read.
+    * Files whose stats are NULL (all-NULL column) are conservatively
+    * kept. Pure metadata: the decision runs over one row per data
+    * file, never the data; on a z-ordered layout the survivor set is
+    * the point of the layout (tight interleaved zones ⇒ most files
+    * eliminated on either dimension). */
+  def pruneFiles(manifest: DataFrame, c: String, lo: Column, hi: Column): DataFrame =
+    manifest.filter(
+      col(s"min_$c").isNull || col(s"max_$c").isNull ||
+        (col(s"max_$c") >= lo && col(s"min_$c") <= hi))
+
   /** Small-file compaction plan over a [[zoneMaps]]-style manifest:
     * files ordered by their clustering key (`orderCol`, ties on
     * `fileCol`) are grouped into consecutive runs of ~`target` units

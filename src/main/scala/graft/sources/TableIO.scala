@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import scala.collection.mutable
 
 /** The engine's two-connection abstraction. The reference holds two
@@ -31,7 +31,8 @@ final class ParquetDirIO(
     targetDir: String,
     writeMode: String = "overwrite",
     maxRecordsPerFile: Option[Long] = None,
-    upsertKeys: Map[String, Seq[String]] = Map.empty) extends TableIO {
+    upsertKeys: Map[String, Seq[String]] = Map.empty,
+    partitionCols: Map[String, Seq[String]] = Map.empty) extends TableIO {
   def readOriginal(table: String): DataFrame =
     spark.read.parquet(s"$originalDir/$table.parquet")
   def readTarget(table: String): DataFrame =
@@ -60,8 +61,49 @@ final class ParquetDirIO(
       else
         f.delete(staging, true)
     }
-    upsertKeys.get(table) match {
-      case Some(keys) if f.exists(path) =>
+    (upsertKeys.get(table), partitionCols.get(table)) match {
+      case (Some(keys), Some(pCols)) if f.exists(path) =>
+        // Partition-pruned copy-on-write merge: at 100 TB a daily
+        // delta touches a sliver of partitions, and rewriting the
+        // whole table for it (the unpartitioned branch below) is the
+        // difference between a 10-minute and a 10-hour refresh. Only
+        // the partitions the incoming batch lands in are read
+        // (static pruning via an IN-list over the batch's distinct
+        // partition tuples — collected, but bounded by the number of
+        // TOUCHED partitions, not rows), merged against the batch,
+        // and dynamically overwritten; untouched partitions' files
+        // are never read, never rewritten.
+        //
+        // Contract: the partition columns must be STABLE under upsert
+        // (a key may not move between partitions — the standard
+        // lakehouse partitioned-merge constraint; a moved key's old
+        // row would survive in its old partition). Crash posture:
+        // dynamic overwrite commits per touched partition at job
+        // commit; a crash mid-commit leaves a subset updated, and the
+        // idempotent re-run converges — no staging dir needed.
+        val touched = df.select(pCols.map(col): _*).distinct().collect()
+        if (touched.isEmpty) return // empty delta: nothing to merge, touch nothing
+        val touchedPred = touched.map { r =>
+          pCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _)
+        }.reduce(_ || _)
+        val incomingKeys = df.select(keys.map(col): _*).distinct()
+        val keep = readTarget(table).filter(touchedPred)
+          .join(incomingKeys, keys, "left_anti")
+        val merged = keep.unionByName(df, allowMissingColumns = true)
+        val w = merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(pCols: _*)
+        maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
+          .parquet(pathStr)
+      case (_, Some(pCols)) =>
+        // fresh or overwrite write of a partitioned table (also the
+        // first write of an upsert table: nothing to merge yet)
+        val w = df.write.mode(if (upsertKeys.contains(table)) "overwrite" else writeMode)
+          .partitionBy(pCols: _*)
+        maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
+          .parquet(pathStr)
+      case (Some(keys), None) if f.exists(path) =>
         // Keyed upsert (re-runnable migrations — closes the
         // reference's transaction-wrapper gap, SURVEY §7.4, for
         // half-written re-runs): existing rows whose key matches an

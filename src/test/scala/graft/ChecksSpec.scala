@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Checks, Profile, Reconcile}
+
+/** Data-quality gate ([[graft.operators.Checks]]), row-level diff
+  * attribution ([[Reconcile.rowDiff]]), and privacy risk
+  * ([[Profile.privacyRisk]]) unit semantics. */
+class ChecksSpec extends SparkSpec {
+
+  private def items = df(
+    "id BIGINT, grp STRING, qty DOUBLE, tag STRING",
+    Row(1L, "a", 5.0, "X"),
+    Row(2L, "a", -1.0, "Y"),    // nonNegative violation
+    Row(3L, "b", 120.0, "X"),   // inRange violation
+    Row(4L, "b", null, "Z"),    // NULL qty: fails notNull, passes range checks
+    Row(4L, "b", 7.0, "X"),     // duplicate id
+    Row(5L, null, 3.0, "W"))    // tag W not accepted; grp NULL
+
+  test("suite counts violations per check in one pass; NULLs pass value checks") {
+    val rep = Checks.suite(items, Seq(
+      Checks.notNull("qty"),
+      Checks.nonNegative("qty"),
+      Checks.inRange("qty", 0, 100),
+      Checks.acceptedValues("tag", Seq("X", "Y", "Z")),
+      Checks.uniqueRows("id"),
+      Checks.uniqueRows("id", "grp")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(rep("not_null(qty)") == ((1L, 6L, false)))
+    assert(rep("non_negative(qty)") == ((1L, 6L, false)))
+    // -1 is in-range-violating too? no: -1 < 0 -> violation; 120 > 100 -> violation
+    assert(rep("in_range(qty)") == ((2L, 6L, false)))
+    assert(rep("accepted_values(tag)") == ((1L, 6L, false)))
+    assert(rep("unique(id)") == ((1L, 6L, false)))
+    // (4,b) appears twice -> still one surplus row even with grp added
+    assert(rep("unique(id,grp)") == ((1L, 6L, false)))
+  }
+
+  test("suite passes on clean data and counts every row") {
+    val rep = Checks.suite(items.filter(col("id") === 1),
+      Seq(Checks.notNull("qty"), Checks.nonNegative("qty")))
+    assert(rep.collect().forall(r => r.getBoolean(5) && r.getLong(4) == 1L))
+  }
+
+  test("uniqueRows counts combinations with NULL fields (struct semantics)") {
+    val d = df("a STRING, b STRING",
+      Row("x", null), Row("x", null), Row("y", null))
+    val rep = Checks.suite(d, Seq(Checks.uniqueRows("a", "b")))
+    // (x,NULL) twice -> 1 surplus; multi-arg countDistinct would have
+    // skipped all three rows and reported 3 surplus
+    assert(rep.head().getLong(3) == 1L)
+  }
+
+  test("foreignKey counts orphans, exempts NULL keys, honors name override") {
+    val child = df("k BIGINT, v STRING",
+      Row(1L, "a"), Row(2L, "b"), Row(9L, "orphan"), Row(null, "null-key"))
+    val parent = df("pk BIGINT", Row(1L), Row(2L), Row(3L))
+    val rep = Checks.foreignKey(child, Seq("k"), parent, Seq("pk"), name = "fk_k")
+    val r = rep.head()
+    assert(r.getString(0) == "fk_k")
+    assert(r.getLong(3) == 1L)    // only id 9; NULL key exempt
+    assert(r.getLong(4) == 4L)
+    assert(!r.getBoolean(5))
+  }
+
+  test("foreignKey on a duplicated parent does not multiply the child") {
+    val child = df("k BIGINT", Row(1L), Row(2L))
+    val parent = df("pk BIGINT", Row(1L), Row(1L), Row(1L))
+    val r = Checks.foreignKey(child, Seq("k"), parent, Seq("pk")).head()
+    assert(r.getLong(3) == 1L && r.getLong(4) == 2L)
+  }
+
+  test("assertPassed throws naming the failing checks only") {
+    val rep = Checks.suite(items, Seq(
+      Checks.notNull("id"), Checks.nonNegative("qty")))
+    val e = intercept[IllegalArgumentException](Checks.assertPassed(rep))
+    assert(e.getMessage.contains("non_negative(qty)"))
+    assert(!e.getMessage.contains("not_null(id)"))
+  }
+
+  test("rowDiff attributes changed columns; added/removed carry NULL") {
+    val old = df("k BIGINT, x STRING, y STRING",
+      Row(1L, "a", "p"), Row(2L, "b", "q"), Row(3L, "c", "r"))
+    val neu = df("k BIGINT, x STRING, y STRING",
+      Row(1L, "a", "p"),      // unchanged -> absent from output
+      Row(2L, "B", "Q"),      // both cols changed
+      Row(4L, "d", "s"))      // added; 3 removed
+    val got = Reconcile.rowDiff(old, neu, "k", Seq("x", "y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(got.size == 3)
+    assert(got(2L) == (("changed", Some("x,y"))))
+    assert(got(3L) == (("removed", None)))
+    assert(got(4L) == (("added", None)))
+  }
+
+  test("rowDiff single-column change and null-safe comparison") {
+    val old = df("k BIGINT, x STRING, y STRING",
+      Row(1L, null, "p"), Row(2L, "b", null))
+    val neu = df("k BIGINT, x STRING, y STRING",
+      Row(1L, null, "P"),     // x null==null unchanged, y changed
+      Row(2L, "b", null))     // fully unchanged (null-safe)
+    val got = Reconcile.rowDiff(old, neu, "k", Seq("x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "y"))
+  }
+
+  test("privacyRisk flags small and homogeneous QI cells") {
+    val d = df("qi STRING, s STRING",
+      Row("big", "a"), Row("big", "b"), Row("big", "c"),
+      Row("small", "a"),
+      Row("homog", "a"), Row("homog", "a"), Row("homog", "a"))
+    val got = Profile.privacyRisk(d, Seq("qi"), "s", k = 3, l = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(got("big") == ((3L, 3L, true, true)))
+    assert(got("small") == ((1L, 1L, false, false)))
+    assert(got("homog") == ((3L, 1L, true, false)))
+  }
+}

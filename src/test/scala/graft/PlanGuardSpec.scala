@@ -158,6 +158,33 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("check suite folds every constraint into one scan of the table") {
+    // the single-scan promise: however many checks, exactly one
+    // parquet scan and no joins — per-constraint scans would make the
+    // gate cost N × count(*) at 100 TB
+    val plan = planOf("q_check_suite")
+    val scans = plan.linesIterator.map(_.trim)
+      .filter(l => l.matches("""\(\d+\) Scan parquet.*""")).toSeq
+    assert(scans.size == 1, s"q_check_suite: ${scans.size} scans planned: $scans")
+    assert(!plan.contains("Join"), s"q_check_suite: join planned\n$plan")
+    assert(plan.contains("partial_"),
+      s"q_check_suite: no partial aggregation stage\n$plan")
+  }
+
+  test("foreignKey checks broadcast the deduped parent keys over the child") {
+    // fact-vs-dimension referential integrity: the parent side must
+    // reduce to distinct keys and broadcast; a SortMergeJoin would
+    // hash-partition the full child per FK
+    val plan = planOf("q_check_fk")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_check_fk: parent keys not broadcast\n$plan")
+    val shuffled = plan.linesIterator
+      .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      .toSeq
+    assert(shuffled.isEmpty,
+      s"q_check_fk: shuffle-partitioned join planned: $shuffled")
+  }
+
   test("rate samplers stay zero-shuffle projections") {
     // weightedSample's keep decision is per-row arithmetic; ANY
     // Exchange in the plan means the sampler started shuffling the

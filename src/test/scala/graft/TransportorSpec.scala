@@ -377,6 +377,45 @@ class TransportorSpec extends SparkSpec {
     assert(!new java.io.File(s"$dst/out.parquet.__graft_staging").exists())
   }
 
+  test("partitioned upsert rewrites ONLY the touched partitions") {
+    import graft.sources.ParquetDirIO
+    val src = java.nio.file.Files.createTempDirectory("graft_pupsert_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_pupsert_dst").toString
+    def listFiles(p: String): Map[String, Long] = {
+      val d = new java.io.File(p)
+      if (!d.exists) Map.empty
+      else d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    df("id BIGINT, day STRING, v STRING",
+      Row(1L, "d1", "a"), Row(2L, "d1", "b"), Row(3L, "d2", "c"))
+      .write.mode("overwrite").parquet(s"$src/base.parquet")
+    val io = new ParquetDirIO(spark, src, dst,
+      upsertKeys = Map("out" -> Seq("id")),
+      partitionCols = Map("out" -> Seq("day")))
+    val plan = TransportPlan.of(
+      "out" -> TableMap(Some("base"), Seq(
+        Rename("id", "id"), Rename("day", "day"), Rename("v", "v"))))
+    new Transportor(io, plan).runAndWrite()
+    val d2Before = listFiles(s"$dst/out.parquet/day=d2")
+    assert(d2Before.nonEmpty)
+    Thread.sleep(1100) // mtime resolution guard
+    // delta: update id=2 (partition d1), insert id=4 (new partition d3)
+    df("id BIGINT, day STRING, v STRING",
+      Row(2L, "d1", "B2"), Row(4L, "d3", "d"))
+      .write.mode("overwrite").parquet(s"$src/base.parquet")
+    new Transportor(io, plan).runAndWrite()
+    assertRows(io.readTarget("out").select("id", "day", "v"),
+      Seq(Row(1L, "d1", "a"), Row(2L, "d1", "B2"),
+        Row(3L, "d2", "c"), Row(4L, "d3", "d")))
+    // the untouched partition's files were neither replaced nor rewritten
+    assert(listFiles(s"$dst/out.parquet/day=d2") == d2Before,
+      "untouched partition d2 was rewritten")
+    // re-run converges (idempotent merge)
+    new Transportor(io, plan).runAndWrite()
+    assert(io.readTarget("out").count() == 4)
+  }
+
   test("ParquetDirIO upsert recovers a crash between delete and rename") {
     import graft.sources.ParquetDirIO
     val src = java.nio.file.Files.createTempDirectory("graft_crash_src").toString
