@@ -72,6 +72,21 @@ object TextFunctions {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       longNumberPattern, "<NUMBER>")
 
+  /** Deterministic keyed pseudonymization — the step between
+    * [[redact]] (destroy the value) and keeping raw PII: replace an
+    * identifier with `SplitMix64(fnv64(utf8) XOR salt)`, a 64-bit
+    * token that is STABLE under one salt (the same user maps to the
+    * same token in every table, so joins and per-user statistics
+    * survive) and unlinkable across salts (rotate the salt per
+    * release and tokens from different releases cannot be joined).
+    * One-way up to brute force of the value domain — pair with
+    * [[graft.operators.Profile.privacyRisk]] to check the remaining
+    * columns don't re-identify. Pure codegen'd expression chain
+    * (native [[HashExpressions]]), no UDF; NULL stays NULL. */
+  def pseudonymize(c: Column, salt: Long): Column =
+    HashExpressions.mix64(
+      HashExpressions.textFnv64(c).bitwiseXOR(lit(salt)))
+
   /** URL canonicalization for crawl dedup — the normalization that
     * makes `https://Site.COM:443/p/?utm_source=x` and
     * `https://site.com/p` the same key: strip the fragment, strip

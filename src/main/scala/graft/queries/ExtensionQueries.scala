@@ -409,6 +409,18 @@ object ExtensionQueries {
       .drop("sum_qty_d")
   }
 
+  /** Keyed pseudonymization of customer names
+    * ([[TextFunctions.pseudonymize]]): stable 64-bit tokens under one
+    * salt, unlinkable across salts. Oracle replays
+    * fnv64(utf8) XOR salt through the staged SplitMix64 CTEs
+    * hash-for-hash. */
+  private val qPseudonymize: Q = (s, dir) =>
+    pq(s, dir, "customer").select(
+      col("c_custkey"),
+      TextFunctions.pseudonymize(col("c_name"), PseudoSalt).as("pseudonym"))
+
+  private val PseudoSalt = 0x5eedfacecafeL
+
   /** Deterministic hash-based train/val/test split (80/10/10). */
   private val qSampleSplit: Q = (s, dir) =>
     graft.operators.Sampling.hashSplit(pq(s, dir, "documents"), "doc_id")
@@ -1256,6 +1268,7 @@ object ExtensionQueries {
     "q_check_fk" -> qCheckFk,
     "q_privacy_risk" -> qPrivacyRisk,
     "q_agg_incremental" -> qAggIncremental,
+    "q_pseudonymize" -> qPseudonymize,
     "q_sample_split" -> qSampleSplit,
     "q_sample_cap" -> qSampleCap,
     "q_sample_stratified" -> qSampleStratified,
@@ -2993,6 +3006,17 @@ object ExtensionQueries {
        |FROM lineitem
        |GROUP BY 1, 2""".stripMargin
 
+  /** Mirrors [[qPseudonymize]]: unsigned FNV-1a 64 over the name's
+    * bytes, XOR the salt, the four staged SplitMix64 CTEs, then the
+    * signed BIGINT read-out. */
+  private val pseudonymizeSql: String =
+    s"""WITH p0 AS MATERIALIZED (
+       |  SELECT c_custkey,
+       |         ${HashSql.ux(HashSql.textFnvU("c_name"), HashSql.u(PseudoSalt))} AS x
+       |  FROM customer),
+       |${HashSql.mixCtes("p", "p0", "c_custkey")}
+       |SELECT c_custkey, ${HashSql.toS("x")} AS pseudonym FROM p4""".stripMargin
+
   /** Mirrors `Sampling.hashSplit(80, 10)`: SplitMix64 of the id
     * (HashSql.mixCtes replay), bucket = mixed >>> 1 mod 100. doc_id
     * is nonnegative, so the unsigned HUGEINT start value equals the
@@ -3355,6 +3379,7 @@ object ExtensionQueries {
     "q_check_fk" -> checkFkSql,
     "q_privacy_risk" -> privacyRiskSql,
     "q_agg_incremental" -> aggIncrementalSql,
+    "q_pseudonymize" -> pseudonymizeSql,
     "q_sample_split" -> sampleSplitSql,
     "q_sample_cap" -> sampleCapSql,
     "q_sample_stratified" -> sampleStratifiedSql,

@@ -410,6 +410,42 @@ object ParityQueries {
         count(lit(1)).as("n"),
         moneySum(col("l_quantity"), 100).as("qty"))
 
+  /** Full CUBE over the same pair as [[qRollup]] — all four grouping
+    * sets in one pass (Spark plans a single Expand + hash aggregate,
+    * not four scans). */
+  private val qCube: Q = (s, dir) =>
+    pq(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        moneySum(col("l_quantity"), 100).as("qty"))
+
+  /** Wide pivot: order counts per priority × status. The pivot value
+    * list is EXPLICIT (O/F/P) — deterministic output schema with no
+    * pre-pass to discover values (at corpus scale an implicit pivot
+    * first runs a distinct over the pivot column); absent cells
+    * coalesce to 0 so the grid is dense. */
+  private val qPivot: Q = (s, dir) =>
+    pq(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("P"), lit(0L)).as("P"))
+
+  /** Unpivot (melt) lineitem's four money/rate measures to long form —
+    * the inverse reshape, a pure zero-shuffle Expand (each input row
+    * emits 4). */
+  private val qUnpivot: Q = (s, dir) =>
+    pq(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+
   // §2.15: JSON functions — extract a typed field from the props blob.
   private val qJsonExtract: Q = (s, dir) =>
     events(s, dir).select(
@@ -574,6 +610,9 @@ object ParityQueries {
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
     "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
+    "q_pivot" -> qPivot,
+    "q_unpivot" -> qUnpivot,
     "q_json_extract" -> qJsonExtract,
     "q_scalar_funcs" -> qScalarFuncs,
     "q_semi_join" -> qSemiJoin,
@@ -710,6 +749,21 @@ object ParityQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
         |FROM events""".stripMargin,

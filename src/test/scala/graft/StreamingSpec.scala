@@ -227,6 +227,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental stats: micro-batch states merge to the direct batch aggregate") {
+    // Incremental's streaming face: each ingest micro-batch contributes
+    // its own group-cardinality-sized aggregate state (foreachBatch +
+    // Incremental.aggregate), history is never rescanned, and the
+    // cross-batch merge must equal the from-scratch aggregate row for
+    // row — the q_agg_incremental closure property through the real
+    // streaming machinery.
+    import org.apache.spark.sql.Row
+    import graft.operators.Incremental
+    import graft.operators.Incremental.Measure
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_incstat_src").toString
+    val rows1 = (1L to 300L).map(i => Row(s"s${i % 3}", i))
+    val rows2 = (301L to 500L).map(i => Row(s"s${i % 3}", i))
+    val all = df("k STRING, v BIGINT", (rows1 ++ rows2): _*)
+    val schema = all.schema
+    val ms = Seq(Measure("count"), Measure("sum", "v"),
+      Measure("min", "v"), Measure("max", "v"))
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var stateSchema: org.apache.spark.sql.types.StructType = null
+    var batches = 0
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val st = Incremental.aggregate(batch, Seq("k"), ms)
+        stateSchema = st.schema
+        stateRows.synchronized { stateRows ++= st.collect(); batches += 1 }
+        ()
+      }.start()
+    try {
+      df("k STRING, v BIGINT", rows1: _*).coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      df("k STRING, v BIGINT", rows2: _*).coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(batches >= 2, "expected at least two micro-batches")
+      val parts = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(stateRows.toSeq: _*)), stateSchema)
+      def canon(f: org.apache.spark.sql.DataFrame) =
+        f.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      val merged = Incremental.merge(parts, parts.limit(0), Seq("k"), ms)
+      val direct = Incremental.aggregate(all, Seq("k"), ms)
+      assert(canon(merged) == canon(direct))
+    } finally q.stop()
+  }
+
   test("dedupAgainstStream drops corpus matches per micro-batch, passes novel docs to the sink") {
     import org.apache.spark.sql.Row
     val srcDir = java.nio.file.Files.createTempDirectory("graft_das_src").toString
