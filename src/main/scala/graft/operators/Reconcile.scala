@@ -174,6 +174,37 @@ object Reconcile {
         col("valid_to"), col("is_current"))
   }
 
+  /** CDC change-log compaction — the "current state" materialization
+    * of an upsert/delete event log (Debezium-style): per key, keep
+    * ONLY the latest version (ordered by `tsCol`, ties broken by
+    * `tieCol` — pass the log sequence number so equal timestamps
+    * collapse identically everywhere), and drop the key entirely when
+    * its latest record is a tombstone (`deleteCol` true). The batch
+    * twin of log-structured merge: `compactLog(old_log ∪ new_events)`
+    * equals `compactLog` of the already-compacted state unioned with
+    * the new events, so compaction can run incrementally forever.
+    *
+    * Scale posture: one hash shuffle by key + a per-key sort window
+    * (row_number, no global sort); the log can be petabytes as long
+    * as no single key's history is. Follow with
+    * [[graft.sources.ParquetDirIO]]'s partitioned upsert to land the
+    * result without rewriting unchanged partitions. */
+  def compactLog(
+      log: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      deleteCol: Option[String] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(tieCol).desc)
+    val latest = log
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    deleteCol.fold(latest)(d =>
+      latest.filter(!coalesce(col(d), lit(false))).drop(d))
+  }
+
   /** Schema drift between the plan's frames and what the target
     * actually holds — the metadata half of [[report]] (content
     * checksums catch value drift; this catches the re-run against a

@@ -421,6 +421,27 @@ object ExtensionQueries {
 
   private val PseudoSalt = 0x5eedfacecafeL
 
+  /** CDC change-log compaction ([[graft.operators.Reconcile.compactLog]]):
+    * a synthetic Debezium-style log over orders — v0 for every key,
+    * an update (+10, next day) for keys %5=0, a tombstone (2 days
+    * later) for keys %7=0. Current state = latest non-deleted version
+    * per key; keys whose latest record is the tombstone vanish. */
+  private val qCdcCompact: Q = (s, dir) => {
+    val o = pq(s, dir, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+    val day = expr("INTERVAL 1 DAY")
+    val v1 = o.select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderdate").as("ts"), lit(0L).as("seq"), lit(false).as("deleted"))
+    val v2 = o.filter(col("o_orderkey") % 5 === 0).select(col("o_orderkey"),
+      (col("o_totalprice") + 10).as("o_totalprice"),
+      (col("o_orderdate") + day).as("ts"), lit(1L).as("seq"), lit(false).as("deleted"))
+    val v3 = o.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey"),
+      lit(0.0).as("o_totalprice"),
+      (col("o_orderdate") + day + day).as("ts"), lit(2L).as("seq"), lit(true).as("deleted"))
+    graft.operators.Reconcile.compactLog(
+      v1.unionByName(v2).unionByName(v3), "o_orderkey", "ts", "seq",
+      deleteCol = Some("deleted"))
+  }
+
   /** Deterministic hash-based train/val/test split (80/10/10). */
   private val qSampleSplit: Q = (s, dir) =>
     graft.operators.Sampling.hashSplit(pq(s, dir, "documents"), "doc_id")
@@ -1098,6 +1119,24 @@ object ExtensionQueries {
       threshold = 0.25)
   }
 
+  /** Jaro-Winkler fuzzy lookup ([[graft.operators.FuzzyJoin.jwBestMatches]]):
+    * the part-name domain dirtied with a trailing 'x' resolves back to
+    * the canonical domain under 2-char prefix blocking at jw ≥ 0.85.
+    * The oracle blocks and scores with DuckDB's own
+    * `jaro_winkler_similarity` — the native expression is verified
+    * BIT-for-bit against an independent implementation of the same
+    * published algorithm. */
+  private val qFuzzyJw: Q = (s, dir) => {
+    val part = pq(s, dir, "part")
+    val leftDom = part.groupBy(concat(col("p_name"), lit("x")).as("probe"))
+      .agg(min("p_partkey").as("left_id"))
+    val rightDom = part.groupBy("p_name")
+      .agg(min("p_partkey").as("right_id"))
+    graft.operators.FuzzyJoin.jwBestMatches(
+      leftDom, "left_id", "probe", rightDom, "right_id", "p_name",
+      threshold = 0.85, prefixLen = 2)
+  }
+
   /** The fuzzy refer THROUGH the declarative engine
     * ([[graft.plans.FuzzyRefer]]): part names dirtied with a trailing
     * character resolve back to the canonical name domain at
@@ -1269,6 +1308,7 @@ object ExtensionQueries {
     "q_privacy_risk" -> qPrivacyRisk,
     "q_agg_incremental" -> qAggIncremental,
     "q_pseudonymize" -> qPseudonymize,
+    "q_cdc_compact" -> qCdcCompact,
     "q_sample_split" -> qSampleSplit,
     "q_sample_cap" -> qSampleCap,
     "q_sample_stratified" -> qSampleStratified,
@@ -1328,6 +1368,7 @@ object ExtensionQueries {
     "q_events_gapfill" -> qEventsGapfill,
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_fuzzy_lookup" -> qFuzzyLookup,
+    "q_fuzzy_jw" -> qFuzzyJw,
     "q_refer_fuzzy" -> qReferFuzzy,
     "q_entity_resolution" -> qEntityResolution,
     "q_quality_calibrated" -> qQualityCalibrated,
@@ -2664,6 +2705,31 @@ object ExtensionQueries {
        |  FROM pairs WHERE jaccard >= 0.25)
        |SELECT left_id, right_id, jaccard FROM ranked WHERE rnk = 1""".stripMargin
 
+  /** Mirrors [[qFuzzyJw]]: same normalization, same 2-char prefix
+    * blocking, DuckDB's own `jaro_winkler_similarity` (the variant
+    * the native expression is pinned to), same (jw DESC, right_id)
+    * argmax. */
+  private val fuzzyJwSql: String =
+    s"""WITH ldom AS MATERIALIZED (
+       |  SELECT min(p_partkey) AS left_id,
+       |         trim(regexp_replace(lower(p_name || 'x'), '[^a-z0-9]+', ' ', 'g')) AS norm
+       |  FROM part GROUP BY p_name || 'x'),
+       |rdom AS MATERIALIZED (
+       |  SELECT min(p_partkey) AS right_id,
+       |         trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) AS norm
+       |  FROM part GROUP BY p_name),
+       |pairs AS (
+       |  SELECT left_id, right_id,
+       |         jaro_winkler_similarity(l.norm, r.norm) AS jw
+       |  FROM ldom l JOIN rdom r ON left(l.norm, 2) = left(r.norm, 2)
+       |  WHERE l.norm <> '' AND r.norm <> ''),
+       |ranked AS (
+       |  SELECT left_id, right_id, jw,
+       |         row_number() OVER (PARTITION BY left_id
+       |                            ORDER BY jw DESC, right_id) AS rnk
+       |  FROM pairs WHERE jw >= 0.85)
+       |SELECT left_id, right_id, jw FROM ranked WHERE rnk = 1""".stripMargin
+
   /** percent_rank shares (rank−1)/(n−1) tie semantics across engines,
     * so the calibration mirror is a one-window replay. */
   private val qualityCalibratedSql: String =
@@ -3005,6 +3071,26 @@ object ExtensionQueries {
        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
        |FROM lineitem
        |GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors [[qCdcCompact]]: the same three-version log rebuilt in
+    * SQL, the same (ts DESC, seq DESC) row_number pick, tombstones
+    * dropped at the end. */
+  private val cdcCompactSql: String =
+    s"""WITH log AS (
+       |  SELECT o_orderkey, o_totalprice, o_orderdate AS ts,
+       |         CAST(0 AS BIGINT) AS seq, false AS deleted FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey, o_totalprice + 10, o_orderdate + INTERVAL 1 DAY,
+       |         CAST(1 AS BIGINT), false FROM orders WHERE o_orderkey % 5 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, 0.0, o_orderdate + INTERVAL 2 DAY,
+       |         CAST(2 AS BIGINT), true FROM orders WHERE o_orderkey % 7 = 0),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+       |                               ORDER BY ts DESC, seq DESC) AS rn
+       |  FROM log)
+       |SELECT o_orderkey, o_totalprice, ts, seq
+       |FROM ranked WHERE rn = 1 AND NOT deleted""".stripMargin
 
   /** Mirrors [[qPseudonymize]]: unsigned FNV-1a 64 over the name's
     * bytes, XOR the salt, the four staged SplitMix64 CTEs, then the
@@ -3380,6 +3466,7 @@ object ExtensionQueries {
     "q_privacy_risk" -> privacyRiskSql,
     "q_agg_incremental" -> aggIncrementalSql,
     "q_pseudonymize" -> pseudonymizeSql,
+    "q_cdc_compact" -> cdcCompactSql,
     "q_sample_split" -> sampleSplitSql,
     "q_sample_cap" -> sampleCapSql,
     "q_sample_stratified" -> sampleStratifiedSql,
@@ -3447,6 +3534,7 @@ object ExtensionQueries {
     "q_events_gapfill" -> eventsGapfillSql,
     "q_fuzzy_join" -> fuzzyPairsSql,
     "q_fuzzy_lookup" -> fuzzyLookupSql,
+    "q_fuzzy_jw" -> fuzzyJwSql,
     "q_refer_fuzzy" -> referFuzzySql,
     "q_entity_resolution" -> entityResolutionSql,
     "q_quality_calibrated" -> qualityCalibratedSql,

@@ -107,6 +107,67 @@ class ChecksSpec extends SparkSpec {
     assert(got == Map(1L -> "y"))
   }
 
+  test("jaroWinkler matches published reference values (codegen path)") {
+    val d = df("a STRING, b STRING",
+      Row("MARTHA", "MARHTA"), Row("DWAYNE", "DUANE"), Row("abc", "abc"),
+      Row("abc", "xyz"), Row("CRATE", "TRACE"), Row("a", ""),
+      Row("abcdxxxxxx", "abcdyyyyyy"), Row(null, "x"))
+    val got = d.select(
+      graft.functions.StringDistance.jaroWinkler(col("a"), col("b")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    // 0.9611..: the classic Winkler example; 0.6 not boosted (jaro <= 0.7)
+    assert(math.abs(got(0).asInstanceOf[Double] - 0.9611111111111111) < 1e-15)
+    assert(math.abs(got(1).asInstanceOf[Double] - 0.8400000000000001) < 1e-15)
+    assert(got(2) == 1.0 && got(3) == 0.0 && got(5) == 0.0)
+    assert(math.abs(got(4).asInstanceOf[Double] - 0.7333333333333334) < 1e-15)
+    assert(got(6) == 0.6)
+    assert(got(7) == null)
+  }
+
+  test("jaroWinkler floors odd transposition counts (the rapidfuzz/DuckDB variant)") {
+    // 'bcadacda'/'dcdbbaea': m=5, three mismatched flag positions ->
+    // t = 3/2 floored to 1 -> 0.68333…; the textbook half (1.5) would
+    // give 0.65. Pinning the variant keeps the oracle honest.
+    val v = graft.functions.StringDistance.jaroWinklerBytes(
+      "bcadacda".getBytes("UTF-8"), "dcdbbaea".getBytes("UTF-8"))
+    assert(math.abs(v - 0.6833333333333332) < 1e-15)
+  }
+
+  test("compactLog keeps the latest version per key and honors tombstones") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = df("k BIGINT, v STRING, ts TIMESTAMP, seq BIGINT, del BOOLEAN",
+      Row(1L, "a0", ts("2024-01-01 00:00:00"), 0L, false),
+      Row(1L, "a1", ts("2024-01-02 00:00:00"), 1L, false),
+      Row(2L, "b0", ts("2024-01-01 00:00:00"), 0L, false),
+      Row(2L, null, ts("2024-01-03 00:00:00"), 1L, true),  // deleted
+      Row(3L, "c0", ts("2024-01-01 00:00:00"), 0L, true),
+      Row(3L, "c1", ts("2024-01-01 00:00:00"), 1L, false), // same ts: seq wins
+      Row(4L, "d0", ts("2024-01-01 00:00:00"), 0L, false))
+    val got = Reconcile.compactLog(log, "k", "ts", "seq", Some("del"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // key 2 gone (latest is tombstone); key 3's resurrection (later
+    // seq at the same ts, not deleted) survives
+    assert(got == Map(1L -> "a1", 3L -> "c1", 4L -> "d0"))
+  }
+
+  test("compactLog is incrementally composable (LSM property)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val old = df("k BIGINT, v STRING, ts TIMESTAMP, seq BIGINT, del BOOLEAN",
+      Row(1L, "a0", ts("2024-01-01 00:00:00"), 0L, false),
+      Row(2L, "b0", ts("2024-01-01 00:00:00"), 0L, false))
+    val neu = df("k BIGINT, v STRING, ts TIMESTAMP, seq BIGINT, del BOOLEAN",
+      Row(1L, "a1", ts("2024-01-02 00:00:00"), 1L, false),
+      Row(2L, null, ts("2024-01-02 00:00:00"), 1L, true))
+    def canon(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // compact(old log ∪ new) == compact(compact(old) carried forward ∪ new)
+    val full = Reconcile.compactLog(old.unionByName(neu), "k", "ts", "seq", Some("del"))
+    val compactedOld = Reconcile.compactLog(old, "k", "ts", "seq", None)
+    val incremental = Reconcile.compactLog(
+      compactedOld.unionByName(neu), "k", "ts", "seq", Some("del"))
+    assert(canon(full) == canon(incremental))
+  }
+
   test("privacyRisk flags small and homogeneous QI cells") {
     val d = df("qi STRING, s STRING",
       Row("big", "a"), Row("big", "b"), Row("big", "c"),
