@@ -153,4 +153,66 @@ object Funnel {
           (col("n_a").cast("double") * col("n_b").cast("double")))
       .select("item_a", "item_b", "n_ab", "lift")
   }
+
+  /** Multi-touch conversion attribution: every non-conversion event
+    * (a "touch") is assigned to the user's NEXT conversion in strict
+    * (ts, id) order, then each conversion reports its first touch,
+    * last touch, and touch count — the first-touch/last-touch
+    * credit models in one pass. Touches after a user's final
+    * conversion attribute to nothing and drop; a conversion with no
+    * preceding touches since the previous conversion reports NULL
+    * types and 0 touches (organic). Assignment is windowed, so a
+    * touch is credited to exactly one conversion — unlike a
+    * time-bounded lookback join, double-credit is structurally
+    * impossible.
+    *
+    * Determinism: all ordering is (tsCol, idCol); conversion
+    * identity is its per-user ordinal (conv_no), so the result is
+    * replayable SQL both engines agree on bit-for-bit.
+    *
+    * Scale posture: one user-keyed shuffle drives everything — the
+    * conv-ordinal window, the next-conversion backward-min window
+    * (same sort, one WindowExec), the per-(user, conv_no) touch
+    * aggregate, and the final equi-join of conversions to their
+    * touch summary (both sides already user-partitioned). No event
+    * self-join, no global sort, no per-user history buffering. */
+  def attribution(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      conversionType: String): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val isConv = col(typeCol) === lit(conversionType)
+    val tagged = events
+      .withColumn("__conv_no",
+        when(isConv,
+          sum(when(isConv, 1L).otherwise(0L))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .withColumn("__next_conv",
+        min(col("__conv_no"))
+          .over(byUser.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    val touches = tagged
+      .filter(col("__conv_no").isNull && col("__next_conv").isNotNull)
+      .withColumn("__rn_a", row_number().over(
+        Window.partitionBy(col(userCol), col("__next_conv"))
+          .orderBy(col(tsCol).asc, col(idCol).asc)))
+      .withColumn("__rn_d", row_number().over(
+        Window.partitionBy(col(userCol), col("__next_conv"))
+          .orderBy(col(tsCol).desc, col(idCol).desc)))
+      .groupBy(col(userCol), col("__next_conv"))
+      .agg(
+        max(when(col("__rn_a") === 1, col(typeCol))).as("first_touch_type"),
+        max(when(col("__rn_d") === 1, col(typeCol))).as("last_touch_type"),
+        count(lit(1)).as("n_touches"))
+    tagged.filter(col("__conv_no").isNotNull)
+      .select(col(userCol), col("__conv_no"),
+        col(idCol).as("conv_" + idCol), col(tsCol).as("conv_" + tsCol))
+      .join(touches.withColumnRenamed("__next_conv", "__conv_no"),
+        Seq(userCol, "__conv_no"), "left")
+      .withColumn("n_touches", coalesce(col("n_touches"), lit(0L)))
+      .withColumnRenamed("__conv_no", "conv_no")
+  }
 }

@@ -41,4 +41,43 @@ object RangeJoin {
       .filter(col(pointColumn).between(col(loColumn), col(hiColumn)))
       .drop(bin)
   }
+
+  /** Interval-overlap join (closed intervals, `l.lo ≤ r.hi AND
+    * r.lo ≤ l.hi`) by the same binning construction: both sides
+    * explode to the fixed-width bins they span, the join runs as an
+    * equi join on (equi keys, bin), an exact overlap predicate
+    * removes bin-edge false positives, and each surviving pair is
+    * kept ONLY in the first bin the two intervals share
+    * (`max(floor(l.lo/w), floor(r.lo/w))`) — so a pair overlapping
+    * across many bins emits exactly once without any distinct pass.
+    * The naive formulation plans as BroadcastNestedLoopJoin,
+    * O(|L|·|R|) per key; this stays on the hash/sort-merge path.
+    *
+    * Column names must be disjoint between the two sides (alias
+    * upstream); bounds are numeric (timestamps: `unix_micros`).
+    * `binWidth` trades replication (span/binWidth + 1 rows per
+    * interval) against join selectivity — pick the typical span. */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      equiKeys: Seq[(String, String)],
+      leftLo: String,
+      leftHi: String,
+      rightLo: String,
+      rightHi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val bin = "__graft_bin"
+    val leftB = left.withColumn(bin,
+      explode(sequence(floor(col(leftLo) / binWidth), floor(col(leftHi) / binWidth))))
+    val rightB = right.withColumn(bin,
+      explode(sequence(floor(col(rightLo) / binWidth), floor(col(rightHi) / binWidth))))
+    val cond = (equiKeys.map { case (l, r) => leftB(l) === rightB(r) } :+
+      (leftB(bin) === rightB(bin))).reduce(_ && _)
+    leftB.join(rightB, cond, "inner")
+      .filter(col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi))
+      .filter(leftB(bin) ===
+        greatest(floor(col(leftLo) / binWidth), floor(col(rightLo) / binWidth)))
+      .drop(bin)
+  }
 }

@@ -69,4 +69,118 @@ object Resample {
     dense.withColumn(valueCol,
       last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /** [[gapFill]] for integer tick grids (hour numbers, day numbers,
+    * epoch buckets): every key carries every consecutive tick between
+    * its own min and max, absent ticks taking `fills`. Same plan
+    * shape as [[gapFill]] — per-key bounds aggregate, a
+    * `sequence(lo, hi)` Generate sized exactly like the output, one
+    * bucket-grained left join; the raw stream never reappears. */
+  def gapFillTicks(
+      df: DataFrame,
+      keyCol: String,
+      tickCol: String,
+      fills: Map[String, Any]): DataFrame = {
+    val bounds = df.groupBy(col(keyCol))
+      .agg(min(col(tickCol)).as("__mn"), max(col(tickCol)).as("__mx"))
+    val grid = bounds.select(col(keyCol),
+      explode(sequence(col("__mn"), col("__mx"))).as(tickCol))
+    val joined = grid.join(df, Seq(keyCol, tickCol), "left")
+    fills.foldLeft(joined) { case (acc, (c, v)) =>
+      acc.withColumn(c, coalesce(col(c), lit(v)))
+    }
+  }
+
+  /** Trailing exponentially-weighted moving average over a per-key
+    * tick series, in EXACT integer arithmetic: the smoothed value at
+    * tick t is Σⱼ xₜ₋ⱼ·dⁿʲ·dᵈ^(W−1−j) / Σⱼ dⁿʲ·dᵈ^(W−1−j) over the
+    * last `window` ticks (j = 0..W−1, decay ratio dⁿ/dᵈ — e.g. 3/4
+    * halves a sample's weight every ~2.4 ticks). The numerator and
+    * denominator are LONG sums of products of LONG weights — both
+    * emitted so the oracle replays them bit-for-bit; `ewma` itself is
+    * the one final divide of the two (identical IEEE division both
+    * engines). At a key's start the missing lags drop out of BOTH
+    * sums, so early ticks average what exists rather than phantom
+    * zeros — the same self-normalizing convention [[gapFill]]'s
+    * scaladoc warns naive rolling averages get wrong.
+    *
+    * Values are cast to LONG (counts, cents, micros — the engine's
+    * exact-arithmetic convention). Overflow bound: |value| ·
+    * decayDen^(window−1) · window must fit in a long; the weights
+    * themselves are required to fit with ≥ a 2¹⁶ value headroom.
+    *
+    * Scale posture: one hash shuffle on the key + one per-key sort
+    * window evaluating `window` lags in a single WindowExec pass —
+    * no self-joins, no global sort; cost is O(rows · window) local
+    * arithmetic. */
+  def ewmaSmooth(
+      df: DataFrame,
+      keyCol: String,
+      tickCol: String,
+      valueCol: String,
+      decayNum: Int,
+      decayDen: Int,
+      window: Int): DataFrame = {
+    require(decayNum > 0 && decayDen > decayNum,
+      s"decay ratio must be in (0,1): $decayNum/$decayDen")
+    require(window >= 1 && window <= 32, s"window in [1,32]: $window")
+    // weight_j = decayNum^j * decayDen^(window-1-j), largest at j=0.
+    val weights: Seq[Long] = (0 until window).map { j =>
+      val w = BigInt(decayNum).pow(j) * BigInt(decayDen).pow(window - 1 - j)
+      require(w.bitLength <= 46,
+        s"weights overflow: $decayNum/$decayDen at window=$window leaves " +
+          "under 2^16 headroom for values in the long numerator")
+      w.toLong
+    }
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tickCol))
+    val v = col(valueCol).cast("long")
+    val terms = weights.zipWithIndex.map { case (wj, j) =>
+      val lagged = if (j == 0) v else lag(v, j).over(byKey)
+      (when(lagged.isNotNull, lagged * lit(wj)).otherwise(lit(0L)),
+        when(lagged.isNotNull, lit(wj)).otherwise(lit(0L)))
+    }
+    df.withColumn("ewma_num", terms.map(_._1).reduce(_ + _))
+      .withColumn("ewma_den", terms.map(_._2).reduce(_ + _))
+      .withColumn("ewma",
+        col("ewma_num").cast("double") / col("ewma_den").cast("double"))
+  }
+
+  /** Sliding-window mean-shift changepoint score: at each tick,
+    * compare the `window` ticks strictly BEFORE against the `window`
+    * ticks strictly AFTER (the classic two-sample scan statistic —
+    * the discrete analogue of CUSUM that needs no running recurrence,
+    * so it stays one declarative window pass instead of a
+    * sequential fold). Only ticks with BOTH frames full are scored —
+    * a half-window at the series edge would alarm on its own
+    * asymmetry. `shift = sum_after − sum_before` is exact LONG
+    * arithmetic; `changepoint` flags |shift| ≥ `minShift` (a total
+    * mass delta over the window, i.e. mean shift × window).
+    *
+    * Scale posture: one key shuffle + one per-key sort window
+    * computing two ROWS-framed sums in the same WindowExec; no
+    * self-join of the series against itself (the naive changepoint
+    * scan is O(n²) per key — this is O(n)). */
+  def meanShiftScore(
+      df: DataFrame,
+      keyCol: String,
+      tickCol: String,
+      valueCol: String,
+      window: Int,
+      minShift: Long): DataFrame = {
+    require(window >= 1, s"window must be positive: $window")
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tickCol))
+    val before = byKey.rowsBetween(-window, -1)
+    val after = byKey.rowsBetween(1, window)
+    val v = col(valueCol).cast("long")
+    df.withColumn("sum_before", sum(v).over(before))
+      .withColumn("n_before", count(v).over(before))
+      .withColumn("sum_after", sum(v).over(after))
+      .withColumn("n_after", count(v).over(after))
+      .filter(col("n_before") === window && col("n_after") === window)
+      .withColumn("shift", col("sum_after") - col("sum_before"))
+      .withColumn("changepoint", abs(col("shift")) >= lit(minShift))
+      .drop("n_before", "n_after")
+  }
 }

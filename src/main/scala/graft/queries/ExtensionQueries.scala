@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
@@ -1047,6 +1048,87 @@ object ExtensionQueries {
       Map("n" -> 0L))
   }
 
+  /** Dense per-type hourly counts as integer ticks — the shared
+    * front half of the EWMA and changepoint queries
+    * ([[graft.operators.Resample.gapFillTicks]]). */
+  private def denseHourlyTicks(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .withColumn("tick", expr("unix_micros(ts) div 3600000000"))
+      .groupBy("event_type", "tick").agg(count(lit(1)).as("n"))
+    graft.operators.Resample.gapFillTicks(hourly, "event_type", "tick",
+      Map("n" -> 0L))
+  }
+
+  /** Exponentially-smoothed hourly ingest trend per event type
+    * ([[graft.operators.Resample.ewmaSmooth]], decay 3/4 over a
+    * 6-tick tail, on the gap-filled grid): integer numerator and
+    * denominator plus their one-divide smoothed value — the alert
+    * baseline that reacts to recent hours without the hard cliff a
+    * plain moving average has at its window edge. */
+  private val qEventsEwma: Q = (s, dir) =>
+    graft.operators.Resample.ewmaSmooth(
+      denseHourlyTicks(s, dir), "event_type", "tick", "n",
+      decayNum = 3, decayDen = 4, window = 6)
+
+  /** Sliding mean-shift changepoint scan over the same dense grid
+    * ([[graft.operators.Resample.meanShiftScore]], 24-tick frames):
+    * each interior hour compares the day before against the day
+    * after in exact integer mass; |shift| ≥ 25 flags the tail of the day-over-day swing distribution (~3% of interior hours at sf0.01 — both branches of the flag are exercised at every fixture scale).
+    * The two-sample scan form keeps changepoint detection one
+    * declarative window pass — no sequential CUSUM recurrence. */
+  private val qEventsChangepoint: Q = (s, dir) =>
+    graft.operators.Resample.meanShiftScore(
+      denseHourlyTicks(s, dir), "event_type", "tick", "n",
+      window = 24, minShift = 25L)
+
+  /** First/last-touch conversion attribution over the event log
+    * ([[graft.operators.Funnel.attribution]]): every purchase
+    * reports the first and last non-purchase event since the user's
+    * previous purchase, plus the touch count — windowed assignment,
+    * so each touch credits exactly one conversion. */
+  private val qEventsAttribution: Q = (s, dir) =>
+    graft.operators.Funnel.attribution(
+      events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id")),
+      "user_id", "event_type", "ts_us", "event_id", "purchase")
+
+  /** Interval-overlap join of browse sessions against transaction
+    * sessions ([[graft.operators.RangeJoin.intervalOverlap]]): each
+    * user's click/view activity runs (30-min inactivity gap, padded
+    * ±30 min to their inactivity envelope) paired with their
+    * purchase/signup runs that overlap in time — the binned
+    * construction, oracle-checked against DuckDB's naive inequality
+    * join, so the first-shared-bin dedup is continuously re-proven
+    * exact. */
+  private val qIntervalOverlap: Q = (s, dir) => {
+    def sessions(types: Seq[String], p: String): DataFrame = {
+      val w = Window.partitionBy(s"${p}u")
+        .orderBy(col(s"${p}t").asc, col(s"${p}id").asc)
+      events(s, dir).filter(col("event_type").isin(types: _*))
+        .select(col("user_id").as(s"${p}u"),
+          unix_micros(col("ts")).as(s"${p}t"), col("event_id").as(s"${p}id"))
+        .withColumn("__new",
+          when(lag(col(s"${p}t"), 1).over(w).isNull ||
+            col(s"${p}t") - lag(col(s"${p}t"), 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn(s"${p}seq", sum(col("__new"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(s"${p}u", s"${p}seq")
+        .agg((min(col(s"${p}t")) - 1800000000L).as(s"${p}lo"),
+          (max(col(s"${p}t")) + 1800000000L).as(s"${p}hi"))
+    }
+    graft.operators.RangeJoin.intervalOverlap(
+      sessions(Seq("click", "view"), "b"),
+      sessions(Seq("purchase", "signup"), "x"),
+      Seq("bu" -> "xu"), "blo", "bhi", "xlo", "xhi",
+      binWidth = 3600000000L)
+      .select(col("bu").as("user_id"), col("bseq").as("browse_seq"),
+        col("xseq").as("transact_seq"), col("blo"), col("bhi"),
+        col("xlo"), col("xhi"),
+        (least(col("bhi"), col("xhi")) - greatest(col("blo"), col("xlo")))
+          .as("overlap_us"))
+  }
+
   /** Small-file compaction plan over a fresh z-ordered twin's
     * manifest ([[graft.sources.Layout.compactionPlan]]): adjacent
     * files in min-doc_id order grouped into ~150-row merge runs. The
@@ -1387,7 +1469,11 @@ object ExtensionQueries {
     "q_text_perplexity" -> qTextPerplexity,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode,
-    "q_multimodal_audio" -> qMultimodalAudio)
+    "q_multimodal_audio" -> qMultimodalAudio,
+    "q_events_ewma" -> qEventsEwma,
+    "q_events_changepoint" -> qEventsChangepoint,
+    "q_events_attribution" -> qEventsAttribution,
+    "q_interval_overlap" -> qIntervalOverlap)
 
   // DuckDB mirrors of the SQL-expressible subset. RE2 notes: DuckDB
   // regexp_replace needs the 'g' flag for replace-all (Spark default);
@@ -2643,6 +2729,133 @@ object ExtensionQueries {
        |FROM grid g LEFT JOIN hourly hh
        |  ON g.event_type = hh.event_type AND g.h = hh.h""".stripMargin
 
+  /** Shared dense integer-tick hourly grid (mirrors
+    * [[denseHourlyTicks]]) — the front half of the EWMA and
+    * changepoint mirrors. */
+  private val denseTicksCte: String =
+    s"""c AS MATERIALIZED (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS tick, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT event_type, min(tick) AS mn, max(tick) AS mx FROM c GROUP BY 1),
+       |g AS (SELECT event_type, unnest(generate_series(mn, mx)) AS tick FROM b),
+       |d AS (SELECT g.event_type, g.tick, coalesce(c.n, 0) AS n
+       |      FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.tick = c.tick)""".stripMargin
+
+  /** Mirrors [[qEventsEwma]] (`Resample.ewmaSmooth`, decay 3/4,
+    * window 6): the same six integer weights 3^j·4^(5−j) =
+    * 1024/768/576/432/324/243 over explicit lags; missing lags drop
+    * out of both integer sums, and `ewma` is the identical single
+    * IEEE divide. */
+  private val eventsEwmaSql: String =
+    s"""WITH $denseTicksCte,
+       |l AS (SELECT event_type, tick, n,
+       |        lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2,
+       |        lag(n, 3) OVER w AS l3, lag(n, 4) OVER w AS l4,
+       |        lag(n, 5) OVER w AS l5
+       |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY tick))
+       |SELECT event_type, tick, n, ewma_num, ewma_den,
+       |  CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) AS ewma
+       |FROM (SELECT event_type, tick, n,
+       |  CAST(n * 1024 + coalesce(l1 * 768, 0) + coalesce(l2 * 576, 0)
+       |     + coalesce(l3 * 432, 0) + coalesce(l4 * 324, 0)
+       |     + coalesce(l5 * 243, 0) AS BIGINT) AS ewma_num,
+       |  CAST(1024 + CASE WHEN l1 IS NULL THEN 0 ELSE 768 END
+       |     + CASE WHEN l2 IS NULL THEN 0 ELSE 576 END
+       |     + CASE WHEN l3 IS NULL THEN 0 ELSE 432 END
+       |     + CASE WHEN l4 IS NULL THEN 0 ELSE 324 END
+       |     + CASE WHEN l5 IS NULL THEN 0 ELSE 243 END AS BIGINT) AS ewma_den
+       |  FROM l) s""".stripMargin
+
+  /** Mirrors [[qEventsChangepoint]] (`Resample.meanShiftScore`,
+    * 24-tick frames, minShift 25): two ROWS-framed window sums on
+    * the dense grid, scored only where both frames are full. */
+  private val eventsChangepointSql: String =
+    s"""WITH $denseTicksCte,
+       |s AS (SELECT event_type, tick, n,
+       |        CAST(sum(n) OVER wb AS BIGINT) AS sum_before,
+       |        count(n) OVER wb AS nb,
+       |        CAST(sum(n) OVER wa AS BIGINT) AS sum_after,
+       |        count(n) OVER wa AS na
+       |      FROM d
+       |      WINDOW wb AS (PARTITION BY event_type ORDER BY tick
+       |                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+       |             wa AS (PARTITION BY event_type ORDER BY tick
+       |                    ROWS BETWEEN 1 FOLLOWING AND 24 FOLLOWING))
+       |SELECT event_type, tick, n, sum_before, sum_after,
+       |  sum_after - sum_before AS shift,
+       |  abs(sum_after - sum_before) >= 25 AS changepoint
+       |FROM s WHERE nb = 24 AND na = 24""".stripMargin
+
+  /** Mirrors [[qEventsAttribution]] (`Funnel.attribution`,
+    * conversion = 'purchase'): per-user conversion ordinals, a
+    * backward-min window assigning each touch its next conversion,
+    * row_number picks for first/last touch, and a left join so
+    * organic conversions keep NULL touches and a 0 count. */
+  private val eventsAttributionSql: String =
+    s"""WITH o AS MATERIALIZED (
+       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+       |    CASE WHEN event_type = 'purchase' THEN
+       |      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    END AS conv_no
+       |  FROM events),
+       |nx AS (SELECT *, min(conv_no)
+       |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_conv
+       |       FROM o),
+       |t AS (SELECT user_id, next_conv, event_type, ts_us, event_id,
+       |        row_number() OVER (PARTITION BY user_id, next_conv
+       |                           ORDER BY ts_us, event_id) AS rn_a,
+       |        row_number() OVER (PARTITION BY user_id, next_conv
+       |                           ORDER BY ts_us DESC, event_id DESC) AS rn_d
+       |      FROM nx WHERE conv_no IS NULL AND next_conv IS NOT NULL),
+       |ta AS (SELECT user_id, next_conv AS conv_no,
+       |         max(CASE WHEN rn_a = 1 THEN event_type END) AS first_touch_type,
+       |         max(CASE WHEN rn_d = 1 THEN event_type END) AS last_touch_type,
+       |         count(*) AS n_touches
+       |       FROM t GROUP BY 1, 2)
+       |SELECT c.user_id, c.conv_no, c.event_id AS conv_event_id,
+       |  c.ts_us AS conv_ts_us, ta.first_touch_type, ta.last_touch_type,
+       |  coalesce(ta.n_touches, 0) AS n_touches
+       |FROM nx c LEFT JOIN ta
+       |  ON c.user_id = ta.user_id AND c.conv_no = ta.conv_no
+       |WHERE c.conv_no IS NOT NULL""".stripMargin
+
+  /** One padded gap-session CTE body for [[intervalOverlapSql]]. */
+  private def sessionCte(types: Seq[String]): String = {
+    val list = types.map(t => s"'$t'").mkString(", ")
+    s"""SELECT user_id, seq,
+       |    min(t) - 1800000000 AS lo, max(t) + 1800000000 AS hi
+       |  FROM (SELECT user_id, t, event_id,
+       |          CAST(sum(CASE WHEN prev IS NULL OR t - prev > 1800000000
+       |                        THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY user_id ORDER BY t, event_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS BIGINT) AS seq
+       |        FROM (SELECT user_id, epoch_us(ts) AS t, event_id,
+       |                lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |                  ORDER BY epoch_us(ts), event_id) AS prev
+       |              FROM events WHERE event_type IN ($list)) i) j
+       |  GROUP BY 1, 2""".stripMargin
+  }
+
+  /** The naive inequality ground truth for [[qIntervalOverlap]]:
+    * identical padded session intervals, then DuckDB's plain
+    * `b.lo <= x.hi AND x.lo <= b.hi` join — a hash match proves the
+    * binned equi-join plus first-shared-bin dedup is exactly the
+    * semantic overlap join. */
+  private val intervalOverlapSql: String =
+    s"""WITH bs AS MATERIALIZED (
+       |${sessionCte(Seq("click", "view"))}),
+       |xs AS MATERIALIZED (
+       |${sessionCte(Seq("purchase", "signup"))})
+       |SELECT b.user_id, b.seq AS browse_seq, x.seq AS transact_seq,
+       |  b.lo AS blo, b.hi AS bhi, x.lo AS xlo, x.hi AS xhi,
+       |  least(b.hi, x.hi) - greatest(b.lo, x.lo) AS overlap_us
+       |FROM bs b JOIN xs x
+       |  ON b.user_id = x.user_id AND b.lo <= x.hi AND x.lo <= b.hi""".stripMargin
+
   /** The quadratic ground truth for [[qFuzzyJoin]]: distinct
     * part-name domain (min-partkey ids), normalized char trigram
     * SETS, full pairwise intersection counts, exact Jaccard ≥ 0.25.
@@ -3532,6 +3745,10 @@ object ExtensionQueries {
     "q_layout_compaction" -> layoutCompactionSql,
     "q_layout_prune" -> layoutPruneSql,
     "q_events_gapfill" -> eventsGapfillSql,
+    "q_events_ewma" -> eventsEwmaSql,
+    "q_events_changepoint" -> eventsChangepointSql,
+    "q_events_attribution" -> eventsAttributionSql,
+    "q_interval_overlap" -> intervalOverlapSql,
     "q_fuzzy_join" -> fuzzyPairsSql,
     "q_fuzzy_lookup" -> fuzzyLookupSql,
     "q_fuzzy_jw" -> fuzzyJwSql,

@@ -900,6 +900,24 @@ class ExtensionSpec extends SparkSpec {
     assert(got == Map(1L -> 2L * 3600 * 1000000, 5L -> 23L * 3600 * 1000000))
   }
 
+  test("attribution: touches credit exactly one conversion; organic and orphan handled") {
+    val t = df("user_id BIGINT, event_type STRING, ts_us BIGINT, event_id BIGINT",
+      // u1: click, view -> purchase(3); click -> purchase(5); view orphan
+      Row(1L, "click", 1L, 1L), Row(1L, "view", 2L, 2L),
+      Row(1L, "purchase", 3L, 3L), Row(1L, "click", 4L, 4L),
+      Row(1L, "purchase", 5L, 5L), Row(1L, "view", 6L, 6L),
+      // u2: organic purchase, no touches
+      Row(2L, "purchase", 7L, 7L))
+    val got = graft.operators.Funnel.attribution(
+      t, "user_id", "event_type", "ts_us", "event_id", "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(4), r.getString(5), r.getLong(6))).toMap
+    assert(got == Map(
+      (1L, 1L) -> (3L, "click", "view", 2L),
+      (1L, 2L) -> (5L, "click", "click", 1L),
+      (2L, 1L) -> (7L, null, null, 0L)))
+  }
+
   test("cohortRetention: hand-computed triangle, distinct users per period, cohort by first event") {
     val D = 24L * 3600 * 1000 // ms per day; period = 2 days
     def ev(u: Long, day: Long) = Row(u, new java.sql.Timestamp(day * D))

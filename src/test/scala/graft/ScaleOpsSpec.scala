@@ -102,6 +102,43 @@ class ScaleOpsSpec extends SparkSpec {
     assert(truth.nonEmpty)
   }
 
+  test("binned interval-overlap join equals the cross-join truth; one row per pair") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(11)
+    def intervals(idBase: Int, prefix: String) =
+      df(s"${prefix}id BIGINT, ${prefix}k BIGINT, ${prefix}lo BIGINT, ${prefix}hi BIGINT",
+        (0 until 60).map { i =>
+          val lo = rnd.nextInt(1000).toLong
+          Row((idBase + i).toLong, (i % 3).toLong, lo, lo + rnd.nextInt(300).toLong)
+        }: _*)
+    val a = intervals(0, "a")
+    val b = intervals(1000, "b")
+    val truth = a.crossJoin(b)
+      .filter(col("ak") === col("bk") &&
+        col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val joined = RangeJoin.intervalOverlap(a, b, Seq("ak" -> "bk"),
+      "alo", "ahi", "blo", "bhi", binWidth = 64L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(joined.toSet == truth)
+    assert(joined.length == truth.size, "a pair spanning many bins must emit exactly once")
+    assert(truth.nonEmpty)
+  }
+
+  test("interval overlap is closed: touching endpoints join; disjoint do not") {
+    import graft.operators.RangeJoin
+    val a = df("aid BIGINT, ak BIGINT, alo BIGINT, ahi BIGINT",
+      Row(1L, 1L, 0L, 10L), Row(2L, 1L, 0L, 10L))
+    val b = df("bid BIGINT, bk BIGINT, blo BIGINT, bhi BIGINT",
+      Row(1L, 1L, 10L, 20L),  // touches aid=1/2 at 10
+      Row(2L, 1L, 11L, 20L),  // disjoint
+      Row(3L, 2L, 0L, 10L))   // key mismatch
+    val got = RangeJoin.intervalOverlap(a, b, Seq("ak" -> "bk"),
+      "alo", "ahi", "blo", "bhi", binWidth = 7L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L)))
+  }
+
   test("LSH bucket UDF path is bit-identical to the expression path; 32-plane smoke") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val planes8 = SimilarityFunctions.hyperplanes(8, 64, 42L)
