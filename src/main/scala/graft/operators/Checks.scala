@@ -142,6 +142,59 @@ object Checks {
         (col("violations") === 0L).as("passed"))
   }
 
+  /** Benford's-law expected first-digit shares, in permille (the
+    * rounded log10(1 + 1/d) table; sums to exactly 1000). */
+  private val benfordPermille = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+
+  /** First-digit distribution audit per group (Benford's law — the
+    * classic fabricated-amounts screen for naturally-growing
+    * magnitudes like invoice totals): for each (group, digit 1–9),
+    * the observed count against the Benford expectation, with the
+    * deviation kept EXACT as `dev_num = 1000·n_obs −
+    * n_total·expected_permille` (positive = over-represented) and a
+    * `suspicious` flag at |dev_num| > tolerancePermille·n_total
+    * (i.e. the digit's share is off by more than tolerance/1000).
+    * Digits a group never produced still appear with n_obs 0 — a
+    * missing leading digit is the strongest signal there is. Values
+    * must be positive integers (cents, counts); non-positive rows
+    * are excluded from both counts.
+    *
+    * All-integer arithmetic end to end, so the report replays
+    * bit-for-bit in SQL. Benford is a screen, not a verdict —
+    * legitimately bounded magnitudes (prices clustered in one
+    * decade) fail it honestly; the flag ranks where to look.
+    *
+    * Scale posture: one (group, digit)-keyed count plus one
+    * group-keyed count (both map-side partial, ≤ 9 rows per group
+    * out), a posexplode of a 9-literal array over the group totals,
+    * and a (group, digit) equi-join of two group-sized frames —
+    * corpus-sized work is the single scan. */
+  def benford(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tolerancePermille: Int = 15): DataFrame = {
+    require(tolerancePermille > 0,
+      s"tolerancePermille must be positive: $tolerancePermille")
+    val pos = df.filter(col(valueCol).cast("long") > 0)
+      .withColumn("digit",
+        substring(col(valueCol).cast("long").cast("string"), 1, 1).cast("int"))
+    val obs = pos.groupBy(col(groupCol), col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val grid = pos.groupBy(col(groupCol)).agg(count(lit(1)).as("n_total"))
+      .select(col(groupCol), col("n_total"),
+        posexplode(typedLit(benfordPermille)))
+      .withColumnRenamed("col", "expected_permille")
+      .withColumn("digit", (col("pos") + 1).cast("int"))
+      .drop("pos")
+    grid.join(obs, Seq(groupCol, "digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("dev_num",
+        lit(1000L) * col("n_obs") - col("n_total") * col("expected_permille"))
+      .withColumn("suspicious",
+        abs(col("dev_num")) > lit(tolerancePermille.toLong) * col("n_total"))
+  }
+
   /** Gate variant: throw (naming every failing check) unless the
     * whole report passes. */
   def assertPassed(report: DataFrame): Unit = {

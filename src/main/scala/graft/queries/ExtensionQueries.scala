@@ -1081,6 +1081,26 @@ object ExtensionQueries {
       denseHourlyTicks(s, dir), "event_type", "tick", "n",
       window = 24, minShift = 25L)
 
+  /** Per-type OLS trend of hourly ingest volume over the dense grid
+    * ([[graft.operators.Profile.linearTrend]]): slope and
+    * first-tick level from exact integer moments (emitted as
+    * num/den longs, so the fit itself is oracle-exact) — the
+    * capacity-planning line behind the EWMA's short-term baseline. */
+  private val qEventsTrend: Q = (s, dir) =>
+    graft.operators.Profile.linearTrend(
+      denseHourlyTicks(s, dir), "event_type", "tick", "n")
+
+  /** Benford first-digit audit of order totals per priority class
+    * ([[graft.operators.Checks.benford]] on exact cents): 9 digits ×
+    * each priority with observed counts, exact permille deviations,
+    * and the suspicious flag at 30 permille (a tolerance the fixture straddles: the top-heavy TPC-H price range over-represents digits 1-5 while 8 and 9 sit inside it, so both flag branches are exercised) — the fabricated-amounts screen as a
+    * data-quality surface. */
+  private val qQualityBenford: Q = (s, dir) =>
+    graft.operators.Checks.benford(
+      pq(s, dir, "orders").select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")),
+      "o_orderpriority", "cents", tolerancePermille = 30)
+
   /** First/last-touch conversion attribution over the event log
     * ([[graft.operators.Funnel.attribution]]): every purchase
     * reports the first and last non-purchase event since the user's
@@ -1473,7 +1493,9 @@ object ExtensionQueries {
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
-    "q_interval_overlap" -> qIntervalOverlap)
+    "q_interval_overlap" -> qIntervalOverlap,
+    "q_events_trend" -> qEventsTrend,
+    "q_quality_benford" -> qQualityBenford)
 
   // DuckDB mirrors of the SQL-expressible subset. RE2 notes: DuckDB
   // regexp_replace needs the 'g' flag for replace-all (Spark default);
@@ -2786,6 +2808,60 @@ object ExtensionQueries {
        |  abs(sum_after - sum_before) >= 25 AS changepoint
        |FROM s WHERE nb = 24 AND na = 24""".stripMargin
 
+  /** Mirrors [[qEventsTrend]] (`Profile.linearTrend` on the dense
+    * grid): x rebased per key by a window min, the five integer
+    * moments, closed-form num/den longs, and the same two single
+    * divides (NULL on a zero denominator). */
+  private val eventsTrendSql: String =
+    s"""WITH $denseTicksCte,
+       |r AS (SELECT event_type,
+       |        tick - min(tick) OVER (PARTITION BY event_type) AS x,
+       |        n AS y
+       |      FROM d),
+       |m AS (SELECT event_type, count(*) AS n,
+       |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |        CAST(sum(x * x) AS BIGINT) AS sxx,
+       |        CAST(sum(x * y) AS BIGINT) AS sxy
+       |      FROM r GROUP BY 1)
+       |SELECT event_type, n,
+       |  n * sxy - sx * sy AS slope_num,
+       |  n * sxx - sx * sx AS slope_den,
+       |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+       |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       |  END AS slope,
+       |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+       |    CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       |  END AS level0
+       |FROM m""".stripMargin
+
+  /** Mirrors [[qQualityBenford]] (`Checks.benford` on exact cents):
+    * same positive-cents filter, first digit off the BIGINT's
+    * decimal string, the permille table via unnest, zero-filled
+    * (group × digit) grid, and the all-integer deviation/flag. */
+  private val qualityBenfordSql: String =
+    s"""WITH pos AS MATERIALIZED (
+       |  SELECT o_orderpriority, CAST(left(CAST(cents AS VARCHAR), 1) AS INTEGER) AS digit
+       |  FROM (SELECT o_orderpriority,
+       |          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |        FROM orders) t
+       |  WHERE cents > 0),
+       |obs AS (SELECT o_orderpriority, digit, count(*) AS n_obs
+       |        FROM pos GROUP BY 1, 2),
+       |tot AS (SELECT o_orderpriority, count(*) AS n_total
+       |        FROM pos GROUP BY 1),
+       |e AS (SELECT unnest(range(1, 10)) AS digit,
+       |        unnest([301, 176, 125, 97, 79, 67, 58, 51, 46]) AS expected_permille),
+       |grid AS (SELECT t.o_orderpriority, t.n_total,
+       |           CAST(e.digit AS INTEGER) AS digit, e.expected_permille
+       |         FROM tot t CROSS JOIN e)
+       |SELECT g.o_orderpriority, g.digit, g.expected_permille,
+       |  coalesce(o.n_obs, 0) AS n_obs, g.n_total,
+       |  1000 * coalesce(o.n_obs, 0) - g.n_total * g.expected_permille AS dev_num,
+       |  abs(1000 * coalesce(o.n_obs, 0) - g.n_total * g.expected_permille)
+       |    > 30 * g.n_total AS suspicious
+       |FROM grid g LEFT JOIN obs o
+       |  ON g.o_orderpriority = o.o_orderpriority AND g.digit = o.digit""".stripMargin
+
   /** Mirrors [[qEventsAttribution]] (`Funnel.attribution`,
     * conversion = 'purchase'): per-user conversion ordinals, a
     * backward-min window assigning each touch its next conversion,
@@ -3749,6 +3825,8 @@ object ExtensionQueries {
     "q_events_changepoint" -> eventsChangepointSql,
     "q_events_attribution" -> eventsAttributionSql,
     "q_interval_overlap" -> intervalOverlapSql,
+    "q_events_trend" -> eventsTrendSql,
+    "q_quality_benford" -> qualityBenfordSql,
     "q_fuzzy_join" -> fuzzyPairsSql,
     "q_fuzzy_lookup" -> fuzzyLookupSql,
     "q_fuzzy_jw" -> fuzzyJwSql,

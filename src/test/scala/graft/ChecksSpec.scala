@@ -180,4 +180,34 @@ class ChecksSpec extends SparkSpec {
     assert(got("small") == ((1L, 1L, false, false)))
     assert(got("homog") == ((3L, 1L, true, false)))
   }
+
+  test("benford: zero-filled digit grid, exact deviations, non-positive rows excluded") {
+    val d = df("g STRING, v BIGINT",
+      Row("a", 1L), Row("a", 19L), Row("a", 123L), Row("a", 2000L),
+      Row("a", 999L), Row("a", -5L), Row("a", 0L))
+    val rows = Checks.benford(d, "g", "v", tolerancePermille = 15)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(4), r.getLong(2), r.getInt(3), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(rows.size == 9, "all nine digits appear even when unobserved")
+    // positives: 1, 19, 123, 2000, 999 -> digits 1,1,1,2,9; n_total = 5
+    assert(rows(1) == ((3L, 5L, 301, 3L * 1000 - 5L * 301, true)))
+    assert(rows(2) == ((1L, 5L, 176, 1L * 1000 - 5L * 176, true)))
+    assert(rows(9) == ((1L, 5L, 46, 1L * 1000 - 5L * 46, true)))
+    assert(rows(3) == ((0L, 5L, 125, -5L * 125, true)))
+  }
+
+  test("linearTrend: exact closed-form fit; degenerate keys report NULL slope") {
+    val d = df("k STRING, x BIGINT, y BIGINT",
+      Row("a", 10L, 1L), Row("a", 11L, 3L), Row("a", 12L, 5L),
+      Row("b", 5L, 7L))
+    val got = Profile.linearTrend(d, "k", "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 3L)                   // n
+    assert(a.getLong(2) == 12L && a.getLong(3) == 6L) // slope num/den
+    assert(a.getDouble(4) == 2.0 && a.getDouble(5) == 1.0) // slope, level0
+    val b = got("b")
+    assert(b.getLong(1) == 1L && b.getLong(3) == 0L)
+    assert(b.isNullAt(4) && b.isNullAt(5))
+  }
 }
