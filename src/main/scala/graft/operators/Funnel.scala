@@ -154,6 +154,47 @@ object Funnel {
       .select("item_a", "item_b", "n_ab", "lift")
   }
 
+  /** Common session paths: gap-sessionize each user's stream
+    * (`gapUs` inactivity split, (ts, id)-ordered), render each
+    * session as its ordered `typeCol` sequence joined with ">", and
+    * count sessions per distinct path, keeping paths seen at least
+    * `minCount` times — the "what do users actually do" table
+    * behind funnel design (funnels assert a path; this discovers
+    * them). Ordering inside a session is (tsCol, idCol), so the
+    * rendered string — and therefore the whole result — is
+    * deterministic and exactly SQL-replayable.
+    *
+    * Scale posture: one user-keyed shuffle (sessionization window +
+    * the per-session aggregate ride the same partitioning), then a
+    * path-keyed count whose map-side partials collapse the heavy
+    * hitters before the second, path-sized shuffle. Per-session
+    * state is one ordered type array, bounded by session length —
+    * nothing buffers a user's full history across sessions. */
+  def sessionPaths(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      gapUs: Long,
+      minCount: Long = 1L): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive: $gapUs")
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val prev = lag(col(tsCol), 1).over(byUser)
+    events
+      .withColumn("__new",
+        when(prev.isNull || col(tsCol) - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("__seq", sum(col("__new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("__seq"))
+      .agg(array_sort(collect_list(struct(
+        col(tsCol).as("t"), col(idCol).as("i"), col(typeCol).as("e")))).as("__arr"))
+      .select(concat_ws(">", expr("transform(__arr, x -> x.e)")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .filter(col("n_sessions") >= minCount)
+  }
+
   /** Multi-touch conversion attribution: every non-conversion event
     * (a "touch") is assigned to the user's NEXT conversion in strict
     * (ts, id) order, then each conversion reports its first touch,

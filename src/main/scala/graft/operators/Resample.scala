@@ -113,6 +113,24 @@ object Resample {
     * window evaluating `window` lags in a single WindowExec pass —
     * no self-joins, no global sort; cost is O(rows · window) local
     * arithmetic. */
+  /** The integer EWMA weight ladder shared by [[ewmaSmooth]] and the
+    * streaming twin (graft.streaming.StreamOps.ewmaStream):
+    * weight_j = decayNum^j · decayDen^(window−1−j), largest at j = 0
+    * (the current row). */
+  private[graft] def ewmaWeights(
+      decayNum: Int, decayDen: Int, window: Int): Seq[Long] = {
+    require(decayNum > 0 && decayDen > decayNum,
+      s"decay ratio must be in (0,1): $decayNum/$decayDen")
+    require(window >= 1 && window <= 32, s"window in [1,32]: $window")
+    (0 until window).map { j =>
+      val w = BigInt(decayNum).pow(j) * BigInt(decayDen).pow(window - 1 - j)
+      require(w.bitLength <= 46,
+        s"weights overflow: $decayNum/$decayDen at window=$window leaves " +
+          "under 2^16 headroom for values in the long numerator")
+      w.toLong
+    }
+  }
+
   def ewmaSmooth(
       df: DataFrame,
       keyCol: String,
@@ -121,17 +139,7 @@ object Resample {
       decayNum: Int,
       decayDen: Int,
       window: Int): DataFrame = {
-    require(decayNum > 0 && decayDen > decayNum,
-      s"decay ratio must be in (0,1): $decayNum/$decayDen")
-    require(window >= 1 && window <= 32, s"window in [1,32]: $window")
-    // weight_j = decayNum^j * decayDen^(window-1-j), largest at j=0.
-    val weights: Seq[Long] = (0 until window).map { j =>
-      val w = BigInt(decayNum).pow(j) * BigInt(decayDen).pow(window - 1 - j)
-      require(w.bitLength <= 46,
-        s"weights overflow: $decayNum/$decayDen at window=$window leaves " +
-          "under 2^16 headroom for values in the long numerator")
-      w.toLong
-    }
+    val weights = ewmaWeights(decayNum, decayDen, window)
     val byKey = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(tickCol))
     val v = col(valueCol).cast("long")

@@ -1112,6 +1112,18 @@ object ExtensionQueries {
         unix_micros(col("ts")).as("ts_us"), col("event_id")),
       "user_id", "event_type", "ts_us", "event_id", "purchase")
 
+  /** Discovered session paths over the event log
+    * ([[graft.operators.Funnel.sessionPaths]], 30-min gap): each
+    * session rendered as its ordered event-type sequence, counted
+    * per distinct path, paths seen ≥ 5 times — the empirical
+    * funnel-discovery table. */
+  private val qEventsPaths: Q = (s, dir) =>
+    graft.operators.Funnel.sessionPaths(
+      events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id")),
+      "user_id", "event_type", "ts_us", "event_id",
+      gapUs = 1800000000L, minCount = 5L)
+
   /** Interval-overlap join of browse sessions against transaction
     * sessions ([[graft.operators.RangeJoin.intervalOverlap]]): each
     * user's click/view activity runs (30-min inactivity gap, padded
@@ -1495,7 +1507,8 @@ object ExtensionQueries {
     "q_events_attribution" -> qEventsAttribution,
     "q_interval_overlap" -> qIntervalOverlap,
     "q_events_trend" -> qEventsTrend,
-    "q_quality_benford" -> qQualityBenford)
+    "q_quality_benford" -> qQualityBenford,
+    "q_events_paths" -> qEventsPaths)
 
   // DuckDB mirrors of the SQL-expressible subset. RE2 notes: DuckDB
   // regexp_replace needs the 'g' flag for replace-all (Spark default);
@@ -2898,6 +2911,28 @@ object ExtensionQueries {
        |  ON c.user_id = ta.user_id AND c.conv_no = ta.conv_no
        |WHERE c.conv_no IS NOT NULL""".stripMargin
 
+  /** Mirrors [[qEventsPaths]] (`Funnel.sessionPaths`, 30-min gap,
+    * minCount 5): the same gap sessionization, `string_agg` with the
+    * identical (t, id) ORDER BY, and the path-keyed HAVING count. */
+  private val eventsPathsSql: String =
+    s"""WITH o AS MATERIALIZED (
+       |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS prev
+       |  FROM events),
+       |s AS (SELECT user_id, event_type, t, event_id,
+       |    CAST(sum(CASE WHEN prev IS NULL OR t - prev > 1800000000
+       |                  THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY t, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS seq
+       |  FROM o),
+       |p AS (SELECT user_id, seq,
+       |        string_agg(event_type, '>' ORDER BY t, event_id) AS path
+       |      FROM s GROUP BY 1, 2)
+       |SELECT path, count(*) AS n_sessions
+       |FROM p GROUP BY 1 HAVING count(*) >= 5""".stripMargin
+
   /** One padded gap-session CTE body for [[intervalOverlapSql]]. */
   private def sessionCte(types: Seq[String]): String = {
     val list = types.map(t => s"'$t'").mkString(", ")
@@ -3827,6 +3862,7 @@ object ExtensionQueries {
     "q_interval_overlap" -> intervalOverlapSql,
     "q_events_trend" -> eventsTrendSql,
     "q_quality_benford" -> qualityBenfordSql,
+    "q_events_paths" -> eventsPathsSql,
     "q_fuzzy_join" -> fuzzyPairsSql,
     "q_fuzzy_lookup" -> fuzzyLookupSql,
     "q_fuzzy_jw" -> fuzzyJwSql,

@@ -238,7 +238,16 @@ object StreamOps {
     * inherent to session semantics (a session is a sequential walk of
     * one user's timeline), and un-saltable without changing what a
     * session means. Keys are users, so real skew is bounded by the
-    * busiest single user, not by corpus size. */
+    * busiest single user, not by corpus size.
+    *
+    * Streaming caveat: the ProcessingTimeTimeout idle-eviction here
+    * makes a STREAMING run re-trigger an empty micro-batch on every
+    * trigger interval (shouldRunAnotherBatch is unconditionally true
+    * under processing-time timeouts — see [[ewmaStream]]'s NoTimeout
+    * rationale); that is wasteful-but-correct for a real trigger
+    * interval and an infinite loop under processAllAvailable. In
+    * batch (the intended path) timeouts never fire and none of this
+    * applies. */
   def sessionize(events: Dataset[Event],
       gapMicros: Long = 30L * 60 * 1000 * 1000): Dataset[SessionAssign] = {
     import events.sparkSession.implicits._
@@ -349,6 +358,61 @@ object StreamOps {
             case None =>
               state.update(st2)
           }
+          out.iterator
+        })
+  }
+
+  final case class TickValue(key: String, tick: Long, value: Long)
+  final case class EwmaPoint(key: String, tick: Long, value: Long,
+      ewma_num: Long, ewma_den: Long, ewma: Double)
+
+  /** Streaming twin of [[graft.operators.Resample.ewmaSmooth]]: the
+    * same integer weight ladder (`Resample.ewmaWeights`) folded
+    * through per-key state instead of window lags — state is just
+    * the last `window − 1` (tick, value) pairs, newest first, so a
+    * key's smoothed series continues seamlessly across micro-batches
+    * without rescanning history. Rows inside a micro-batch sort by
+    * tick; ACROSS batches ticks must arrive non-decreasing per key
+    * (the processing-time contract, same as [[sessionize]] — feed it
+    * from an upstream windowed aggregate, which emits in watermark
+    * order). StreamingSpec proves 1-batch vs split-batch replay
+    * yields byte-identical output to the batch operator.
+    *
+    * Scale posture: state per key is `window − 1` long pairs —
+    * constant per key, no watermark horizon needed. Deliberately
+    * NoTimeout: a processing-time timeout would force Spark to run
+    * an empty micro-batch on EVERY trigger just in case a timeout
+    * fired (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    * unconditionally true under ProcessingTimeTimeout — the query
+    * never idles and processAllAvailable never returns). The cost is
+    * one tiny state row per key EVER seen — fine for bounded key
+    * domains (event types, sources); an unbounded-cardinality stream
+    * should sessionize its keys upstream instead. */
+  def ewmaStream(
+      ticks: Dataset[TickValue],
+      decayNum: Int,
+      decayDen: Int,
+      window: Int): Dataset[EwmaPoint] = {
+    import ticks.sparkSession.implicits._
+    val weights = graft.operators.Resample.ewmaWeights(decayNum, decayDen, window)
+    ticks
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[TickValue], state: GroupState[List[(Long, Long)]]) => {
+          var recent = state.getOption.getOrElse(Nil) // newest first, ≤ window-1
+          val out = it.toArray.sortBy(_.tick).map { tv =>
+            val tail = recent.take(window - 1)
+            var num = tv.value * weights.head
+            var den = weights.head
+            tail.zipWithIndex.foreach { case ((_, v), i) =>
+              num += v * weights(i + 1)
+              den += weights(i + 1)
+            }
+            recent = ((tv.tick, tv.value) :: recent).take(window - 1)
+            EwmaPoint(key, tv.tick, tv.value, num, den,
+              num.toDouble / den.toDouble)
+          }
+          state.update(recent)
           out.iterator
         })
   }

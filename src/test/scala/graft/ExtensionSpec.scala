@@ -918,6 +918,21 @@ class ExtensionSpec extends SparkSpec {
       (2L, 1L) -> (7L, null, null, 0L)))
   }
 
+  test("sessionPaths: gap-split ordered paths, counted and thresholded") {
+    val t = df("u BIGINT, e STRING, t BIGINT, id BIGINT",
+      Row(1L, "A", 1L, 1L), Row(1L, "B", 2L, 2L),   // session A>B
+      Row(1L, "A", 10000L, 3L),                      // gap -> session A
+      Row(2L, "A", 1L, 4L), Row(2L, "B", 2L, 5L))    // session A>B
+    val got = graft.operators.Funnel.sessionPaths(
+      t, "u", "e", "t", "id", gapUs = 100L, minCount = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A>B" -> 2L))
+    val all = graft.operators.Funnel.sessionPaths(
+      t, "u", "e", "t", "id", gapUs = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("A>B" -> 2L, "A" -> 1L))
+  }
+
   test("cohortRetention: hand-computed triangle, distinct users per period, cohort by first event") {
     val D = 24L * 3600 * 1000 // ms per day; period = 2 days
     def ev(u: Long, day: Long) = Row(u, new java.sql.Timestamp(day * D))

@@ -463,4 +463,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == batch.size)
     assert(streamed == batch)
   }
+
+  test("streaming EWMA across split micro-batches matches the batch window operator") {
+    import org.apache.spark.sql.Row
+    import graft.streaming.StreamOps.TickValue
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma").toString
+    val part1 = df("key STRING, tick BIGINT, value BIGINT",
+      Row("a", 1L, 5L), Row("a", 2L, 0L), Row("a", 3L, 9L),
+      Row("b", 1L, 2L))
+    val part2 = df("key STRING, tick BIGINT, value BIGINT",
+      Row("a", 4L, 7L), Row("a", 5L, 1L),
+      Row("b", 2L, 4L), Row("b", 3L, 6L))
+    part1.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(part1.schema).parquet(dir)
+    import spark.implicits._
+    val q = StreamOps.ewmaStream(stream.as[TickValue], 1, 2, 3)
+      .writeStream.format("memory").queryName("ewma_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()              // micro-batch 1
+      part2.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()              // micro-batch 2 continues the state
+      val streamed = spark.table("ewma_out")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      val batch = graft.operators.Resample.ewmaSmooth(
+        part1.unionByName(part2), "key", "tick", "value", 1, 2, 3)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      assert(streamed.size == 8)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
