@@ -519,6 +519,58 @@ object Profile {
         col("roll_sum").cast("double") / col("roll_n").cast("double"))
   }
 
+  /** Exact LOWER weighted median per group by rank selection — the
+    * robust center [[quantiles]]' interpolated percentile is not:
+    * rows sort (value, id) within their group, weights accumulate,
+    * and the selected row is the unique one whose cumulative weight
+    * first reaches half the group's total (2·cum ≥ total while
+    * 2·(cum − w) < total — all-integer, so the oracle replays the
+    * selection bit-for-bit; weights must be positive longs). With
+    * unit weights this is the exact lower median; with token/byte
+    * weights it answers "the document half the corpus MASS sits at
+    * or below" — the budget-relevant center for size-skewed corpora.
+    *
+    * Scale posture: one group-keyed shuffle; the ordered cumulative
+    * window and the group-total window share the same partitioning
+    * (one sort, one WindowExec); the crossing-row filter keeps one
+    * row per group. No global sort, no per-group collect. */
+  def weightedMedian(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String,
+      idCol: String): DataFrame = {
+    val ordered = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val w = col(weightCol).cast("long")
+    df.withColumn("__cum", sum(w).over(ordered))
+      .withColumn("__tot", sum(w).over(whole))
+      .filter(lit(2L) * col("__cum") >= col("__tot") &&
+        lit(2L) * (col("__cum") - w) < col("__tot"))
+      .select(col(groupCol), col(valueCol).as("median_value"),
+        col("__tot").as("total_weight"))
+  }
+
+  /** Deterministic mode per group: the most frequent `valueCol`,
+    * smallest value winning ties — one (group, value) count plus a
+    * per-group top-1 window over the counts (group-cardinality-sized
+    * input, never the corpus). */
+  def modeBy(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("n_mode"))
+    val top = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("n_mode").desc, col(valueCol).asc)
+    counts.withColumn("__rn", row_number().over(top))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col(valueCol).as("mode_value"), col("n_mode"))
+  }
+
   /** Per-group ordinary-least-squares trend line in EXACT integer
     * moments: for each key, fit y = slope·x' + level0 over the
     * key's points, where x' = x − min(x) within the key (slope is

@@ -1112,6 +1112,24 @@ object ExtensionQueries {
         unix_micros(col("ts")).as("ts_us"), col("event_id")),
       "user_id", "event_type", "ts_us", "event_id", "purchase")
 
+  /** Robust per-source center statistics
+    * ([[graft.operators.Profile.weightedMedian]] /
+    * [[graft.operators.Profile.modeBy]]): the exact lower median
+    * document length (rank selection, not interpolation), the
+    * character-MASS median (the length half the corpus's characters
+    * sit at or below — the budget-relevant center for size-skewed
+    * sources), and the modal language with deterministic ties. */
+  private val qProfileRobust: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    val med = graft.operators.Profile.weightedMedian(
+      docs.withColumn("one", lit(1L)), "source", "n_chars", "one", "doc_id")
+    val mass = graft.operators.Profile.weightedMedian(
+        docs, "source", "n_chars", "n_chars", "doc_id")
+      .select(col("source"), col("median_value").as("mass_median"))
+    val mode = graft.operators.Profile.modeBy(docs, "source", "lang")
+    med.join(mass, Seq("source")).join(mode, Seq("source"))
+  }
+
   /** Discovered session paths over the event log
     * ([[graft.operators.Funnel.sessionPaths]], 30-min gap): each
     * session rendered as its ordered event-type sequence, counted
@@ -1508,7 +1526,8 @@ object ExtensionQueries {
     "q_interval_overlap" -> qIntervalOverlap,
     "q_events_trend" -> qEventsTrend,
     "q_quality_benford" -> qQualityBenford,
-    "q_events_paths" -> qEventsPaths)
+    "q_events_paths" -> qEventsPaths,
+    "q_profile_robust" -> qProfileRobust)
 
   // DuckDB mirrors of the SQL-expressible subset. RE2 notes: DuckDB
   // regexp_replace needs the 'g' flag for replace-all (Spark default);
@@ -2911,6 +2930,41 @@ object ExtensionQueries {
        |  ON c.user_id = ta.user_id AND c.conv_no = ta.conv_no
        |WHERE c.conv_no IS NOT NULL""".stripMargin
 
+  /** Mirrors [[qProfileRobust]] (`Profile.weightedMedian` ×2 +
+    * `Profile.modeBy`): the same all-integer crossing-row selection
+    * for both medians (unit weights and character-mass weights, ties
+    * on doc_id) and the count/row_number mode with the identical
+    * (n DESC, lang) tie-break. */
+  private val profileRobustSql: String =
+    s"""WITH r1 AS (
+       |  SELECT source, n_chars,
+       |    CAST(sum(1) OVER w AS BIGINT) AS cum,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS tot
+       |  FROM documents
+       |  WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |med AS (SELECT source, n_chars AS median_value, tot AS total_weight
+       |        FROM r1 WHERE 2 * cum >= tot AND 2 * (cum - 1) < tot),
+       |r2 AS (
+       |  SELECT source, n_chars,
+       |    CAST(sum(n_chars) OVER w AS BIGINT) AS cum,
+       |    CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS tot
+       |  FROM documents
+       |  WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |mass AS (SELECT source, n_chars AS mass_median
+       |         FROM r2 WHERE 2 * cum >= tot AND 2 * (cum - n_chars) < tot),
+       |counts AS (SELECT source, lang, count(*) AS n_mode
+       |           FROM documents GROUP BY 1, 2),
+       |md AS (SELECT source, lang AS mode_value, n_mode FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY source
+       |                     ORDER BY n_mode DESC, lang) AS rn
+       |         FROM counts) t WHERE rn = 1)
+       |SELECT m.source, m.median_value, m.total_weight,
+       |  s2.mass_median, md.mode_value, md.n_mode
+       |FROM med m JOIN mass s2 ON m.source = s2.source
+       |JOIN md ON m.source = md.source""".stripMargin
+
   /** Mirrors [[qEventsPaths]] (`Funnel.sessionPaths`, 30-min gap,
     * minCount 5): the same gap sessionization, `string_agg` with the
     * identical (t, id) ORDER BY, and the path-keyed HAVING count. */
@@ -3863,6 +3917,7 @@ object ExtensionQueries {
     "q_events_trend" -> eventsTrendSql,
     "q_quality_benford" -> qualityBenfordSql,
     "q_events_paths" -> eventsPathsSql,
+    "q_profile_robust" -> profileRobustSql,
     "q_fuzzy_join" -> fuzzyPairsSql,
     "q_fuzzy_lookup" -> fuzzyLookupSql,
     "q_fuzzy_jw" -> fuzzyJwSql,

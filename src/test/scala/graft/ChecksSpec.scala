@@ -196,6 +196,26 @@ class ChecksSpec extends SparkSpec {
     assert(rows(3) == ((0L, 5L, 125, -5L * 125, true)))
   }
 
+  test("weightedMedian: lower median on even mass, heavy weights pull the pick") {
+    val d = df("g STRING, id BIGINT, v BIGINT, w BIGINT",
+      Row("odd", 1L, 1L, 1L), Row("odd", 2L, 2L, 1L), Row("odd", 3L, 3L, 1L),
+      Row("even", 1L, 1L, 1L), Row("even", 2L, 2L, 1L),
+      Row("heavy", 1L, 1L, 10L), Row("heavy", 2L, 5L, 1L))
+    val got = Profile.weightedMedian(d, "g", "v", "w", "id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("odd" -> ((2L, 3L)), "even" -> ((1L, 2L)),
+      "heavy" -> ((1L, 11L))))
+  }
+
+  test("modeBy: most frequent value, smallest value wins ties") {
+    val d = df("g STRING, v STRING",
+      Row("a", "x"), Row("a", "x"), Row("a", "y"),
+      Row("b", "z"), Row("b", "y"))
+    val got = Profile.modeBy(d, "g", "v")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> (("x", 2L)), "b" -> (("y", 1L))))
+  }
+
   test("linearTrend: exact closed-form fit; degenerate keys report NULL slope") {
     val d = df("k STRING, x BIGINT, y BIGINT",
       Row("a", 10L, 1L), Row("a", 11L, 3L), Row("a", 12L, 5L),

@@ -451,4 +451,31 @@ object PropertySpec extends Properties("graft") {
         distinct.forall(b => java.lang.Long.bitCount(b ^ base) <= h) &&
         distinct.contains(base)
     }
+
+  property("weightedMedian selects the exact half-mass crossing element") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(1L, 9L)))
+    ) { (rows0) =>
+      val rows = rows0.zipWithIndex.map { case ((v, w), i) => (i.toLong, v, w) }
+      val d = mkDf("id BIGINT, v BIGINT, w BIGINT",
+        rows.map { case (i, v, w) => Row(i, v, w) })
+      val got = graft.operators.Profile
+        .weightedMedian(d.withColumn("g", lit("x")), "g", "v", "w", "id")
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      // reference: sort by (v, id), walk cumulative weight to the crossing
+      val tot = rows.map(_._3).sum
+      val sorted = rows.sortBy(t => (t._2, t._1))
+      var cum = 0L
+      val expect = sorted.find { case (_, _, w) => cum += w; 2 * cum >= tot }.get._2
+      got.toSeq == Seq((expect, tot))
+    }
+
+  property("ewmaSmooth of a constant series is exactly that constant") =
+    Prop.forAll(Gen.chooseNum(-1000L, 1000L), Gen.chooseNum(1, 20)) { (c, len) =>
+      val d = mkDf("k STRING, t BIGINT, v BIGINT",
+        (1 to len).map(i => Row("a", i.toLong, c)))
+      val out = graft.operators.Resample.ewmaSmooth(d, "k", "t", "v", 3, 4, 6)
+        .select("ewma_num", "ewma_den").collect()
+      out.forall(r => r.getLong(0) == c * r.getLong(1))
+    }
 }
