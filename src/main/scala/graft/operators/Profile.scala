@@ -553,6 +553,84 @@ object Profile {
         col("__tot").as("total_weight"))
   }
 
+  /** Gini concentration index per group over a non-negative numeric
+    * column — "how unevenly is the mass distributed" (0 = every row
+    * equal, →1 = one row holds everything): the corpus-concentration
+    * stat that flags a source where one document carries most of the
+    * characters, or a mixture where one domain dominates the token
+    * budget. Computed by the rank formula G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx)
+    * / (n·Σx) with i the ascending value rank — Σi·x is invariant
+    * under tie order (equal x across any permutation of their ranks
+    * sums identically), so no tie-break column is needed and the
+    * integer numerator/denominator replay exactly; `gini` is the one
+    * final divide, NULL when the group's mass is zero.
+    *
+    * Scale posture: one group-keyed shuffle; the rank window and the
+    * moment aggregate share the partitioning (one sort pass); two
+    * long moments per group. */
+  def giniIndex(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val byVal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+    val v = col(valueCol).cast("long")
+    df.withColumn("__i", row_number().over(byVal))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(v).as("__s"),
+        sum(col("__i") * v).as("__t"))
+      .withColumn("gini_num",
+        lit(2L) * col("__t") - (col("n") + 1L) * col("__s"))
+      .withColumn("gini_den", col("n") * col("__s"))
+      .withColumn("gini",
+        when(col("gini_den") =!= 0L,
+          col("gini_num").cast("double") / col("gini_den").cast("double")))
+      .drop("__s", "__t")
+  }
+
+  /** Quantile mapping (histogram equalization) of every group's
+    * values onto ONE reference group's distribution: a row at
+    * ascending rank r of its nₐ-row group maps to the reference
+    * value at rank ⌊(r−1)·(n_ref−1) / max(nₐ−1, 1)⌋ + 1 — the exact
+    * rank-arithmetic analogue of interpolation-free quantile
+    * matching, so "the 90th-percentile doc of src7" gets the value
+    * the 90th-percentile doc of the reference has. The cross-source
+    * score-calibration step a mixed corpus needs before one global
+    * threshold can mean the same thing everywhere; all-integer rank
+    * math, deterministic ties on `idCol`, single-row groups map to
+    * the reference minimum (documented corner of the formula).
+    *
+    * Scale posture: one group-keyed rank window over the corpus; the
+    * reference group's size arrives as one driver scalar (the
+    * histogram scalar-collect pattern — never a 1-row cross join,
+    * which would plan a nested-loop join); the reference side is ONE
+    * group ranked the same way and joined by the computed rank —
+    * group-sized, broadcast. No corpus self-join. The rank division
+    * is integer `div` end to end. */
+  def quantileMap(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      refGroup: String): DataFrame = {
+    val byVal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).asc, col(idCol).asc)
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val ranked = df
+      .withColumn("__r", row_number().over(byVal).cast("long"))
+      .withColumn("__n", count(lit(1)).over(whole))
+    val ref = ranked.filter(col(groupCol) === lit(refGroup))
+      .select(col("__r").as("__ref_r"), col(valueCol).as("mapped_value"))
+    val refN = ref.count() // driver scalar: one group's row count
+    require(refN > 0, s"reference group '$refGroup' is empty")
+    ranked
+      .withColumn("__target",
+        expr(s"(__r - 1) * ${refN - 1} div greatest(__n - 1, 1)") + lit(1L))
+      .join(broadcast(ref), col("__target") === col("__ref_r"))
+      .select(col(groupCol), col(idCol), col(valueCol), col("mapped_value"))
+  }
+
   /** Deterministic mode per group: the most frequent `valueCol`,
     * smallest value winning ties — one (group, value) count plus a
     * per-group top-1 window over the counts (group-cardinality-sized

@@ -1130,6 +1130,26 @@ object ExtensionQueries {
     med.join(mass, Seq("source")).join(mode, Seq("source"))
   }
 
+  /** Per-source Gini concentration of character mass
+    * ([[graft.operators.Profile.giniIndex]]): how unevenly each
+    * source's characters spread over its documents — the
+    * budget-domination screen for a training mixture, exact integer
+    * moments plus the one final divide. */
+  private val qProfileGini: Q = (s, dir) =>
+    graft.operators.Profile.giniIndex(
+      pq(s, dir, "documents"), "source", "n_chars")
+
+  /** Cross-source quantile mapping of document length onto src0's
+    * distribution ([[graft.operators.Profile.quantileMap]]): every
+    * document's length re-expressed as the equally-ranked length in
+    * the reference source — interpolation-free histogram
+    * equalization, the calibration every mixed-corpus threshold
+    * implicitly assumes. */
+  private val qQualityQuantileMap: Q = (s, dir) =>
+    graft.operators.Profile.quantileMap(
+      pq(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      "source", "n_chars", "doc_id", refGroup = "src0")
+
   /** Discovered session paths over the event log
     * ([[graft.operators.Funnel.sessionPaths]], 30-min gap): each
     * session rendered as its ordered event-type sequence, counted
@@ -1527,7 +1547,9 @@ object ExtensionQueries {
     "q_events_trend" -> qEventsTrend,
     "q_quality_benford" -> qQualityBenford,
     "q_events_paths" -> qEventsPaths,
-    "q_profile_robust" -> qProfileRobust)
+    "q_profile_robust" -> qProfileRobust,
+    "q_profile_gini" -> qProfileGini,
+    "q_quality_quantile_map" -> qQualityQuantileMap)
 
   // DuckDB mirrors of the SQL-expressible subset. RE2 notes: DuckDB
   // regexp_replace needs the 'g' flag for replace-all (Spark default);
@@ -2930,6 +2952,47 @@ object ExtensionQueries {
        |  ON c.user_id = ta.user_id AND c.conv_no = ta.conv_no
        |WHERE c.conv_no IS NOT NULL""".stripMargin
 
+  /** Mirrors [[qProfileGini]] (`Profile.giniIndex`): the same rank
+    * formula on integer moments; row_number ties need no break
+    * (Σi·x is tie-order invariant). */
+  private val profileGiniSql: String =
+    s"""WITH r AS (
+       |  SELECT source, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i
+       |  FROM documents),
+       |m AS (SELECT source, count(*) AS n,
+       |        CAST(sum(n_chars) AS BIGINT) AS s,
+       |        CAST(sum(i * n_chars) AS BIGINT) AS t
+       |      FROM r GROUP BY 1)
+       |SELECT source, n,
+       |  2 * t - (n + 1) * s AS gini_num,
+       |  n * s AS gini_den,
+       |  CASE WHEN n * s <> 0 THEN
+       |    CAST(2 * t - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE)
+       |  END AS gini
+       |FROM m""".stripMargin
+
+  /** Mirrors [[qQualityQuantileMap]] (`Profile.quantileMap` onto
+    * src0): identical (value, id)-ranked rows, the same integer
+    * `//` target-rank arithmetic against the reference group's
+    * count, and the rank equi-join for the mapped value. */
+  private val qualityQuantileMapSql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM documents),
+       |ref AS (SELECT r AS ref_r, n_chars AS mapped_value
+       |        FROM ranked WHERE source = 'src0'),
+       |rn AS (SELECT CAST(count(*) AS BIGINT) AS ref_n FROM ref)
+       |SELECT k.source, k.doc_id, k.n_chars, ref.mapped_value
+       |FROM (SELECT ranked.*,
+       |        (r - 1) * ((SELECT ref_n FROM rn) - 1)
+       |          // greatest(n - 1, 1) + 1 AS target
+       |      FROM ranked) k
+       |JOIN ref ON k.target = ref.ref_r""".stripMargin
+
   /** Mirrors [[qProfileRobust]] (`Profile.weightedMedian` ×2 +
     * `Profile.modeBy`): the same all-integer crossing-row selection
     * for both medians (unit weights and character-mass weights, ties
@@ -3918,6 +3981,8 @@ object ExtensionQueries {
     "q_quality_benford" -> qualityBenfordSql,
     "q_events_paths" -> eventsPathsSql,
     "q_profile_robust" -> profileRobustSql,
+    "q_profile_gini" -> profileGiniSql,
+    "q_quality_quantile_map" -> qualityQuantileMapSql,
     "q_fuzzy_join" -> fuzzyPairsSql,
     "q_fuzzy_lookup" -> fuzzyLookupSql,
     "q_fuzzy_jw" -> fuzzyJwSql,

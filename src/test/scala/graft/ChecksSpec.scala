@@ -216,6 +216,30 @@ class ChecksSpec extends SparkSpec {
     assert(got == Map("a" -> (("x", 2L)), "b" -> (("y", 1L))))
   }
 
+  test("giniIndex: 0 for equal mass, (n-1)/n for one-holds-all") {
+    val d = df("g STRING, v BIGINT",
+      Row("eq", 5L), Row("eq", 5L), Row("eq", 5L),
+      Row("one", 0L), Row("one", 0L), Row("one", 10L),
+      Row("zero", 0L))
+    val got = Profile.giniIndex(d, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got("eq") == ((0L, 45L, Some(0.0))))
+    assert(got("one") == ((20L, 30L, Some(2.0 / 3.0))))
+    assert(got("zero") == ((0L, 0L, None)))
+  }
+
+  test("quantileMap: rank-exact equalization; reference maps to itself; singleton to ref min") {
+    val d = df("g STRING, id BIGINT, v BIGINT",
+      Row("R", 1L, 10L), Row("R", 2L, 20L), Row("R", 3L, 30L), Row("R", 4L, 40L),
+      Row("A", 5L, 5L), Row("A", 6L, 7L),
+      Row("S", 7L, 99L))
+    val got = Profile.quantileMap(d, "g", "v", "id", "R")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L,
+      5L -> 10L, 6L -> 40L, 7L -> 10L))
+  }
+
   test("linearTrend: exact closed-form fit; degenerate keys report NULL slope") {
     val d = df("k STRING, x BIGINT, y BIGINT",
       Row("a", 10L, 1L), Row("a", 11L, 3L), Row("a", 12L, 5L),
