@@ -142,6 +142,42 @@ object Checks {
         (col("violations") === 0L).as("passed"))
   }
 
+  /** Functional-dependency audit lhs → rhs: a report row (same shape
+    * as [[foreignKey]]) counting the lhs groups that map to MORE
+    * than one distinct rhs value — the schema-discovery probe behind
+    * "is this column determined by that key?" (a clean FD means rhs
+    * can live in a dimension keyed by lhs; violations enumerate the
+    * denormalization drift). NULL rhs counts as a value of its own
+    * (a group with {x, NULL} genuinely does not determine rhs).
+    *
+    * Scale posture: one (lhs, rhs)-distinct aggregate collapses the
+    * corpus to the dependency's own cardinality, then an lhs-keyed
+    * count — both map-side partial; nothing scales past the scan. */
+  def functionalDependency(
+      df: DataFrame,
+      lhs: Seq[String],
+      rhs: String,
+      name: String = ""): DataFrame = {
+    require(lhs.nonEmpty, "functionalDependency needs lhs columns")
+    val checkName =
+      if (name.nonEmpty) name else s"fd(${lhs.mkString(",")} -> $rhs)"
+    val pairs = df
+      .select((lhs.map(col) :+ col(rhs)): _*).distinct()
+    val perLhs = pairs.groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("__n_rhs"))
+    perLhs.agg(
+      count(lit(1)).as("__groups"),
+      coalesce(sum(when(col("__n_rhs") > 1L, 1L).otherwise(0L)), lit(0L))
+        .as("violations"))
+      .select(
+        lit(checkName).as("check_name"),
+        lit("functional_dependency").as("kind"),
+        lit((lhs :+ rhs).mkString(",")).as("col_name"),
+        col("violations"),
+        col("__groups").as("total_rows"),
+        (col("violations") === 0L).as("passed"))
+  }
+
   /** Benford's-law expected first-digit shares, in permille (the
     * rounded log10(1 + 1/d) table; sums to exactly 1000). */
   private val benfordPermille = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)

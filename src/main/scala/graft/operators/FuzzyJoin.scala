@@ -228,4 +228,37 @@ object FuzzyJoin {
     Dedup.release(comps)
     out
   }
+
+  /** Golden-record survivorship — the entity-resolution endgame:
+    * one master row per cluster where EACH field independently takes
+    * the value of the cluster's latest row (by `(orderCol, idCol)`)
+    * that has that field NON-NULL. This is the standard MDM merge
+    * rule ("most recent known value per attribute"), and it differs
+    * from plain arg-max precisely when records are partially filled:
+    * a newer row with a NULL phone must not erase the older known
+    * phone. Computed as one hash aggregate of
+    * `max(IF(f IS NOT NULL, struct(order, id, f)))` per field —
+    * lexicographic struct max, decided entirely by the unique
+    * (order, id) prefix, so the SQL mirror replays it exactly.
+    * `n_members` counts the merged rows. A field NULL in every
+    * member stays NULL.
+    *
+    * Scale posture: ONE cluster-keyed hash aggregate with map-side
+    * partials (one small struct per field per live group) — no
+    * window, no sort, no per-cluster collect; composes directly with
+    * [[resolveEntities]] output joined onto the source rows. */
+  def goldenRecord(
+      df: DataFrame,
+      clusterCol: String,
+      orderCol: String,
+      idCol: String,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "goldenRecord needs at least one field")
+    val aggs = fields.map { f =>
+      max(when(col(f).isNotNull,
+        struct(col(orderCol).as("o"), col(idCol).as("i"), col(f).as("v"))))
+        .getField("v").as(f)
+    } :+ count(lit(1)).as("n_members")
+    df.groupBy(col(clusterCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -1130,6 +1130,37 @@ object ExtensionQueries {
     med.join(mass, Seq("source")).join(mode, Seq("source"))
   }
 
+  /** Golden-record survivorship per customer over the order log
+    * ([[graft.operators.FuzzyJoin.goldenRecord]]): each field takes
+    * the customer's latest NON-NULL value independently — status and
+    * priority are deterministically nulled on modular orderkey bands so
+    * the per-field independence actually bites (a newer row with a
+    * NULL priority must not erase the older known one). */
+  private val qGoldenRecord: Q = (s, dir) =>
+    graft.operators.FuzzyJoin.goldenRecord(
+      pq(s, dir, "orders").select(
+        col("o_custkey"),
+        unix_date(col("o_orderdate").cast("date")).as("o_day"),
+        col("o_orderkey"),
+        when(col("o_orderkey") % 3 =!= 0, col("o_orderstatus")).as("status"),
+        when(col("o_orderkey") % 5 =!= 0, col("o_orderpriority")).as("priority"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents")),
+      "o_custkey", "o_day", "o_orderkey",
+      Seq("status", "priority", "price_cents"))
+
+  /** Functional-dependency audit over orders
+    * ([[graft.operators.Checks.functionalDependency]]): the key FD
+    * o_orderkey → o_custkey (holds — 0 violations) beside the
+    * deliberately false o_custkey → o_orderstatus (every multi-order
+    * customer with mixed statuses violates) — both flag branches of
+    * the report in one frame. */
+  private val qCheckFd: Q = (s, dir) => {
+    val o = pq(s, dir, "orders")
+    graft.operators.Checks.functionalDependency(o, Seq("o_orderkey"), "o_custkey")
+      .unionByName(graft.operators.Checks.functionalDependency(
+        o, Seq("o_custkey"), "o_orderstatus"))
+  }
+
   /** Per-source Gini concentration of character mass
     * ([[graft.operators.Profile.giniIndex]]): how unevenly each
     * source's characters spread over its documents — the
@@ -1549,7 +1580,9 @@ object ExtensionQueries {
     "q_events_paths" -> qEventsPaths,
     "q_profile_robust" -> qProfileRobust,
     "q_profile_gini" -> qProfileGini,
-    "q_quality_quantile_map" -> qQualityQuantileMap)
+    "q_quality_quantile_map" -> qQualityQuantileMap,
+    "q_golden_record" -> qGoldenRecord,
+    "q_check_fd" -> qCheckFd)
 
   // DuckDB mirrors of the SQL-expressible subset. RE2 notes: DuckDB
   // regexp_replace needs the 'g' flag for replace-all (Spark default);
@@ -2952,6 +2985,48 @@ object ExtensionQueries {
        |  ON c.user_id = ta.user_id AND c.conv_no = ta.conv_no
        |WHERE c.conv_no IS NOT NULL""".stripMargin
 
+  /** Mirrors [[qGoldenRecord]] (`FuzzyJoin.goldenRecord`): the same
+    * per-field `max(CASE WHEN f IS NOT NULL THEN {order,id,f} END)`
+    * lexicographic struct aggregate — the unique (o_day, o_orderkey)
+    * prefix decides every comparison, so the two engines agree
+    * field-for-field. */
+  private val goldenRecordSql: String = {
+    def pick(f: String) =
+      s"(max(CASE WHEN $f IS NOT NULL THEN {'o': o_day, 'i': o_orderkey, 'v': $f} END)).v AS $f"
+    s"""WITH src AS MATERIALIZED (
+       |  SELECT o_custkey,
+       |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS o_day,
+       |    o_orderkey,
+       |    CASE WHEN o_orderkey % 3 <> 0 THEN o_orderstatus END AS status,
+       |    CASE WHEN o_orderkey % 5 <> 0 THEN o_orderpriority END AS priority,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+       |  FROM orders)
+       |SELECT o_custkey,
+       |  ${pick("status")},
+       |  ${pick("priority")},
+       |  ${pick("price_cents")},
+       |  count(*) AS n_members
+       |FROM src GROUP BY 1""".stripMargin
+  }
+
+  /** Mirrors [[qCheckFd]] (`Checks.functionalDependency` ×2): the
+    * distinct-pair collapse, per-lhs rhs counts, and the same report
+    * shape for the holding and the violated dependency. */
+  private val checkFdSql: String = {
+    def fd(lhs: String, rhs: String) =
+      s"""SELECT 'fd($lhs -> $rhs)' AS check_name,
+         |  'functional_dependency' AS kind,
+         |  '$lhs,$rhs' AS col_name,
+         |  CAST(coalesce(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS violations,
+         |  CAST(count(*) AS BIGINT) AS total_rows,
+         |  coalesce(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END), 0) = 0 AS passed
+         |FROM (SELECT $lhs, count(*) AS n_rhs
+         |      FROM (SELECT DISTINCT $lhs, $rhs FROM orders) p
+         |      GROUP BY 1) g""".stripMargin
+    s"${fd("o_orderkey", "o_custkey")}\nUNION ALL\n${fd("o_custkey", "o_orderstatus")}"
+  }
+
   /** Mirrors [[qProfileGini]] (`Profile.giniIndex`): the same rank
     * formula on integer moments; row_number ties need no break
     * (Σi·x is tie-order invariant). */
@@ -3983,6 +4058,8 @@ object ExtensionQueries {
     "q_profile_robust" -> profileRobustSql,
     "q_profile_gini" -> profileGiniSql,
     "q_quality_quantile_map" -> qualityQuantileMapSql,
+    "q_golden_record" -> goldenRecordSql,
+    "q_check_fd" -> checkFdSql,
     "q_fuzzy_join" -> fuzzyPairsSql,
     "q_fuzzy_lookup" -> fuzzyLookupSql,
     "q_fuzzy_jw" -> fuzzyJwSql,

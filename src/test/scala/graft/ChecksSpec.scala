@@ -240,6 +240,33 @@ class ChecksSpec extends SparkSpec {
       5L -> 10L, 6L -> 40L, 7L -> 10L))
   }
 
+  test("goldenRecord: each field independently takes the latest NON-NULL value") {
+    val d = df("c BIGINT, o BIGINT, id BIGINT, phone STRING, city STRING",
+      Row(1L, 10L, 1L, "111", "rome"),
+      Row(1L, 20L, 2L, null, "oslo"),   // newer, phone unknown
+      Row(1L, 30L, 3L, null, null),     // newest, both unknown
+      Row(2L, 5L, 4L, null, null))      // all-null field stays null
+    val got = graft.operators.FuzzyJoin.goldenRecord(
+      d, "c", "o", "id", Seq("phone", "city"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> (("111", "oslo", 3L)),  // phone survives from the oldest row
+      2L -> ((null, null, 1L))))
+  }
+
+  test("functionalDependency: holding and violated FDs; NULL rhs is a value") {
+    val d = df("k BIGINT, v STRING",
+      Row(1L, "a"), Row(1L, "a"),        // k=1 determines v
+      Row(2L, "a"), Row(2L, "b"),        // k=2 violates
+      Row(3L, "a"), Row(3L, null))       // {a, NULL} violates too
+    val ok = Checks.functionalDependency(d.filter(col("k") === 1L), Seq("k"), "v")
+      .collect().head
+    assert(ok.getLong(3) == 0L && ok.getBoolean(5))
+    val bad = Checks.functionalDependency(d, Seq("k"), "v").collect().head
+    assert(bad.getLong(3) == 2L && bad.getLong(4) == 3L && !bad.getBoolean(5))
+  }
+
   test("linearTrend: exact closed-form fit; degenerate keys report NULL slope") {
     val d = df("k STRING, x BIGINT, y BIGINT",
       Row("a", 10L, 1L), Row("a", 11L, 3L), Row("a", 12L, 5L),
