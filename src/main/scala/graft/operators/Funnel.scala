@@ -211,12 +211,18 @@ object Funnel {
     * identity is its per-user ordinal (conv_no), so the result is
     * replayable SQL both engines agree on bit-for-bit.
     *
-    * Scale posture: one user-keyed shuffle drives everything — the
-    * conv-ordinal window, the next-conversion backward-min window
-    * (same sort, one WindowExec), the per-(user, conv_no) touch
-    * aggregate, and the final equi-join of conversions to their
-    * touch summary (both sides already user-partitioned). No event
-    * self-join, no global sort, no per-user history buffering. */
+    * Scale posture: ONE scan, no join — the conv-ordinal and
+    * backward-min windows share a user-keyed sort, then the
+    * first/last/count of touches are conditional window aggregates
+    * over the (user, next_conv) partition (the conversion row rides
+    * in its own attribution partition, so its summary is computed in
+    * place — the earlier formulation aggregated touches separately
+    * and joined back, which re-scanned the events and shuffled
+    * twice). ONE exchange total — EnsureRequirements satisfies the
+    * (user, next_conv) clustering with the existing hash(user)
+    * partitioning (subset rule), so only the intra-partition sort
+    * changes (verified in the formatted plan: 1 Scan, 1 Exchange).
+    * No global sort, no per-user history buffering. */
   def attribution(
       events: DataFrame,
       userCol: String,
@@ -235,25 +241,18 @@ object Funnel {
       .withColumn("__next_conv",
         min(col("__conv_no"))
           .over(byUser.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-    val touches = tagged
-      .filter(col("__conv_no").isNull && col("__next_conv").isNotNull)
-      .withColumn("__rn_a", row_number().over(
-        Window.partitionBy(col(userCol), col("__next_conv"))
-          .orderBy(col(tsCol).asc, col(idCol).asc)))
-      .withColumn("__rn_d", row_number().over(
-        Window.partitionBy(col(userCol), col("__next_conv"))
-          .orderBy(col(tsCol).desc, col(idCol).desc)))
-      .groupBy(col(userCol), col("__next_conv"))
-      .agg(
-        max(when(col("__rn_a") === 1, col(typeCol))).as("first_touch_type"),
-        max(when(col("__rn_d") === 1, col(typeCol))).as("last_touch_type"),
-        count(lit(1)).as("n_touches"))
-    tagged.filter(col("__conv_no").isNotNull)
-      .select(col(userCol), col("__conv_no"),
-        col(idCol).as("conv_" + idCol), col(tsCol).as("conv_" + tsCol))
-      .join(touches.withColumnRenamed("__next_conv", "__conv_no"),
-        Seq(userCol, "__conv_no"), "left")
-      .withColumn("n_touches", coalesce(col("n_touches"), lit(0L)))
-      .withColumnRenamed("__conv_no", "conv_no")
+    val byConv = Window
+      .partitionBy(col(userCol), col("__next_conv"))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val touchType = when(col("__conv_no").isNull, col(typeCol))
+    tagged
+      .withColumn("first_touch_type", first(touchType, ignoreNulls = true).over(byConv))
+      .withColumn("last_touch_type", last(touchType, ignoreNulls = true).over(byConv))
+      .withColumn("n_touches", count(touchType).over(byConv))
+      .filter(col("__conv_no").isNotNull)
+      .select(col(userCol), col("__conv_no").as("conv_no"),
+        col(idCol).as("conv_" + idCol), col(tsCol).as("conv_" + tsCol),
+        col("first_touch_type"), col("last_touch_type"), col("n_touches"))
   }
 }
