@@ -252,13 +252,54 @@ object FuzzyJoin {
       clusterCol: String,
       orderCol: String,
       idCol: String,
+      fields: Seq[String]): DataFrame =
+    goldenFromState(goldenRecordState(df, clusterCol, orderCol, idCol, fields),
+      clusterCol, fields)
+
+  /** The MERGEABLE form of [[goldenRecord]]: per cluster, one
+    * `__st_<field>` struct (order, id, value) per field — the
+    * arg-max witness, not just the value — plus `n_members`. Because
+    * each field's pick is a lexicographic max, states compose:
+    * `state(A ∪ B) = mergeGoldenStates(state(A), state(B))`, so a
+    * standing master table absorbs a daily batch without rescanning
+    * history — the incremental-MDM shape, same closure discipline as
+    * the KMV sketches and `Incremental` aggregate states
+    * (StreamingSpec proves it through real micro-batches). */
+  def goldenRecordState(
+      df: DataFrame,
+      clusterCol: String,
+      orderCol: String,
+      idCol: String,
       fields: Seq[String]): DataFrame = {
     require(fields.nonEmpty, "goldenRecord needs at least one field")
     val aggs = fields.map { f =>
       max(when(col(f).isNotNull,
         struct(col(orderCol).as("o"), col(idCol).as("i"), col(f).as("v"))))
-        .getField("v").as(f)
+        .as(s"__st_$f")
     } :+ count(lit(1)).as("n_members")
     df.groupBy(col(clusterCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Merge [[goldenRecordState]] frames (same cluster/field layout):
+    * field-wise struct max + member-count sum — one
+    * cluster-cardinality-sized aggregate, history never rescanned. */
+  def mergeGoldenStates(
+      states: Seq[DataFrame],
+      clusterCol: String,
+      fields: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "nothing to merge")
+    val aggs = fields.map(f => max(col(s"__st_$f")).as(s"__st_$f")) :+
+      sum(col("n_members")).cast("long").as("n_members")
+    states.reduce(_.unionByName(_))
+      .groupBy(col(clusterCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Project a [[goldenRecordState]] frame to the master rows. */
+  def goldenFromState(
+      state: DataFrame,
+      clusterCol: String,
+      fields: Seq[String]): DataFrame =
+    state.select(col(clusterCol) +:
+      fields.map(f => col(s"__st_$f").getField("v").as(f)) :+
+      col("n_members"): _*)
 }

@@ -482,6 +482,46 @@ object Profile {
       .select(col("key"), col("bucket"), col("n_events"), col("mean"), col("variance"))
   }
 
+  /** Seasonal-baseline spike detection over a DENSE per-key tick
+    * series (gap-fill first — [[graft.operators.Resample.gapFillTicks]];
+    * an absent bucket is evidence of low traffic and must weigh the
+    * baseline down): each tick is compared against ITS OWN PHASE's
+    * baseline (tick mod `period` — hour-of-day for hourly ticks and
+    * period 24), so 3 a.m. traffic is judged against 3 a.m. history
+    * rather than the all-day mean that [[countAnomalies]] uses — the
+    * difference between "quiet hour" and "incident" for any diurnal
+    * stream. All-integer: `excess_num = n·phase_n − phase_sum`
+    * (= (n − phase_mean)·phase_n, sign-exact), and the spike flag
+    * compares `1000·n·phase_n > thresholdPermille·phase_sum`
+    * (threshold 2000 = "double its phase baseline") without ever
+    * forming the rational mean.
+    *
+    * Scale posture: one key-partitioned window for the phase
+    * aggregates ((key, phase) clustering is satisfied by hash(key) —
+    * subset rule, no second exchange); corpus-sized work is the
+    * dense grid scan only. */
+  def seasonalAnomalies(
+      df: DataFrame,
+      keyCol: String,
+      tickCol: String,
+      valueCol: String,
+      period: Int,
+      thresholdPermille: Int): DataFrame = {
+    require(period > 1, s"period must be > 1: $period")
+    require(thresholdPermille > 1000,
+      s"thresholdPermille must exceed 1000 (the baseline itself): $thresholdPermille")
+    val byPhase = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("phase"))
+    val v = col(valueCol).cast("long")
+    df.withColumn("phase", col(tickCol).cast("long") % period)
+      .withColumn("phase_sum", sum(v).over(byPhase))
+      .withColumn("phase_n", count(lit(1)).over(byPhase))
+      .withColumn("excess_num", v * col("phase_n") - col("phase_sum"))
+      .withColumn("spike",
+        lit(1000L) * v * col("phase_n") >
+          lit(thresholdPermille.toLong) * col("phase_sum"))
+  }
+
   /** Rolling time-series aggregates per key: bucket the rows into
     * integer ticks, then a trailing RANGE window of `window` ticks
     * (current tick inclusive) over each key's series — moving sum /

@@ -1101,6 +1101,16 @@ object ExtensionQueries {
         round(col("o_totalprice") * 100).cast("long").as("cents")),
       "o_orderpriority", "cents", tolerancePermille = 30)
 
+  /** Hour-of-day seasonal spike detection over the dense grid
+    * ([[graft.operators.Profile.seasonalAnomalies]], period 24,
+    * threshold 2000‰): each hour judged against ITS OWN
+    * hour-of-day baseline — the diurnal-aware complement to the
+    * global-mean alarm in [[qEventsAnomaly]]. */
+  private val qEventsSeasonal: Q = (s, dir) =>
+    graft.operators.Profile.seasonalAnomalies(
+      denseHourlyTicks(s, dir), "event_type", "tick", "n",
+      period = 24, thresholdPermille = 2000)
+
   /** First/last-touch conversion attribution over the event log
     * ([[graft.operators.Funnel.attribution]]): every purchase
     * reports the first and last non-purchase event since the user's
@@ -1582,7 +1592,8 @@ object ExtensionQueries {
     "q_profile_gini" -> qProfileGini,
     "q_quality_quantile_map" -> qQualityQuantileMap,
     "q_golden_record" -> qGoldenRecord,
-    "q_check_fd" -> qCheckFd)
+    "q_check_fd" -> qCheckFd,
+    "q_events_seasonal" -> qEventsSeasonal)
 
   // DuckDB mirrors of the SQL-expressible subset. RE2 notes: DuckDB
   // regexp_replace needs the 'g' flag for replace-all (Spark default);
@@ -2949,6 +2960,21 @@ object ExtensionQueries {
        |FROM grid g LEFT JOIN obs o
        |  ON g.o_orderpriority = o.o_orderpriority AND g.digit = o.digit""".stripMargin
 
+  /** Mirrors [[qEventsSeasonal]] (`Profile.seasonalAnomalies`,
+    * period 24, threshold 2000‰): the same dense grid, phase
+    * windows, integer excess, and the never-form-the-mean flag
+    * comparison. */
+  private val eventsSeasonalSql: String =
+    s"""WITH $denseTicksCte
+       |SELECT event_type, tick, n, tick % 24 AS phase,
+       |  CAST(sum(n) OVER w AS BIGINT) AS phase_sum,
+       |  count(*) OVER w AS phase_n,
+       |  n * (count(*) OVER w) - CAST(sum(n) OVER w AS BIGINT) AS excess_num,
+       |  1000 * n * (count(*) OVER w) >
+       |    2000 * CAST(sum(n) OVER w AS BIGINT) AS spike
+       |FROM d
+       |WINDOW w AS (PARTITION BY event_type, tick % 24)""".stripMargin
+
   /** Mirrors [[qEventsAttribution]] (`Funnel.attribution`,
     * conversion = 'purchase'): per-user conversion ordinals, a
     * backward-min window assigning each touch its next conversion,
@@ -4060,6 +4086,7 @@ object ExtensionQueries {
     "q_quality_quantile_map" -> qualityQuantileMapSql,
     "q_golden_record" -> goldenRecordSql,
     "q_check_fd" -> checkFdSql,
+    "q_events_seasonal" -> eventsSeasonalSql,
     "q_fuzzy_join" -> fuzzyPairsSql,
     "q_fuzzy_lookup" -> fuzzyLookupSql,
     "q_fuzzy_jw" -> fuzzyJwSql,

@@ -267,6 +267,19 @@ class ChecksSpec extends SparkSpec {
     assert(bad.getLong(3) == 2L && bad.getLong(4) == 3L && !bad.getBoolean(5))
   }
 
+  test("seasonalAnomalies: spikes judged against the tick's own phase baseline") {
+    val d = df("k STRING, tick BIGINT, n BIGINT",
+      Row("a", 0L, 10L), Row("a", 1L, 1L), Row("a", 2L, 10L),
+      Row("a", 3L, 1L), Row("a", 4L, 10L), Row("a", 5L, 7L))
+    val got = Profile.seasonalAnomalies(d, "k", "tick", "n",
+      period = 2, thresholdPermille = 2000)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(6), r.getBoolean(7)))).toMap
+    // odd phase baseline = {1,1,7}: tick 5 doubles it; even ticks sit AT baseline
+    assert(got == Map(0L -> ((0L, false)), 1L -> ((-6L, false)),
+      2L -> ((0L, false)), 3L -> ((-6L, false)), 4L -> ((0L, false)),
+      5L -> ((12L, true))))
+  }
+
   test("linearTrend: exact closed-form fit; degenerate keys report NULL slope") {
     val d = df("k STRING, x BIGINT, y BIGINT",
       Row("a", 10L, 1L), Row("a", 11L, 3L), Row("a", 12L, 5L),

@@ -185,6 +185,44 @@ class PlanGuardSpec extends SparkSpec {
       s"q_check_fk: shuffle-partitioned join planned: $shuffled")
   }
 
+  test("attribution is one scan + one shuffle: finer window clustering reuses hash(user)") {
+    // the operator's whole plan story: the (user, next_conv) windows
+    // must NOT re-exchange — EnsureRequirements satisfies the finer
+    // clustering with the existing hash(user) partitioning. A second
+    // Exchange or a second parquet scan means the single-pass
+    // formulation regressed to the aggregate-and-join-back shape.
+    val plan = planOf("q_events_attribution")
+    val exchanges = plan.linesIterator.map(_.trim)
+      .filter(l => l.matches("""\(\d+\) Exchange.*""")).toSeq
+    assert(exchanges.size == 1,
+      s"q_events_attribution: expected exactly 1 Exchange, got $exchanges\n$plan")
+    val scans = plan.linesIterator.map(_.trim)
+      .filter(_.matches("""\(\d+\) Scan parquet.*""")).toSeq
+    assert(scans.size == 1,
+      s"q_events_attribution: expected exactly 1 parquet scan, got ${scans.size}\n$plan")
+  }
+
+  test("interval-overlap join runs on the hash path with the bin in the join keys") {
+    // the binned construction's point: the join must be a hash-family
+    // join (broadcast here; sort-merge at scale), never nested-loop —
+    // and the first-shared-bin dedup must ride the join, not a
+    // downstream distinct
+    val plan = planOf("q_interval_overlap")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"q_interval_overlap: no hash-family join in plan\n$plan")
+    assert(!plan.contains("HashAggregate(keys=[bu"),
+      s"q_interval_overlap: unexpected dedup aggregate — the first-shared-bin rule should make pairs unique\n$plan")
+  }
+
+  test("quantile mapping broadcasts the reference group") {
+    // the reference side is one group — corpus-sized traffic through
+    // a shuffle join would defeat the design
+    val plan = planOf("q_quality_quantile_map")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_quality_quantile_map: reference group not broadcast\n$plan")
+  }
+
   test("rate samplers stay zero-shuffle projections") {
     // weightedSample's keep decision is per-row arithmetic; ANY
     // Exchange in the plan means the sampler started shuffling the

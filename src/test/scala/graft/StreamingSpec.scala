@@ -464,6 +464,61 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming golden-record states merge to the direct batch master table") {
+    // incremental MDM through the real machinery: each micro-batch
+    // contributes its cluster-keyed arg-max witness states
+    // (foreachBatch + goldenRecordState), history is never rescanned,
+    // and the cross-batch merge must equal the from-scratch golden
+    // record row for row — the struct-max closure property
+    import org.apache.spark.sql.Row
+    import graft.operators.FuzzyJoin
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_golden_src").toString
+    val rows1 = Seq(
+      Row(1L, 10L, 1L, "111", "rome"),
+      Row(1L, 20L, 2L, null, "oslo"),
+      Row(2L, 5L, 3L, null, null))
+    val rows2 = Seq(
+      Row(1L, 30L, 4L, null, null),     // newest, knows nothing new
+      Row(2L, 9L, 5L, "222", null))
+    val schema = df("c BIGINT, o BIGINT, id BIGINT, phone STRING, city STRING",
+      rows1: _*).schema
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var stateSchema: org.apache.spark.sql.types.StructType = null
+    var batches = 0
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val st = FuzzyJoin.goldenRecordState(batch, "c", "o", "id",
+          Seq("phone", "city"))
+        stateSchema = st.schema
+        stateRows.synchronized { stateRows ++= st.collect(); batches += 1 }
+        ()
+      }.start()
+    try {
+      df("c BIGINT, o BIGINT, id BIGINT, phone STRING, city STRING", rows1: _*)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      df("c BIGINT, o BIGINT, id BIGINT, phone STRING, city STRING", rows2: _*)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(batches >= 2, "expected at least two micro-batches")
+      val parts = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(stateRows.toSeq: _*)), stateSchema)
+      val merged = FuzzyJoin.goldenFromState(
+        FuzzyJoin.mergeGoldenStates(Seq(parts), "c", Seq("phone", "city")),
+        "c", Seq("phone", "city"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getString(2), r.getLong(3)))).toSet
+      val direct = FuzzyJoin.goldenRecord(
+        df("c BIGINT, o BIGINT, id BIGINT, phone STRING, city STRING",
+          (rows1 ++ rows2): _*), "c", "o", "id", Seq("phone", "city"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getString(2), r.getLong(3)))).toSet
+      assert(direct == Set(1L -> (("111", "oslo", 3L)), 2L -> (("222", null, 2L))))
+      assert(merged == direct)
+    } finally q.stop()
+  }
+
   test("streaming EWMA across split micro-batches matches the batch window operator") {
     import org.apache.spark.sql.Row
     import graft.streaming.StreamOps.TickValue
