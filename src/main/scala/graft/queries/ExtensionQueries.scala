@@ -1101,6 +1101,45 @@ object ExtensionQueries {
         round(col("o_totalprice") * 100).cast("long").as("cents")),
       "o_orderpriority", "cents", tolerancePermille = 30)
 
+  /** Per-user inter-arrival profile: gap count, total, max, and the
+    * EXACT median gap ([[graft.operators.Profile.weightedMedian]]
+    * with unit weights over the lag differences) — burstiness in
+    * one frame (a bursty user's mean gap dwarfs their median; a
+    * metronomic one's agree), with the median rank-selected rather
+    * than interpolated so the row is oracle-exact. */
+  private val qEventsInterarrival: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("event_id").asc)
+    val gaps = events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(byUser))
+      .filter(col("gap").isNotNull)
+    val med = graft.operators.Profile.weightedMedian(
+      gaps.withColumn("one", lit(1L)), "user_id", "gap", "one", "event_id")
+      .select(col("user_id"), col("median_value").as("median_gap"))
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sum_gap"),
+        max("gap").as("max_gap"))
+      .join(med, Seq("user_id"))
+  }
+
+  /** Hourly user-growth curve: users bucketed by FIRST-seen hour,
+    * new and cumulative counts per hour — the acquisition view next
+    * to [[qEventsRetention]]'s cohort triangle. The cumulative
+    * window is global but runs over the HOUR DOMAIN (the corpus
+    * collapses in the per-user min and per-hour count first), the
+    * bounded-domain exception the samplers' zero-shuffle rule
+    * carves out. */
+  private val qEventsGrowth: Q = (s, dir) => {
+    val firstDay = events(s, dir)
+      .groupBy("user_id")
+      .agg(min(expr("unix_micros(ts) div 3600000000")).as("hour"))
+    firstDay.groupBy("hour").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(
+        Window.orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Hour-of-day seasonal spike detection over the dense grid
     * ([[graft.operators.Profile.seasonalAnomalies]], period 24,
     * threshold 2000‰): each hour judged against ITS OWN
@@ -1169,6 +1208,24 @@ object ExtensionQueries {
     graft.operators.Checks.functionalDependency(o, Seq("o_orderkey"), "o_custkey")
       .unionByName(graft.operators.Checks.functionalDependency(
         o, Seq("o_custkey"), "o_orderstatus"))
+  }
+
+  /** Matryoshka-style truncation audit of the embedding table: the
+    * fraction of each vector's energy (squared norm) its 32- and
+    * 16-dim prefixes retain — the per-vector answer to "what does
+    * cutting the dimension cost", computed with the same ordered
+    * double fold as every vector query so the oracle replays it
+    * bit-for-bit ([[graft.functions.SimilarityFunctions.dot]] on
+    * `slice`d arrays; zero-norm vectors report 0). */
+  private val qEmbedTruncation: Q = (s, dir) => {
+    import graft.functions.SimilarityFunctions
+    val full = SimilarityFunctions.dot(col("embedding"), col("embedding"))
+    def energy(k: Int) = {
+      val p = slice(col("embedding"), 1, k)
+      when(full > 0.0, SimilarityFunctions.dot(p, p) / full).otherwise(0.0)
+        .as(s"energy$k")
+    }
+    pq(s, dir, "embeddings").select(col("vec_id"), energy(32), energy(16))
   }
 
   /** Per-source Gini concentration of character mass
@@ -1593,7 +1650,10 @@ object ExtensionQueries {
     "q_quality_quantile_map" -> qQualityQuantileMap,
     "q_golden_record" -> qGoldenRecord,
     "q_check_fd" -> qCheckFd,
-    "q_events_seasonal" -> qEventsSeasonal)
+    "q_events_seasonal" -> qEventsSeasonal,
+    "q_embed_truncation" -> qEmbedTruncation,
+    "q_events_interarrival" -> qEventsInterarrival,
+    "q_events_growth" -> qEventsGrowth)
 
   // DuckDB mirrors of the SQL-expressible subset. RE2 notes: DuckDB
   // regexp_replace needs the 'g' flag for replace-all (Spark default);
@@ -2960,6 +3020,41 @@ object ExtensionQueries {
        |FROM grid g LEFT JOIN obs o
        |  ON g.o_orderpriority = o.o_orderpriority AND g.digit = o.digit""".stripMargin
 
+  /** Mirrors [[qEventsInterarrival]]: the same lag gaps, the
+    * half-mass crossing-row median (weightedMedian's selection rule
+    * with unit weights, ties on event_id), and the aggregate join. */
+  private val eventsInterarrivalSql: String =
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT user_id, event_id,
+       |    t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+       |  FROM (SELECT user_id, epoch_us(ts) AS t, event_id FROM events) e),
+       |gg AS (SELECT user_id, event_id, gap FROM g WHERE gap IS NOT NULL),
+       |r AS (SELECT user_id, gap,
+       |        CAST(sum(1) OVER (PARTITION BY user_id ORDER BY gap, event_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+       |      FROM gg),
+       |med AS (SELECT user_id, gap AS median_gap
+       |        FROM r WHERE 2 * cum >= tot AND 2 * (cum - 1) < tot),
+       |agg AS (SELECT user_id, count(*) AS n_gaps,
+       |          CAST(sum(gap) AS BIGINT) AS sum_gap, max(gap) AS max_gap
+       |        FROM gg GROUP BY 1)
+       |SELECT a.user_id, a.n_gaps, a.sum_gap, a.max_gap, m.median_gap
+       |FROM agg a JOIN med m ON a.user_id = m.user_id""".stripMargin
+
+  /** Mirrors [[qEventsGrowth]]: first-seen hour per user, per-hour
+    * counts, and the same ROWS-framed cumulative sum over the hour
+    * domain. */
+  private val eventsGrowthSql: String =
+    s"""WITH f AS (
+  SELECT user_id, min(epoch_us(ts) // 3600000000) AS hour
+       |  FROM events GROUP BY 1),
+       |d AS (SELECT hour, count(*) AS new_users FROM f GROUP BY 1)
+       |SELECT hour, new_users,
+       |  CAST(sum(new_users) OVER (ORDER BY hour
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+       |FROM d""".stripMargin
+
   /** Mirrors [[qEventsSeasonal]] (`Profile.seasonalAnomalies`,
     * period 24, threshold 2000‰): the same dense grid, phase
     * windows, integer excess, and the never-form-the-mean flag
@@ -3051,6 +3146,19 @@ object ExtensionQueries {
          |      FROM (SELECT DISTINCT $lhs, $rhs FROM orders) p
          |      GROUP BY 1) g""".stripMargin
     s"${fd("o_orderkey", "o_custkey")}\nUNION ALL\n${fd("o_custkey", "o_orderstatus")}"
+  }
+
+  /** Mirrors [[qEmbedTruncation]]: the identical ordered
+    * left-fold of squared prefix elements over `range(1, k+1)`, the
+    * same zero-norm guard, and the one division per level. */
+  private val embedTruncationSql: String = {
+    def sq(k: Int) =
+      s"list_reduce(list_transform(range(1, ${k + 1}), i -> " +
+        "CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)"
+    s"""SELECT vec_id,
+       |  CASE WHEN ${sq(64)} > 0.0 THEN ${sq(32)} / ${sq(64)} ELSE 0.0 END AS energy32,
+       |  CASE WHEN ${sq(64)} > 0.0 THEN ${sq(16)} / ${sq(64)} ELSE 0.0 END AS energy16
+       |FROM embeddings""".stripMargin
   }
 
   /** Mirrors [[qProfileGini]] (`Profile.giniIndex`): the same rank
@@ -4087,6 +4195,9 @@ object ExtensionQueries {
     "q_golden_record" -> goldenRecordSql,
     "q_check_fd" -> checkFdSql,
     "q_events_seasonal" -> eventsSeasonalSql,
+    "q_embed_truncation" -> embedTruncationSql,
+    "q_events_interarrival" -> eventsInterarrivalSql,
+    "q_events_growth" -> eventsGrowthSql,
     "q_fuzzy_join" -> fuzzyPairsSql,
     "q_fuzzy_lookup" -> fuzzyLookupSql,
     "q_fuzzy_jw" -> fuzzyJwSql,

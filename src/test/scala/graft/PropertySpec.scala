@@ -470,6 +470,28 @@ object PropertySpec extends Properties("graft") {
       got.toSeq == Seq((expect, tot))
     }
 
+  property("intervalOverlap == cross-join ground truth; each pair exactly once") =
+    Prop.forAll(
+      Gen.chooseNum(3L, 97L),
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 400L), Gen.chooseNum(0L, 120L))),
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 400L), Gen.chooseNum(0L, 120L)))
+    ) { (binW, asRaw, bsRaw) =>
+      val as = asRaw.zipWithIndex.map { case ((lo, len), i) => (i.toLong, i.toLong % 2, lo, lo + len) }
+      val bs = bsRaw.zipWithIndex.map { case ((lo, len), i) => (100L + i, i.toLong % 2, lo, lo + len) }
+      val a = mkDf("aid BIGINT, ak BIGINT, alo BIGINT, ahi BIGINT",
+        as.map { case (i, k, lo, hi) => Row(i, k, lo, hi) })
+      val b = mkDf("bid BIGINT, bk BIGINT, blo BIGINT, bhi BIGINT",
+        bs.map { case (i, k, lo, hi) => Row(i, k, lo, hi) })
+      val got = graft.operators.RangeJoin.intervalOverlap(
+        a, b, Seq("ak" -> "bk"), "alo", "ahi", "blo", "bhi", binW)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = for {
+        (ai, ak, alo, ahi) <- as; (bi, bk, blo, bhi) <- bs
+        if ak == bk && alo <= bhi && blo <= ahi
+      } yield (ai, bi)
+      got.toSeq.sorted == want.sorted
+    }
+
   property("ewmaSmooth of a constant series is exactly that constant") =
     Prop.forAll(Gen.chooseNum(-1000L, 1000L), Gen.chooseNum(1, 20)) { (c, len) =>
       val d = mkDf("k STRING, t BIGINT, v BIGINT",
