@@ -1228,6 +1228,48 @@ object ExtensionQueries {
     pq(s, dir, "embeddings").select(col("vec_id"), energy(32), energy(16))
   }
 
+  /** Language-ID confidence margins: the winning marker score minus
+    * the runner-up per document — the "how sure was the classifier"
+    * column a routing threshold needs next to the bare prediction
+    * (margin 0 = a tie the alphabetical tie-break decided; filter
+    * `margin >= 2` for the confidently-routed subset). Integer
+    * scores throughout. */
+  private val qTextLangMargin: Q = (s, dir) => {
+    val scores = TextFunctions.langMarkers.map { case (_, ms) =>
+      TextFunctions.langScore(col("text"), ms)
+    }
+    val sorted = sort_array(array(scores: _*), asc = false)
+    pq(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang_pred"),
+      sorted.getItem(0).as("best"),
+      sorted.getItem(1).as("second"),
+      (sorted.getItem(0) - sorted.getItem(1)).as("margin"))
+  }
+
+  /** Tokenizer fertility per language under the trained BPE
+    * ([[graft.operators.Bpe.trainAndSegment]], 8 corpus-wide
+    * merges): subwords-per-word mass ratio — the tokenizer-equity
+    * number multilingual mixes are balanced on (a language the
+    * merges never learned pays more subwords per word). Exact
+    * integer masses, one final divide; the oracle replays the full
+    * unrolled merge recursion and the per-language join. */
+  private val qTextFertility: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    val seg = graft.operators.Bpe.trainAndSegment(docs, "text", 8)
+    val lw = docs
+      .select(col("lang"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("lfreq"))
+    lw.join(seg.select("word", "n_subwords"), "word")
+      .groupBy("lang")
+      .agg(sum(col("lfreq") * col("n_subwords")).as("subword_mass"),
+        sum(col("lfreq")).as("word_mass"))
+      .withColumn("fertility",
+        col("subword_mass").cast("double") / col("word_mass").cast("double"))
+  }
+
   /** Per-source Gini concentration of character mass
     * ([[graft.operators.Profile.giniIndex]]): how unevenly each
     * source's characters spread over its documents — the
@@ -1653,7 +1695,9 @@ object ExtensionQueries {
     "q_events_seasonal" -> qEventsSeasonal,
     "q_embed_truncation" -> qEmbedTruncation,
     "q_events_interarrival" -> qEventsInterarrival,
-    "q_events_growth" -> qEventsGrowth)
+    "q_events_growth" -> qEventsGrowth,
+    "q_text_lang_margin" -> qTextLangMargin,
+    "q_text_fertility" -> qTextFertility)
 
   // DuckDB mirrors of the SQL-expressible subset. RE2 notes: DuckDB
   // regexp_replace needs the 'g' flag for replace-all (Spark default);
@@ -3161,6 +3205,38 @@ object ExtensionQueries {
        |FROM embeddings""".stripMargin
   }
 
+  /** Mirrors [[qTextLangMargin]]: the same marker scores sorted
+    * descending in-list, the winner CASE, and integer margins. */
+  private val textLangMarginSql: String = {
+    val scoresList = TextFunctions.langMarkers
+      .map { case (_, ms) => s"(${langScoreSql(ms)})" }.mkString(", ")
+    s"""SELECT doc_id, $langPredCaseSql AS lang_pred,
+       |  sorted[1] AS best, sorted[2] AS second,
+       |  sorted[1] - sorted[2] AS margin
+       |FROM (SELECT doc_id, text,
+       |        list_sort([$scoresList], 'DESC') AS sorted,
+       |        $langBestSql AS __best
+       |      FROM documents) t""".stripMargin
+  }
+
+  /** Mirrors [[qTextFertility]]: the full unrolled 8-merge BPE
+    * recursion (the [[textBpeSql]] machinery) as a derived table,
+    * joined to per-(lang, word) frequencies with the same tokenizer
+    * and filter; integer masses, one divide. */
+  private val textFertilitySql: String =
+    s"""WITH lw AS MATERIALIZED (
+       |  SELECT lang, word, count(*) AS lfreq FROM (
+       |    SELECT lang, unnest($tokensLowerSql) AS word FROM documents) t
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY 1, 2)
+       |SELECT lang,
+       |  CAST(sum(lfreq * n_subwords) AS BIGINT) AS subword_mass,
+       |  CAST(sum(lfreq) AS BIGINT) AS word_mass,
+       |  CAST(sum(lfreq * n_subwords) AS DOUBLE) / CAST(sum(lfreq) AS DOUBLE)
+       |    AS fertility
+       |FROM lw JOIN (${textBpeSql(8, segment = true)}) seg
+       |  ON lw.word = seg.word
+       |GROUP BY 1""".stripMargin
+
   /** Mirrors [[qProfileGini]] (`Profile.giniIndex`): the same rank
     * formula on integer moments; row_number ties need no break
     * (Σi·x is tie-order invariant). */
@@ -4198,6 +4274,8 @@ object ExtensionQueries {
     "q_embed_truncation" -> embedTruncationSql,
     "q_events_interarrival" -> eventsInterarrivalSql,
     "q_events_growth" -> eventsGrowthSql,
+    "q_text_lang_margin" -> textLangMarginSql,
+    "q_text_fertility" -> textFertilitySql,
     "q_fuzzy_join" -> fuzzyPairsSql,
     "q_fuzzy_lookup" -> fuzzyLookupSql,
     "q_fuzzy_jw" -> fuzzyJwSql,
