@@ -249,4 +249,61 @@ object Reconcile {
       s"reconciliation failed for table(s): ${bad.mkString(", ")} — " +
         "written contents differ from the plan's frames")
   }
+
+  import org.apache.spark.sql.types._
+
+  /** Numeric widening lattice for [[unionEvolved]]: the standard
+    * lossless promotions (byte→short→int→long, int→double via long,
+    * float→double). Date→timestamp is deliberately NOT here — it
+    * needs a timezone decision the caller must make. */
+  private val widenRank: Map[DataType, Int] = Map(
+    ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3,
+    FloatType -> 4, DoubleType -> 5)
+
+  private def widen(a: DataType, b: DataType): Option[DataType] =
+    if (a == b) Some(a)
+    else (widenRank.get(a), widenRank.get(b)) match {
+      case (Some(ra), Some(rb)) =>
+        val t = if (ra >= rb) a else b
+        // integral + float → double (float can't hold every long)
+        if (Set(a, b).contains(FloatType) &&
+          Set(a, b).exists(x => x != FloatType && widenRank(x) <= 3)) Some(DoubleType)
+        else Some(t)
+      case _ => None
+    }
+
+  /** Schema-evolution-safe union of table vintages: columns align BY
+    * NAME, a column missing from a vintage arrives as NULL, and
+    * same-named columns of different numeric types widen through the
+    * standard lossless lattice (int→long, anything-vs-float→double).
+    * A same-named column whose types DON'T reconcile (string vs
+    * long, array vs struct) fails fast with both types named —
+    * silent coercion is how a reload corrupts a column. This is the
+    * multi-vintage read path: yesterday's files with last year's
+    * schema union into today's frame without a migration rewrite.
+    *
+    * Scale posture: pure projection (casts) over each input + a
+    * zero-shuffle union — no data movement beyond the scans. */
+  def unionEvolved(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "nothing to union")
+    val resolved = frames.flatMap(_.schema.fields.map(f => f.name -> f.dataType))
+      .groupBy(_._1).map { case (name, pairs) =>
+        val tpe = pairs.map(_._2).distinct.reduce { (a, b) =>
+          widen(a, b).getOrElse(throw new IllegalArgumentException(
+            s"unionEvolved: column '$name' has irreconcilable types " +
+              s"${a.sql} vs ${b.sql} across vintages"))
+        }
+        name -> tpe
+      }
+    // deterministic output order: first appearance across the vintages
+    val order = frames.flatMap(_.columns).distinct
+    val cast = frames.map { f =>
+      val have = f.columns.toSet
+      f.select(order.map { c =>
+        if (have(c)) col(c).cast(resolved(c)).as(c)
+        else lit(null).cast(resolved(c)).as(c)
+      }: _*)
+    }
+    cast.reduce(_.unionByName(_))
+  }
 }

@@ -1228,6 +1228,43 @@ object ExtensionQueries {
     pq(s, dir, "embeddings").select(col("vec_id"), energy(32), energy(16))
   }
 
+  /** Schema-evolution-safe union of two order vintages
+    * ([[graft.operators.Reconcile.unionEvolved]]): the "old" files
+    * carry an INT key and a FLOAT price and lack the priority
+    * column; the union widens int→long and float→double, null-fills
+    * the missing column, and would fail fast on an irreconcilable
+    * type — the multi-vintage read path without a migration
+    * rewrite. */
+  private val qUnionEvolved: Q = (s, dir) => {
+    val o = pq(s, dir, "orders")
+    val vintageOld = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").cast("int").as("o_orderkey"),
+        col("o_totalprice").cast("float").as("o_totalprice"))
+    val vintageNew = o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    graft.operators.Reconcile.unionEvolved(Seq(vintageOld, vintageNew))
+  }
+
+  /** Conversion latency: each purchase's distance to the user's most
+    * recent prior non-purchase event (a ROWS-framed conditional max
+    * — never a self-join); NULL for conversions with no prior touch.
+    * The reaction-time distribution behind attribution's credit
+    * assignment. */
+  private val qEventsConvLatency: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("event_id").asc)
+    events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .withColumn("last_touch_t",
+        max(when(col("event_type") =!= "purchase", col("t")))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_event_id"),
+        col("t").as("conv_ts_us"),
+        (col("t") - col("last_touch_t")).as("latency_us"))
+  }
+
   /** Language-ID confidence margins: the winning marker score minus
     * the runner-up per document — the "how sure was the classifier"
     * column a routing threshold needs next to the bare prediction
@@ -1697,7 +1734,9 @@ object ExtensionQueries {
     "q_events_interarrival" -> qEventsInterarrival,
     "q_events_growth" -> qEventsGrowth,
     "q_text_lang_margin" -> qTextLangMargin,
-    "q_text_fertility" -> qTextFertility)
+    "q_text_fertility" -> qTextFertility,
+    "q_union_evolved" -> qUnionEvolved,
+    "q_events_conv_latency" -> qEventsConvLatency)
 
   // DuckDB mirrors of the SQL-expressible subset. RE2 notes: DuckDB
   // regexp_replace needs the 'g' flag for replace-all (Spark default);
@@ -3205,6 +3244,32 @@ object ExtensionQueries {
        |FROM embeddings""".stripMargin
   }
 
+  /** Mirrors [[qUnionEvolved]]: the same vintage split with explicit
+    * lattice casts (INT→BIGINT, REAL→DOUBLE — the float round-trip
+    * is the same IEEE narrowing both engines) and a NULL-typed
+    * missing column. */
+  private val unionEvolvedSql: String =
+    s"""SELECT CAST(CAST(o_orderkey AS INTEGER) AS BIGINT) AS o_orderkey,
+       |  CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_totalprice,
+       |  CAST(NULL AS VARCHAR) AS o_orderpriority
+       |FROM orders WHERE o_orderkey % 2 = 0
+       |UNION ALL
+       |SELECT o_orderkey, o_totalprice, o_orderpriority
+       |FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin
+
+  /** Mirrors [[qEventsConvLatency]]: the same conditional
+    * ROWS-framed max of prior touch times. */
+  private val eventsConvLatencySql: String =
+    s"""SELECT user_id, event_id AS conv_event_id, t AS conv_ts_us,
+       |  t - last_touch_t AS latency_us
+       |FROM (SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+       |        max(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END)
+       |          OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |          AS last_touch_t
+       |      FROM events) e
+       |WHERE event_type = 'purchase'""".stripMargin
+
   /** Mirrors [[qTextLangMargin]]: the same marker scores sorted
     * descending in-list, the winner CASE, and integer margins. */
   private val textLangMarginSql: String = {
@@ -4276,6 +4341,8 @@ object ExtensionQueries {
     "q_events_growth" -> eventsGrowthSql,
     "q_text_lang_margin" -> textLangMarginSql,
     "q_text_fertility" -> textFertilitySql,
+    "q_union_evolved" -> unionEvolvedSql,
+    "q_events_conv_latency" -> eventsConvLatencySql,
     "q_fuzzy_join" -> fuzzyPairsSql,
     "q_fuzzy_lookup" -> fuzzyLookupSql,
     "q_fuzzy_jw" -> fuzzyJwSql,

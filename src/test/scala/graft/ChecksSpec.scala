@@ -280,6 +280,21 @@ class ChecksSpec extends SparkSpec {
       5L -> ((12L, true))))
   }
 
+  test("unionEvolved: widens by the lattice, null-fills, fails fast on conflicts") {
+    val a = df("k INT, v FLOAT", Row(1, 1.5f))
+    val b = df("k BIGINT, v BIGINT, extra STRING", Row(2L, 7L, "x"))
+    val u = Reconcile.unionEvolved(Seq(a, b))
+    assert(u.schema.map(f => f.name -> f.dataType.sql).toMap ==
+      Map("k" -> "BIGINT", "v" -> "DOUBLE", "extra" -> "STRING"))
+    val rows = u.collect().map(r => r.getLong(0) ->
+      ((r.getDouble(1), if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    assert(rows == Map(1L -> ((1.5, null)), 2L -> ((7.0, "x"))))
+    val bad = df("k STRING", Row("oops"))
+    val e = intercept[IllegalArgumentException](
+      Reconcile.unionEvolved(Seq(a, bad)))
+    assert(e.getMessage.contains("irreconcilable"))
+  }
+
   test("linearTrend: exact closed-form fit; degenerate keys report NULL slope") {
     val d = df("k STRING, x BIGINT, y BIGINT",
       Row("a", 10L, 1L), Row("a", 11L, 3L), Row("a", 12L, 5L),
