@@ -175,4 +175,40 @@ object Graph {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Per-node degree profile of a directed edge list (unique
+    * (src, dst) pairs — aggregate multi-edges first): out/in degree,
+    * out/in weight mass, and the reciprocal-edge count (neighbors
+    * with BOTH directions present — the mutuality signal that
+    * separates a broadcast hub from a trading partner). All-integer;
+    * nodes appearing on only one side still report, zeros filled.
+    *
+    * Scale posture: two node-keyed aggregates plus one edge-vs-
+    * reversed-edge EQUI join on (src, dst) for reciprocity — the
+    * naive mutual test is a per-node set intersection; the reversed
+    * self-join keeps it on the hash path at edge cardinality. */
+  def degreeStats(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: Option[String] = None): DataFrame = {
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val out = edges.groupBy(col(srcCol).cast("long").as("node"))
+      .agg(count(lit(1)).as("out_degree"), sum(w).as("out_weight"))
+    val in = edges.groupBy(col(dstCol).cast("long").as("node"))
+      .agg(count(lit(1)).as("in_degree"), sum(w).as("in_weight"))
+    val recip = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .join(edges.select(col(dstCol).cast("long").as("a"),
+        col(srcCol).cast("long").as("b")), Seq("a", "b"))
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("n_reciprocal"))
+    out.join(in, Seq("node"), "full")
+      .join(recip, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("out_weight"), lit(0L)).as("out_weight"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        coalesce(col("in_weight"), lit(0L)).as("in_weight"),
+        coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
+  }
 }

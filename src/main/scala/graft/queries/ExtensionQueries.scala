@@ -1536,6 +1536,14 @@ object ExtensionQueries {
   private val qGraphPagerank: Q = (s, dir) =>
     graft.operators.Graph.pageRank(tradeEdges(s, dir), weightCol = Some("w"))
 
+  /** Per-nation degree profile of the trade graph
+    * ([[graft.operators.Graph.degreeStats]]): out/in degree and
+    * weight mass plus the reciprocal-partner count — the structural
+    * summary next to [[qGraphPagerank]]'s importance ranks. */
+  private val qGraphDegrees: Q = (s, dir) =>
+    graft.operators.Graph.degreeStats(
+      tradeEdges(s, dir), "src", "dst", weightCol = Some("w"))
+
   private val pprSeeds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
   /** Personalized PageRank from nations 0-4: all teleport/dangling
@@ -1736,7 +1744,8 @@ object ExtensionQueries {
     "q_text_lang_margin" -> qTextLangMargin,
     "q_text_fertility" -> qTextFertility,
     "q_union_evolved" -> qUnionEvolved,
-    "q_events_conv_latency" -> qEventsConvLatency)
+    "q_events_conv_latency" -> qEventsConvLatency,
+    "q_graph_degrees" -> qGraphDegrees)
 
   // DuckDB mirrors of the SQL-expressible subset. RE2 notes: DuckDB
   // regexp_replace needs the 'g' flag for replace-all (Spark default);
@@ -3244,6 +3253,33 @@ object ExtensionQueries {
        |FROM embeddings""".stripMargin
   }
 
+  /** Mirrors [[qGraphDegrees]]: the same aggregated trade edges,
+    * side aggregates, reversed-edge equi join for reciprocity, and
+    * zero-coalesced full join. */
+  private val graphDegreesSql: String =
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |o2 AS (SELECT src AS node, count(*) AS out_degree,
+       |         CAST(sum(w) AS BIGINT) AS out_weight FROM edges GROUP BY 1),
+       |i2 AS (SELECT dst AS node, count(*) AS in_degree,
+       |         CAST(sum(w) AS BIGINT) AS in_weight FROM edges GROUP BY 1),
+       |r2 AS (SELECT e.src AS node, count(*) AS n_reciprocal
+       |       FROM edges e JOIN edges x ON e.src = x.dst AND e.dst = x.src
+       |       GROUP BY 1)
+       |SELECT CAST(coalesce(o2.node, i2.node) AS BIGINT) AS node,
+       |  coalesce(out_degree, 0) AS out_degree,
+       |  coalesce(out_weight, 0) AS out_weight,
+       |  coalesce(in_degree, 0) AS in_degree,
+       |  coalesce(in_weight, 0) AS in_weight,
+       |  coalesce(n_reciprocal, 0) AS n_reciprocal
+       |FROM o2 FULL JOIN i2 ON o2.node = i2.node
+       |LEFT JOIN r2 ON coalesce(o2.node, i2.node) = r2.node""".stripMargin
+
   /** Mirrors [[qUnionEvolved]]: the same vintage split with explicit
     * lattice casts (INT→BIGINT, REAL→DOUBLE — the float round-trip
     * is the same IEEE narrowing both engines) and a NULL-typed
@@ -4343,6 +4379,7 @@ object ExtensionQueries {
     "q_text_fertility" -> textFertilitySql,
     "q_union_evolved" -> unionEvolvedSql,
     "q_events_conv_latency" -> eventsConvLatencySql,
+    "q_graph_degrees" -> graphDegreesSql,
     "q_fuzzy_join" -> fuzzyPairsSql,
     "q_fuzzy_lookup" -> fuzzyLookupSql,
     "q_fuzzy_jw" -> fuzzyJwSql,

@@ -96,4 +96,17 @@ class GraphSpec extends SparkSpec {
     assert(r.size == 2)
     assert(r(1L) > r(2L)) // 1 keeps half its mass via the self-loop and gets all of 2's
   }
+
+  test("degreeStats: sides zero-filled, weights summed, reciprocity counted") {
+    val g = df("src BIGINT, dst BIGINT, w BIGINT",
+      Row(1L, 2L, 5L), Row(2L, 1L, 3L),  // mutual pair
+      Row(1L, 3L, 2L))                   // 3 is sink-only
+    val r = Graph.degreeStats(g, "src", "dst", Some("w"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r == Map(
+      1L -> ((2L, 7L, 1L, 3L, 1L)),   // out 2/7, in 1/3, one mutual partner
+      2L -> ((1L, 3L, 1L, 5L, 1L)),
+      3L -> ((0L, 0L, 1L, 2L, 0L))))
+  }
 }
