@@ -513,6 +513,24 @@ object ExtensionQueries {
       Dedup.embeddingNearDupPairs(pq(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.2, numPlanes = 6))
 
+  /** Cluster-size census of the embedding near-dup components: how
+    * many clusters of each size exist, SINGLETONS INCLUDED (every
+    * unpaired vector is its own size-1 cluster) — the one-table
+    * answer to "how duplicated is this corpus", and the sanity gauge
+    * on any dedup threshold change (a size histogram that suddenly
+    * grows a 10 000-member cluster means the threshold, not the
+    * data). Rides the same closure the components query oracles. */
+  private val qDedupClusterSizes: Q = (s, dir) => {
+    val comps = Dedup.connectedComponents(
+      Dedup.embeddingNearDupPairs(pq(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.2, numPlanes = 6))
+    val labeled = pq(s, dir, "embeddings").select(col("vec_id"))
+      .join(comps, col("vec_id") === col("id"), "left")
+      .select(coalesce(col("rep"), col("vec_id")).as("rep"))
+    labeled.groupBy("rep").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+  }
+
   // -------------------------------------------------------------- similarity
 
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
@@ -1745,7 +1763,8 @@ object ExtensionQueries {
     "q_text_fertility" -> qTextFertility,
     "q_union_evolved" -> qUnionEvolved,
     "q_events_conv_latency" -> qEventsConvLatency,
-    "q_graph_degrees" -> qGraphDegrees)
+    "q_graph_degrees" -> qGraphDegrees,
+    "q_dedup_cluster_sizes" -> qDedupClusterSizes)
 
   // DuckDB mirrors of the SQL-expressible subset. RE2 notes: DuckDB
   // regexp_replace needs the 'g' flag for replace-all (Spark default);
@@ -4157,6 +4176,17 @@ object ExtensionQueries {
        |)
        |SELECT id, min(label) AS rep FROM labels GROUP BY id""".stripMargin
 
+  /** Mirrors [[qDedupClusterSizes]]: the recursive closure as a
+    * derived table, singletons joined in from the full vector
+    * universe, then the size-of-sizes double aggregate. */
+  private val dedupClusterSizesSql: String =
+    s"""WITH lab AS MATERIALIZED (
+       |  SELECT coalesce(c.rep, e.vec_id) AS rep
+       |  FROM embeddings e LEFT JOIN ($dedupComponentsSql) c
+       |    ON e.vec_id = c.id),
+       |sz AS (SELECT rep, count(*) AS size FROM lab GROUP BY 1)
+       |SELECT size, count(*) AS n_clusters FROM sz GROUP BY 1""".stripMargin
+
   /** Mirrors [[qTextBpe]] ([[graft.operators.Bpe.train]], n rounds):
     * the merge loop unrolled as n chained CTE stages (the PageRank
     * replay technique). Stage i recomputes the pair histogram of word
@@ -4380,6 +4410,7 @@ object ExtensionQueries {
     "q_union_evolved" -> unionEvolvedSql,
     "q_events_conv_latency" -> eventsConvLatencySql,
     "q_graph_degrees" -> graphDegreesSql,
+    "q_dedup_cluster_sizes" -> dedupClusterSizesSql,
     "q_fuzzy_join" -> fuzzyPairsSql,
     "q_fuzzy_lookup" -> fuzzyLookupSql,
     "q_fuzzy_jw" -> fuzzyJwSql,
