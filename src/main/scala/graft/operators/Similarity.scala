@@ -718,6 +718,39 @@ object Similarity {
       k: Int,
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
+      nprobe: Int): DataFrame =
+    ivfPqTopKBatchCoded(queries,
+      encodeForIndex(corpus, idCol, vecCol, centroids, codebooks),
+      queryIdCol, queryVecCol, k, centroids, codebooks, nprobe)
+
+  /** The index-build half of [[ivfPqTopKBatch]]: corpus → (id,
+    * cell, code) — 8-byte id + cell int + m small ints per vector,
+    * the 32×-compressed artifact worth PERSISTING
+    * ([[graft.sources.AnnIndex]] writes/reads it with the centroid
+    * and codebook tables). Scan-shaped, never shuffles. */
+  def encodeForIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(
+      col(idCol).as("id"),
+      assignCellUdf(centroids)(col(vecCol)).as("cell"),
+      encodeUdf(codebooks)(col(vecCol)).as("code"))
+
+  /** [[ivfPqTopKBatch]] over a PRE-CODED corpus (`(id, cell, code)`
+    * — [[encodeForIndex]] output, typically read back from a
+    * persisted index): identical probe, join, and ADC fold, so a
+    * loaded index answers bit-for-bit what the inline path answers. */
+  def ivfPqTopKBatchCoded(
+      queries: DataFrame,
+      coded: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
       nprobe: Int): DataFrame = {
     val np = math.min(nprobe, centroids.length)
     val cb = codebooks
@@ -725,10 +758,8 @@ object Similarity {
     val qSide = queries.select(
       col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"),
       explode(probeCellsUdf(centroids, np)(col(queryVecCol))).as("__cell"))
-    val cSide = corpus.select(
-      col(idCol).as("id"),
-      assignCellUdf(centroids)(col(vecCol)).as("__cell"),
-      encodeUdf(cb)(col(vecCol)).as("__code"))
+    val cSide = coded.select(
+      col("id"), col("cell").as("__cell"), col("code").as("__code"))
     // ADC per pair, [[pqTopK]]'s exact fold order: per-subspace dot /
     // norm folds (dims ascending), then subspace-ascending sums
     val score = udf { (qvec: Seq[Float], code: Seq[Int]) =>

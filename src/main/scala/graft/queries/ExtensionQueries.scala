@@ -561,6 +561,25 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 5, cents, cb, nprobe = 2)
   }
 
+  /** The PERSISTED-index twin of [[qSimIvfPqBatch]]
+    * ([[graft.sources.AnnIndex]]): build the three-table IVF-PQ
+    * index to disk (staging-swapped), load it back, and answer the
+    * same batch through `ivfPqTopKBatchCoded` — gated by the SAME
+    * DuckDB oracle as the inline path, so the whole
+    * write→read→query chain must reproduce training + encode + ADC
+    * bit-for-bit. */
+  private val qSimIndexTopK: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val idxDir = s"$twinRoot/annidx/${new java.io.File(dir).getName}"
+    graft.sources.AnnIndex.buildAndWrite(s, idxDir, corpus,
+      "vec_id", "embedding", nlist = 8, m = 8)
+    graft.sources.AnnIndex.queryBatch(
+      graft.sources.AnnIndex.read(s, idxDir),
+      queries, "vec_id", "embedding", k = 5, nprobe = 2)
+  }
+
   /** PQ narrow + exact decide: ADC shortlist of 40, true-cosine
     * top-10 (`pqTopK(rerank = 4)`). */
   private val qSimPqRerank: Q = (s, dir) =>
@@ -1764,7 +1783,8 @@ object ExtensionQueries {
     "q_union_evolved" -> qUnionEvolved,
     "q_events_conv_latency" -> qEventsConvLatency,
     "q_graph_degrees" -> qGraphDegrees,
-    "q_dedup_cluster_sizes" -> qDedupClusterSizes)
+    "q_dedup_cluster_sizes" -> qDedupClusterSizes,
+    "q_sim_index_topk" -> qSimIndexTopK)
 
   // DuckDB mirrors of the SQL-expressible subset. RE2 notes: DuckDB
   // regexp_replace needs the 'g' flag for replace-all (Spark default);
@@ -4411,6 +4431,7 @@ object ExtensionQueries {
     "q_events_conv_latency" -> eventsConvLatencySql,
     "q_graph_degrees" -> graphDegreesSql,
     "q_dedup_cluster_sizes" -> dedupClusterSizesSql,
+    "q_sim_index_topk" -> simIvfPqBatchSql,
     "q_fuzzy_join" -> fuzzyPairsSql,
     "q_fuzzy_lookup" -> fuzzyLookupSql,
     "q_fuzzy_jw" -> fuzzyJwSql,

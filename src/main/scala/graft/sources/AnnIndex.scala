@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Persistable IVF-PQ index — "build once offline, query many":
+  * three parquet tables under one directory,
+  *
+  *   - `centroids`  (cell INT, vec ARRAY<DOUBLE>)       — nlist rows
+  *   - `codebooks`  (subspace INT, code INT, vec ARRAY<DOUBLE>)
+  *   - `coded`      (id BIGINT, cell INT, code ARRAY<INT>)
+  *
+  * `coded` is the corpus-sized artifact and it is 32×-compressed
+  * (id + cell + m small ints per vector — the vectors themselves
+  * never leave the original table); centroids and codebooks are
+  * model-sized (nlist·dim and m·ksub·(dim/m) doubles) and load back
+  * to driver arrays, exactly the closure shape every query-side UDF
+  * already takes. A loaded index answers
+  * [[graft.operators.Similarity.ivfPqTopKBatchCoded]] bit-for-bit
+  * what the inline (train-in-query) path answers — pinned by
+  * AnnIndexSpec's round-trip.
+  *
+  * Write discipline: tables land in `<dir>.staging` and the
+  * directory is swapped in last (the ParquetDirIO pattern) so a
+  * crash mid-build never leaves a half-index a reader could load.
+  *
+  * Scale posture: the build is one corpus scan (assign + encode,
+  * zero shuffles) plus driver-side centroid training on a bounded
+  * sample; reads scan only the coded table (column-pruned), and the
+  * model tables are two bounded collects. At 100 TB the coded table
+  * is ~3 TB and partitions like any parquet table.
+  */
+object AnnIndex {
+
+  final case class Loaded(
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      coded: DataFrame)
+
+  /** Train (sample-refined IVF cells + PQ codebooks), encode the
+    * corpus, and persist the three tables. Returns the loaded view
+    * of what was written. */
+  def buildAndWrite(
+      spark: SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      m: Int,
+      ksub: Int = 16,
+      refineIters: Int = 2,
+      sampleSize: Int = 256): Loaded = {
+    val sample = corpus.orderBy(col(idCol).asc).limit(sampleSize)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "empty corpus")
+    val centroids = Similarity.refineCentroids(sample, nlist, refineIters)
+    val codebooks = Similarity.pqCodebooks(corpus, idCol, vecCol, m, ksub,
+      refineIters, sampleSize)
+    val coded = Similarity.encodeForIndex(corpus, idCol, vecCol, centroids, codebooks)
+
+    val staging = dir + ".staging"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .write.mode("overwrite").parquet(s"$staging/centroids")
+    codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
+    }.toSeq.toDF("subspace", "code", "vec")
+      .write.mode("overwrite").parquet(s"$staging/codebooks")
+    coded.write.mode("overwrite").parquet(s"$staging/coded")
+    val target = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(target, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), target),
+      s"AnnIndex: staging swap failed for $dir")
+    read(spark, dir)
+  }
+
+  /** Load an index directory: model tables collect to driver arrays
+    * (bounded — nlist and m·ksub rows), the coded table stays a
+    * DataFrame. */
+  def read(spark: SparkSession, dir: String): Loaded = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, s"AnnIndex: no centroids under $dir")
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val codebooks = cbRows.groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
+    Loaded(cents, codebooks, spark.read.parquet(s"$dir/coded"))
+  }
+
+  /** Batch ANN over a loaded index — delegates to the coded-input
+    * scorer, so results are bit-identical to the inline path. */
+  def queryBatch(
+      index: Loaded,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame =
+    Similarity.ivfPqTopKBatchCoded(queries, index.coded, queryIdCol,
+      queryVecCol, k, index.centroids, index.codebooks, nprobe)
+}
