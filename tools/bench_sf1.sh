@@ -26,7 +26,7 @@ cd "$(dirname "$0")/.."
 SF1_DIR="${SF1_DIR:-/tmp/sf1}"
 TAG="${TAG:-r06}"
 BASE_JSON="${BASE_JSON:-BENCH_r05.json}"
-PAIR_EXCLUDE="q_dedup_minhash,q_dedup_ngram_jaccard,q_dedup_simhash,q_dedup_editdist,q_dedup_embedding,q_dedup_keep_one,q_dedup_keep_best,q_dedup_components"
+PAIR_EXCLUDE="q_dedup_minhash,q_dedup_ngram_jaccard,q_dedup_simhash,q_dedup_editdist,q_dedup_embedding,q_dedup_keep_one,q_dedup_keep_best,q_dedup_components,q_dedup_cluster_sizes"
 
 if [ ! -f "$SF1_DIR/lineitem.parquet" ]; then
   echo "=== building $SF1_DIR from /root/testdata/sf0.1 (10 replicas, key offsets) ==="
