@@ -154,6 +154,33 @@ object Funnel {
       .select("item_a", "item_b", "n_ab", "lift")
   }
 
+  /** Append the per-user gap-session ordinal (`outputCol`, 1-based):
+    * a new session starts at each event whose distance to the user's
+    * previous event exceeds `gapUs`. THE single definition of the
+    * engine's batch gap rule — the sessionize/session-stats/paths/
+    * interval-session queries all ride this helper, so the rule
+    * can't drift between surfaces. `tsCol` is numeric (epoch micros;
+    * pass `unix_micros(ts)` upstream); ties order on `idCol`. One
+    * user-keyed sort window. */
+  def withSessionSeq(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      gapUs: Long,
+      outputCol: String = "session_seq"): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive: $gapUs")
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val prev = lag(col(tsCol), 1).over(byUser)
+    events
+      .withColumn("__new",
+        when(prev.isNull || col(tsCol) - prev > gapUs, 1L).otherwise(0L))
+      .withColumn(outputCol, sum(col("__new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+
   /** Common session paths: gap-sessionize each user's stream
     * (`gapUs` inactivity split, (ts, id)-ordered), render each
     * session as its ordered `typeCol` sequence joined with ">", and
@@ -178,15 +205,7 @@ object Funnel {
       idCol: String,
       gapUs: Long,
       minCount: Long = 1L): DataFrame = {
-    require(gapUs > 0, s"gapUs must be positive: $gapUs")
-    val byUser = Window.partitionBy(col(userCol))
-      .orderBy(col(tsCol).asc, col(idCol).asc)
-    val prev = lag(col(tsCol), 1).over(byUser)
-    events
-      .withColumn("__new",
-        when(prev.isNull || col(tsCol) - prev > gapUs, 1L).otherwise(0L))
-      .withColumn("__seq", sum(col("__new"))
-        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSessionSeq(events, userCol, tsCol, idCol, gapUs, "__seq")
       .groupBy(col(userCol), col("__seq"))
       .agg(array_sort(collect_list(struct(
         col(tsCol).as("t"), col(idCol).as("i"), col(typeCol).as("e")))).as("__arr"))

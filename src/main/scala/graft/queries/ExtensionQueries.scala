@@ -1385,22 +1385,15 @@ object ExtensionQueries {
     * join, so the first-shared-bin dedup is continuously re-proven
     * exact. */
   private val qIntervalOverlap: Q = (s, dir) => {
-    def sessions(types: Seq[String], p: String): DataFrame = {
-      val w = Window.partitionBy(s"${p}u")
-        .orderBy(col(s"${p}t").asc, col(s"${p}id").asc)
-      events(s, dir).filter(col("event_type").isin(types: _*))
-        .select(col("user_id").as(s"${p}u"),
-          unix_micros(col("ts")).as(s"${p}t"), col("event_id").as(s"${p}id"))
-        .withColumn("__new",
-          when(lag(col(s"${p}t"), 1).over(w).isNull ||
-            col(s"${p}t") - lag(col(s"${p}t"), 1).over(w) > 1800000000L, 1L)
-            .otherwise(0L))
-        .withColumn(s"${p}seq", sum(col("__new"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def sessions(types: Seq[String], p: String): DataFrame =
+      graft.operators.Funnel.withSessionSeq(
+        events(s, dir).filter(col("event_type").isin(types: _*))
+          .select(col("user_id").as(s"${p}u"),
+            unix_micros(col("ts")).as(s"${p}t"), col("event_id").as(s"${p}id")),
+        s"${p}u", s"${p}t", s"${p}id", 1800000000L, s"${p}seq")
         .groupBy(s"${p}u", s"${p}seq")
         .agg((min(col(s"${p}t")) - 1800000000L).as(s"${p}lo"),
           (max(col(s"${p}t")) + 1800000000L).as(s"${p}hi"))
-    }
     graft.operators.RangeJoin.intervalOverlap(
       sessions(Seq("click", "view"), "b"),
       sessions(Seq("purchase", "signup"), "x"),

@@ -526,19 +526,17 @@ object ParityQueries {
   }
 
   /** Batch sessionization (30-min inactivity gap) — the oracle-checkable
-    * twin of the Structured Streaming sessionizer in graft.streaming. */
-  private val qEventsSessionize: Q = (s, dir) => {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    val prev = lag(col("ts"), 1).over(byUser)
-    val isNew = when(prev.isNull || unix_micros(col("ts")) - unix_micros(prev) > 1800000000L, 1)
-      .otherwise(0)
-    events(s, dir)
-      .withColumn("__new", isNew)
-      .withColumn("session_seq",
-        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("bigint"))
+    * twin of the Structured Streaming sessionizer in graft.streaming.
+    * The gap rule itself lives in ONE place
+    * ([[graft.operators.Funnel.withSessionSeq]]) shared with the
+    * session-stats/paths/interval-session queries; ordering by the
+    * micros projection is order-identical to ordering by the raw
+    * timestamp. */
+  private val qEventsSessionize: Q = (s, dir) =>
+    graft.operators.Funnel.withSessionSeq(
+      events(s, dir).withColumn("__ts_us", unix_micros(col("ts"))),
+      "user_id", "__ts_us", "event_id", 1800000000L)
       .select("user_id", "event_id", "session_seq")
-  }
 
   /** Per-session rollup on top of [[qEventsSessionize]]'s assignment:
     * event count, span, and exact-quantized value mass per
@@ -547,15 +545,9 @@ object ParityQueries {
     * sessionized frame (map-side partials; the window's user_id
     * partitioning is reused by the aggregate's shuffle key prefix). */
   private val qEventsSessionStats: Q = (s, dir) => {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    val prev = lag(col("ts"), 1).over(byUser)
-    val isNew = when(prev.isNull || unix_micros(col("ts")) - unix_micros(prev) > 1800000000L, 1)
-      .otherwise(0)
-    events(s, dir)
-      .withColumn("__new", isNew)
-      .withColumn("session_seq",
-        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("bigint"))
+    graft.operators.Funnel.withSessionSeq(
+      events(s, dir).withColumn("__ts_us", unix_micros(col("ts"))),
+      "user_id", "__ts_us", "event_id", 1800000000L)
       .groupBy("user_id", "session_seq")
       .agg(
         count(lit(1)).as("n_events"),
