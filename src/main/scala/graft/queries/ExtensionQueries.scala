@@ -519,11 +519,20 @@ object ExtensionQueries {
     * answer to "how duplicated is this corpus", and the sanity gauge
     * on any dedup threshold change (a size histogram that suddenly
     * grows a 10 000-member cluster means the threshold, not the
-    * data). Rides the same closure the components query oracles. */
+    * data). Rides the same closure the components query oracles, but
+    * with `maxBucketSize` SET (unlike the pair-auditing components
+    * query): a census is exactly the query you run on a
+    * mass-duplicated corpus, where uncapped LSH buckets go quadratic
+    * — the 10×-replicated sf1 fixture measured 15.7× for 10× rows
+    * uncapped. Cap 12 binds on the 4 largest of the 64 sf0.01
+    * buckets (sizes 13–16), so the capped replay is load-bearing in
+    * the oracle itself, not just at scale; rows from dropped
+    * mega-buckets are still COUNTED (as singletons unless paired
+    * through a surviving bucket), so the census stays total. */
   private val qDedupClusterSizes: Q = (s, dir) => {
     val comps = Dedup.connectedComponents(
       Dedup.embeddingNearDupPairs(pq(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.2, numPlanes = 6))
+        threshold = 0.2, numPlanes = 6, maxBucketSize = Some(12)))
     val labeled = pq(s, dir, "embeddings").select(col("vec_id"))
       .join(comps, col("vec_id") === col("id"), "left")
       .select(coalesce(col("rep"), col("vec_id")).as("rep"))
@@ -1882,12 +1891,18 @@ object ExtensionQueries {
        |ORDER BY cosine DESC, id ASC LIMIT 10""".stripMargin
   }
 
-  private val dedupEmbeddingSql: String = {
+  /** Embedding near-dup pairs SQL, cap-parameterized: `cap` replays
+    * `Dedup.capBuckets` (rows in LSH buckets larger than the cap
+    * never pair — the same count-over-bucket window filter). */
+  private def embeddingPairsSql(cap: Option[Int]): String = {
     val planes = graft.functions.SimilarityFunctions.hyperplanes(6, DIM, 42L)
+    val capFilter = cap
+      .map(n => s" QUALIFY count(*) OVER (PARTITION BY bucket) <= $n")
+      .getOrElse("")
     s"""WITH p AS (SELECT vec_id AS id, embedding AS vec,
        |                  sqrt(${dotSql("embedding", "embedding")}) AS nrm,
        |                  ${bucketSql("embedding", planes)} AS bucket
-       |           FROM embeddings)
+       |           FROM embeddings$capFilter)
        |SELECT id_a, id_b, cosine FROM (
        |  SELECT a.id AS id_a, b.id AS id_b,
        |    CASE WHEN a.nrm * b.nrm > 0.0
@@ -1896,6 +1911,8 @@ object ExtensionQueries {
        |  FROM p a JOIN p b ON a.bucket = b.bucket AND a.id < b.id) t
        |WHERE cosine >= 0.2""".stripMargin
   }
+
+  private val dedupEmbeddingSql: String = embeddingPairsSql(None)
 
   /** Mirrors [[qDedupIncrementalEmb]]: the [[dedupEmbeddingSql]]
     * bucket/norm projection with the self-join replaced by a
@@ -4178,8 +4195,8 @@ object ExtensionQueries {
     * propagates, and min(label) per id = the component's minimum id —
     * exactly Dedup.connectedComponents' min-label fixpoint (integer
     * arithmetic only, so the match is exact by construction). */
-  private val dedupComponentsSql: String =
-    s"""WITH RECURSIVE pairs AS MATERIALIZED ($dedupEmbeddingSql),
+  private def dedupComponentsSqlFor(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED ($pairsSql),
        |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION ALL SELECT id_b, id_a FROM pairs),
        |labels(id, label) AS (
@@ -4189,13 +4206,18 @@ object ExtensionQueries {
        |)
        |SELECT id, min(label) AS rep FROM labels GROUP BY id""".stripMargin
 
-  /** Mirrors [[qDedupClusterSizes]]: the recursive closure as a
-    * derived table, singletons joined in from the full vector
-    * universe, then the size-of-sizes double aggregate. */
+  private val dedupComponentsSql: String =
+    dedupComponentsSqlFor(dedupEmbeddingSql)
+
+  /** Mirrors [[qDedupClusterSizes]]: the recursive closure over the
+    * CAPPED pairs (maxBucketSize=12 replayed by the QUALIFY bucket
+    * filter in [[embeddingPairsSql]]) as a derived table, singletons
+    * joined in from the full vector universe, then the size-of-sizes
+    * double aggregate. */
   private val dedupClusterSizesSql: String =
     s"""WITH lab AS MATERIALIZED (
        |  SELECT coalesce(c.rep, e.vec_id) AS rep
-       |  FROM embeddings e LEFT JOIN ($dedupComponentsSql) c
+       |  FROM embeddings e LEFT JOIN (${dedupComponentsSqlFor(embeddingPairsSql(Some(12)))}) c
        |    ON e.vec_id = c.id),
        |sz AS (SELECT rep, count(*) AS size FROM lab GROUP BY 1)
        |SELECT size, count(*) AS n_clusters FROM sz GROUP BY 1""".stripMargin

@@ -12,10 +12,12 @@
 # copies, so uncapped pair OUTPUT is ~100x by construction — measuring
 # it again per round re-measures the fixture, not the code (the
 # one-off measurements, with and without maxBucketSize, are recorded
-# in BASELINE.md: 466 -> 9.5 s etc.). The CAPPED pair query
-# (q_dedup_minhash_capped) stays in: it is the documented mitigation
-# running against the exact pathology it exists for. Override with
-# SPARK_GRAFT_EXCLUDE= (empty) to time everything.
+# in BASELINE.md: 466 -> 9.5 s etc.). The CAPPED queries
+# (q_dedup_minhash_capped, and q_dedup_cluster_sizes since round 8 —
+# its census pairs now run with maxBucketSize=12) stay in: they are
+# the documented mitigation running against the exact pathology it
+# exists for. Override with SPARK_GRAFT_EXCLUDE= (empty) to time
+# everything.
 #
 # Output: BENCH_sf1_${TAG}.json (one Bench JSON line) plus a
 # per-query 10x-ratio table against BASE_JSON (default BENCH_r05.json,
@@ -26,7 +28,7 @@ cd "$(dirname "$0")/.."
 SF1_DIR="${SF1_DIR:-/tmp/sf1}"
 TAG="${TAG:-r06}"
 BASE_JSON="${BASE_JSON:-BENCH_r05.json}"
-PAIR_EXCLUDE="q_dedup_minhash,q_dedup_ngram_jaccard,q_dedup_simhash,q_dedup_editdist,q_dedup_embedding,q_dedup_keep_one,q_dedup_keep_best,q_dedup_components,q_dedup_cluster_sizes"
+PAIR_EXCLUDE="q_dedup_minhash,q_dedup_ngram_jaccard,q_dedup_simhash,q_dedup_editdist,q_dedup_embedding,q_dedup_keep_one,q_dedup_keep_best,q_dedup_components"
 
 if [ ! -f "$SF1_DIR/lineitem.parquet" ]; then
   echo "=== building $SF1_DIR from /root/testdata/sf0.1 (10 replicas, key offsets) ==="
