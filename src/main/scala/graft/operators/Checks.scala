@@ -193,7 +193,9 @@ object Checks {
     * Digits a group never produced still appear with n_obs 0 — a
     * missing leading digit is the strongest signal there is. Values
     * must be positive integers (cents, counts); non-positive rows
-    * are excluded from both counts.
+    * are excluded from both counts, but a group whose values are ALL
+    * non-positive still reports (nine n_total=0, n_obs=0 rows) —
+    * never silently vanishes from the audit.
     *
     * All-integer arithmetic end to end, so the report replays
     * bit-for-bit in SQL. Benford is a screen, not a verdict —
@@ -217,7 +219,13 @@ object Checks {
         substring(col(valueCol).cast("long").cast("string"), 1, 1).cast("int"))
     val obs = pos.groupBy(col(groupCol), col("digit"))
       .agg(count(lit(1)).as("n_obs"))
-    val grid = pos.groupBy(col(groupCol)).agg(count(lit(1)).as("n_total"))
+    // group universe from the RAW frame: a group whose values are all
+    // non-positive still reports (nine n_total=0 rows) — on a
+    // data-quality surface a vanished group would read as "nothing to
+    // audit" rather than "all values invalid"
+    val grid = df.groupBy(col(groupCol))
+      .agg(sum(when(col(valueCol).cast("long") > 0, 1L).otherwise(0L))
+        .as("n_total"))
       .select(col(groupCol), col("n_total"),
         posexplode(typedLit(benfordPermille)))
       .withColumnRenamed("col", "expected_permille")

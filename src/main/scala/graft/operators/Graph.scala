@@ -176,11 +176,13 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** Per-node degree profile of a directed edge list (unique
-    * (src, dst) pairs — aggregate multi-edges first): out/in degree,
-    * out/in weight mass, and the reciprocal-edge count (neighbors
-    * with BOTH directions present — the mutuality signal that
-    * separates a broadcast hub from a trading partner). All-integer;
+  /** Per-node degree profile of a directed edge list: out/in degree,
+    * out/in weight mass, and the reciprocal-partner count (DISTINCT
+    * neighbors b != a with BOTH directions present — the mutuality
+    * signal that separates a broadcast hub from a trading partner;
+    * self-loops never count as reciprocal, and multi-edges are
+    * deduped inside the reciprocity join so they can't multiply it —
+    * degree/weight columns DO count every edge row). All-integer;
     * nodes appearing on only one side still report, zeros filled.
     *
     * Scale posture: two node-keyed aggregates plus one edge-vs-
@@ -197,10 +199,17 @@ object Graph {
       .agg(count(lit(1)).as("out_degree"), sum(w).as("out_weight"))
     val in = edges.groupBy(col(dstCol).cast("long").as("node"))
       .agg(count(lit(1)).as("in_degree"), sum(w).as("in_weight"))
+    // n_reciprocal = distinct neighbors b != a with BOTH (a,b) and
+    // (b,a) present: self-loops are excluded (an (x,x) edge would
+    // equi-join its own reversal), and the distinct on each side
+    // keeps multi-edges from multiplying the count — both aggregates
+    // land on the same (a,b) hash partitioning the join needs.
     val recip = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
       .join(edges.select(col(dstCol).cast("long").as("a"),
-        col(srcCol).cast("long").as("b")), Seq("a", "b"))
+        col(srcCol).cast("long").as("b"))
+        .filter(col("a") =!= col("b")).distinct(), Seq("a", "b"))
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("n_reciprocal"))
     out.join(in, Seq("node"), "full")
       .join(recip, Seq("node"), "left")

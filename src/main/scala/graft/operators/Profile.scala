@@ -662,7 +662,11 @@ object Profile {
       .withColumn("__n", count(lit(1)).over(whole))
     val ref = ranked.filter(col(groupCol) === lit(refGroup))
       .select(col("__r").as("__ref_r"), col(valueCol).as("mapped_value"))
-    val refN = ref.count() // driver scalar: one group's row count
+    // driver scalar: one group's row count, taken from the RAW frame
+    // so the eager action scans only the filtered group (predicate
+    // pushed to the source) rather than executing the corpus-wide
+    // rank window a second time
+    val refN = df.filter(col(groupCol) === lit(refGroup)).count()
     require(refN > 0, s"reference group '$refGroup' is empty")
     ranked
       .withColumn("__target",

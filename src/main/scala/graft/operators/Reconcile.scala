@@ -252,10 +252,16 @@ object Reconcile {
 
   import org.apache.spark.sql.types._
 
-  /** Numeric widening lattice for [[unionEvolved]]: the standard
-    * lossless promotions (byte→short→int→long, int→double via long,
-    * float→double). Date→timestamp is deliberately NOT here — it
-    * needs a timezone decision the caller must make. */
+  /** Numeric widening lattice for [[unionEvolved]]: the LOSSLESS
+    * promotions only (byte→short→int→long; byte/short/int + float →
+    * double; float→double). long vs float/double is deliberately
+    * IRRECONCILABLE: a double's 53-bit mantissa rounds longs beyond
+    * 2^53, so a BIGINT id column unioned against a DOUBLE vintage
+    * would be silently corrupted — that's a schema conflict the
+    * caller must resolve, exactly like string-vs-long (SQL engines
+    * coerce here; a reload pipeline must not). Date→timestamp is
+    * also deliberately NOT here — it needs a timezone decision the
+    * caller must make. */
   private val widenRank: Map[DataType, Int] = Map(
     ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3,
     FloatType -> 4, DoubleType -> 5)
@@ -264,18 +270,23 @@ object Reconcile {
     if (a == b) Some(a)
     else (widenRank.get(a), widenRank.get(b)) match {
       case (Some(ra), Some(rb)) =>
-        val t = if (ra >= rb) a else b
-        // integral + float → double (float can't hold every long)
-        if (Set(a, b).contains(FloatType) &&
-          Set(a, b).exists(x => x != FloatType && widenRank(x) <= 3)) Some(DoubleType)
-        else Some(t)
+        val both = Set(a, b)
+        // long + float/double rounds beyond 2^53 — fail fast, not coerce
+        if (both.contains(LongType) &&
+          both.exists(x => x == FloatType || x == DoubleType)) None
+        // smaller integral + float → double (float's 24-bit mantissa
+        // can't even hold every int; double holds all of them exactly)
+        else if (both.contains(FloatType) &&
+          both.exists(x => widenRank(x) <= 3)) Some(DoubleType)
+        else Some(if (ra >= rb) a else b)
       case _ => None
     }
 
   /** Schema-evolution-safe union of table vintages: columns align BY
     * NAME, a column missing from a vintage arrives as NULL, and
     * same-named columns of different numeric types widen through the
-    * standard lossless lattice (int→long, anything-vs-float→double).
+    * lossless lattice (int→long, int-or-float-vs-float→double;
+    * long-vs-float/double fails fast — see [[widenRank]]).
     * A same-named column whose types DON'T reconcile (string vs
     * long, array vs struct) fails fast with both types named —
     * silent coercion is how a reload corrupts a column. This is the

@@ -3138,16 +3138,18 @@ object ExtensionQueries {
     * decimal string, the permille table via unnest, zero-filled
     * (group × digit) grid, and the all-integer deviation/flag. */
   private val qualityBenfordSql: String =
-    s"""WITH pos AS MATERIALIZED (
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT o_orderpriority,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders),
+       |pos AS MATERIALIZED (
        |  SELECT o_orderpriority, CAST(left(CAST(cents AS VARCHAR), 1) AS INTEGER) AS digit
-       |  FROM (SELECT o_orderpriority,
-       |          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-       |        FROM orders) t
-       |  WHERE cents > 0),
+       |  FROM raw WHERE cents > 0),
        |obs AS (SELECT o_orderpriority, digit, count(*) AS n_obs
        |        FROM pos GROUP BY 1, 2),
-       |tot AS (SELECT o_orderpriority, count(*) AS n_total
-       |        FROM pos GROUP BY 1),
+       |tot AS (SELECT o_orderpriority,
+       |          CAST(sum(CASE WHEN cents > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_total
+       |        FROM raw GROUP BY 1),
        |e AS (SELECT unnest(range(1, 10)) AS digit,
        |        unnest([301, 176, 125, 97, 79, 67, 58, 51, 46]) AS expected_permille),
        |grid AS (SELECT t.o_orderpriority, t.n_total,
@@ -3303,8 +3305,8 @@ object ExtensionQueries {
   }
 
   /** Mirrors [[qGraphDegrees]]: the same aggregated trade edges,
-    * side aggregates, reversed-edge equi join for reciprocity, and
-    * zero-coalesced full join. */
+    * side aggregates, self-loop-excluded deduped reversed-edge equi
+    * join for reciprocity, and zero-coalesced full join. */
   private val graphDegreesSql: String =
     s"""WITH edges AS MATERIALIZED (
        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
@@ -3318,7 +3320,9 @@ object ExtensionQueries {
        |i2 AS (SELECT dst AS node, count(*) AS in_degree,
        |         CAST(sum(w) AS BIGINT) AS in_weight FROM edges GROUP BY 1),
        |r2 AS (SELECT e.src AS node, count(*) AS n_reciprocal
-       |       FROM edges e JOIN edges x ON e.src = x.dst AND e.dst = x.src
+       |       FROM (SELECT DISTINCT src, dst FROM edges WHERE src <> dst) e
+       |       JOIN (SELECT DISTINCT src, dst FROM edges WHERE src <> dst) x
+       |         ON e.src = x.dst AND e.dst = x.src
        |       GROUP BY 1)
        |SELECT CAST(coalesce(o2.node, i2.node) AS BIGINT) AS node,
        |  coalesce(out_degree, 0) AS out_degree,

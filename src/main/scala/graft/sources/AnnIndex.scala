@@ -23,7 +23,9 @@ import graft.operators.Similarity
   *
   * Write discipline: tables land in `<dir>.staging` and the
   * directory is swapped in last (the ParquetDirIO pattern) so a
-  * crash mid-build never leaves a half-index a reader could load.
+  * crash mid-build never leaves a half-index a reader could load,
+  * and a rebuild over an existing index moves the old copy aside
+  * before the swap, so no crash point loses BOTH copies.
   *
   * Scale posture: the build is one corpus scan (assign + encode,
   * zero shuffles) plus driver-side centroid training on a bounded
@@ -75,10 +77,24 @@ object AnnIndex {
     }.toSeq.toDF("subspace", "code", "vec")
       .write.mode("overwrite").parquet(s"$staging/codebooks")
     coded.write.mode("overwrite").parquet(s"$staging/coded")
+    // Swap order preserves the previous good index at every step:
+    // the old target moves ASIDE (never deleted before the new one
+    // is in place), staging renames in, then the aside copy goes. A
+    // crash mid-swap leaves either the old index at <dir> (step 1
+    // not reached), or a complete index at <dir>.old + the built one
+    // at <dir>.staging (between renames) — never zero copies. NB:
+    // directory rename is atomic on HDFS/POSIX but a COPY on object
+    // stores; run rebuilds against a new dir there and repoint.
     val target = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(target, true)
+    val aside = new org.apache.hadoop.fs.Path(dir + ".old")
+    fs.delete(aside, true)
+    val hadPrevious = fs.exists(target)
+    if (hadPrevious) require(fs.rename(target, aside),
+      s"AnnIndex: could not move previous index aside for $dir")
     require(fs.rename(new org.apache.hadoop.fs.Path(staging), target),
-      s"AnnIndex: staging swap failed for $dir")
+      s"AnnIndex: staging swap failed for $dir" +
+        (if (hadPrevious) s" — previous index preserved at $dir.old" else ""))
+    if (hadPrevious) fs.delete(aside, true)
     read(spark, dir)
   }
 

@@ -49,5 +49,8 @@ class AnnIndexSpec extends SparkSpec {
       nlist = 8, m = 8)
     assert(second.centroids.length == 8)
     assert(AnnIndex.read(spark, dir).centroids.length == 8)
+    assert(!new java.io.File(dir + ".old").exists,
+      "aside copy must be cleaned up after a successful swap")
+    assert(!new java.io.File(dir + ".staging").exists)
   }
 }

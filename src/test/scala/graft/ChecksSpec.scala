@@ -184,16 +184,23 @@ class ChecksSpec extends SparkSpec {
   test("benford: zero-filled digit grid, exact deviations, non-positive rows excluded") {
     val d = df("g STRING, v BIGINT",
       Row("a", 1L), Row("a", 19L), Row("a", 123L), Row("a", 2000L),
-      Row("a", 999L), Row("a", -5L), Row("a", 0L))
-    val rows = Checks.benford(d, "g", "v", tolerancePermille = 15)
-      .collect().map(r => r.getInt(1) ->
-        ((r.getLong(4), r.getLong(2), r.getInt(3), r.getLong(5), r.getBoolean(6)))).toMap
+      Row("a", 999L), Row("a", -5L), Row("a", 0L),
+      Row("dead", -1L), Row("dead", 0L))
+    val all = Checks.benford(d, "g", "v", tolerancePermille = 15).collect()
+    val rows = all.filter(_.getString(0) == "a").map(r => r.getInt(1) ->
+      ((r.getLong(4), r.getLong(2), r.getInt(3), r.getLong(5), r.getBoolean(6)))).toMap
     assert(rows.size == 9, "all nine digits appear even when unobserved")
     // positives: 1, 19, 123, 2000, 999 -> digits 1,1,1,2,9; n_total = 5
     assert(rows(1) == ((3L, 5L, 301, 3L * 1000 - 5L * 301, true)))
     assert(rows(2) == ((1L, 5L, 176, 1L * 1000 - 5L * 176, true)))
     assert(rows(9) == ((1L, 5L, 46, 1L * 1000 - 5L * 46, true)))
     assert(rows(3) == ((0L, 5L, 125, -5L * 125, true)))
+    // a group whose values are ALL non-positive still reports: nine
+    // n_total=0 rows, nothing suspicious — not a silent omission
+    val dead = all.filter(_.getString(0) == "dead")
+    assert(dead.length == 9)
+    assert(dead.forall(r => r.getLong(4) == 0L && r.getLong(2) == 0L
+      && r.getLong(5) == 0L && !r.getBoolean(6)))
   }
 
   test("weightedMedian: lower median on even mass, heavy weights pull the pick") {
@@ -282,7 +289,7 @@ class ChecksSpec extends SparkSpec {
 
   test("unionEvolved: widens by the lattice, null-fills, fails fast on conflicts") {
     val a = df("k INT, v FLOAT", Row(1, 1.5f))
-    val b = df("k BIGINT, v BIGINT, extra STRING", Row(2L, 7L, "x"))
+    val b = df("k BIGINT, v INT, extra STRING", Row(2L, 7, "x"))
     val u = Reconcile.unionEvolved(Seq(a, b))
     assert(u.schema.map(f => f.name -> f.dataType.sql).toMap ==
       Map("k" -> "BIGINT", "v" -> "DOUBLE", "extra" -> "STRING"))
@@ -293,6 +300,16 @@ class ChecksSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Reconcile.unionEvolved(Seq(a, bad)))
     assert(e.getMessage.contains("irreconcilable"))
+    // long vs double would round ids beyond 2^53 — a conflict, not a
+    // coercion (and long vs float likewise)
+    val idsAsLong = df("id BIGINT", Row(9007199254740993L))
+    val idsAsDouble = df("id DOUBLE", Row(1.0d))
+    val e2 = intercept[IllegalArgumentException](
+      Reconcile.unionEvolved(Seq(idsAsLong, idsAsDouble)))
+    assert(e2.getMessage.contains("irreconcilable"))
+    val idsAsFloat = df("id FLOAT", Row(1.0f))
+    intercept[IllegalArgumentException](
+      Reconcile.unionEvolved(Seq(idsAsLong, idsAsFloat)))
   }
 
   test("linearTrend: exact closed-form fit; degenerate keys report NULL slope") {
