@@ -20,39 +20,50 @@ import graft.functions.TextFunctions
   * merge applies greedily left-to-right non-overlapping, matching the
   * reference BPE implementation exactly.
   *
-  * Representation: a word's current symbol split lives as the string
-  * `<s1><s2>...<sk>` — merging pair (a,b) is then literally
+  * Representation: a word's symbol split is exchanged as the string
+  * `<s1><s2>...<sk>` — merging pair (a,b) in that form is literally
   * `replace(symseq, "<a><b>", "<ab>")`, whose all-occurrences
   * left-to-right non-overlapping scan IS the greedy BPE merge, with
   * identical semantics in Spark and DuckDB (adjacent matches cannot
-  * overlap through the `<`/`>` walls). Words are restricted to
-  * `^[a-z0-9]+$` so the wrapper chars can never collide with symbol
-  * text (pre-tokenizers split punctuation off anyway).
+  * overlap through the `<`/`>` walls); the driver-local trainer walks
+  * the equivalent symbol ARRAY with the same left-to-right
+  * non-overlapping rule, so the two representations replay each
+  * other bit-for-bit. Words are restricted to `^[a-z0-9]+$` so the
+  * wrapper chars can never collide with symbol text (pre-tokenizers
+  * split punctuation off anyway).
   *
   * Scale posture: the ONLY corpus-scale work is the initial word
   * count (one map-side-combined hash aggregate; shuffle volume =
-  * distinct words, not corpus). Every merge round then runs on the
-  * vocabulary-sized word table: one projected pair-explode +
-  * aggregate (|vocab|·avg_len rows) and a 1-row argmax collect —
-  * training cost is O(vocab · merges), independent of corpus size.
-  * The word table persists once; each round's lineage adds one
-  * `replace` projection on top of the persisted base.
+  * distinct words, not corpus). The aggregated word table is
+  * VOCABULARY-sized by construction, so it collects to the driver
+  * once (bounded by `maxVocab` — see [[trainLoop]] for the memory
+  * arithmetic) and the merge/argmax loop runs as a local incremental
+  * algorithm: a lazy-deletion max-heap over pair counts plus a
+  * pair→words index, so each merge costs O(words containing the
+  * pair), not O(vocab) — and launches ZERO Spark jobs. A 32k-merge
+  * production tokenizer is then seconds of driver CPU instead of
+  * ~64k scheduler-bound jobs (the round-7 shape: ~2 jobs per merge).
+  * Corpus segmentation with the learned table ([[segment]]) stays
+  * distributed.
   */
 object Bpe {
 
-  /** (word, freq, symseq) over the corpus — the persisted base of the
-    * merge loop. */
+  /** (word, freq) over the corpus — the one corpus-scale aggregate. */
   private def wordTable(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("symseq", regexp_replace(col("word"), "(.)", "<$1>"))
 
   /** Train `numMerges` BPE merges over `textCol`'s whitespace words.
     * Returns the merge table ordered by `merge_idx`; stops early if
-    * the vocabulary runs out of adjacent pairs. */
-  def train(df: DataFrame, textCol: String, numMerges: Int): DataFrame =
-    trainLoop(df, textCol, numMerges)._1
+    * the vocabulary runs out of adjacent pairs. `maxVocab` bounds the
+    * driver-side word-table collect (throws if exceeded). */
+  def train(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxVocab: Int = defaultMaxVocab): DataFrame =
+    trainLoop(df, textCol, numMerges, maxVocab)._1
 
   /** The trained SEGMENTATION — each corpus word with its subword
     * split after `numMerges` learned merges (the inference half, run
@@ -61,62 +72,168 @@ object Bpe {
     * form, `n_subwords` its length — the tokenizer-cost statistic
     * the regex proxy [[graft.functions.TextFunctions.subwordCount]]
     * only approximates. */
-  def trainAndSegment(df: DataFrame, textCol: String, numMerges: Int): DataFrame =
-    trainLoop(df, textCol, numMerges)._2
-      .select(col("word"), col("freq"),
-        size(regexp_extract_all(col("symseq"), lit("<([^>]*)>"), lit(1)))
-          .cast("bigint").as("n_subwords"),
-        col("symseq"))
+  def trainAndSegment(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxVocab: Int = defaultMaxVocab): DataFrame =
+    trainLoop(df, textCol, numMerges, maxVocab)._2
 
+  /** Default driver-collect bound for the aggregated word table.
+    * Memory arithmetic: the trainer's state is the word array plus a
+    * pair-count map and a pair→word-index whose total entry count is
+    * Σ per-word adjacent pairs ≈ vocab · avg_word_len — at 2M words
+    * × ~8 symbols that is ~16M boxed ints + ~hundreds of MB of
+    * short-string map keys, comfortably inside the training driver's
+    * heap (8 GiB default here). Raise it deliberately, with the
+    * driver sized to match; real tokenizer corpora pre-filter to
+    * ~100k–1M distinct words anyway. */
+  val defaultMaxVocab: Int = 2000000
+
+  /** Driver-local incremental BPE trainer. Returns (merge table,
+    * final segmented word table) — both vocabulary-sized, created as
+    * local DataFrames.
+    *
+    * Algorithm (the standard efficient trainer, cf. subword-nmt's
+    * big_queue): pair counts live in a hash map; a max-heap of
+    * (count, a, b) snapshots with LAZY deletion picks each round's
+    * argmax (an entry is valid only if its count still matches the
+    * map — every count change pushes a fresh snapshot); a pair→word
+    * index (append-only, re-validated on use) finds the words to
+    * rewrite, so each merge touches only the words that contain the
+    * pair. Semantics are bit-identical to the previous
+    * one-aggregate-per-round Spark loop: overlapping adjacent pair
+    * counting, greedy left-to-right non-overlapping merge
+    * application, (count DESC, a ASC, b ASC) argmax tie-break —
+    * ASCII-only symbols make Java string order, Spark binary order
+    * and DuckDB collation agree. */
   private def trainLoop(
       df: DataFrame,
       textCol: String,
-      numMerges: Int): (DataFrame, DataFrame) = {
-    require(numMerges >= 1 && numMerges <= 4096,
-      s"numMerges in [1,4096], got $numMerges")
+      numMerges: Int,
+      maxVocab: Int): (DataFrame, DataFrame) = {
+    require(numMerges >= 1 && numMerges <= 65536,
+      s"numMerges in [1,65536], got $numMerges")
+    require(maxVocab >= 1, s"maxVocab must be positive: $maxVocab")
     val spark = df.sparkSession
-    val base = wordTable(df, textCol).persist()
-    base.count() // materialize: N rounds must not rescan the corpus
-    try {
-      var cur = base
-      val merges = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, String, String, String, Long)]
-      var exhausted = false
-      var i = 0
-      while (i < numMerges && !exhausted) {
-        // pair counts: symbols projected in their own select, the
-        // explode in the NEXT one (the ExtractGenerator fan-out trap)
-        val syms = cur.select(col("freq"),
-          regexp_extract_all(col("symseq"), lit("<([^>]*)>"), lit(1)).as("__s"))
-          // single-symbol words have no pairs — and must not reach
-          // sequence(1, 0), whose inferred NEGATIVE step would emit
-          // descending indices instead of an empty array
-          .filter(size(col("__s")) > 1)
-        val top = syms
-          .select(col("freq"), explode(
-            transform(sequence(lit(1), size(col("__s")) - 1),
-              j => struct(
-                element_at(col("__s"), j).as("a"),
-                element_at(col("__s"), j + 1).as("b")))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((i.toLong, a, b, a + b, cnt))
-          cur = cur.withColumn("symseq",
-            org.apache.spark.sql.functions.replace(
-              col("symseq"), lit(s"<$a><$b>"), lit(s"<$a$b>")))
-        }
-        i += 1
+    // bounded collect: limit(maxVocab+1) returns the WHOLE table when
+    // it fits (and proves the overflow when it doesn't, without
+    // hauling an unbounded vocabulary onto the driver)
+    val collected = wordTable(df, textCol).limit(maxVocab + 1).collect()
+    require(collected.length <= maxVocab,
+      s"word table exceeds maxVocab=$maxVocab distinct words — " +
+        "pre-filter the corpus or raise maxVocab (and the driver heap)")
+    val freqs = collected.map(_.getLong(1))
+    val syms: Array[Array[String]] =
+      collected.map(_.getString(0).map(_.toString).toArray)
+
+    import scala.collection.mutable
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    def addOccurrences(w: Int): Unit = {
+      val s = syms(w); val f = freqs(w)
+      var j = 0
+      val seen = mutable.HashSet.empty[(String, String)]
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        pairCount.update(p, pairCount.getOrElse(p, 0L) + f)
+        if (seen.add(p)) pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += w
+        j += 1
       }
-      import spark.implicits._
-      (merges.toSeq
-        .toDF("merge_idx", "left_sym", "right_sym", "merged", "pair_count"),
-        cur)
-    } finally base.unpersist(blocking = false)
+    }
+    var w = 0
+    while (w < syms.length) { addOccurrences(w); w += 1 }
+
+    // max-heap: highest count first, then LEFT then RIGHT ascending
+    val heapOrd: Ordering[(Long, String, String)] = (x, y) => {
+      val c = java.lang.Long.compare(x._1, y._1)
+      if (c != 0) c
+      else {
+        val a = y._2.compareTo(x._2) // smaller left symbol = "greater"
+        if (a != 0) a else y._3.compareTo(x._3)
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    pairCount.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+
+    val merges = mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      // pop stale snapshots until the top matches the live count
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        if (c > 0 && pairCount.getOrElse((a, b), 0L) == c) top = Some((c, a, b))
+      }
+      top match {
+        case None => exhausted = true
+        case Some((cnt, a, b)) =>
+          merges += ((i.toLong, a, b, a + b, cnt))
+          val merged = a + b
+          val changed = mutable.HashSet.empty[(String, String)]
+          val candidates = pairWords.getOrElse((a, b), mutable.ArrayBuffer.empty)
+          val visited = mutable.HashSet.empty[Int]
+          candidates.foreach { w =>
+            if (visited.add(w)) {
+              val s = syms(w); val f = freqs(w)
+              // verify the (possibly stale) index entry and rewrite
+              // greedily left-to-right non-overlapping
+              var hasPair = false
+              var j = 0
+              while (!hasPair && j < s.length - 1) {
+                hasPair = s(j) == a && s(j + 1) == b; j += 1
+              }
+              if (hasPair) {
+                // retract every old adjacency of this word...
+                j = 0
+                while (j < s.length - 1) {
+                  val p = (s(j), s(j + 1))
+                  pairCount.update(p, pairCount(p) - f)
+                  changed += p; j += 1
+                }
+                val out = mutable.ArrayBuffer.empty[String]
+                j = 0
+                while (j < s.length) {
+                  if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+                    out += merged; j += 2
+                  } else { out += s(j); j += 1 }
+                }
+                val ns = out.toArray
+                syms(w) = ns
+                // ...and add back the new ones, indexing new pairs
+                j = 0
+                val seen = mutable.HashSet.empty[(String, String)]
+                while (j < ns.length - 1) {
+                  val p = (ns(j), ns(j + 1))
+                  pairCount.update(p, pairCount.getOrElse(p, 0L) + f)
+                  changed += p
+                  if (seen.add(p))
+                    pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += w
+                  j += 1
+                }
+              }
+            }
+          }
+          changed.foreach { p =>
+            val c = pairCount.getOrElse(p, 0L)
+            if (c <= 0L) { pairCount.remove(p); pairWords.remove(p) }
+            else heap.enqueue((c, p._1, p._2))
+          }
+          i += 1
+      }
+    }
+
+    import spark.implicits._
+    val mergeDf = merges.toSeq
+      .toDF("merge_idx", "left_sym", "right_sym", "merged", "pair_count")
+    val segmented = collected.indices
+      .map { w =>
+        (collected(w).getString(0), freqs(w), syms(w).length.toLong,
+          syms(w).map(s => s"<$s>").mkString)
+      }
+      .toDF("word", "freq", "n_subwords", "symseq")
+    (mergeDf, segmented)
   }
 
   /** Above this many merges the replace chain dispatches to a closure

@@ -1156,6 +1156,44 @@ class ExtensionSpec extends SparkSpec {
     assert(segs("widest") == ((1L, 4L, "<w><i><d><est>")))
   }
 
+  test("Bpe.train runs 1.5k merges driver-locally: bounded jobs, seconds of wall clock") {
+    // ~2.5k distinct 8-char synthetic words -> tens of thousands of
+    // adjacent-pair occurrences, thousands of available merges
+    val words = (0 until 2500).map { i =>
+      var x = i.toLong
+      val sb = new StringBuilder
+      (0 until 8).foreach { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append(('a' + ((x >>> 33) % 26)).toChar)
+      }
+      sb.toString
+    }.distinct
+    val t = df("doc_id BIGINT, text STRING", Row(1L, words.mkString(" ")))
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    val m =
+      try graft.operators.Bpe.train(t, "text", numMerges = 1500).collect()
+      finally {
+        Thread.sleep(2000) // let the async listener bus drain
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(m.length == 1500, s"expected 1500 merges, got ${m.length}")
+    // the pre-round-8 shape launched ~2 jobs PER MERGE (~3000 here);
+    // driver-local training launches only the word-table collect plus
+    // the merge-table materialization
+    assert(jobs <= 8, s"merge loop must not launch per-merge jobs, saw $jobs")
+    assert(secs < 60.0, s"1.5k merges took $secs s — not driver-local?")
+    // merge table is well-formed: indices 0..n-1, positive counts
+    assert(m.map(_.getLong(0)).toSeq == (0L until 1500L))
+    assert(m.forall(_.getLong(4) > 0L))
+  }
+
   test("Bpe.segment applies learned merges in order to unseen words") {
     val merges = Seq("l" -> "o", "lo" -> "w", "e" -> "s", "es" -> "t")
     val segs = graft.operators.Bpe.segment(
