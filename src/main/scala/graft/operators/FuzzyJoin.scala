@@ -213,18 +213,39 @@ object FuzzyJoin {
       .select("left_id", "right_id", "jw")
   }
 
+  /** Entity resolution over a value domain: fuzzy [[similarPairs]] →
+    * transitive closure → every input id labeled with its cluster's
+    * canonical (minimum) id as `entity_id`; unpaired ids map to
+    * themselves. The mapping comes back as a DISTRIBUTED frame — it
+    * is never collected, so the value domain may be unbounded.
+    *
+    * Block lifecycle: by default the mapping is materialized into its
+    * own persisted blocks (domain-sized — two longs per value) and
+    * everything upstream is released; the CALLER releases the result
+    * ([[Dedup.release]]) after its consuming action, or the blocks
+    * recompute the whole closure on the next read. With
+    * `checkpointDir` set the mapping is instead written as a reliable
+    * checkpoint — lineage-free, ZERO persisted blocks, nothing for
+    * the caller to release — the production shape for unbounded
+    * domains on long-lived sessions (the same knob
+    * [[Dedup.connectedComponents]] takes, threaded through). */
   def resolveEntities(
       df: DataFrame,
       idCol: String,
       strCol: String,
       threshold: Double,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
     val pairs = similarPairs(df, idCol, strCol, threshold, n)
-    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      checkpointDir = checkpointDir)
     val mapping = df.select(col(idCol).as("id"))
       .join(comps, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("rep"), col("id")).as("entity_id"))
-    val out = Dedup.persistMaterialize(mapping, eager = true)
+    val out = checkpointDir match {
+      case Some(_) => mapping.checkpoint() // eager, durable, lineage-free
+      case None => Dedup.persistMaterialize(mapping, eager = true)
+    }
     Dedup.release(comps)
     out
   }

@@ -1540,17 +1540,18 @@ object ExtensionQueries {
   private val qEntityResolution: Q = (s, dir) => {
     val ents = graft.operators.FuzzyJoin.resolveEntities(
       partNames(s, dir), "name_id", "p_name", threshold = 0.25)
-    // The mapping is |name domain| rows of two longs: collect it and
-    // RELEASE the persisted blocks now (FuzzyJoin's scaladoc asks the
-    // caller to), rather than leaking them until the harness sweep.
-    // The corpus join then broadcasts a LocalRelation — the same
-    // broadcast-only plan shape PlanGuardSpec pins.
-    val entRows = java.util.Arrays.asList(ents.collect(): _*)
-    val entSchema = ents.schema
-    graft.operators.Dedup.release(ents)
+    // Collect-free: the domain-sized mapping stays a DISTRIBUTED
+    // frame and enters the corpus join through a broadcast exchange
+    // of its persisted blocks — no driver materialization anywhere
+    // on the mapping path (PlanGuardSpec pins the no-LocalTableScan
+    // shape), so the same code runs with an unbounded value domain
+    // (drop the broadcast hint past the AQE threshold). The blocks
+    // are swept by the harness after the write; a production caller
+    // releases after its own action, or passes checkpointDir for the
+    // zero-release lineage-free path.
     pq(s, dir, "part").select("p_partkey", "p_name")
       .join(partNames(s, dir), Seq("p_name"))
-      .join(broadcast(s.createDataFrame(entRows, entSchema)), Seq("name_id"))
+      .join(broadcast(ents), Seq("name_id"))
       .select("p_partkey", "p_name", "entity_id")
   }
 

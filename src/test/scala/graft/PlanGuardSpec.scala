@@ -119,6 +119,38 @@ class PlanGuardSpec extends SparkSpec {
       s"similarPairs: no join keyed on gram: $keyLines\n$plan")
   }
 
+  test("q_entity_resolution's mapping path has no driver collect (no LocalTableScan)") {
+    // the collect-free contract: the entity mapping must enter the
+    // corpus join as a distributed frame behind a broadcast exchange
+    // — a LocalTableScan there means someone collected the (possibly
+    // unbounded) value domain onto the driver
+    val plan = planOf("q_entity_resolution")
+    try {
+      assert(!plan.contains("LocalTableScan"),
+        s"q_entity_resolution: driver-collected relation in the plan\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"q_entity_resolution: mapping join not broadcast\n$plan")
+    } finally spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  test("resolveEntities(checkpointDir) is lineage-free with zero persisted blocks") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val dir = java.nio.file.Files.createTempDirectory("graft_ents_ckpt").toString
+    val names = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(org.apache.spark.sql.functions.col("p_name")).distinct()
+      .withColumn("name_id",
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("p_name")))
+    val ents = graft.operators.FuzzyJoin.resolveEntities(
+      names, "name_id", "p_name", threshold = 0.25, checkpointDir = Some(dir))
+    assert(ents.count() > 0)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"checkpointed resolveEntities left persisted RDDs: $leaked")
+  }
+
   test("resolveEntities leaves no persisted blocks behind after release") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
