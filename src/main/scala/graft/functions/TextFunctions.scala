@@ -56,21 +56,75 @@ object TextFunctions {
   // ------------------------------------------------------------- redaction
 
   /** PII scrubbing patterns — training corpora are redacted before
-    * anything else touches them. Both are RE2-safe (character classes
-    * and counted repetition only — no lookaround, no backreferences)
-    * so the DuckDB oracle applies the IDENTICAL pattern. Deliberately
-    * conservative: emails and long digit-runs (phone/account
-    * numbers); real deployments layer more patterns the same way. */
+    * anything else touches them. ALL are RE2-safe (character classes,
+    * counted repetition and optional groups only — no lookaround, no
+    * backreferences) so the DuckDB oracle applies the IDENTICAL
+    * pattern, and both engines' default leftmost-first matching
+    * agrees. Each is deliberately a SCREEN, not a validator — a
+    * scrubber over-redacts rather than leaks (an IPv4-shaped version
+    * string or a MAC address caught by the IPv6 class is the accepted
+    * cost); [[redact]] fixes the application order so overlapping
+    * shapes resolve to the most specific class. */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+
+  /** Separator-structured phone shapes (NANP-style 3-3-4 with an
+    * optional `+`-prefixed country code, parens allowed on the area
+    * code). Requiring the separators keeps 8-digit order ids and
+    * ISO dates (4-2-2) out. */
+  val phonePattern =
+    "([+][0-9]{1,3}[ .-]?)?[(]?[0-9]{3}[)]?[ .-][0-9]{3}[ .-][0-9]{4}"
+
+  /** Dotted-quad IPv4 (screen semantics: 1-3 digits per octet, no
+    * 0-255 range check — RE2 has no lookaround to bound it cheaply). */
+  val ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Colon-grouped hex runs with >= 3 colons: full and `::`-compressed
+    * IPv6 (empty groups allowed), while clock times (2 colons) stay.
+    * MAC addresses match too — also an identifier worth scrubbing. */
+  val ipv6Pattern = "([0-9A-Fa-f]{0,4}:){3,7}[0-9A-Fa-f]{0,4}"
+
+  /** Id-number shapes: SSN-style 3-2-4 and payment-card-style
+    * 4x4 digit groups with space/dash separators. */
+  val ssnPattern = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val cardPattern = "[0-9]{4}([ -][0-9]{4}){3}"
+
+  /** Unstructured long digit-runs (account numbers, bare phone
+    * digits) — the catch-all that runs LAST. */
   val longNumberPattern = "[+]?[0-9][0-9 ()+-]{6,}[0-9]"
 
-  /** Replace emails then long digit-runs with typed placeholder
-    * tokens. Pure codegen'd `regexp_replace` — one pass over the
-    * text, no UDF, scales with scan bytes. */
-  def redact(text: Column): Column =
-    regexp_replace(
-      regexp_replace(text, emailPattern, "<EMAIL>"),
-      longNumberPattern, "<NUMBER>")
+  /** Replace each PII class with its typed placeholder token, most
+    * specific class first (email, IPs, id numbers, separator-shaped
+    * phones, then the digit-run catch-all — so a phone redacts as
+    * `<PHONE>`, not `<NUMBER>`, and an IPv4 never half-matches the
+    * phone shape). Pure codegen'd `regexp_replace` chain — one pass
+    * per class over the text, no UDF, scales with scan bytes. */
+  def redact(text: Column): Column = {
+    val steps: Seq[(String, String)] = Seq(
+      emailPattern -> "<EMAIL>",
+      ipv6Pattern -> "<IP>",
+      ipv4Pattern -> "<IP>",
+      ssnPattern -> "<ID>",
+      cardPattern -> "<ID>",
+      phonePattern -> "<PHONE>",
+      longNumberPattern -> "<NUMBER>")
+    steps.foldLeft(text) { case (c, (p, tok)) => regexp_replace(c, p, tok) }
+  }
+
+  /** The [[redact]] chain as DuckDB SQL over `expr` — the oracle
+    * mirror, built from the same pattern constants in the same order
+    * (DuckDB single-quoted strings pass backslashes through
+    * verbatim, so the shared patterns interpolate unchanged). */
+  def redactSql(expr: String): String = Seq(
+    emailPattern -> "<EMAIL>",
+    ipv6Pattern -> "<IP>",
+    ipv4Pattern -> "<IP>",
+    ssnPattern -> "<ID>",
+    cardPattern -> "<ID>",
+    phonePattern -> "<PHONE>",
+    longNumberPattern -> "<NUMBER>")
+    .foldLeft(expr) { case (e, (p, tok)) =>
+      s"regexp_replace($e, '$p', '$tok', 'g')"
+    }
 
   /** Deterministic keyed pseudonymization — the step between
     * [[redact]] (destroy the value) and keeping raw PII: replace an

@@ -84,14 +84,28 @@ object ExtensionQueries {
     TextFunctions.oovRate(docs, "doc_id", "text", vocab)
   }
 
-  /** PII redaction over the corpus (the fixture is synthetic prose,
-    * so most rows pass through unchanged — the mechanics are pinned
-    * by ExtensionSpec on real emails/numbers; the oracle checks the
-    * identical RE2-safe patterns engine-for-engine). */
-  private val qTextRedact: Q = (s, dir) =>
+  /** PII redaction over the corpus. The fixture is synthetic prose,
+    * so each row is suffixed with a BUILT payload derived from its
+    * doc_id that exercises every redaction class — email, phone,
+    * IPv4, IPv6, SSN-shape, card-shape, bare digit-run — and the
+    * oracle constructs the identical payload and applies the
+    * identical RE2-safe pattern chain (same order), so every class
+    * is hash-gated on real matches, not just pass-through prose. */
+  private val qTextRedact: Q = (s, dir) => {
+    val last4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+    val pii = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      lit(" tel +1 (555) 010-"), last4,
+      lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"),
+      lit(" v6 2001:db8::"), (col("doc_id") % 9999).cast("string"),
+      lit(" ssn 123-45-"), last4,
+      lit(" card 4111 1111 1111 "), last4,
+      lit(" acct 00"), lpad((col("doc_id") % 100000000).cast("string"), 8, "0"))
     pq(s, dir, "documents").select(
       col("doc_id"),
-      TextFunctions.redact(col("text")).as("clean_text"))
+      TextFunctions.redact(pii).as("clean_text"))
+  }
 
   /** The canonical pre-training corpus filter: language gate +
     * composite quality threshold + token-length band, in one pass —
@@ -4506,14 +4520,22 @@ object ExtensionQueries {
     "q_text_decontam" -> textDecontamSql,
     "q_pack_chunks" -> packChunksSql,
     "q_embed_outliers" -> embedOutliersSql,
-    // DuckDB single-quoted strings pass backslashes through verbatim,
-    // so the shared Scala pattern strings interpolate unchanged.
-    "q_text_redact" ->
+    // Same built PII payload as the query (lpad/concat replay), then
+    // the shared redact chain via TextFunctions.redactSql — pattern
+    // constants and application order come from ONE place.
+    "q_text_redact" -> {
+      val last4 = "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+      val pii = "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'" +
+        s" || ' tel +1 (555) 010-' || $last4" +
+        " || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'" +
+        " || ' v6 2001:db8::' || CAST(doc_id % 9999 AS VARCHAR)" +
+        s" || ' ssn 123-45-' || $last4" +
+        s" || ' card 4111 1111 1111 ' || $last4" +
+        " || ' acct 00' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')"
       s"""SELECT doc_id,
-         |  regexp_replace(
-         |    regexp_replace(text, '${TextFunctions.emailPattern}', '<EMAIL>', 'g'),
-         |    '${TextFunctions.longNumberPattern}', '<NUMBER>', 'g') AS clean_text
-         |FROM documents""".stripMargin,
+         |  ${TextFunctions.redactSql(s"($pii)")} AS clean_text
+         |FROM documents""".stripMargin
+    },
     // Mirrors [[qTextOov]]: the same top-20 (freq desc, token asc)
     // vocabulary cut, then a per-row membership sweep — the oov count
     // is an exact integer over the token count, both engines dividing

