@@ -62,6 +62,7 @@ object Multimodal {
     else if (at(0) == 'B' && at(1) == 'M') "image/bmp"
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
       at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "audio/wav"
+    else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "video/mp4"
     else if ((at(0) == 'I' && at(1) == 'D' && at(2) == '3') ||
       (at(0) == 0xFF && (at(1) & 0xE0) == 0xE0)) "audio/mpeg"
     else "application/octet-stream"
@@ -360,5 +361,189 @@ object Multimodal {
       .put((if (stereo) 0x00 else 0xC0).toByte) // mode: stereo / mono
       .put(data)
     bb.array()
+  }
+
+  // ------------------------------------------------------------------ video
+
+  /** Container-level MP4 metadata — what an ISO-BMFF box walk yields
+    * without touching any codec: the ftyp major brand, the movie
+    * header's timescale/duration (duration_ms is the floor of
+    * duration·1000/timescale — integer math, exactly replayable),
+    * the `trak` count, and the first track's sample-entry fourcc
+    * (the codec identifier, e.g. avc1/hvc1/mp4a). Absent fields are
+    * null, never faked — same discipline as [[AudioFeatures]]. */
+  final case class VideoFeatures(
+      doc_id: Long,
+      media_type: String,
+      major_brand: Option[String],
+      timescale: Option[Long],
+      duration_ms: Option[Long],
+      n_tracks: Option[Long],
+      codec: Option[String])
+
+  private def be16(p: Array[Byte], i: Int): Int = (u8(p, i) << 8) | u8(p, i + 1)
+  private def be32(p: Array[Byte], i: Int): Long =
+    (u8(p, i).toLong << 24) | (u8(p, i + 1).toLong << 16) |
+      (u8(p, i + 2).toLong << 8) | u8(p, i + 3).toLong
+  private def be64(p: Array[Byte], i: Int): Long =
+    (be32(p, i) << 32) | be32(p, i + 4)
+  private def fourcc(p: Array[Byte], i: Int): String =
+    new String(p, i, 4, "US-ASCII")
+
+  /** ISO-BMFF / MP4 box-walk parse — pure public byte-format
+    * knowledge (ISO 14496-12): a file is a sequence of
+    * `[u32 size][4cc type]` boxes, big-endian throughout; `moov`,
+    * `trak`, `mdia`, `minf`, `stbl` are pure containers whose
+    * payload is again boxes. Reads `ftyp` for the major brand,
+    * `mvhd` (version 0 or 1) for timescale/duration, counts `trak`
+    * children of `moov`, and descends the FIRST trak's
+    * stbl→stsd for its first sample entry's fourcc. size==1
+    * (64-bit largesize) handled; size==0 (box-to-EOF) treated as
+    * spanning the rest of the payload. None on anything malformed —
+    * the caller degrades to a typed-null row, same screen semantics
+    * as the WAV/MP3 parsers. */
+  def tryDecodeMp4(docId: Long, payload: Array[Byte]): Option[VideoFeatures] =
+    try {
+      if (payload == null || payload.length < 16 ||
+        fourcc(payload, 4) != "ftyp") None
+      else {
+        // walk the boxes of [from, until); call f(type, payloadFrom,
+        // payloadUntil) for each; bail (None semantics) on bad sizes
+        def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Boolean = {
+          var pos = from
+          var ok = true
+          while (ok && pos + 8 <= until) {
+            val size0 = be32(payload, pos)
+            val tpe = fourcc(payload, pos + 4)
+            val (headLen, size) =
+              if (size0 == 1L && pos + 16 <= until) (16, be64(payload, pos + 8))
+              else if (size0 == 0L) (8, (until - pos).toLong)
+              else (8, size0)
+            if (size < headLen || pos + size > until) ok = false
+            else {
+              f(tpe, pos + headLen, pos + size.toInt)
+              pos += size.toInt
+            }
+          }
+          ok
+        }
+        var brand: Option[String] = None
+        var timescale = -1L; var duration = -1L
+        var nTracks = 0L
+        var codec: Option[String] = None
+        var malformed = false
+        def parseStsd(from: Int, until: Int): Unit =
+          // version+flags(4) entry_count(4), then sample entries,
+          // each itself box-shaped: [u32 size][4cc format]
+          if (from + 16 <= until && be32(payload, from + 4) >= 1)
+            codec = codec.orElse(Some(fourcc(payload, from + 12)))
+        def parseTrak(from: Int, until: Int): Unit =
+          walk(from, until) {
+            case ("mdia", f, u) => walk(f, u) {
+              case ("minf", f2, u2) => walk(f2, u2) {
+                case ("stbl", f3, u3) => walk(f3, u3) {
+                  case ("stsd", f4, u4) => parseStsd(f4, u4)
+                  case _ => ()
+                }
+                case _ => ()
+              }
+              case _ => ()
+            }
+            case _ => ()
+          }
+        val okTop = walk(0, payload.length) {
+          case ("ftyp", f, u) =>
+            if (u - f >= 4) brand = brand.orElse(Some(fourcc(payload, f)))
+          case ("moov", f, u) =>
+            val okMoov = walk(f, u) {
+              case ("mvhd", f2, u2) =>
+                val v = u8(payload, f2)
+                if (v == 0 && f2 + 20 <= u2) {
+                  timescale = be32(payload, f2 + 12)
+                  duration = be32(payload, f2 + 16)
+                } else if (v == 1 && f2 + 32 <= u2) {
+                  timescale = be32(payload, f2 + 20)
+                  duration = be64(payload, f2 + 24)
+                }
+              case ("trak", f2, u2) =>
+                nTracks += 1
+                if (codec.isEmpty) parseTrak(f2, u2)
+              case _ => ()
+            }
+            if (!okMoov) malformed = true
+          case _ => ()
+        }
+        if (!okTop || malformed || brand.isEmpty ||
+          timescale <= 0 || duration < 0 || nTracks == 0) None
+        else Some(VideoFeatures(docId, "video/mp4",
+          major_brand = brand, timescale = Some(timescale),
+          duration_ms = Some(duration * 1000L / timescale),
+          n_tracks = Some(nTracks), codec = codec))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Video decode dispatch with the stub discipline of [[decode]]:
+    * parse failures and non-video payloads degrade to a typed null
+    * row (sniffed media_type kept) instead of crashing the task. */
+  def decodeVideo(item: MediaItem): VideoFeatures = {
+    val sniffed = if (item.payload == null) "application/octet-stream"
+      else sniffMediaType(item.payload)
+    val parsed = sniffed match {
+      case "video/mp4" => tryDecodeMp4(item.doc_id, item.payload)
+      case _           => None
+    }
+    parsed.getOrElse(VideoFeatures(item.doc_id, sniffed,
+      None, None, None, None, None))
+  }
+
+  /** Batched video metadata extraction — same mapPartitions
+    * micro-batch shape as [[extractFeatures]]/[[extractAudio]]. */
+  def extractVideo(items: Dataset[MediaItem], batchSize: Int = 32): Dataset[VideoFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeVideo)))
+  }
+
+  /** Build a real minimal ISO-BMFF/MP4 payload: `ftyp` (major brand +
+    * isom compat), `moov` with a version-0 `mvhd` (given
+    * timescale/duration) and one full trak→mdia→minf→stbl→stsd chain
+    * per codec fourcc, then `data` as the `mdat` body. Every box size
+    * is exact, so the payload round-trips through [[tryDecodeMp4]];
+    * in the catalog it materializes the deterministic header-field
+    * contract the oracle replays. */
+  def mp4Bytes(majorBrand: String, timescale: Int, duration: Long,
+      codecs: Seq[String], data: Array[Byte]): Array[Byte] = {
+    require(majorBrand.length == 4 && codecs.nonEmpty &&
+      codecs.forall(_.length == 4) && timescale > 0 &&
+      duration >= 0 && duration <= 0xFFFFFFFFL)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp",
+      java.nio.ByteBuffer.allocate(12)
+        .put(majorBrand.getBytes("US-ASCII")).putInt(0)
+        .put("isom".getBytes("US-ASCII")).array())
+    val mvhd = box("mvhd", {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0) // version 0 + flags
+        .putInt(0).putInt(0) // creation, modification
+        .putInt(timescale).putInt(duration.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      bb.position(bb.position() + 10 + 36 + 24) // reserved, matrix, predefined
+      bb.putInt(codecs.length + 1) // next_track_id
+      bb.array()
+    })
+    val traks = codecs.map { cc =>
+      // minimal sample entry: 6 reserved bytes + u16 data_reference_index
+      val entry = box(cc, new Array[Byte](8))
+      val stsd = box("stsd",
+        java.nio.ByteBuffer.allocate(8 + entry.length)
+          .putInt(0).putInt(1).put(entry).array())
+      box("trak", box("mdia", box("minf", box("stbl", stsd))))
+    }
+    val moov = box("moov", (mvhd +: traks).reduce(_ ++ _))
+    val mdat = box("mdat", data)
+    ftyp ++ moov ++ mdat
   }
 }

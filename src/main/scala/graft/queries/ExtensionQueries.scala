@@ -1666,6 +1666,32 @@ object ExtensionQueries {
     Multimodal.extractAudio(items).toDF()
   }
 
+  /** MP4 container metadata over BUILT payloads — the same oracle
+    * contract as [[qMultimodalAudio]]: every row's ISO-BMFF payload
+    * is constructed from (doc_id, text) by a fixed deterministic
+    * recipe ([[graft.multimodal.Multimodal.mp4Bytes]] — real box
+    * sizes, real big-endian fields), run through the REAL box-walk
+    * parser, and the oracle replays each parsed field from the
+    * construction parameters as integer SQL. */
+  private val qMultimodalVideo: Q = (s, dir) => {
+    import s.implicits._
+    val brands = Array("isom", "mp42", "dash")
+    val scales = Array(600, 1000, 25, 30000, 90000)
+    val codecs = Array("avc1", "hvc1", "mp4a", "vp09", "av01")
+    val items = pq(s, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val n = (1 + id % 3).toInt
+        val ccs = (0 until n).map(i => codecs(((id + i) % 5).toInt))
+        val payload = Multimodal.mp4Bytes(brands((id % 3).toInt),
+          scales((id % 5).toInt), bytes.length.toLong * 7 + id % 97, ccs, bytes)
+        Multimodal.MediaItem(id, "", payload, payload.length.toLong)
+      }
+    Multimodal.extractVideo(items).toDF()
+  }
+
   // ------------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1779,6 +1805,7 @@ object ExtensionQueries {
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_audio" -> qMultimodalAudio,
+    "q_multimodal_video" -> qMultimodalVideo,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -4311,6 +4338,24 @@ object ExtensionQueries {
       |  CAST(CASE WHEN NOT iswav THEN br END AS BIGINT) AS bitrate_kbps
       |FROM b""".stripMargin
 
+  // Mirrors [[qMultimodalVideo]]: the MP4 payloads are BUILT from
+  // (doc_id, strlen(text)) by a fixed contract (brand/timescale/codec
+  // tables indexed by doc_id residues; mvhd duration = len*7 +
+  // doc_id%97), so every box-walked field replays as integer SQL —
+  // duration_ms is the same floor division the parser computes.
+  private val multimodalVideoSql: String =
+    """WITH v AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len FROM documents),
+      |w AS (SELECT doc_id,
+      |  (['isom','mp42','dash'])[CAST(doc_id % 3 AS INTEGER) + 1] AS major_brand,
+      |  CAST(([600,1000,25,30000,90000])[CAST(doc_id % 5 AS INTEGER) + 1] AS BIGINT) AS timescale,
+      |  len * 7 + doc_id % 97 AS duration,
+      |  1 + doc_id % 3 AS n_tracks,
+      |  (['avc1','hvc1','mp4a','vp09','av01'])[CAST(doc_id % 5 AS INTEGER) + 1] AS codec
+      |  FROM v)
+      |SELECT doc_id, 'video/mp4' AS media_type, major_brand, timescale,
+      |  duration * 1000 // timescale AS duration_ms, n_tracks, codec
+      |FROM w""".stripMargin
+
   private val profileKmvSql: String =
     s"""WITH c0 AS (SELECT doc_id, source,
        |  trim(regexp_replace(lower(text), '$ws+', ' ', 'g')) AS ctext FROM documents),
@@ -4356,6 +4401,7 @@ object ExtensionQueries {
   val oracle: Map[String, String] = Map(
     "q_text_bpe" -> textBpeSql(8),
     "q_multimodal_audio" -> multimodalAudioSql,
+    "q_multimodal_video" -> multimodalVideoSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),

