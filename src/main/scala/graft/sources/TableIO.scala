@@ -331,6 +331,38 @@ final class JdbcIO(
   }
 }
 
+object JdbcIO {
+  /** Register Spark's DSv2 JDBC table catalog over `url` as catalog
+    * `name`, aggregate and limit pushdown enabled — tables then read
+    * as `spark.table(s"$name.<SCHEMA>.<TABLE>")` and a
+    * refers-style lookup aggregation (GROUP BY key + MIN/MAX/SUM/
+    * COUNT/AVG) compiles into the source database's SQL instead of
+    * hauling the raw lookup table over the wire (`PushedAggregates`
+    * in the scan — JdbcIOSpec pins it on Derby).
+    *
+    * This is a separate door from [[JdbcIO.readOriginal]] on
+    * purpose: the V1 `format("jdbc")` relation carries the
+    * range-partitioned parallel scan (`partitionColumn`/bounds),
+    * which the V2 catalog path does not, and V1 CANNOT push
+    * aggregates (its pushdown interface stops at filters/columns).
+    * Pick per table: big fact extracts want the V1 parallel range
+    * scan; lookup aggregations want the V2 aggregate pushdown. */
+  def registerV2Catalog(
+      spark: SparkSession,
+      name: String,
+      url: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.url", url)
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownAggregate", "true")
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownLimit", "true")
+    options.foreach { case (k, v) =>
+      spark.conf.set(s"spark.sql.catalog.$name.$k", v)
+    }
+  }
+}
+
 /** Range-partitioning spec for one JDBC source table. */
 final case class JdbcPartitioning(
     column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)

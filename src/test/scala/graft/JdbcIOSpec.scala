@@ -84,6 +84,44 @@ class JdbcIOSpec extends SparkSpec {
       s"dept predicate not pushed to the JDBC source: $pushed\n$text")
   }
 
+  test("DSv2 catalog pushes a refers-style aggregation into the JDBC source") {
+    // the production cut for lookup aggregations: GROUP BY + COUNT/SUM
+    // must compile into the source database's SQL (PushedAggregates)
+    // instead of hauling the raw lookup table over the wire — the V1
+    // format("jdbc") relation can't (filters/columns only), which is
+    // why JdbcIO.registerV2Catalog exists as a separate door
+    val srcUrl = freshDb("aggsrc")
+    val conn = DriverManager.getConnection(srcUrl)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE people (id BIGINT, name VARCHAR(40), dept VARCHAR(10))")
+      val ins = conn.prepareStatement("INSERT INTO people VALUES (?, ?, ?)")
+      (1 to 20).foreach { i =>
+        ins.setLong(1, i.toLong); ins.setString(2, s"p$i")
+        ins.setString(3, if (i % 2 == 0) "eng" else "ops")
+        ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally conn.close()
+
+    JdbcIO.registerV2Catalog(spark, "graftjdbc", srcUrl)
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val agg = spark.table("graftjdbc.APP.PEOPLE")
+      .groupBy(col("DEPT"))
+      .agg(count(lit(1)).as("n"), sum(col("ID")).as("total"))
+    val text = agg.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(text.contains("PushedAggregates"),
+      s"no PushedAggregates in the V2 JDBC scan\n$text")
+    assert(text.replaceAll("\\s", "").toUpperCase.contains("PUSHEDAGGREGATES:[COUNT"),
+      s"COUNT not pushed\n$text")
+    assert(text.toUpperCase.contains("SUM(ID)"), s"SUM(ID) not pushed\n$text")
+    // and the pushed plan still answers correctly
+    val got = agg.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("eng" -> ((10L, 110L)), "ops" -> ((10L, 100L))))
+  }
+
   test("JDBC keyed upsert: staging delete-insert makes re-runs idempotent") {
     val srcUrl = freshDb("upsrc")
     val dstUrl = freshDb("updst")
