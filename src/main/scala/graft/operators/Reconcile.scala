@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.TableIO
 
@@ -268,25 +268,86 @@ object Reconcile {
 
   private def widen(a: DataType, b: DataType): Option[DataType] =
     if (a == b) Some(a)
-    else (widenRank.get(a), widenRank.get(b)) match {
-      case (Some(ra), Some(rb)) =>
-        val both = Set(a, b)
-        // long + float/double rounds beyond 2^53 — fail fast, not coerce
-        if (both.contains(LongType) &&
-          both.exists(x => x == FloatType || x == DoubleType)) None
-        // smaller integral + float → double (float's 24-bit mantissa
-        // can't even hold every int; double holds all of them exactly)
-        else if (both.contains(FloatType) &&
-          both.exists(x => widenRank(x) <= 3)) Some(DoubleType)
-        else Some(if (ra >= rb) a else b)
-      case _ => None
+    else (a, b) match {
+      // nested evolution (round 8): structs union their fields by
+      // name — a field present in only one vintage joins as nullable,
+      // shared fields widen recursively (so struct{cust:int} and
+      // struct{cust:long, priority:string} reconcile to
+      // struct{cust:long, priority:string}); arrays widen element-
+      // wise, maps key- and value-wise. Any non-reconciling leaf
+      // fails the whole column, same discipline as the scalars.
+      case (sa: StructType, sb: StructType) =>
+        val bByName = sb.fields.map(f => f.name -> f).toMap
+        val aNames = sa.fieldNames.toSet
+        val merged = sa.fields.map { fa =>
+          bByName.get(fa.name) match {
+            case Some(fb) => widen(fa.dataType, fb.dataType)
+              .map(t => StructField(fa.name, t, fa.nullable || fb.nullable))
+            case None => Some(fa.copy(nullable = true))
+          }
+        } ++ sb.fields.collect {
+          case fb if !aNames(fb.name) => Some(fb.copy(nullable = true))
+        }
+        if (merged.forall(_.isDefined)) Some(StructType(merged.flatten))
+        else None
+      case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+        widen(ea, eb).map(ArrayType(_, na || nb))
+      case (MapType(ka, va, na), MapType(kb, vb, nb)) =>
+        for { k <- widen(ka, kb); v <- widen(va, vb) } yield MapType(k, v, na || nb)
+      case _ => (widenRank.get(a), widenRank.get(b)) match {
+        case (Some(ra), Some(rb)) =>
+          val both = Set(a, b)
+          // long + float/double rounds beyond 2^53 — fail fast, not coerce
+          if (both.contains(LongType) &&
+            both.exists(x => x == FloatType || x == DoubleType)) None
+          // smaller integral + float → double (float's 24-bit mantissa
+          // can't even hold every int; double holds all of them exactly)
+          else if (both.contains(FloatType) &&
+            both.exists(x => widenRank(x) <= 3)) Some(DoubleType)
+          else Some(if (ra >= rb) a else b)
+        case _ => None
+      }
+    }
+
+  /** Rebuild column `c` (of type `from`) as type `to`, where `to`
+    * came out of [[widen]]. A plain `cast` cannot do this for
+    * structs — Spark's struct-to-struct cast requires identical
+    * field counts — so structs are reconstructed field by field
+    * (missing source fields become typed NULLs), arrays via
+    * `transform`, maps via entries; a NULL container stays NULL
+    * (`struct(...)` of NULL fields would otherwise fabricate a
+    * non-NULL row of NULLs). Scalars fall through to `cast`. */
+  private def conform(c: Column, from: DataType, to: DataType): Column =
+    if (from == to) c
+    else (from, to) match {
+      case (sa: StructType, sb: StructType) =>
+        val aByName = sa.fields.map(f => f.name -> f).toMap
+        val rebuilt = struct(sb.fields.toSeq.map { f =>
+          aByName.get(f.name) match {
+            case Some(src) =>
+              conform(c.getField(f.name), src.dataType, f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+        when(c.isNull, lit(null).cast(sb)).otherwise(rebuilt)
+      case (ArrayType(ea, _), ArrayType(eb, _)) =>
+        transform(c, x => conform(x, ea, eb))
+      case (MapType(ka, va, _), MapType(kb, vb, _)) =>
+        map_from_entries(transform(map_entries(c), e =>
+          struct(conform(e.getField("key"), ka, kb).as("key"),
+            conform(e.getField("value"), va, vb).as("value"))))
+      case _ => c.cast(to)
     }
 
   /** Schema-evolution-safe union of table vintages: columns align BY
     * NAME, a column missing from a vintage arrives as NULL, and
     * same-named columns of different numeric types widen through the
     * lossless lattice (int→long, int-or-float-vs-float→double;
-    * long-vs-float/double fails fast — see [[widenRank]]).
+    * long-vs-float/double fails fast — see [[widenRank]]). NESTED
+    * types evolve too: structs union fields by name (an added struct
+    * field arrives NULL in older vintages, shared fields widen
+    * recursively), arrays element-wise, maps key/value-wise — the
+    * add-a-field-to-a-struct migration needs no rewrite.
     * A same-named column whose types DON'T reconcile (string vs
     * long, array vs struct) fails fast with both types named —
     * silent coercion is how a reload corrupts a column. This is the
@@ -309,10 +370,12 @@ object Reconcile {
     // deterministic output order: first appearance across the vintages
     val order = frames.flatMap(_.columns).distinct
     val cast = frames.map { f =>
-      val have = f.columns.toSet
+      val types = f.schema.fields.map(x => x.name -> x.dataType).toMap
       f.select(order.map { c =>
-        if (have(c)) col(c).cast(resolved(c)).as(c)
-        else lit(null).cast(resolved(c)).as(c)
+        types.get(c) match {
+          case Some(t) => conform(col(c), t, resolved(c)).as(c)
+          case None => lit(null).cast(resolved(c)).as(c)
+        }
       }: _*)
     }
     cast.reduce(_.unionByName(_))

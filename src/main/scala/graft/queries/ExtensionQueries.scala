@@ -1305,6 +1305,27 @@ object ExtensionQueries {
     graft.operators.Reconcile.unionEvolved(Seq(vintageOld, vintageNew))
   }
 
+  /** NESTED schema evolution: the old vintage's `meta` struct carries
+    * cust:int; the new vintage widens cust to long AND adds a
+    * priority field — unionEvolved reconciles the column to
+    * struct(cust:long, priority:string) with the old rows' priority
+    * NULL, no rewrite. Output flattened to scalars (the struct
+    * machinery is what's under test; scalar columns keep the hash
+    * compare engine-neutral). */
+  private val qUnionEvolvedNested: Q = (s, dir) => {
+    val o = pq(s, dir, "orders")
+    val vOld = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        struct(col("o_custkey").cast("int").as("cust")).as("meta"))
+    val vNew = o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"),
+        struct(col("o_custkey").as("cust"),
+          col("o_orderpriority").as("priority")).as("meta"))
+    graft.operators.Reconcile.unionEvolved(Seq(vOld, vNew))
+      .select(col("o_orderkey"), col("meta.cust").as("cust"),
+        col("meta.priority").as("priority"))
+  }
+
   /** Conversion latency: each purchase's distance to the user's most
     * recent prior non-purchase event (a ROWS-framed conditional max
     * — never a self-join); NULL for conversions with no prior touch.
@@ -1825,6 +1846,7 @@ object ExtensionQueries {
     "q_text_lang_margin" -> qTextLangMargin,
     "q_text_fertility" -> qTextFertility,
     "q_union_evolved" -> qUnionEvolved,
+    "q_union_evolved_nested" -> qUnionEvolvedNested,
     "q_events_conv_latency" -> qEventsConvLatency,
     "q_graph_degrees" -> qGraphDegrees,
     "q_dedup_cluster_sizes" -> qDedupClusterSizes,
@@ -3375,6 +3397,18 @@ object ExtensionQueries {
        |FROM o2 FULL JOIN i2 ON o2.node = i2.node
        |LEFT JOIN r2 ON coalesce(o2.node, i2.node) = r2.node""".stripMargin
 
+  /** Mirrors [[qUnionEvolvedNested]]: the evolved struct column
+    * flattened — old vintage rows carry the int-roundtripped cust and
+    * a NULL priority, new rows pass through; the union result IS the
+    * reconciled struct's contents. */
+  private val unionEvolvedNestedSql: String =
+    """SELECT o_orderkey, CAST(CAST(o_custkey AS INTEGER) AS BIGINT) AS cust,
+      |  CAST(NULL AS VARCHAR) AS priority
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderpriority
+      |FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin
+
   /** Mirrors [[qUnionEvolved]]: the same vintage split with explicit
     * lattice casts (INT→BIGINT, REAL→DOUBLE — the float round-trip
     * is the same IEEE narrowing both engines) and a NULL-typed
@@ -4508,6 +4542,7 @@ object ExtensionQueries {
     "q_text_lang_margin" -> textLangMarginSql,
     "q_text_fertility" -> textFertilitySql,
     "q_union_evolved" -> unionEvolvedSql,
+    "q_union_evolved_nested" -> unionEvolvedNestedSql,
     "q_events_conv_latency" -> eventsConvLatencySql,
     "q_graph_degrees" -> graphDegreesSql,
     "q_dedup_cluster_sizes" -> dedupClusterSizesSql,

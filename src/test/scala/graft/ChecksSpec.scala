@@ -312,6 +312,31 @@ class ChecksSpec extends SparkSpec {
       Reconcile.unionEvolved(Seq(idsAsLong, idsAsFloat)))
   }
 
+  test("unionEvolved: nested structs/arrays evolve (add field, widen leaf, NULL container)") {
+    val old = df("k BIGINT, meta STRUCT<cust: INT>, tags ARRAY<INT>",
+      Row(1L, Row(7), Seq(1, 2)),
+      Row(2L, null, null))
+    val nu = df("k BIGINT, meta STRUCT<cust: BIGINT, pri: STRING>, tags ARRAY<BIGINT>",
+      Row(3L, Row(9L, "HIGH"), Seq(5L)))
+    val u = Reconcile.unionEvolved(Seq(old, nu))
+    assert(u.schema("meta").dataType.sql == "STRUCT<cust: BIGINT, pri: STRING>")
+    assert(u.schema("tags").dataType.sql == "ARRAY<BIGINT>")
+    val rows = u.collect().map { r =>
+      val m = if (r.isNullAt(1)) null
+        else (r.getStruct(1).getLong(0),
+          if (r.getStruct(1).isNullAt(1)) null else r.getStruct(1).getString(1))
+      val t = if (r.isNullAt(2)) null else r.getSeq[Long](2)
+      r.getLong(0) -> ((m, t))
+    }.toMap
+    assert(rows(1L) == (((7L, null), Seq(1L, 2L))))
+    // a NULL container stays NULL — not a struct of NULL fields
+    assert(rows(2L) == ((null, null)))
+    assert(rows(3L) == (((9L, "HIGH"), Seq(5L))))
+    // struct vs scalar is still a conflict
+    val bad = df("k BIGINT, meta BIGINT", Row(4L, 1L))
+    intercept[IllegalArgumentException](Reconcile.unionEvolved(Seq(old, bad)))
+  }
+
   test("linearTrend: exact closed-form fit; degenerate keys report NULL slope") {
     val d = df("k STRING, x BIGINT, y BIGINT",
       Row("a", 10L, 1L), Row("a", 11L, 3L), Row("a", 12L, 5L),
