@@ -129,7 +129,7 @@ object Similarity {
     * the UDF keeps the per-row loop tight and the plan tiny. Same
     * fused cosine + strict-> earliest-cell tie-break as
     * [[refineCentroids]]. */
-  private def assignCellUdf(centroids: Array[Array[Double]]) = {
+  private[graft] def assignCellUdf(centroids: Array[Array[Double]]) = {
     val centroidsB = centroids
     udf { (vec: Seq[Float]) =>
       var best = -1; var bestSim = Double.MinValue
@@ -226,6 +226,26 @@ object Similarity {
       vecCol: String,
       k: Int,
       centroids: Array[Array[Double]],
+      nprobe: Int): DataFrame =
+    ivfTopKBatchAssigned(queries,
+      corpus.select(
+        col(idCol).as("id"), col(vecCol).as("vec"),
+        assignCellUdf(centroids)(col(vecCol)).as("cell")),
+      queryIdCol, queryVecCol, k, centroids, nprobe)
+
+  /** [[ivfTopKBatch]] over a PRE-ASSIGNED corpus — `assigned` carries
+    * (id, cell, vec), e.g. a persisted [[graft.sources.AnnIndex]]
+    * plain-IVF table. Bit-identical to the inline path (the inline
+    * path delegates here after assigning); at scale the assigned
+    * table is stored bucketed by `cell`, making the probe join
+    * shuffle-free on the corpus side. */
+  def ivfTopKBatchAssigned(
+      queries: DataFrame,
+      assigned: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      centroids: Array[Array[Double]],
       nprobe: Int): DataFrame = {
     val np = math.min(nprobe, centroids.length)
     // the probe UDF is the generator's CHILD here (evaluated once per
@@ -235,9 +255,8 @@ object Similarity {
     val qSide = queries.select(
       col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"),
       explode(probeCellsUdf(centroids, np)(col(queryVecCol))).as("__cell"))
-    val cSide = corpus.select(
-      col(idCol).as("id"), col(vecCol).as("__vec"),
-      assignCellUdf(centroids)(col(vecCol)).as("__cell"))
+    val cSide = assigned.select(
+      col("id"), col("vec").as("__vec"), col("cell").as("__cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
     qSide.join(cSide, "__cell")

@@ -649,6 +649,26 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 5, cents, nprobe = 2)
   }
 
+  /** Persisted PLAIN-IVF index (exact vectors, no PQ loss): the same
+    * centroids/split as [[qSimBatchTopK]], but the corpus is
+    * cell-assigned, WRITTEN as an AnnIndex two-table directory,
+    * READ BACK, and queried through the pre-assigned scorer — under
+    * the SAME oracle as the inline query, so the whole
+    * write→read→query chain is hash-gated to be bit-identical. */
+  private val qSimIndexIvf: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val cents = Similarity.kmeansCentroidsDistributed(
+      corpus, "vec_id", "embedding", nlist = 8, iters = 2)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_q_ivf_idx").toString + "/idx"
+    val idx = graft.sources.AnnIndex.buildAndWriteIvf(
+      s, idxDir, corpus, "vec_id", "embedding", cents)
+    graft.sources.AnnIndex.queryBatchIvf(
+      idx, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+  }
+
   /** Batch-query LSH ANN — the centroid-free batch retrieval path:
     * same query/corpus split as q_sim_batch_topk, Hamming-ball probe
     * (h=2 over 8 planes = 37 probe buckets per query) via equi-join
@@ -1769,6 +1789,7 @@ object ExtensionQueries {
     "q_sim_ivf_topk" -> qSimIvfTopK,
     "q_sim_ivf_distributed" -> qSimIvfDistributed,
     "q_sim_batch_topk" -> qSimBatchTopK,
+    "q_sim_index_ivf" -> qSimIndexIvf,
     "q_sim_lsh_batch" -> qSimLshBatch,
     "q_sim_hard_negatives" -> qSimHardNegatives,
     "q_embed_centroids" -> qEmbedCentroids,
@@ -4581,6 +4602,7 @@ object ExtensionQueries {
     "q_sim_pq_rerank" -> simPqRerankSql,
     "q_sim_ivf_distributed" -> simIvfDistributedSql,
     "q_sim_batch_topk" -> simBatchTopkSql,
+    "q_sim_index_ivf" -> simBatchTopkSql,
     "q_sim_lsh_batch" -> simLshBatchSql,
     "q_sim_hard_negatives" -> simHardNegativesSql,
     "q_embed_centroids" -> embedCentroidsSql,

@@ -77,14 +77,21 @@ object AnnIndex {
     }.toSeq.toDF("subspace", "code", "vec")
       .write.mode("overwrite").parquet(s"$staging/codebooks")
     coded.write.mode("overwrite").parquet(s"$staging/coded")
-    // Swap order preserves the previous good index at every step:
-    // the old target moves ASIDE (never deleted before the new one
-    // is in place), staging renames in, then the aside copy goes. A
-    // crash mid-swap leaves either the old index at <dir> (step 1
-    // not reached), or a complete index at <dir>.old + the built one
-    // at <dir>.staging (between renames) — never zero copies. NB:
-    // directory rename is atomic on HDFS/POSIX but a COPY on object
-    // stores; run rebuilds against a new dir there and repoint.
+    swapIn(fs, staging, dir)
+    read(spark, dir)
+  }
+
+  /** Swap `<dir>.staging` into place. Order preserves the previous
+    * good index at every step: the old target moves ASIDE (never
+    * deleted before the new one is in place), staging renames in,
+    * then the aside copy goes. A crash mid-swap leaves either the
+    * old index at <dir> (step 1 not reached), or a complete index at
+    * <dir>.old + the built one at <dir>.staging (between renames) —
+    * never zero copies. NB: directory rename is atomic on HDFS/POSIX
+    * but a COPY on object stores; run rebuilds against a new dir
+    * there and repoint. */
+  private def swapIn(
+      fs: org.apache.hadoop.fs.FileSystem, staging: String, dir: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(dir)
     val aside = new org.apache.hadoop.fs.Path(dir + ".old")
     fs.delete(aside, true)
@@ -95,7 +102,6 @@ object AnnIndex {
       s"AnnIndex: staging swap failed for $dir" +
         (if (hadPrevious) s" — previous index preserved at $dir.old" else ""))
     if (hadPrevious) fs.delete(aside, true)
-    read(spark, dir)
   }
 
   /** Load an index directory: model tables collect to driver arrays
@@ -124,4 +130,72 @@ object AnnIndex {
       nprobe: Int): DataFrame =
     Similarity.ivfPqTopKBatchCoded(queries, index.coded, queryIdCol,
       queryVecCol, k, index.centroids, index.codebooks, nprobe)
+
+  // ------------------------------------------------------- plain IVF
+
+  /** Plain-IVF sibling of [[Loaded]]: exact vectors kept (no PQ loss)
+    * — the layout when recall must be exact-within-probed-cells and
+    * the corpus affords full-width storage. Two tables:
+    *
+    *   - `centroids` (cell INT, vec ARRAY<DOUBLE>)          — nlist rows
+    *   - `assigned`  (id BIGINT, cell INT, vec ARRAY<FLOAT>) — corpus
+    *
+    * At scale, store/bucket `assigned` by `cell` and the probe join
+    * is shuffle-free on the corpus side. */
+  final case class LoadedIvf(
+      centroids: Array[Array[Double]],
+      assigned: DataFrame)
+
+  /** Train sample-refined IVF cells, assign the corpus, persist the
+    * two tables (same staging-swap discipline). Queries answered via
+    * [[queryBatchIvf]] are bit-identical to the inline
+    * [[graft.operators.Similarity.ivfTopKBatch]] with the same
+    * centroids — pinned by AnnIndexSpec. */
+  def buildAndWriteIvf(
+      spark: SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]): LoadedIvf = {
+    require(centroids.nonEmpty, "no centroids")
+    val assigned = corpus.select(
+      col(idCol).as("id"),
+      Similarity.assignCellUdf(centroids)(col(vecCol)).as("cell"),
+      col(vecCol).as("vec"))
+    val staging = dir + ".staging"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .write.mode("overwrite").parquet(s"$staging/centroids")
+    assigned.write.mode("overwrite").parquet(s"$staging/assigned")
+    swapIn(fs, staging, dir)
+    readIvf(spark, dir)
+  }
+
+  /** Load a plain-IVF index directory: centroids to a driver array
+    * (nlist-bounded), the assigned table stays a DataFrame. */
+  def readIvf(spark: SparkSession, dir: String): LoadedIvf = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, s"AnnIndex: no centroids under $dir")
+    LoadedIvf(cents, spark.read.parquet(s"$dir/assigned"))
+  }
+
+  /** Batch ANN over a loaded plain-IVF index — delegates to the
+    * pre-assigned scorer, bit-identical to the inline path. */
+  def queryBatchIvf(
+      index: LoadedIvf,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame =
+    Similarity.ivfTopKBatchAssigned(queries, index.assigned,
+      queryIdCol, queryVecCol, k, index.centroids, nprobe)
 }
