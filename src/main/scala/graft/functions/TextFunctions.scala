@@ -78,10 +78,25 @@ object TextFunctions {
     * 0-255 range check — RE2 has no lookaround to bound it cheaply). */
   val ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
-  /** Colon-grouped hex runs with >= 3 colons: full and `::`-compressed
-    * IPv6 (empty groups allowed), while clock times (2 colons) stay.
-    * MAC addresses match too — also an identifier worth scrubbing. */
-  val ipv6Pattern = "([0-9A-Fa-f]{0,4}:){3,7}[0-9A-Fa-f]{0,4}"
+  /** IPv6 + MAC, as an RE2-safe alternation (counted repetition
+    * only, no lookaround): full 8-group form; `::`-compressed forms
+    * with the compression in the middle (non-empty tail required),
+    * trailing (>=2 leading groups required) or leading (non-empty
+    * tail required); and the exact 6x2-hex MAC shape — also an
+    * identifier worth scrubbing. The non-empty-group requirements
+    * (round 9) kill the old pattern's any-run-of->=3-colons matches:
+    * `::::`, ratio-like `f:e:d:c`, clock times, and code `std::map`
+    * all survive now. Residual accepted cost, pinned by spec: a
+    * hex-only token pair around one `::` (`a::b`, `::face`) still
+    * redacts — those ARE valid compressed IPv6 literals, and a
+    * screen over-redacts rather than leaks; bare single-group
+    * trailing compression (`fe80::` with nothing after) escapes. */
+  val ipv6Pattern =
+    "([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}" +                          // full
+    "|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,5}" + // mid ::
+    "|([0-9A-Fa-f]{1,4}:){2,7}:" +                                      // trailing ::
+    "|::[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,6}" +                     // leading ::
+    "|([0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}"                               // MAC
 
   /** Id-number shapes: SSN-style 3-2-4 and payment-card-style
     * 4x4 digit groups with space/dash separators. */

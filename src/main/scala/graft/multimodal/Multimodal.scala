@@ -473,8 +473,13 @@ object Multimodal {
             if (!okMoov) malformed = true
           case _ => ()
         }
+        // duration * 1000 overflows Long for v1 64-bit durations
+        // beyond ~9.2e15 ticks — untrusted input degrades to None
+        // (same screen semantics as every other malformed path),
+        // never to a negative/garbage duration_ms
         if (!okTop || malformed || brand.isEmpty ||
-          timescale <= 0 || duration < 0 || nTracks == 0) None
+          timescale <= 0 || duration < 0 || nTracks == 0 ||
+          duration > Long.MaxValue / 1000L) None
         else Some(VideoFeatures(docId, "video/mp4",
           major_brand = brand, timescale = Some(timescale),
           duration_ms = Some(duration * 1000L / timescale),

@@ -279,17 +279,28 @@ object Reconcile {
       case (sa: StructType, sb: StructType) =>
         val bByName = sb.fields.map(f => f.name -> f).toMap
         val aNames = sa.fieldNames.toSet
-        val merged = sa.fields.map { fa =>
-          bByName.get(fa.name) match {
-            case Some(fb) => widen(fa.dataType, fb.dataType)
-              .map(t => StructField(fa.name, t, fa.nullable || fb.nullable))
-            case None => Some(fa.copy(nullable = true))
+        // Spark's default resolver is case-INSENSITIVE, but this merge
+        // matches exactly: vintages whose struct fields differ only by
+        // case (Cust vs cust) would silently reconcile to a struct
+        // carrying BOTH (each NULL in the other vintage), and a later
+        // case-insensitive getField on it is ambiguous. Fail fast
+        // instead — same discipline as the lossy-coercion scalars.
+        val caseClash = (sa.fields ++ sb.fields).map(_.name).distinct
+          .groupBy(_.toLowerCase).exists(_._2.length > 1)
+        if (caseClash) None
+        else {
+          val merged = sa.fields.map { fa =>
+            bByName.get(fa.name) match {
+              case Some(fb) => widen(fa.dataType, fb.dataType)
+                .map(t => StructField(fa.name, t, fa.nullable || fb.nullable))
+              case None => Some(fa.copy(nullable = true))
+            }
+          } ++ sb.fields.collect {
+            case fb if !aNames(fb.name) => Some(fb.copy(nullable = true))
           }
-        } ++ sb.fields.collect {
-          case fb if !aNames(fb.name) => Some(fb.copy(nullable = true))
+          if (merged.forall(_.isDefined)) Some(StructType(merged.flatten))
+          else None
         }
-        if (merged.forall(_.isDefined)) Some(StructType(merged.flatten))
-        else None
       case (ArrayType(ea, na), ArrayType(eb, nb)) =>
         widen(ea, eb).map(ArrayType(_, na || nb))
       case (MapType(ka, va, na), MapType(kb, vb, nb)) =>

@@ -661,8 +661,11 @@ object ExtensionQueries {
     val queries = emb.filter(col("vec_id").between(1, 5))
     val cents = Similarity.kmeansCentroidsDistributed(
       corpus, "vec_id", "embedding", nlist = 8, iters = 2)
-    val idxDir = java.nio.file.Files
-      .createTempDirectory("graft_q_ivf_idx").toString + "/idx"
+    // deterministic per-SF path under the build's target/ (the same
+    // discipline as qSimIndexTopK) — repeated correctness/bench runs
+    // overwrite via the staged swap instead of accumulating fresh
+    // /tmp trees that nothing ever sweeps
+    val idxDir = s"$twinRoot/annidx_ivf/${new java.io.File(dir).getName}"
     val idx = graft.sources.AnnIndex.buildAndWriteIvf(
       s, idxDir, corpus, "vec_id", "embedding", cents)
     graft.sources.AnnIndex.queryBatchIvf(

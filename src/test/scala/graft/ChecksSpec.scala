@@ -335,6 +335,13 @@ class ChecksSpec extends SparkSpec {
     // struct vs scalar is still a conflict
     val bad = df("k BIGINT, meta BIGINT", Row(4L, 1L))
     intercept[IllegalArgumentException](Reconcile.unionEvolved(Seq(old, bad)))
+    // struct fields differing only by CASE fail fast (round 9):
+    // silently merging Cust + cust would build a struct carrying both,
+    // ambiguous under Spark's default case-insensitive getField
+    val cased = df("k BIGINT, meta STRUCT<Cust: INT>", Row(5L, Row(3)))
+    val e3 = intercept[IllegalArgumentException](
+      Reconcile.unionEvolved(Seq(old, cased)))
+    assert(e3.getMessage.contains("irreconcilable"))
   }
 
   test("linearTrend: exact closed-form fit; degenerate keys report NULL slope") {

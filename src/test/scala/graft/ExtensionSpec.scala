@@ -478,7 +478,13 @@ class ExtensionSpec extends SparkSpec {
       Row(4L, "from 192.168.254.1 and 2001:db8::8a2e:370:7334 at 12:30:45"),
       Row(5L, "ssn 123-45-6789 card 4111 1111 1111 1111 alt 5500-0000-0000-0004"),
       Row(6L, "dial 555-123-4567 or 555.123.4567; the date 2021-03-15 stays"),
-      Row(7L, "mac aa:bb:cc:dd:ee:ff on vlan 7"))
+      Row(7L, "mac aa:bb:cc:dd:ee:ff on vlan 7"),
+      // round 9: the non-empty-group IPv6 alternation — colon noise
+      // (::::, ratio-like f:e:d:c, code ::), clock times, and scope
+      // operators survive; valid compressed literals still redact
+      Row(8L, "ratios f:e:d:c beside :::: and std::map stay put"),
+      Row(9L, "note a::b::c here"),
+      Row(10L, "lo ::1 and full 2001:0db8:85a3:0000:0000:8a2e:0370:7334"))
     val got = docs.select(col("doc_id"),
         graft.functions.TextFunctions.redact(col("text")).as("t"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -495,6 +501,14 @@ class ExtensionSpec extends SparkSpec {
     assert(got(6L) == "dial <PHONE> or <PHONE>; the date <NUMBER> stays")
     // MAC addresses ride the colon-hex class — scrubbed as identifiers
     assert(got(7L) == "mac <IP> on vlan 7")
+    // colon runs that are NOT address-shaped survive the round-9
+    // alternation (the old {0,4}-group pattern redacted all three)
+    assert(got(8L) == "ratios f:e:d:c beside :::: and std::map stay put")
+    // `a::b` and `::c` are each valid compressed IPv6 literals — the
+    // replace-all matches both out of `a::b::c` (accepted cost,
+    // documented on ipv6Pattern)
+    assert(got(9L) == "note <IP><IP> here")
+    assert(got(10L) == "lo <IP> and full <IP>")
   }
 
   test("vocabulary: freq/df counts with deterministic tie-break cut") {
@@ -1216,20 +1230,27 @@ class ExtensionSpec extends SparkSpec {
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
     }
     spark.sparkContext.addSparkListener(listener)
-    val t0 = System.nanoTime()
     val m =
       try graft.operators.Bpe.train(t, "text", numMerges = 1500).collect()
       finally {
-        Thread.sleep(2000) // let the async listener bus drain
+        // drain the async listener bus by waiting until the job-start
+        // count stabilizes (a fixed sleep can undercount on a loaded
+        // box); late events only make the <=8 assert stricter, so
+        // waiting longer is always safe
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var last = -1
+        while (jobs != last && System.nanoTime() < deadline) {
+          last = jobs; Thread.sleep(200)
+        }
         spark.sparkContext.removeSparkListener(listener)
       }
-    val secs = (System.nanoTime() - t0) / 1e9
     assert(m.length == 1500, s"expected 1500 merges, got ${m.length}")
     // the pre-round-8 shape launched ~2 jobs PER MERGE (~3000 here);
     // driver-local training launches only the word-table collect plus
-    // the merge-table materialization
+    // the merge-table materialization. The job budget alone proves
+    // driver-locality — no wall-clock assert (JIT/GC/box load would
+    // make one flaky without adding evidence).
     assert(jobs <= 8, s"merge loop must not launch per-merge jobs, saw $jobs")
-    assert(secs < 60.0, s"1.5k merges took $secs s — not driver-local?")
     // merge table is well-formed: indices 0..n-1, positive counts
     assert(m.map(_.getLong(0)).toSeq == (0L until 1500L))
     assert(m.forall(_.getLong(4) > 0L))
