@@ -53,6 +53,78 @@ object TextFunctions {
     when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks)))
   }
 
+  // --------------------------------------------------------- normalization
+
+  /** C0/C1-style control characters minus the text whitespace
+    * (tab, LF, CR stay — they are layout, not noise). Shared RE2-safe
+    * class (hex escapes only) for the DuckDB oracle mirror. */
+  val controlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Canonical Unicode form + control-char strip — the documented
+    * pre-step of every downstream text operator ([[fingerprint]] /
+    * [[graft.operators.Dedup.exactByFingerprint]],
+    * [[graft.operators.Bpe.train]], [[langId]], [[qualityScore]]):
+    * real corpora carry the SAME text in different Unicode forms
+    * (NFC `é` vs NFD `e`+U+0301), which defeats exact dedup and
+    * splits BPE pair counts unless normalized first. Control strip
+    * runs BEFORE normalization (the oracle mirror fixes the same
+    * order). `form` is NFC by default — byte-compatible with DuckDB's
+    * `nfc_normalize`; NFKC additionally folds compatibility glyphs
+    * (ligature `ﬁ`→`fi`, circled digits, full-width forms) and is the
+    * usual LLM-corpus choice when no SQL oracle is needed. Scales as
+    * a per-row codegen'd projection — zero shuffle. */
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(UnicodeNormalize(
+      org.apache.spark.sql.graftshim.ColumnBridge.expression(
+        regexp_replace(text, controlClass, "")), form))
+
+  /** The NFC [[normalizeText]] as DuckDB SQL — same control strip,
+    * then `nfc_normalize`, in the same order. */
+  def normalizeTextSql(expr: String): String =
+    s"nfc_normalize(regexp_replace($expr, '$controlClass', '', 'g'))"
+
+  /** Boilerplate-strip chain for HTML/markup-bearing corpora, in
+    * fixed order: script/style blocks (content removed — it is code,
+    * not prose), comments, then remaining tags become a space (so
+    * `a</p><p>b` doesn't glue into `ab`), the handful of entities
+    * that survive in prose decode, whitespace collapses. ALL steps
+    * are RE2-safe shared constants (non-greedy spans + `(?is)` inline
+    * flags are supported identically by Java regex and RE2), so the
+    * DuckDB oracle replays the identical chain. Script and style get
+    * separate patterns — RE2 has no backreferences to tie an opening
+    * tag to its closing one. */
+  val boilerplateSteps: Seq[(String, String)] = Seq(
+    "(?is)<script[^>]*>.*?</script>" -> " ",
+    "(?is)<style[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "<[^>]*>" -> " ",
+    "&nbsp;" -> " ",
+    "&amp;" -> "&",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'")
+
+  /** Strip HTML/markup boilerplate down to prose (see
+    * [[boilerplateSteps]]), collapsed and trimmed — the step between
+    * raw crawl text and [[qualityScore]]/[[fingerprint]]. Pure
+    * codegen'd regexp chain, one pass per step over scan bytes. */
+  def stripBoilerplate(text: Column): Column =
+    trim(regexp_replace(
+      boilerplateSteps.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) },
+      wsClass + "+", " "))
+
+  /** The [[stripBoilerplate]] chain as DuckDB SQL — same constants,
+    * same order (single quotes in replacements doubled for the SQL
+    * literal; the patterns themselves contain none). */
+  def stripBoilerplateSql(expr: String): String = {
+    val chained = boilerplateSteps.foldLeft(expr) { case (e, (p, r)) =>
+      val rep = r.replace("'", "''")
+      s"regexp_replace($e, '$p', '$rep', 'g')"
+    }
+    s"trim(regexp_replace($chained, '$wsClass+', ' ', 'g'))"
+  }
+
   // ------------------------------------------------------------- redaction
 
   /** PII scrubbing patterns — training corpora are redacted before

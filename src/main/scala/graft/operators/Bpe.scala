@@ -57,7 +57,14 @@ object Bpe {
   /** Train `numMerges` BPE merges over `textCol`'s whitespace words.
     * Returns the merge table ordered by `merge_idx`; stops early if
     * the vocabulary runs out of adjacent pairs. `maxVocab` bounds the
-    * driver-side word-table collect (throws if exceeded). */
+    * driver-side word-table collect (throws if exceeded).
+    *
+    * Documented pre-step:
+    * [[graft.functions.TextFunctions.normalizeText]] — the SAME
+    * visible word in NFC and NFD forms counts as two vocabulary
+    * entries and splits every shared pair's frequency; normalize
+    * the column first so pair counts (and hence the learned merges)
+    * see one canonical byte form. */
   def train(
       df: DataFrame,
       textCol: String,

@@ -59,7 +59,14 @@ object Dedup {
     * keeps the first row per fingerprint. Shuffles on the 16-byte
     * digest instead of full document text — at 100 TB that is the
     * difference between shuffling 100 TB and shuffling ~3 GB/billion
-    * docs. */
+    * docs.
+    *
+    * Documented pre-step:
+    * [[graft.functions.TextFunctions.normalizeText]] — the
+    * fingerprint folds case and whitespace but NOT Unicode form, so
+    * visually identical NFC/NFD strings hash apart unless the column
+    * is normalized first (pinned by ExtensionSpec's
+    * NFC-vs-NFD-collapse case). */
   def exactByFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = TextFunctions.fingerprint(col(textCol))
     val w = Window.partitionBy(col("fp")).orderBy(col(idCol).asc)

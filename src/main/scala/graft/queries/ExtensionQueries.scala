@@ -107,6 +107,62 @@ object ExtensionQueries {
       TextFunctions.redact(pii).as("clean_text"))
   }
 
+  /** Mixed-Unicode-form probe appended to each document for
+    * q_text_normalize: NFD sequences that NFC must compose
+    * (e+U+0301 → é, A+U+030A → Å), one pre-composed é (already-NFC
+    * identity path), and control chars the strip must remove. Built
+    * from CODEPOINTS on both sides — Spark chars here, `chr()` calls
+    * in the DuckDB mirror — so the JSON-dumped oracle SQL stays pure
+    * ASCII and no serialization layer can re-normalize the fixture
+    * out from under the test. */
+  private val normProbe: Seq[Either[String, Int]] = Seq(
+    Left(" Cafe"), Right(0x301),
+    Left(" A"), Right(0x30A), Left("ngstrom"),
+    Left(" d"), Right(0xe9), Left("j"), Right(0xe0), // pre-composed déjà
+    Right(0x1), Left(" ctl"), Right(0x7f), Left(" end"))
+  private val normProbeStr: String = normProbe.map {
+    case Left(s) => s
+    case Right(cp) => new String(Character.toChars(cp))
+  }.mkString
+  private val normProbeSql: String = normProbe.map {
+    case Left(s) => s"'$s'"
+    case Right(cp) => s"chr($cp)"
+  }.mkString(" || ")
+
+  /** Unicode normalization (NFC) + control strip over a payload that
+    * mixes NFD, pre-composed, and control-bearing text — the
+    * front-of-pipeline canonicalization every downstream text op
+    * assumes (see [[TextFunctions.normalizeText]]). Oracled against
+    * DuckDB's `nfc_normalize` over the codepoint-identical payload;
+    * n_clean makes the hash sensitive to composition (NFD probes
+    * LOSE length under NFC). */
+  private val qTextNormalize: Q = (s, dir) =>
+    pq(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.normalizeText(concat(col("text"), lit(normProbeStr)))
+        .as("clean_text"))
+      .withColumn("n_clean", length(col("clean_text")).cast("bigint"))
+
+  /** HTML/markup boilerplate strip over a built page (script/style/
+    * comment blocks, tags, entities around each document's text) —
+    * the raw-crawl-to-prose step feeding quality scoring and dedup.
+    * Replayed in DuckDB from the SAME pattern/replacement constants
+    * ([[TextFunctions.boilerplateSteps]]). The template constants
+    * must stay single-quote-free — they interpolate into a DuckDB
+    * string literal. */
+  private val htmlPrefix = "<html><head><title>T</title>" +
+    "<style>p{color:red}</style>" +
+    "<script type=\"text/javascript\">var x = 1 < 2;</script></head>" +
+    "<body><!-- nav --><div class=\"main\"><p>"
+  private val htmlSuffix = "</p><p>Tom &amp; Jay say &quot;hi&quot; " +
+    "&#39;now&#39;&nbsp;then</p></div></body></html>"
+  private val qTextBoilerplate: Q = (s, dir) =>
+    pq(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.stripBoilerplate(
+        concat(lit(htmlPrefix), col("text"), lit(htmlSuffix))).as("clean_text"))
+      .withColumn("n_clean", length(col("clean_text")).cast("bigint"))
+
   /** The canonical pre-training corpus filter: language gate +
     * composite quality threshold + token-length band, in one pass —
     * every predicate codegen'd builtins over the text column, so the
@@ -1874,6 +1930,8 @@ object ExtensionQueries {
     "q_events_conv_latency" -> qEventsConvLatency,
     "q_graph_degrees" -> qGraphDegrees,
     "q_dedup_cluster_sizes" -> qDedupClusterSizes,
+    "q_text_normalize" -> qTextNormalize,
+    "q_text_boilerplate" -> qTextBoilerplate,
     "q_sim_index_topk" -> qSimIndexTopK)
 
   // DuckDB mirrors of the SQL-expressible subset. RE2 notes: DuckDB
@@ -4641,6 +4699,26 @@ object ExtensionQueries {
       s"""SELECT doc_id,
          |  ${TextFunctions.redactSql(s"($pii)")} AS clean_text
          |FROM documents""".stripMargin
+    },
+    // Codepoint-identical payload (text || chr()-built probe), then
+    // the shared strip+NFC chain — TextFunctions.normalizeTextSql
+    // fixes the same order (controls first, then nfc_normalize).
+    "q_text_normalize" -> {
+      val payload = s"(text || $normProbeSql)"
+      val norm = TextFunctions.normalizeTextSql(payload)
+      s"""SELECT doc_id, clean_text,
+         |  CAST(length(clean_text) AS BIGINT) AS n_clean
+         |FROM (SELECT doc_id, $norm AS clean_text FROM documents)""".stripMargin
+    },
+    // Same built page as the query, then the shared boilerplate
+    // chain from TextFunctions.boilerplateSteps — one constant list,
+    // two engines.
+    "q_text_boilerplate" -> {
+      val payload = s"('$htmlPrefix' || text || '$htmlSuffix')"
+      val stripped = TextFunctions.stripBoilerplateSql(payload)
+      s"""SELECT doc_id, clean_text,
+         |  CAST(length(clean_text) AS BIGINT) AS n_clean
+         |FROM (SELECT doc_id, $stripped AS clean_text FROM documents)""".stripMargin
     },
     // Mirrors [[qTextOov]]: the same top-20 (freq desc, token asc)
     // vocabulary cut, then a per-row membership sweep — the oov count

@@ -511,6 +511,67 @@ class ExtensionSpec extends SparkSpec {
     assert(got(10L) == "lo <IP> and full <IP>")
   }
 
+  test("normalizeText: NFC composes, controls strip, NFKC folds compat glyphs, NULL stays NULL") {
+    import graft.functions.TextFunctions
+    val nfd = "Café Ångström"       // e+◌́, A+◌̊, o+◌̈
+    val nfc = "Café Ångström"           // pre-composed
+    val t = df("doc_id BIGINT, text STRING",
+      Row(1L, nfd),
+      Row(2L, nfc),
+      Row(3L, "plain ascii stays"),
+      Row(4L, null))
+    val got = t.select(col("doc_id"),
+        TextFunctions.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == nfc)             // NFD composes to the NFC bytes
+    assert(got(2L) == nfc)             // already-NFC identity
+    assert(got(3L) == "plain ascii stays")
+    assert(got(4L) == null)
+    // NFKC additionally folds compatibility glyphs the NFC path keeps
+    val k = df("doc_id BIGINT, text STRING", Row(1L, "ﬁle ① Ａ"))
+      .select(TextFunctions.normalizeText(col("text"), "NFKC"))
+      .collect().head.getString(0)
+    assert(k == "file 1 A")            // ﬁ→fi, ①→1, full-width A→A
+  }
+
+  test("normalizeText pre-step collapses NFC-vs-NFD duplicates in exact dedup") {
+    import graft.functions.TextFunctions
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(1L, "Café au lait"),    // NFC
+      Row(2L, "Café au lait"),   // NFD — same visible text
+      Row(3L, "other doc"))
+    // raw: the two forms hash apart — dedup misses the duplicate
+    assert(graft.operators.Dedup.exactGroups(docs, "doc_id", "text").count() == 3)
+    assert(graft.operators.Dedup
+      .exactByFingerprint(docs, "doc_id", "text").count() == 3)
+    // with the documented pre-step they collapse, keeping the min id
+    val normed = docs.withColumn("text", TextFunctions.normalizeText(col("text")))
+    val groups = graft.operators.Dedup.exactGroups(normed, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(groups.size == 2)
+    assert(groups("Café au lait") == ((1L, 2L)))
+    assert(graft.operators.Dedup
+      .exactByFingerprint(normed, "doc_id", "text").count() == 2)
+  }
+
+  test("stripBoilerplate: script/style/comment blocks vanish, tags space, entities decode, ws collapses") {
+    import graft.functions.TextFunctions
+    val html = "<html><head><style>p{color:red}</style>" +
+      "<script src=\"x.js\">var a = 1 < 2;</script></head>" +
+      "<body><!-- menu --><p class=\"big\">Tom &amp; Jay</p>" +
+      "<p>say &quot;hi&quot;&nbsp;&#39;now&#39;</p></body></html>"
+    val got = df("doc_id BIGINT, text STRING", Row(1L, html))
+      .select(TextFunctions.stripBoilerplate(col("text")))
+      .collect().head.getString(0)
+    assert(got == "Tom & Jay say \"hi\" 'now'")
+    // tag boundaries become spaces so adjacent block text never glues
+    val glue = df("doc_id BIGINT, text STRING", Row(1L, "<p>a</p><p>b</p>"))
+      .select(TextFunctions.stripBoilerplate(col("text")))
+      .collect().head.getString(0)
+    assert(glue == "a b")
+  }
+
   test("vocabulary: freq/df counts with deterministic tie-break cut") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(1L, "apple banana apple"),
