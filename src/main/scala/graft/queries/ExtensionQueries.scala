@@ -728,6 +728,31 @@ object ExtensionQueries {
       idx, queries, "vec_id", "embedding", k = 5, nprobe = 2)
   }
 
+  /** INCREMENTAL index append ([[graft.sources.AnnIndex.appendToIvf]]):
+    * centroids train on the BASE half of the corpus only (even
+    * vec_ids ≥ 6 — the frozen model of a live index), the base is
+    * built+persisted, then the odd half arrives as a later batch and
+    * is cell-assigned against the frozen centroids and published as a
+    * new segment — no corpus re-assign, no retrain. The oracle is the
+    * inline batch-IVF replay over base∪batch with base-trained
+    * centroids, so hash-green here IS the closure property: append ≡
+    * from-scratch rebuild under the same model. */
+  private val qSimIndexAppend: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val cents = Similarity.kmeansCentroidsDistributed(
+      base, "vec_id", "embedding", nlist = 8, iters = 2)
+    val idxDir = s"$twinRoot/annidx_append/${new java.io.File(dir).getName}"
+    graft.sources.AnnIndex.buildAndWriteIvf(
+      s, idxDir, base, "vec_id", "embedding", cents)
+    val idx = graft.sources.AnnIndex.appendToIvf(
+      s, idxDir, batch, "vec_id", "embedding")
+    graft.sources.AnnIndex.queryBatchIvf(
+      idx, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+  }
+
   /** Batch-query LSH ANN — the centroid-free batch retrieval path:
     * same query/corpus split as q_sim_batch_topk, Hamming-ball probe
     * (h=2 over 8 planes = 37 probe buckets per query) via equi-join
@@ -1849,6 +1874,7 @@ object ExtensionQueries {
     "q_sim_ivf_distributed" -> qSimIvfDistributed,
     "q_sim_batch_topk" -> qSimBatchTopK,
     "q_sim_index_ivf" -> qSimIndexIvf,
+    "q_sim_index_append" -> qSimIndexAppend,
     "q_sim_lsh_batch" -> qSimLshBatch,
     "q_sim_hard_negatives" -> qSimHardNegatives,
     "q_embed_centroids" -> qEmbedCentroids,
@@ -2426,6 +2452,39 @@ object ExtensionQueries {
        |      row_number() OVER (PARTITION BY e.id
        |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
        |    FROM corpus e CROSS JOIN cents$iters c) t WHERE rn = 1),
+       |probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosineFusedSql("q.qv", "c.cvec")} DESC, c.cell ASC) AS rn
+       |    FROM qs q CROSS JOIN cents$iters c) t WHERE rn <= $nprobe)
+       |SELECT query_id, id, cosine FROM (
+       |  SELECT p.qid AS query_id, a.id, ${cosineSql("a.vec", "q.qv")} AS cosine,
+       |    row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY ${cosineSql("a.vec", "q.qv")} DESC, a.id ASC) AS rn
+       |  FROM probe p JOIN assigned a ON a.cell = p.cell JOIN qs q ON q.qid = p.qid) t
+       |WHERE rn <= $k""".stripMargin
+  }
+
+  /** Mirrors [[qSimIndexAppend]]: the k-means CTE chain trains on
+    * the BASE half only (`corpus` = even vec_ids ≥ 6 — the frozen
+    * model), but `assigned` runs over base∪batch (`allc`) — exactly
+    * what the index holds after [[graft.sources.AnnIndex.appendToIvf]]
+    * cell-assigns the odd-half batch against the frozen centroids.
+    * Probe + per-query top-5 as in [[simBatchTopkSql]]. */
+  private val simIndexAppendSql: String = {
+    val (nlist, iters, k, nprobe) = (8, 2, 5, 2)
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+       |               WHERE vec_id >= 6 AND vec_id % 2 = 0),
+       |allc AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 6),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+       |${kmeansDistributedCtes(nlist, iters)},
+       |assigned AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT e.id, e.vec, c.cell,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+       |    FROM allc e CROSS JOIN cents$iters c) t WHERE rn = 1),
        |probe AS (
        |  SELECT qid, cell FROM (
        |    SELECT q.qid, c.cell,
@@ -4664,6 +4723,7 @@ object ExtensionQueries {
     "q_sim_ivf_distributed" -> simIvfDistributedSql,
     "q_sim_batch_topk" -> simBatchTopkSql,
     "q_sim_index_ivf" -> simBatchTopkSql,
+    "q_sim_index_append" -> simIndexAppendSql,
     "q_sim_lsh_batch" -> simLshBatchSql,
     "q_sim_hard_negatives" -> simHardNegativesSql,
     "q_embed_centroids" -> embedCentroidsSql,

@@ -27,6 +27,21 @@ import graft.operators.Similarity
   * and a rebuild over an existing index moves the old copy aside
   * before the swap, so no crash point loses BOTH copies.
   *
+  * Incremental append: the corpus-sized table is SEGMENTED
+  * (`coded/seg=0`, `coded/seg=1`, … — Spark partition discovery; the
+  * `seg` column is projected away on read). [[append]] /
+  * [[appendToIvf]] encode a new batch against the FROZEN
+  * centroids/codebooks already on disk — the model never retrains,
+  * so appended rows are bit-identical to what a from-scratch build
+  * with the same model would produce — and land it as one new
+  * segment: batch rows write to an underscore-prefixed staging dir
+  * INSIDE the table (invisible to Spark/parquet readers, which skip
+  * `_`/`.` paths), then ONE atomic rename publishes `seg=N`. A crash
+  * before the rename leaves the live index untouched (stale staging
+  * is swept by the next append); the rename itself is atomic on
+  * HDFS/POSIX. Daily embedding batches therefore cost O(batch)
+  * encode + write, never a corpus re-code.
+  *
   * Scale posture: the build is one corpus scan (assign + encode,
   * zero shuffles) plus driver-side centroid training on a bounded
   * sample; reads scan only the coded table (column-pruned), and the
@@ -76,10 +91,48 @@ object AnnIndex {
       book.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
     }.toSeq.toDF("subspace", "code", "vec")
       .write.mode("overwrite").parquet(s"$staging/codebooks")
-    coded.write.mode("overwrite").parquet(s"$staging/coded")
+    coded.write.mode("overwrite").parquet(s"$staging/coded/seg=0")
     swapIn(fs, staging, dir)
     read(spark, dir)
   }
+
+  /** Append a batch to a persisted IVF-PQ index WITHOUT retraining
+    * or re-coding the corpus: encode against the index's frozen
+    * centroids/codebooks, publish as one new `coded` segment (see
+    * the class doc for the crash discipline). Query results over the
+    * appended index are bit-identical to a from-scratch
+    * [[buildAndWrite]]-shaped encode over corpus∪batch with the SAME
+    * model — the closure property `q_sim_index_append` oracles. */
+  def append(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): Loaded = {
+    val idx = read(spark, dir)
+    appendSegment(spark, s"$dir/coded",
+      Similarity.encodeForIndex(batch, idCol, vecCol, idx.centroids, idx.codebooks))
+    read(spark, dir)
+  }
+
+  /** Write `rows` as the next `seg=N` of a segmented table: stage
+    * under an underscore dir readers skip, then one atomic rename. */
+  private def appendSegment(
+      spark: SparkSession, table: String, rows: DataFrame): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(table), spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$table/_append.staging")
+    fs.delete(staging, true) // sweep a stale crashed append
+    rows.write.mode("overwrite").parquet(staging.toString)
+    val next = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .map(_.getPath.getName).collect { case SegDir(n) => n.toInt }
+      .foldLeft(-1)(math.max) + 1
+    val seg = new org.apache.hadoop.fs.Path(s"$table/seg=$next")
+    require(fs.rename(staging, seg),
+      s"AnnIndex: could not publish segment $seg — live index unchanged")
+  }
+
+  private val SegDir = "seg=(\\d+)".r
 
   /** Swap `<dir>.staging` into place. Order preserves the previous
     * good index at every step: the old target moves ASIDE (never
@@ -116,7 +169,10 @@ object AnnIndex {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val codebooks = cbRows.groupBy(_._1).toArray.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
-    Loaded(cents, codebooks, spark.read.parquet(s"$dir/coded"))
+    // project away the seg partition column (and read pre-segment
+    // flat layouts, which simply lack it)
+    Loaded(cents, codebooks,
+      spark.read.parquet(s"$dir/coded").select("id", "cell", "code"))
   }
 
   /** Batch ANN over a loaded index — delegates to the coded-input
@@ -172,8 +228,26 @@ object AnnIndex {
       .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "vec")
       .write.mode("overwrite").parquet(s"$staging/centroids")
-    assigned.write.mode("overwrite").parquet(s"$staging/assigned")
+    assigned.write.mode("overwrite").parquet(s"$staging/assigned/seg=0")
     swapIn(fs, staging, dir)
+    readIvf(spark, dir)
+  }
+
+  /** [[append]]'s plain-IVF twin: cell-assign the batch against the
+    * index's FROZEN centroids, publish as one new `assigned` segment.
+    * O(batch) — the corpus is never re-assigned. */
+  def appendToIvf(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): LoadedIvf = {
+    val idx = readIvf(spark, dir)
+    appendSegment(spark, s"$dir/assigned",
+      batch.select(
+        col(idCol).as("id"),
+        Similarity.assignCellUdf(idx.centroids)(col(vecCol)).as("cell"),
+        col(vecCol).as("vec")))
     readIvf(spark, dir)
   }
 
@@ -184,7 +258,8 @@ object AnnIndex {
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
     require(cents.nonEmpty, s"AnnIndex: no centroids under $dir")
-    LoadedIvf(cents, spark.read.parquet(s"$dir/assigned"))
+    LoadedIvf(cents,
+      spark.read.parquet(s"$dir/assigned").select("id", "cell", "vec"))
   }
 
   /** Batch ANN over a loaded plain-IVF index — delegates to the

@@ -1,17 +1,50 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 import graft.sources.AnnIndex
 
+/** Test-only FileSystem for the crash-posture cases: a local FS
+  * under the `faulty://` scheme whose rename can be told to FAIL
+  * (return false, as HDFS/local rename does on error) when the
+  * source or destination directory name matches — interposing a
+  * crash at an exact point inside [[AnnIndex]]'s staging swap. The
+  * match is on the path's LAST segment only, so the parquet
+  * committer's own `_temporary` renames inside a staging tree are
+  * untouched; only the swap-level rename of the flagged directory
+  * fails. */
+class FaultyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "faulty"
+  override def getUri: java.net.URI = java.net.URI.create("faulty:///")
+  override def rename(
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Boolean =
+    if (FaultyRenameFs.failSrcName.contains(src.getName) ||
+        FaultyRenameFs.failDstName.contains(dst.getName)) false
+    else super.rename(src, dst)
+}
+object FaultyRenameFs {
+  @volatile var failSrcName: Option[String] = None
+  @volatile var failDstName: Option[String] = None
+  def reset(): Unit = { failSrcName = None; failDstName = None }
+}
+
 /** The persisted IVF-PQ index round-trip: a written-then-loaded
   * index must answer BIT-IDENTICALLY to the inline
   * (train-in-query) path, its coded table must carry no vectors,
-  * and the staging directory must be gone after the swap. */
+  * and the staging directory must be gone after the swap. Plus the
+  * incremental-append closure property (append ≡ rebuild under the
+  * same frozen model) and the swap's crash posture (a readable
+  * index survives a failing rename at EVERY step). */
 class AnnIndexSpec extends SparkSpec {
 
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
+  private def r3(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
   test("written+loaded index answers bit-identically to the inline path") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = emb.filter(col("vec_id") >= 6)
     val queries = emb.filter(col("vec_id").between(1, 5))
 
@@ -20,17 +53,15 @@ class AnnIndexSpec extends SparkSpec {
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val cents = Similarity.refineCentroids(sample, 8, 2)
     val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8)
-    val inline = Similarity.ivfPqTopKBatch(queries, corpus,
-      "vec_id", "embedding", "vec_id", "embedding", k = 5, cents, cb, nprobe = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = r3(Similarity.ivfPqTopKBatch(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, cents, cb, nprobe = 2))
 
-    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/idx"
+    val dir = tmp("graft_annidx")
     AnnIndex.buildAndWrite(spark, dir, corpus, "vec_id", "embedding",
       nlist = 8, m = 8)
     val loaded = AnnIndex.read(spark, dir)
-    val viaIndex = AnnIndex.queryBatch(loaded, queries, "vec_id", "embedding",
-      k = 5, nprobe = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaIndex = r3(AnnIndex.queryBatch(loaded, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2))
 
     assert(viaIndex == inline) // scores included — bit-exact
     assert(loaded.coded.columns.toSet == Set("id", "cell", "code"),
@@ -41,9 +72,8 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   test("rebuilding over an existing index replaces it atomically") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = emb.filter(col("vec_id") >= 6)
-    val dir = java.nio.file.Files.createTempDirectory("graft_annidx2").toString + "/idx"
+    val dir = tmp("graft_annidx2")
     AnnIndex.buildAndWrite(spark, dir, corpus, "vec_id", "embedding", nlist = 4, m = 8)
     val second = AnnIndex.buildAndWrite(spark, dir, corpus, "vec_id", "embedding",
       nlist = 8, m = 8)
@@ -52,5 +82,132 @@ class AnnIndexSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".old").exists,
       "aside copy must be cleaned up after a successful swap")
     assert(!new java.io.File(dir + ".staging").exists)
+  }
+
+  // ------------------------------------------------- incremental append
+
+  test("IVF append-then-query ≡ rebuild-then-query under the same centroids") {
+    val base = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 1)
+    val all = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val cents = Similarity.kmeansCentroidsDistributed(
+      base, "vec_id", "embedding", nlist = 4, iters = 1)
+
+    val dirA = tmp("graft_annidx_app")
+    AnnIndex.buildAndWriteIvf(spark, dirA, base, "vec_id", "embedding", cents)
+    val appended = AnnIndex.appendToIvf(spark, dirA, batch, "vec_id", "embedding")
+    val viaAppend = r3(AnnIndex.queryBatchIvf(
+      appended, queries, "vec_id", "embedding", k = 5, nprobe = 2))
+
+    val dirB = tmp("graft_annidx_reb")
+    val rebuilt = AnnIndex.buildAndWriteIvf(
+      spark, dirB, all, "vec_id", "embedding", cents)
+    val viaRebuild = r3(AnnIndex.queryBatchIvf(
+      rebuilt, queries, "vec_id", "embedding", k = 5, nprobe = 2))
+
+    assert(viaAppend == viaRebuild) // closure: O(batch) append ≡ full rebuild
+    assert(appended.assigned.columns.toSet == Set("id", "cell", "vec"),
+      "seg partition column must be projected away")
+    assert(new java.io.File(dirA + "/assigned/seg=1").isDirectory,
+      "batch must land as its own segment")
+    assert(appended.assigned.count() == all.count())
+  }
+
+  test("IVF-PQ append matches a from-scratch encode under the frozen model") {
+    val base = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 1)
+    val all = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+
+    val dir = tmp("graft_annidx_pqapp")
+    AnnIndex.buildAndWrite(spark, dir, base, "vec_id", "embedding", nlist = 4, m = 8)
+    val appended = AnnIndex.append(spark, dir, batch, "vec_id", "embedding")
+    val viaAppend = r3(AnnIndex.queryBatch(
+      appended, queries, "vec_id", "embedding", k = 5, nprobe = 2))
+
+    // from-scratch encode of corpus∪batch under the SAME (frozen) model
+    val inline = r3(Similarity.ivfPqTopKBatchCoded(queries,
+      Similarity.encodeForIndex(all, "vec_id", "embedding",
+        appended.centroids, appended.codebooks),
+      "vec_id", "embedding", k = 5, appended.centroids, appended.codebooks,
+      nprobe = 2))
+
+    assert(viaAppend == inline)
+    assert(new java.io.File(dir + "/coded/seg=1").isDirectory)
+  }
+
+  test("append publishes atomically and sweeps a crashed append staging") {
+    val base = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 1)
+    val cents = Similarity.kmeansCentroidsDistributed(
+      base, "vec_id", "embedding", nlist = 4, iters = 1)
+    val dir = tmp("graft_annidx_sweep")
+    AnnIndex.buildAndWriteIvf(spark, dir, base, "vec_id", "embedding", cents)
+    val baseCount = AnnIndex.readIvf(spark, dir).assigned.count()
+
+    // a crashed earlier append left its staging behind: readers must
+    // ignore it (underscore prefix), the next append must sweep it
+    val junk = new java.io.File(dir + "/assigned/_append.staging")
+    assert(junk.mkdirs())
+    java.nio.file.Files.write(junk.toPath.resolve("garbage.txt"), Array[Byte](1, 2, 3))
+    assert(AnnIndex.readIvf(spark, dir).assigned.count() == baseCount,
+      "a crashed append staging must be invisible to readers")
+
+    AnnIndex.appendToIvf(spark, dir, batch, "vec_id", "embedding")
+    assert(!junk.exists, "stale append staging must be swept")
+    assert(new java.io.File(dir + "/assigned/seg=1").isDirectory)
+  }
+
+  // ----------------------------------------------------- crash posture
+
+  test("a failing rename at either swap step never loses the live index") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faulty.impl", classOf[FaultyRenameFs].getName)
+    val base = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val cents = Similarity.kmeansCentroidsDistributed(
+      base, "vec_id", "embedding", nlist = 4, iters = 1)
+    val local = java.nio.file.Files.createTempDirectory("graft_annidx_crash").toString
+    val dir = s"faulty://$local/idx"
+    try {
+      AnnIndex.buildAndWriteIvf(spark, dir, base, "vec_id", "embedding", cents)
+      val good = r3(AnnIndex.queryBatchIvf(AnnIndex.readIvf(spark, dir),
+        queries, "vec_id", "embedding", k = 5, nprobe = 2))
+
+      // crash window 1: the aside move (target -> <dir>.old) fails.
+      // The live index must be untouched and still answer.
+      FaultyRenameFs.failDstName = Some("idx.old")
+      val e1 = intercept[IllegalArgumentException] {
+        AnnIndex.buildAndWriteIvf(spark, dir, base, "vec_id", "embedding", cents)
+      }
+      FaultyRenameFs.reset()
+      assert(e1.getMessage.contains("could not move previous index aside"))
+      assert(r3(AnnIndex.queryBatchIvf(AnnIndex.readIvf(spark, dir),
+        queries, "vec_id", "embedding", k = 5, nprobe = 2)) == good,
+        "live index must survive a failed aside move")
+
+      // crash window 2: the staging swap (staging -> target) fails
+      // AFTER the old index moved aside. The complete previous index
+      // must be readable at <dir>.old — never zero copies.
+      FaultyRenameFs.failSrcName = Some("idx.staging")
+      val e2 = intercept[IllegalArgumentException] {
+        AnnIndex.buildAndWriteIvf(spark, dir, base, "vec_id", "embedding", cents)
+      }
+      FaultyRenameFs.reset()
+      assert(e2.getMessage.contains(s"previous index preserved at $dir.old"))
+      assert(r3(AnnIndex.queryBatchIvf(AnnIndex.readIvf(spark, dir + ".old"),
+        queries, "vec_id", "embedding", k = 5, nprobe = 2)) == good,
+        "the aside copy must be a complete readable index")
+
+      // recovery: a plain rebuild over the same dir heals the
+      // half-swapped state and sweeps the aside + staging copies
+      val healed = AnnIndex.buildAndWriteIvf(
+        spark, dir, base, "vec_id", "embedding", cents)
+      assert(r3(AnnIndex.queryBatchIvf(healed,
+        queries, "vec_id", "embedding", k = 5, nprobe = 2)) == good)
+      assert(!new java.io.File(s"$local/idx.old").exists)
+      assert(!new java.io.File(s"$local/idx.staging").exists)
+    } finally FaultyRenameFs.reset()
   }
 }
