@@ -25,6 +25,15 @@ import org.apache.spark.unsafe.types.UTF8String
 case class UnicodeNormalize(child: Expression, form: String)
     extends UnaryExpression {
 
+  // validate EAGERLY in the constructor body: an invalid form ('nfc',
+  // a typo) fails at expression construction on the driver, not as a
+  // per-task IllegalArgumentException at first row evaluation on an
+  // executor. The field itself stays lazy so Java deserialization
+  // (which skips constructors) simply recomputes it per executor.
+  require(java.text.Normalizer.Form.values.exists(_.name == form),
+    s"unicode_normalize: unknown form '$form' — one of " +
+      java.text.Normalizer.Form.values.map(_.name).mkString(", "))
+
   private lazy val nf = java.text.Normalizer.Form.valueOf(form)
 
   override def dataType: DataType = StringType

@@ -99,11 +99,15 @@ object TextFunctions {
     "(?s)<!--.*?-->" -> " ",
     "<[^>]*>" -> " ",
     "&nbsp;" -> " ",
-    "&amp;" -> "&",
     "&lt;" -> "<",
     "&gt;" -> ">",
     "&quot;" -> "\"",
-    "&#39;" -> "'")
+    "&#39;" -> "'",
+    // LAST, so escaped entities decode once, not twice: the page
+    // displaying '&lt;' is written '&amp;lt;' and must strip to the
+    // literal '&lt;' — decoding '&amp;' first would re-expose '&lt;'
+    // to the later step and yield '<'
+    "&amp;" -> "&")
 
   /** Strip HTML/markup boilerplate down to prose (see
     * [[boilerplateSteps]]), collapsed and trimmed — the step between

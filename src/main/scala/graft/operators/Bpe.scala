@@ -43,8 +43,10 @@ import graft.functions.TextFunctions
   * pair), not O(vocab) — and launches ZERO Spark jobs. A 32k-merge
   * production tokenizer is then seconds of driver CPU instead of
   * ~64k scheduler-bound jobs (the round-7 shape: ~2 jobs per merge).
-  * Corpus segmentation with the learned table ([[segment]]) stays
-  * distributed.
+  * MEASURED ([[graft.BpeBench]], BENCH_bpe_r10.json): 32,768 merges
+  * over 97,502 distinct words in 9.24 s wall, 4 Spark jobs total
+  * (word count + bounded collect), local[32]. Corpus segmentation
+  * with the learned table ([[segment]]) stays distributed.
   */
 object Bpe {
 

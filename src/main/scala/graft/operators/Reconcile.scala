@@ -286,7 +286,7 @@ object Reconcile {
         // case-insensitive getField on it is ambiguous. Fail fast
         // instead — same discipline as the lossy-coercion scalars.
         val caseClash = (sa.fields ++ sb.fields).map(_.name).distinct
-          .groupBy(_.toLowerCase).exists(_._2.length > 1)
+          .groupBy(_.toLowerCase(java.util.Locale.ROOT)).exists(_._2.length > 1)
         if (caseClash) None
         else {
           val merged = sa.fields.map { fa =>
@@ -369,6 +369,20 @@ object Reconcile {
     * zero-shuffle union — no data movement beyond the scans. */
   def unionEvolved(frames: Seq[DataFrame]): DataFrame = {
     require(frames.nonEmpty, "nothing to union")
+    // same fail-fast as the nested-struct merge: top-level columns
+    // resolve by EXACT name here, so vintages with 'Cust' vs 'cust'
+    // would silently union into a frame carrying both — ambiguous
+    // under Spark's default case-insensitive resolver. Locale.ROOT so
+    // the check doesn't shift under e.g. a Turkish default locale.
+    frames.flatMap(_.columns).distinct
+      .groupBy(_.toLowerCase(java.util.Locale.ROOT))
+      .collectFirst { case (_, names) if names.length > 1 => names } match {
+      case Some(names) => throw new IllegalArgumentException(
+        s"unionEvolved: columns ${names.mkString("'", "', '", "'")} differ " +
+          "only by case across vintages — irreconcilable under " +
+          "case-insensitive resolution")
+      case None =>
+    }
     val resolved = frames.flatMap(_.schema.fields.map(f => f.name -> f.dataType))
       .groupBy(_._1).map { case (name, pairs) =>
         val tpe = pairs.map(_._2).distinct.reduce { (a, b) =>

@@ -342,6 +342,13 @@ class ChecksSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       Reconcile.unionEvolved(Seq(old, cased)))
     assert(e3.getMessage.contains("irreconcilable"))
+    // TOP-LEVEL columns get the same fail-fast (round 10): 'K' vs 'k'
+    // across vintages would silently union into a frame carrying
+    // both — the identical ambiguity one level up
+    val casedTop = df("K BIGINT, extra STRING", Row(6L, "x"))
+    val e4 = intercept[IllegalArgumentException](
+      Reconcile.unionEvolved(Seq(old, casedTop)))
+    assert(e4.getMessage.contains("differ only by case"))
   }
 
   test("linearTrend: exact closed-form fit; degenerate keys report NULL slope") {

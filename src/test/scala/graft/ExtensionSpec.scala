@@ -535,6 +535,15 @@ class ExtensionSpec extends SparkSpec {
     assert(k == "file 1 A")            // ﬁ→fi, ①→1, full-width A→A
   }
 
+  test("unicode_normalize rejects an unknown form at construction, not first eval") {
+    // the failure must surface on the driver at expression build time
+    // — nothing here ever runs a Spark job
+    val e = intercept[IllegalArgumentException](
+      graft.functions.UnicodeNormalize(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(col("text")), "nfc"))
+    assert(e.getMessage.contains("unknown form 'nfc'"))
+  }
+
   test("normalizeText pre-step collapses NFC-vs-NFD duplicates in exact dedup") {
     import graft.functions.TextFunctions
     val docs = df("doc_id BIGINT, text STRING",
@@ -570,6 +579,14 @@ class ExtensionSpec extends SparkSpec {
       .select(TextFunctions.stripBoilerplate(col("text")))
       .collect().head.getString(0)
     assert(glue == "a b")
+    // escaped entities decode ONCE: a page discussing HTML writes
+    // '&amp;lt;' to display the literal '&lt;' — '&amp;' decodes
+    // last so the freed '&' is never re-fed to the '&lt;' step
+    val esc = df("doc_id BIGINT, text STRING",
+      Row(1L, "<p>write &amp;lt; for a literal &amp;amp; sign</p>"))
+      .select(TextFunctions.stripBoilerplate(col("text")))
+      .collect().head.getString(0)
+    assert(esc == "write &lt; for a literal &amp; sign")
   }
 
   test("vocabulary: freq/df counts with deterministic tie-break cut") {
