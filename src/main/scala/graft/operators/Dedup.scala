@@ -764,6 +764,55 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Semantic near-duplicate pairs, SemDeDup-shaped (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): candidate generation is k-means
+    * CLUSTER-scoped instead of LSH-bucket-scoped — every vector
+    * cell-assigns to its nearest centroid (FROZEN, caller-trained,
+    * e.g. [[graft.operators.Similarity.kmeansCentroidsDistributed]]),
+    * pairs are emitted only within a cell, and exact cosine ≥
+    * `threshold` decides. Versus [[embeddingNearDupPairs]]: LSH
+    * buckets fracture a dense semantic neighborhood across 2^planes
+    * buckets (high precision, recall capped by bucket granularity);
+    * k-means cells follow the data's own density, which is exactly
+    * the paper's point — semantic duplicates concentrate inside
+    * clusters. Compose with [[connectedComponents]] +
+    * [[keepOnePerCluster]] for the keep-one policy, like the LSH
+    * pair generators.
+    *
+    * Scale posture: one scan cell-assigns (closure UDF, no shuffle),
+    * the self-join is an EQUI-join on the cell id, `maxClusterSize`
+    * caps pathological mega-cells (same discipline and same
+    * [[capBuckets]] implementation as every other pair generator —
+    * raise `nlist` to shrink cells before reaching for the cap). */
+  def semanticNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double = 0.9,
+      maxClusterSize: Option[Int] = None): DataFrame = {
+    require(centroids.nonEmpty, "no centroids")
+    val prep = capBuckets(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        SimilarityFunctions.norm(col(vecCol)).as("nrm"),
+        Similarity.assignCellUdf(centroids)(col(vecCol)).as("cell")),
+      Seq("cell"), maxClusterSize)
+    val a = prep.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("nrm").as("nrm_a"), col("cell"))
+    val b = prep.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("nrm").as("nrm_b"), col("cell"))
+    val denom = col("nrm_a") * col("nrm_b")
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        when(denom > 0.0,
+          SimilarityFunctions.dot(col("vec_a"), col("vec_b")) / denom)
+          .otherwise(lit(0.0)))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Bloom-prefiltered exact incremental dedup — the cheapest daily-
     * ingest gate: drop batch rows whose canonical fingerprint
     * ([[TextFunctions.fingerprint]]) already exists in the standing

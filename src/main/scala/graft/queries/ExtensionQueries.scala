@@ -575,6 +575,20 @@ object ExtensionQueries {
       .select("vec_id")
   }
 
+  /** SemDeDup-shaped semantic near-dup pairs
+    * ([[Dedup.semanticNearDupPairs]]): candidate generation scoped
+    * by distributed-k-means cells (frozen centroids) instead of LSH
+    * buckets — same exact-cosine ≥ 0.2 decision as
+    * [[qDedupEmbedding]], so the two queries differ ONLY in their
+    * candidate sets, which is the recall comparison the pair makes. */
+  private val qDedupSemantic: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val cents = Similarity.kmeansCentroidsDistributed(
+      emb, "vec_id", "embedding", nlist = 8, iters = 2)
+    Dedup.semanticNearDupPairs(emb, "vec_id", "embedding", cents,
+      threshold = 0.2)
+  }
+
   /** Transitive closure of the (oracled) embedding near-dup pairs:
     * one row per paired id with its component's minimum id as `rep` —
     * the keep-one-per-cluster assignment. */
@@ -750,6 +764,26 @@ object ExtensionQueries {
     val idx = graft.sources.AnnIndex.appendToIvf(
       s, idxDir, batch, "vec_id", "embedding")
     graft.sources.AnnIndex.queryBatchIvf(
+      idx, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+  }
+
+  /** [[qSimIndexAppend]]'s IVF-PQ twin
+    * ([[graft.sources.AnnIndex.append]]): the full compressed-index
+    * append chain — centroids AND codebooks train on the even half
+    * (frozen model), the odd half is PQ-encoded against them and
+    * published as a new coded segment, and the whole chain answers
+    * under the bit-exact training-replay oracle over base∪batch. */
+  private val qSimIndexAppendPq: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val idxDir = s"$twinRoot/annidx_append_pq/${new java.io.File(dir).getName}"
+    graft.sources.AnnIndex.buildAndWrite(
+      s, idxDir, base, "vec_id", "embedding", nlist = 8, m = 8)
+    val idx = graft.sources.AnnIndex.append(
+      s, idxDir, batch, "vec_id", "embedding")
+    graft.sources.AnnIndex.queryBatch(
       idx, queries, "vec_id", "embedding", k = 5, nprobe = 2)
   }
 
@@ -1863,6 +1897,7 @@ object ExtensionQueries {
     "q_dedup_bucket_census" -> qDedupBucketCensus,
     "q_ingest_orc" -> qIngestOrc,
     "q_dedup_embedding" -> qDedupEmbedding,
+    "q_dedup_semantic" -> qDedupSemantic,
     "q_dedup_incremental_emb" -> qDedupIncrementalEmb,
     "q_dedup_components" -> qDedupComponents,
     "q_sim_brute_topk" -> qSimBruteTopK,
@@ -1875,6 +1910,7 @@ object ExtensionQueries {
     "q_sim_batch_topk" -> qSimBatchTopK,
     "q_sim_index_ivf" -> qSimIndexIvf,
     "q_sim_index_append" -> qSimIndexAppend,
+    "q_sim_index_append_pq" -> qSimIndexAppendPq,
     "q_sim_lsh_batch" -> qSimLshBatch,
     "q_sim_hard_negatives" -> qSimHardNegatives,
     "q_embed_centroids" -> qEmbedCentroids,
@@ -2086,6 +2122,29 @@ object ExtensionQueries {
 
   private val dedupEmbeddingSql: String = embeddingPairsSql(None)
 
+  /** Mirrors [[qDedupSemantic]]: the distributed-k-means CTE chain
+    * over the whole embeddings table, exact-argmax cell assignment,
+    * then the [[embeddingPairsSql]] pair join scoped by CELL instead
+    * of LSH bucket — same guarded cosine, same ≥ 0.2 cut. */
+  private val dedupSemanticSql: String = {
+    val iters = 2
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |${kmeansDistributedCtes(8, iters)},
+       |assigned AS (
+       |  SELECT id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm, cell FROM (
+       |    SELECT e.id, e.vec, c.cell,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+       |    FROM corpus e CROSS JOIN cents$iters c) t WHERE rn = 1)
+       |SELECT id_a, id_b, cosine FROM (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    CASE WHEN a.nrm * b.nrm > 0.0
+       |         THEN ${dotSql("a.vec", "b.vec")} / (a.nrm * b.nrm)
+       |         ELSE 0.0 END AS cosine
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id) t
+       |WHERE cosine >= 0.2""".stripMargin
+  }
+
   /** Mirrors [[qDedupIncrementalEmb]]: the [[dedupEmbeddingSql]]
     * bucket/norm projection with the self-join replaced by a
     * batch-side × corpus-side join on the vec_id % 10 split; batch
@@ -2254,7 +2313,13 @@ object ExtensionQueries {
     * sample; corpus rows carry (cell, code), queries probe their top-2
     * cells, and the joined candidates score by the identical ADC
     * folds. */
-  private val simIvfPqBatchSql: String = {
+  /** The IVF-PQ batch replay, parameterized by the TRAINING corpus
+    * predicate vs the SCORED corpus predicate. They coincide for the
+    * inline/persisted-index queries; they differ for the incremental
+    * APPEND query, where centroids+codebooks train on the base half
+    * only (the frozen model of a live index) while the coded table
+    * covers base∪batch. */
+  private def simIvfPqSqlWith(trainPred: String, fullPred: String): String = {
     val (nlist, iters, k, nprobe) = (8, 2, 5, 2)
     val m = 8; val ds = DIM / m; val ksub = 16
     def l2(a: String, b: String) =
@@ -2298,9 +2363,10 @@ object ExtensionQueries {
          |  SELECT p.j, p.cell, COALESCE(u.cvec, p.cvec) AS cvec
          |  FROM $prev p LEFT JOIN pupd$i u ON p.j = u.j AND p.cell = u.cell)""".stripMargin
     }
-    s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 6),
+    s"""WITH train AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE $trainPred),
+       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE $fullPred),
        |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
-       |samp AS (SELECT id, vec FROM corpus ORDER BY id LIMIT 256),
+       |samp AS (SELECT id, vec FROM train ORDER BY id LIMIT 256),
        |cents0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
        |                  list_transform(vec, x -> CAST(x AS DOUBLE)) AS cvec
        |           FROM (SELECT id, vec FROM samp ORDER BY id LIMIT $nlist) t),
@@ -2365,6 +2431,14 @@ object ExtensionQueries {
        |  FROM sc s JOIN qs q ON q.qid = s.qid) t
        |WHERE rn <= $k""".stripMargin
   }
+
+  private val simIvfPqBatchSql: String =
+    simIvfPqSqlWith("vec_id >= 6", "vec_id >= 6")
+
+  /** Mirrors [[qSimIndexAppendPq]] — train on the even half, score
+    * base∪batch (see [[simIvfPqSqlWith]]). */
+  private val simIndexAppendPqSql: String =
+    simIvfPqSqlWith("vec_id >= 6 AND vec_id % 2 = 0", "vec_id >= 6")
 
   /** Mirrors `Similarity.kmeansCentroidsDistributed(nlist=8, iters=2,
     * quantBits=30)` + `ivfTopKWithCentroids(nprobe=4)`:
@@ -4724,6 +4798,7 @@ object ExtensionQueries {
     "q_sim_batch_topk" -> simBatchTopkSql,
     "q_sim_index_ivf" -> simBatchTopkSql,
     "q_sim_index_append" -> simIndexAppendSql,
+    "q_sim_index_append_pq" -> simIndexAppendPqSql,
     "q_sim_lsh_batch" -> simLshBatchSql,
     "q_sim_hard_negatives" -> simHardNegativesSql,
     "q_embed_centroids" -> embedCentroidsSql,
@@ -4732,6 +4807,7 @@ object ExtensionQueries {
       s"""SELECT doc_id, lang AS lang_tag, n_chars * 2 AS n_chars_x2
          |FROM read_csv_auto('$twinRoot/csvtwin/__SF_BASENAME__/documents.csv/*.csv', header = true)""".stripMargin,
     "q_dedup_embedding" -> dedupEmbeddingSql,
+    "q_dedup_semantic" -> dedupSemanticSql,
     "q_dedup_incremental_emb" -> dedupIncrementalEmbSql,
     "q_text_stats" ->
       s"""SELECT doc_id, $nTokensSql AS n_tokens,

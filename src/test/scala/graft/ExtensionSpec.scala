@@ -418,6 +418,46 @@ class ExtensionSpec extends SparkSpec {
     assert(cap.count() == 0)
   }
 
+  test("semanticNearDupPairs: cluster-scoped candidates, cap, cross-cell blindness") {
+    import spark.implicits._
+    // two tight clusters around orthogonal axes + one stray pair that
+    // is cosine-similar but lands in DIFFERENT cells by construction
+    def vec(axis: Int, wobble: Float): Seq[Float] =
+      Seq.tabulate(64)(d => if (d == axis) 1.0f else if (d == axis + 1) wobble else 0.0f)
+    val rows = Seq(
+      (1L, vec(0, 0.01f)), (2L, vec(0, 0.02f)), (3L, vec(0, 0.03f)),
+      (10L, vec(30, 0.01f)), (11L, vec(30, 0.02f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val centroids = Array(
+      Array.tabulate(64)(d => if (d == 0) 1.0 else 0.0),
+      Array.tabulate(64)(d => if (d == 30) 1.0 else 0.0))
+
+    val pairs = Dedup.semanticNearDupPairs(emb, "vec_id", "embedding",
+      centroids, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // within-cell pairs only: {1,2,3} x {1,2,3} and {10,11}
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+
+    // cross-cell blindness is the SemDeDup trade: a vector midway
+    // between the two centroids pairs only within the cell it lands in
+    val mid = (20L, Seq.tabulate(64)(d =>
+      if (d == 0) 1.0f else if (d == 30) 0.99f else 0.0f))
+    val withMid = (rows :+ mid).toDF("vec_id", "embedding")
+    val midPairs = Dedup.semanticNearDupPairs(withMid, "vec_id", "embedding",
+      centroids, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 20 assigns to cell 0 (cosine to centroid 0 wins the tie-break on
+    // magnitude): it may pair with 1..3 but NEVER with 10/11
+    assert(!midPairs.exists { case (a, b) => (a == 20L || b == 20L) &&
+      Set(a, b).intersect(Set(10L, 11L)).nonEmpty })
+
+    // mega-cell cap: same discipline as every other pair generator
+    val capped = Dedup.semanticNearDupPairs(emb, "vec_id", "embedding",
+      centroids, threshold = 0.9, maxClusterSize = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L))) // the 3-member cell is dropped
+  }
+
   test("multimodal: ImageIO decodes real PNG/JPEG payloads to true dimensions") {
     import spark.implicits._
     def image(wd: Int, ht: Int, seed: Int, format: String): Array[Byte] = {
