@@ -813,6 +813,45 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Incremental [[semanticNearDupPairs]] — drop every `newDf` row
+    * whose embedding is within cosine `threshold` of ANY corpus row
+    * IN ITS k-means cell (frozen centroids), without pairing the
+    * corpus with itself: the SemDeDup twin of
+    * [[embeddingDedupAgainst]], for pipelines whose standing corpus
+    * is already cell-partitioned (e.g. a persisted
+    * [[graft.sources.AnnIndex]] plain-IVF table — its `assigned`
+    * table IS this join's corpus side, stored bucketed by cell, so
+    * the probe shuffles only the batch). Returns surviving `newDf`
+    * rows unchanged. */
+  def semanticDedupAgainst(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double = 0.9,
+      maxClusterSize: Option[Int] = None): DataFrame = {
+    require(centroids.nonEmpty, "no centroids")
+    val cIdx = capBuckets(
+      corpusDf.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        SimilarityFunctions.norm(col(vecCol)).as("cnrm"),
+        Similarity.assignCellUdf(centroids)(col(vecCol)).as("cell")),
+      Seq("cell"), maxClusterSize)
+    val nSide = newDf.select(col(idCol).as("id"), col(vecCol).as("nvec"),
+      SimilarityFunctions.norm(col(vecCol)).as("nnrm"),
+      Similarity.assignCellUdf(centroids)(col(vecCol)).as("cell"))
+    val denom = col("nnrm") * col("cnrm")
+    val matched = nSide.join(cIdx, Seq("cell"))
+      .withColumn("cosine",
+        when(denom > 0.0,
+          SimilarityFunctions.dot(col("nvec"), col("cvec")) / denom)
+          .otherwise(lit(0.0)))
+      .filter(col("cosine") >= threshold)
+      .select("id")
+      .distinct()
+    newDf.join(matched, newDf(idCol) === matched("id"), "left_anti")
+  }
+
   /** Bloom-prefiltered exact incremental dedup — the cheapest daily-
     * ingest gate: drop batch rows whose canonical fingerprint
     * ([[TextFunctions.fingerprint]]) already exists in the standing

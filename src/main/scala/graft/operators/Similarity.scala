@@ -507,6 +507,67 @@ object Similarity {
       .select("query_id", "id", "cosine")
   }
 
+  /** Margin-based embedding pair mining — the RATIO margin of
+    * Artetxe & Schwenk 2019 ("Margin-based Parallel Corpus Mining
+    * with Multilingual Sentence Embeddings"), the criterion behind
+    * CCMatrix/LASER bitext mining:
+    *
+    *   margin(x, y) = cos(x, y) / ((avgNNk(x→tgt) + avgNNk(y→src)) / 2)
+    *
+    * A pair is strong when its cosine beats BOTH vectors' own
+    * neighborhood averages — which cancels hubness (vectors close to
+    * everything score margins near 1 everywhere) that a raw cosine
+    * threshold cannot. Margin 1.0 = "no better than the
+    * neighborhood"; mining cuts usually sit at ≥ ~1.05.
+    *
+    * Candidates and both neighborhoods come from the SAME frozen-IVF
+    * probe rule ([[ivfTopKBatch]], shared `centroids`, `nprobe`):
+    * forward src→tgt top-k supplies the candidate pairs AND x's
+    * neighborhood (y included, per the paper's k-NN definition);
+    * backward tgt→src supplies y's. Neighborhood averages fold as
+    * quantized-integer sums (`round(cos · 2^30)` in BIGINT) so they
+    * are order-independent under any partitioning and replay exactly
+    * in the oracle — the house discipline for every float fold.
+    * Output: (src_id, tgt_id, cosine, margin), one row per forward
+    * candidate; tgt rows whose backward probe found no src
+    * candidates cannot be scored and drop (inner join, mirrored).
+    *
+    * Scale posture: two batch-IVF retrievals (each: closure-UDF cell
+    * assign, equi-join on cell, per-query window) + two id-keyed
+    * vocabulary-small average aggregates + two joins of those
+    * averages onto the candidate set (AQE broadcasts them — k rows
+    * per id). Nothing quadratic; both directions share the frozen
+    * centroids, so a persisted [[graft.sources.AnnIndex]] serves
+    * both sides at 100 TB. */
+  def marginMinedPairs(
+      src: DataFrame,
+      tgt: DataFrame,
+      srcIdCol: String,
+      srcVecCol: String,
+      tgtIdCol: String,
+      tgtVecCol: String,
+      k: Int,
+      centroids: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    val quant = 1073741824.0 // 2^30 — the house exact-fold quantization
+    val fwd = ivfTopKBatch(src, tgt, srcIdCol, srcVecCol, tgtIdCol, tgtVecCol,
+      k, centroids, nprobe)
+    val bwd = ivfTopKBatch(tgt, src, tgtIdCol, tgtVecCol, srcIdCol, srcVecCol,
+      k, centroids, nprobe)
+    def nbrAvg(pairs: DataFrame, keyOut: String, avgOut: String) =
+      pairs.groupBy(col("query_id").as(keyOut))
+        .agg((sum(round(col("cosine") * quant).cast("long")).cast("double") /
+          count(lit(1)) / quant).as(avgOut))
+    val srcAvg = nbrAvg(fwd, "__sid", "src_avg")
+    val tgtAvg = nbrAvg(bwd, "__tid", "tgt_avg")
+    val denom = (col("src_avg") + col("tgt_avg")) / 2.0
+    fwd.select(col("query_id").as("src_id"), col("id").as("tgt_id"), col("cosine"))
+      .join(srcAvg, col("src_id") === col("__sid"))
+      .join(tgtAvg, col("tgt_id") === col("__tid"))
+      .select(col("src_id"), col("tgt_id"), col("cosine"),
+        when(denom > 0.0, col("cosine") / denom).otherwise(lit(0.0)).as("margin"))
+  }
+
   /** LSH-bucketed ANN top-k: probe all buckets within `probeHamming`
     * bits of the query's bucket (multi-probe raises recall without
     * re-bucketing), exact cosine on the candidates only. */

@@ -575,6 +575,25 @@ object ExtensionQueries {
       .select("vec_id")
   }
 
+  /** Incremental SemDeDup ([[Dedup.semanticDedupAgainst]]): the
+    * vec_id % 10 >= 8 batch probed against the rest WITHIN k-means
+    * cells under frozen corpus-trained centroids — the same split as
+    * [[qDedupIncrementalEmb]] with cell-scoped candidates instead of
+    * LSH buckets, at the 0.9 near-dup cut (cells see EVERY same-cell
+    * vector, so the permissive 0.2 cut the narrow LSH buckets use
+    * would drop the whole batch — the threshold must mean "near
+    * duplicate", not "same neighborhood"). Survivor ids. */
+  private val qDedupIncrementalSem: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") % 10 < 8)
+    val cents = Similarity.kmeansCentroidsDistributed(
+      corpus, "vec_id", "embedding", nlist = 8, iters = 2)
+    Dedup.semanticDedupAgainst(
+      emb.filter(col("vec_id") % 10 >= 8), corpus,
+      "vec_id", "embedding", cents, threshold = 0.9)
+      .select("vec_id")
+  }
+
   /** SemDeDup-shaped semantic near-dup pairs
     * ([[Dedup.semanticNearDupPairs]]): candidate generation scoped
     * by distributed-k-means cells (frozen centroids) instead of LSH
@@ -798,6 +817,21 @@ object ExtensionQueries {
       emb.filter(col("vec_id") >= 6),
       "vec_id", "embedding", "vec_id", "embedding",
       k = 5, numPlanes = 8, probeHamming = 2)
+  }
+
+  /** Margin-based pair mining ([[Similarity.marginMinedPairs]] — the
+    * Artetxe & Schwenk ratio margin): src = vec_id 1..5 mined against
+    * the vec_id ≥ 6 corpus under the shared distributed-k-means
+    * centroids; every forward candidate scored, no threshold, so the
+    * oracle checks the margin arithmetic on the full candidate set. */
+  private val qSimMarginPairs: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val src = emb.filter(col("vec_id").between(1, 5))
+    val tgt = emb.filter(col("vec_id") >= 6)
+    val cents = Similarity.kmeansCentroidsDistributed(
+      tgt, "vec_id", "embedding", nlist = 8, iters = 2)
+    Similarity.marginMinedPairs(src, tgt, "vec_id", "embedding",
+      "vec_id", "embedding", k = 4, cents, nprobe = 2)
   }
 
   /** Hard-negative mining over the batch-ANN split: for each query
@@ -1898,6 +1932,7 @@ object ExtensionQueries {
     "q_ingest_orc" -> qIngestOrc,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_semantic" -> qDedupSemantic,
+    "q_dedup_incremental_sem" -> qDedupIncrementalSem,
     "q_dedup_incremental_emb" -> qDedupIncrementalEmb,
     "q_dedup_components" -> qDedupComponents,
     "q_sim_brute_topk" -> qSimBruteTopK,
@@ -1911,6 +1946,7 @@ object ExtensionQueries {
     "q_sim_index_ivf" -> qSimIndexIvf,
     "q_sim_index_append" -> qSimIndexAppend,
     "q_sim_index_append_pq" -> qSimIndexAppendPq,
+    "q_sim_margin_pairs" -> qSimMarginPairs,
     "q_sim_lsh_batch" -> qSimLshBatch,
     "q_sim_hard_negatives" -> qSimHardNegatives,
     "q_embed_centroids" -> qEmbedCentroids,
@@ -2121,6 +2157,30 @@ object ExtensionQueries {
   }
 
   private val dedupEmbeddingSql: String = embeddingPairsSql(None)
+
+  /** Mirrors [[qDedupIncrementalSem]]: kmeans CTEs over the % 10 < 8
+    * corpus, both sides cell-assigned by exact argmax, batch ids with
+    * any same-cell cosine ≥ 0.9 corpus match dropped. */
+  private val dedupIncrementalSemSql: String = {
+    val iters = 2
+    def assign(side: String) =
+      s"""SELECT id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm, cell FROM (
+         |    SELECT e.id, e.vec, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+         |    FROM $side e CROSS JOIN cents$iters c) t WHERE rn = 1""".stripMargin
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id % 10 < 8),
+       |batch AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id % 10 >= 8),
+       |${kmeansDistributedCtes(8, iters)},
+       |ac AS (${assign("corpus")}),
+       |ab AS (${assign("batch")}),
+       |matched AS (
+       |  SELECT DISTINCT b.id FROM ab b JOIN ac c ON b.cell = c.cell
+       |  WHERE CASE WHEN b.nrm * c.nrm > 0.0
+       |             THEN ${dotSql("b.vec", "c.vec")} / (b.nrm * c.nrm)
+       |             ELSE 0.0 END >= 0.9)
+       |SELECT id AS vec_id FROM batch WHERE id NOT IN (SELECT id FROM matched)""".stripMargin
+  }
 
   /** Mirrors [[qDedupSemantic]]: the distributed-k-means CTE chain
     * over the whole embeddings table, exact-argmax cell assignment,
@@ -2571,6 +2631,55 @@ object ExtensionQueries {
        |      ORDER BY ${cosineSql("a.vec", "q.qv")} DESC, a.id ASC) AS rn
        |  FROM probe p JOIN assigned a ON a.cell = p.cell JOIN qs q ON q.qid = p.qid) t
        |WHERE rn <= $k""".stripMargin
+  }
+
+  /** Mirrors [[qSimMarginPairs]]: the [[simBatchTopkSql]] probe +
+    * window machinery run in BOTH directions under the same
+    * base-corpus-trained centroids, neighborhood averages folded as
+    * quantized BIGINT sums (HUGEINT-exact = Spark's long sum), then
+    * the ratio margin with the guarded zero-denominator case. */
+  private val simMarginPairsSql: String = {
+    val (nlist, iters, k, nprobe) = (8, 2, 4, 2)
+    val quant = "1073741824.0" // 2^30
+    def topk(probeFrom: String, overSide: String, qv: String) =
+      s"""SELECT qid, id, cosine FROM (
+         |    SELECT p.qid, a.id, ${cosineSql("a.vec", s"q.$qv")} AS cosine,
+         |      row_number() OVER (PARTITION BY p.qid
+         |        ORDER BY ${cosineSql("a.vec", s"q.$qv")} DESC, a.id ASC) AS rn
+         |    FROM $probeFrom p JOIN $overSide a ON a.cell = p.cell
+         |    JOIN ${if (probeFrom == "probe_s") "qs" else "corpus"} q ON q.id = p.qid) t
+         |  WHERE rn <= $k""".stripMargin
+    def assignCte(side: String) =
+      s"""SELECT id, vec, cell FROM (
+         |    SELECT e.id, e.vec, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+         |    FROM $side e CROSS JOIN cents$iters c) t WHERE rn = 1""".stripMargin
+    def probeCte(side: String) =
+      s"""SELECT qid, cell FROM (
+         |    SELECT q.id AS qid, c.cell,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY ${cosineFusedSql("q.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+         |    FROM $side q CROSS JOIN cents$iters c) t WHERE rn <= $nprobe""".stripMargin
+    def avgCte(from: String, out: String) =
+      s"""SELECT qid, CAST(SUM(CAST(round(cosine * $quant) AS BIGINT)) AS DOUBLE)
+         |    / COUNT(*) / $quant AS $out FROM $from GROUP BY qid""".stripMargin
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 6),
+       |qs AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+       |${kmeansDistributedCtes(nlist, iters)},
+       |assigned_t AS (${assignCte("corpus")}),
+       |assigned_s AS (${assignCte("qs")}),
+       |probe_s AS (${probeCte("qs")}),
+       |probe_t AS (${probeCte("corpus")}),
+       |fwd AS (${topk("probe_s", "assigned_t", "vec")}),
+       |bwd AS (${topk("probe_t", "assigned_s", "vec")}),
+       |savg AS (${avgCte("fwd", "src_avg")}),
+       |tavg AS (${avgCte("bwd", "tgt_avg")})
+       |SELECT f.qid AS src_id, f.id AS tgt_id, f.cosine,
+       |  CASE WHEN (s.src_avg + t.tgt_avg) / 2.0 > 0.0
+       |       THEN f.cosine / ((s.src_avg + t.tgt_avg) / 2.0)
+       |       ELSE 0.0 END AS margin
+       |FROM fwd f JOIN savg s ON s.qid = f.qid JOIN tavg t ON t.qid = f.id""".stripMargin
   }
 
   /** Mirrors [[qSimLshBatch]]: the candidate rule "corpus bucket
@@ -4799,6 +4908,7 @@ object ExtensionQueries {
     "q_sim_index_ivf" -> simBatchTopkSql,
     "q_sim_index_append" -> simIndexAppendSql,
     "q_sim_index_append_pq" -> simIndexAppendPqSql,
+    "q_sim_margin_pairs" -> simMarginPairsSql,
     "q_sim_lsh_batch" -> simLshBatchSql,
     "q_sim_hard_negatives" -> simHardNegativesSql,
     "q_embed_centroids" -> embedCentroidsSql,
@@ -4808,6 +4918,7 @@ object ExtensionQueries {
          |FROM read_csv_auto('$twinRoot/csvtwin/__SF_BASENAME__/documents.csv/*.csv', header = true)""".stripMargin,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_dedup_semantic" -> dedupSemanticSql,
+    "q_dedup_incremental_sem" -> dedupIncrementalSemSql,
     "q_dedup_incremental_emb" -> dedupIncrementalEmbSql,
     "q_text_stats" ->
       s"""SELECT doc_id, $nTokensSql AS n_tokens,

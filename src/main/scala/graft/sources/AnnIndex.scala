@@ -115,6 +115,55 @@ object AnnIndex {
     read(spark, dir)
   }
 
+  /** Compact an appended IVF-PQ index back to one segment: rewrite
+    * the coded table (frozen model untouched — compaction is a FILE
+    * operation, no re-encode beyond reading coded rows back) through
+    * the whole-index staged swap, so readers see either the
+    * multi-segment index or the compacted one, never an intermediate.
+    * Run after many appends to restore big-file scan behavior; query
+    * answers are identical before and after (pinned by AnnIndexSpec).
+    * NB: [[Loaded]]/[[LoadedIvf]] handles obtained BEFORE a compaction
+    * hold the pre-swap file listing and die with the swap (standard
+    * Spark file-source behavior on overwrite) — re-[[read]] after. */
+  def compact(spark: SparkSession, dir: String): Loaded = {
+    val idx = read(spark, dir)
+    val staging = dir + ".staging"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    import spark.implicits._
+    idx.centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .write.mode("overwrite").parquet(s"$staging/centroids")
+    idx.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
+    }.toSeq.toDF("subspace", "code", "vec")
+      .write.mode("overwrite").parquet(s"$staging/codebooks")
+    // the staging write scans the CURRENT coded files (still in place
+    // — the swap only renames after this action completes)
+    idx.coded.write.mode("overwrite").parquet(s"$staging/coded/seg=0")
+    swapIn(fs, staging, dir)
+    read(spark, dir)
+  }
+
+  /** [[compact]]'s plain-IVF twin. */
+  def compactIvf(spark: SparkSession, dir: String): LoadedIvf = {
+    val idx = readIvf(spark, dir)
+    val staging = dir + ".staging"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    import spark.implicits._
+    idx.centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .write.mode("overwrite").parquet(s"$staging/centroids")
+    idx.assigned.write.mode("overwrite").parquet(s"$staging/assigned/seg=0")
+    swapIn(fs, staging, dir)
+    readIvf(spark, dir)
+  }
+
   /** Write `rows` as the next `seg=N` of a segmented table: stage
     * under an underscore dir readers skip, then one atomic rename. */
   private def appendSegment(

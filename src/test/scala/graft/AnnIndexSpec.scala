@@ -159,6 +159,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(new java.io.File(dir + "/assigned/seg=1").isDirectory)
   }
 
+  test("compaction folds segments to one; answers unchanged; model frozen") {
+    val base = emb.filter(col("vec_id") >= 6 && col("vec_id") % 3 === 0)
+    val b1 = emb.filter(col("vec_id") >= 6 && col("vec_id") % 3 === 1)
+    val b2 = emb.filter(col("vec_id") >= 6 && col("vec_id") % 3 === 2)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val cents = Similarity.kmeansCentroidsDistributed(
+      base, "vec_id", "embedding", nlist = 4, iters = 1)
+    val dir = tmp("graft_annidx_compact")
+    AnnIndex.buildAndWriteIvf(spark, dir, base, "vec_id", "embedding", cents)
+    AnnIndex.appendToIvf(spark, dir, b1, "vec_id", "embedding")
+    val appended = AnnIndex.appendToIvf(spark, dir, b2, "vec_id", "embedding")
+    val before = r3(AnnIndex.queryBatchIvf(
+      appended, queries, "vec_id", "embedding", k = 5, nprobe = 2))
+    val nBefore = appended.assigned.count() // pre-swap handle dies with the swap
+    assert(new java.io.File(dir + "/assigned/seg=2").isDirectory)
+
+    val compacted = AnnIndex.compactIvf(spark, dir)
+    val segs = new java.io.File(dir + "/assigned").listFiles()
+      .filter(_.getName.startsWith("seg=")).map(_.getName).toSet
+    assert(segs == Set("seg=0"), s"expected one segment, got $segs")
+    assert(r3(AnnIndex.queryBatchIvf(
+      compacted, queries, "vec_id", "embedding", k = 5, nprobe = 2)) == before)
+    assert(compacted.centroids.toSeq.map(_.toSeq) == cents.toSeq.map(_.toSeq),
+      "compaction must not touch the frozen model")
+    assert(compacted.assigned.count() == nBefore)
+    // PQ twin: append then compact, answers unchanged
+    val dirPq = tmp("graft_annidx_compact_pq")
+    AnnIndex.buildAndWrite(spark, dirPq, base, "vec_id", "embedding", nlist = 4, m = 8)
+    val appendedPq = AnnIndex.append(spark, dirPq, b1, "vec_id", "embedding")
+    val beforePq = r3(AnnIndex.queryBatch(
+      appendedPq, queries, "vec_id", "embedding", k = 5, nprobe = 2))
+    val compactedPq = AnnIndex.compact(spark, dirPq)
+    assert(r3(AnnIndex.queryBatch(
+      compactedPq, queries, "vec_id", "embedding", k = 5, nprobe = 2)) == beforePq)
+    assert(!new java.io.File(dirPq + "/coded/seg=1").exists)
+  }
+
   // ----------------------------------------------------- crash posture
 
   test("a failing rename at either swap step never loses the live index") {

@@ -456,6 +456,23 @@ class ExtensionSpec extends SparkSpec {
       centroids, threshold = 0.9, maxClusterSize = Some(2))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((10L, 11L))) // the 3-member cell is dropped
+
+    // incremental twin: a batch row dies only to a near-dup in ITS
+    // OWN cell — 100 is a dup of cell-0's corpus, 101 matches cell-1
+    // vectors only below threshold, 102 is near cell-1's corpus
+    val corpus = rows.toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, vec(0, 0.015f)),  // near-dup of corpus 1/2/3 (cell 0) -> drops
+      (101L, vec(31, 0.0f)),   // orthogonal to BOTH centroids (ties to cell 0) -> survives
+      (102L, vec(30, 0.015f))  // near-dup of corpus 10/11 (cell 1) -> drops
+    ).toDF("vec_id", "embedding")
+    val survivors = Dedup.semanticDedupAgainst(batch, corpus,
+      "vec_id", "embedding", centroids, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(101L))
+    // corpus is never self-paired: an empty batch survives vacuously
+    assert(Dedup.semanticDedupAgainst(batch.limit(0), corpus,
+      "vec_id", "embedding", centroids, threshold = 0.0).count() == 0)
   }
 
   test("multimodal: ImageIO decodes real PNG/JPEG payloads to true dimensions") {

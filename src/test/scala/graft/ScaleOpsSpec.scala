@@ -398,4 +398,34 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
     assert(batch == single, s"\nbatch:  $batch\nsingle: $single")
   }
+
+  test("margin mining: genuine pair out-margins the hub; hub margins stay near 1") {
+    import spark.implicits._
+    // axis-aligned corpus + one HUB vector (diagonal — cosine ~0.5 to
+    // every axis vector) + one genuine near-duplicate of src 1.
+    // A raw-cosine cut cannot separate "hub close to everything" from
+    // "true pair"; the ratio margin can — that is the operator's point.
+    def axis(d: Int): Seq[Float] = Seq.tabulate(64)(i => if (i == d) 1.0f else 0.0f)
+    val hub = Seq.tabulate(64)(i => if (i < 8) 0.354f else 0.0f)
+    val near1 = Seq.tabulate(64)(i =>
+      if (i == 0) 1.0f else if (i == 1) 0.05f else 0.0f)
+    val src = Seq((1L, axis(0)), (2L, axis(2)), (3L, hub))
+      .toDF("vec_id", "embedding")
+    val tgt = (Seq((10L, near1), (11L, axis(2)), (12L, axis(4)), (13L, axis(6))) ++
+      Seq((14L, hub))).toDF("vec_id", "embedding")
+    val cents = Array(Array.tabulate(64)(d => if (d < 8) 0.354 else 0.0))
+    val got = Similarity.marginMinedPairs(src, tgt, "vec_id", "embedding",
+      "vec_id", "embedding", k = 4, cents, nprobe = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // the true pair (1 -> 10) beats 1's neighborhood average by a
+    // clear margin; the hub's best pair (3 -> 14, another hub copy)
+    // also margins high, but hub-to-axis pairs sit near/below 1
+    assert(got((1L, 10L)) > 1.2, s"true pair margin ${got((1L, 10L))}")
+    val hubToAxis = got.collect { case ((3L, t), m) if t != 14L => m }
+    assert(hubToAxis.nonEmpty && hubToAxis.forall(_ < 1.2),
+      s"hub-to-axis margins should hug 1: $hubToAxis")
+    // margins are ratios: every pair's cosine / its own neighborhood —
+    // so a uniform corpus-wide threshold (>= ~1.05) is meaningful
+    assert(got.values.forall(m => m >= 0.0 && m.isFinite))
+  }
 }
