@@ -568,6 +568,42 @@ object Similarity {
         when(denom > 0.0, col("cosine") / denom).otherwise(lit(0.0)).as("margin"))
   }
 
+  /** Recall audit for the IVF probe dial: per query, recall@k of the
+    * `nprobe`-cell answer against the exhaustive answer — the
+    * measurement that SETS `nprobe` (raise until recall meets the
+    * product bar, not further; every probed cell is paid for on every
+    * query). Output: (query_id, hits, recall) with
+    * recall = |top-k(nprobe) ∩ top-k(all cells)| / k'
+    * where k' = the exhaustive answer's size (≤ k on small corpora).
+    *
+    * The exhaustive side is [[ivfTopKBatch]] at nprobe = nlist —
+    * exactly brute force (ScaleOpsSpec pins that equivalence), so
+    * both sides run the same plan shape and the audit needs no
+    * cross join. Run it on a SAMPLED query set: the exhaustive side
+    * is |queries| × corpus work by construction — that is what an
+    * audit costs, and why it is not the production query path. */
+  def recallAudit(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    val probed = ivfTopKBatch(queries, corpus, queryIdCol, queryVecCol,
+      idCol, vecCol, k, centroids, nprobe)
+    val exact = ivfTopKBatch(queries, corpus, queryIdCol, queryVecCol,
+      idCol, vecCol, k, centroids, nprobe = centroids.length)
+    exact.select(col("query_id"), col("id"))
+      .join(probed.select(col("query_id"), col("id"), lit(1).as("__hit")),
+        Seq("query_id", "id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("__hit")).as("hits"),
+        (count(col("__hit")).cast("double") / count(lit(1))).as("recall"))
+  }
+
   /** LSH-bucketed ANN top-k: probe all buckets within `probeHamming`
     * bits of the query's bucket (multi-probe raises recall without
     * re-bucketing), exact cosine on the candidates only. */

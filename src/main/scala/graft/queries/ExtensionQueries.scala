@@ -819,6 +819,21 @@ object ExtensionQueries {
       k = 5, numPlanes = 8, probeHamming = 2)
   }
 
+  /** Recall audit ([[Similarity.recallAudit]]): per query, recall@5
+    * of the nprobe=2 IVF answer against the all-cells (= exhaustive)
+    * answer under the shared centroids — the measurement that sets
+    * the nprobe dial. Oracled end to end: probed top-k, exact top-k,
+    * and the intersection arithmetic all replay in SQL. */
+  private val qSimRecallAudit: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val cents = Similarity.kmeansCentroidsDistributed(
+      corpus, "vec_id", "embedding", nlist = 8, iters = 2)
+    Similarity.recallAudit(queries, corpus, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, cents, nprobe = 2)
+  }
+
   /** Margin-based pair mining ([[Similarity.marginMinedPairs]] — the
     * Artetxe & Schwenk ratio margin): src = vec_id 1..5 mined against
     * the vec_id ≥ 6 corpus under the shared distributed-k-means
@@ -1947,6 +1962,7 @@ object ExtensionQueries {
     "q_sim_index_append" -> qSimIndexAppend,
     "q_sim_index_append_pq" -> qSimIndexAppendPq,
     "q_sim_margin_pairs" -> qSimMarginPairs,
+    "q_sim_recall_audit" -> qSimRecallAudit,
     "q_sim_lsh_batch" -> qSimLshBatch,
     "q_sim_hard_negatives" -> qSimHardNegatives,
     "q_embed_centroids" -> qEmbedCentroids,
@@ -2631,6 +2647,42 @@ object ExtensionQueries {
        |      ORDER BY ${cosineSql("a.vec", "q.qv")} DESC, a.id ASC) AS rn
        |  FROM probe p JOIN assigned a ON a.cell = p.cell JOIN qs q ON q.qid = p.qid) t
        |WHERE rn <= $k""".stripMargin
+  }
+
+  /** Mirrors [[qSimRecallAudit]]: the [[simBatchTopkSql]] probe +
+    * window machinery at nprobe=2 AND nprobe=nlist (all cells =
+    * exhaustive), then the per-query intersection count. */
+  private val simRecallAuditSql: String = {
+    val (nlist, iters, k) = (8, 2, 5)
+    def chain(nprobe: Int, probeName: String, outName: String) =
+      s"""$probeName AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.qid, c.cell,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosineFusedSql("q.qv", "c.cvec")} DESC, c.cell ASC) AS rn
+         |    FROM qs q CROSS JOIN cents$iters c) t WHERE rn <= $nprobe),
+         |$outName AS (
+         |  SELECT qid, id FROM (
+         |    SELECT p.qid, a.id,
+         |      row_number() OVER (PARTITION BY p.qid
+         |        ORDER BY ${cosineSql("a.vec", "q.qv")} DESC, a.id ASC) AS rn
+         |    FROM $probeName p JOIN assigned a ON a.cell = p.cell
+         |    JOIN qs q ON q.qid = p.qid) t WHERE rn <= $k)""".stripMargin
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 6),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+       |${kmeansDistributedCtes(nlist, iters)},
+       |assigned AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT e.id, e.vec, c.cell,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+       |    FROM corpus e CROSS JOIN cents$iters c) t WHERE rn = 1),
+       |${chain(2, "probe_p", "probed")},
+       |${chain(nlist, "probe_e", "exact")}
+       |SELECT e.qid AS query_id, COUNT(p.id) AS hits,
+       |       CAST(COUNT(p.id) AS DOUBLE) / COUNT(*) AS recall
+       |FROM exact e LEFT JOIN probed p ON p.qid = e.qid AND p.id = e.id
+       |GROUP BY e.qid""".stripMargin
   }
 
   /** Mirrors [[qSimMarginPairs]]: the [[simBatchTopkSql]] probe +
@@ -4909,6 +4961,7 @@ object ExtensionQueries {
     "q_sim_index_append" -> simIndexAppendSql,
     "q_sim_index_append_pq" -> simIndexAppendPqSql,
     "q_sim_margin_pairs" -> simMarginPairsSql,
+    "q_sim_recall_audit" -> simRecallAuditSql,
     "q_sim_lsh_batch" -> simLshBatchSql,
     "q_sim_hard_negatives" -> simHardNegativesSql,
     "q_embed_centroids" -> embedCentroidsSql,

@@ -399,6 +399,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(batch == single, s"\nbatch:  $batch\nsingle: $single")
   }
 
+  test("recallAudit: all-cells probe is recall 1.0 everywhere; recall monotone in nprobe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val cents = Similarity.kmeansCentroidsDistributed(
+      corpus, "vec_id", "embedding", nlist = 8, iters = 1)
+    def avgRecall(nprobe: Int): Double = {
+      val rows = Similarity.recallAudit(queries, corpus, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, cents, nprobe).collect()
+      assert(rows.length == 5) // every query reports
+      assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+      rows.map(_.getDouble(2)).sum / rows.length
+    }
+    assert(avgRecall(8) == 1.0) // probing every cell IS the exhaustive answer
+    val (r1, r4) = (avgRecall(1), avgRecall(4))
+    assert(r4 >= r1, s"recall must not fall as nprobe rises: $r1 -> $r4")
+  }
+
   test("margin mining: genuine pair out-margins the hub; hub margins stay near 1") {
     import spark.implicits._
     // axis-aligned corpus + one HUB vector (diagonal — cosine ~0.5 to
