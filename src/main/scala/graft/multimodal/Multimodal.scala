@@ -190,6 +190,121 @@ object Multimodal {
     extractFeatures(pack(df, idCol, textCol).as[MediaItem]).toDF()
   }
 
+  // ------------------------------------------------------ perceptual hash
+
+  /** Perceptual AVERAGE HASH (aHash — the public 8×8 mean-threshold
+    * perceptual hash): area-average the image to an 8×8 grayscale
+    * grid, set bit (gy·8+gx) iff that cell's luma exceeds the grid
+    * mean. Unlike [[pixelHash]] (exact content fingerprint — any
+    * pixel change flips it), aHash survives re-encoding and rescaling
+    * of the same picture, so Hamming proximity between aHashes is the
+    * image-modality NEAR-dup signal (pair with
+    * [[graft.operators.Dedup.hammingPairs]]).
+    *
+    * ALL arithmetic is integer (ITU-R 601 luma `(299r+587g+114b)/1000`
+    * in integer division, per-cell floor mean, grid floor mean), so
+    * the hash is bit-reproducible across JVMs and replayable in SQL —
+    * the same determinism discipline as every other fingerprint
+    * here. */
+  def aHash(im: java.awt.image.BufferedImage): Long = {
+    val w = im.getWidth
+    val h = im.getHeight
+    require(w >= 8 && h >= 8, s"aHash needs >= 8x8 pixels, got ${w}x$h")
+    val cells = new Array[Long](64)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val x0 = gx * w / 8; val x1 = (gx + 1) * w / 8
+        val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = im.getRGB(x, y)
+            val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+              114 * (rgb & 0xFF)) / 1000
+            sum += luma
+            x += 1
+          }
+          y += 1
+        }
+        cells(gy * 8 + gx) = sum / ((x1 - x0).toLong * (y1 - y0))
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = cells.sum / 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** One image's perceptual-hash row. `ahash` is NULL-free: payloads
+    * that don't decode report `decoded = false` with ahash 0 (typed
+    * degradation, the house multimodal discipline). */
+  final case class ImageHash(
+      doc_id: Long, decoded: Boolean, width: Int, height: Int, ahash: Long)
+
+  /** Batched perceptual hashing — same mapPartitions micro-batch
+    * shape as [[extractFeatures]]; ImageIO decode + [[aHash]] per
+    * payload, typed-null degradation on anything undecodable. */
+  def extractImageHashes(
+      items: Dataset[MediaItem], batchSize: Int = 32): Dataset[ImageHash] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap(_.map { item =>
+        val im =
+          try {
+            if (item.payload == null) None
+            else Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(item.payload)))
+              .filter(i => i.getWidth >= 8 && i.getHeight >= 8 &&
+                i.getWidth.toLong * i.getHeight <= maxDecodePixels)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        im match {
+          case Some(i) => ImageHash(item.doc_id, decoded = true,
+            i.getWidth, i.getHeight, aHash(i))
+          case None => ImageHash(item.doc_id, decoded = false, 0, 0, 0L)
+        }
+      })
+    }
+  }
+
+  /** Build a real PNG payload whose 8×8-blockwise-CONSTANT grayscale
+    * content comes from `cellLuma(gx, gy)` — every pixel of block
+    * (gx, gy) gets that gray level. Because the content is constant
+    * per block, [[aHash]] of the decoded image equals the hash of the
+    * 64 `cellLuma` values EXACTLY at any `w`×`h` multiple of 8 —
+    * which is what lets the image-near-dup oracle replay the whole
+    * decode→hash chain in integer SQL from the construction
+    * parameters (the built-payload discipline of the audio/video
+    * queries). */
+  def pngBytes(w: Int, h: Int, cellLuma: (Int, Int) => Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "w and h must be multiples of 8")
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = cellLuma(x * 8 / w, y * 8 / h) & 0xFF
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
   // ------------------------------------------------------------------- audio
 
   /** Parsed audio header metadata. Field applicability is per-format

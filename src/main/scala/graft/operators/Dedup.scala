@@ -198,27 +198,47 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Option[Int] = None): DataFrame = {
-    val blocks = maxHamming + 1
-    val blockBits = 64 / blocks
     // 1-gram ShingleHashes = hashed token set, computed in one native pass
     val sim = HashExpressions.simhash64(HashExpressions.shingleHashes(col(textCol), 1))
-    val prep = df.select(col(idCol).as("id"), sim.as("simhash"))
+    hammingPairs(df.select(col(idCol).as("id"), sim.as("simhash")),
+      "id", "simhash", maxHamming, maxBucketSize)
+  }
+
+  /** Generic pigeonhole Hamming pairing over ANY 64-bit fingerprint
+    * column — the candidate machinery [[simhashPairs]] always used,
+    * factored out so other modalities reuse it (e.g. image aHashes
+    * from [[graft.multimodal.Multimodal.extractImageHashes]]). Splits
+    * each hash into `maxHamming + 1` blocks (two hashes within
+    * Hamming h must agree on ≥ 1 block — the pigeonhole guarantee),
+    * equi-joins on (block index, block value), verifies with
+    * `bit_count`. Never a cross join; `maxBucketSize` caps
+    * degenerate blocks (all-zero fingerprints are the classic
+    * offender). */
+  def hammingPairs(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val blocks = maxHamming + 1
+    val blockBits = 64 / blocks
+    val prep = hashes.select(col(idCol).as("id"), col(hashCol).as("__h"))
 
     val blockCols = (0 until blocks).map { j =>
       // block j = bits [j*blockBits, (j+1)*blockBits) (last takes the tail)
       val width = if (j == blocks - 1) 64 - j * blockBits else blockBits
       val mask = if (width == 64) -1L else (1L << width) - 1L
-      shiftrightunsigned(col("simhash"), j * blockBits).bitwiseAND(lit(mask)).as(s"blk$j")
+      shiftrightunsigned(col("__h"), j * blockBits).bitwiseAND(lit(mask)).as(s"blk$j")
     }
-    val withBlocks = prep.select((col("id") +: col("simhash") +: blockCols): _*)
+    val withBlocks = prep.select((col("id") +: col("__h") +: blockCols): _*)
     val exploded0 = withBlocks.select(
-      col("id"), col("simhash"),
+      col("id"), col("__h"),
       posexplode(array((0 until blocks).map(j => col(s"blk$j")): _*)).as(Seq("blk_idx", "blk_val")))
     val exploded = capBuckets(exploded0, Seq("blk_idx", "blk_val"), maxBucketSize)
 
-    val a = exploded.select(col("id").as("id_a"), col("simhash").as("sim_a"),
+    val a = exploded.select(col("id").as("id_a"), col("__h").as("h_a"),
       col("blk_idx"), col("blk_val"))
-    val b = exploded.select(col("id").as("id_b"), col("simhash").as("sim_b"),
+    val b = exploded.select(col("id").as("id_b"), col("__h").as("h_b"),
       col("blk_idx"), col("blk_val"))
     // Hamming verify BEFORE the pair-dedup: bit_count on the joined
     // row is nearly free, and rejected candidates then never enter
@@ -227,7 +247,7 @@ object Dedup {
     // cannot change the surviving set).
     a.join(b, Seq("blk_idx", "blk_val"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
@@ -708,12 +728,12 @@ object Dedup {
       numPlanes: Int = 10,
       dim: Int = 64,
       seed: Long = 42L,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      index: Option[DataFrame] = None): DataFrame = {
     val planes = SimilarityFunctions.hyperplanes(numPlanes, dim, seed)
     val cIdx = capBuckets(
-      corpusDf.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
-        SimilarityFunctions.norm(col(vecCol)).as("cnrm"),
-        SimilarityFunctions.lshBucket(col(vecCol), planes).as("bucket")),
+      index.getOrElse(
+        embeddingCorpusIndex(corpusDf, idCol, vecCol, numPlanes, dim, seed)),
       Seq("bucket"), maxBucketSize)
     val nSide = newDf.select(col(idCol).as("id"), col(vecCol).as("nvec"),
       SimilarityFunctions.norm(col(vecCol)).as("nnrm"),
@@ -728,6 +748,24 @@ object Dedup {
       .select("id")
       .distinct()
     newDf.join(matched, newDf(idCol) === matched("id"), "left_anti")
+  }
+
+  /** The corpus-side projection [[embeddingDedupAgainst]] probes:
+    * (cid, cvec, cnrm, bucket). Build ONCE and persist (or write to
+    * parquet bucketed by `bucket`) when the same corpus serves many
+    * batches — e.g. [[graft.streaming.StreamOps.embeddingDedupStream]]
+    * — so the corpus is never re-projected per batch. */
+  def embeddingCorpusIndex(
+      corpusDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numPlanes: Int = 10,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = SimilarityFunctions.hyperplanes(numPlanes, dim, seed)
+    corpusDf.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+      SimilarityFunctions.norm(col(vecCol)).as("cnrm"),
+      SimilarityFunctions.lshBucket(col(vecCol), planes).as("bucket"))
   }
 
   /** Embedding-cosine near-duplicate pairs: sign-LSH bucket join, then
@@ -830,12 +868,11 @@ object Dedup {
       vecCol: String,
       centroids: Array[Array[Double]],
       threshold: Double = 0.9,
-      maxClusterSize: Option[Int] = None): DataFrame = {
+      maxClusterSize: Option[Int] = None,
+      index: Option[DataFrame] = None): DataFrame = {
     require(centroids.nonEmpty, "no centroids")
     val cIdx = capBuckets(
-      corpusDf.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
-        SimilarityFunctions.norm(col(vecCol)).as("cnrm"),
-        Similarity.assignCellUdf(centroids)(col(vecCol)).as("cell")),
+      index.getOrElse(semanticCorpusIndex(corpusDf, idCol, vecCol, centroids)),
       Seq("cell"), maxClusterSize)
     val nSide = newDf.select(col(idCol).as("id"), col(vecCol).as("nvec"),
       SimilarityFunctions.norm(col(vecCol)).as("nnrm"),
@@ -850,6 +887,21 @@ object Dedup {
       .select("id")
       .distinct()
     newDf.join(matched, newDf(idCol) === matched("id"), "left_anti")
+  }
+
+  /** [[semanticDedupAgainst]]'s corpus-side projection:
+    * (cid, cvec, cnrm, cell) under the FROZEN centroids — the same
+    * shape as a persisted [[graft.sources.AnnIndex]] plain-IVF
+    * `assigned` table plus the norm. Build once per corpus. */
+  def semanticCorpusIndex(
+      corpusDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "no centroids")
+    corpusDf.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+      SimilarityFunctions.norm(col(vecCol)).as("cnrm"),
+      Similarity.assignCellUdf(centroids)(col(vecCol)).as("cell"))
   }
 
   /** Bloom-prefiltered exact incremental dedup — the cheapest daily-

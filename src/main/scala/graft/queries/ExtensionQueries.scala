@@ -1874,6 +1874,41 @@ object ExtensionQueries {
     Multimodal.extractAudio(items).toDF()
   }
 
+  /** IMAGE near-duplicate pairs over REAL decoded pixels — the
+    * multimodal dedup chain end to end: every doc_id materializes as
+    * a genuine PNG ([[Multimodal.pngBytes]]) whose 8×8-blockwise
+    * grayscale content follows a fixed integer recipe — three
+    * variants per pattern: the base 32×32, the SAME pattern at 48×48
+    * (identical [[Multimodal.aHash]] — rescaled near-dup), and a
+    * one-cell-perturbed 32×32 (small positive Hamming). The payloads
+    * are decoded by the REAL ImageIO reader, perceptually hashed, and
+    * paired with the generic pigeonhole
+    * [[Dedup.hammingPairs]] (maxHamming 3). The oracle replays
+    * recipe→cells→mean→bits→blocks→bit_count in integer SQL, so a
+    * decoder or hash that misreads any pixel hash-mismatches. */
+  private val qMultimodalImageDups: Q = (s, dir) => {
+    import s.implicits._
+    val items = pq(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val a = (id / 3) % 100003
+        val v = id % 3
+        def g(gx: Int, gy: Int): Int =
+          (((gx * (a + 3) + gy * (2 * a + 1)) * 37 + 11 * a) % 256).toInt
+        def g2(gx: Int, gy: Int): Int =
+          if (gx == 0 && gy == 0) ((g(0, 0) + 120) % 256) else g(gx, gy)
+        val payload = v match {
+          case 0 => Multimodal.pngBytes(32, 32, g)
+          case 1 => Multimodal.pngBytes(48, 48, g)
+          case _ => Multimodal.pngBytes(32, 32, g2)
+        }
+        Multimodal.MediaItem(id, "", payload, payload.length.toLong)
+      }
+    val hashes = Multimodal.extractImageHashes(items).toDF()
+      .filter(col("decoded")).select("doc_id", "ahash")
+    Dedup.hammingPairs(hashes, "doc_id", "ahash", maxHamming = 3)
+  }
+
   /** MP4 container metadata over BUILT payloads — the same oracle
     * contract as [[qMultimodalAudio]]: every row's ISO-BMFF payload
     * is constructed from (doc_id, text) by a fixed deterministic
@@ -2021,6 +2056,7 @@ object ExtensionQueries {
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_audio" -> qMultimodalAudio,
     "q_multimodal_video" -> qMultimodalVideo,
+    "q_multimodal_image_dups" -> qMultimodalImageDups,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -4726,6 +4762,50 @@ object ExtensionQueries {
   // over the truncated PCM data size, the MP3 duration the standard
   // bytes·8/kbps CBR estimate over the post-ID3 payload (4 header
   // bytes + text bytes).
+  /** Mirrors [[qMultimodalImageDups]]: the construction recipe's 64
+    * cell lumas per doc (blockwise-constant content makes the decoded
+    * aHash cells EQUAL the recipe values), floor mean, bit build in
+    * the unsigned HUGEINT domain, the 4×16-bit pigeonhole block join,
+    * `bit_count` verify — the [[dedupSimhashSql]] machinery pointed
+    * at pixels instead of shingles. */
+  private val multimodalImageDupsSql: String = {
+    def pw(j: Int) =
+      s"CAST('${java.math.BigInteger.ONE.shiftLeft(j)}' AS HUGEINT)"
+    val pows = (0 until 64).map(i => s"($i, ${pw(i)})").mkString(", ")
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id,
+       |                     ((CAST(doc_id AS BIGINT) // 3) % 100003) AS a,
+       |                     (CAST(doc_id AS BIGINT) % 3) AS v
+       |              FROM documents),
+       |grid AS (SELECT gx, gy, gy * 8 + gx AS i
+       |         FROM (SELECT unnest(range(0, 8)) AS gx) X
+       |         CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) Y),
+       |cells AS MATERIALIZED (
+       |  SELECT b.id, g.i,
+       |    CASE WHEN b.v = 2 AND g.gx = 0 AND g.gy = 0
+       |         THEN ((g.gx * (b.a + 3) + g.gy * (2 * b.a + 1)) * 37 + 11 * b.a + 120) % 256
+       |         ELSE ((g.gx * (b.a + 3) + g.gy * (2 * b.a + 1)) * 37 + 11 * b.a) % 256 END AS cell
+       |  FROM base b CROSS JOIN grid g),
+       |means AS (SELECT id, SUM(cell) // 64 AS mean FROM cells GROUP BY id),
+       |pows(i, p) AS (VALUES $pows),
+       |sims AS MATERIALIZED (
+       |  SELECT c.id, simu, ${HashSql.toS("simu")} AS sim FROM (
+       |    SELECT c2.id,
+       |      SUM(CASE WHEN c2.cell > m.mean THEN pw.p ELSE CAST(0 AS HUGEINT) END) AS simu
+       |    FROM cells c2 JOIN means m ON m.id = c2.id JOIN pows pw ON pw.i = c2.i
+       |    GROUP BY c2.id) c),
+       |blk AS MATERIALIZED (
+       |  SELECT id, sim, j AS blk_idx,
+       |    CAST((simu // (CASE j WHEN 0 THEN ${pw(0)} WHEN 1 THEN ${pw(16)}
+       |                   WHEN 2 THEN ${pw(32)} ELSE ${pw(48)} END)) % 65536 AS BIGINT) AS blk_val
+       |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS j) J)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |         CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       |  FROM blk a JOIN blk b ON a.blk_idx = b.blk_idx AND a.blk_val = b.blk_val
+       |                       AND a.id < b.id) t
+       |WHERE hamming <= 3""".stripMargin
+  }
+
   private val multimodalAudioSql: String =
     """WITH a AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len,
       |  doc_id // 2 AS kw, (doc_id - 1) // 2 AS km,
@@ -4812,6 +4892,7 @@ object ExtensionQueries {
     "q_text_bpe" -> textBpeSql(8),
     "q_multimodal_audio" -> multimodalAudioSql,
     "q_multimodal_video" -> multimodalVideoSql,
+    "q_multimodal_image_dups" -> multimodalImageDupsSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),

@@ -157,6 +157,49 @@ object StreamOps {
       .start()
   }
 
+  /** Continuous EMBEDDING-modality incremental dedup — the streaming
+    * form of [[graft.operators.Dedup.embeddingDedupAgainst]] (sign-LSH
+    * buckets) or, when `centroids` are supplied, of
+    * [[graft.operators.Dedup.semanticDedupAgainst]] (frozen k-means
+    * cells — the SemDeDup shape): every micro-batch of vectors is
+    * deduped against the static corpus before `sink` sees the
+    * survivors. The corpus-side projection (bucket/cell + norm) is
+    * built ONCE and persisted, so each micro-batch pays only its own
+    * assignment plus the equi-join probe — the same
+    * never-re-signature property [[dedupAgainstStream]] pins for the
+    * text modality. Corpus fixed at query start; restart to refresh
+    * (checkpointed, so safe). */
+  def embeddingDedupStream(
+      vecs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      checkpointDir: String,
+      threshold: Double = 0.9,
+      centroids: Option[Array[Array[Double]]] = None,
+      maxBucketSize: Option[Int] = None)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val idx = (centroids match {
+      case Some(c) =>
+        graft.operators.Dedup.semanticCorpusIndex(corpus, idCol, vecCol, c)
+      case None =>
+        graft.operators.Dedup.embeddingCorpusIndex(corpus, idCol, vecCol)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(centroids match {
+          case Some(c) => graft.operators.Dedup.semanticDedupAgainst(
+            batch.toDF(), corpus, idCol, vecCol, c, threshold,
+            maxClusterSize = maxBucketSize, index = Some(idx))
+          case None => graft.operators.Dedup.embeddingDedupAgainst(
+            batch.toDF(), corpus, idCol, vecCol, threshold,
+            maxBucketSize = maxBucketSize, index = Some(idx))
+        })
+      }
+      .start()
+  }
+
   /** Continuous exact incremental dedup — the streaming form of
     * [[graft.operators.Dedup.bloomDedupAgainst]] and the cheapest
     * possible continuous ingest gate: the corpus fingerprint bloom is

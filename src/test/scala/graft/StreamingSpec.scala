@@ -299,6 +299,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embeddingDedupStream: LSH and semantic modes match their batch operators per micro-batch") {
+    import org.apache.spark.sql.Row
+    import graft.operators.Dedup
+    def vec(axis: Int, wobble: Double): Seq[Double] =
+      Seq.tabulate(64)(d => if (d == axis) 1.0 else if (d == axis + 1) wobble else 0.0)
+    def fl(v: Seq[Double]): Seq[Float] = v.map(_.toFloat)
+    import spark.implicits._
+    val corpus = Seq((100L, fl(vec(0, 0.01))), (101L, fl(vec(30, 0.01))))
+      .toDF("vec_id", "embedding")
+    val b1 = Seq((1L, fl(vec(0, 0.02))), (2L, fl(vec(15, 0.0))))  // 1 = near-dup, 2 novel
+    val b2 = Seq((3L, fl(vec(30, 0.02))), (4L, fl(vec(45, 0.0)))) // 3 = near-dup, 4 novel
+    val schema = corpus.schema
+    val centroids = Array(
+      Array.tabulate(64)(d => if (d == 0) 1.0 else 0.0),
+      Array.tabulate(64)(d => if (d == 30) 1.0 else 0.0))
+
+    for (mode <- Seq(None, Some(centroids))) {
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_eds_src").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_eds_ckpt").toString
+      val survivors = scala.collection.mutable.Set.empty[Long]
+      val q = StreamOps.embeddingDedupStream(
+        spark.readStream.schema(schema).parquet(srcDir),
+        corpus, "vec_id", "embedding", ckpt, threshold = 0.9,
+        centroids = mode)(out =>
+        survivors ++= out.select("vec_id").collect().map(_.getLong(0)))
+      try {
+        b1.toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+        b2.toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+        // stream survivors == the batch operator over b1 ∪ b2
+        val batchAll = (b1 ++ b2).toDF("vec_id", "embedding")
+        val expect = (mode match {
+          case Some(c) => Dedup.semanticDedupAgainst(
+            batchAll, corpus, "vec_id", "embedding", c, threshold = 0.9)
+          case None => Dedup.embeddingDedupAgainst(
+            batchAll, corpus, "vec_id", "embedding", threshold = 0.9)
+        }).select("vec_id").collect().map(_.getLong(0)).toSet
+        assert(survivors.toSet == expect, s"mode=$mode")
+        assert(survivors.toSet == Set(2L, 4L), s"mode=$mode")
+      } finally q.stop()
+    }
+  }
+
   test("bloomDedupStream drops exact corpus dupes per micro-batch, matches the batch operator") {
     import org.apache.spark.sql.Row
     val srcDir = java.nio.file.Files.createTempDirectory("graft_bds_src").toString
