@@ -149,6 +149,57 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `token_hashes(text)` — per-token-OCCURRENCE mixed hashes in
+  * document order (array<long>, duplicates kept): the same one-sweep
+  * tokenize+FNV+SplitMix64 as [[ShingleHashes]] minus the n-gram
+  * window and the distinct, so multiplicity survives. The frequency-
+  * sketch input ([[graft.operators.Profile.cmsCells]]): a Count-Min
+  * cell must count every occurrence, which the distinct shingle set
+  * deliberately erases. DuckDB mirror: `HashSql.tokenHashes` (the
+  * list the shingle oracles already fold over). Empty/whitespace-only
+  * text yields an empty array (matching the mirror's filtered split —
+  * NOT ShingleHashes' empty-doc sentinel, which exists so every doc
+  * has a joinable shingle; a frequency sketch must count nothing).
+  */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hashes"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenHashes", this, classOf[TokenHashes].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalInput($c);")
+  }
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalInput(input: Any): Any = nullSafeEval(input)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var h = Hashing.FnvOffset
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (inTok) { out += Hashing.mix64(h); h = Hashing.FnvOffset; inTok = false }
+      } else {
+        val lc = Character.toLowerCase(c)
+        h ^= (lc & 0xffL); h *= Hashing.FnvPrime
+        h ^= ((lc >> 8) & 0xffL); h *= Hashing.FnvPrime
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) out += Hashing.mix64(h)
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
 /** `minhash_signature(shingles)` — the k-element MinHash signature of
   * a shingle array: `sig[j] = min over shingles of mix(h(s) ^ salt_j)`.
   * Accepts either array<string> (hashes each shingle) or array<long>
@@ -636,6 +687,11 @@ object HashExpressions {
     * [[minhashSignature]] / [[simhash64]] and to hashed-Jaccard. */
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
+  /** Per-token-occurrence mixed hashes (array<long>, document order,
+    * duplicates kept) — the frequency-sketch input. */
+  def tokenHashes(text: Column): Column =
+    ColumnBridge.column(TokenHashes(ColumnBridge.expression(text)))
 
   /** [n_grams, n_distinct, max_freq] over word n-gram hashes — the
     * one-pass repetition-filter statistics. */

@@ -44,6 +44,58 @@ object Packing {
       .withColumn("chunk_id", expr(s"start_offset DIV $capacity"))
   }
 
+  /** Whole-document next-fit bin packing — the padding-aware packing
+    * LLM loaders use when documents must NOT straddle sequence
+    * boundaries (no cross-document attention contamination; compare
+    * [[concatChunks]], which cuts mid-document): within each group,
+    * documents in id order fill a bin until the next one would
+    * overflow `capacity`, then a fresh bin opens (a document longer
+    * than `capacity` gets a bin to itself). Output: (id, grp,
+    * n_tokens, bin_id) with bin_id numbered from 0 per group.
+    *
+    * Next-fit is a SEQUENTIAL fold — no prefix-sum/window can place
+    * greedy boundaries — so this is one of the few justified
+    * `mapPartitions`: rows are shuffled once by group and sorted
+    * (group, id) within partitions, then a single O(1)-state sweep
+    * assigns bins, detecting group changes in-stream. The group is
+    * the parallelism unit BY DESIGN (same argument as
+    * [[concatChunks]]): production keys it by shard, never one
+    * global stream. Deterministic: hash partitioning + in-partition
+    * sort fixes the visit order exactly, so the DuckDB recursive-CTE
+    * replay matches bit for bit. */
+  def packBins(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      textCol: String,
+      capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val prep = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .repartition(col("grp"))
+      .sortWithinPartitions(col("grp"), col("id"))
+    val outSchema = prep.schema.add("bin_id", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    prep.mapPartitions { it =>
+      var curGrp: Any = null
+      var started = false
+      var bin = 0L
+      var fill = 0L
+      it.map { r =>
+        val g = r.get(1)
+        val n = r.getLong(2)
+        if (!started || g != curGrp) {
+          started = true; curGrp = g; bin = 0L; fill = n
+        } else if (fill + n <= capacity) {
+          fill += n
+        } else {
+          bin += 1L; fill = n
+        }
+        org.apache.spark.sql.Row(r.get(0), g, n, bin)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Split long documents into overlapping token windows — the RAG /
     * context-window chunker (the inverse of [[concatChunks]]: instead
     * of packing short docs into sequences, long docs are cut into

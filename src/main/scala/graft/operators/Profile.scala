@@ -441,6 +441,103 @@ object Profile {
     Seq(col("sketch"), nKept.as("n_kept"), kth.as("kth"), est.as("estimate"))
   }
 
+  /** Count-Min sketch cells per group — the mergeable FREQUENCY
+    * sketch completing the sketch family (KMV/HLL answer "how many
+    * distinct", CMS answers "how often is x" in fixed space): `depth`
+    * independent hash rows of `width` counters; item x increments
+    * cell `(i, mix64(x ^ salt_i) mod width)` in every row, and a
+    * point estimate reads the MINIMUM of its `depth` cells — always
+    * ≥ the true count (only collisions inflate), within
+    * ε·N = (e/width)·N with probability 1 − (1/2)^depth.
+    *
+    * Unlike Misra–Gries/SpaceSaving (whose state depends on merge
+    * ORDER), CMS cells are pure counter sums — associative,
+    * commutative, bit-deterministic under any partitioning, and
+    * therefore both hash-oracle-checkable and mergeable across
+    * batches/shards by plain addition ([[cmsMerge]]).
+    *
+    * Representation: SPARSE rows (group, cms_depth, cms_cell, cnt) —
+    * absent cell = 0. Bounded by depth·width rows per group
+    * regardless of corpus size, so it IS the fixed-size sketch, in
+    * relational form (and usually smaller: only touched cells
+    * materialize).
+    *
+    * `hash` must be a uniform 64-bit hash of the item (e.g.
+    * [[graft.functions.HashExpressions.tokenHashes]] exploded for
+    * token frequencies); `width` a power of two (the cell index is a
+    * low-bits mask, identical to unsigned mod — replayed as `% width`
+    * on the unsigned value in DuckDB).
+    *
+    * Scale posture: one hash aggregate; map-side combine collapses
+    * each partition to ≤ depth·width rows per live group before the
+    * shuffle, so shuffle volume is sketch-sized, not corpus-sized.
+    * The depth-fold explode is a projection (no join, no window). */
+  def cmsCells(
+      df: DataFrame,
+      hash: org.apache.spark.sql.Column,
+      depth: Int = 4,
+      width: Int = 1024,
+      seed: Long = 42L,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"cms depth out of range: $depth")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"cms width must be a power of two, got $width")
+    val salts = graft.functions.Hashing.salts(depth, seed)
+    val cells = array(salts.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("cms_depth"),
+        graft.functions.HashExpressions.mix64(hash.bitwiseXOR(lit(s)))
+          .bitwiseAND(lit(width - 1L)).as("cms_cell"))
+    }: _*)
+    df.select(groupCols.map(col) :+ explode(cells).as("__c"): _*)
+      .groupBy(groupCols.map(col) :+ col("__c.cms_depth") :+ col("__c.cms_cell"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Union previously-built CMS cell tables (per group if `by` is
+    * given) — counter addition per cell, so merge(A, B) is EXACTLY
+    * the sketch of the concatenated inputs (the closure property the
+    * merge query gates continuously, as [[kmvMerge]]). The daily-
+    * batch shape: sketch each ingest batch, add cells, never rescan
+    * history. */
+  def cmsMerge(cells: DataFrame, by: Seq[String] = Nil): DataFrame =
+    cells.groupBy(by.map(col) :+ col("cms_depth") :+ col("cms_cell"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate probe frequencies against a CMS cell table: each
+    * probe re-derives its `depth` (row, cell) coordinates from
+    * `hash`, left-joins the cells (absent ⇒ 0), and keeps the
+    * minimum — the classic CMS read. Probe rows pass through with
+    * `cms_est` appended. `keepCols` names the probe columns to carry
+    * (they must functionally depend on the probe row).
+    *
+    * Scale posture: the cell table is ≤ depth·width rows — broadcast
+    * it; the probe side stays partition-local (no shuffle of the
+    * probe stream). */
+  def cmsEstimate(
+      cells: DataFrame,
+      probes: DataFrame,
+      hash: org.apache.spark.sql.Column,
+      keepCols: Seq[String],
+      depth: Int = 4,
+      width: Int = 1024,
+      seed: Long = 42L): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"cms depth out of range: $depth")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"cms width must be a power of two, got $width")
+    val salts = graft.functions.Hashing.salts(depth, seed)
+    val coords = array(salts.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("cms_depth"),
+        graft.functions.HashExpressions.mix64(hash.bitwiseXOR(lit(s)))
+          .bitwiseAND(lit(width - 1L)).as("cms_cell"))
+    }: _*)
+    probes.select(keepCols.map(col) :+ explode(coords).as("__c"): _*)
+      .select(keepCols.map(col) :+ col("__c.cms_depth") :+ col("__c.cms_cell"): _*)
+      .join(broadcast(cells.select("cms_depth", "cms_cell", "cnt")),
+        Seq("cms_depth", "cms_cell"), "left")
+      .groupBy(keepCols.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
   /** Count-anomaly detection over pre-bucketed observations: count
     * rows per (key, bucket), then flag the buckets whose count sits
     * more than `k` population standard deviations from the key's own

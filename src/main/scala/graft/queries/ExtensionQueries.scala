@@ -1108,6 +1108,62 @@ object ExtensionQueries {
       .select("source", "n_kept", "kth", "estimate")
   }
 
+  /** Count-Min frequency sketch over token OCCURRENCES
+    * ([[graft.operators.Profile.cmsCells]], depth 4 × width 1024,
+    * hashes = [[graft.functions.HashExpressions.tokenHashes]]):
+    * probe the corpus's 30 most frequent tokens (exact count desc,
+    * hash asc) and report exact vs CMS estimate side by side — the
+    * estimate is provably ≥ exact, and the oracle replays
+    * hash→salt→mix→cell→min in unsigned-HUGEINT SQL, so ANY counter
+    * or coordinate slip hash-mismatches. */
+  private val qProfileCms: Q = (s, dir) => {
+    import graft.functions.HashExpressions
+    val tok = pq(s, dir, "documents")
+      .select(explode(HashExpressions.tokenHashes(col("text"))).as("__h"))
+    val cells = graft.operators.Profile.cmsCells(
+      tok, col("__h"), depth = 4, width = 1024, seed = 7L)
+    val probes = tok.groupBy(col("__h")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("__h").asc).limit(30)
+    graft.operators.Profile.cmsEstimate(cells, probes, col("__h"),
+      keepCols = Seq("__h", "exact_cnt"), depth = 4, width = 1024, seed = 7L)
+      .select(col("__h").as("token_hash"), col("exact_cnt"), col("cms_est"))
+  }
+
+  /** CMS merge closure under the driver gate: per-batch cell tables
+    * (doc_id parity as the fake ingest batch) added back together
+    * ([[graft.operators.Profile.cmsMerge]]) and probed identically —
+    * the oracle is [[qProfileCms]]'s DIRECT single-pass SQL verbatim,
+    * because merged ≡ whole-corpus is the counter-addition closure
+    * the incremental-frequency design rests on (the same
+    * continuously-gated closure as `q_profile_kmv_merge`). */
+  private val qProfileCmsMerge: Q = (s, dir) => {
+    import graft.functions.HashExpressions
+    val docs = pq(s, dir, "documents")
+    val tokB = docs.select(pmod(col("doc_id"), lit(2)).as("__batch"),
+      explode(HashExpressions.tokenHashes(col("text"))).as("__h"))
+    val parts = graft.operators.Profile.cmsCells(
+      tokB, col("__h"), depth = 4, width = 1024, seed = 7L,
+      groupCols = Seq("__batch"))
+    val merged = graft.operators.Profile.cmsMerge(parts)
+    val tok = docs.select(explode(HashExpressions.tokenHashes(col("text"))).as("__h"))
+    val probes = tok.groupBy(col("__h")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("__h").asc).limit(30)
+    graft.operators.Profile.cmsEstimate(merged, probes, col("__h"),
+      keepCols = Seq("__h", "exact_cnt"), depth = 4, width = 1024, seed = 7L)
+      .select(col("__h").as("token_hash"), col("exact_cnt"), col("cms_est"))
+  }
+
+  /** Whole-document next-fit packing into 256-token bins, 8 shard
+    * groups ([[graft.operators.Packing.packBins]] — documents never
+    * straddle a bin; the padding-aware loader shape). The oracle
+    * replays the greedy fold as a per-group recursive CTE, so a
+    * boundary off by one token anywhere in the sweep
+    * hash-mismatches. */
+  private val qPackBins: Q = (s, dir) =>
+    graft.operators.Packing.packBins(
+      pq(s, dir, "documents").withColumn("__g", pmod(col("doc_id"), lit(8))),
+      "doc_id", "__g", "text", capacity = 256)
+
   /** Length-weighted corpus sampling toward 200 expected rows
     * ([[graft.operators.Sampling.weightedSample]] with n_chars as
     * the weight — longer documents proportionally likelier). */
@@ -2007,6 +2063,9 @@ object ExtensionQueries {
     "q_text_bpe" -> qTextBpe,
     "q_text_bpe_segment" -> qTextBpeSegment,
     "q_profile_kmv_merge" -> qProfileKmvMerge,
+    "q_profile_cms" -> qProfileCms,
+    "q_profile_cms_merge" -> qProfileCmsMerge,
+    "q_pack_bins" -> qPackBins,
     "q_profile_kmv_overlap" -> qProfileKmvOverlap,
     "q_text_vocab" -> qTextVocab,
     "q_text_oov" -> qTextOov,
@@ -4633,6 +4692,59 @@ object ExtensionQueries {
   /** Mirrors [[qPackChunks]] (`Packing.concatChunks`, capacity 512):
     * the identical per-source windowed running token sum (integer
     * arithmetic end to end — HUGEINT window sums cast back). */
+  /** Mirrors [[qPackBins]]: rank documents per group, then replay the
+    * next-fit fold as a per-group RECURSIVE walk — rn 1 opens bin 0;
+    * each step either fits in the running bin (fill + n ≤ capacity)
+    * or opens the next. The recursion advances every group's frontier
+    * row simultaneously, which is exactly the per-group sequential
+    * order the engine's repartition+sortWithinPartitions sweep pins. */
+  private val packBinsSql: String =
+    s"""WITH RECURSIVE d AS (SELECT doc_id AS id, doc_id % 8 AS grp,
+       |  $nTokensSql AS n FROM documents),
+       |r AS MATERIALIZED (SELECT id, grp, n,
+       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) AS rn FROM d),
+       |walk AS (
+       |  SELECT grp, rn, id, n, CAST(0 AS BIGINT) AS bin, n AS fill
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r2.grp, r2.rn, r2.id, r2.n,
+       |    CASE WHEN w.fill + r2.n <= 256 THEN w.bin ELSE w.bin + 1 END,
+       |    CASE WHEN w.fill + r2.n <= 256 THEN w.fill + r2.n ELSE r2.n END
+       |  FROM walk w JOIN r r2 ON r2.grp = w.grp AND r2.rn = w.rn + 1)
+       |SELECT id, grp, CAST(n AS BIGINT) AS n_tokens, bin AS bin_id
+       |FROM walk""".stripMargin
+
+  /** Mirrors [[qProfileCms]] (and verbatim [[qProfileCmsMerge]] — the
+    * counter-addition closure): per-occurrence token hashes
+    * ([[HashSql.tokenHashes]], duplicates kept), the salt×hash cross
+    * product through the staged SplitMix64 CTEs, cell = low 10 bits
+    * (`% 1024` on the unsigned value ≡ the engine's signed mask),
+    * COUNT per (row, cell), then the min-of-depth-cells read for the
+    * top-30 exact-count probes. */
+  private val profileCmsSql: String = {
+    val width = 1024
+    s"""WITH ths AS (SELECT ${HashSql.tokenHashes("text")} AS ths FROM documents),
+       |tok AS MATERIALIZED (SELECT unnest(ths) AS h FROM ths),
+       |exact AS MATERIALIZED (SELECT h, COUNT(*) AS exact_cnt FROM tok GROUP BY h),
+       |salt AS (SELECT * FROM (VALUES ${HashSql.saltRows(4, 7L)}) AS v(i, s)),
+       |mx0 AS MATERIALIZED (SELECT s.i, ${HashSql.ux("t.h", "s.s")} AS x
+       |  FROM tok t CROSS JOIN salt s),
+       |${HashSql.mixCtes("mx", "mx0", "i")},
+       |cells AS MATERIALIZED (SELECT i, CAST(x % $width AS BIGINT) AS cell,
+       |  COUNT(*) AS cnt FROM mx4 GROUP BY 1, 2),
+       |probes AS MATERIALIZED (SELECT h, exact_cnt FROM exact
+       |  ORDER BY exact_cnt DESC, ${HashSql.toS("h")} ASC LIMIT 30),
+       |px0 AS (SELECT p.h, p.exact_cnt, s.i, ${HashSql.ux("p.h", "s.s")} AS x
+       |  FROM probes p CROSS JOIN salt s),
+       |${HashSql.mixCtes("px", "px0", "h, exact_cnt, i")}
+       |SELECT ${HashSql.toS("h")} AS token_hash,
+       |  CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       |  CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est
+       |FROM px4 p LEFT JOIN cells c
+       |  ON c.i = p.i AND c.cell = CAST(p.x % $width AS BIGINT)
+       |GROUP BY h, exact_cnt""".stripMargin
+  }
+
   private val packChunksSql: String =
     s"""SELECT doc_id, source, n_tokens,
        |  CAST(start_offset AS BIGINT) AS start_offset,
@@ -5181,6 +5293,9 @@ object ExtensionQueries {
     // must equal the direct whole-source sketch — the oracle holds
     // the merge path to exactly that.
     "q_profile_kmv_merge" -> profileKmvSql,
+    "q_profile_cms" -> profileCmsSql,
+    "q_profile_cms_merge" -> profileCmsSql,
+    "q_pack_bins" -> packBinsSql,
     "q_text_bpe_segment" -> textBpeSql(8, segment = true),
     // Mirrors [[qTextBigrams]] (vocabularyNgrams n=2 k=40): shingles'
     // two branches (windows when len >= n, whole-doc gram otherwise),

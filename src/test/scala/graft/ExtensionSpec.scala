@@ -769,6 +769,77 @@ class ExtensionSpec extends SparkSpec {
       10L -> ((0L, 0L)), 11L -> ((6L, 1L))))
   }
 
+  test("packBins: next-fit whole-doc boundaries, oversize doc alone, group reset, partitioning-invariant") {
+    val t = df("doc_id BIGINT, g BIGINT, text STRING",
+      Row(1L, 0L, "w w w"),         // g0 bin0 fill 3
+      Row(2L, 0L, "w w"),           // g0 bin0 fill 5 (== capacity)
+      Row(3L, 0L, "w"),             // g0 bin1 (5+1 > 5)
+      Row(4L, 0L, "w w w w w w w"), // g0 bin2 alone (7 > capacity)
+      Row(5L, 0L, "w w"),           // g0 bin3 (7+2 > 5 -> new)
+      Row(10L, 1L, "w w w w"))      // g1 resets: bin0
+    val expect = Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 10L -> 0L)
+    val got = graft.operators.Packing
+      .packBins(t, "doc_id", "g", "text", capacity = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expect)
+    // invariant under input partitioning/order (the repartition+sort pins it)
+    val shuffled = graft.operators.Packing
+      .packBins(t.orderBy(org.apache.spark.sql.functions.rand(7)).repartition(5),
+        "doc_id", "g", "text", capacity = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(shuffled == expect)
+  }
+
+  test("cms: estimate >= exact always, exact when collision-free, merge == whole-corpus cells") {
+    import graft.functions.HashExpressions
+    // 60 tokens over a tiny vocab with known multiplicities
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(1L, Seq.fill(20)("alpha").mkString(" ")),
+      Row(2L, (Seq.fill(15)("beta") ++ Seq.fill(10)("gamma")).mkString(" ")),
+      Row(3L, (Seq.fill(10)("alpha") ++ Seq.fill(5)("delta")).mkString(" ")))
+    val tok = docs.select(
+      explode(HashExpressions.tokenHashes(col("text"))).as("__h"))
+    val exact = tok.groupBy(col("__h")).agg(count(lit(1)).as("exact_cnt"))
+    // wide sketch: 4 distinct tokens in 4x1024 cells -> no collisions
+    val cells = graft.operators.Profile.cmsCells(tok, col("__h"), 4, 1024, 7L)
+    val est = graft.operators.Profile.cmsEstimate(
+      cells, exact, col("__h"), Seq("__h", "exact_cnt"), 4, 1024, 7L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(est.length == 4)
+    est.foreach { case (ex, cms) => assert(cms == ex) } // collision-free == exact
+    assert(est.map(_._1).sorted.toSeq == Seq(5L, 10L, 15L, 30L))
+    // narrow sketch: collisions may inflate but NEVER deflate
+    val tiny = graft.operators.Profile.cmsCells(tok, col("__h"), 2, 2, 7L)
+    graft.operators.Profile.cmsEstimate(
+      tiny, exact, col("__h"), Seq("__h", "exact_cnt"), 2, 2, 7L)
+      .collect().foreach(r => assert(r.getLong(2) >= r.getLong(1)))
+    // merge closure: per-doc cell tables added back == whole-corpus cells
+    val perDoc = graft.operators.Profile.cmsCells(
+      docs.select(col("doc_id"),
+        explode(HashExpressions.tokenHashes(col("text"))).as("__h")),
+      col("__h"), 4, 1024, 7L, groupCols = Seq("doc_id"))
+    val merged = graft.operators.Profile.cmsMerge(perDoc)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cells
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
+  test("tokenHashes: occurrence multiplicity kept, order kept, tokenization matches the shingle sweep") {
+    import graft.functions.HashExpressions
+    val t = df("text STRING", Row("b a b  b c"), Row(""), Row("   "), Row("B A B B C"))
+    val rows = t.select(HashExpressions.tokenHashes(col("text")).as("th")).collect()
+    val th0 = rows(0).getSeq[Long](0)
+    assert(th0.length == 5)                      // duplicates kept
+    assert(th0(0) == th0(2) && th0(2) == th0(3)) // the three 'b's agree
+    assert(th0.distinct.length == 3)             // b, a, c
+    assert(th0(1) != th0(0) && th0(4) != th0(0)) // a, c differ from b
+    // lowercasing inline, exactly like ShingleHashes' sweep
+    assert(rows(3).getSeq[Long](0) == th0)
+    // empty / whitespace-only -> empty array (no sentinel)
+    assert(rows(1).getSeq[Long](0).isEmpty && rows(2).getSeq[Long](0).isEmpty)
+  }
+
   test("mixToTarget: constrained domain kept whole, others downsampled toward the mix, untargeted dropped") {
     // 40 'a' rows, 10 'b' rows, 5 'c' rows; targets a=0.5, b=0.5.
     // scale = min(40/0.5, 10/0.5) = 20 -> keep all of b (rate 1.0),

@@ -81,6 +81,35 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("CMS probe estimate joins the cell table by broadcast only") {
+    // the sketch is <= depth*width rows BY CONSTRUCTION — if the
+    // probe-vs-cells join ever hash-partitions, the probe stream
+    // (corpus-scale in production) shuffles for a lookup into a
+    // fixed-size table
+    val plan = planOf("q_profile_cms")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_profile_cms: cell lookup is not broadcast\n$plan")
+    val shuffledJoin = plan.linesIterator
+      .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      .toSeq
+    assert(shuffledJoin.isEmpty,
+      s"q_profile_cms: shuffle-partitioned join planned: $shuffledJoin")
+  }
+
+  test("packBins shuffles ONCE on the group key, then packs in-partition") {
+    // next-fit packing = one repartition(grp) + in-partition sort +
+    // O(1)-state sweep; a second Exchange would mean the sequential
+    // fold lost its co-location and the answer its determinism
+    val plan = planOf("q_pack_bins")
+    // the detail section lists each operator once as "(n) Exchange"
+    val exchanges = plan.linesIterator.map(_.trim)
+      .filter(l => l.startsWith("(") && l.matches("""\(\d+\) Exchange.*""")).toSeq
+    assert(exchanges.size == 1,
+      s"q_pack_bins: expected exactly one Exchange, got: $exchanges")
+    assert(plan.contains("hashpartitioning(grp"),
+      s"q_pack_bins: the single Exchange is not hash-keyed on grp\n$plan")
+  }
+
   test("lmScore joins its model by broadcast — the corpus never shuffles for lookups") {
     // the 100 TB contract: the bigram/context tables are
     // tokenizer-scale and must broadcast; a SortMergeJoin here means
