@@ -96,6 +96,25 @@ object Packing {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Packing-efficiency audit over a [[packBins]] result — the
+    * padding-waste metric training teams actually watch (every token
+    * of slack in a bin is a padded, gradient-free position): per
+    * group, document/bin counts, total real tokens, and integer
+    * utilization `total_tokens · 1000 div (n_bins · capacity)`
+    * permille (can exceed 1000 when oversize documents overflow their
+    * solo bins — a visible signal that `capacity` is set below the
+    * corpus's long tail). One group-keyed aggregate; output is
+    * group-cardinality. */
+  def binStats(packed: DataFrame, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    packed.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("bin_id")) + 1L).as("n_bins"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("util_permille",
+        expr(s"total_tokens * 1000 div (n_bins * $capacity)"))
+  }
+
   /** Split long documents into overlapping token windows — the RAG /
     * context-window chunker (the inverse of [[concatChunks]]: instead
     * of packing short docs into sequences, long docs are cut into

@@ -40,6 +40,50 @@ object Search {
       .agg(count(lit(1)).as("doc_freq"),
         concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
 
+  /** Hashing-trick featurization (Weinberger et al.'s feature
+    * hashing, the public "hashing trick"): map each document to a
+    * SPARSE `dims`-dimensional signed-count vector without any
+    * vocabulary table — feature index = low bits of a salted mix of
+    * the token hash, sign = the next bit, weight = signed occurrence
+    * sum per index. The cheap featurizer behind linear quality
+    * classifiers and fast dedup-ish similarity at corpus scale: no
+    * dictionary to build, broadcast, or version, and the signed sum
+    * makes collisions cancel in expectation. Output: one row per
+    * NON-ZERO (doc, feature): (doc_id, feat_idx, weight).
+    *
+    * All integer: idx = mix64(tokenHash ^ salt) masked to
+    * log2(dims) bits (≡ unsigned mod for power-of-two dims), sign
+    * from the bit just above — bit-replayable in DuckDB, so the
+    * whole featurization is hash-oracle-gated.
+    *
+    * Scale posture: one projection (tokenize+hash+explode fused in
+    * the codegen'd [[graft.functions.TokenHashes]]) and one
+    * (doc, idx)-keyed aggregate with map-side partials — per-doc
+    * output is bounded by min(n_tokens, dims). No joins, no
+    * vocabulary collect. */
+  def hashedFeatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int = 256,
+      seed: Long = 11L): DataFrame = {
+    require(dims >= 2 && (dims & (dims - 1)) == 0,
+      s"dims must be a power of two, got $dims")
+    val salt = graft.functions.Hashing.salts(1, seed).head
+    val g = graft.functions.HashExpressions.mix64(
+      col("__h").bitwiseXOR(lit(salt)))
+    val bits = java.lang.Long.numberOfTrailingZeros(dims.toLong)
+    df.select(col(idCol).cast("long").as("doc_id"),
+        explode(graft.functions.HashExpressions.tokenHashes(col(textCol))).as("__h"))
+      .select(col("doc_id"),
+        g.bitwiseAND(lit(dims - 1L)).as("feat_idx"),
+        when(shiftrightunsigned(g, bits).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)).as("__s"))
+      .groupBy(col("doc_id"), col("feat_idx"))
+      .agg(sum(col("__s")).as("weight"))
+      .filter(col("weight") =!= 0L)
+  }
+
   /** BM25 top-k retrieval for one query (a literal term set) against
     * the corpus. Scores are fixed-point longs (`score_q`, scaled by
     * 2^scaleBits) summed from per-term contributions floored BEFORE

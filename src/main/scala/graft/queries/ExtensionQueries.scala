@@ -1164,6 +1164,22 @@ object ExtensionQueries {
       pq(s, dir, "documents").withColumn("__g", pmod(col("doc_id"), lit(8))),
       "doc_id", "__g", "text", capacity = 256)
 
+  /** Packing-efficiency audit over [[qPackBins]]'s result
+    * ([[graft.operators.Packing.binStats]]): per shard group, bin
+    * counts, real-token totals, and integer utilization permille —
+    * the padding-waste metric the packing exists to optimize. */
+  private val qPackBinsStats: Q = (s, dir) =>
+    graft.operators.Packing.binStats(qPackBins(s, dir), capacity = 256)
+
+  /** Hashing-trick featurization over the corpus
+    * ([[graft.operators.Search.hashedFeatures]], 256 dims): sparse
+    * signed-count vectors with no vocabulary table, the cheap linear-
+    * classifier featurizer. The oracle replays salt→mix→index-bits→
+    * sign-bit→signed-sum in unsigned-HUGEINT SQL. */
+  private val qTextFeatureHash: Q = (s, dir) =>
+    graft.operators.Search.hashedFeatures(
+      pq(s, dir, "documents"), "doc_id", "text", dims = 256, seed = 11L)
+
   /** Length-weighted corpus sampling toward 200 expected rows
     * ([[graft.operators.Sampling.weightedSample]] with n_chars as
     * the weight — longer documents proportionally likelier). */
@@ -1965,6 +1981,18 @@ object ExtensionQueries {
     Dedup.hammingPairs(hashes, "doc_id", "ahash", maxHamming = 3)
   }
 
+  /** The IMAGE dedup endgame — [[qMultimodalImageDups]]'s perceptual
+    * pairs fed through the same transitive-closure + keep-min-id
+    * machinery as the text endgame (`q_dedup_keep_one`): decode →
+    * aHash → Hamming pairs → connected components → one survivor per
+    * visual cluster, never-paired images pass through. Pins that the
+    * cross-modality composition actually composes: the closure
+    * operator is modality-blind once pairs exist. */
+  private val qMultimodalKeepOne: Q = (s, dir) =>
+    Dedup.keepOnePerCluster(
+      pq(s, dir, "documents"), "doc_id", qMultimodalImageDups(s, dir))
+      .select("doc_id")
+
   /** MP4 container metadata over BUILT payloads — the same oracle
     * contract as [[qMultimodalAudio]]: every row's ISO-BMFF payload
     * is constructed from (doc_id, text) by a fixed deterministic
@@ -2066,6 +2094,9 @@ object ExtensionQueries {
     "q_profile_cms" -> qProfileCms,
     "q_profile_cms_merge" -> qProfileCmsMerge,
     "q_pack_bins" -> qPackBins,
+    "q_pack_bins_stats" -> qPackBinsStats,
+    "q_text_feature_hash" -> qTextFeatureHash,
+    "q_multimodal_keep_one" -> qMultimodalKeepOne,
     "q_profile_kmv_overlap" -> qProfileKmvOverlap,
     "q_text_vocab" -> qTextVocab,
     "q_text_oov" -> qTextOov,
@@ -4714,6 +4745,35 @@ object ExtensionQueries {
        |SELECT id, grp, CAST(n AS BIGINT) AS n_tokens, bin AS bin_id
        |FROM walk""".stripMargin
 
+  /** Mirrors [[qPackBinsStats]]: one aggregate over the
+    * [[packBinsSql]] recursive replay, utilization in floor-division
+    * permille. */
+  private val packBinsStatsSql: String =
+    s"""WITH packed AS MATERIALIZED ($packBinsSql)
+       |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(MAX(bin_id) + 1 AS BIGINT) AS n_bins,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST((SUM(n_tokens) * 1000) // ((MAX(bin_id) + 1) * 256) AS BIGINT)
+       |    AS util_permille
+       |FROM packed GROUP BY grp""".stripMargin
+
+  /** Mirrors [[qTextFeatureHash]]: per-occurrence token hashes,
+    * salt-XOR + staged SplitMix64, index = low 8 bits, sign = bit 8,
+    * signed sum per (doc, index), zero weights dropped. */
+  private val textFeatureHashSql: String = {
+    val dims = 256
+    val salt = graft.functions.Hashing.salts(1, 11L).head
+    val sign = s"CASE WHEN (x // $dims) % 2 = 1 THEN 1 ELSE -1 END"
+    s"""WITH ths AS (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents),
+       |tok AS MATERIALIZED (SELECT doc_id, unnest(ths) AS h FROM ths),
+       |m0 AS MATERIALIZED (SELECT doc_id, ${HashSql.ux("h", HashSql.u(salt))} AS x FROM tok),
+       |${HashSql.mixCtes("m", "m0", "doc_id")}
+       |SELECT doc_id, CAST(x % $dims AS BIGINT) AS feat_idx,
+       |  CAST(SUM($sign) AS BIGINT) AS weight
+       |FROM m4 GROUP BY doc_id, feat_idx
+       |HAVING SUM($sign) <> 0""".stripMargin
+  }
+
   /** Mirrors [[qProfileCms]] (and verbatim [[qProfileCmsMerge]] — the
     * counter-addition closure): per-occurrence token hashes
     * ([[HashSql.tokenHashes]], duplicates kept), the salt×hash cross
@@ -4917,6 +4977,21 @@ object ExtensionQueries {
        |                       AND a.id < b.id) t
        |WHERE hamming <= 3""".stripMargin
   }
+
+  /** Mirrors [[qMultimodalKeepOne]]: the [[multimodalImageDupsSql]]
+    * perceptual pairs through the identical recursive closure +
+    * keep-min-id replay as [[dedupKeepOneSql]]. */
+  private val multimodalKeepOneSql: String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED ($multimodalImageDupsSql),
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |labels(id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, l.label FROM edges e JOIN labels l ON e.dst = l.id),
+       |dropped AS (SELECT id FROM (SELECT id, min(label) AS rep FROM labels GROUP BY id) t
+       |            WHERE id <> rep)
+       |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
 
   private val multimodalAudioSql: String =
     """WITH a AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len,
@@ -5296,6 +5371,9 @@ object ExtensionQueries {
     "q_profile_cms" -> profileCmsSql,
     "q_profile_cms_merge" -> profileCmsSql,
     "q_pack_bins" -> packBinsSql,
+    "q_pack_bins_stats" -> packBinsStatsSql,
+    "q_text_feature_hash" -> textFeatureHashSql,
+    "q_multimodal_keep_one" -> multimodalKeepOneSql,
     "q_text_bpe_segment" -> textBpeSql(8, segment = true),
     // Mirrors [[qTextBigrams]] (vocabularyNgrams n=2 k=40): shingles'
     // two branches (windows when len >= n, whole-doc gram otherwise),

@@ -790,6 +790,42 @@ class ExtensionSpec extends SparkSpec {
     assert(shuffled == expect)
   }
 
+  test("binStats: utilization counts oversize overflow, per-group totals") {
+    val t = df("doc_id BIGINT, g BIGINT, text STRING",
+      Row(1L, 0L, "w w w"), Row(2L, 0L, "w w"), Row(3L, 0L, "w"),
+      Row(4L, 0L, "w w w w w w w"), Row(5L, 0L, "w w"),
+      Row(10L, 1L, "w w w w"))
+    val packed = graft.operators.Packing.packBins(t, "doc_id", "g", "text", capacity = 5)
+    val got = graft.operators.Packing.binStats(packed, capacity = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // g0: bins {1,2}(5) {3}(1) {4}(7 oversize) {5}(2) -> 4 bins, 15 tokens,
+    // util = 15000 div 20 = 750; g1: 1 bin, 4 tokens, util 800
+    assert(got == Map(0L -> ((5L, 4L, 15L, 750L)), 1L -> ((1L, 1L, 4L, 800L))))
+  }
+
+  test("hashedFeatures: signed occurrence sums, repeats accumulate, zero rows dropped, bounded index") {
+    val t = df("doc_id BIGINT, text STRING",
+      Row(1L, "x x x y"),  // x thrice -> |weight| 3 on x's index
+      Row(2L, ""),         // no tokens -> no rows
+      Row(3L, "z z"))      // one feature, |weight| 2
+    val got = graft.operators.Search.hashedFeatures(t, "doc_id", "text", dims = 16, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (_, idx, w) => idx >= 0 && idx < 16 && w != 0 })
+    assert(!got.exists(_._1 == 2L))
+    // doc 1 = {x:3, y:1}: distinct indices -> |weights| {1,3}; a
+    // 16-dim collision folds them to one row of |3·s_x + 1·s_y| ∈ {2,4}
+    val d1 = got.filter(_._1 == 1L).map(_._3.abs).sorted.toSeq
+    assert(d1 == Seq(1L, 3L) || d1 == Seq(2L) || d1 == Seq(4L))
+    // same-token repeats always land on ONE index with the full multiplicity
+    val d3 = got.filter(_._1 == 3L)
+    assert(d3.length == 1 && d3.head._3.abs == 2L)
+    // deterministic across runs
+    val again = graft.operators.Search.hashedFeatures(t, "doc_id", "text", dims = 16, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.sameElements(again.sorted))
+  }
+
   test("cms: estimate >= exact always, exact when collision-free, merge == whole-corpus cells") {
     import graft.functions.HashExpressions
     // 60 tokens over a tiny vocab with known multiplicities
