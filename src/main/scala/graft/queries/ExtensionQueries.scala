@@ -1993,6 +1993,24 @@ object ExtensionQueries {
       pq(s, dir, "documents"), "doc_id", qMultimodalImageDups(s, dir))
       .select("doc_id")
 
+  /** MULTI-SIGNAL dedup — the production near-dup shape when a
+    * document is a (text, image) record: a pair from EITHER signal
+    * (text MinHash near-dup, `q_dedup_minhash` parameters; or image
+    * perceptual near-dup, [[qMultimodalImageDups]]) makes two records
+    * duplicates, the union of both edge sets closes transitively, one
+    * survivor per cluster. The closure machinery is signal-blind, so
+    * composing signals is a pair-frame union — no new operator. */
+  private val qDedupMultisignal: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    val textPairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
+      .select("id_a", "id_b")
+    val imagePairs = qMultimodalImageDups(s, dir).select("id_a", "id_b")
+    Dedup.keepOnePerCluster(
+      docs, "doc_id", textPairs.unionByName(imagePairs).dropDuplicates())
+      .select("doc_id")
+  }
+
   /** MP4 container metadata over BUILT payloads — the same oracle
     * contract as [[qMultimodalAudio]]: every row's ISO-BMFF payload
     * is constructed from (doc_id, text) by a fixed deterministic
@@ -2097,6 +2115,7 @@ object ExtensionQueries {
     "q_pack_bins_stats" -> qPackBinsStats,
     "q_text_feature_hash" -> qTextFeatureHash,
     "q_multimodal_keep_one" -> qMultimodalKeepOne,
+    "q_dedup_multisignal" -> qDedupMultisignal,
     "q_profile_kmv_overlap" -> qProfileKmvOverlap,
     "q_text_vocab" -> qTextVocab,
     "q_text_oov" -> qTextOov,
@@ -4993,6 +5012,24 @@ object ExtensionQueries {
        |            WHERE id <> rep)
        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
 
+  /** Mirrors [[qDedupMultisignal]]: the text-minhash and image-aHash
+    * pair replays unioned (UNION dedups, matching the engine's
+    * `dropDuplicates`), then the identical closure + keep-min-id. */
+  private val dedupMultisignalSql: String =
+    s"""WITH RECURSIVE tp AS MATERIALIZED (${minhashPairsSql(3, 64, 16, 0.5)}),
+       |ip AS MATERIALIZED ($multimodalImageDupsSql),
+       |pairs AS MATERIALIZED (SELECT id_a, id_b FROM tp
+       |          UNION SELECT id_a, id_b FROM ip),
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |labels(id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, l.label FROM edges e JOIN labels l ON e.dst = l.id),
+       |dropped AS (SELECT id FROM (SELECT id, min(label) AS rep FROM labels GROUP BY id) t
+       |            WHERE id <> rep)
+       |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
+
   private val multimodalAudioSql: String =
     """WITH a AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len,
       |  doc_id // 2 AS kw, (doc_id - 1) // 2 AS km,
@@ -5374,6 +5411,7 @@ object ExtensionQueries {
     "q_pack_bins_stats" -> packBinsStatsSql,
     "q_text_feature_hash" -> textFeatureHashSql,
     "q_multimodal_keep_one" -> multimodalKeepOneSql,
+    "q_dedup_multisignal" -> dedupMultisignalSql,
     "q_text_bpe_segment" -> textBpeSql(8, segment = true),
     // Mirrors [[qTextBigrams]] (vocabularyNgrams n=2 k=40): shingles'
     // two branches (windows when len >= n, whole-doc gram otherwise),

@@ -200,6 +200,42 @@ object StreamOps {
       .start()
   }
 
+  /** Continuous Count-Min frequency sketching — the streaming form of
+    * [[graft.operators.Profile.cmsCells]]: every micro-batch of
+    * documents is sketched into its own cell table (≤ depth·width
+    * rows) and published under `cellsDir/batch=<id>`; the live
+    * corpus-wide sketch at any moment is
+    * `Profile.cmsMerge(spark.read.parquet(cellsDir))` — counter
+    * addition is the closure the batch merge query gates, so
+    * merge-on-read IS the sketch (compact with one rewrite whenever
+    * the batch-dir count annoys you; addition is associative, any
+    * regrouping is safe).
+    *
+    * Exactly-once without sinks-side dedup: each batch OVERWRITES its
+    * own `batch=<id>` partition, so a replayed micro-batch (restart
+    * inside the checkpoint window) republishes identical cells
+    * instead of double counting — idempotence via path, the same
+    * discipline as the AnnIndex staged swap. */
+  def cmsStream(
+      docs: DataFrame,
+      textCol: String,
+      cellsDir: String,
+      checkpointDir: String,
+      depth: Int = 4,
+      width: Int = 1024,
+      seed: Long = 42L): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.operators.Profile.cmsCells(
+          batch.toDF().select(explode(
+            graft.functions.HashExpressions.tokenHashes(col(textCol))).as("__h")),
+          col("__h"), depth, width, seed)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$cellsDir/batch=$batchId")
+      }
+      .start()
+
   /** Continuous exact incremental dedup — the streaming form of
     * [[graft.operators.Dedup.bloomDedupAgainst]] and the cheapest
     * possible continuous ingest gate: the corpus fingerprint bloom is

@@ -343,6 +343,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("cmsStream: merge-on-read over published batch cells == whole-corpus batch sketch") {
+    import org.apache.spark.sql.Row
+    import graft.functions.HashExpressions
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cms_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cms_ckpt").toString
+    val cellsDir = java.nio.file.Files.createTempDirectory("graft_cms_cells").toString + "/cells"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING")
+    val b1 = Seq(Row(1L, "alpha alpha beta"), Row(2L, "gamma"))
+    val b2 = Seq(Row(3L, "alpha beta beta delta"))
+    def writeBatch(rows: Seq[Row]): Unit =
+      spark.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    val q = StreamOps.cmsStream(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "text", cellsDir, ckpt, depth = 4, width = 64, seed = 5L)
+    try {
+      writeBatch(b1); q.processAllAvailable()
+      writeBatch(b2); q.processAllAvailable()
+      val merged = graft.operators.Profile.cmsMerge(spark.read.parquet(cellsDir))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val whole = graft.operators.Profile.cmsCells(
+        spark.read.parquet(srcDir).select(
+          explode(HashExpressions.tokenHashes(col("text"))).as("__h")),
+        col("__h"), depth = 4, width = 64, seed = 5L)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(merged == whole)
+      // counters really count occurrences: total mass = 4 rows x 8 tokens
+      assert(merged.collect { case ((0, _), c) => c }.sum == 8L)
+    } finally q.stop()
+  }
+
   test("bloomDedupStream drops exact corpus dupes per micro-batch, matches the batch operator") {
     import org.apache.spark.sql.Row
     val srcDir = java.nio.file.Files.createTempDirectory("graft_bds_src").toString
