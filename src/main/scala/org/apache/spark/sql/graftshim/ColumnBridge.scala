@@ -33,15 +33,29 @@ object ColumnBridge {
     * InternalRow↔Row codec round-trip of `df.rdd` +
     * `createDataFrame`, and the carried partitioning lets the next
     * pass's same-key joins reuse the layout instead of re-shuffling
-    * every iteration. */
+    * every iteration.
+    *
+    * `originStats` is deliberately DROPPED (unlike localCheckpoint,
+    * which carries the origin plan's Statistics): in an iterative
+    * algorithm each pass's size-only estimate is a PRODUCT over the
+    * previous pass's leaf estimates, so the carried sizeInBytes
+    * BigInt doubles its bit length every pass — by pass ~14 the
+    * driver spends whole seconds per stats visit inside
+    * BigInteger.multiply (measured: 66 of an 86 s sf0.1
+    * connected-components run). With no origin stats the leaf falls
+    * back to `spark.sql.defaultSizeInBytes` (= Long.MaxValue), which
+    * plans identically — the compounded estimates were over every
+    * broadcast threshold from pass 1 anyway — at O(1) driver cost
+    * per pass. */
   def dataFrameFromInternalRows(
       origin: org.apache.spark.sql.DataFrame,
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
       : org.apache.spark.sql.DataFrame = {
     val cds = origin.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-    org.apache.spark.sql.classic.Dataset.ofRows(
-      cds.sparkSession,
-      org.apache.spark.sql.execution.LogicalRDD.fromDataset(rdd, cds, isStreaming = false))
+    val lr = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(rdd, cds, isStreaming = false)
+      .copy()(cds.sparkSession, originStats = None, originConstraints = None)
+    org.apache.spark.sql.classic.Dataset.ofRows(cds.sparkSession, lr)
   }
 
   /** Register a function builder into an existing session's registry
