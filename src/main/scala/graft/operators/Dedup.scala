@@ -1140,4 +1140,53 @@ object Dedup {
       .groupBy("span_hash")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+
+  /** Cross-document line-level dedup — the RefinedWeb/CCNet "line
+    * dedup" pass that [[duplicatedSpans]] only DETECTS: a line
+    * (delimiter-separated segment, trimmed, empties dropped) that
+    * appears in at least `minDocFreq` DISTINCT documents is
+    * boilerplate (headers, navigation, license blocks) and is removed
+    * from EVERY document; each document is then reassembled from its
+    * surviving lines in original order. Returns one row per document
+    * that kept at least one line: (id, clean_text, n_kept) —
+    * documents whose every line was shared drop out entirely (they
+    * were pure boilerplate).
+    *
+    * Scale posture: lines shuffle ON THEIR 64-BIT HASH, never the
+    * line text — the document-frequency aggregate is a hash-keyed
+    * count-distinct with map-side partials, and the removal is a
+    * hash-keyed LEFT ANTI join (AQE broadcasts the hot set when it is
+    * small, which at web scale it is: lines with df ≥ K are the tiny
+    * duplicated tail). The only text-carrying shuffle is the final
+    * per-document reassembly, keyed by the document id — the same
+    * volume as the input corpus, once. Hash collisions can delete an
+    * innocent line; at 64 bits that is the same accepted trade as
+    * [[exactByFingerprint]]. */
+  def stripRepeatedLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocFreq: Int = 2,
+      delim: String = "\n"): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val lines = df
+      .select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(delim))).as(Seq("__pos", "__line")))
+      .withColumn("__line", trim(col("__line")))
+      .filter(length(col("__line")) > 0)
+      .withColumn("__lh", xxhash64(col("__line")))
+    val hot = lines
+      .groupBy(col("__lh"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select("__lh")
+    lines
+      .join(hot, Seq("__lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(delim, transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x("__line"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
 }

@@ -538,6 +538,60 @@ object Profile {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** CMS-guided heavy hitters: every distinct item whose Count-Min
+    * estimate is at least N/`phiInverse` of the N total occurrences —
+    * the classic φ-heavy-hitter read. Because the estimate only ever
+    * OVERCOUNTS, the result is a guaranteed SUPERSET of the true
+    * heavy hitters (no false negatives); the ε·N overcount bound
+    * caps the false-positive margin. Returns (item hash, cms_est).
+    *
+    * The threshold compare is integer-exact (`est · phiInverse ≥ N`,
+    * no division), and N is read FROM THE SKETCH — every occurrence
+    * increments exactly `depth` cells, so Σcnt/depth ≡ N — keeping
+    * the whole read self-contained on sketch state, the shape an
+    * incremental pipeline needs (merge daily cell tables, re-read
+    * heavy hitters, never rescan history).
+    *
+    * Scale posture: the probe side is one distinct-aggregate over
+    * 8-byte hashes; the total rides ON the broadcast cells as a
+    * window over the sketch-sized frame (≤ depth·width rows — the
+    * single-partition window is over the SKETCH, never the corpus),
+    * so the read is one broadcast hash join end to end — no
+    * literal-key join (which Catalyst folds to a nested-loop), no
+    * second corpus scan. */
+  def cmsHeavyHitters(
+      df: DataFrame,
+      hash: org.apache.spark.sql.Column,
+      phiInverse: Int = 64,
+      depth: Int = 4,
+      width: Int = 1024,
+      seed: Long = 42L): DataFrame = {
+    require(phiInverse >= 2, s"phiInverse must be >= 2, got $phiInverse")
+    require(depth >= 1 && depth <= 16, s"cms depth out of range: $depth")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"cms width must be a power of two, got $width")
+    val cells = cmsCells(df, hash, depth, width, seed)
+      .withColumn("__n", (sum(col("cnt"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()) /
+        lit(depth.toLong)).cast("bigint"))
+    val probes = df.select(hash.as("item_hash")).distinct()
+    val salts = graft.functions.Hashing.salts(depth, seed)
+    val coords = array(salts.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("cms_depth"),
+        graft.functions.HashExpressions.mix64(col("item_hash").bitwiseXOR(lit(s)))
+          .bitwiseAND(lit(width - 1L)).as("cms_cell"))
+    }: _*)
+    probes.select(col("item_hash"), explode(coords).as("__c"))
+      .select(col("item_hash"), col("__c.cms_depth"), col("__c.cms_cell"))
+      .join(broadcast(cells.select("cms_depth", "cms_cell", "cnt", "__n")),
+        Seq("cms_depth", "cms_cell"), "left")
+      .groupBy(col("item_hash"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"),
+        max(col("__n")).as("__n"))
+      .filter(col("cms_est") * lit(phiInverse.toLong) >= col("__n"))
+      .select("item_hash", "cms_est")
+  }
+
   /** Count-anomaly detection over pre-bucketed observations: count
     * rows per (key, bucket), then flag the buckets whose count sits
     * more than `k` population standard deviations from the key's own

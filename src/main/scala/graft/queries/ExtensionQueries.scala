@@ -1153,6 +1153,42 @@ object ExtensionQueries {
       .select(col("__h").as("token_hash"), col("exact_cnt"), col("cms_est"))
   }
 
+  /** CMS-guided φ-heavy-hitters over token occurrences
+    * ([[graft.operators.Profile.cmsHeavyHitters]], φ = 1/32, same
+    * depth-4 × width-1024 sketch and seed as [[qProfileCms]]): every
+    * distinct token whose CMS estimate reaches N/32 of the N total
+    * occurrences — a guaranteed SUPERSET of the true heavy hitters
+    * (estimates only overcount). The fixture's near-uniform 30-token
+    * vocabulary straddles the threshold, so the cut is non-trivial in
+    * both directions; the oracle replays sketch-build, the
+    * Σcnt/depth total, the all-distinct probe pass, and the
+    * integer-exact `est·32 ≥ N` compare. */
+  private val qProfileCmsHh: Q = (s, dir) => {
+    import graft.functions.HashExpressions
+    val tok = pq(s, dir, "documents")
+      .select(explode(HashExpressions.tokenHashes(col("text"))).as("__h"))
+    graft.operators.Profile.cmsHeavyHitters(tok, col("__h"),
+      phiInverse = 32, depth = 4, width = 1024, seed = 7L)
+      .select(col("item_hash").as("token_hash"), col("cms_est"))
+  }
+
+  /** Cross-document LINE-level dedup — the RefinedWeb/CCNet pass —
+    * over BUILT multi-line payloads: every standalone ' a ' token
+    * becomes a line break (one literal non-overlapping `replace`,
+    * identical in both engines), then
+    * [[graft.operators.Dedup.stripRepeatedLines]] drops every line
+    * appearing in ≥ 2 distinct documents and reassembles survivors in
+    * original order. The oracle replays split → trim → document-
+    * frequency → anti-join → ordered string_agg, so a boundary,
+    * ordering, or frequency slip anywhere hash-mismatches. */
+  private val qDedupLines: Q = (s, dir) =>
+    Dedup.stripRepeatedLines(
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          replace(col("text"), lit(" a "), lit("\n")).as("text")),
+      "doc_id", "text", minDocFreq = 2)
+      .select("doc_id", "clean_text", "n_kept")
+
   /** Whole-document next-fit packing into 256-token bins, 8 shard
     * groups ([[graft.operators.Packing.packBins]] — documents never
     * straddle a bin; the padding-aware loader shape). The oracle
@@ -1958,7 +1994,10 @@ object ExtensionQueries {
     * [[Dedup.hammingPairs]] (maxHamming 3). The oracle replays
     * recipe→cells→mean→bits→blocks→bit_count in integer SQL, so a
     * decoder or hash that misreads any pixel hash-mismatches. */
-  private val qMultimodalImageDups: Q = (s, dir) => {
+  /** Shared image-aHash frame for the perceptual-dedup queries: the
+    * BUILT PNG payloads decoded by the real ImageIO reader and
+    * average-hashed. */
+  private def imageAhashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val items = pq(s, dir, "documents")
       .select(col("doc_id").cast("long")).as[Long]
@@ -1976,10 +2015,12 @@ object ExtensionQueries {
         }
         Multimodal.MediaItem(id, "", payload, payload.length.toLong)
       }
-    val hashes = Multimodal.extractImageHashes(items).toDF()
+    Multimodal.extractImageHashes(items).toDF()
       .filter(col("decoded")).select("doc_id", "ahash")
-    Dedup.hammingPairs(hashes, "doc_id", "ahash", maxHamming = 3)
   }
+
+  private val qMultimodalImageDups: Q = (s, dir) =>
+    Dedup.hammingPairs(imageAhashes(s, dir), "doc_id", "ahash", maxHamming = 3)
 
   /** The IMAGE dedup endgame — [[qMultimodalImageDups]]'s perceptual
     * pairs fed through the same transitive-closure + keep-min-id
@@ -1999,13 +2040,25 @@ object ExtensionQueries {
     * perceptual near-dup, [[qMultimodalImageDups]]) makes two records
     * duplicates, the union of both edge sets closes transitively, one
     * survivor per cluster. The closure machinery is signal-blind, so
-    * composing signals is a pair-frame union — no new operator. */
+    * composing signals is a pair-frame union — no new operator.
+    *
+    * BOTH generators run with `maxBucketSize = 12` (the census cap):
+    * when the signals compose, a handful of cross-signal edges glue
+    * the per-signal mega-clusters into one giant high-diameter
+    * component, and the closure's pass count — log2(diameter) —
+    * explodes with it (measured at sf0.1: uncapped union 24 s vs
+    * the capped 5 s, on a fixture whose aHash mega-groups reach 21
+    * members). Mega-buckets are boilerplate by definition; the cap is
+    * the documented posture everywhere pairs feed a closure. */
   private val qDedupMultisignal: Q = (s, dir) => {
     val docs = pq(s, dir, "documents")
     val textPairs = Dedup.minhashPairs(docs, "doc_id", "text",
-      shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
+      shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
+      maxBucketSize = Some(12))
       .select("id_a", "id_b")
-    val imagePairs = qMultimodalImageDups(s, dir).select("id_a", "id_b")
+    val imagePairs = Dedup.hammingPairs(imageAhashes(s, dir),
+      "doc_id", "ahash", maxHamming = 3, maxBucketSize = Some(12))
+      .select("id_a", "id_b")
     Dedup.keepOnePerCluster(
       docs, "doc_id", textPairs.unionByName(imagePairs).dropDuplicates())
       .select("doc_id")
@@ -2111,6 +2164,8 @@ object ExtensionQueries {
     "q_profile_kmv_merge" -> qProfileKmvMerge,
     "q_profile_cms" -> qProfileCms,
     "q_profile_cms_merge" -> qProfileCmsMerge,
+    "q_profile_cms_hh" -> qProfileCmsHh,
+    "q_dedup_lines" -> qDedupLines,
     "q_pack_bins" -> qPackBins,
     "q_pack_bins_stats" -> qPackBinsStats,
     "q_text_feature_hash" -> qTextFeatureHash,
@@ -4824,6 +4879,56 @@ object ExtensionQueries {
        |GROUP BY h, exact_cnt""".stripMargin
   }
 
+  /** Mirrors [[qProfileCmsHh]]: [[profileCmsSql]]'s sketch-build CTEs,
+    * the Σcnt/depth total (every occurrence increments exactly depth
+    * cells), an ALL-distinct-token probe pass, and the integer-exact
+    * `est·32 ≥ N` heavy-hitter cut. */
+  private val profileCmsHhSql: String = {
+    val width = 1024
+    s"""WITH ths AS (SELECT ${HashSql.tokenHashes("text")} AS ths FROM documents),
+       |tok AS MATERIALIZED (SELECT unnest(ths) AS h FROM ths),
+       |salt AS (SELECT * FROM (VALUES ${HashSql.saltRows(4, 7L)}) AS v(i, s)),
+       |mx0 AS MATERIALIZED (SELECT s.i, ${HashSql.ux("t.h", "s.s")} AS x
+       |  FROM tok t CROSS JOIN salt s),
+       |${HashSql.mixCtes("mx", "mx0", "i")},
+       |cells AS MATERIALIZED (SELECT i, CAST(x % $width AS BIGINT) AS cell,
+       |  COUNT(*) AS cnt FROM mx4 GROUP BY 1, 2),
+       |total AS (SELECT CAST(SUM(cnt) // 4 AS BIGINT) AS n FROM cells),
+       |probes AS MATERIALIZED (SELECT DISTINCT h FROM tok),
+       |px0 AS (SELECT p.h, s.i, ${HashSql.ux("p.h", "s.s")} AS x
+       |  FROM probes p CROSS JOIN salt s),
+       |${HashSql.mixCtes("px", "px0", "h, i")},
+       |est AS (SELECT h, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est
+       |  FROM px4 p LEFT JOIN cells c
+       |    ON c.i = p.i AND c.cell = CAST(p.x % $width AS BIGINT)
+       |  GROUP BY h)
+       |SELECT ${HashSql.toS("h")} AS token_hash, cms_est
+       |FROM est, total WHERE cms_est * 32 >= total.n""".stripMargin
+  }
+
+  /** Mirrors [[qDedupLines]]: the ' a ' → newline payload build, then
+    * split → per-line trim / empty drop → count(DISTINCT doc) ≥ 2
+    * boilerplate set → anti-join (LEFT JOIN … IS NULL) → per-document
+    * ordered string_agg reassembly. Documents whose every line was
+    * boilerplate drop out in both engines (the group-by runs on
+    * surviving lines only). */
+  private val dedupLinesSql: String =
+    """WITH src AS (SELECT doc_id, replace(text, ' a ', chr(10)) AS t FROM documents),
+      |arr AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM src),
+      |lines AS (SELECT doc_id,
+      |                 unnest(range(1, len(ls) + 1)) AS pos,
+      |                 trim(unnest(ls)) AS line
+      |          FROM arr),
+      |ne AS MATERIALIZED (SELECT * FROM lines WHERE line <> ''),
+      |hot AS MATERIALIZED (SELECT line FROM ne GROUP BY line
+      |       HAVING count(DISTINCT doc_id) >= 2),
+      |kept AS (SELECT n.doc_id, n.pos, n.line FROM ne n
+      |         LEFT JOIN hot h ON n.line = h.line WHERE h.line IS NULL)
+      |SELECT doc_id,
+      |       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+      |       count(*) AS n_kept
+      |FROM kept GROUP BY doc_id""".stripMargin
+
   private val packChunksSql: String =
     s"""SELECT doc_id, source, n_tokens,
        |  CAST(start_offset AS BIGINT) AS start_offset,
@@ -4959,10 +5064,21 @@ object ExtensionQueries {
     * the unsigned HUGEINT domain, the 4×16-bit pigeonhole block join,
     * `bit_count` verify — the [[dedupSimhashSql]] machinery pointed
     * at pixels instead of shingles. */
-  private val multimodalImageDupsSql: String = {
+  private def multimodalImageDupsSql(maxBucketSize: Option[Int] = None): String = {
     def pw(j: Int) =
       s"CAST('${java.math.BigInteger.ONE.shiftLeft(j)}' AS HUGEINT)"
     val pows = (0 until 64).map(i => s"($i, ${pw(i)})").mkString(", ")
+    // the capBuckets mirror (as minhashPairsSql): keep only hash-block
+    // buckets within the cap before the self-join
+    val blkCte = maxBucketSize match {
+      case Some(cap) =>
+        s"""blk AS MATERIALIZED (SELECT b.id, b.sim, b.blk_idx, b.blk_val FROM blk0 b
+           |  JOIN (SELECT blk_idx, blk_val FROM blk0 GROUP BY blk_idx, blk_val
+           |        HAVING count(*) <= $cap) g
+           |    ON b.blk_idx = g.blk_idx AND b.blk_val = g.blk_val)""".stripMargin
+      case None =>
+        "blk AS MATERIALIZED (SELECT id, sim, blk_idx, blk_val FROM blk0)"
+    }
     s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id,
        |                     ((CAST(doc_id AS BIGINT) // 3) % 100003) AS a,
        |                     (CAST(doc_id AS BIGINT) % 3) AS v
@@ -4984,11 +5100,12 @@ object ExtensionQueries {
        |      SUM(CASE WHEN c2.cell > m.mean THEN pw.p ELSE CAST(0 AS HUGEINT) END) AS simu
        |    FROM cells c2 JOIN means m ON m.id = c2.id JOIN pows pw ON pw.i = c2.i
        |    GROUP BY c2.id) c),
-       |blk AS MATERIALIZED (
+       |blk0 AS MATERIALIZED (
        |  SELECT id, sim, j AS blk_idx,
        |    CAST((simu // (CASE j WHEN 0 THEN ${pw(0)} WHEN 1 THEN ${pw(16)}
        |                   WHEN 2 THEN ${pw(32)} ELSE ${pw(48)} END)) % 65536 AS BIGINT) AS blk_val
-       |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS j) J)
+       |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS j) J),
+       |$blkCte
        |SELECT id_a, id_b, hamming FROM (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        |         CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
@@ -5001,7 +5118,7 @@ object ExtensionQueries {
     * perceptual pairs through the identical recursive closure +
     * keep-min-id replay as [[dedupKeepOneSql]]. */
   private val multimodalKeepOneSql: String =
-    s"""WITH RECURSIVE pairs AS MATERIALIZED ($multimodalImageDupsSql),
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (${multimodalImageDupsSql()}),
        |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION ALL SELECT id_b, id_a FROM pairs),
        |labels(id, label) AS (
@@ -5016,8 +5133,8 @@ object ExtensionQueries {
     * pair replays unioned (UNION dedups, matching the engine's
     * `dropDuplicates`), then the identical closure + keep-min-id. */
   private val dedupMultisignalSql: String =
-    s"""WITH RECURSIVE tp AS MATERIALIZED (${minhashPairsSql(3, 64, 16, 0.5)}),
-       |ip AS MATERIALIZED ($multimodalImageDupsSql),
+    s"""WITH RECURSIVE tp AS MATERIALIZED (${minhashPairsSql(3, 64, 16, 0.5, Some(12))}),
+       |ip AS MATERIALIZED (${multimodalImageDupsSql(Some(12))}),
        |pairs AS MATERIALIZED (SELECT id_a, id_b FROM tp
        |          UNION SELECT id_a, id_b FROM ip),
        |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -5116,7 +5233,7 @@ object ExtensionQueries {
     "q_text_bpe" -> textBpeSql(8),
     "q_multimodal_audio" -> multimodalAudioSql,
     "q_multimodal_video" -> multimodalVideoSql,
-    "q_multimodal_image_dups" -> multimodalImageDupsSql,
+    "q_multimodal_image_dups" -> multimodalImageDupsSql(),
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),
@@ -5407,6 +5524,8 @@ object ExtensionQueries {
     "q_profile_kmv_merge" -> profileKmvSql,
     "q_profile_cms" -> profileCmsSql,
     "q_profile_cms_merge" -> profileCmsSql,
+    "q_profile_cms_hh" -> profileCmsHhSql,
+    "q_dedup_lines" -> dedupLinesSql,
     "q_pack_bins" -> packBinsSql,
     "q_pack_bins_stats" -> packBinsStatsSql,
     "q_text_feature_hash" -> textFeatureHashSql,

@@ -1753,4 +1753,42 @@ class ExtensionSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(3L -> "changed", 4L -> "removed", 5L -> "changed", 6L -> "added"))
   }
+
+  test("stripRepeatedLines: shared lines removed everywhere, order kept, " +
+    "trim collapses variants, all-boilerplate docs drop out") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(1L, "keep me\nshared line\nunique one"),
+      Row(2L, " shared line \n\nother text"), // trim matches; empty line dropped
+      Row(3L, "shared line"), // every line shared -> doc drops out
+      Row(4L, "z tail\nshared line\na head")) // survivors stay in order
+    val got = Dedup.stripRepeatedLines(docs, "doc_id", "text", minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ("keep me\nunique one", 2L),
+      2L -> ("other text", 1L),
+      4L -> ("z tail\na head", 2L)))
+    // minDocFreq above the max document frequency (4: every doc holds
+    // "shared line") removes nothing
+    val all = Dedup.stripRepeatedLines(docs, "doc_id", "text", minDocFreq = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(all == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 3L))
+  }
+
+  test("cmsHeavyHitters: superset of true heavy hitters, integer threshold, " +
+    "light keys cut") {
+    // one heavy key (90 of 99 occurrences) + nine singletons
+    val rows = Seq.fill(90)(1L) ++ (2L to 10L)
+    val t = df("h BIGINT", rows.map(Row(_)): _*)
+    // phi = 1/4: threshold 99/4 -> only key 1 is a TRUE heavy hitter
+    val got = graft.operators.Profile.cmsHeavyHitters(t, col("h"),
+      phiInverse = 4, depth = 4, width = 1024, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(1L), s"true heavy hitter missing: $got") // no false negatives
+    assert(got(1L) >= 90L) // estimate only overcounts
+    got.foreach { case (_, est) => assert(est * 4 >= 99, s"below threshold: $got") }
+    // phi = 1/200: every key estimates over threshold (superset may be everything)
+    val loose = graft.operators.Profile.cmsHeavyHitters(t, col("h"),
+      phiInverse = 200, depth = 4, width = 1024, seed = 7L).count()
+    assert(loose == 10L)
+  }
 }
