@@ -283,4 +283,69 @@ object Sampling {
         col("__tot") * budgetPermille)
       .drop("__cum", "__tot")
   }
+
+  /** DSIR-style importance weights for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every `raw` document by how target-like it reads under
+    * hashed bag-of-tokens models of the two corpora. Tokens hash
+    * into `dims` buckets; each corpus gets an add-one-smoothed bucket
+    * distribution; a document's log importance weight is the sum over
+    * its token occurrences of log p_target(bucket) − log p_raw(bucket).
+    * Select by sorting on the weight (or feed it to
+    * [[weightedSample]] for the resampling step).
+    *
+    * Returns (doc_id, n_tokens, logw_q, logw): per-token quantized
+    * fixed-point logs (`floor(ln(ratio)·2^logScaleBits)` as LONG —
+    * the same transcendental-taming as
+    * [[graft.functions.TextFunctions.lmScore]]: the coarse floor
+    * absorbs sub-ulp `ln` differences between engines and the
+    * integer sum is order-independent) summed exactly; `logw` is the
+    * double view (one exact divide by a power of two).
+    *
+    * Scale posture: both bucket tables are ≤ `dims` rows (map-side
+    * partials collapse each partition before the shuffle — the
+    * aggregate is sketch-sized at any corpus size) and broadcast;
+    * scoring is scan → explode → broadcast-join → one doc-keyed
+    * partial aggregate. The two corpus totals are 1-row bounded
+    * collects (the lmScore vocabulary-size precedent). The raw
+    * corpus is scanned twice (distribution fit + scoring); fit the
+    * distribution on [[hashSample]] output when one scan must go. */
+  def dsirLogWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int = 4096,
+      seed: Long = 11L,
+      logScaleBits: Int = 20): DataFrame = {
+    require(dims >= 2 && (dims & (dims - 1)) == 0,
+      s"dims must be a power of two, got $dims")
+    require(logScaleBits >= 8 && logScaleBits <= 40, "logScaleBits out of range")
+    val scale = (1L << logScaleBits).toDouble
+    val salt = graft.functions.Hashing.salts(1, seed).head
+    def buckets(df: DataFrame, keep: Seq[org.apache.spark.sql.Column]) = {
+      val g = HashExpressions.mix64(col("__h").bitwiseXOR(lit(salt)))
+      df.select(keep :+
+          explode(HashExpressions.tokenHashes(col(textCol))).as("__h"): _*)
+        .select(keep :+ g.bitwiseAND(lit(dims - 1L)).as("b"): _*)
+    }
+    val tb = buckets(target, Nil).groupBy("b").agg(count(lit(1)).as("ct"))
+    val rb = buckets(raw, Nil).groupBy("b").agg(count(lit(1)).as("cr"))
+    val nT = tb.agg(sum(col("ct"))).head().getLong(0)
+    val nR = rb.agg(sum(col("cr"))).head().getLong(0)
+    // one quantized log per bucket: ln of the cross-multiplied ratio
+    // (both engines evaluate the identical double expression from the
+    // same BIGINTs, so the floor lands identically)
+    val lw = rb.join(tb, Seq("b"), "left")
+      .select(col("b"), floor(log(
+        ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") *
+          lit((nR + dims).toDouble)) /
+          ((col("cr") + lit(1L)).cast("double") * lit((nT + dims).toDouble)))
+        * lit(scale)).cast("long").as("lq"))
+    buckets(raw, Seq(col(idCol).cast("long").as("doc_id")))
+      .join(broadcast(lw), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lq")).as("logw_q"))
+      .withColumn("logw", col("logw_q").cast("double") / lit(scale))
+  }
 }

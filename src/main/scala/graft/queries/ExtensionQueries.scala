@@ -1216,6 +1216,24 @@ object ExtensionQueries {
     graft.operators.Search.hashedFeatures(
       pq(s, dir, "documents"), "doc_id", "text", dims = 256, seed = 11L)
 
+  /** DSIR-style importance weights for data selection
+    * ([[graft.operators.Sampling.dsirLogWeights]], 1024 hashed
+    * buckets): sources src0/src1 as the TARGET domain, the other 18
+    * sources as the raw pool; every raw document scores
+    * Σ log p_target(bucket) − log p_raw(bucket) over its token
+    * occurrences — the importance-resampling selection signal. The
+    * oracle replays hash → salt → mix → bucket, both add-one-smoothed
+    * distributions, the per-bucket quantized log ratio, and the
+    * exact integer sum. */
+  private val qSampleDsir: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    graft.operators.Sampling.dsirLogWeights(
+      docs.filter(!col("source").isin("src0", "src1")),
+      docs.filter(col("source").isin("src0", "src1")),
+      "doc_id", "text", dims = 1024, seed = 11L)
+      .select("doc_id", "n_tokens", "logw_q", "logw")
+  }
+
   /** Length-weighted corpus sampling toward 200 expected rows
     * ([[graft.operators.Sampling.weightedSample]] with n_chars as
     * the weight — longer documents proportionally likelier). */
@@ -2166,6 +2184,7 @@ object ExtensionQueries {
     "q_profile_cms_merge" -> qProfileCmsMerge,
     "q_profile_cms_hh" -> qProfileCmsHh,
     "q_dedup_lines" -> qDedupLines,
+    "q_sample_dsir" -> qSampleDsir,
     "q_pack_bins" -> qPackBins,
     "q_pack_bins_stats" -> qPackBinsStats,
     "q_text_feature_hash" -> qTextFeatureHash,
@@ -4929,6 +4948,42 @@ object ExtensionQueries {
       |       count(*) AS n_kept
       |FROM kept GROUP BY doc_id""".stripMargin
 
+  /** Mirrors [[qSampleDsir]]: [[HashSql.tokenHashes]] per corpus, the
+    * salt→mix→low-bits bucket fold (as [[textFeatureHashSql]]), both
+    * add-one-smoothed bucket tables, one quantized
+    * `floor(ln(ratio)·2^20)` per bucket from the identical double
+    * expression, and exact integer per-document sums. */
+  private val sampleDsirSql: String = {
+    val dims = 1024
+    val salt = graft.functions.Hashing.salts(1, 11L).head
+    s"""WITH tgt AS (SELECT ${HashSql.tokenHashes("text")} AS ths FROM documents
+       |  WHERE source IN ('src0', 'src1')),
+       |rawd AS (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents
+       |  WHERE source NOT IN ('src0', 'src1')),
+       |tokt AS MATERIALIZED (SELECT unnest(ths) AS h FROM tgt),
+       |t0 AS MATERIALIZED (SELECT 0 AS z, ${HashSql.ux("h", HashSql.u(salt))} AS x FROM tokt),
+       |${HashSql.mixCtes("t", "t0", "z")},
+       |tb AS MATERIALIZED (SELECT CAST(x % $dims AS BIGINT) AS b, COUNT(*) AS ct
+       |  FROM t4 GROUP BY 1),
+       |tokr AS MATERIALIZED (SELECT doc_id, unnest(ths) AS h FROM rawd),
+       |r0 AS MATERIALIZED (SELECT doc_id, ${HashSql.ux("h", HashSql.u(salt))} AS x FROM tokr),
+       |${HashSql.mixCtes("r", "r0", "doc_id")},
+       |rtok AS MATERIALIZED (SELECT doc_id, CAST(x % $dims AS BIGINT) AS b FROM r4),
+       |rb AS MATERIALIZED (SELECT b, COUNT(*) AS cr FROM rtok GROUP BY 1),
+       |nt AS (SELECT COALESCE(SUM(ct), 0) AS n FROM tb),
+       |nr AS (SELECT COALESCE(SUM(cr), 0) AS n FROM rb),
+       |lw AS MATERIALIZED (SELECT rb.b,
+       |  CAST(floor(ln(
+       |    (CAST(COALESCE(tb.ct, 0) + 1 AS DOUBLE) * CAST(nr.n + $dims AS DOUBLE)) /
+       |    (CAST(rb.cr + 1 AS DOUBLE) * CAST(nt.n + $dims AS DOUBLE)))
+       |    * 1048576.0) AS BIGINT) AS lq
+       |  FROM rb LEFT JOIN tb USING (b) CROSS JOIN nt CROSS JOIN nr)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(lq) AS BIGINT) AS logw_q,
+       |  CAST(SUM(lq) AS DOUBLE) / 1048576.0 AS logw
+       |FROM rtok JOIN lw USING (b) GROUP BY doc_id""".stripMargin
+  }
+
   private val packChunksSql: String =
     s"""SELECT doc_id, source, n_tokens,
        |  CAST(start_offset AS BIGINT) AS start_offset,
@@ -5526,6 +5581,7 @@ object ExtensionQueries {
     "q_profile_cms_merge" -> profileCmsSql,
     "q_profile_cms_hh" -> profileCmsHhSql,
     "q_dedup_lines" -> dedupLinesSql,
+    "q_sample_dsir" -> sampleDsirSql,
     "q_pack_bins" -> packBinsSql,
     "q_pack_bins_stats" -> packBinsStatsSql,
     "q_text_feature_hash" -> textFeatureHashSql,

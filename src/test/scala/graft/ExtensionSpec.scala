@@ -1791,4 +1791,28 @@ class ExtensionSpec extends SparkSpec {
       phiInverse = 200, depth = 4, width = 1024, seed = 7L).count()
     assert(loose == 10L)
   }
+
+  test("dsirLogWeights: target-like documents score higher; token counts exact; " +
+    "layout-stable") {
+    val target = df("doc_id BIGINT, text STRING",
+      Row(100L, "alpha alpha alpha beta"),
+      Row(101L, "alpha gamma"))
+    val raw = df("doc_id BIGINT, text STRING",
+      Row(1L, "alpha alpha alpha"), // all target-distinctive tokens
+      Row(2L, "zeta zeta zeta"), // token never seen in target
+      Row(3L, "alpha zeta")) // mixed
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.dsirLogWeights(df, target, "doc_id", "text",
+        dims = 1024)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = run(raw)
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L)._1 == 3L && got(2L)._1 == 3L && got(3L)._1 == 2L)
+    // alpha: in-target (positive log ratio); zeta: target-unseen (negative)
+    assert(got(1L)._2 > 0L, s"target-like doc should score positive: $got")
+    assert(got(2L)._2 < 0L, s"out-of-domain doc should score negative: $got")
+    assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2, s"ordering: $got")
+    // weights are a pure function of content — stable under re-layout
+    assert(run(raw.repartition(5)) == got)
+  }
 }

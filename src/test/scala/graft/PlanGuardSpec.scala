@@ -75,7 +75,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_span_dupes", "q_text_bigrams", "q_dedup_containment",
       "q_events_retention", "q_events_session_stats",
       "q_text_perplexity", "q_profile_corr", "q_events_cooccur",
-      "q_profile_cms", "q_text_feature_hash").foreach { name =>
+      "q_profile_cms", "q_text_feature_hash", "q_sample_dsir",
+      "q_dedup_lines").foreach { name =>
       val plan = planOf(name)
       assert(plan.contains("partial_"),
         s"$name: no partial aggregation stage in plan\n$plan")
