@@ -1169,24 +1169,74 @@ object Dedup {
       minDocFreq: Int = 2,
       delim: String = "\n"): DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
-    val lines = df
-      .select(col(idCol), posexplode(
-        split(col(textCol), java.util.regex.Pattern.quote(delim))).as(Seq("__pos", "__line")))
-      .withColumn("__line", trim(col("__line")))
-      .filter(length(col("__line")) > 0)
-      .withColumn("__lh", xxhash64(col("__line")))
+    val lines = explodeLines(df, idCol, textCol, delim)
     val hot = lines
       .groupBy(col("__lh"))
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDocFreq)
       .select("__lh")
-    lines
-      .join(hot, Seq("__lh"), "left_anti")
-      .groupBy(col(idCol))
+    reassembleLines(lines.join(hot, Seq("__lh"), "left_anti"), idCol, delim)
+  }
+
+  /** (id, __pos, __line, __lh) per trimmed non-empty line. */
+  private def explodeLines(
+      df: DataFrame, idCol: String, textCol: String, delim: String): DataFrame =
+    df.select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(delim))).as(Seq("__pos", "__line")))
+      .withColumn("__line", trim(col("__line")))
+      .filter(length(col("__line")) > 0)
+      .withColumn("__lh", xxhash64(col("__line")))
+
+  /** Rebuild (id, clean_text, n_kept) from surviving exploded lines. */
+  private def reassembleLines(
+      kept: DataFrame, idCol: String, delim: String): DataFrame =
+    kept.groupBy(col(idCol))
       .agg(
         concat_ws(delim, transform(
           array_sort(collect_list(struct(col("__pos"), col("__line")))),
           x => x("__line"))).as("clean_text"),
         count(lit(1)).as("n_kept"))
+
+  /** Reusable line document-frequency index for INCREMENTAL line
+    * dedup — the same build-once/probe-many shape as [[corpusIndex]]:
+    * one row per distinct line hash with its corpus document
+    * frequency. Persist it, union new batches' indexes in (df counts
+    * ADD per hash — the same counter-addition closure as cmsMerge),
+    * probe with [[stripRepeatedLinesAgainst]]. */
+  def lineIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n"): DataFrame =
+    explodeLines(df, idCol, textCol, delim)
+      .groupBy(col("__lh"))
+      .agg(countDistinct(col(idCol)).as("line_df"))
+      .select(col("__lh").as("line_hash"), col("line_df"))
+
+  /** Strip lines from a NEW BATCH that the CORPUS already marks as
+    * boilerplate (corpus document frequency ≥ `minDocFreq`) — the
+    * daily-ingest twin of [[stripRepeatedLines]]: O(batch) work
+    * against a prebuilt [[lineIndex]], history never rescanned.
+    * Within-batch repetition is deliberately NOT counted here (run
+    * [[stripRepeatedLines]] on the batch first when that matters —
+    * the two compose).
+    *
+    * Scale posture: the hot set (index rows at df ≥ K — the tiny
+    * duplicated tail) anti-joins the batch's hashed lines; the only
+    * text shuffle is the batch-sized reassembly. */
+  def stripRepeatedLinesAgainst(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocFreq: Int = 2,
+      delim: String = "\n"): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val hot = index.filter(col("line_df") >= minDocFreq)
+      .select(col("line_hash").as("__lh"))
+    reassembleLines(
+      explodeLines(batch, idCol, textCol, delim)
+        .join(hot, Seq("__lh"), "left_anti"),
+      idCol, delim)
   }
 }

@@ -192,6 +192,39 @@ object ExtensionQueries {
         col("quality") >= 0.5 && col("n_tokens").between(5, 1000))
       .drop("__mid")
 
+  /** The FULL pre-training cleaning pipeline, composed end to end —
+    * the flagship "would a reference user switch" query: language +
+    * quality + length gate ([[qPipelineFilter]]'s predicate) → exact
+    * dedup by canonical fingerprint
+    * ([[graft.operators.Dedup.exactByFingerprint]], keep-min-id) →
+    * capped MinHash near-dup pairs → transitive closure with one
+    * survivor per cluster ([[graft.operators.Dedup.keepOnePerCluster]]).
+    * Returns the surviving (doc_id, n_tokens). Every stage reuses an
+    * individually-oracled operator; THIS oracle replays the whole
+    * chain as one CTE pyramid, so a drift anywhere in the composition
+    * (a filter reordered, a fingerprint scope change, pairs computed
+    * over the wrong survivor set) hash-mismatches even though each
+    * piece passes alone. */
+  private val qPipelineClean: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    val gated = docs
+      .select(col("doc_id"), col("text"),
+        TextFunctions.langId(col("text")).as("__lang"),
+        TextFunctions.qualityScore(col("text")).as("__q"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        monotonically_increasing_id().as("__mid"))
+      .filter(col("__mid") >= 0 && col("__lang") === "en" &&
+        col("__q") >= 0.5 && col("n_tokens").between(5, 1000))
+      .select("doc_id", "text", "n_tokens")
+    val exact = Dedup.exactByFingerprint(gated, "doc_id", "text")
+      .select("doc_id", "text", "n_tokens")
+    val pairs = Dedup.minhashPairs(exact, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
+      maxBucketSize = Some(12)).select("id_a", "id_b")
+    Dedup.keepOnePerCluster(exact, "doc_id", pairs)
+      .select("doc_id", "n_tokens")
+  }
+
   /** Gopher-style within-document repetition metrics over word
     * 2-grams — the degenerate-text filter that runs before any
     * cross-document dedup. */
@@ -1189,6 +1222,26 @@ object ExtensionQueries {
       "doc_id", "text", minDocFreq = 2)
       .select("doc_id", "clean_text", "n_kept")
 
+  /** INCREMENTAL line dedup — the daily-ingest twin of
+    * [[qDedupLines]] ([[graft.operators.Dedup.lineIndex]] +
+    * [[graft.operators.Dedup.stripRepeatedLinesAgainst]]): the even
+    * half of the corpus builds the line document-frequency index
+    * once, the odd half arrives as the new batch and pays O(batch)
+    * work — lines the CORPUS marks boilerplate (df ≥ 2) are stripped,
+    * within-batch repetition deliberately passes through (that is the
+    * batch's own [[qDedupLines]] run; the two compose). */
+  private val qDedupLinesIncremental: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+      .select(col("doc_id"),
+        replace(col("text"), lit(" a "), lit("\n")).as("text"))
+    val idx = Dedup.lineIndex(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+    Dedup.stripRepeatedLinesAgainst(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), idx,
+      "doc_id", "text", minDocFreq = 2)
+      .select("doc_id", "clean_text", "n_kept")
+  }
+
   /** Whole-document next-fit packing into 256-token bins, 8 shard
     * groups ([[graft.operators.Packing.packBins]] — documents never
     * straddle a bin; the padding-aware loader shape). The oracle
@@ -2119,6 +2172,7 @@ object ExtensionQueries {
     "q_pack_chunks" -> qPackChunks,
     "q_embed_outliers" -> qEmbedOutliers,
     "q_pipeline_filter" -> qPipelineFilter,
+    "q_pipeline_clean" -> qPipelineClean,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_fingerprint" -> qDedupFingerprint,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -2184,6 +2238,7 @@ object ExtensionQueries {
     "q_profile_cms_merge" -> qProfileCmsMerge,
     "q_profile_cms_hh" -> qProfileCmsHh,
     "q_dedup_lines" -> qDedupLines,
+    "q_dedup_lines_incremental" -> qDedupLinesIncremental,
     "q_sample_dsir" -> qSampleDsir,
     "q_pack_bins" -> qPackBins,
     "q_pack_bins_stats" -> qPackBinsStats,
@@ -3043,7 +3098,7 @@ object ExtensionQueries {
     * [[dedupSimhashSql]]. */
   private def minhashPairsSql(
       shingleN: Int, numHashes: Int, bands: Int, threshold: Double,
-      maxBucketSize: Option[Int] = None): String = {
+      maxBucketSize: Option[Int] = None, from: String = "documents"): String = {
     val rpb = numHashes / bands
     val bandSelects = (0 until bands).map { j =>
       s"SELECT doc_id, $j AS band_idx, sig[${j * rpb + 1}:${(j + 1) * rpb}] AS bv FROM sig"
@@ -3063,7 +3118,7 @@ object ExtensionQueries {
     // signature via the exploded hash×salt cross product (see
     // HashSql.mixCtes): sig[j] = min in SIGNED order of
     // mix64(h ^ salt_j), assembled back into a list by salt index
-    s"""WITH ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents),
+    s"""WITH ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM $from),
        |sh AS MATERIALIZED (SELECT doc_id, ${HashSql.shingleHashes("ths", shingleN)} AS sh FROM ths),
        |shx AS (SELECT doc_id, unnest(sh) AS h FROM sh),
        |salt AS (SELECT * FROM (VALUES ${HashSql.saltRows(numHashes, 42L)}) AS v(salt_idx, s)),
@@ -4781,6 +4836,41 @@ object ExtensionQueries {
        |            WHERE id <> rep)
        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
 
+  /** Mirrors [[qPipelineClean]], the whole chain in one CTE pyramid:
+    * the [[qPipelineFilter]] gate verbatim, the
+    * `q_dedup_fingerprint` keep-min-id window, [[minhashPairsSql]]
+    * re-rooted on the exact-dedup survivors (`from = "ex"`), and the
+    * [[dedupKeepOneSql]] recursive closure over those pairs. */
+  private val pipelineCleanSql: String = {
+    val ws = graft.functions.TextFunctions.wsClass
+    s"""WITH RECURSIVE gated AS MATERIALIZED (
+       |  SELECT doc_id, text, __n AS n_tokens FROM (
+       |    SELECT doc_id, text,
+       |      $langPredCaseSql AS lang_pred,
+       |      $alphaRatioSql * 0.4 + $stopRatioSql * 0.3
+       |        + least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.2
+       |        + (1.0 - $punctRatioSql) * 0.1 AS quality,
+       |      $nTokensSql AS __n
+       |    FROM (SELECT doc_id, text, $langBestSql AS __best FROM documents) t) w
+       |  WHERE lang_pred = 'en' AND quality >= 0.5 AND __n BETWEEN 5 AND 1000),
+       |fpw AS (SELECT doc_id, text, n_tokens,
+       |  row_number() OVER (
+       |    PARTITION BY md5(trim(regexp_replace(lower(text), '$ws+', ' ', 'g')))
+       |    ORDER BY doc_id) AS rn FROM gated),
+       |ex AS MATERIALIZED (SELECT doc_id, text, n_tokens FROM fpw WHERE rn = 1),
+       |pairs AS MATERIALIZED (${minhashPairsSql(3, 64, 16, 0.5, Some(12), from = "ex")}),
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |labels(id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, l.label FROM edges e JOIN labels l ON e.dst = l.id),
+       |dropped AS (SELECT id FROM (SELECT id, min(label) AS rep FROM labels GROUP BY id) t
+       |            WHERE id <> rep)
+       |SELECT doc_id, n_tokens FROM ex
+       |WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
+  }
+
   /** Mirrors [[qTextRepetition]] (`TextFunctions.repetitionStats`,
     * n=2, the native `RepetitionHashStats` expression): the
     * [[HashSql]] token/shingle-hash replay WITH multiplicities
@@ -4983,6 +5073,28 @@ object ExtensionQueries {
        |  CAST(SUM(lq) AS DOUBLE) / 1048576.0 AS logw
        |FROM rtok JOIN lw USING (b) GROUP BY doc_id""".stripMargin
   }
+
+  /** Mirrors [[qDedupLinesIncremental]]: [[dedupLinesSql]]'s split →
+    * trim → empty-drop, the hot set from EVEN documents only, the
+    * anti-join over ODD (batch) lines only, and the same ordered
+    * reassembly. */
+  private val dedupLinesIncrementalSql: String =
+    """WITH src AS (SELECT doc_id, replace(text, ' a ', chr(10)) AS t FROM documents),
+      |arr AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM src),
+      |lines AS (SELECT doc_id,
+      |                 unnest(range(1, len(ls) + 1)) AS pos,
+      |                 trim(unnest(ls)) AS line
+      |          FROM arr),
+      |ne AS MATERIALIZED (SELECT * FROM lines WHERE line <> ''),
+      |hot AS MATERIALIZED (SELECT line FROM ne WHERE doc_id % 2 = 0
+      |       GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+      |kept AS (SELECT n.doc_id, n.pos, n.line FROM ne n
+      |         LEFT JOIN hot h ON n.line = h.line
+      |         WHERE n.doc_id % 2 = 1 AND h.line IS NULL)
+      |SELECT doc_id,
+      |       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+      |       count(*) AS n_kept
+      |FROM kept GROUP BY doc_id""".stripMargin
 
   private val packChunksSql: String =
     s"""SELECT doc_id, source, n_tokens,
@@ -5535,6 +5647,7 @@ object ExtensionQueries {
          |    $nTokensSql AS n_tokens
          |  FROM (SELECT doc_id, text, $langBestSql AS __best FROM documents) t) w
          |WHERE lang_pred = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 1000""".stripMargin,
+    "q_pipeline_clean" -> pipelineCleanSql,
     "q_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text",
     "q_dedup_fingerprint" ->
@@ -5581,6 +5694,7 @@ object ExtensionQueries {
     "q_profile_cms_merge" -> profileCmsSql,
     "q_profile_cms_hh" -> profileCmsHhSql,
     "q_dedup_lines" -> dedupLinesSql,
+    "q_dedup_lines_incremental" -> dedupLinesIncrementalSql,
     "q_sample_dsir" -> sampleDsirSql,
     "q_pack_bins" -> packBinsSql,
     "q_pack_bins_stats" -> packBinsStatsSql,

@@ -1815,4 +1815,26 @@ class ExtensionSpec extends SparkSpec {
     // weights are a pure function of content — stable under re-layout
     assert(run(raw.repartition(5)) == got)
   }
+
+  test("stripRepeatedLinesAgainst: corpus-hot lines stripped from the batch, " +
+    "batch-internal repetition passes, lineIndex df exact") {
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(1L, "hot line\nown text"),
+      Row(2L, "hot line\nmore text"),
+      Row(3L, "once only"))
+    val idx = Dedup.lineIndex(corpus, "doc_id", "text")
+    val dfs = idx.collect().map(r => r.getLong(1)).sorted.toSeq
+    assert(dfs == Seq(1L, 1L, 1L, 2L)) // hot line=2, three singletons
+    val batch = df("doc_id BIGINT, text STRING",
+      Row(10L, "hot line\nfresh stuff"),
+      Row(11L, "batch dup\nbatch dup\nonce only"), // within-batch repeat passes
+      Row(12L, "hot line")) // all lines corpus-hot -> doc drops out
+    val got = Dedup.stripRepeatedLinesAgainst(batch, idx, "doc_id", "text",
+      minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      10L -> ("fresh stuff", 1L),
+      // "once only" has corpus df 1 (< 2) so it survives too
+      11L -> ("batch dup\nbatch dup\nonce only", 3L)))
+  }
 }
