@@ -1197,6 +1197,43 @@ object Dedup {
           x => x("__line"))).as("clean_text"),
         count(lit(1)).as("n_kept"))
 
+  /** One-pass dedup diagnostics bundle: the [[connectedComponents]]
+    * labeling computed ONCE and every downstream view derived from
+    * it. `components` is the raw (id, rep) labeling (persisted — the
+    * caller calls [[release]] when done), `clusterSizes` one row per
+    * duplicate cluster (rep = the keep-min-id survivor, n_members),
+    * `survivors` the corpus minus dropped duplicates (identical to
+    * [[keepOnePerCluster]]).
+    *
+    * This closes the "census + components + keep-one each regenerate
+    * the pairs" composition cost: the pair generation (usually an
+    * LSH self-join + rescore, the expensive part) executes exactly
+    * once, inside the closure's eager edge materialization; the three
+    * views are cheap aggregates/anti-joins over the persisted
+    * labeling. */
+  case class DedupDiagnostics(
+      components: DataFrame,
+      clusterSizes: DataFrame,
+      survivors: DataFrame)
+
+  def dedupDiagnostics(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DedupDiagnostics = {
+    val comp = connectedComponents(pairs, idA, idB, maxIter, checkpointDir)
+    val sizes = comp.groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("rep").as("survivor_id"), col("n_members"))
+    val survivors = df.join(
+      comp.filter(col("id") =!= col("rep")).select(col("id")),
+      df(idCol) === col("id"), "left_anti")
+    DedupDiagnostics(comp, sizes, survivors)
+  }
+
   /** Reusable line document-frequency index for INCREMENTAL line
     * dedup — the same build-once/probe-many shape as [[corpusIndex]]:
     * one row per distinct line hash with its corpus document

@@ -467,6 +467,82 @@ object StreamOps {
     * one tiny state row per key EVER seen — fine for bounded key
     * domains (event types, sources); an unbounded-cardinality stream
     * should sessionize its keys upstream instead. */
+  /** State for [[ewmaEventTime]]: ticks still inside the reorder
+    * horizon + the last `window − 1` FINALIZED (tick, value) pairs,
+    * newest first. */
+  private type EwmaBuffer = (List[TickValue], List[(Long, Long)])
+
+  /** Event-time twin of [[ewmaStream]] for OUT-OF-ORDER tick streams
+    * (the round-7 known limit): `tick` is interpreted as event-time
+    * MICROS, arrivals buffer in per-key state, and a tick is folded
+    * into the smoothed series only once the watermark passes it — at
+    * that point no in-horizon arrival can precede it, so the output
+    * is identical however the same ticks are split or reordered
+    * across micro-batches (StreamingSpec replays ordered-1-batch vs
+    * shuffled-3-batch). EventTimeTimeout re-fires idle keys when the
+    * watermark reaches their earliest pending tick, flushing without
+    * new per-key traffic — the same machinery as
+    * [[sessionizeEventTime]], folded over
+    * [[graft.operators.Resample.ewmaWeights]]'s integer ladder.
+    *
+    * State per key = in-horizon pending ticks (bounded by
+    * watermarkDelay × per-key rate) + `window − 1` long pairs. As
+    * with [[sessionizeEventTime]], the finalized tail persists so the
+    * series continues across idle gaps; set `idleStateTimeoutMs` to
+    * evict silent keys (the series restarts cold if they return). */
+  def ewmaEventTime(
+      ticks: Dataset[TickValue],
+      decayNum: Int,
+      decayDen: Int,
+      window: Int,
+      watermarkDelay: String = "30 minutes",
+      idleStateTimeoutMs: Option[Long] = None): Dataset[EwmaPoint] = {
+    import ticks.sparkSession.implicits._
+    val weights = graft.operators.Resample.ewmaWeights(decayNum, decayDen, window)
+    ticks
+      .withColumn("__event_time", timestamp_micros(col("tick")))
+      .withWatermark("__event_time", watermarkDelay)
+      .as[TickValue]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, it: Iterator[TickValue], state: GroupState[EwmaBuffer]) => {
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val st0 = state.getOption.getOrElse((Nil: List[TickValue], Nil: List[(Long, Long)]))
+          val arrived = if (state.hasTimedOut) Nil else it.toList
+          val pending = st0._1 ++ arrived
+          val (ready, rest) = pending.partition(_.tick <= wmMicros)
+          var recent = st0._2
+          val out = ready.sortBy(t => (t.tick, t.value)).map { tv =>
+            val tail = recent.take(window - 1)
+            var num = tv.value * weights.head
+            var den = weights.head
+            tail.zipWithIndex.foreach { case ((_, v), i) =>
+              num += v * weights(i + 1)
+              den += weights(i + 1)
+            }
+            recent = ((tv.tick, tv.value) :: recent).take(window - 1)
+            EwmaPoint(key, tv.tick, tv.value, num, den,
+              num.toDouble / den.toDouble)
+          }
+          val st2 = (rest, recent)
+          if (rest.nonEmpty) {
+            state.update(st2)
+            val earliestMs = rest.map(_.tick).min / 1000L
+            state.setTimeoutTimestamp(
+              math.max(earliestMs, state.getCurrentWatermarkMs() + 1L))
+          } else idleStateTimeoutMs match {
+            case Some(_) if state.hasTimedOut && arrived.isEmpty && out.isEmpty =>
+              state.remove()
+            case Some(idle) =>
+              state.update(st2)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + math.max(idle, 1L))
+            case None =>
+              state.update(st2)
+          }
+          out.iterator
+        })
+  }
+
   def ewmaStream(
       ticks: Dataset[TickValue],
       decayNum: Int,

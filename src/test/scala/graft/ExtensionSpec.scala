@@ -1837,4 +1837,23 @@ class ExtensionSpec extends SparkSpec {
       // "once only" has corpus df 1 (< 2) so it survives too
       11L -> ("batch dup\nbatch dup\nonce only", 3L)))
   }
+
+  test("dedupDiagnostics: one shared closure feeds sizes + survivors; " +
+    "views agree with keepOnePerCluster") {
+    val docs = df("doc_id BIGINT", (1L to 9L).map(Row(_)): _*)
+    // clusters {1,2,3} (chain) and {7,8}; 4,5,6,9 never paired
+    val pairs = df("id_a BIGINT, id_b BIGINT",
+      Row(1L, 2L), Row(2L, 3L), Row(7L, 8L))
+    val diag = Dedup.dedupDiagnostics(docs, "doc_id", pairs)
+    val sizes = diag.clusterSizes.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1L -> 3L, 7L -> 2L))
+    val survivors = diag.survivors.collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L, 5L, 6L, 7L, 9L))
+    // the survivors view is exactly keepOnePerCluster's answer
+    val reference = Dedup.keepOnePerCluster(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == reference)
+    Dedup.release(diag.components)
+  }
 }

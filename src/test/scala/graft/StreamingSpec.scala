@@ -624,4 +624,47 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("event-time ewma: out-of-order ticks finalize in event-time order; " +
+    "shuffled 3-batch ≡ ordered 1-batch ≡ batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tv(k: String, sec: Long, v: Long) = StreamOps.TickValue(k, sec * 1000000L, v)
+    val sentinelTick = 999999L * 1000000L
+    // a@200 ARRIVES after a@300 — the cross-batch reorder the
+    // processing-time ewmaStream would fold in the wrong order; the
+    // sentinels only push the final watermark past every real tick
+    val b1 = Seq(tv("a", 100, 10), tv("a", 300, 30), tv("b", 100, 5))
+    val b2 = Seq(tv("a", 200, 20), tv("b", 50, 7))
+    val b3 = Seq(tv("a", 400, 40), tv("a", 999999, 0), tv("b", 999999, 0))
+
+    def run(name: String, batches: Seq[Seq[StreamOps.TickValue]]) = {
+      val ms = MemoryStream[StreamOps.TickValue]
+      val q = StreamOps.ewmaEventTime(ms.toDS(), 1, 2, 3,
+        watermarkDelay = "2 hours")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .filter(_.getLong(1) != sentinelTick)
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      } finally q.stop()
+    }
+
+    val three = run("etewma3", Seq(b1, b2, b3))
+    val one = run("etewma1", Seq((b1 ++ b2 ++ b3).sortBy(_.tick)))
+    assert(three == one)
+    val batch = graft.operators.Resample.ewmaSmooth(
+      (b1 ++ b2).toDF().select(col("key"), col("tick"), col("value"))
+        .unionByName(Seq(tv("a", 400, 40)).toDF()
+          .select(col("key"), col("tick"), col("value"))),
+      "key", "tick", "value", 1, 2, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(three.size == 6)
+    assert(three == batch)
+  }
 }
