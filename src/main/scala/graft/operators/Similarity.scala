@@ -507,6 +507,38 @@ object Similarity {
       .select("query_id", "id", "cosine")
   }
 
+  /** [[lshTopKBatch]] over a PRE-BUCKETED corpus (id, bucket, vec) —
+    * the read path of the persisted LSH index
+    * ([[graft.sources.AnnIndex.buildAndWriteLsh]]): the corpus-side
+    * bucket computation is already on disk, so a query batch pays
+    * only its own Hamming-ball explode + the bucket equi-join.
+    * Bit-identical to the inline path under the same planes (the
+    * bucket fold and cosine are the same expressions). */
+  def lshTopKBatchBucketed(
+      queries: DataFrame,
+      bucketed: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      planes: Array[Array[Double]],
+      probeHamming: Int = 2): DataFrame = {
+    val numPlanes = planes.length
+    val ball = udf((b: Long) => hammingBall(b, numPlanes, probeHamming))
+    val qSide = queries.select(
+      col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"),
+      explode(ball(SimilarityFunctions.lshBucket(col(queryVecCol), planes)))
+        .as("bucket"))
+    val cSide = bucketed.select(col("id"), col("vec").as("__vec"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
+    qSide.join(cSide, "bucket")
+      .select(col("query_id"), col("id"),
+        SimilarityFunctions.cosine(col("__vec"), col("__qvec")).as("cosine"))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .select("query_id", "id", "cosine")
+  }
+
   /** Margin-based embedding pair mining — the RATIO margin of
     * Artetxe & Schwenk 2019 ("Margin-based Parallel Corpus Mining
     * with Multilingual Sentence Embeddings"), the criterion behind

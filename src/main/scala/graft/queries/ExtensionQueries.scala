@@ -869,6 +869,22 @@ object ExtensionQueries {
       k = 5, numPlanes = 8, probeHamming = 2)
   }
 
+  /** Persisted sign-LSH index ([[graft.sources.AnnIndex.buildAndWriteLsh]]
+    * → [[graft.sources.AnnIndex.queryBatchLsh]]) — build, swap in,
+    * read back, query: the whole chain under the SAME oracle as its
+    * inline twin [[qSimLshBatch]] (identical planes/ball/cosine), the
+    * q_sim_index_ivf discipline for the third index family. */
+  private val qSimIndexLsh: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val idxDir = s"$twinRoot/annidx_lsh/${new java.io.File(dir).getName}"
+    val idx = graft.sources.AnnIndex.buildAndWriteLsh(
+      s, idxDir, emb.filter(col("vec_id") >= 6), "vec_id", "embedding",
+      numPlanes = 8)
+    graft.sources.AnnIndex.queryBatchLsh(
+      idx, emb.filter(col("vec_id").between(1, 5)), "vec_id", "embedding",
+      k = 5, probeHamming = 2)
+  }
+
   /** Recall audit ([[Similarity.recallAudit]]): per query, recall@5
     * of the nprobe=2 IVF answer against the all-cells (= exhaustive)
     * answer under the shared centroids — the measurement that sets
@@ -2243,6 +2259,7 @@ object ExtensionQueries {
     "q_sim_margin_pairs" -> qSimMarginPairs,
     "q_sim_recall_audit" -> qSimRecallAudit,
     "q_sim_lsh_batch" -> qSimLshBatch,
+    "q_sim_index_lsh" -> qSimIndexLsh,
     "q_sim_hard_negatives" -> qSimHardNegatives,
     "q_embed_centroids" -> qEmbedCentroids,
     "q_ingest_jsonl" -> qIngestJsonl,
@@ -5584,6 +5601,7 @@ object ExtensionQueries {
     "q_sim_margin_pairs" -> simMarginPairsSql,
     "q_sim_recall_audit" -> simRecallAuditSql,
     "q_sim_lsh_batch" -> simLshBatchSql,
+    "q_sim_index_lsh" -> simLshBatchSql,
     "q_sim_hard_negatives" -> simHardNegativesSql,
     "q_embed_centroids" -> embedCentroidsSql,
     "q_ingest_jsonl" -> ingestJsonlSql,

@@ -322,4 +322,85 @@ object AnnIndex {
       nprobe: Int): DataFrame =
     Similarity.ivfTopKBatchAssigned(queries, index.assigned,
       queryIdCol, queryVecCol, k, index.centroids, nprobe)
+
+  final case class LoadedLsh(
+      planes: Array[Array[Double]],
+      bucketed: DataFrame)
+
+  /** Persisted sign-LSH index — the third member of the family, on
+    * the SAME two-table + segment layout as plain IVF (`planes` is
+    * the frozen model, `bucketed/seg=N` the corpus-sized table):
+    * hyperplanes derive deterministically from (numPlanes, dim, seed)
+    * but persist anyway so the index is self-describing and an append
+    * can never bucket against a drifted model. Queries answered via
+    * [[queryBatchLsh]] are bit-identical to the inline
+    * [[graft.operators.Similarity.lshTopKBatch]] under the same
+    * planes — `q_sim_index_lsh` runs under the inline twin's oracle. */
+  def buildAndWriteLsh(
+      spark: SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numPlanes: Int,
+      dim: Int = 64,
+      seed: Long = 42L): LoadedLsh = {
+    val planes = graft.functions.SimilarityFunctions.hyperplanes(numPlanes, dim, seed)
+    val bucketed = corpus.select(
+      col(idCol).as("id"),
+      graft.functions.SimilarityFunctions.lshBucket(col(vecCol), planes).as("bucket"),
+      col(vecCol).as("vec"))
+    val staging = dir + ".staging"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    import spark.implicits._
+    planes.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("plane", "vec")
+      .write.mode("overwrite").parquet(s"$staging/planes")
+    bucketed.write.mode("overwrite").parquet(s"$staging/bucketed/seg=0")
+    swapIn(fs, staging, dir)
+    readLsh(spark, dir)
+  }
+
+  /** [[append]]'s LSH twin: bucket the batch against the index's
+    * FROZEN planes, publish as one new `bucketed` segment. O(batch). */
+  def appendToLsh(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): LoadedLsh = {
+    val idx = readLsh(spark, dir)
+    appendSegment(spark, s"$dir/bucketed",
+      batch.select(
+        col(idCol).as("id"),
+        graft.functions.SimilarityFunctions.lshBucket(col(vecCol), idx.planes).as("bucket"),
+        col(vecCol).as("vec")))
+    readLsh(spark, dir)
+  }
+
+  /** Load an LSH index directory: planes to a driver array
+    * (numPlanes-bounded), the bucketed table stays a DataFrame. */
+  def readLsh(spark: SparkSession, dir: String): LoadedLsh = {
+    val planes = spark.read.parquet(s"$dir/planes")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    require(planes.nonEmpty, s"AnnIndex: no planes under $dir")
+    LoadedLsh(planes,
+      spark.read.parquet(s"$dir/bucketed").select("id", "bucket", "vec"))
+  }
+
+  /** Batch ANN over a loaded LSH index — delegates to the
+    * pre-bucketed scorer, bit-identical to the inline path. */
+  def queryBatchLsh(
+      index: LoadedLsh,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      probeHamming: Int = 2): DataFrame =
+    Similarity.lshTopKBatchBucketed(queries, index.bucketed,
+      queryIdCol, queryVecCol, k, index.planes, probeHamming)
 }

@@ -247,4 +247,37 @@ class AnnIndexSpec extends SparkSpec {
       assert(!new java.io.File(s"$local/idx.staging").exists)
     } finally FaultyRenameFs.reset()
   }
+
+  test("LSH index round-trips bit-identically and append ≡ rebuild " +
+    "under the frozen planes") {
+    val base = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 1)
+    val all = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+
+    // round-trip: written+loaded ≡ inline under the same planes
+    val dirA = tmp("graft_annidx_lsh")
+    val idx = AnnIndex.buildAndWriteLsh(
+      spark, dirA, all, "vec_id", "embedding", numPlanes = 8)
+    val viaIndex = r3(AnnIndex.queryBatchLsh(
+      idx, queries, "vec_id", "embedding", k = 5, probeHamming = 2))
+    val inline = r3(Similarity.lshTopKBatch(queries, all,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, numPlanes = 8, probeHamming = 2))
+    assert(viaIndex == inline)
+
+    // append closure: O(batch) append ≡ full rebuild (planes frozen
+    // and deterministic from the seed, so the models coincide)
+    val dirB = tmp("graft_annidx_lshapp")
+    AnnIndex.buildAndWriteLsh(spark, dirB, base, "vec_id", "embedding", numPlanes = 8)
+    val appended = AnnIndex.appendToLsh(spark, dirB, batch, "vec_id", "embedding")
+    val viaAppend = r3(AnnIndex.queryBatchLsh(
+      appended, queries, "vec_id", "embedding", k = 5, probeHamming = 2))
+    assert(viaAppend == inline)
+    assert(appended.bucketed.columns.toSet == Set("id", "bucket", "vec"),
+      "seg partition column must be projected away")
+    assert(new java.io.File(dirB + "/bucketed/seg=1").isDirectory,
+      "batch must land as its own segment")
+    assert(appended.bucketed.count() == all.count())
+  }
 }
