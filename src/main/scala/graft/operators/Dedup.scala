@@ -1250,6 +1250,17 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("line_df"))
       .select(col("__lh").as("line_hash"), col("line_df"))
 
+  /** Union per-batch [[lineIndex]] tables into one corpus index —
+    * document-frequency ADDITION per line hash, which equals the
+    * whole-corpus [[lineIndex]] exactly when every document appears
+    * in exactly one batch (the append-only ingest contract; the same
+    * counter-addition closure as `Profile.cmsMerge`, and the closure
+    * [[graft.streaming.StreamOps.lineIndexStream]]'s parity spec
+    * gates). */
+  def lineIndexMerge(parts: DataFrame): DataFrame =
+    parts.groupBy(col("line_hash"))
+      .agg(sum(col("line_df")).as("line_df"))
+
   /** Strip lines from a NEW BATCH that the CORPUS already marks as
     * boilerplate (corpus document frequency ≥ `minDocFreq`) — the
     * daily-ingest twin of [[stripRepeatedLines]]: O(batch) work

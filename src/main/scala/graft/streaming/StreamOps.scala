@@ -236,6 +236,31 @@ object StreamOps {
       }
       .start()
 
+  /** Continuous line-frequency indexing — the streaming producer for
+    * [[graft.operators.Dedup.stripRepeatedLinesAgainst]]: each
+    * micro-batch of documents writes its own per-batch
+    * [[graft.operators.Dedup.lineIndex]] table under
+    * `indexDir/batch=N`; [[graft.operators.Dedup.lineIndexMerge]]
+    * folds them into the corpus index by df addition, exact as long
+    * as every document appears in exactly ONE batch (the append-only
+    * ingest contract — the same per-batch-sketch + counter-addition
+    * shape as [[cmsStream]], parity-pinned by StreamingSpec). */
+  def lineIndexStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      checkpointDir: String,
+      delim: String = "\n"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.operators.Dedup.lineIndex(batch.toDF(), idCol, textCol, delim)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      }
+      .start()
+
   /** Continuous exact incremental dedup — the streaming form of
     * [[graft.operators.Dedup.bloomDedupAgainst]] and the cheapest
     * possible continuous ingest gate: the corpus fingerprint bloom is

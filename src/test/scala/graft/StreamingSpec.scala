@@ -374,6 +374,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lineIndexStream: merged per-batch indexes == whole-corpus lineIndex; " +
+    "the merged index drives stripRepeatedLinesAgainst") {
+    import org.apache.spark.sql.Row
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_lis_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lis_ckpt").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_lis_idx").toString + "/idx"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING")
+    val b1 = Seq(Row(1L, "hot line\nown text"), Row(2L, "hot line\nmore text"))
+    val b2 = Seq(Row(3L, "hot line\nonce only"))
+    def writeBatch(rows: Seq[Row]): Unit =
+      spark.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    val q = StreamOps.lineIndexStream(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "doc_id", "text", idxDir, ckpt)
+    try {
+      writeBatch(b1); q.processAllAvailable()
+      writeBatch(b2); q.processAllAvailable()
+      val merged = graft.operators.Dedup.lineIndexMerge(spark.read.parquet(idxDir))
+      val mergedMap = merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val whole = graft.operators.Dedup.lineIndex(
+        spark.read.parquet(srcDir), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(mergedMap == whole) // df addition == corpus count: one batch per doc
+      // 4 distinct lines: "hot line" in all three docs + three singletons
+      assert(mergedMap.values.toSeq.sorted == Seq(1L, 1L, 1L, 3L))
+      // the merged index is a drop-in corpus side for the batch probe
+      val batch = df("doc_id BIGINT, text STRING",
+        Row(10L, "hot line\nfresh stuff"))
+      val stripped = graft.operators.Dedup.stripRepeatedLinesAgainst(
+        batch, merged, "doc_id", "text", minDocFreq = 2)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(stripped.toSeq == Seq((10L, "fresh stuff", 1L)))
+    } finally q.stop()
+  }
+
   test("bloomDedupStream drops exact corpus dupes per micro-batch, matches the batch operator") {
     import org.apache.spark.sql.Row
     val srcDir = java.nio.file.Files.createTempDirectory("graft_bds_src").toString
