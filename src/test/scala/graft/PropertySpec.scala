@@ -500,4 +500,28 @@ object PropertySpec extends Properties("graft") {
         .select("ewma_num", "ewma_den").collect()
       out.forall(r => r.getLong(0) == c * r.getLong(1))
     }
+
+  // line dedup == per-line document-frequency filter, order preserved,
+  // all-boilerplate docs drop out (includes the no-repeats identity:
+  // when every df is 1 nothing is removed)
+  property("stripRepeatedLines == brute-force df filter, order-preserving") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.chooseNum(0, 9)).map(_.take(8))).map(_.take(6))) { docs0 =>
+      val docs = docs0.zipWithIndex.map { case (ls, i) =>
+        (i.toLong, ls.map(k => s"line$k"))
+      }
+      val d = mkDf("doc_id BIGINT, text STRING",
+        docs.map { case (id, ls) => Row(id, ls.mkString("\n")) })
+      val got = graft.operators.Dedup
+        .stripRepeatedLines(d, "doc_id", "text", minDocFreq = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val dfCount = docs.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+      val want = docs.flatMap { case (id, ls) =>
+        val kept = ls.filter(l => dfCount(l) < 2)
+        if (kept.isEmpty) None
+        else Some(id -> ((kept.mkString("\n"), kept.size.toLong)))
+      }.toMap
+      got == want
+    }
 }
