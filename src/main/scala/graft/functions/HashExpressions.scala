@@ -63,6 +63,77 @@ object Hashing {
   }
 }
 
+/** `shingle_hashes_all(text, n)` — every word n-gram window hash IN
+  * DOCUMENT ORDER with duplicates kept (array<long>): window k of
+  * the output covers tokens [k, k+n−1], so `posexplode` recovers the
+  * token span each hash came from — the positional input the
+  * contamination SCRUBBER needs ([[graft.operators.Dedup.scrubContamination]]
+  * maps matched windows back to covered token positions). Same
+  * tokenizer, fold, and short-text branches as [[ShingleHashes]]
+  * (texts shorter than n words emit the single whole-text shingle at
+  * window 0; empty texts the empty-doc constant), mirrored in SQL by
+  * `HashSql.shingleHashesAll`. */
+case class ShingleHashesAll(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_all"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashesAll", this, classOf[ShingleHashesAll].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalInput($c);")
+  }
+
+  def evalInput(input: Any): Any = nullSafeEval(input)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var h = Hashing.FnvOffset
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (inTok) { tokenHashes += Hashing.mix64(h); h = Hashing.FnvOffset; inTok = false }
+      } else {
+        val lc = Character.toLowerCase(c)
+        h ^= (lc & 0xffL); h *= Hashing.FnvPrime
+        h ^= ((lc >> 8) & 0xffL); h *= Hashing.FnvPrime
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) tokenHashes += Hashing.mix64(h)
+
+    val m = tokenHashes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Long](math.max(m - n + 1, 1))
+    if (m == 0) {
+      out += Hashing.mix64(Hashing.FnvOffset)
+    } else if (m < n) {
+      var acc = 1125899906842597L
+      var k = 0
+      while (k < m) { acc = acc * Hashing.FnvPrime + tokenHashes(k); k += 1 }
+      out += Hashing.mix64(acc)
+    } else {
+      var i2 = 0
+      while (i2 <= m - n) {
+        var acc = 1125899906842597L
+        var k = 0
+        while (k < n) { acc = acc * Hashing.FnvPrime + tokenHashes(i2 + k); k += 1 }
+        out += Hashing.mix64(acc)
+        i2 += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesAll =
+    copy(child = newChild)
+}
+
 /** `shingle_hashes(text, n)` — hashed word n-gram shingles straight
   * from the raw text: tokenize on whitespace (lowercasing inline),
   * hash each token, combine n consecutive token hashes
@@ -687,6 +758,11 @@ object HashExpressions {
     * [[minhashSignature]] / [[simhash64]] and to hashed-Jaccard. */
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
+  /** Every n-gram window hash in document order, duplicates kept —
+    * the positional variant for span mapping. */
+  def shingleHashesAll(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashesAll(ColumnBridge.expression(text), n))
 
   /** Per-token-occurrence mixed hashes (array<long>, document order,
     * duplicates kept) — the frequency-sketch input. */

@@ -447,6 +447,61 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Contamination SCRUBBING — the rewrite pass
+    * [[contaminationMatches]] only detects: every word-`shingleN`-gram
+    * window shared with the eval set marks its `shingleN` covered
+    * token positions, covered tokens are removed, and each document
+    * reassembles from its surviving tokens in order (one row per doc
+    * that kept at least one token: id, clean_text, n_kept). The
+    * production decontamination posture when dropping whole documents
+    * is too lossy — benchmark text is excised, the surrounding
+    * document survives.
+    *
+    * Matching is the same case-insensitive hash space as every
+    * near-dup operator; the REBUILT text keeps the original token
+    * case and single-space joins (whitespace is not preserved —
+    * scrubbing operates on the tokenized view, the same contract as
+    * [[stripRepeatedLines]]' trimmed lines). Documents shorter than
+    * `shingleN` tokens match as their whole-text shingle and are
+    * scrubbed entirely when shared.
+    *
+    * Scale posture: eval shingle sets are small (benchmarks, not
+    * corpora) and broadcast; the corpus pays one positional-window
+    * projection ([[HashExpressions.shingleHashesAll]], codegen'd),
+    * the covered-position explode fans out only MATCHED windows, and
+    * the one text-carrying shuffle is the per-document reassembly. */
+  def scrubContamination(
+      corpus: DataFrame,
+      evalDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5): DataFrame = {
+    val evalSh = evalShingleSet(evalDf, textCol, shingleN)
+    val base = corpus
+      .select(col(idCol), col(textCol),
+        TextFunctions.tokenCount(col(textCol)).as("__nt"))
+      .filter(col("__nt") > 0)
+    val covered = base
+      .select(col(idCol), col("__nt"),
+        posexplode(HashExpressions.shingleHashesAll(col(textCol), shingleN))
+          .as(Seq("__wpos", "sh")))
+      .join(broadcast(evalSh), Seq("sh"), "left_semi")
+      .select(col(idCol), explode(sequence(col("__wpos").cast("long"),
+        least(col("__wpos") + lit(shingleN - 1), col("__nt") - 1))).as("__pos"))
+      .distinct()
+    base
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .withColumn("__pos", col("__pos").cast("long"))
+      .join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          x => x("__tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** The eval set's distinct shingle hashes (column `sh`) — the
     * reusable probe side of [[contaminationMatches]]; persist it when
     * probing repeatedly (streaming / multi-batch decontamination). */

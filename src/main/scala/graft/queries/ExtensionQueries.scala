@@ -192,6 +192,22 @@ object ExtensionQueries {
         col("quality") >= 0.5 && col("n_tokens").between(5, 1000))
       .drop("__mid")
 
+  /** Contamination SCRUBBING ([[graft.operators.Dedup.scrubContamination]],
+    * word 4-grams, same eval split as [[qTextDecontam]]): benchmark
+    * spans are EXCISED from every corpus document instead of the
+    * document being dropped — matched windows map back to covered
+    * token positions, survivors reassemble in order. The oracle
+    * replays windows → eval-hash match → covered-position expansion →
+    * anti-join → ordered reassembly. */
+  private val qTextDecontamScrub: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    Dedup.scrubContamination(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", shingleN = 4)
+      .select("doc_id", "clean_text", "n_kept")
+  }
+
   /** The FULL pre-training cleaning pipeline, composed end to end —
     * the flagship "would a reference user switch" query: language +
     * quality + length gate ([[qPipelineFilter]]'s predicate) → exact
@@ -2202,6 +2218,7 @@ object ExtensionQueries {
     "q_text_quality" -> qTextQuality,
     "q_text_repetition" -> qTextRepetition,
     "q_text_decontam" -> qTextDecontam,
+    "q_text_decontam_scrub" -> qTextDecontamScrub,
     "q_pack_chunks" -> qPackChunks,
     "q_embed_outliers" -> qEmbedOutliers,
     "q_pipeline_filter" -> qPipelineFilter,
@@ -4885,6 +4902,38 @@ object ExtensionQueries {
        |SELECT rep AS survivor_id, CAST(count(*) AS BIGINT) AS n_members
        |FROM m GROUP BY rep""".stripMargin
 
+  /** Mirrors [[qTextDecontamScrub]]: eval hashes from the distinct
+    * shingle replay, corpus windows from [[HashSql.shingleHashesAll]]
+    * zip-unnested with their 0-based positions, covered positions via
+    * the end-exclusive `range(wpos, least(wpos+n, nt))` (the whole-doc
+    * short-text branch covers 0..nt−1 automatically), then the
+    * anti-join + ordered single-space reassembly. */
+  private val textDecontamScrubSql: String = {
+    val n = 4
+    val ws = graft.functions.TextFunctions.wsClass
+    s"""WITH ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents),
+       |eh AS MATERIALIZED (SELECT DISTINCT unnest(${HashSql.shingleHashes("ths", n)}) AS h
+       |  FROM ths WHERE doc_id % 50 = 0),
+       |corp AS MATERIALIZED (SELECT t.doc_id, t.ths,
+       |    list_filter(regexp_split_to_array(d.text, '$ws+'), x -> x <> '') AS toks
+       |  FROM ths t JOIN documents d USING (doc_id)
+       |  WHERE t.doc_id % 50 <> 0 AND len(t.ths) > 0),
+       |wins AS MATERIALIZED (SELECT doc_id, len(ths) AS nt,
+       |    unnest(range(0, len(gh))) AS wpos, unnest(gh) AS h
+       |  FROM (SELECT doc_id, ths, ${HashSql.shingleHashesAll("ths", n)} AS gh FROM corp) g),
+       |cov AS MATERIALIZED (SELECT DISTINCT doc_id, pos FROM (
+       |  SELECT w.doc_id, unnest(range(w.wpos, least(w.wpos + $n, w.nt))) AS pos
+       |  FROM wins w JOIN eh ON w.h = eh.h) x),
+       |tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+       |    unnest(toks) AS tok FROM corp),
+       |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+       |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  WHERE c.pos IS NULL)
+       |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+       |  count(*) AS n_kept
+       |FROM kept GROUP BY doc_id""".stripMargin
+  }
+
   /** Mirrors [[qPipelineClean]], the whole chain in one CTE pyramid:
     * the [[qPipelineFilter]] gate verbatim, the
     * `q_dedup_fingerprint` keep-min-id window, [[minhashPairsSql]]
@@ -5621,6 +5670,7 @@ object ExtensionQueries {
     "q_text_langid" -> langCaseSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_text_decontam" -> textDecontamSql,
+    "q_text_decontam_scrub" -> textDecontamScrubSql,
     "q_pack_chunks" -> packChunksSql,
     "q_embed_outliers" -> embedOutliersSql,
     // Same built PII payload as the query (lpad/concat replay), then

@@ -1838,6 +1838,27 @@ class ExtensionSpec extends SparkSpec {
       11L -> ("batch dup\nbatch dup\nonce only", 3L)))
   }
 
+  test("scrubContamination: shared spans excised in place, case kept, " +
+    "overlapping windows merge, short docs scrub whole") {
+    val eval = df("doc_id BIGINT, text STRING",
+      Row(100L, "the secret bench mark answer"), // 2-gram windows incl "bench mark"
+      Row(101L, "tiny doc")) // < n tokens: whole-text shingle
+    val corpus = df("doc_id BIGINT, text STRING",
+      // "secret bench" + "bench mark" overlap -> tokens 2,3,4 covered
+      Row(1L, "intro words Secret BENCH mark outro"),
+      Row(2L, "totally clean content here"),
+      Row(3L, "tiny doc"), // whole-doc match -> fully scrubbed, drops out
+      Row(4L, "tiny doc extended further now")) // >= n: windows only
+    val got = Dedup.scrubContamination(corpus, eval, "doc_id", "text", shingleN = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(!got.contains(3L), s"fully-contaminated doc must drop out: $got")
+    // matching is case-insensitive; the rebuilt text keeps original case
+    assert(got(1L) == ("intro words outro", 3L), s"$got")
+    assert(got(2L) == ("totally clean content here", 4L))
+    // "tiny doc" window covers tokens 0,1 of doc 4
+    assert(got(4L) == ("extended further now", 3L), s"$got")
+  }
+
   test("dedupDiagnostics: one shared closure feeds sizes + survivors; " +
     "views agree with keepOnePerCluster") {
     val docs = df("doc_id BIGINT", (1L to 9L).map(Row(_)): _*)
