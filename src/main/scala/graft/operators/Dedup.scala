@@ -475,8 +475,53 @@ object Dedup {
       evalDf: DataFrame,
       idCol: String,
       textCol: String,
-      shingleN: Int = 5): DataFrame = {
-    val evalSh = evalShingleSet(evalDf, textCol, shingleN)
+      shingleN: Int = 5): DataFrame =
+    exciseHotSpans(corpus, broadcast(evalShingleSet(evalDf, textCol, shingleN)),
+      idCol, textCol, shingleN)
+
+  /** Self-corpus repeated-span EXCISION — the exact-substring-dedup
+    * pass (Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better"; RefinedWeb runs it after fuzzy dedup):
+    * every word-`spanN`-gram window whose hash appears in at least
+    * `minDocs` DISTINCT documents ([[duplicatedSpans]]' definition)
+    * is excised from EVERY document, and documents reassemble from
+    * surviving tokens in order — [[stripRepeatedLines]]' semantics at
+    * span granularity, for boilerplate that does not respect line
+    * breaks (templated sentences, license paragraphs reflowed into
+    * prose, SEO chrome). Documents shorter than `spanN` tokens hash
+    * as their whole text and drop out entirely when that text repeats
+    * (pure-boilerplate docs, same contract as line dedup). Returns
+    * (id, clean_text, n_kept); tokenized-view rebuild contract as
+    * [[scrubContamination]].
+    *
+    * Scale posture: the hot set is the duplicated TAIL (hash-keyed
+    * distinct-doc counts with map-side partials, `minDocs` filter
+    * inside the aggregate), joined as a plain equi semi-join — NOT
+    * force-broadcast like the eval probe, because a 100 TB crawl's
+    * duplicated tail can exceed driver memory; AQE broadcasts it when
+    * small. Only matched windows explode into covered positions; the
+    * one text-carrying shuffle is the per-document reassembly. */
+  def scrubRepeatedSpans(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanN: Int = 8,
+      minDocs: Int = 2): DataFrame =
+    exciseHotSpans(corpus,
+      duplicatedSpans(corpus, textCol, spanN, minDocs)
+        .select(col("span_hash").as("sh")),
+      idCol, textCol, spanN)
+
+  /** Shared excision tail: positional windows → hot semi-join →
+    * covered-position expansion → token anti-join → ordered rebuild.
+    * `hotSh` is a one-column (`sh`) frame of span hashes to excise;
+    * the caller decides its broadcast posture. */
+  private def exciseHotSpans(
+      corpus: DataFrame,
+      hotSh: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int): DataFrame = {
     val base = corpus
       .select(col(idCol), col(textCol),
         TextFunctions.tokenCount(col(textCol)).as("__nt"))
@@ -485,7 +530,7 @@ object Dedup {
       .select(col(idCol), col("__nt"),
         posexplode(HashExpressions.shingleHashesAll(col(textCol), shingleN))
           .as(Seq("__wpos", "sh")))
-      .join(broadcast(evalSh), Seq("sh"), "left_semi")
+      .join(hotSh, Seq("sh"), "left_semi")
       .select(col(idCol), explode(sequence(col("__wpos").cast("long"),
         least(col("__wpos") + lit(shingleN - 1), col("__nt") - 1))).as("__pos"))
       .distinct()

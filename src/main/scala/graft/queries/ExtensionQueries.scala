@@ -208,6 +208,19 @@ object ExtensionQueries {
       .select("doc_id", "clean_text", "n_kept")
   }
 
+  /** Self-corpus repeated-span EXCISION
+    * ([[graft.operators.Dedup.scrubRepeatedSpans]], word 6-grams in
+    * ≥2 distinct docs): the exact-substring-dedup pass — templated
+    * spans are cut from every document, survivors reassemble in
+    * order. The oracle derives the hot set from the same distinct-
+    * per-doc shingle replay the detector query uses, then replays
+    * the excision chain of [[qTextDecontamScrub]]. */
+  private val qDedupScrubSpans: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    Dedup.scrubRepeatedSpans(docs, "doc_id", "text", spanN = 6, minDocs = 2)
+      .select("doc_id", "clean_text", "n_kept")
+  }
+
   /** The FULL pre-training cleaning pipeline, composed end to end —
     * the flagship "would a reference user switch" query: language +
     * quality + length gate ([[qPipelineFilter]]'s predicate) → exact
@@ -2219,6 +2232,7 @@ object ExtensionQueries {
     "q_text_repetition" -> qTextRepetition,
     "q_text_decontam" -> qTextDecontam,
     "q_text_decontam_scrub" -> qTextDecontamScrub,
+    "q_dedup_scrub_spans" -> qDedupScrubSpans,
     "q_pack_chunks" -> qPackChunks,
     "q_embed_outliers" -> qEmbedOutliers,
     "q_pipeline_filter" -> qPipelineFilter,
@@ -4934,6 +4948,36 @@ object ExtensionQueries {
        |FROM kept GROUP BY doc_id""".stripMargin
   }
 
+  /** Mirrors [[qDedupScrubSpans]]: the hot set is the duplicated-span
+    * census (distinct-per-doc shingle hashes, count ≥ minDocs), then
+    * the excision chain of [[textDecontamScrubSql]] verbatim. */
+  private val dedupScrubSpansSql: String = {
+    val n = 6
+    val ws = graft.functions.TextFunctions.wsClass
+    s"""WITH ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents),
+       |hot AS MATERIALIZED (SELECT h FROM (
+       |    SELECT unnest(${HashSql.shingleHashes("ths", n)}) AS h FROM ths) u
+       |  GROUP BY h HAVING count(*) >= 2),
+       |corp AS MATERIALIZED (SELECT t.doc_id, t.ths,
+       |    list_filter(regexp_split_to_array(d.text, '$ws+'), x -> x <> '') AS toks
+       |  FROM ths t JOIN documents d USING (doc_id)
+       |  WHERE len(t.ths) > 0),
+       |wins AS MATERIALIZED (SELECT doc_id, len(ths) AS nt,
+       |    unnest(range(0, len(gh))) AS wpos, unnest(gh) AS h
+       |  FROM (SELECT doc_id, ths, ${HashSql.shingleHashesAll("ths", n)} AS gh FROM corp) g),
+       |cov AS MATERIALIZED (SELECT DISTINCT doc_id, pos FROM (
+       |  SELECT w.doc_id, unnest(range(w.wpos, least(w.wpos + $n, w.nt))) AS pos
+       |  FROM wins w JOIN hot ON w.h = hot.h) x),
+       |tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+       |    unnest(toks) AS tok FROM corp),
+       |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+       |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  WHERE c.pos IS NULL)
+       |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+       |  count(*) AS n_kept
+       |FROM kept GROUP BY doc_id""".stripMargin
+  }
+
   /** Mirrors [[qPipelineClean]], the whole chain in one CTE pyramid:
     * the [[qPipelineFilter]] gate verbatim, the
     * `q_dedup_fingerprint` keep-min-id window, [[minhashPairsSql]]
@@ -5671,6 +5715,7 @@ object ExtensionQueries {
     "q_text_repetition" -> textRepetitionSql,
     "q_text_decontam" -> textDecontamSql,
     "q_text_decontam_scrub" -> textDecontamScrubSql,
+    "q_dedup_scrub_spans" -> dedupScrubSpansSql,
     "q_pack_chunks" -> packChunksSql,
     "q_embed_outliers" -> embedOutliersSql,
     // Same built PII payload as the query (lpad/concat replay), then

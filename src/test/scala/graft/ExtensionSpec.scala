@@ -1859,6 +1859,25 @@ class ExtensionSpec extends SparkSpec {
     assert(got(4L) == ("extended further now", 3L), s"$got")
   }
 
+  test("scrubRepeatedSpans: spans in >=minDocs docs excised everywhere, " +
+    "unique spans kept, repeated short docs drop out") {
+    val corpus = df("doc_id BIGINT, text STRING",
+      // "shared license text here" (2-gram windows) repeats in docs 1,2
+      Row(1L, "alpha shared license text here beta"),
+      Row(2L, "gamma shared license text here delta"),
+      Row(3L, "totally unique content nothing repeats"),
+      Row(4L, "tiny doc"), // whole-text shingle, repeated in 5
+      Row(5L, "tiny doc"))
+    val got = Dedup.scrubRepeatedSpans(corpus, "doc_id", "text", spanN = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // windows "shared license","license text","text here" cover tokens 1..4
+    assert(got(1L) == ("alpha beta", 2L), s"$got")
+    assert(got(2L) == ("gamma delta", 2L), s"$got")
+    assert(got(3L) == ("totally unique content nothing repeats", 5L))
+    assert(!got.contains(4L) && !got.contains(5L),
+      s"repeated whole-doc shingles must scrub the docs entirely: $got")
+  }
+
   test("dedupDiagnostics: one shared closure feeds sizes + survivors; " +
     "views agree with keepOnePerCluster") {
     val docs = df("doc_id BIGINT", (1L to 9L).map(Row(_)): _*)
