@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Classifier, Dedup, Search, Similarity}
 
 /** The LLM-training-data-pipeline operators (north-star extensions,
   * SURVEY.md §7.5): dedup, similarity search, text analysis,
@@ -207,6 +207,43 @@ object ExtensionQueries {
       "doc_id", "text", shingleN = 4)
       .select("doc_id", "clean_text", "n_kept")
   }
+
+  /** The quality gate DISTILLED into a trainable linear model
+    * ([[graft.operators.Classifier.trainLogisticFx]]): labels are
+    * [[qPipelineFilter]]'s en/quality/length predicate, features
+    * [[qTextFeatureHash]]'s 256-dim hashing trick, and three
+    * full-batch fixed-point GD passes produce bit-deterministic
+    * weights — the CCNet-style "replace the hand gate with a
+    * classifier" loop, oracled end to end (the DuckDB mirror unrolls
+    * the three passes as CTE stages over the identical integer
+    * arithmetic). */
+  private val qQualityDistill: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    Classifier.trainLogisticFx(
+      Search.hashedFeatures(docs, "doc_id", "text", dims = 256, seed = 11L),
+      distillLabels(docs), dims = 256, iters = 3)
+  }
+
+  /** [[qQualityDistill]]'s weights applied back over the corpus
+    * ([[graft.operators.Classifier.scoreFx]]): fixed-point margin +
+    * fast-sigmoid probability per document — train and serve under
+    * one oracle, so the scoring join is pinned too. */
+  private val qQualityDistillScore: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    val feats = Search.hashedFeatures(docs, "doc_id", "text", dims = 256, seed = 11L)
+    val w = Classifier.trainLogisticFx(
+      feats, distillLabels(docs), dims = 256, iters = 3)
+    Classifier.scoreFx(docs, "doc_id", feats, w)
+  }
+
+  /** The pipeline gate as a 0/1 label frame — [[qPipelineFilter]]'s
+    * predicate over every document. */
+  private def distillLabels(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      (TextFunctions.langId(col("text")) === "en" &&
+        TextFunctions.qualityScore(col("text")) >= 0.5 &&
+        TextFunctions.tokenCount(col("text")).between(5, 1000))
+        .cast("int").as("label"))
 
   /** Self-corpus repeated-span EXCISION
     * ([[graft.operators.Dedup.scrubRepeatedSpans]], word 6-grams in
@@ -2233,6 +2270,8 @@ object ExtensionQueries {
     "q_text_decontam" -> qTextDecontam,
     "q_text_decontam_scrub" -> qTextDecontamScrub,
     "q_dedup_scrub_spans" -> qDedupScrubSpans,
+    "q_quality_distill" -> qQualityDistill,
+    "q_quality_distill_score" -> qQualityDistillScore,
     "q_pack_chunks" -> qPackChunks,
     "q_embed_outliers" -> qEmbedOutliers,
     "q_pipeline_filter" -> qPipelineFilter,
@@ -4948,6 +4987,76 @@ object ExtensionQueries {
        |FROM kept GROUP BY doc_id""".stripMargin
   }
 
+  /** Shared CTE chain for the distilled-classifier oracles: the
+    * [[textFeatureHashSql]] features, the [[qPipelineFilter]] gate as
+    * a 0/1 label, then `iters` unrolled fixed-point GD passes — the
+    * identical integer arithmetic as
+    * [[graft.operators.Classifier.trainLogisticFx]] (fast-sigmoid
+    * rational, truncating `//` division, HUGEINT sums ≡ Spark's
+    * DECIMAL(38,0) folds). Ends with the weight CTE `w{iters}`
+    * available; the caller appends its final SELECT. */
+  private def distillCtes(iters: Int): String = {
+    val dims = 256
+    val scale = 1L << 20
+    val half = scale >> 1
+    val clamp = 1L << 40
+    val passes = (1 to iters).map { i =>
+      val sig = s"($half + CASE WHEN cm >= 0 THEN (u * $half) // ($scale + u) " +
+        s"ELSE -((u * $half) // ($scale + u)) END)"
+      s"""m$i AS MATERIALIZED (SELECT f.doc_id, SUM(f.weight * w.w) AS m
+         |  FROM feat f JOIN w${i - 1} w USING (feat_idx) GROUP BY f.doc_id),
+         |s$i AS MATERIALIZED (SELECT l.doc_id, l.y, coalesce(m.m, 0) AS cm,
+         |    least(abs(coalesce(m.m, 0)), $clamp) AS u
+         |  FROM lab l LEFT JOIN m$i m USING (doc_id)),
+         |e$i AS MATERIALIZED (SELECT doc_id, $sig - y * $scale AS e FROM s$i),
+         |g$i AS MATERIALIZED (SELECT f.feat_idx, SUM(f.weight * e.e) AS g
+         |  FROM feat f JOIN e$i e USING (doc_id) GROUP BY f.feat_idx),
+         |w$i AS MATERIALIZED (SELECT w.feat_idx,
+         |    w.w - coalesce(g.g, 0) // ((SELECT n FROM nn) * 8) AS w
+         |  FROM w${i - 1} w LEFT JOIN g$i g USING (feat_idx))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH feat AS MATERIALIZED ($textFeatureHashSql),
+       |lab AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN lang_pred = 'en' AND quality >= 0.5
+       |      AND n_tokens BETWEEN 5 AND 1000 THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT doc_id,
+       |      $langPredCaseSql AS lang_pred,
+       |      $alphaRatioSql * 0.4 + $stopRatioSql * 0.3
+       |        + least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.2
+       |        + (1.0 - $punctRatioSql) * 0.1 AS quality,
+       |      $nTokensSql AS n_tokens
+       |    FROM (SELECT doc_id, text, $langBestSql AS __best FROM documents) t) w),
+       |nn AS (SELECT COUNT(*) AS n FROM lab),
+       |w0 AS (SELECT unnest(range(0, $dims)) AS feat_idx, CAST(0 AS HUGEINT) AS w),
+       |$passes""".stripMargin
+  }
+
+  /** Mirrors [[qQualityDistill]]: the trained weight table after
+    * three unrolled passes. */
+  private def qualityDistillSql: String =
+    s"""${distillCtes(3)}
+       |SELECT CAST(feat_idx AS BIGINT) AS feat_idx, CAST(w AS BIGINT) AS w_fx
+       |FROM w3""".stripMargin
+
+  /** Mirrors [[qQualityDistillScore]]: one more margin/sigmoid stage
+    * over the trained `w3` — every document scored, featureless docs
+    * at margin 0 / prob ½·2^20. */
+  private def qualityDistillScoreSql: String = {
+    val scale = 1L << 20
+    val half = scale >> 1
+    val clamp = 1L << 40
+    s"""${distillCtes(3)},
+       |sm AS MATERIALIZED (SELECT f.doc_id, SUM(f.weight * w.w) AS m
+       |  FROM feat f JOIN w3 w USING (feat_idx) GROUP BY f.doc_id),
+       |ss AS (SELECT l.doc_id, coalesce(m.m, 0) AS cm,
+       |    least(abs(coalesce(m.m, 0)), $clamp) AS u
+       |  FROM lab l LEFT JOIN sm m USING (doc_id))
+       |SELECT doc_id, CAST(cm AS BIGINT) AS margin_fx,
+       |  CAST($half + CASE WHEN cm >= 0 THEN (u * $half) // ($scale + u)
+       |    ELSE -((u * $half) // ($scale + u)) END AS BIGINT) AS prob_fx
+       |FROM ss""".stripMargin
+  }
+
   /** Mirrors [[qDedupScrubSpans]]: the hot set is the duplicated-span
     * census (distinct-per-doc shingle hashes, count ≥ minDocs), then
     * the excision chain of [[textDecontamScrubSql]] verbatim. */
@@ -5716,6 +5825,8 @@ object ExtensionQueries {
     "q_text_decontam" -> textDecontamSql,
     "q_text_decontam_scrub" -> textDecontamScrubSql,
     "q_dedup_scrub_spans" -> dedupScrubSpansSql,
+    "q_quality_distill" -> qualityDistillSql,
+    "q_quality_distill_score" -> qualityDistillScoreSql,
     "q_pack_chunks" -> packChunksSql,
     "q_embed_outliers" -> embedOutliersSql,
     // Same built PII payload as the query (lpad/concat replay), then

@@ -1859,6 +1859,49 @@ class ExtensionSpec extends SparkSpec {
     assert(got(4L) == ("extended further now", 3L), s"$got")
   }
 
+  test("trainLogisticFx matches a local integer-math replica; " +
+    "scoreFx gives featureless docs prob = half-scale") {
+    val feats = df("doc_id BIGINT, feat_idx BIGINT, weight BIGINT",
+      Row(1L, 0L, 3L), Row(1L, 1L, -2L),
+      Row(2L, 0L, -1L), Row(2L, 2L, 4L),
+      Row(3L, 1L, 2L), Row(3L, 2L, -3L),
+      Row(4L, 0L, 2L))
+    val labels = df("doc_id BIGINT, label INT",
+      Row(1L, 1), Row(2L, 0), Row(3L, 1), Row(4L, 0), Row(5L, 1))
+    val dims = 4
+    val got = graft.operators.Classifier
+      .trainLogisticFx(feats, labels, dims, iters = 3, scaleBits = 20, lrShift = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // local replica: same fixed-point arithmetic, plain loops
+    val scale = 1L << 20; val half = scale >> 1; val clamp = 1L << 40
+    val x = Map(1L -> Map(0 -> 3L, 1 -> -2L), 2L -> Map(0 -> -1L, 2 -> 4L),
+      3L -> Map(1 -> 2L, 2 -> -3L), 4L -> Map(0 -> 2L), 5L -> Map.empty[Int, Long])
+    val y = Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L)
+    val w = Array.fill(dims)(0L)
+    for (_ <- 1 to 3) {
+      val e = y.keys.map { d =>
+        val m = x(d).map { case (j, v) => v * w(j) }.sum
+        val u = math.min(math.abs(m), clamp)
+        val t = (u * half) / (scale + u)
+        d -> ((half + (if (m >= 0) t else -t)) - y(d) * scale)
+      }.toMap
+      val g = Array.fill(dims)(BigInt(0))
+      for (d <- x.keys; (j, v) <- x(d)) g(j) += BigInt(v) * e(d)
+      for (j <- 0 until dims) w(j) = w(j) - (g(j) / (5L << 3)).toLong
+    }
+    assert(got == w.indices.map(j => j.toLong -> w(j)).toMap, s"got $got want ${w.toSeq}")
+    assert(w.exists(_ != 0L), "replica should learn nonzero weights")
+
+    val weights = graft.operators.Classifier
+      .trainLogisticFx(feats, labels, dims, iters = 3)
+    val scored = graft.operators.Classifier
+      .scoreFx(labels.select(col("doc_id")), "doc_id", feats, weights)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(scored(5L) == ((0L, half)), s"featureless doc: ${scored(5L)}")
+    assert(scored.size == 5)
+  }
+
   test("scrubRepeatedSpans: spans in >=minDocs docs excised everywhere, " +
     "unique spans kept, repeated short docs drop out") {
     val corpus = df("doc_id BIGINT, text STRING",
