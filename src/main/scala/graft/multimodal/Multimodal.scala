@@ -436,6 +436,85 @@ object Multimodal {
     items.mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeAudio)))
   }
 
+  /** Perceptual AUDIO fingerprint — the energy-contour sign hash
+    * (the integer core of the Haitsma–Kalker/"Shazam-lite" family):
+    * the PCM16 sample stream splits into 64 equal time frames (frame
+    * of sample i = i·64/n, floor — the [[aHash]] cell-boundary
+    * discipline), each frame's energy is the exact Σ|sample| over its
+    * interleaved samples, and bit k is set iff energy(k) >
+    * energy((k+1) mod 64). Comparing ADJACENT frame energies makes
+    * the hash invariant under uniform volume scaling and robust to
+    * re-encoding (absolute levels cancel; only the contour's updown
+    * shape survives), so Hamming proximity between audio hashes is
+    * the audio-modality near-dup signal — pair with
+    * [[graft.operators.Dedup.hammingPairs]] exactly like image
+    * aHashes and text SimHashes.
+    *
+    * ALL arithmetic is integer (abs, sums, floor frame boundaries,
+    * strict compare), bit-reproducible and SQL-replayable. None on
+    * anything that is not a parseable 16-bit PCM RIFF/WAVE with at
+    * least 64 samples — the caller degrades to the typed-null row. */
+  def audioHash(payload: Array[Byte]): Option[Long] =
+    try {
+      if (payload == null || payload.length < 12 ||
+        !(u8(payload, 0) == 'R' && u8(payload, 1) == 'I' && u8(payload, 2) == 'F' &&
+          u8(payload, 3) == 'F' && u8(payload, 8) == 'W' && u8(payload, 9) == 'A' &&
+          u8(payload, 10) == 'V' && u8(payload, 11) == 'E')) None
+      else {
+        var pos = 12
+        var fmtCode = -1; var bits = -1
+        var dataOff = -1; var dataLen = -1
+        while (pos + 8 <= payload.length) {
+          val id = new String(payload, pos, 4, "US-ASCII")
+          val size = le32(payload, pos + 4)
+          if (id == "fmt " && size >= 16 && pos + 24 <= payload.length) {
+            fmtCode = le16(payload, pos + 8)
+            bits = le16(payload, pos + 22)
+          } else if (id == "data") {
+            dataOff = pos + 8
+            dataLen = math.min(size, (payload.length - dataOff).toLong).toInt
+          }
+          pos += 8 + size.toInt + (size.toInt & 1)
+        }
+        val n = if (dataLen < 0) -1 else dataLen / 2
+        if (fmtCode != 1 || bits != 16 || n < 64) None
+        else {
+          val energy = new Array[Long](64)
+          var i = 0
+          while (i < n) {
+            val s = (le16(payload, dataOff + 2 * i) << 16) >> 16 // sign-extend
+            energy(((i.toLong * 64) / n).toInt) += math.abs(s).toLong
+            i += 1
+          }
+          var hash = 0L
+          var k = 0
+          while (k < 64) {
+            if (energy(k) > energy((k + 1) & 63)) hash |= (1L << k)
+            k += 1
+          }
+          Some(hash)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One clip's fingerprint row — `decoded = false`, hash 0 for
+    * anything [[audioHash]] rejects (typed degradation, the house
+    * multimodal discipline). */
+  final case class AudioHash(doc_id: Long, decoded: Boolean, ahash: Long)
+
+  /** Batched audio fingerprinting — the [[extractImageHashes]] shape
+    * for the audio modality. */
+  def extractAudioHashes(
+      items: Dataset[MediaItem], batchSize: Int = 32): Dataset[AudioHash] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.grouped(batchSize).flatMap(_.map { item =>
+      audioHash(item.payload) match {
+        case Some(h) => AudioHash(item.doc_id, decoded = true, h)
+        case None    => AudioHash(item.doc_id, decoded = false, 0L)
+      }
+    }))
+  }
+
   /** Build a real canonical RIFF/WAVE payload (PCM): 44-byte header +
     * data truncated to whole blocks. Usable for real PCM; in the
     * catalog it materializes the deterministic header-field contract

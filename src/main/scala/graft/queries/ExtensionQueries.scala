@@ -2192,6 +2192,52 @@ object ExtensionQueries {
   private val qMultimodalImageDups: Q = (s, dir) =>
     Dedup.hammingPairs(imageAhashes(s, dir), "doc_id", "ahash", maxHamming = 3)
 
+  /** Shared audio-fingerprint frame for the audio-dedup query: every
+    * doc_id materializes as a REAL 16-bit PCM RIFF/WAVE
+    * ([[graft.multimodal.Multimodal.wavBytes]], 640 mono samples from
+    * a fixed integer recipe) — three variants per trio: the base
+    * signal, the SAME signal at double volume (identical
+    * [[graft.multimodal.Multimodal.audioHash]] — the energy-contour
+    * hash compares adjacent frames, so uniform gain cancels), and a
+    * one-frame spike perturbation (≤2 flipped bits). The payloads are
+    * parsed back by the real RIFF walk and fingerprinted; the oracle
+    * replays recipe→samples→frame-energies→contour-bits→blocks in
+    * integer SQL. */
+  private def audioAhashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = pq(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val a = (id / 3) % 100003
+        val v = id % 3
+        val n = 640
+        val bb = java.nio.ByteBuffer.allocate(n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) {
+          val raw = ((a + 1) * (i + 1) * 37 + 11 * a) % 2003 - 1001
+          val sv = v match {
+            case 1 => raw * 2
+            case 2 => if (i / 10 == 20) raw + 4000 else raw
+            case _ => raw
+          }
+          bb.putShort(sv.toShort)
+          i += 1
+        }
+        val payload = Multimodal.wavBytes(8000, 1, 16, bb.array())
+        Multimodal.MediaItem(id, "", payload, payload.length.toLong)
+      }
+    Multimodal.extractAudioHashes(items).toDF()
+      .filter(col("decoded")).select("doc_id", "ahash")
+  }
+
+  /** AUDIO near-duplicate pairs over real parsed PCM — the
+    * audio-modality leg of the multimodal dedup matrix: decode →
+    * energy-contour fingerprint → the SAME generic pigeonhole
+    * [[Dedup.hammingPairs]] as image aHashes and text SimHashes. */
+  private val qMultimodalAudioDups: Q = (s, dir) =>
+    Dedup.hammingPairs(audioAhashes(s, dir), "doc_id", "ahash", maxHamming = 3)
+
   /** The IMAGE dedup endgame — [[qMultimodalImageDups]]'s perceptual
     * pairs fed through the same transitive-closure + keep-min-id
     * machinery as the text endgame (`q_dedup_keep_one`): decode →
@@ -2400,6 +2446,7 @@ object ExtensionQueries {
     "q_multimodal_audio" -> qMultimodalAudio,
     "q_multimodal_video" -> qMultimodalVideo,
     "q_multimodal_image_dups" -> qMultimodalImageDups,
+    "q_multimodal_audio_dups" -> qMultimodalAudioDups,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -5532,6 +5579,50 @@ object ExtensionQueries {
        |WHERE hamming <= 3""".stripMargin
   }
 
+  /** Mirrors [[qMultimodalAudioDups]]: samples from the construction
+    * recipe, per-frame |sample| energies, adjacent-frame contour
+    * bits, then the identical 16-bit-block pigeonhole pair replay as
+    * [[multimodalImageDupsSql]]. */
+  private val multimodalAudioDupsSql: String = {
+    def pw(j: Int) =
+      s"CAST('${java.math.BigInteger.ONE.shiftLeft(j)}' AS HUGEINT)"
+    val pows = (0 until 64).map(i => s"($i, ${pw(i)})").mkString(", ")
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id,
+       |                     ((CAST(doc_id AS BIGINT) // 3) % 100003) AS a,
+       |                     (CAST(doc_id AS BIGINT) % 3) AS v
+       |              FROM documents),
+       |idx AS (SELECT unnest(range(0, 640)) AS i),
+       |samp0 AS (SELECT b.id, b.v, x.i // 10 AS k,
+       |    ((b.a + 1) * (x.i + 1) * 37 + 11 * b.a) % 2003 - 1001 AS raw
+       |  FROM base b CROSS JOIN idx x),
+       |en AS MATERIALIZED (SELECT id, k, SUM(abs(
+       |    CASE WHEN v = 1 THEN raw * 2
+       |         WHEN v = 2 AND k = 20 THEN raw + 4000
+       |         ELSE raw END)) AS e
+       |  FROM samp0 GROUP BY id, k),
+       |bits AS MATERIALIZED (SELECT ea.id, ea.k AS i,
+       |    CASE WHEN ea.e > eb.e THEN 1 ELSE 0 END AS bit
+       |  FROM en ea JOIN en eb ON ea.id = eb.id AND eb.k = (ea.k + 1) % 64),
+       |pows(i, p) AS (VALUES $pows),
+       |sims AS MATERIALIZED (
+       |  SELECT c.id, simu, ${HashSql.toS("simu")} AS sim FROM (
+       |    SELECT b2.id,
+       |      SUM(CASE WHEN b2.bit = 1 THEN pw.p ELSE CAST(0 AS HUGEINT) END) AS simu
+       |    FROM bits b2 JOIN pows pw ON pw.i = b2.i
+       |    GROUP BY b2.id) c),
+       |blk AS MATERIALIZED (
+       |  SELECT id, sim, j AS blk_idx,
+       |    CAST((simu // (CASE j WHEN 0 THEN ${pw(0)} WHEN 1 THEN ${pw(16)}
+       |                   WHEN 2 THEN ${pw(32)} ELSE ${pw(48)} END)) % 65536 AS BIGINT) AS blk_val
+       |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS j) J)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |         CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       |  FROM blk a JOIN blk b ON a.blk_idx = b.blk_idx AND a.blk_val = b.blk_val
+       |                       AND a.id < b.id) t
+       |WHERE hamming <= 3""".stripMargin
+  }
+
   /** Mirrors [[qMultimodalKeepOne]]: the [[multimodalImageDupsSql]]
     * perceptual pairs through the identical recursive closure +
     * keep-min-id replay as [[dedupKeepOneSql]]. */
@@ -5652,6 +5743,7 @@ object ExtensionQueries {
     "q_multimodal_audio" -> multimodalAudioSql,
     "q_multimodal_video" -> multimodalVideoSql,
     "q_multimodal_image_dups" -> multimodalImageDupsSql(),
+    "q_multimodal_audio_dups" -> multimodalAudioDupsSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),

@@ -1859,6 +1859,38 @@ class ExtensionSpec extends SparkSpec {
     assert(got(4L) == ("extended further now", 3L), s"$got")
   }
 
+  test("audioHash: energy-contour bits match a local replica, " +
+    "volume-invariant, typed-null on non-PCM16/short/malformed") {
+    import graft.multimodal.Multimodal
+    val n = 128 // 2 samples per frame
+    def wav(f: Int => Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => bb.putShort(f(i).toShort))
+      Multimodal.wavBytes(8000, 1, 16, bb.array())
+    }
+    val base: Int => Int = i => (i * 131 % 997) - 498
+    val got = Multimodal.audioHash(wav(base)).get
+    // local replica
+    val e = Array.fill(64)(0L)
+    (0 until n).foreach(i => e(i * 64 / n) += math.abs(base(i)).toLong)
+    val want = (0 until 64).foldLeft(0L)((h, k) =>
+      if (e(k) > e((k + 1) & 63)) h | (1L << k) else h)
+    assert(got == want)
+    assert(got != 0L && got != -1L, "contour should not be degenerate")
+    // uniform gain cancels in adjacent-frame comparisons
+    assert(Multimodal.audioHash(wav(i => base(i) * 2)).contains(got))
+    // rejections: too short, 8-bit PCM, truncated header
+    val short = java.nio.ByteBuffer.allocate(60).order(
+      java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 30).foreach(i => short.putShort(i.toShort))
+    assert(Multimodal.audioHash(
+      Multimodal.wavBytes(8000, 1, 16, short.array())).isEmpty)
+    assert(Multimodal.audioHash(
+      Multimodal.wavBytes(8000, 1, 8, Array.fill(256)(1.toByte))).isEmpty)
+    assert(Multimodal.audioHash("RIFFxxxx".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("trainLogisticFx matches a local integer-math replica; " +
     "scoreFx gives featureless docs prob = half-scale") {
     val feats = df("doc_id BIGINT, feat_idx BIGINT, weight BIGINT",
