@@ -48,14 +48,23 @@ object Classifier {
     * defines N — docs with no surviving feature still pull the
     * intercept-free margin toward σ̂ = ½ and contribute gradient
     * only through features they lack (i.e. none), matching the
-    * sparse-update contract. */
+    * sparse-update contract.
+    *
+    * `initWeights` WARM-STARTS the loop from a previous result (its
+    * own output shape, ≤ dims rows collected) — the incremental
+    * daily-batch posture: continue training on the new batch alone
+    * instead of re-scanning history. Because full-batch GD state IS
+    * the weight vector, warm-start-then-continue is bit-identical to
+    * one longer run whose later passes see only the new batch — the
+    * closure property the warm oracle replays. */
   def trainLogisticFx(
       features: DataFrame,
       labels: DataFrame,
       dims: Int,
       iters: Int = 3,
       scaleBits: Int = 20,
-      lrShift: Int = 3): DataFrame = {
+      lrShift: Int = 3,
+      initWeights: Option[DataFrame] = None): DataFrame = {
     require(dims >= 2, s"dims must be >= 2, got $dims")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scaleBits >= 4 && scaleBits <= 30, s"scaleBits out of range: $scaleBits")
@@ -75,6 +84,14 @@ object Classifier {
     val divisor = java.math.BigInteger.valueOf(n << lrShift)
 
     val w = Array.fill(dims)(0L)
+    initWeights.foreach { iw =>
+      iw.select(col("feat_idx").cast("long"), col("w_fx").cast("long"))
+        .collect().foreach { r =>
+          val j = r.getLong(0).toInt
+          require(j >= 0 && j < dims, s"initWeights feat_idx $j out of [0, $dims)")
+          w(j) = r.getLong(1)
+        }
+    }
     val wSchema = StructType(Seq(
       StructField("feat_idx", LongType, nullable = false),
       StructField("w_fx", LongType, nullable = false)))

@@ -236,6 +236,46 @@ object ExtensionQueries {
     Classifier.scoreFx(docs, "doc_id", feats, w)
   }
 
+  /** WARM-START continuation ([[qQualityDistill]]'s incremental
+    * twin): three cold passes on the corpus split (doc_id % 5 ≠ 0),
+    * then two continued passes on the new-batch split alone, seeded
+    * from the corpus weights — the daily-ingest posture where
+    * history is never re-scanned. The oracle chains two unrolled GD
+    * chains, the second's w0 = the first's w3. */
+  private val qQualityDistillWarm: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val cold = Classifier.trainLogisticFx(
+      Search.hashedFeatures(corpus, "doc_id", "text", dims = 256, seed = 11L),
+      distillLabels(corpus), dims = 256, iters = 3)
+    Classifier.trainLogisticFx(
+      Search.hashedFeatures(batch, "doc_id", "text", dims = 256, seed = 11L),
+      distillLabels(batch), dims = 256, iters = 2, initWeights = Some(cold))
+  }
+
+  /** Distillation EVAL — did the linear model learn the gate it was
+    * distilled from? Confusion counts of [[qQualityDistillScore]]'s
+    * prediction (prob_fx > ½·2^20) against the gate labels, plus
+    * floor-permille accuracy — one row, all integers. The honest
+    * closing of the train→serve→measure loop under the same oracle
+    * discipline. */
+  private val qQualityDistillEval: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    val scored = qQualityDistillScore(s, dir)
+    val pred = scored.select(col("doc_id"),
+      (col("prob_fx") > lit(1L << 19)).cast("long").as("yhat"))
+    distillLabels(docs).select(col("doc_id"), col("label").cast("long").as("y"))
+      .join(pred, Seq("doc_id"))
+      .agg(
+        sum(when(col("y") === 1 && col("yhat") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0 && col("yhat") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1 && col("yhat") === 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") === 0 && col("yhat") === 0, 1L).otherwise(0L)).as("tn"))
+      .withColumn("accuracy_permille",
+        expr("(tp + tn) * 1000 div (tp + fp + fn + tn)"))
+  }
+
   /** The pipeline gate as a 0/1 label frame — [[qPipelineFilter]]'s
     * predicate over every document. */
   private def distillLabels(docs: DataFrame): DataFrame =
@@ -2318,6 +2358,8 @@ object ExtensionQueries {
     "q_dedup_scrub_spans" -> qDedupScrubSpans,
     "q_quality_distill" -> qQualityDistill,
     "q_quality_distill_score" -> qQualityDistillScore,
+    "q_quality_distill_warm" -> qQualityDistillWarm,
+    "q_quality_distill_eval" -> qQualityDistillEval,
     "q_pack_chunks" -> qPackChunks,
     "q_embed_outliers" -> qEmbedOutliers,
     "q_pipeline_filter" -> qPipelineFilter,
@@ -5042,28 +5084,51 @@ object ExtensionQueries {
     * rational, truncating `//` division, HUGEINT sums ≡ Spark's
     * DECIMAL(38,0) folds). Ends with the weight CTE `w{iters}`
     * available; the caller appends its final SELECT. */
-  private def distillCtes(iters: Int): String = {
-    val dims = 256
+  private def distillCtes(iters: Int): String =
+    s"WITH ${distillChain(iters, "", "TRUE", s"SELECT unnest(range(0, 256)) AS feat_idx, CAST(0 AS HUGEINT) AS w")}"
+
+  /** One GD chain's CTE list (no leading WITH): features + labels
+    * over `documents WHERE docWhere`, initial weights from `w0Sql`,
+    * `iters` unrolled passes; every CTE name carries `p` so two
+    * chains compose in one query (the warm-start oracle chains a
+    * cold run on the corpus split into a continued run on the batch
+    * split, `b`-chain w0 = `a`-chain w3). */
+  private def distillChain(
+      iters: Int, p: String, docWhere: String, w0Sql: String): String = {
     val scale = 1L << 20
     val half = scale >> 1
     val clamp = 1L << 40
+    val featSql = {
+      val dims = 256
+      val salt = graft.functions.Hashing.salts(1, 11L).head
+      val sign = s"CASE WHEN (x // $dims) % 2 = 1 THEN 1 ELSE -1 END"
+      s"""WITH ths AS (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths
+         |    FROM documents WHERE $docWhere),
+         |tok AS MATERIALIZED (SELECT doc_id, unnest(ths) AS h FROM ths),
+         |m0 AS MATERIALIZED (SELECT doc_id, ${HashSql.ux("h", HashSql.u(salt))} AS x FROM tok),
+         |${HashSql.mixCtes("m", "m0", "doc_id")}
+         |SELECT doc_id, CAST(x % $dims AS BIGINT) AS feat_idx,
+         |  CAST(SUM($sign) AS BIGINT) AS weight
+         |FROM m4 GROUP BY doc_id, feat_idx
+         |HAVING SUM($sign) <> 0""".stripMargin
+    }
     val passes = (1 to iters).map { i =>
       val sig = s"($half + CASE WHEN cm >= 0 THEN (u * $half) // ($scale + u) " +
         s"ELSE -((u * $half) // ($scale + u)) END)"
-      s"""m$i AS MATERIALIZED (SELECT f.doc_id, SUM(f.weight * w.w) AS m
-         |  FROM feat f JOIN w${i - 1} w USING (feat_idx) GROUP BY f.doc_id),
-         |s$i AS MATERIALIZED (SELECT l.doc_id, l.y, coalesce(m.m, 0) AS cm,
+      s"""${p}m$i AS MATERIALIZED (SELECT f.doc_id, SUM(f.weight * w.w) AS m
+         |  FROM ${p}feat f JOIN ${p}w${i - 1} w USING (feat_idx) GROUP BY f.doc_id),
+         |${p}s$i AS MATERIALIZED (SELECT l.doc_id, l.y, coalesce(m.m, 0) AS cm,
          |    least(abs(coalesce(m.m, 0)), $clamp) AS u
-         |  FROM lab l LEFT JOIN m$i m USING (doc_id)),
-         |e$i AS MATERIALIZED (SELECT doc_id, $sig - y * $scale AS e FROM s$i),
-         |g$i AS MATERIALIZED (SELECT f.feat_idx, SUM(f.weight * e.e) AS g
-         |  FROM feat f JOIN e$i e USING (doc_id) GROUP BY f.feat_idx),
-         |w$i AS MATERIALIZED (SELECT w.feat_idx,
-         |    w.w - coalesce(g.g, 0) // ((SELECT n FROM nn) * 8) AS w
-         |  FROM w${i - 1} w LEFT JOIN g$i g USING (feat_idx))""".stripMargin
+         |  FROM ${p}lab l LEFT JOIN ${p}m$i m USING (doc_id)),
+         |${p}e$i AS MATERIALIZED (SELECT doc_id, $sig - y * $scale AS e FROM ${p}s$i),
+         |${p}g$i AS MATERIALIZED (SELECT f.feat_idx, SUM(f.weight * e.e) AS g
+         |  FROM ${p}feat f JOIN ${p}e$i e USING (doc_id) GROUP BY f.feat_idx),
+         |${p}w$i AS MATERIALIZED (SELECT w.feat_idx,
+         |    w.w - coalesce(g.g, 0) // ((SELECT n FROM ${p}nn) * 8) AS w
+         |  FROM ${p}w${i - 1} w LEFT JOIN ${p}g$i g USING (feat_idx))""".stripMargin
     }.mkString(",\n")
-    s"""WITH feat AS MATERIALIZED ($textFeatureHashSql),
-       |lab AS MATERIALIZED (SELECT doc_id,
+    s"""${p}feat AS MATERIALIZED ($featSql),
+       |${p}lab AS MATERIALIZED (SELECT doc_id,
        |    CASE WHEN lang_pred = 'en' AND quality >= 0.5
        |      AND n_tokens BETWEEN 5 AND 1000 THEN 1 ELSE 0 END AS y
        |  FROM (SELECT doc_id,
@@ -5072,9 +5137,10 @@ object ExtensionQueries {
        |        + least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.2
        |        + (1.0 - $punctRatioSql) * 0.1 AS quality,
        |      $nTokensSql AS n_tokens
-       |    FROM (SELECT doc_id, text, $langBestSql AS __best FROM documents) t) w),
-       |nn AS (SELECT COUNT(*) AS n FROM lab),
-       |w0 AS (SELECT unnest(range(0, $dims)) AS feat_idx, CAST(0 AS HUGEINT) AS w),
+       |    FROM (SELECT doc_id, text, $langBestSql AS __best FROM documents
+       |          WHERE $docWhere) t) w),
+       |${p}nn AS (SELECT COUNT(*) AS n FROM ${p}lab),
+       |${p}w0 AS ($w0Sql),
        |$passes""".stripMargin
   }
 
@@ -5084,6 +5150,16 @@ object ExtensionQueries {
     s"""${distillCtes(3)}
        |SELECT CAST(feat_idx AS BIGINT) AS feat_idx, CAST(w AS BIGINT) AS w_fx
        |FROM w3""".stripMargin
+
+  /** Mirrors [[qQualityDistillWarm]]: the cold chain over the corpus
+    * split, then the continued chain over the batch split seeded
+    * from `a_w3`. */
+  private def qualityDistillWarmSql: String =
+    s"""WITH ${distillChain(3, "a_", "doc_id % 5 <> 0",
+         "SELECT unnest(range(0, 256)) AS feat_idx, CAST(0 AS HUGEINT) AS w")},
+       |${distillChain(2, "b_", "doc_id % 5 = 0", "SELECT feat_idx, w FROM a_w3")}
+       |SELECT CAST(feat_idx AS BIGINT) AS feat_idx, CAST(w AS BIGINT) AS w_fx
+       |FROM b_w2""".stripMargin
 
   /** Mirrors [[qQualityDistillScore]]: one more margin/sigmoid stage
     * over the trained `w3` — every document scored, featureless docs
@@ -5102,6 +5178,33 @@ object ExtensionQueries {
        |  CAST($half + CASE WHEN cm >= 0 THEN (u * $half) // ($scale + u)
        |    ELSE -((u * $half) // ($scale + u)) END AS BIGINT) AS prob_fx
        |FROM ss""".stripMargin
+  }
+
+  /** Mirrors [[qQualityDistillEval]]: the score chain's prediction
+    * joined back to the label CTE, confusion counts + floor-permille
+    * accuracy. */
+  private def qualityDistillEvalSql: String = {
+    val half = 1L << 19
+    s"""WITH scored AS MATERIALIZED ($qualityDistillScoreSql)
+       |SELECT tp, fp, fn, tn,
+       |  CAST((tp + tn) * 1000 // (tp + fp + fn + tn) AS BIGINT) AS accuracy_permille
+       |FROM (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN l.y = 1 AND s.prob_fx > $half THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN l.y = 0 AND s.prob_fx > $half THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN l.y = 1 AND s.prob_fx <= $half THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(SUM(CASE WHEN l.y = 0 AND s.prob_fx <= $half THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM scored s JOIN (SELECT doc_id,
+       |      CASE WHEN lang_pred = 'en' AND quality >= 0.5
+       |        AND n_tokens BETWEEN 5 AND 1000 THEN 1 ELSE 0 END AS y
+       |    FROM (SELECT doc_id,
+       |        $langPredCaseSql AS lang_pred,
+       |        $alphaRatioSql * 0.4 + $stopRatioSql * 0.3
+       |          + least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.2
+       |          + (1.0 - $punctRatioSql) * 0.1 AS quality,
+       |        $nTokensSql AS n_tokens
+       |      FROM (SELECT doc_id, text, $langBestSql AS __best FROM documents) t) w) l
+       |    ON s.doc_id = l.doc_id) c""".stripMargin
   }
 
   /** Mirrors [[qDedupScrubSpans]]: the hot set is the duplicated-span
@@ -5919,6 +6022,8 @@ object ExtensionQueries {
     "q_dedup_scrub_spans" -> dedupScrubSpansSql,
     "q_quality_distill" -> qualityDistillSql,
     "q_quality_distill_score" -> qualityDistillScoreSql,
+    "q_quality_distill_warm" -> qualityDistillWarmSql,
+    "q_quality_distill_eval" -> qualityDistillEvalSql,
     "q_pack_chunks" -> packChunksSql,
     "q_embed_outliers" -> embedOutliersSql,
     // Same built PII payload as the query (lpad/concat replay), then

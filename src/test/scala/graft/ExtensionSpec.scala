@@ -1925,6 +1925,17 @@ class ExtensionSpec extends SparkSpec {
     assert(got == w.indices.map(j => j.toLong -> w(j)).toMap, s"got $got want ${w.toSeq}")
     assert(w.exists(_ != 0L), "replica should learn nonzero weights")
 
+    // warm-start closure: 1 pass + 1 continued pass == 2 cold passes
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold2 = asMap(graft.operators.Classifier
+      .trainLogisticFx(feats, labels, dims, iters = 2))
+    val w1 = graft.operators.Classifier
+      .trainLogisticFx(feats, labels, dims, iters = 1)
+    val warm = asMap(graft.operators.Classifier
+      .trainLogisticFx(feats, labels, dims, iters = 1, initWeights = Some(w1)))
+    assert(warm == cold2, s"warm-start continuation must equal one longer run")
+
     val weights = graft.operators.Classifier
       .trainLogisticFx(feats, labels, dims, iters = 3)
     val scored = graft.operators.Classifier
