@@ -705,15 +705,21 @@ object Multimodal {
   /** Build a real minimal ISO-BMFF/MP4 payload: `ftyp` (major brand +
     * isom compat), `moov` with a version-0 `mvhd` (given
     * timescale/duration) and one full trak→mdia→minf→stbl→stsd chain
-    * per codec fourcc, then `data` as the `mdat` body. Every box size
-    * is exact, so the payload round-trips through [[tryDecodeMp4]];
-    * in the catalog it materializes the deterministic header-field
-    * contract the oracle replays. */
+    * per codec fourcc, then `data` as the `mdat` body. When
+    * `sampleSizes` is non-empty, the FIRST trak's `stbl` also carries
+    * a per-sample `stsz` sample-size table (version 0, sample_size 0,
+    * one u32 per sample — ISO 14496-12 §8.7.3.2), which is what
+    * [[videoHash]] fingerprints. Every box size is exact, so the
+    * payload round-trips through [[tryDecodeMp4]]; in the catalog it
+    * materializes the deterministic header-field contract the oracle
+    * replays. */
   def mp4Bytes(majorBrand: String, timescale: Int, duration: Long,
-      codecs: Seq[String], data: Array[Byte]): Array[Byte] = {
+      codecs: Seq[String], data: Array[Byte],
+      sampleSizes: Seq[Int] = Nil): Array[Byte] = {
     require(majorBrand.length == 4 && codecs.nonEmpty &&
       codecs.forall(_.length == 4) && timescale > 0 &&
-      duration >= 0 && duration <= 0xFFFFFFFFL)
+      duration >= 0 && duration <= 0xFFFFFFFFL &&
+      sampleSizes.forall(_ >= 0))
     def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
       bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
@@ -733,16 +739,141 @@ object Multimodal {
       bb.putInt(codecs.length + 1) // next_track_id
       bb.array()
     })
-    val traks = codecs.map { cc =>
+    val traks = codecs.zipWithIndex.map { case (cc, ti) =>
       // minimal sample entry: 6 reserved bytes + u16 data_reference_index
       val entry = box(cc, new Array[Byte](8))
       val stsd = box("stsd",
         java.nio.ByteBuffer.allocate(8 + entry.length)
           .putInt(0).putInt(1).put(entry).array())
-      box("trak", box("mdia", box("minf", box("stbl", stsd))))
+      val stbl =
+        if (ti > 0 || sampleSizes.isEmpty) stsd
+        else {
+          val bb = java.nio.ByteBuffer.allocate(12 + 4 * sampleSizes.length)
+          bb.putInt(0) // version + flags
+            .putInt(0) // sample_size 0 = per-sample table follows
+            .putInt(sampleSizes.length)
+          sampleSizes.foreach(bb.putInt)
+          stsd ++ box("stsz", bb.array())
+        }
+      box("trak", box("mdia", box("minf", box("stbl", stbl))))
     }
     val moov = box("moov", (mvhd +: traks).reduce(_ ++ _))
     val mdat = box("mdat", data)
     ftyp ++ moov ++ mdat
+  }
+
+  /** 64-bit VIDEO fingerprint from the container's per-sample size
+    * table — the codec-independent integer core of stream-structure
+    * fingerprinting: the first trak's `stsz` sample sizes (one coded
+    * frame each — the I/P/B size rhythm of the encode) split into 64
+    * equal frames-of-the-contour (bucket of sample i = i·64/n, floor,
+    * the [[audioHash]] discipline), each bucket's value is the exact
+    * Σ of its sample sizes, and bit k is set iff bucket(k) >
+    * bucket((k+1) mod 64). Adjacent-bucket comparison cancels uniform
+    * bitrate scaling (a re-encode at 3× the rate scales every coded
+    * size ~uniformly, so the contour survives) and remuxing never
+    * touches sample sizes at all — Hamming proximity between video
+    * hashes is the video-modality near-dup signal; pair with
+    * [[graft.operators.Dedup.hammingPairs]] exactly like image
+    * aHashes, audio contours, and text SimHashes.
+    *
+    * ALL arithmetic is integer, bit-reproducible and SQL-replayable.
+    * None unless the payload is a well-formed MP4 whose first trak
+    * carries a PER-SAMPLE `stsz` table (sample_size field 0) with at
+    * least 64 entries: a fixed-size table (sample_size ≠ 0) has a
+    * flat contour — zero information, degrade rather than hash
+    * everything uniform into one bucket. */
+  def videoHash(payload: Array[Byte]): Option[Long] =
+    try {
+      if (payload == null || payload.length < 16 ||
+        fourcc(payload, 4) != "ftyp") None
+      else {
+        var sizesOff = -1
+        var nSamples = -1
+        def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Boolean = {
+          var pos = from
+          var ok = true
+          while (ok && pos + 8 <= until) {
+            val size0 = be32(payload, pos)
+            val tpe = fourcc(payload, pos + 4)
+            val (headLen, size) =
+              if (size0 == 1L && pos + 16 <= until) (16, be64(payload, pos + 8))
+              else if (size0 == 0L) (8, (until - pos).toLong)
+              else (8, size0)
+            if (size < headLen || pos + size > until) ok = false
+            else {
+              f(tpe, pos + headLen, pos + size.toInt)
+              pos += size.toInt
+            }
+          }
+          ok
+        }
+        def parseStsz(from: Int, until: Int): Unit =
+          // version+flags(4) sample_size(4) sample_count(4) entries
+          if (sizesOff < 0 && from + 12 <= until &&
+            be32(payload, from + 4) == 0L) {
+            val cnt = be32(payload, from + 8)
+            if (cnt >= 64 && from + 12 + 4 * cnt <= until) {
+              sizesOff = from + 12
+              nSamples = cnt.toInt
+            }
+          }
+        var seenTrak = false
+        val okTop = walk(0, payload.length) {
+          case ("moov", f, u) => walk(f, u) {
+            case ("trak", f2, u2) if !seenTrak =>
+              seenTrak = true
+              walk(f2, u2) {
+                case ("mdia", f3, u3) => walk(f3, u3) {
+                  case ("minf", f4, u4) => walk(f4, u4) {
+                    case ("stbl", f5, u5) => walk(f5, u5) {
+                      case ("stsz", f6, u6) => parseStsz(f6, u6)
+                      case _ => ()
+                    }
+                    case _ => ()
+                  }
+                  case _ => ()
+                }
+                case _ => ()
+              }
+            case _ => ()
+          }
+          case _ => ()
+        }
+        if (!okTop || sizesOff < 0) None
+        else {
+          val bucket = new Array[Long](64)
+          var i = 0
+          while (i < nSamples) {
+            bucket(((i.toLong * 64) / nSamples).toInt) += be32(payload, sizesOff + 4 * i)
+            i += 1
+          }
+          var hash = 0L
+          var k = 0
+          while (k < 64) {
+            if (bucket(k) > bucket((k + 1) & 63)) hash |= (1L << k)
+            k += 1
+          }
+          Some(hash)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One clip's fingerprint row — `decoded = false`, hash 0 for
+    * anything [[videoHash]] rejects (typed degradation, the house
+    * multimodal discipline). */
+  final case class VideoHash(doc_id: Long, decoded: Boolean, vhash: Long)
+
+  /** Batched video fingerprinting — the [[extractAudioHashes]] shape
+    * for the video modality. */
+  def extractVideoHashes(
+      items: Dataset[MediaItem], batchSize: Int = 32): Dataset[VideoHash] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.grouped(batchSize).flatMap(_.map { item =>
+      videoHash(item.payload) match {
+        case Some(h) => VideoHash(item.doc_id, decoded = true, h)
+        case None    => VideoHash(item.doc_id, decoded = false, 0L)
+      }
+    }))
   }
 }

@@ -2346,6 +2346,51 @@ object ExtensionQueries {
     Multimodal.extractVideo(items).toDF()
   }
 
+  /** Shared video-fingerprint frame for the video-dedup query: every
+    * doc_id materializes as a REAL minimal MP4 whose first trak
+    * carries a per-sample `stsz` size table
+    * ([[graft.multimodal.Multimodal.mp4Bytes]], 320 sample sizes from
+    * a fixed integer recipe) — three variants per trio: the base
+    * size rhythm, the SAME rhythm at 3× the bitrate (identical
+    * [[graft.multimodal.Multimodal.videoHash]] — the size-contour
+    * hash compares adjacent buckets, so uniform bitrate scaling
+    * cancels), and a one-bucket spike perturbation (≤2 flipped
+    * bits). The payloads are parsed back by the real box walk and
+    * fingerprinted; the oracle replays
+    * recipe→sizes→bucket-sums→contour-bits→blocks in integer SQL. */
+  private def videoVhashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = pq(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val a = (id / 3) % 100003
+        val v = id % 3
+        val n = 320
+        val sizes = (0 until n).map { i =>
+          val raw = ((a + 1) * (i + 1) * 53 + 7 * a) % 9001 + 100
+          (v match {
+            case 1 => raw * 3
+            case 2 => if (i / 5 == 20) raw + 40000 else raw
+            case _ => raw
+          }).toInt
+        }
+        val payload = Multimodal.mp4Bytes(
+          "isom", 600, 1000L, Seq("avc1"), Array.empty, sizes)
+        Multimodal.MediaItem(id, "", payload, payload.length.toLong)
+      }
+    Multimodal.extractVideoHashes(items).toDF()
+      .filter(col("decoded")).select("doc_id", "vhash")
+  }
+
+  /** VIDEO near-duplicate pairs over real parsed sample-size tables —
+    * the video leg of the multimodal dedup matrix: box-walk →
+    * size-contour fingerprint → the SAME generic pigeonhole
+    * [[Dedup.hammingPairs]] as image aHashes, audio contours, and
+    * text SimHashes. With this, all four modalities pair through one
+    * operator. */
+  private val qMultimodalVideoDups: Q = (s, dir) =>
+    Dedup.hammingPairs(videoVhashes(s, dir), "doc_id", "vhash", maxHamming = 3)
+
   // ------------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2489,6 +2534,7 @@ object ExtensionQueries {
     "q_multimodal_video" -> qMultimodalVideo,
     "q_multimodal_image_dups" -> qMultimodalImageDups,
     "q_multimodal_audio_dups" -> qMultimodalAudioDups,
+    "q_multimodal_video_dups" -> qMultimodalVideoDups,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -5726,6 +5772,50 @@ object ExtensionQueries {
        |WHERE hamming <= 3""".stripMargin
   }
 
+  /** Mirrors [[qMultimodalVideoDups]]: sample sizes from the
+    * construction recipe, per-bucket size sums, adjacent-bucket
+    * contour bits, then the identical 16-bit-block pigeonhole pair
+    * replay as [[multimodalAudioDupsSql]]. */
+  private val multimodalVideoDupsSql: String = {
+    def pw(j: Int) =
+      s"CAST('${java.math.BigInteger.ONE.shiftLeft(j)}' AS HUGEINT)"
+    val pows = (0 until 64).map(i => s"($i, ${pw(i)})").mkString(", ")
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id,
+       |                     ((CAST(doc_id AS BIGINT) // 3) % 100003) AS a,
+       |                     (CAST(doc_id AS BIGINT) % 3) AS v
+       |              FROM documents),
+       |idx AS (SELECT unnest(range(0, 320)) AS i),
+       |samp0 AS (SELECT b.id, b.v, x.i // 5 AS k,
+       |    ((b.a + 1) * (x.i + 1) * 53 + 7 * b.a) % 9001 + 100 AS raw
+       |  FROM base b CROSS JOIN idx x),
+       |en AS MATERIALIZED (SELECT id, k, SUM(
+       |    CASE WHEN v = 1 THEN raw * 3
+       |         WHEN v = 2 AND k = 20 THEN raw + 40000
+       |         ELSE raw END) AS e
+       |  FROM samp0 GROUP BY id, k),
+       |bits AS MATERIALIZED (SELECT ea.id, ea.k AS i,
+       |    CASE WHEN ea.e > eb.e THEN 1 ELSE 0 END AS bit
+       |  FROM en ea JOIN en eb ON ea.id = eb.id AND eb.k = (ea.k + 1) % 64),
+       |pows(i, p) AS (VALUES $pows),
+       |sims AS MATERIALIZED (
+       |  SELECT c.id, simu, ${HashSql.toS("simu")} AS sim FROM (
+       |    SELECT b2.id,
+       |      SUM(CASE WHEN b2.bit = 1 THEN pw.p ELSE CAST(0 AS HUGEINT) END) AS simu
+       |    FROM bits b2 JOIN pows pw ON pw.i = b2.i
+       |    GROUP BY b2.id) c),
+       |blk AS MATERIALIZED (
+       |  SELECT id, sim, j AS blk_idx,
+       |    CAST((simu // (CASE j WHEN 0 THEN ${pw(0)} WHEN 1 THEN ${pw(16)}
+       |                   WHEN 2 THEN ${pw(32)} ELSE ${pw(48)} END)) % 65536 AS BIGINT) AS blk_val
+       |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS j) J)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |         CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       |  FROM blk a JOIN blk b ON a.blk_idx = b.blk_idx AND a.blk_val = b.blk_val
+       |                       AND a.id < b.id) t
+       |WHERE hamming <= 3""".stripMargin
+  }
+
   /** Mirrors [[qMultimodalKeepOne]]: the [[multimodalImageDupsSql]]
     * perceptual pairs through the identical recursive closure +
     * keep-min-id replay as [[dedupKeepOneSql]]. */
@@ -5847,6 +5937,7 @@ object ExtensionQueries {
     "q_multimodal_video" -> multimodalVideoSql,
     "q_multimodal_image_dups" -> multimodalImageDupsSql(),
     "q_multimodal_audio_dups" -> multimodalAudioDupsSql,
+    "q_multimodal_video_dups" -> multimodalVideoDupsSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),

@@ -1419,6 +1419,58 @@ class ExtensionSpec extends SparkSpec {
     assert(junk.media_type == "application/octet-stream" && junk.timescale.isEmpty)
   }
 
+  test("videoHash: stsz contour round-trips, bitrate-scale-invariant, degrades typed") {
+    import graft.multimodal.Multimodal
+    // 320 varied sample sizes; local replica of the bucket/contour math
+    val sizes = (0 until 320).map(i => (i * 53 + 7) % 9001 + 100)
+    def contour(ss: Seq[Int]): Long = {
+      val b = new Array[Long](64)
+      ss.zipWithIndex.foreach { case (sz, i) => b((i * 64 / ss.length)) += sz }
+      (0 until 64).foldLeft(0L)((h, k) =>
+        if (b(k) > b((k + 1) % 64)) h | (1L << k) else h)
+    }
+    val mp4 = Multimodal.mp4Bytes("isom", 600, 0L, Seq("avc1"), Array.empty, sizes)
+    assert(Multimodal.videoHash(mp4).contains(contour(sizes)))
+    // the stsz box does not disturb the metadata walk
+    assert(Multimodal.tryDecodeMp4(1L, mp4).get.codec.contains("avc1"))
+    // uniform 3x bitrate scaling cancels (adjacent-bucket comparison)
+    val x3 = Multimodal.mp4Bytes("isom", 600, 0L, Seq("avc1"), Array.empty,
+      sizes.map(_ * 3))
+    assert(Multimodal.videoHash(x3) == Multimodal.videoHash(mp4))
+    // a one-bucket spike flips at most 2 bits
+    val spiked = sizes.zipWithIndex.map { case (s, i) =>
+      if (i / 5 == 20) s + 40000 else s }
+    val sp = Multimodal.mp4Bytes("isom", 600, 0L, Seq("avc1"), Array.empty, spiked)
+    assert(java.lang.Long.bitCount(
+      Multimodal.videoHash(sp).get ^ Multimodal.videoHash(mp4).get) <= 2)
+    // stsz lives only in the FIRST trak; a second codec still parses
+    val two = Multimodal.mp4Bytes("isom", 600, 0L, Seq("avc1", "mp4a"),
+      Array.empty, sizes)
+    assert(Multimodal.videoHash(two).contains(contour(sizes)))
+    assert(Multimodal.tryDecodeMp4(2L, two).get.n_tracks.contains(2L))
+    // degradation: no stsz, <64 samples, corruption -> None
+    assert(Multimodal.videoHash(
+      Multimodal.mp4Bytes("isom", 600, 0L, Seq("avc1"), Array.empty)).isEmpty)
+    assert(Multimodal.videoHash(
+      Multimodal.mp4Bytes("isom", 600, 0L, Seq("avc1"), Array.empty,
+        sizes.take(63))).isEmpty)
+    assert(Multimodal.videoHash(mp4.take(40)).isEmpty)
+    assert(Multimodal.videoHash(Array[Byte](1, 2, 3)).isEmpty)
+    // fixed-size stsz (sample_size != 0, flat contour) degrades too:
+    // patch the built table to the uniform form
+    val flat = mp4.clone()
+    val stszOff = {
+      def find(off: Int): Int =
+        if (off + 8 > flat.length) -1
+        else if (new String(flat, off + 4, 4, "US-ASCII") == "stsz") off
+        else find(off + 1)
+      find(0)
+    }
+    assert(stszOff > 0)
+    flat(stszOff + 12 + 3) = 1 // sample_size = 1 (uniform)
+    assert(Multimodal.videoHash(flat).isEmpty)
+  }
+
   test("Bpe.train matches the hand-computed merge sequence (ties, greedy re-merge)") {
     // freqs: low:3 lower:2 newest:3 widest:1 — classic Sennrich corpus
     val t = df("doc_id BIGINT, text STRING",
