@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions
+
+/** Structured-conversation (SFT/chat transcript) operators — the QA
+  * pass every instruction-tuning pipeline runs before a transcript is
+  * allowed into a training mix: parse the serialized turn list with
+  * Spark's native JSON reader, then validate the conversational
+  * contract (known roles, system-prompt position, strict user ↔
+  * assistant alternation, no empty turns) and compute the per-role
+  * token accounting that mixture budgeting needs.
+  *
+  * Design: schema-on-read with `from_json` against a FIXED turn
+  * schema — Catalyst's Jackson-based parser, codegen-projected, no
+  * UDF — then ordinary window/agg machinery. Transcripts are rows,
+  * turns are exploded rows, and every validation flag is an
+  * aggregate over turns, so the whole surface is two shuffles (the
+  * doc-keyed window + the doc-keyed fold) regardless of corpus size.
+  */
+object Chat {
+
+  /** The wire schema of one serialized transcript: a JSON array of
+    * `{"role": ..., "content": ...}` turn objects (the de-facto chat
+    * interchange shape). Extra keys in the payload are ignored by
+    * `from_json`; missing keys surface as NULL for the validator. */
+  val turnSchema: ArrayType =
+    ArrayType(StructType(Seq(
+      StructField("role", StringType),
+      StructField("content", StringType))))
+
+  /** Roles the validator accepts. */
+  val allowedRoles: Seq[String] = Seq("system", "user", "assistant")
+
+  /** Parse a JSON-transcript column into one row per turn:
+    * `(idCol, turn_idx, role, content)`, `turn_idx` the 0-based
+    * position within its conversation.
+    *
+    * Degradation is typed and total: a malformed / NULL transcript
+    * parses to NULL (Spark's PERMISSIVE JSON mode) and contributes
+    * ZERO turn rows — it disappears from the turn frame, which is the
+    * documented contract (pre-filter with `transcript IS NOT NULL AND
+    * from_json(...) IS NOT NULL` to quarantine malformed rows; a
+    * conversation absent from [[validateTurns]]' output is
+    * unparseable, not valid).
+    *
+    * Scale posture: `from_json` + `posexplode` is a zero-shuffle
+    * codegen'd projection over scan output — parse cost is linear in
+    * payload bytes and fully distributed. */
+  def parseTurns(df: DataFrame, idCol: String, jsonCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(from_json(col(jsonCol), turnSchema)))
+      .select(col(idCol), col("pos").cast("long").as("turn_idx"),
+        col("col.role").as("role"), col("col.content").as("content"))
+
+  /** Fold a turn frame (the [[parseTurns]] shape) into one
+    * validation-and-accounting row per conversation:
+    *
+    *  - `n_turns`, `n_system`, `n_user`, `n_assistant` — turn counts;
+    *  - `user_tokens`, `assistant_tokens` — whitespace-token mass per
+    *    trainable role (the numbers a mixture budget sums);
+    *  - `roles_ok` — every role is one of [[allowedRoles]];
+    *  - `starts_ok` — the conversation opens with `user`, or with
+    *    `system` followed by `user`, and `system` never appears past
+    *    turn 0;
+    *  - `alternation_ok` — no two consecutive turns share a role
+    *    (strict speaker alternation; a doubled user OR assistant turn
+    *    fails);
+    *  - `nonempty_ok` — every turn carries at least one token
+    *    (NULL content counts as empty);
+    *  - `valid` — the conjunction, the admission gate.
+    *
+    * Scale posture: one window (`lag` over doc-keyed turn order) and
+    * one doc-keyed aggregate — both shuffle on the conversation id
+    * with uniform keys (turn counts are small constants), and the
+    * aggregate is a map-side-combinable fold of counters and
+    * violation maxima. No collects, no joins. */
+  def validateTurns(turns: DataFrame, idCol: String): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy("turn_idx")
+    val withPrev = turns
+      .withColumn("__prev_role", lag(col("role"), 1).over(w))
+      .withColumn("__tok",
+        when(col("content").isNull, lit(0L))
+          .otherwise(TextFunctions.tokenCount(col("content"))))
+    def anyOf(cond: org.apache.spark.sql.Column) =
+      max(when(cond, 1).otherwise(0))
+    withPrev.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "system", 1L).otherwise(0L)).as("n_system"),
+        sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
+        sum(when(col("role") === "user", col("__tok")).otherwise(0L)).as("user_tokens"),
+        sum(when(col("role") === "assistant", col("__tok")).otherwise(0L)).as("assistant_tokens"),
+        (anyOf(!col("role").isin(allowedRoles: _*) || col("role").isNull) === 0).as("roles_ok"),
+        ((anyOf(col("turn_idx") === 0 && col("role") === "user") === 1 ||
+          (anyOf(col("turn_idx") === 0 && col("role") === "system") === 1 &&
+            anyOf(col("turn_idx") === 1 && col("role") === "user") === 1)) &&
+          anyOf(col("role") === "system" && col("turn_idx") > 0) === 0).as("starts_ok"),
+        (anyOf(col("__prev_role") === col("role")) === 0).as("alternation_ok"),
+        (anyOf(col("__tok") === 0) === 0).as("nonempty_ok"))
+      .withColumn("valid",
+        col("roles_ok") && col("starts_ok") &&
+          col("alternation_ok") && col("nonempty_ok"))
+  }
+}

@@ -2391,6 +2391,68 @@ object ExtensionQueries {
   private val qMultimodalVideoDups: Q = (s, dir) =>
     Dedup.hammingPairs(videoVhashes(s, dir), "doc_id", "vhash", maxHamming = 3)
 
+  /** Shared built-transcript frame for the chat surface: every doc_id
+    * serializes as a REAL JSON chat transcript built from (doc_id,
+    * text) by a fixed recipe — the document's JSON-safe words (its
+    * lowercased whitespace tokens that fully match `[a-z0-9]+`) are
+    * sliced into `k = 2 + id%5` alternating user/assistant turns
+    * (slice boundaries `⌊j·n/k⌋`, the contour-bucket discipline);
+    * `id%7 == 0` prepends a system turn. Three violation classes are
+    * injected deterministically so the validator sees real negatives:
+    * `id%17 == 0` gives the opening turn an unknown `tool` role,
+    * `id%11 == 0` doubles the user role on turn 1, `id%13 == 0`
+    * empties the final turn. The payload is then parsed back by
+    * Spark's native `from_json` ([[graft.operators.Chat.parseTurns]])
+    * and the oracle replays recipe→roles→slice-sizes in integer SQL. */
+  private def chatTranscripts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pq(s, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.toLowerCase(java.util.Locale.ROOT)
+          .split(TextFunctions.wsClass + "+")
+          .filter(_.matches("[a-z0-9]+"))
+        val n = words.length
+        val k = (2 + id % 5).toInt
+        def role(j: Int): String =
+          if (j == 0 && id % 17 == 0) "tool"
+          else if (j == 1 && id % 11 == 0) "user"
+          else if (j % 2 == 0) "user" else "assistant"
+        def content(j: Int): String =
+          if (j == k - 1 && id % 13 == 0) ""
+          else words.slice((j.toLong * n / k).toInt, ((j + 1).toLong * n / k).toInt)
+            .mkString(" ")
+        val turns =
+          (if (id % 7 == 0) Seq(("system", "be concise")) else Nil) ++
+            (0 until k).map(j => (role(j), content(j)))
+        val json = turns
+          .map { case (r, c) => s"""{"role":"$r","content":"$c"}""" }
+          .mkString("[", ",", "]")
+        (id, json)
+      }
+      .toDF("doc_id", "transcript")
+  }
+
+  /** SFT transcript parsing — Spark-native JSON schema-on-read over
+    * built chat payloads: `from_json` + `posexplode` to typed turn
+    * rows, each reduced to its role and whitespace-token count. */
+  private val qChatParse: Q = (s, dir) =>
+    graft.operators.Chat.parseTurns(chatTranscripts(s, dir), "doc_id", "transcript")
+      .select(col("doc_id"), col("turn_idx"), col("role"),
+        TextFunctions.tokenCount(col("content")).as("n_tokens"))
+
+  /** SFT transcript validation — the conversational-contract gate
+    * ([[graft.operators.Chat.validateTurns]]): role whitelist, system
+    * position, strict alternation, no empty turns, per-role token
+    * accounting. The built corpus carries all three violation classes
+    * (unknown role / doubled user / empty final turn), so every flag
+    * has real negatives at every scale. */
+  private val qChatValidate: Q = (s, dir) =>
+    graft.operators.Chat.validateTurns(
+      graft.operators.Chat.parseTurns(chatTranscripts(s, dir), "doc_id", "transcript"),
+      "doc_id")
+
   // ------------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2535,6 +2597,8 @@ object ExtensionQueries {
     "q_multimodal_image_dups" -> qMultimodalImageDups,
     "q_multimodal_audio_dups" -> qMultimodalAudioDups,
     "q_multimodal_video_dups" -> qMultimodalVideoDups,
+    "q_chat_parse" -> qChatParse,
+    "q_chat_validate" -> qChatValidate,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -5816,6 +5880,63 @@ object ExtensionQueries {
        |WHERE hamming <= 3""".stripMargin
   }
 
+  /** Mirrors [[qChatParse]]: the transcript recipe replayed as pure
+    * integer SQL — JSON-safe word count `n` per document, `k + sys`
+    * generated turn indexes, the role CASE, and slice sizes as
+    * floor-boundary differences `⌊(j+1)n/k⌋ - ⌊jn/k⌋` (so Σ = n
+    * exactly, no turn double-counts a word). */
+  private val chatTurnsSql: String =
+    s"""WITH chat_src AS (SELECT CAST(doc_id AS BIGINT) AS id,
+       |    CAST(len(list_filter($tokensLowerSql,
+       |      x -> regexp_matches(x, '^[a-z0-9]+$$'))) AS BIGINT) AS n
+       |  FROM documents),
+       |chat_par AS (SELECT id, n, 2 + id % 5 AS k,
+       |    CASE WHEN id % 7 = 0 THEN 1 ELSE 0 END AS sys
+       |  FROM chat_src),
+       |chat_t AS (SELECT id, n, k, sys,
+       |    CAST(unnest(range(0, k + sys)) AS BIGINT) AS ti
+       |  FROM chat_par)
+       |SELECT id AS doc_id, ti AS turn_idx,
+       |  CASE WHEN ti < sys THEN 'system'
+       |       WHEN ti - sys = 0 AND id % 17 = 0 THEN 'tool'
+       |       WHEN ti - sys = 1 AND id % 11 = 0 THEN 'user'
+       |       WHEN (ti - sys) % 2 = 0 THEN 'user'
+       |       ELSE 'assistant' END AS role,
+       |  CAST(CASE WHEN ti < sys THEN 2
+       |       WHEN ti - sys = k - 1 AND id % 13 = 0 THEN 0
+       |       ELSE ((ti - sys + 1) * n) // k - ((ti - sys) * n) // k
+       |       END AS BIGINT) AS n_tokens
+       |FROM chat_t""".stripMargin
+
+  /** Mirrors [[qChatValidate]]: the [[chatTurnsSql]] turn rows folded
+    * per conversation — role-whitelist / opening-shape / lag-based
+    * alternation / nonempty flags plus per-role token sums, the exact
+    * aggregate set `Chat.validateTurns` computes over parsed turns. */
+  private val chatValidateSql: String =
+    s"""WITH chat_turns AS ($chatTurnsSql),
+       |chat_lag AS (SELECT *, lag(role) OVER
+       |    (PARTITION BY doc_id ORDER BY turn_idx) AS prev_role
+       |  FROM chat_turns),
+       |chat_f AS (SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_turns,
+       |  CAST(SUM(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
+       |  CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       |  CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       |  CAST(SUM(CASE WHEN role = 'user' THEN n_tokens ELSE 0 END) AS BIGINT) AS user_tokens,
+       |  CAST(SUM(CASE WHEN role = 'assistant' THEN n_tokens ELSE 0 END) AS BIGINT) AS assistant_tokens,
+       |  (MAX(CASE WHEN role NOT IN ('system', 'user', 'assistant')
+       |       THEN 1 ELSE 0 END) = 0) AS roles_ok,
+       |  ((MAX(CASE WHEN turn_idx = 0 AND role = 'user' THEN 1 ELSE 0 END) = 1
+       |    OR (MAX(CASE WHEN turn_idx = 0 AND role = 'system' THEN 1 ELSE 0 END) = 1
+       |        AND MAX(CASE WHEN turn_idx = 1 AND role = 'user' THEN 1 ELSE 0 END) = 1))
+       |   AND MAX(CASE WHEN role = 'system' AND turn_idx > 0
+       |           THEN 1 ELSE 0 END) = 0) AS starts_ok,
+       |  (MAX(CASE WHEN prev_role = role THEN 1 ELSE 0 END) = 0) AS alternation_ok,
+       |  (MAX(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) = 0) AS nonempty_ok
+       |  FROM chat_lag GROUP BY doc_id)
+       |SELECT *, (roles_ok AND starts_ok AND alternation_ok AND nonempty_ok) AS valid
+       |FROM chat_f""".stripMargin
+
   /** Mirrors [[qMultimodalKeepOne]]: the [[multimodalImageDupsSql]]
     * perceptual pairs through the identical recursive closure +
     * keep-min-id replay as [[dedupKeepOneSql]]. */
@@ -5938,6 +6059,8 @@ object ExtensionQueries {
     "q_multimodal_image_dups" -> multimodalImageDupsSql(),
     "q_multimodal_audio_dups" -> multimodalAudioDupsSql,
     "q_multimodal_video_dups" -> multimodalVideoDupsSql,
+    "q_chat_parse" -> chatTurnsSql,
+    "q_chat_validate" -> chatValidateSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),

@@ -1471,6 +1471,46 @@ class ExtensionSpec extends SparkSpec {
     assert(Multimodal.videoHash(flat).isEmpty)
   }
 
+  test("Chat: parseTurns/validateTurns flags, token accounting, malformed degradation") {
+    import graft.operators.Chat
+    import org.apache.spark.sql.Row
+    val t = df("doc_id BIGINT, transcript STRING",
+      // valid: system, user, assistant
+      Row(1L, """[{"role":"system","content":"be concise"},{"role":"user","content":"hi there"},{"role":"assistant","content":"hello"}]"""),
+      // doubled user turn -> alternation fails
+      Row(2L, """[{"role":"user","content":"a"},{"role":"user","content":"b"},{"role":"assistant","content":"c"}]"""),
+      // unknown role at open -> roles + starts fail
+      Row(3L, """[{"role":"tool","content":"x"},{"role":"assistant","content":"y"}]"""),
+      // empty final turn -> nonempty fails
+      Row(4L, """[{"role":"user","content":"q"},{"role":"assistant","content":""}]"""),
+      // system past turn 0 -> starts fails
+      Row(5L, """[{"role":"user","content":"q"},{"role":"system","content":"late"},{"role":"assistant","content":"a"}]"""),
+      // malformed JSON -> zero turn rows, absent from validate
+      Row(6L, """[{"role":"user","content":"""),
+      Row(7L, null))
+    val turns = Chat.parseTurns(t, "doc_id", "transcript")
+    assert(turns.filter("doc_id IN (6, 7)").count() == 0)
+    assertRows(turns.filter("doc_id = 1").select("turn_idx", "role", "content"),
+      Seq(Row(0L, "system", "be concise"), Row(1L, "user", "hi there"),
+        Row(2L, "assistant", "hello")))
+    val v = Chat.validateTurns(turns, "doc_id")
+      .select("doc_id", "valid", "roles_ok", "starts_ok", "alternation_ok",
+        "nonempty_ok", "n_turns", "user_tokens", "assistant_tokens")
+    assertRows(v, Seq(
+      Row(1L, true, true, true, true, true, 3L, 2L, 1L),
+      Row(2L, false, true, true, false, true, 3L, 2L, 1L),
+      Row(3L, false, false, false, true, true, 2L, 0L, 1L),
+      Row(4L, false, true, true, true, false, 2L, 1L, 0L),
+      Row(5L, false, true, false, true, true, 3L, 1L, 1L)))
+    // missing keys surface as NULL and fail roles/nonempty, not parse
+    val nk = Chat.validateTurns(Chat.parseTurns(
+      df("doc_id BIGINT, transcript STRING",
+        Row(8L, """[{"content":"orphan"},{"role":"user"}]""")),
+      "doc_id", "transcript"), "doc_id").collect()(0)
+    assert(nk.getAs[Boolean]("roles_ok") == false &&
+      nk.getAs[Boolean]("nonempty_ok") == false)
+  }
+
   test("Bpe.train matches the hand-computed merge sequence (ties, greedy re-merge)") {
     // freqs: low:3 lower:2 newest:3 widest:1 — classic Sennrich corpus
     val t = df("doc_id BIGINT, text STRING",
