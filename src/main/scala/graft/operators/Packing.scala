@@ -68,10 +68,26 @@ object Packing {
       idCol: String,
       groupCol: String,
       textCol: String,
+      capacity: Int): DataFrame =
+    packBinsByCount(
+      df.select(col(idCol), col(groupCol),
+        TextFunctions.tokenCount(col(textCol)).as("__pack_n")),
+      idCol, groupCol, "__pack_n", capacity)
+
+  /** [[packBins]] over a PRECOMPUTED size column — the shape a real
+    * loader uses once sizes come from the actual tokenizer (or any
+    * cost model) rather than whitespace counting: `countCol` is the
+    * token cost of each item, everything else (next-fit fold, group
+    * sharding, determinism contract) is identical. */
+  def packBinsByCount(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      countCol: String,
       capacity: Int): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val prep = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
-        TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+        col(countCol).cast("long").as("n_tokens"))
       .repartition(col("grp"))
       .sortWithinPartitions(col("grp"), col("id"))
     val outSchema = prep.schema.add("bin_id", org.apache.spark.sql.types.LongType,

@@ -2453,6 +2453,34 @@ object ExtensionQueries {
       graft.operators.Chat.parseTurns(chatTranscripts(s, dir), "doc_id", "transcript"),
       "doc_id")
 
+  /** SFT batch assembly — the chat surface's endgame composition:
+    * conversations that pass the [[qChatValidate]] gate are costed at
+    * Σ turn tokens + 4 per turn (the chat-template overhead a real
+    * serializer adds for role headers/separators), packed WHOLE into
+    * 512-token training bins by the next-fit packer (a conversation
+    * never straddles a sequence — no cross-conversation attention),
+    * with each conversation's loss-mask mass (assistant tokens — the
+    * only positions that produce gradient) carried through so a
+    * loader can weigh bins by trainable tokens, not raw fill. */
+  private val qChatPack: Q = (s, dir) => {
+    import graft.operators.{Chat, Packing}
+    val turns = Chat.parseTurns(chatTranscripts(s, dir), "doc_id", "transcript")
+    val conv = turns
+      .withColumn("__tok",
+        when(col("content").isNull, lit(0L))
+          .otherwise(TextFunctions.tokenCount(col("content"))))
+      .groupBy("doc_id")
+      .agg((sum(col("__tok")) + lit(4L) * count(lit(1))).as("n_tokens"),
+        sum(when(col("role") === "assistant", col("__tok")).otherwise(0L))
+          .as("loss_tokens"))
+      .join(Chat.validateTurns(turns, "doc_id")
+        .filter(col("valid")).select("doc_id"), "doc_id")
+      .withColumn("grp", pmod(col("doc_id"), lit(8L)))
+    Packing.packBinsByCount(conv, "doc_id", "grp", "n_tokens", capacity = 512)
+      .select(col("id").as("doc_id"), col("grp"), col("n_tokens"), col("bin_id"))
+      .join(conv.select("doc_id", "loss_tokens"), "doc_id")
+  }
+
   // ------------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2599,6 +2627,7 @@ object ExtensionQueries {
     "q_multimodal_video_dups" -> qMultimodalVideoDups,
     "q_chat_parse" -> qChatParse,
     "q_chat_validate" -> qChatValidate,
+    "q_chat_pack" -> qChatPack,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -5908,16 +5937,15 @@ object ExtensionQueries {
        |       END AS BIGINT) AS n_tokens
        |FROM chat_t""".stripMargin
 
-  /** Mirrors [[qChatValidate]]: the [[chatTurnsSql]] turn rows folded
-    * per conversation — role-whitelist / opening-shape / lag-based
-    * alternation / nonempty flags plus per-role token sums, the exact
-    * aggregate set `Chat.validateTurns` computes over parsed turns. */
-  private val chatValidateSql: String =
-    s"""WITH chat_turns AS ($chatTurnsSql),
-       |chat_lag AS (SELECT *, lag(role) OVER
-       |    (PARTITION BY doc_id ORDER BY turn_idx) AS prev_role
-       |  FROM chat_turns),
-       |chat_f AS (SELECT doc_id,
+  /** The [[qChatValidate]] per-conversation fold over any turn
+    * relation `turnsRel` (columns doc_id/turn_idx/role/n_tokens) —
+    * role-whitelist / opening-shape / lag-based alternation /
+    * nonempty flags plus per-role token sums, the exact aggregate set
+    * `Chat.validateTurns` computes over parsed turns. Parameterized
+    * so the standalone validate query and the packing composition
+    * share one flag definition. */
+  private def chatFlagsSql(turnsRel: String): String =
+    s"""SELECT doc_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_turns,
        |  CAST(SUM(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
        |  CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
@@ -5933,9 +5961,46 @@ object ExtensionQueries {
        |           THEN 1 ELSE 0 END) = 0) AS starts_ok,
        |  (MAX(CASE WHEN prev_role = role THEN 1 ELSE 0 END) = 0) AS alternation_ok,
        |  (MAX(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) = 0) AS nonempty_ok
-       |  FROM chat_lag GROUP BY doc_id)
+       |FROM (SELECT *, lag(role) OVER
+       |        (PARTITION BY doc_id ORDER BY turn_idx) AS prev_role
+       |      FROM $turnsRel) chat_lagged
+       |GROUP BY doc_id""".stripMargin
+
+  /** Mirrors [[qChatValidate]]: [[chatFlagsSql]] over the
+    * [[chatTurnsSql]] turn rows plus the conjunction column. */
+  private val chatValidateSql: String =
+    s"""WITH chat_turns AS ($chatTurnsSql),
+       |chat_f AS (${chatFlagsSql("chat_turns")})
        |SELECT *, (roles_ok AND starts_ok AND alternation_ok AND nonempty_ok) AS valid
        |FROM chat_f""".stripMargin
+
+  /** Mirrors [[qChatPack]]: valid conversations (the [[chatFlagsSql]]
+    * conjunction) costed as Σ turn tokens + 4·turns, then the
+    * [[packBinsSql]] greedy next-fit recursive replay at capacity
+    * 512, loss-mask (assistant-token) mass carried through. */
+  private val chatPackSql: String =
+    s"""WITH RECURSIVE chat_turns AS ($chatTurnsSql),
+       |chat_f AS (${chatFlagsSql("chat_turns")}),
+       |conv AS MATERIALIZED (
+       |  SELECT t.doc_id AS id, t.doc_id % 8 AS grp,
+       |    CAST(SUM(t.n_tokens) + 4 * COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN t.role = 'assistant' THEN t.n_tokens ELSE 0 END)
+       |         AS BIGINT) AS loss_tokens
+       |  FROM chat_turns t JOIN chat_f f ON f.doc_id = t.doc_id
+       |  WHERE f.roles_ok AND f.starts_ok AND f.alternation_ok AND f.nonempty_ok
+       |  GROUP BY t.doc_id),
+       |r AS MATERIALIZED (SELECT id, grp, n, loss_tokens,
+       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) AS rn FROM conv),
+       |walk AS (
+       |  SELECT grp, rn, id, n, loss_tokens, CAST(0 AS BIGINT) AS bin, n AS fill
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r2.grp, r2.rn, r2.id, r2.n, r2.loss_tokens,
+       |    CASE WHEN w.fill + r2.n <= 512 THEN w.bin ELSE w.bin + 1 END,
+       |    CASE WHEN w.fill + r2.n <= 512 THEN w.fill + r2.n ELSE r2.n END
+       |  FROM walk w JOIN r r2 ON r2.grp = w.grp AND r2.rn = w.rn + 1)
+       |SELECT id AS doc_id, grp, n AS n_tokens, bin AS bin_id, loss_tokens
+       |FROM walk""".stripMargin
 
   /** Mirrors [[qMultimodalKeepOne]]: the [[multimodalImageDupsSql]]
     * perceptual pairs through the identical recursive closure +
@@ -6061,6 +6126,7 @@ object ExtensionQueries {
     "q_multimodal_video_dups" -> multimodalVideoDupsSql,
     "q_chat_parse" -> chatTurnsSql,
     "q_chat_validate" -> chatValidateSql,
+    "q_chat_pack" -> chatPackSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),

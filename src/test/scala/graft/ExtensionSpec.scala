@@ -788,6 +788,14 @@ class ExtensionSpec extends SparkSpec {
         "doc_id", "g", "text", capacity = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(shuffled == expect)
+    // packBinsByCount with a precomputed size column is the same fold
+    val counted = graft.operators.Packing
+      .packBinsByCount(t.withColumn("c",
+        graft.functions.TextFunctions.tokenCount(
+          org.apache.spark.sql.functions.col("text"))),
+        "doc_id", "g", "c", capacity = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(counted == expect)
   }
 
   test("binStats: utilization counts oversize overflow, per-group totals") {
