@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
 
 /** Table profiling — the pre-migration sanity pass every ETL needs:
   * per-column null counts, distinct cardinality, min/max.
@@ -1001,5 +1003,56 @@ object Profile {
         countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
       .withColumn("k_anonymous", col("group_size") >= k)
       .withColumn("l_diverse", col("distinct_sensitive") >= l)
+  }
+
+  /** Per-source corpus manifest — the "dataset card" rollup a data
+    * team publishes (and a mixture planner consumes) for every corpus
+    * snapshot: document and token mass, exact-duplicate rate (via the
+    * canonical [[graft.functions.TextFunctions.fingerprint]]),
+    * mean heuristic quality, and the dominant predicted language with
+    * its share. One row per source:
+    * `(source, n_docs, total_tokens, n_unique, dup_permille,
+    * mean_quality, top_lang, top_lang_permille)`.
+    *
+    * Determinism: the quality mean sums per-doc scores in
+    * DECIMAL(18,9) (exact, order-free) and divides as DOUBLE once —
+    * the house float-aggregate discipline; the language mode breaks
+    * ties by language code ascending. Rates are integer permille.
+    *
+    * Scale posture: one per-row projection computes all four
+    * signals in a single scan, then two source-keyed aggregates (the
+    * manifest fold and the (source, lang) mode count — partial
+    * aggregation upstream of both) and one source-keyed broadcast-size
+    * join; the COUNT(DISTINCT fp) shuffles 16-byte digests, the same
+    * envelope as exact dedup itself. Output is source-cardinality.
+    * At 100 TB swap the exact distinct for [[kmvSketchBy]] if the
+    * digest shuffle dominates — the column contract is unchanged. */
+  def corpusManifest(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String): DataFrame = {
+    val base = df.select(
+      col(sourceCol).as("source"),
+      TextFunctions.tokenCount(col(textCol)).as("__tok"),
+      TextFunctions.fingerprint(col(textCol)).as("__fp"),
+      TextFunctions.qualityScore(col(textCol)).cast("decimal(18,9)").as("__q"),
+      TextFunctions.langId(col(textCol)).as("__lang"))
+    val agg = base.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("total_tokens"),
+        countDistinct(col("__fp")).as("n_unique"),
+        (sum(col("__q")).cast("double") / count(lit(1))).as("mean_quality"))
+      .withColumn("dup_permille",
+        expr("(n_docs - n_unique) * 1000 div n_docs"))
+    val mode = base.groupBy("source", "__lang").agg(count(lit(1)).as("__ln"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("__ln").desc, col("__lang").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("source"), col("__lang").as("top_lang"), col("__ln"))
+    agg.join(mode, "source")
+      .withColumn("top_lang_permille", expr("__ln * 1000 div n_docs"))
+      .drop("__ln")
   }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.HashExpressions
+import graft.functions.{HashExpressions, TextFunctions}
 
 /** Deterministic corpus sampling/splitting for training-data
   * pipelines.
@@ -347,5 +347,45 @@ object Sampling {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lq")).as("logw_q"))
       .withColumn("logw", col("logw_q").cast("double") / lit(scale))
+  }
+
+  /** Mixture epoch allocation — the arithmetic a training run does
+    * once per corpus snapshot to turn "mixture weights + token
+    * budget" into per-source draw sizes and repeat factors: each
+    * source draws `budget · weight / Σweights` tokens, and
+    * `epochs_permille = drawn · 1000 / available` says how many
+    * passes over that source the draw implies (>1000 = the source
+    * repeats; the `oversampled` flag trips past `maxEpochsPermille`,
+    * the "don't repeat small sources too often" guard every published
+    * mixture recipe applies). `weightCol` carries the configured
+    * mixture weight (any positive integer scale — only ratios
+    * matter).
+    *
+    * ALL arithmetic is integer floor division — bit-reproducible and
+    * trivially auditable, which is the point of a budget table.
+    *
+    * Scale posture: one source-keyed aggregate (map-side combined)
+    * folds the corpus to source-cardinality rows; the Σweights scalar
+    * attaches via an unpartitioned window over that TINY frame (never
+    * a literal-key join — that constant-folds to a nested-loop), so
+    * the single-partition stage touches only #sources rows. */
+  def epochAllocation(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      weightCol: org.apache.spark.sql.Column,
+      budgetTokens: Long,
+      maxEpochsPermille: Long = 4000L): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(TextFunctions.tokenCount(col(textCol))).as("total_tokens"))
+      .withColumn("weight", weightCol.cast("long"))
+      .withColumn("__sumw", sum(col("weight")).over(Window.partitionBy()))
+      .withColumn("tokens_drawn",
+        expr(s"${budgetTokens}L * weight div __sumw"))
+      .withColumn("epochs_permille",
+        expr("tokens_drawn * 1000 div greatest(total_tokens, 1)"))
+      .withColumn("oversampled", col("epochs_permille") > maxEpochsPermille)
+      .drop("__sumw")
   }
 }

@@ -2481,6 +2481,26 @@ object ExtensionQueries {
       .join(conv.select("doc_id", "loss_tokens"), "doc_id")
   }
 
+  /** Per-source dataset-card rollup
+    * ([[graft.operators.Profile.corpusManifest]]): doc/token mass,
+    * exact-dup rate via the canonical fingerprint, DECIMAL-summed
+    * mean quality, dominant predicted language + share. */
+  private val qCorpusManifest: Q = (s, dir) =>
+    graft.operators.Profile.corpusManifest(
+      pq(s, dir, "documents"), "source", "text")
+
+  /** Mixture epoch allocation
+    * ([[graft.operators.Sampling.epochAllocation]]) over the corpus
+    * manifest's source axis: configured weights (here a deterministic
+    * per-source recipe standing in for the mixture config), a 2M
+    * token budget, integer draw sizes and repeat factors, the >4
+    * epochs oversampling guard. */
+  private val qSampleEpochs: Q = (s, dir) =>
+    graft.operators.Sampling.epochAllocation(
+      pq(s, dir, "documents"), "source", "text",
+      weightCol = lit(100L) + pmod(length(col("source")).cast("long") * 37L, lit(200L)),
+      budgetTokens = 2000000L)
+
   // ------------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2628,6 +2648,8 @@ object ExtensionQueries {
     "q_chat_parse" -> qChatParse,
     "q_chat_validate" -> qChatValidate,
     "q_chat_pack" -> qChatPack,
+    "q_corpus_manifest" -> qCorpusManifest,
+    "q_sample_epochs" -> qSampleEpochs,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -6002,6 +6024,55 @@ object ExtensionQueries {
        |SELECT id AS doc_id, grp, n AS n_tokens, bin AS bin_id, loss_tokens
        |FROM walk""".stripMargin
 
+  /** Mirrors [[qCorpusManifest]]: one projected scan computing
+    * token count / canonical fingerprint / DECIMAL(18,9) quality /
+    * lang prediction per doc, then the manifest fold, the language
+    * mode (ties by code ascending), and integer permille rates. */
+  private val corpusManifestSql: String =
+    s"""WITH mani_mb AS (SELECT source, text, $langBestSql AS __best FROM documents),
+       |mani_b AS (SELECT source,
+       |    $nTokensSql AS tok,
+       |    md5(trim(regexp_replace(lower(text), '$ws+', ' ', 'g'))) AS fp,
+       |    CAST($alphaRatioSql * 0.4 + $stopRatioSql * 0.3
+       |      + least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.2
+       |      + (1.0 - $punctRatioSql) * 0.1 AS DECIMAL(18,9)) AS q,
+       |    $langPredCaseSql AS lang_pred
+       |  FROM mani_mb),
+       |mani_a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+       |    CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_quality
+       |  FROM mani_b GROUP BY source),
+       |mani_l AS (SELECT source, lang_pred, COUNT(*) AS ln
+       |  FROM mani_b GROUP BY 1, 2),
+       |mani_t AS (SELECT source, lang_pred, ln, ROW_NUMBER() OVER
+       |    (PARTITION BY source ORDER BY ln DESC, lang_pred ASC) AS rn
+       |  FROM mani_l)
+       |SELECT a.source, n_docs, total_tokens, n_unique,
+       |  CAST((n_docs - n_unique) * 1000 // n_docs AS BIGINT) AS dup_permille,
+       |  mean_quality, t.lang_pred AS top_lang,
+       |  CAST(ln * 1000 // n_docs AS BIGINT) AS top_lang_permille
+       |FROM mani_a a JOIN mani_t t ON t.source = a.source AND t.rn = 1""".stripMargin
+
+  /** Mirrors [[qSampleEpochs]]: per-source token totals, the
+    * deterministic weight recipe, window-summed Σweights, integer
+    * floor-division draw sizes and permille repeat factors. */
+  private val sampleEpochsSql: String =
+    s"""WITH ep_t AS (SELECT source,
+       |    CAST(SUM($nTokensSql) AS BIGINT) AS total_tokens
+       |  FROM documents GROUP BY source),
+       |ep_w AS (SELECT source, total_tokens,
+       |    CAST(100 + (length(source) * 37) % 200 AS BIGINT) AS weight
+       |  FROM ep_t),
+       |ep_s AS (SELECT *, SUM(weight) OVER () AS sumw FROM ep_w)
+       |SELECT source, total_tokens, weight,
+       |  CAST(2000000 * weight // sumw AS BIGINT) AS tokens_drawn,
+       |  CAST((2000000 * weight // sumw) * 1000 // greatest(total_tokens, 1)
+       |       AS BIGINT) AS epochs_permille,
+       |  ((2000000 * weight // sumw) * 1000 // greatest(total_tokens, 1)) > 4000
+       |    AS oversampled
+       |FROM ep_s""".stripMargin
+
   /** Mirrors [[qMultimodalKeepOne]]: the [[multimodalImageDupsSql]]
     * perceptual pairs through the identical recursive closure +
     * keep-min-id replay as [[dedupKeepOneSql]]. */
@@ -6127,6 +6198,8 @@ object ExtensionQueries {
     "q_chat_parse" -> chatTurnsSql,
     "q_chat_validate" -> chatValidateSql,
     "q_chat_pack" -> chatPackSql,
+    "q_corpus_manifest" -> corpusManifestSql,
+    "q_sample_epochs" -> sampleEpochsSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),

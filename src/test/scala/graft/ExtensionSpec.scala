@@ -1519,6 +1519,59 @@ class ExtensionSpec extends SparkSpec {
       nk.getAs[Boolean]("nonempty_ok") == false)
   }
 
+  test("corpusManifest: dup rate, decimal-mean quality, language mode tie-break") {
+    import org.apache.spark.sql.Row
+    val t = df("doc_id BIGINT, source STRING, text STRING",
+      Row(1L, "a", "the quick fox"),
+      Row(2L, "a", "THE  quick fox"), // same canonical fingerprint as 1
+      Row(3L, "a", "le chat et le chien est ici"),
+      Row(4L, "b", "der hund und die katze"))
+    val m = graft.operators.Profile.corpusManifest(t, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = m("a")
+    assert(a.getAs[Long]("n_docs") == 3 && a.getAs[Long]("n_unique") == 2)
+    assert(a.getAs[Long]("dup_permille") == 333)
+    assert(a.getAs[Long]("total_tokens") == 13)
+    val b = m("b")
+    assert(b.getAs[Long]("dup_permille") == 0 &&
+      b.getAs[String]("top_lang") == "de" &&
+      b.getAs[Long]("top_lang_permille") == 1000)
+    // mean quality matches the decimal-summed per-doc scores
+    val qs = t.filter("source = 'a'").select(
+      graft.functions.TextFunctions.qualityScore(
+        org.apache.spark.sql.functions.col("text")).cast("decimal(18,9)"))
+      .collect().map(_.getDecimal(0))
+    val want = qs.reduce(_ add _).doubleValue() / 3
+    assert(math.abs(a.getAs[Double]("mean_quality") - want) < 1e-12)
+  }
+
+  test("epochAllocation: integer draw sizes, repeat factors, oversample guard") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    // source s1: 6 tokens, s2: 2 tokens; weights 3 and 1; budget 100
+    val t = df("source STRING, text STRING",
+      Row("s1", "a b c"), Row("s1", "d e f"), Row("s2", "g h"))
+    val got = graft.operators.Sampling.epochAllocation(
+      t, "source", "text",
+      weightCol = when(col("source") === "s1", lit(3L)).otherwise(lit(1L)),
+      budgetTokens = 100L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = got("s1"); val s2 = got("s2")
+    assert(s1.getAs[Long]("tokens_drawn") == 75 &&
+      s1.getAs[Long]("epochs_permille") == 12500 &&
+      s1.getAs[Boolean]("oversampled"))
+    assert(s2.getAs[Long]("tokens_drawn") == 25 &&
+      s2.getAs[Long]("epochs_permille") == 12500 &&
+      s2.getAs[Boolean]("oversampled"))
+    // large corpus, small draw -> under one epoch, not flagged
+    val big = df("source STRING, text STRING",
+      Row("s3", Seq.fill(200)("w").mkString(" ")))
+    val u = graft.operators.Sampling.epochAllocation(
+      big, "source", "text", lit(1L), budgetTokens = 100L).collect()(0)
+    assert(u.getAs[Long]("epochs_permille") == 500 &&
+      !u.getAs[Boolean]("oversampled"))
+  }
+
   test("Bpe.train matches the hand-computed merge sequence (ties, greedy re-merge)") {
     // freqs: low:3 lower:2 newest:3 widest:1 — classic Sennrich corpus
     val t = df("doc_id BIGINT, text STRING",
