@@ -2501,6 +2501,35 @@ object ExtensionQueries {
       weightCol = lit(100L) + pmod(length(col("source")).cast("long") * 37L, lit(200L)),
       budgetTokens = 2000000L)
 
+  /** Preference-pair QA over built (prompt, chosen, rejected)
+    * triples: each document's whitespace tokens split into thirds,
+    * with three deterministic violation classes — `id%17 == 0`
+    * inflates chosen 8× (length-ratio violation), `id%13 == 0`
+    * empties chosen, `id%9 == 0` copies the FINAL chosen into
+    * rejected (identical pair — applied last, so it composes with
+    * the other two). The oracle rebuilds the identical strings with
+    * `list_slice`/`repeat` and replays every flag. */
+  private val qPrefValidate: Q = (s, dir) => {
+    import s.implicits._
+    val triples = pq(s, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val w = text.split(TextFunctions.wsClass + "+").filter(_.nonEmpty)
+        val n = w.length
+        val prompt = w.slice(0, n / 3).mkString(" ")
+        val chosen0 = w.slice(n / 3, 2 * n / 3).mkString(" ")
+        val chosen1 = if (id % 17 == 0) Seq.fill(8)(chosen0).mkString(" ") else chosen0
+        val chosen = if (id % 13 == 0) "" else chosen1
+        val rejected0 = w.slice(2 * n / 3, n).mkString(" ")
+        val rejected = if (id % 9 == 0) chosen else rejected0
+        (id, prompt, chosen, rejected)
+      }
+      .toDF("doc_id", "prompt", "chosen", "rejected")
+    graft.operators.Preference.validatePairs(
+      triples, "doc_id", "prompt", "chosen", "rejected")
+  }
+
   // ------------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2650,6 +2679,7 @@ object ExtensionQueries {
     "q_chat_pack" -> qChatPack,
     "q_corpus_manifest" -> qCorpusManifest,
     "q_sample_epochs" -> qSampleEpochs,
+    "q_pref_validate" -> qPrefValidate,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -6024,6 +6054,47 @@ object ExtensionQueries {
        |SELECT id AS doc_id, grp, n AS n_tokens, bin AS bin_id, loss_tokens
        |FROM walk""".stripMargin
 
+  /** Mirrors [[qPrefValidate]]: the triple construction rebuilt with
+    * `list_slice`/`array_to_string` (1-based inclusive slicing over
+    * the SAME whitespace token list), the 8× inflation as
+    * `s || repeat(' ' || s, 7)` (exactly `mkString(" ")` of 8
+    * copies), then every flag as the identical integer/string
+    * predicate set. */
+  private val prefValidateSql: String = {
+    val nt = "CAST(len(list_filter(regexp_split_to_array(%s, " +
+      s"'$ws+'), x -> x <> ''))" + " AS BIGINT)"
+    s"""WITH pref_t AS (SELECT CAST(doc_id AS BIGINT) AS id,
+       |    $tokensSql AS w, CAST(len($tokensSql) AS BIGINT) AS n
+       |  FROM documents),
+       |pref_b AS (SELECT id,
+       |    array_to_string(list_slice(w, 1, n // 3), ' ') AS prompt,
+       |    array_to_string(list_slice(w, n // 3 + 1, (2 * n) // 3), ' ') AS c0,
+       |    array_to_string(list_slice(w, (2 * n) // 3 + 1, n), ' ') AS r0
+       |  FROM pref_t),
+       |pref_c AS (SELECT id, prompt, r0,
+       |    CASE WHEN id % 13 = 0 THEN ''
+       |         WHEN id % 17 = 0 THEN c0 || repeat(' ' || c0, 7)
+       |         ELSE c0 END AS chosen
+       |  FROM pref_b),
+       |pref_d AS (SELECT id, prompt, chosen,
+       |    CASE WHEN id % 9 = 0 THEN chosen ELSE r0 END AS rejected
+       |  FROM pref_c),
+       |pref_f AS (SELECT id AS doc_id,
+       |    ${nt.format("prompt")} AS prompt_tokens,
+       |    ${nt.format("chosen")} AS chosen_tokens,
+       |    ${nt.format("rejected")} AS rejected_tokens,
+       |    (chosen <> rejected) AS distinct_ok
+       |  FROM pref_d),
+       |pref_g AS (SELECT *,
+       |    (prompt_tokens > 0 AND chosen_tokens > 0 AND rejected_tokens > 0)
+       |      AS nonempty_ok,
+       |    (chosen_tokens * 1000 <= 4000 * rejected_tokens
+       |     AND rejected_tokens * 1000 <= 4000 * chosen_tokens) AS ratio_ok
+       |  FROM pref_f)
+       |SELECT *, (distinct_ok AND nonempty_ok AND ratio_ok) AS valid
+       |FROM pref_g""".stripMargin
+  }
+
   /** Mirrors [[qCorpusManifest]]: one projected scan computing
     * token count / canonical fingerprint / DECIMAL(18,9) quality /
     * lang prediction per doc, then the manifest fold, the language
@@ -6200,6 +6271,7 @@ object ExtensionQueries {
     "q_chat_pack" -> chatPackSql,
     "q_corpus_manifest" -> corpusManifestSql,
     "q_sample_epochs" -> sampleEpochsSql,
+    "q_pref_validate" -> prefValidateSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),

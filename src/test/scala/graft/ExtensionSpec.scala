@@ -1519,6 +1519,30 @@ class ExtensionSpec extends SparkSpec {
       nk.getAs[Boolean]("nonempty_ok") == false)
   }
 
+  test("Preference.validatePairs: distinct / nonempty / length-ratio gates") {
+    import org.apache.spark.sql.Row
+    val t = df("id BIGINT, p STRING, c STRING, r STRING",
+      Row(1L, "why", "good answer here", "bad answer"),   // valid
+      Row(2L, "why", "same words", "same words"),          // identical
+      Row(3L, "why", "", "an answer"),                     // empty chosen
+      Row(4L, "", "a", "b"),                               // empty prompt
+      Row(5L, "why", "w w w w w", "w"),                    // 5:1 > 4:1 ratio
+      Row(6L, "why", "w w w w", "w"),                      // 4:1 == cap, ok
+      Row(7L, "why", null, "x"))                           // null side
+    val got = graft.operators.Preference
+      .validatePairs(t, "id", "p", "c", "r")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("distinct_ok"), r.getAs[Boolean]("nonempty_ok"),
+          r.getAs[Boolean]("ratio_ok"), r.getAs[Boolean]("valid"))).toMap
+    assert(got(1L) == ((true, true, true, true)))
+    assert(got(2L) == ((false, true, true, false)))
+    assert(got(3L)._2 == false && got(3L)._3 == false && !got(3L)._4)
+    assert(got(4L) == ((true, false, true, false)))
+    assert(got(5L) == ((true, true, false, false)))
+    assert(got(6L) == ((true, true, true, true)))
+    assert(got(7L)._1 == false && !got(7L)._4)
+  }
+
   test("corpusManifest: dup rate, decimal-mean quality, language mode tie-break") {
     import org.apache.spark.sql.Row
     val t = df("doc_id BIGINT, source STRING, text STRING",
