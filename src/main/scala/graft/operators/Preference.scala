@@ -58,4 +58,40 @@ object Preference {
       .withColumn("valid",
         col("distinct_ok") && col("nonempty_ok") && col("ratio_ok"))
   }
+
+  /** Label-conflict detection — the annotation-consistency pass: the
+    * same unordered response pair appearing once as (chosen=A,
+    * rejected=B) and elsewhere flipped is contradictory supervision
+    * (annotator disagreement or a pipeline orientation bug), and DPO
+    * training on both rows cancels the gradient at best. Keyed by the
+    * unordered pair of canonical response fingerprints
+    * ([[graft.functions.TextFunctions.fingerprint]] — so case /
+    * whitespace variants of the same answer collide, the dedup
+    * discipline); one output row per distinct pair:
+    * `(key_lo, key_hi, n_pairs, n_forward, n_reverse, conflicted,
+    * agreement_permille)` where forward = the lexicographically-lower
+    * fingerprint was the chosen one and agreement is the majority
+    * orientation's integer permille share.
+    *
+    * Scale posture: one projection (two md5s per row) + one hash
+    * aggregate on the 32-byte pair key with map-side combine —
+    * exactly the exact-dedup envelope; output is distinct-pair
+    * cardinality. */
+  def labelConflicts(
+      df: DataFrame,
+      chosenCol: String,
+      rejectedCol: String): DataFrame = {
+    val fa = TextFunctions.fingerprint(col(chosenCol))
+    val fb = TextFunctions.fingerprint(col(rejectedCol))
+    df.select(
+        least(fa, fb).as("key_lo"),
+        greatest(fa, fb).as("key_hi"),
+        when(fa < fb, 1L).otherwise(0L).as("__fwd"))
+      .groupBy("key_lo", "key_hi")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__fwd")).as("n_forward"))
+      .withColumn("n_reverse", col("n_pairs") - col("n_forward"))
+      .withColumn("conflicted", col("n_forward") > 0 && col("n_reverse") > 0)
+      .withColumn("agreement_permille",
+        expr("greatest(n_forward, n_reverse) * 1000 div n_pairs"))
+  }
 }

@@ -2509,9 +2509,9 @@ object ExtensionQueries {
     * rejected (identical pair — applied last, so it composes with
     * the other two). The oracle rebuilds the identical strings with
     * `list_slice`/`repeat` and replays every flag. */
-  private val qPrefValidate: Q = (s, dir) => {
+  private def prefTriples(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val triples = pq(s, dir, "documents")
+    pq(s, dir, "documents")
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -2526,8 +2526,33 @@ object ExtensionQueries {
         (id, prompt, chosen, rejected)
       }
       .toDF("doc_id", "prompt", "chosen", "rejected")
+  }
+
+  private val qPrefValidate: Q = (s, dir) =>
     graft.operators.Preference.validatePairs(
-      triples, "doc_id", "prompt", "chosen", "rejected")
+      prefTriples(s, dir), "doc_id", "prompt", "chosen", "rejected")
+
+  /** Label-conflict census over the built preference corpus
+    * ([[graft.operators.Preference.labelConflicts]]): every fifth row
+    * swaps its responses for one of 8 CANNED pool pairs (`alpha g` /
+    * `beta g`, the same answers reappearing across many rows — the
+    * repeated-candidate shape a real annotation queue produces), and
+    * rows with `doc_id % 3 == 0` flip orientation (the disagreeing
+    * annotator). Pool pairs therefore collect BOTH orientations →
+    * `conflicted = true` with a per-pair agreement share, while the
+    * doc-derived triples stay singleton clean pairs — real positives
+    * and negatives at every scale. */
+  private val qPrefConflicts: Q = (s, dir) => {
+    val pool = col("doc_id") % 5 === 0
+    val g = pmod(expr("doc_id div 5"), lit(8L)).cast("string")
+    val t = prefTriples(s, dir).select(col("doc_id"),
+      when(pool, concat(lit("alpha "), g)).otherwise(col("chosen")).as("chosen"),
+      when(pool, concat(lit("beta "), g)).otherwise(col("rejected")).as("rejected"))
+    val flip = col("doc_id") % 3 === 0
+    val flipped = t.select(col("doc_id"),
+      when(flip, col("rejected")).otherwise(col("chosen")).as("chosen"),
+      when(flip, col("chosen")).otherwise(col("rejected")).as("rejected"))
+    graft.operators.Preference.labelConflicts(flipped, "chosen", "rejected")
   }
 
   // ------------------------------------------------------------------------
@@ -2680,6 +2705,7 @@ object ExtensionQueries {
     "q_corpus_manifest" -> qCorpusManifest,
     "q_sample_epochs" -> qSampleEpochs,
     "q_pref_validate" -> qPrefValidate,
+    "q_pref_conflicts" -> qPrefConflicts,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -6060,10 +6086,11 @@ object ExtensionQueries {
     * `s || repeat(' ' || s, 7)` (exactly `mkString(" ")` of 8
     * copies), then every flag as the identical integer/string
     * predicate set. */
-  private val prefValidateSql: String = {
-    val nt = "CAST(len(list_filter(regexp_split_to_array(%s, " +
-      s"'$ws+'), x -> x <> ''))" + " AS BIGINT)"
-    s"""WITH pref_t AS (SELECT CAST(doc_id AS BIGINT) AS id,
+  /** The [[prefTriples]] construction as a reusable CTE chain ending
+    * in `pref_d (id, prompt, chosen, rejected)` — shared by the
+    * validate and conflict mirrors. */
+  private val prefTriplesCtes: String =
+    s"""pref_t AS (SELECT CAST(doc_id AS BIGINT) AS id,
        |    $tokensSql AS w, CAST(len($tokensSql) AS BIGINT) AS n
        |  FROM documents),
        |pref_b AS (SELECT id,
@@ -6078,7 +6105,12 @@ object ExtensionQueries {
        |  FROM pref_b),
        |pref_d AS (SELECT id, prompt, chosen,
        |    CASE WHEN id % 9 = 0 THEN chosen ELSE r0 END AS rejected
-       |  FROM pref_c),
+       |  FROM pref_c)""".stripMargin
+
+  private val prefValidateSql: String = {
+    val nt = "CAST(len(list_filter(regexp_split_to_array(%s, " +
+      s"'$ws+'), x -> x <> ''))" + " AS BIGINT)"
+    s"""WITH $prefTriplesCtes,
        |pref_f AS (SELECT id AS doc_id,
        |    ${nt.format("prompt")} AS prompt_tokens,
        |    ${nt.format("chosen")} AS chosen_tokens,
@@ -6093,6 +6125,40 @@ object ExtensionQueries {
        |  FROM pref_f)
        |SELECT *, (distinct_ok AND nonempty_ok AND ratio_ok) AS valid
        |FROM pref_g""".stripMargin
+  }
+
+  /** Mirrors [[qPrefConflicts]]: parity flip over [[prefTriplesCtes]],
+    * canonical md5 fingerprints, unordered-pair grouping, the same
+    * integer orientation census. */
+  private val prefConflictsSql: String = {
+    def fp(c: String) =
+      s"md5(trim(regexp_replace(lower($c), '$ws+', ' ', 'g')))"
+    s"""WITH $prefTriplesCtes,
+       |pc_pool AS (SELECT id,
+       |    CASE WHEN id % 5 = 0
+       |         THEN 'alpha ' || CAST((id // 5) % 8 AS VARCHAR)
+       |         ELSE chosen END AS chosen,
+       |    CASE WHEN id % 5 = 0
+       |         THEN 'beta ' || CAST((id // 5) % 8 AS VARCHAR)
+       |         ELSE rejected END AS rejected
+       |  FROM pref_d),
+       |pc_flip AS (SELECT
+       |    CASE WHEN id % 3 = 0 THEN rejected ELSE chosen END AS chosen,
+       |    CASE WHEN id % 3 = 0 THEN chosen ELSE rejected END AS rejected
+       |  FROM pc_pool),
+       |pc_fp AS (SELECT ${fp("chosen")} AS fa, ${fp("rejected")} AS fb
+       |  FROM pc_flip),
+       |pc_k AS (SELECT least(fa, fb) AS key_lo, greatest(fa, fb) AS key_hi,
+       |    CASE WHEN fa < fb THEN 1 ELSE 0 END AS fwd FROM pc_fp),
+       |pc_g AS (SELECT key_lo, key_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(fwd) AS BIGINT) AS n_forward
+       |  FROM pc_k GROUP BY 1, 2)
+       |SELECT key_lo, key_hi, n_pairs, n_forward,
+       |  CAST(n_pairs - n_forward AS BIGINT) AS n_reverse,
+       |  (n_forward > 0 AND n_pairs - n_forward > 0) AS conflicted,
+       |  CAST(greatest(n_forward, n_pairs - n_forward) * 1000 // n_pairs
+       |       AS BIGINT) AS agreement_permille
+       |FROM pc_g""".stripMargin
   }
 
   /** Mirrors [[qCorpusManifest]]: one projected scan computing
@@ -6272,6 +6338,7 @@ object ExtensionQueries {
     "q_corpus_manifest" -> corpusManifestSql,
     "q_sample_epochs" -> sampleEpochsSql,
     "q_pref_validate" -> prefValidateSql,
+    "q_pref_conflicts" -> prefConflictsSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),

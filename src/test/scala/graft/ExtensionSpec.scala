@@ -1543,6 +1543,26 @@ class ExtensionSpec extends SparkSpec {
     assert(got(7L)._1 == false && !got(7L)._4)
   }
 
+  test("Preference.labelConflicts: unordered-pair census, orientation counts, canonical collide") {
+    import org.apache.spark.sql.Row
+    val t = df("id BIGINT, c STRING, r STRING",
+      Row(1L, "yes", "no"),   // forward (md5(no) < md5(yes) decides orient)
+      Row(2L, "yes", "no"),
+      Row(3L, "no", "yes"),   // flipped -> conflict
+      Row(4L, "  YES ", "no"), // canonical fingerprint collides with "yes"
+      Row(5L, "solo a", "solo b"))
+    val got = graft.operators.Preference.labelConflicts(t, "c", "r").collect()
+    assert(got.length == 2)
+    val big = got.find(_.getAs[Long]("n_pairs") == 4L).get
+    assert(big.getAs[Boolean]("conflicted"))
+    // orientations: 3 one way, 1 the other, regardless of md5 order
+    assert(Set(big.getAs[Long]("n_forward"), big.getAs[Long]("n_reverse")) == Set(1L, 3L))
+    assert(big.getAs[Long]("agreement_permille") == 750)
+    val solo = got.find(_.getAs[Long]("n_pairs") == 1L).get
+    assert(!solo.getAs[Boolean]("conflicted") &&
+      solo.getAs[Long]("agreement_permille") == 1000)
+  }
+
   test("corpusManifest: dup rate, decimal-mean quality, language mode tie-break") {
     import org.apache.spark.sql.Row
     val t = df("doc_id BIGINT, source STRING, text STRING",
