@@ -1055,4 +1055,60 @@ object Profile {
       .withColumn("top_lang_permille", expr("__ln * 1000 div n_docs"))
       .drop("__ln")
   }
+
+  /** Token-distribution drift between two corpus snapshots — the
+    * vocabulary-shift check a corpus refresh runs before swapping
+    * snapshots (the numeric-column twin is [[psiDrift]]): every token
+    * occurrence hashes into one of `dims` buckets (salted SplitMix64
+    * over the shared token hashes — the hashing-trick projection of
+    * the unigram distribution), and each bucket contributes its
+    * Jensen–Shannon term `½(p·ln(p/m) + q·ln(q/m))`, `m = (p+q)/2`,
+    * quantized to `⌊term·scale⌋` so the cross-bucket total is an
+    * ORDER-FREE integer sum (the [[Sampling.dsirWeights]] float
+    * discipline: both engines build identical doubles from identical
+    * BIGINTs, quantize, then sum exactly). One row per occupied
+    * bucket: `(b, count_a, count_b, js_q, js_total_q)`;
+    * `js_total_q / scale` is the JS divergence estimate in nats
+    * (0 = identical, ln 2 ≈ 0.693e9/scale = maximal). Both inputs
+    * must be non-empty.
+    *
+    * Scale posture: two token-keyed hash aggregates fold each corpus
+    * to ≤ dims rows (map-side combined — the shuffle carries bucket
+    * counters, never tokens), then a full outer join and window sums
+    * over the dims-sized frame. Corpus size only affects the scans. */
+  def tokenDrift(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      dims: Int = 256,
+      seed: Long = 13L,
+      scale: Long = 1000000000L): DataFrame = {
+    require(dims > 0 && (dims & (dims - 1)) == 0,
+      s"dims must be a power of two, got $dims")
+    val salt = graft.functions.Hashing.salts(1, seed).head
+    def counts(df: DataFrame, name: String) =
+      df.select(explode(
+          graft.functions.HashExpressions.tokenHashes(col(textCol))).as("__h"))
+        .select(graft.functions.HashExpressions
+          .mix64(col("__h").bitwiseXOR(lit(salt)))
+          .bitwiseAND(lit(dims - 1L)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as(name))
+    val joined = counts(a, "count_a")
+      .join(counts(b, "count_b"), Seq("b"), "full")
+      .na.fill(0L, Seq("count_a", "count_b"))
+    val w = Window.partitionBy()
+    val withN = joined
+      .withColumn("__na", sum(col("count_a")).over(w))
+      .withColumn("__nb", sum(col("count_b")).over(w))
+    val p = col("count_a").cast("double") / col("__na").cast("double")
+    val q = col("count_b").cast("double") / col("__nb").cast("double")
+    val m = (p + q) / lit(2.0)
+    val contrib = lit(0.5) * (
+      when(col("count_a") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+        when(col("count_b") > 0, q * log(q / m)).otherwise(lit(0.0)))
+    withN
+      .withColumn("js_q", floor(contrib * lit(scale.toDouble)).cast("long"))
+      .withColumn("js_total_q", sum(col("js_q")).over(w))
+      .select("b", "count_a", "count_b", "js_q", "js_total_q")
+  }
 }

@@ -2509,6 +2509,17 @@ object ExtensionQueries {
     * rejected (identical pair — applied last, so it composes with
     * the other two). The oracle rebuilds the identical strings with
     * `list_slice`/`repeat` and replays every flag. */
+  /** Unigram-distribution drift between the even-id and odd-id
+    * corpus halves ([[graft.operators.Profile.tokenDrift]]): hashed
+    * token buckets, per-bucket quantized Jensen–Shannon terms, the
+    * order-free integer total. */
+  private val qTextDrift: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    graft.operators.Profile.tokenDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "text")
+  }
+
   private def prefTriples(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     pq(s, dir, "documents")
@@ -2706,6 +2717,7 @@ object ExtensionQueries {
     "q_sample_epochs" -> qSampleEpochs,
     "q_pref_validate" -> qPrefValidate,
     "q_pref_conflicts" -> qPrefConflicts,
+    "q_text_drift" -> qTextDrift,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -6127,6 +6139,45 @@ object ExtensionQueries {
        |FROM pref_g""".stripMargin
   }
 
+  /** Mirrors [[qTextDrift]]: per-half token hashes through the
+    * salt-XOR + staged SplitMix64 ([[HashSql.mixCtes]]), bucket
+    * counts, full-join, and the IDENTICAL double expression for each
+    * bucket's JS term quantized with floor — the [[textFeatureHashSql]]
+    * hashing replay plus the DSIR float discipline. */
+  private val textDriftSql: String = {
+    val dims = 256
+    val salt = graft.functions.Hashing.salts(1, 13L).head
+    def side(tag: String, parity: Int) =
+      s"""drift_ths_$tag AS (SELECT ${HashSql.tokenHashes("text")} AS ths
+         |  FROM documents WHERE doc_id % 2 = $parity),
+         |drift_tok_$tag AS MATERIALIZED (SELECT unnest(ths) AS h FROM drift_ths_$tag),
+         |drift_m0_$tag AS MATERIALIZED (SELECT ${HashSql.ux("h", HashSql.u(salt))} AS x
+         |  FROM drift_tok_$tag),
+         |${HashSql.mixCtes(s"drift_m_$tag", s"drift_m0_$tag", "1 AS __k")},
+         |drift_c_$tag AS MATERIALIZED (SELECT CAST(x % $dims AS BIGINT) AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS count_$tag
+         |  FROM drift_m_${tag}4 GROUP BY 1)""".stripMargin
+    val p = "(CAST(count_a AS DOUBLE) / CAST(na AS DOUBLE))"
+    val q = "(CAST(count_b AS DOUBLE) / CAST(nb AS DOUBLE))"
+    val m = s"(($p + $q) / 2.0)"
+    s"""WITH ${side("a", 0)},
+       |${side("b", 1)},
+       |drift_j AS (SELECT COALESCE(ca.b, cb.b) AS b,
+       |    COALESCE(count_a, 0) AS count_a, COALESCE(count_b, 0) AS count_b
+       |  FROM drift_c_a ca FULL JOIN drift_c_b cb ON ca.b = cb.b),
+       |drift_n AS (SELECT *, SUM(count_a) OVER () AS na,
+       |    SUM(count_b) OVER () AS nb FROM drift_j),
+       |drift_q AS (SELECT b, count_a, count_b,
+       |    CAST(floor((0.5 * (
+       |      (CASE WHEN count_a > 0 THEN $p * ln($p / $m) ELSE 0.0 END) +
+       |      (CASE WHEN count_b > 0 THEN $q * ln($q / $m) ELSE 0.0 END)))
+       |      * 1000000000.0) AS BIGINT) AS js_q
+       |  FROM drift_n)
+       |SELECT b, count_a, count_b, js_q,
+       |  CAST(SUM(js_q) OVER () AS BIGINT) AS js_total_q
+       |FROM drift_q""".stripMargin
+  }
+
   /** Mirrors [[qPrefConflicts]]: parity flip over [[prefTriplesCtes]],
     * canonical md5 fingerprints, unordered-pair grouping, the same
     * integer orientation census. */
@@ -6339,6 +6390,7 @@ object ExtensionQueries {
     "q_sample_epochs" -> sampleEpochsSql,
     "q_pref_validate" -> prefValidateSql,
     "q_pref_conflicts" -> prefConflictsSql,
+    "q_text_drift" -> textDriftSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),

@@ -1563,6 +1563,24 @@ class ExtensionSpec extends SparkSpec {
       solo.getAs[Long]("agreement_permille") == 1000)
   }
 
+  test("tokenDrift: zero on identical halves, ln2 on disjoint vocab, power-of-two dims") {
+    import org.apache.spark.sql.Row
+    val a = df("text STRING", Row("alpha beta gamma"), Row("delta epsilon"))
+    val same = graft.operators.Profile.tokenDrift(a, a, "text").collect()
+    assert(same.forall(_.getAs[Long]("js_q") == 0L) &&
+      same.head.getAs[Long]("js_total_q") == 0L)
+    // fully disjoint vocabularies -> JS = ln 2 (up to per-bucket floor)
+    val b = df("text STRING", Row("zeta eta theta"), Row("iota kappa"))
+    val dj = graft.operators.Profile.tokenDrift(a, b, "text").collect()
+    val total = dj.head.getAs[Long]("js_total_q")
+    val ln2q = (math.log(2.0) * 1e9).toLong
+    assert(total <= ln2q && total > ln2q - dj.length,
+      s"disjoint JS $total !~ $ln2q")
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.tokenDrift(a, b, "text", dims = 100)
+    }
+  }
+
   test("corpusManifest: dup rate, decimal-mean quality, language mode tie-break") {
     import org.apache.spark.sql.Row
     val t = df("doc_id BIGINT, source STRING, text STRING",
