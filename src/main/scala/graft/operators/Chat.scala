@@ -106,4 +106,77 @@ object Chat {
         col("roles_ok") && col("starts_ok") &&
           col("alternation_ok") && col("nonempty_ok"))
   }
+
+  /** The agentic wire schema: [[turnSchema]] plus an optional
+    * `tool_calls` array on each turn (`{"name": ...}` per call —
+    * the function-calling interchange shape). Turns without the key
+    * parse with a NULL `tool_calls`. */
+  val toolTurnSchema: ArrayType =
+    ArrayType(StructType(Seq(
+      StructField("role", StringType),
+      StructField("content", StringType),
+      StructField("tool_calls", ArrayType(StructType(Seq(
+        StructField("name", StringType))))))))
+
+  /** [[parseTurns]] for agentic transcripts: one row per turn with
+    * `call_names` (the turn's tool-call names, `[]` when absent) and
+    * `n_calls`. Same typed degradation: malformed JSON → zero rows. */
+  def parseToolTurns(df: DataFrame, idCol: String, jsonCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(from_json(col(jsonCol), toolTurnSchema)))
+      .select(col(idCol), col("pos").cast("long").as("turn_idx"),
+        col("col.role").as("role"), col("col.content").as("content"),
+        coalesce(col("col.tool_calls.name"),
+          array().cast("array<string>")).as("call_names"))
+      .withColumn("n_calls", size(col("call_names")).cast("long"))
+
+  /** Validate the TOOL-USE protocol of agentic transcripts (the
+    * [[parseToolTurns]] shape) — the three invariants an agentic-SFT
+    * corpus must hold before the tool-calling loss makes sense, one
+    * row per conversation:
+    *
+    *  - `tool_after_call_ok` — every `tool` turn directly follows an
+    *    assistant turn that issued ≥1 tool call, or another tool turn
+    *    (chained results); an orphan tool result is a corrupt trace;
+    *  - `tools_answered_ok` — every assistant turn that issued tool
+    *    calls is immediately followed by a `tool` turn (the calls
+    *    were actually executed in-trace);
+    *  - `tool_names_ok` — every called name is in `allowedTools`
+    *    (the tool registry the model will actually be given);
+    *  - counts: `n_turns`, `n_tool_calls`, `n_tool_turns`;
+    *  - `valid` — the conjunction.
+    *
+    * Scale posture: identical to [[validateTurns]] — one doc-keyed
+    * window (lag role/calls + lead role) and one doc-keyed
+    * map-side-combinable fold. */
+  def validateToolUse(
+      turns: DataFrame,
+      idCol: String,
+      allowedTools: Seq[String]): DataFrame = {
+    require(allowedTools.nonEmpty, "allowedTools must be non-empty")
+    val w = Window.partitionBy(idCol).orderBy("turn_idx")
+    val t = turns
+      .withColumn("__prev_role", lag(col("role"), 1).over(w))
+      .withColumn("__prev_calls", lag(col("n_calls"), 1).over(w))
+      .withColumn("__next_role", lead(col("role"), 1).over(w))
+    def anyOf(cond: org.apache.spark.sql.Column) =
+      max(when(cond, 1).otherwise(0))
+    val prevOk = coalesce(
+      (col("__prev_role") === "assistant" && col("__prev_calls") > 0) ||
+        col("__prev_role") === "tool", lit(false))
+    t.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(col("n_calls")).as("n_tool_calls"),
+        sum(when(col("role") === "tool", 1L).otherwise(0L)).as("n_tool_turns"),
+        (anyOf(col("role") === "tool" && !prevOk) === 0).as("tool_after_call_ok"),
+        (anyOf(col("role") === "assistant" && col("n_calls") > 0 &&
+          !coalesce(col("__next_role") === "tool", lit(false))) === 0)
+          .as("tools_answered_ok"),
+        (anyOf(exists(col("call_names"),
+          n => !n.isInCollection(allowedTools))) === 0).as("tool_names_ok"))
+      .withColumn("valid",
+        col("tool_after_call_ok") && col("tools_answered_ok") &&
+          col("tool_names_ok"))
+  }
 }

@@ -2509,6 +2509,51 @@ object ExtensionQueries {
     * rejected (identical pair — applied last, so it composes with
     * the other two). The oracle rebuilds the identical strings with
     * `list_slice`/`repeat` and replays every flag. */
+  /** Agentic tool-use protocol validation over built transcripts
+    * ([[graft.operators.Chat.validateToolUse]]): every doc_id builds
+    * a REAL JSON agentic trace — `id%4 == 0` conversations issue
+    * `1 + id%2` tool calls (names from the {search, calc} registry)
+    * answered by a tool turn; three violation classes are injected
+    * deterministically: `id%19 == 0` (non-calling convs) inserts an
+    * ORPHAN tool turn, `id%23 == 0` (calling convs) drops the tool
+    * result (unanswered calls), `id%29 == 0` (calling convs) calls
+    * the unregistered name `rogue`. Parsed back by `from_json` with
+    * the nested tool_calls schema; the oracle regenerates the turn
+    * table from the recipe and replays the same lag/lead flag
+    * aggregates. */
+  private val qChatTools: Q = (s, dir) => {
+    import s.implicits._
+    val transcripts = pq(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val hasCall = id % 4 == 0
+        val orphan = id % 19 == 0 && !hasCall
+        val unanswered = id % 23 == 0 && hasCall
+        val rogue = id % 29 == 0 && hasCall
+        val k = (1 + id % 2).toInt
+        def callJson(j: Int): String = {
+          val nm = if (rogue && j == 0) "rogue"
+            else if ((id + j) % 2 == 0) "search" else "calc"
+          s"""{"name":"$nm"}"""
+        }
+        val user = """{"role":"user","content":"q"}"""
+        val aFinal = """{"role":"assistant","content":"done"}"""
+        val toolT = """{"role":"tool","content":"result"}"""
+        val aCall = s"""{"role":"assistant","content":"","tool_calls":${
+          (0 until k).map(callJson).mkString("[", ",", "]")}}"""
+        val turns =
+          if (hasCall && !unanswered) Seq(user, aCall, toolT, aFinal)
+          else if (hasCall) Seq(user, aCall, aFinal)
+          else if (orphan) Seq(user, toolT, aFinal)
+          else Seq(user, aFinal)
+        (id, turns.mkString("[", ",", "]"))
+      }
+      .toDF("doc_id", "transcript")
+    graft.operators.Chat.validateToolUse(
+      graft.operators.Chat.parseToolTurns(transcripts, "doc_id", "transcript"),
+      "doc_id", allowedTools = Seq("search", "calc"))
+  }
+
   /** Unigram-distribution drift between the even-id and odd-id
     * corpus halves ([[graft.operators.Profile.tokenDrift]]): hashed
     * token buckets, per-bucket quantized Jensen–Shannon terms, the
@@ -2718,6 +2763,7 @@ object ExtensionQueries {
     "q_pref_validate" -> qPrefValidate,
     "q_pref_conflicts" -> qPrefConflicts,
     "q_text_drift" -> qTextDrift,
+    "q_chat_tools" -> qChatTools,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -6139,6 +6185,55 @@ object ExtensionQueries {
        |FROM pref_g""".stripMargin
   }
 
+  /** Mirrors [[qChatTools]]: the agentic-trace recipe regenerated as
+    * a turn table (role / n_calls / rogue-name marker per generated
+    * index), then the IDENTICAL lag/lead protocol aggregates
+    * `Chat.validateToolUse` folds over the parsed JSON. */
+  private val chatToolsSql: String =
+    s"""WITH tc_c AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       |tc_p AS (SELECT id, (id % 4 = 0) AS has_call,
+       |    (id % 19 = 0 AND NOT (id % 4 = 0)) AS orphan,
+       |    (id % 23 = 0 AND id % 4 = 0) AS unanswered,
+       |    (id % 29 = 0 AND id % 4 = 0) AS rogue,
+       |    CAST(1 + id % 2 AS BIGINT) AS k
+       |  FROM tc_c),
+       |tc_n AS (SELECT *, CASE WHEN has_call AND NOT unanswered THEN 4
+       |                        WHEN has_call THEN 3
+       |                        WHEN orphan THEN 3 ELSE 2 END AS nt
+       |  FROM tc_p),
+       |tc_t AS (SELECT id, has_call, unanswered, orphan, rogue, k,
+       |    CAST(unnest(range(0, nt)) AS BIGINT) AS ti
+       |  FROM tc_n),
+       |tc_r AS (SELECT id, ti AS turn_idx,
+       |    CASE WHEN ti = 0 THEN 'user'
+       |         WHEN has_call AND ti = 1 THEN 'assistant'
+       |         WHEN has_call AND NOT unanswered AND ti = 2 THEN 'tool'
+       |         WHEN orphan AND ti = 1 THEN 'tool'
+       |         ELSE 'assistant' END AS role,
+       |    CASE WHEN has_call AND ti = 1 THEN k ELSE 0 END AS n_calls,
+       |    (rogue AND ti = 1) AS has_rogue
+       |  FROM tc_t),
+       |tc_l AS (SELECT *,
+       |    lag(role) OVER w AS pr, lag(n_calls) OVER w AS pc,
+       |    lead(role) OVER w AS nr
+       |  FROM tc_r WINDOW w AS (PARTITION BY id ORDER BY turn_idx)),
+       |tc_f AS (SELECT id AS doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_turns,
+       |    CAST(SUM(n_calls) AS BIGINT) AS n_tool_calls,
+       |    CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_tool_turns,
+       |    (MAX(CASE WHEN role = 'tool' AND NOT COALESCE(
+       |        (pr = 'assistant' AND pc > 0) OR pr = 'tool', FALSE)
+       |      THEN 1 ELSE 0 END) = 0) AS tool_after_call_ok,
+       |    (MAX(CASE WHEN role = 'assistant' AND n_calls > 0
+       |        AND NOT COALESCE(nr = 'tool', FALSE)
+       |      THEN 1 ELSE 0 END) = 0) AS tools_answered_ok,
+       |    (MAX(CASE WHEN has_rogue THEN 1 ELSE 0 END) = 0) AS tool_names_ok
+       |  FROM tc_l GROUP BY id)
+       |SELECT *, (tool_after_call_ok AND tools_answered_ok AND tool_names_ok)
+       |  AS valid
+       |FROM tc_f""".stripMargin
+
   /** Mirrors [[qTextDrift]]: per-half token hashes through the
     * salt-XOR + staged SplitMix64 ([[HashSql.mixCtes]]), bucket
     * counts, full-join, and the IDENTICAL double expression for each
@@ -6391,6 +6486,7 @@ object ExtensionQueries {
     "q_pref_validate" -> prefValidateSql,
     "q_pref_conflicts" -> prefConflictsSql,
     "q_text_drift" -> textDriftSql,
+    "q_chat_tools" -> chatToolsSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),

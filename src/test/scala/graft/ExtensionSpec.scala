@@ -1634,6 +1634,35 @@ class ExtensionSpec extends SparkSpec {
       !u.getAs[Boolean]("oversampled"))
   }
 
+  test("Chat tool-use: orphan tool, unanswered call, rogue name, chained results") {
+    import graft.operators.Chat
+    import org.apache.spark.sql.Row
+    val t = df("doc_id BIGINT, transcript STRING",
+      // valid: call answered, then chained second tool result
+      Row(1L, """[{"role":"user","content":"q"},{"role":"assistant","content":"","tool_calls":[{"name":"search"},{"name":"calc"}]},{"role":"tool","content":"r1"},{"role":"tool","content":"r2"},{"role":"assistant","content":"done"}]"""),
+      // orphan tool result (no preceding call)
+      Row(2L, """[{"role":"user","content":"q"},{"role":"tool","content":"r"},{"role":"assistant","content":"a"}]"""),
+      // call never answered
+      Row(3L, """[{"role":"user","content":"q"},{"role":"assistant","content":"","tool_calls":[{"name":"calc"}]},{"role":"assistant","content":"done"}]"""),
+      // unregistered tool name
+      Row(4L, """[{"role":"user","content":"q"},{"role":"assistant","content":"","tool_calls":[{"name":"rm_rf"}]},{"role":"tool","content":"r"},{"role":"assistant","content":"done"}]"""),
+      // no tools at all -> vacuously valid
+      Row(5L, """[{"role":"user","content":"q"},{"role":"assistant","content":"a"}]"""))
+    val v = Chat.validateToolUse(
+      Chat.parseToolTurns(t, "doc_id", "transcript"), "doc_id",
+      allowedTools = Seq("search", "calc"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(v(1L).getAs[Boolean]("valid") &&
+      v(1L).getAs[Long]("n_tool_calls") == 2 &&
+      v(1L).getAs[Long]("n_tool_turns") == 2)
+    assert(!v(2L).getAs[Boolean]("tool_after_call_ok") && !v(2L).getAs[Boolean]("valid"))
+    assert(!v(3L).getAs[Boolean]("tools_answered_ok") &&
+      v(3L).getAs[Boolean]("tool_after_call_ok"))
+    assert(!v(4L).getAs[Boolean]("tool_names_ok") &&
+      v(4L).getAs[Boolean]("tools_answered_ok"))
+    assert(v(5L).getAs[Boolean]("valid") && v(5L).getAs[Long]("n_tool_calls") == 0)
+  }
+
   test("Bpe.train matches the hand-computed merge sequence (ties, greedy re-merge)") {
     // freqs: low:3 lower:2 newest:3 widest:1 — classic Sennrich corpus
     val t = df("doc_id BIGINT, text STRING",
