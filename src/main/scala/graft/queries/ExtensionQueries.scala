@@ -2509,6 +2509,16 @@ object ExtensionQueries {
     * rejected (identical pair — applied last, so it composes with
     * the other two). The oracle rebuilds the identical strings with
     * `list_slice`/`repeat` and replays every flag. */
+  /** The ZERO-SHUFFLE twin of [[qChatValidate]]
+    * ([[graft.operators.Chat.validateTranscripts]] — higher-order
+    * array functions over the parsed turn array, one codegen'd
+    * projection, no explode/window/aggregate). Shares
+    * [[qChatValidate]]'s oracle verbatim, so the DuckDB gate itself
+    * pins the two implementations equal corpus-wide. */
+  private val qChatGate: Q = (s, dir) =>
+    graft.operators.Chat.validateTranscripts(
+      chatTranscripts(s, dir), "doc_id", "transcript")
+
   /** Agentic tool-use protocol validation over built transcripts
     * ([[graft.operators.Chat.validateToolUse]]): every doc_id builds
     * a REAL JSON agentic trace — `id%4 == 0` conversations issue
@@ -2764,6 +2774,7 @@ object ExtensionQueries {
     "q_pref_conflicts" -> qPrefConflicts,
     "q_text_drift" -> qTextDrift,
     "q_chat_tools" -> qChatTools,
+    "q_chat_gate" -> qChatGate,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -6487,6 +6498,7 @@ object ExtensionQueries {
     "q_pref_conflicts" -> prefConflictsSql,
     "q_text_drift" -> textDriftSql,
     "q_chat_tools" -> chatToolsSql,
+    "q_chat_gate" -> chatValidateSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),

@@ -1634,6 +1634,30 @@ class ExtensionSpec extends SparkSpec {
       !u.getAs[Boolean]("oversampled"))
   }
 
+  test("validateTranscripts: zero-shuffle plan, row parity with the exploded pipeline") {
+    import graft.operators.Chat
+    import org.apache.spark.sql.Row
+    val t = df("doc_id BIGINT, transcript STRING",
+      Row(1L, """[{"role":"system","content":"be concise"},{"role":"user","content":"hi there"},{"role":"assistant","content":"hello"}]"""),
+      Row(2L, """[{"role":"user","content":"a"},{"role":"user","content":"b"},{"role":"assistant","content":"c"}]"""),
+      Row(3L, """[{"role":"tool","content":"x"},{"role":"assistant","content":"y"}]"""),
+      Row(4L, """[{"role":"user","content":"q"},{"role":"assistant","content":""}]"""),
+      Row(5L, """[{"role":"user","content":"q"},{"role":"system","content":"late"},{"role":"assistant","content":"a"}]"""),
+      Row(6L, """[{"role":"user","content":"""), // malformed
+      Row(7L, null),
+      Row(8L, """[{"content":"orphan"},{"role":"user"}]"""),
+      Row(9L, "[]"),                              // zero turns
+      Row(10L, """[{"role":"system","content":"s"}]""")) // lone system
+    val inline = Chat.validateTranscripts(t, "doc_id", "transcript")
+    val exploded = Chat.validateTurns(
+      Chat.parseTurns(t, "doc_id", "transcript"), "doc_id")
+    assertRows(inline, exploded.collect().toIndexedSeq)
+    assert(inline.filter("doc_id IN (6, 7, 9)").count() == 0)
+    // the point of the inline shape: ONE projection, zero shuffles
+    val plan = inline.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"inline validate shuffled:\n$plan")
+  }
+
   test("Chat tool-use: orphan tool, unanswered call, rogue name, chained results") {
     import graft.operators.Chat
     import org.apache.spark.sql.Row
