@@ -369,6 +369,39 @@ object Sampling {
     * attaches via an unpartitioned window over that TINY frame (never
     * a literal-key join — that constant-folds to a nested-loop), so
     * the single-partition stage touches only #sources rows. */
+  /** Curriculum schedule — the phase manifest a quality-ordered
+    * (anneal-style) training run consumes: within each group (source
+    * / shard — the parallelism unit, as in packing), documents rank
+    * by heuristic quality (ties broken by id, so the order is total
+    * and engine-independent) and split into `phases` equal ntile
+    * phases — phase 1 = the highest-quality tranche, consumed last in
+    * an annealing schedule or first in easy-first curricula, the
+    * caller's convention. `order_key` (salted SplitMix64 of the id)
+    * gives the deterministic WITHIN-phase shuffle order every loader
+    * needs — sort by (phase, order_key) and the epoch order is
+    * reproducible across runs, engines and cluster sizes.
+    *
+    * Scale posture: one window per group partition — a single
+    * shuffle on `groupCol` (thousands of shards in production, never
+    * one global sort); the order key is a codegen'd projection. */
+  def curriculumSchedule(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      textCol: String,
+      phases: Int,
+      seed: Long = 17L): DataFrame = {
+    require(phases > 0, s"phases must be positive, got $phases")
+    val salt = graft.functions.Hashing.salts(1, seed).head
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("quality").desc, col(idCol).asc)
+    df.select(col(idCol), col(groupCol),
+        TextFunctions.qualityScore(col(textCol)).as("quality"))
+      .withColumn("phase", ntile(phases).over(w).cast("long"))
+      .withColumn("order_key",
+        HashExpressions.mix64(col(idCol).bitwiseXOR(lit(salt))))
+  }
+
   def epochAllocation(
       df: DataFrame,
       sourceCol: String,

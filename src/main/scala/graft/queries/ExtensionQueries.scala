@@ -2509,6 +2509,14 @@ object ExtensionQueries {
     * rejected (identical pair — applied last, so it composes with
     * the other two). The oracle rebuilds the identical strings with
     * `list_slice`/`repeat` and replays every flag. */
+  /** Curriculum phase manifest
+    * ([[graft.operators.Sampling.curriculumSchedule]]): per-source
+    * quality ntile phases + the salted SplitMix64 within-phase
+    * shuffle key. */
+  private val qCurriculum: Q = (s, dir) =>
+    graft.operators.Sampling.curriculumSchedule(
+      pq(s, dir, "documents"), "doc_id", "source", "text", phases = 4)
+
   /** The ZERO-SHUFFLE twin of [[qChatValidate]]
     * ([[graft.operators.Chat.validateTranscripts]] — higher-order
     * array functions over the parsed turn array, one codegen'd
@@ -2775,6 +2783,7 @@ object ExtensionQueries {
     "q_text_drift" -> qTextDrift,
     "q_chat_tools" -> qChatTools,
     "q_chat_gate" -> qChatGate,
+    "q_curriculum" -> qCurriculum,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -6196,6 +6205,29 @@ object ExtensionQueries {
        |FROM pref_g""".stripMargin
   }
 
+  /** Mirrors [[qCurriculum]]: the shared quality expression, ntile
+    * over the identical (quality DESC, doc_id ASC) per-source window,
+    * and the salted staged-SplitMix64 order key with the signed
+    * BIGINT read-out. */
+  private val curriculumSql: String = {
+    val salt = graft.functions.Hashing.salts(1, 17L).head
+    s"""WITH cur_q AS (SELECT doc_id, source,
+       |    $alphaRatioSql * 0.4 + $stopRatioSql * 0.3
+       |      + least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.2
+       |      + (1.0 - $punctRatioSql) * 0.1 AS quality
+       |  FROM documents),
+       |cur_p AS (SELECT doc_id, source, quality,
+       |    CAST(ntile(4) OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS phase
+       |  FROM cur_q),
+       |cur_m0 AS MATERIALIZED (SELECT doc_id, source, quality, phase,
+       |    ${HashSql.ux("CAST(doc_id AS HUGEINT)", HashSql.u(salt))} AS x
+       |  FROM cur_p),
+       |${HashSql.mixCtes("cur_m", "cur_m0", "doc_id, source, quality, phase")}
+       |SELECT doc_id, source, quality, phase, ${HashSql.toS("x")} AS order_key
+       |FROM cur_m4""".stripMargin
+  }
+
   /** Mirrors [[qChatTools]]: the agentic-trace recipe regenerated as
     * a turn table (role / n_calls / rogue-name marker per generated
     * index), then the IDENTICAL lag/lead protocol aggregates
@@ -6499,6 +6531,7 @@ object ExtensionQueries {
     "q_text_drift" -> textDriftSql,
     "q_chat_tools" -> chatToolsSql,
     "q_chat_gate" -> chatValidateSql,
+    "q_curriculum" -> curriculumSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),

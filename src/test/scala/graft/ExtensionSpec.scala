@@ -1607,6 +1607,34 @@ class ExtensionSpec extends SparkSpec {
     assert(math.abs(a.getAs[Double]("mean_quality") - want) < 1e-12)
   }
 
+  test("curriculumSchedule: quality-ordered ntile phases, deterministic order key") {
+    import org.apache.spark.sql.Row
+    // group g: 4 docs with strictly ordered quality (longer alpha text
+    // scores higher through the token-count term)
+    val t = df("doc_id BIGINT, g STRING, text STRING",
+      Row(1L, "g", "the and is a of to in very long clean prose text here"),
+      Row(2L, "g", "the and is a"),
+      Row(3L, "g", "zz!!??.."),
+      Row(4L, "g", "@#$% ^&*!"),
+      Row(5L, "h", "solo"))
+    val got = graft.operators.Sampling
+      .curriculumSchedule(t, "doc_id", "g", "text", phases = 2)
+    val byId = got.collect().map(r => r.getLong(0) -> r).toMap
+    // phase 1 = top-quality half within the group
+    assert(byId(1L).getAs[Long]("phase") == 1 && byId(2L).getAs[Long]("phase") == 1)
+    assert(byId(3L).getAs[Long]("phase") == 2 && byId(4L).getAs[Long]("phase") == 2)
+    assert(byId(5L).getAs[Long]("phase") == 1)
+    // order key is the salted mix of the id — invariant to text/group
+    val again = graft.operators.Sampling
+      .curriculumSchedule(t.orderBy(org.apache.spark.sql.functions.rand(3)),
+        "doc_id", "g", "text", phases = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("order_key")).toMap
+    assert(byId.map { case (k, r) => k -> r.getAs[Long]("order_key") } == again)
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.curriculumSchedule(t, "doc_id", "g", "text", 0)
+    }
+  }
+
   test("epochAllocation: integer draw sizes, repeat factors, oversample guard") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.functions._
