@@ -1056,6 +1056,68 @@ object Profile {
       .drop("__ln")
   }
 
+  /** Mergeable per-source manifest STATE — the incremental twin of
+    * [[corpusManifest]] (the O(new-batch) posture every operator
+    * family here keeps): one row per source holding counters that
+    * merge by ADDITION (`n_docs`, `total_tokens`, the DECIMAL quality
+    * sum) and the bounded KMV sketch of canonical document hashes
+    * (which merges by union — KMV's closure property). Build a state
+    * per ingest batch, store it, and [[manifestMerge]] folds any set
+    * of states into the manifest of the concatenated corpus WITHOUT
+    * rescanning old batches — bit-identical to a from-scratch build
+    * (the closure is exact, not approximate: merged sketch ≡ whole-
+    * corpus sketch, element for element).
+    *
+    * Scale posture: one scan + one source-keyed aggregate per batch;
+    * the state row is O(k) bytes. */
+  def manifestStates(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      k: Int = 16): DataFrame = {
+    val canonical = trim(regexp_replace(lower(col(textCol)),
+      TextFunctions.wsClass + "+", " "))
+    val h = graft.functions.HashExpressions.mix64(
+      graft.functions.HashExpressions.textFnv64(canonical))
+    df.select(col(sourceCol).as("source"),
+        TextFunctions.tokenCount(col(textCol)).as("__tok"),
+        TextFunctions.qualityScore(col(textCol)).cast("decimal(18,9)").as("__q"),
+        h.as("__h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("total_tokens"),
+        sum(col("__q")).as("q_sum"),
+        graft.functions.KmvAgg.kmvAgg(col("__h"), k).as("sketch"))
+  }
+
+  /** Fold [[manifestStates]] rows (any number of batches) into the
+    * final per-source manifest: counters sum, sketches union through
+    * the same bounded KMV buffer, and the published columns are
+    * `(source, n_docs, total_tokens, uniq_est, dup_est_permille,
+    * mean_quality)` — `uniq_est` the KMV distinct estimate (the
+    * estimate can exceed `n_docs`, so the dup rate clamps at 0) and
+    * `mean_quality` the DECIMAL-sum / count division done ONCE at
+    * publish time, so merge order can never move the float. */
+  def manifestMerge(states: DataFrame, k: Int = 16): DataFrame = {
+    val counters = states.groupBy("source")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"),
+        sum(col("q_sum")).as("q_sum"))
+    val sketches = states
+      .select(col("source"), explode(col("sketch")).as("__h"))
+      .groupBy("source")
+      .agg(graft.functions.KmvAgg.kmvAgg(col("__h"), k).as("sketch"))
+      .select(col("source") +: kmvEstimateCols(k): _*)
+      .select(col("source"), col("estimate").as("uniq_est"))
+    counters.join(sketches, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("uniq_est"),
+        expr("greatest(n_docs - uniq_est, 0) * 1000 div n_docs")
+          .as("dup_est_permille"),
+        (col("q_sum").cast("double") / col("n_docs")).as("mean_quality"))
+  }
+
   /** Token-distribution drift between two corpus snapshots — the
     * vocabulary-shift check a corpus refresh runs before swapping
     * snapshots (the numeric-column twin is [[psiDrift]]): every token

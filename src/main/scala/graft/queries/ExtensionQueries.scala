@@ -2509,6 +2509,22 @@ object ExtensionQueries {
     * rejected (identical pair — applied last, so it composes with
     * the other two). The oracle rebuilds the identical strings with
     * `list_slice`/`repeat` and replays every flag. */
+  /** Incremental corpus manifest — batch states over the even-id and
+    * odd-id halves merged into the full-corpus manifest
+    * ([[graft.operators.Profile.manifestStates]] /
+    * [[graft.operators.Profile.manifestMerge]]); the oracle computes
+    * the manifest from the FULL corpus directly, so the gate itself
+    * proves the closure (merge of batch states ≡ from-scratch
+    * build). */
+  private val qManifestMerge: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    val a = graft.operators.Profile.manifestStates(
+      docs.filter(col("doc_id") % 2 === 0), "source", "text")
+    val b = graft.operators.Profile.manifestStates(
+      docs.filter(col("doc_id") % 2 === 1), "source", "text")
+    graft.operators.Profile.manifestMerge(a.unionByName(b))
+  }
+
   /** Curriculum phase manifest
     * ([[graft.operators.Sampling.curriculumSchedule]]): per-source
     * quality ntile phases + the salted SplitMix64 within-phase
@@ -2784,6 +2800,7 @@ object ExtensionQueries {
     "q_chat_tools" -> qChatTools,
     "q_chat_gate" -> qChatGate,
     "q_curriculum" -> qCurriculum,
+    "q_manifest_merge" -> qManifestMerge,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -6205,6 +6222,41 @@ object ExtensionQueries {
        |FROM pref_g""".stripMargin
   }
 
+  /** Mirrors [[qManifestMerge]] from the FULL corpus (never from the
+    * halves): per-source counters + the [[profileKmvSql]] k=16 sketch
+    * replay — KMV's exact closure means the Spark side's merged batch
+    * states must land on the same numbers. */
+  private val manifestMergeSql: String =
+    s"""WITH mm_cnt AS (SELECT source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM($nTokensSql) AS BIGINT) AS total_tokens,
+       |    SUM(CAST($alphaRatioSql * 0.4 + $stopRatioSql * 0.3
+       |      + least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.2
+       |      + (1.0 - $punctRatioSql) * 0.1 AS DECIMAL(18,9))) AS q_sum
+       |  FROM documents GROUP BY source),
+       |mm_c0 AS (SELECT doc_id, source,
+       |    trim(regexp_replace(lower(text), '$ws+', ' ', 'g')) AS ctext
+       |  FROM documents),
+       |mm_f0 AS (SELECT doc_id, source, ${HashSql.textFnvU("ctext")} AS x
+       |  FROM mm_c0),
+       |${HashSql.mixCtes("mm_f", "mm_f0", "doc_id, source")},
+       |mm_g AS (SELECT source, list_sort(list_distinct(list(x))) AS xs
+       |  FROM mm_f4 GROUP BY source),
+       |mm_sk AS (SELECT source,
+       |    CAST(least(len(xs), 16) AS BIGINT) AS n_kept,
+       |    (CASE WHEN len(xs) >= 16 THEN xs[16] ELSE NULL END) AS kth_u
+       |  FROM mm_g),
+       |mm_e AS (SELECT source,
+       |    CAST(CASE WHEN kth_u IS NULL THEN n_kept
+       |         ELSE (CAST('${(BigInt(15) << 64).toString}' AS HUGEINT) // kth_u)
+       |         END AS BIGINT) AS uniq_est
+       |  FROM mm_sk)
+       |SELECT c.source, n_docs, total_tokens, uniq_est,
+       |  CAST(greatest(n_docs - uniq_est, 0) * 1000 // n_docs AS BIGINT)
+       |    AS dup_est_permille,
+       |  CAST(q_sum AS DOUBLE) / n_docs AS mean_quality
+       |FROM mm_cnt c JOIN mm_e e ON e.source = c.source""".stripMargin
+
   /** Mirrors [[qCurriculum]]: the shared quality expression, ntile
     * over the identical (quality DESC, doc_id ASC) per-source window,
     * and the salted staged-SplitMix64 order key with the signed
@@ -6532,6 +6584,7 @@ object ExtensionQueries {
     "q_chat_tools" -> chatToolsSql,
     "q_chat_gate" -> chatValidateSql,
     "q_curriculum" -> curriculumSql,
+    "q_manifest_merge" -> manifestMergeSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),

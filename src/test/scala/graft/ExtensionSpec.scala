@@ -1563,6 +1563,25 @@ class ExtensionSpec extends SparkSpec {
       solo.getAs[Long]("agreement_permille") == 1000)
   }
 
+  test("manifestStates/manifestMerge: 3-way batch merge == one-shot build") {
+    import org.apache.spark.sql.Row
+    import graft.operators.Profile
+    val rows = (1L to 30L).map(i =>
+      Row(i, s"s${i % 3}", s"doc ${i % 7} body text number ${i % 5}"))
+    val t = df("doc_id BIGINT, source STRING, text STRING", rows: _*)
+    val oneShot = Profile.manifestMerge(Profile.manifestStates(t, "source", "text", k = 4), k = 4)
+    val merged = Profile.manifestMerge(
+      Profile.manifestStates(t.filter("doc_id % 3 = 0"), "source", "text", k = 4)
+        .unionByName(Profile.manifestStates(t.filter("doc_id % 3 = 1"), "source", "text", k = 4))
+        .unionByName(Profile.manifestStates(t.filter("doc_id % 3 = 2"), "source", "text", k = 4)),
+      k = 4)
+    assertRows(merged, oneShot.collect().toIndexedSeq)
+    // duplicated texts are visible through the distinct estimate
+    val m = merged.collect().map(r => r.getString(0) -> r).toMap
+    assert(m.values.forall(r => r.getAs[Long]("uniq_est") <= r.getAs[Long]("n_docs") + 4))
+    assert(m("s0").getAs[Long]("n_docs") == 10)
+  }
+
   test("tokenDrift: zero on identical halves, ln2 on disjoint vocab, power-of-two dims") {
     import org.apache.spark.sql.Row
     val a = df("text STRING", Row("alpha beta gamma"), Row("delta epsilon"))
