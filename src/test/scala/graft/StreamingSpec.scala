@@ -703,4 +703,31 @@ class StreamingSpec extends SparkSpec {
     assert(three.size == 6)
     assert(three == batch)
   }
+
+  test("streaming chat gate: the stateless inline validator runs per micro-batch unchanged") {
+    import graft.operators.Chat
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, """[{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]"""),
+      org.apache.spark.sql.Row(2L, """[{"role":"user","content":"a"},{"role":"user","content":"b"}]"""),
+      org.apache.spark.sql.Row(3L, """not json"""),
+      org.apache.spark.sql.Row(4L, """[{"role":"user","content":"q"},{"role":"assistant","content":""}]"""))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, transcript STRING")
+    val batchDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft_chat_stream").toString
+    batchDf.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    // the zero-shuffle gate is a pure projection, so it attaches to a
+    // stream with APPEND output — no state store, no watermark
+    val q = Chat.validateTranscripts(stream, "doc_id", "transcript")
+      .writeStream.format("memory").queryName("chat_gate").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("chat_gate").collect().map(_.toSeq).toSet
+      val batch = Chat.validateTranscripts(batchDf, "doc_id", "transcript")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch && batch.size == 3) // doc 3 malformed -> absent
+    } finally q.stop()
+  }
 }
