@@ -543,4 +543,43 @@ object TextFunctions {
       stopwordRatio(text) * lit(0.3) +
       least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) * lit(0.2) +
       (lit(1.0) - punctRatio(text)) * lit(0.1)
+
+  // ------------------------------------------------------------ encoding QA
+
+  /** Double-encoded UTF-8 artifact: a Latin-1 misread of a UTF-8
+    * two-byte sequence shows as U+00C3/U+00C2 ('Ã'/'Â') followed by a
+    * codepoint in the Latin-1 supplement's control/low half — the
+    * classic "Ã©" for "é". Literal-char class, RE2-safe. */
+  val mojibakePattern: String = "[\u00C3\u00C2][\u0080-\u00BF]"
+
+  /** C0 controls that signal binary contamination — everything except
+    * the whitespace controls the tokenizer already owns
+    * ([[wsChars]]: TAB LF VT FF CR) — plus DEL. Hex escapes so no
+    * literal control byte ever lands in a SQL string. */
+  val badControlPattern: String = "[\\x00-\\x08\\x0E-\\x1F\\x7F]"
+
+  /** Per-document encoding-health report — the byte-hygiene gate a
+    * crawl pipeline runs before any text operator (a document that
+    * fails here poisons tokenization, dedup fingerprints and LM
+    * training alike): occurrence counts of the U+FFFD replacement
+    * character (a decoder already gave up), double-encoding mojibake
+    * ([[mojibakePattern]]), non-whitespace C0/DEL controls
+    * ([[badControlPattern]]), and NBSP (the HTML-extraction tell),
+    * plus the all-clear conjunction.
+    *
+    * Scale posture: a pure per-row codegen'd projection — four regex
+    * extractions over scan bytes, zero shuffle. */
+  def encodingReport(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    def occ(pat: String) =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+    df.select(col(idCol),
+        occ("\uFFFD").as("n_replacement"),
+        occ(mojibakePattern).as("n_mojibake"),
+        occ(badControlPattern).as("n_controls"),
+        occ("\u00A0").as("n_nbsp"))
+      .withColumn("encoding_ok",
+        col("n_replacement") === 0 && col("n_mojibake") === 0 &&
+          col("n_controls") === 0 && col("n_nbsp") === 0)
+  }
 }

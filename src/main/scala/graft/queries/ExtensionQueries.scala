@@ -2509,6 +2509,25 @@ object ExtensionQueries {
     * rejected (identical pair — applied last, so it composes with
     * the other two). The oracle rebuilds the identical strings with
     * `list_slice`/`repeat` and replays every flag. */
+  /** Encoding-health QA
+    * ([[graft.functions.TextFunctions.encodingReport]]) over
+    * deterministically CORRUPTED text: four injection classes
+    * (`id%7` double-encoding mojibake, `id%11` U+FFFD replacement
+    * chars, `id%13` a stray C0 control, `id%17` NBSP) appended to the
+    * clean ASCII corpus so every counter and the all-clear flag see
+    * real positives; the oracle rebuilds the identical corruption
+    * with `chr()` codepoints and counts with the same RE2 classes. */
+  private val qTextEncoding: Q = (s, dir) => {
+    val id = col("doc_id")
+    val corrupted = pq(s, dir, "documents").select(id,
+      concat(col("text"),
+        when(id % 7 === 0, lit(" \u00C3\u00A9\u00C3\u00A8")).otherwise(lit("")),
+        when(id % 11 === 0, lit("\uFFFD\uFFFD")).otherwise(lit("")),
+        when(id % 13 === 0, lit("\u0001")).otherwise(lit("")),
+        when(id % 17 === 0, lit("\u00A0")).otherwise(lit(""))).as("text"))
+    TextFunctions.encodingReport(corrupted, "doc_id", "text")
+  }
+
   /** Incremental corpus manifest — batch states over the even-id and
     * odd-id halves merged into the full-corpus manifest
     * ([[graft.operators.Profile.manifestStates]] /
@@ -2801,6 +2820,7 @@ object ExtensionQueries {
     "q_chat_gate" -> qChatGate,
     "q_curriculum" -> qCurriculum,
     "q_manifest_merge" -> qManifestMerge,
+    "q_text_encoding" -> qTextEncoding,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -6222,6 +6242,31 @@ object ExtensionQueries {
        |FROM pref_g""".stripMargin
   }
 
+  /** Mirrors [[qTextEncoding]]: the corruption rebuilt with `chr()`
+    * codepoints (no raw control bytes in the SQL text), counts via
+    * the same RE2 classes spelled with `\\x{...}` escapes. */
+  private val textEncodingSql: String = {
+    val ctrl = TextFunctions.badControlPattern
+    s"""WITH enc_t AS (SELECT doc_id, text
+       |  || CASE WHEN doc_id % 7 = 0
+       |     THEN ' ' || chr(195) || chr(169) || chr(195) || chr(168) ELSE '' END
+       |  || CASE WHEN doc_id % 11 = 0 THEN chr(65533) || chr(65533) ELSE '' END
+       |  || CASE WHEN doc_id % 13 = 0 THEN chr(1) ELSE '' END
+       |  || CASE WHEN doc_id % 17 = 0 THEN chr(160) ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '\\x{FFFD}')) AS BIGINT) AS n_replacement,
+       |  CAST(len(regexp_extract_all(t, '[\\x{C3}\\x{C2}][\\x{80}-\\x{BF}]'))
+       |       AS BIGINT) AS n_mojibake,
+       |  CAST(len(regexp_extract_all(t, '$ctrl')) AS BIGINT) AS n_controls,
+       |  CAST(len(regexp_extract_all(t, '\\x{A0}')) AS BIGINT) AS n_nbsp,
+       |  (len(regexp_extract_all(t, '\\x{FFFD}')) = 0
+       |   AND len(regexp_extract_all(t, '[\\x{C3}\\x{C2}][\\x{80}-\\x{BF}]')) = 0
+       |   AND len(regexp_extract_all(t, '$ctrl')) = 0
+       |   AND len(regexp_extract_all(t, '\\x{A0}')) = 0) AS encoding_ok
+       |FROM enc_t""".stripMargin
+  }
+
   /** Mirrors [[qManifestMerge]] from the FULL corpus (never from the
     * halves): per-source counters + the [[profileKmvSql]] k=16 sketch
     * replay — KMV's exact closure means the Spark side's merged batch
@@ -6585,6 +6630,7 @@ object ExtensionQueries {
     "q_chat_gate" -> chatValidateSql,
     "q_curriculum" -> curriculumSql,
     "q_manifest_merge" -> manifestMergeSql,
+    "q_text_encoding" -> textEncodingSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),

@@ -1582,6 +1582,27 @@ class ExtensionSpec extends SparkSpec {
     assert(m("s0").getAs[Long]("n_docs") == 10)
   }
 
+  test("encodingReport: mojibake, replacement, control, nbsp counters and the all-clear") {
+    import org.apache.spark.sql.Row
+    val t = df("id BIGINT, text STRING",
+      Row(1L, "clean ascii prose"),
+      Row(2L, "double encoded: \u00C3\u00A9 and \u00C3\u00A8"),
+      Row(3L, "lost bytes \uFFFD here \uFFFD\uFFFD"),
+      Row(4L, "binary\u0001noise\u007F"),
+      Row(5L, "html\u00A0artifact"),
+      Row(6L, "tab\tand\nnewline are fine"),
+      Row(7L, "plain \u00C9cole")) // precomposed É + regular char: NOT mojibake
+    val got = graft.functions.TextFunctions.encodingReport(t, "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("encoding_ok"))
+    assert(got(2L).getAs[Long]("n_mojibake") == 2 && !got(2L).getAs[Boolean]("encoding_ok"))
+    assert(got(3L).getAs[Long]("n_replacement") == 3)
+    assert(got(4L).getAs[Long]("n_controls") == 2)
+    assert(got(5L).getAs[Long]("n_nbsp") == 1)
+    assert(got(6L).getAs[Boolean]("encoding_ok"))
+    assert(got(7L).getAs[Boolean]("encoding_ok"))
+  }
+
   test("tokenDrift: zero on identical halves, ln2 on disjoint vocab, power-of-two dims") {
     import org.apache.spark.sql.Row
     val a = df("text STRING", Row("alpha beta gamma"), Row("delta epsilon"))
