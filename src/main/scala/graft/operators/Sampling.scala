@@ -369,6 +369,51 @@ object Sampling {
     * attaches via an unpartitioned window over that TINY frame (never
     * a literal-key join — that constant-folds to a nested-loop), so
     * the single-partition stage touches only #sources rows. */
+  /** EXECUTE a mixture allocation — the materialized twin of
+    * [[epochAllocation]]: instead of reporting per-source draw sizes,
+    * emit the actual draw list. Each source's rate is
+    * `rate_ppm = tokens_drawn·10⁶ / total_tokens` (can exceed 10⁶ —
+    * that is epoch repetition); each document gets
+    * `⌊rate_ppm/10⁶⌋` guaranteed copies plus one more iff its salted
+    * SplitMix64 residual lands under the fractional part — so the
+    * realized token mass converges to the budget share per source,
+    * the decision is a pure function of the id (stable across runs
+    * and cluster sizes, the [[hashSplit]] property), and a document
+    * is never split: it repeats whole or not at all. Output one row
+    * per COPY: `(idCol, source, copy_idx)` with copy_idx 1..n —
+    * exactly what a loader unions into the training stream.
+    *
+    * Scale posture: one source-keyed aggregate folds the corpus to
+    * the source-sized rate table, which AQE broadcast-joins back to
+    * the scan; the copy explosion is a generator over
+    * `sequence(1, n_copies)` after the zero-copy filter — output
+    * rows ≈ budget/avg-doc-tokens, independent of how much corpus
+    * was scanned. */
+  def applyEpochAllocation(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      weightCol: org.apache.spark.sql.Column,
+      budgetTokens: Long,
+      seed: Long = 19L): DataFrame = {
+    val salt = graft.functions.Hashing.salts(1, seed).head
+    val rates = epochAllocation(df, sourceCol, textCol, weightCol, budgetTokens)
+      .withColumn("rate_ppm",
+        expr("tokens_drawn * 1000000 div greatest(total_tokens, 1)"))
+      .select("source", "rate_ppm")
+    val resid = shiftrightunsigned(
+      HashExpressions.mix64(col(idCol).bitwiseXOR(lit(salt))), 1) % 1000000L
+    df.select(col(idCol), col(sourceCol).as("source"))
+      .join(rates, "source")
+      .withColumn("n_copies",
+        expr("rate_ppm div 1000000") +
+          when(resid < expr("rate_ppm % 1000000"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col(idCol), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+  }
+
   /** Curriculum schedule — the phase manifest a quality-ordered
     * (anneal-style) training run consumes: within each group (source
     * / shard — the parallelism unit, as in packing), documents rank

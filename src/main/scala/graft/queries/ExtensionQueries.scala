@@ -2509,6 +2509,17 @@ object ExtensionQueries {
     * rejected (identical pair — applied last, so it composes with
     * the other two). The oracle rebuilds the identical strings with
     * `list_slice`/`repeat` and replays every flag. */
+  /** The materialized mixture draw
+    * ([[graft.operators.Sampling.applyEpochAllocation]]): the
+    * [[qSampleEpochs]] allocation executed into an actual copy list —
+    * whole-document repetition with fractional rates resolved by the
+    * salted hash residual. */
+  private val qSampleEpochsApply: Q = (s, dir) =>
+    graft.operators.Sampling.applyEpochAllocation(
+      pq(s, dir, "documents"), "doc_id", "source", "text",
+      weightCol = lit(100L) + pmod(length(col("source")).cast("long") * 37L, lit(200L)),
+      budgetTokens = 2000000L)
+
   /** Encoding-health QA
     * ([[graft.functions.TextFunctions.encodingReport]]) over
     * deterministically CORRUPTED text: four injection classes
@@ -2821,6 +2832,7 @@ object ExtensionQueries {
     "q_curriculum" -> qCurriculum,
     "q_manifest_merge" -> qManifestMerge,
     "q_text_encoding" -> qTextEncoding,
+    "q_sample_epochs_apply" -> qSampleEpochsApply,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -6242,6 +6254,36 @@ object ExtensionQueries {
        |FROM pref_g""".stripMargin
   }
 
+  /** Mirrors [[qSampleEpochsApply]]: the [[sampleEpochsSql]] rate
+    * arithmetic extended to ppm, the salted staged-SplitMix64
+    * residual, integer copy counts, `range()` copy expansion. */
+  private val sampleEpochsApplySql: String = {
+    val salt = graft.functions.Hashing.salts(1, 19L).head
+    s"""WITH eaa_t AS (SELECT source,
+       |    CAST(SUM($nTokensSql) AS BIGINT) AS total_tokens
+       |  FROM documents GROUP BY source),
+       |eaa_w AS (SELECT source, total_tokens,
+       |    CAST(100 + (length(source) * 37) % 200 AS BIGINT) AS weight
+       |  FROM eaa_t),
+       |eaa_s AS (SELECT *, SUM(weight) OVER () AS sumw FROM eaa_w),
+       |eaa_r AS (SELECT source,
+       |    CAST((2000000 * weight // sumw) * 1000000
+       |         // greatest(total_tokens, 1) AS BIGINT) AS rate_ppm
+       |  FROM eaa_s),
+       |eaa_m0 AS MATERIALIZED (SELECT doc_id, source,
+       |    ${HashSql.ux("CAST(doc_id AS HUGEINT)", HashSql.u(salt))} AS x
+       |  FROM documents),
+       |${HashSql.mixCtes("eaa_m", "eaa_m0", "doc_id, source")},
+       |eaa_c AS (SELECT m.doc_id, m.source,
+       |    r.rate_ppm // 1000000
+       |      + CASE WHEN (m.x // 2) % 1000000 < r.rate_ppm % 1000000
+       |             THEN 1 ELSE 0 END AS n_copies
+       |  FROM eaa_m4 m JOIN eaa_r r ON r.source = m.source)
+       |SELECT doc_id, source,
+       |  CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+       |FROM eaa_c WHERE n_copies > 0""".stripMargin
+  }
+
   /** Mirrors [[qTextEncoding]]: the corruption rebuilt with `chr()`
     * codepoints (no raw control bytes in the SQL text), counts via
     * the same RE2 classes spelled with `\\x{...}` escapes. */
@@ -6631,6 +6673,7 @@ object ExtensionQueries {
     "q_curriculum" -> curriculumSql,
     "q_manifest_merge" -> manifestMergeSql,
     "q_text_encoding" -> textEncodingSql,
+    "q_sample_epochs_apply" -> sampleEpochsApplySql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),

@@ -1647,6 +1647,33 @@ class ExtensionSpec extends SparkSpec {
     assert(math.abs(a.getAs[Double]("mean_quality") - want) < 1e-12)
   }
 
+  test("applyEpochAllocation: whole-doc copies, realized mass near budget share, deterministic") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    // 200 docs of 10 tokens in s1, 100 of 10 in s2; weights 1:1;
+    // budget 3000 => each source draws 1500 tokens: s1 rate 0.75
+    // (some docs once, some zero), s2 rate 1.5 (all once, half twice)
+    val rows = (1L to 300L).map(i =>
+      Row(i, if (i <= 200) "s1" else "s2", Seq.fill(10)("w").mkString(" ")))
+    val t = df("doc_id BIGINT, source STRING, text STRING", rows: _*)
+    val got = graft.operators.Sampling.applyEpochAllocation(
+      t, "doc_id", "source", "text", lit(1L), budgetTokens = 3000L)
+    val perSrc = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // realized copies ~ 150 per source (hash residual: binomial tail)
+    assert(math.abs(perSrc("s1") - 150L) <= 25, s"s1 drew ${perSrc("s1")}")
+    assert(math.abs(perSrc("s2") - 150L) <= 25, s"s2 drew ${perSrc("s2")}")
+    // s2 rate 1.5: every doc at least once, never more than twice
+    val s2copies = got.filter("source = 's2'").groupBy("doc_id").count()
+    assert(s2copies.count() == 100 &&
+      s2copies.agg(max("count")).head().getLong(0) == 2L)
+    // pure function of the id: same output regardless of partitioning
+    val again = graft.operators.Sampling.applyEpochAllocation(
+      t.repartition(7), "doc_id", "source", "text", lit(1L), 3000L)
+      .collect().map(_.toSeq).toSet
+    assert(again == got.collect().map(_.toSeq).toSet)
+  }
+
   test("curriculumSchedule: quality-ordered ntile phases, deterministic order key") {
     import org.apache.spark.sql.Row
     // group g: 4 docs with strictly ordered quality (longer alpha text
