@@ -569,6 +569,24 @@ object TextFunctions {
     *
     * Scale posture: a pure per-row codegen'd projection — four regex
     * extractions over scan bytes, zero shuffle. */
+  /** The [[encodingReport]] all-clear as ONE boolean column — for
+    * inline use in composed pipelines, where a report + self-join to
+    * re-attach the flag would shuffle the corpus on id for nothing. */
+  def encodingOk(text: Column): Column = {
+    def clean(pat: String) =
+      size(regexp_extract_all(text, lit(pat), lit(0))) === 0
+    clean("\uFFFD") && clean(mojibakePattern) &&
+      clean(badControlPattern) && clean("\u00A0")
+  }
+
+  /** [[encodingOk]] as DuckDB SQL over `expr` — same four classes,
+    * RE2 hex-escape spellings of the same codepoints. */
+  def encodingOkSql(expr: String): String =
+    s"(len(regexp_extract_all($expr, '\\x{FFFD}')) = 0" +
+      s" AND len(regexp_extract_all($expr, '[\\x{C3}\\x{C2}][\\x{80}-\\x{BF}]')) = 0" +
+      s" AND len(regexp_extract_all($expr, '$badControlPattern')) = 0" +
+      s" AND len(regexp_extract_all($expr, '\\x{A0}')) = 0)"
+
   def encodingReport(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     def occ(pat: String) =

@@ -2509,6 +2509,44 @@ object ExtensionQueries {
     * rejected (identical pair — applied last, so it composes with
     * the other two). The oracle rebuilds the identical strings with
     * `list_slice`/`repeat` and replays every flag. */
+  /** The composed INGEST pipeline — raw crawl record to per-source
+    * post-clean manifest in one oracled chain: built HTML-wrapped
+    * payloads (with `id%23` U+FFFD encoding damage) pass the
+    * encoding gate ([[graft.functions.TextFunctions.encodingOk]],
+    * inline — no report/self-join), strip boilerplate, NFC-normalize,
+    * clear the language + quality + length gate, and roll up to
+    * (source, n_docs, total_tokens, mean_quality). Every stage is an
+    * operator already oracled standalone; the CTE-pyramid oracle
+    * makes COMPOSITION drift hash-mismatch even when each stage
+    * passes alone (the q_pipeline_clean discipline). The gate stage
+    * keeps the `__mid` pushdown barrier so the heavy text scoring
+    * runs once per row, not once in a pushed filter and again in the
+    * projection. */
+  private val qPipelineIngest: Q = (s, dir) => {
+    val id = col("doc_id")
+    val raw = pq(s, dir, "documents").select(id, col("source"),
+      concat(lit(htmlPrefix), col("text"), lit(htmlSuffix),
+        when(id % 23 === 0, lit("\uFFFD")).otherwise(lit(""))).as("raw"))
+    val cleaned = raw
+      .filter(TextFunctions.encodingOk(col("raw")))
+      .select(id, col("source"),
+        TextFunctions.normalizeText(
+          TextFunctions.stripBoilerplate(col("raw"))).as("text"))
+    val gated = cleaned
+      .select(id, col("source"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        monotonically_increasing_id().as("__mid"))
+      .filter(col("__mid") >= 0 && col("lang_pred") === "en" &&
+        col("quality") >= 0.5 && col("n_tokens").between(5, 1000))
+    gated.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      (sum(col("quality").cast("decimal(18,9)")).cast("double") /
+        count(lit(1))).as("mean_quality"))
+  }
+
   /** The materialized mixture draw
     * ([[graft.operators.Sampling.applyEpochAllocation]]): the
     * [[qSampleEpochs]] allocation executed into an actual copy list —
@@ -2833,6 +2871,7 @@ object ExtensionQueries {
     "q_manifest_merge" -> qManifestMerge,
     "q_text_encoding" -> qTextEncoding,
     "q_sample_epochs_apply" -> qSampleEpochsApply,
+    "q_pipeline_ingest" -> qPipelineIngest,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -6254,6 +6293,36 @@ object ExtensionQueries {
        |FROM pref_g""".stripMargin
   }
 
+  /** Mirrors [[qPipelineIngest]] as one CTE pyramid: payload build →
+    * [[graft.functions.TextFunctions.encodingOkSql]] gate →
+    * strip+normalize (aliased back to `text` so the shared quality /
+    * lang / token constants apply verbatim) → gate → rollup. */
+  private val pipelineIngestSql: String = {
+    val raw = s"('$htmlPrefix' || text || '$htmlSuffix'" +
+      " || CASE WHEN doc_id % 23 = 0 THEN chr(65533) ELSE '' END)"
+    val cleaned = TextFunctions.normalizeTextSql(
+      TextFunctions.stripBoilerplateSql("raw"))
+    s"""WITH pi_raw AS (SELECT doc_id, source, $raw AS raw FROM documents),
+       |pi_clean AS (SELECT doc_id, source, $cleaned AS text
+       |  FROM pi_raw WHERE ${TextFunctions.encodingOkSql("raw")}),
+       |pi_b AS (SELECT doc_id, source, text, $langBestSql AS __best
+       |  FROM pi_clean),
+       |pi_g AS (SELECT source,
+       |    $langPredCaseSql AS lang_pred,
+       |    $alphaRatioSql * 0.4 + $stopRatioSql * 0.3
+       |      + least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.2
+       |      + (1.0 - $punctRatioSql) * 0.1 AS quality,
+       |    $nTokensSql AS n_tokens
+       |  FROM pi_b),
+       |pi_f AS (SELECT * FROM pi_g WHERE lang_pred = 'en'
+       |  AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 1000)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+       |    AS mean_quality
+       |FROM pi_f GROUP BY source""".stripMargin
+  }
+
   /** Mirrors [[qSampleEpochsApply]]: the [[sampleEpochsSql]] rate
     * arithmetic extended to ppm, the salted staged-SplitMix64
     * residual, integer copy counts, `range()` copy expansion. */
@@ -6674,6 +6743,7 @@ object ExtensionQueries {
     "q_manifest_merge" -> manifestMergeSql,
     "q_text_encoding" -> textEncodingSql,
     "q_sample_epochs_apply" -> sampleEpochsApplySql,
+    "q_pipeline_ingest" -> pipelineIngestSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),
