@@ -558,23 +558,15 @@ object TextFunctions {
     * literal control byte ever lands in a SQL string. */
   val badControlPattern: String = "[\\x00-\\x08\\x0E-\\x1F\\x7F]"
 
-  /** Per-document encoding-health report — the byte-hygiene gate a
-    * crawl pipeline runs before any text operator (a document that
-    * fails here poisons tokenization, dedup fingerprints and LM
-    * training alike): occurrence counts of the U+FFFD replacement
-    * character (a decoder already gave up), double-encoding mojibake
-    * ([[mojibakePattern]]), non-whitespace C0/DEL controls
-    * ([[badControlPattern]]), and NBSP (the HTML-extraction tell),
-    * plus the all-clear conjunction.
-    *
-    * Scale posture: a pure per-row codegen'd projection — four regex
-    * extractions over scan bytes, zero shuffle. */
   /** The [[encodingReport]] all-clear as ONE boolean column — for
     * inline use in composed pipelines, where a report + self-join to
-    * re-attach the flag would shuffle the corpus on id for nothing. */
+    * re-attach the flag would shuffle the corpus on id for nothing;
+    * NULL text is vacuously clean (the treat-as-empty convention
+    * [[encodingReport]] documents). */
   def encodingOk(text: Column): Column = {
     def clean(pat: String) =
-      size(regexp_extract_all(text, lit(pat), lit(0))) === 0
+      when(text.isNull, lit(true)).otherwise(
+        size(regexp_extract_all(text, lit(pat), lit(0))) === 0)
     clean("\uFFFD") && clean(mojibakePattern) &&
       clean(badControlPattern) && clean("\u00A0")
   }
@@ -587,10 +579,24 @@ object TextFunctions {
       s" AND len(regexp_extract_all($expr, '$badControlPattern')) = 0" +
       s" AND len(regexp_extract_all($expr, '\\x{A0}')) = 0)"
 
+  /** Per-document encoding-health report — the byte-hygiene gate a
+    * crawl pipeline runs before any text operator (a document that
+    * fails here poisons tokenization, dedup fingerprints and LM
+    * training alike): occurrence counts of the U+FFFD replacement
+    * character (a decoder already gave up), double-encoding mojibake
+    * ([[mojibakePattern]]), non-whitespace C0/DEL controls
+    * ([[badControlPattern]]), and NBSP (the HTML-extraction tell),
+    * plus the all-clear conjunction. NULL text counts as empty: all
+    * counters 0, `encoding_ok` true — never a NULL or negative count
+    * that would corrupt a downstream rate sum.
+    *
+    * Scale posture: a pure per-row codegen'd projection — four regex
+    * extractions over scan bytes, zero shuffle. */
   def encodingReport(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     def occ(pat: String) =
-      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+      when(col(textCol).isNull, lit(0L)).otherwise(
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
     df.select(col(idCol),
         occ("\uFFFD").as("n_replacement"),
         occ(mojibakePattern).as("n_mojibake"),

@@ -128,9 +128,7 @@ object Chat {
     * `when(pred, 1).otherwise(0)` does. */
   def validateTranscripts(df: DataFrame, idCol: String, jsonCol: String): DataFrame = {
     def tokC(t: org.apache.spark.sql.Column) =
-      when(t.isNull, lit(0L)).otherwise(
-        size(filter(split(t, TextFunctions.wsClass + "+"),
-          x => x =!= lit(""))).cast("long"))
+      when(t.isNull, lit(0L)).otherwise(TextFunctions.tokenCount(t))
     def cf(pred: org.apache.spark.sql.Column) = coalesce(pred, lit(false))
     // Tokenizing content is the expensive per-turn work (split +
     // filter over the text) — do it exactly ONCE per turn into a

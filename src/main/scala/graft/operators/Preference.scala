@@ -71,7 +71,9 @@ object Preference {
     * `(key_lo, key_hi, n_pairs, n_forward, n_reverse, conflicted,
     * agreement_permille)` where forward = the lexicographically-lower
     * fingerprint was the chosen one and agreement is the majority
-    * orientation's integer permille share.
+    * orientation's integer permille share. Rows with a NULL side are
+    * dropped — they are not pairs (quarantine them with
+    * [[validatePairs]] upstream).
     *
     * Scale posture: one projection (two md5s per row) + one hash
     * aggregate on the 32-byte pair key with map-side combine —
@@ -83,7 +85,10 @@ object Preference {
       rejectedCol: String): DataFrame = {
     val fa = TextFunctions.fingerprint(col(chosenCol))
     val fb = TextFunctions.fingerprint(col(rejectedCol))
-    df.select(
+    // a NULL side is not a pair: Spark's least/greatest SKIP NULLs,
+    // so an unguarded row would count as a phantom (fp, fp) self-pair
+    df.filter(col(chosenCol).isNotNull && col(rejectedCol).isNotNull)
+      .select(
         least(fa, fb).as("key_lo"),
         greatest(fa, fb).as("key_hi"),
         when(fa < fb, 1L).otherwise(0L).as("__fwd"))

@@ -1104,11 +1104,7 @@ object Profile {
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_tokens")).as("total_tokens"),
         sum(col("q_sum")).as("q_sum"))
-    val sketches = states
-      .select(col("source"), explode(col("sketch")).as("__h"))
-      .groupBy("source")
-      .agg(graft.functions.KmvAgg.kmvAgg(col("__h"), k).as("sketch"))
-      .select(col("source") +: kmvEstimateCols(k): _*)
+    val sketches = kmvMerge(states, k, "sketch", by = Seq("source"))
       .select(col("source"), col("estimate").as("uniq_est"))
     counters.join(sketches, "source")
       .select(col("source"), col("n_docs"), col("total_tokens"),
@@ -1131,8 +1127,9 @@ object Profile {
     * BIGINTs, quantize, then sum exactly). One row per occupied
     * bucket: `(b, count_a, count_b, js_q, js_total_q)`;
     * `js_total_q / scale` is the JS divergence estimate in nats
-    * (0 = identical, ln 2 ≈ 0.693e9/scale = maximal). Both inputs
-    * must be non-empty.
+    * (0 = identical, ln 2 ≈ 0.693e9/scale = maximal). An EMPTY input
+    * poisons `js_q`/`js_total_q` to NULL — never to 0, which would
+    * read as "no drift" for exactly the maximal-drift case.
     *
     * Scale posture: two token-keyed hash aggregates fold each corpus
     * to ≤ dims rows (map-side combined — the shuffle carries bucket
@@ -1169,7 +1166,12 @@ object Profile {
       when(col("count_a") > 0, p * log(p / m)).otherwise(lit(0.0)) +
         when(col("count_b") > 0, q * log(q / m)).otherwise(lit(0.0)))
     withN
-      .withColumn("js_q", floor(contrib * lit(scale.toDouble)).cast("long"))
+      // an EMPTY side would make every term NaN, and NaN must never
+      // quantize into a 0 ("no drift") verdict — poison to NULL so a
+      // gate reading js_total_q fails loudly instead of passing
+      .withColumn("js_q",
+        when(col("__na") === 0 || col("__nb") === 0, lit(null))
+          .otherwise(floor(contrib * lit(scale.toDouble)).cast("long")))
       .withColumn("js_total_q", sum(col("js_q")).over(w))
       .select("b", "count_a", "count_b", "js_q", "js_total_q")
   }

@@ -132,26 +132,6 @@ object Sampling {
     df.filter(bucket < threshold)
   }
 
-  /** Deterministic DOMAIN-MIX sampling — downsample a corpus so its
-    * domain proportions approach a TARGET distribution (the "30% web,
-    * 30% code, 20% books…" data-mixture step of training-corpus
-    * assembly), keeping as much data as possible: the most
-    * target-underrepresented domain is kept whole and every other
-    * domain is hash-downsampled to match it. Domains absent from
-    * `targets` are dropped.
-    *
-    * Per domain d with count c_d and target weight t_d:
-    * scale = min_d(c_d / t_d); keep-rate_d = scale·t_d / c_d ≤ 1,
-    * quantized to `granularity` hash buckets (keep iff
-    * mix64(id) >>> 1 mod granularity < floor(rate·granularity)).
-    *
-    * Scale posture: one count aggregate (|domains| rows), a window
-    * min + rate projection over that driver-scale table, then a
-    * BROADCAST join of the rates back onto the corpus with the same
-    * zero-shuffle hash-threshold filter as [[hashSplit]] — corpus-
-    * sized work is one scan + one aggregate, and the keep decision
-    * stays a pure function of (id, domain, the domain histogram), so
-    * the mixture is reproducible at audit time. */
   /** Deterministic per-group cap: keep at most `k` rows per group,
     * chosen by SplitMix64 hash order of the id (ties broken by id) —
     * the "at most K documents per domain/host" dominance cap that
@@ -211,6 +191,26 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic DOMAIN-MIX sampling — downsample a corpus so its
+    * domain proportions approach a TARGET distribution (the "30% web,
+    * 30% code, 20% books…" data-mixture step of training-corpus
+    * assembly), keeping as much data as possible: the most
+    * target-underrepresented domain is kept whole and every other
+    * domain is hash-downsampled to match it. Domains absent from
+    * `targets` are dropped.
+    *
+    * Per domain d with count c_d and target weight t_d:
+    * scale = min_d(c_d / t_d); keep-rate_d = scale·t_d / c_d ≤ 1,
+    * quantized to `granularity` hash buckets (keep iff
+    * mix64(id) >>> 1 mod granularity < floor(rate·granularity)).
+    *
+    * Scale posture: one count aggregate (|domains| rows), a window
+    * min + rate projection over that driver-scale table, then a
+    * BROADCAST join of the rates back onto the corpus with the same
+    * zero-shuffle hash-threshold filter as [[hashSplit]] — corpus-
+    * sized work is one scan + one aggregate, and the keep decision
+    * stays a pure function of (id, domain, the domain histogram), so
+    * the mixture is reproducible at audit time. */
   def mixToTarget(
       df: DataFrame,
       idCol: String,
@@ -349,26 +349,6 @@ object Sampling {
       .withColumn("logw", col("logw_q").cast("double") / lit(scale))
   }
 
-  /** Mixture epoch allocation — the arithmetic a training run does
-    * once per corpus snapshot to turn "mixture weights + token
-    * budget" into per-source draw sizes and repeat factors: each
-    * source draws `budget · weight / Σweights` tokens, and
-    * `epochs_permille = drawn · 1000 / available` says how many
-    * passes over that source the draw implies (>1000 = the source
-    * repeats; the `oversampled` flag trips past `maxEpochsPermille`,
-    * the "don't repeat small sources too often" guard every published
-    * mixture recipe applies). `weightCol` carries the configured
-    * mixture weight (any positive integer scale — only ratios
-    * matter).
-    *
-    * ALL arithmetic is integer floor division — bit-reproducible and
-    * trivially auditable, which is the point of a budget table.
-    *
-    * Scale posture: one source-keyed aggregate (map-side combined)
-    * folds the corpus to source-cardinality rows; the Σweights scalar
-    * attaches via an unpartitioned window over that TINY frame (never
-    * a literal-key join — that constant-folds to a nested-loop), so
-    * the single-partition stage touches only #sources rows. */
   /** EXECUTE a mixture allocation — the materialized twin of
     * [[epochAllocation]]: instead of reporting per-source draw sizes,
     * emit the actual draw list. Each source's rate is
@@ -398,9 +378,12 @@ object Sampling {
       budgetTokens: Long,
       seed: Long = 19L): DataFrame = {
     val salt = graft.functions.Hashing.salts(1, seed).head
+    // DECIMAL for the ×10⁶ step: a frontier-scale draw (tokens_drawn
+    // beyond ~9.2e12) would wrap Long and silently empty the source
     val rates = epochAllocation(df, sourceCol, textCol, weightCol, budgetTokens)
       .withColumn("rate_ppm",
-        expr("tokens_drawn * 1000000 div greatest(total_tokens, 1)"))
+        expr("""CAST(CAST(tokens_drawn AS DECIMAL(38, 0)) * 1000000
+                div greatest(total_tokens, 1) AS BIGINT)"""))
       .select("source", "rate_ppm")
     val resid = shiftrightunsigned(
       HashExpressions.mix64(col(idCol).bitwiseXOR(lit(salt))), 1) % 1000000L
@@ -447,6 +430,30 @@ object Sampling {
         HashExpressions.mix64(col(idCol).bitwiseXOR(lit(salt))))
   }
 
+  /** Mixture epoch allocation — the arithmetic a training run does
+    * once per corpus snapshot to turn "mixture weights + token
+    * budget" into per-source draw sizes and repeat factors: each
+    * source draws `budget · weight / Σweights` tokens, and
+    * `epochs_permille = drawn · 1000 / available` says how many
+    * passes over that source the draw implies (>1000 = the source
+    * repeats; the `oversampled` flag trips past `maxEpochsPermille`,
+    * the "don't repeat small sources too often" guard every published
+    * mixture recipe applies). `weightCol` carries the configured
+    * mixture weight (any positive integer scale — only ratios
+    * matter).
+    *
+    * ALL arithmetic is integer floor division — bit-reproducible and
+    * trivially auditable, which is the point of a budget table.
+    * `budgetTokens · weight` must fit a Long — with permille-scale
+    * weights that allows budgets past 10^15 tokens; the ppm rate in
+    * [[applyEpochAllocation]] is computed in DECIMAL for exactly
+    * this reason.
+    *
+    * Scale posture: one source-keyed aggregate (map-side combined)
+    * folds the corpus to source-cardinality rows; the Σweights scalar
+    * attaches via an unpartitioned window over that TINY frame (never
+    * a literal-key join — that constant-folds to a nested-loop), so
+    * the single-partition stage touches only #sources rows. */
   def epochAllocation(
       df: DataFrame,
       sourceCol: String,

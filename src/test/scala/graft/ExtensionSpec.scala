@@ -1561,6 +1561,10 @@ class ExtensionSpec extends SparkSpec {
     val solo = got.find(_.getAs[Long]("n_pairs") == 1L).get
     assert(!solo.getAs[Boolean]("conflicted") &&
       solo.getAs[Long]("agreement_permille") == 1000)
+    // a NULL side is not a pair — no phantom self-pair rows
+    val withNull = df("id BIGINT, c STRING, r STRING",
+      Row(1L, null, "x"), Row(2L, "x", null), Row(3L, "a", "b"))
+    assert(graft.operators.Preference.labelConflicts(withNull, "c", "r").count() == 1)
   }
 
   test("manifestStates/manifestMerge: 3-way batch merge == one-shot build") {
@@ -1601,6 +1605,10 @@ class ExtensionSpec extends SparkSpec {
     assert(got(5L).getAs[Long]("n_nbsp") == 1)
     assert(got(6L).getAs[Boolean]("encoding_ok"))
     assert(got(7L).getAs[Boolean]("encoding_ok"))
+    // NULL text counts as empty: zero counters, ok — never -1/NULL
+    val nul = graft.functions.TextFunctions.encodingReport(
+      df("id BIGINT, text STRING", Row(9L, null)), "id", "text").collect()(0)
+    assert(nul.getAs[Long]("n_mojibake") == 0 && nul.getAs[Boolean]("encoding_ok"))
   }
 
   test("tokenDrift: zero on identical halves, ln2 on disjoint vocab, power-of-two dims") {
@@ -1619,6 +1627,10 @@ class ExtensionSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.operators.Profile.tokenDrift(a, b, "text", dims = 100)
     }
+    // an empty side poisons to NULL, never to a 0 "no drift" verdict
+    val empty = graft.operators.Profile.tokenDrift(
+      a, a.filter("text IS NULL"), "text").collect()
+    assert(empty.nonEmpty && empty.forall(r => r.isNullAt(3) && r.isNullAt(4)))
   }
 
   test("corpusManifest: dup rate, decimal-mean quality, language mode tie-break") {
