@@ -2509,6 +2509,27 @@ object ExtensionQueries {
     * rejected (identical pair — applied last, so it composes with
     * the other two). The oracle rebuilds the identical strings with
     * `list_slice`/`repeat` and replays every flag. */
+  /** SFT-corpus near-dup — the dedup leg of the chat surface:
+    * conversations reconstruct their trainable text (turn contents in
+    * turn order — what the loss actually sees; roles and template
+    * tokens excluded) and pair through the standard capped MinHash
+    * ([[Dedup.minhashPairs]], the `q_dedup_minhash` parameters).
+    * Instruction corpora are famously duplicate-heavy in exactly this
+    * projection: same Q/A pair re-serialized under different role
+    * layouts (system prompt present or not, doubled turns) must still
+    * collide, which dropping the role/template overhead guarantees. */
+  private val qChatDedup: Q = (s, dir) => {
+    import graft.operators.Chat
+    val turns = Chat.parseTurns(chatTranscripts(s, dir), "doc_id", "transcript")
+    val convo = turns.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("content")))),
+        t => t("content")), " ").as("text"))
+    Dedup.minhashPairs(convo, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
+      maxBucketSize = Some(12))
+  }
+
   /** The composed INGEST pipeline — raw crawl record to per-source
     * post-clean manifest in one oracled chain: built HTML-wrapped
     * payloads (with `id%23` U+FFFD encoding damage) pass the
@@ -2872,6 +2893,7 @@ object ExtensionQueries {
     "q_text_encoding" -> qTextEncoding,
     "q_sample_epochs_apply" -> qSampleEpochsApply,
     "q_pipeline_ingest" -> qPipelineIngest,
+    "q_chat_dedup" -> qChatDedup,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
     "q_events_attribution" -> qEventsAttribution,
@@ -6293,6 +6315,30 @@ object ExtensionQueries {
        |FROM pref_g""".stripMargin
   }
 
+  /** Mirrors [[qChatDedup]]: the conversation's trainable token
+    * sequence rebuilt directly from the transcript recipe (optional
+    * ['be','concise'] system prefix, then the word list cut short
+    * when `id%13` empties the final turn — slice boundaries telescope,
+    * so the concatenated turns ARE the first `⌊(k-1)n/k⌋` or all `n`
+    * words), re-rooted into the standard capped-MinHash replay. */
+  private val chatDedupSql: String =
+    s"""WITH conv_src AS (SELECT CAST(doc_id AS BIGINT) AS id,
+       |    list_filter($tokensLowerSql,
+       |      x -> regexp_matches(x, '^[a-z0-9]+$$')) AS w
+       |  FROM documents),
+       |conv_par AS (SELECT id, w, CAST(len(w) AS BIGINT) AS n,
+       |    2 + id % 5 AS k FROM conv_src),
+       |conv AS MATERIALIZED (SELECT id AS doc_id, array_to_string(
+       |    (CASE WHEN id % 7 = 0 THEN ['be', 'concise']
+       |          ELSE CAST([] AS VARCHAR[]) END)
+       |    || list_slice(w, 1,
+       |         CASE WHEN id % 13 = 0 THEN ((k - 1) * n) // k ELSE n END),
+       |    ' ') AS text
+       |  FROM conv_par),
+       |chat_pairs AS MATERIALIZED (
+       |${minhashPairsSql(3, 64, 16, 0.5, Some(12), from = "conv")})
+       |SELECT * FROM chat_pairs""".stripMargin
+
   /** Mirrors [[qPipelineIngest]] as one CTE pyramid: payload build →
     * [[graft.functions.TextFunctions.encodingOkSql]] gate →
     * strip+normalize (aliased back to `text` so the shared quality /
@@ -6744,6 +6790,7 @@ object ExtensionQueries {
     "q_text_encoding" -> textEncodingSql,
     "q_sample_epochs_apply" -> sampleEpochsApplySql,
     "q_pipeline_ingest" -> pipelineIngestSql,
+    "q_chat_dedup" -> chatDedupSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_minhash" -> minhashPairsSql(3, 64, 16, 0.5),
