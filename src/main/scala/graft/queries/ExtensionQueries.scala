@@ -704,13 +704,22 @@ object ExtensionQueries {
   /** Embedding-modality incremental dedup: the vec_id % 10 >= 8 batch
     * probed against the rest of the embeddings table (same split shape
     * and same LSH parameters as q_dedup_embedding, so the cross-split
-    * near-dup pairs are the ones it must drop). Survivor ids. */
+    * near-dup pairs are the ones it must drop). Runs CAPPED — the
+    * production daily-ingest posture: `maxBucketSize = 12` (the census
+    * value) drops corpus mega-buckets before the probe join, which is
+    * what keeps one degenerate bucket (all-zero embeddings, a
+    * template'd corpus) from turning the probe quadratic at scale.
+    * The cap BINDS at sf0.01 (one 13-row corpus bucket is excised;
+    * 3 batch ids that matched only there now survive) and the oracle
+    * replays it via the bucket-cap QUALIFY, so a regression that
+    * silently drops the cap hash-mismatches. Survivor ids. */
   private val qDedupIncrementalEmb: Q = (s, dir) => {
     val emb = pq(s, dir, "embeddings")
     Dedup.embeddingDedupAgainst(
       emb.filter(col("vec_id") % 10 >= 8),
       emb.filter(col("vec_id") % 10 < 8),
-      "vec_id", "embedding", threshold = 0.2, numPlanes = 6)
+      "vec_id", "embedding", threshold = 0.2, numPlanes = 6,
+      maxBucketSize = Some(12))
       .select("vec_id")
   }
 
@@ -718,18 +727,28 @@ object ExtensionQueries {
     * vec_id % 10 >= 8 batch probed against the rest WITHIN k-means
     * cells under frozen corpus-trained centroids — the same split as
     * [[qDedupIncrementalEmb]] with cell-scoped candidates instead of
-    * LSH buckets, at the 0.9 near-dup cut (cells see EVERY same-cell
-    * vector, so the permissive 0.2 cut the narrow LSH buckets use
-    * would drop the whole batch — the threshold must mean "near
-    * duplicate", not "same neighborhood"). Survivor ids. */
+    * LSH buckets. Runs the full production scale posture:
+    * `nlist = 32` (the documented "raise nlist to shrink cells
+    * BEFORE reaching for the cap" lever — ~12-row cells at sf0.01
+    * instead of ~50-row cells at nlist=8) plus
+    * `maxClusterSize = Some(12)` (the census value) so a dense
+    * semantic mega-cell can never go quadratic. The 0.3 cut is the
+    * near-dup band of this synthetic embedding space (per-batch max
+    * same-cell cosine tops out ≈0.5; the old 0.9 cut matched NOTHING
+    * at sf0.01, so the gate was vacuously "everything survives").
+    * Both knobs BIND at sf0.01 — uncapped would keep 62 batch ids,
+    * capped keeps 85, and 15 batch ids are still dropped through the
+    * surviving cells — so the oracle's cell-cap QUALIFY replay is
+    * load-bearing in both directions. Survivor ids. */
   private val qDedupIncrementalSem: Q = (s, dir) => {
     val emb = pq(s, dir, "embeddings")
     val corpus = emb.filter(col("vec_id") % 10 < 8)
     val cents = Similarity.kmeansCentroidsDistributed(
-      corpus, "vec_id", "embedding", nlist = 8, iters = 2)
+      corpus, "vec_id", "embedding", nlist = 32, iters = 2)
     Dedup.semanticDedupAgainst(
       emb.filter(col("vec_id") % 10 >= 8), corpus,
-      "vec_id", "embedding", cents, threshold = 0.9)
+      "vec_id", "embedding", cents, threshold = 0.3,
+      maxClusterSize = Some(12))
       .select("vec_id")
   }
 
@@ -3047,9 +3066,14 @@ object ExtensionQueries {
 
   private val dedupEmbeddingSql: String = embeddingPairsSql(None)
 
-  /** Mirrors [[qDedupIncrementalSem]]: kmeans CTEs over the % 10 < 8
-    * corpus, both sides cell-assigned by exact argmax, batch ids with
-    * any same-cell cosine ≥ 0.9 corpus match dropped. */
+  /** Mirrors [[qDedupIncrementalSem]]: kmeans CTEs (nlist=32) over
+    * the % 10 < 8 corpus, both sides cell-assigned by exact argmax,
+    * the corpus side capped via the bucket-cap QUALIFY (cells with
+    * more than maxClusterSize=12 corpus rows are excised ENTIRELY —
+    * [[graft.operators.Dedup]].capBuckets semantics), batch ids with
+    * any same-surviving-cell cosine ≥ 0.3 corpus match dropped. The
+    * cap replay is load-bearing: an uncapped mirror keeps 62 ids at
+    * sf0.01, this one 85. */
   private val dedupIncrementalSemSql: String = {
     val iters = 2
     def assign(side: String) =
@@ -3060,14 +3084,16 @@ object ExtensionQueries {
          |    FROM $side e CROSS JOIN cents$iters c) t WHERE rn = 1""".stripMargin
     s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id % 10 < 8),
        |batch AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id % 10 >= 8),
-       |${kmeansDistributedCtes(8, iters)},
-       |ac AS (${assign("corpus")}),
+       |${kmeansDistributedCtes(32, iters)},
+       |ac_raw AS (${assign("corpus")}),
+       |ac AS (SELECT * FROM ac_raw
+       |       QUALIFY count(*) OVER (PARTITION BY cell) <= 12),
        |ab AS (${assign("batch")}),
        |matched AS (
        |  SELECT DISTINCT b.id FROM ab b JOIN ac c ON b.cell = c.cell
        |  WHERE CASE WHEN b.nrm * c.nrm > 0.0
        |             THEN ${dotSql("b.vec", "c.vec")} / (b.nrm * c.nrm)
-       |             ELSE 0.0 END >= 0.9)
+       |             ELSE 0.0 END >= 0.3)
        |SELECT id AS vec_id FROM batch WHERE id NOT IN (SELECT id FROM matched)""".stripMargin
   }
 
@@ -3096,8 +3122,13 @@ object ExtensionQueries {
 
   /** Mirrors [[qDedupIncrementalEmb]]: the [[dedupEmbeddingSql]]
     * bucket/norm projection with the self-join replaced by a
-    * batch-side × corpus-side join on the vec_id % 10 split; batch
-    * ids with any cosine >= 0.2 bucket match are dropped. */
+    * batch-side × capped-corpus-side join on the vec_id % 10 split —
+    * the corpus projection drops buckets holding more than
+    * maxBucketSize=12 corpus rows (the bucket-cap QUALIFY, counting
+    * CORPUS rows only, exactly capBuckets over the corpus index);
+    * batch ids with any surviving-bucket cosine >= 0.2 match are
+    * dropped. Load-bearing at sf0.01: one 13-row corpus bucket is
+    * excised, moving 49 uncapped survivors to 52. */
   private val dedupIncrementalEmbSql: String = {
     val planes = graft.functions.SimilarityFunctions.hyperplanes(6, DIM, 42L)
     s"""WITH p AS (SELECT vec_id AS id, embedding AS vec,
@@ -3106,8 +3137,9 @@ object ExtensionQueries {
        |           FROM embeddings)
        |SELECT id AS vec_id FROM p
        |WHERE id % 10 >= 8 AND id NOT IN (
-       |  SELECT n.id FROM p n JOIN p c
-       |    ON n.bucket = c.bucket AND n.id % 10 >= 8 AND c.id % 10 < 8
+       |  SELECT n.id FROM p n JOIN (SELECT * FROM p WHERE id % 10 < 8
+       |      QUALIFY count(*) OVER (PARTITION BY bucket) <= 12) c
+       |    ON n.bucket = c.bucket AND n.id % 10 >= 8
        |  WHERE (CASE WHEN n.nrm * c.nrm > 0.0
        |              THEN ${dotSql("n.vec", "c.vec")} / (n.nrm * c.nrm)
        |              ELSE 0.0 END) >= 0.2)""".stripMargin

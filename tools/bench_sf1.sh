@@ -28,14 +28,12 @@ cd "$(dirname "$0")/.."
 SF1_DIR="${SF1_DIR:-/tmp/sf1}"
 TAG="${TAG:-r06}"
 BASE_JSON="${BASE_JSON:-BENCH_r05.json}"
-# q_dedup_incremental_emb joined the list after BENCH_sf1_r10 measured
-# it at 14.8x for 10x rows: its batch-vs-corpus LSH probe runs
-# UNCAPPED (the oracled sf0.01 semantics), and the replicated fixture
-# multiplies BOTH sides by 10 inside the same buckets -> ~100x
-# candidate pairs by construction. Production incremental dedup
-# passes maxBucketSize (embeddingDedupAgainst exposes it) — the capped
-# census/minhash rows remain the measured mitigation evidence.
-PAIR_EXCLUDE="q_dedup_minhash,q_dedup_ngram_jaccard,q_dedup_simhash,q_dedup_editdist,q_dedup_embedding,q_dedup_keep_one,q_dedup_keep_best,q_dedup_components,q_dedup_incremental_emb"
+# q_dedup_incremental_emb left the list in round 11: the gated query
+# now runs CAPPED (maxBucketSize=12, replayed in the oracle's
+# bucket-cap QUALIFY), so the replicated fixture's mega-buckets are
+# excised instead of multiplied — the 14.8x uncapped reading
+# (BENCH_sf1_r10) was the fixture pathology the cap exists for.
+PAIR_EXCLUDE="q_dedup_minhash,q_dedup_ngram_jaccard,q_dedup_simhash,q_dedup_editdist,q_dedup_embedding,q_dedup_keep_one,q_dedup_keep_best,q_dedup_components"
 
 if [ ! -f "$SF1_DIR/lineitem.parquet" ]; then
   echo "=== building $SF1_DIR from /root/testdata/sf0.1 (10 replicas, key offsets) ==="
