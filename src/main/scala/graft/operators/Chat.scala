@@ -77,8 +77,16 @@ object Chat {
     * one doc-keyed aggregate — both shuffle on the conversation id
     * with uniform keys (turn counts are small constants), and the
     * aggregate is a map-side-combinable fold of counters and
-    * violation maxima. No collects, no joins. */
-  def validateTurns(turns: DataFrame, idCol: String): DataFrame = {
+    * violation maxima. No collects, no joins.
+    *
+    * `roles` widens the whitelist for agentic corpora — pass
+    * `allowedRoles :+ "tool"` so a properly-nested tool-result turn
+    * (whose PROTOCOL [[validateToolUse]] checks separately) doesn't
+    * trip `roles_ok`; every other flag is role-set-independent. */
+  def validateTurns(
+      turns: DataFrame,
+      idCol: String,
+      roles: Seq[String] = allowedRoles): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy("turn_idx")
     val withPrev = turns
       .withColumn("__prev_role", lag(col("role"), 1).over(w))
@@ -95,7 +103,7 @@ object Chat {
         sum(when(col("role") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
         sum(when(col("role") === "user", col("__tok")).otherwise(0L)).as("user_tokens"),
         sum(when(col("role") === "assistant", col("__tok")).otherwise(0L)).as("assistant_tokens"),
-        (anyOf(!col("role").isin(allowedRoles: _*) || col("role").isNull) === 0).as("roles_ok"),
+        (anyOf(!col("role").isin(roles: _*) || col("role").isNull) === 0).as("roles_ok"),
         ((anyOf(col("turn_idx") === 0 && col("role") === "user") === 1 ||
           (anyOf(col("turn_idx") === 0 && col("role") === "system") === 1 &&
             anyOf(col("turn_idx") === 1 && col("role") === "user") === 1)) &&

@@ -2696,6 +2696,135 @@ object ExtensionQueries {
       "doc_id", allowedTools = Seq("search", "calc"))
   }
 
+  /** The agentic SFT corpus for the composed endgame pipeline
+    * ([[qPipelineSft]]): every document builds a REAL JSON transcript
+    * of `m = 1 + id%3` user/assistant pairs whose contents are the
+    * document's filtered word list cut into telescoping slices
+    * (floor boundaries, Σ slices = all words — the chatTranscripts
+    * arithmetic), `id%7` adding a "be concise" system prelude and
+    * `id%4` conversations ending in a genuine tool round-trip: the
+    * last assistant turn issues `1 + id%2` calls from the
+    * {search, calc} registry WHILE carrying its content slice (models
+    * emit text alongside calls), then a tool "result" turn, then a
+    * final assistant slice — so S = 2m+1 content slices for agentic
+    * conversations, 2m otherwise. Six deterministic violation
+    * classes, three per gate: `id%17` unknown role ("narrator"),
+    * `id%11` doubled user, `id%13` empty FINAL turn (contract gate);
+    * `id%19` orphan tool turn after the first user (contract-clean —
+    * only the protocol gate catches it), `id%23` dropped tool result
+    * (unanswered calls), `id%29` unregistered call name "rogue"
+    * (protocol-only again). Violations compose across classes and
+    * across gates. */
+  private def sftTranscripts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pq(s, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.toLowerCase(java.util.Locale.ROOT)
+          .split(TextFunctions.wsClass + "+")
+          .filter(_.matches("[a-z0-9]+"))
+        val n = words.length
+        val m = (1 + id % 3).toInt
+        val agentic = id % 4 == 0
+        val orphan = id % 19 == 0 && !agentic
+        val unanswered = id % 23 == 0 && agentic
+        val rogue = id % 29 == 0 && agentic
+        val S = if (agentic) 2 * m + 1 else 2 * m
+        def slice(j: Int): String =
+          words.slice((j.toLong * n / S).toInt, ((j + 1).toLong * n / S).toInt)
+            .mkString(" ")
+        def roleOf(j: Int): String =
+          if (j == 0 && id % 17 == 0) "narrator"
+          else if (j == 1 && id % 11 == 0) "user"
+          else if (j % 2 == 0) "user" else "assistant"
+        val kc = (1 + id % 2).toInt
+        val callsJson = (0 until kc).map { j =>
+          val nm = if (rogue && j == 0) "rogue"
+            else if ((id + j) % 2 == 0) "search" else "calc"
+          s"""{"name":"$nm"}"""
+        }.mkString("[", ",", "]")
+        val content0: Seq[(String, String, Option[String])] =
+          (0 until 2 * m).map(j => (roleOf(j), slice(j),
+            if (agentic && j == 2 * m - 1) Some(callsJson) else None))
+        val withOrphan =
+          if (orphan) content0.take(1) ++ Seq(("tool", "result", None)) ++ content0.drop(1)
+          else content0
+        val tail: Seq[(String, String, Option[String])] =
+          if (agentic && !unanswered)
+            Seq(("tool", "result", None), ("assistant", slice(2 * m), None))
+          else if (agentic) Seq(("assistant", slice(2 * m), None))
+          else Nil
+        val sysPre: Seq[(String, String, Option[String])] =
+          if (id % 7 == 0) Seq(("system", "be concise", None)) else Nil
+        val all0 = sysPre ++ withOrphan ++ tail
+        val all =
+          if (id % 13 == 0) all0.init :+ all0.last.copy(_2 = "") else all0
+        val json = all.map { case (r, c, calls) =>
+          s"""{"role":"$r","content":"$c"""" +
+            calls.map(cs => s""","tool_calls":$cs""").getOrElse("") + "}"
+        }.mkString("[", ",", "]")
+        (id, json)
+      }
+      .toDF("doc_id", "transcript")
+  }
+
+  /** The composed SFT ENDGAME pipeline — raw agentic transcript to
+    * packed training bins in one oracled chain, the conversation
+    * surface's q_pipeline_clean: parse ([[graft.operators.Chat
+    * .parseToolTurns]], ONE parse feeding both gates) → conversational
+    * contract gate ([[graft.operators.Chat.validateTurns]] with the
+    * tool role admitted — protocol nesting is the NEXT gate's job) →
+    * tool-protocol gate ([[graft.operators.Chat.validateToolUse]]) →
+    * trainable-text capped MinHash near-dup keep-one (the
+    * q_chat_dedup projection: turn contents in turn order, roles and
+    * template tokens excluded; [[Dedup.keepOnePerCluster]] over
+    * capped [[Dedup.minhashPairs]]) → whole-conversation next-fit
+    * packing at 512 with chat-template overhead (+4/turn) and
+    * loss-mask (assistant-token) mass carried per bin. The
+    * CTE-pyramid oracle replays every stage, so COMPOSITION drift —
+    * a gate reordered, a flag weakened, dedup run pre-gate —
+    * hash-mismatches even when each stage passes alone.
+    *
+    * Scale posture: the parse is a zero-shuffle projection; each gate
+    * is one doc-keyed window + one map-side-combinable fold; dedup
+    * shuffles banded 24 B signatures, never transcripts, with
+    * maxBucketSize=12 capping degenerate buckets; packing is the
+    * single-Exchange per-group sweep. Nothing corpus-sized reaches
+    * the driver. */
+  private val qPipelineSft: Q = (s, dir) => {
+    import graft.operators.{Chat, Packing}
+    val turns = Chat.parseToolTurns(sftTranscripts(s, dir), "doc_id", "transcript")
+    val contractOk = Chat.validateTurns(turns, "doc_id",
+        roles = Chat.allowedRoles :+ "tool")
+      .filter(col("valid")).select("doc_id")
+    val toolOk = Chat.validateToolUse(turns, "doc_id", Seq("search", "calc"))
+      .filter(col("valid")).select("doc_id")
+    val admitted = contractOk.join(toolOk, "doc_id")
+    val aturns = turns.join(admitted, "doc_id")
+    val convo = aturns.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("content")))),
+        t => t("content")), " ").as("text"))
+    val pairs = Dedup.minhashPairs(convo, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
+      maxBucketSize = Some(12)).select("id_a", "id_b")
+    val kept = Dedup.keepOnePerCluster(convo.select("doc_id"), "doc_id", pairs)
+    val conv = aturns
+      .withColumn("__tok",
+        when(col("content").isNull, lit(0L))
+          .otherwise(TextFunctions.tokenCount(col("content"))))
+      .groupBy("doc_id")
+      .agg((sum(col("__tok")) + lit(4L) * count(lit(1))).as("n_tokens"),
+        sum(when(col("role") === "assistant", col("__tok")).otherwise(0L))
+          .as("loss_tokens"))
+      .join(kept, "doc_id")
+      .withColumn("grp", pmod(col("doc_id"), lit(8L)))
+    Packing.packBinsByCount(conv, "doc_id", "grp", "n_tokens", capacity = 512)
+      .select(col("id").as("doc_id"), col("grp"), col("n_tokens"), col("bin_id"))
+      .join(conv.select("doc_id", "loss_tokens"), "doc_id")
+  }
+
   /** Unigram-distribution drift between the even-id and odd-id
     * corpus halves ([[graft.operators.Profile.tokenDrift]]): hashed
     * token buckets, per-bucket quantized Jensen–Shannon terms, the
@@ -2912,6 +3041,7 @@ object ExtensionQueries {
     "q_text_encoding" -> qTextEncoding,
     "q_sample_epochs_apply" -> qSampleEpochsApply,
     "q_pipeline_ingest" -> qPipelineIngest,
+    "q_pipeline_sft" -> qPipelineSft,
     "q_chat_dedup" -> qChatDedup,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
@@ -6241,8 +6371,12 @@ object ExtensionQueries {
     * nonempty flags plus per-role token sums, the exact aggregate set
     * `Chat.validateTurns` computes over parsed turns. Parameterized
     * so the standalone validate query and the packing composition
-    * share one flag definition. */
-  private def chatFlagsSql(turnsRel: String): String =
+    * share one flag definition; `roles` widens the whitelist for the
+    * agentic composition exactly as `validateTurns`' roles param. */
+  private def chatFlagsSql(
+      turnsRel: String,
+      roles: Seq[String] = Seq("system", "user", "assistant")): String = {
+    val roleList = roles.map(r => s"'$r'").mkString(", ")
     s"""SELECT doc_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_turns,
        |  CAST(SUM(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
@@ -6250,7 +6384,7 @@ object ExtensionQueries {
        |  CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
        |  CAST(SUM(CASE WHEN role = 'user' THEN n_tokens ELSE 0 END) AS BIGINT) AS user_tokens,
        |  CAST(SUM(CASE WHEN role = 'assistant' THEN n_tokens ELSE 0 END) AS BIGINT) AS assistant_tokens,
-       |  (MAX(CASE WHEN role NOT IN ('system', 'user', 'assistant')
+       |  (MAX(CASE WHEN role NOT IN ($roleList)
        |       THEN 1 ELSE 0 END) = 0) AS roles_ok,
        |  ((MAX(CASE WHEN turn_idx = 0 AND role = 'user' THEN 1 ELSE 0 END) = 1
        |    OR (MAX(CASE WHEN turn_idx = 0 AND role = 'system' THEN 1 ELSE 0 END) = 1
@@ -6263,6 +6397,7 @@ object ExtensionQueries {
        |        (PARTITION BY doc_id ORDER BY turn_idx) AS prev_role
        |      FROM $turnsRel) chat_lagged
        |GROUP BY doc_id""".stripMargin
+  }
 
   /** Mirrors [[qChatValidate]]: [[chatFlagsSql]] over the
     * [[chatTurnsSql]] turn rows plus the conjunction column. */
@@ -6563,6 +6698,127 @@ object ExtensionQueries {
        |  AS valid
        |FROM tc_f""".stripMargin
 
+  /** Mirrors [[qPipelineSft]] as ONE CTE pyramid: the
+    * [[sftTranscripts]] recipe regenerated as a turn table (the
+    * telescoping slice arithmetic, the turn_idx → slice/system/tool
+    * mapping with orphan insertion and the agentic tail), the
+    * [[chatFlagsSql]] contract fold with the widened role whitelist,
+    * the [[chatToolsSql]] lag/lead protocol fold, the admitted
+    * conversations' trainable text rebuilt directly from the word
+    * list (valid conversations have every slice non-empty, so the
+    * space-joined turn contents ARE the word list with 'result'
+    * spliced before the final agentic slice), re-rooted into the
+    * capped-MinHash replay + recursive keep-one closure
+    * (the [[pipelineCleanSql]] discipline), and the next-fit pack
+    * walk with loss-mask mass. Composition drift at ANY stage
+    * boundary hash-mismatches even when each stage passes alone. */
+  private val pipelineSftSql: String = {
+    val flags = chatFlagsSql("sft_turns",
+      roles = Seq("system", "user", "assistant", "tool"))
+    s"""WITH RECURSIVE sft_src AS (SELECT CAST(doc_id AS BIGINT) AS id,
+       |    list_filter($tokensLowerSql,
+       |      x -> regexp_matches(x, '^[a-z0-9]+$$')) AS w
+       |  FROM documents),
+       |sft_par AS (SELECT id, w, CAST(len(w) AS BIGINT) AS n,
+       |    CAST(1 + id % 3 AS BIGINT) AS m,
+       |    CASE WHEN id % 7 = 0 THEN 1 ELSE 0 END AS sys,
+       |    (id % 4 = 0) AS agentic,
+       |    (id % 19 = 0 AND NOT id % 4 = 0) AS orphan,
+       |    (id % 23 = 0 AND id % 4 = 0) AS unanswered,
+       |    (id % 29 = 0 AND id % 4 = 0) AS rogue,
+       |    CAST(1 + id % 2 AS BIGINT) AS kc
+       |  FROM sft_src),
+       |sft_n AS (SELECT *,
+       |    CASE WHEN agentic THEN 2 * m + 1 ELSE 2 * m END AS S,
+       |    sys + 2 * m
+       |      + CASE WHEN agentic AND NOT unanswered THEN 2
+       |             WHEN agentic THEN 1
+       |             WHEN orphan THEN 1 ELSE 0 END AS nt
+       |  FROM sft_par),
+       |sft_t AS (SELECT id, n, m, sys, agentic, orphan, unanswered, rogue,
+       |    kc, S, nt, CAST(unnest(range(0, nt)) AS BIGINT) AS ti
+       |  FROM sft_n),
+       |sft_j AS (SELECT *,
+       |    CASE WHEN ti < sys THEN -1
+       |         WHEN orphan AND ti - sys = 1 THEN -2
+       |         WHEN agentic AND NOT unanswered AND ti - sys = 2 * m THEN -2
+       |         WHEN orphan AND ti - sys >= 2 THEN ti - sys - 1
+       |         WHEN agentic AND NOT unanswered AND ti - sys = 2 * m + 1 THEN 2 * m
+       |         WHEN agentic AND unanswered AND ti - sys = 2 * m THEN 2 * m
+       |         ELSE ti - sys END AS j
+       |  FROM sft_t),
+       |sft_turns AS MATERIALIZED (SELECT id AS doc_id, ti AS turn_idx,
+       |    CASE WHEN j = -1 THEN 'system'
+       |         WHEN j = -2 THEN 'tool'
+       |         WHEN j = 0 AND id % 17 = 0 THEN 'narrator'
+       |         WHEN j = 1 AND id % 11 = 0 THEN 'user'
+       |         WHEN j = 2 * m THEN 'assistant'
+       |         WHEN j % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       |    CAST(CASE WHEN j = -1 THEN 2
+       |         WHEN j = -2 THEN 1
+       |         WHEN ti = nt - 1 AND id % 13 = 0 THEN 0
+       |         ELSE ((j + 1) * n) // S - (j * n) // S END AS BIGINT) AS n_tokens,
+       |    CAST(CASE WHEN agentic AND j = 2 * m - 1 THEN kc ELSE 0 END
+       |         AS BIGINT) AS n_calls,
+       |    (rogue AND j = 2 * m - 1) AS has_rogue
+       |  FROM sft_j),
+       |sft_cf AS ($flags),
+       |sft_l AS (SELECT *, lag(role) OVER sw AS pr, lag(n_calls) OVER sw AS pc,
+       |    lead(role) OVER sw AS nr
+       |  FROM sft_turns WINDOW sw AS (PARTITION BY doc_id ORDER BY turn_idx)),
+       |sft_tf AS (SELECT doc_id,
+       |    (MAX(CASE WHEN role = 'tool' AND NOT COALESCE(
+       |        (pr = 'assistant' AND pc > 0) OR pr = 'tool', FALSE)
+       |      THEN 1 ELSE 0 END) = 0) AS tool_after_call_ok,
+       |    (MAX(CASE WHEN role = 'assistant' AND n_calls > 0
+       |        AND NOT COALESCE(nr = 'tool', FALSE)
+       |      THEN 1 ELSE 0 END) = 0) AS tools_answered_ok,
+       |    (MAX(CASE WHEN has_rogue THEN 1 ELSE 0 END) = 0) AS tool_names_ok
+       |  FROM sft_l GROUP BY doc_id),
+       |sft_adm AS MATERIALIZED (SELECT f.doc_id
+       |  FROM sft_cf f JOIN sft_tf t ON f.doc_id = t.doc_id
+       |  WHERE f.roles_ok AND f.starts_ok AND f.alternation_ok AND f.nonempty_ok
+       |    AND t.tool_after_call_ok AND t.tools_answered_ok AND t.tool_names_ok),
+       |sft_conv AS MATERIALIZED (SELECT p.id AS doc_id, array_to_string(
+       |    (CASE WHEN p.id % 7 = 0 THEN ['be', 'concise']
+       |          ELSE CAST([] AS VARCHAR[]) END)
+       |    || CASE WHEN p.agentic THEN
+       |         list_slice(p.w, 1, (2 * p.m * p.n) // p.S) || ['result']
+       |           || list_slice(p.w, (2 * p.m * p.n) // p.S + 1, p.n)
+       |       ELSE p.w END, ' ') AS text
+       |  FROM sft_n p JOIN sft_adm a ON a.doc_id = p.id),
+       |sft_pairs AS MATERIALIZED (
+       |${minhashPairsSql(3, 64, 16, 0.5, Some(12), from = "sft_conv")}),
+       |sft_edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM sft_pairs
+       |          UNION ALL SELECT id_b, id_a FROM sft_pairs),
+       |sft_labels(id, label) AS (
+       |  SELECT DISTINCT src, src FROM sft_edges
+       |  UNION
+       |  SELECT e.src, l.label FROM sft_edges e JOIN sft_labels l ON e.dst = l.id),
+       |sft_drop AS (SELECT id
+       |  FROM (SELECT id, min(label) AS rep FROM sft_labels GROUP BY id) t
+       |  WHERE id <> rep),
+       |sft_cost AS MATERIALIZED (SELECT t.doc_id AS id, t.doc_id % 8 AS grp,
+       |    CAST(SUM(t.n_tokens) + 4 * COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN t.role = 'assistant' THEN t.n_tokens ELSE 0 END)
+       |         AS BIGINT) AS loss_tokens
+       |  FROM sft_turns t JOIN sft_adm a ON a.doc_id = t.doc_id
+       |  WHERE t.doc_id NOT IN (SELECT id FROM sft_drop)
+       |  GROUP BY t.doc_id),
+       |sft_rk AS MATERIALIZED (SELECT id, grp, n, loss_tokens,
+       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) AS rn FROM sft_cost),
+       |sft_walk AS (
+       |  SELECT grp, rn, id, n, loss_tokens, CAST(0 AS BIGINT) AS bin, n AS fill
+       |  FROM sft_rk WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r2.grp, r2.rn, r2.id, r2.n, r2.loss_tokens,
+       |    CASE WHEN w.fill + r2.n <= 512 THEN w.bin ELSE w.bin + 1 END,
+       |    CASE WHEN w.fill + r2.n <= 512 THEN w.fill + r2.n ELSE r2.n END
+       |  FROM sft_walk w JOIN sft_rk r2 ON r2.grp = w.grp AND r2.rn = w.rn + 1)
+       |SELECT id AS doc_id, grp, n AS n_tokens, bin AS bin_id, loss_tokens
+       |FROM sft_walk""".stripMargin
+  }
+
   /** Mirrors [[qTextDrift]]: per-half token hashes through the
     * salt-XOR + staged SplitMix64 ([[HashSql.mixCtes]]), bucket
     * counts, full-join, and the IDENTICAL double expression for each
@@ -6822,6 +7078,7 @@ object ExtensionQueries {
     "q_text_encoding" -> textEncodingSql,
     "q_sample_epochs_apply" -> sampleEpochsApplySql,
     "q_pipeline_ingest" -> pipelineIngestSql,
+    "q_pipeline_sft" -> pipelineSftSql,
     "q_chat_dedup" -> chatDedupSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
