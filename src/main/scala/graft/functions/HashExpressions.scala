@@ -30,6 +30,22 @@ object Hashing {
   final val FnvOffset = 0xcbf29ce484222325L
   final val FnvPrime = 0x100000001b3L
 
+  /** THE house whitespace class, char-predicate form: exactly
+    * [[graft.functions.TextFunctions.wsChars]] (space, tab, LF, VT,
+    * FF, CR) — NOT `Character.isWhitespace`, which also matches
+    * U+1C–1F, U+2028/29, U+3000 and other Unicode whitespace that
+    * the SQL-side mirrors (`HashSql`, built on `wsClass` regexes)
+    * and the `TextFunctions.tokens` rebuild path do not split on.
+    * Every native tokenizer sweep must use this predicate, or (a)
+    * shingle-window positions stop aligning with `tokens` positions
+    * and span excision scrubs the WRONG tokens on CJK-style corpora
+    * (U+3000 in text), and (b) token-hash oracles diverge from
+    * DuckDB on the same inputs. Pinned by ExtensionSpec's
+    * unicode-whitespace alignment case. */
+  @inline def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B.toChar ||
+      c == '\f' || c == '\r'
+
   def fnv64(bytes: Array[Byte]): Long = {
     var h = FnvOffset
     var i = 0
@@ -96,7 +112,7 @@ case class ShingleHashesAll(child: Expression, n: Int)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c)) {
+      if (Hashing.isWs(c)) {
         if (inTok) { tokenHashes += Hashing.mix64(h); h = Hashing.FnvOffset; inTok = false }
       } else {
         val lc = Character.toLowerCase(c)
@@ -177,7 +193,7 @@ case class ShingleHashes(child: Expression, n: Int)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c)) {
+      if (Hashing.isWs(c)) {
         if (inTok) { tokenHashes += Hashing.mix64(h); h = Hashing.FnvOffset; inTok = false }
       } else {
         val lc = Character.toLowerCase(c)
@@ -253,7 +269,7 @@ case class TokenHashes(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c)) {
+      if (Hashing.isWs(c)) {
         if (inTok) { out += Hashing.mix64(h); h = Hashing.FnvOffset; inTok = false }
       } else {
         val lc = Character.toLowerCase(c)
@@ -463,7 +479,7 @@ case class RepetitionHashStats(child: Expression, n: Int)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c)) {
+      if (Hashing.isWs(c)) {
         if (inTok) { tokenHashes += Hashing.mix64(h); h = Hashing.FnvOffset; inTok = false }
       } else {
         val lc = Character.toLowerCase(c)
@@ -584,7 +600,7 @@ case class CdcChunkHashes(child: Expression, maskBits: Int)
     }
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c)) {
+      if (Hashing.isWs(c)) {
         if (inTok) { inTok = false; endToken() }
       } else {
         val lc = Character.toLowerCase(c)
@@ -640,7 +656,7 @@ case class ShingleStrings(child: Expression, n: Int)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c)) {
+      if (Hashing.isWs(c)) {
         if (sb.length > 0) { tokens += sb.toString; sb.setLength(0) }
       } else sb.append(Character.toLowerCase(c))
       i += 1
@@ -715,7 +731,7 @@ case class UnigramEntropyQ(child: Expression, scaleBits: Int)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c)) {
+      if (Hashing.isWs(c)) {
         if (inTok) { tokenHashes += Hashing.mix64(h); h = Hashing.FnvOffset; inTok = false }
       } else {
         val lc = Character.toLowerCase(c)

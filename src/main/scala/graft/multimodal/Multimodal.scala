@@ -116,11 +116,31 @@ object Multimodal {
     * exceptions, not just IOException, on malformed input) — the
     * caller falls back to the stub so the pipeline stays total. */
   def tryDecodeImage(item: MediaItem): Option[MediaFeatures] =
+    decodeImageBounded(item.payload, minSide = 1).map { im =>
+      MediaFeatures(
+        doc_id = item.doc_id,
+        byte_len = item.byte_len,
+        width = im.getWidth,
+        height = im.getHeight,
+        n_frames = 1,
+        feat_hash = pixelHash(im))
+    }
+
+  /** The header-first bounded decode every image path must use: read
+    * the DECLARED dimensions off the format header (no pixel decode),
+    * reject anything under `minSide` or over [[maxDecodePixels]], and
+    * only then let the plugin materialize the raster. Calling
+    * `ImageIO.read` first and filtering after would allocate the full
+    * raster of a decompression-bomb payload (tiny PNG, huge declared
+    * size) before the cap could refuse it — an executor-OOM vector on
+    * untrusted payloads. None on null/undecodable/out-of-bounds. */
+  private def decodeImageBounded(
+      payload: Array[Byte], minSide: Int): Option[java.awt.image.BufferedImage] =
     try {
-      if (item.payload == null) None
+      if (payload == null) None
       else {
         val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(item.payload))
+          new java.io.ByteArrayInputStream(payload))
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
           if (!readers.hasNext) None
@@ -130,17 +150,9 @@ object Multimodal {
               reader.setInput(iis)
               val w = reader.getWidth(0)
               val h = reader.getHeight(0)
-              if (w <= 0 || h <= 0 || w.toLong * h > maxDecodePixels) None
-              else {
-                val im = reader.read(0)
-                Some(MediaFeatures(
-                  doc_id = item.doc_id,
-                  byte_len = item.byte_len,
-                  width = w,
-                  height = h,
-                  n_frames = 1,
-                  feat_hash = pixelHash(im)))
-              }
+              if (w < minSide || h < minSide ||
+                w <= 0 || h <= 0 || w.toLong * h > maxDecodePixels) None
+              else Option(reader.read(0))
             } finally reader.dispose()
           }
         } finally if (iis != null) iis.close()
@@ -260,14 +272,9 @@ object Multimodal {
     items.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.grouped(batchSize).flatMap(_.map { item =>
-        val im =
-          try {
-            if (item.payload == null) None
-            else Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(item.payload)))
-              .filter(i => i.getWidth >= 8 && i.getHeight >= 8 &&
-                i.getWidth.toLong * i.getHeight <= maxDecodePixels)
-          } catch { case scala.util.control.NonFatal(_) => None }
+        // header-first bounded decode: the declared-size cap must
+        // refuse a decompression bomb BEFORE the raster is allocated
+        val im = decodeImageBounded(item.payload, minSide = 8)
         im match {
           case Some(i) => ImageHash(item.doc_id, decoded = true,
             i.getWidth, i.getHeight, aHash(i))
@@ -352,8 +359,15 @@ object Multimodal {
             block = le16(payload, pos + 20)
             bits = le16(payload, pos + 22)
           } else if (id == "data") dataSize = size
-          // RIFF chunks are word-aligned: odd sizes carry a pad byte
-          pos += 8 + size.toInt + (size.toInt & 1)
+          // RIFF chunks are word-aligned: odd sizes carry a pad byte.
+          // Advance in LONG arithmetic: le32 sizes are non-negative
+          // 32-bit values, but truncating to Int first (e.g. a crafted
+          // 0xFFFFFFF8 size) makes the increment zero or negative and
+          // the walk loops forever on untrusted payloads. A chunk
+          // running past the payload clamps to the end, keeping the
+          // truncated-final-chunk tolerance.
+          val next = pos.toLong + 8L + size + (size & 1L)
+          pos = if (next > payload.length) payload.length else next.toInt
         }
         if (sr <= 0 || ch <= 0 || block <= 0 || dataSize < 0) None
         else {
@@ -474,7 +488,13 @@ object Multimodal {
             dataOff = pos + 8
             dataLen = math.min(size, (payload.length - dataOff).toLong).toInt
           }
-          pos += 8 + size.toInt + (size.toInt & 1)
+          // Long-arithmetic advance — same forward-progress guard as
+          // [[tryDecodeWav]]'s walk: an Int-truncated crafted size
+          // (0xFFFFFFF8) would stall the loop forever; clamping a
+          // chunk that overruns the payload preserves the truncated
+          // `data` tolerance the min() above encodes.
+          val next = pos.toLong + 8L + size + (size & 1L)
+          pos = if (next > payload.length) payload.length else next.toInt
         }
         val n = if (dataLen < 0) -1 else dataLen / 2
         if (fmtCode != 1 || bits != 16 || n < 64) None

@@ -1328,9 +1328,14 @@ object Dedup {
     val sizes = comp.groupBy(col("rep"))
       .agg(count(lit(1)).as("n_members"))
       .select(col("rep").as("survivor_id"), col("n_members"))
+    // alias the drop-set id: when the caller's idCol is literally
+    // "id" (simhashPairs et al. emit `id`), an unaliased col("id")
+    // is ambiguous between df and the components frame and the join
+    // throws AnalysisException
     val survivors = df.join(
-      comp.filter(col("id") =!= col("rep")).select(col("id")),
-      df(idCol) === col("id"), "left_anti")
+      comp.filter(col("id") =!= col("rep"))
+        .select(col("id").as("__dup_id")),
+      df(idCol) === col("__dup_id"), "left_anti")
     DedupDiagnostics(comp, sizes, survivors)
   }
 

@@ -331,8 +331,15 @@ object Sampling {
     }
     val tb = buckets(target, Nil).groupBy("b").agg(count(lit(1)).as("ct"))
     val rb = buckets(raw, Nil).groupBy("b").agg(count(lit(1)).as("cr"))
-    val nT = tb.agg(sum(col("ct"))).head().getLong(0)
-    val nR = rb.agg(sum(col("cr"))).head().getLong(0)
+    // sum() over zero rows is NULL — coalesce so an empty side fails
+    // the require below with a typed message naming it, instead of
+    // an opaque NullPointerException out of getLong
+    val nT = tb.agg(coalesce(sum(col("ct")), lit(0L))).head().getLong(0)
+    val nR = rb.agg(coalesce(sum(col("cr")), lit(0L))).head().getLong(0)
+    require(nT > 0,
+      "dsirLogWeights: target corpus has no tokens (empty or all-empty text)")
+    require(nR > 0,
+      "dsirLogWeights: raw corpus has no tokens (empty or all-empty text)")
     // one quantized log per bucket: ln of the cross-multiplied ratio
     // (both engines evaluate the identical double expression from the
     // same BIGINTs, so the floor lands identically)

@@ -2357,4 +2357,107 @@ class ExtensionSpec extends SparkSpec {
     assert(survivors == reference)
     Dedup.release(diag.components)
   }
+
+  test("dedupDiagnostics works when the caller's id column is literally 'id' " +
+    "(the simhashPairs shape) — the drop-set side is aliased") {
+    val ids = df("id BIGINT", (1L to 5L).map(Row(_)): _*)
+    val pairs = df("id_a BIGINT, id_b BIGINT", Row(1L, 2L))
+    val diag = Dedup.dedupDiagnostics(ids, "id", pairs)
+    assert(diag.survivors.collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 4L, 5L))
+    Dedup.release(diag.components)
+  }
+
+  test("RIFF walks guard forward progress: crafted chunk sizes whose " +
+    "Int truncation makes a zero/negative step return None, never hang") {
+    import graft.multimodal.Multimodal
+    // 0xFFFFFFF8: old advance was 8 + (-8) + 0 = 0 — an infinite loop
+    // pinned to one executor thread forever; 0xFFFFFFF7 stepped -1.
+    // The Long-arithmetic walk clamps past-the-end chunks and exits.
+    def riffWith(size: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(16)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("junk".getBytes("US-ASCII")).putInt(size.toInt)
+      bb.put(Array[Byte](0, 0, 0, 0))
+      bb.array()
+    }
+    val ex = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = ex.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean =
+          Multimodal.audioHash(riffWith(0xFFFFFFF8L)).isEmpty &&
+            Multimodal.audioHash(riffWith(0xFFFFFFF7L)).isEmpty &&
+            Multimodal.tryDecodeWav(1L, riffWith(0xFFFFFFF8L)).isEmpty &&
+            Multimodal.tryDecodeWav(1L, riffWith(0xFFFFFFF7L)).isEmpty
+      })
+      assert(fut.get(30, java.util.concurrent.TimeUnit.SECONDS),
+        "malformed RIFF chunk sizes must parse to None")
+    } finally ex.shutdownNow()
+  }
+
+  test("span excision aligns shingle windows with rebuild tokens on " +
+    "unicode-whitespace text: one ASCII-ws tokenizer on both sides") {
+    // U+3000 (ideographic space) joins "header\u3000x" into ONE
+    // wsClass token; the old Character.isWhitespace window tokenizer
+    // split it in two, shifting every window position by one — the
+    // excision then dropped the wrong tokens and the first
+    // contaminated token SURVIVED decontamination.
+    val evalDf = df("text STRING", Row("aaa bbb ccc ddd eee"))
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(1L, "header\u3000x aaa bbb ccc ddd eee"),
+      Row(2L, "clean doc with no contamination at all"))
+    val got = Dedup.scrubContamination(corpus, evalDf, "doc_id", "text",
+        shingleN = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) == ("header\u3000x" -> 1L),
+      "all five contaminated tokens must be excised, the U+3000 token kept")
+    assert(got(2L)._2 == 7L)
+  }
+
+  test("extractImageHashes rejects a decompression-bomb header before " +
+    "the raster is allocated, and in-bounds images still decode") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // PNG signature + IHDR declaring 100k x 100k (10 gigapixels,
+    // ~40 GB as INT_RGB): the declared size must be refused from the
+    // HEADER — handing it to ImageIO.read first would allocate the
+    // raster before any post-decode filter could reject it.
+    def ihdrPng(w: Int, h: Int): Array[Byte] = {
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      val bb = java.nio.ByteBuffer.allocate(33)
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes("US-ASCII")).put(ihdr.array())
+      val crc = new java.util.zip.CRC32()
+      crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdr.array())
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val bomb = ihdrPng(100000, 100000)
+    assert(Multimodal.sniffMediaType(bomb) == "image/png")
+    val ok = Multimodal.pngBytes(16, 16, (gx, gy) => (gx * 8 + gy) * 4)
+    val items = Seq(
+      Multimodal.MediaItem(1L, "image/png", bomb, bomb.length.toLong),
+      Multimodal.MediaItem(2L, "image/png", ok, ok.length.toLong))
+    val got = Multimodal.extractImageHashes(items.toDS(), batchSize = 2)
+      .collect().map(h => h.doc_id -> h).toMap
+    assert(!got(1L).decoded && got(1L).ahash == 0L)
+    assert(got(2L).decoded && got(2L).width == 16 && got(2L).height == 16)
+  }
+
+  test("dsirLogWeights names the empty side instead of an opaque NPE") {
+    val empty = df("doc_id BIGINT, text STRING")
+    val full = df("doc_id BIGINT, text STRING", Row(1L, "some raw text here"))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Sampling.dsirLogWeights(full, empty, "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("target"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Sampling.dsirLogWeights(empty, full, "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("raw"))
+  }
 }
