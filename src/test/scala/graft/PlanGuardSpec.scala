@@ -286,6 +286,79 @@ class PlanGuardSpec extends SparkSpec {
       s"q_quality_quantile_map: reference group not broadcast\n$plan")
   }
 
+  test("distilled scorer: weights enter by broadcast; the only local relation is the dims-row weight table") {
+    // trainLogisticFx's contract: nothing corpus-sized touches the
+    // driver — the ONE LocalTableScan allowed in the scoring plan is
+    // the dims-row weight table (built from a dims-bounded collect by
+    // construction), and it must join the exploded feature stream as
+    // a BroadcastHashJoin; every shuffled join must be doc-keyed
+    // (ids vs per-doc margins), never feature-keyed
+    val plan = planOf("q_quality_distill_score")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_quality_distill_score: weight join not broadcast\n$plan")
+    val locals = plan.linesIterator.map(_.trim)
+      .filter(_.matches("""\(\d+\) LocalTableScan.*""")).toSeq
+    assert(locals.size <= 1,
+      s"q_quality_distill_score: ${locals.size} driver-local relations (only the weight table is allowed): $locals")
+    // scope the key check to each SHUFFLED join's own detail block:
+    // the (broadcast) weight join legitimately keys on feat_idx
+    val shuffledJoinBlocks = plan.split("""\n\(""").toSeq
+      .filter(b => b.matches("""(?s)\d+\) (SortMergeJoin|ShuffledHashJoin).*"""))
+    assert(shuffledJoinBlocks.forall(!_.contains("feat_idx")),
+      s"q_quality_distill_score: feature-keyed shuffle join planned:\n" +
+        shuffledJoinBlocks.filter(_.contains("feat_idx")).mkString("\n"))
+  }
+
+  test("incremental SemDeDup probes the corpus index as a hash-family EQUI join on the cell id") {
+    // semanticDedupAgainst's scale story: candidates come from an
+    // equi join keyed on the k-means cell (broadcast here; hash at
+    // scale) — anything not keyed on cell would pair across cells,
+    // and a nested-loop shape is the quadratic scan SemDeDup avoids
+    val plan = planOf("q_dedup_incremental_sem")
+    val joinKeys = plan.linesIterator
+      .filter(_.matches(""".*(Left|Right) keys.*""")).toSeq
+    assert(joinKeys.exists(_.contains("cell")),
+      s"q_dedup_incremental_sem: no join keyed on cell: $joinKeys\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"q_dedup_incremental_sem: no hash-family candidate join\n$plan")
+  }
+
+  test("chat packing contributes exactly ONE grp-keyed Exchange; everything else stays doc-keyed") {
+    // the q_pack_bins discipline applied to the composed chat
+    // surface: the packer's repartition(grp) must be the only
+    // group-keyed shuffle (its in-partition sweep rides it via
+    // MapPartitions); the gates' windows and folds all reuse the
+    // conversation id
+    val plan = planOf("q_chat_pack")
+    val exchanges = plan.linesIterator.map(_.trim)
+      .filter(_.startsWith("Arguments: hashpartitioning")).toSeq
+    val grpKeyed = exchanges.filter(_.contains("hashpartitioning(grp"))
+    assert(grpKeyed.size == 1,
+      s"q_chat_pack: expected exactly 1 grp-keyed Exchange, got $grpKeyed\n$exchanges")
+    assert(exchanges.filterNot(_.contains("hashpartitioning(grp"))
+      .forall(_.contains("doc_id")),
+      s"q_chat_pack: non-grp Exchange not keyed on doc_id: $exchanges")
+    assert(plan.contains("MapPartitions"),
+      s"q_chat_pack: no in-partition packing sweep in plan\n$plan")
+  }
+
+  test("manifest states aggregate with map-side partials (kmv included), never a sort fallback") {
+    // the mergeable-state contract: per-source manifest states are
+    // partial-aggregated before their exchange, and the KMV sketch
+    // state stays on the ObjectHashAggregate path — a SortAggregate
+    // would sort the corpus once per manifest build/merge
+    Seq("q_corpus_manifest", "q_manifest_merge").foreach { name =>
+      val plan = planOf(name)
+      assert(plan.contains("partial_"),
+        s"$name: no partial aggregation stage\n$plan")
+      assert(!plan.contains("SortAggregate"),
+        s"$name: SortAggregate fallback planned\n$plan")
+    }
+    assert(planOf("q_manifest_merge").contains("partial_kmv_agg"),
+      "q_manifest_merge: kmv state merge lost its partial stage")
+  }
+
   test("rate samplers stay zero-shuffle projections") {
     // weightedSample's keep decision is per-row arithmetic; ANY
     // Exchange in the plan means the sampler started shuffling the
