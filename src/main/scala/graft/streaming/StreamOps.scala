@@ -323,6 +323,46 @@ object StreamOps {
       .start()
   }
 
+  /** Stream-side serving of a BATCH-trained distilled quality model —
+    * closing the train-batch / score-stream loop: every micro-batch
+    * is featurized with the SAME hashing trick
+    * ([[graft.operators.Search.hashedFeatures]], a zero-shuffle
+    * projection + per-batch fold) and scored under the FROZEN weight
+    * table via [[graft.operators.Classifier.scoreFx]] — the dims-row
+    * weights persist once and broadcast into each micro-batch (the
+    * PlanGuard-pinned scoring shape), so a batch pays only its own
+    * featurization.
+    *
+    * A document's score depends ONLY on its own tokens and the frozen
+    * weights, so scoring a corpus in micro-batches is EXACTLY the
+    * batch [[graft.operators.Classifier.scoreFx]] answer on the union
+    * (StreamingSpec's parity case gates it). No state store, no
+    * watermark. Weights are fixed at query start — retrain
+    * (warm-start [[graft.operators.Classifier.trainLogisticFx]]) and
+    * restart to roll the model; the checkpoint makes that safe. */
+  def scoreStream(
+      docs: DataFrame,
+      weights: DataFrame,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      dims: Int = 256,
+      seed: Long = 11L,
+      scaleBits: Int = 20)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val w = weights.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.toDF()
+        sink(graft.operators.Classifier.scoreFx(
+          b, idCol,
+          graft.operators.Search.hashedFeatures(b, idCol, textCol, dims, seed),
+          w, scaleBits))
+      }
+      .start()
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState: 30-minute
     * inactivity gap starts a new session; state per user is one
     * (lastTs, seq) pair. Events inside each micro-batch are sorted

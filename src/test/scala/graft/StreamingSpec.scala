@@ -730,4 +730,42 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch && batch.size == 3) // doc 3 malformed -> absent
     } finally q.stop()
   }
+
+  test("scoreStream: frozen batch-trained weights score micro-batches " +
+    "exactly like batch scoreFx over the union") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Classifier, Search}
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(1L, "the quick brown fox jumps over the lazy dog"),
+      Row(2L, "spark query engines shuffle and broadcast and spill"),
+      Row(3L, "a short clean sentence about rivers and banks"),
+      Row(4L, "tokenizer vocabularies grow with corpus entropy"),
+      Row(5L, "the quick brown fox naps under the lazy dog"),
+      Row(6L, "watermarks close reorder windows in event time"))
+    // batch-side training: the model scoreStream will serve frozen
+    val feats = Search.hashedFeatures(corpus, "doc_id", "text", dims = 64, seed = 11L)
+    val labels = corpus.select(col("doc_id"),
+      (col("doc_id") % 2).cast("long").as("label"))
+    val w = Classifier.trainLogisticFx(feats, labels, dims = 64, iters = 2)
+    val want = Classifier.scoreFx(corpus, "doc_id", feats, w)
+      .collect().map(_.toSeq).toSet
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_score_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_score_ckpt").toString
+    val got = scala.collection.mutable.Set.empty[Seq[Any]]
+    val q = StreamOps.scoreStream(
+      spark.readStream.schema(corpus.schema).parquet(srcDir),
+      w, "doc_id", "text", ckpt, dims = 64, seed = 11L)(out =>
+      got ++= out.collect().map(_.toSeq))
+    try {
+      // two micro-batches — per-doc scores must not depend on the split
+      corpus.filter(col("doc_id") <= 3).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      corpus.filter(col("doc_id") > 3).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(got.toSet == want && want.size == 6)
+    } finally q.stop()
+  }
 }
