@@ -2882,6 +2882,61 @@ object ExtensionQueries {
     graft.operators.Preference.labelConflicts(flipped, "chosen", "rejected")
   }
 
+  /** The composed PREFERENCE (DPO) endgame pipeline — built triples
+    * to packed reward-training bins in one oracled chain, the
+    * [[qPipelineSft]] discipline on the pairwise surface:
+    * build ([[prefTriples]] + the [[qPrefConflicts]] pool/flip
+    * injection, so ONE corpus carries both gate families' violation
+    * classes) → per-pair admission gate
+    * ([[graft.operators.Preference.validatePairs]]: distinct /
+    * nonempty / length-ratio) → annotation-consistency drop (every
+    * row whose unordered response-fingerprint pair is CONFLICTED
+    * under [[graft.operators.Preference.labelConflicts]] is removed —
+    * contradictory supervision cancels the DPO gradient) → whole-pair
+    * next-fit packing at 1024 with the chosen-token (trainable) mass
+    * carried per row. The pool pairs collect both orientations by
+    * construction, so the conflict stage has real positives at every
+    * scale; composition drift (gate after conflicts, a weakened flag,
+    * packing unvalidated rows) hash-mismatches under the CTE-pyramid
+    * oracle even when each stage passes alone.
+    *
+    * Scale posture: build and gate are zero-shuffle projections; the
+    * conflict census is one 32-byte-key hash aggregate with map-side
+    * combine; the conflicted set (distinct contradictory pairs) is
+    * tiny by nature and AQE-broadcasts into the anti-join; packing is
+    * the single-Exchange per-group sweep. */
+  private val qPipelinePref: Q = (s, dir) => {
+    import graft.operators.{Packing, Preference}
+    val pool = col("doc_id") % 5 === 0
+    val g = pmod(expr("doc_id div 5"), lit(8L)).cast("string")
+    val t = prefTriples(s, dir).select(col("doc_id"), col("prompt"),
+      when(pool, concat(lit("alpha "), g)).otherwise(col("chosen")).as("chosen"),
+      when(pool, concat(lit("beta "), g)).otherwise(col("rejected")).as("rejected"))
+    val flip = col("doc_id") % 3 === 0
+    val triples = t.select(col("doc_id"), col("prompt"),
+      when(flip, col("rejected")).otherwise(col("chosen")).as("chosen"),
+      when(flip, col("chosen")).otherwise(col("rejected")).as("rejected"))
+    val valid = triples.join(
+      Preference.validatePairs(triples, "doc_id", "prompt", "chosen", "rejected")
+        .filter(col("valid"))
+        .select("doc_id", "prompt_tokens", "chosen_tokens", "rejected_tokens"),
+      "doc_id")
+    val conflicted = Preference.labelConflicts(valid, "chosen", "rejected")
+      .filter(col("conflicted")).select("key_lo", "key_hi")
+    val fa = TextFunctions.fingerprint(col("chosen"))
+    val fb = TextFunctions.fingerprint(col("rejected"))
+    val clean = valid
+      .withColumn("key_lo", least(fa, fb))
+      .withColumn("key_hi", greatest(fa, fb))
+      .join(conflicted, Seq("key_lo", "key_hi"), "left_anti")
+      .withColumn("n_tokens", col("prompt_tokens") + col("chosen_tokens") +
+        col("rejected_tokens") + lit(3L))
+      .withColumn("grp", pmod(col("doc_id"), lit(8L)))
+    Packing.packBinsByCount(clean, "doc_id", "grp", "n_tokens", capacity = 1024)
+      .select(col("id").as("doc_id"), col("grp"), col("n_tokens"), col("bin_id"))
+      .join(clean.select("doc_id", "chosen_tokens"), "doc_id")
+  }
+
   // ------------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3042,6 +3097,7 @@ object ExtensionQueries {
     "q_sample_epochs_apply" -> qSampleEpochsApply,
     "q_pipeline_ingest" -> qPipelineIngest,
     "q_pipeline_sft" -> qPipelineSft,
+    "q_pipeline_pref" -> qPipelinePref,
     "q_chat_dedup" -> qChatDedup,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
@@ -6892,6 +6948,70 @@ object ExtensionQueries {
        |FROM pc_g""".stripMargin
   }
 
+  /** Mirrors [[qPipelinePref]] as ONE CTE pyramid: the
+    * [[prefTriplesCtes]] construction with the conflict-pool/flip
+    * injection (the [[qPrefConflicts]] recipe), the
+    * [[prefValidateSql]] flag set inlined as the admission filter,
+    * the fingerprint pair census with the conflicted cut, the
+    * NOT-EXISTS anti-join, and the next-fit pack walk at 1024 with
+    * the chosen-token (trainable) mass carried through. */
+  private val pipelinePrefSql: String = {
+    val nt = "CAST(len(list_filter(regexp_split_to_array(%s, " +
+      s"'$ws+'), x -> x <> ''))" + " AS BIGINT)"
+    def fp(c: String) =
+      s"md5(trim(regexp_replace(lower($c), '$ws+', ' ', 'g')))"
+    s"""WITH RECURSIVE $prefTriplesCtes,
+       |pp_pool AS (SELECT id, prompt,
+       |    CASE WHEN id % 5 = 0
+       |         THEN 'alpha ' || CAST((id // 5) % 8 AS VARCHAR)
+       |         ELSE chosen END AS chosen,
+       |    CASE WHEN id % 5 = 0
+       |         THEN 'beta ' || CAST((id // 5) % 8 AS VARCHAR)
+       |         ELSE rejected END AS rejected
+       |  FROM pref_d),
+       |pp_t AS (SELECT id, prompt,
+       |    CASE WHEN id % 3 = 0 THEN rejected ELSE chosen END AS chosen,
+       |    CASE WHEN id % 3 = 0 THEN chosen ELSE rejected END AS rejected
+       |  FROM pp_pool),
+       |pp_f AS (SELECT *,
+       |    ${nt.format("prompt")} AS prompt_tokens,
+       |    ${nt.format("chosen")} AS chosen_tokens,
+       |    ${nt.format("rejected")} AS rejected_tokens
+       |  FROM pp_t),
+       |pp_v AS MATERIALIZED (SELECT * FROM pp_f
+       |  WHERE chosen <> rejected
+       |    AND prompt_tokens > 0 AND chosen_tokens > 0 AND rejected_tokens > 0
+       |    AND chosen_tokens * 1000 <= 4000 * rejected_tokens
+       |    AND rejected_tokens * 1000 <= 4000 * chosen_tokens),
+       |pp_k AS MATERIALIZED (SELECT *, least(fa, fb) AS key_lo,
+       |    greatest(fa, fb) AS key_hi,
+       |    CASE WHEN fa < fb THEN 1 ELSE 0 END AS fwd
+       |  FROM (SELECT *, ${fp("chosen")} AS fa, ${fp("rejected")} AS fb
+       |        FROM pp_v) pp_x),
+       |pp_c AS MATERIALIZED (SELECT key_lo, key_hi FROM (
+       |    SELECT key_lo, key_hi, COUNT(*) AS np, SUM(fwd) AS nf
+       |    FROM pp_k GROUP BY 1, 2) pp_g
+       |  WHERE nf > 0 AND np - nf > 0),
+       |pp_s AS MATERIALIZED (SELECT id, id % 8 AS grp,
+       |    prompt_tokens + chosen_tokens + rejected_tokens + 3 AS n,
+       |    chosen_tokens
+       |  FROM pp_k WHERE NOT EXISTS (SELECT 1 FROM pp_c c
+       |    WHERE c.key_lo = pp_k.key_lo AND c.key_hi = pp_k.key_hi)),
+       |pp_r AS MATERIALIZED (SELECT id, grp, n, chosen_tokens,
+       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) AS rn FROM pp_s),
+       |pp_walk AS (
+       |  SELECT grp, rn, id, n, chosen_tokens, CAST(0 AS BIGINT) AS bin,
+       |    n AS fill
+       |  FROM pp_r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r2.grp, r2.rn, r2.id, r2.n, r2.chosen_tokens,
+       |    CASE WHEN w.fill + r2.n <= 1024 THEN w.bin ELSE w.bin + 1 END,
+       |    CASE WHEN w.fill + r2.n <= 1024 THEN w.fill + r2.n ELSE r2.n END
+       |  FROM pp_walk w JOIN pp_r r2 ON r2.grp = w.grp AND r2.rn = w.rn + 1)
+       |SELECT id AS doc_id, grp, n AS n_tokens, bin AS bin_id, chosen_tokens
+       |FROM pp_walk""".stripMargin
+  }
+
   /** Mirrors [[qCorpusManifest]]: one projected scan computing
     * token count / canonical fingerprint / DECIMAL(18,9) quality /
     * lang prediction per doc, then the manifest fold, the language
@@ -7079,6 +7199,7 @@ object ExtensionQueries {
     "q_sample_epochs_apply" -> sampleEpochsApplySql,
     "q_pipeline_ingest" -> pipelineIngestSql,
     "q_pipeline_sft" -> pipelineSftSql,
+    "q_pipeline_pref" -> pipelinePrefSql,
     "q_chat_dedup" -> chatDedupSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,
