@@ -657,6 +657,35 @@ object ExtensionQueries {
     graft.operators.Sampling.hashSplit(pq(s, dir, "documents"), "doc_id")
       .select("doc_id", "split_bucket", "split")
 
+  /** LEAKAGE-GUARDED train/test split — the composition every eval
+    * pipeline needs and most skip: after the deterministic 80/10/10
+    * [[graft.operators.Sampling.hashSplit]], every train/val document
+    * that is an exact or near duplicate (the [[Dedup.dedupAgainst]]
+    * fingerprint + banded-MinHash probe, jaccard ≥ 0.5) of ANY
+    * held-out test document is dropped — a near-copy of a test item
+    * left in train silently inflates every benchmark number the
+    * split exists to protect. Output: (doc_id, split) for the test
+    * set plus the surviving train/val rows.
+    *
+    * Scale posture: the test side is split-bounded (~10% of the
+    * corpus — and in practice a fixed eval set), so its banded index
+    * is the small probe side; train/val pays one signature pass and
+    * the band equi-join, never an all-pairs comparison. The operator
+    * exposes maxBucketSize for degenerate-bucket corpora (the capped
+    * incremental probes' discipline). */
+  private val qSplitDecontam: Q = (s, dir) => {
+    val split = graft.operators.Sampling.hashSplit(
+      pq(s, dir, "documents"), "doc_id")
+    val test = split.filter(col("split") === "test")
+    val batch = split.filter(col("split") =!= "test")
+      .select("doc_id", "text", "split")
+    Dedup.dedupAgainst(batch, test.select("doc_id", "text"),
+        "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
+      .select("doc_id", "split")
+      .unionByName(test.select("doc_id", "split"))
+  }
+
   /** Per-source dominance cap: at most 12 documents per source,
     * chosen by SplitMix64 hash order — the "no host swamps the
     * mixture" gate. */
@@ -764,6 +793,27 @@ object ExtensionQueries {
       emb, "vec_id", "embedding", nlist = 8, iters = 2)
     Dedup.semanticNearDupPairs(emb, "vec_id", "embedding", cents,
       threshold = 0.2)
+  }
+
+  /** The CAPPED gated twin of [[qDedupSemantic]] — the
+    * q_dedup_minhash / q_dedup_minhash_capped discipline applied to
+    * the cell-scoped family: same SemDeDup pair semantics under a
+    * frozen corpus-trained model, with the production mega-cell
+    * guard ON — nlist=32 (the "shrink cells first" lever) plus
+    * `maxClusterSize = 12` (the census value). The cap BINDS at
+    * sf0.01 (8 of 32 cells survive; 126 pairs vs 958 uncapped) and
+    * the oracle replays it via the cell-cap QUALIFY. Unlike the
+    * uncapped twin (sf1-excluded: the replicated fixture puts every
+    * document's 10 copies in one cell, ~100x pair output), this
+    * shape stays IN the sf1 bench — over-cap cells are excised, not
+    * joined, which is exactly the degenerate-cell posture a 100 TB
+    * corpus needs. */
+  private val qDedupSemanticCapped: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val cents = Similarity.kmeansCentroidsDistributed(
+      emb, "vec_id", "embedding", nlist = 32, iters = 2)
+    Dedup.semanticNearDupPairs(emb, "vec_id", "embedding", cents,
+      threshold = 0.2, maxClusterSize = Some(12))
   }
 
   /** Transitive closure of the (oracled) embedding near-dup pairs:
@@ -978,6 +1028,34 @@ object ExtensionQueries {
     val idx = graft.sources.AnnIndex.append(
       s, idxDir, batch, "vec_id", "embedding")
     graft.sources.AnnIndex.queryBatch(
+      idx, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+  }
+
+  /** Tombstone DELETE on a persisted index
+    * ([[graft.sources.AnnIndex.deleteIds]]) — the
+    * right-to-be-forgotten chain: build+persist the plain-IVF index
+    * over the full corpus, publish the `vec_id % 7 == 0` ids as one
+    * atomic tombstone segment (O(deletion), corpus table untouched),
+    * read back (the loader subtracts tombstones before anything sees
+    * the table), and answer the standard 5-query batch. The oracle is
+    * the inline batch-IVF replay with centroids trained on the FULL
+    * corpus (the frozen pre-delete model) but scoring restricted to
+    * surviving rows — at sf0.01 every query's top-5 contains at least
+    * one deleted id, so an index that leaked a tombstoned row
+    * hash-mismatches immediately. */
+  private val qSimIndexDelete: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val cents = Similarity.kmeansCentroidsDistributed(
+      corpus, "vec_id", "embedding", nlist = 8, iters = 2)
+    val idxDir = s"$twinRoot/annidx_delete/${new java.io.File(dir).getName}"
+    graft.sources.AnnIndex.buildAndWriteIvf(
+      s, idxDir, corpus, "vec_id", "embedding", cents)
+    graft.sources.AnnIndex.deleteIds(s, idxDir,
+      corpus.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+    val idx = graft.sources.AnnIndex.readIvf(s, idxDir)
+    graft.sources.AnnIndex.queryBatchIvf(
       idx, queries, "vec_id", "embedding", k = 5, nprobe = 2)
   }
 
@@ -2979,6 +3057,7 @@ object ExtensionQueries {
     "q_pseudonymize" -> qPseudonymize,
     "q_cdc_compact" -> qCdcCompact,
     "q_sample_split" -> qSampleSplit,
+    "q_split_decontam" -> qSplitDecontam,
     "q_sample_cap" -> qSampleCap,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_mix" -> qSampleMix,
@@ -2991,6 +3070,7 @@ object ExtensionQueries {
     "q_ingest_orc" -> qIngestOrc,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_semantic" -> qDedupSemantic,
+    "q_dedup_semantic_capped" -> qDedupSemanticCapped,
     "q_dedup_incremental_sem" -> qDedupIncrementalSem,
     "q_dedup_incremental_emb" -> qDedupIncrementalEmb,
     "q_dedup_components" -> qDedupComponents,
@@ -3004,6 +3084,7 @@ object ExtensionQueries {
     "q_sim_batch_topk" -> qSimBatchTopK,
     "q_sim_index_ivf" -> qSimIndexIvf,
     "q_sim_index_append" -> qSimIndexAppend,
+    "q_sim_index_delete" -> qSimIndexDelete,
     "q_sim_index_append_pq" -> qSimIndexAppendPq,
     "q_sim_margin_pairs" -> qSimMarginPairs,
     "q_sim_recall_audit" -> qSimRecallAudit,
@@ -3283,20 +3364,28 @@ object ExtensionQueries {
        |SELECT id AS vec_id FROM batch WHERE id NOT IN (SELECT id FROM matched)""".stripMargin
   }
 
-  /** Mirrors [[qDedupSemantic]]: the distributed-k-means CTE chain
-    * over the whole embeddings table, exact-argmax cell assignment,
+  /** Mirrors [[qDedupSemantic]] (and its capped twin): the
+    * distributed-k-means CTE chain over the whole embeddings table,
+    * exact-argmax cell assignment, an optional cell-cap QUALIFY
+    * (capBuckets semantics — over-cap cells are excised ENTIRELY),
     * then the [[embeddingPairsSql]] pair join scoped by CELL instead
     * of LSH bucket — same guarded cosine, same ≥ 0.2 cut. */
-  private val dedupSemanticSql: String = {
+  private def dedupSemanticPairsSql(nlist: Int, cap: Option[Int]): String = {
     val iters = 2
+    val rawName = if (cap.isDefined) "assigned_raw" else "assigned"
+    val capCte = cap.map(n =>
+      s""",
+         |assigned AS (SELECT * FROM assigned_raw
+         |  QUALIFY count(*) OVER (PARTITION BY cell) <= $n)""".stripMargin)
+      .getOrElse("")
     s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-       |${kmeansDistributedCtes(8, iters)},
-       |assigned AS (
+       |${kmeansDistributedCtes(nlist, iters)},
+       |$rawName AS (
        |  SELECT id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm, cell FROM (
        |    SELECT e.id, e.vec, c.cell,
        |      row_number() OVER (PARTITION BY e.id
        |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
-       |    FROM corpus e CROSS JOIN cents$iters c) t WHERE rn = 1)
+       |    FROM corpus e CROSS JOIN cents$iters c) t WHERE rn = 1)$capCte
        |SELECT id_a, id_b, cosine FROM (
        |  SELECT a.id AS id_a, b.id AS id_b,
        |    CASE WHEN a.nrm * b.nrm > 0.0
@@ -3305,6 +3394,12 @@ object ExtensionQueries {
        |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id) t
        |WHERE cosine >= 0.2""".stripMargin
   }
+
+  private val dedupSemanticSql: String = dedupSemanticPairsSql(8, None)
+
+  /** [[dedupSemanticPairsSql]] at the capped production posture. */
+  private val dedupSemanticCappedSql: String =
+    dedupSemanticPairsSql(32, Some(12))
 
   /** Mirrors [[qDedupIncrementalEmb]]: the [[dedupEmbeddingSql]]
     * bucket/norm projection with the self-join replaced by a
@@ -3713,6 +3808,37 @@ object ExtensionQueries {
     * what the index holds after [[graft.sources.AnnIndex.appendToIvf]]
     * cell-assigns the odd-half batch against the frozen centroids.
     * Probe + per-query top-5 as in [[simBatchTopkSql]]. */
+  /** Mirrors [[qSimIndexDelete]]: the [[simBatchTopkSql]] k-means +
+    * probe replay with the model trained on the FULL corpus (the
+    * frozen pre-delete state), scoring restricted to the rows that
+    * survive the % 7 tombstone set — the loader's anti-join replayed
+    * as a plain filter. */
+  private val simIndexDeleteSql: String = {
+    val (nlist, iters, k, nprobe) = (8, 2, 5, 2)
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 6),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+       |${kmeansDistributedCtes(nlist, iters)},
+       |assigned AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT e.id, e.vec, c.cell,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+       |    FROM corpus e CROSS JOIN cents$iters c) t WHERE rn = 1),
+       |surv AS (SELECT * FROM assigned WHERE NOT (id % 7 = 0)),
+       |probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosineFusedSql("q.qv", "c.cvec")} DESC, c.cell ASC) AS rn
+       |    FROM qs q CROSS JOIN cents$iters c) t WHERE rn <= $nprobe)
+       |SELECT query_id, id, cosine FROM (
+       |  SELECT p.qid AS query_id, a.id, ${cosineSql("a.vec", "q.qv")} AS cosine,
+       |    row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY ${cosineSql("a.vec", "q.qv")} DESC, a.id ASC) AS rn
+       |  FROM probe p JOIN surv a ON a.cell = p.cell JOIN qs q ON q.qid = p.qid) t
+       |WHERE rn <= $k""".stripMargin
+  }
+
   private val simIndexAppendSql: String = {
     val (nlist, iters, k, nprobe) = (8, 2, 5, 2)
     s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
@@ -3964,14 +4090,26 @@ object ExtensionQueries {
     * both hit sets — set-identical to the engine's
     * anti-join-then-probe staging (a batch row dropped by stage 1
     * never reaches stage 2 in either formulation). */
-  private val dedupIncrementalSql: String = {
-    val (shingleN, numHashes, bands, threshold) = (3, 64, 16, 0.5)
+  /** The [[Dedup.dedupAgainst]] replay as a parameterized CTE chain
+    * ending in `exact_hit(doc_id)` / `lsh_hit(doc_id)` — the batch
+    * ids dropped for an exact-fingerprint or verified-jaccard match
+    * against the corpus side. `batchPred`/`corpusPred` render the
+    * side-membership predicate for a given doc_id expression, so the
+    * daily-batch split (`% 10`) and the leakage-guarded train/test
+    * split share one flag-for-flag mirror. Callers compose their own
+    * final SELECT (and may reference earlier CTEs from the
+    * predicates — CTEs see every name defined before them). */
+  private def dedupAgainstHitsCtes(
+      batchPred: String => String,
+      corpusPred: String => String,
+      shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): String = {
     val rpb = numHashes / bands
     val bandSelects = (0 until bands).map { j =>
       s"SELECT doc_id, $j AS band_idx, sig[${j * rpb + 1}:${(j + 1) * rpb}] AS bv FROM sig"
     }.mkString("\nUNION ALL ")
     val inter = "len(list_filter(sn.sh, x -> list_contains(sc.sh, x)))"
-    s"""WITH ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents),
+    s"""ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents),
        |sh AS MATERIALIZED (SELECT doc_id, ${HashSql.shingleHashes("ths", shingleN)} AS sh FROM ths),
        |shx AS (SELECT doc_id, unnest(sh) AS h FROM sh),
        |salt AS (SELECT * FROM (VALUES ${HashSql.saltRows(numHashes, 42L)}) AS v(salt_idx, s)),
@@ -3983,19 +4121,44 @@ object ExtensionQueries {
        |band AS MATERIALIZED ($bandSelects),
        |fps AS MATERIALIZED (SELECT doc_id,
        |  md5(trim(regexp_replace(lower(text), '$ws+', ' ', 'g'))) AS fp FROM documents),
-       |exact_hit AS (SELECT n.doc_id FROM fps n WHERE n.doc_id % 10 >= 8 AND EXISTS (
-       |  SELECT 1 FROM fps c WHERE c.doc_id % 10 < 8 AND c.fp = n.fp)),
+       |exact_hit AS (SELECT n.doc_id FROM fps n WHERE ${batchPred("n.doc_id")} AND EXISTS (
+       |  SELECT 1 FROM fps c WHERE ${corpusPred("c.doc_id")} AND c.fp = n.fp)),
        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS cid
        |  FROM band a JOIN band b ON a.band_idx = b.band_idx AND a.bv = b.bv
-       |  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8),
+       |  WHERE ${batchPred("a.doc_id")} AND ${corpusPred("b.doc_id")}),
        |lsh_hit AS (SELECT DISTINCT c.nid AS doc_id FROM cand c
        |  JOIN sh sn ON sn.doc_id = c.nid JOIN sh sc ON sc.doc_id = c.cid
        |  WHERE CAST($inter AS DOUBLE) /
-       |        CAST(len(sn.sh) + len(sc.sh) - $inter AS DOUBLE) >= $threshold)
+       |        CAST(len(sn.sh) + len(sc.sh) - $inter AS DOUBLE) >= $threshold)""".stripMargin
+  }
+
+  private val dedupIncrementalSql: String =
+    s"""WITH ${dedupAgainstHitsCtes(c => s"$c % 10 >= 8", c => s"$c % 10 < 8")}
        |SELECT doc_id FROM documents WHERE doc_id % 10 >= 8
        |  AND doc_id NOT IN (SELECT doc_id FROM exact_hit)
        |  AND doc_id NOT IN (SELECT doc_id FROM lsh_hit)""".stripMargin
-  }
+
+  /** Mirrors [[qSplitDecontam]]: the [[sampleSplitSql]] SplitMix64
+    * bucket replay assigns splits, then the [[dedupAgainstHitsCtes]]
+    * chain runs with batch = train ∪ val and corpus = test; test rows
+    * always survive, non-test rows survive unless they took an exact
+    * or verified-jaccard hit against the held-out set. */
+  private val splitDecontamSql: String =
+    s"""WITH m0 AS MATERIALIZED (SELECT doc_id, CAST(doc_id AS HUGEINT) AS x FROM documents),
+       |${HashSql.mixCtes("m", "m0", "doc_id")},
+       |sd_split AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN (x // 2) % 100 < 80 THEN 'train'
+       |         WHEN (x // 2) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM m4),
+       |sd_b AS (SELECT doc_id FROM sd_split WHERE split <> 'test'),
+       |sd_t AS (SELECT doc_id FROM sd_split WHERE split = 'test'),
+       |${dedupAgainstHitsCtes(
+            c => s"$c IN (SELECT doc_id FROM sd_b)",
+            c => s"$c IN (SELECT doc_id FROM sd_t)")}
+       |SELECT s.doc_id, s.split FROM sd_split s
+       |WHERE s.split = 'test'
+       |   OR (s.doc_id NOT IN (SELECT doc_id FROM exact_hit)
+       |       AND s.doc_id NOT IN (SELECT doc_id FROM lsh_hit))""".stripMargin
 
   /** Mirrors [[qDedupBloom]]: the bloom filter is a pure prefilter
     * (no false negatives; false positives are confirmed away against
@@ -7224,6 +7387,7 @@ object ExtensionQueries {
     "q_pseudonymize" -> pseudonymizeSql,
     "q_cdc_compact" -> cdcCompactSql,
     "q_sample_split" -> sampleSplitSql,
+    "q_split_decontam" -> splitDecontamSql,
     "q_sample_cap" -> sampleCapSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_sample_mix" -> sampleMixSql,
@@ -7348,6 +7512,7 @@ object ExtensionQueries {
     "q_sim_batch_topk" -> simBatchTopkSql,
     "q_sim_index_ivf" -> simBatchTopkSql,
     "q_sim_index_append" -> simIndexAppendSql,
+    "q_sim_index_delete" -> simIndexDeleteSql,
     "q_sim_index_append_pq" -> simIndexAppendPqSql,
     "q_sim_margin_pairs" -> simMarginPairsSql,
     "q_sim_recall_audit" -> simRecallAuditSql,
@@ -7361,6 +7526,7 @@ object ExtensionQueries {
          |FROM read_csv_auto('$twinRoot/csvtwin/__SF_BASENAME__/documents.csv/*.csv', header = true)""".stripMargin,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_dedup_semantic" -> dedupSemanticSql,
+    "q_dedup_semantic_capped" -> dedupSemanticCappedSql,
     "q_dedup_incremental_sem" -> dedupIncrementalSemSql,
     "q_dedup_incremental_emb" -> dedupIncrementalEmbSql,
     "q_text_stats" ->

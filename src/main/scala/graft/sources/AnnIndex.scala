@@ -164,6 +164,65 @@ object AnnIndex {
     readIvf(spark, dir)
   }
 
+  /** Tombstone DELETE for any of the three index families — the
+    * right-to-be-forgotten path: publish the ids as one new segment
+    * of a `tombstones` table under the index dir (the
+    * [[appendSegment]] crash discipline — stage under an underscore
+    * dir, one atomic rename; O(deletion), the live index untouched
+    * until the rename and never rewritten). Readers ([[read]] /
+    * [[readIvf]] / [[readLsh]]) subtract the tombstone set with a
+    * left-anti join before anything sees the corpus table, so a
+    * query can never surface a deleted id; [[compact]] /
+    * [[compactIvf]] / [[compactLsh]] read THROUGH the filtered view
+    * and rewrite, so compaction physically drops the rows AND clears
+    * the tombstone table in the same atomic swap (the staging tree
+    * never carries tombstones).
+    *
+    * Contract (spec-pinned): a tombstone suppresses its id across
+    * ALL segments, including segments appended AFTER the delete —
+    * re-ingesting a previously-deleted id requires a compaction
+    * first. At 100 TB the tombstone table is deletion-sized (ids
+    * only) and AQE broadcasts it into the anti-join; the corpus-
+    * sized table is not touched until the next compaction. */
+  def deleteIds(
+      spark: SparkSession,
+      dir: String,
+      ids: DataFrame,
+      idCol: String): Unit =
+    appendSegment(spark, s"$dir/tombstones",
+      ids.select(col(idCol).cast("long").as("id")).distinct())
+
+  /** Subtract the index's tombstone set (if any) from its corpus
+    * table — the single filter every load path applies. */
+  private def minusTombstones(
+      spark: SparkSession, dir: String, table: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) table
+    else table.join(
+      spark.read.parquet(s"$dir/tombstones").select("id"),
+      Seq("id"), "left_anti")
+  }
+
+  /** [[compact]]'s LSH twin — also the tombstone GC for the LSH
+    * family. */
+  def compactLsh(spark: SparkSession, dir: String): LoadedLsh = {
+    val idx = readLsh(spark, dir)
+    val staging = dir + ".staging"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    import spark.implicits._
+    idx.planes.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("plane", "vec")
+      .write.mode("overwrite").parquet(s"$staging/planes")
+    idx.bucketed.write.mode("overwrite").parquet(s"$staging/bucketed/seg=0")
+    swapIn(fs, staging, dir)
+    readLsh(spark, dir)
+  }
+
   /** Write `rows` as the next `seg=N` of a segmented table: stage
     * under an underscore dir readers skip, then one atomic rename. */
   private def appendSegment(
@@ -221,7 +280,8 @@ object AnnIndex {
     // project away the seg partition column (and read pre-segment
     // flat layouts, which simply lack it)
     Loaded(cents, codebooks,
-      spark.read.parquet(s"$dir/coded").select("id", "cell", "code"))
+      minusTombstones(spark, dir,
+        spark.read.parquet(s"$dir/coded").select("id", "cell", "code")))
   }
 
   /** Batch ANN over a loaded index — delegates to the coded-input
@@ -308,7 +368,8 @@ object AnnIndex {
       .sortBy(_._1).map(_._2)
     require(cents.nonEmpty, s"AnnIndex: no centroids under $dir")
     LoadedIvf(cents,
-      spark.read.parquet(s"$dir/assigned").select("id", "cell", "vec"))
+      minusTombstones(spark, dir,
+        spark.read.parquet(s"$dir/assigned").select("id", "cell", "vec")))
   }
 
   /** Batch ANN over a loaded plain-IVF index — delegates to the
@@ -389,7 +450,8 @@ object AnnIndex {
       .sortBy(_._1).map(_._2)
     require(planes.nonEmpty, s"AnnIndex: no planes under $dir")
     LoadedLsh(planes,
-      spark.read.parquet(s"$dir/bucketed").select("id", "bucket", "vec"))
+      minusTombstones(spark, dir,
+        spark.read.parquet(s"$dir/bucketed").select("id", "bucket", "vec")))
   }
 
   /** Batch ANN over a loaded LSH index — delegates to the

@@ -280,4 +280,55 @@ class AnnIndexSpec extends SparkSpec {
       "batch must land as its own segment")
     assert(appended.bucketed.count() == all.count())
   }
+
+  test("tombstone delete: suppressed everywhere (later appends included), " +
+    "answers match a never-ingested corpus, compaction GCs and re-admits") {
+    val base = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val cents = Similarity.kmeansCentroidsDistributed(
+      base, "vec_id", "embedding", nlist = 4, iters = 1)
+    val deadIds = base.filter(col("vec_id") % 7 === 0)
+
+    val dirA = tmp("graft_annidx_del")
+    AnnIndex.buildAndWriteIvf(spark, dirA, base, "vec_id", "embedding", cents)
+    AnnIndex.deleteIds(spark, dirA, deadIds.select("vec_id"), "vec_id")
+    // tombstone lands as its own atomic segment; corpus table untouched
+    assert(new java.io.File(dirA + "/tombstones/seg=0").isDirectory)
+    val afterDel = AnnIndex.readIvf(spark, dirA)
+    val dead = deadIds.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dead.nonEmpty)
+    assert(afterDel.assigned.filter(col("id").isInCollection(dead)).count() == 0)
+
+    // query answers == an index over a corpus that never held the ids
+    val dirB = tmp("graft_annidx_delref")
+    val ref = AnnIndex.buildAndWriteIvf(spark, dirB,
+      base.filter(!(col("vec_id") % 7 === 0)), "vec_id", "embedding", cents)
+    assert(r3(AnnIndex.queryBatchIvf(afterDel, queries, "vec_id", "embedding", 5, 2)) ==
+      r3(AnnIndex.queryBatchIvf(ref, queries, "vec_id", "embedding", 5, 2)))
+
+    // the contract's sharp edge: a tombstone suppresses its id across
+    // ALL segments, including one appended AFTER the delete
+    AnnIndex.appendToIvf(spark, dirA, batch, "vec_id", "embedding")
+    val deadBatch = batch.filter(col("vec_id") % 7 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    AnnIndex.deleteIds(spark, dirA,
+      batch.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+    val twoSegs = AnnIndex.readIvf(spark, dirA)
+    assert(twoSegs.assigned
+      .filter(col("id").isInCollection(dead ++ deadBatch)).count() == 0)
+
+    // compaction physically drops tombstoned rows AND clears the
+    // tombstone table (the staging tree never carries it), so a
+    // previously-deleted id can be re-ingested afterwards
+    val compacted = AnnIndex.compactIvf(spark, dirA)
+    assert(!new java.io.File(dirA + "/tombstones").exists,
+      "compaction must GC the tombstone table")
+    assert(compacted.assigned.count() ==
+      base.count() + batch.count() - dead.size - deadBatch.size)
+    val reAdded = AnnIndex.appendToIvf(spark, dirA,
+      emb.filter(col("vec_id") === dead.min), "vec_id", "embedding")
+    assert(reAdded.assigned.filter(col("id") === dead.min).count() == 1,
+      "post-compaction re-ingest of a once-deleted id must be visible")
+  }
 }
