@@ -359,6 +359,35 @@ class PlanGuardSpec extends SparkSpec {
       "q_manifest_merge: kmv state merge lost its partial stage")
   }
 
+  test("leakage-guarded split generates candidates as a band-keyed equi join") {
+    // q_split_decontam's scale story: the train/val-vs-test probe is
+    // the banded dedupAgainst — candidates must come from an equi
+    // join on (band_idx, band_hash) and the exact gate from
+    // fingerprint-keyed anti-joins; anything else is an all-pairs
+    // pass over the corpus
+    val plan = planOf("q_split_decontam")
+    val keyLines = plan.linesIterator
+      .filter(_.matches(""".*(Left|Right) keys.*""")).toSeq
+    assert(keyLines.exists(l => l.contains("band_idx") && l.contains("band_hash")),
+      s"q_split_decontam: no band-keyed candidate join: $keyLines")
+    assert(keyLines.exists(_.contains("__fp")),
+      s"q_split_decontam: no fingerprint-keyed exact gate: $keyLines")
+  }
+
+  test("tombstoned index read subtracts deletes as an id-keyed ANTI join; probe stays cell-keyed") {
+    // the delete path's contract: the tombstone set (deletion-sized)
+    // enters as a hash-family LeftAnti join on id — never a rewrite,
+    // never a filter pushed into a corpus-wide recompute — and the
+    // query-side candidate join keeps its cell key
+    val plan = planOf("q_sim_index_delete")
+    assert(plan.contains("LeftAnti"),
+      s"q_sim_index_delete: no anti-join subtracting tombstones\n$plan")
+    val keyLines = plan.linesIterator
+      .filter(_.matches(""".*(Left|Right) keys.*""")).toSeq
+    assert(keyLines.exists(_.contains("cell")),
+      s"q_sim_index_delete: probe join lost its cell key: $keyLines")
+  }
+
   test("rate samplers stay zero-shuffle projections") {
     // weightedSample's keep decision is per-row arithmetic; ANY
     // Exchange in the plan means the sampler started shuffling the
