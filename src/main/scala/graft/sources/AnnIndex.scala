@@ -193,13 +193,25 @@ object AnnIndex {
       ids.select(col(idCol).cast("long").as("id")).distinct())
 
   /** Subtract the index's tombstone set (if any) from its corpus
-    * table — the single filter every load path applies. */
+    * table — the single filter every load path applies.
+    *
+    * The table counts as PRESENT only when a published `seg=N` child
+    * exists: a crashed (or in-flight concurrent) FIRST [[deleteIds]]
+    * can leave the tombstones dir holding only `_append.staging`
+    * ([[appendSegment]] creates the table dir before the publishing
+    * rename), and parquet readers skip underscore paths — a bare
+    * `fs.exists` gate would then hand spark.read an empty listing and
+    * every load of the index would throw until manual cleanup,
+    * violating the "a crash leaves the live index unchanged"
+    * contract. An unpublished staging dir means no delete happened. */
   private def minusTombstones(
       spark: SparkSession, dir: String, table: DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) table
+    val published = fs.exists(p) &&
+      fs.listStatus(p).exists(st => SegDir.matches(st.getPath.getName))
+    if (!published) table
     else table.join(
       spark.read.parquet(s"$dir/tombstones").select("id"),
       Seq("id"), "left_anti")

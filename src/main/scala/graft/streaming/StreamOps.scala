@@ -147,7 +147,7 @@ object StreamOps {
     val idx = graft.operators.Dedup
       .corpusIndex(corpus, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    docs.writeStream
+    val query = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         sink(graft.operators.Dedup.dedupAgainst(
@@ -155,6 +155,8 @@ object StreamOps {
           jaccardThreshold = jaccardThreshold, index = Some(idx)))
       }
       .start()
+    unpersistOnTermination(docs.sparkSession, query, idx)
+    query
   }
 
   /** Continuous EMBEDDING-modality incremental dedup — the streaming
@@ -185,7 +187,7 @@ object StreamOps {
       case None =>
         graft.operators.Dedup.embeddingCorpusIndex(corpus, idCol, vecCol)
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    vecs.writeStream
+    val query = vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         sink(centroids match {
@@ -198,6 +200,8 @@ object StreamOps {
         })
       }
       .start()
+    unpersistOnTermination(vecs.sparkSession, query, idx)
+    query
   }
 
   /** Continuous Count-Min frequency sketching — the streaming form of
@@ -312,7 +316,7 @@ object StreamOps {
     val evalSh = graft.operators.Dedup
       .evalShingleSet(evalDf, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    docs.writeStream
+    val query = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val b = batch.toDF()
@@ -321,6 +325,8 @@ object StreamOps {
         sink(b.join(hits, b(idCol) === hits("doc_id"), "left_anti"))
       }
       .start()
+    unpersistOnTermination(docs.sparkSession, query, evalSh)
+    query
   }
 
   /** Stream-side serving of a BATCH-trained distilled quality model —
@@ -339,7 +345,11 @@ object StreamOps {
     * (StreamingSpec's parity case gates it). No state store, no
     * watermark. Weights are fixed at query start — retrain
     * (warm-start [[graft.operators.Classifier.trainLogisticFx]]) and
-    * restart to roll the model; the checkpoint makes that safe. */
+    * restart to roll the model; the checkpoint makes that safe: the
+    * cached weight table unpersists itself when the query terminates
+    * (a QueryTerminated listener keyed to this query's id), so the
+    * retrain-and-restart cadence never accumulates stale cached
+    * weight tables across restarts. */
   def scoreStream(
       docs: DataFrame,
       weights: DataFrame,
@@ -351,7 +361,7 @@ object StreamOps {
       scaleBits: Int = 20)(
       sink: DataFrame => Unit): StreamingQuery = {
     val w = weights.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    docs.writeStream
+    val query = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val b = batch.toDF()
@@ -361,6 +371,34 @@ object StreamOps {
           w, scaleBits))
       }
       .start()
+    unpersistOnTermination(docs.sparkSession, query, w)
+    query
+  }
+
+  /** Release a DataFrame cached for the lifetime of one streaming
+    * query: unpersist when THAT query terminates (listener removes
+    * itself after firing). unpersist is idempotent, so the benign
+    * race — a query that dies before the listener registers — costs
+    * nothing beyond the cache living until session end, exactly the
+    * pre-listener behavior. */
+  private def unpersistOnTermination(
+      spark: org.apache.spark.sql.SparkSession,
+      query: StreamingQuery,
+      cached: DataFrame): Unit = {
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          cached.unpersist()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    if (!query.isActive) cached.unpersist()
   }
 
   /** Stateful sessionization via flatMapGroupsWithState: 30-minute

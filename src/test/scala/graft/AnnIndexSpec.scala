@@ -331,4 +331,92 @@ class AnnIndexSpec extends SparkSpec {
     assert(reAdded.assigned.filter(col("id") === dead.min).count() == 1,
       "post-compaction re-ingest of a once-deleted id must be visible")
   }
+
+  test("LSH tombstone delete: suppressed across later appends, " +
+    "compactLsh GCs the tombstones and preserves answers") {
+    val base = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val deadIds = base.filter(col("vec_id") % 7 === 0)
+    val dead = deadIds.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dead.nonEmpty)
+
+    val dirA = tmp("graft_annidx_lshdel")
+    AnnIndex.buildAndWriteLsh(spark, dirA, base, "vec_id", "embedding", numPlanes = 8)
+    AnnIndex.deleteIds(spark, dirA, deadIds.select("vec_id"), "vec_id")
+    assert(new java.io.File(dirA + "/tombstones/seg=0").isDirectory)
+    val afterDel = AnnIndex.readLsh(spark, dirA)
+    assert(afterDel.bucketed.filter(col("id").isInCollection(dead)).count() == 0)
+
+    // answers == an index whose corpus never held the ids (planes are
+    // seed-deterministic, so the models coincide)
+    val dirB = tmp("graft_annidx_lshdelref")
+    val ref = AnnIndex.buildAndWriteLsh(spark, dirB,
+      base.filter(!(col("vec_id") % 7 === 0)), "vec_id", "embedding", numPlanes = 8)
+    assert(r3(AnnIndex.queryBatchLsh(afterDel, queries, "vec_id", "embedding", 5, 2)) ==
+      r3(AnnIndex.queryBatchLsh(ref, queries, "vec_id", "embedding", 5, 2)))
+
+    // suppression spans a segment appended AFTER the delete
+    AnnIndex.appendToLsh(spark, dirA, batch, "vec_id", "embedding")
+    val deadBatch = batch.filter(col("vec_id") % 7 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    AnnIndex.deleteIds(spark, dirA,
+      batch.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+    val twoSegs = AnnIndex.readLsh(spark, dirA)
+    assert(twoSegs.bucketed
+      .filter(col("id").isInCollection(dead ++ deadBatch)).count() == 0)
+    // materialize the pre-compaction answer NOW: handles die with the
+    // compaction swap (stale file listing — the documented contract)
+    val preCompact = r3(AnnIndex.queryBatchLsh(
+      twoSegs, queries, "vec_id", "embedding", 5, 2))
+
+    // compactLsh: staging carries plane column order + bucketed seg
+    // layout; tombstoned rows physically dropped, tombstone table GC'd
+    val compacted = AnnIndex.compactLsh(spark, dirA)
+    assert(!new java.io.File(dirA + "/tombstones").exists,
+      "compactLsh must GC the tombstone table")
+    assert(new java.io.File(dirA + "/bucketed/seg=0").isDirectory)
+    assert(!new java.io.File(dirA + "/bucketed/seg=1").exists,
+      "compaction must fold segments into one")
+    assert(compacted.planes.length == 8)
+    assert(compacted.bucketed.count() ==
+      base.count() + batch.count() - dead.size - deadBatch.size)
+    assert(r3(AnnIndex.queryBatchLsh(compacted, queries, "vec_id", "embedding", 5, 2)) ==
+      preCompact, "answers must be identical before and after compaction")
+  }
+
+  test("a crashed FIRST deleteIds (unpublished tombstone staging) " +
+    "leaves the live index fully readable") {
+    val base = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val cents = Similarity.kmeansCentroidsDistributed(
+      base, "vec_id", "embedding", nlist = 4, iters = 1)
+    val dir = tmp("graft_annidx_delcrash")
+    AnnIndex.buildAndWriteIvf(spark, dir, base, "vec_id", "embedding", cents)
+    val good = r3(AnnIndex.queryBatchIvf(AnnIndex.readIvf(spark, dir),
+      queries, "vec_id", "embedding", 5, 2))
+
+    // simulate the crash: the tombstones table dir exists but holds
+    // ONLY the underscore staging (appendSegment creates the dir, the
+    // publishing rename never ran) — Spark readers skip underscore
+    // paths, so a bare fs.exists gate would throw 'Unable to infer
+    // schema' on every subsequent read of the index
+    val stg = new java.io.File(dir + "/tombstones/_append.staging")
+    assert(stg.mkdirs())
+    java.nio.file.Files.write(
+      stg.toPath.resolve("part-00000.parquet"), Array[Byte]())
+
+    val loaded = AnnIndex.readIvf(spark, dir) // must not throw
+    assert(loaded.assigned.count() == base.count(),
+      "an unpublished delete must suppress nothing")
+    assert(r3(AnnIndex.queryBatchIvf(loaded, queries, "vec_id", "embedding", 5, 2))
+      == good)
+
+    // and the next deleteIds sweeps the stale staging and publishes
+    AnnIndex.deleteIds(spark, dir,
+      base.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+    assert(new java.io.File(dir + "/tombstones/seg=0").isDirectory)
+    assert(AnnIndex.readIvf(spark, dir).assigned
+      .filter(col("id") % 7 === 0).count() == 0)
+  }
 }
