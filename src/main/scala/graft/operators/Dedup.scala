@@ -1355,6 +1355,28 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("line_df"))
       .select(col("__lh").as("line_hash"), col("line_df"))
 
+  /** The FORGETTABLE granularity of the line index: one row per
+    * distinct (document, line hash) pair — the per-document
+    * provenance [[lineIndex]]'s aggregated (line_hash, line_df) form
+    * throws away. A persisted index that must honor
+    * right-to-be-forgotten deletes ([[graft.sources.DedupIndexStore]])
+    * stores THIS shape: subtracting a document is an id anti-join,
+    * and the df aggregate is recovered exactly at read time
+    * (`count(*)` per hash ≡ `countDistinct(id)` when every document
+    * appears in exactly one stored segment — the same append-only
+    * ingest contract [[lineIndexMerge]] already requires). The
+    * provenance rows are the price of exact deletion: O(lines) ids
+    * instead of O(distinct lines) counters — still hash-keyed 16-byte
+    * rows, never line text. */
+  def lineProvenance(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n"): DataFrame =
+    explodeLines(df, idCol, textCol, delim)
+      .select(col(idCol).cast("long").as("id"), col("__lh").as("line_hash"))
+      .distinct()
+
   /** Union per-batch [[lineIndex]] tables into one corpus index —
     * document-frequency ADDITION per line hash, which equals the
     * whole-corpus [[lineIndex]] exactly when every document appears

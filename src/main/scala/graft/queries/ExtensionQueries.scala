@@ -1478,6 +1478,84 @@ object ExtensionQueries {
       .select("doc_id", "clean_text", "n_kept")
   }
 
+  /** Corpus-wide RIGHT-TO-BE-FORGOTTEN
+    * ([[graft.sources.DedupIndexStore]] +
+    * [[graft.operators.Profile.manifestStatesRebuild]]) — the
+    * AnnIndex tombstone contract generalized to every standing
+    * artifact a deleted document lives in, gated by ONE oracle
+    * proving post-delete answers ≡ a never-ingested corpus. The
+    * chain: the %10<8 corpus ingests as TWO segments (%10<4, then
+    * 4..7 — an append, so suppression must span segments) into both a
+    * persisted MinHash corpus index and a persisted line-provenance
+    * index; the corpus docs with doc_id%7==3 are tombstoned
+    * (O(deletion) — the corpus tables are not rewritten); then three
+    * post-delete answers publish under one (part, k, v) schema:
+    *
+    *   - `dedup`: the %10>=8 batch probed through the post-delete
+    *     persisted index ([[Dedup.dedupAgainst]]) — survivor ids.
+    *     The FULL corpus (deleted docs included) is passed as the
+    *     text side deliberately: a leaked tombstoned id would find
+    *     its text and wrongly drop a batch row, so the leak canary is
+    *     armed in both stages. Binding at sf0.01: one batch doc's
+    *     only near-dup matches are deleted docs, so it survives here
+    *     and not in q_dedup_incremental.
+    *   - `line`: the df-histogram of the post-delete line index
+    *     (df → n_lines) over the multi-line fixture — deleting 10%+
+    *     of the corpus cools hot lines below the boilerplate cut.
+    *   - `manifest`: counters/sketches CANNOT subtract
+    *     ([[graft.operators.SketchCannotSubtract]] — spec-pinned
+    *     refusal), so this leg runs the documented
+    *     rebuild-from-retained path: per-segment states rebuilt minus
+    *     the tombstone set, merged — per-source
+    *     n_docs:total_tokens:uniq_est:dup_permille.
+    *
+    * The oracle computes all three parts from a corpus that NEVER
+    * ingested the deleted docs — hash-green means delete ≡ never
+    * ingested across dedup, line, and manifest surfaces at once. */
+  private val qForget: Q = (s, dir) => {
+    import graft.sources.DedupIndexStore
+    val docs = pq(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+    val lineDocs = docs.select(col("doc_id"), col("source"),
+      replace(col("text"), lit(" a "), lit("\n")).as("text"))
+    val sfName = new java.io.File(dir).getName
+    val mhDir = s"$twinRoot/forget_minhash/$sfName"
+    val lnDir = s"$twinRoot/forget_lines/$sfName"
+
+    val segA = col("doc_id") % 10 < 4
+    DedupIndexStore.buildMinhash(s, mhDir, corpus.filter(segA), "doc_id", "text")
+    DedupIndexStore.appendMinhash(s, mhDir, corpus.filter(!segA), "doc_id", "text")
+    DedupIndexStore.buildLines(s, lnDir,
+      lineDocs.filter(segA && col("doc_id") % 10 < 8), "doc_id", "text")
+    DedupIndexStore.appendLines(s, lnDir,
+      lineDocs.filter(!segA && col("doc_id") % 10 < 8), "doc_id", "text")
+
+    val dead = corpus.filter(col("doc_id") % 7 === 3).select("doc_id")
+    DedupIndexStore.deleteIds(s, mhDir, dead, "doc_id")
+    DedupIndexStore.deleteIds(s, lnDir, dead, "doc_id")
+
+    val dedupPart = Dedup.dedupAgainst(batch, corpus, "doc_id", "text",
+        index = Some(DedupIndexStore.readMinhash(s, mhDir)))
+      .select(lit("dedup").as("part"),
+        col("doc_id").cast("string").as("k"), lit("survivor").as("v"))
+    val linePart = DedupIndexStore.readLines(s, lnDir)
+      .groupBy(col("line_df")).agg(count(lit(1)).as("n_lines"))
+      .select(lit("line").as("part"),
+        col("line_df").cast("string").as("k"),
+        col("n_lines").cast("string").as("v"))
+    val states = graft.operators.Profile.manifestStatesRebuild(
+        docs.filter(segA), "doc_id", dead, "source", "text")
+      .unionByName(graft.operators.Profile.manifestStatesRebuild(
+        docs.filter(!segA && col("doc_id") % 10 < 8), "doc_id", dead,
+        "source", "text"))
+    val manifestPart = graft.operators.Profile.manifestMerge(states)
+      .select(lit("manifest").as("part"), col("source").as("k"),
+        concat_ws(":", col("n_docs"), col("total_tokens"),
+          col("uniq_est"), col("dup_est_permille")).as("v"))
+    dedupPart.unionByName(linePart).unionByName(manifestPart)
+  }
+
   /** Whole-document next-fit packing into 256-token bins, 8 shard
     * groups ([[graft.operators.Packing.packBins]] — documents never
     * straddle a bin; the padding-aware loader shape). The oracle
@@ -3046,6 +3124,7 @@ object ExtensionQueries {
     "q_dedup_keep_one" -> qDedupKeepOne,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_bloom" -> qDedupBloom,
+    "q_forget" -> qForget,
     "q_span_dupes" -> qSpanDupes,
     "q_quality_gate" -> qQualityGate,
     "q_snapshot_diff" -> qSnapshotDiff,
@@ -6810,21 +6889,22 @@ object ExtensionQueries {
        |FROM enc_t""".stripMargin
   }
 
-  /** Mirrors [[qManifestMerge]] from the FULL corpus (never from the
-    * halves): per-source counters + the [[profileKmvSql]] k=16 sketch
-    * replay — KMV's exact closure means the Spark side's merged batch
-    * states must land on the same numbers. */
-  private val manifestMergeSql: String =
-    s"""WITH mm_cnt AS (SELECT source,
+  /** The [[qManifestMerge]] replay as a composable CTE chain ending
+    * in `mm_cnt` (per-source counters) and `mm_e` (the k=16 KMV
+    * distinct estimate) over `from` — parameterized so the forget
+    * oracle can re-root the identical flag-for-flag replay on the
+    * RETAINED corpus. */
+  private def manifestMergeCtes(from: String): String =
+    s"""mm_cnt AS (SELECT source,
        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
        |    CAST(SUM($nTokensSql) AS BIGINT) AS total_tokens,
        |    SUM(CAST($alphaRatioSql * 0.4 + $stopRatioSql * 0.3
        |      + least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.2
        |      + (1.0 - $punctRatioSql) * 0.1 AS DECIMAL(18,9))) AS q_sum
-       |  FROM documents GROUP BY source),
+       |  FROM $from GROUP BY source),
        |mm_c0 AS (SELECT doc_id, source,
        |    trim(regexp_replace(lower(text), '$ws+', ' ', 'g')) AS ctext
-       |  FROM documents),
+       |  FROM $from),
        |mm_f0 AS (SELECT doc_id, source, ${HashSql.textFnvU("ctext")} AS x
        |  FROM mm_c0),
        |${HashSql.mixCtes("mm_f", "mm_f0", "doc_id, source")},
@@ -6838,11 +6918,56 @@ object ExtensionQueries {
        |    CAST(CASE WHEN kth_u IS NULL THEN n_kept
        |         ELSE (CAST('${(BigInt(15) << 64).toString}' AS HUGEINT) // kth_u)
        |         END AS BIGINT) AS uniq_est
-       |  FROM mm_sk)
+       |  FROM mm_sk)""".stripMargin
+
+  /** Mirrors [[qManifestMerge]] from the FULL corpus (never from the
+    * halves): per-source counters + the [[profileKmvSql]] k=16 sketch
+    * replay — KMV's exact closure means the Spark side's merged batch
+    * states must land on the same numbers. */
+  private val manifestMergeSql: String =
+    s"""WITH ${manifestMergeCtes("documents")}
        |SELECT c.source, n_docs, total_tokens, uniq_est,
        |  CAST(greatest(n_docs - uniq_est, 0) * 1000 // n_docs AS BIGINT)
        |    AS dup_est_permille,
        |  CAST(q_sum AS DOUBLE) / n_docs AS mean_quality
+       |FROM mm_cnt c JOIN mm_e e ON e.source = c.source""".stripMargin
+
+  /** Mirrors [[qForget]] from a corpus that NEVER ingested the
+    * deleted docs: the [[dedupAgainstHitsCtes]] chain with
+    * corpusPred = retained (%10<8 AND %7<>3), the line-df histogram
+    * over retained multi-line payloads ([[dedupLinesSql]]'s
+    * split/trim idioms), and the [[manifestMergeCtes]] replay
+    * re-rooted on the retained corpus — three parts under one
+    * (part, k, v) schema, so hash-green IS "delete ≡ never
+    * ingested" across all three standing surfaces. */
+  private val forgetSql: String =
+    s"""WITH ${dedupAgainstHitsCtes(
+              c => s"$c % 10 >= 8",
+              c => s"($c % 10 < 8 AND $c % 7 <> 3)")},
+       |fg_src AS (SELECT doc_id, replace(text, ' a ', chr(10)) AS t
+       |  FROM documents WHERE doc_id % 10 < 8 AND doc_id % 7 <> 3),
+       |fg_lines AS (SELECT doc_id,
+       |    trim(unnest(string_split(t, chr(10)))) AS line FROM fg_src),
+       |fg_ne AS (SELECT DISTINCT doc_id, line FROM fg_lines WHERE line <> ''),
+       |fg_df AS (SELECT line, CAST(count(*) AS BIGINT) AS line_df
+       |  FROM fg_ne GROUP BY line),
+       |fg_hist AS (SELECT line_df, CAST(count(*) AS BIGINT) AS n_lines
+       |  FROM fg_df GROUP BY line_df),
+       |${manifestMergeCtes(
+              "(SELECT * FROM documents WHERE doc_id % 10 < 8 AND doc_id % 7 <> 3)")}
+       |SELECT 'dedup' AS part, CAST(doc_id AS VARCHAR) AS k, 'survivor' AS v
+       |FROM documents WHERE doc_id % 10 >= 8
+       |  AND doc_id NOT IN (SELECT doc_id FROM exact_hit)
+       |  AND doc_id NOT IN (SELECT doc_id FROM lsh_hit)
+       |UNION ALL
+       |SELECT 'line', CAST(line_df AS VARCHAR), CAST(n_lines AS VARCHAR)
+       |FROM fg_hist
+       |UNION ALL
+       |SELECT 'manifest', c.source,
+       |  CAST(n_docs AS VARCHAR) || ':' || CAST(total_tokens AS VARCHAR)
+       |    || ':' || CAST(uniq_est AS VARCHAR) || ':' ||
+       |    CAST(CAST(greatest(n_docs - uniq_est, 0) * 1000 // n_docs AS BIGINT)
+       |         AS VARCHAR)
        |FROM mm_cnt c JOIN mm_e e ON e.source = c.source""".stripMargin
 
   /** Mirrors [[qCurriculum]]: the shared quality expression, ntile
@@ -7372,6 +7497,7 @@ object ExtensionQueries {
     "q_dedup_editdist" -> dedupEditdistSql,
     "q_dedup_keep_one" -> dedupKeepOneSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_forget" -> forgetSql,
     "q_dedup_bloom" -> dedupBloomSql,
     "q_dedup_cdc" -> dedupCdcSql,
     "q_dedup_cdc_incremental" -> dedupCdcIncrementalSql,

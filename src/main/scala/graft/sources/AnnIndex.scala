@@ -79,9 +79,7 @@ object AnnIndex {
     val coded = Similarity.encodeForIndex(corpus, idCol, vecCol, centroids, codebooks)
 
     val staging = dir + ".staging"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    Segments.clearStaging(spark, dir)
     import spark.implicits._
     centroids.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
@@ -92,7 +90,7 @@ object AnnIndex {
     }.toSeq.toDF("subspace", "code", "vec")
       .write.mode("overwrite").parquet(s"$staging/codebooks")
     coded.write.mode("overwrite").parquet(s"$staging/coded/seg=0")
-    swapIn(fs, staging, dir)
+    Segments.swapIn(spark, staging, dir)
     read(spark, dir)
   }
 
@@ -128,9 +126,7 @@ object AnnIndex {
   def compact(spark: SparkSession, dir: String): Loaded = {
     val idx = read(spark, dir)
     val staging = dir + ".staging"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    Segments.clearStaging(spark, dir)
     import spark.implicits._
     idx.centroids.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
@@ -143,7 +139,7 @@ object AnnIndex {
     // the staging write scans the CURRENT coded files (still in place
     // — the swap only renames after this action completes)
     idx.coded.write.mode("overwrite").parquet(s"$staging/coded/seg=0")
-    swapIn(fs, staging, dir)
+    Segments.swapIn(spark, staging, dir)
     read(spark, dir)
   }
 
@@ -151,16 +147,14 @@ object AnnIndex {
   def compactIvf(spark: SparkSession, dir: String): LoadedIvf = {
     val idx = readIvf(spark, dir)
     val staging = dir + ".staging"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    Segments.clearStaging(spark, dir)
     import spark.implicits._
     idx.centroids.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "vec")
       .write.mode("overwrite").parquet(s"$staging/centroids")
     idx.assigned.write.mode("overwrite").parquet(s"$staging/assigned/seg=0")
-    swapIn(fs, staging, dir)
+    Segments.swapIn(spark, staging, dir)
     readIvf(spark, dir)
   }
 
@@ -189,93 +183,38 @@ object AnnIndex {
       dir: String,
       ids: DataFrame,
       idCol: String): Unit =
-    appendSegment(spark, s"$dir/tombstones",
-      ids.select(col(idCol).cast("long").as("id")).distinct())
+    Segments.deleteIds(spark, dir, ids, idCol)
 
   /** Subtract the index's tombstone set (if any) from its corpus
-    * table — the single filter every load path applies.
-    *
-    * The table counts as PRESENT only when a published `seg=N` child
-    * exists: a crashed (or in-flight concurrent) FIRST [[deleteIds]]
-    * can leave the tombstones dir holding only `_append.staging`
-    * ([[appendSegment]] creates the table dir before the publishing
-    * rename), and parquet readers skip underscore paths — a bare
-    * `fs.exists` gate would then hand spark.read an empty listing and
-    * every load of the index would throw until manual cleanup,
-    * violating the "a crash leaves the live index unchanged"
-    * contract. An unpublished staging dir means no delete happened. */
+    * table — [[Segments.minusTombstones]], the single filter every
+    * load path applies (tombstones count as present only once a
+    * published seg exists; see Segments for the crash rationale). */
   private def minusTombstones(
-      spark: SparkSession, dir: String, table: DataFrame): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val published = fs.exists(p) &&
-      fs.listStatus(p).exists(st => SegDir.matches(st.getPath.getName))
-    if (!published) table
-    else table.join(
-      spark.read.parquet(s"$dir/tombstones").select("id"),
-      Seq("id"), "left_anti")
-  }
+      spark: SparkSession, dir: String, table: DataFrame): DataFrame =
+    Segments.minusTombstones(spark, dir, table)
 
   /** [[compact]]'s LSH twin — also the tombstone GC for the LSH
     * family. */
   def compactLsh(spark: SparkSession, dir: String): LoadedLsh = {
     val idx = readLsh(spark, dir)
     val staging = dir + ".staging"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    Segments.clearStaging(spark, dir)
     import spark.implicits._
     idx.planes.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("plane", "vec")
       .write.mode("overwrite").parquet(s"$staging/planes")
     idx.bucketed.write.mode("overwrite").parquet(s"$staging/bucketed/seg=0")
-    swapIn(fs, staging, dir)
+    Segments.swapIn(spark, staging, dir)
     readLsh(spark, dir)
   }
 
-  /** Write `rows` as the next `seg=N` of a segmented table: stage
-    * under an underscore dir readers skip, then one atomic rename. */
+  /** Write `rows` as the next `seg=N` of a segmented table —
+    * [[Segments.appendSegment]] (stage under an underscore dir
+    * readers skip, one atomic publishing rename). */
   private def appendSegment(
-      spark: SparkSession, table: String, rows: DataFrame): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(table), spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(s"$table/_append.staging")
-    fs.delete(staging, true) // sweep a stale crashed append
-    rows.write.mode("overwrite").parquet(staging.toString)
-    val next = fs.listStatus(new org.apache.hadoop.fs.Path(table))
-      .map(_.getPath.getName).collect { case SegDir(n) => n.toInt }
-      .foldLeft(-1)(math.max) + 1
-    val seg = new org.apache.hadoop.fs.Path(s"$table/seg=$next")
-    require(fs.rename(staging, seg),
-      s"AnnIndex: could not publish segment $seg — live index unchanged")
-  }
-
-  private val SegDir = "seg=(\\d+)".r
-
-  /** Swap `<dir>.staging` into place. Order preserves the previous
-    * good index at every step: the old target moves ASIDE (never
-    * deleted before the new one is in place), staging renames in,
-    * then the aside copy goes. A crash mid-swap leaves either the
-    * old index at <dir> (step 1 not reached), or a complete index at
-    * <dir>.old + the built one at <dir>.staging (between renames) —
-    * never zero copies. NB: directory rename is atomic on HDFS/POSIX
-    * but a COPY on object stores; run rebuilds against a new dir
-    * there and repoint. */
-  private def swapIn(
-      fs: org.apache.hadoop.fs.FileSystem, staging: String, dir: String): Unit = {
-    val target = new org.apache.hadoop.fs.Path(dir)
-    val aside = new org.apache.hadoop.fs.Path(dir + ".old")
-    fs.delete(aside, true)
-    val hadPrevious = fs.exists(target)
-    if (hadPrevious) require(fs.rename(target, aside),
-      s"AnnIndex: could not move previous index aside for $dir")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), target),
-      s"AnnIndex: staging swap failed for $dir" +
-        (if (hadPrevious) s" — previous index preserved at $dir.old" else ""))
-    if (hadPrevious) fs.delete(aside, true)
-  }
+      spark: SparkSession, table: String, rows: DataFrame): Unit =
+    Segments.appendSegment(spark, table, rows)
 
   /** Load an index directory: model tables collect to driver arrays
     * (bounded — nlist and m·ksub rows), the coded table stays a
@@ -341,16 +280,14 @@ object AnnIndex {
       Similarity.assignCellUdf(centroids)(col(vecCol)).as("cell"),
       col(vecCol).as("vec"))
     val staging = dir + ".staging"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    Segments.clearStaging(spark, dir)
     import spark.implicits._
     centroids.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "vec")
       .write.mode("overwrite").parquet(s"$staging/centroids")
     assigned.write.mode("overwrite").parquet(s"$staging/assigned/seg=0")
-    swapIn(fs, staging, dir)
+    Segments.swapIn(spark, staging, dir)
     readIvf(spark, dir)
   }
 
@@ -424,16 +361,14 @@ object AnnIndex {
       graft.functions.SimilarityFunctions.lshBucket(col(vecCol), planes).as("bucket"),
       col(vecCol).as("vec"))
     val staging = dir + ".staging"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    Segments.clearStaging(spark, dir)
     import spark.implicits._
     planes.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("plane", "vec")
       .write.mode("overwrite").parquet(s"$staging/planes")
     bucketed.write.mode("overwrite").parquet(s"$staging/bucketed/seg=0")
-    swapIn(fs, staging, dir)
+    Segments.swapIn(spark, staging, dir)
     readLsh(spark, dir)
   }
 

@@ -1,0 +1,221 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Persisted standing indexes for INCREMENTAL dedup, with the full
+  * [[Segments]] tombstone right-to-be-forgotten discipline the ANN
+  * index already carries ([[AnnIndex.deleteIds]]) — closing the gap
+  * where a GDPR delete removed a document from the vector index but
+  * left its fingerprints in the text-dedup world. Two families, each
+  * under its own directory:
+  *
+  * MinHash corpus index (`buildMinhash` / `appendMinhash` /
+  * `readMinhash` / `compactMinhash`):
+  *   - `params`        (shingle_n INT, num_hashes INT, bands INT) —
+  *     one row, the frozen "model": an append or probe under different
+  *     banding would silently never collide, so the parameters persist
+  *     with the index and appends re-read them instead of trusting the
+  *     caller.
+  *   - `bands/seg=N`   ([[graft.operators.Dedup.corpusIndex]] rows:
+  *     id, fp, band_idx, band_hash) — the corpus-sized table,
+  *     doc-keyed, so deletion is an id anti-join.
+  *   - `tombstones/seg=N` (id) — deletion-sized.
+  *
+  * Line document-frequency index (`buildLines` / `appendLines` /
+  * `readLines` / `compactLines`):
+  *   - `params`        (delim STRING) — one row.
+  *   - `lines/seg=N`   ([[graft.operators.Dedup.lineProvenance]]
+  *     rows: id, line_hash — one row per distinct (document, line)).
+  *     The aggregated (line_hash, line_df) view the probe operators
+  *     consume is recovered at read time AFTER the tombstone
+  *     anti-join; storing the aggregate instead would make per-
+  *     document subtraction impossible (counters cannot subtract —
+  *     the same reason the KMV/CMS sketches refuse
+  *     [[graft.operators.Profile.kmvForget]] and rebuild instead).
+  *   - `tombstones/seg=N` (id).
+  *
+  * Contract (DedupIndexStoreSpec pins it, generalizing the
+  * AnnIndexSpec four-phase tombstone contract): a tombstone
+  * suppresses its document across ALL segments including segments
+  * appended AFTER the delete; post-delete reads answer exactly what a
+  * never-ingested corpus would answer; compaction physically drops
+  * the rows AND clears the tombstone table in one atomic swap (the
+  * staging tree never carries tombstones); re-ingesting a previously
+  * deleted id requires that compaction first.
+  *
+  * Scale posture: builds are one corpus scan (signature projection,
+  * no join) + one write; appends cost O(batch); deletes cost
+  * O(deletion); reads are partition-discovered parquet scans with a
+  * broadcast-sized tombstone anti-join; only compaction rewrites the
+  * corpus-sized table. At 100 TB write `bands` bucketed by
+  * (band_idx, band_hash) and `lines` by line_hash (TableIO
+  * .writeBucketed) to make the daily probe join shuffle-free on the
+  * corpus side — the segment/tombstone discipline is unchanged.
+  */
+object DedupIndexStore {
+
+  // ------------------------------------------------------- minhash
+
+  /** Build and persist the MinHash corpus index (staged swap — a
+    * crash never leaves a half-index). Returns the loaded view. */
+  def buildMinhash(
+      spark: SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val staging = dir + ".staging"
+    Segments.clearStaging(spark, dir)
+    import spark.implicits._
+    Seq((shingleN, numHashes, bands))
+      .toDF("shingle_n", "num_hashes", "bands")
+      .write.mode("overwrite").parquet(s"$staging/params")
+    Dedup.corpusIndex(corpus, idCol, textCol, shingleN, numHashes, bands)
+      .withColumn("id", col("id").cast("long"))
+      .write.mode("overwrite").parquet(s"$staging/bands/seg=0")
+    Segments.swapIn(spark, staging, dir)
+    readMinhash(spark, dir)
+  }
+
+  /** The frozen banding parameters a minhash index was built with. */
+  def minhashParams(spark: SparkSession, dir: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$dir/params")
+      .select("shingle_n", "num_hashes", "bands").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Append a new batch's index rows as one segment, signatured under
+    * the index's FROZEN params (re-read from disk — an append can
+    * never band against a drifted model). O(batch). */
+  def appendMinhash(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val (shingleN, numHashes, bands) = minhashParams(spark, dir)
+    Segments.appendSegment(spark, s"$dir/bands",
+      Dedup.corpusIndex(batch, idCol, textCol, shingleN, numHashes, bands)
+        .withColumn("id", col("id").cast("long")))
+    readMinhash(spark, dir)
+  }
+
+  /** Load the minhash index: union of published segments minus the
+    * tombstone set — the exact [[graft.operators.Dedup.corpusIndex]]
+    * shape [[graft.operators.Dedup.dedupAgainst]]'s `index` parameter
+    * takes, so a query can never surface a deleted document's
+    * fingerprint OR band bucket. */
+  def readMinhash(spark: SparkSession, dir: String): DataFrame =
+    Segments.minusTombstones(spark, dir,
+      spark.read.parquet(s"$dir/bands")
+        .select("id", "fp", "band_idx", "band_hash"))
+
+  /** Compact back to one segment, reading THROUGH the tombstone
+    * filter — physical drop + tombstone GC in one atomic swap. */
+  def compactMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val rows = readMinhash(spark, dir)
+    val (shingleN, numHashes, bands) = minhashParams(spark, dir)
+    val staging = dir + ".staging"
+    Segments.clearStaging(spark, dir)
+    import spark.implicits._
+    Seq((shingleN, numHashes, bands))
+      .toDF("shingle_n", "num_hashes", "bands")
+      .write.mode("overwrite").parquet(s"$staging/params")
+    rows.write.mode("overwrite").parquet(s"$staging/bands/seg=0")
+    Segments.swapIn(spark, staging, dir)
+    readMinhash(spark, dir)
+  }
+
+  // ---------------------------------------------------------- lines
+
+  /** Build and persist the line document-frequency index at the
+    * forgettable (id, line_hash) provenance granularity. */
+  def buildLines(
+      spark: SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n"): DataFrame = {
+    val staging = dir + ".staging"
+    Segments.clearStaging(spark, dir)
+    import spark.implicits._
+    Seq(Tuple1(delim)).toDF("delim")
+      .write.mode("overwrite").parquet(s"$staging/params")
+    Dedup.lineProvenance(corpus, idCol, textCol, delim)
+      .write.mode("overwrite").parquet(s"$staging/lines/seg=0")
+    Segments.swapIn(spark, staging, dir)
+    readLines(spark, dir)
+  }
+
+  /** The frozen line delimiter the index was built with. */
+  def lineParams(spark: SparkSession, dir: String): String =
+    spark.read.parquet(s"$dir/params").select("delim").head().getString(0)
+
+  /** Append a batch's line provenance as one segment (delimiter
+    * re-read from the index — never caller-supplied). O(batch).
+    * Exactness requires the append-only contract: every document in
+    * exactly one stored segment (re-ingesting an id without deleting
+    * it first would double its df contribution, same as
+    * [[graft.operators.Dedup.lineIndexMerge]]). */
+  def appendLines(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    Segments.appendSegment(spark, s"$dir/lines",
+      Dedup.lineProvenance(batch, idCol, textCol, lineParams(spark, dir)))
+    readLines(spark, dir)
+  }
+
+  /** Load the aggregated (line_hash, line_df) view — the exact
+    * [[graft.operators.Dedup.lineIndex]] shape
+    * [[graft.operators.Dedup.stripRepeatedLinesAgainst]] consumes —
+    * computed AFTER the tombstone anti-join, so a deleted document's
+    * lines stop counting toward boilerplate the moment the tombstone
+    * publishes. The aggregate is one hash-keyed count with map-side
+    * partials over 16-byte rows. */
+  def readLines(spark: SparkSession, dir: String): DataFrame =
+    readLineProvenance(spark, dir)
+      .groupBy(col("line_hash"))
+      .agg(count(lit(1)).as("line_df"))
+
+  /** The raw post-tombstone (id, line_hash) provenance rows. */
+  def readLineProvenance(spark: SparkSession, dir: String): DataFrame =
+    Segments.minusTombstones(spark, dir,
+      spark.read.parquet(s"$dir/lines").select("id", "line_hash"))
+
+  /** Compact the line index back to one segment (physical drop +
+    * tombstone GC in one atomic swap). */
+  def compactLines(spark: SparkSession, dir: String): DataFrame = {
+    val rows = readLineProvenance(spark, dir)
+    val delim = lineParams(spark, dir)
+    val staging = dir + ".staging"
+    Segments.clearStaging(spark, dir)
+    import spark.implicits._
+    Seq(Tuple1(delim)).toDF("delim")
+      .write.mode("overwrite").parquet(s"$staging/params")
+    rows.write.mode("overwrite").parquet(s"$staging/lines/seg=0")
+    Segments.swapIn(spark, staging, dir)
+    readLines(spark, dir)
+  }
+
+  // --------------------------------------------------------- forget
+
+  /** Tombstone DELETE — identical contract and cost for both
+    * families: one atomic deletion-sized segment, the corpus table
+    * untouched until the next compaction. */
+  def deleteIds(
+      spark: SparkSession,
+      dir: String,
+      ids: DataFrame,
+      idCol: String): Unit =
+    Segments.deleteIds(spark, dir, ids, idCol)
+}

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The shared segmented-table discipline behind every persisted
+  * standing index ([[AnnIndex]], [[DedupIndexStore]]): corpus-sized
+  * tables live as `table/seg=N` children (Spark partition discovery;
+  * the `seg` column is projected away on read), appends stage under
+  * an underscore dir readers skip and publish with ONE atomic rename,
+  * deletes are an id tombstone table under the same discipline, and a
+  * whole-directory staged swap (build/compact) preserves a complete
+  * readable copy at every crash point.
+  *
+  * Extracted from AnnIndex (reference semantics unchanged — path
+  * names `_append.staging` / `.staging` / `.old` are part of the
+  * crash-posture contract the specs interpose on) so the dedup corpus
+  * index and the line index can carry the identical tombstone
+  * right-to-be-forgotten path the ANN index already has.
+  *
+  * Scale posture: an append costs O(batch) write + one rename; a
+  * delete costs O(deletion) ids; only compaction touches the
+  * corpus-sized table, and it reads THROUGH the tombstone filter so
+  * GC and physical drop are one atomic swap.
+  */
+private[graft] object Segments {
+
+  val SegDir = "seg=(\\d+)".r
+
+  private def fsFor(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  /** Write `rows` as the next `seg=N` of a segmented table: stage
+    * under an underscore dir readers skip, then one atomic rename. */
+  def appendSegment(
+      spark: SparkSession, table: String, rows: DataFrame): Unit = {
+    val fs = fsFor(spark, table)
+    val staging = new org.apache.hadoop.fs.Path(s"$table/_append.staging")
+    fs.delete(staging, true) // sweep a stale crashed append
+    rows.write.mode("overwrite").parquet(staging.toString)
+    val next = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .map(_.getPath.getName).collect { case SegDir(n) => n.toInt }
+      .foldLeft(-1)(math.max) + 1
+    val seg = new org.apache.hadoop.fs.Path(s"$table/seg=$next")
+    require(fs.rename(staging, seg),
+      s"Segments: could not publish segment $seg — live table unchanged")
+  }
+
+  /** Tombstone DELETE: publish the ids as one new segment of the
+    * `tombstones` table under the index dir — O(deletion), the live
+    * corpus table untouched. Contract (spec-pinned on every store
+    * that uses it): a tombstone suppresses its id across ALL
+    * segments, including segments appended AFTER the delete;
+    * re-ingesting a previously-deleted id requires a compaction
+    * first. */
+  def deleteIds(
+      spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit =
+    appendSegment(spark, s"$dir/tombstones",
+      ids.select(col(idCol).cast("long").as("id")).distinct())
+
+  /** Subtract the index's tombstone set (if any) from its corpus
+    * table — the single filter every load path applies, joining on
+    * `idCol`. The tombstone table counts as PRESENT only when a
+    * published `seg=N` child exists: a crashed first [[deleteIds]]
+    * leaves only the underscore staging, which readers must treat as
+    * "no delete happened" (parquet would otherwise fail to infer a
+    * schema from the empty listing). At scale the tombstone table is
+    * deletion-sized and AQE broadcasts it into the anti-join. */
+  def minusTombstones(
+      spark: SparkSession, dir: String, table: DataFrame,
+      idCol: String = "id"): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = fsFor(spark, dir)
+    val published = fs.exists(p) &&
+      fs.listStatus(p).exists(st => SegDir.matches(st.getPath.getName))
+    if (!published) table
+    else table.join(
+      spark.read.parquet(s"$dir/tombstones").select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Swap `<dir>.staging` into place. Order preserves the previous
+    * good index at every step: the old target moves ASIDE (never
+    * deleted before the new one is in place), staging renames in,
+    * then the aside copy goes. A crash mid-swap leaves either the
+    * old index at <dir> (step 1 not reached), or a complete index at
+    * <dir>.old + the built one at <dir>.staging (between renames) —
+    * never zero copies. NB: directory rename is atomic on HDFS/POSIX
+    * but a COPY on object stores; run rebuilds against a new dir
+    * there and repoint. */
+  def swapIn(spark: SparkSession, staging: String, dir: String): Unit = {
+    val fs = fsFor(spark, staging)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val aside = new org.apache.hadoop.fs.Path(dir + ".old")
+    fs.delete(aside, true)
+    val hadPrevious = fs.exists(target)
+    if (hadPrevious) require(fs.rename(target, aside),
+      s"Segments: could not move previous index aside for $dir")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), target),
+      s"Segments: staging swap failed for $dir" +
+        (if (hadPrevious) s" — previous index preserved at $dir.old" else ""))
+    if (hadPrevious) fs.delete(aside, true)
+  }
+
+  /** Delete `<dir>.staging` ahead of a fresh staged build. */
+  def clearStaging(spark: SparkSession, dir: String): Unit =
+    fsFor(spark, dir).delete(
+      new org.apache.hadoop.fs.Path(dir + ".staging"), true)
+}

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Profile, SketchCannotSubtract}
+import graft.sources.DedupIndexStore
+
+/** The corpus-wide right-to-be-forgotten contract, generalizing the
+  * AnnIndexSpec four-phase tombstone contract to the text-dedup
+  * standing indexes: (1) a delete suppresses the document everywhere,
+  * (2) including segments appended AFTER the delete, (3) post-delete
+  * answers equal a never-ingested corpus, (4) compaction physically
+  * drops rows + GCs the tombstones and re-admits the id. Plus the
+  * sketch half: KMV/CMS/manifest forgetting REFUSES with the typed
+  * [[graft.operators.SketchCannotSubtract]] and the documented
+  * rebuild-from-retained path is bit-identical to never-ingested. */
+class DedupIndexStoreSpec extends SparkSpec {
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+  private def lineDocs = docs.select(col("doc_id"),
+    replace(col("text"), lit(" a "), lit("\n")).as("text"))
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("minhash store: append ≡ one-shot build, params are frozen " +
+    "on disk, probes answer through the persisted index") {
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
+    val seg0 = corpus.filter(col("doc_id") % 10 < 4)
+    val seg1 = corpus.filter(col("doc_id") % 10 >= 4)
+    val dir = tmp("graft_mhidx")
+    DedupIndexStore.buildMinhash(spark, dir, seg0, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16)
+    val appended = DedupIndexStore.appendMinhash(spark, dir, seg1, "doc_id", "text")
+    assert(DedupIndexStore.minhashParams(spark, dir) == ((3, 64, 16)))
+    assert(new java.io.File(dir + "/bands/seg=1").isDirectory)
+    assert(rows(appended) ==
+      rows(Dedup.corpusIndex(corpus, "doc_id", "text", 3, 64, 16)))
+
+    // a probe through the persisted index ≡ the inline index
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+    assert(rows(Dedup.dedupAgainst(batch, corpus, "doc_id", "text",
+        index = Some(DedupIndexStore.readMinhash(spark, dir)))) ==
+      rows(Dedup.dedupAgainst(batch, corpus, "doc_id", "text")))
+  }
+
+  test("minhash store tombstones: suppression spans later appends, " +
+    "post-delete probes ≡ never-ingested, compaction GCs + re-admits") {
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+    val seg0 = corpus.filter(col("doc_id") % 10 < 4)
+    val seg1 = corpus.filter(col("doc_id") % 10 >= 4)
+    val deadIds = seg0.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val dead = deadIds.collect().map(_.getLong(0)).toSet
+    assert(dead.nonEmpty)
+
+    val dir = tmp("graft_mhidx_del")
+    DedupIndexStore.buildMinhash(spark, dir, seg0, "doc_id", "text")
+    DedupIndexStore.deleteIds(spark, dir, deadIds, "doc_id")
+    assert(new java.io.File(dir + "/tombstones/seg=0").isDirectory)
+    // (2) the delete suppresses across a segment appended AFTERWARD —
+    // seg1 contains more %7==3 ids; delete those too, then check both
+    DedupIndexStore.appendMinhash(spark, dir, seg1, "doc_id", "text")
+    val deadIds1 = seg1.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val dead1 = deadIds1.collect().map(_.getLong(0)).toSet
+    DedupIndexStore.deleteIds(spark, dir, deadIds1, "doc_id")
+    val loaded = DedupIndexStore.readMinhash(spark, dir)
+    assert(loaded.filter(col("id").isInCollection(dead ++ dead1)).count() == 0)
+
+    // (3) ≡ never-ingested: the persisted post-delete index probes
+    // exactly like an inline index over the retained corpus
+    val retained = corpus.filter(!(col("doc_id") % 7 === 3))
+    assert(rows(loaded) ==
+      rows(Dedup.corpusIndex(retained, "doc_id", "text", 3, 64, 16)))
+    assert(rows(Dedup.dedupAgainst(batch, corpus, "doc_id", "text",
+        index = Some(loaded))) ==
+      rows(Dedup.dedupAgainst(batch, retained, "doc_id", "text")))
+
+    // (4) compaction: physical drop, tombstone GC, re-admission
+    // (materialize first: handles die with the compaction swap)
+    val preCompact = rows(loaded)
+    val compacted = DedupIndexStore.compactMinhash(spark, dir)
+    assert(!new java.io.File(dir + "/tombstones").exists)
+    assert(!new java.io.File(dir + "/bands/seg=1").exists)
+    assert(DedupIndexStore.minhashParams(spark, dir) == ((3, 64, 16)),
+      "compaction must preserve the frozen params")
+    assert(rows(compacted) == preCompact)
+    val reAdded = DedupIndexStore.appendMinhash(spark, dir,
+      corpus.filter(col("doc_id") === dead.min), "doc_id", "text")
+    assert(reAdded.filter(col("id") === dead.min).count() > 0,
+      "post-compaction re-ingest of a once-deleted id must be visible")
+  }
+
+  test("line store tombstones: df view recomputed after the anti-join, " +
+    "probes ≡ never-ingested, compaction GCs + re-admits") {
+    val corpus = lineDocs.filter(col("doc_id") % 10 < 8)
+    val batch = lineDocs.filter(col("doc_id") % 10 >= 8)
+    val seg0 = corpus.filter(col("doc_id") % 10 < 4)
+    val seg1 = corpus.filter(col("doc_id") % 10 >= 4)
+    val deadIds = corpus.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val dead = deadIds.collect().map(_.getLong(0)).toSet
+    assert(dead.nonEmpty)
+
+    val dir = tmp("graft_lnidx")
+    DedupIndexStore.buildLines(spark, dir, seg0, "doc_id", "text")
+    val appended = DedupIndexStore.appendLines(spark, dir, seg1, "doc_id", "text")
+    assert(DedupIndexStore.lineParams(spark, dir) == "\n")
+    // pre-delete: merged segments ≡ the one-shot line index
+    assert(rows(appended) == rows(Dedup.lineIndex(corpus, "doc_id", "text")))
+
+    DedupIndexStore.deleteIds(spark, dir, deadIds, "doc_id")
+    val retained = corpus.filter(!(col("doc_id") % 7 === 3))
+    val loaded = DedupIndexStore.readLines(spark, dir)
+    // (3) ≡ never-ingested, at both granularities
+    assert(rows(loaded) == rows(Dedup.lineIndex(retained, "doc_id", "text")))
+    assert(DedupIndexStore.readLineProvenance(spark, dir)
+      .filter(col("id").isInCollection(dead)).count() == 0)
+    // and the probe operator sees the post-delete df world
+    assert(rows(Dedup.stripRepeatedLinesAgainst(batch, loaded,
+        "doc_id", "text", minDocFreq = 2)) ==
+      rows(Dedup.stripRepeatedLinesAgainst(batch,
+        Dedup.lineIndex(retained, "doc_id", "text"),
+        "doc_id", "text", minDocFreq = 2)))
+
+    // (4) compaction + re-admission (pre-swap answer materialized
+    // first — handles die with the swap)
+    val preCompact = rows(loaded)
+    val compacted = DedupIndexStore.compactLines(spark, dir)
+    assert(!new java.io.File(dir + "/tombstones").exists)
+    assert(rows(compacted) == preCompact)
+    val reAdded = DedupIndexStore.appendLines(spark, dir,
+      corpus.filter(col("doc_id") === dead.min), "doc_id", "text")
+    assert(rows(reAdded) == rows(Dedup.lineIndex(
+      retained.unionByName(corpus.filter(col("doc_id") === dead.min)),
+      "doc_id", "text")))
+  }
+
+  test("sketch forgetting refuses with the typed error; " +
+    "rebuild-from-retained ≡ never-ingested") {
+    val dead = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val h = graft.functions.HashExpressions.mix64(
+      graft.functions.HashExpressions.textFnv64(col("text")))
+
+    val states = Profile.manifestStates(docs, "source", "text")
+    intercept[SketchCannotSubtract](Profile.manifestForget(states, dead))
+    intercept[SketchCannotSubtract](Profile.kmvForget(
+      Profile.kmvSketch(docs, "source", h), dead))
+    intercept[SketchCannotSubtract](Profile.cmsForget(
+      Profile.cmsCells(docs, h), dead))
+
+    // the documented path: rebuilt-from-retained states MERGE to the
+    // manifest of a corpus that never held the forgotten ids
+    val retained = docs.filter(!(col("doc_id") % 7 === 3))
+    val rebuiltHalves =
+      Profile.manifestStatesRebuild(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", dead, "source", "text")
+        .unionByName(Profile.manifestStatesRebuild(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", dead, "source", "text"))
+    assert(rows(Profile.manifestMerge(rebuiltHalves)) ==
+      rows(Profile.manifestMerge(
+        Profile.manifestStates(retained, "source", "text"))))
+
+    // kmv/cms rebuilds are the same pure folds over the retained rows
+    assert(rows(Profile.kmvRebuild(docs, "doc_id", dead, "source", h)) ==
+      rows(Profile.kmvSketch(retained, "source", h)))
+    assert(rows(Profile.cmsRebuild(docs, "doc_id", dead, h)) ==
+      rows(Profile.cmsCells(retained, h)))
+  }
+}
