@@ -658,31 +658,57 @@ object ExtensionQueries {
       .select("doc_id", "split_bucket", "split")
 
   /** LEAKAGE-GUARDED train/test split — the composition every eval
-    * pipeline needs and most skip: after the deterministic 80/10/10
-    * [[graft.operators.Sampling.hashSplit]], every train/val document
-    * that is an exact or near duplicate (the [[Dedup.dedupAgainst]]
-    * fingerprint + banded-MinHash probe, jaccard ≥ 0.5) of ANY
-    * held-out test document is dropped — a near-copy of a test item
-    * left in train silently inflates every benchmark number the
-    * split exists to protect. Output: (doc_id, split) for the test
-    * set plus the surviving train/val rows.
+    * pipeline needs and most skip, in BOTH leak modalities: after the
+    * deterministic 80/10/10 [[graft.operators.Sampling.hashSplit]],
+    * every train/val document that is (a) an exact or LEXICAL near
+    * duplicate (the [[Dedup.dedupAgainst]] fingerprint +
+    * banded-MinHash probe, jaccard ≥ 0.5) of ANY held-out test
+    * document, or (b) a SEMANTIC near duplicate of one
+    * ([[Dedup.semanticDedupAgainst]] — embedding cosine ≥ 0.3 within
+    * a k-means cell under centroids trained on the TEST side, the
+    * SemDeDup incremental shape) is dropped. Lexical overlap misses
+    * paraphrased eval items entirely — embedding-space
+    * decontamination is the standard second modality, and a
+    * benchmark-protecting split without it is half a guard. Output:
+    * (doc_id, split) for the test set plus train/val rows surviving
+    * BOTH probes.
+    *
+    * Parameters swept in DuckDB first (the vacuous-gate discipline):
+    * threshold 0.3 sits in this embedding space's near-dup band
+    * (max same-cell cosine ≈ 0.47); nlist = 8 over the ~50-row
+    * sf0.01 test side gives 5–7-row cells, and
+    * `maxClusterSize = 6` BINDS non-degenerately — 3 of 8 cells are
+    * excised and the semantic drop count halves (80 → 40), so the
+    * oracle's cell-cap QUALIFY replay is load-bearing in both
+    * directions.
     *
     * Scale posture: the test side is split-bounded (~10% of the
     * corpus — and in practice a fixed eval set), so its banded index
-    * is the small probe side; train/val pays one signature pass and
-    * the band equi-join, never an all-pairs comparison. The operator
-    * exposes maxBucketSize for degenerate-bucket corpora (the capped
-    * incremental probes' discipline). */
+    * AND its cell-partitioned semantic index are the small probe
+    * sides; train/val pays one signature pass + one cell-assign scan
+    * and two equi-joins, never an all-pairs comparison. */
   private val qSplitDecontam: Q = (s, dir) => {
     val split = graft.operators.Sampling.hashSplit(
       pq(s, dir, "documents"), "doc_id")
     val test = split.filter(col("split") === "test")
     val batch = split.filter(col("split") =!= "test")
       .select("doc_id", "text", "split")
-    Dedup.dedupAgainst(batch, test.select("doc_id", "text"),
+    val lexOk = Dedup.dedupAgainst(batch, test.select("doc_id", "text"),
         "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
       .select("doc_id", "split")
+    val emb = pq(s, dir, "embeddings")
+    val testEmb = emb.join(
+      test.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val batchEmb = emb.join(
+      batch.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val cents = Similarity.kmeansCentroidsDistributed(
+      testEmb, "vec_id", "embedding", nlist = 8, iters = 2)
+    val semOk = Dedup.semanticDedupAgainst(
+        batchEmb, testEmb, "vec_id", "embedding", cents,
+        threshold = 0.3, maxClusterSize = Some(6))
+      .select(col("vec_id").as("doc_id"))
+    lexOk.join(semOk, "doc_id")
       .unionByName(test.select("doc_id", "split"))
   }
 
@@ -4219,10 +4245,21 @@ object ExtensionQueries {
 
   /** Mirrors [[qSplitDecontam]]: the [[sampleSplitSql]] SplitMix64
     * bucket replay assigns splits, then the [[dedupAgainstHitsCtes]]
-    * chain runs with batch = train ∪ val and corpus = test; test rows
-    * always survive, non-test rows survive unless they took an exact
-    * or verified-jaccard hit against the held-out set. */
-  private val splitDecontamSql: String =
+    * chain runs with batch = train ∪ val and corpus = test (the
+    * LEXICAL probe), and the [[kmeansDistributedCtes]] chain trains
+    * on the test-side embeddings for the SEMANTIC probe — test-side
+    * cells capped via the cell-cap QUALIFY (maxClusterSize = 6,
+    * capBuckets semantics), batch ids with any surviving-cell cosine
+    * ≥ 0.3 test match dropped. Test rows always survive; non-test
+    * rows survive only when they miss the exact, jaccard, AND
+    * semantic hit sets. */
+  private val splitDecontamSql: String = {
+    def assignSem(side: String) =
+      s"""SELECT id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm, cell FROM (
+         |    SELECT e.id, e.vec, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+         |    FROM $side e CROSS JOIN cents2 c) t WHERE rn = 1""".stripMargin
     s"""WITH m0 AS MATERIALIZED (SELECT doc_id, CAST(doc_id AS HUGEINT) AS x FROM documents),
        |${HashSql.mixCtes("m", "m0", "doc_id")},
        |sd_split AS MATERIALIZED (SELECT doc_id,
@@ -4233,11 +4270,27 @@ object ExtensionQueries {
        |sd_t AS (SELECT doc_id FROM sd_split WHERE split = 'test'),
        |${dedupAgainstHitsCtes(
             c => s"$c IN (SELECT doc_id FROM sd_b)",
-            c => s"$c IN (SELECT doc_id FROM sd_t)")}
+            c => s"$c IN (SELECT doc_id FROM sd_t)")},
+       |corpus AS (SELECT e.vec_id AS id, e.embedding AS vec FROM embeddings e
+       |  WHERE e.vec_id IN (SELECT doc_id FROM sd_t)),
+       |${kmeansDistributedCtes(8, 2)},
+       |sem_c_raw AS (${assignSem("corpus")}),
+       |sem_c AS (SELECT * FROM sem_c_raw
+       |  QUALIFY count(*) OVER (PARTITION BY cell) <= 6),
+       |sem_bv AS (SELECT e.vec_id AS id, e.embedding AS vec FROM embeddings e
+       |  WHERE e.vec_id IN (SELECT doc_id FROM sd_b)),
+       |sem_b AS (${assignSem("sem_bv")}),
+       |sem_hit AS (SELECT DISTINCT b.id AS doc_id
+       |  FROM sem_b b JOIN sem_c c ON b.cell = c.cell
+       |  WHERE CASE WHEN b.nrm * c.nrm > 0.0
+       |             THEN ${dotSql("b.vec", "c.vec")} / (b.nrm * c.nrm)
+       |             ELSE 0.0 END >= 0.3)
        |SELECT s.doc_id, s.split FROM sd_split s
        |WHERE s.split = 'test'
        |   OR (s.doc_id NOT IN (SELECT doc_id FROM exact_hit)
-       |       AND s.doc_id NOT IN (SELECT doc_id FROM lsh_hit))""".stripMargin
+       |       AND s.doc_id NOT IN (SELECT doc_id FROM lsh_hit)
+       |       AND s.doc_id NOT IN (SELECT doc_id FROM sem_hit))""".stripMargin
+  }
 
   /** Mirrors [[qDedupBloom]]: the bloom filter is a pure prefilter
     * (no false negatives; false positives are confirmed away against
