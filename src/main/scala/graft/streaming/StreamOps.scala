@@ -329,6 +329,112 @@ object StreamOps {
     query
   }
 
+  /** One micro-batch of the composed INGEST chain — the shared batch
+    * function behind [[ingestStream]] and its batch/backfill twin
+    * (StreamingSpec's parity case runs THIS on the union of the
+    * replayed micro-batches): encoding gate
+    * ([[graft.functions.TextFunctions.encodingOk]]) → boilerplate
+    * strip + NFC normalize → language/quality/length gate (the
+    * q_pipeline_ingest stages, `__mid` pushdown barrier included so
+    * the heavy text scoring runs once per row) → incremental dedup
+    * against the standing corpus ([[graft.operators.Dedup
+    * .dedupAgainst]]). Returns the surviving (id, source, text) rows.
+    * Every per-row decision depends only on the row and the FROZEN
+    * corpus — no cross-batch state — which is exactly what makes the
+    * micro-batched run ≡ the one-shot run on the union. */
+  def ingestBatch(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      index: Option[DataFrame] = None,
+      lang: String = "en",
+      minQuality: Double = 0.5,
+      minTokens: Long = 5L,
+      maxTokens: Long = 1000L,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions
+    val cleaned = batch
+      .filter(TextFunctions.encodingOk(col(textCol)))
+      .select(col(idCol), col(sourceCol),
+        TextFunctions.normalizeText(
+          TextFunctions.stripBoilerplate(col(textCol))).as(textCol))
+    val gated = cleaned
+      .select(col(idCol), col(sourceCol), col(textCol),
+        TextFunctions.langId(col(textCol)).as("__lang"),
+        TextFunctions.qualityScore(col(textCol)).as("__q"),
+        TextFunctions.tokenCount(col(textCol)).as("__tok"),
+        monotonically_increasing_id().as("__mid"))
+      .filter(col("__mid") >= 0 && col("__lang") === lang &&
+        col("__q") >= minQuality && col("__tok").between(minTokens, maxTokens))
+      .select(col(idCol), col(sourceCol), col(textCol))
+    graft.operators.Dedup.dedupAgainst(gated, corpus, idCol, textCol,
+      jaccardThreshold = jaccardThreshold, index = index)
+  }
+
+  /** The COMPOSED streaming ingest pipeline — encoding/quality gates →
+    * incremental dedup against a standing corpus → per-batch manifest
+    * STATE publish, all in one foreachBatch chain: the streaming form
+    * of the q_pipeline_ingest endgame. Per micro-batch,
+    * [[ingestBatch]] gates and dedups (the corpus index is built ONCE
+    * at query start and persisted — each batch pays only its own
+    * signatures), then the survivors' mergeable manifest state
+    * ([[graft.operators.Profile.manifestStates]]) publishes under
+    * `statesDir/batch=<id>` — the [[cmsStream]] idempotence
+    * discipline: a replayed micro-batch OVERWRITES its own partition,
+    * so restarts never double-count. The live corpus manifest at any
+    * moment is [[ingestManifest]] (merge-on-read — KMV/counter
+    * closure, exactly what the parity spec pins against the batch
+    * chain on the union).
+    *
+    * Scope mirrors [[dedupAgainstStream]]: the dedup corpus is FIXED
+    * at query start; folding survivors into it is a checkpointed
+    * restart. Composition drift — a gate reordered, dedup run before
+    * the quality gate, states built pre-dedup — breaks the
+    * stream ≡ batch parity StreamingSpec replays across 3 batches. */
+  def ingestStream(
+      docs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      statesDir: String,
+      checkpointDir: String,
+      lang: String = "en",
+      minQuality: Double = 0.5,
+      minTokens: Long = 5L,
+      maxTokens: Long = 1000L,
+      jaccardThreshold: Double = 0.5,
+      k: Int = 16): StreamingQuery = {
+    val idx = graft.operators.Dedup
+      .corpusIndex(corpus, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val query = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val survivors = ingestBatch(batch.toDF(), corpus, idCol, sourceCol,
+          textCol, Some(idx), lang, minQuality, minTokens, maxTokens,
+          jaccardThreshold)
+        graft.operators.Profile.manifestStates(survivors, sourceCol, textCol, k)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$statesDir/batch=$batchId")
+      }
+      .start()
+    unpersistOnTermination(docs.sparkSession, query, idx)
+    query
+  }
+
+  /** The live corpus manifest over an [[ingestStream]] states
+    * directory: merge-on-read of the published per-batch states
+    * (counter addition + KMV union — both exact closures, so this IS
+    * the manifest of everything ingested so far). */
+  def ingestManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      statesDir: String,
+      k: Int = 16): DataFrame =
+    graft.operators.Profile.manifestMerge(spark.read.parquet(statesDir), k)
+
   /** Stream-side serving of a BATCH-trained distilled quality model —
     * closing the train-batch / score-stream loop: every micro-batch
     * is featurized with the SAME hashing trick

@@ -410,6 +410,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestStream: gates -> incremental dedup -> per-batch states in one " +
+    "foreachBatch chain; 3-batch replay merges to the batch chain on the union") {
+    import org.apache.spark.sql.Row
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ing_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ing_ckpt").toString
+    val statesDir = java.nio.file.Files.createTempDirectory("graft_ing_states").toString + "/states"
+    val corpus = df("doc_id BIGINT, source STRING, text STRING",
+      Row(100L, "srcA", "the quick brown fox jumps over the lazy dog near the river bank"),
+      Row(101L, "srcA", "completely different content about the spark query engines and the shuffles"))
+    val schema = corpus.schema
+    // each batch carries one clean survivor plus a distinct reject class,
+    // so every stage of the chain fires across the replay:
+    val b1 = Seq(
+      Row(1L, "srcA", "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup -> dedup
+      Row(2L, "srcA", "a genuinely novel document about the streaming watermarks and the state stores"),
+      Row(3L, "srcB", "this text was damaged in transit � and the gate must drop it")) // encoding
+    val b2 = Seq(
+      Row(4L, "srcB", "another novel document discussing the sessionization and the window state"),
+      Row(5L, "srcB", "zzz qqq xxx vvv kkk pppp mmmm"), // lang/quality gate
+      Row(6L, "srcA", "too short here")) // token gate
+    val b3 = Seq(
+      Row(7L, "srcA", "THE  Quick   Brown fox jumps over the lazy dog near the river bank"), // fp-dup
+      Row(8L, "srcB", "a third novel document about the broadcast joins and the partition pruning"))
+    def writeBatch(rows: Seq[Row]): Unit =
+      spark.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    val q = StreamOps.ingestStream(
+      spark.readStream.schema(schema).parquet(srcDir),
+      corpus, "doc_id", "source", "text", statesDir, ckpt)
+    try {
+      writeBatch(b1); q.processAllAvailable()
+      writeBatch(b2); q.processAllAvailable()
+      writeBatch(b3); q.processAllAvailable()
+      assert(new java.io.File(statesDir + "/batch=2").isDirectory,
+        "each micro-batch must publish its own state partition")
+
+      def canon(f: org.apache.spark.sql.DataFrame) =
+        f.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      // the live merge-on-read manifest == the composed BATCH chain
+      // (gates -> dedupAgainst -> states -> merge) on the union
+      val union = spark.read.parquet(srcDir)
+      val batchChain = graft.operators.Profile.manifestMerge(
+        graft.operators.Profile.manifestStates(
+          StreamOps.ingestBatch(union, corpus, "doc_id", "source", "text"),
+          "source", "text"))
+      assert(canon(StreamOps.ingestManifest(spark, statesDir)) == canon(batchChain))
+      // and the gates really fired: exactly the three clean novel docs survive
+      val survivors = StreamOps.ingestBatch(union, corpus, "doc_id", "source", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(2L, 4L, 8L))
+    } finally q.stop()
+  }
+
   test("bloomDedupStream drops exact corpus dupes per micro-batch, matches the batch operator") {
     import org.apache.spark.sql.Row
     val srcDir = java.nio.file.Files.createTempDirectory("graft_bds_src").toString
