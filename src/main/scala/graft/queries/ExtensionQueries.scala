@@ -3007,6 +3007,70 @@ object ExtensionQueries {
       .join(conv.select("doc_id", "loss_tokens"), "doc_id")
   }
 
+  /** The REJECT-PROVENANCE LEDGER for the SFT endgame — the queryable
+    * answer to "why did doc X disappear?" that [[qPipelineSft]]'s
+    * survivor-only output lacks: one row per REJECTED document with
+    * the stage that dropped it and a machine-readable reason, under
+    * the same stage definitions as the pipeline itself (the
+    * [[graft.operators.Dedup.dedupDiagnostics]] one-pass discipline —
+    * each gate evaluates once and feeds both the admission decision
+    * and the ledger row; the closure labeling is computed once and
+    * yields both the drop set and the `dup_of:<rep>` provenance).
+    * Stages classify first-failure in pipeline order:
+    *
+    *   - `contract` — [[graft.operators.Chat.validateTurns]] failed;
+    *     reason = the comma-joined failing flags (roles, starts,
+    *     alternation, nonempty).
+    *   - `tool` — contract-clean but
+    *     [[graft.operators.Chat.validateToolUse]] failed; reason =
+    *     failing protocol flags.
+    *   - `dedup` — admitted but dropped by the capped-MinHash
+    *     keep-one; reason = `dup_of:<survivor id>`.
+    *
+    * Tie-out invariant (spec-pinned): ledger rows + q_pipeline_sft's
+    * distinct packed docs = the input corpus — every document is
+    * accounted for exactly once. Scale posture matches the pipeline:
+    * the ledger adds two projections over already-computed gate
+    * frames and one filter over the closure labeling — no stage is
+    * recomputed per view. */
+  private val qPipelineSftLedger: Q = (s, dir) => {
+    import graft.operators.Chat
+    val turns = Chat.parseToolTurns(sftTranscripts(s, dir), "doc_id", "transcript")
+    val contract = Chat.validateTurns(turns, "doc_id",
+      roles = Chat.allowedRoles :+ "tool")
+    val tool = Chat.validateToolUse(turns, "doc_id", Seq("search", "calc"))
+    val contractRejects = contract.filter(!col("valid"))
+      .select(col("doc_id"), lit("contract").as("stage"),
+        concat_ws(",",
+          when(!col("roles_ok"), "roles"),
+          when(!col("starts_ok"), "starts"),
+          when(!col("alternation_ok"), "alternation"),
+          when(!col("nonempty_ok"), "nonempty")).as("reason"))
+    val contractOkIds = contract.filter(col("valid")).select("doc_id")
+    val toolRejects = tool.join(contractOkIds, "doc_id")
+      .filter(!col("valid"))
+      .select(col("doc_id"), lit("tool").as("stage"),
+        concat_ws(",",
+          when(!col("tool_after_call_ok"), "tool_after_call"),
+          when(!col("tools_answered_ok"), "tools_answered"),
+          when(!col("tool_names_ok"), "tool_names")).as("reason"))
+    val admitted = contractOkIds
+      .join(tool.filter(col("valid")).select("doc_id"), "doc_id")
+    val convo = turns.join(admitted, "doc_id")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("content")))),
+        t => t("content")), " ").as("text"))
+    val pairs = Dedup.minhashPairs(convo, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
+      maxBucketSize = Some(12)).select("id_a", "id_b")
+    val dedupRejects = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as("doc_id"), lit("dedup").as("stage"),
+        concat(lit("dup_of:"), col("rep").cast("string")).as("reason"))
+    contractRejects.unionByName(toolRejects).unionByName(dedupRejects)
+  }
+
   /** Unigram-distribution drift between the even-id and odd-id
     * corpus halves ([[graft.operators.Profile.tokenDrift]]): hashed
     * token buckets, per-bucket quantized Jensen–Shannon terms, the
@@ -3283,6 +3347,7 @@ object ExtensionQueries {
     "q_sample_epochs_apply" -> qSampleEpochsApply,
     "q_pipeline_ingest" -> qPipelineIngest,
     "q_pipeline_sft" -> qPipelineSft,
+    "q_pipeline_sft_ledger" -> qPipelineSftLedger,
     "q_pipeline_pref" -> qPipelinePref,
     "q_chat_dedup" -> qChatDedup,
     "q_events_ewma" -> qEventsEwma,
@@ -7109,10 +7174,17 @@ object ExtensionQueries {
     * (the [[pipelineCleanSql]] discipline), and the next-fit pack
     * walk with loss-mask mass. Composition drift at ANY stage
     * boundary hash-mismatches even when each stage passes alone. */
-  private val pipelineSftSql: String = {
+  /** The [[qPipelineSft]] replay's shared CTE chain — transcript
+    * regeneration through contract/tool flags, admission, trainable
+    * text, capped-MinHash pairs, and the recursive keep-one closure
+    * (ending at `sft_reps`/`sft_drop`) — shared verbatim by the
+    * survivor pyramid ([[pipelineSftSql]]) and the reject ledger
+    * ([[pipelineSftLedgerSql]]), so the two oracles cannot drift
+    * apart stage-for-stage. */
+  private def pipelineSftCtes: String = {
     val flags = chatFlagsSql("sft_turns",
       roles = Seq("system", "user", "assistant", "tool"))
-    s"""WITH RECURSIVE sft_src AS (SELECT CAST(doc_id AS BIGINT) AS id,
+    s"""sft_src AS (SELECT CAST(doc_id AS BIGINT) AS id,
        |    list_filter($tokensLowerSql,
        |      x -> regexp_matches(x, '^[a-z0-9]+$$')) AS w
        |  FROM documents),
@@ -7192,9 +7264,16 @@ object ExtensionQueries {
        |  SELECT DISTINCT src, src FROM sft_edges
        |  UNION
        |  SELECT e.src, l.label FROM sft_edges e JOIN sft_labels l ON e.dst = l.id),
-       |sft_drop AS (SELECT id
-       |  FROM (SELECT id, min(label) AS rep FROM sft_labels GROUP BY id) t
-       |  WHERE id <> rep),
+       |sft_reps AS (SELECT id, min(label) AS rep FROM sft_labels GROUP BY id),
+       |sft_drop AS (SELECT id FROM sft_reps WHERE id <> rep)"""
+    // NO stripMargin here: the chain contains DuckDB list-concat `||`
+    // at line starts, which a SECOND stripMargin (the consumer's)
+    // would eat down to `|`. Consumers interpolate this raw margined
+    // text into their own s-string and strip exactly once.
+  }
+
+  private val pipelineSftSql: String =
+    s"""WITH RECURSIVE $pipelineSftCtes,
        |sft_cost AS MATERIALIZED (SELECT t.doc_id AS id, t.doc_id % 8 AS grp,
        |    CAST(SUM(t.n_tokens) + 4 * COUNT(*) AS BIGINT) AS n,
        |    CAST(SUM(CASE WHEN t.role = 'assistant' THEN t.n_tokens ELSE 0 END)
@@ -7214,7 +7293,36 @@ object ExtensionQueries {
        |  FROM sft_walk w JOIN sft_rk r2 ON r2.grp = w.grp AND r2.rn = w.rn + 1)
        |SELECT id AS doc_id, grp, n AS n_tokens, bin AS bin_id, loss_tokens
        |FROM sft_walk""".stripMargin
-  }
+
+  /** Mirrors [[qPipelineSftLedger]] over the SAME
+    * [[pipelineSftCtes]] chain: contract rejects carry their failing
+    * flag names (fixed order, comma-joined — concat_ws skips the
+    * passing flags' NULL arms in both engines), tool rejects are
+    * classified only among contract-clean docs (first-failing-stage
+    * semantics), and dedup rejects read their survivor off the
+    * recursive closure's min-label rep. */
+  private val pipelineSftLedgerSql: String =
+    s"""WITH RECURSIVE $pipelineSftCtes
+       |SELECT doc_id, stage, reason FROM (
+       |  SELECT doc_id, 'contract' AS stage, concat_ws(',',
+       |      CASE WHEN NOT roles_ok THEN 'roles' END,
+       |      CASE WHEN NOT starts_ok THEN 'starts' END,
+       |      CASE WHEN NOT alternation_ok THEN 'alternation' END,
+       |      CASE WHEN NOT nonempty_ok THEN 'nonempty' END) AS reason
+       |  FROM sft_cf
+       |  WHERE NOT (roles_ok AND starts_ok AND alternation_ok AND nonempty_ok)
+       |  UNION ALL
+       |  SELECT t.doc_id, 'tool', concat_ws(',',
+       |      CASE WHEN NOT tool_after_call_ok THEN 'tool_after_call' END,
+       |      CASE WHEN NOT tools_answered_ok THEN 'tools_answered' END,
+       |      CASE WHEN NOT tool_names_ok THEN 'tool_names' END)
+       |  FROM sft_tf t JOIN sft_cf f ON f.doc_id = t.doc_id
+       |  WHERE (f.roles_ok AND f.starts_ok AND f.alternation_ok AND f.nonempty_ok)
+       |    AND NOT (t.tool_after_call_ok AND t.tools_answered_ok
+       |             AND t.tool_names_ok)
+       |  UNION ALL
+       |  SELECT id, 'dedup', 'dup_of:' || CAST(rep AS VARCHAR)
+       |  FROM sft_reps WHERE id <> rep) led""".stripMargin
 
   /** Mirrors [[qTextDrift]]: per-half token hashes through the
     * salt-XOR + staged SplitMix64 ([[HashSql.mixCtes]]), bucket
@@ -7540,6 +7648,7 @@ object ExtensionQueries {
     "q_sample_epochs_apply" -> sampleEpochsApplySql,
     "q_pipeline_ingest" -> pipelineIngestSql,
     "q_pipeline_sft" -> pipelineSftSql,
+    "q_pipeline_sft_ledger" -> pipelineSftLedgerSql,
     "q_pipeline_pref" -> pipelinePrefSql,
     "q_chat_dedup" -> chatDedupSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,

@@ -2448,6 +2448,30 @@ class ExtensionSpec extends SparkSpec {
     assert(got(2L).decoded && got(2L).width == 16 && got(2L).height == 16)
   }
 
+  test("SFT reject ledger ties out: every input doc is exactly one of " +
+    "packed survivor / contract / tool / dedup reject") {
+    val sf = "/root/testdata/sf0.001"
+    val input = spark.read.parquet(s"$sf/documents.parquet").count()
+    val packed = graft.queries.ExtensionQueries.all("q_pipeline_sft")(spark, sf)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val ledger = graft.queries.ExtensionQueries.all("q_pipeline_sft_ledger")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ledgerIds = ledger.map(_._1).toSet
+    assert(ledger.length == ledgerIds.size, "one ledger row per rejected doc")
+    assert(ledgerIds.intersect(packed).isEmpty,
+      "a doc cannot be both packed and rejected")
+    assert(packed.size + ledger.length == input,
+      s"tie-out: ${packed.size} survivors + ${ledger.length} rejects != $input")
+    // all three stages fire at sf0.001, and dedup reasons name a survivor
+    val stages = ledger.map(_._2).toSet
+    assert(stages == Set("contract", "tool", "dedup"))
+    ledger.filter(_._2 == "dedup").foreach { case (_, _, reason) =>
+      assert(reason.startsWith("dup_of:") &&
+        packed.contains(reason.stripPrefix("dup_of:").toLong),
+        s"dedup reason must name a packed survivor: $reason")
+    }
+  }
+
   test("dsirLogWeights names the empty side instead of an opaque NPE") {
     val empty = df("doc_id BIGINT, text STRING")
     val full = df("doc_id BIGINT, text STRING", Row(1L, "some raw text here"))
