@@ -812,9 +812,24 @@ object ExtensionQueries {
     * by distributed-k-means cells (frozen centroids) instead of LSH
     * buckets — same exact-cosine ≥ 0.2 decision as
     * [[qDedupEmbedding]], so the two queries differ ONLY in their
-    * candidate sets, which is the recall comparison the pair makes. */
+    * candidate sets, which is the recall comparison the pair makes.
+    *
+    * Runs over a deterministic 25% [[graft.operators.Sampling
+    * .hashSample]] of the corpus (round 12): the UNCAPPED cell
+    * self-join is the recall REFERENCE — its semantics need no cap,
+    * but its pair output is quadratic in cell occupancy, which on the
+    * 10×-replicated sf1 fixture measured 77× (every document's
+    * copies land in one cell). Hash-sampling the INPUT bounds the
+    * pair output (25% of rows ⇒ ~6% of pairs) while keeping the
+    * recall-reference semantics intact on the sampled population —
+    * the production shape for "audit the capped path's recall on a
+    * slice", and what lets this query stay sf1-benchable instead of
+    * being the catalog's one documented exclude. The capped
+    * production twin ([[qDedupSemanticCapped]]) still runs over the
+    * FULL corpus. */
   private val qDedupSemantic: Q = (s, dir) => {
-    val emb = pq(s, dir, "embeddings")
+    val emb = graft.operators.Sampling.hashSample(
+      pq(s, dir, "embeddings"), "vec_id", pct = 25)
     val cents = Similarity.kmeansCentroidsDistributed(
       emb, "vec_id", "embedding", nlist = 8, iters = 2)
     Dedup.semanticNearDupPairs(emb, "vec_id", "embedding", cents,
@@ -3535,12 +3550,15 @@ object ExtensionQueries {
   }
 
   /** Mirrors [[qDedupSemantic]] (and its capped twin): the
-    * distributed-k-means CTE chain over the whole embeddings table,
+    * distributed-k-means CTE chain over the embeddings table
+    * (optionally the [[sampleSplitSql]]-style SplitMix64 `samplePct`
+    * hash-sample of it — the bounded recall-reference posture),
     * exact-argmax cell assignment, an optional cell-cap QUALIFY
     * (capBuckets semantics — over-cap cells are excised ENTIRELY),
     * then the [[embeddingPairsSql]] pair join scoped by CELL instead
     * of LSH bucket — same guarded cosine, same ≥ 0.2 cut. */
-  private def dedupSemanticPairsSql(nlist: Int, cap: Option[Int]): String = {
+  private def dedupSemanticPairsSql(
+      nlist: Int, cap: Option[Int], samplePct: Option[Int] = None): String = {
     val iters = 2
     val rawName = if (cap.isDefined) "assigned_raw" else "assigned"
     val capCte = cap.map(n =>
@@ -3548,7 +3566,17 @@ object ExtensionQueries {
          |assigned AS (SELECT * FROM assigned_raw
          |  QUALIFY count(*) OVER (PARTITION BY cell) <= $n)""".stripMargin)
       .getOrElse("")
-    s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+    val corpusCte = samplePct match {
+      case Some(p) =>
+        s"""sem_s0 AS MATERIALIZED (SELECT vec_id, embedding,
+           |    CAST(vec_id AS HUGEINT) AS x FROM embeddings),
+           |${HashSql.mixCtes("sem_s", "sem_s0", "vec_id, embedding")},
+           |corpus AS (SELECT vec_id AS id, embedding AS vec FROM sem_s4
+           |  WHERE (x // 2) % 100 < $p)""".stripMargin
+      case None =>
+        "corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings)"
+    }
+    s"""WITH $corpusCte,
        |${kmeansDistributedCtes(nlist, iters)},
        |$rawName AS (
        |  SELECT id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm, cell FROM (
@@ -3565,7 +3593,8 @@ object ExtensionQueries {
        |WHERE cosine >= 0.2""".stripMargin
   }
 
-  private val dedupSemanticSql: String = dedupSemanticPairsSql(8, None)
+  private val dedupSemanticSql: String =
+    dedupSemanticPairsSql(8, None, samplePct = Some(25))
 
   /** [[dedupSemanticPairsSql]] at the capped production posture. */
   private val dedupSemanticCappedSql: String =

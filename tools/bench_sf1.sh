@@ -33,15 +33,15 @@ BASE_JSON="${BASE_JSON:-BENCH_r05.json}"
 # bucket-cap QUALIFY), so the replicated fixture's mega-buckets are
 # excised instead of multiplied — the 14.8x uncapped reading
 # (BENCH_sf1_r10) was the fixture pathology the cap exists for.
-# q_dedup_semantic JOINED the list in round 11, first time it was
-# ever timed at sf1: it is the sixth uncapped PAIR query (cell-scoped
-# instead of LSH-bucket-scoped — semanticNearDupPairs with no
-# maxClusterSize), and the replicated fixture puts every document's
-# 10 copies in the SAME k-means cell -> ~100x pair output by
-# construction. One-off reading recorded in BASELINE.md (204 s,
-# 77x); the capped posture is gated by q_dedup_incremental_sem
-# (maxClusterSize=12, oracle-replayed) and the census.
-PAIR_EXCLUDE="q_dedup_minhash,q_dedup_ngram_jaccard,q_dedup_simhash,q_dedup_editdist,q_dedup_embedding,q_dedup_semantic,q_dedup_keep_one,q_dedup_keep_best,q_dedup_components"
+# q_dedup_semantic LEFT the list in round 12: it now runs over a
+# deterministic 25% hashSample of the corpus (input-bounded — 25% of
+# rows is ~6% of uncapped cell pairs), keeping the uncapped
+# recall-reference semantics on the sampled population, so the
+# round-11 one-off pathology reading (204 s / 77x, recorded in
+# BASELINE.md) no longer applies. The capped production posture is
+# still gated full-corpus by q_dedup_semantic_capped and
+# q_dedup_incremental_sem.
+PAIR_EXCLUDE="q_dedup_minhash,q_dedup_ngram_jaccard,q_dedup_simhash,q_dedup_editdist,q_dedup_embedding,q_dedup_keep_one,q_dedup_keep_best,q_dedup_components"
 
 if [ ! -f "$SF1_DIR/lineitem.parquet" ]; then
   echo "=== building $SF1_DIR from /root/testdata/sf0.1 (10 replicas, key offsets) ==="
