@@ -1100,6 +1100,33 @@ object ExtensionQueries {
       idx, queries, "vec_id", "embedding", k = 5, nprobe = 2)
   }
 
+  /** Index STALENESS monitor ([[graft.sources.AnnIndex.driftAudit]]):
+    * appends freeze centroids forever by design, so a drifted daily
+    * batch lands in bad cells and recall decays silently — this is
+    * the write-side audit that flags when compaction + retrain is
+    * due. The corpus builds the index (seg 0 = the build-time
+    * distribution), then a DELIBERATELY DRIFTED batch appends as
+    * seg 1: each vector REVERSED (`reverse(embedding)` — a pure
+    * permutation, no float arithmetic, so the oracle replays the
+    * drifted vectors bit-for-bit with `list_reverse`) under offset
+    * ids. Per segment: rows, rows assigned below the fused-cosine
+    * 0.12 cut, the exact-integer far-ppm, and the ≥2× drift flag —
+    * which FIRES on seg 1 (swept first: 28 000 vs 140 000 ppm at
+    * sf0.01, a 5× separation) and stays off on seg 0. */
+  private val qSimIndexDrift: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val cents = Similarity.kmeansCentroidsDistributed(
+      emb, "vec_id", "embedding", nlist = 8, iters = 2)
+    val idxDir = s"$twinRoot/annidx_drift/${new java.io.File(dir).getName}"
+    graft.sources.AnnIndex.buildAndWriteIvf(
+      s, idxDir, emb, "vec_id", "embedding", cents)
+    graft.sources.AnnIndex.appendToIvf(s, idxDir,
+      emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding")),
+      "vec_id", "embedding")
+    graft.sources.AnnIndex.driftAudit(s, idxDir, nearCut = 0.12, driftFactor = 2)
+  }
+
   /** Batch-query LSH ANN — the centroid-free batch retrieval path:
     * same query/corpus split as q_sim_batch_topk, Hamming-ball probe
     * (h=2 over 8 planes = 37 probe buckets per query) via equi-join
@@ -3274,6 +3301,7 @@ object ExtensionQueries {
     "q_sim_recall_audit" -> qSimRecallAudit,
     "q_sim_lsh_batch" -> qSimLshBatch,
     "q_sim_index_lsh" -> qSimIndexLsh,
+    "q_sim_index_drift" -> qSimIndexDrift,
     "q_sim_hard_negatives" -> qSimHardNegatives,
     "q_embed_centroids" -> qEmbedCentroids,
     "q_ingest_jsonl" -> qIngestJsonl,
@@ -3599,6 +3627,35 @@ object ExtensionQueries {
   /** [[dedupSemanticPairsSql]] at the capped production posture. */
   private val dedupSemanticCappedSql: String =
     dedupSemanticPairsSql(32, Some(12))
+
+  /** Mirrors [[qSimIndexDrift]]: the k-means CTE chain over the full
+    * corpus (the frozen build model), both segments regenerated —
+    * seg 0 the corpus, seg 1 the `list_reverse`d vectors under offset
+    * ids — each row's assignment cosine read as the MAX fused cosine
+    * over cells (the stored cell IS the argmax under the same frozen
+    * centroids), then the exact-integer far-count / ppm / ≥2×-flag
+    * fold per segment. */
+  private val simIndexDriftSql: String =
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |${kmeansDistributedCtes(8, 2)},
+       |drift_all AS (
+       |  SELECT 0 AS seg, vec_id AS id, embedding AS vec FROM embeddings
+       |  UNION ALL
+       |  SELECT 1, vec_id + 1000000, list_reverse(embedding) FROM embeddings),
+       |drift_cos AS (SELECT seg, id, cos FROM (
+       |  SELECT d.seg, d.id, ${cosineFusedSql("d.vec", "c.cvec")} AS cos,
+       |    row_number() OVER (PARTITION BY d.seg, d.id
+       |      ORDER BY ${cosineFusedSql("d.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+       |  FROM drift_all d CROSS JOIN cents2 c) t WHERE rn = 1),
+       |drift_seg AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(CASE WHEN cos < 0.12 THEN 1 ELSE 0 END) AS BIGINT) AS n_far
+       |  FROM drift_cos GROUP BY seg),
+       |drift_p AS (SELECT seg, n_rows, n_far,
+       |    CAST(n_far * 1000000 // n_rows AS BIGINT) AS far_ppm FROM drift_seg),
+       |drift_b AS (SELECT far_ppm AS base_ppm FROM drift_p WHERE seg = 0)
+       |SELECT CAST(seg AS BIGINT) AS seg, n_rows, n_far, far_ppm,
+       |  far_ppm > 2 * base_ppm AS drift_flag
+       |FROM drift_p CROSS JOIN drift_b""".stripMargin
 
   /** Mirrors [[qDedupIncrementalEmb]]: the [[dedupEmbeddingSql]]
     * bucket/norm projection with the self-join replaced by a
@@ -7835,6 +7892,7 @@ object ExtensionQueries {
     "q_sim_recall_audit" -> simRecallAuditSql,
     "q_sim_lsh_batch" -> simLshBatchSql,
     "q_sim_index_lsh" -> simLshBatchSql,
+    "q_sim_index_drift" -> simIndexDriftSql,
     "q_sim_hard_negatives" -> simHardNegativesSql,
     "q_embed_centroids" -> embedCentroidsSql,
     "q_ingest_jsonl" -> ingestJsonlSql,

@@ -321,6 +321,68 @@ object AnnIndex {
         spark.read.parquet(s"$dir/assigned").select("id", "cell", "vec")))
   }
 
+  /** WRITE-SIDE staleness monitor for an appended plain-IVF index —
+    * the drift audit that tells you when compaction + retrain is due
+    * ([[graft.operators.Similarity.recallAudit]] is the read-side
+    * half): appends encode against FROZEN centroids by design
+    * ([[appendToIvf]]), so a batch whose distribution has drifted
+    * away from the build-time corpus still lands in SOME cell — just
+    * a bad one, and recall decays silently. This audit compares each
+    * segment's assignment-quality distribution against the build
+    * segment's (seg=0, the build-time distribution): per segment, the
+    * count of rows whose fused cosine to their assigned centroid
+    * falls below `nearCut` (an exact-integer CDF reading at the cut —
+    * the quantile signal without float quantile math), as parts per
+    * million, and `drift_flag` = far_ppm exceeds `driftFactor` × the
+    * build segment's. A flagged segment means the frozen model no
+    * longer describes the incoming data — compact and retrain.
+    *
+    * `nearCut` must sit below the build distribution's bulk (swept in
+    * the oracle's fixture: build far rate 2.8% at 0.12, a
+    * reversed-vector drifted batch 14% — a 5× separation); a cut
+    * inside the bulk saturates both sides and the factor test goes
+    * vacuous. Tombstoned rows are excluded, matching what queries
+    * see.
+    *
+    * Scale posture: one scan of the assigned table (the per-row
+    * cosine is a closure UDF over the nlist-bounded centroids — no
+    * join, no shuffle beyond the seg-cardinality aggregate) and a
+    * window over the seg-sized frame; the base-segment scalar is
+    * attached via that window, never a literal-key join (which would
+    * constant-fold to the BNLJ the catalog plan gate bans). */
+  def driftAudit(
+      spark: SparkSession,
+      dir: String,
+      nearCut: Double = 0.12,
+      driftFactor: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, s"AnnIndex: no centroids under $dir")
+    val assignCos = udf { (vec: Seq[Float], cell: Int) =>
+      Similarity.cosineScalar(vec.toArray.map(_.toDouble), cents(cell))
+    }
+    val assigned = Segments.minusTombstones(spark, dir,
+      spark.read.parquet(s"$dir/assigned")
+        .select(col("seg").cast("int").as("seg"),
+          col("id"), col("cell"), col("vec")))
+    val perSeg = assigned
+      .select(col("seg"),
+        (assignCos(col("vec"), col("cell")) < nearCut)
+          .cast("long").as("__far"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_rows"), sum(col("__far")).as("n_far"))
+      .withColumn("far_ppm", expr("n_far * 1000000 div n_rows"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    perSeg
+      .withColumn("base_ppm",
+        max(when(col("seg") === 0, col("far_ppm"))).over(w))
+      .withColumn("drift_flag",
+        col("far_ppm") > lit(driftFactor.toLong) * col("base_ppm"))
+      .select(col("seg").cast("bigint").as("seg"), col("n_rows"),
+        col("n_far"), col("far_ppm"), col("drift_flag"))
+  }
+
   /** Batch ANN over a loaded plain-IVF index — delegates to the
     * pre-assigned scorer, bit-identical to the inline path. */
   def queryBatchIvf(
