@@ -3193,17 +3193,25 @@ object ExtensionQueries {
     * combine; the conflicted set (distinct contradictory pairs) is
     * tiny by nature and AQE-broadcasts into the anti-join; packing is
     * the single-Exchange per-group sweep. */
-  private val qPipelinePref: Q = (s, dir) => {
-    import graft.operators.{Packing, Preference}
+  /** The [[qPipelinePref]] corpus: [[prefTriples]] with the
+    * [[qPrefConflicts]] pool/flip injection — shared by the endgame
+    * pipeline and its reject ledger so the two see the identical
+    * input. */
+  private def prefPipelineTriples(s: SparkSession, dir: String): DataFrame = {
     val pool = col("doc_id") % 5 === 0
     val g = pmod(expr("doc_id div 5"), lit(8L)).cast("string")
     val t = prefTriples(s, dir).select(col("doc_id"), col("prompt"),
       when(pool, concat(lit("alpha "), g)).otherwise(col("chosen")).as("chosen"),
       when(pool, concat(lit("beta "), g)).otherwise(col("rejected")).as("rejected"))
     val flip = col("doc_id") % 3 === 0
-    val triples = t.select(col("doc_id"), col("prompt"),
+    t.select(col("doc_id"), col("prompt"),
       when(flip, col("rejected")).otherwise(col("chosen")).as("chosen"),
       when(flip, col("chosen")).otherwise(col("rejected")).as("rejected"))
+  }
+
+  private val qPipelinePref: Q = (s, dir) => {
+    import graft.operators.{Packing, Preference}
+    val triples = prefPipelineTriples(s, dir)
     val valid = triples.join(
       Preference.validatePairs(triples, "doc_id", "prompt", "chosen", "rejected")
         .filter(col("valid"))
@@ -3223,6 +3231,44 @@ object ExtensionQueries {
     Packing.packBinsByCount(clean, "doc_id", "grp", "n_tokens", capacity = 1024)
       .select(col("id").as("doc_id"), col("grp"), col("n_tokens"), col("bin_id"))
       .join(clean.select("doc_id", "chosen_tokens"), "doc_id")
+  }
+
+  /** [[qPipelineSftLedger]]'s preference twin — the (doc_id, stage,
+    * reason) rejects frame for the DPO endgame: `gate` rejects carry
+    * their failing [[graft.operators.Preference.validatePairs]] flag
+    * names, `conflict` rejects are the gate-clean rows whose
+    * unordered response-fingerprint pair is contradictory under
+    * [[graft.operators.Preference.labelConflicts]]. Packing rejects
+    * nothing, so ledger rows + q_pipeline_pref's packed rows = the
+    * input corpus (spec-pinned like the SFT tie-out). Each gate
+    * evaluates once; the conflict census is the same 32-byte-key
+    * aggregate the pipeline runs. */
+  private val qPipelinePrefLedger: Q = (s, dir) => {
+    import graft.operators.Preference
+    val triples = prefPipelineTriples(s, dir)
+    val flags = Preference.validatePairs(
+      triples, "doc_id", "prompt", "chosen", "rejected")
+    val gateRejects = flags.filter(!col("valid"))
+      .select(col("doc_id"), lit("gate").as("stage"),
+        concat_ws(",",
+          when(!col("distinct_ok"), "distinct"),
+          when(!col("nonempty_ok"), "nonempty"),
+          when(!col("ratio_ok"), "ratio")).as("reason"))
+    val valid = triples.join(
+      flags.filter(col("valid")).select("doc_id"), "doc_id")
+    val conflicted = Preference.labelConflicts(valid, "chosen", "rejected")
+      .filter(col("conflicted")).select("key_lo", "key_hi")
+    val conflictRejects = valid
+      .withColumn("key_lo",
+        least(TextFunctions.fingerprint(col("chosen")),
+          TextFunctions.fingerprint(col("rejected"))))
+      .withColumn("key_hi",
+        greatest(TextFunctions.fingerprint(col("chosen")),
+          TextFunctions.fingerprint(col("rejected"))))
+      .join(conflicted, Seq("key_lo", "key_hi"), "left_semi")
+      .select(col("doc_id"), lit("conflict").as("stage"),
+        lit("conflicted_pair").as("reason"))
+    gateRejects.unionByName(conflictRejects)
   }
 
   // ------------------------------------------------------------------------
@@ -3392,6 +3438,7 @@ object ExtensionQueries {
     "q_pipeline_sft" -> qPipelineSft,
     "q_pipeline_sft_ledger" -> qPipelineSftLedger,
     "q_pipeline_pref" -> qPipelinePref,
+    "q_pipeline_pref_ledger" -> qPipelinePrefLedger,
     "q_chat_dedup" -> qChatDedup,
     "q_events_ewma" -> qEventsEwma,
     "q_events_changepoint" -> qEventsChangepoint,
@@ -7490,12 +7537,18 @@ object ExtensionQueries {
     * the fingerprint pair census with the conflicted cut, the
     * NOT-EXISTS anti-join, and the next-fit pack walk at 1024 with
     * the chosen-token (trainable) mass carried through. */
-  private val pipelinePrefSql: String = {
+  /** The [[qPipelinePref]] replay's shared CTE chain — construction +
+    * pool/flip injection, NAMED admission flags (`pp_fl`), the valid
+    * set, fingerprint pair keys, and the conflicted-pair census
+    * (ending at `pp_c`) — shared by the survivor pyramid and the
+    * reject ledger. Returned UNSTRIPPED (margined) per the
+    * one-stripMargin rule ([[pipelineSftCtes]]). */
+  private def pipelinePrefCtes: String = {
     val nt = "CAST(len(list_filter(regexp_split_to_array(%s, " +
       s"'$ws+'), x -> x <> ''))" + " AS BIGINT)"
     def fp(c: String) =
       s"md5(trim(regexp_replace(lower($c), '$ws+', ' ', 'g')))"
-    s"""WITH RECURSIVE $prefTriplesCtes,
+    s"""$prefTriplesCtes,
        |pp_pool AS (SELECT id, prompt,
        |    CASE WHEN id % 5 = 0
        |         THEN 'alpha ' || CAST((id // 5) % 8 AS VARCHAR)
@@ -7513,11 +7566,15 @@ object ExtensionQueries {
        |    ${nt.format("chosen")} AS chosen_tokens,
        |    ${nt.format("rejected")} AS rejected_tokens
        |  FROM pp_t),
-       |pp_v AS MATERIALIZED (SELECT * FROM pp_f
-       |  WHERE chosen <> rejected
-       |    AND prompt_tokens > 0 AND chosen_tokens > 0 AND rejected_tokens > 0
-       |    AND chosen_tokens * 1000 <= 4000 * rejected_tokens
-       |    AND rejected_tokens * 1000 <= 4000 * chosen_tokens),
+       |pp_fl AS (SELECT *,
+       |    (chosen <> rejected) AS distinct_ok,
+       |    (prompt_tokens > 0 AND chosen_tokens > 0 AND rejected_tokens > 0)
+       |      AS nonempty_ok,
+       |    (chosen_tokens * 1000 <= 4000 * rejected_tokens
+       |     AND rejected_tokens * 1000 <= 4000 * chosen_tokens) AS ratio_ok
+       |  FROM pp_f),
+       |pp_v AS MATERIALIZED (SELECT * FROM pp_fl
+       |  WHERE distinct_ok AND nonempty_ok AND ratio_ok),
        |pp_k AS MATERIALIZED (SELECT *, least(fa, fb) AS key_lo,
        |    greatest(fa, fb) AS key_hi,
        |    CASE WHEN fa < fb THEN 1 ELSE 0 END AS fwd
@@ -7526,7 +7583,11 @@ object ExtensionQueries {
        |pp_c AS MATERIALIZED (SELECT key_lo, key_hi FROM (
        |    SELECT key_lo, key_hi, COUNT(*) AS np, SUM(fwd) AS nf
        |    FROM pp_k GROUP BY 1, 2) pp_g
-       |  WHERE nf > 0 AND np - nf > 0),
+       |  WHERE nf > 0 AND np - nf > 0)"""
+  }
+
+  private val pipelinePrefSql: String =
+    s"""WITH RECURSIVE $pipelinePrefCtes,
        |pp_s AS MATERIALIZED (SELECT id, id % 8 AS grp,
        |    prompt_tokens + chosen_tokens + rejected_tokens + 3 AS n,
        |    chosen_tokens
@@ -7545,7 +7606,23 @@ object ExtensionQueries {
        |  FROM pp_walk w JOIN pp_r r2 ON r2.grp = w.grp AND r2.rn = w.rn + 1)
        |SELECT id AS doc_id, grp, n AS n_tokens, bin AS bin_id, chosen_tokens
        |FROM pp_walk""".stripMargin
-  }
+
+  /** Mirrors [[qPipelinePrefLedger]] over the SAME
+    * [[pipelinePrefCtes]] chain: gate rejects with their failing flag
+    * names, conflict rejects as the gate-clean rows whose unordered
+    * fingerprint pair sits in the conflicted census. */
+  private val pipelinePrefLedgerSql: String =
+    s"""WITH RECURSIVE $pipelinePrefCtes
+       |SELECT doc_id, stage, reason FROM (
+       |  SELECT id AS doc_id, 'gate' AS stage, concat_ws(',',
+       |      CASE WHEN NOT distinct_ok THEN 'distinct' END,
+       |      CASE WHEN NOT nonempty_ok THEN 'nonempty' END,
+       |      CASE WHEN NOT ratio_ok THEN 'ratio' END) AS reason
+       |  FROM pp_fl WHERE NOT (distinct_ok AND nonempty_ok AND ratio_ok)
+       |  UNION ALL
+       |  SELECT id, 'conflict', 'conflicted_pair'
+       |  FROM pp_k WHERE EXISTS (SELECT 1 FROM pp_c c
+       |    WHERE c.key_lo = pp_k.key_lo AND c.key_hi = pp_k.key_hi)) led""".stripMargin
 
   /** Mirrors [[qCorpusManifest]]: one projected scan computing
     * token count / canonical fingerprint / DECIMAL(18,9) quality /
@@ -7736,6 +7813,7 @@ object ExtensionQueries {
     "q_pipeline_sft" -> pipelineSftSql,
     "q_pipeline_sft_ledger" -> pipelineSftLedgerSql,
     "q_pipeline_pref" -> pipelinePrefSql,
+    "q_pipeline_pref_ledger" -> pipelinePrefLedgerSql,
     "q_chat_dedup" -> chatDedupSql,
     "q_profile_kmv_overlap" -> profileKmvOverlapSql,
     "q_dedup_simhash" -> dedupSimhashSql,

@@ -2472,6 +2472,21 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("preference reject ledger ties out against the packed DPO corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val input = spark.read.parquet(s"$sf/documents.parquet").count()
+    val packed = graft.queries.ExtensionQueries.all("q_pipeline_pref")(spark, sf)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val ledger = graft.queries.ExtensionQueries.all("q_pipeline_pref_ledger")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ledgerIds = ledger.map(_._1).toSet
+    assert(ledger.length == ledgerIds.size)
+    assert(ledgerIds.intersect(packed).isEmpty)
+    assert(packed.size + ledger.length == input,
+      s"tie-out: ${packed.size} + ${ledger.length} != $input")
+    assert(ledger.map(_._2).toSet == Set("gate", "conflict"))
+  }
+
   test("dsirLogWeights names the empty side instead of an opaque NPE") {
     val empty = df("doc_id BIGINT, text STRING")
     val full = df("doc_id BIGINT, text STRING", Row(1L, "some raw text here"))

@@ -372,6 +372,26 @@ class PlanGuardSpec extends SparkSpec {
       s"q_split_decontam: no band-keyed candidate join: $keyLines")
     assert(keyLines.exists(_.contains("__fp")),
       s"q_split_decontam: no fingerprint-keyed exact gate: $keyLines")
+    // round 12: the embedding modality probes test-side k-means cells
+    // as an EQUI join on the cell id (the SemDeDup incremental shape)
+    assert(keyLines.exists(_.contains("cell")),
+      s"q_split_decontam: semantic probe lost its cell key: $keyLines")
+  }
+
+  test("forget chain: tombstones subtract as id-keyed ANTI joins; " +
+    "the persisted-index probe stays band-keyed") {
+    // q_forget's scale contract: deletes are deletion-sized anti-join
+    // inputs (never an index rewrite in the read path), and the batch
+    // probe against the post-delete minhash store remains the
+    // (band_idx, band_hash) equi join — a forgotten doc can therefore
+    // never re-enter through either the fingerprint or the band path
+    val plan = planOf("q_forget")
+    assert(plan.contains("LeftAnti"),
+      s"q_forget: no anti-join in the tombstone/dedup chain\n$plan")
+    val keyLines = plan.linesIterator
+      .filter(_.matches(""".*(Left|Right) keys.*""")).toSeq
+    assert(keyLines.exists(l => l.contains("band_idx") && l.contains("band_hash")),
+      s"q_forget: persisted-index probe lost its band keys: $keyLines")
   }
 
   test("tombstoned index read subtracts deletes as an id-keyed ANTI join; probe stays cell-keyed") {
