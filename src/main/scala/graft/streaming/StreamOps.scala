@@ -329,6 +329,42 @@ object StreamOps {
     query
   }
 
+  /** [[dedupAgainstStream]] against a PERSISTED
+    * [[graft.sources.DedupIndexStore]] minhash index — the streaming
+    * path of corpus-wide right-to-be-forgotten: the index loads at
+    * query start THROUGH the tombstone anti-join, so a document
+    * deleted from the store stops suppressing new near-duplicates of
+    * itself the moment the stream (re)starts — no rebuild, no
+    * re-signature (the store was built once; the load is a parquet
+    * scan + a deletion-sized anti-join). `corpusTexts` supplies the
+    * rescore side; candidates can only reference retained index rows,
+    * so a deleted doc's text row is inert (and doubles as the leak
+    * canary, exactly as in q_forget). Corpus fixed at query start,
+    * same restart contract as [[dedupAgainstStream]]. */
+  def dedupAgainstStoreStream(
+      docs: DataFrame,
+      corpusTexts: DataFrame,
+      indexDir: String,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      jaccardThreshold: Double = 0.5)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val idx = graft.sources.DedupIndexStore
+      .readMinhash(docs.sparkSession, indexDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val query = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(graft.operators.Dedup.dedupAgainst(
+          batch.toDF(), corpusTexts, idCol, textCol,
+          jaccardThreshold = jaccardThreshold, index = Some(idx)))
+      }
+      .start()
+    unpersistOnTermination(docs.sparkSession, query, idx)
+    query
+  }
+
   /** One micro-batch of the composed INGEST chain — the shared batch
     * function behind [[ingestStream]] and its batch/backfill twin
     * (StreamingSpec's parity case runs THIS on the union of the

@@ -137,6 +137,59 @@ class DedupIndexStoreSpec extends SparkSpec {
       "doc_id", "text")))
   }
 
+  test("a failing rename at any swap or publish step never loses the " +
+    "live minhash store") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faulty.impl", classOf[FaultyRenameFs].getName)
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+    val local = java.nio.file.Files.createTempDirectory("graft_mhidx_crash").toString
+    val dir = s"faulty://$local/idx"
+    def probe() = rows(Dedup.dedupAgainst(batch, corpus, "doc_id", "text",
+      index = Some(DedupIndexStore.readMinhash(spark, dir))))
+    try {
+      DedupIndexStore.buildMinhash(spark, dir, corpus, "doc_id", "text")
+      val good = probe()
+
+      // crash window 1: the aside move fails — live store untouched
+      FaultyRenameFs.failDstName = Some("idx.old")
+      val e1 = intercept[IllegalArgumentException] {
+        DedupIndexStore.buildMinhash(spark, dir, corpus, "doc_id", "text")
+      }
+      FaultyRenameFs.reset()
+      assert(e1.getMessage.contains("could not move previous index aside"))
+      assert(probe() == good, "live store must survive a failed aside move")
+
+      // crash window 2: the staging swap fails AFTER the old store
+      // moved aside — the complete previous store readable at .old
+      FaultyRenameFs.failSrcName = Some("idx.staging")
+      val e2 = intercept[IllegalArgumentException] {
+        DedupIndexStore.buildMinhash(spark, dir, corpus, "doc_id", "text")
+      }
+      FaultyRenameFs.reset()
+      assert(e2.getMessage.contains(s"previous index preserved at $dir.old"))
+      assert(rows(Dedup.dedupAgainst(batch, corpus, "doc_id", "text",
+        index = Some(DedupIndexStore.readMinhash(spark, dir + ".old")))) == good)
+
+      // heal, then crash window 3: the tombstone segment publish
+      // fails — the delete reports failure, reads behave as if no
+      // delete happened (the unpublished staging is invisible), and
+      // the NEXT delete sweeps the stale staging and lands
+      DedupIndexStore.buildMinhash(spark, dir, corpus, "doc_id", "text")
+      val deadIds = corpus.filter(col("doc_id") % 7 === 3).select("doc_id")
+      FaultyRenameFs.failDstName = Some("seg=0")
+      val e3 = intercept[IllegalArgumentException] {
+        DedupIndexStore.deleteIds(spark, dir, deadIds, "doc_id")
+      }
+      FaultyRenameFs.reset()
+      assert(e3.getMessage.contains("could not publish segment"))
+      assert(probe() == good, "an unpublished delete must suppress nothing")
+      DedupIndexStore.deleteIds(spark, dir, deadIds, "doc_id")
+      assert(DedupIndexStore.readMinhash(spark, dir)
+        .filter(col("id") % 7 === 3).count() == 0)
+    } finally FaultyRenameFs.reset()
+  }
+
   test("sketch forgetting refuses with the typed error; " +
     "rebuild-from-retained ≡ never-ingested") {
     val dead = docs.filter(col("doc_id") % 7 === 3).select("doc_id")

@@ -410,6 +410,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupAgainstStoreStream honors tombstone deletes at query start — " +
+    "the streaming right-to-be-forgotten path") {
+    import org.apache.spark.sql.Row
+    import graft.sources.DedupIndexStore
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      Row(101L, "completely different content about spark query engines and shuffles"))
+    val schema = corpus.schema
+    val b1 = Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 100
+      Row(2L, "entirely novel text about streaming watermarks and state stores"))
+
+    // baseline: with the full store, the near-dup of 100 is suppressed
+    def run(idxDir: String): Set[Long] = {
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_dss_src").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_dss_ckpt").toString
+      val survivors = scala.collection.mutable.Set.empty[Long]
+      val q = StreamOps.dedupAgainstStoreStream(
+        spark.readStream.schema(schema).parquet(srcDir),
+        corpus, idxDir, "doc_id", "text", ckpt)(out =>
+        survivors ++= out.select("doc_id").collect().map(_.getLong(0)))
+      try {
+        spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(b1: _*)), schema)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      } finally q.stop()
+      survivors.toSet
+    }
+
+    val dirA = java.nio.file.Files.createTempDirectory("graft_dss_idx").toString + "/idx"
+    DedupIndexStore.buildMinhash(spark, dirA, corpus, "doc_id", "text")
+    assert(run(dirA) == Set(2L), "pre-delete: the near-dup must be suppressed")
+
+    // forget doc 100, restart the stream: its near-dup now SURVIVES —
+    // the forgotten document no longer suppresses anything, even
+    // though its text row is still passed as the (inert) rescore side
+    DedupIndexStore.deleteIds(spark, dirA,
+      corpus.filter(col("doc_id") === 100L).select("doc_id"), "doc_id")
+    assert(run(dirA) == Set(1L, 2L),
+      "post-delete: a forgotten doc must stop suppressing new near-dups")
+  }
+
   test("ingestStream: gates -> incremental dedup -> per-batch states in one " +
     "foreachBatch chain; 3-batch replay merges to the batch chain on the union") {
     import org.apache.spark.sql.Row
