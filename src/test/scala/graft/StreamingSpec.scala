@@ -863,5 +863,14 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(got.toSet == want && want.size == 6)
     } finally q.stop()
+    // the cached weight table releases itself when the query
+    // terminates (QueryTerminated listener) — the retrain-and-restart
+    // cadence must not leak a cached table per restart. The listener
+    // bus is async; poll briefly.
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (w.storageLevel != org.apache.spark.storage.StorageLevel.NONE &&
+           System.nanoTime() < deadline) Thread.sleep(100)
+    assert(w.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "scoreStream must unpersist its weights on query termination")
   }
 }
