@@ -106,6 +106,27 @@ object DedupIndexStore {
     readMinhash(spark, dir)
   }
 
+  /** [[appendMinhash]] at an EXPLICIT segment id — the idempotent
+    * streaming-append form ([[Segments.publishSegment]]): replaying
+    * the same (batch, segId) publish after a checkpoint restart is a
+    * no-op, so a foreachBatch writer keyed by micro-batch id gets
+    * exactly-once appends. Streaming writers offset their segment ids
+    * (see [[graft.streaming.StreamOps.minhashStoreStream]]) so they
+    * can never collide with the build/append auto-numbered segments.
+    * Returns true when this call published. */
+  def appendMinhashAt(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      segId: Long): Boolean = {
+    val (shingleN, numHashes, bands) = minhashParams(spark, dir)
+    Segments.publishSegment(spark, s"$dir/bands",
+      Dedup.corpusIndex(batch, idCol, textCol, shingleN, numHashes, bands)
+        .withColumn("id", col("id").cast("long")), segId)
+  }
+
   /** Load the minhash index: union of published segments minus the
     * tombstone set — the exact [[graft.operators.Dedup.corpusIndex]]
     * shape [[graft.operators.Dedup.dedupAgainst]]'s `index` parameter
@@ -174,6 +195,19 @@ object DedupIndexStore {
       Dedup.lineProvenance(batch, idCol, textCol, lineParams(spark, dir)))
     readLines(spark, dir)
   }
+
+  /** [[appendLines]] at an EXPLICIT segment id — the idempotent
+    * streaming-append form (see [[appendMinhashAt]]). */
+  def appendLinesAt(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      segId: Long): Boolean =
+    Segments.publishSegment(spark, s"$dir/lines",
+      Dedup.lineProvenance(batch, idCol, textCol, lineParams(spark, dir)),
+      segId)
 
   /** Load the aggregated (line_hash, line_df) view — the exact
     * [[graft.operators.Dedup.lineIndex]] shape

@@ -47,6 +47,31 @@ private[graft] object Segments {
       s"Segments: could not publish segment $seg — live table unchanged")
   }
 
+  /** Write `rows` as the EXPLICITLY-NUMBERED `seg=<segId>` of a
+    * segmented table, idempotently: if that segment is already
+    * published, the call is a no-op (the staging is swept, nothing
+    * double-counts). This is the streaming-append discipline — a
+    * foreachBatch writer keyed by the micro-batch id can be REPLAYED
+    * after a restart inside the checkpoint window, and replaying a
+    * publish must not append the same rows twice (the `cmsStream`
+    * overwrite-by-path idempotence, carried to segment stores).
+    * Returns true when this call published the segment. */
+  def publishSegment(
+      spark: SparkSession, table: String, rows: DataFrame, segId: Long): Boolean = {
+    val fs = fsFor(spark, table)
+    val seg = new org.apache.hadoop.fs.Path(s"$table/seg=$segId")
+    if (fs.exists(seg)) return false // already published — replay no-op
+    val staging = new org.apache.hadoop.fs.Path(s"$table/_append.staging")
+    fs.delete(staging, true)
+    rows.write.mode("overwrite").parquet(staging.toString)
+    // a concurrent publisher may have landed it while we staged; the
+    // rename then fails and the staging is swept — still exactly once
+    if (fs.rename(staging, seg)) true
+    else if (fs.exists(seg)) { fs.delete(staging, true); false }
+    else throw new IllegalStateException(
+      s"Segments: could not publish segment $seg — live table unchanged")
+  }
+
   /** Tombstone DELETE: publish the ids as one new segment of the
     * `tombstones` table under the index dir — O(deletion), the live
     * corpus table untouched. Contract (spec-pinned on every store

@@ -329,6 +329,64 @@ object StreamOps {
     query
   }
 
+  /** Segment ids used by the streaming store writers: `segBase +
+    * batchId`. batchId is deterministic from the checkpoint, so a
+    * replayed micro-batch republishes the SAME segment id and
+    * [[graft.sources.Segments.publishSegment]] makes that a no-op —
+    * exactly-once appends across restarts. The offset keeps streamed
+    * segments out of the build/append auto-numbered range. */
+  val StoreStreamSegBase: Long = 1000000000L
+
+  /** Continuous FORGETTABLE indexing — the streaming producer for the
+    * persisted [[graft.sources.DedupIndexStore]] minhash index: each
+    * micro-batch's banded signature rows publish as segment
+    * `segBase + batchId` (idempotent on replay — see
+    * [[StoreStreamSegBase]]), so the standing corpus index GROWS from
+    * the stream while keeping the full tombstone
+    * right-to-be-forgotten contract (deleteIds works mid-stream; the
+    * anti-join applies on every read). Versus [[lineIndexStream]]'s
+    * per-batch df tables, this writes the FORGETTABLE granularity.
+    * The store must exist (build it first, over the seed corpus or
+    * empty) — the frozen banding params are read from it, never from
+    * the caller. */
+  def minhashStoreStream(
+      docs: DataFrame,
+      indexDir: String,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      segBase: Long = StoreStreamSegBase): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.sources.DedupIndexStore.appendMinhashAt(
+          docs.sparkSession, indexDir, batch.toDF(), idCol, textCol,
+          segBase + batchId)
+        ()
+      }
+      .start()
+
+  /** [[minhashStoreStream]]'s line-index twin: per micro-batch
+    * (id, line_hash) provenance published at `segBase + batchId` —
+    * the forgettable streaming form of [[lineIndexStream]] (which
+    * writes unforgettable df aggregates). */
+  def lineStoreStream(
+      docs: DataFrame,
+      indexDir: String,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      segBase: Long = StoreStreamSegBase): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.sources.DedupIndexStore.appendLinesAt(
+          docs.sparkSession, indexDir, batch.toDF(), idCol, textCol,
+          segBase + batchId)
+        ()
+      }
+      .start()
+
   /** [[dedupAgainstStream]] against a PERSISTED
     * [[graft.sources.DedupIndexStore]] minhash index — the streaming
     * path of corpus-wide right-to-be-forgotten: the index loads at
@@ -422,7 +480,12 @@ object StreamOps {
     * so restarts never double-count. The live corpus manifest at any
     * moment is [[ingestManifest]] (merge-on-read — KMV/counter
     * closure, exactly what the parity spec pins against the batch
-    * chain on the union).
+    * chain on the union). The curried `sink` receives each batch's
+    * SURVIVORS (the pipeline's actual product — write them to the
+    * training corpus); survivors persist for the batch so the
+    * gate/dedup chain runs once for sink + states, and a sink that
+    * writes idempotently by batch id keeps the whole chain
+    * exactly-once.
     *
     * Scope mirrors [[dedupAgainstStream]]: the dedup corpus is FIXED
     * at query start; folding survivors into it is a checkpointed
@@ -442,19 +505,27 @@ object StreamOps {
       minTokens: Long = 5L,
       maxTokens: Long = 1000L,
       jaccardThreshold: Double = 0.5,
-      k: Int = 16): StreamingQuery = {
+      k: Int = 16)(
+      sink: DataFrame => Unit = _ => ()): StreamingQuery = {
     val idx = graft.operators.Dedup
       .corpusIndex(corpus, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val query = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // survivors feed BOTH the caller's sink and the state publish;
+        // persist for the batch's lifetime so the gate/dedup chain
+        // runs once, not once per consumer
         val survivors = ingestBatch(batch.toDF(), corpus, idCol, sourceCol,
           textCol, Some(idx), lang, minQuality, minTokens, maxTokens,
           jaccardThreshold)
-        graft.operators.Profile.manifestStates(survivors, sourceCol, textCol, k)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$statesDir/batch=$batchId")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sink(survivors)
+          graft.operators.Profile.manifestStates(survivors, sourceCol, textCol, k)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$statesDir/batch=$batchId")
+        } finally survivors.unpersist()
       }
       .start()
     unpersistOnTermination(docs.sparkSession, query, idx)

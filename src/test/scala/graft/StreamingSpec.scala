@@ -479,9 +479,11 @@ class StreamingSpec extends SparkSpec {
     def writeBatch(rows: Seq[Row]): Unit =
       spark.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
         .coalesce(1).write.mode("append").parquet(srcDir)
+    val sunk = scala.collection.mutable.Set.empty[Long]
     val q = StreamOps.ingestStream(
       spark.readStream.schema(schema).parquet(srcDir),
-      corpus, "doc_id", "source", "text", statesDir, ckpt)
+      corpus, "doc_id", "source", "text", statesDir, ckpt)(out =>
+      sunk ++= out.select("doc_id").collect().map(_.getLong(0)))
     try {
       writeBatch(b1); q.processAllAvailable()
       writeBatch(b2); q.processAllAvailable()
@@ -503,7 +505,80 @@ class StreamingSpec extends SparkSpec {
       val survivors = StreamOps.ingestBatch(union, corpus, "doc_id", "source", "text")
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(survivors == Set(2L, 4L, 8L))
+      // the sink saw the same survivors the state publish counted
+      assert(sunk.toSet == survivors,
+        "the survivors sink and the published states must see one world")
     } finally q.stop()
+  }
+
+  test("minhash/line store streams append idempotent forgettable segments; " +
+    "deletes keep working on the streamed store") {
+    import org.apache.spark.sql.Row
+    import graft.sources.DedupIndexStore
+    import graft.operators.Dedup
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    val seed = df("doc_id BIGINT, text STRING",
+      Row(100L, "seed corpus line\nthe quick brown fox jumps over the lazy dog"))
+    val b1 = Seq(Row(1L, "seed corpus line\nnovel text about the streaming watermarks"),
+      Row(2L, "another document with its own content entirely"))
+    val b2 = Seq(Row(3L, "seed corpus line\na third document arrives later"))
+    def writeBatch(srcDir: String, rows: Seq[Row]): Unit =
+      spark.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    // ---- line store stream
+    val lnDir = java.nio.file.Files.createTempDirectory("graft_lss_idx").toString + "/idx"
+    DedupIndexStore.buildLines(spark, lnDir, seed, "doc_id", "text")
+    val lnSrc = java.nio.file.Files.createTempDirectory("graft_lss_src").toString
+    val lnCkpt = java.nio.file.Files.createTempDirectory("graft_lss_ckpt").toString
+    val lq = StreamOps.lineStoreStream(
+      spark.readStream.schema(schema).parquet(lnSrc), lnDir, "doc_id", "text", lnCkpt)
+    try {
+      writeBatch(lnSrc, b1); lq.processAllAvailable()
+      writeBatch(lnSrc, b2); lq.processAllAvailable()
+    } finally lq.stop()
+    assert(new java.io.File(
+      lnDir + s"/lines/seg=${StreamOps.StoreStreamSegBase}").isDirectory)
+    def lnRows = DedupIndexStore.readLines(spark, lnDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = Dedup.lineIndex(
+      seed.unionByName(spark.read.parquet(lnSrc)), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lnRows == whole, "streamed store == one-shot index over the union")
+    // replaying a batch publish at the same segment id is a no-op
+    assert(!DedupIndexStore.appendLinesAt(spark, lnDir,
+      spark.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(b1: _*)), schema),
+      "doc_id", "text", StreamOps.StoreStreamSegBase))
+    assert(lnRows == whole, "a replayed publish must not double-count")
+    // and the streamed store still honors deletes
+    DedupIndexStore.deleteIds(spark, lnDir,
+      seed.select("doc_id"), "doc_id")
+    assert(DedupIndexStore.readLines(spark, lnDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Dedup.lineIndex(spark.read.parquet(lnSrc), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "post-delete streamed store == never-ingested index")
+
+    // ---- minhash store stream
+    val mhDir = java.nio.file.Files.createTempDirectory("graft_mss_idx").toString + "/idx"
+    DedupIndexStore.buildMinhash(spark, mhDir, seed, "doc_id", "text")
+    val mhSrc = java.nio.file.Files.createTempDirectory("graft_mss_src").toString
+    val mhCkpt = java.nio.file.Files.createTempDirectory("graft_mss_ckpt").toString
+    val mq = StreamOps.minhashStoreStream(
+      spark.readStream.schema(schema).parquet(mhSrc), mhDir, "doc_id", "text", mhCkpt)
+    try {
+      writeBatch(mhSrc, b1); mq.processAllAvailable()
+      writeBatch(mhSrc, b2); mq.processAllAvailable()
+    } finally mq.stop()
+    def mhRows = DedupIndexStore.readMinhash(spark, mhDir)
+      .collect().map(_.toString).toSet
+    assert(mhRows == Dedup.corpusIndex(
+      seed.unionByName(spark.read.parquet(mhSrc)), "doc_id", "text", 3, 64, 16)
+      .collect().map(_.toString).toSet)
+    assert(!DedupIndexStore.appendMinhashAt(spark, mhDir,
+      spark.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(b2: _*)), schema),
+      "doc_id", "text", StreamOps.StoreStreamSegBase + 1))
   }
 
   test("bloomDedupStream drops exact corpus dupes per micro-batch, matches the batch operator") {
