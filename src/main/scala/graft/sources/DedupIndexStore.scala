@@ -241,6 +241,67 @@ object DedupIndexStore {
     readLines(spark, dir)
   }
 
+  /** Maintenance audit for a segmented store table — the
+    * compaction-due trigger pairing [[AnnIndex.driftAudit]]'s model
+    * staleness with STORAGE staleness: appends accumulate segments
+    * (small files, widening scans) and deletes accumulate tombstones
+    * (anti-join work on every read, forgotten rows still on disk —
+    * at rest, a compliance clock). One row:
+    * `(n_segments, n_docs_live, n_docs_tombstoned, tombstone_ppm,
+    * compaction_due)` — due when segments exceed `maxSegments` OR the
+    * tombstoned fraction exceeds `maxTombstonePpm` (exact integer
+    * ppm). `table` is the corpus-sized child (`bands` / `lines` /
+    * `assigned` / `coded` / `bucketed` — works for any
+    * [[Segments]]-layout store).
+    *
+    * Scale posture: the segment count is a driver-side directory
+    * listing (segment-cardinality); the doc counts are two distinct
+    * aggregates over id columns (map-side partials); the two
+    * single-row counts combine through a union + pivot fold, never a
+    * 1×1 cross join (which would plan the CartesianProduct the
+    * catalog gate bans). */
+  def maintenanceAudit(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      maxSegments: Int = 16,
+      maxTombstonePpm: Long = 100000L): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def segsOf(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(path)) 0L
+      else fs.listStatus(path)
+        .count(st => Segments.SegDir.matches(st.getPath.getName)).toLong
+    }
+    val nSegments = segsOf(s"$dir/$table")
+    val hasTombstones = segsOf(s"$dir/tombstones") > 0
+    val live = Segments
+      .minusTombstones(spark, dir,
+        spark.read.parquet(s"$dir/$table").select("id"))
+      .select(lit("live").as("__k"), col("id"))
+    val tomb =
+      if (!hasTombstones)
+        live.filter(lit(false)).select(lit("tomb").as("__k"), col("id"))
+      else spark.read.parquet(s"$dir/tombstones")
+        .select(lit("tomb").as("__k"), col("id"))
+    live.unionByName(tomb)
+      .groupBy()
+      .agg(
+        countDistinct(when(col("__k") === "live", col("id"))).as("n_docs_live"),
+        countDistinct(when(col("__k") === "tomb", col("id"))).as("n_docs_tombstoned"))
+      .withColumn("n_segments", lit(nSegments))
+      .withColumn("tombstone_ppm",
+        when(col("n_docs_live") + col("n_docs_tombstoned") > 0,
+          expr("n_docs_tombstoned * 1000000 div (n_docs_live + n_docs_tombstoned)"))
+          .otherwise(0L))
+      .withColumn("compaction_due",
+        col("n_segments") > maxSegments ||
+          col("tombstone_ppm") > maxTombstonePpm)
+      .select("n_segments", "n_docs_live", "n_docs_tombstoned",
+        "tombstone_ppm", "compaction_due")
+  }
+
   // --------------------------------------------------------- forget
 
   /** Tombstone DELETE — identical contract and cost for both

@@ -137,6 +137,39 @@ class DedupIndexStoreSpec extends SparkSpec {
       "doc_id", "text")))
   }
 
+  test("maintenanceAudit: segment and tombstone pressure trip the " +
+    "compaction trigger, and compaction resets it") {
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
+    val seg0 = corpus.filter(col("doc_id") % 10 < 4)
+    val seg1 = corpus.filter(col("doc_id") % 10 >= 4)
+    val dir = tmp("graft_mhidx_maint")
+    DedupIndexStore.buildMinhash(spark, dir, seg0, "doc_id", "text")
+    DedupIndexStore.appendMinhash(spark, dir, seg1, "doc_id", "text")
+    val deadIds = corpus.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val nDead = deadIds.count()
+    val nAll = corpus.count()
+    DedupIndexStore.deleteIds(spark, dir, deadIds, "doc_id")
+
+    def audit(maxSegments: Int = 16, maxPpm: Long = 100000L) =
+      DedupIndexStore.maintenanceAudit(spark, dir, "bands", maxSegments, maxPpm)
+        .collect().head
+    // exact integers: 2 segments, live = all - dead, ppm over totals
+    val r = audit()
+    assert(r.getLong(0) == 2L && r.getLong(1) == nAll - nDead &&
+      r.getLong(2) == nDead)
+    assert(r.getLong(3) == nDead * 1000000L / nAll)
+    // the trigger fires on EITHER pressure axis
+    assert(r.getBoolean(4), "default 10% tombstone cap must trip here")
+    assert(!audit(maxPpm = 500000L).getBoolean(4))
+    assert(audit(maxSegments = 1, maxPpm = 500000L).getBoolean(4))
+    // compaction clears both pressures
+    DedupIndexStore.compactMinhash(spark, dir)
+    val after = audit()
+    assert(after.getLong(0) == 1L && after.getLong(2) == 0L &&
+      after.getLong(3) == 0L && !after.getBoolean(4))
+    assert(after.getLong(1) == nAll - nDead)
+  }
+
   test("a failing rename at any swap or publish step never loses the " +
     "live minhash store") {
     spark.sparkContext.hadoopConfiguration
