@@ -501,6 +501,51 @@ object PropertySpec extends Properties("graft") {
       out.forall(r => r.getLong(0) == c * r.getLong(1))
     }
 
+  // forget closure, generalized past the q_forget fixture: for ANY
+  // small corpus and ANY delete subset (empty and everything
+  // included — the generator's modulus sweeps both), the post-delete
+  // store reads are value-identical to an index built over a corpus
+  // that never held the deleted docs, in BOTH store families
+  property("store delete == never-ingested (minhash bands + line provenance)") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(
+        Gen.nonEmptyListOf(Gen.chooseNum(0, 6)).map(_.take(8))).map(_.take(7)),
+      Gen.chooseNum(1, 5), Gen.chooseNum(0, 4)) { (docs0, mod, residue) =>
+      import graft.sources.DedupIndexStore
+      val docs = docs0.zipWithIndex.map { case (ws, i) =>
+        // small shared alphabet => genuine cross-doc dup lines/shingles
+        (i.toLong, ws.map(k => s"word$k token$k").mkString("\n"))
+      }
+      val d = mkDf("doc_id BIGINT, text STRING",
+        docs.map { case (id, t) => Row(id, t) })
+      val deadIds = docs.map(_._1).filter(id => id % mod == residue % mod)
+      val retained = d.filter(!col("doc_id").isInCollection(
+        if (deadIds.isEmpty) Seq(-1L) else deadIds))
+      val base = java.nio.file.Files.createTempDirectory("graft_prop_forget").toString
+
+      val mhDir = s"$base/mh"
+      DedupIndexStore.buildMinhash(spark, mhDir, d, "doc_id", "text")
+      if (deadIds.nonEmpty)
+        DedupIndexStore.deleteIds(spark, mhDir,
+          mkDf("doc_id BIGINT", deadIds.map(Row(_))), "doc_id")
+      val mhOk = DedupIndexStore.readMinhash(spark, mhDir)
+        .collect().map(_.toString).toSet ==
+        graft.operators.Dedup.corpusIndex(retained, "doc_id", "text", 3, 64, 16)
+          .collect().map(_.toString).toSet
+
+      val lnDir = s"$base/ln"
+      DedupIndexStore.buildLines(spark, lnDir, d, "doc_id", "text")
+      if (deadIds.nonEmpty)
+        DedupIndexStore.deleteIds(spark, lnDir,
+          mkDf("doc_id BIGINT", deadIds.map(Row(_))), "doc_id")
+      val lnOk = DedupIndexStore.readLines(spark, lnDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        graft.operators.Dedup.lineIndex(retained, "doc_id", "text")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      mhOk && lnOk
+    }
+
   // line dedup == per-line document-frequency filter, order preserved,
   // all-boilerplate docs drop out (includes the no-repeats identity:
   // when every df is 1 nothing is removed)
