@@ -704,11 +704,18 @@ object ExtensionQueries {
       batch.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     val cents = Similarity.kmeansCentroidsDistributed(
       testEmb, "vec_id", "embedding", nlist = 8, iters = 2)
+    // subtract semantic HITS (embedded docs that did NOT survive the
+    // probe) rather than intersecting with survivors: a train/val doc
+    // with no embeddings row is "no semantic evidence", not a leak —
+    // an inner join on survivors would silently drop it (and diverge
+    // from the oracle, which computes sem_hit only over embedded docs)
     val semOk = Dedup.semanticDedupAgainst(
         batchEmb, testEmb, "vec_id", "embedding", cents,
         threshold = 0.3, maxClusterSize = Some(6))
       .select(col("vec_id").as("doc_id"))
-    lexOk.join(semOk, "doc_id")
+    val semHits = batchEmb.select(col("vec_id").as("doc_id"))
+      .join(semOk, Seq("doc_id"), "left_anti")
+    lexOk.join(semHits, Seq("doc_id"), "left_anti")
       .unionByName(test.select("doc_id", "split"))
   }
 

@@ -27,12 +27,33 @@ private[graft] object Segments {
 
   val SegDir = "seg=(\\d+)".r
 
+  /** The segment-id floor reserved for STREAMING writers
+    * ([[publishSegment]] callers keyed by micro-batch id):
+    * [[appendSegment]]'s auto-numbering only ever assigns ids BELOW
+    * this, so a manual append can never land inside the streamed
+    * range — where a later micro-batch's publish would mistake the
+    * occupied id for its own already-replayed segment and silently
+    * drop that batch's rows. */
+  val StreamSegBase: Long = 1000000000L
+
+  // Concurrency contract: ONE writer per segmented TABLE at a time.
+  // Appends and publishes stage under a shared `_append.staging` path
+  // (delete-then-write), so two concurrent writers on the same table
+  // can clobber each other's staging mid-flight; same-segment-id
+  // replays are the only tolerated overlap ([[publishSegment]]'s
+  // no-op path). The streaming writers own their store's corpus
+  // table — pause the stream for manual backfills. Reads and
+  // [[deleteIds]] (a different table) are always safe concurrently.
+
   private def fsFor(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
   /** Write `rows` as the next `seg=N` of a segmented table: stage
-    * under an underscore dir readers skip, then one atomic rename. */
+    * under an underscore dir readers skip, then one atomic rename.
+    * Auto-numbering considers only segments below [[StreamSegBase]],
+    * so manual appends interleave safely with a (paused) streaming
+    * writer's explicitly-numbered segments. */
   def appendSegment(
       spark: SparkSession, table: String, rows: DataFrame): Unit = {
     val fs = fsFor(spark, table)
@@ -40,8 +61,9 @@ private[graft] object Segments {
     fs.delete(staging, true) // sweep a stale crashed append
     rows.write.mode("overwrite").parquet(staging.toString)
     val next = fs.listStatus(new org.apache.hadoop.fs.Path(table))
-      .map(_.getPath.getName).collect { case SegDir(n) => n.toInt }
-      .foldLeft(-1)(math.max) + 1
+      .map(_.getPath.getName).collect { case SegDir(n) => n.toLong }
+      .filter(_ < StreamSegBase)
+      .foldLeft(-1L)(math.max) + 1
     val seg = new org.apache.hadoop.fs.Path(s"$table/seg=$next")
     require(fs.rename(staging, seg),
       s"Segments: could not publish segment $seg — live table unchanged")

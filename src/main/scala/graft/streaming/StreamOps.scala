@@ -333,9 +333,11 @@ object StreamOps {
     * batchId`. batchId is deterministic from the checkpoint, so a
     * replayed micro-batch republishes the SAME segment id and
     * [[graft.sources.Segments.publishSegment]] makes that a no-op —
-    * exactly-once appends across restarts. The offset keeps streamed
-    * segments out of the build/append auto-numbered range. */
-  val StoreStreamSegBase: Long = 1000000000L
+    * exactly-once appends across restarts. Auto-numbered appends stay
+    * BELOW this floor by construction (Segments.appendSegment filters
+    * its max to < StreamSegBase), so the two ranges can never collide
+    * — in either direction. */
+  val StoreStreamSegBase: Long = graft.sources.Segments.StreamSegBase
 
   /** Continuous FORGETTABLE indexing — the streaming producer for the
     * persisted [[graft.sources.DedupIndexStore]] minhash index: each
@@ -398,7 +400,11 @@ object StreamOps {
     * rescore side; candidates can only reference retained index rows,
     * so a deleted doc's text row is inert (and doubles as the leak
     * canary, exactly as in q_forget). Corpus fixed at query start,
-    * same restart contract as [[dedupAgainstStream]]. */
+    * same restart contract as [[dedupAgainstStream]]. The banding
+    * parameters come from the STORE's frozen params table, never
+    * from the caller — a probe banded differently from the index
+    * would silently never collide (the exact hazard the params table
+    * exists to prevent, and why appendMinhash re-reads it too). */
   def dedupAgainstStoreStream(
       docs: DataFrame,
       corpusTexts: DataFrame,
@@ -408,6 +414,8 @@ object StreamOps {
       checkpointDir: String,
       jaccardThreshold: Double = 0.5)(
       sink: DataFrame => Unit): StreamingQuery = {
+    val (shingleN, numHashes, bands) = graft.sources.DedupIndexStore
+      .minhashParams(docs.sparkSession, indexDir)
     val idx = graft.sources.DedupIndexStore
       .readMinhash(docs.sparkSession, indexDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -416,6 +424,7 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         sink(graft.operators.Dedup.dedupAgainst(
           batch.toDF(), corpusTexts, idCol, textCol,
+          shingleN = shingleN, numHashes = numHashes, bands = bands,
           jaccardThreshold = jaccardThreshold, index = Some(idx)))
       }
       .start()
@@ -611,7 +620,14 @@ object StreamOps {
         }
     }
     spark.streams.addListener(listener)
-    if (!query.isActive) cached.unpersist()
+    // the query may have died BEFORE registration — its termination
+    // event was posted to the bus pre-registration and will never
+    // reach this listener, so release the cache AND deregister here
+    // (both idempotent; a double removeListener is a no-op)
+    if (!query.isActive) {
+      cached.unpersist()
+      spark.streams.removeListener(listener)
+    }
   }
 
   /** Stateful sessionization via flatMapGroupsWithState: 30-minute

@@ -2472,6 +2472,38 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("split guard treats missing embeddings as no-semantic-evidence, " +
+    "never as a leak hit") {
+    // partial embedding coverage: drop ALL non-test embeddings — the
+    // semantic modality then has nothing to probe, and the guard must
+    // fall back to exactly the lexical answer (an inner join on
+    // semantic survivors would instead delete every uncovered doc)
+    val src = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val split = graft.operators.Sampling.hashSplit(docs, "doc_id")
+    val testIds = split.filter(col("split") === "test")
+      .select(col("doc_id").as("vec_id"))
+    val fixture = java.nio.file.Files.createTempDirectory("graft_sdpc").toString
+    docs.write.parquet(s"$fixture/documents.parquet")
+    emb.join(testIds, Seq("vec_id"), "left_semi")
+      .write.parquet(s"$fixture/embeddings.parquet")
+
+    val got = graft.queries.ExtensionQueries.all("q_split_decontam")(spark, fixture)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // lexical-only expectation, computed from the operators directly
+    val test = split.filter(col("split") === "test")
+    val batch = split.filter(col("split") =!= "test").select("doc_id", "text", "split")
+    val want = graft.operators.Dedup.dedupAgainst(
+        batch, test.select("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
+      .select("doc_id", "split")
+      .unionByName(test.select("doc_id", "split"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want,
+      "docs without embeddings must survive on lexical evidence alone")
+  }
+
   test("preference reject ledger ties out against the packed DPO corpus") {
     val sf = "/root/testdata/sf0.001"
     val input = spark.read.parquet(s"$sf/documents.parquet").count()

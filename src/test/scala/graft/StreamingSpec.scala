@@ -440,8 +440,11 @@ class StreamingSpec extends SparkSpec {
       survivors.toSet
     }
 
+    // NON-default banding: the probe must band under the STORE's
+    // frozen params (read from disk), or this suppression never fires
     val dirA = java.nio.file.Files.createTempDirectory("graft_dss_idx").toString + "/idx"
-    DedupIndexStore.buildMinhash(spark, dirA, corpus, "doc_id", "text")
+    DedupIndexStore.buildMinhash(spark, dirA, corpus, "doc_id", "text",
+      shingleN = 4, numHashes = 32, bands = 8)
     assert(run(dirA) == Set(2L), "pre-delete: the near-dup must be suppressed")
 
     // forget doc 100, restart the stream: its near-dup now SURVIVES —
@@ -579,6 +582,21 @@ class StreamingSpec extends SparkSpec {
     assert(!DedupIndexStore.appendMinhashAt(spark, mhDir,
       spark.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(b2: _*)), schema),
       "doc_id", "text", StreamOps.StoreStreamSegBase + 1))
+
+    // range separation: a manual append AFTER streamed segments exist
+    // must auto-number BELOW the streamed floor (never inside it —
+    // where it would masquerade as a future batch's replayed publish),
+    // and the next streamed batch id must still publish
+    val manual = Seq(Row(9L, "a late manual backfill document arrives"))
+    DedupIndexStore.appendMinhash(spark, mhDir,
+      spark.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(manual: _*)), schema),
+      "doc_id", "text")
+    assert(new java.io.File(mhDir + "/bands/seg=1").isDirectory,
+      "manual append must land below the streamed range")
+    assert(DedupIndexStore.appendMinhashAt(spark, mhDir,
+      spark.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(manual: _*)), schema),
+      "doc_id", "text", StreamOps.StoreStreamSegBase + 2),
+      "the next streamed batch id must still be publishable")
   }
 
   test("bloomDedupStream drops exact corpus dupes per micro-batch, matches the batch operator") {
