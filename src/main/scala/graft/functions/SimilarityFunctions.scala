@@ -26,6 +26,20 @@ object SimilarityFunctions {
     when(nn > 0.0, d / nn).otherwise(lit(0.0))
   }
 
+  /** FUSED-sqrt cosine — `d / sqrt(na * nb)`, the exact arithmetic of
+    * [[graft.operators.Similarity.cosineScalar]] and the oracle's
+    * `cosineFusedSql` (note [[cosine]]'s `sqrt(na)*sqrt(nb)` is a
+    * DIFFERENT IEEE expression): ascending-index left folds, so a
+    * UDF loop and this expression produce bit-identical doubles.
+    * Expression path — the drift-audit per-row scorer uses it with
+    * the row's assigned centroid selected out of a bounded nested
+    * literal. */
+  def cosineFused(a: Column, b: Column): Column = {
+    val na = dot(a, a)
+    val nb = dot(b, b)
+    when(na > 0.0 && nb > 0.0, dot(a, b) / sqrt(na * nb)).otherwise(lit(0.0))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH: `numPlanes × dim`
     * Gaussian-ish values from a seeded generator (public
     * random-hyperplane LSH construction: bucket = sign-bit pattern of

@@ -122,8 +122,13 @@ object AnnIndex {
     * answers are identical before and after (pinned by AnnIndexSpec).
     * NB: [[Loaded]]/[[LoadedIvf]] handles obtained BEFORE a compaction
     * hold the pre-swap file listing and die with the swap (standard
-    * Spark file-source behavior on overwrite) — re-[[read]] after. */
+    * Spark file-source behavior on overwrite) — re-[[read]] after.
+    * Fenced against concurrent writers: the segment watermark is
+    * captured BEFORE the snapshot read and the swap refuses (typed
+    * [[ConcurrentStoreWriteException]], staging preserved) if any
+    * segment published since — re-run to pick it up. */
   def compact(spark: SparkSession, dir: String): Loaded = {
+    val watermark = Segments.segmentWatermark(spark, dir)
     val idx = read(spark, dir)
     val staging = dir + ".staging"
     Segments.clearStaging(spark, dir)
@@ -139,12 +144,13 @@ object AnnIndex {
     // the staging write scans the CURRENT coded files (still in place
     // — the swap only renames after this action completes)
     idx.coded.write.mode("overwrite").parquet(s"$staging/coded/seg=0")
-    Segments.swapIn(spark, staging, dir)
+    Segments.swapInFenced(spark, staging, dir, watermark)
     read(spark, dir)
   }
 
-  /** [[compact]]'s plain-IVF twin. */
+  /** [[compact]]'s plain-IVF twin (fenced — see [[compact]]). */
   def compactIvf(spark: SparkSession, dir: String): LoadedIvf = {
+    val watermark = Segments.segmentWatermark(spark, dir)
     val idx = readIvf(spark, dir)
     val staging = dir + ".staging"
     Segments.clearStaging(spark, dir)
@@ -154,7 +160,7 @@ object AnnIndex {
       .toDF("cell", "vec")
       .write.mode("overwrite").parquet(s"$staging/centroids")
     idx.assigned.write.mode("overwrite").parquet(s"$staging/assigned/seg=0")
-    Segments.swapIn(spark, staging, dir)
+    Segments.swapInFenced(spark, staging, dir, watermark)
     readIvf(spark, dir)
   }
 
@@ -194,8 +200,9 @@ object AnnIndex {
     Segments.minusTombstones(spark, dir, table)
 
   /** [[compact]]'s LSH twin — also the tombstone GC for the LSH
-    * family. */
+    * family (fenced — see [[compact]]). */
   def compactLsh(spark: SparkSession, dir: String): LoadedLsh = {
+    val watermark = Segments.segmentWatermark(spark, dir)
     val idx = readLsh(spark, dir)
     val staging = dir + ".staging"
     Segments.clearStaging(spark, dir)
@@ -205,7 +212,7 @@ object AnnIndex {
       .toDF("plane", "vec")
       .write.mode("overwrite").parquet(s"$staging/planes")
     idx.bucketed.write.mode("overwrite").parquet(s"$staging/bucketed/seg=0")
-    Segments.swapIn(spark, staging, dir)
+    Segments.swapInFenced(spark, staging, dir, watermark)
     readLsh(spark, dir)
   }
 
@@ -342,14 +349,22 @@ object AnnIndex {
     * reversed-vector drifted batch 14% — a 5× separation); a cut
     * inside the bulk saturates both sides and the factor test goes
     * vacuous. Tombstoned rows are excluded, matching what queries
-    * see.
+    * see. A MISSING baseline (seg 0 fully tombstoned, or renumbered
+    * away by an unconventional compaction) fails CONSERVATIVE: the
+    * audit cannot certify against nothing, so `drift_flag` fires on
+    * every segment instead of going NULL-silent — compact+retrain,
+    * which re-establishes seg 0.
     *
     * Scale posture: one scan of the assigned table (the per-row
-    * cosine is a closure UDF over the nlist-bounded centroids — no
-    * join, no shuffle beyond the seg-cardinality aggregate) and a
-    * window over the seg-sized frame; the base-segment scalar is
-    * attached via that window, never a literal-key join (which would
-    * constant-fold to the BNLJ the catalog plan gate bans). */
+    * cosine to the row's OWN assigned centroid — selected out of the
+    * nlist-bounded nested literal by the stored cell — runs as a
+    * codegen-planned expression fold, [[graft.functions
+    * .SimilarityFunctions.cosineFused]]; above the nested-literal
+    * size budget it dispatches to the bit-identical closure UDF, the
+    * lshBucket dual-path precedent) and a window over the seg-sized
+    * frame; the base-segment scalar is attached via that window,
+    * never a literal-key join (which would constant-fold to the BNLJ
+    * the catalog plan gate bans). */
   def driftAudit(
       spark: SparkSession,
       dir: String,
@@ -359,17 +374,28 @@ object AnnIndex {
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
     require(cents.nonEmpty, s"AnnIndex: no centroids under $dir")
-    val assignCos = udf { (vec: Seq[Float], cell: Int) =>
-      Similarity.cosineScalar(vec.toArray.map(_.toDouble), cents(cell))
-    }
+    // expression path while the nested centroid literal stays inside
+    // the janino comfort zone (the lshExprMaxPlanes budget argument:
+    // ~1k literal nodes); the UDF twin is the same ascending-index
+    // fused fold, so both paths hash identically
+    val assignCos: org.apache.spark.sql.Column =
+      if (cents.length.toLong * cents(0).length <= 1024L) {
+        val centsLit = array(cents.map(c =>
+          array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+        graft.functions.SimilarityFunctions.cosineFused(
+          col("vec"), element_at(centsLit, col("cell") + 1))
+      } else {
+        val f = udf { (vec: Seq[Float], cell: Int) =>
+          Similarity.cosineScalar(vec.toArray.map(_.toDouble), cents(cell))
+        }
+        f(col("vec"), col("cell"))
+      }
     val assigned = Segments.minusTombstones(spark, dir,
       spark.read.parquet(s"$dir/assigned")
         .select(col("seg").cast("int").as("seg"),
           col("id"), col("cell"), col("vec")))
     val perSeg = assigned
-      .select(col("seg"),
-        (assignCos(col("vec"), col("cell")) < nearCut)
-          .cast("long").as("__far"))
+      .select(col("seg"), (assignCos < nearCut).cast("long").as("__far"))
       .groupBy("seg")
       .agg(count(lit(1)).as("n_rows"), sum(col("__far")).as("n_far"))
       .withColumn("far_ppm", expr("n_far * 1000000 div n_rows"))
@@ -377,8 +403,10 @@ object AnnIndex {
     perSeg
       .withColumn("base_ppm",
         max(when(col("seg") === 0, col("far_ppm"))).over(w))
+      // missing baseline → NULL comparison → coalesce fires the flag
       .withColumn("drift_flag",
-        col("far_ppm") > lit(driftFactor.toLong) * col("base_ppm"))
+        coalesce(col("far_ppm") > lit(driftFactor.toLong) * col("base_ppm"),
+          lit(true)))
       .select(col("seg").cast("bigint").as("seg"), col("n_rows"),
         col("n_far"), col("far_ppm"), col("drift_flag"))
   }

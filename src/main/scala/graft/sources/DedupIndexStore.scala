@@ -138,8 +138,13 @@ object DedupIndexStore {
         .select("id", "fp", "band_idx", "band_hash"))
 
   /** Compact back to one segment, reading THROUGH the tombstone
-    * filter — physical drop + tombstone GC in one atomic swap. */
+    * filter — physical drop + tombstone GC in one atomic swap. Fenced
+    * against concurrent writers: the segment watermark is captured
+    * BEFORE the snapshot read, and the swap refuses (typed
+    * [[ConcurrentStoreWriteException]], staging preserved, nothing
+    * lost) if any segment published since — re-run to pick it up. */
   def compactMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val watermark = Segments.segmentWatermark(spark, dir)
     val rows = readMinhash(spark, dir)
     val (shingleN, numHashes, bands) = minhashParams(spark, dir)
     val staging = dir + ".staging"
@@ -149,7 +154,7 @@ object DedupIndexStore {
       .toDF("shingle_n", "num_hashes", "bands")
       .write.mode("overwrite").parquet(s"$staging/params")
     rows.write.mode("overwrite").parquet(s"$staging/bands/seg=0")
-    Segments.swapIn(spark, staging, dir)
+    Segments.swapInFenced(spark, staging, dir, watermark)
     readMinhash(spark, dir)
   }
 
@@ -227,8 +232,10 @@ object DedupIndexStore {
       spark.read.parquet(s"$dir/lines").select("id", "line_hash"))
 
   /** Compact the line index back to one segment (physical drop +
-    * tombstone GC in one atomic swap). */
+    * tombstone GC in one atomic swap; fenced — see
+    * [[compactMinhash]]). */
   def compactLines(spark: SparkSession, dir: String): DataFrame = {
+    val watermark = Segments.segmentWatermark(spark, dir)
     val rows = readLineProvenance(spark, dir)
     val delim = lineParams(spark, dir)
     val staging = dir + ".staging"
@@ -237,7 +244,7 @@ object DedupIndexStore {
     Seq(Tuple1(delim)).toDF("delim")
       .write.mode("overwrite").parquet(s"$staging/params")
     rows.write.mode("overwrite").parquet(s"$staging/lines/seg=0")
-    Segments.swapIn(spark, staging, dir)
+    Segments.swapInFenced(spark, staging, dir, watermark)
     readLines(spark, dir)
   }
 

@@ -3,6 +3,17 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** A concurrent writer mutated a segmented store between a
+  * compaction's snapshot read and its staged swap — swapping would
+  * silently drop the newly-published segments (or a new tombstone
+  * set), so the swap REFUSES instead and preserves the staging tree.
+  * Recovery protocol: nothing was lost — the live table still holds
+  * every segment; re-run the compaction (it re-reads the grown
+  * table). At 100 TB this is the normal occasional outcome of a
+  * scheduled compaction racing the always-on streaming writer. */
+final class ConcurrentStoreWriteException(msg: String)
+  extends RuntimeException(msg)
+
 /** The shared segmented-table discipline behind every persisted
   * standing index ([[AnnIndex]], [[DedupIndexStore]]): corpus-sized
   * tables live as `table/seg=N` children (Spark partition discovery;
@@ -13,7 +24,7 @@ import org.apache.spark.sql.functions._
   * readable copy at every crash point.
   *
   * Extracted from AnnIndex (reference semantics unchanged — path
-  * names `_append.staging` / `.staging` / `.old` are part of the
+  * names `_append.staging*` / `.staging` / `.old` are part of the
   * crash-posture contract the specs interpose on) so the dedup corpus
   * index and the line index can carry the identical tombstone
   * right-to-be-forgotten path the ANN index already has.
@@ -36,37 +47,88 @@ private[graft] object Segments {
     * drop that batch's rows. */
   val StreamSegBase: Long = 1000000000L
 
-  // Concurrency contract: ONE writer per segmented TABLE at a time.
-  // Appends and publishes stage under a shared `_append.staging` path
-  // (delete-then-write), so two concurrent writers on the same table
-  // can clobber each other's staging mid-flight; same-segment-id
-  // replays are the only tolerated overlap ([[publishSegment]]'s
-  // no-op path). The streaming writers own their store's corpus
-  // table — pause the stream for manual backfills. Reads and
-  // [[deleteIds]] (a different table) are always safe concurrently.
+  // Concurrency contract: appends/publishes/deletes stage under a
+  // UNIQUE `_append.staging-<uuid>` path each, so two concurrent
+  // writers on the same table can never clobber each other's staging
+  // (the GDPR-critical case: two deleteIds on one store must BOTH
+  // land). Auto-numbered appends that race to the same segment id
+  // retry at the next id (bounded); same-segment-id replays are the
+  // tolerated no-op overlap ([[publishSegment]]). Compaction fences
+  // itself against every concurrent publish via [[segmentWatermark]]
+  // + [[swapInFenced]] — a segment published after the compaction
+  // snapshot makes the swap refuse with
+  // [[ConcurrentStoreWriteException]] rather than silently vanish.
+  // Reads are always safe concurrently.
 
   private def fsFor(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
+  /** Sweep leftover append staging dirs a CRASHED writer abandoned:
+    * the legacy fixed name always goes; uuid-suffixed ones only when
+    * their mtime is over an hour old, so a live concurrent writer's
+    * in-flight staging (seconds to minutes) is never swept from
+    * under it. Orphans are invisible to readers either way
+    * (underscore prefix) and any compaction swap drops them. */
+  private def sweepStaleStaging(
+      fs: org.apache.hadoop.fs.FileSystem, table: String): Unit = {
+    val t = new org.apache.hadoop.fs.Path(table)
+    if (fs.exists(t)) {
+      val cutoff = System.currentTimeMillis() - 3600L * 1000L
+      fs.listStatus(t).foreach { st =>
+        val name = st.getPath.getName
+        if (name == "_append.staging" ||
+          (name.startsWith("_append.staging-") &&
+            st.getModificationTime < cutoff))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  private def newStaging(table: String) =
+    new org.apache.hadoop.fs.Path(
+      s"$table/_append.staging-${java.util.UUID.randomUUID()}")
+
   /** Write `rows` as the next `seg=N` of a segmented table: stage
-    * under an underscore dir readers skip, then one atomic rename.
-    * Auto-numbering considers only segments below [[StreamSegBase]],
-    * so manual appends interleave safely with a (paused) streaming
-    * writer's explicitly-numbered segments. */
+    * under a unique underscore dir readers skip, then one atomic
+    * rename. Auto-numbering considers only segments below
+    * [[StreamSegBase]], so manual appends interleave safely with a
+    * streaming writer's explicitly-numbered segments; two CONCURRENT
+    * auto-numbered appends race to the same id, the loser's rename
+    * fails, and it retries at the next free id (bounded) — both
+    * appends land, neither clobbers (the deleteIds-vs-deleteIds
+    * case). */
   def appendSegment(
       spark: SparkSession, table: String, rows: DataFrame): Unit = {
     val fs = fsFor(spark, table)
-    val staging = new org.apache.hadoop.fs.Path(s"$table/_append.staging")
-    fs.delete(staging, true) // sweep a stale crashed append
+    sweepStaleStaging(fs, table)
+    val staging = newStaging(table)
     rows.write.mode("overwrite").parquet(staging.toString)
-    val next = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+    def nextId(): Long = fs.listStatus(new org.apache.hadoop.fs.Path(table))
       .map(_.getPath.getName).collect { case SegDir(n) => n.toLong }
       .filter(_ < StreamSegBase)
       .foldLeft(-1L)(math.max) + 1
-    val seg = new org.apache.hadoop.fs.Path(s"$table/seg=$next")
-    require(fs.rename(staging, seg),
-      s"Segments: could not publish segment $seg — live table unchanged")
+    var attempts = 0
+    var last = -1L
+    while (attempts < 8) {
+      val next = nextId()
+      val seg = new org.apache.hadoop.fs.Path(s"$table/seg=$next")
+      // exists-precheck before the rename: HDFS rename onto an
+      // existing dir moves src UNDER it and local fs may degrade to a
+      // copy — neither is the "fail if taken" semantics the race
+      // needs, so never attempt a rename onto an occupied id
+      if (!fs.exists(seg) && fs.rename(staging, seg)) return
+      if (next == last || attempts == 7) {
+        // nothing raced us to this id (or we're out of retries): the
+        // failure is environmental, not a numbering race — self-clean
+        // and fail loudly, live table unchanged
+        fs.delete(staging, true)
+        throw new IllegalArgumentException(
+          s"Segments: could not publish segment $seg — live table unchanged")
+      }
+      last = next
+      attempts += 1
+    }
   }
 
   /** Write `rows` as the EXPLICITLY-NUMBERED `seg=<segId>` of a
@@ -83,15 +145,23 @@ private[graft] object Segments {
     val fs = fsFor(spark, table)
     val seg = new org.apache.hadoop.fs.Path(s"$table/seg=$segId")
     if (fs.exists(seg)) return false // already published — replay no-op
-    val staging = new org.apache.hadoop.fs.Path(s"$table/_append.staging")
-    fs.delete(staging, true)
+    sweepStaleStaging(fs, table)
+    val staging = newStaging(table)
     rows.write.mode("overwrite").parquet(staging.toString)
     // a concurrent publisher may have landed it while we staged; the
-    // rename then fails and the staging is swept — still exactly once
-    if (fs.rename(staging, seg)) true
+    // precheck (and the rename failing) sweeps our staging — still
+    // exactly once (never rename onto an occupied id: HDFS would
+    // nest src under it)
+    if (fs.exists(seg)) { fs.delete(staging, true); false }
+    else if (fs.rename(staging, seg)) true
     else if (fs.exists(seg)) { fs.delete(staging, true); false }
-    else throw new IllegalStateException(
-      s"Segments: could not publish segment $seg — live table unchanged")
+    else {
+      // environmental failure: self-clean so a reader listing the
+      // table never depends on skipping our abandoned underscore dir
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"Segments: could not publish segment $seg — live table unchanged")
+    }
   }
 
   /** Tombstone DELETE: publish the ids as one new segment of the
@@ -100,7 +170,8 @@ private[graft] object Segments {
     * that uses it): a tombstone suppresses its id across ALL
     * segments, including segments appended AFTER the delete;
     * re-ingesting a previously-deleted id requires a compaction
-    * first. */
+    * first. Concurrent deleteIds on one store both land (unique
+    * staging + segment-id retry in [[appendSegment]]). */
   def deleteIds(
       spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit =
     appendSegment(spark, s"$dir/tombstones",
@@ -127,6 +198,28 @@ private[graft] object Segments {
       Seq(idCol), "left_anti")
   }
 
+  /** Snapshot of a store's published segments: per segmented child
+    * table (tombstones included), the max `seg=N` id. Capture this
+    * BEFORE constructing a compaction's read (watermark first, THEN
+    * the read — a publish landing between the two then makes the
+    * fence refuse harmlessly; the reverse order could let the swap
+    * pass while the staging tree misses the raced segment). Feed to
+    * [[swapInFenced]]. */
+  def segmentWatermark(spark: SparkSession, dir: String): Map[String, Long] = {
+    val fs = fsFor(spark, dir)
+    val d = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).filter(_.isDirectory).flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("_") || name.startsWith(".")) None
+      else {
+        val segs = fs.listStatus(st.getPath)
+          .map(_.getPath.getName).collect { case SegDir(n) => n.toLong }
+        if (segs.isEmpty) None else Some(name -> segs.max)
+      }
+    }.toMap
+  }
+
   /** Swap `<dir>.staging` into place. Order preserves the previous
     * good index at every step: the old target moves ASIDE (never
     * deleted before the new one is in place), staging renames in,
@@ -135,7 +228,9 @@ private[graft] object Segments {
     * <dir>.old + the built one at <dir>.staging (between renames) —
     * never zero copies. NB: directory rename is atomic on HDFS/POSIX
     * but a COPY on object stores; run rebuilds against a new dir
-    * there and repoint. */
+    * there and repoint. Unfenced form — for BUILDS, whose contract is
+    * "replace whatever is there"; compactions must use
+    * [[swapInFenced]]. */
   def swapIn(spark: SparkSession, staging: String, dir: String): Unit = {
     val fs = fsFor(spark, staging)
     val target = new org.apache.hadoop.fs.Path(dir)
@@ -148,6 +243,34 @@ private[graft] object Segments {
       s"Segments: staging swap failed for $dir" +
         (if (hadPrevious) s" — previous index preserved at $dir.old" else ""))
     if (hadPrevious) fs.delete(aside, true)
+  }
+
+  /** [[swapIn]] fenced against concurrent writers: refuses (typed
+    * error, staging preserved, live table untouched) when any child
+    * table holds a segment published AFTER `watermark` was captured —
+    * the compaction-vs-publish race where the swap would replace the
+    * directory with a tree built from the pre-publish snapshot and
+    * the raced segment (a streamed micro-batch, or a tombstone set —
+    * a lost GDPR delete) would silently vanish. The check runs
+    * immediately before the first mutating rename; the residual
+    * TOCTOU window is the swap renames themselves, which are
+    * milliseconds against the minutes a corpus rewrite takes — the
+    * fence removes the structural race (the whole rewrite window),
+    * which is the one fleet scheduling actually hits. */
+  def swapInFenced(
+      spark: SparkSession, staging: String, dir: String,
+      watermark: Map[String, Long]): Unit = {
+    val now = segmentWatermark(spark, dir)
+    val grown = now.filter { case (t, mx) => mx > watermark.getOrElse(t, -1L) }
+    if (grown.nonEmpty)
+      throw new ConcurrentStoreWriteException(
+        s"Segments: refusing to swap compacted tree into $dir — segments " +
+          s"published since the compaction read: ${
+            grown.toSeq.sorted.map { case (t, mx) =>
+              s"$t up to seg=$mx (snapshot had ${watermark.getOrElse(t, -1L)})"
+            }.mkString("; ")} . Live table unchanged, staging preserved at " +
+          s"$staging; re-run the compaction against the grown table.")
+    swapIn(spark, staging, dir)
   }
 
   /** Delete `<dir>.staging` ahead of a fresh staged build. */

@@ -357,7 +357,13 @@ object StreamOps {
       idCol: String,
       textCol: String,
       checkpointDir: String,
-      segBase: Long = StoreStreamSegBase): StreamingQuery =
+      segBase: Long = StoreStreamSegBase): StreamingQuery = {
+    require(segBase >= StoreStreamSegBase,
+      s"segBase $segBase is below the reserved streaming floor " +
+        s"$StoreStreamSegBase — streamed segments would land in the " +
+        "manual-append auto-numbered range, where a later append " +
+        "collides or a replayed micro-batch publish silently no-ops " +
+        "against a manual segment (a dropped batch)")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -367,6 +373,7 @@ object StreamOps {
         ()
       }
       .start()
+  }
 
   /** [[minhashStoreStream]]'s line-index twin: per micro-batch
     * (id, line_hash) provenance published at `segBase + batchId` —
@@ -378,7 +385,10 @@ object StreamOps {
       idCol: String,
       textCol: String,
       checkpointDir: String,
-      segBase: Long = StoreStreamSegBase): StreamingQuery =
+      segBase: Long = StoreStreamSegBase): StreamingQuery = {
+    require(segBase >= StoreStreamSegBase,
+      s"segBase $segBase is below the reserved streaming floor " +
+        s"$StoreStreamSegBase — see minhashStoreStream")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -388,6 +398,7 @@ object StreamOps {
         ()
       }
       .start()
+  }
 
   /** [[dedupAgainstStream]] against a PERSISTED
     * [[graft.sources.DedupIndexStore]] minhash index — the streaming

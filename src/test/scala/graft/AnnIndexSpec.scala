@@ -18,15 +18,43 @@ class FaultyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "faulty"
   override def getUri: java.net.URI = java.net.URI.create("faulty:///")
   override def rename(
-      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Boolean =
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Boolean = {
+    // race interposition: when the flagged rename is reached, run the
+    // concurrent writer's action first, then report THIS rename as
+    // lost (false) — the platonic "publish raced, id taken" outcome,
+    // fired exactly once
+    if (FaultyRenameFs.hookRenameDstName.contains(dst.getName) &&
+        FaultyRenameFs.hookOnce.compareAndSet(false, true)) {
+      FaultyRenameFs.hook()
+      return false
+    }
     if (FaultyRenameFs.failSrcName.contains(src.getName) ||
         FaultyRenameFs.failDstName.contains(dst.getName)) false
     else super.rename(src, dst)
+  }
+  override def delete(
+      p: org.apache.hadoop.fs.Path, recursive: Boolean): Boolean = {
+    // race interposition at a DELETE boundary (e.g. a compaction's
+    // clearStaging — after its snapshot read, before its staging
+    // writes): run the concurrent writer's action, then proceed
+    if (FaultyRenameFs.hookDeleteName.contains(p.getName) &&
+        FaultyRenameFs.hookOnce.compareAndSet(false, true))
+      FaultyRenameFs.hook()
+    super.delete(p, recursive)
+  }
 }
 object FaultyRenameFs {
   @volatile var failSrcName: Option[String] = None
   @volatile var failDstName: Option[String] = None
-  def reset(): Unit = { failSrcName = None; failDstName = None }
+  @volatile var hookRenameDstName: Option[String] = None
+  @volatile var hookDeleteName: Option[String] = None
+  @volatile var hook: () => Unit = () => ()
+  val hookOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def reset(): Unit = {
+    failSrcName = None; failDstName = None
+    hookRenameDstName = None; hookDeleteName = None
+    hook = () => (); hookOnce.set(false)
+  }
 }
 
 /** The persisted IVF-PQ index round-trip: a written-then-loaded
@@ -157,6 +185,70 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.appendToIvf(spark, dir, batch, "vec_id", "embedding")
     assert(!junk.exists, "stale append staging must be swept")
     assert(new java.io.File(dir + "/assigned/seg=1").isDirectory)
+  }
+
+  test("driftAudit with a missing baseline (seg 0 fully tombstoned) " +
+    "fails conservative: every surviving segment flags") {
+    val base = emb.filter(col("vec_id") >= 6 && col("vec_id") % 2 === 0)
+    // seg 1 = the base vectors under offset ids: identical
+    // distribution, so the nominal (baseline-present) audit reads
+    // exactly base far_ppm for both segments — deterministically clean
+    val batch = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"))
+    val cents = Similarity.kmeansCentroidsDistributed(
+      base, "vec_id", "embedding", nlist = 4, iters = 1)
+    val dir = tmp("graft_annidx_nobase")
+    AnnIndex.buildAndWriteIvf(spark, dir, base, "vec_id", "embedding", cents)
+    AnnIndex.appendToIvf(spark, dir, batch, "vec_id", "embedding")
+    // in-distribution batch under the live baseline: seg 1 must NOT
+    // flag (the audit's nominal negative)...
+    val before = AnnIndex.driftAudit(spark, dir, nearCut = 0.12)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(before == Map(0L -> false, 1L -> false))
+    // ...but once the whole build segment is forgotten there is no
+    // baseline to certify against — NULL-silent flags would report
+    // "neither drifted nor clean"; the contract is flag = true
+    AnnIndex.deleteIds(spark, dir, base.select("vec_id"), "vec_id")
+    val after = AnnIndex.driftAudit(spark, dir, nearCut = 0.12).collect()
+    assert(after.map(_.getLong(0)).toSet == Set(1L))
+    assert(after.forall(r => !r.isNullAt(4) && r.getBoolean(4)),
+      "missing baseline must fire the drift flag, not NULL it")
+  }
+
+  test("IVF compaction refuses the swap when an append lands " +
+    "mid-compaction; no vector lost; re-run folds it in") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faulty.impl", classOf[FaultyRenameFs].getName)
+    val base = emb.filter(col("vec_id") >= 6 && col("vec_id") % 3 === 0)
+    val b1 = emb.filter(col("vec_id") >= 6 && col("vec_id") % 3 === 1)
+    val b2 = emb.filter(col("vec_id") >= 6 && col("vec_id") % 3 === 2)
+    val cents = Similarity.kmeansCentroidsDistributed(
+      base, "vec_id", "embedding", nlist = 4, iters = 1)
+    val local = java.nio.file.Files.createTempDirectory("graft_annidx_race").toString
+    val dir = s"faulty://$local/idx"
+    try {
+      AnnIndex.buildAndWriteIvf(spark, dir, base, "vec_id", "embedding", cents)
+      AnnIndex.appendToIvf(spark, dir, b1, "vec_id", "embedding")
+      val expected = base.count() + b1.count() + b2.count()
+      // a daily-batch append lands between the compaction's snapshot
+      // read and its swap — the unfenced swap would erase that batch
+      FaultyRenameFs.hookDeleteName = Some("idx.staging")
+      FaultyRenameFs.hook = () => {
+        AnnIndex.appendToIvf(spark, dir, b2, "vec_id", "embedding"); ()
+      }
+      val e = intercept[graft.sources.ConcurrentStoreWriteException] {
+        AnnIndex.compactIvf(spark, dir)
+      }
+      FaultyRenameFs.reset()
+      assert(e.getMessage.contains("segments published since"))
+      assert(AnnIndex.readIvf(spark, dir).assigned.count() == expected,
+        "the raced append must still be live after the refusal")
+      val again = AnnIndex.compactIvf(spark, dir)
+      assert(again.assigned.count() == expected,
+        "the re-run compaction must fold the raced segment in")
+      assert(new java.io.File(s"$local/idx/assigned/seg=0").isDirectory)
+      assert(!new java.io.File(s"$local/idx/assigned/seg=2").exists)
+    } finally FaultyRenameFs.reset()
   }
 
   test("compaction folds segments to one; answers unchanged; model frozen") {

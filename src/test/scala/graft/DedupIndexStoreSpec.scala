@@ -254,4 +254,110 @@ class DedupIndexStoreSpec extends SparkSpec {
     assert(rows(Profile.cmsRebuild(docs, "doc_id", dead, h)) ==
       rows(Profile.cmsCells(retained, h)))
   }
+
+  test("minhash compaction refuses the swap when a streamed publish " +
+    "lands mid-compaction; no row lost; re-run picks it up") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faulty.impl", classOf[FaultyRenameFs].getName)
+    val partA = docs.filter(col("doc_id") % 3 === 0)
+    val partB = docs.filter(col("doc_id") % 3 === 1)
+    val partC = docs.filter(col("doc_id") % 3 === 2)
+    val local = java.nio.file.Files.createTempDirectory("graft_mhidx_race").toString
+    val dir = s"faulty://$local/idx"
+    try {
+      DedupIndexStore.buildMinhash(spark, dir, partA, "doc_id", "text")
+      DedupIndexStore.appendMinhash(spark, dir, partB, "doc_id", "text")
+      // interpose a streaming-style publish between the compaction's
+      // snapshot read and its swap: compactMinhash's clearStaging
+      // (the first action after the watermark + read) triggers it
+      FaultyRenameFs.hookDeleteName = Some("idx.staging")
+      FaultyRenameFs.hook = () =>
+        DedupIndexStore.appendMinhashAt(spark, dir, partC, "doc_id", "text",
+          segId = graft.sources.Segments.StreamSegBase)
+      val e = intercept[graft.sources.ConcurrentStoreWriteException] {
+        DedupIndexStore.compactMinhash(spark, dir)
+      }
+      FaultyRenameFs.reset()
+      assert(e.getMessage.contains("segments published since"))
+      // nothing lost: the raced micro-batch's rows are in the live
+      // table, alongside both pre-compaction segments
+      val all = rows(DedupIndexStore.readMinhash(spark, dir))
+      assert(all == rows(Dedup.corpusIndex(docs, "doc_id", "text", 3, 64, 16)))
+      // and the RE-RUN compaction folds everything, raced rows included
+      DedupIndexStore.compactMinhash(spark, dir)
+      assert(new java.io.File(s"$local/idx/bands/seg=0").isDirectory)
+      assert(!new java.io.File(
+        s"$local/idx/bands/seg=${graft.sources.Segments.StreamSegBase}").exists)
+      assert(rows(DedupIndexStore.readMinhash(spark, dir)) == all)
+    } finally FaultyRenameFs.reset()
+  }
+
+  test("line compaction refuses the swap when a deleteIds lands " +
+    "mid-compaction; the delete is honored, never silently dropped") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faulty.impl", classOf[FaultyRenameFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft_lnidx_race").toString
+    val dir = s"faulty://$local/idx"
+    val dead = lineDocs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    try {
+      DedupIndexStore.buildLines(spark, dir,
+        lineDocs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      DedupIndexStore.appendLines(spark, dir,
+        lineDocs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      // a GDPR delete lands between the compaction's read and swap —
+      // an unfenced swap would physically rewrite the corpus from the
+      // pre-delete snapshot AND clear the tombstone: a silent
+      // un-delete. The fence must refuse.
+      FaultyRenameFs.hookDeleteName = Some("idx.staging")
+      FaultyRenameFs.hook = () =>
+        DedupIndexStore.deleteIds(spark, dir, dead, "doc_id")
+      intercept[graft.sources.ConcurrentStoreWriteException] {
+        DedupIndexStore.compactLines(spark, dir)
+      }
+      FaultyRenameFs.reset()
+      // the delete is live right now (tombstone anti-join)...
+      val wanted = rows(DedupIndexStore.readLines(spark,
+        {
+          val ref = tmp("graft_lnidx_race_ref")
+          DedupIndexStore.buildLines(spark, ref,
+            lineDocs.filter(!(col("doc_id") % 7 === 3)), "doc_id", "text")
+          ref
+        }))
+      assert(rows(DedupIndexStore.readLines(spark, dir)) == wanted)
+      // ...and survives the re-run compaction (physical drop + GC)
+      DedupIndexStore.compactLines(spark, dir)
+      assert(!new java.io.File(s"$local/idx/tombstones").exists)
+      assert(rows(DedupIndexStore.readLines(spark, dir)) == wanted)
+    } finally FaultyRenameFs.reset()
+  }
+
+  test("two concurrent deleteIds both land: unique staging + " +
+    "segment-id retry — neither delete set is lost") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faulty.impl", classOf[FaultyRenameFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft_deldel_race").toString
+    val dir = s"faulty://$local/idx"
+    val deadA = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val deadB = docs.filter(col("doc_id") % 7 === 5).select("doc_id")
+    try {
+      DedupIndexStore.buildMinhash(spark, dir, docs, "doc_id", "text")
+      // interpose delete B at the exact moment delete A publishes its
+      // tombstone segment: A's rename to seg=0 yields to B (which
+      // takes seg=0), then A retries and lands at seg=1 — the
+      // unique-staging contract means B can never clobber A's staged
+      // rows and the id retry means A still publishes
+      FaultyRenameFs.hookRenameDstName = Some("seg=0")
+      FaultyRenameFs.hook = () =>
+        DedupIndexStore.deleteIds(spark, dir, deadB, "doc_id")
+      DedupIndexStore.deleteIds(spark, dir, deadA, "doc_id")
+      FaultyRenameFs.reset()
+      assert(new java.io.File(s"$local/idx/tombstones/seg=0").isDirectory)
+      assert(new java.io.File(s"$local/idx/tombstones/seg=1").isDirectory)
+      val live = DedupIndexStore.readMinhash(spark, dir)
+      assert(live.filter(col("id") % 7 === 3).count() == 0,
+        "delete A must be honored")
+      assert(live.filter(col("id") % 7 === 5).count() == 0,
+        "delete B must be honored")
+    } finally FaultyRenameFs.reset()
+  }
 }
