@@ -2946,9 +2946,15 @@ object ExtensionQueries {
     * (unanswered calls), `id%29` unregistered call name "rogue"
     * (protocol-only again). Violations compose across classes and
     * across gates. */
-  private def sftTranscripts(s: SparkSession, dir: String): DataFrame = {
+  private def sftTranscripts(s: SparkSession, dir: String): DataFrame =
+    sftTranscriptsOf(s, pq(s, dir, "documents"))
+
+  /** [[sftTranscripts]] over an arbitrary (doc_id, text) frame — the
+    * re-rootable form the release pipeline builds its conversations
+    * from (cleaned, deduplicated, decontaminated survivor text). */
+  private def sftTranscriptsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    pq(s, dir, "documents")
+    docs
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -3118,6 +3124,306 @@ object ExtensionQueries {
       .select(col("id").as("doc_id"), lit("dedup").as("stage"),
         concat(lit("dup_of:"), col("rep").cast("string")).as("reason"))
     contractRejects.unionByName(toolRejects).unionByName(dedupRejects)
+  }
+
+  /** The END-TO-END RELEASE pipeline — "ship a training dataset" as
+    * ONE oracled run chaining every stage pyramid the catalog proves
+    * individually, so COMPOSITION drift BETWEEN the composed
+    * pipelines (a gate reordered across stage boundaries, dedup run
+    * on raw instead of cleaned text, a split taken before dedup)
+    * hash-mismatches even while each stage's own query stays green:
+    *
+    *   1. ingest  — the [[qPipelineIngest]] recipe: built HTML payload
+    *      (+ `%23` encoding corruption), encoding first-fail, then the
+    *      lang/quality/length gate over the CLEANED text;
+    *   2. exact   — fingerprint keep-min-id with `dup_of` provenance;
+    *   3. neardup — capped MinHash keep-one ([[qPipelineClean]]);
+    *   4. split   — [[graft.operators.Sampling.hashSplit]]; the test
+    *      holdout leaves the training corpus (ledger stage `holdout`);
+    *   5. decontam — lexical ([[Dedup.dedupAgainst]] vs the holdout)
+    *      then semantic ([[Dedup.semanticDedupAgainst]] under
+    *      holdout-trained k-means, cell cap 6) — [[qSplitDecontam]]
+    *      re-rooted on the CLEAN survivor corpus, first-fail
+    *      classified;
+    *   6. SFT endgame — [[qPipelineSft]]'s parse → contract gate →
+    *      tool-protocol gate → trainable-text capped-MinHash keep-one
+    *      → next-fit packing at 512 (+4/turn), transcripts built from
+    *      the CLEANED survivor text;
+    *   7. shards  — [[graft.operators.Packing.balancedShards]]:
+    *      packed bins dealt serpentine into 4 token-balanced shards
+    *      per group;
+    *   8. manifest — [[graft.operators.Profile.manifestStates]] +
+    *      merge over the released training docs;
+    *   9. reconcile — the tie-out: packed docs + ledger rows account
+    *      for EVERY input document exactly once (counts and id-sum,
+    *      emitted as a row the oracle recomputes), and the written
+    *      artifact is verified with the real
+    *      [[graft.operators.Reconcile.assertClean]] digest gate
+    *      before the query returns what was read BACK from disk.
+    *
+    * Output is the [[qForget]]-style heterogeneous (part, k, v)
+    * union: `pack` (per released doc: grp:bin:tokens:loss), `shard`
+    * (per bin: weight:shard), `ledger` (per rejected doc:
+    * stage:reason — the [[qPipelineSftLedger]] provenance discipline
+    * across ALL nine stages), `manifest` (per source, integer
+    * columns), `reconcile` (the tie-out counters).
+    *
+    * Scale posture: every stage keeps its proven shape — zero-shuffle
+    * gate projections, 16-byte fingerprint shuffles, capped banded
+    * signature joins, cell-scoped semantic probes, the single-
+    * Exchange pack sweep, group-windowed shard deal, source-keyed
+    * manifest states; the ledger adds projections over gate frames
+    * that were computed anyway (the dedupDiagnostics discipline), and
+    * the tie-out is one union+pivot aggregate (never a 1×1 cross
+    * join). Nothing corpus-sized reaches the driver; the only full
+    * materializations are the persisted (part,k,v) result and its
+    * digest-checked parquet twin. */
+  private val qPipelineRelease: Q = (s, dir) => {
+    import graft.operators.{Chat, Packing}
+    val id = col("doc_id")
+    val docs = pq(s, dir, "documents")
+
+    // 0 — the input corpus: documents plus a deterministic SECOND
+    // CRAWL batch (offset ids), carrying the three dup pathologies a
+    // real release run must shed — and without which the exact,
+    // decontam-lexical, and sft-dedup stages would be vacuously green
+    // on this fixture (it has no exact dups, and the upstream global
+    // near-dedup leaves cross-split jaccard under 0.04):
+    //   %41 — re-crawled page: byte-identical text (exact dup);
+    //   quote — a partial quote OF A TEST-DESTINED document (the
+    //         split bucket is a pure function of doc_id, so the
+    //         construction targets even-id docs headed for the
+    //         holdout): the copy doubles the original's ceil(45%)
+    //         token prefix, landing its jaccard (~0.45) BETWEEN the
+    //         dedup bar (0.5, stage 3 keeps it) and the stricter
+    //         decontam bar (0.35, stage 5 drops it) while keeping
+    //         token count / language / quality near the original's
+    //         (a plain truncation fails the ingest gate instead);
+    //   %43 — markup variant: a standalone ',' token after every 3rd
+    //         word — doc-level shingles miss it (~0.17 jaccard) but
+    //         the transcript word filter strips the commas, so only
+    //         the conversation-level dedup can catch it.
+    val toks = TextFunctions.tokens(col("text"))
+    val tb = shiftrightunsigned(
+      graft.functions.HashExpressions.mix64(id.cast("long")), 1) % 100
+    val isQuote = tb >= 90 && id % 2 === 0
+    val pfx = slice(toks, lit(1), ceil(size(toks) * lit(0.45)).cast("int"))
+    val crawl2 = docs
+      .filter(id % 41 === 0 || isQuote || id % 43 === 0)
+      .select((id + 1000000L).as("doc_id"), col("source"),
+        when(id % 41 === 0, col("text"))
+          .when(isQuote, array_join(concat(pfx, pfx), " "))
+          .otherwise(array_join(transform(toks,
+            (w, i) => when((i + 1) % 3 === 0, concat(w, lit(" ,")))
+              .otherwise(w)), " "))
+          .as("text"))
+    val input = docs.select(id, col("source"), col("text"))
+      .unionByName(crawl2)
+
+    // 1 — ingest
+    val raw = input.select(id, col("source"),
+        concat(lit(htmlPrefix), col("text"), lit(htmlSuffix),
+          when(id % 23 === 0, lit("�")).otherwise(lit(""))).as("raw"))
+      .withColumn("__enc_ok", TextFunctions.encodingOk(col("raw")))
+    val encRejects = raw.filter(!col("__enc_ok"))
+      .select(id, lit("ingest").as("stage"), lit("encoding").as("reason"))
+    val gated = raw.filter(col("__enc_ok"))
+      .select(id, col("source"),
+        TextFunctions.normalizeText(
+          TextFunctions.stripBoilerplate(col("raw"))).as("text"))
+      .select(id, col("source"), col("text"),
+        TextFunctions.langId(col("text")).as("__lang"),
+        TextFunctions.qualityScore(col("text")).as("__q"),
+        TextFunctions.tokenCount(col("text")).as("__tok"),
+        monotonically_increasing_id().as("__mid"))
+      .filter(col("__mid") >= 0) // pushdown barrier: score once per row
+      .withColumn("__lang_ok", col("__lang") === "en")
+      .withColumn("__q_ok", col("__q") >= 0.5)
+      .withColumn("__len_ok", col("__tok").between(5, 1000))
+    val gateRejects = gated
+      .filter(!(col("__lang_ok") && col("__q_ok") && col("__len_ok")))
+      .select(id, lit("ingest").as("stage"),
+        concat_ws(",",
+          when(!col("__lang_ok"), "lang"),
+          when(!col("__q_ok"), "quality"),
+          when(!col("__len_ok"), "length")).as("reason"))
+    val ingested = gated
+      .filter(col("__lang_ok") && col("__q_ok") && col("__len_ok"))
+      .select(id, col("source"), col("text"))
+
+    // 2 — exact dedup with keeper provenance
+    val fp = ingested
+      .withColumn("__fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("__keep", min(id).over(Window.partitionBy(col("__fp"))))
+    val exactRejects = fp.filter(id =!= col("__keep"))
+      .select(id, lit("exact").as("stage"),
+        concat(lit("dup_of_"), col("__keep").cast("string")).as("reason"))
+    val exact = fp.filter(id === col("__keep"))
+      .select(id, col("source"), col("text"))
+
+    // 3 — capped near-dup keep-one
+    val ndPairs = Dedup.minhashPairs(exact, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
+      maxBucketSize = Some(12)).select("id_a", "id_b")
+    val ndComps = Dedup.connectedComponents(ndPairs)
+    val ndRejects = ndComps.filter(col("id") =!= col("rep"))
+      .select(col("id").as("doc_id"), lit("neardup").as("stage"),
+        concat(lit("dup_of_"), col("rep").cast("string")).as("reason"))
+    val nd = exact.join(ndRejects.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // 4 — split: the test holdout leaves the training corpus
+    val split = graft.operators.Sampling.hashSplit(nd, "doc_id")
+    val holdout = split.filter(col("split") === "test")
+      .select(id, col("text"))
+    val holdoutRejects = holdout
+      .select(id, lit("holdout").as("stage"), lit("test").as("reason"))
+    val tv = split.filter(col("split") =!= "test")
+      .select(id, col("source"), col("text"))
+
+    // 5 — decontam vs the holdout: lexical first-fail, then semantic
+    // over embedded docs only (no-embedding-row = no evidence, not a
+    // leak — subtract hits, never intersect survivors). The lexical
+    // bar is DELIBERATELY stricter than the dedup bar (0.35 vs 0.5):
+    // eval leakage is asymmetric risk — a partial quote of a holdout
+    // document must leave the training set even though it is not a
+    // near-duplicate by the dedup standard. A stricter verify bar
+    // needs a banding whose s-curve matches: 32 bands x 2 rows puts
+    // the candidate knee at ~0.18 (vs ~0.5 for the dedup 16x4), so a
+    // 0.45-jaccard quote is a candidate with P ~ 0.999 instead of a
+    // coin flip.
+    val lexOkIds = Dedup.dedupAgainst(tv, holdout, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 32, jaccardThreshold = 0.35)
+      .select("doc_id")
+    val lexRejects = tv.select("doc_id")
+      .join(lexOkIds, Seq("doc_id"), "left_anti")
+      .select(id, lit("decontam").as("stage"), lit("lexical").as("reason"))
+    val emb = pq(s, dir, "embeddings")
+    val testEmb = emb.join(
+      holdout.select(id.as("vec_id")), Seq("vec_id"), "left_semi")
+    val tvEmb = emb.join(
+      tv.select(id.as("vec_id")), Seq("vec_id"), "left_semi")
+    val cents = Similarity.kmeansCentroidsDistributed(
+      testEmb, "vec_id", "embedding", nlist = 8, iters = 2)
+    val semOkIds = Dedup.semanticDedupAgainst(
+        tvEmb, testEmb, "vec_id", "embedding", cents,
+        threshold = 0.3, maxClusterSize = Some(6))
+      .select(col("vec_id").as("doc_id"))
+    val semHits = tvEmb.select(col("vec_id").as("doc_id"))
+      .join(semOkIds, Seq("doc_id"), "left_anti")
+    val semRejects = semHits.join(lexOkIds, Seq("doc_id"), "left_semi")
+      .select(id, lit("decontam").as("stage"), lit("semantic").as("reason"))
+    val keep = tv.join(lexOkIds, Seq("doc_id"), "left_semi")
+      .join(semHits, Seq("doc_id"), "left_anti")
+
+    // 6 — the SFT endgame over the cleaned survivor text
+    val turns = Chat.parseToolTurns(
+      sftTranscriptsOf(s, keep.select("doc_id", "text")),
+      "doc_id", "transcript")
+    val contract = Chat.validateTurns(turns, "doc_id",
+      roles = Chat.allowedRoles :+ "tool")
+    val tool = Chat.validateToolUse(turns, "doc_id", Seq("search", "calc"))
+    val contractRejects = contract.filter(!col("valid"))
+      .select(col("doc_id"), lit("contract").as("stage"),
+        concat_ws(",",
+          when(!col("roles_ok"), "roles"),
+          when(!col("starts_ok"), "starts"),
+          when(!col("alternation_ok"), "alternation"),
+          when(!col("nonempty_ok"), "nonempty")).as("reason"))
+    val contractOkIds = contract.filter(col("valid")).select("doc_id")
+    val toolRejects = tool.join(contractOkIds, "doc_id")
+      .filter(!col("valid"))
+      .select(col("doc_id"), lit("tool").as("stage"),
+        concat_ws(",",
+          when(!col("tool_after_call_ok"), "tool_after_call"),
+          when(!col("tools_answered_ok"), "tools_answered"),
+          when(!col("tool_names_ok"), "tool_names")).as("reason"))
+    val admitted = contractOkIds
+      .join(tool.filter(col("valid")).select("doc_id"), "doc_id")
+    val aturns = turns.join(admitted, "doc_id")
+    val convo = aturns.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("content")))),
+        t => t("content")), " ").as("text"))
+    val sftPairs = Dedup.minhashPairs(convo, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
+      maxBucketSize = Some(12)).select("id_a", "id_b")
+    val sftComps = Dedup.connectedComponents(sftPairs)
+    val sftDupRejects = sftComps.filter(col("id") =!= col("rep"))
+      .select(col("id").as("doc_id"), lit("sft_dedup").as("stage"),
+        concat(lit("dup_of_"), col("rep").cast("string")).as("reason"))
+    val conv = aturns
+      .withColumn("__tok",
+        when(col("content").isNull, lit(0L))
+          .otherwise(TextFunctions.tokenCount(col("content"))))
+      .groupBy("doc_id")
+      .agg((sum(col("__tok")) + lit(4L) * count(lit(1))).as("n_tokens"),
+        sum(when(col("role") === "assistant", col("__tok")).otherwise(0L))
+          .as("loss_tokens"))
+      .join(sftDupRejects.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("grp", pmod(col("doc_id"), lit(8L)))
+    val packed = Packing.packBinsByCount(conv, "doc_id", "grp", "n_tokens",
+        capacity = 512)
+      .select(col("id").as("doc_id"), col("grp"), col("n_tokens"), col("bin_id"))
+      .join(conv.select("doc_id", "loss_tokens"), "doc_id")
+
+    // 7 — token-balanced shards over the packed bins
+    val bins = packed.groupBy("grp", "bin_id")
+      .agg(sum(col("n_tokens")).as("bin_tokens"))
+    val shards = Packing.balancedShards(bins, "bin_id", "bin_tokens",
+      numShards = 4, groupCol = Some("grp"))
+
+    // 8 — per-source manifest of the released training docs
+    val manifest = graft.operators.Profile.manifestMerge(
+      graft.operators.Profile.manifestStates(
+        keep.join(packed.select("doc_id").distinct(), "doc_id"),
+        "source", "text"))
+
+    // 9 — parts union + the reconcile tie-out
+    val ledger = encRejects.unionByName(gateRejects)
+      .unionByName(exactRejects).unionByName(ndRejects)
+      .unionByName(holdoutRejects).unionByName(lexRejects)
+      .unionByName(semRejects).unionByName(contractRejects)
+      .unionByName(toolRejects).unionByName(sftDupRejects)
+    val packPart = packed.select(lit("pack").as("part"),
+      col("doc_id").cast("string").as("k"),
+      concat_ws(":", col("grp"), col("bin_id"), col("n_tokens"),
+        col("loss_tokens")).as("v"))
+    val shardPart = shards.select(lit("shard").as("part"),
+      concat_ws(":", col("grp"), col("id")).as("k"),
+      concat_ws(":", col("weight"), col("shard")).as("v"))
+    val ledgerPart = ledger.select(lit("ledger").as("part"),
+      col("doc_id").cast("string").as("k"),
+      concat_ws(":", col("stage"), col("reason")).as("v"))
+    val manifestPart = manifest.select(lit("manifest").as("part"),
+      col("source").as("k"),
+      concat_ws(":", col("n_docs"), col("total_tokens"), col("uniq_est"),
+        col("dup_est_permille")).as("v"))
+    val reconcilePart = input.select(lit("input").as("side"), id)
+      .unionByName(packed.select(lit("accounted").as("side"), id)
+        .unionByName(ledger.select(lit("accounted").as("side"), id)))
+      .groupBy()
+      .agg(
+        count(when(col("side") === "input", 1)).as("n_input"),
+        count(when(col("side") === "accounted", 1)).as("n_accounted"),
+        sum(when(col("side") === "input", id)).as("sum_input"),
+        sum(when(col("side") === "accounted", id)).as("sum_accounted"))
+      .select(lit("reconcile").as("part"), lit("tieout").as("k"),
+        concat_ws(":", col("n_input"), col("n_accounted"),
+          col("sum_input"), col("sum_accounted")).as("v"))
+    val out = packPart.unionByName(shardPart).unionByName(ledgerPart)
+      .unionByName(manifestPart).unionByName(reconcilePart)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // write the release artifact and digest-verify it with the real
+      // reconciliation gate; the returned frame is the artifact as a
+      // CONSUMER would read it (proven row+checksum-identical)
+      val sfName = new java.io.File(dir).getName
+      val io = new graft.sources.ParquetDirIO(s, dir,
+        s"$twinRoot/release/$sfName")
+      io.writeTarget("release", out)
+      graft.operators.Reconcile.assertClean(io, Map("release" -> out))
+      io.readTarget("release")
+    } finally out.unpersist()
   }
 
   /** Unigram-distribution drift between the even-id and odd-id
@@ -3444,6 +3750,7 @@ object ExtensionQueries {
     "q_pipeline_ingest" -> qPipelineIngest,
     "q_pipeline_sft" -> qPipelineSft,
     "q_pipeline_sft_ledger" -> qPipelineSftLedger,
+    "q_pipeline_release" -> qPipelineRelease,
     "q_pipeline_pref" -> qPipelinePref,
     "q_pipeline_pref_ledger" -> qPipelinePrefLedger,
     "q_chat_dedup" -> qChatDedup,
@@ -4413,31 +4720,34 @@ object ExtensionQueries {
       batchPred: String => String,
       corpusPred: String => String,
       shingleN: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5): String = {
+      bands: Int = 16, threshold: Double = 0.5,
+      from: String = "documents",
+      prefix: String = ""): String = {
+    val p = prefix
     val rpb = numHashes / bands
     val bandSelects = (0 until bands).map { j =>
-      s"SELECT doc_id, $j AS band_idx, sig[${j * rpb + 1}:${(j + 1) * rpb}] AS bv FROM sig"
+      s"SELECT doc_id, $j AS band_idx, sig[${j * rpb + 1}:${(j + 1) * rpb}] AS bv FROM ${p}sig"
     }.mkString("\nUNION ALL ")
     val inter = "len(list_filter(sn.sh, x -> list_contains(sc.sh, x)))"
-    s"""ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM documents),
-       |sh AS MATERIALIZED (SELECT doc_id, ${HashSql.shingleHashes("ths", shingleN)} AS sh FROM ths),
-       |shx AS (SELECT doc_id, unnest(sh) AS h FROM sh),
-       |salt AS (SELECT * FROM (VALUES ${HashSql.saltRows(numHashes, 42L)}) AS v(salt_idx, s)),
-       |mx0 AS MATERIALIZED (SELECT doc_id, salt_idx, ${HashSql.ux("h", "s")} AS x FROM shx CROSS JOIN salt),
-       |${HashSql.mixCtes("mx", "mx0", "doc_id, salt_idx")},
-       |sig AS MATERIALIZED (SELECT doc_id, list(mn ORDER BY salt_idx) AS sig FROM
-       |  (SELECT doc_id, salt_idx, min(${HashSql.toS("x")}) AS mn FROM mx4
+    s"""${p}ths AS MATERIALIZED (SELECT doc_id, ${HashSql.tokenHashes("text")} AS ths FROM $from),
+       |${p}sh AS MATERIALIZED (SELECT doc_id, ${HashSql.shingleHashes("ths", shingleN)} AS sh FROM ${p}ths),
+       |${p}shx AS (SELECT doc_id, unnest(sh) AS h FROM ${p}sh),
+       |${p}salt AS (SELECT * FROM (VALUES ${HashSql.saltRows(numHashes, 42L)}) AS v(salt_idx, s)),
+       |${p}mx0 AS MATERIALIZED (SELECT doc_id, salt_idx, ${HashSql.ux("h", "s")} AS x FROM ${p}shx CROSS JOIN ${p}salt),
+       |${HashSql.mixCtes(s"${p}mx", s"${p}mx0", "doc_id, salt_idx")},
+       |${p}sig AS MATERIALIZED (SELECT doc_id, list(mn ORDER BY salt_idx) AS sig FROM
+       |  (SELECT doc_id, salt_idx, min(${HashSql.toS("x")}) AS mn FROM ${p}mx4
        |   GROUP BY doc_id, salt_idx) g GROUP BY doc_id),
-       |band AS MATERIALIZED ($bandSelects),
-       |fps AS MATERIALIZED (SELECT doc_id,
-       |  md5(trim(regexp_replace(lower(text), '$ws+', ' ', 'g'))) AS fp FROM documents),
-       |exact_hit AS (SELECT n.doc_id FROM fps n WHERE ${batchPred("n.doc_id")} AND EXISTS (
-       |  SELECT 1 FROM fps c WHERE ${corpusPred("c.doc_id")} AND c.fp = n.fp)),
-       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS cid
-       |  FROM band a JOIN band b ON a.band_idx = b.band_idx AND a.bv = b.bv
+       |${p}band AS MATERIALIZED ($bandSelects),
+       |${p}fps AS MATERIALIZED (SELECT doc_id,
+       |  md5(trim(regexp_replace(lower(text), '$ws+', ' ', 'g'))) AS fp FROM $from),
+       |${p}exact_hit AS (SELECT n.doc_id FROM ${p}fps n WHERE ${batchPred("n.doc_id")} AND EXISTS (
+       |  SELECT 1 FROM ${p}fps c WHERE ${corpusPred("c.doc_id")} AND c.fp = n.fp)),
+       |${p}cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS cid
+       |  FROM ${p}band a JOIN ${p}band b ON a.band_idx = b.band_idx AND a.bv = b.bv
        |  WHERE ${batchPred("a.doc_id")} AND ${corpusPred("b.doc_id")}),
-       |lsh_hit AS (SELECT DISTINCT c.nid AS doc_id FROM cand c
-       |  JOIN sh sn ON sn.doc_id = c.nid JOIN sh sc ON sc.doc_id = c.cid
+       |${p}lsh_hit AS (SELECT DISTINCT c.nid AS doc_id FROM ${p}cand c
+       |  JOIN ${p}sh sn ON sn.doc_id = c.nid JOIN ${p}sh sc ON sc.doc_id = c.cid
        |  WHERE CAST($inter AS DOUBLE) /
        |        CAST(len(sn.sh) + len(sc.sh) - $inter AS DOUBLE) >= $threshold)""".stripMargin
   }
@@ -7318,16 +7628,17 @@ object ExtensionQueries {
     * regeneration through contract/tool flags, admission, trainable
     * text, capped-MinHash pairs, and the recursive keep-one closure
     * (ending at `sft_reps`/`sft_drop`) — shared verbatim by the
-    * survivor pyramid ([[pipelineSftSql]]) and the reject ledger
-    * ([[pipelineSftLedgerSql]]), so the two oracles cannot drift
-    * apart stage-for-stage. */
-  private def pipelineSftCtes: String = {
+    * survivor pyramid ([[pipelineSftSql]]), the reject ledger
+    * ([[pipelineSftLedgerSql]]), and — re-rooted via `from` — the
+    * end-to-end release pipeline ([[pipelineReleaseSql]]), so the
+    * oracles cannot drift apart stage-for-stage. */
+  private def pipelineSftCtes(from: String = "documents"): String = {
     val flags = chatFlagsSql("sft_turns",
       roles = Seq("system", "user", "assistant", "tool"))
     s"""sft_src AS (SELECT CAST(doc_id AS BIGINT) AS id,
        |    list_filter($tokensLowerSql,
        |      x -> regexp_matches(x, '^[a-z0-9]+$$')) AS w
-       |  FROM documents),
+       |  FROM $from),
        |sft_par AS (SELECT id, w, CAST(len(w) AS BIGINT) AS n,
        |    CAST(1 + id % 3 AS BIGINT) AS m,
        |    CASE WHEN id % 7 = 0 THEN 1 ELSE 0 END AS sys,
@@ -7413,7 +7724,7 @@ object ExtensionQueries {
   }
 
   private val pipelineSftSql: String =
-    s"""WITH RECURSIVE $pipelineSftCtes,
+    s"""WITH RECURSIVE ${pipelineSftCtes()},
        |sft_cost AS MATERIALIZED (SELECT t.doc_id AS id, t.doc_id % 8 AS grp,
        |    CAST(SUM(t.n_tokens) + 4 * COUNT(*) AS BIGINT) AS n,
        |    CAST(SUM(CASE WHEN t.role = 'assistant' THEN t.n_tokens ELSE 0 END)
@@ -7442,7 +7753,7 @@ object ExtensionQueries {
     * semantics), and dedup rejects read their survivor off the
     * recursive closure's min-label rep. */
   private val pipelineSftLedgerSql: String =
-    s"""WITH RECURSIVE $pipelineSftCtes
+    s"""WITH RECURSIVE ${pipelineSftCtes()}
        |SELECT doc_id, stage, reason FROM (
        |  SELECT doc_id, 'contract' AS stage, concat_ws(',',
        |      CASE WHEN NOT roles_ok THEN 'roles' END,
@@ -7463,6 +7774,222 @@ object ExtensionQueries {
        |  UNION ALL
        |  SELECT id, 'dedup', 'dup_of:' || CAST(rep AS VARCHAR)
        |  FROM sft_reps WHERE id <> rep) led""".stripMargin
+
+  /** Mirrors [[qPipelineRelease]] — the nine stage pyramids chained
+    * under ONE `WITH RECURSIVE`: the [[pipelineIngestSql]] gate
+    * recipe (with doc granularity kept for the ledger), the
+    * fingerprint keeper window, the capped-MinHash replay + recursive
+    * keep-one closure re-rooted on the gate survivors
+    * ([[pipelineCleanSql]] discipline), the SplitMix64 split replay,
+    * the [[dedupAgainstHitsCtes]] lexical probe and the
+    * [[kmeansDistributedCtes]] semantic probe re-rooted on the CLEAN
+    * survivor corpus ([[splitDecontamSql]] discipline), the whole
+    * [[pipelineSftCtes]] chain re-rooted on the decontaminated text,
+    * the recursive pack walk, the serpentine shard deal, the
+    * [[manifestMergeCtes]] replay over the released docs, the
+    * ten-stage first-fail ledger, and the count/id-sum tie-out —
+    * every survivor set and every reject reason recomputed
+    * independently, so drift at ANY stage boundary hash-mismatches. */
+  private val pipelineReleaseSql: String = {
+    val raw = s"('$htmlPrefix' || text || '$htmlSuffix'" +
+      " || CASE WHEN doc_id % 23 = 0 THEN chr(65533) ELSE '' END)"
+    val cleaned = TextFunctions.normalizeTextSql(
+      TextFunctions.stripBoilerplateSql("raw"))
+    def assignSem(side: String) =
+      s"""SELECT id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm, cell FROM (
+         |    SELECT e.id, e.vec, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
+         |    FROM $side e CROSS JOIN cents2 c) t WHERE rn = 1""".stripMargin
+    val serpentine =
+      "CASE WHEN (rn0 // 4) % 2 = 0 THEN rn0 % 4 ELSE 3 - (rn0 % 4) END"
+    s"""WITH RECURSIVE rl_qm0 AS MATERIALIZED (
+       |  SELECT doc_id, CAST(doc_id AS HUGEINT) AS x FROM documents),
+       |${HashSql.mixCtes("rl_qm", "rl_qm0", "doc_id")},
+       |rl_toks AS (SELECT d.doc_id, d.source, d.text,
+       |    list_filter(regexp_split_to_array(d.text, '$ws+'), x -> x <> '') AS t,
+       |    ((m.x // 2) % 100 >= 90 AND d.doc_id % 2 = 0) AS is_quote
+       |  FROM documents d JOIN rl_qm4 m ON m.doc_id = d.doc_id),
+       |rl_in AS MATERIALIZED (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, source,
+       |    CASE WHEN doc_id % 41 = 0 THEN text
+       |         WHEN is_quote THEN array_to_string(
+       |           list_slice(t, 1, CAST(ceil(0.45 * len(t)) AS INT)) || list_slice(t, 1, CAST(ceil(0.45 * len(t)) AS INT)), ' ')
+       |         ELSE array_to_string(
+       |           [CASE WHEN i % 3 = 0 THEN t[i] || ' ,' ELSE t[i] END
+       |            for i in range(1, len(t) + 1)], ' ')
+       |    END
+       |  FROM rl_toks
+       |  WHERE doc_id % 41 = 0 OR is_quote OR doc_id % 43 = 0),
+       |rl_raw AS (SELECT doc_id, source, $raw AS raw FROM rl_in),
+       |rl_clean AS MATERIALIZED (SELECT doc_id, source, $cleaned AS text
+       |  FROM rl_raw WHERE ${TextFunctions.encodingOkSql("raw")}),
+       |rl_b AS (SELECT doc_id, source, text, $langBestSql AS __best
+       |  FROM rl_clean),
+       |rl_g AS MATERIALIZED (SELECT doc_id, source, text,
+       |    ($langPredCaseSql = 'en') AS lang_ok,
+       |    ($alphaRatioSql * 0.4 + $stopRatioSql * 0.3
+       |      + least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.2
+       |      + (1.0 - $punctRatioSql) * 0.1 >= 0.5) AS q_ok,
+       |    ($nTokensSql BETWEEN 5 AND 1000) AS len_ok
+       |  FROM rl_b),
+       |rl_ing AS MATERIALIZED (SELECT doc_id, source, text FROM rl_g
+       |  WHERE lang_ok AND q_ok AND len_ok),
+       |rl_fp AS MATERIALIZED (SELECT doc_id, source, text,
+       |    min(doc_id) OVER (PARTITION BY
+       |      md5(trim(regexp_replace(lower(text), '$ws+', ' ', 'g')))) AS keeper
+       |  FROM rl_ing),
+       |rl_ex AS MATERIALIZED (SELECT doc_id, source, text FROM rl_fp
+       |  WHERE doc_id = keeper),
+       |rl_pairs AS MATERIALIZED (
+       |${minhashPairsSql(3, 64, 16, 0.5, Some(12), from = "rl_ex")}),
+       |rl_edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM rl_pairs
+       |          UNION ALL SELECT id_b, id_a FROM rl_pairs),
+       |rl_labels(lid, label) AS (
+       |  SELECT DISTINCT src, src FROM rl_edges
+       |  UNION
+       |  SELECT e.src, l.label FROM rl_edges e JOIN rl_labels l ON e.dst = l.lid),
+       |rl_nddrop AS (SELECT lid AS doc_id, rep FROM
+       |  (SELECT lid, min(label) AS rep FROM rl_labels GROUP BY lid) t
+       |  WHERE lid <> rep),
+       |rl_nd AS MATERIALIZED (SELECT e.doc_id, e.source, e.text FROM rl_ex e
+       |  WHERE e.doc_id NOT IN (SELECT doc_id FROM rl_nddrop)),
+       |rl_sm0 AS MATERIALIZED (SELECT doc_id, CAST(doc_id AS HUGEINT) AS x
+       |  FROM rl_nd),
+       |${HashSql.mixCtes("rl_sm", "rl_sm0", "doc_id")},
+       |rl_split AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN (x // 2) % 100 < 80 THEN 'train'
+       |         WHEN (x // 2) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM rl_sm4),
+       |rl_hold AS (SELECT doc_id FROM rl_split WHERE split = 'test'),
+       |rl_tv AS (SELECT doc_id FROM rl_split WHERE split <> 'test'),
+       |${dedupAgainstHitsCtes(
+            c => s"$c IN (SELECT doc_id FROM rl_tv)",
+            c => s"$c IN (SELECT doc_id FROM rl_hold)",
+            bands = 32, threshold = 0.35, from = "rl_nd", prefix = "rld_")},
+       |corpus AS (SELECT e.vec_id AS id, e.embedding AS vec FROM embeddings e
+       |  WHERE e.vec_id IN (SELECT doc_id FROM rl_hold)),
+       |${kmeansDistributedCtes(8, 2)},
+       |rl_semc_raw AS (${assignSem("corpus")}),
+       |rl_semc AS (SELECT * FROM rl_semc_raw
+       |  QUALIFY count(*) OVER (PARTITION BY cell) <= 6),
+       |rl_sembv AS (SELECT e.vec_id AS id, e.embedding AS vec FROM embeddings e
+       |  WHERE e.vec_id IN (SELECT doc_id FROM rl_tv)),
+       |rl_semb AS (${assignSem("rl_sembv")}),
+       |rl_semhit AS (SELECT DISTINCT b.id AS doc_id
+       |  FROM rl_semb b JOIN rl_semc c ON b.cell = c.cell
+       |  WHERE CASE WHEN b.nrm * c.nrm > 0.0
+       |             THEN ${dotSql("b.vec", "c.vec")} / (b.nrm * c.nrm)
+       |             ELSE 0.0 END >= 0.3),
+       |rl_keep AS MATERIALIZED (SELECT n.doc_id, n.source, n.text FROM rl_nd n
+       |  WHERE n.doc_id IN (SELECT doc_id FROM rl_tv)
+       |    AND n.doc_id NOT IN (SELECT doc_id FROM rld_exact_hit)
+       |    AND n.doc_id NOT IN (SELECT doc_id FROM rld_lsh_hit)
+       |    AND n.doc_id NOT IN (SELECT doc_id FROM rl_semhit)),
+       |${pipelineSftCtes(from = "rl_keep")},
+       |rl_cost AS MATERIALIZED (SELECT t.doc_id AS cid, t.doc_id % 8 AS grp,
+       |    CAST(SUM(t.n_tokens) + 4 * COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN t.role = 'assistant' THEN t.n_tokens ELSE 0 END)
+       |         AS BIGINT) AS loss_tokens
+       |  FROM sft_turns t JOIN sft_adm a ON a.doc_id = t.doc_id
+       |  WHERE t.doc_id NOT IN (SELECT id FROM sft_drop)
+       |  GROUP BY t.doc_id),
+       |rl_rk AS MATERIALIZED (SELECT cid, grp, n, loss_tokens,
+       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cid) AS rn FROM rl_cost),
+       |rl_walk AS (
+       |  SELECT grp, rn, cid, n, loss_tokens, CAST(0 AS BIGINT) AS bin, n AS fill
+       |  FROM rl_rk WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r2.grp, r2.rn, r2.cid, r2.n, r2.loss_tokens,
+       |    CASE WHEN w.fill + r2.n <= 512 THEN w.bin ELSE w.bin + 1 END,
+       |    CASE WHEN w.fill + r2.n <= 512 THEN w.fill + r2.n ELSE r2.n END
+       |  FROM rl_walk w JOIN rl_rk r2 ON r2.grp = w.grp AND r2.rn = w.rn + 1),
+       |rl_bins AS MATERIALIZED (SELECT grp, bin, CAST(SUM(n) AS BIGINT) AS w
+       |  FROM rl_walk GROUP BY grp, bin),
+       |rl_shard AS (SELECT grp, bin, w,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY w DESC, bin ASC)
+       |         - 1 AS BIGINT) AS rn0
+       |  FROM rl_bins),
+       |rl_rel AS MATERIALIZED (SELECT k.doc_id, k.source, k.text
+       |  FROM rl_keep k WHERE k.doc_id IN (SELECT cid FROM rl_cost)),
+       |${manifestMergeCtes("rl_rel")},
+       |rl_led AS MATERIALIZED (
+       |  SELECT doc_id, 'ingest' AS stage, 'encoding' AS reason FROM rl_raw
+       |  WHERE NOT ${TextFunctions.encodingOkSql("raw")}
+       |  UNION ALL
+       |  SELECT doc_id, 'ingest', concat_ws(',',
+       |      CASE WHEN NOT lang_ok THEN 'lang' END,
+       |      CASE WHEN NOT q_ok THEN 'quality' END,
+       |      CASE WHEN NOT len_ok THEN 'length' END)
+       |  FROM rl_g WHERE NOT (lang_ok AND q_ok AND len_ok)
+       |  UNION ALL
+       |  SELECT doc_id, 'exact', 'dup_of_' || CAST(keeper AS VARCHAR)
+       |  FROM rl_fp WHERE doc_id <> keeper
+       |  UNION ALL
+       |  SELECT doc_id, 'neardup', 'dup_of_' || CAST(rep AS VARCHAR)
+       |  FROM rl_nddrop
+       |  UNION ALL
+       |  SELECT doc_id, 'holdout', 'test' FROM rl_hold
+       |  UNION ALL
+       |  SELECT doc_id, 'decontam', 'lexical' FROM rl_tv
+       |  WHERE doc_id IN (SELECT doc_id FROM rld_exact_hit)
+       |     OR doc_id IN (SELECT doc_id FROM rld_lsh_hit)
+       |  UNION ALL
+       |  SELECT doc_id, 'decontam', 'semantic' FROM rl_tv
+       |  WHERE doc_id IN (SELECT doc_id FROM rl_semhit)
+       |    AND doc_id NOT IN (SELECT doc_id FROM rld_exact_hit)
+       |    AND doc_id NOT IN (SELECT doc_id FROM rld_lsh_hit)
+       |  UNION ALL
+       |  SELECT doc_id, 'contract', concat_ws(',',
+       |      CASE WHEN NOT roles_ok THEN 'roles' END,
+       |      CASE WHEN NOT starts_ok THEN 'starts' END,
+       |      CASE WHEN NOT alternation_ok THEN 'alternation' END,
+       |      CASE WHEN NOT nonempty_ok THEN 'nonempty' END)
+       |  FROM sft_cf
+       |  WHERE NOT (roles_ok AND starts_ok AND alternation_ok AND nonempty_ok)
+       |  UNION ALL
+       |  SELECT t.doc_id, 'tool', concat_ws(',',
+       |      CASE WHEN NOT tool_after_call_ok THEN 'tool_after_call' END,
+       |      CASE WHEN NOT tools_answered_ok THEN 'tools_answered' END,
+       |      CASE WHEN NOT tool_names_ok THEN 'tool_names' END)
+       |  FROM sft_tf t JOIN sft_cf f ON f.doc_id = t.doc_id
+       |  WHERE (f.roles_ok AND f.starts_ok AND f.alternation_ok AND f.nonempty_ok)
+       |    AND NOT (t.tool_after_call_ok AND t.tools_answered_ok
+       |             AND t.tool_names_ok)
+       |  UNION ALL
+       |  SELECT id, 'sft_dedup', 'dup_of_' || CAST(rep AS VARCHAR)
+       |  FROM sft_reps WHERE id <> rep)
+       |SELECT 'pack' AS part, CAST(cid AS VARCHAR) AS k,
+       |  CAST(grp AS VARCHAR) || ':' || CAST(bin AS VARCHAR) || ':'
+       |    || CAST(n AS VARCHAR) || ':' || CAST(loss_tokens AS VARCHAR) AS v
+       |FROM rl_walk
+       |UNION ALL
+       |SELECT 'shard', CAST(grp AS VARCHAR) || ':' || CAST(bin AS VARCHAR),
+       |  CAST(w AS VARCHAR) || ':' || CAST($serpentine AS VARCHAR)
+       |FROM rl_shard
+       |UNION ALL
+       |SELECT 'ledger', CAST(doc_id AS VARCHAR), stage || ':' || reason
+       |FROM rl_led
+       |UNION ALL
+       |SELECT 'manifest', c.source,
+       |  CAST(n_docs AS VARCHAR) || ':' || CAST(total_tokens AS VARCHAR)
+       |    || ':' || CAST(uniq_est AS VARCHAR) || ':' ||
+       |    CAST(CAST(greatest(n_docs - uniq_est, 0) * 1000 // n_docs AS BIGINT)
+       |         AS VARCHAR)
+       |FROM mm_cnt c JOIN mm_e e ON e.source = c.source
+       |UNION ALL
+       |SELECT 'reconcile', 'tieout',
+       |  CAST((SELECT count(*) FROM rl_in) AS VARCHAR) || ':' ||
+       |  CAST((SELECT count(*) FROM rl_cost)
+       |       + (SELECT count(*) FROM rl_led) AS VARCHAR) || ':' ||
+       |  CAST(CAST((SELECT sum(doc_id) FROM rl_in) AS BIGINT) AS VARCHAR)
+       |    || ':' ||
+       |  CAST(CAST((SELECT COALESCE(sum(cid), 0) FROM rl_cost)
+       |       + (SELECT COALESCE(sum(doc_id), 0) FROM rl_led) AS BIGINT)
+       |       AS VARCHAR)""".stripMargin
+  }
 
   /** Mirrors [[qTextDrift]]: per-half token hashes through the
     * salt-XOR + staged SplitMix64 ([[HashSql.mixCtes]]), bucket
@@ -7819,6 +8346,7 @@ object ExtensionQueries {
     "q_pipeline_ingest" -> pipelineIngestSql,
     "q_pipeline_sft" -> pipelineSftSql,
     "q_pipeline_sft_ledger" -> pipelineSftLedgerSql,
+    "q_pipeline_release" -> pipelineReleaseSql,
     "q_pipeline_pref" -> pipelinePrefSql,
     "q_pipeline_pref_ledger" -> pipelinePrefLedgerSql,
     "q_chat_dedup" -> chatDedupSql,
