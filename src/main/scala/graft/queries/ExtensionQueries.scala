@@ -1649,6 +1649,47 @@ object ExtensionQueries {
   private val qPackBinsStats: Q = (s, dir) =>
     graft.operators.Packing.binStats(qPackBins(s, dir), capacity = 256)
 
+  /** [[qPackBins]] on REAL tokenizer counts — the shape a production
+    * loader runs once bins must fit an actual model context window:
+    * train the in-engine BPE ([[graft.operators.Bpe.train]], 8
+    * merges), segment the corpus under the learned table
+    * ([[graft.operators.Bpe.segment]]), cost each document as its
+    * total subword count, and run the identical per-group next-fit
+    * walk ([[graft.operators.Packing.packBinsByCount]], capacity
+    * 256). Whitespace-token bins over- or under-fill a real context
+    * window; this is the corrected twin (BASELINE.md carries the
+    * measured ws-vs-BPE utilization gap). Documents with no
+    * `[a-z0-9]+` word cost 0 (the tokenizer sees nothing).
+    *
+    * Oracle: [[textBpeCtes]] — the SAME unrolled merge replay the
+    * q_text_bpe pair already gates — chained into the per-doc subword
+    * sum and the recursive pack walk, so a drift in EITHER the
+    * tokenizer or the packing moves the hash.
+    *
+    * Scale posture: training collects only the vocabulary-sized word
+    * table (bounded, [[graft.operators.Bpe.defaultMaxVocab]]); the 8
+    * learned merges ride the segmentation projection as a literal
+    * replace chain (codegen'd below
+    * [[graft.operators.Bpe.maxCodegenMerges]]); costing is one
+    * doc-keyed aggregate; the walk is the single-Exchange per-group
+    * sweep. */
+  private val qPackBinsBpe: Q = (s, dir) => {
+    val docs = pq(s, dir, "documents")
+    val merges = graft.operators.Bpe.train(docs, "text", numMerges = 8)
+      .orderBy("merge_idx")
+      .select("left_sym", "right_sym").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val counts = graft.operators.Bpe.segment(docs, "doc_id", "text", merges)
+      .groupBy("doc_id")
+      .agg(sum(size(col("subwords"))).cast("long").as("bpe_tokens"))
+    val costed = docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("__g"))
+      .join(counts, Seq("doc_id"), "left")
+      .withColumn("bpe_tokens", coalesce(col("bpe_tokens"), lit(0L)))
+    graft.operators.Packing.packBinsByCount(
+      costed, "doc_id", "__g", "bpe_tokens", capacity = 256)
+  }
+
   /** Hashing-trick featurization over the corpus
     * ([[graft.operators.Search.hashedFeatures]], 256 dims): sparse
     * signed-count vectors with no vocabulary table, the cheap linear-
@@ -3678,6 +3719,7 @@ object ExtensionQueries {
     "q_sample_dsir" -> qSampleDsir,
     "q_pack_bins" -> qPackBins,
     "q_pack_bins_stats" -> qPackBinsStats,
+    "q_pack_bins_bpe" -> qPackBinsBpe,
     "q_text_feature_hash" -> qTextFeatureHash,
     "q_multimodal_keep_one" -> qMultimodalKeepOne,
     "q_dedup_multisignal" -> qDedupMultisignal,
@@ -6774,6 +6816,40 @@ object ExtensionQueries {
        |    AS util_permille
        |FROM packed GROUP BY grp""".stripMargin
 
+  /** Mirrors [[qPackBinsBpe]]: the [[textBpeCtes]] unrolled-merge
+    * replay (the SAME chain the q_text_bpe pair gates) read out at
+    * the final word state `w8`, each word costed as its subword count
+    * (`<...>` wall count), summed per document over the word
+    * OCCURRENCES of [[tokensLowerSql]] (the inner join to `w8` drops
+    * exactly the non-`[a-z0-9]+` words the engine's segment filter
+    * drops; docs with no surviving word cost 0 via the LEFT join),
+    * then the identical per-group recursive next-fit walk at
+    * capacity 256. A drift in either the tokenizer or the packing
+    * moves the hash. */
+  private def packBinsBpeSql: String =
+    s"""WITH RECURSIVE ${textBpeCtes(8)},
+       |wsub AS MATERIALIZED (SELECT word,
+       |  CAST(len(regexp_extract_all(symseq, '<([^>]*)>', 1)) AS BIGINT) AS n_sub
+       |  FROM w8),
+       |dtok AS (SELECT doc_id, unnest($tokensLowerSql) AS word FROM documents),
+       |dcost AS (SELECT t.doc_id, SUM(ws.n_sub) AS n
+       |  FROM dtok t JOIN wsub ws ON t.word = ws.word GROUP BY t.doc_id),
+       |d AS (SELECT dd.doc_id AS id, dd.doc_id % 8 AS grp,
+       |  COALESCE(c.n, 0) AS n
+       |  FROM documents dd LEFT JOIN dcost c ON dd.doc_id = c.doc_id),
+       |r AS MATERIALIZED (SELECT id, grp, n,
+       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) AS rn FROM d),
+       |walk AS (
+       |  SELECT grp, rn, id, n, CAST(0 AS BIGINT) AS bin, n AS fill
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r2.grp, r2.rn, r2.id, r2.n,
+       |    CASE WHEN w.fill + r2.n <= 256 THEN w.bin ELSE w.bin + 1 END,
+       |    CASE WHEN w.fill + r2.n <= 256 THEN w.fill + r2.n ELSE r2.n END
+       |  FROM walk w JOIN r r2 ON r2.grp = w.grp AND r2.rn = w.rn + 1)
+       |SELECT id, grp, CAST(n AS BIGINT) AS n_tokens, bin AS bin_id
+       |FROM walk""".stripMargin
+
   /** Mirrors [[qTextFeatureHash]]: per-occurrence token hashes,
     * salt-XOR + staged SplitMix64, index = low 8 bits, sign = bit 8,
     * signed sum per (doc, index), zero weights dropped. */
@@ -7020,6 +7096,26 @@ object ExtensionQueries {
     * `replace` scans left-to-right non-overlapping, which IS greedy
     * BPE, and the `<`/`>` walls make overlap impossible anyway. */
   private def textBpeSql(n: Int, segment: Boolean = false): String = {
+    val sel =
+      if (segment)
+        // inference readout: the final word state IS the segmentation
+        s"""SELECT word, freq,
+           |  CAST(len(regexp_extract_all(symseq, '<([^>]*)>', 1)) AS BIGINT) AS n_subwords,
+           |  symseq
+           |FROM w$n""".stripMargin
+      else (0 until n).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_idx, a AS left_sym, b AS right_sym, " +
+          s"a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$i")
+        .mkString("\nUNION ALL\n")
+    s"""WITH ${textBpeCtes(n)}
+       |$sel""".stripMargin
+  }
+
+  /** The [[textBpeSql]] merge-loop unroll as a composable CTE chain
+    * ending at the final word state `w<n>` — shared by the train /
+    * segment readouts and the BPE-costed pack walk
+    * ([[packBinsBpeSql]]). */
+  private def textBpeCtes(n: Int): String = {
     val stages = (0 until n).map { i =>
       s"""p$i AS (
          |  SELECT a, b, SUM(freq) AS cnt FROM (
@@ -7033,24 +7129,12 @@ object ExtensionQueries {
          |  replace(symseq, '<' || m.a || '><' || m.b || '>', '<' || m.a || m.b || '>') AS symseq
          |  FROM w$i, m$i m)""".stripMargin
     }.mkString(",\n")
-    val sel =
-      if (segment)
-        // inference readout: the final word state IS the segmentation
-        s"""SELECT word, freq,
-           |  CAST(len(regexp_extract_all(symseq, '<([^>]*)>', 1)) AS BIGINT) AS n_subwords,
-           |  symseq
-           |FROM w$n""".stripMargin
-      else (0 until n).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS merge_idx, a AS left_sym, b AS right_sym, " +
-          s"a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$i")
-        .mkString("\nUNION ALL\n")
-    s"""WITH wf AS (SELECT word, count(*) AS freq FROM (
+    s"""wf AS (SELECT word, count(*) AS freq FROM (
        |  SELECT unnest($tokensLowerSql) AS word FROM documents) tw
        |  WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY word),
        |w0 AS MATERIALIZED (SELECT word, freq,
        |  regexp_replace(word, '(.)', '<\\1>', 'g') AS symseq FROM wf),
-       |$stages
-       |$sel""".stripMargin
+       |$stages""".stripMargin
   }
 
   // Mirrors [[qMultimodalAudio]]: the WAV/MP3 payloads are BUILT from
@@ -8660,6 +8744,7 @@ object ExtensionQueries {
     "q_sample_dsir" -> sampleDsirSql,
     "q_pack_bins" -> packBinsSql,
     "q_pack_bins_stats" -> packBinsStatsSql,
+    "q_pack_bins_bpe" -> packBinsBpeSql,
     "q_text_feature_hash" -> textFeatureHashSql,
     "q_multimodal_keep_one" -> multimodalKeepOneSql,
     "q_dedup_multisignal" -> dedupMultisignalSql,
