@@ -1134,6 +1134,39 @@ object ExtensionQueries {
     graft.sources.AnnIndex.driftAudit(s, idxDir, nearCut = 0.12, driftFactor = 2)
   }
 
+  /** RETRAIN remediation ([[graft.sources.AnnIndex.retrainPq]]) — the
+    * fix path [[qSimIndexDrift]]'s flag calls for, as one oracled
+    * chain: build the IVF-PQ index on the even half (the frozen
+    * model), append the odd half (coded under that now-stale model),
+    * tombstone the `% 7` ids (the GDPR set), then retrain — survivors
+    * read back THROUGH the tombstones, centroids + codebooks retrain
+    * on them under [[graft.sources.AnnIndex.buildAndWrite]]'s exact
+    * recipe, every survivor re-encodes, and the tree swaps in fenced
+    * (tombstones GC'd). The batch then answers under the
+    * training-replay oracle of a FRESH build on the retained corpus
+    * ([[simIvfPqSqlWith]] with both predicates = the survivor set) —
+    * hash-green IS the answer-equivalence that makes retrain the safe
+    * drift response: no leaked tombstone (at sf0.01 every query's
+    * top-5 would contain a deleted id), no stale-model carryover (the
+    * appended half retrained, not re-encoded under the old books). */
+  private val qSimIndexRetrain: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val idxDir = s"$twinRoot/annidx_retrain/${new java.io.File(dir).getName}"
+    graft.sources.AnnIndex.buildAndWrite(s, idxDir,
+      corpus.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      nlist = 8, m = 8)
+    graft.sources.AnnIndex.append(s, idxDir,
+      corpus.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    graft.sources.AnnIndex.deleteIds(s, idxDir,
+      corpus.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+    val idx = graft.sources.AnnIndex.retrainPq(
+      s, idxDir, corpus, "vec_id", "embedding", nlist = 8, m = 8)
+    graft.sources.AnnIndex.queryBatch(
+      idx, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+  }
+
   /** Batch-query LSH ANN — the centroid-free batch retrieval path:
     * same query/corpus split as q_sim_batch_topk, Hamming-ball probe
     * (h=2 over 8 planes = 37 probe buckets per query) via equi-join
@@ -1629,6 +1662,68 @@ object ExtensionQueries {
         concat_ws(":", col("n_docs"), col("total_tokens"),
           col("uniq_est"), col("dup_est_permille")).as("v"))
     dedupPart.unionByName(linePart).unionByName(manifestPart)
+  }
+
+  /** Store-maintenance audit
+    * ([[graft.sources.DedupIndexStore.maintenanceAudit]]) as a
+    * continuously-gated catalog row — the compaction-due trigger that
+    * pairs the ANN drift audit's MODEL staleness with STORAGE
+    * staleness, with BOTH trigger axes firing and a clean control in
+    * one result:
+    *
+    *   - `minhash_segments`: build + three appends (4 segments) +
+    *     a `% 31` tombstone set (34 000 ppm), audited at
+    *     maxSegments=3 → due on the SEGMENT axis (small files), ppm
+    *     under the default bar;
+    *   - `lines_tombstones`: build + one append (2 segments) + a
+    *     `% 6` tombstone set (168 000 ppm), default thresholds → due
+    *     on the TOMBSTONE axis (forgotten rows still on disk — the
+    *     compliance clock);
+    *   - `minhash_clean`: the SAME minhash store under default
+    *     thresholds → not due (both flag branches exercised at every
+    *     fixture scale — the fractions are doc_id-modulo, scale-free).
+    *
+    * The oracle recomputes every cell from the twin store directories
+    * themselves (the q_layout_prune precedent): segment counts from
+    * the `seg=N` path components via `filename=true`, live counts as
+    * the distinct-id anti-join against the tombstone table, and the
+    * exact-integer ppm + threshold replay — so a store layout drift,
+    * a lost tombstone, OR a trigger-arithmetic drift all
+    * hash-mismatch. */
+  private val qStoreMaintenance: Q = (s, dir) => {
+    import graft.sources.DedupIndexStore
+    val docs = pq(s, dir, "documents")
+    val sfName = new java.io.File(dir).getName
+    val mhDir = s"$twinRoot/maint_minhash/$sfName"
+    val lnDir = s"$twinRoot/maint_lines/$sfName"
+
+    val d10 = col("doc_id") % 10
+    DedupIndexStore.buildMinhash(s, mhDir, docs.filter(d10 < 4), "doc_id", "text")
+    DedupIndexStore.appendMinhash(s, mhDir, docs.filter(d10 >= 4 && d10 < 6), "doc_id", "text")
+    DedupIndexStore.appendMinhash(s, mhDir, docs.filter(d10 >= 6 && d10 < 8), "doc_id", "text")
+    DedupIndexStore.appendMinhash(s, mhDir, docs.filter(d10 >= 8), "doc_id", "text")
+    DedupIndexStore.deleteIds(s, mhDir,
+      docs.filter(col("doc_id") % 31 === 0).select("doc_id"), "doc_id")
+
+    val lineDocs = docs.select(col("doc_id"), col("source"),
+      replace(col("text"), lit(" a "), lit("\n")).as("text"))
+    DedupIndexStore.buildLines(s, lnDir,
+      lineDocs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    DedupIndexStore.appendLines(s, lnDir,
+      lineDocs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    DedupIndexStore.deleteIds(s, lnDir,
+      docs.filter(col("doc_id") % 6 === 0).select("doc_id"), "doc_id")
+
+    def tag(label: String, audit: DataFrame): DataFrame =
+      audit.select(lit(label).as("store"), col("n_segments"),
+        col("n_docs_live"), col("n_docs_tombstoned"),
+        col("tombstone_ppm"), col("compaction_due"))
+    tag("minhash_segments",
+        DedupIndexStore.maintenanceAudit(s, mhDir, "bands", maxSegments = 3))
+      .unionByName(tag("lines_tombstones",
+        DedupIndexStore.maintenanceAudit(s, lnDir, "lines")))
+      .unionByName(tag("minhash_clean",
+        DedupIndexStore.maintenanceAudit(s, mhDir, "bands")))
   }
 
   /** Whole-document next-fit packing into 256-token bins, 8 shard
@@ -3702,6 +3797,8 @@ object ExtensionQueries {
     "q_sim_lsh_batch" -> qSimLshBatch,
     "q_sim_index_lsh" -> qSimIndexLsh,
     "q_sim_index_drift" -> qSimIndexDrift,
+    "q_sim_index_retrain" -> qSimIndexRetrain,
+    "q_store_maintenance" -> qStoreMaintenance,
     "q_sim_hard_negatives" -> qSimHardNegatives,
     "q_embed_centroids" -> qEmbedCentroids,
     "q_ingest_jsonl" -> qIngestJsonl,
@@ -4360,6 +4457,16 @@ object ExtensionQueries {
     * base∪batch (see [[simIvfPqSqlWith]]). */
   private val simIndexAppendPqSql: String =
     simIvfPqSqlWith("vec_id >= 6 AND vec_id % 2 = 0", "vec_id >= 6")
+
+  /** Mirrors [[qSimIndexRetrain]] — the training-replay oracle of a
+    * FRESH build on the retained corpus: both the training and the
+    * scored set are the post-delete survivors, so the
+    * build→append→delete→retrain chain must answer exactly what a
+    * never-drifted, never-deleted-from index over the survivors
+    * answers. */
+  private val simIndexRetrainSql: String =
+    simIvfPqSqlWith("vec_id >= 6 AND vec_id % 7 <> 0",
+      "vec_id >= 6 AND vec_id % 7 <> 0")
 
   /** Mirrors `Similarity.kmeansCentroidsDistributed(nlist=8, iters=2,
     * quantBits=30)` + `ivfTopKWithCentroids(nprobe=4)`:
@@ -5414,6 +5521,53 @@ object ExtensionQueries {
        |SELECT * FROM m
        |WHERE min_doc_id IS NULL OR max_doc_id IS NULL
        |   OR (max_doc_id >= 100 AND min_doc_id <= 260)""".stripMargin
+
+  /** One store's worth of [[storeMaintenanceSql]] CTEs: the segmented
+    * child table read WITH filenames so the `seg=N` path component is
+    * recomputable, the tombstone id set, and the three audit counts
+    * as scalar subqueries (distinct segs; distinct ids surviving the
+    * anti-join; distinct tombstoned ids — the engine counts the
+    * tombstone table itself, present or not in the corpus). */
+  private def maintStoreCtes(p: String, storeDir: String, table: String): String =
+    s"""${p}b AS MATERIALIZED (
+       |  SELECT DISTINCT
+       |    CAST(regexp_extract(filename, 'seg=(\\d+)', 1) AS BIGINT) AS seg, id
+       |  FROM read_parquet('$storeDir/$table/*/*.parquet', filename = true)),
+       |${p}t AS (SELECT DISTINCT id
+       |          FROM read_parquet('$storeDir/tombstones/*/*.parquet')),
+       |${p}a AS (SELECT
+       |  (SELECT count(DISTINCT seg) FROM ${p}b) AS n_segments,
+       |  (SELECT count(DISTINCT id) FROM ${p}b
+       |   WHERE id NOT IN (SELECT id FROM ${p}t)) AS n_docs_live,
+       |  (SELECT count(*) FROM ${p}t) AS n_docs_tombstoned)""".stripMargin
+
+  /** One audit row over a [[maintStoreCtes]] summary: the exact-
+    * integer ppm and the two-axis trigger replayed at the row's own
+    * thresholds. */
+  private def maintAuditRowSql(
+      label: String, p: String, maxSeg: Int, maxPpm: Long): String =
+    s"""SELECT '$label' AS store, n_segments, n_docs_live,
+       |  n_docs_tombstoned, tombstone_ppm,
+       |  (n_segments > $maxSeg OR tombstone_ppm > $maxPpm) AS compaction_due
+       |FROM (SELECT *,
+       |  CASE WHEN n_docs_live + n_docs_tombstoned > 0
+       |    THEN n_docs_tombstoned * 1000000 // (n_docs_live + n_docs_tombstoned)
+       |    ELSE 0 END AS tombstone_ppm
+       |  FROM ${p}a) t""".stripMargin
+
+  /** Mirrors [[qStoreMaintenance]]: every audit cell recomputed from
+    * the twin store directories (segment counts from the `seg=N` path
+    * components, live/tombstoned from the id sets) and both trigger
+    * thresholds replayed — the q_layout_prune discipline for metadata
+    * operators. */
+  private val storeMaintenanceSql: String =
+    s"""WITH ${maintStoreCtes("m", s"$twinRoot/maint_minhash/__SF_BASENAME__", "bands")},
+       |${maintStoreCtes("l", s"$twinRoot/maint_lines/__SF_BASENAME__", "lines")}
+       |${maintAuditRowSql("minhash_segments", "m", 3, 100000L)}
+       |UNION ALL
+       |${maintAuditRowSql("lines_tombstones", "l", 16, 100000L)}
+       |UNION ALL
+       |${maintAuditRowSql("minhash_clean", "m", 16, 100000L)}""".stripMargin
 
   /** Mirrors [[qEventsGapfill]]: the hourly aggregate, per-type
     * bounds, a LATERAL generate_series grid, and the zero-coalescing
@@ -8590,6 +8744,8 @@ object ExtensionQueries {
     "q_sim_lsh_batch" -> simLshBatchSql,
     "q_sim_index_lsh" -> simLshBatchSql,
     "q_sim_index_drift" -> simIndexDriftSql,
+    "q_sim_index_retrain" -> simIndexRetrainSql,
+    "q_store_maintenance" -> storeMaintenanceSql,
     "q_sim_hard_negatives" -> simHardNegativesSql,
     "q_embed_centroids" -> embedCentroidsSql,
     "q_ingest_jsonl" -> ingestJsonlSql,

@@ -411,6 +411,104 @@ object AnnIndex {
         col("n_far"), col("far_ppm"), col("drift_flag"))
   }
 
+  /** RETRAIN remediation for a plain-IVF index [[driftAudit]] has
+    * flagged — the documented response to write-side staleness
+    * (compaction alone keeps the stale model): read the survivors
+    * THROUGH the tombstone filter, retrain centroids on them
+    * ([[graft.operators.Similarity.kmeansCentroidsDistributed]] — the
+    * scale-path trainer: nlist×dim partials per iteration, never a
+    * corpus collect), re-assign every survivor under the NEW model,
+    * and swap the rebuilt tree in. Self-contained because `assigned`
+    * stores full vectors (the plain-IVF layout choice); the lossy PQ
+    * family needs the source vectors back — see [[retrainPq]].
+    *
+    * Answer-equivalent to a fresh [[buildAndWriteIvf]] over the
+    * retained corpus with survivor-trained centroids (AnnIndexSpec
+    * pins ≡, assigned table and query answers both), and the
+    * post-retrain [[driftAudit]] baseline re-establishes: one seg 0
+    * carrying the NEW build-time distribution, flag off. Tombstones
+    * are GC'd by the swap like [[compactIvf]]; fenced the same way —
+    * a segment published after the survivor read refuses the swap
+    * (typed [[ConcurrentStoreWriteException]], staging preserved). */
+  def retrainIvf(
+      spark: SparkSession,
+      dir: String,
+      nlist: Int,
+      iters: Int = 2): LoadedIvf = {
+    val watermark = Segments.segmentWatermark(spark, dir)
+    val survivors = readIvf(spark, dir).assigned.select(col("id"), col("vec"))
+    val cents = Similarity.kmeansCentroidsDistributed(
+      survivors, "id", "vec", nlist, iters)
+    val staging = dir + ".staging"
+    Segments.clearStaging(spark, dir)
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .write.mode("overwrite").parquet(s"$staging/centroids")
+    // the staging write scans the CURRENT assigned files (still in
+    // place — the swap only renames after this action completes)
+    survivors.select(
+        col("id"),
+        Similarity.assignCellUdf(cents)(col("vec")).as("cell"),
+        col("vec"))
+      .write.mode("overwrite").parquet(s"$staging/assigned/seg=0")
+    Segments.swapInFenced(spark, staging, dir, watermark)
+    readIvf(spark, dir)
+  }
+
+  /** [[retrainIvf]]'s IVF-PQ twin. The coded table is LOSSY (m code
+    * indices per vector — the 32× compression is the point), so
+    * re-encoding under a new model needs the source vectors back: the
+    * caller supplies the corpus table and the retrain subtracts the
+    * index's own tombstones from it (the forget contract — a deleted
+    * id never trains or re-enters the index). Training replays
+    * [[buildAndWrite]]'s exact recipe over the survivors (first-
+    * `sampleSize`-by-id sample → [[graft.operators.Similarity
+    * .refineCentroids]] + [[graft.operators.Similarity.pqCodebooks]]),
+    * so the result is answer-equivalent to a fresh build on the
+    * retained corpus — `q_sim_index_retrain` oracles the whole
+    * build→append→delete→retrain chain under the training-replay
+    * oracle. Fenced staged swap; tombstones GC'd like [[compact]]. */
+  def retrainPq(
+      spark: SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      m: Int,
+      ksub: Int = 16,
+      refineIters: Int = 2,
+      sampleSize: Int = 256): Loaded = {
+    val watermark = Segments.segmentWatermark(spark, dir)
+    val survivors = minusTombstones(spark, dir,
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    val sample = survivors.orderBy(col("id").asc).limit(sampleSize)
+      .select("vec").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "empty retained corpus")
+    val centroids = Similarity.refineCentroids(sample, nlist, refineIters)
+    val codebooks = Similarity.pqCodebooks(survivors, "id", "vec", m, ksub,
+      refineIters, sampleSize)
+    val coded = Similarity.encodeForIndex(survivors, "id", "vec",
+      centroids, codebooks)
+    val staging = dir + ".staging"
+    Segments.clearStaging(spark, dir)
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .write.mode("overwrite").parquet(s"$staging/centroids")
+    codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
+    }.toSeq.toDF("subspace", "code", "vec")
+      .write.mode("overwrite").parquet(s"$staging/codebooks")
+    coded.write.mode("overwrite").parquet(s"$staging/coded/seg=0")
+    Segments.swapInFenced(spark, staging, dir, watermark)
+    read(spark, dir)
+  }
+
   /** Batch ANN over a loaded plain-IVF index — delegates to the
     * pre-assigned scorer, bit-identical to the inline path. */
   def queryBatchIvf(

@@ -511,4 +511,87 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.readIvf(spark, dir).assigned
       .filter(col("id") % 7 === 0).count() == 0)
   }
+
+  // ------------------------------------------------------- retrain
+
+  test("retrainIvf ≡ fresh build on the retained corpus; " +
+    "post-retrain driftAudit baseline re-establishes and clears") {
+    val base = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    // the drifted fixture: reversed vectors under offset ids land in
+    // bad cells of the base-trained model — the flag's nominal fire
+    val drifted = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      reverse(col("embedding")).as("embedding"))
+    val cents = Similarity.kmeansCentroidsDistributed(
+      base, "vec_id", "embedding", nlist = 8, iters = 2)
+    val dir = tmp("graft_annidx_retrain")
+    AnnIndex.buildAndWriteIvf(spark, dir, base, "vec_id", "embedding", cents)
+    AnnIndex.appendToIvf(spark, dir, drifted, "vec_id", "embedding")
+    AnnIndex.deleteIds(spark, dir,
+      base.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+    val flagged = AnnIndex.driftAudit(spark, dir, nearCut = 0.12)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(flagged(1L), "the drifted segment must flag before retrain")
+
+    val retrained = AnnIndex.retrainIvf(spark, dir, nlist = 8, iters = 2)
+    val viaRetrain = r3(AnnIndex.queryBatchIvf(
+      retrained, queries, "vec_id", "embedding", k = 5, nprobe = 2))
+
+    // the equivalence pin: a fresh build over the retained corpus
+    // with survivor-trained centroids answers identically
+    val survivors = base.filter(col("vec_id") % 7 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .unionByName(drifted
+        .select(col("vec_id").as("id"), col("embedding").as("vec")))
+    val freshCents = Similarity.kmeansCentroidsDistributed(
+      survivors, "id", "vec", nlist = 8, iters = 2)
+    val dirB = tmp("graft_annidx_retrain_fresh")
+    val fresh = AnnIndex.buildAndWriteIvf(
+      spark, dirB, survivors, "id", "vec", freshCents)
+    val viaFresh = r3(AnnIndex.queryBatchIvf(
+      fresh, queries, "vec_id", "embedding", k = 5, nprobe = 2))
+    assert(viaRetrain == viaFresh)
+    assert(retrained.assigned.count() == survivors.count())
+    assert(retrained.assigned.filter(col("id") % 7 === 0 &&
+      col("id") < 1000000L).count() == 0,
+      "a tombstoned id must not re-enter through retrain")
+
+    // the remediation pin: one seg 0 under the NEW model, flag off —
+    // and the tombstone table is GC'd by the swap
+    val after = AnnIndex.driftAudit(spark, dir, nearCut = 0.12)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(after == Map(0L -> false),
+      "retrain must re-establish a clean single-segment baseline")
+    assert(!new java.io.File(dir + "/tombstones").exists ||
+      !new java.io.File(dir + "/tombstones").listFiles
+        .exists(_.getName.startsWith("seg=")),
+      "retrain must GC the tombstone table like compaction does")
+  }
+
+  test("retrainPq ≡ fresh IVF-PQ build on the retained corpus") {
+    val corpus = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val dir = tmp("graft_annidx_retrain_pq")
+    AnnIndex.buildAndWrite(spark, dir,
+      corpus.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      nlist = 8, m = 8)
+    AnnIndex.append(spark, dir,
+      corpus.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    AnnIndex.deleteIds(spark, dir,
+      corpus.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+    val retrained = AnnIndex.retrainPq(
+      spark, dir, corpus, "vec_id", "embedding", nlist = 8, m = 8)
+    val viaRetrain = r3(AnnIndex.queryBatch(
+      retrained, queries, "vec_id", "embedding", k = 5, nprobe = 2))
+
+    val survivors = corpus.filter(col("vec_id") % 7 =!= 0)
+    val dirB = tmp("graft_annidx_retrain_pq_fresh")
+    val fresh = AnnIndex.buildAndWrite(
+      spark, dirB, survivors, "vec_id", "embedding", nlist = 8, m = 8)
+    val viaFresh = r3(AnnIndex.queryBatch(
+      fresh, queries, "vec_id", "embedding", k = 5, nprobe = 2))
+    assert(viaRetrain == viaFresh)
+    assert(retrained.coded.filter(col("id") % 7 === 0).count() == 0)
+    assert(retrained.coded.count() == survivors.count())
+  }
 }
