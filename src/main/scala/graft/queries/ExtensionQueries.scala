@@ -3319,6 +3319,25 @@ object ExtensionQueries {
     val id = col("doc_id")
     val docs = pq(s, dir, "documents")
 
+    // Stage-boundary materialization: the nine stages fan out into
+    // ~15 result branches (per-stage ledger rejects + pack + shards +
+    // manifest + reconcile), and each stage's LOGICAL plan embeds its
+    // whole upstream lineage — including the iterative closures
+    // (connectedComponents' pointer doubling, the k-means collect
+    // loop), whose plans grow per iteration. Left uncut, the chained
+    // tree grows multiplicatively: Catalyst re-analyzes it once per
+    // branch (measured 307 s at sf0.1, ~all of it planning +
+    // recompute) and by the ledger union even the plan's treeString
+    // passes 1 GB (persist() alone dies building its cache name).
+    // localCheckpoint is the lineage CUT: each stage materializes
+    // exactly once and every consumer sees a LogicalRDD leaf — the
+    // in-query form of the durable stage-output writes a real 100 TB
+    // release run does anyway (each stage there is a parquet table;
+    // the localCheckpoint caveat — blocks die with an executor — is
+    // answered by that durable form, not by lineage replay).
+    // Verify/Bench sweep persistent blocks after every query.
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint()
+
     // 0 — the input corpus: documents plus a deterministic SECOND
     // CRAWL batch (offset ids), carrying the three dup pathologies a
     // real release run must shed — and without which the exact,
@@ -3363,7 +3382,7 @@ object ExtensionQueries {
       .withColumn("__enc_ok", TextFunctions.encodingOk(col("raw")))
     val encRejects = raw.filter(!col("__enc_ok"))
       .select(id, lit("ingest").as("stage"), lit("encoding").as("reason"))
-    val gated = raw.filter(col("__enc_ok"))
+    val gated = ckpt(raw.filter(col("__enc_ok"))
       .select(id, col("source"),
         TextFunctions.normalizeText(
           TextFunctions.stripBoilerplate(col("raw"))).as("text"))
@@ -3375,7 +3394,7 @@ object ExtensionQueries {
       .filter(col("__mid") >= 0) // pushdown barrier: score once per row
       .withColumn("__lang_ok", col("__lang") === "en")
       .withColumn("__q_ok", col("__q") >= 0.5)
-      .withColumn("__len_ok", col("__tok").between(5, 1000))
+      .withColumn("__len_ok", col("__tok").between(5, 1000)))
     val gateRejects = gated
       .filter(!(col("__lang_ok") && col("__q_ok") && col("__len_ok")))
       .select(id, lit("ingest").as("stage"),
@@ -3394,21 +3413,21 @@ object ExtensionQueries {
     val exactRejects = fp.filter(id =!= col("__keep"))
       .select(id, lit("exact").as("stage"),
         concat(lit("dup_of_"), col("__keep").cast("string")).as("reason"))
-    val exact = fp.filter(id === col("__keep"))
-      .select(id, col("source"), col("text"))
+    val exact = ckpt(fp.filter(id === col("__keep"))
+      .select(id, col("source"), col("text")))
 
     // 3 — capped near-dup keep-one
     val ndPairs = Dedup.minhashPairs(exact, "doc_id", "text",
       shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
       maxBucketSize = Some(12)).select("id_a", "id_b")
     val ndComps = Dedup.connectedComponents(ndPairs)
-    val ndRejects = ndComps.filter(col("id") =!= col("rep"))
+    val ndRejects = ckpt(ndComps.filter(col("id") =!= col("rep"))
       .select(col("id").as("doc_id"), lit("neardup").as("stage"),
-        concat(lit("dup_of_"), col("rep").cast("string")).as("reason"))
+        concat(lit("dup_of_"), col("rep").cast("string")).as("reason")))
     val nd = exact.join(ndRejects.select("doc_id"), Seq("doc_id"), "left_anti")
 
     // 4 — split: the test holdout leaves the training corpus
-    val split = graft.operators.Sampling.hashSplit(nd, "doc_id")
+    val split = ckpt(graft.operators.Sampling.hashSplit(nd, "doc_id"))
     val holdout = split.filter(col("split") === "test")
       .select(id, col("text"))
     val holdoutRejects = holdout
@@ -3427,34 +3446,34 @@ object ExtensionQueries {
     // the candidate knee at ~0.18 (vs ~0.5 for the dedup 16x4), so a
     // 0.45-jaccard quote is a candidate with P ~ 0.999 instead of a
     // coin flip.
-    val lexOkIds = Dedup.dedupAgainst(tv, holdout, "doc_id", "text",
+    val lexOkIds = ckpt(Dedup.dedupAgainst(tv, holdout, "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 32, jaccardThreshold = 0.35)
-      .select("doc_id")
+      .select("doc_id"))
     val lexRejects = tv.select("doc_id")
       .join(lexOkIds, Seq("doc_id"), "left_anti")
       .select(id, lit("decontam").as("stage"), lit("lexical").as("reason"))
     val emb = pq(s, dir, "embeddings")
-    val testEmb = emb.join(
-      holdout.select(id.as("vec_id")), Seq("vec_id"), "left_semi")
-    val tvEmb = emb.join(
-      tv.select(id.as("vec_id")), Seq("vec_id"), "left_semi")
+    val testEmb = ckpt(emb.join(
+      holdout.select(id.as("vec_id")), Seq("vec_id"), "left_semi"))
+    val tvEmb = ckpt(emb.join(
+      tv.select(id.as("vec_id")), Seq("vec_id"), "left_semi"))
     val cents = Similarity.kmeansCentroidsDistributed(
       testEmb, "vec_id", "embedding", nlist = 8, iters = 2)
     val semOkIds = Dedup.semanticDedupAgainst(
         tvEmb, testEmb, "vec_id", "embedding", cents,
         threshold = 0.3, maxClusterSize = Some(6))
       .select(col("vec_id").as("doc_id"))
-    val semHits = tvEmb.select(col("vec_id").as("doc_id"))
-      .join(semOkIds, Seq("doc_id"), "left_anti")
+    val semHits = ckpt(tvEmb.select(col("vec_id").as("doc_id"))
+      .join(semOkIds, Seq("doc_id"), "left_anti"))
     val semRejects = semHits.join(lexOkIds, Seq("doc_id"), "left_semi")
       .select(id, lit("decontam").as("stage"), lit("semantic").as("reason"))
-    val keep = tv.join(lexOkIds, Seq("doc_id"), "left_semi")
-      .join(semHits, Seq("doc_id"), "left_anti")
+    val keep = ckpt(tv.join(lexOkIds, Seq("doc_id"), "left_semi")
+      .join(semHits, Seq("doc_id"), "left_anti"))
 
     // 6 — the SFT endgame over the cleaned survivor text
-    val turns = Chat.parseToolTurns(
+    val turns = ckpt(Chat.parseToolTurns(
       sftTranscriptsOf(s, keep.select("doc_id", "text")),
-      "doc_id", "transcript")
+      "doc_id", "transcript"))
     val contract = Chat.validateTurns(turns, "doc_id",
       roles = Chat.allowedRoles :+ "tool")
     val tool = Chat.validateToolUse(turns, "doc_id", Seq("search", "calc"))
@@ -3475,7 +3494,7 @@ object ExtensionQueries {
           when(!col("tool_names_ok"), "tool_names")).as("reason"))
     val admitted = contractOkIds
       .join(tool.filter(col("valid")).select("doc_id"), "doc_id")
-    val aturns = turns.join(admitted, "doc_id")
+    val aturns = ckpt(turns.join(admitted, "doc_id"))
     val convo = aturns.groupBy("doc_id")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("turn_idx"), col("content")))),
@@ -3484,10 +3503,10 @@ object ExtensionQueries {
       shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
       maxBucketSize = Some(12)).select("id_a", "id_b")
     val sftComps = Dedup.connectedComponents(sftPairs)
-    val sftDupRejects = sftComps.filter(col("id") =!= col("rep"))
+    val sftDupRejects = ckpt(sftComps.filter(col("id") =!= col("rep"))
       .select(col("id").as("doc_id"), lit("sft_dedup").as("stage"),
-        concat(lit("dup_of_"), col("rep").cast("string")).as("reason"))
-    val conv = aturns
+        concat(lit("dup_of_"), col("rep").cast("string")).as("reason")))
+    val conv = ckpt(aturns
       .withColumn("__tok",
         when(col("content").isNull, lit(0L))
           .otherwise(TextFunctions.tokenCount(col("content"))))
@@ -3496,11 +3515,11 @@ object ExtensionQueries {
         sum(when(col("role") === "assistant", col("__tok")).otherwise(0L))
           .as("loss_tokens"))
       .join(sftDupRejects.select("doc_id"), Seq("doc_id"), "left_anti")
-      .withColumn("grp", pmod(col("doc_id"), lit(8L)))
-    val packed = Packing.packBinsByCount(conv, "doc_id", "grp", "n_tokens",
+      .withColumn("grp", pmod(col("doc_id"), lit(8L))))
+    val packed = ckpt(Packing.packBinsByCount(conv, "doc_id", "grp", "n_tokens",
         capacity = 512)
       .select(col("id").as("doc_id"), col("grp"), col("n_tokens"), col("bin_id"))
-      .join(conv.select("doc_id", "loss_tokens"), "doc_id")
+      .join(conv.select("doc_id", "loss_tokens"), "doc_id"))
 
     // 7 — token-balanced shards over the packed bins
     val bins = packed.groupBy("grp", "bin_id")
@@ -3515,11 +3534,11 @@ object ExtensionQueries {
         "source", "text"))
 
     // 9 — parts union + the reconcile tie-out
-    val ledger = encRejects.unionByName(gateRejects)
+    val ledger = ckpt(encRejects.unionByName(gateRejects)
       .unionByName(exactRejects).unionByName(ndRejects)
       .unionByName(holdoutRejects).unionByName(lexRejects)
       .unionByName(semRejects).unionByName(contractRejects)
-      .unionByName(toolRejects).unionByName(sftDupRejects)
+      .unionByName(toolRejects).unionByName(sftDupRejects))
     val packPart = packed.select(lit("pack").as("part"),
       col("doc_id").cast("string").as("k"),
       concat_ws(":", col("grp"), col("bin_id"), col("n_tokens"),
