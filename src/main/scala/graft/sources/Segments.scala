@@ -64,12 +64,37 @@ private[graft] object Segments {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
+  /** Newest modification time anywhere in a subtree. The sweep keys
+    * on this, not the root dir's mtime: a directory's mtime is set
+    * when the parquet job CREATES it and does not refresh while
+    * tasks write underneath — a root-mtime cutoff would sweep a live
+    * writer's staging the moment its append runs longer than the
+    * cutoff (realistic for a large batch at the 100 TB posture).
+    * Cost: one recursive listing of each leftover staging tree —
+    * normally none exist; a live staging's tree is
+    * written-so-far-sized. */
+  private def newestMtime(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Long = {
+    val self = fs.getFileStatus(p).getModificationTime
+    val children =
+      try fs.listStatus(p)
+      catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    children.foldLeft(self) { (mx, c) =>
+      math.max(mx,
+        if (c.isDirectory) newestMtime(fs, c.getPath)
+        else c.getModificationTime)
+    }
+  }
+
   /** Sweep leftover append staging dirs a CRASHED writer abandoned:
     * the legacy fixed name always goes; uuid-suffixed ones only when
-    * their mtime is over an hour old, so a live concurrent writer's
-    * in-flight staging (seconds to minutes) is never swept from
-    * under it. Orphans are invisible to readers either way
-    * (underscore prefix) and any compaction swap drops them. */
+    * NOTHING in their subtree ([[newestMtime]]) has been touched for
+    * over an hour, so a live concurrent writer's in-flight staging —
+    * however long its write runs — is never swept from under it.
+    * Orphans are invisible to readers either way (underscore prefix)
+    * and any compaction swap drops them. */
   private def sweepStaleStaging(
       fs: org.apache.hadoop.fs.FileSystem, table: String): Unit = {
     val t = new org.apache.hadoop.fs.Path(table)
@@ -79,7 +104,7 @@ private[graft] object Segments {
         val name = st.getPath.getName
         if (name == "_append.staging" ||
           (name.startsWith("_append.staging-") &&
-            st.getModificationTime < cutoff))
+            newestMtime(fs, st.getPath) < cutoff))
           fs.delete(st.getPath, true)
       }
     }
@@ -98,11 +123,41 @@ private[graft] object Segments {
     * fails, and it retries at the next free id (bounded) — both
     * appends land, neither clobbers (the deleteIds-vs-deleteIds
     * case). */
+  /** A rename that "succeeded" may still have lost a same-id race:
+    * HDFS rename onto a directory that appeared inside the
+    * exists-precheck-to-rename window NESTS src under it and returns
+    * TRUE (local fs returns false there — the benign branch). Verify
+    * our staging became the segment itself; when it was nested under
+    * the winner's segment instead, pull it back OUT to a fresh
+    * staging path (only OUR subtree moves — the winner's rows are
+    * untouched) and report the publish as lost so the caller
+    * retries. Without this check the loser's rows — possibly a
+    * deleteIds tombstone set — sit invisible under an underscore
+    * name inside the winner's segment forever. */
+  private def renameVerified(
+      fs: org.apache.hadoop.fs.FileSystem,
+      table: String,
+      staging: org.apache.hadoop.fs.Path,
+      seg: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+    if (!fs.rename(staging, seg)) return Some(staging) // lost cleanly
+    val nested = new org.apache.hadoop.fs.Path(seg, staging.getName)
+    if (!fs.exists(nested)) return None // clean publish
+    val back = newStaging(table)
+    if (!fs.rename(nested, back)) {
+      // cannot recover the nested rows in place — fail loudly rather
+      // than leave them silently unpublished inside the winner's seg
+      throw new IllegalStateException(
+        s"Segments: rename raced and nested staging under $seg, and the " +
+          s"recovery rename failed — unpublished rows remain at $nested")
+    }
+    Some(back)
+  }
+
   def appendSegment(
       spark: SparkSession, table: String, rows: DataFrame): Unit = {
     val fs = fsFor(spark, table)
     sweepStaleStaging(fs, table)
-    val staging = newStaging(table)
+    var staging = newStaging(table)
     rows.write.mode("overwrite").parquet(staging.toString)
     def nextId(): Long = fs.listStatus(new org.apache.hadoop.fs.Path(table))
       .map(_.getPath.getName).collect { case SegDir(n) => n.toLong }
@@ -113,22 +168,32 @@ private[graft] object Segments {
     while (attempts < 8) {
       val next = nextId()
       val seg = new org.apache.hadoop.fs.Path(s"$table/seg=$next")
-      // exists-precheck before the rename: HDFS rename onto an
-      // existing dir moves src UNDER it and local fs may degrade to a
-      // copy — neither is the "fail if taken" semantics the race
-      // needs, so never attempt a rename onto an occupied id
-      if (!fs.exists(seg) && fs.rename(staging, seg)) return
-      if (next == last || attempts == 7) {
-        // nothing raced us to this id (or we're out of retries): the
-        // failure is environmental, not a numbering race — self-clean
-        // and fail loudly, live table unchanged
-        fs.delete(staging, true)
-        throw new IllegalArgumentException(
-          s"Segments: could not publish segment $seg — live table unchanged")
+      // exists-precheck before the rename: never attempt a rename
+      // onto a KNOWN-occupied id; [[renameVerified]] catches the
+      // race that lands inside the check-to-rename window
+      val lost =
+        if (fs.exists(seg)) Some(staging)
+        else renameVerified(fs, table, staging, seg)
+      lost match {
+        case None => return
+        case Some(back) =>
+          staging = back
+          if (next == last || attempts == 7) {
+            // nothing raced us to this id (or we're out of retries):
+            // the failure is environmental, not a numbering race —
+            // self-clean and fail loudly, live table unchanged
+            fs.delete(staging, true)
+            throw new IllegalArgumentException(
+              s"Segments: could not publish segment $seg — live table unchanged")
+          }
       }
       last = next
       attempts += 1
     }
+    fs.delete(staging, true)
+    throw new IllegalArgumentException(
+      s"Segments: could not publish a segment of $table after 8 attempts — " +
+        "live table unchanged")
   }
 
   /** Write `rows` as the EXPLICITLY-NUMBERED `seg=<segId>` of a
@@ -150,17 +215,19 @@ private[graft] object Segments {
     rows.write.mode("overwrite").parquet(staging.toString)
     // a concurrent publisher may have landed it while we staged; the
     // precheck (and the rename failing) sweeps our staging — still
-    // exactly once (never rename onto an occupied id: HDFS would
-    // nest src under it)
+    // exactly once. [[renameVerified]] catches the HDFS nesting race
+    // inside the check-to-rename window; a same-segId publish carries
+    // the same rows by contract, so the recovered copy just sweeps.
     if (fs.exists(seg)) { fs.delete(staging, true); false }
-    else if (fs.rename(staging, seg)) true
-    else if (fs.exists(seg)) { fs.delete(staging, true); false }
-    else {
-      // environmental failure: self-clean so a reader listing the
-      // table never depends on skipping our abandoned underscore dir
-      fs.delete(staging, true)
-      throw new IllegalStateException(
-        s"Segments: could not publish segment $seg — live table unchanged")
+    else renameVerified(fs, table, staging, seg) match {
+      case None => true
+      case Some(back) if fs.exists(seg) => fs.delete(back, true); false
+      case Some(back) =>
+        // environmental failure: self-clean so a reader listing the
+        // table never depends on skipping our abandoned underscore dir
+        fs.delete(back, true)
+        throw new IllegalStateException(
+          s"Segments: could not publish segment $seg — live table unchanged")
     }
   }
 
@@ -199,13 +266,18 @@ private[graft] object Segments {
   }
 
   /** Snapshot of a store's published segments: per segmented child
-    * table (tombstones included), the max `seg=N` id. Capture this
-    * BEFORE constructing a compaction's read (watermark first, THEN
-    * the read — a publish landing between the two then makes the
-    * fence refuse harmlessly; the reverse order could let the swap
-    * pass while the staging tree misses the raced segment). Feed to
+    * table (tombstones included), the SET of `seg=N` ids. A set, not
+    * the max id: manual appends auto-number BELOW [[StreamSegBase]]
+    * while streamed publishes sit above it, so with any streamed
+    * segment present a raced manual append lands below the table's
+    * max — a max-only watermark would wave it through and the
+    * compaction swap would silently drop it. Capture this BEFORE
+    * constructing a compaction's read (watermark first, THEN the
+    * read — a publish landing between the two then makes the fence
+    * refuse harmlessly; the reverse order could let the swap pass
+    * while the staging tree misses the raced segment). Feed to
     * [[swapInFenced]]. */
-  def segmentWatermark(spark: SparkSession, dir: String): Map[String, Long] = {
+  def segmentWatermark(spark: SparkSession, dir: String): Map[String, Set[Long]] = {
     val fs = fsFor(spark, dir)
     val d = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(d)) Map.empty
@@ -215,7 +287,7 @@ private[graft] object Segments {
       else {
         val segs = fs.listStatus(st.getPath)
           .map(_.getPath.getName).collect { case SegDir(n) => n.toLong }
-        if (segs.isEmpty) None else Some(name -> segs.max)
+        if (segs.isEmpty) None else Some(name -> segs.toSet)
       }
     }.toMap
   }
@@ -259,15 +331,17 @@ private[graft] object Segments {
     * which is the one fleet scheduling actually hits. */
   def swapInFenced(
       spark: SparkSession, staging: String, dir: String,
-      watermark: Map[String, Long]): Unit = {
+      watermark: Map[String, Set[Long]]): Unit = {
     val now = segmentWatermark(spark, dir)
-    val grown = now.filter { case (t, mx) => mx > watermark.getOrElse(t, -1L) }
+    val grown = now
+      .map { case (t, segs) => t -> (segs -- watermark.getOrElse(t, Set.empty)) }
+      .filter { case (_, fresh) => fresh.nonEmpty }
     if (grown.nonEmpty)
       throw new ConcurrentStoreWriteException(
         s"Segments: refusing to swap compacted tree into $dir — segments " +
           s"published since the compaction read: ${
-            grown.toSeq.sorted.map { case (t, mx) =>
-              s"$t up to seg=$mx (snapshot had ${watermark.getOrElse(t, -1L)})"
+            grown.toSeq.sortBy(_._1).map { case (t, fresh) =>
+              s"$t seg=${fresh.toSeq.sorted.mkString(",")}"
             }.mkString("; ")} . Live table unchanged, staging preserved at " +
           s"$staging; re-run the compaction against the grown table.")
     swapIn(spark, staging, dir)

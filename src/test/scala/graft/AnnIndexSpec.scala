@@ -28,6 +28,17 @@ class FaultyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
       FaultyRenameFs.hook()
       return false
     }
+    // HDFS-nesting emulation: on HDFS, rename onto a dst directory
+    // that EXISTS moves src UNDER dst and returns TRUE (local fs
+    // returns false there). When armed, run the hook first (the
+    // winner landing dst inside the caller's check-to-rename
+    // window), then reproduce the nesting semantics.
+    if (FaultyRenameFs.nestRenameDstName.contains(dst.getName) &&
+        FaultyRenameFs.nestOnce.compareAndSet(false, true)) {
+      FaultyRenameFs.hook()
+      return super.rename(src,
+        new org.apache.hadoop.fs.Path(dst, src.getName))
+    }
     if (FaultyRenameFs.failSrcName.contains(src.getName) ||
         FaultyRenameFs.failDstName.contains(dst.getName)) false
     else super.rename(src, dst)
@@ -48,12 +59,15 @@ object FaultyRenameFs {
   @volatile var failDstName: Option[String] = None
   @volatile var hookRenameDstName: Option[String] = None
   @volatile var hookDeleteName: Option[String] = None
+  @volatile var nestRenameDstName: Option[String] = None
   @volatile var hook: () => Unit = () => ()
   val hookOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val nestOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
   def reset(): Unit = {
     failSrcName = None; failDstName = None
     hookRenameDstName = None; hookDeleteName = None
-    hook = () => (); hookOnce.set(false)
+    nestRenameDstName = None
+    hook = () => (); hookOnce.set(false); nestOnce.set(false)
   }
 }
 
