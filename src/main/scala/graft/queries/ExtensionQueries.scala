@@ -4936,13 +4936,42 @@ object ExtensionQueries {
     * ≥ 0.3 test match dropped. Test rows always survive; non-test
     * rows survive only when they miss the exact, jaccard, AND
     * semantic hit sets. */
-  private val splitDecontamSql: String = {
+  /** The SEMANTIC decontamination probe as a reusable CTE block —
+    * THE single copy of the corpus-side embedding load, the k-means
+    * training replay, the cell assignment (earliest-cell tie-break),
+    * the cell-cap QUALIFY (`Dedup.semanticDedupAgainst`
+    * maxClusterSize semantics), and the cosine-hit arithmetic,
+    * shared by the split-guard and release-pipeline oracles so the
+    * two cannot drift. Defines the unprefixed `corpus`/`cents0..2`
+    * k-means chain (one use per query); emits `<p>hit(doc_id)` —
+    * batch ids whose best surviving-cell cosine clears `threshold`.
+    * Raw margined text; the consumer strips margins exactly once. */
+  private def semanticDecontamCtes(
+      p: String, corpusIds: String, batchIds: String,
+      maxCell: Int = 6, threshold: Double = 0.3): String = {
     def assignSem(side: String) =
       s"""SELECT id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm, cell FROM (
          |    SELECT e.id, e.vec, c.cell,
          |      row_number() OVER (PARTITION BY e.id
          |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
          |    FROM $side e CROSS JOIN cents2 c) t WHERE rn = 1""".stripMargin
+    s"""corpus AS (SELECT e.vec_id AS id, e.embedding AS vec FROM embeddings e
+       |  WHERE e.vec_id IN (SELECT doc_id FROM $corpusIds)),
+       |${kmeansDistributedCtes(8, 2)},
+       |${p}c_raw AS (${assignSem("corpus")}),
+       |${p}c AS (SELECT * FROM ${p}c_raw
+       |  QUALIFY count(*) OVER (PARTITION BY cell) <= $maxCell),
+       |${p}bv AS (SELECT e.vec_id AS id, e.embedding AS vec FROM embeddings e
+       |  WHERE e.vec_id IN (SELECT doc_id FROM $batchIds)),
+       |${p}b AS (${assignSem(s"${p}bv")}),
+       |${p}hit AS (SELECT DISTINCT b.id AS doc_id
+       |  FROM ${p}b b JOIN ${p}c c ON b.cell = c.cell
+       |  WHERE CASE WHEN b.nrm * c.nrm > 0.0
+       |             THEN ${dotSql("b.vec", "c.vec")} / (b.nrm * c.nrm)
+       |             ELSE 0.0 END >= $threshold)"""
+  }
+
+  private val splitDecontamSql: String =
     s"""WITH m0 AS MATERIALIZED (SELECT doc_id, CAST(doc_id AS HUGEINT) AS x FROM documents),
        |${HashSql.mixCtes("m", "m0", "doc_id")},
        |sd_split AS MATERIALIZED (SELECT doc_id,
@@ -4954,26 +4983,12 @@ object ExtensionQueries {
        |${dedupAgainstHitsCtes(
             c => s"$c IN (SELECT doc_id FROM sd_b)",
             c => s"$c IN (SELECT doc_id FROM sd_t)")},
-       |corpus AS (SELECT e.vec_id AS id, e.embedding AS vec FROM embeddings e
-       |  WHERE e.vec_id IN (SELECT doc_id FROM sd_t)),
-       |${kmeansDistributedCtes(8, 2)},
-       |sem_c_raw AS (${assignSem("corpus")}),
-       |sem_c AS (SELECT * FROM sem_c_raw
-       |  QUALIFY count(*) OVER (PARTITION BY cell) <= 6),
-       |sem_bv AS (SELECT e.vec_id AS id, e.embedding AS vec FROM embeddings e
-       |  WHERE e.vec_id IN (SELECT doc_id FROM sd_b)),
-       |sem_b AS (${assignSem("sem_bv")}),
-       |sem_hit AS (SELECT DISTINCT b.id AS doc_id
-       |  FROM sem_b b JOIN sem_c c ON b.cell = c.cell
-       |  WHERE CASE WHEN b.nrm * c.nrm > 0.0
-       |             THEN ${dotSql("b.vec", "c.vec")} / (b.nrm * c.nrm)
-       |             ELSE 0.0 END >= 0.3)
+       |${semanticDecontamCtes("sem_", "sd_t", "sd_b")}
        |SELECT s.doc_id, s.split FROM sd_split s
        |WHERE s.split = 'test'
        |   OR (s.doc_id NOT IN (SELECT doc_id FROM exact_hit)
        |       AND s.doc_id NOT IN (SELECT doc_id FROM lsh_hit)
        |       AND s.doc_id NOT IN (SELECT doc_id FROM sem_hit))""".stripMargin
-  }
 
   /** Mirrors [[qDedupBloom]]: the bloom filter is a pure prefilter
     * (no false negatives; false positives are confirmed away against
@@ -6961,19 +6976,41 @@ object ExtensionQueries {
     * or opens the next. The recursion advances every group's frontier
     * row simultaneously, which is exactly the per-group sequential
     * order the engine's repartition+sortWithinPartitions sweep pins. */
+  /** THE per-group recursive next-fit pack walk — the single copy of
+    * the fits-or-opens arithmetic every packing oracle replays (rn 1
+    * opens bin 0; each step either fits in the running bin or opens
+    * the next; the recursion advances every group's frontier row
+    * simultaneously, exactly the per-group sequential order the
+    * engine's repartition+sortWithinPartitions sweep pins). Six
+    * oracles replay this walk (plain/BPE bins, chat pack, SFT/DPO
+    * endgames, the release pipeline); parameterizing it the
+    * pipelineSftCtes way means a future fix cannot silently miss a
+    * copy. Expects `src($idCol, grp, n[, carry...])`; emits
+    * `<p>rk` and `<p>walk(grp, rn, $idCol, n[, carry...], bin,
+    * fill)`; `carry` columns ride the recursion untouched. Raw
+    * margined text — the CONSUMER strips margins exactly once (the
+    * pipelineSftCtes convention). */
+  private def packWalkCtes(
+      p: String, src: String, capacity: Int,
+      idCol: String = "id", carry: Seq[String] = Nil): String = {
+    val cs = carry.map(c => s", $c").mkString
+    val csR2 = carry.map(c => s", r2.$c").mkString
+    s"""${p}rk AS MATERIALIZED (SELECT $idCol, grp, n$cs,
+       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY $idCol) AS rn FROM $src),
+       |${p}walk AS (
+       |  SELECT grp, rn, $idCol, n$cs, CAST(0 AS BIGINT) AS bin, n AS fill
+       |  FROM ${p}rk WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r2.grp, r2.rn, r2.$idCol, r2.n$csR2,
+       |    CASE WHEN w.fill + r2.n <= $capacity THEN w.bin ELSE w.bin + 1 END,
+       |    CASE WHEN w.fill + r2.n <= $capacity THEN w.fill + r2.n ELSE r2.n END
+       |  FROM ${p}walk w JOIN ${p}rk r2 ON r2.grp = w.grp AND r2.rn = w.rn + 1)"""
+  }
+
   private val packBinsSql: String =
     s"""WITH RECURSIVE d AS (SELECT doc_id AS id, doc_id % 8 AS grp,
        |  $nTokensSql AS n FROM documents),
-       |r AS MATERIALIZED (SELECT id, grp, n,
-       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) AS rn FROM d),
-       |walk AS (
-       |  SELECT grp, rn, id, n, CAST(0 AS BIGINT) AS bin, n AS fill
-       |  FROM r WHERE rn = 1
-       |  UNION ALL
-       |  SELECT r2.grp, r2.rn, r2.id, r2.n,
-       |    CASE WHEN w.fill + r2.n <= 256 THEN w.bin ELSE w.bin + 1 END,
-       |    CASE WHEN w.fill + r2.n <= 256 THEN w.fill + r2.n ELSE r2.n END
-       |  FROM walk w JOIN r r2 ON r2.grp = w.grp AND r2.rn = w.rn + 1)
+       |${packWalkCtes("", "d", 256)}
        |SELECT id, grp, CAST(n AS BIGINT) AS n_tokens, bin AS bin_id
        |FROM walk""".stripMargin
 
@@ -7010,16 +7047,7 @@ object ExtensionQueries {
        |d AS (SELECT dd.doc_id AS id, dd.doc_id % 8 AS grp,
        |  COALESCE(c.n, 0) AS n
        |  FROM documents dd LEFT JOIN dcost c ON dd.doc_id = c.doc_id),
-       |r AS MATERIALIZED (SELECT id, grp, n,
-       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) AS rn FROM d),
-       |walk AS (
-       |  SELECT grp, rn, id, n, CAST(0 AS BIGINT) AS bin, n AS fill
-       |  FROM r WHERE rn = 1
-       |  UNION ALL
-       |  SELECT r2.grp, r2.rn, r2.id, r2.n,
-       |    CASE WHEN w.fill + r2.n <= 256 THEN w.bin ELSE w.bin + 1 END,
-       |    CASE WHEN w.fill + r2.n <= 256 THEN w.fill + r2.n ELSE r2.n END
-       |  FROM walk w JOIN r r2 ON r2.grp = w.grp AND r2.rn = w.rn + 1)
+       |${packWalkCtes("", "d", 256)}
        |SELECT id, grp, CAST(n AS BIGINT) AS n_tokens, bin AS bin_id
        |FROM walk""".stripMargin
 
@@ -7545,16 +7573,7 @@ object ExtensionQueries {
        |  FROM chat_turns t JOIN chat_f f ON f.doc_id = t.doc_id
        |  WHERE f.roles_ok AND f.starts_ok AND f.alternation_ok AND f.nonempty_ok
        |  GROUP BY t.doc_id),
-       |r AS MATERIALIZED (SELECT id, grp, n, loss_tokens,
-       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) AS rn FROM conv),
-       |walk AS (
-       |  SELECT grp, rn, id, n, loss_tokens, CAST(0 AS BIGINT) AS bin, n AS fill
-       |  FROM r WHERE rn = 1
-       |  UNION ALL
-       |  SELECT r2.grp, r2.rn, r2.id, r2.n, r2.loss_tokens,
-       |    CASE WHEN w.fill + r2.n <= 512 THEN w.bin ELSE w.bin + 1 END,
-       |    CASE WHEN w.fill + r2.n <= 512 THEN w.fill + r2.n ELSE r2.n END
-       |  FROM walk w JOIN r r2 ON r2.grp = w.grp AND r2.rn = w.rn + 1)
+       |${packWalkCtes("", "conv", 512, carry = Seq("loss_tokens"))}
        |SELECT id AS doc_id, grp, n AS n_tokens, bin AS bin_id, loss_tokens
        |FROM walk""".stripMargin
 
@@ -7989,16 +8008,7 @@ object ExtensionQueries {
        |  FROM sft_turns t JOIN sft_adm a ON a.doc_id = t.doc_id
        |  WHERE t.doc_id NOT IN (SELECT id FROM sft_drop)
        |  GROUP BY t.doc_id),
-       |sft_rk AS MATERIALIZED (SELECT id, grp, n, loss_tokens,
-       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) AS rn FROM sft_cost),
-       |sft_walk AS (
-       |  SELECT grp, rn, id, n, loss_tokens, CAST(0 AS BIGINT) AS bin, n AS fill
-       |  FROM sft_rk WHERE rn = 1
-       |  UNION ALL
-       |  SELECT r2.grp, r2.rn, r2.id, r2.n, r2.loss_tokens,
-       |    CASE WHEN w.fill + r2.n <= 512 THEN w.bin ELSE w.bin + 1 END,
-       |    CASE WHEN w.fill + r2.n <= 512 THEN w.fill + r2.n ELSE r2.n END
-       |  FROM sft_walk w JOIN sft_rk r2 ON r2.grp = w.grp AND r2.rn = w.rn + 1)
+       |${packWalkCtes("sft_", "sft_cost", 512, carry = Seq("loss_tokens"))}
        |SELECT id AS doc_id, grp, n AS n_tokens, bin AS bin_id, loss_tokens
        |FROM sft_walk""".stripMargin
 
@@ -8052,12 +8062,6 @@ object ExtensionQueries {
       " || CASE WHEN doc_id % 23 = 0 THEN chr(65533) ELSE '' END)"
     val cleaned = TextFunctions.normalizeTextSql(
       TextFunctions.stripBoilerplateSql("raw"))
-    def assignSem(side: String) =
-      s"""SELECT id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm, cell FROM (
-         |    SELECT e.id, e.vec, c.cell,
-         |      row_number() OVER (PARTITION BY e.id
-         |        ORDER BY ${cosineFusedSql("e.vec", "c.cvec")} DESC, c.cell ASC) AS rn
-         |    FROM $side e CROSS JOIN cents2 c) t WHERE rn = 1""".stripMargin
     val serpentine =
       "CASE WHEN (rn0 // 4) % 2 = 0 THEN rn0 % 4 ELSE 3 - (rn0 % 4) END"
     s"""WITH RECURSIVE rl_qm0 AS MATERIALIZED (
@@ -8126,20 +8130,7 @@ object ExtensionQueries {
             c => s"$c IN (SELECT doc_id FROM rl_tv)",
             c => s"$c IN (SELECT doc_id FROM rl_hold)",
             bands = 32, threshold = 0.35, from = "rl_nd", prefix = "rld_")},
-       |corpus AS (SELECT e.vec_id AS id, e.embedding AS vec FROM embeddings e
-       |  WHERE e.vec_id IN (SELECT doc_id FROM rl_hold)),
-       |${kmeansDistributedCtes(8, 2)},
-       |rl_semc_raw AS (${assignSem("corpus")}),
-       |rl_semc AS (SELECT * FROM rl_semc_raw
-       |  QUALIFY count(*) OVER (PARTITION BY cell) <= 6),
-       |rl_sembv AS (SELECT e.vec_id AS id, e.embedding AS vec FROM embeddings e
-       |  WHERE e.vec_id IN (SELECT doc_id FROM rl_tv)),
-       |rl_semb AS (${assignSem("rl_sembv")}),
-       |rl_semhit AS (SELECT DISTINCT b.id AS doc_id
-       |  FROM rl_semb b JOIN rl_semc c ON b.cell = c.cell
-       |  WHERE CASE WHEN b.nrm * c.nrm > 0.0
-       |             THEN ${dotSql("b.vec", "c.vec")} / (b.nrm * c.nrm)
-       |             ELSE 0.0 END >= 0.3),
+       |${semanticDecontamCtes("rl_sem", "rl_hold", "rl_tv")},
        |rl_keep AS MATERIALIZED (SELECT n.doc_id, n.source, n.text FROM rl_nd n
        |  WHERE n.doc_id IN (SELECT doc_id FROM rl_tv)
        |    AND n.doc_id NOT IN (SELECT doc_id FROM rld_exact_hit)
@@ -8153,16 +8144,8 @@ object ExtensionQueries {
        |  FROM sft_turns t JOIN sft_adm a ON a.doc_id = t.doc_id
        |  WHERE t.doc_id NOT IN (SELECT id FROM sft_drop)
        |  GROUP BY t.doc_id),
-       |rl_rk AS MATERIALIZED (SELECT cid, grp, n, loss_tokens,
-       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cid) AS rn FROM rl_cost),
-       |rl_walk AS (
-       |  SELECT grp, rn, cid, n, loss_tokens, CAST(0 AS BIGINT) AS bin, n AS fill
-       |  FROM rl_rk WHERE rn = 1
-       |  UNION ALL
-       |  SELECT r2.grp, r2.rn, r2.cid, r2.n, r2.loss_tokens,
-       |    CASE WHEN w.fill + r2.n <= 512 THEN w.bin ELSE w.bin + 1 END,
-       |    CASE WHEN w.fill + r2.n <= 512 THEN w.fill + r2.n ELSE r2.n END
-       |  FROM rl_walk w JOIN rl_rk r2 ON r2.grp = w.grp AND r2.rn = w.rn + 1),
+       |${packWalkCtes("rl_", "rl_cost", 512, idCol = "cid",
+            carry = Seq("loss_tokens"))},
        |rl_bins AS MATERIALIZED (SELECT grp, bin, CAST(SUM(n) AS BIGINT) AS w
        |  FROM rl_walk GROUP BY grp, bin),
        |rl_shard AS (SELECT grp, bin, w,
@@ -8384,17 +8367,7 @@ object ExtensionQueries {
        |    chosen_tokens
        |  FROM pp_k WHERE NOT EXISTS (SELECT 1 FROM pp_c c
        |    WHERE c.key_lo = pp_k.key_lo AND c.key_hi = pp_k.key_hi)),
-       |pp_r AS MATERIALIZED (SELECT id, grp, n, chosen_tokens,
-       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) AS rn FROM pp_s),
-       |pp_walk AS (
-       |  SELECT grp, rn, id, n, chosen_tokens, CAST(0 AS BIGINT) AS bin,
-       |    n AS fill
-       |  FROM pp_r WHERE rn = 1
-       |  UNION ALL
-       |  SELECT r2.grp, r2.rn, r2.id, r2.n, r2.chosen_tokens,
-       |    CASE WHEN w.fill + r2.n <= 1024 THEN w.bin ELSE w.bin + 1 END,
-       |    CASE WHEN w.fill + r2.n <= 1024 THEN w.fill + r2.n ELSE r2.n END
-       |  FROM pp_walk w JOIN pp_r r2 ON r2.grp = w.grp AND r2.rn = w.rn + 1)
+       |${packWalkCtes("pp_", "pp_s", 1024, carry = Seq("chosen_tokens"))}
        |SELECT id AS doc_id, grp, n AS n_tokens, bin AS bin_id, chosen_tokens
        |FROM pp_walk""".stripMargin
 
