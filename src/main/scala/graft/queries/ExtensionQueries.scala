@@ -1134,6 +1134,38 @@ object ExtensionQueries {
     graft.sources.AnnIndex.driftAudit(s, idxDir, nearCut = 0.12, driftFactor = 2)
   }
 
+  /** [[qSimIndexDrift]]'s IVF-PQ twin
+    * ([[graft.sources.AnnIndex.driftAuditPq]]): the staleness
+    * monitor for the COMPRESSED family, computed from the coded
+    * table alone — each row's PQ reconstruction scored against its
+    * assigned centroid with the exact ADC fold, so the audit needs
+    * no vectors (at 100 TB the 32×-compressed table is often all
+    * that is on hand). The drifted batch models the classic
+    * silent-embedder-swap incident: near-ONE-HOT vectors (a
+    * degenerate featurizer) under offset ids — a pure permutation of
+    * the model's span would NOT register through 8-cell/16-codeword
+    * quantization (measured: reversed vectors read inside the null
+    * band), but out-of-span degenerate vectors reconstruct
+    * anti-aligned with their assigned centroid, so the exact-integer
+    * CDF at cut 0.0 separates 68k vs 232k ppm at sf0.01 (3.4×) and
+    * the ≥2× flag FIRES on seg 1, stays off on seg 0. The one-hot
+    * construction is exact in both engines (0.0/1.0 literals keyed
+    * by `vec_id % 64`). */
+  private val qSimIndexDriftPq: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val idxDir = s"$twinRoot/annidx_drift_pq/${new java.io.File(dir).getName}"
+    graft.sources.AnnIndex.buildAndWrite(
+      s, idxDir, emb, "vec_id", "embedding", nlist = 8, m = 8)
+    val onehot = transform(sequence(lit(0), lit(63)),
+      d => when(d === pmod(col("vec_id"), lit(64)).cast("int"), lit(1.0f))
+        .otherwise(lit(0.0f)))
+    graft.sources.AnnIndex.append(s, idxDir,
+      emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        onehot.as("embedding")),
+      "vec_id", "embedding")
+    graft.sources.AnnIndex.driftAuditPq(s, idxDir, nearCut = 0.0, driftFactor = 2)
+  }
+
   /** RETRAIN remediation ([[graft.sources.AnnIndex.retrainPq]]) — the
     * fix path [[qSimIndexDrift]]'s flag calls for, as one oracled
     * chain: build the IVF-PQ index on the even half (the frozen
@@ -3816,6 +3848,7 @@ object ExtensionQueries {
     "q_sim_lsh_batch" -> qSimLshBatch,
     "q_sim_index_lsh" -> qSimIndexLsh,
     "q_sim_index_drift" -> qSimIndexDrift,
+    "q_sim_index_drift_pq" -> qSimIndexDriftPq,
     "q_sim_index_retrain" -> qSimIndexRetrain,
     "q_store_maintenance" -> qStoreMaintenance,
     "q_sim_hard_negatives" -> qSimHardNegatives,
@@ -4356,9 +4389,20 @@ object ExtensionQueries {
     * APPEND query, where centroids+codebooks train on the base half
     * only (the frozen model of a live index) while the coded table
     * covers base∪batch. */
-  private def simIvfPqSqlWith(trainPred: String, fullPred: String): String = {
-    val (nlist, iters, k, nprobe) = (8, 2, 5, 2)
-    val m = 8; val ds = DIM / m; val ksub = 16
+  /** The IVF-PQ TRAINING + ENCODE replay as a reusable CTE chain —
+    * the exact mirror of [[graft.sources.AnnIndex.buildAndWrite]]'s
+    * recipe (sample-refined coarse centroids + per-subspace L2
+    * codebooks over the SAME id-ordered first-256 sample, then
+    * cell-assign + PQ-encode the corpus), shared by the batch/append/
+    * retrain scorers and the PQ drift audit so the model replay
+    * cannot drift between them. Expects `train(id, vec)` and
+    * `corpus(id, vec)` already defined; emits `samp`, `cents0..N`,
+    * `psub`, `pcents0..N`, `assigned(id, cell)`, `csub`,
+    * `enc(id, j, cell)`. Raw margined text; the consumer strips
+    * margins exactly once. */
+  private def pqModelCtes(
+      nlist: Int = 8, iters: Int = 2, m: Int = 8, ksub: Int = 16): String = {
+    val ds = DIM / m
     def l2(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(range(1, ${ds + 1}), i -> " +
         s"($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)"
@@ -4400,10 +4444,7 @@ object ExtensionQueries {
          |  SELECT p.j, p.cell, COALESCE(u.cvec, p.cvec) AS cvec
          |  FROM $prev p LEFT JOIN pupd$i u ON p.j = u.j AND p.cell = u.cell)""".stripMargin
     }
-    s"""WITH train AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE $trainPred),
-       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE $fullPred),
-       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
-       |samp AS (SELECT id, vec FROM train ORDER BY id LIMIT 256),
+    s"""samp AS (SELECT id, vec FROM train ORDER BY id LIMIT 256),
        |cents0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
        |                  list_transform(vec, x -> CAST(x AS DOUBLE)) AS cvec
        |           FROM (SELECT id, vec FROM samp ORDER BY id LIMIT $nlist) t),
@@ -4432,7 +4473,16 @@ object ExtensionQueries {
        |    SELECT s.id, s.j, c.cell,
        |      row_number() OVER (PARTITION BY s.id, s.j
        |        ORDER BY ${l2("s.sv", "c.cvec")} ASC, c.cell ASC) AS rn
-       |    FROM csub s JOIN pcents$iters c ON s.j = c.j) t WHERE rn = 1),
+       |    FROM csub s JOIN pcents$iters c ON s.j = c.j) t WHERE rn = 1)"""
+  }
+
+  private def simIvfPqSqlWith(trainPred: String, fullPred: String): String = {
+    val (iters, k, nprobe) = (2, 5, 2)
+    val m = 8; val ds = DIM / m
+    s"""WITH train AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE $trainPred),
+       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE $fullPred),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+       |${pqModelCtes()},
        |probe AS (
        |  SELECT qid, cell FROM (
        |    SELECT q.qid, c.cell,
@@ -4486,6 +4536,60 @@ object ExtensionQueries {
   private val simIndexRetrainSql: String =
     simIvfPqSqlWith("vec_id >= 6 AND vec_id % 7 <> 0",
       "vec_id >= 6 AND vec_id % 7 <> 0")
+
+  /** Mirrors [[qSimIndexDriftPq]]: the [[pqModelCtes]] training +
+    * encode replay (train = the full corpus; corpus = full ∪
+    * `list_reverse`d offset batch — exactly what the index holds
+    * after the append encodes under the frozen model), then each
+    * row's ADC reconstruction-vs-centroid cosine in the identical
+    * fold order, the exact-integer per-segment CDF at the cut, and
+    * the windowed seg-0 baseline with the conservative
+    * missing-baseline coalesce. */
+  private val simIndexDriftPqSql: String = {
+    val m = 8; val ds = DIM / m; val cut = 0.0
+    s"""WITH train AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+       |           UNION ALL
+       |           SELECT vec_id + 1000000,
+       |             list_transform(range(0, $DIM), d ->
+       |               CAST(CASE WHEN d = vec_id % $DIM THEN 1.0 ELSE 0.0 END
+       |                    AS FLOAT))
+       |           FROM embeddings),
+       |${pqModelCtes()},
+       |aterms AS (
+       |  SELECT a.id, e.j,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${ds + 1}), i ->
+       |      cc.cvec[e.j * $ds + i] * c.cvec[i])), (x, y) -> x + y) AS dj,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${ds + 1}), i ->
+       |      c.cvec[i] * c.cvec[i])), (x, y) -> x + y) AS nj
+       |  FROM assigned a
+       |  JOIN cents2 cc ON cc.cell = a.cell
+       |  JOIN enc e ON e.id = a.id
+       |  JOIN pcents2 c ON c.j = e.j AND c.cell = e.cell),
+       |acs AS (
+       |  SELECT id,
+       |    list_reduce(list_prepend(0.0, list(dj ORDER BY j)), (x, y) -> x + y) AS dt,
+       |    list_reduce(list_prepend(0.0, list(nj ORDER BY j)), (x, y) -> x + y) AS nx
+       |  FROM aterms GROUP BY id),
+       |acos AS (
+       |  SELECT s.id, CASE WHEN s.nx > 0.0
+       |      THEN s.dt / (sqrt(${dotSql("cc.cvec", "cc.cvec")}) * sqrt(s.nx))
+       |      ELSE 0.0 END AS cosv
+       |  FROM acs s JOIN assigned a ON a.id = s.id
+       |  JOIN cents2 cc ON cc.cell = a.cell),
+       |per AS (
+       |  SELECT CASE WHEN id >= 1000000 THEN CAST(1 AS BIGINT)
+       |              ELSE CAST(0 AS BIGINT) END AS seg,
+       |    count(*) AS n_rows,
+       |    CAST(sum(CASE WHEN cosv < $cut THEN 1 ELSE 0 END) AS BIGINT) AS n_far
+       |  FROM acos GROUP BY 1),
+       |wp AS (SELECT seg, n_rows, n_far,
+       |  n_far * 1000000 // n_rows AS far_ppm FROM per)
+       |SELECT seg, n_rows, n_far, far_ppm,
+       |  COALESCE(far_ppm > 2 * (SELECT max(CASE WHEN seg = 0 THEN far_ppm END)
+       |                          FROM wp), TRUE) AS drift_flag
+       |FROM wp""".stripMargin
+  }
 
   /** Mirrors `Similarity.kmeansCentroidsDistributed(nlist=8, iters=2,
     * quantBits=30)` + `ivfTopKWithCentroids(nprobe=4)`:
@@ -8736,6 +8840,7 @@ object ExtensionQueries {
     "q_sim_lsh_batch" -> simLshBatchSql,
     "q_sim_index_lsh" -> simLshBatchSql,
     "q_sim_index_drift" -> simIndexDriftSql,
+    "q_sim_index_drift_pq" -> simIndexDriftPqSql,
     "q_sim_index_retrain" -> simIndexRetrainSql,
     "q_store_maintenance" -> storeMaintenanceSql,
     "q_sim_hard_negatives" -> simHardNegativesSql,

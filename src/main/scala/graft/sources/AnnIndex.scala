@@ -509,6 +509,81 @@ object AnnIndex {
     read(spark, dir)
   }
 
+  /** [[driftAudit]]'s IVF-PQ twin — the write-side staleness monitor
+    * for the COMPRESSED index family, computable from the coded
+    * table ALONE: the plain-IVF audit needs full vectors, but at the
+    * 100 TB posture the 32×-compressed coded table is often the only
+    * artifact on hand. Each row's assignment quality is the cosine
+    * between its PQ RECONSTRUCTION (codebook codewords concatenated
+    * per the stored code) and its assigned centroid — computed with
+    * the exact ADC fold order [[graft.operators.Similarity
+    * .ivfPqTopKBatchCoded]] uses (per-subspace dot/norm folds, dims
+    * ascending, then subspace-ascending sums), with the centroid as
+    * the query side, so the oracle replays it bit-for-bit. Per
+    * segment: rows, rows below `nearCut`, exact-integer far-ppm, and
+    * the ≥`driftFactor`× flag against the seg-0 baseline; a MISSING
+    * baseline fails conservative (every segment flags — compact +
+    * [[retrainPq]], which re-establishes seg 0). Tombstoned rows are
+    * excluded, matching what queries see.
+    *
+    * Scale posture: one scan of the coded table (id + cell + m small
+    * ints per row); per-row cost is m codeword lookups into the
+    * driver-broadcast model closure (the encodeUdf precedent — the
+    * m·ksub·ds literal tree would bloat codegen); then the seg-keyed
+    * aggregate and the same window-attached baseline as
+    * [[driftAudit]]. */
+  def driftAuditPq(
+      spark: SparkSession,
+      dir: String,
+      nearCut: Double = 0.5,
+      driftFactor: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, s"AnnIndex: no centroids under $dir")
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val cb = cbRows.groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
+    require(cb.nonEmpty, s"AnnIndex: no codebooks under $dir")
+    val ds = cb(0)(0).length
+    val reconCos = udf { (cell: Int, code: Seq[Int]) =>
+      val cv = cents(cell)
+      var qn2 = 0.0
+      var i = 0
+      while (i < cv.length) { qn2 += cv(i) * cv(i); i += 1 }
+      var dot = 0.0; var nx = 0.0; var j = 0
+      while (j < code.length) {
+        val cw = cb(j)(code(j))
+        var dj = 0.0; var nj = 0.0; var d = 0
+        while (d < ds) {
+          dj += cv(j * ds + d) * cw(d); nj += cw(d) * cw(d); d += 1
+        }
+        dot += dj; nx += nj; j += 1
+      }
+      if (nx > 0.0) dot / (math.sqrt(qn2) * math.sqrt(nx)) else 0.0
+    }
+    val coded = Segments.minusTombstones(spark, dir,
+      spark.read.parquet(s"$dir/coded")
+        .select(col("seg").cast("int").as("seg"),
+          col("id"), col("cell"), col("code")))
+    val perSeg = coded
+      .select(col("seg"),
+        (reconCos(col("cell"), col("code")) < nearCut).cast("long").as("__far"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_rows"), sum(col("__far")).as("n_far"))
+      .withColumn("far_ppm", expr("n_far * 1000000 div n_rows"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    perSeg
+      .withColumn("base_ppm",
+        max(when(col("seg") === 0, col("far_ppm"))).over(w))
+      .withColumn("drift_flag",
+        coalesce(col("far_ppm") > lit(driftFactor.toLong) * col("base_ppm"),
+          lit(true)))
+      .select(col("seg").cast("bigint").as("seg"), col("n_rows"),
+        col("n_far"), col("far_ppm"), col("drift_flag"))
+  }
+
   /** Batch ANN over a loaded plain-IVF index — delegates to the
     * pre-assigned scorer, bit-identical to the inline path. */
   def queryBatchIvf(
