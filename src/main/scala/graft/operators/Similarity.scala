@@ -92,15 +92,42 @@ object Similarity {
     * scores only the rows in its `nprobe` closest cells.
     *
     * Centroids = `refineIters` Lloyd passes over a deterministic
-    * sample (the first `sampleSize` rows by id — see
-    * [[refineCentroids]]); `refineIters = 0` degrades to the plain
-    * first-`nlist` skeleton. Centroids live driver-side (nlist × dim
+    * sample (the `sampleSize`-row hash-cut sample in ascending id
+    * order — see [[hashOrderedSample]] / [[refineCentroids]]);
+    * `refineIters = 0` degrades to the plain
+    * first-`nlist`-of-the-sample skeleton. Centroids live driver-side (nlist × dim
     * doubles — tiny; the sample collect is `sampleSize` rows, bounded
     * and documented) and ship to executors inside the assignment
     * UDF's closure, so cell assignment is a single scan with NO
     * shuffle and no cross join. `nprobe == nlist` degrades gracefully
     * to exact brute force (the recall=1 case, used by tests).
     */
+  /** Deterministic UNBIASED training sample: membership = the first
+    * `n` rows by SplitMix64-mixed id (the [[Sampling.hashSplit]]
+    * mixing, sign bit dropped), returned in ASCENDING ID order — the
+    * fold order every training oracle replays. This replaces the old
+    * first-`n`-by-id cut: at corpus scale the lowest ids are
+    * typically the oldest crawl slice, so an id-prefix sample trains
+    * centroids/codebooks on a biased snapshot and the drift audits
+    * then certify appends against a skewed baseline. The hash cut is
+    * a pure function of the id set — partition-order independent, and
+    * the oracle replays it with the staged SplitMix64 CTEs
+    * (`ORDER BY mixed_id // 2, id LIMIT n`). Cost: one
+    * TakeOrderedAndProject over (id, vec) — same shape as the old
+    * cut, no extra pass. */
+  private[graft] def hashOrderedSample(
+      df: DataFrame, idCol: String, vecCol: String, n: Int): Array[Array[Double]] = {
+    df.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .withColumn("__h", shiftrightunsigned(
+        graft.functions.HashExpressions.mix64(col("__id")), 1))
+      .orderBy(col("__h").asc, col("__id").asc)
+      .limit(n)
+      .select("__id", "__v")
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+  }
+
   def ivfTopK(
       df: DataFrame,
       idCol: String,
@@ -111,12 +138,11 @@ object Similarity {
       nprobe: Int = 4,
       refineIters: Int = 2,
       sampleSize: Int = 256): DataFrame = {
-    // deterministic sample, ascending id (order matters: the oracle
-    // replays the centroid folds in this exact order)
-    val sample: Array[Array[Double]] = df
-      .orderBy(col(idCol).asc).limit(math.max(nlist, sampleSize))
-      .select(vecCol).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    // deterministic hash-cut sample in ascending id order (the order
+    // matters: the oracle replays the centroid folds in this exact
+    // order — see hashOrderedSample)
+    val sample: Array[Array[Double]] =
+      hashOrderedSample(df, idCol, vecCol, math.max(nlist, sampleSize))
     require(sample.nonEmpty, "empty corpus")
     ivfTopKWithCentroids(df, idCol, vecCol, query, k,
       refineCentroids(sample, nlist, refineIters), nprobe)
@@ -708,10 +734,11 @@ object Similarity {
   }
 
   /** PQ codebooks: `m` per-subspace L2-k-means codebooks of `ksub`
-    * codewords each, trained on the deterministic first-`sampleSize`
-    * rows by id (the [[ivfTopK]] sampling convention). Result shape:
-    * codebooks(j)(c) = codeword c of subspace j (dim/m doubles).
-    * Driver-side by design — m·ksub·(dim/m) = ksub·dim doubles. */
+    * codewords each, trained on the deterministic `sampleSize`-row
+    * hash-cut sample (the [[hashOrderedSample]] convention, shared
+    * with [[ivfTopK]]). Result shape: codebooks(j)(c) = codeword c of
+    * subspace j (dim/m doubles). Driver-side by design —
+    * m·ksub·(dim/m) = ksub·dim doubles. */
   def pqCodebooks(
       df: DataFrame,
       idCol: String,
@@ -720,10 +747,8 @@ object Similarity {
       ksub: Int = 16,
       refineIters: Int = 2,
       sampleSize: Int = 256): Array[Array[Array[Double]]] = {
-    val sample: Array[Array[Double]] = df
-      .orderBy(col(idCol).asc).limit(math.max(ksub, sampleSize))
-      .select(vecCol).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sample: Array[Array[Double]] =
+      hashOrderedSample(df, idCol, vecCol, math.max(ksub, sampleSize))
     require(sample.nonEmpty, "empty corpus")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")

@@ -922,8 +922,9 @@ object ExtensionQueries {
     pq(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
 
-  /** PQ-compressed ANN: codebooks trained on the id-ordered sample,
-    * corpus encoded to 8 nibble codes, ADC-scored top-10
+  /** PQ-compressed ANN: codebooks trained on the hash-cut unbiased
+    * sample ([[Similarity.hashOrderedSample]]), corpus encoded to 8
+    * nibble codes, ADC-scored top-10
     * ([[Similarity.pqTopK]] — the 32× index-compression scale path). */
   private val qSimPqTopK: Q = (s, dir) =>
     Similarity.pqTopK(pq(s, dir, "embeddings").filter(col("vec_id") =!= 0),
@@ -937,9 +938,7 @@ object ExtensionQueries {
     val emb = pq(s, dir, "embeddings")
     val corpus = emb.filter(col("vec_id") >= 6)
     val queries = emb.filter(col("vec_id").between(1, 5))
-    val sample = corpus.orderBy(col("vec_id").asc).limit(256)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sample = Similarity.hashOrderedSample(corpus, "vec_id", "embedding", 256)
     val cents = Similarity.refineCentroids(sample, 8, 2)
     val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8)
     Similarity.ivfPqTopKBatch(queries, corpus, "vec_id", "embedding",
@@ -1164,6 +1163,40 @@ object ExtensionQueries {
         onehot.as("embedding")),
       "vec_id", "embedding")
     graft.sources.AnnIndex.driftAuditPq(s, idxDir, nearCut = 0.0, driftFactor = 2)
+  }
+
+  /** [[qSimIndexDrift]]'s sign-LSH twin
+    * ([[graft.sources.AnnIndex.driftAuditLsh]]) — the write-side
+    * staleness monitor for the THIRD persisted index family, read
+    * from the bucketed table alone: build on the full corpus (seg 0,
+    * the baseline histogram), append a CLEAN batch (the same vectors
+    * under offset ids — identical bucket distribution, the exact-zero
+    * negative control), then append the one-hot `vec_id % 64`
+    * degenerate-featurizer batch (the [[qSimIndexDriftPq]] fixture —
+    * its buckets are plane-sign patterns the real corpus never
+    * concentrates on). Per segment: the exact-integer L1 divergence
+    * of its bucket-occupancy ppm histogram vs seg 0's, and the
+    * absolute-bar flag: seg 1 reads l1 = 0 / flag off, seg 2 reads a
+    * large l1 / flag on — both branches at every fixture scale. The
+    * oracle replays the seeded hyperplanes as literals, the sign
+    * folds, the per-(seg, bucket) integer histogram, and the folded
+    * L1 identity Σ_{b∈s}(|ppm_s − ppm_0| − ppm_0) + Σ ppm_0. */
+  private val qSimIndexDriftLsh: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    val idxDir = s"$twinRoot/annidx_drift_lsh/${new java.io.File(dir).getName}"
+    graft.sources.AnnIndex.buildAndWriteLsh(
+      s, idxDir, emb, "vec_id", "embedding", numPlanes = 8)
+    graft.sources.AnnIndex.appendToLsh(s, idxDir,
+      emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    val onehot = transform(sequence(lit(0), lit(63)),
+      d => when(d === pmod(col("vec_id"), lit(64)).cast("int"), lit(1.0f))
+        .otherwise(lit(0.0f)))
+    graft.sources.AnnIndex.appendToLsh(s, idxDir,
+      emb.select((col("vec_id") + 2000000L).as("vec_id"),
+        onehot.as("embedding")),
+      "vec_id", "embedding")
+    graft.sources.AnnIndex.driftAuditLsh(s, idxDir)
   }
 
   /** RETRAIN remediation ([[graft.sources.AnnIndex.retrainPq]]) — the
@@ -3849,6 +3882,7 @@ object ExtensionQueries {
     "q_sim_index_lsh" -> qSimIndexLsh,
     "q_sim_index_drift" -> qSimIndexDrift,
     "q_sim_index_drift_pq" -> qSimIndexDriftPq,
+    "q_sim_index_drift_lsh" -> qSimIndexDriftLsh,
     "q_sim_index_retrain" -> qSimIndexRetrain,
     "q_store_maintenance" -> qStoreMaintenance,
     "q_sim_hard_negatives" -> qSimHardNegatives,
@@ -4048,6 +4082,19 @@ object ExtensionQueries {
     * hyperplanes embed as exact literals. */
   private def planeLit(p: Array[Double]): String =
     p.map(_.toString).mkString("[", ", ", "]")
+
+  /** The [[graft.operators.Similarity.hashOrderedSample]] replay as
+    * a CTE chain ending at `samp(id, vec)` over an already-defined
+    * `<from>(id, vec)`: SplitMix64 the id ([[HashSql.mixCtes]]),
+    * order by the sign-dropped mixed value then id, first `n` — the
+    * deterministic UNBIASED training-sample cut; downstream folds
+    * read samp back `ORDER BY id`, matching the engine's id-sorted
+    * sample array. Emits raw CTE text (no margins) for a consumer
+    * that strips margins once. */
+  private def hashSampCtes(from: String, n: Int, p: String): String =
+    s"${p}0 AS MATERIALIZED (SELECT id, vec, CAST(id AS HUGEINT) AS x FROM $from),\n" +
+      s"${HashSql.mixCtes(p, s"${p}0", "id, vec")},\n" +
+      s"samp AS (SELECT id, vec FROM ${p}4 ORDER BY (x // 2), id LIMIT $n)"
 
   /** Sign-LSH bucket id: bit i set iff vec·plane_i >= 0, exactly
     * SimilarityFunctions.lshBucket (bits are disjoint, so + == OR). */
@@ -4269,7 +4316,7 @@ object ExtensionQueries {
     }
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id <> 0),
-       |samp AS (SELECT id, vec FROM corpus ORDER BY id LIMIT 256),
+       |${hashSampCtes("corpus", 256, "ivfsm")},
        |cents0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
        |                  list_transform(vec, x -> CAST(x AS DOUBLE)) AS cvec
        |           FROM (SELECT id, vec FROM samp ORDER BY id LIMIT 16) t),
@@ -4326,7 +4373,7 @@ object ExtensionQueries {
     }
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id <> 0),
-       |samp AS (SELECT id, vec FROM corpus ORDER BY id LIMIT 256),
+       |${hashSampCtes("corpus", 256, "pqsm")},
        |sub AS MATERIALIZED (
        |  SELECT id, j, list_transform(range(1, ${ds + 1}), i ->
        |    CAST(vec[j * $ds + i] AS DOUBLE)) AS sv
@@ -4444,7 +4491,7 @@ object ExtensionQueries {
          |  SELECT p.j, p.cell, COALESCE(u.cvec, p.cvec) AS cvec
          |  FROM $prev p LEFT JOIN pupd$i u ON p.j = u.j AND p.cell = u.cell)""".stripMargin
     }
-    s"""samp AS (SELECT id, vec FROM train ORDER BY id LIMIT 256),
+    s"""${hashSampCtes("train", 256, "mdsm")},
        |cents0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
        |                  list_transform(vec, x -> CAST(x AS DOUBLE)) AS cvec
        |           FROM (SELECT id, vec FROM samp ORDER BY id LIMIT $nlist) t),
@@ -4538,13 +4585,16 @@ object ExtensionQueries {
       "vec_id >= 6 AND vec_id % 7 <> 0")
 
   /** Mirrors [[qSimIndexDriftPq]]: the [[pqModelCtes]] training +
-    * encode replay (train = the full corpus; corpus = full ∪
-    * `list_reverse`d offset batch — exactly what the index holds
-    * after the append encodes under the frozen model), then each
-    * row's ADC reconstruction-vs-centroid cosine in the identical
-    * fold order, the exact-integer per-segment CDF at the cut, and
-    * the windowed seg-0 baseline with the conservative
-    * missing-baseline coalesce. */
+    * encode replay (train = the full corpus; corpus = full ∪ the
+    * one-hot `vec_id % 64` degenerate-featurizer offset batch —
+    * exactly what the index holds after the append encodes under the
+    * frozen model; reversed vectors would NOT register through PQ
+    * quantization, which is why the engine twin drifts with one-hots),
+    * then each row's ADC reconstruction-vs-centroid cosine in the
+    * identical fold order (two-sided zero-norm guard, as the engine),
+    * the exact-integer per-segment CDF at the cut, and the windowed
+    * seg-0 baseline with the conservative missing-baseline
+    * coalesce. */
   private val simIndexDriftPqSql: String = {
     val m = 8; val ds = DIM / m; val cut = 0.0
     s"""WITH train AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
@@ -4573,6 +4623,7 @@ object ExtensionQueries {
        |  FROM aterms GROUP BY id),
        |acos AS (
        |  SELECT s.id, CASE WHEN s.nx > 0.0
+       |        AND ${dotSql("cc.cvec", "cc.cvec")} > 0.0
        |      THEN s.dt / (sqrt(${dotSql("cc.cvec", "cc.cvec")}) * sqrt(s.nx))
        |      ELSE 0.0 END AS cosv
        |  FROM acs s JOIN assigned a ON a.id = s.id
@@ -4589,6 +4640,47 @@ object ExtensionQueries {
        |  COALESCE(far_ppm > 2 * (SELECT max(CASE WHEN seg = 0 THEN far_ppm END)
        |                          FROM wp), TRUE) AS drift_flag
        |FROM wp""".stripMargin
+  }
+
+  /** Mirrors [[qSimIndexDriftLsh]]: the seeded hyperplanes as exact
+    * literals, the sign-fold bucket of every (seg, row) — seg 0 the
+    * corpus, seg 1 the offset copy, seg 2 the one-hot `vec_id % 64`
+    * batch — the per-(seg, bucket) integer ppm histogram, the seg-0
+    * baseline attached by a LEFT join (DuckDB side only; the engine
+    * uses the window form), and the folded L1 identity
+    * Σ_{b∈s}(|ppm_s − ppm_0| − ppm_0) + Σ ppm_0 with the absolute
+    * 500 000-ppm flag bar. */
+  private val simIndexDriftLshSql: String = {
+    val planes = graft.functions.SimilarityFunctions.hyperplanes(8, DIM, 42L)
+    val onehot =
+      s"""list_transform(range(0, $DIM), d ->
+         |  CAST(CASE WHEN d = vec_id % $DIM THEN 1.0 ELSE 0.0 END AS FLOAT))"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH bsrc AS (
+       |  SELECT CAST(0 AS INT) AS seg, embedding AS vec FROM embeddings
+       |  UNION ALL
+       |  SELECT 1, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT 2, $onehot FROM embeddings),
+       |bk AS MATERIALIZED (
+       |  SELECT seg, ${bucketSql("vec", planes)} AS bucket FROM bsrc),
+       |cnts AS (SELECT seg, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM bk GROUP BY 1, 2),
+       |pp AS (SELECT seg, bucket, cnt,
+       |         CAST(SUM(cnt) OVER (PARTITION BY seg) AS BIGINT) AS n_rows
+       |       FROM cnts),
+       |ppmt AS (SELECT seg, bucket, n_rows,
+       |           CAST(cnt * 1000000 // n_rows AS BIGINT) AS ppm FROM pp),
+       |base AS (SELECT bucket, ppm AS b0 FROM ppmt WHERE seg = 0),
+       |t0 AS (SELECT CAST(COALESCE(SUM(b0), 0) AS BIGINT) AS mass FROM base)
+       |SELECT CAST(p.seg AS BIGINT) AS seg,
+       |  CAST(MAX(p.n_rows) AS BIGINT) AS n_rows,
+       |  CAST(SUM(abs(p.ppm - COALESCE(b.b0, 0)) - COALESCE(b.b0, 0))
+       |       + MAX(t.mass) AS BIGINT) AS l1_ppm,
+       |  (SUM(abs(p.ppm - COALESCE(b.b0, 0)) - COALESCE(b.b0, 0))
+       |       + MAX(t.mass)) > 500000 AS drift_flag
+       |FROM ppmt p LEFT JOIN base b ON p.bucket = b.bucket CROSS JOIN t0 t
+       |GROUP BY p.seg""".stripMargin
   }
 
   /** Mirrors `Similarity.kmeansCentroidsDistributed(nlist=8, iters=2,
@@ -5665,14 +5757,18 @@ object ExtensionQueries {
     * recomputable, the tombstone id set, and the three audit counts
     * as scalar subqueries (distinct segs; distinct ids surviving the
     * anti-join; distinct tombstoned ids — the engine counts the
-    * tombstone table itself, present or not in the corpus). */
+    * tombstone table itself, present or not in the corpus). The
+    * `v-*` path step is the pointer-publication layout
+    * ([[graft.sources.Segments]]): tables live under the one live
+    * versioned tree the `ptr-<seq>` file names — a fresh build always
+    * leaves exactly one. */
   private def maintStoreCtes(p: String, storeDir: String, table: String): String =
     s"""${p}b AS MATERIALIZED (
        |  SELECT DISTINCT
        |    CAST(regexp_extract(filename, 'seg=(\\d+)', 1) AS BIGINT) AS seg, id
-       |  FROM read_parquet('$storeDir/$table/*/*.parquet', filename = true)),
+       |  FROM read_parquet('$storeDir/v-*/$table/*/*.parquet', filename = true)),
        |${p}t AS (SELECT DISTINCT id
-       |          FROM read_parquet('$storeDir/tombstones/*/*.parquet')),
+       |          FROM read_parquet('$storeDir/v-*/tombstones/*/*.parquet')),
        |${p}a AS (SELECT
        |  (SELECT count(DISTINCT seg) FROM ${p}b) AS n_segments,
        |  (SELECT count(DISTINCT id) FROM ${p}b
@@ -8841,6 +8937,7 @@ object ExtensionQueries {
     "q_sim_index_lsh" -> simLshBatchSql,
     "q_sim_index_drift" -> simIndexDriftSql,
     "q_sim_index_drift_pq" -> simIndexDriftPqSql,
+    "q_sim_index_drift_lsh" -> simIndexDriftLshSql,
     "q_sim_index_retrain" -> simIndexRetrainSql,
     "q_store_maintenance" -> storeMaintenanceSql,
     "q_sim_hard_negatives" -> simHardNegativesSql,

@@ -21,11 +21,13 @@ import graft.operators.Similarity
   * what the inline (train-in-query) path answers — pinned by
   * AnnIndexSpec's round-trip.
   *
-  * Write discipline: tables land in `<dir>.staging` and the
-  * directory is swapped in last (the ParquetDirIO pattern) so a
-  * crash mid-build never leaves a half-index a reader could load,
-  * and a rebuild over an existing index moves the old copy aside
-  * before the swap, so no crash point loses BOTH copies.
+  * Write discipline: tables land in a fresh versioned tree under the
+  * index dir and ONE small pointer-file flip publishes it
+  * ([[Segments.publishVersion]] — object-store safe: no directory is
+  * ever renamed), so a crash mid-build never leaves a half-index a
+  * reader could load, and a rebuild over an existing index keeps the
+  * previous tree live until the instant the pointer flips — no crash
+  * point loses BOTH copies.
   *
   * Incremental append: the corpus-sized table is SEGMENTED
   * (`coded/seg=0`, `coded/seg=1`, … — Spark partition discovery; the
@@ -69,17 +71,14 @@ object AnnIndex {
       ksub: Int = 16,
       refineIters: Int = 2,
       sampleSize: Int = 256): Loaded = {
-    val sample = corpus.orderBy(col(idCol).asc).limit(sampleSize)
-      .select(vecCol).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sample = Similarity.hashOrderedSample(corpus, idCol, vecCol, sampleSize)
     require(sample.nonEmpty, "empty corpus")
     val centroids = Similarity.refineCentroids(sample, nlist, refineIters)
     val codebooks = Similarity.pqCodebooks(corpus, idCol, vecCol, m, ksub,
       refineIters, sampleSize)
     val coded = Similarity.encodeForIndex(corpus, idCol, vecCol, centroids, codebooks)
 
-    val staging = dir + ".staging"
-    Segments.clearStaging(spark, dir)
+    val staging = Segments.newVersionPath(dir)
     import spark.implicits._
     centroids.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
@@ -90,7 +89,7 @@ object AnnIndex {
     }.toSeq.toDF("subspace", "code", "vec")
       .write.mode("overwrite").parquet(s"$staging/codebooks")
     coded.write.mode("overwrite").parquet(s"$staging/coded/seg=0")
-    Segments.swapIn(spark, staging, dir)
+    Segments.publishVersion(spark, dir, staging)
     read(spark, dir)
   }
 
@@ -107,8 +106,9 @@ object AnnIndex {
       batch: DataFrame,
       idCol: String,
       vecCol: String): Loaded = {
+    val root = Segments.resolve(spark, dir)
     val idx = read(spark, dir)
-    appendSegment(spark, s"$dir/coded",
+    appendSegment(spark, s"$root/coded",
       Similarity.encodeForIndex(batch, idCol, vecCol, idx.centroids, idx.codebooks))
     read(spark, dir)
   }
@@ -130,8 +130,7 @@ object AnnIndex {
   def compact(spark: SparkSession, dir: String): Loaded = {
     val watermark = Segments.segmentWatermark(spark, dir)
     val idx = read(spark, dir)
-    val staging = dir + ".staging"
-    Segments.clearStaging(spark, dir)
+    val staging = Segments.newVersionPath(dir)
     import spark.implicits._
     idx.centroids.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
@@ -142,9 +141,9 @@ object AnnIndex {
     }.toSeq.toDF("subspace", "code", "vec")
       .write.mode("overwrite").parquet(s"$staging/codebooks")
     // the staging write scans the CURRENT coded files (still in place
-    // — the swap only renames after this action completes)
+    // — the previous tree stays live until the pointer flips)
     idx.coded.write.mode("overwrite").parquet(s"$staging/coded/seg=0")
-    Segments.swapInFenced(spark, staging, dir, watermark)
+    Segments.publishVersionFenced(spark, dir, staging, watermark)
     read(spark, dir)
   }
 
@@ -152,15 +151,14 @@ object AnnIndex {
   def compactIvf(spark: SparkSession, dir: String): LoadedIvf = {
     val watermark = Segments.segmentWatermark(spark, dir)
     val idx = readIvf(spark, dir)
-    val staging = dir + ".staging"
-    Segments.clearStaging(spark, dir)
+    val staging = Segments.newVersionPath(dir)
     import spark.implicits._
     idx.centroids.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "vec")
       .write.mode("overwrite").parquet(s"$staging/centroids")
     idx.assigned.write.mode("overwrite").parquet(s"$staging/assigned/seg=0")
-    Segments.swapInFenced(spark, staging, dir, watermark)
+    Segments.publishVersionFenced(spark, dir, staging, watermark)
     readIvf(spark, dir)
   }
 
@@ -189,30 +187,30 @@ object AnnIndex {
       dir: String,
       ids: DataFrame,
       idCol: String): Unit =
-    Segments.deleteIds(spark, dir, ids, idCol)
+    Segments.deleteIds(spark, Segments.resolve(spark, dir), ids, idCol)
 
   /** Subtract the index's tombstone set (if any) from its corpus
-    * table — [[Segments.minusTombstones]], the single filter every
-    * load path applies (tombstones count as present only once a
-    * published seg exists; see Segments for the crash rationale). */
+    * table — [[Segments.minusTombstones]] over the RESOLVED live
+    * tree, the single filter every load path applies (tombstones
+    * count as present only once a published seg exists; see Segments
+    * for the crash rationale). */
   private def minusTombstones(
-      spark: SparkSession, dir: String, table: DataFrame): DataFrame =
-    Segments.minusTombstones(spark, dir, table)
+      spark: SparkSession, root: String, table: DataFrame): DataFrame =
+    Segments.minusTombstones(spark, root, table)
 
   /** [[compact]]'s LSH twin — also the tombstone GC for the LSH
     * family (fenced — see [[compact]]). */
   def compactLsh(spark: SparkSession, dir: String): LoadedLsh = {
     val watermark = Segments.segmentWatermark(spark, dir)
     val idx = readLsh(spark, dir)
-    val staging = dir + ".staging"
-    Segments.clearStaging(spark, dir)
+    val staging = Segments.newVersionPath(dir)
     import spark.implicits._
     idx.planes.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("plane", "vec")
       .write.mode("overwrite").parquet(s"$staging/planes")
     idx.bucketed.write.mode("overwrite").parquet(s"$staging/bucketed/seg=0")
-    Segments.swapInFenced(spark, staging, dir, watermark)
+    Segments.publishVersionFenced(spark, dir, staging, watermark)
     readLsh(spark, dir)
   }
 
@@ -227,19 +225,20 @@ object AnnIndex {
     * (bounded — nlist and m·ksub rows), the coded table stays a
     * DataFrame. */
   def read(spark: SparkSession, dir: String): Loaded = {
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val root = Segments.resolve(spark, dir)
+    val cents = spark.read.parquet(s"$root/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
     require(cents.nonEmpty, s"AnnIndex: no centroids under $dir")
-    val cbRows = spark.read.parquet(s"$dir/codebooks")
+    val cbRows = spark.read.parquet(s"$root/codebooks")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val codebooks = cbRows.groupBy(_._1).toArray.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
     // project away the seg partition column (and read pre-segment
     // flat layouts, which simply lack it)
     Loaded(cents, codebooks,
-      minusTombstones(spark, dir,
-        spark.read.parquet(s"$dir/coded").select("id", "cell", "code")))
+      minusTombstones(spark, root,
+        spark.read.parquet(s"$root/coded").select("id", "cell", "code")))
   }
 
   /** Batch ANN over a loaded index — delegates to the coded-input
@@ -286,15 +285,14 @@ object AnnIndex {
       col(idCol).as("id"),
       Similarity.assignCellUdf(centroids)(col(vecCol)).as("cell"),
       col(vecCol).as("vec"))
-    val staging = dir + ".staging"
-    Segments.clearStaging(spark, dir)
+    val staging = Segments.newVersionPath(dir)
     import spark.implicits._
     centroids.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "vec")
       .write.mode("overwrite").parquet(s"$staging/centroids")
     assigned.write.mode("overwrite").parquet(s"$staging/assigned/seg=0")
-    Segments.swapIn(spark, staging, dir)
+    Segments.publishVersion(spark, dir, staging)
     readIvf(spark, dir)
   }
 
@@ -307,8 +305,9 @@ object AnnIndex {
       batch: DataFrame,
       idCol: String,
       vecCol: String): LoadedIvf = {
+    val root = Segments.resolve(spark, dir)
     val idx = readIvf(spark, dir)
-    appendSegment(spark, s"$dir/assigned",
+    appendSegment(spark, s"$root/assigned",
       batch.select(
         col(idCol).as("id"),
         Similarity.assignCellUdf(idx.centroids)(col(vecCol)).as("cell"),
@@ -319,13 +318,14 @@ object AnnIndex {
   /** Load a plain-IVF index directory: centroids to a driver array
     * (nlist-bounded), the assigned table stays a DataFrame. */
   def readIvf(spark: SparkSession, dir: String): LoadedIvf = {
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val root = Segments.resolve(spark, dir)
+    val cents = spark.read.parquet(s"$root/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
     require(cents.nonEmpty, s"AnnIndex: no centroids under $dir")
     LoadedIvf(cents,
-      minusTombstones(spark, dir,
-        spark.read.parquet(s"$dir/assigned").select("id", "cell", "vec")))
+      minusTombstones(spark, root,
+        spark.read.parquet(s"$root/assigned").select("id", "cell", "vec")))
   }
 
   /** WRITE-SIDE staleness monitor for an appended plain-IVF index —
@@ -370,7 +370,8 @@ object AnnIndex {
       dir: String,
       nearCut: Double = 0.12,
       driftFactor: Int = 2): DataFrame = {
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val root = Segments.resolve(spark, dir)
+    val cents = spark.read.parquet(s"$root/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
     require(cents.nonEmpty, s"AnnIndex: no centroids under $dir")
@@ -390,8 +391,8 @@ object AnnIndex {
         }
         f(col("vec"), col("cell"))
       }
-    val assigned = Segments.minusTombstones(spark, dir,
-      spark.read.parquet(s"$dir/assigned")
+    val assigned = Segments.minusTombstones(spark, root,
+      spark.read.parquet(s"$root/assigned")
         .select(col("seg").cast("int").as("seg"),
           col("id"), col("cell"), col("vec")))
     val perSeg = assigned
@@ -439,21 +440,20 @@ object AnnIndex {
     val survivors = readIvf(spark, dir).assigned.select(col("id"), col("vec"))
     val cents = Similarity.kmeansCentroidsDistributed(
       survivors, "id", "vec", nlist, iters)
-    val staging = dir + ".staging"
-    Segments.clearStaging(spark, dir)
+    val staging = Segments.newVersionPath(dir)
     import spark.implicits._
     cents.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "vec")
       .write.mode("overwrite").parquet(s"$staging/centroids")
     // the staging write scans the CURRENT assigned files (still in
-    // place — the swap only renames after this action completes)
+    // place — the previous tree stays live until the pointer flips)
     survivors.select(
         col("id"),
         Similarity.assignCellUdf(cents)(col("vec")).as("cell"),
         col("vec"))
       .write.mode("overwrite").parquet(s"$staging/assigned/seg=0")
-    Segments.swapInFenced(spark, staging, dir, watermark)
+    Segments.publishVersionFenced(spark, dir, staging, watermark)
     readIvf(spark, dir)
   }
 
@@ -463,9 +463,10 @@ object AnnIndex {
     * caller supplies the corpus table and the retrain subtracts the
     * index's own tombstones from it (the forget contract — a deleted
     * id never trains or re-enters the index). Training replays
-    * [[buildAndWrite]]'s exact recipe over the survivors (first-
-    * `sampleSize`-by-id sample → [[graft.operators.Similarity
-    * .refineCentroids]] + [[graft.operators.Similarity.pqCodebooks]]),
+    * [[buildAndWrite]]'s exact recipe over the survivors
+    * (`sampleSize`-row hash-cut sample →
+    * [[graft.operators.Similarity.refineCentroids]] +
+    * [[graft.operators.Similarity.pqCodebooks]]),
     * so the result is answer-equivalent to a fresh build on the
     * retained corpus — `q_sim_index_retrain` oracles the whole
     * build→append→delete→retrain chain under the training-replay
@@ -482,19 +483,16 @@ object AnnIndex {
       refineIters: Int = 2,
       sampleSize: Int = 256): Loaded = {
     val watermark = Segments.segmentWatermark(spark, dir)
-    val survivors = minusTombstones(spark, dir,
+    val survivors = minusTombstones(spark, Segments.resolve(spark, dir),
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
-    val sample = survivors.orderBy(col("id").asc).limit(sampleSize)
-      .select("vec").collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sample = Similarity.hashOrderedSample(survivors, "id", "vec", sampleSize)
     require(sample.nonEmpty, "empty retained corpus")
     val centroids = Similarity.refineCentroids(sample, nlist, refineIters)
     val codebooks = Similarity.pqCodebooks(survivors, "id", "vec", m, ksub,
       refineIters, sampleSize)
     val coded = Similarity.encodeForIndex(survivors, "id", "vec",
       centroids, codebooks)
-    val staging = dir + ".staging"
-    Segments.clearStaging(spark, dir)
+    val staging = Segments.newVersionPath(dir)
     import spark.implicits._
     centroids.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
@@ -505,7 +503,7 @@ object AnnIndex {
     }.toSeq.toDF("subspace", "code", "vec")
       .write.mode("overwrite").parquet(s"$staging/codebooks")
     coded.write.mode("overwrite").parquet(s"$staging/coded/seg=0")
-    Segments.swapInFenced(spark, staging, dir, watermark)
+    Segments.publishVersionFenced(spark, dir, staging, watermark)
     read(spark, dir)
   }
 
@@ -537,11 +535,12 @@ object AnnIndex {
       dir: String,
       nearCut: Double = 0.5,
       driftFactor: Int = 2): DataFrame = {
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val root = Segments.resolve(spark, dir)
+    val cents = spark.read.parquet(s"$root/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
     require(cents.nonEmpty, s"AnnIndex: no centroids under $dir")
-    val cbRows = spark.read.parquet(s"$dir/codebooks")
+    val cbRows = spark.read.parquet(s"$root/codebooks")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val cb = cbRows.groupBy(_._1).toArray.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
@@ -561,10 +560,13 @@ object AnnIndex {
         }
         dot += dj; nx += nj; j += 1
       }
-      if (nx > 0.0) dot / (math.sqrt(qn2) * math.sqrt(nx)) else 0.0
+      // both sides guarded: a zero reconstruction (nx) OR a zero
+      // assigned-centroid vector (qn2) reads 0.0, never NaN/Infinity
+      // — the oracle carries the identical two-sided guard
+      if (nx > 0.0 && qn2 > 0.0) dot / (math.sqrt(qn2) * math.sqrt(nx)) else 0.0
     }
-    val coded = Segments.minusTombstones(spark, dir,
-      spark.read.parquet(s"$dir/coded")
+    val coded = Segments.minusTombstones(spark, root,
+      spark.read.parquet(s"$root/coded")
         .select(col("seg").cast("int").as("seg"),
           col("id"), col("cell"), col("code")))
     val perSeg = coded
@@ -623,15 +625,14 @@ object AnnIndex {
       col(idCol).as("id"),
       graft.functions.SimilarityFunctions.lshBucket(col(vecCol), planes).as("bucket"),
       col(vecCol).as("vec"))
-    val staging = dir + ".staging"
-    Segments.clearStaging(spark, dir)
+    val staging = Segments.newVersionPath(dir)
     import spark.implicits._
     planes.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("plane", "vec")
       .write.mode("overwrite").parquet(s"$staging/planes")
     bucketed.write.mode("overwrite").parquet(s"$staging/bucketed/seg=0")
-    Segments.swapIn(spark, staging, dir)
+    Segments.publishVersion(spark, dir, staging)
     readLsh(spark, dir)
   }
 
@@ -643,8 +644,9 @@ object AnnIndex {
       batch: DataFrame,
       idCol: String,
       vecCol: String): LoadedLsh = {
+    val root = Segments.resolve(spark, dir)
     val idx = readLsh(spark, dir)
-    appendSegment(spark, s"$dir/bucketed",
+    appendSegment(spark, s"$root/bucketed",
       batch.select(
         col(idCol).as("id"),
         graft.functions.SimilarityFunctions.lshBucket(col(vecCol), idx.planes).as("bucket"),
@@ -655,13 +657,118 @@ object AnnIndex {
   /** Load an LSH index directory: planes to a driver array
     * (numPlanes-bounded), the bucketed table stays a DataFrame. */
   def readLsh(spark: SparkSession, dir: String): LoadedLsh = {
-    val planes = spark.read.parquet(s"$dir/planes")
+    val root = Segments.resolve(spark, dir)
+    val planes = spark.read.parquet(s"$root/planes")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
     require(planes.nonEmpty, s"AnnIndex: no planes under $dir")
     LoadedLsh(planes,
-      minusTombstones(spark, dir,
-        spark.read.parquet(s"$dir/bucketed").select("id", "bucket", "vec")))
+      minusTombstones(spark, root,
+        spark.read.parquet(s"$root/bucketed").select("id", "bucket", "vec")))
+  }
+
+  /** [[driftAudit]]'s sign-LSH twin — the write-side staleness
+    * monitor for the THIRD index family, computable from the bucketed
+    * table ALONE (no vectors needed): appends bucket against FROZEN
+    * planes ([[appendToLsh]]), so a drifted embedder still lands every
+    * row in SOME bucket — just with a bucket-OCCUPANCY distribution
+    * the build-time corpus never produced, and probe recall decays
+    * silently. The audit reads each segment's bucket histogram
+    * against the build segment's (seg=0) as an exact-integer L1
+    * divergence in parts per million:
+    *
+    *   l1_ppm(s) = Σ_b | ppm_s(b) − ppm_0(b) |
+    *
+    * (2 × total-variation distance; 0 for an identically-distributed
+    * append, 2,000,000 for disjoint support). `drift_flag` fires at
+    * `maxL1Ppm` — an absolute bar rather than the IVF audit's
+    * baseline factor, because the baseline's own divergence is 0 by
+    * construction (a factor test over a zero base is vacuous). A
+    * MISSING baseline (seg 0 fully tombstoned) degrades to the
+    * all-zero base distribution, so every segment reads
+    * Σ ppm_s ≈ 1,000,000 and — since `maxL1Ppm` must sit below
+    * 1,000,000 — the flag fires conservatively with no special case.
+    *
+    * Scale posture: one scan of (seg, bucket) 16-byte rows, a
+    * (seg, bucket)-keyed count with map-side partials, the seg-0
+    * histogram attached via a bucket-partitioned window and the
+    * seg-0 mass via an empty-partition window (the [[driftAudit]]
+    * discipline — never a literal-key join, which would constant-fold
+    * to the BNLJ the catalog plan gate bans). */
+  def driftAuditLsh(
+      spark: SparkSession,
+      dir: String,
+      maxL1Ppm: Long = 500000L): DataFrame = {
+    require(maxL1Ppm > 0L && maxL1Ppm < 1000000L,
+      s"maxL1Ppm must sit in (0, 1e6) so a missing baseline always " +
+        s"flags: $maxL1Ppm")
+    val root = Segments.resolve(spark, dir)
+    val bucketed = Segments.minusTombstones(spark, root,
+      spark.read.parquet(s"$root/bucketed")
+        .select(col("seg").cast("int").as("seg"), col("id"), col("bucket")))
+    val counts = bucketed.groupBy("seg", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val wSeg = org.apache.spark.sql.expressions.Window.partitionBy("seg")
+    val wBucket = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts
+      .withColumn("n_rows", sum(col("cnt")).over(wSeg))
+      .withColumn("ppm", expr("cnt * 1000000 div n_rows"))
+      .withColumn("base_ppm", coalesce(
+        max(when(col("seg") === 0, col("ppm"))).over(wBucket), lit(0L)))
+      .withColumn("t0", coalesce(
+        sum(when(col("seg") === 0, col("ppm"))).over(wAll), lit(0L)))
+      // Σ_b |ppm_s − ppm_0| over b ∈ s ∪ base, folded as
+      // Σ_{b∈s}(|ppm_s − ppm_0| − ppm_0) + Σ_{b∈base} ppm_0 so only
+      // the segment's own buckets need rows
+      .groupBy("seg")
+      .agg(max(col("n_rows")).as("n_rows"),
+        (sum(abs(col("ppm") - col("base_ppm")) - col("base_ppm"))
+          + max(col("t0"))).as("l1_ppm"))
+      .withColumn("drift_flag", col("l1_ppm") > maxL1Ppm)
+      .select(col("seg").cast("bigint").as("seg"), col("n_rows"),
+        col("l1_ppm"), col("drift_flag"))
+  }
+
+  /** [[retrainIvf]]'s sign-LSH twin — the remediation once
+    * [[driftAuditLsh]] flags: planes are not data-trained, so
+    * "retrain" means re-deriving the geometry (a new `seed`, or a new
+    * `numPlanes`/`dim` for a migrated embedder) and re-bucketing the
+    * SURVIVORS (read through the tombstone filter — a deleted id
+    * never re-enters) under the new planes, published as one fenced
+    * full-tree swap. Self-contained because `bucketed` stores full
+    * vectors (the same layout choice that makes [[retrainIvf]]
+    * self-contained). Answer-equivalent to a fresh
+    * [[buildAndWriteLsh]] over the retained corpus with the same
+    * (numPlanes, dim, seed) — AnnIndexSpec pins ≡ — and the
+    * post-retrain [[driftAuditLsh]] baseline re-establishes: one
+    * seg 0, l1 = 0, flag off. Tombstones GC with the swap; a segment
+    * published after the survivor read refuses the publish (typed
+    * [[ConcurrentStoreWriteException]], built tree preserved). */
+  def retrainLsh(
+      spark: SparkSession,
+      dir: String,
+      numPlanes: Int,
+      dim: Int = 64,
+      seed: Long = 42L): LoadedLsh = {
+    val watermark = Segments.segmentWatermark(spark, dir)
+    val survivors = readLsh(spark, dir).bucketed.select(col("id"), col("vec"))
+    val planes = graft.functions.SimilarityFunctions.hyperplanes(numPlanes, dim, seed)
+    val staging = Segments.newVersionPath(dir)
+    import spark.implicits._
+    planes.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("plane", "vec")
+      .write.mode("overwrite").parquet(s"$staging/planes")
+    // the staging write scans the CURRENT bucketed files (still in
+    // place — the previous tree stays live until the pointer flips)
+    survivors.select(
+        col("id"),
+        graft.functions.SimilarityFunctions.lshBucket(col("vec"), planes).as("bucket"),
+        col("vec"))
+      .write.mode("overwrite").parquet(s"$staging/bucketed/seg=0")
+    Segments.publishVersionFenced(spark, dir, staging, watermark)
+    readLsh(spark, dir)
   }
 
   /** Batch ANN over a loaded LSH index — delegates to the

@@ -70,8 +70,7 @@ object DedupIndexStore {
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val staging = dir + ".staging"
-    Segments.clearStaging(spark, dir)
+    val staging = Segments.newVersionPath(dir)
     import spark.implicits._
     Seq((shingleN, numHashes, bands))
       .toDF("shingle_n", "num_hashes", "bands")
@@ -79,13 +78,13 @@ object DedupIndexStore {
     Dedup.corpusIndex(corpus, idCol, textCol, shingleN, numHashes, bands)
       .withColumn("id", col("id").cast("long"))
       .write.mode("overwrite").parquet(s"$staging/bands/seg=0")
-    Segments.swapIn(spark, staging, dir)
+    Segments.publishVersion(spark, dir, staging)
     readMinhash(spark, dir)
   }
 
   /** The frozen banding parameters a minhash index was built with. */
   def minhashParams(spark: SparkSession, dir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$dir/params")
+    val r = spark.read.parquet(s"${Segments.resolve(spark, dir)}/params")
       .select("shingle_n", "num_hashes", "bands").head()
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
@@ -100,7 +99,7 @@ object DedupIndexStore {
       idCol: String,
       textCol: String): DataFrame = {
     val (shingleN, numHashes, bands) = minhashParams(spark, dir)
-    Segments.appendSegment(spark, s"$dir/bands",
+    Segments.appendSegment(spark, s"${Segments.resolve(spark, dir)}/bands",
       Dedup.corpusIndex(batch, idCol, textCol, shingleN, numHashes, bands)
         .withColumn("id", col("id").cast("long")))
     readMinhash(spark, dir)
@@ -122,7 +121,7 @@ object DedupIndexStore {
       textCol: String,
       segId: Long): Boolean = {
     val (shingleN, numHashes, bands) = minhashParams(spark, dir)
-    Segments.publishSegment(spark, s"$dir/bands",
+    Segments.publishSegment(spark, s"${Segments.resolve(spark, dir)}/bands",
       Dedup.corpusIndex(batch, idCol, textCol, shingleN, numHashes, bands)
         .withColumn("id", col("id").cast("long")), segId)
   }
@@ -132,10 +131,12 @@ object DedupIndexStore {
     * shape [[graft.operators.Dedup.dedupAgainst]]'s `index` parameter
     * takes, so a query can never surface a deleted document's
     * fingerprint OR band bucket. */
-  def readMinhash(spark: SparkSession, dir: String): DataFrame =
-    Segments.minusTombstones(spark, dir,
-      spark.read.parquet(s"$dir/bands")
+  def readMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val root = Segments.resolve(spark, dir)
+    Segments.minusTombstones(spark, root,
+      spark.read.parquet(s"$root/bands")
         .select("id", "fp", "band_idx", "band_hash"))
+  }
 
   /** Compact back to one segment, reading THROUGH the tombstone
     * filter — physical drop + tombstone GC in one atomic swap. Fenced
@@ -147,14 +148,13 @@ object DedupIndexStore {
     val watermark = Segments.segmentWatermark(spark, dir)
     val rows = readMinhash(spark, dir)
     val (shingleN, numHashes, bands) = minhashParams(spark, dir)
-    val staging = dir + ".staging"
-    Segments.clearStaging(spark, dir)
+    val staging = Segments.newVersionPath(dir)
     import spark.implicits._
     Seq((shingleN, numHashes, bands))
       .toDF("shingle_n", "num_hashes", "bands")
       .write.mode("overwrite").parquet(s"$staging/params")
     rows.write.mode("overwrite").parquet(s"$staging/bands/seg=0")
-    Segments.swapInFenced(spark, staging, dir, watermark)
+    Segments.publishVersionFenced(spark, dir, staging, watermark)
     readMinhash(spark, dir)
   }
 
@@ -169,20 +169,20 @@ object DedupIndexStore {
       idCol: String,
       textCol: String,
       delim: String = "\n"): DataFrame = {
-    val staging = dir + ".staging"
-    Segments.clearStaging(spark, dir)
+    val staging = Segments.newVersionPath(dir)
     import spark.implicits._
     Seq(Tuple1(delim)).toDF("delim")
       .write.mode("overwrite").parquet(s"$staging/params")
     Dedup.lineProvenance(corpus, idCol, textCol, delim)
       .write.mode("overwrite").parquet(s"$staging/lines/seg=0")
-    Segments.swapIn(spark, staging, dir)
+    Segments.publishVersion(spark, dir, staging)
     readLines(spark, dir)
   }
 
   /** The frozen line delimiter the index was built with. */
   def lineParams(spark: SparkSession, dir: String): String =
-    spark.read.parquet(s"$dir/params").select("delim").head().getString(0)
+    spark.read.parquet(s"${Segments.resolve(spark, dir)}/params")
+      .select("delim").head().getString(0)
 
   /** Append a batch's line provenance as one segment (delimiter
     * re-read from the index — never caller-supplied). O(batch).
@@ -196,7 +196,7 @@ object DedupIndexStore {
       batch: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    Segments.appendSegment(spark, s"$dir/lines",
+    Segments.appendSegment(spark, s"${Segments.resolve(spark, dir)}/lines",
       Dedup.lineProvenance(batch, idCol, textCol, lineParams(spark, dir)))
     readLines(spark, dir)
   }
@@ -210,7 +210,7 @@ object DedupIndexStore {
       idCol: String,
       textCol: String,
       segId: Long): Boolean =
-    Segments.publishSegment(spark, s"$dir/lines",
+    Segments.publishSegment(spark, s"${Segments.resolve(spark, dir)}/lines",
       Dedup.lineProvenance(batch, idCol, textCol, lineParams(spark, dir)),
       segId)
 
@@ -227,9 +227,11 @@ object DedupIndexStore {
       .agg(count(lit(1)).as("line_df"))
 
   /** The raw post-tombstone (id, line_hash) provenance rows. */
-  def readLineProvenance(spark: SparkSession, dir: String): DataFrame =
-    Segments.minusTombstones(spark, dir,
-      spark.read.parquet(s"$dir/lines").select("id", "line_hash"))
+  def readLineProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val root = Segments.resolve(spark, dir)
+    Segments.minusTombstones(spark, root,
+      spark.read.parquet(s"$root/lines").select("id", "line_hash"))
+  }
 
   /** Compact the line index back to one segment (physical drop +
     * tombstone GC in one atomic swap; fenced — see
@@ -238,13 +240,12 @@ object DedupIndexStore {
     val watermark = Segments.segmentWatermark(spark, dir)
     val rows = readLineProvenance(spark, dir)
     val delim = lineParams(spark, dir)
-    val staging = dir + ".staging"
-    Segments.clearStaging(spark, dir)
+    val staging = Segments.newVersionPath(dir)
     import spark.implicits._
     Seq(Tuple1(delim)).toDF("delim")
       .write.mode("overwrite").parquet(s"$staging/params")
     rows.write.mode("overwrite").parquet(s"$staging/lines/seg=0")
-    Segments.swapInFenced(spark, staging, dir, watermark)
+    Segments.publishVersionFenced(spark, dir, staging, watermark)
     readLines(spark, dir)
   }
 
@@ -273,6 +274,7 @@ object DedupIndexStore {
       table: String,
       maxSegments: Int = 16,
       maxTombstonePpm: Long = 100000L): DataFrame = {
+    val root = Segments.resolve(spark, dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     def segsOf(p: String): Long = {
@@ -281,16 +283,16 @@ object DedupIndexStore {
       else fs.listStatus(path)
         .count(st => Segments.SegDir.matches(st.getPath.getName)).toLong
     }
-    val nSegments = segsOf(s"$dir/$table")
-    val hasTombstones = segsOf(s"$dir/tombstones") > 0
+    val nSegments = segsOf(s"$root/$table")
+    val hasTombstones = segsOf(s"$root/tombstones") > 0
     val live = Segments
-      .minusTombstones(spark, dir,
-        spark.read.parquet(s"$dir/$table").select("id"))
+      .minusTombstones(spark, root,
+        spark.read.parquet(s"$root/$table").select("id"))
       .select(lit("live").as("__k"), col("id"))
     val tomb =
       if (!hasTombstones)
         live.filter(lit(false)).select(lit("tomb").as("__k"), col("id"))
-      else spark.read.parquet(s"$dir/tombstones")
+      else spark.read.parquet(s"$root/tombstones")
         .select(lit("tomb").as("__k"), col("id"))
     live.unionByName(tomb)
       .groupBy()
@@ -319,5 +321,5 @@ object DedupIndexStore {
       dir: String,
       ids: DataFrame,
       idCol: String): Unit =
-    Segments.deleteIds(spark, dir, ids, idCol)
+    Segments.deleteIds(spark, Segments.resolve(spark, dir), ids, idCol)
 }

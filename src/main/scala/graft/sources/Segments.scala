@@ -19,15 +19,18 @@ final class ConcurrentStoreWriteException(msg: String)
   * tables live as `table/seg=N` children (Spark partition discovery;
   * the `seg` column is projected away on read), appends stage under
   * an underscore dir readers skip and publish with ONE atomic rename,
-  * deletes are an id tombstone table under the same discipline, and a
-  * whole-directory staged swap (build/compact) preserves a complete
-  * readable copy at every crash point.
+  * deletes are an id tombstone table under the same discipline, and
+  * full-tree publication (build/compact/retrain) goes through
+  * POINTER-FILE indirection (`ptr-<seq>` names the live `v-<uuid>`
+  * tree — see the pointer-publication section) so a complete
+  * readable copy exists at every crash point AND the contract
+  * survives object stores, where directory rename is a copy.
   *
-  * Extracted from AnnIndex (reference semantics unchanged — path
-  * names `_append.staging*` / `.staging` / `.old` are part of the
-  * crash-posture contract the specs interpose on) so the dedup corpus
-  * index and the line index can carry the identical tombstone
-  * right-to-be-forgotten path the ANN index already has.
+  * Extracted from AnnIndex (reference semantics unchanged — the
+  * `_append.staging*` path names and the pointer/version layout are
+  * part of the crash-posture contract the specs interpose on) so the
+  * dedup corpus index and the line index can carry the identical
+  * tombstone right-to-be-forgotten path the ANN index already has.
   *
   * Scale posture: an append costs O(batch) write + one rename; a
   * delete costs O(deletion) ids; only compaction touches the
@@ -76,7 +79,13 @@ private[graft] object Segments {
   private def newestMtime(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Long = {
-    val self = fs.getFileStatus(p).getModificationTime
+    // a subtree that vanished between the parent listing and this stat
+    // (a concurrent writer published it, or another sweeper won) is
+    // treated as FRESH so the sweep skips it instead of aborting the
+    // whole append with the propagated FileNotFoundException
+    val self =
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return Long.MaxValue }
     val children =
       try fs.listStatus(p)
       catch { case _: java.io.FileNotFoundException =>
@@ -165,7 +174,8 @@ private[graft] object Segments {
       .foldLeft(-1L)(math.max) + 1
     var attempts = 0
     var last = -1L
-    while (attempts < 8) {
+    var published = false
+    while (!published) {
       val next = nextId()
       val seg = new org.apache.hadoop.fs.Path(s"$table/seg=$next")
       // exists-precheck before the rename: never attempt a rename
@@ -175,25 +185,23 @@ private[graft] object Segments {
         if (fs.exists(seg)) Some(staging)
         else renameVerified(fs, table, staging, seg)
       lost match {
-        case None => return
+        case None => published = true
         case Some(back) =>
           staging = back
+          // same id twice means nothing raced us there (environmental
+          // failure, not a numbering race); either way the retry
+          // budget is bounded — the single failure exit self-cleans
+          // and fails loudly, live table unchanged
           if (next == last || attempts == 7) {
-            // nothing raced us to this id (or we're out of retries):
-            // the failure is environmental, not a numbering race —
-            // self-clean and fail loudly, live table unchanged
             fs.delete(staging, true)
             throw new IllegalArgumentException(
-              s"Segments: could not publish segment $seg — live table unchanged")
+              s"Segments: could not publish segment $seg after ${attempts + 1} " +
+                "attempts — live table unchanged")
           }
+          last = next
+          attempts += 1
       }
-      last = next
-      attempts += 1
     }
-    fs.delete(staging, true)
-    throw new IllegalArgumentException(
-      s"Segments: could not publish a segment of $table after 8 attempts — " +
-        "live table unchanged")
   }
 
   /** Write `rows` as the EXPLICITLY-NUMBERED `seg=<segId>` of a
@@ -265,90 +273,276 @@ private[graft] object Segments {
       Seq(idCol), "left_anti")
   }
 
-  /** Snapshot of a store's published segments: per segmented child
-    * table (tombstones included), the SET of `seg=N` ids. A set, not
-    * the max id: manual appends auto-number BELOW [[StreamSegBase]]
-    * while streamed publishes sit above it, so with any streamed
-    * segment present a raced manual append lands below the table's
-    * max — a max-only watermark would wave it through and the
-    * compaction swap would silently drop it. Capture this BEFORE
-    * constructing a compaction's read (watermark first, THEN the
-    * read — a publish landing between the two then makes the fence
-    * refuse harmlessly; the reverse order could let the swap pass
-    * while the staging tree misses the raced segment). Feed to
-    * [[swapInFenced]]. */
-  def segmentWatermark(spark: SparkSession, dir: String): Map[String, Set[Long]] = {
-    val fs = fsFor(spark, dir)
+  // ------------------------------------------ pointer publication
+  //
+  // Full-tree publication (build / compact / retrain) is OBJECT-STORE
+  // SAFE: it never renames a directory. The store directory holds
+  //
+  //   <dir>/ptr-<seq>     one small pointer FILE naming the live tree
+  //   <dir>/v-<uuid>/     immutable versioned trees (tables + segments)
+  //
+  // Writers build a COMPLETE new tree directly at its final versioned
+  // path ([[newVersionPath]] — no tree-level rename ever happens, so
+  // "rename is a COPY on object stores" stops mattering), then flip
+  // the pointer by creating `ptr-<seq+1>` — one small-file
+  // rename/PUT. The create-at-a-fixed-name IS the compare-and-swap:
+  // two racing publishers both target `ptr-<seq+1>`, exactly one
+  // rename lands, and the loser sees the occupied name and refuses
+  // (typed) or retries — this closes even the ms-scale TOCTOU window
+  // the old directory-swap fence documented as residual. Readers
+  // [[resolve]] through the highest-seq pointer; a stale pointer
+  // listing that raced a publish+GC relists (bounded). Crash posture:
+  // a crash before the flip leaves an orphan v-tree (swept stale,
+  // like append staging) and the previous tree live at every moment —
+  // never zero readable copies. Stores written before this layout
+  // (tables directly under <dir>) resolve to <dir> itself until
+  // their first full-tree publish upgrades them.
+
+  val PointerName = "ptr-(\\d+)".r
+
+  /** Where a full-tree publisher writes its new tree: a fresh
+    * versioned path under the store dir. Write every table of the
+    * COMPLETE tree here, then [[publishVersion]] /
+    * [[publishVersionFenced]] it. */
+  def newVersionPath(dir: String): String =
+    s"$dir/v-${java.util.UUID.randomUUID()}"
+
+  /** (pointer seq, version name) — (0, None) for a legacy/new store. */
+  private def pointer(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): (Long, Option[String]) = {
     val d = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(d)) Map.empty
-    else fs.listStatus(d).filter(_.isDirectory).flatMap { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("_") || name.startsWith(".")) None
-      else {
-        val segs = fs.listStatus(st.getPath)
-          .map(_.getPath.getName).collect { case SegDir(n) => n.toLong }
-        if (segs.isEmpty) None else Some(name -> segs.toSet)
+    if (!fs.exists(d)) return (0L, None)
+    val ptrs = fs.listStatus(d).map(_.getPath.getName)
+      .collect { case PointerName(n) => n.toLong }
+    if (ptrs.isEmpty) (0L, None)
+    else {
+      val seq = ptrs.max
+      val p = new org.apache.hadoop.fs.Path(s"$dir/ptr-$seq")
+      val in = fs.open(p)
+      val content =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim
+        } finally in.close()
+      require(content.nonEmpty, s"Segments: empty pointer file $p")
+      (seq, Some(content))
+    }
+  }
+
+  /** The live tree root of a store: the versioned tree the
+    * highest-seq pointer names, or `dir` itself for a legacy/new
+    * store (tables directly under the dir). A pointer naming a
+    * GC'd tree means our listing raced a publish — relist
+    * (bounded). */
+  def resolve(spark: SparkSession, dir: String): String = {
+    val fs = fsFor(spark, dir)
+    var attempts = 0
+    while (attempts < 5) {
+      try {
+        pointer(fs, dir) match {
+          case (_, None) => return dir
+          case (_, Some(v)) =>
+            val p = new org.apache.hadoop.fs.Path(s"$dir/$v")
+            if (fs.exists(p)) return s"$dir/$v"
+        }
+      } catch {
+        // the pointer file itself was GC'd between list and open —
+        // same race, same remedy
+        case _: java.io.FileNotFoundException => ()
       }
-    }.toMap
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"Segments: could not resolve a live tree for $dir after 5 " +
+        "attempts — pointer kept racing publishes")
   }
 
-  /** Swap `<dir>.staging` into place. Order preserves the previous
-    * good index at every step: the old target moves ASIDE (never
-    * deleted before the new one is in place), staging renames in,
-    * then the aside copy goes. A crash mid-swap leaves either the
-    * old index at <dir> (step 1 not reached), or a complete index at
-    * <dir>.old + the built one at <dir>.staging (between renames) —
-    * never zero copies. NB: directory rename is atomic on HDFS/POSIX
-    * but a COPY on object stores; run rebuilds against a new dir
-    * there and repoint. Unfenced form — for BUILDS, whose contract is
-    * "replace whatever is there"; compactions must use
-    * [[swapInFenced]]. */
-  def swapIn(spark: SparkSession, staging: String, dir: String): Unit = {
-    val fs = fsFor(spark, staging)
-    val target = new org.apache.hadoop.fs.Path(dir)
-    val aside = new org.apache.hadoop.fs.Path(dir + ".old")
-    fs.delete(aside, true)
-    val hadPrevious = fs.exists(target)
-    if (hadPrevious) require(fs.rename(target, aside),
-      s"Segments: could not move previous index aside for $dir")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), target),
-      s"Segments: staging swap failed for $dir" +
-        (if (hadPrevious) s" — previous index preserved at $dir.old" else ""))
-    if (hadPrevious) fs.delete(aside, true)
+  /** A store's consistency snapshot, captured BEFORE constructing a
+    * compaction/retrain's read (watermark first, THEN the read — a
+    * write landing between the two then makes the fence refuse
+    * harmlessly; the reverse order could let the publish pass while
+    * the new tree misses the raced rows): the pointer seq + version,
+    * and per segmented child table of the RESOLVED tree (tombstones
+    * included) the exact SET of `seg=N` ids. A set, not the max id:
+    * manual appends auto-number BELOW [[StreamSegBase]] while
+    * streamed publishes sit above it, so with any streamed segment
+    * present a raced manual append lands below the table's max — a
+    * max-only watermark would wave it through. Feed to
+    * [[publishVersionFenced]]. */
+  final case class StoreWatermark(
+      ptrSeq: Long,
+      version: Option[String],
+      segs: Map[String, Set[Long]])
+
+  def segmentWatermark(spark: SparkSession, dir: String): StoreWatermark = {
+    val fs = fsFor(spark, dir)
+    val (seq, version) = pointer(fs, dir)
+    val root = version.map(v => s"$dir/$v").getOrElse(dir)
+    val d = new org.apache.hadoop.fs.Path(root)
+    val segs =
+      if (!fs.exists(d)) Map.empty[String, Set[Long]]
+      else fs.listStatus(d).filter(_.isDirectory).flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".") ||
+          name.startsWith("v-")) None
+        else {
+          val children =
+            try fs.listStatus(st.getPath)
+            catch { case _: java.io.FileNotFoundException =>
+              Array.empty[org.apache.hadoop.fs.FileStatus] }
+          val ids = children
+            .map(_.getPath.getName).collect { case SegDir(n) => n.toLong }
+          if (ids.isEmpty) None else Some(name -> ids.toSet)
+        }
+      }.toMap
+    StoreWatermark(seq, version, segs)
   }
 
-  /** [[swapIn]] fenced against concurrent writers: refuses (typed
-    * error, staging preserved, live table untouched) when any child
-    * table holds a segment published AFTER `watermark` was captured —
-    * the compaction-vs-publish race where the swap would replace the
-    * directory with a tree built from the pre-publish snapshot and
-    * the raced segment (a streamed micro-batch, or a tombstone set —
-    * a lost GDPR delete) would silently vanish. The check runs
-    * immediately before the first mutating rename; the residual
-    * TOCTOU window is the swap renames themselves, which are
-    * milliseconds against the minutes a corpus rewrite takes — the
-    * fence removes the structural race (the whole rewrite window),
-    * which is the one fleet scheduling actually hits. */
-  def swapInFenced(
-      spark: SparkSession, staging: String, dir: String,
-      watermark: Map[String, Set[Long]]): Unit = {
+  /** Flip the pointer to `versionName` by creating `ptr-<seq+1>` —
+    * content written to an underscore tmp file first, then ONE atomic
+    * rename onto the fresh pointer name (rename-to-a-fresh-name is
+    * atomic on HDFS/POSIX; on an object store this is one small
+    * PUT). Returns false when the name was taken — the loser of the
+    * compare-and-swap. NB: HDFS rename-onto-existing refuses, so the
+    * CAS is airtight there; POSIX-local rename overwrites, leaving a
+    * sub-ms exists-to-rename window that degrades to
+    * last-writer-wins — benign for fenced publishers (both passed
+    * the same watermark check, so both trees carry identical data)
+    * and the documented contract for unfenced builds; on object
+    * stores implement the flip as an if-none-match conditional
+    * PUT. */
+  private def tryFlip(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      seq: Long,
+      versionName: String): Boolean = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/_ptr.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(versionName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/ptr-$seq")
+    if (fs.exists(dst)) { fs.delete(tmp, false); return false }
+    val ok = fs.rename(tmp, dst)
+    if (!ok) fs.delete(tmp, false)
+    ok
+  }
+
+  /** After a successful flip from `prev`: drop the superseded tree
+    * and stale pointers, and sweep crash orphans (un-pointered
+    * v-trees and _ptr tmp files untouched for an hour — the append
+    * staging sweep discipline). A reader holding the superseded
+    * pointer name relists on the FileNotFound and lands on the new
+    * one. */
+  private def gcAfterFlip(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      newSeq: Long,
+      newVersion: String,
+      prev: (Long, Option[String])): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    prev._2 match {
+      case Some(v) if v != newVersion =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$v"), true)
+      case Some(_) => ()
+      case None =>
+        // legacy flat layout superseded: its table children are dead
+        fs.listStatus(d).foreach { st =>
+          val n = st.getPath.getName
+          val keep = n.startsWith("v-") || PointerName.matches(n)
+          if (!keep) fs.delete(st.getPath, true)
+        }
+    }
+    val cutoff = System.currentTimeMillis() - 3600L * 1000L
+    fs.listStatus(d).foreach { st =>
+      val n = st.getPath.getName
+      n match {
+        case PointerName(s) if s.toLong < newSeq => fs.delete(st.getPath, false)
+        case _ if n.startsWith("_ptr.tmp-") &&
+          st.getModificationTime < cutoff => fs.delete(st.getPath, false)
+        case _ if n.startsWith("v-") && n != newVersion &&
+          newestMtime(fs, st.getPath) < cutoff => fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Publish the complete tree at `versionPath` as the store's live
+    * tree. Unfenced form — for BUILDS, whose contract is "replace
+    * whatever is there": a lost pointer race retries at the next seq
+    * (bounded). The previous tree stays readable until the instant
+    * the pointer flips. */
+  def publishVersion(
+      spark: SparkSession, dir: String, versionPath: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val vp = new org.apache.hadoop.fs.Path(versionPath)
+    require(versionPath.startsWith(dir.stripSuffix("/") + "/"),
+      s"Segments: version path $versionPath must live under $dir")
+    require(fs.exists(vp), s"Segments: no tree at $versionPath to publish")
+    val versionName = vp.getName
+    var attempts = 0
+    while (attempts < 8) {
+      val prev = pointer(fs, dir)
+      val next = prev._1 + 1
+      if (tryFlip(fs, dir, next, versionName)) {
+        gcAfterFlip(fs, dir, next, versionName, prev)
+        return
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"Segments: could not publish $versionPath into $dir after 8 " +
+        "pointer attempts — live table unchanged")
+  }
+
+  /** [[publishVersion]] fenced against concurrent writers: refuses
+    * (typed error, built tree preserved at `versionPath`, live table
+    * untouched) unless the store is EXACTLY as the compaction's
+    * [[segmentWatermark]] snapshot left it — same pointer seq, same
+    * segment id set per child table. Divergence in either direction
+    * means the staged tree was built from a stale snapshot: a
+    * segment published since (a streamed micro-batch, or a tombstone
+    * set — a lost GDPR delete) would silently vanish with the flip;
+    * a segment REMOVED since (a raced full-tree publish) means the
+    * snapshot itself no longer describes the live store
+    * (compaction-vs-compaction). The pointer create IS the
+    * compare-and-swap, so even two fenced publishers passing the
+    * check concurrently cannot both land — the loser's flip hits the
+    * occupied `ptr-<seq+1>` name and refuses typed. Recovery is
+    * always: nothing lost, re-run against the grown table. */
+  def publishVersionFenced(
+      spark: SparkSession, dir: String, versionPath: String,
+      watermark: StoreWatermark): Unit = {
+    val fs = fsFor(spark, dir)
     val now = segmentWatermark(spark, dir)
-    val grown = now
-      .map { case (t, segs) => t -> (segs -- watermark.getOrElse(t, Set.empty)) }
-      .filter { case (_, fresh) => fresh.nonEmpty }
-    if (grown.nonEmpty)
+    def refuse(why: String): Nothing =
       throw new ConcurrentStoreWriteException(
-        s"Segments: refusing to swap compacted tree into $dir — segments " +
-          s"published since the compaction read: ${
-            grown.toSeq.sortBy(_._1).map { case (t, fresh) =>
-              s"$t seg=${fresh.toSeq.sorted.mkString(",")}"
-            }.mkString("; ")} . Live table unchanged, staging preserved at " +
-          s"$staging; re-run the compaction against the grown table.")
-    swapIn(spark, staging, dir)
+        s"Segments: refusing to publish compacted tree into $dir — $why. " +
+          s"Live table unchanged, built tree preserved at $versionPath; " +
+          "re-run the compaction against the grown table.")
+    if (now.ptrSeq != watermark.ptrSeq || now.version != watermark.version)
+      refuse(s"the live tree was republished since the compaction read " +
+        s"(pointer ${watermark.ptrSeq} -> ${now.ptrSeq})")
+    if (now.segs != watermark.segs) {
+      val diffs = (now.segs.keySet ++ watermark.segs.keySet).toSeq.sorted
+        .flatMap { t =>
+          val a = watermark.segs.getOrElse(t, Set.empty)
+          val b = now.segs.getOrElse(t, Set.empty)
+          val fresh = (b -- a).toSeq.sorted.map(n => s"+seg=$n")
+          val gone = (a -- b).toSeq.sorted.map(n => s"-seg=$n")
+          if (fresh.isEmpty && gone.isEmpty) None
+          else Some(s"$t ${(fresh ++ gone).mkString(",")}")
+        }
+      refuse(s"segments changed since the compaction read: ${diffs.mkString("; ")}")
+    }
+    val versionName = new org.apache.hadoop.fs.Path(versionPath).getName
+    val next = watermark.ptrSeq + 1
+    if (!tryFlip(fs, dir, next, versionName))
+      refuse(s"a concurrent publisher won the pointer compare-and-swap at " +
+        s"ptr-$next")
+    gcAfterFlip(fs, dir, next, versionName,
+      (watermark.ptrSeq, watermark.version))
   }
-
-  /** Delete `<dir>.staging` ahead of a fresh staged build. */
-  def clearStaging(spark: SparkSession, dir: String): Unit =
-    fsFor(spark, dir).delete(
-      new org.apache.hadoop.fs.Path(dir + ".staging"), true)
 }

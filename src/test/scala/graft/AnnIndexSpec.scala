@@ -41,7 +41,18 @@ class FaultyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     }
     if (FaultyRenameFs.failSrcName.contains(src.getName) ||
         FaultyRenameFs.failDstName.contains(dst.getName)) false
-    else super.rename(src, dst)
+    else {
+      // object-store-honesty recording: every rename that reaches the
+      // real fs is logged so a spec can prove a publish path never
+      // moves a directory outside write internals
+      FaultyRenameFs.record.foreach(_.append((src.toString, dst.toString)))
+      // HDFS semantics emulation: rename onto an EXISTING plain file
+      // refuses (RawLocal/POSIX would overwrite) — the semantics the
+      // pointer compare-and-swap relies on
+      if (FaultyRenameFs.hdfsNoOverwrite && exists(dst) &&
+        getFileStatus(dst).isFile) false
+      else super.rename(src, dst)
+    }
   }
   override def delete(
       p: org.apache.hadoop.fs.Path, recursive: Boolean): Boolean = {
@@ -61,12 +72,15 @@ object FaultyRenameFs {
   @volatile var hookDeleteName: Option[String] = None
   @volatile var nestRenameDstName: Option[String] = None
   @volatile var hook: () => Unit = () => ()
+  @volatile var record: Option[scala.collection.mutable.Buffer[(String, String)]] = None
+  @volatile var hdfsNoOverwrite: Boolean = false
   val hookOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
   val nestOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
   def reset(): Unit = {
     failSrcName = None; failDstName = None
     hookRenameDstName = None; hookDeleteName = None
     nestRenameDstName = None
+    record = None; hdfsNoOverwrite = false
     hook = () => (); hookOnce.set(false); nestOnce.set(false)
   }
 }
@@ -83,6 +97,21 @@ class AnnIndexSpec extends SparkSpec {
   private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
+  /** The store's LIVE tree (through the pointer), as a local path —
+    * layout assertions probe inside the resolved version dir. */
+  private def rootOf(dir: String): String =
+    graft.sources.Segments.resolve(spark, dir).stripPrefix("faulty://")
+  /** Store-dir hygiene: after a successful full-tree publish the dir
+    * holds exactly one pointer and one live version tree (crash
+    * orphans are swept on the hour cutoff, never eagerly). */
+  private def assertCleanStore(dir: String): Unit = {
+    val names = new java.io.File(dir.stripPrefix("faulty://"))
+      .listFiles().map(_.getName).toSet
+    assert(names.count(_.startsWith("ptr-")) == 1,
+      s"expected exactly one pointer file, got $names")
+    assert(!names.exists(_.startsWith("_ptr.tmp")),
+      s"pointer tmp files must not linger: $names")
+  }
   private def r3(df: DataFrame): Set[(Long, Long, Double)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
@@ -90,9 +119,7 @@ class AnnIndexSpec extends SparkSpec {
     val corpus = emb.filter(col("vec_id") >= 6)
     val queries = emb.filter(col("vec_id").between(1, 5))
 
-    val sample = corpus.orderBy(col("vec_id").asc).limit(256)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sample = Similarity.hashOrderedSample(corpus, "vec_id", "embedding", 256)
     val cents = Similarity.refineCentroids(sample, 8, 2)
     val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8)
     val inline = r3(Similarity.ivfPqTopKBatch(queries, corpus,
@@ -108,8 +135,9 @@ class AnnIndexSpec extends SparkSpec {
     assert(viaIndex == inline) // scores included — bit-exact
     assert(loaded.coded.columns.toSet == Set("id", "cell", "code"),
       "coded table must be vector-free")
-    assert(!new java.io.File(dir + ".staging").exists,
-      "staging directory must be swapped away")
+    assert(rootOf(dir) != dir,
+      "a build must publish through the pointer (versioned tree)")
+    assertCleanStore(dir)
     assert(loaded.centroids.length == 8 && loaded.codebooks.length == 8)
   }
 
@@ -117,13 +145,15 @@ class AnnIndexSpec extends SparkSpec {
     val corpus = emb.filter(col("vec_id") >= 6)
     val dir = tmp("graft_annidx2")
     AnnIndex.buildAndWrite(spark, dir, corpus, "vec_id", "embedding", nlist = 4, m = 8)
+    val firstRoot = rootOf(dir)
     val second = AnnIndex.buildAndWrite(spark, dir, corpus, "vec_id", "embedding",
       nlist = 8, m = 8)
     assert(second.centroids.length == 8)
     assert(AnnIndex.read(spark, dir).centroids.length == 8)
-    assert(!new java.io.File(dir + ".old").exists,
-      "aside copy must be cleaned up after a successful swap")
-    assert(!new java.io.File(dir + ".staging").exists)
+    assert(rootOf(dir) != firstRoot, "rebuild must publish a NEW tree")
+    assert(!new java.io.File(firstRoot).exists,
+      "the superseded tree must be GC'd after the pointer flip")
+    assertCleanStore(dir)
   }
 
   // ------------------------------------------------- incremental append
@@ -151,7 +181,7 @@ class AnnIndexSpec extends SparkSpec {
     assert(viaAppend == viaRebuild) // closure: O(batch) append ≡ full rebuild
     assert(appended.assigned.columns.toSet == Set("id", "cell", "vec"),
       "seg partition column must be projected away")
-    assert(new java.io.File(dirA + "/assigned/seg=1").isDirectory,
+    assert(new java.io.File(rootOf(dirA) + "/assigned/seg=1").isDirectory,
       "batch must land as its own segment")
     assert(appended.assigned.count() == all.count())
   }
@@ -176,7 +206,7 @@ class AnnIndexSpec extends SparkSpec {
       nprobe = 2))
 
     assert(viaAppend == inline)
-    assert(new java.io.File(dir + "/coded/seg=1").isDirectory)
+    assert(new java.io.File(rootOf(dir) + "/coded/seg=1").isDirectory)
   }
 
   test("append publishes atomically and sweeps a crashed append staging") {
@@ -190,7 +220,7 @@ class AnnIndexSpec extends SparkSpec {
 
     // a crashed earlier append left its staging behind: readers must
     // ignore it (underscore prefix), the next append must sweep it
-    val junk = new java.io.File(dir + "/assigned/_append.staging")
+    val junk = new java.io.File(rootOf(dir) + "/assigned/_append.staging")
     assert(junk.mkdirs())
     java.nio.file.Files.write(junk.toPath.resolve("garbage.txt"), Array[Byte](1, 2, 3))
     assert(AnnIndex.readIvf(spark, dir).assigned.count() == baseCount,
@@ -198,7 +228,7 @@ class AnnIndexSpec extends SparkSpec {
 
     AnnIndex.appendToIvf(spark, dir, batch, "vec_id", "embedding")
     assert(!junk.exists, "stale append staging must be swept")
-    assert(new java.io.File(dir + "/assigned/seg=1").isDirectory)
+    assert(new java.io.File(rootOf(dir) + "/assigned/seg=1").isDirectory)
   }
 
   test("driftAudit with a missing baseline (seg 0 fully tombstoned) " +
@@ -245,8 +275,11 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.appendToIvf(spark, dir, b1, "vec_id", "embedding")
       val expected = base.count() + b1.count() + b2.count()
       // a daily-batch append lands between the compaction's snapshot
-      // read and its swap — the unfenced swap would erase that batch
-      FaultyRenameFs.hookDeleteName = Some("idx.staging")
+      // read and its publish — interposed at the compaction's FIRST
+      // staging-table commit (the _temporary cleanup of the centroids
+      // write, after the watermark+read, before the fence check); an
+      // unfenced publish would erase that batch
+      FaultyRenameFs.hookDeleteName = Some("_temporary")
       FaultyRenameFs.hook = () => {
         AnnIndex.appendToIvf(spark, dir, b2, "vec_id", "embedding"); ()
       }
@@ -254,14 +287,14 @@ class AnnIndexSpec extends SparkSpec {
         AnnIndex.compactIvf(spark, dir)
       }
       FaultyRenameFs.reset()
-      assert(e.getMessage.contains("segments published since"))
+      assert(e.getMessage.contains("segments changed since"))
       assert(AnnIndex.readIvf(spark, dir).assigned.count() == expected,
         "the raced append must still be live after the refusal")
       val again = AnnIndex.compactIvf(spark, dir)
       assert(again.assigned.count() == expected,
         "the re-run compaction must fold the raced segment in")
-      assert(new java.io.File(s"$local/idx/assigned/seg=0").isDirectory)
-      assert(!new java.io.File(s"$local/idx/assigned/seg=2").exists)
+      assert(new java.io.File(rootOf(dir) + "/assigned/seg=0").isDirectory)
+      assert(!new java.io.File(rootOf(dir) + "/assigned/seg=2").exists)
     } finally FaultyRenameFs.reset()
   }
 
@@ -279,10 +312,10 @@ class AnnIndexSpec extends SparkSpec {
     val before = r3(AnnIndex.queryBatchIvf(
       appended, queries, "vec_id", "embedding", k = 5, nprobe = 2))
     val nBefore = appended.assigned.count() // pre-swap handle dies with the swap
-    assert(new java.io.File(dir + "/assigned/seg=2").isDirectory)
+    assert(new java.io.File(rootOf(dir) + "/assigned/seg=2").isDirectory)
 
     val compacted = AnnIndex.compactIvf(spark, dir)
-    val segs = new java.io.File(dir + "/assigned").listFiles()
+    val segs = new java.io.File(rootOf(dir) + "/assigned").listFiles()
       .filter(_.getName.startsWith("seg=")).map(_.getName).toSet
     assert(segs == Set("seg=0"), s"expected one segment, got $segs")
     assert(r3(AnnIndex.queryBatchIvf(
@@ -299,12 +332,13 @@ class AnnIndexSpec extends SparkSpec {
     val compactedPq = AnnIndex.compact(spark, dirPq)
     assert(r3(AnnIndex.queryBatch(
       compactedPq, queries, "vec_id", "embedding", k = 5, nprobe = 2)) == beforePq)
-    assert(!new java.io.File(dirPq + "/coded/seg=1").exists)
+    assert(!new java.io.File(rootOf(dirPq) + "/coded/seg=1").exists)
   }
 
   // ----------------------------------------------------- crash posture
 
-  test("a failing rename at either swap step never loses the live index") {
+  test("a failing pointer flip never loses the live index — the only " +
+    "mutating step of a publish is one small-file rename") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.faulty.impl", classOf[FaultyRenameFs].getName)
     val base = emb.filter(col("vec_id") >= 6)
@@ -315,42 +349,36 @@ class AnnIndexSpec extends SparkSpec {
     val dir = s"faulty://$local/idx"
     try {
       AnnIndex.buildAndWriteIvf(spark, dir, base, "vec_id", "embedding", cents)
+      val firstRoot = rootOf(dir)
       val good = r3(AnnIndex.queryBatchIvf(AnnIndex.readIvf(spark, dir),
         queries, "vec_id", "embedding", k = 5, nprobe = 2))
 
-      // crash window 1: the aside move (target -> <dir>.old) fails.
-      // The live index must be untouched and still answer.
-      FaultyRenameFs.failDstName = Some("idx.old")
-      val e1 = intercept[IllegalArgumentException] {
+      // crash window: the rebuild's complete new tree is on disk but
+      // the pointer flip (the ONLY mutating step) fails. The live
+      // index must be untouched — and still answer — at every moment.
+      FaultyRenameFs.failDstName = Some("ptr-2")
+      val e1 = intercept[IllegalStateException] {
         AnnIndex.buildAndWriteIvf(spark, dir, base, "vec_id", "embedding", cents)
       }
       FaultyRenameFs.reset()
-      assert(e1.getMessage.contains("could not move previous index aside"))
+      assert(e1.getMessage.contains("live table unchanged"))
+      assert(rootOf(dir) == firstRoot,
+        "a failed flip must leave the pointer on the previous tree")
       assert(r3(AnnIndex.queryBatchIvf(AnnIndex.readIvf(spark, dir),
         queries, "vec_id", "embedding", k = 5, nprobe = 2)) == good,
-        "live index must survive a failed aside move")
+        "live index must survive a failed pointer flip")
 
-      // crash window 2: the staging swap (staging -> target) fails
-      // AFTER the old index moved aside. The complete previous index
-      // must be readable at <dir>.old — never zero copies.
-      FaultyRenameFs.failSrcName = Some("idx.staging")
-      val e2 = intercept[IllegalArgumentException] {
-        AnnIndex.buildAndWriteIvf(spark, dir, base, "vec_id", "embedding", cents)
-      }
-      FaultyRenameFs.reset()
-      assert(e2.getMessage.contains(s"previous index preserved at $dir.old"))
-      assert(r3(AnnIndex.queryBatchIvf(AnnIndex.readIvf(spark, dir + ".old"),
-        queries, "vec_id", "embedding", k = 5, nprobe = 2)) == good,
-        "the aside copy must be a complete readable index")
-
-      // recovery: a plain rebuild over the same dir heals the
-      // half-swapped state and sweeps the aside + staging copies
+      // recovery: a plain rebuild over the same dir publishes a fresh
+      // tree and GCs the superseded one; the failed attempt's orphan
+      // tree is invisible to readers (the pointer never named it) and
+      // sweeps on the staleness cutoff, not eagerly
       val healed = AnnIndex.buildAndWriteIvf(
         spark, dir, base, "vec_id", "embedding", cents)
       assert(r3(AnnIndex.queryBatchIvf(healed,
         queries, "vec_id", "embedding", k = 5, nprobe = 2)) == good)
-      assert(!new java.io.File(s"$local/idx.old").exists)
-      assert(!new java.io.File(s"$local/idx.staging").exists)
+      assert(rootOf(dir) != firstRoot)
+      assert(!new java.io.File(firstRoot.stripPrefix("faulty://")).exists,
+        "the superseded tree must be GC'd after the flip")
     } finally FaultyRenameFs.reset()
   }
 
@@ -382,7 +410,7 @@ class AnnIndexSpec extends SparkSpec {
     assert(viaAppend == inline)
     assert(appended.bucketed.columns.toSet == Set("id", "bucket", "vec"),
       "seg partition column must be projected away")
-    assert(new java.io.File(dirB + "/bucketed/seg=1").isDirectory,
+    assert(new java.io.File(rootOf(dirB) + "/bucketed/seg=1").isDirectory,
       "batch must land as its own segment")
     assert(appended.bucketed.count() == all.count())
   }
@@ -400,7 +428,7 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.buildAndWriteIvf(spark, dirA, base, "vec_id", "embedding", cents)
     AnnIndex.deleteIds(spark, dirA, deadIds.select("vec_id"), "vec_id")
     // tombstone lands as its own atomic segment; corpus table untouched
-    assert(new java.io.File(dirA + "/tombstones/seg=0").isDirectory)
+    assert(new java.io.File(rootOf(dirA) + "/tombstones/seg=0").isDirectory)
     val afterDel = AnnIndex.readIvf(spark, dirA)
     val dead = deadIds.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(dead.nonEmpty)
@@ -428,7 +456,7 @@ class AnnIndexSpec extends SparkSpec {
     // tombstone table (the staging tree never carries it), so a
     // previously-deleted id can be re-ingested afterwards
     val compacted = AnnIndex.compactIvf(spark, dirA)
-    assert(!new java.io.File(dirA + "/tombstones").exists,
+    assert(!new java.io.File(rootOf(dirA) + "/tombstones").exists,
       "compaction must GC the tombstone table")
     assert(compacted.assigned.count() ==
       base.count() + batch.count() - dead.size - deadBatch.size)
@@ -450,7 +478,7 @@ class AnnIndexSpec extends SparkSpec {
     val dirA = tmp("graft_annidx_lshdel")
     AnnIndex.buildAndWriteLsh(spark, dirA, base, "vec_id", "embedding", numPlanes = 8)
     AnnIndex.deleteIds(spark, dirA, deadIds.select("vec_id"), "vec_id")
-    assert(new java.io.File(dirA + "/tombstones/seg=0").isDirectory)
+    assert(new java.io.File(rootOf(dirA) + "/tombstones/seg=0").isDirectory)
     val afterDel = AnnIndex.readLsh(spark, dirA)
     assert(afterDel.bucketed.filter(col("id").isInCollection(dead)).count() == 0)
 
@@ -479,10 +507,10 @@ class AnnIndexSpec extends SparkSpec {
     // compactLsh: staging carries plane column order + bucketed seg
     // layout; tombstoned rows physically dropped, tombstone table GC'd
     val compacted = AnnIndex.compactLsh(spark, dirA)
-    assert(!new java.io.File(dirA + "/tombstones").exists,
+    assert(!new java.io.File(rootOf(dirA) + "/tombstones").exists,
       "compactLsh must GC the tombstone table")
-    assert(new java.io.File(dirA + "/bucketed/seg=0").isDirectory)
-    assert(!new java.io.File(dirA + "/bucketed/seg=1").exists,
+    assert(new java.io.File(rootOf(dirA) + "/bucketed/seg=0").isDirectory)
+    assert(!new java.io.File(rootOf(dirA) + "/bucketed/seg=1").exists,
       "compaction must fold segments into one")
     assert(compacted.planes.length == 8)
     assert(compacted.bucketed.count() ==
@@ -507,7 +535,7 @@ class AnnIndexSpec extends SparkSpec {
     // publishing rename never ran) — Spark readers skip underscore
     // paths, so a bare fs.exists gate would throw 'Unable to infer
     // schema' on every subsequent read of the index
-    val stg = new java.io.File(dir + "/tombstones/_append.staging")
+    val stg = new java.io.File(rootOf(dir) + "/tombstones/_append.staging")
     assert(stg.mkdirs())
     java.nio.file.Files.write(
       stg.toPath.resolve("part-00000.parquet"), Array[Byte]())
@@ -521,7 +549,7 @@ class AnnIndexSpec extends SparkSpec {
     // and the next deleteIds sweeps the stale staging and publishes
     AnnIndex.deleteIds(spark, dir,
       base.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
-    assert(new java.io.File(dir + "/tombstones/seg=0").isDirectory)
+    assert(new java.io.File(rootOf(dir) + "/tombstones/seg=0").isDirectory)
     assert(AnnIndex.readIvf(spark, dir).assigned
       .filter(col("id") % 7 === 0).count() == 0)
   }
@@ -576,10 +604,111 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     assert(after == Map(0L -> false),
       "retrain must re-establish a clean single-segment baseline")
-    assert(!new java.io.File(dir + "/tombstones").exists ||
-      !new java.io.File(dir + "/tombstones").listFiles
+    assert(!new java.io.File(rootOf(dir) + "/tombstones").exists ||
+      !new java.io.File(rootOf(dir) + "/tombstones").listFiles
         .exists(_.getName.startsWith("seg=")),
       "retrain must GC the tombstone table like compaction does")
+  }
+
+  test("retrainLsh ≡ fresh LSH build on the retained corpus under the " +
+    "new planes; post-retrain driftAuditLsh baseline re-establishes") {
+    val corpus = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val dir = tmp("graft_annidx_retrain_lsh")
+    AnnIndex.buildAndWriteLsh(spark, dir,
+      corpus.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      numPlanes = 8)
+    AnnIndex.appendToLsh(spark, dir,
+      corpus.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    AnnIndex.deleteIds(spark, dir,
+      corpus.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+    // retrain under NEW geometry (a reseeded plane set — the drifted-
+    // embedder migration shape)
+    val retrained = AnnIndex.retrainLsh(spark, dir, numPlanes = 8, seed = 43L)
+    val viaRetrain = r3(AnnIndex.queryBatchLsh(
+      retrained, queries, "vec_id", "embedding", k = 5, probeHamming = 2))
+
+    val survivors = corpus.filter(col("vec_id") % 7 =!= 0)
+    val dirB = tmp("graft_annidx_retrain_lsh_fresh")
+    val fresh = AnnIndex.buildAndWriteLsh(
+      spark, dirB, survivors, "vec_id", "embedding", numPlanes = 8, seed = 43L)
+    val viaFresh = r3(AnnIndex.queryBatchLsh(
+      fresh, queries, "vec_id", "embedding", k = 5, probeHamming = 2))
+    assert(viaRetrain == viaFresh)
+    assert(retrained.bucketed.count() == survivors.count())
+    assert(retrained.bucketed.filter(col("id") % 7 === 0).count() == 0,
+      "a tombstoned id must not re-enter through retrain")
+    // remediation pin: one seg 0, exact-zero divergence, flag off —
+    // and the tombstone table GC'd by the swap
+    val audit = AnnIndex.driftAuditLsh(spark, dir).collect()
+    assert(audit.map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      .toSeq == Seq((0L, 0L, false)))
+    assert(!new java.io.File(rootOf(dir) + "/tombstones").exists,
+      "retrainLsh must GC the tombstone table like compaction does")
+  }
+
+  test("driftAuditLsh: identical-distribution append reads exact zero, " +
+    "a degenerate-featurizer append flags, and a missing baseline " +
+    "fails conservative") {
+    val corpus = emb.filter(col("vec_id") >= 6)
+    val dir = tmp("graft_annidx_lsh_drift")
+    AnnIndex.buildAndWriteLsh(spark, dir, corpus, "vec_id", "embedding",
+      numPlanes = 8)
+    AnnIndex.appendToLsh(spark, dir,
+      corpus.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    val onehot = transform(sequence(lit(0), lit(63)),
+      d => when(d === pmod(col("vec_id"), lit(64)).cast("int"), lit(1.0f))
+        .otherwise(lit(0.0f)))
+    AnnIndex.appendToLsh(spark, dir,
+      corpus.select((col("vec_id") + 2000000L).as("vec_id"),
+        onehot.as("embedding")),
+      "vec_id", "embedding")
+    val audit = AnnIndex.driftAuditLsh(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(audit(0L) == ((0L, false)), "the baseline reads exact zero")
+    assert(audit(1L) == ((0L, false)),
+      "an identically-distributed append must read exact-zero L1")
+    assert(audit(2L)._1 > 500000L && audit(2L)._2,
+      s"the degenerate batch must flag: ${audit(2L)}")
+    // missing baseline: tombstone the whole build segment — every
+    // surviving segment degrades to the all-zero base (~1e6 ppm) and
+    // flags conservatively
+    AnnIndex.deleteIds(spark, dir, corpus.select("vec_id"), "vec_id")
+    val after = AnnIndex.driftAuditLsh(spark, dir).collect()
+    assert(after.map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(after.forall(_.getBoolean(3)),
+      "a missing baseline must fire the flag on every segment")
+  }
+
+  test("hash-cut training sample is unbiased: on a label-clustered " +
+    "id order (the oldest-crawl-slice pathology) recall is unchanged " +
+    "or improved vs the old id-prefix sample") {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.filter(col("vec_id") >= 6)
+    // adversarial id order: contiguous ids assigned in label order, so
+    // an id-prefix sample sees essentially ONE label's cluster — the
+    // corpus-scale pathology where the lowest ids are the oldest crawl
+    // slice and the sample under-represents the live distribution
+    val sorted = e.select(
+      (row_number().over(Window.orderBy(col("label"), col("vec_id"))) + 5L)
+        .cast("long").as("vec_id"),
+      col("embedding"))
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    def meanRecall(cents: Array[Array[Double]]): Double =
+      Similarity.recallAudit(queries, sorted, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, cents, nprobe = 2)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    // the OLD cut: first 64 rows by id — one cluster's worth
+    val prefixSample = sorted.orderBy(col("vec_id").asc).limit(64)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val viaPrefix = meanRecall(Similarity.refineCentroids(prefixSample, 8, 2))
+    // the hash cut spans the id range regardless of the sort
+    val viaHash = meanRecall(Similarity.refineCentroids(
+      Similarity.hashOrderedSample(sorted, "vec_id", "embedding", 64), 8, 2))
+    assert(viaHash >= viaPrefix,
+      s"hash-cut recall $viaHash must not regress vs id-prefix $viaPrefix")
   }
 
   test("retrainPq ≡ fresh IVF-PQ build on the retained corpus") {

@@ -24,6 +24,9 @@ class DedupIndexStoreSpec extends SparkSpec {
     java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
   private def rows(df: DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
+  /** The store's LIVE tree (through the pointer), as a local path. */
+  private def rootOf(dir: String): String =
+    graft.sources.Segments.resolve(spark, dir).stripPrefix("faulty://")
 
   test("minhash store: append ≡ one-shot build, params are frozen " +
     "on disk, probes answer through the persisted index") {
@@ -35,7 +38,7 @@ class DedupIndexStoreSpec extends SparkSpec {
       shingleN = 3, numHashes = 64, bands = 16)
     val appended = DedupIndexStore.appendMinhash(spark, dir, seg1, "doc_id", "text")
     assert(DedupIndexStore.minhashParams(spark, dir) == ((3, 64, 16)))
-    assert(new java.io.File(dir + "/bands/seg=1").isDirectory)
+    assert(new java.io.File(rootOf(dir) + "/bands/seg=1").isDirectory)
     assert(rows(appended) ==
       rows(Dedup.corpusIndex(corpus, "doc_id", "text", 3, 64, 16)))
 
@@ -59,7 +62,7 @@ class DedupIndexStoreSpec extends SparkSpec {
     val dir = tmp("graft_mhidx_del")
     DedupIndexStore.buildMinhash(spark, dir, seg0, "doc_id", "text")
     DedupIndexStore.deleteIds(spark, dir, deadIds, "doc_id")
-    assert(new java.io.File(dir + "/tombstones/seg=0").isDirectory)
+    assert(new java.io.File(rootOf(dir) + "/tombstones/seg=0").isDirectory)
     // (2) the delete suppresses across a segment appended AFTERWARD —
     // seg1 contains more %7==3 ids; delete those too, then check both
     DedupIndexStore.appendMinhash(spark, dir, seg1, "doc_id", "text")
@@ -82,8 +85,8 @@ class DedupIndexStoreSpec extends SparkSpec {
     // (materialize first: handles die with the compaction swap)
     val preCompact = rows(loaded)
     val compacted = DedupIndexStore.compactMinhash(spark, dir)
-    assert(!new java.io.File(dir + "/tombstones").exists)
-    assert(!new java.io.File(dir + "/bands/seg=1").exists)
+    assert(!new java.io.File(rootOf(dir) + "/tombstones").exists)
+    assert(!new java.io.File(rootOf(dir) + "/bands/seg=1").exists)
     assert(DedupIndexStore.minhashParams(spark, dir) == ((3, 64, 16)),
       "compaction must preserve the frozen params")
     assert(rows(compacted) == preCompact)
@@ -128,7 +131,7 @@ class DedupIndexStoreSpec extends SparkSpec {
     // first — handles die with the swap)
     val preCompact = rows(loaded)
     val compacted = DedupIndexStore.compactLines(spark, dir)
-    assert(!new java.io.File(dir + "/tombstones").exists)
+    assert(!new java.io.File(rootOf(dir) + "/tombstones").exists)
     assert(rows(compacted) == preCompact)
     val reAdded = DedupIndexStore.appendLines(spark, dir,
       corpus.filter(col("doc_id") === dead.min), "doc_id", "text")
@@ -182,29 +185,23 @@ class DedupIndexStoreSpec extends SparkSpec {
       index = Some(DedupIndexStore.readMinhash(spark, dir))))
     try {
       DedupIndexStore.buildMinhash(spark, dir, corpus, "doc_id", "text")
+      val firstRoot = rootOf(dir)
       val good = probe()
 
-      // crash window 1: the aside move fails — live store untouched
-      FaultyRenameFs.failDstName = Some("idx.old")
-      val e1 = intercept[IllegalArgumentException] {
+      // crash window 1: the rebuild's complete new tree is on disk
+      // but the pointer flip (the ONLY mutating step of a publish)
+      // fails — live store untouched and still answering
+      FaultyRenameFs.failDstName = Some("ptr-2")
+      val e1 = intercept[IllegalStateException] {
         DedupIndexStore.buildMinhash(spark, dir, corpus, "doc_id", "text")
       }
       FaultyRenameFs.reset()
-      assert(e1.getMessage.contains("could not move previous index aside"))
-      assert(probe() == good, "live store must survive a failed aside move")
+      assert(e1.getMessage.contains("live table unchanged"))
+      assert(rootOf(dir) == firstRoot,
+        "a failed flip must leave the pointer on the previous tree")
+      assert(probe() == good, "live store must survive a failed pointer flip")
 
-      // crash window 2: the staging swap fails AFTER the old store
-      // moved aside — the complete previous store readable at .old
-      FaultyRenameFs.failSrcName = Some("idx.staging")
-      val e2 = intercept[IllegalArgumentException] {
-        DedupIndexStore.buildMinhash(spark, dir, corpus, "doc_id", "text")
-      }
-      FaultyRenameFs.reset()
-      assert(e2.getMessage.contains(s"previous index preserved at $dir.old"))
-      assert(rows(Dedup.dedupAgainst(batch, corpus, "doc_id", "text",
-        index = Some(DedupIndexStore.readMinhash(spark, dir + ".old")))) == good)
-
-      // heal, then crash window 3: the tombstone segment publish
+      // heal, then crash window 2: the tombstone segment publish
       // fails — the delete reports failure, reads behave as if no
       // delete happened (the unpublished staging is invisible), and
       // the NEXT delete sweeps the stale staging and lands
@@ -268,9 +265,10 @@ class DedupIndexStoreSpec extends SparkSpec {
       DedupIndexStore.buildMinhash(spark, dir, partA, "doc_id", "text")
       DedupIndexStore.appendMinhash(spark, dir, partB, "doc_id", "text")
       // interpose a streaming-style publish between the compaction's
-      // snapshot read and its swap: compactMinhash's clearStaging
-      // (the first action after the watermark + read) triggers it
-      FaultyRenameFs.hookDeleteName = Some("idx.staging")
+      // snapshot read and its publish: the first staging-table commit
+      // (the _temporary cleanup of the params write, after the
+      // watermark + read) triggers it
+      FaultyRenameFs.hookDeleteName = Some("_temporary")
       FaultyRenameFs.hook = () =>
         DedupIndexStore.appendMinhashAt(spark, dir, partC, "doc_id", "text",
           segId = graft.sources.Segments.StreamSegBase)
@@ -278,16 +276,16 @@ class DedupIndexStoreSpec extends SparkSpec {
         DedupIndexStore.compactMinhash(spark, dir)
       }
       FaultyRenameFs.reset()
-      assert(e.getMessage.contains("segments published since"))
+      assert(e.getMessage.contains("segments changed since"))
       // nothing lost: the raced micro-batch's rows are in the live
       // table, alongside both pre-compaction segments
       val all = rows(DedupIndexStore.readMinhash(spark, dir))
       assert(all == rows(Dedup.corpusIndex(docs, "doc_id", "text", 3, 64, 16)))
       // and the RE-RUN compaction folds everything, raced rows included
       DedupIndexStore.compactMinhash(spark, dir)
-      assert(new java.io.File(s"$local/idx/bands/seg=0").isDirectory)
-      assert(!new java.io.File(
-        s"$local/idx/bands/seg=${graft.sources.Segments.StreamSegBase}").exists)
+      assert(new java.io.File(rootOf(dir) + "/bands/seg=0").isDirectory)
+      assert(!new java.io.File(rootOf(dir) +
+        s"/bands/seg=${graft.sources.Segments.StreamSegBase}").exists)
       assert(rows(DedupIndexStore.readMinhash(spark, dir)) == all)
     } finally FaultyRenameFs.reset()
   }
@@ -305,10 +303,11 @@ class DedupIndexStoreSpec extends SparkSpec {
       DedupIndexStore.appendLines(spark, dir,
         lineDocs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
       // a GDPR delete lands between the compaction's read and swap —
-      // an unfenced swap would physically rewrite the corpus from the
-      // pre-delete snapshot AND clear the tombstone: a silent
-      // un-delete. The fence must refuse.
-      FaultyRenameFs.hookDeleteName = Some("idx.staging")
+      // an unfenced publish would physically rewrite the corpus from
+      // the pre-delete snapshot AND clear the tombstone: a silent
+      // un-delete. The fence must refuse. (Interposed at the first
+      // staging-table commit's _temporary cleanup.)
+      FaultyRenameFs.hookDeleteName = Some("_temporary")
       FaultyRenameFs.hook = () =>
         DedupIndexStore.deleteIds(spark, dir, dead, "doc_id")
       intercept[graft.sources.ConcurrentStoreWriteException] {
@@ -326,7 +325,7 @@ class DedupIndexStoreSpec extends SparkSpec {
       assert(rows(DedupIndexStore.readLines(spark, dir)) == wanted)
       // ...and survives the re-run compaction (physical drop + GC)
       DedupIndexStore.compactLines(spark, dir)
-      assert(!new java.io.File(s"$local/idx/tombstones").exists)
+      assert(!new java.io.File(rootOf(dir) + "/tombstones").exists)
       assert(rows(DedupIndexStore.readLines(spark, dir)) == wanted)
     } finally FaultyRenameFs.reset()
   }
@@ -351,8 +350,8 @@ class DedupIndexStoreSpec extends SparkSpec {
         DedupIndexStore.deleteIds(spark, dir, deadB, "doc_id")
       DedupIndexStore.deleteIds(spark, dir, deadA, "doc_id")
       FaultyRenameFs.reset()
-      assert(new java.io.File(s"$local/idx/tombstones/seg=0").isDirectory)
-      assert(new java.io.File(s"$local/idx/tombstones/seg=1").isDirectory)
+      assert(new java.io.File(rootOf(dir) + "/tombstones/seg=0").isDirectory)
+      assert(new java.io.File(rootOf(dir) + "/tombstones/seg=1").isDirectory)
       val live = DedupIndexStore.readMinhash(spark, dir)
       assert(live.filter(col("id") % 7 === 3).count() == 0,
         "delete A must be honored")

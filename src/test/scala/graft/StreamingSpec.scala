@@ -541,8 +541,8 @@ class StreamingSpec extends SparkSpec {
       writeBatch(lnSrc, b1); lq.processAllAvailable()
       writeBatch(lnSrc, b2); lq.processAllAvailable()
     } finally lq.stop()
-    assert(new java.io.File(
-      lnDir + s"/lines/seg=${StreamOps.StoreStreamSegBase}").isDirectory)
+    assert(new java.io.File(graft.sources.Segments.resolve(spark, lnDir) +
+      s"/lines/seg=${StreamOps.StoreStreamSegBase}").isDirectory)
     def lnRows = DedupIndexStore.readLines(spark, lnDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val whole = Dedup.lineIndex(
@@ -591,7 +591,8 @@ class StreamingSpec extends SparkSpec {
     DedupIndexStore.appendMinhash(spark, mhDir,
       spark.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(manual: _*)), schema),
       "doc_id", "text")
-    assert(new java.io.File(mhDir + "/bands/seg=1").isDirectory,
+    assert(new java.io.File(graft.sources.Segments.resolve(spark, mhDir) +
+      "/bands/seg=1").isDirectory,
       "manual append must land below the streamed range")
     assert(DedupIndexStore.appendMinhashAt(spark, mhDir,
       spark.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(manual: _*)), schema),
