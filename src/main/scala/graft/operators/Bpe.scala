@@ -253,6 +253,51 @@ object Bpe {
     * stays whole-stage-codegen'd. */
   val maxCodegenMerges: Int = 64
 
+  /** Total BPE token count of a text column under a learned merge
+    * table, as ONE projected Column: Σ over the column's lowercase
+    * `[a-z0-9]+` words of the word's subword count after the merges —
+    * exactly what summing [[segment]]'s `size(subwords)` per id
+    * computes, but without the explode/re-aggregate round trip, so a
+    * pipeline can cost rows inside an existing projection (the
+    * release pipeline's conversation costing). Rows with no matching
+    * word cost 0. Same dual-path dispatch as [[segment]]: a literal
+    * replace chain under whole-stage codegen below
+    * [[maxCodegenMerges]], the bit-identical closure loop above. */
+  def tokenCountCol(
+      textCol: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val words = filter(TextFunctions.tokens(lower(textCol)),
+      w => w.rlike("^[a-z0-9]+$"))
+    val perWord =
+      if (merges.size <= maxCodegenMerges)
+        transform(words, w => {
+          val init = regexp_replace(w, "(.)", "<$1>")
+          val seq = merges.foldLeft(init) { case (acc, (a, b)) =>
+            org.apache.spark.sql.functions.replace(
+              acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+          }
+          size(regexp_extract_all(seq, lit("<([^>]*)>"), lit(1))).cast("long")
+        })
+      else {
+        val table = merges.map { case (a, b) => (s"<$a><$b>", s"<$a$b>") }.toArray
+        val count = udf { ws: Seq[String] =>
+          ws.map { w =>
+            var s = w.replaceAll("(.)", "<$1>")
+            var i = 0
+            while (i < table.length) {
+              s = s.replace(table(i)._1, table(i)._2); i += 1
+            }
+            var n = 0L; var j = 0
+            while (j < s.length) { if (s.charAt(j) == '<') n += 1; j += 1 }
+            n
+          }
+        }
+        count(words)
+      }
+    coalesce(
+      aggregate(perWord, lit(0L), (acc, x) => acc + x.cast("long")), lit(0L))
+  }
+
   /** Segment each word of `textCol` with a learned merge table
     * (applied in merge_idx order — the inference half of BPE; the
     * merge list is tokenizer-scale and rides the projection as a

@@ -1,0 +1,135 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Release
+
+/** Internal control-flow signal: a staged run configured with
+  * `stopAfter` reached its stop point (the crash-simulation hook the
+  * resume spec drives). Never escapes [[ReleaseRun.run]]. */
+private[graft] final class ReleaseHalted extends RuntimeException
+
+/** The DURABLE, RESUMABLE form of the release pipeline
+  * ([[graft.operators.Release.pipeline]]): every stage boundary is a
+  * real parquet table under `<outDir>/stages/<name>`, published with
+  * one atomic rename, so
+  *
+  *   - a run that dies (executor loss, OOM, preemption) RESUMES from
+  *     its last completed stage: [[DurableStager]] skips the builder
+  *     thunk of any stage whose table already exists — including the
+  *     driver-side loops (BPE training, k-means, pointer-doubling
+  *     connected components) that run inside a thunk;
+  *   - a finished run RE-RUNS idempotently: every stage skips, only
+  *     the terminal digest verification re-executes (an integrity
+  *     re-check, not a recompute);
+  *   - the stage tables themselves are the queryable audit surface a
+  *     real 100 TB release keeps (what survived stage N, and why the
+  *     rest left — the ledger's provenance in durable form).
+  *
+  * Crash posture per stage: compute → write to
+  * `<outDir>/_staging/<name>-<uuid>` → ONE rename to
+  * `<outDir>/stages/<name>`. A crash mid-write leaves only staging
+  * (ignored and overwritten by the resume); presence of the final
+  * directory IS the completion marker — there is no separate marker
+  * file to race. The terminal artifact goes through the
+  * [[graft.sources.ParquetDirIO]] staged write plus the
+  * [[graft.operators.Reconcile.assertClean]] digest gate, exactly
+  * like the in-query form.
+  *
+  * The in-query twin (`q_pipeline_release`) and this runner execute
+  * the SAME [[Release.pipeline]] function, and the catalog gates both
+  * under the same DuckDB CTE-pyramid oracle (`q_pipeline_release` /
+  * `q_pipeline_release_run`) — the two forms are pinned equal.
+  */
+object ReleaseRun {
+
+  /** Stage-boundary materializer over parquet stage tables. */
+  final class DurableStager(
+      spark: SparkSession,
+      outDir: String,
+      stopAfter: Option[String] = None) extends Release.Stager {
+
+    /** Stage names whose builder thunk RAN this invocation (resumed
+      * stages never appear — the convergence spec's probe). */
+    val evaluated = scala.collection.mutable.ArrayBuffer.empty[String]
+    private var halted = false
+    /** True once the `stopAfter` stage materialized. */
+    def haltedNow: Boolean = halted
+
+    private def fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+
+    def apply(name: String)(df: => DataFrame): DataFrame = {
+      if (halted) throw new ReleaseHalted
+      val dir = new org.apache.hadoop.fs.Path(s"$outDir/stages/$name")
+      val f = fs
+      if (!f.exists(dir)) {
+        evaluated += name
+        val staging = new org.apache.hadoop.fs.Path(
+          s"$outDir/_staging/$name-${java.util.UUID.randomUUID()}")
+        df.write.mode("overwrite").parquet(staging.toString)
+        f.mkdirs(dir.getParent)
+        if (!f.rename(staging, dir)) {
+          // a concurrent runner over the same outDir won the publish —
+          // its table carries the same deterministic rows; sweep ours
+          require(f.exists(dir),
+            s"ReleaseRun: could not publish stage table $dir")
+          f.delete(staging, true)
+        }
+      }
+      if (stopAfter.contains(name)) halted = true
+      spark.read.parquet(dir.toString)
+    }
+  }
+
+  /** Execute (or resume) a durable release run. Returns the
+    * digest-verified artifact as a consumer reads it, or None when
+    * `stopAfter` halted the run mid-pipeline (the crash simulation).
+    *
+    * @param rawInput   (doc_id, source, raw) crawl rows
+    * @param embeddings (vec_id, embedding) side table
+    * @param outDir     the run directory: stage tables under
+    *                   `stages/`, the artifact under `release.parquet`
+    * @param stopAfter  halt after materializing the named stage —
+    *                   spec-only crash injection */
+  def run(
+      spark: SparkSession,
+      rawInput: DataFrame,
+      embeddings: DataFrame,
+      transcriptsOf: DataFrame => DataFrame,
+      merges: () => Seq[(String, String)],
+      outDir: String,
+      capacity: Int = 512,
+      numShards: Int = 4,
+      stopAfter: Option[String] = None): Option[DataFrame] =
+    runWithStager(spark, rawInput, embeddings, transcriptsOf, merges,
+      outDir, new DurableStager(spark, outDir, stopAfter),
+      capacity, numShards)
+
+  private[graft] def runWithStager(
+      spark: SparkSession,
+      rawInput: DataFrame,
+      embeddings: DataFrame,
+      transcriptsOf: DataFrame => DataFrame,
+      merges: () => Seq[(String, String)],
+      outDir: String,
+      st: DurableStager,
+      capacity: Int,
+      numShards: Int): Option[DataFrame] = {
+    val parts =
+      try Release.pipeline(spark, rawInput, embeddings, transcriptsOf,
+        merges, st, capacity, numShards)
+      catch { case _: ReleaseHalted => return None }
+    // stopAfter on the FINAL stage halts before the terminal write too
+    if (st.haltedNow) return None
+    // terminal: the digest-verified artifact, persisted once for the
+    // write + checksum + read-back triple (its inputs are stage-table
+    // scans, so the persist is parts-sized, never corpus lineage)
+    val out = parts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val io = new graft.sources.ParquetDirIO(spark, outDir, outDir)
+      io.writeTarget("release", out)
+      graft.operators.Reconcile.assertClean(io, Map("release" -> out))
+      Some(io.readTarget("release"))
+    } finally out.unpersist()
+  }
+}

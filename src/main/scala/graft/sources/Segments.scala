@@ -288,8 +288,17 @@ private[graft] object Segments {
   // rename/PUT. The create-at-a-fixed-name IS the compare-and-swap:
   // two racing publishers both target `ptr-<seq+1>`, exactly one
   // rename lands, and the loser sees the occupied name and refuses
-  // (typed) or retries — this closes even the ms-scale TOCTOU window
-  // the old directory-swap fence documented as residual. Readers
+  // (typed) or retries — this closes the ms-scale publish-vs-publish
+  // TOCTOU window the old directory-swap fence documented as residual
+  // (two fenced publishers can no longer both land). The remaining
+  // ACCEPTED race is append-vs-flip: an append that resolved the OLD
+  // tree and publishes its segment in the ms between the pointer flip
+  // and the superseded tree's GC delete lands in a doomed tree — but
+  // the GC delete makes the append die LOUDLY at its next step in
+  // almost every interleaving (its table listing or publish rename
+  // hits the deleted parent), the structural rewrite-duration race is
+  // what the watermark fence removes, and the appender's remedy is
+  // always re-run (re-resolve → the new tree). Readers
   // [[resolve]] through the highest-seq pointer; a stale pointer
   // listing that raced a publish+GC relists (bounded). Crash posture:
   // a crash before the flip leaves an orphan v-tree (swept stale,
