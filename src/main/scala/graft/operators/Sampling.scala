@@ -456,6 +456,21 @@ object Sampling {
     * [[applyEpochAllocation]] is computed in DECIMAL for exactly
     * this reason.
     *
+    * Token UNIT — why whitespace counts are acceptable HERE while the
+    * release pipeline's packing had to switch to real BPE counts
+    * ([[graft.operators.Bpe.tokenCountCol]]): an allocation consumes
+    * token RATIOS (weight/Σweight of the budget, drawn/available per
+    * source), and a tokenizer rescales numerator and denominator of
+    * every ratio by the corpus fertility — so ws-vs-BPE moves draw
+    * sizes only by the BETWEEN-SOURCE fertility variance, second-order
+    * for mixture math. Packing's contract is the ABSOLUTE count (a
+    * bin must fit a context window — q_pack_bins_bpe's measured 3.74×
+    * window error), which is why stage 6 of the release pipeline
+    * costs in BPE while this budget table stays in ws tokens. To run
+    * BPE-unit budgets anyway, swap the tokenCount aggregate for a
+    * [[graft.operators.Bpe.tokenCountCol]] sum — the ratios are
+    * unit-stable either way.
+    *
     * Scale posture: one source-keyed aggregate (map-side combined)
     * folds the corpus to source-cardinality rows; the Σweights scalar
     * attaches via an unpartitioned window over that TINY frame (never
