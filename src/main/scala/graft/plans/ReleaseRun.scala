@@ -105,6 +105,57 @@ object ReleaseRun {
       outDir, new DurableStager(spark, outDir, stopAfter),
       capacity, numShards)
 
+  /** A resumed run must be resuming THE SAME run: the stage tables
+    * freeze the original input, but the live side inputs (the
+    * embeddings joins, the tokenizer training) re-read the source on
+    * resume — resuming yesterday's run dir against today's corpus
+    * would silently mix the two and the terminal digest gate (which
+    * checks write-vs-read consistency, not freshness) would bless the
+    * mixture. So the first run records (n_input, sum_input, capacity,
+    * numShards) and every resume re-verifies it against the LIVE
+    * input before touching a stage — one 2-column aggregate scan, the
+    * price of refusing the worst silent failure a resumable pipeline
+    * has. Mismatch refuses typed: use a fresh run dir. */
+  private def verifyRunFingerprint(
+      spark: SparkSession,
+      rawInput: DataFrame,
+      outDir: String,
+      capacity: Int,
+      numShards: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, count, sum}
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/run_fingerprint")
+    val r = rawInput.agg(count(col("doc_id")).as("n"),
+      sum(col("doc_id")).as("s")).head()
+    val now = s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}" +
+      s":$capacity:$numShards"
+    if (!fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$outDir/_fingerprint.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(now.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, p)) { // a concurrent first run won — compare
+        fs.delete(tmp, false)
+        require(fs.exists(p), s"ReleaseRun: could not record fingerprint $p")
+      } else return
+    }
+    val in = fs.open(p)
+    val recorded =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim
+      } finally in.close()
+    require(recorded == now,
+      s"ReleaseRun: refusing to resume $outDir — the live input/config " +
+        s"fingerprint ($now) does not match the run's recorded one " +
+        s"($recorded). Resuming would silently mix the original run's " +
+        "frozen stage tables with a different corpus; use a fresh run " +
+        "directory (or --fresh=true).")
+  }
+
   private[graft] def runWithStager(
       spark: SparkSession,
       rawInput: DataFrame,
@@ -115,6 +166,7 @@ object ReleaseRun {
       st: DurableStager,
       capacity: Int,
       numShards: Int): Option[DataFrame] = {
+    verifyRunFingerprint(spark, rawInput, outDir, capacity, numShards)
     val parts =
       try Release.pipeline(spark, rawInput, embeddings, transcriptsOf,
         merges, st, capacity, numShards)

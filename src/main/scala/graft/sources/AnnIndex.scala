@@ -187,7 +187,7 @@ object AnnIndex {
       dir: String,
       ids: DataFrame,
       idCol: String): Unit =
-    Segments.deleteIds(spark, Segments.resolve(spark, dir), ids, idCol)
+    Segments.deleteIds(spark, dir, ids, idCol)
 
   /** Subtract the index's tombstone set (if any) from its corpus
     * table — [[Segments.minusTombstones]] over the RESOLVED live
@@ -688,6 +688,14 @@ object AnnIndex {
     * all-zero base distribution, so every segment reads
     * Σ ppm_s ≈ 1,000,000 and — since `maxL1Ppm` must sit below
     * 1,000,000 — the flag fires conservatively with no special case.
+    *
+    * Observability limit (every LSH monitor shares it): drift that
+    * PRESERVES the sign pattern of every vector — within-bucket
+    * movement — is invisible to a bucket histogram. Pair with the
+    * read-side [[graft.operators.Similarity.recallAudit]] when that
+    * failure mode is plausible; the vector-level audits
+    * ([[driftAudit]]/[[driftAuditPq]]) cover it on the families that
+    * store enough geometry to see it.
     *
     * Scale posture: one scan of (seg, bucket) 16-byte rows, a
     * (seg, bucket)-keyed count with map-side partials, the seg-0

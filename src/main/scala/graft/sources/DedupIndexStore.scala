@@ -321,5 +321,5 @@ object DedupIndexStore {
       dir: String,
       ids: DataFrame,
       idCol: String): Unit =
-    Segments.deleteIds(spark, Segments.resolve(spark, dir), ids, idCol)
+    Segments.deleteIds(spark, dir, ids, idCol)
 }

@@ -240,17 +240,64 @@ private[graft] object Segments {
   }
 
   /** Tombstone DELETE: publish the ids as one new segment of the
-    * `tombstones` table under the index dir — O(deletion), the live
+    * `tombstones` table under the STORE dir — O(deletion), the live
     * corpus table untouched. Contract (spec-pinned on every store
     * that uses it): a tombstone suppresses its id across ALL
     * segments, including segments appended AFTER the delete;
     * re-ingesting a previously-deleted id requires a compaction
     * first. Concurrent deleteIds on one store both land (unique
-    * staging + segment-id retry in [[appendSegment]]). */
+    * staging + segment-id retry in [[appendSegment]]).
+    *
+    * FLIP-VERIFIED — a right-to-be-forgotten delete must never be
+    * silently lost to a concurrent full-tree publish, so this call
+    * resolves the live tree itself and only returns once the tree it
+    * published into is STILL the live one. The race ladder:
+    *
+    *   - delete publishes BEFORE the compactor's watermark capture →
+    *     the compaction reads THROUGH the tombstone filter, the
+    *     delete survives physically;
+    *   - delete publishes between the watermark and the fence check →
+    *     the exact-set fence REFUSES the flip;
+    *   - delete publishes inside the ms between fence check and flip
+    *     → its segment sits in the doomed tree; the post-publish
+    *     re-resolve here detects the moved pointer (or the tree
+    *     vanishing mid-publish under the flip's GC) and REPUBLISHES
+    *     the ids into the new tree — idempotent, because a tombstone
+    *     set is model-free (valid across compactions and retrains;
+    *     retrained trees built from a pre-delete read still carry the
+    *     ids, which is exactly why the republish must happen).
+    *
+    * The residual is the intersection of two ms-scale windows (a
+    * flip that STRADDLES the publish-plus-re-resolve) — documented
+    * accepted, same class as the append-vs-flip note above. */
   def deleteIds(
-      spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit =
-    appendSegment(spark, s"$dir/tombstones",
-      ids.select(col(idCol).cast("long").as("id")).distinct())
+      spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit = {
+    val tombstones = ids.select(col(idCol).cast("long").as("id")).distinct()
+    var attempts = 0
+    while (attempts < 8) {
+      val root = resolve(spark, dir)
+      try {
+        appendSegment(spark, s"$root/tombstones", tombstones)
+        if (resolve(spark, dir) == root) return
+        // the pointer moved while we published: our segment may be in
+        // a doomed (or already GC'd) tree — republish into the live one
+      } catch {
+        // the tree vanished under the publish (a flip's GC) — retry
+        // against the new tree; any failure with the pointer UNMOVED
+        // is environmental and rethrows
+        case _: java.io.FileNotFoundException
+          if resolve(spark, dir) != root => ()
+        case _: IllegalArgumentException
+          if resolve(spark, dir) != root => ()
+        case _: IllegalStateException
+          if resolve(spark, dir) != root => ()
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"Segments: could not land a verified tombstone publish on $dir " +
+        "after 8 attempts — full-tree publishes kept racing the delete")
+  }
 
   /** Subtract the index's tombstone set (if any) from its corpus
     * table — the single filter every load path applies, joining on

@@ -330,6 +330,40 @@ class DedupIndexStoreSpec extends SparkSpec {
     } finally FaultyRenameFs.reset()
   }
 
+  test("a GDPR delete racing a full-tree publish is never silently " +
+    "lost: the flip-verified delete republishes into the new tree") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faulty.impl", classOf[FaultyRenameFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft_delflip").toString
+    val dir = s"faulty://$local/idx"
+    val dead = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    try {
+      DedupIndexStore.buildMinhash(spark, dir, docs, "doc_id", "text")
+      val oldRoot = rootOf(dir)
+      // interpose a fenced compaction INSIDE the delete's tombstone
+      // publish (at its seg=0 rename): the compaction's fence check
+      // runs before the tombstone lands — so it passes — and its flip
+      // supersedes + GCs the very tree the delete is publishing into.
+      // Without the flip-verified loop the delete would return
+      // "success" with its tombstone in a deleted tree: a silent
+      // un-delete, the worst GDPR failure mode.
+      FaultyRenameFs.hookRenameDstName = Some("seg=0")
+      FaultyRenameFs.hook = () => {
+        DedupIndexStore.compactMinhash(spark, dir); ()
+      }
+      DedupIndexStore.deleteIds(spark, dir, dead, "doc_id")
+      FaultyRenameFs.reset()
+      assert(rootOf(dir) != oldRoot,
+        "the interposed compaction must have flipped the pointer")
+      // the delete is honored in the LIVE tree despite the race
+      assert(new java.io.File(rootOf(dir) + "/tombstones/seg=0").isDirectory,
+        "the verified delete must have republished into the new tree")
+      assert(DedupIndexStore.readMinhash(spark, dir)
+        .filter(col("id") % 7 === 3).count() == 0,
+        "the raced delete must suppress its ids — never a silent un-delete")
+    } finally FaultyRenameFs.reset()
+  }
+
   test("two concurrent deleteIds both land: unique staging + " +
     "segment-id retry — neither delete set is lost") {
     spark.sparkContext.hadoopConfiguration

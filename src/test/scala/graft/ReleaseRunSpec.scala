@@ -87,6 +87,34 @@ class ReleaseRunSpec extends SparkSpec {
     assert(rows(freshDone.get) == artifact)
   }
 
+  test("resuming against a CHANGED corpus or config refuses typed — " +
+    "never a silent mixture of frozen stage tables and fresh inputs") {
+    val outDir = tmp("graft_release_fp")
+    runWith(outDir, stopAfter = Some("s2_exact"))
+    // corpus changed between the crash and the resume: the stage
+    // tables froze the original input, but the live side inputs
+    // (embeddings joins, tokenizer training) would re-read the new
+    // corpus — the resume must refuse, not bless the mixture
+    val changed = rawInput.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 2 === 0)
+    val st = new ReleaseRun.DurableStager(spark, outDir, None)
+    val e = intercept[IllegalArgumentException] {
+      ReleaseRun.runWithStager(spark, changed, emb, transcripts _,
+        () => merges, outDir, st, capacity = 512, numShards = 4)
+    }
+    assert(e.getMessage.contains("refusing to resume"))
+    assert(st.evaluated.isEmpty, "the refusal must precede any stage work")
+    // a config change refuses the same way
+    val st2 = new ReleaseRun.DurableStager(spark, outDir, None)
+    intercept[IllegalArgumentException] {
+      ReleaseRun.runWithStager(spark, rawInput, emb, transcripts _,
+        () => merges, outDir, st2, capacity = 256, numShards = 4)
+    }
+    // the true resume still completes
+    val (done, _) = runWith(outDir)
+    assert(done.nonEmpty)
+  }
+
   test("a crash MID-stage (staging written, publish never ran) is " +
     "invisible to the resume, which recomputes that stage") {
     val outDir = tmp("graft_release_midcrash")
