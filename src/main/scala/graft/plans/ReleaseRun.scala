@@ -68,7 +68,18 @@ object ReleaseRun {
           s"$outDir/_staging/$name-${java.util.UUID.randomUUID()}")
         df.write.mode("overwrite").parquet(staging.toString)
         f.mkdirs(dir.getParent)
-        if (!f.rename(staging, dir)) {
+        if (f.rename(staging, dir)) {
+          // a rename that "succeeded" may still have lost the publish
+          // race: HDFS rename onto a dir that appeared inside the
+          // exists-to-rename window NESTS src under it and returns
+          // true — our staging tree would sit as a non-underscore
+          // child INSIDE the winner's published table, and every
+          // reader of the stage would double-count its rows. Stage
+          // tables are deterministic (same input, same rows), so the
+          // nested loser tree is a pure duplicate: delete it.
+          val nested = new org.apache.hadoop.fs.Path(dir, staging.getName)
+          if (f.exists(nested)) f.delete(nested, true)
+        } else {
           // a concurrent runner over the same outDir won the publish —
           // its table carries the same deterministic rows; sweep ours
           require(f.exists(dir),
@@ -111,24 +122,38 @@ object ReleaseRun {
     * resume — resuming yesterday's run dir against today's corpus
     * would silently mix the two and the terminal digest gate (which
     * checks write-vs-read consistency, not freshness) would bless the
-    * mixture. So the first run records (n_input, sum_input, capacity,
-    * numShards) and every resume re-verifies it against the LIVE
-    * input before touching a stage — one 2-column aggregate scan, the
-    * price of refusing the worst silent failure a resumable pipeline
-    * has. Mismatch refuses typed: use a fresh run dir. */
+    * mixture. So the first run records, and every resume re-verifies
+    * against the LIVE inputs: a CONTENT digest of the crawl rows
+    * (count + id sum + an xxhash64 fold over (source, raw) — a
+    * re-crawl that keeps ids but changes text must refuse, not just
+    * an id-set change), the same for the embeddings side table
+    * (swapped vectors would silently re-score stage 5), and the
+    * config knobs. Two aggregate scans, the price of refusing the
+    * worst silent failure a resumable pipeline has. Mismatch refuses
+    * typed: use a fresh run dir. */
   private def verifyRunFingerprint(
       spark: SparkSession,
       rawInput: DataFrame,
+      embeddings: DataFrame,
       outDir: String,
       capacity: Int,
       numShards: Int): Unit = {
-    import org.apache.spark.sql.functions.{col, count, sum}
+    import org.apache.spark.sql.functions.{col, count, sum, xxhash64}
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(s"$outDir/run_fingerprint")
-    val r = rawInput.agg(count(col("doc_id")).as("n"),
-      sum(col("doc_id")).as("s")).head()
-    val now = s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}" +
+    def digest(df: DataFrame, idC: String, contentHash: org.apache.spark.sql.Column): String = {
+      // the hash fold sums as decimal(38,0): a long sum of xxhash64
+      // values overflows almost immediately under ANSI arithmetic
+      val r = df.agg(count(col(idC)).as("n"), sum(col(idC)).as("s"),
+        sum(contentHash.cast("decimal(38,0)")).as("h")).head()
+      def v(i: Int) = if (r.isNullAt(i)) "0" else r.get(i).toString
+      s"${r.getLong(0)}:${v(1)}:${v(2)}"
+    }
+    val now = digest(rawInput, "doc_id",
+      xxhash64(col("source"), col("raw"))) + ":" +
+      digest(embeddings, "vec_id",
+        xxhash64(col("vec_id"), col("embedding"))) +
       s":$capacity:$numShards"
     if (!fs.exists(p)) {
       val tmp = new org.apache.hadoop.fs.Path(
@@ -166,7 +191,15 @@ object ReleaseRun {
       st: DurableStager,
       capacity: Int,
       numShards: Int): Option[DataFrame] = {
-    verifyRunFingerprint(spark, rawInput, outDir, capacity, numShards)
+    verifyRunFingerprint(spark, rawInput, embeddings, outDir, capacity, numShards)
+    // sweep staging trees a CRASHED run abandoned (subtree untouched
+    // for an hour — a live concurrent runner's in-flight staging is
+    // never touched); without this, repeated crash/resume cycles
+    // accumulate orphan full-stage-size parquet trees indefinitely
+    graft.sources.Segments.sweepStaleChildren(
+      org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(s"$outDir/_staging"))
     val parts =
       try Release.pipeline(spark, rawInput, embeddings, transcriptsOf,
         merges, st, capacity, numShards)

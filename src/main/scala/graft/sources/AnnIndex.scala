@@ -108,7 +108,7 @@ object AnnIndex {
       vecCol: String): Loaded = {
     val root = Segments.resolve(spark, dir)
     val idx = read(spark, dir)
-    appendSegment(spark, s"$root/coded",
+    Segments.appendToStoreAt(spark, dir, root, "coded",
       Similarity.encodeForIndex(batch, idCol, vecCol, idx.centroids, idx.codebooks))
     read(spark, dir)
   }
@@ -165,7 +165,7 @@ object AnnIndex {
   /** Tombstone DELETE for any of the three index families — the
     * right-to-be-forgotten path: publish the ids as one new segment
     * of a `tombstones` table under the index dir (the
-    * [[appendSegment]] crash discipline — stage under an underscore
+    * [[Segments.appendSegment]] crash discipline — stage under an underscore
     * dir, one atomic rename; O(deletion), the live index untouched
     * until the rename and never rewritten). Readers ([[read]] /
     * [[readIvf]] / [[readLsh]]) subtract the tombstone set with a
@@ -213,13 +213,6 @@ object AnnIndex {
     Segments.publishVersionFenced(spark, dir, staging, watermark)
     readLsh(spark, dir)
   }
-
-  /** Write `rows` as the next `seg=N` of a segmented table —
-    * [[Segments.appendSegment]] (stage under an underscore dir
-    * readers skip, one atomic publishing rename). */
-  private def appendSegment(
-      spark: SparkSession, table: String, rows: DataFrame): Unit =
-    Segments.appendSegment(spark, table, rows)
 
   /** Load an index directory: model tables collect to driver arrays
     * (bounded — nlist and m·ksub rows), the coded table stays a
@@ -307,7 +300,7 @@ object AnnIndex {
       vecCol: String): LoadedIvf = {
     val root = Segments.resolve(spark, dir)
     val idx = readIvf(spark, dir)
-    appendSegment(spark, s"$root/assigned",
+    Segments.appendToStoreAt(spark, dir, root, "assigned",
       batch.select(
         col(idCol).as("id"),
         Similarity.assignCellUdf(idx.centroids)(col(vecCol)).as("cell"),
@@ -646,7 +639,7 @@ object AnnIndex {
       vecCol: String): LoadedLsh = {
     val root = Segments.resolve(spark, dir)
     val idx = readLsh(spark, dir)
-    appendSegment(spark, s"$root/bucketed",
+    Segments.appendToStoreAt(spark, dir, root, "bucketed",
       batch.select(
         col(idCol).as("id"),
         graft.functions.SimilarityFunctions.lshBucket(col(vecCol), idx.planes).as("bucket"),

@@ -99,7 +99,7 @@ object DedupIndexStore {
       idCol: String,
       textCol: String): DataFrame = {
     val (shingleN, numHashes, bands) = minhashParams(spark, dir)
-    Segments.appendSegment(spark, s"${Segments.resolve(spark, dir)}/bands",
+    Segments.appendToStore(spark, dir, "bands",
       Dedup.corpusIndex(batch, idCol, textCol, shingleN, numHashes, bands)
         .withColumn("id", col("id").cast("long")))
     readMinhash(spark, dir)
@@ -121,7 +121,7 @@ object DedupIndexStore {
       textCol: String,
       segId: Long): Boolean = {
     val (shingleN, numHashes, bands) = minhashParams(spark, dir)
-    Segments.publishSegment(spark, s"${Segments.resolve(spark, dir)}/bands",
+    Segments.publishToStore(spark, dir, "bands",
       Dedup.corpusIndex(batch, idCol, textCol, shingleN, numHashes, bands)
         .withColumn("id", col("id").cast("long")), segId)
   }
@@ -196,7 +196,7 @@ object DedupIndexStore {
       batch: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    Segments.appendSegment(spark, s"${Segments.resolve(spark, dir)}/lines",
+    Segments.appendToStore(spark, dir, "lines",
       Dedup.lineProvenance(batch, idCol, textCol, lineParams(spark, dir)))
     readLines(spark, dir)
   }
@@ -210,7 +210,7 @@ object DedupIndexStore {
       idCol: String,
       textCol: String,
       segId: Long): Boolean =
-    Segments.publishSegment(spark, s"${Segments.resolve(spark, dir)}/lines",
+    Segments.publishToStore(spark, dir, "lines",
       Dedup.lineProvenance(batch, idCol, textCol, lineParams(spark, dir)),
       segId)
 

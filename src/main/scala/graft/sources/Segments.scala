@@ -119,6 +119,23 @@ private[graft] object Segments {
     }
   }
 
+  /** Sweep every child of `dir` whose SUBTREE ([[newestMtime]]) has
+    * been untouched past the one-hour staleness cutoff — the
+    * [[sweepStaleStaging]] discipline exposed for other staging
+    * parents (e.g. a release run's `_staging` dir, where repeated
+    * crash/resume cycles would otherwise accumulate orphan
+    * full-stage-size trees indefinitely). Live writers' in-flight
+    * trees always have a fresh file underneath and are never swept. */
+  private[graft] def sweepStaleChildren(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(dir)) return
+    val cutoff = System.currentTimeMillis() - 3600L * 1000L
+    fs.listStatus(dir).foreach { st =>
+      if (newestMtime(fs, st.getPath) < cutoff) fs.delete(st.getPath, true)
+    }
+  }
+
   private def newStaging(table: String) =
     new org.apache.hadoop.fs.Path(
       s"$table/_append.staging-${java.util.UUID.randomUUID()}")
@@ -271,16 +288,46 @@ private[graft] object Segments {
     * flip that STRADDLES the publish-plus-re-resolve) — documented
     * accepted, same class as the append-vs-flip note above. */
   def deleteIds(
-      spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit = {
-    val tombstones = ids.select(col(idCol).cast("long").as("id")).distinct()
+      spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit =
+    appendToStore(spark, dir, "tombstones",
+      ids.select(col(idCol).cast("long").as("id")).distinct())
+
+  /** FLIP-VERIFIED append of MODEL-FREE rows into a pointer-published
+    * store: resolve the live tree, append into `<tree>/<table>`, then
+    * verify the pointer did not move while we published. The race
+    * ladder is [[deleteIds]]'s (which delegates here), for any rows
+    * valid under every tree of the store (tombstones, minhash/line
+    * signatures keyed only by store params):
+    *
+    *   - publish landed, pointer unmoved → done (the fence in
+    *     [[publishVersionFenced]] guarantees any LATER compaction
+    *     reads through our segment or refuses);
+    *   - the tree vanished mid-publish (a flip's eventual GC) or the
+    *     pointer moved → the rows sit (at most) in a superseded,
+    *     never-resolved tree the grace-period GC owns; they are
+    *     REPUBLISHED into the new live tree, idempotently, because
+    *     the flipped tree cannot contain them (a fenced flip that had
+    *     seen the segment would have refused; an unfenced build reads
+    *     source data, not the store);
+    *   - any failure with the pointer UNMOVED is environmental and
+    *     rethrows.
+    *
+    * Rows ENCODED against a tree's frozen model go through
+    * [[appendToStoreAt]] instead — a verbatim replay under a new
+    * model would be wrong. Either way: raced rows land exactly once
+    * in the LIVE tree, or the caller hears about it typed — never a
+    * silent vanish. */
+  def appendToStore(
+      spark: SparkSession, dir: String, table: String,
+      rows: DataFrame): Unit = {
     var attempts = 0
     while (attempts < 8) {
       val root = resolve(spark, dir)
       try {
-        appendSegment(spark, s"$root/tombstones", tombstones)
+        appendSegment(spark, s"$root/$table", rows)
         if (resolve(spark, dir) == root) return
-        // the pointer moved while we published: our segment may be in
-        // a doomed (or already GC'd) tree — republish into the live one
+        // pointer moved: republish into the live tree (idempotent —
+        // the raced copy sits in a doomed tree no reader resolves)
       } catch {
         // the tree vanished under the publish (a flip's GC) — retry
         // against the new tree; any failure with the pointer UNMOVED
@@ -295,8 +342,66 @@ private[graft] object Segments {
       attempts += 1
     }
     throw new IllegalStateException(
-      s"Segments: could not land a verified tombstone publish on $dir " +
-        "after 8 attempts — full-tree publishes kept racing the delete")
+      s"Segments: could not land a verified publish on $dir/$table " +
+        "after 8 attempts — full-tree publishes kept racing the append")
+  }
+
+  /** FLIP-VERIFIED append of MODEL-COUPLED rows (IVF cell
+    * assignments, PQ codes, LSH buckets — encoded with the frozen
+    * model of the tree the caller resolved and read): the caller pins
+    * the `root` it encoded against, and the publish lands only if the
+    * pointer still names that root before AND after the segment
+    * rename. Any move refuses with [[ConcurrentStoreWriteException]]
+    * — the raced rows sit (at most) in the superseded, never-resolved
+    * tree (grace-period GC'd), and the caller re-encodes against the
+    * new live tree and re-appends. No verbatim retry is possible
+    * here: replaying old-model rows into a retrained tree would
+    * corrupt it silently. */
+  def appendToStoreAt(
+      spark: SparkSession, dir: String, root: String, table: String,
+      rows: DataFrame): Unit = {
+    def refuse(): Nothing = throw new ConcurrentStoreWriteException(
+      s"Segments: the append into $dir/$table raced a full-tree publish " +
+        s"— the live tree is no longer $root and the rows are encoded " +
+        "against its frozen model, so they cannot be replayed verbatim. " +
+        "Nothing is visible to readers; re-encode against the new live " +
+        "tree and re-append.")
+    if (resolve(spark, dir) != root) refuse()
+    try appendSegment(spark, s"$root/$table", rows)
+    catch {
+      case e @ (_: java.io.FileNotFoundException | _: IllegalArgumentException |
+        _: IllegalStateException) =>
+        if (resolve(spark, dir) != root) refuse() else throw e
+    }
+    if (resolve(spark, dir) != root) refuse()
+  }
+
+  /** [[appendToStore]] for the streaming, replay-idempotent form
+    * ([[publishSegment]] — explicit micro-batch segment id; model-free
+    * rows only, like every streamed store in this engine). Returns
+    * true when THIS call published the segment into the live tree. */
+  def publishToStore(
+      spark: SparkSession, dir: String, table: String, rows: DataFrame,
+      segId: Long): Boolean = {
+    var attempts = 0
+    while (attempts < 8) {
+      val root = resolve(spark, dir)
+      try {
+        val published = publishSegment(spark, s"$root/$table", rows, segId)
+        if (resolve(spark, dir) == root || !published) return published
+        // landed in a doomed tree: republish into the live one (the
+        // exists-by-segId check there keeps the replay idempotent)
+      } catch {
+        case _: java.io.FileNotFoundException
+          if resolve(spark, dir) != root => ()
+        case _: IllegalStateException
+          if resolve(spark, dir) != root => ()
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"Segments: could not land a verified segment publish on " +
+        s"$dir/$table after 8 attempts — full-tree publishes kept racing")
   }
 
   /** Subtract the index's tombstone set (if any) from its corpus
@@ -337,15 +442,15 @@ private[graft] object Segments {
   // rename lands, and the loser sees the occupied name and refuses
   // (typed) or retries — this closes the ms-scale publish-vs-publish
   // TOCTOU window the old directory-swap fence documented as residual
-  // (two fenced publishers can no longer both land). The remaining
-  // ACCEPTED race is append-vs-flip: an append that resolved the OLD
-  // tree and publishes its segment in the ms between the pointer flip
-  // and the superseded tree's GC delete lands in a doomed tree — but
-  // the GC delete makes the append die LOUDLY at its next step in
-  // almost every interleaving (its table listing or publish rename
-  // hits the deleted parent), the structural rewrite-duration race is
-  // what the watermark fence removes, and the appender's remedy is
-  // always re-run (re-resolve → the new tree). Readers
+  // (two fenced publishers can no longer both land). Append-vs-flip
+  // is closed STRUCTURALLY since round 15: superseded trees are
+  // grace-period GC'd (an hour after their last touch, at the next
+  // flip's sweep), so an append racing a flip always completes its
+  // write — into the doomed tree — and the flip-verified wrappers
+  // ([[appendToStore]] / [[publishToStore]] / [[deleteIds]])
+  // re-resolve after publishing and retry into the live tree (or
+  // refuse typed for model-coupled rows), so raced rows land exactly
+  // once in the LIVE tree or the caller hears about it. Readers
   // [[resolve]] through the highest-seq pointer; a stale pointer
   // listing that raced a publish+GC relists (bounded). Crash posture:
   // a crash before the flip leaves an orphan v-tree (swept stale,
@@ -363,8 +468,27 @@ private[graft] object Segments {
   def newVersionPath(dir: String): String =
     s"$dir/v-${java.util.UUID.randomUUID()}"
 
-  /** (pointer seq, version name) — (0, None) for a legacy/new store. */
+  /** (pointer seq, version name) — (0, None) for a legacy/new store.
+    * A pointer file GC'd between the listing and the open (a
+    * concurrent flip's stale-pointer sweep) relists (bounded) — the
+    * same race-and-remedy [[resolve]] applies one level up, pulled
+    * down here so [[segmentWatermark]] capture and
+    * [[publishVersion]]'s prev read survive it too. */
   private def pointer(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): (Long, Option[String]) = {
+    var attempts = 0
+    while (attempts < 5) {
+      try return pointerOnce(fs, dir)
+      catch { case _: java.io.FileNotFoundException => () }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"Segments: could not read a live pointer for $dir after 5 " +
+        "attempts — pointer files kept racing concurrent flips")
+  }
+
+  private def pointerOnce(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: String): (Long, Option[String]) = {
     val d = new org.apache.hadoop.fs.Path(dir)
@@ -486,12 +610,23 @@ private[graft] object Segments {
     ok
   }
 
-  /** After a successful flip from `prev`: drop the superseded tree
-    * and stale pointers, and sweep crash orphans (un-pointered
-    * v-trees and _ptr tmp files untouched for an hour — the append
-    * staging sweep discipline). A reader holding the superseded
-    * pointer name relists on the FileNotFound and lands on the new
-    * one. */
+  /** After a successful flip from `prev`: retire stale pointers and
+    * sweep crash/superseded orphans. Superseded `v-` trees are GRACE-
+    * PERIOD GC'd, not deleted at the flip: they linger until nothing
+    * in their subtree has been touched for an hour (the staging sweep
+    * cutoff), then the NEXT flip's sweep drops them. This closes the
+    * append-vs-flip residual structurally — an append that resolved
+    * the old tree and publishes inside the flip window now always
+    * LANDS on disk (in the doomed tree) instead of dying on the
+    * deleted parent at an arbitrary step, and the flip-verified
+    * publish wrappers ([[appendToStore]] / [[publishToStore]] /
+    * [[deleteIds]]) detect the moved pointer and retry/refuse TYPED.
+    * Cost: one superseded tree of transient disk per publish per
+    * grace hour. The one-time legacy-layout upgrade still drops the
+    * dead flat children at the flip (they have no pointer to race),
+    * but exempts in-flight `_ptr.tmp-*` files — deleting a concurrent
+    * flipper's fresh tmp regardless of age could fail its CAS
+    * spuriously mid-attempt; the age-gated sweep below owns those. */
   private def gcAfterFlip(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: String,
@@ -500,14 +635,13 @@ private[graft] object Segments {
       prev: (Long, Option[String])): Unit = {
     val d = new org.apache.hadoop.fs.Path(dir)
     prev._2 match {
-      case Some(v) if v != newVersion =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$v"), true)
-      case Some(_) => ()
+      case Some(_) => () // superseded v-tree: grace-period sweep below
       case None =>
         // legacy flat layout superseded: its table children are dead
         fs.listStatus(d).foreach { st =>
           val n = st.getPath.getName
-          val keep = n.startsWith("v-") || PointerName.matches(n)
+          val keep = n.startsWith("v-") || PointerName.matches(n) ||
+            n.startsWith("_ptr.tmp-")
           if (!keep) fs.delete(st.getPath, true)
         }
     }

@@ -151,8 +151,21 @@ class AnnIndexSpec extends SparkSpec {
     assert(second.centroids.length == 8)
     assert(AnnIndex.read(spark, dir).centroids.length == 8)
     assert(rootOf(dir) != firstRoot, "rebuild must publish a NEW tree")
+    // grace-period GC: the superseded tree lingers until its subtree
+    // is stale past the cutoff (so a raced append can always complete
+    // and flip-verify), then the NEXT flip's sweep drops it
+    assert(new java.io.File(firstRoot).exists,
+      "a just-superseded tree must survive the grace window")
+    val old = System.currentTimeMillis() - 2 * 3600 * 1000L
+    def backdate(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(backdate))
+      f.setLastModified(old)
+    }
+    backdate(new java.io.File(firstRoot))
+    AnnIndex.buildAndWrite(spark, dir, corpus, "vec_id", "embedding",
+      nlist = 8, m = 8)
     assert(!new java.io.File(firstRoot).exists,
-      "the superseded tree must be GC'd after the pointer flip")
+      "a fully-stale superseded tree must sweep at the next flip")
     assertCleanStore(dir)
   }
 
@@ -377,8 +390,11 @@ class AnnIndexSpec extends SparkSpec {
       assert(r3(AnnIndex.queryBatchIvf(healed,
         queries, "vec_id", "embedding", k = 5, nprobe = 2)) == good)
       assert(rootOf(dir) != firstRoot)
-      assert(!new java.io.File(firstRoot.stripPrefix("faulty://")).exists,
-        "the superseded tree must be GC'd after the flip")
+      // grace-period GC: the superseded tree survives the flip; the
+      // stale sweep (pinned in the rebuild test and SegmentsSpec)
+      // owns dropping it once its subtree passes the cutoff
+      assert(new java.io.File(firstRoot.stripPrefix("faulty://")).exists,
+        "a just-superseded tree must survive the grace window")
     } finally FaultyRenameFs.reset()
   }
 

@@ -168,8 +168,72 @@ class SegmentsSpec extends SparkSpec {
       }
       assert(outside.isEmpty,
         s"publish must not rename trees — saw: $outside")
-      // and the superseded tree is GC'd AFTER the flip, not renamed
-      assert(!new java.io.File(v1.stripPrefix("faulty://")).exists)
+      // the superseded tree is GRACE-PERIOD GC'd, not dropped at the
+      // flip: it must survive (an append that raced the flip can then
+      // always complete its write and be flip-verified) ...
+      assert(new java.io.File(v1.stripPrefix("faulty://")).exists,
+        "a just-superseded tree must linger through the grace window")
+      // ... and once its whole subtree is stale past the cutoff, the
+      // next flip's sweep drops it while the fresh superseded tree stays
+      val old = System.currentTimeMillis() - 2 * 3600 * 1000L
+      def backdate(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(backdate))
+        f.setLastModified(old)
+      }
+      backdate(new java.io.File(v1.stripPrefix("faulty://")))
+      val v3 = Segments.newVersionPath(dir)
+      Seq((4L, "d")).toDF("id", "v").write.parquet(s"$v3/t/seg=0")
+      Segments.publishVersion(spark, dir, v3)
+      assert(!new java.io.File(v1.stripPrefix("faulty://")).exists,
+        "a fully-stale superseded tree must sweep at the next flip")
+      assert(new java.io.File(v2.stripPrefix("faulty://")).exists,
+        "a fresh superseded tree must survive the grace window")
+      assert(Segments.resolve(spark, dir) == v3)
+    } finally FaultyRenameFs.reset()
+  }
+
+  test("an append racing a full-tree publish lands in the LIVE tree " +
+    "(model-free wrapper) or refuses typed (model-coupled wrapper) — " +
+    "never a silent vanish under the grace window") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faulty.impl", classOf[FaultyRenameFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft_seg_race").toString
+    val dir = s"faulty://$local/store"
+    FaultyRenameFs.reset()
+    try {
+      val v1 = Segments.newVersionPath(dir)
+      Seq((1L, "a")).toDF("id", "v").write.parquet(s"$v1/t/seg=0")
+      Segments.publishVersion(spark, dir, v1)
+      val w = Segments.segmentWatermark(spark, dir)
+      val v2 = Segments.newVersionPath(dir)
+      Seq((1L, "a")).toDF("id", "v").write.parquet(s"$v2/t/seg=0")
+      // arm: the instant the append's segment publish rename targets
+      // seg=1 of the OLD tree, a compaction flips the pointer to v2
+      // first — the exact append-vs-flip interleaving the old
+      // immediate GC left as an accepted residual
+      FaultyRenameFs.hookRenameDstName = Some("seg=1")
+      FaultyRenameFs.hook = () => {
+        FaultyRenameFs.hookRenameDstName = None
+        Segments.publishVersionFenced(spark, dir, v2, w)
+      }
+      Segments.appendToStore(spark, dir, "t", Seq((9L, "z")).toDF("id", "v"))
+      FaultyRenameFs.reset()
+      // the raced rows are visible in the LIVE tree, exactly once
+      assert(Segments.resolve(spark, dir) == v2)
+      val live = spark.read.parquet(s"$v2/t")
+      assert(live.filter(col("id") === 9L).count() == 1,
+        "the raced append must land exactly once in the live tree")
+      // the superseded tree survived the flip (grace GC) — the append
+      // never hit a deleted parent mid-write
+      assert(new java.io.File(v1.stripPrefix("faulty://")).exists)
+      // model-coupled rows pinned to a superseded root refuse TYPED
+      // (re-encode against the new tree), never land silently
+      val e = intercept[ConcurrentStoreWriteException] {
+        Segments.appendToStoreAt(spark, dir, v1, "t",
+          Seq((7L, "y")).toDF("id", "v"))
+      }
+      assert(e.getMessage.contains("re-encode"))
+      assert(spark.read.parquet(s"$v2/t").filter(col("id") === 7L).count() == 0)
     } finally FaultyRenameFs.reset()
   }
 
