@@ -374,7 +374,6 @@ object Dedup {
       index: Option[DataFrame] = None): DataFrame = {
     val idx = index.getOrElse(
       corpusIndex(corpusDf, idCol, textCol, shingleN, numHashes, bands))
-    val idxCapped = capBuckets(idx, Seq("band_idx", "band_hash"), maxBucketSize)
 
     // stage 1: exact fingerprint anti-join (distinct corpus fps — the
     // index repeats each fp once per band; dedup to one 16-byte key)
@@ -384,7 +383,42 @@ object Dedup {
       .join(corpusFps, Seq("__fp"), "left_anti")
 
     // stage 2: LSH probe of the corpus buckets by the batch survivors
-    val newBands = bandExplode(afterExact, idCol, textCol, shingleN, numHashes, bands)
+    val matched = dedupAgainstMatches(afterExact, corpusDf, idCol, textCol,
+        shingleN, numHashes, bands, jaccardThreshold, maxBucketSize,
+        index = Some(idx))
+      .select("id")
+      .distinct()
+    afterExact
+      .join(matched, afterExact(idCol) === matched("id"), "left_anti")
+      .drop("__fp")
+  }
+
+  /** The matched (id, cid) PAIRS of [[dedupAgainst]]'s near stage —
+    * for callers that need the corpus partner, not just survival (the
+    * incremental release maps each dropped batch doc to its
+    * from-scratch cluster representative through the partner id, so
+    * the incremental ledger's `dup_of_` reasons replay a from-scratch
+    * run's exactly). Same plan shape as [[dedupAgainst]]: batch band
+    * buckets probe the (capped) corpus index with an equi-join, and
+    * only surviving candidates' texts are joined for the exact-
+    * Jaccard rescore. No exact-fingerprint stage — an identical text
+    * collides in every band and rescores at jaccard 1, so exact dups
+    * surface as pairs here too when not already removed upstream. */
+  def dedupAgainstMatches(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      jaccardThreshold: Double = 0.5,
+      maxBucketSize: Option[Int] = None,
+      index: Option[DataFrame] = None): DataFrame = {
+    val idx = index.getOrElse(
+      corpusIndex(corpusDf, idCol, textCol, shingleN, numHashes, bands))
+    val idxCapped = capBuckets(idx, Seq("band_idx", "band_hash"), maxBucketSize)
+    val newBands = bandExplode(newDf, idCol, textCol, shingleN, numHashes, bands)
     val candidates = newBands
       .join(idxCapped.select(col("id").as("cid"), col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))
@@ -397,15 +431,11 @@ object Dedup {
     val shC = HashExpressions.shingleHashes(col("t_c"), shingleN)
     val jaccard = (size(array_intersect(shN, shC)).cast("double") /
       size(array_union(shN, shC)).cast("double"))
-    val matched = candidates
+    candidates
       .join(newTexts, "id")
       .join(corpusTexts, "cid")
       .filter(jaccard >= jaccardThreshold)
-      .select("id")
-      .distinct()
-    afterExact
-      .join(matched, afterExact(idCol) === matched("id"), "left_anti")
-      .drop("__fp")
+      .select("id", "cid")
   }
 
   /** Benchmark decontamination — flag corpus documents that share any

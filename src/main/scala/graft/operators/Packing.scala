@@ -112,6 +112,66 @@ object Packing {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** [[packBinsByCount]] RESUMED from a prior pack's per-group tail
+    * state — the append-only packing an incremental release needs:
+    * yesterday's bins are frozen, today's items continue filling the
+    * last open bin of their group and then open fresh bins, exactly
+    * as one from-scratch next-fit over yesterday∪today (in id order,
+    * with today's ids all larger) would have placed them. `resume`
+    * carries one row per already-packed group: (grp, bin_id, fill) —
+    * the LAST bin's id and its used token count; groups absent from
+    * `resume` start at bin 0 like a fresh pack.
+    *
+    * Scale posture: `resume` is group-cardinality (thousands of rows
+    * at 100 TB — shards/workers, never documents), so it collects to
+    * a broadcast map; the sweep itself is the same single-Exchange
+    * O(1)-state mapPartitions as [[packBinsByCount]]. */
+  def packBinsByCountFrom(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      countCol: String,
+      capacity: Int,
+      resume: DataFrame): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val init: Map[Any, (Long, Long)] = resume
+      .select(col("grp"), col("bin_id").cast("long"), col("fill").cast("long"))
+      .collect().map(r => r.get(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val bc = df.sparkSession.sparkContext.broadcast(init)
+    val prep = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        col(countCol).cast("long").as("n_tokens"))
+      .repartition(col("grp"))
+      .sortWithinPartitions(col("grp"), col("id"))
+    val outSchema = prep.schema.add("bin_id", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    prep.mapPartitions { it =>
+      var curGrp: Any = null
+      var started = false
+      var bin = 0L
+      var fill = 0L
+      it.map { r =>
+        val g = r.get(1)
+        val n = r.getLong(2)
+        if (!started || g != curGrp) {
+          started = true; curGrp = g
+          bc.value.get(g) match {
+            case Some((b0, f0)) if f0 + n <= capacity =>
+              bin = b0; fill = f0 + n
+            case Some((b0, _)) =>
+              bin = b0 + 1L; fill = n
+            case None =>
+              bin = 0L; fill = n
+          }
+        } else if (fill + n <= capacity) {
+          fill += n
+        } else {
+          bin += 1L; fill = n
+        }
+        org.apache.spark.sql.Row(r.get(0), g, n, bin)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Packing-efficiency audit over a [[packBins]] result — the
     * padding-waste metric training teams actually watch (every token
     * of slack in a bin is a padded, gradient-free position): per

@@ -89,6 +89,106 @@ object Release {
     * @return the (part, k, v) artifact frame: `pack` / `shard` /
     *         `ledger` / `manifest` / `reconcile` parts
     */
+  // ------------------------------------------------ shared stage blocks
+  //
+  // The expression-level building blocks BOTH release forms share with
+  // the incremental runner ([[graft.plans.IncrementalRelease]]): the
+  // incremental's batch-equal-to-from-scratch oracle only holds if a
+  // batch flows through bit-identical gate/cost expressions, so these
+  // live here once and are composed, never copied.
+
+  /** Stage-1 encoding flag over the raw crawl rows. */
+  private[graft] def withEncOk(input: DataFrame): DataFrame =
+    input.withColumn("__enc_ok", TextFunctions.encodingOk(col("raw")))
+
+  /** Stage-1 scored frame: strip → normalize → lang/quality/length
+    * flags, scored exactly once per row (the `__mid` pushdown
+    * barrier). Input must carry `__enc_ok` ([[withEncOk]]). */
+  private[graft] def scoredGates(raw: DataFrame): DataFrame =
+    raw.filter(col("__enc_ok"))
+      .select(col("doc_id"), col("source"),
+        TextFunctions.normalizeText(
+          TextFunctions.stripBoilerplate(col("raw"))).as("text"))
+      .select(col("doc_id"), col("source"), col("text"),
+        TextFunctions.langId(col("text")).as("__lang"),
+        TextFunctions.qualityScore(col("text")).as("__q"),
+        TextFunctions.tokenCount(col("text")).as("__tok"),
+        monotonically_increasing_id().as("__mid"))
+      .filter(col("__mid") >= 0) // pushdown barrier: score once per row
+      .withColumn("__lang_ok", col("__lang") === "en")
+      .withColumn("__q_ok", col("__q") >= 0.5)
+      .withColumn("__len_ok", col("__tok").between(5, 1000))
+
+  /** Stage-1 ledger rows: encoding rejects over the flagged raw frame
+    * plus first-fail gate reasons over the scored frame. */
+  private[graft] def ingestRejectRows(
+      raw: DataFrame, gated: DataFrame): (DataFrame, DataFrame) = (
+    raw.filter(!col("__enc_ok"))
+      .select(col("doc_id"), lit("ingest").as("stage"),
+        lit("encoding").as("reason")),
+    gated.filter(!(col("__lang_ok") && col("__q_ok") && col("__len_ok")))
+      .select(col("doc_id"), lit("ingest").as("stage"),
+        concat_ws(",",
+          when(!col("__lang_ok"), "lang"),
+          when(!col("__q_ok"), "quality"),
+          when(!col("__len_ok"), "length")).as("reason")))
+
+  /** Stage-1 survivors of the scored frame. */
+  private[graft] def ingestedRows(gated: DataFrame): DataFrame =
+    gated.filter(col("__lang_ok") && col("__q_ok") && col("__len_ok"))
+      .select(col("doc_id"), col("source"), col("text"))
+
+  /** Stage-6 contract + tool-protocol gates over parsed turns:
+    * (contractRejects, toolRejects, admitted doc ids). */
+  private[graft] def sftGateRows(
+      turns: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val contract = Chat.validateTurns(turns, "doc_id",
+      roles = Chat.allowedRoles :+ "tool")
+    val tool = Chat.validateToolUse(turns, "doc_id", Seq("search", "calc"))
+    val contractRejects = contract.filter(!col("valid"))
+      .select(col("doc_id"), lit("contract").as("stage"),
+        concat_ws(",",
+          when(!col("roles_ok"), "roles"),
+          when(!col("starts_ok"), "starts"),
+          when(!col("alternation_ok"), "alternation"),
+          when(!col("nonempty_ok"), "nonempty")).as("reason"))
+    val contractOkIds = contract.filter(col("valid")).select("doc_id")
+    val toolRejects = tool.join(contractOkIds, "doc_id")
+      .filter(!col("valid"))
+      .select(col("doc_id"), lit("tool").as("stage"),
+        concat_ws(",",
+          when(!col("tool_after_call_ok"), "tool_after_call"),
+          when(!col("tools_answered_ok"), "tools_answered"),
+          when(!col("tool_names_ok"), "tool_names")).as("reason"))
+    val admitted = contractOkIds
+      .join(tool.filter(col("valid")).select("doc_id"), "doc_id")
+    (contractRejects, toolRejects, admitted)
+  }
+
+  /** Stage-6 conversation text per admitted doc — the conversation-
+    * level dedup key. */
+  private[graft] def convoTexts(aturns: DataFrame): DataFrame =
+    aturns.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("content")))),
+        t => t("content")), " ").as("text"))
+
+  /** Stage-6 BPE-costed conversations under the FROZEN release
+    * tokenizer — one projected fold per turn + the 4-token/turn
+    * chat-template overhead; loss mass = assistant-turn subwords.
+    * No dedup applied — callers anti-join their own reject set. */
+  private[graft] def convCosted(
+      aturns: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    aturns
+      .withColumn("__tok",
+        when(col("content").isNull, lit(0L))
+          .otherwise(Bpe.tokenCountCol(col("content"), merges)))
+      .groupBy("doc_id")
+      .agg((sum(col("__tok")) + lit(4L) * count(lit(1))).as("n_tokens"),
+        sum(when(col("role") === "assistant", col("__tok")).otherwise(0L))
+          .as("loss_tokens"))
+      .withColumn("grp", pmod(col("doc_id"), lit(8L)))
+
   def pipeline(
       s: SparkSession,
       rawInput: DataFrame,
@@ -105,32 +205,10 @@ object Release {
     val input = st("s0_input")(rawInput.select(id, col("source"), col("raw")))
 
     // 1 — ingest
-    val raw = input.withColumn("__enc_ok", TextFunctions.encodingOk(col("raw")))
-    val encRejects = raw.filter(!col("__enc_ok"))
-      .select(id, lit("ingest").as("stage"), lit("encoding").as("reason"))
-    val gated = st("s1_gated")(raw.filter(col("__enc_ok"))
-      .select(id, col("source"),
-        TextFunctions.normalizeText(
-          TextFunctions.stripBoilerplate(col("raw"))).as("text"))
-      .select(id, col("source"), col("text"),
-        TextFunctions.langId(col("text")).as("__lang"),
-        TextFunctions.qualityScore(col("text")).as("__q"),
-        TextFunctions.tokenCount(col("text")).as("__tok"),
-        monotonically_increasing_id().as("__mid"))
-      .filter(col("__mid") >= 0) // pushdown barrier: score once per row
-      .withColumn("__lang_ok", col("__lang") === "en")
-      .withColumn("__q_ok", col("__q") >= 0.5)
-      .withColumn("__len_ok", col("__tok").between(5, 1000)))
-    val gateRejects = gated
-      .filter(!(col("__lang_ok") && col("__q_ok") && col("__len_ok")))
-      .select(id, lit("ingest").as("stage"),
-        concat_ws(",",
-          when(!col("__lang_ok"), "lang"),
-          when(!col("__q_ok"), "quality"),
-          when(!col("__len_ok"), "length")).as("reason"))
-    val ingested = gated
-      .filter(col("__lang_ok") && col("__q_ok") && col("__len_ok"))
-      .select(id, col("source"), col("text"))
+    val raw = withEncOk(input)
+    val gated = st("s1_gated")(scoredGates(raw))
+    val (encRejects, gateRejects) = ingestRejectRows(raw, gated)
+    val ingested = ingestedRows(gated)
 
     // 2 — exact dedup with keeper provenance
     val fp = ingested
@@ -200,32 +278,10 @@ object Release {
     val turns = st("s6_turns")(Chat.parseToolTurns(
       transcriptsOf(keep.select("doc_id", "text")),
       "doc_id", "transcript"))
-    val contract = Chat.validateTurns(turns, "doc_id",
-      roles = Chat.allowedRoles :+ "tool")
-    val tool = Chat.validateToolUse(turns, "doc_id", Seq("search", "calc"))
-    val contractRejects = contract.filter(!col("valid"))
-      .select(col("doc_id"), lit("contract").as("stage"),
-        concat_ws(",",
-          when(!col("roles_ok"), "roles"),
-          when(!col("starts_ok"), "starts"),
-          when(!col("alternation_ok"), "alternation"),
-          when(!col("nonempty_ok"), "nonempty")).as("reason"))
-    val contractOkIds = contract.filter(col("valid")).select("doc_id")
-    val toolRejects = tool.join(contractOkIds, "doc_id")
-      .filter(!col("valid"))
-      .select(col("doc_id"), lit("tool").as("stage"),
-        concat_ws(",",
-          when(!col("tool_after_call_ok"), "tool_after_call"),
-          when(!col("tools_answered_ok"), "tools_answered"),
-          when(!col("tool_names_ok"), "tool_names")).as("reason"))
-    val admitted = contractOkIds
-      .join(tool.filter(col("valid")).select("doc_id"), "doc_id")
+    val (contractRejects, toolRejects, admitted) = sftGateRows(turns)
     val aturns = st("s6_aturns")(turns.join(admitted, "doc_id"))
     val sftDupRejects = st("s6_dup_rejects") {
-      val convo = aturns.groupBy("doc_id")
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("turn_idx"), col("content")))),
-          t => t("content")), " ").as("text"))
+      val convo = convoTexts(aturns)
       val sftPairs = Dedup.minhashPairs(convo, "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
         maxBucketSize = Some(12)).select("id_a", "id_b")
@@ -234,19 +290,8 @@ object Release {
         .select(col("id").as("doc_id"), lit("sft_dedup").as("stage"),
           concat(lit("dup_of_"), col("rep").cast("string")).as("reason"))
     }
-    // BPE-costed conversations under the FROZEN release tokenizer —
-    // one projected fold per turn + the 4-token/turn chat-template
-    // overhead; loss mass = assistant-turn subwords
-    val conv = st("s6_conv")(aturns
-      .withColumn("__tok",
-        when(col("content").isNull, lit(0L))
-          .otherwise(Bpe.tokenCountCol(col("content"), merges())))
-      .groupBy("doc_id")
-      .agg((sum(col("__tok")) + lit(4L) * count(lit(1))).as("n_tokens"),
-        sum(when(col("role") === "assistant", col("__tok")).otherwise(0L))
-          .as("loss_tokens"))
-      .join(sftDupRejects.select("doc_id"), Seq("doc_id"), "left_anti")
-      .withColumn("grp", pmod(col("doc_id"), lit(8L))))
+    val conv = st("s6_conv")(convCosted(aturns, merges())
+      .join(sftDupRejects.select("doc_id"), Seq("doc_id"), "left_anti"))
     val packed = st("s6_packed")(
       Packing.packBinsByCount(conv, "doc_id", "grp", "n_tokens", capacity)
         .select(col("id").as("doc_id"), col("grp"), col("n_tokens"),

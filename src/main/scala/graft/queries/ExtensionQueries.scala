@@ -3472,6 +3472,106 @@ object ExtensionQueries {
       outDir).get
   }
 
+  /** THE THIRD CRAWL — the incremental release's "today" batch, raw
+    * rows only (ids offset past every day-0 id; the same boilerplate
+    * + encoding-pathology wrapper). Pathology menu, each exercising
+    * one incremental path against the standing state:
+    *
+    *   +2M (d%37, day-0-ingested targets): byte-identical re-crawl →
+    *        dies at the cross-EXACT probe, keeper = the stored
+    *        day-0 exact survivor;
+    *   +3M (d%43, ingested): 75% token prefix (jaccard ≈ 0.75) →
+    *        dies at the cross-NEAR probe; when the target also has a
+    *        day-0 markup twin, the ledger rep maps through `nd_reps`;
+    *   +4M (d%47, ingested, and GUARDED to the train/val split):
+    *        the crawl2 comma-markup transform → evades text dedup,
+    *        dies at the cross-CONVERSATION probe (or, when its target
+    *        sits in the day-0 holdout, at lexical decontam). The
+    *        split guard enforces the no-retroaction contract: a
+    *        test-split near-copy of a released day-0 doc would make
+    *        the from-scratch union decontaminate yesterday's release;
+    *   +5M (d%7=3): token-REVERSED text — genuinely new content
+    *        (3-shingles disjoint from every forward text), flows all
+    *        the way to packing/holdout;
+    *   +6M/+7M (d%53): a reversed-text pair → within-batch exact dup;
+    *   +8M/+9M (d%59): reversed text and reversed+3-token-tail
+    *        (jaccard ≈ 0.9) → within-batch near dup.
+    *
+    * The `ingested(d)` guard on the re-crawl/near/markup rows keeps
+    * every probed fingerprint present in the standing store (a
+    * re-crawl of a doc the day-0 gates rejected would be new content,
+    * not a dup — legal, but then it must not collide with day-0
+    * holdout texts; restricting targets to ingested docs makes the
+    * fixture's no-retroaction argument airtight). Replayed in SQL by
+    * [[pipelineReleaseIncrSql]]'s `rl_c3` CTEs. */
+  private[graft] def crawl3RawBatch(s: SparkSession, dir: String): DataFrame = {
+    val docs = pq(s, dir, "documents")
+    val id = col("doc_id")
+    // day-0 stage-1 outcome, replayed through the SAME shared gate
+    // expressions the pipeline runs
+    val ing0 = graft.operators.Release.ingestedRows(
+        graft.operators.Release.scoredGates(
+          graft.operators.Release.withEncOk(releaseRawInput(s, dir))))
+      .filter(id < 1000000L)
+      .select("doc_id")
+    val toks = TextFunctions.tokens(col("text"))
+    val rev = array_join(reverse(toks), " ")
+    val revTail = array_join(
+      concat(reverse(toks), array(lit("zq"), lit("zq"), lit("zq"))), " ")
+    val markup = array_join(transform(toks,
+      (w, i) => when((i + 1) % 3 === 0, concat(w, lit(" ,")))
+        .otherwise(w)), " ")
+    val pfx75 = array_join(
+      slice(toks, lit(1), ceil(size(toks) * lit(0.75)).cast("int")), " ")
+    val cOk = (shiftrightunsigned(
+      graft.functions.HashExpressions.mix64((id + 4000000L).cast("long")),
+      1) % 100) < 90
+    val ingested = docs.join(ing0, Seq("doc_id"), "left_semi")
+    def part(src: DataFrame, cond: org.apache.spark.sql.Column,
+        offset: Long, text: org.apache.spark.sql.Column) =
+      src.filter(cond).select((id + offset).as("doc_id"), col("source"),
+        text.as("text"))
+    part(ingested, id % 37 === 0, 2000000L, col("text"))
+      .unionByName(part(ingested, id % 43 === 0, 3000000L, pfx75))
+      .unionByName(part(ingested, id % 47 === 0 && cOk, 4000000L, markup))
+      .unionByName(part(docs, id % 7 === 3, 5000000L, rev))
+      .unionByName(part(docs, id % 53 === 0, 6000000L, rev))
+      .unionByName(part(docs, id % 53 === 0, 7000000L, rev))
+      .unionByName(part(docs, id % 59 === 0, 8000000L, rev))
+      .unionByName(part(docs, id % 59 === 0, 9000000L, revTail))
+      .select(id, col("source"),
+        concat(lit(htmlPrefix), col("text"), lit(htmlSuffix),
+          when(id % 23 === 0, lit("�")).otherwise(lit(""))).as("raw"))
+  }
+
+  /** The INCREMENTAL release ([[graft.plans.IncrementalRelease]]) —
+    * day 0 releases from scratch (the durable [[graft.plans.ReleaseRun]]
+    * form), its stage tables bootstrap the standing state (minhash /
+    * holdout / conversation / ANN stores + append-only delta tables),
+    * and day 1's crawl batch ([[crawl3RawBatch]]) releases in
+    * O(batch): every probe of yesterday's corpus goes through a
+    * standing index, history is never rescanned. The oracle is the
+    * strongest possible pin: the FROM-SCRATCH pyramid over
+    * day-0 ∪ batch — the incremental composition must reproduce a
+    * full re-release row for row. */
+  private val qPipelineReleaseIncr: Q = (s, dir) => {
+    val root = s"$twinRoot/release_incr/${new java.io.File(dir).getName}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.plans.ReleaseRun.run(s,
+      releaseRawInput(s, dir), pq(s, dir, "embeddings"),
+      keep => sftTranscriptsOf(s, keep),
+      () => releaseMerges(s, dir),
+      s"$root/day0").get
+    graft.plans.IncrementalRelease.bootstrap(s, s"$root/day0", s"$root/state")
+    graft.plans.IncrementalRelease.run(s,
+      crawl3RawBatch(s, dir), pq(s, dir, "embeddings"),
+      keep => sftTranscriptsOf(s, keep),
+      () => releaseMerges(s, dir),
+      s"$root/state")
+  }
+
   /** Unigram-distribution drift between the even-id and odd-id
     * corpus halves ([[graft.operators.Profile.tokenDrift]]): hashed
     * token buckets, per-bucket quantized Jensen–Shannon terms, the
@@ -3803,6 +3903,7 @@ object ExtensionQueries {
     "q_pipeline_sft_ledger" -> qPipelineSftLedger,
     "q_pipeline_release" -> qPipelineRelease,
     "q_pipeline_release_run" -> qPipelineReleaseRun,
+    "q_pipeline_release_incr" -> qPipelineReleaseIncr,
     "q_pipeline_pref" -> qPipelinePref,
     "q_pipeline_pref_ledger" -> qPipelinePrefLedger,
     "q_chat_dedup" -> qChatDedup,
@@ -8084,22 +8185,20 @@ object ExtensionQueries {
     * ten-stage first-fail ledger, and the count/id-sum tie-out —
     * every survivor set and every reject reason recomputed
     * independently, so drift at ANY stage boundary hash-mismatches. */
-  private val pipelineReleaseSql: String = {
-    val raw = s"('$htmlPrefix' || text || '$htmlSuffix'" +
-      " || CASE WHEN doc_id % 23 = 0 THEN chr(65533) ELSE '' END)"
-    val cleaned = TextFunctions.normalizeTextSql(
-      TextFunctions.stripBoilerplateSql("raw"))
-    val serpentine =
-      "CASE WHEN (rn0 // 4) % 2 = 0 THEN rn0 % 4 ELSE 3 - (rn0 % 4) END"
-    s"""WITH RECURSIVE ${textBpeCtes(8)},
-       |rl_qm0 AS MATERIALIZED (
+  /** Day-0 raw-input construction CTEs — the [[releaseRawInput]]
+    * replay (documents ∪ the deterministic second crawl), emitted
+    * under a caller-chosen CTE name so the from-scratch pyramid can
+    * run over day-0 alone (`q_pipeline_release`) or over day-0 ∪ a
+    * later crawl batch (`q_pipeline_release_incr`). */
+  private def releaseInputCtes(name: String): String =
+    s"""rl_qm0 AS MATERIALIZED (
        |  SELECT doc_id, CAST(doc_id AS HUGEINT) AS x FROM documents),
        |${HashSql.mixCtes("rl_qm", "rl_qm0", "doc_id")},
        |rl_toks AS (SELECT d.doc_id, d.source, d.text,
        |    list_filter(regexp_split_to_array(d.text, '$ws+'), x -> x <> '') AS t,
        |    ((m.x // 2) % 100 >= 90 AND d.doc_id % 2 = 0) AS is_quote
        |  FROM documents d JOIN rl_qm4 m ON m.doc_id = d.doc_id),
-       |rl_in AS MATERIALIZED (
+       |$name AS MATERIALIZED (
        |  SELECT doc_id, source, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000, source,
@@ -8111,8 +8210,19 @@ object ExtensionQueries {
        |            for i in range(1, len(t) + 1)], ' ')
        |    END
        |  FROM rl_toks
-       |  WHERE doc_id % 41 = 0 OR is_quote OR doc_id % 43 = 0),
-       |rl_raw AS (SELECT doc_id, source, $raw AS raw FROM rl_in),
+       |  WHERE doc_id % 41 = 0 OR is_quote OR doc_id % 43 = 0)""".stripMargin
+
+  /** The from-scratch release pyramid over an input CTE named
+    * `rl_in` — every stage of [[graft.operators.Release.pipeline]]
+    * replayed in SQL, input-agnostic past the first CTE. */
+  private val releasePyramidSql: String = {
+    val raw = s"('$htmlPrefix' || text || '$htmlSuffix'" +
+      " || CASE WHEN doc_id % 23 = 0 THEN chr(65533) ELSE '' END)"
+    val cleaned = TextFunctions.normalizeTextSql(
+      TextFunctions.stripBoilerplateSql("raw"))
+    val serpentine =
+      "CASE WHEN (rn0 // 4) % 2 = 0 THEN rn0 % 4 ELSE 3 - (rn0 % 4) END"
+    s"""rl_raw AS (SELECT doc_id, source, $raw AS raw FROM rl_in),
        |rl_clean AS MATERIALIZED (SELECT doc_id, source, $cleaned AS text
        |  FROM rl_raw WHERE ${TextFunctions.encodingOkSql("raw")}),
        |rl_b AS (SELECT doc_id, source, text, $langBestSql AS __best
@@ -8283,6 +8393,82 @@ object ExtensionQueries {
        |       + (SELECT COALESCE(sum(doc_id), 0) FROM rl_led) AS BIGINT)
        |       AS VARCHAR)""".stripMargin
   }
+
+  private val pipelineReleaseSql: String =
+    s"WITH RECURSIVE ${textBpeCtes(8)},\n" +
+      releaseInputCtes("rl_in") + ",\n" + releasePyramidSql
+
+  /** The incremental-release oracle: the SAME from-scratch pyramid,
+    * run over day-0 ∪ the third crawl ([[crawl3RawBatch]] replay) —
+    * pinning the O(batch) incremental composition row-identical to a
+    * full re-release over the union. The `rl0_*` preamble replays
+    * day-0's stage-1 gates (the `ingested(d)` target guard) and
+    * `c3_sm*` replays the split of the +4M markup ids (the
+    * no-retroaction guard). */
+  private val pipelineReleaseIncrSql: String = {
+    val raw0 = s"('$htmlPrefix' || text || '$htmlSuffix'" +
+      " || CASE WHEN doc_id % 23 = 0 THEN chr(65533) ELSE '' END)"
+    val cleaned0 = TextFunctions.normalizeTextSql(
+      TextFunctions.stripBoilerplateSql("raw"))
+    s"WITH RECURSIVE ${textBpeCtes(8)},\n" +
+      releaseInputCtes("rl_in0") + ",\n" +
+      s"""rl0_raw AS (SELECT doc_id, source, $raw0 AS raw FROM rl_in0
+         |  WHERE doc_id < 1000000),
+         |rl0_clean AS (SELECT doc_id, source, $cleaned0 AS text
+         |  FROM rl0_raw WHERE ${TextFunctions.encodingOkSql("raw")}),
+         |rl0_b AS (SELECT doc_id, source, text, $langBestSql AS __best
+         |  FROM rl0_clean),
+         |rl0_ing AS MATERIALIZED (SELECT doc_id FROM rl0_b
+         |  WHERE ($langPredCaseSql = 'en')
+         |    AND ($alphaRatioSql * 0.4 + $stopRatioSql * 0.3
+         |      + least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.2
+         |      + (1.0 - $punctRatioSql) * 0.1 >= 0.5)
+         |    AND ($nTokensSql BETWEEN 5 AND 1000)),
+         |c3_sm0 AS (SELECT doc_id, CAST(doc_id + 4000000 AS HUGEINT) AS x
+         |  FROM documents),
+         |${HashSql.mixCtes("c3_sm", "c3_sm0", "doc_id")},
+         |c3_t AS (SELECT d.doc_id, d.source, d.text,
+         |    list_filter(regexp_split_to_array(d.text, '$ws+'), x -> x <> '') AS t,
+         |    (d.doc_id IN (SELECT doc_id FROM rl0_ing)) AS ing,
+         |    ((m.x // 2) % 100 < 90) AS c_ok
+         |  FROM documents d JOIN c3_sm4 m ON m.doc_id = d.doc_id),
+         |rl_c3 AS MATERIALIZED (
+         |  SELECT doc_id + 2000000 AS doc_id, source, text FROM c3_t
+         |    WHERE doc_id % 37 = 0 AND ing
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, source, array_to_string(
+         |      list_slice(t, 1, CAST(ceil(0.75 * len(t)) AS INT)), ' ')
+         |    FROM c3_t WHERE doc_id % 43 = 0 AND ing
+         |  UNION ALL
+         |  SELECT doc_id + 4000000, source, array_to_string(
+         |      [CASE WHEN i % 3 = 0 THEN t[i] || ' ,' ELSE t[i] END
+         |       for i in range(1, len(t) + 1)], ' ')
+         |    FROM c3_t WHERE doc_id % 47 = 0 AND ing AND c_ok
+         |  UNION ALL
+         |  SELECT doc_id + 5000000, source,
+         |      array_to_string(list_reverse(t), ' ')
+         |    FROM c3_t WHERE doc_id % 7 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 6000000, source,
+         |      array_to_string(list_reverse(t), ' ')
+         |    FROM c3_t WHERE doc_id % 53 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 7000000, source,
+         |      array_to_string(list_reverse(t), ' ')
+         |    FROM c3_t WHERE doc_id % 53 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 8000000, source,
+         |      array_to_string(list_reverse(t), ' ')
+         |    FROM c3_t WHERE doc_id % 59 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 9000000, source,
+         |      array_to_string(list_reverse(t) || ['zq', 'zq', 'zq'], ' ')
+         |    FROM c3_t WHERE doc_id % 59 = 0),
+         |rl_in AS MATERIALIZED (
+         |  SELECT * FROM rl_in0 UNION ALL SELECT * FROM rl_c3),
+         |""".stripMargin + releasePyramidSql
+  }
+
 
   /** Mirrors [[qTextDrift]]: per-half token hashes through the
     * salt-XOR + staged SplitMix64 ([[HashSql.mixCtes]]), bucket
@@ -8631,6 +8817,7 @@ object ExtensionQueries {
     "q_pipeline_sft_ledger" -> pipelineSftLedgerSql,
     "q_pipeline_release" -> pipelineReleaseSql,
     "q_pipeline_release_run" -> pipelineReleaseSql,
+    "q_pipeline_release_incr" -> pipelineReleaseIncrSql,
     "q_pipeline_pref" -> pipelinePrefSql,
     "q_pipeline_pref_ledger" -> pipelinePrefLedgerSql,
     "q_chat_dedup" -> chatDedupSql,
