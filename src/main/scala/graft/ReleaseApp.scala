@@ -10,8 +10,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   runMain graft.ReleaseApp --sf-dir=/root/testdata/sf0.01 \
-  *     --out=/data/release_run [--cpus=8] [--capacity=512]
-  *     [--num-shards=4]
+  *     --out=/data/release_run [--cpus=8]
+  *     [--config=release.json]  # gates/thresholds as reviewable JSON
+  *                              #   ([[graft.plans.ReleaseConfig]])
+  *     [--capacity=512] [--num-shards=4]  # overrides on the config
   *     [--stop-after=s5_keep]   # halt after a stage (crash drill)
   *     [--fresh=true]           # delete the run dir first
   *
@@ -43,6 +45,17 @@ object ReleaseApp {
           new java.net.URI(out), spark.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(out), true)
       }
+      // gates/thresholds from a reviewable JSON file (the --plan=
+      // discipline applied to the release); --capacity/--num-shards
+      // remain as overrides on top of whatever the config says
+      val cfg0 = args.get("config")
+        .map(p => graft.plans.ReleaseConfig.fromJson(spark, p))
+        .getOrElse(graft.plans.ReleaseConfig())
+      val cfg = cfg0.copy(pack = cfg0.pack.copy(
+        capacity = args.get("capacity").map(_.toInt)
+          .getOrElse(cfg0.pack.capacity),
+        numShards = args.get("num-shards").map(_.toInt)
+          .getOrElse(cfg0.pack.numShards)))
       val result = graft.plans.ReleaseRun.run(
         spark,
         graft.queries.ExtensionQueries.releaseRawInput(spark, sfDir),
@@ -50,8 +63,7 @@ object ReleaseApp {
         keep => graft.queries.ExtensionQueries.sftTranscriptsOf(spark, keep),
         () => graft.queries.ExtensionQueries.releaseMerges(spark, sfDir),
         out,
-        capacity = args.get("capacity").map(_.toInt).getOrElse(512),
-        numShards = args.get("num-shards").map(_.toInt).getOrElse(4),
+        cfg,
         stopAfter = args.get("stop-after"))
       result match {
         case None =>

@@ -103,8 +103,11 @@ object Release {
 
   /** Stage-1 scored frame: strip → normalize → lang/quality/length
     * flags, scored exactly once per row (the `__mid` pushdown
-    * barrier). Input must carry `__enc_ok` ([[withEncOk]]). */
-  private[graft] def scoredGates(raw: DataFrame): DataFrame =
+    * barrier). Input must carry `__enc_ok` ([[withEncOk]]); the gate
+    * bars come from the [[graft.plans.ReleaseConfig]]. */
+  private[graft] def scoredGates(
+      raw: DataFrame,
+      cfg: graft.plans.ReleaseConfig = graft.plans.ReleaseConfig()): DataFrame =
     raw.filter(col("__enc_ok"))
       .select(col("doc_id"), col("source"),
         TextFunctions.normalizeText(
@@ -115,9 +118,9 @@ object Release {
         TextFunctions.tokenCount(col("text")).as("__tok"),
         monotonically_increasing_id().as("__mid"))
       .filter(col("__mid") >= 0) // pushdown barrier: score once per row
-      .withColumn("__lang_ok", col("__lang") === "en")
-      .withColumn("__q_ok", col("__q") >= 0.5)
-      .withColumn("__len_ok", col("__tok").between(5, 1000))
+      .withColumn("__lang_ok", col("__lang") === cfg.lang)
+      .withColumn("__q_ok", col("__q") >= cfg.minQuality)
+      .withColumn("__len_ok", col("__tok").between(cfg.minTokens, cfg.maxTokens))
 
   /** Stage-1 ledger rows: encoding rejects over the flagged raw frame
     * plus first-fail gate reasons over the scored frame. */
@@ -141,10 +144,11 @@ object Release {
   /** Stage-6 contract + tool-protocol gates over parsed turns:
     * (contractRejects, toolRejects, admitted doc ids). */
   private[graft] def sftGateRows(
-      turns: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      turns: DataFrame,
+      toolNames: Seq[String] = Seq("search", "calc")): (DataFrame, DataFrame, DataFrame) = {
     val contract = Chat.validateTurns(turns, "doc_id",
       roles = Chat.allowedRoles :+ "tool")
-    val tool = Chat.validateToolUse(turns, "doc_id", Seq("search", "calc"))
+    val tool = Chat.validateToolUse(turns, "doc_id", toolNames)
     val contractRejects = contract.filter(!col("valid"))
       .select(col("doc_id"), lit("contract").as("stage"),
         concat_ws(",",
@@ -178,16 +182,17 @@ object Release {
     * chat-template overhead; loss mass = assistant-turn subwords.
     * No dedup applied — callers anti-join their own reject set. */
   private[graft] def convCosted(
-      aturns: DataFrame, merges: Seq[(String, String)]): DataFrame =
+      aturns: DataFrame, merges: Seq[(String, String)],
+      turnOverhead: Long = 4L, groups: Long = 8L): DataFrame =
     aturns
       .withColumn("__tok",
         when(col("content").isNull, lit(0L))
           .otherwise(Bpe.tokenCountCol(col("content"), merges)))
       .groupBy("doc_id")
-      .agg((sum(col("__tok")) + lit(4L) * count(lit(1))).as("n_tokens"),
+      .agg((sum(col("__tok")) + lit(turnOverhead) * count(lit(1))).as("n_tokens"),
         sum(when(col("role") === "assistant", col("__tok")).otherwise(0L))
           .as("loss_tokens"))
-      .withColumn("grp", pmod(col("doc_id"), lit(8L)))
+      .withColumn("grp", pmod(col("doc_id"), lit(groups)))
 
   def pipeline(
       s: SparkSession,
@@ -196,8 +201,7 @@ object Release {
       transcriptsOf: DataFrame => DataFrame,
       merges: () => Seq[(String, String)],
       st: Stager,
-      capacity: Int = 512,
-      numShards: Int = 4): DataFrame = {
+      cfg: graft.plans.ReleaseConfig = graft.plans.ReleaseConfig()): DataFrame = {
     val id = col("doc_id")
 
     // 0 — the input is itself a boundary: stage 1 and the reconcile
@@ -206,7 +210,7 @@ object Release {
 
     // 1 — ingest
     val raw = withEncOk(input)
-    val gated = st("s1_gated")(scoredGates(raw))
+    val gated = st("s1_gated")(scoredGates(raw, cfg))
     val (encRejects, gateRejects) = ingestRejectRows(raw, gated)
     val ingested = ingestedRows(gated)
 
@@ -223,8 +227,9 @@ object Release {
     // 3 — capped near-dup keep-one
     val ndRejects = st("s3_nd_rejects") {
       val ndPairs = Dedup.minhashPairs(exact, "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
-        maxBucketSize = Some(12)).select("id_a", "id_b")
+        cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.dedup.bands,
+        cfg.dedup.jaccardThreshold,
+        maxBucketSize = cfg.dedup.maxBucketSize).select("id_a", "id_b")
       Dedup.connectedComponents(ndPairs)
         .filter(col("id") =!= col("rep"))
         .select(col("id").as("doc_id"), lit("neardup").as("stage"),
@@ -233,7 +238,8 @@ object Release {
     val nd = exact.join(ndRejects.select("doc_id"), Seq("doc_id"), "left_anti")
 
     // 4 — split: the test holdout leaves the training corpus
-    val split = st("s4_split")(Sampling.hashSplit(nd, "doc_id"))
+    val split = st("s4_split")(Sampling.hashSplit(nd, "doc_id",
+      cfg.split.trainPct, cfg.split.valPct))
     val holdout = split.filter(col("split") === "test")
       .select(id, col("text"))
     val holdoutRejects = holdout
@@ -250,7 +256,8 @@ object Release {
     // with P ~ 0.999 instead of a coin flip.
     val lexOkIds = st("s5_lex_ok")(
       Dedup.dedupAgainst(tv, holdout, "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 32, jaccardThreshold = 0.35)
+          cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.decontam.bands,
+          cfg.decontam.jaccardThreshold)
         .select("doc_id"))
     val lexRejects = tv.select("doc_id")
       .join(lexOkIds, Seq("doc_id"), "left_anti")
@@ -261,10 +268,12 @@ object Release {
       tv.select(id.as("vec_id")), Seq("vec_id"), "left_semi"))
     val semHits = st("s5_sem_hits") {
       val cents = Similarity.kmeansCentroidsDistributed(
-        testEmb, "vec_id", "embedding", nlist = 8, iters = 2)
+        testEmb, "vec_id", "embedding",
+        nlist = cfg.decontam.semanticNlist, iters = cfg.decontam.semanticIters)
       val semOkIds = Dedup.semanticDedupAgainst(
           tvEmb, testEmb, "vec_id", "embedding", cents,
-          threshold = 0.3, maxClusterSize = Some(6))
+          threshold = cfg.decontam.semanticThreshold,
+          maxClusterSize = cfg.decontam.semanticMaxCluster)
         .select(col("vec_id").as("doc_id"))
       tvEmb.select(col("vec_id").as("doc_id"))
         .join(semOkIds, Seq("doc_id"), "left_anti")
@@ -278,22 +287,26 @@ object Release {
     val turns = st("s6_turns")(Chat.parseToolTurns(
       transcriptsOf(keep.select("doc_id", "text")),
       "doc_id", "transcript"))
-    val (contractRejects, toolRejects, admitted) = sftGateRows(turns)
+    val (contractRejects, toolRejects, admitted) =
+      sftGateRows(turns, cfg.sft.toolNames)
     val aturns = st("s6_aturns")(turns.join(admitted, "doc_id"))
     val sftDupRejects = st("s6_dup_rejects") {
       val convo = convoTexts(aturns)
       val sftPairs = Dedup.minhashPairs(convo, "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
-        maxBucketSize = Some(12)).select("id_a", "id_b")
+        cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.dedup.bands,
+        cfg.dedup.jaccardThreshold,
+        maxBucketSize = cfg.dedup.maxBucketSize).select("id_a", "id_b")
       Dedup.connectedComponents(sftPairs)
         .filter(col("id") =!= col("rep"))
         .select(col("id").as("doc_id"), lit("sft_dedup").as("stage"),
           concat(lit("dup_of_"), col("rep").cast("string")).as("reason"))
     }
-    val conv = st("s6_conv")(convCosted(aturns, merges())
+    val conv = st("s6_conv")(convCosted(aturns, merges(),
+        cfg.sft.turnOverhead, cfg.sft.groups)
       .join(sftDupRejects.select("doc_id"), Seq("doc_id"), "left_anti"))
     val packed = st("s6_packed")(
-      Packing.packBinsByCount(conv, "doc_id", "grp", "n_tokens", capacity)
+      Packing.packBinsByCount(conv, "doc_id", "grp", "n_tokens",
+        cfg.pack.capacity)
         .select(col("id").as("doc_id"), col("grp"), col("n_tokens"),
           col("bin_id"))
         .join(conv.select("doc_id", "loss_tokens"), "doc_id"))
@@ -302,7 +315,7 @@ object Release {
     val bins = packed.groupBy("grp", "bin_id")
       .agg(sum(col("n_tokens")).as("bin_tokens"))
     val shards = Packing.balancedShards(bins, "bin_id", "bin_tokens",
-      numShards, groupCol = Some("grp"))
+      cfg.pack.numShards, groupCol = Some("grp"))
 
     // 8 — per-source manifest of the released training docs
     val manifest = Profile.manifestMerge(

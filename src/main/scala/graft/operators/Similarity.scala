@@ -654,12 +654,49 @@ object Similarity {
       idCol, vecCol, k, centroids, nprobe)
     val exact = ivfTopKBatch(queries, corpus, queryIdCol, queryVecCol,
       idCol, vecCol, k, centroids, nprobe = centroids.length)
+    recallOf(exact, probed)
+  }
+
+  /** Per-query recall@k of `probed` against `exact` — both in the
+    * (query_id, id, …) top-k shape. The shared arithmetic of the
+    * recall audits. */
+  private def recallOf(exact: DataFrame, probed: DataFrame): DataFrame =
     exact.select(col("query_id"), col("id"))
       .join(probed.select(col("query_id"), col("id"), lit(1).as("__hit")),
         Seq("query_id", "id"), "left")
       .groupBy("query_id")
       .agg(count(col("__hit")).as("hits"),
         (count(col("__hit")).cast("double") / count(lit(1))).as("recall"))
+
+  /** [[recallAudit]]'s sign-LSH twin — the measurement that SETS
+    * [[lshTopKBatch]]'s Hamming radius (`probeHamming`), closing the
+    * read-side symmetry with the IVF/IVF-PQ families (each family's
+    * probe dial gets its own recall-vs-exhaustive audit; without this
+    * one the radius was chosen blind): per query, recall@k of the
+    * radius-`probeHamming` Hamming-ball answer against the exhaustive
+    * answer. The exhaustive side is [[lshTopKBatch]] at
+    * `probeHamming = numPlanes` — the ball covers every bucket, which
+    * IS brute force (ScaleOpsSpec pins that equivalence and the
+    * monotone-in-radius recall curve). Run it on a SAMPLED query set,
+    * same as the IVF audit — the exhaustive side costs
+    * |queries| × corpus by construction. */
+  def recallAuditLsh(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numPlanes: Int = 10,
+      dim: Int = 64,
+      probeHamming: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val probed = lshTopKBatch(queries, corpus, queryIdCol, queryVecCol,
+      idCol, vecCol, k, numPlanes, dim, probeHamming, seed)
+    val exact = lshTopKBatch(queries, corpus, queryIdCol, queryVecCol,
+      idCol, vecCol, k, numPlanes, dim, probeHamming = numPlanes, seed)
+    recallOf(exact, probed)
   }
 
   /** LSH-bucketed ANN top-k: probe all buckets within `probeHamming`

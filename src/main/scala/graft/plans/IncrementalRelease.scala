@@ -99,7 +99,8 @@ object IncrementalRelease {
   def bootstrap(
       spark: SparkSession,
       runDir: String,
-      stateDir: String): Unit = {
+      stateDir: String,
+      cfg: ReleaseConfig = ReleaseConfig()): Unit = {
     def st(name: String) = spark.read.parquet(s"$runDir/stages/$name")
     val s2 = st("s2_exact").select("doc_id", "source", "text")
     val holdout = st("s4_split").filter(col("split") === "test")
@@ -113,18 +114,22 @@ object IncrementalRelease {
     val input = st("s0_input")
 
     DedupIndexStore.buildMinhash(spark, s"$stateDir/corpus_minhash",
-      s2, "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16)
+      s2, "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
+      cfg.dedup.bands)
     DedupIndexStore.buildMinhash(spark, s"$stateDir/holdout_minhash",
-      holdout, "doc_id", "text", shingleN = 3, numHashes = 64, bands = 32)
+      holdout, "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
+      cfg.decontam.bands)
     // the FROZEN semantic model: the same deterministic training the
-    // pipeline's stage 5 runs (day-0 holdout embeddings, nlist 8)
+    // pipeline's stage 5 runs (day-0 holdout embeddings)
     val cents = Similarity.kmeansCentroidsDistributed(
-      testEmb, "vec_id", "embedding", nlist = 8, iters = 2)
+      testEmb, "vec_id", "embedding",
+      nlist = cfg.decontam.semanticNlist, iters = cfg.decontam.semanticIters)
     AnnIndex.buildAndWriteIvf(spark, s"$stateDir/holdout_ann",
       testEmb, "vec_id", "embedding", cents)
     val convs = Release.convoTexts(aturns)
     DedupIndexStore.buildMinhash(spark, s"$stateDir/conv_minhash",
-      convs, "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16)
+      convs, "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
+      cfg.dedup.bands)
 
     app(spark, stateDir, "corpus_texts", s2)
     app(spark, stateDir, "holdout_texts", holdout)
@@ -187,14 +192,31 @@ object IncrementalRelease {
       transcriptsOf: DataFrame => DataFrame,
       merges: () => Seq[(String, String)],
       stateDir: String,
-      capacity: Int = 512,
-      numShards: Int = 4): DataFrame = {
+      cfg: ReleaseConfig = ReleaseConfig()): DataFrame = {
+    runDeltas(spark, batchRaw, embeddings, transcriptsOf, merges,
+      stateDir, cfg)
+    artifact(spark, stateDir, cfg.pack.numShards)
+  }
+
+  /** [[run]] without the terminal artifact assembly — the per-batch
+    * unit a STREAMING caller ([[graft.streaming.StreamOps.releaseStream]])
+    * executes: a continuous crawl feed releases one micro-batch at a
+    * time, and the artifact is assembled on demand ([[artifact]]),
+    * not per batch. */
+  def runDeltas(
+      spark: SparkSession,
+      batchRaw: DataFrame,
+      embeddings: DataFrame,
+      transcriptsOf: DataFrame => DataFrame,
+      merges: () => Seq[(String, String)],
+      stateDir: String,
+      cfg: ReleaseConfig = ReleaseConfig()): Unit = {
     val id = col("doc_id")
 
     // 1 — ingest gates (the shared expression blocks)
     val input = batchRaw.select(id, col("source"), col("raw")).localCheckpoint()
     val raw = Release.withEncOk(input)
-    val gated = Release.scoredGates(raw).localCheckpoint()
+    val gated = Release.scoredGates(raw, cfg).localCheckpoint()
     val (encRejects, gateRejects) = Release.ingestRejectRows(raw, gated)
     val ingested = Release.ingestedRows(gated)
 
@@ -225,8 +247,9 @@ object IncrementalRelease {
     val ndRepMap = seg(spark, stateDir, "nd_reps", "doc_id", "rep")
       .select(col("doc_id").as("cid"), col("rep"))
     val crossNd = Dedup.dedupAgainstMatches(batchExact, corpusTexts,
-        "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
-        jaccardThreshold = 0.5, maxBucketSize = Some(12),
+        "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
+        cfg.dedup.bands, cfg.dedup.jaccardThreshold,
+        maxBucketSize = cfg.dedup.maxBucketSize,
         index = Some(storeBands))
       .join(ndRepMap, Seq("cid"), "left")
       .select(col("id"), coalesce(col("rep"), col("cid")).as("rep"))
@@ -239,8 +262,9 @@ object IncrementalRelease {
       Seq("doc_id"), "left_anti")
     val withinNd = Dedup.connectedComponents(
         Dedup.minhashPairs(afterCrossNd, "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
-          maxBucketSize = Some(12)).select("id_a", "id_b"))
+          cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.dedup.bands,
+          cfg.dedup.jaccardThreshold,
+          maxBucketSize = cfg.dedup.maxBucketSize).select("id_a", "id_b"))
       .filter(col("id") =!= col("rep"))
       .localCheckpoint()
     val withinNdRejects = withinNd.select(col("id").as("doc_id"),
@@ -260,7 +284,8 @@ object IncrementalRelease {
 
     // 4 — split; the holdout stores grow BEFORE the decontam probe so
     // batch-tv-vs-batch-holdout hits surface exactly like the union's
-    val split = Sampling.hashSplit(batchNd, "doc_id")
+    val split = Sampling.hashSplit(batchNd, "doc_id",
+      cfg.split.trainPct, cfg.split.valPct)
     val batchHold = split.filter(col("split") === "test")
       .select(id, col("text")).localCheckpoint()
     val holdoutRejects = batchHold
@@ -275,7 +300,8 @@ object IncrementalRelease {
     // then semantic vs the persisted ANN index (frozen centroids)
     val holdTexts = seg(spark, stateDir, "holdout_texts", "doc_id", "text")
     val lexOkIds = Dedup.dedupAgainst(batchTv, holdTexts, "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 32, jaccardThreshold = 0.35,
+        cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.decontam.bands,
+        cfg.decontam.jaccardThreshold,
         index = Some(DedupIndexStore.readMinhash(spark, s"$stateDir/holdout_minhash")))
       .select("doc_id").localCheckpoint()
     val lexRejects = batchTv.select("doc_id")
@@ -290,7 +316,8 @@ object IncrementalRelease {
       batchTv.select(id.as("vec_id")), Seq("vec_id"), "left_semi")
     val semOkIds = Dedup.semanticDedupAgainst(
         batchTvEmb, ann.assigned, "vec_id", "embedding", ann.centroids,
-        threshold = 0.3, maxClusterSize = Some(6),
+        threshold = cfg.decontam.semanticThreshold,
+        maxClusterSize = cfg.decontam.semanticMaxCluster,
         index = Some(annCorpus(ann.assigned)))
       .select(col("vec_id").as("doc_id"))
     val semHits = batchTvEmb.select(col("vec_id").as("doc_id"))
@@ -305,15 +332,17 @@ object IncrementalRelease {
     val turns = Chat.parseToolTurns(
       transcriptsOf(keep.select("doc_id", "text")), "doc_id", "transcript")
       .localCheckpoint()
-    val (contractRejects, toolRejects, admitted) = Release.sftGateRows(turns)
+    val (contractRejects, toolRejects, admitted) =
+      Release.sftGateRows(turns, cfg.sft.toolNames)
     val aturns = turns.join(admitted, "doc_id").localCheckpoint()
     val convs = Release.convoTexts(aturns).localCheckpoint()
     val convTexts = seg(spark, stateDir, "conv_texts", "doc_id", "text")
     val convRepMap = seg(spark, stateDir, "conv_reps", "doc_id", "rep")
       .select(col("doc_id").as("cid"), col("rep"))
     val crossConv = Dedup.dedupAgainstMatches(convs, convTexts,
-        "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
-        jaccardThreshold = 0.5, maxBucketSize = Some(12),
+        "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
+        cfg.dedup.bands, cfg.dedup.jaccardThreshold,
+        maxBucketSize = cfg.dedup.maxBucketSize,
         index = Some(DedupIndexStore.readMinhash(spark, s"$stateDir/conv_minhash")))
       .join(convRepMap, Seq("cid"), "left")
       .select(col("id"), coalesce(col("rep"), col("cid")).as("rep"))
@@ -323,8 +352,9 @@ object IncrementalRelease {
       Seq("doc_id"), "left_anti")
     val withinConv = Dedup.connectedComponents(
         Dedup.minhashPairs(afterCrossConv, "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
-          maxBucketSize = Some(12)).select("id_a", "id_b"))
+          cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.dedup.bands,
+          cfg.dedup.jaccardThreshold,
+          maxBucketSize = cfg.dedup.maxBucketSize).select("id_a", "id_b"))
       .filter(col("id") =!= col("rep"))
       .localCheckpoint()
     val sftDupRejects = crossConv.select(col("id").as("doc_id"),
@@ -339,7 +369,8 @@ object IncrementalRelease {
     app(spark, stateDir, "conv_reps",
       crossConv.select(col("id").as("doc_id"), col("rep"))
         .unionByName(withinConv.select(col("id").as("doc_id"), col("rep"))))
-    val conv = Release.convCosted(aturns, merges())
+    val conv = Release.convCosted(aturns, merges(),
+        cfg.sft.turnOverhead, cfg.sft.groups)
       .join(sftDupRejects.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
 
@@ -348,7 +379,7 @@ object IncrementalRelease {
     // next-fit over the union in id order
     val tail = latestPackState(spark, stateDir).localCheckpoint()
     val batchPacked = Packing.packBinsByCountFrom(conv, "doc_id", "grp",
-        "n_tokens", capacity, tail.select("grp", "bin_id", "fill"))
+        "n_tokens", cfg.pack.capacity, tail.select("grp", "bin_id", "fill"))
       .select(col("id").as("doc_id"), col("grp"), col("n_tokens"),
         col("bin_id"))
       .join(conv.select("doc_id", "loss_tokens"), "doc_id")
@@ -390,8 +421,6 @@ object IncrementalRelease {
           rAcc.getLong(0), l(rAcc, 1))),
         org.apache.spark.sql.types.StructType.fromDDL(
           "n_input BIGINT, sum_input BIGINT, n_acc BIGINT, sum_acc BIGINT")))
-
-    artifact(spark, stateDir, numShards)
   }
 
   /** The union artifact in [[Release.pipeline]]'s (part, k, v) shape,

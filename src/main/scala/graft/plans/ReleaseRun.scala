@@ -109,12 +109,10 @@ object ReleaseRun {
       transcriptsOf: DataFrame => DataFrame,
       merges: () => Seq[(String, String)],
       outDir: String,
-      capacity: Int = 512,
-      numShards: Int = 4,
+      cfg: graft.plans.ReleaseConfig = graft.plans.ReleaseConfig(),
       stopAfter: Option[String] = None): Option[DataFrame] =
     runWithStager(spark, rawInput, embeddings, transcriptsOf, merges,
-      outDir, new DurableStager(spark, outDir, stopAfter),
-      capacity, numShards)
+      outDir, new DurableStager(spark, outDir, stopAfter), cfg)
 
   /** A resumed run must be resuming THE SAME run: the stage tables
     * freeze the original input, but the live side inputs (the
@@ -136,8 +134,7 @@ object ReleaseRun {
       rawInput: DataFrame,
       embeddings: DataFrame,
       outDir: String,
-      capacity: Int,
-      numShards: Int): Unit = {
+      cfg: graft.plans.ReleaseConfig): Unit = {
     import org.apache.spark.sql.functions.{col, count, sum, xxhash64}
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
@@ -154,7 +151,7 @@ object ReleaseRun {
       xxhash64(col("source"), col("raw"))) + ":" +
       digest(embeddings, "vec_id",
         xxhash64(col("vec_id"), col("embedding"))) +
-      s":$capacity:$numShards"
+      s":${cfg.canonical}"
     if (!fs.exists(p)) {
       val tmp = new org.apache.hadoop.fs.Path(
         s"$outDir/_fingerprint.tmp-${java.util.UUID.randomUUID()}")
@@ -189,9 +186,8 @@ object ReleaseRun {
       merges: () => Seq[(String, String)],
       outDir: String,
       st: DurableStager,
-      capacity: Int,
-      numShards: Int): Option[DataFrame] = {
-    verifyRunFingerprint(spark, rawInput, embeddings, outDir, capacity, numShards)
+      cfg: graft.plans.ReleaseConfig = graft.plans.ReleaseConfig()): Option[DataFrame] = {
+    verifyRunFingerprint(spark, rawInput, embeddings, outDir, cfg)
     // sweep staging trees a CRASHED run abandoned (subtree untouched
     // for an hour — a live concurrent runner's in-flight staging is
     // never touched); without this, repeated crash/resume cycles
@@ -202,7 +198,7 @@ object ReleaseRun {
       new org.apache.hadoop.fs.Path(s"$outDir/_staging"))
     val parts =
       try Release.pipeline(spark, rawInput, embeddings, transcriptsOf,
-        merges, st, capacity, numShards)
+        merges, st, cfg)
       catch { case _: ReleaseHalted => return None }
     // stopAfter on the FINAL stage halts before the terminal write too
     if (st.haltedNow) return None

@@ -1276,6 +1276,25 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 5, cents, nprobe = 2)
   }
 
+  /** [[qSimRecallAudit]]'s sign-LSH twin
+    * ([[Similarity.recallAuditLsh]]) — the measurement that SETS the
+    * Hamming radius of [[Similarity.lshTopKBatch]], closing the
+    * read-side symmetry across the three index families (IVF and
+    * IVF-PQ had their recall dial; the LSH radius was chosen blind):
+    * recall@5 of the radius-1 ball against exhaustive, over the same
+    * query/corpus split and the same frozen 8 hyperplanes as
+    * `q_sim_lsh_batch`, at the production radius 2 — where this
+    * fixture reads recall 0.0-0.6 per query (the knee is higher):
+    * exactly the evidence that sets the dial. */
+  private val qSimRecallAuditLsh: Q = (s, dir) => {
+    val emb = pq(s, dir, "embeddings")
+    Similarity.recallAuditLsh(
+      emb.filter(col("vec_id").between(1, 5)),
+      emb.filter(col("vec_id") >= 6),
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, numPlanes = 8, probeHamming = 2)
+  }
+
   /** Margin-based pair mining ([[Similarity.marginMinedPairs]] — the
     * Artetxe & Schwenk ratio margin): src = vec_id 1..5 mined against
     * the vec_id ≥ 6 corpus under the shared distributed-k-means
@@ -2916,10 +2935,13 @@ object ExtensionQueries {
   private val qChatPack: Q = (s, dir) => {
     import graft.operators.{Chat, Packing}
     val turns = Chat.parseTurns(chatTranscripts(s, dir), "doc_id", "transcript")
+    // BPE-costed under the FROZEN release tokenizer (the ws-token
+    // unit misjudges a context window by the measured 3.74x)
     val conv = turns
       .withColumn("__tok",
         when(col("content").isNull, lit(0L))
-          .otherwise(TextFunctions.tokenCount(col("content"))))
+          .otherwise(graft.operators.Bpe.tokenCountCol(
+            col("content"), releaseMerges(s, dir))))
       .groupBy("doc_id")
       .agg((sum(col("__tok")) + lit(4L) * count(lit(1))).as("n_tokens"),
         sum(when(col("role") === "assistant", col("__tok")).otherwise(0L))
@@ -3248,10 +3270,14 @@ object ExtensionQueries {
       shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
       maxBucketSize = Some(12)).select("id_a", "id_b")
     val kept = Dedup.keepOnePerCluster(convo.select("doc_id"), "doc_id", pairs)
+    // BPE-costed under the FROZEN release tokenizer — the same unit
+    // the flagship release ships in (ws-costing misjudged a context
+    // window by the measured 3.74x; q_pack_bins_bpe)
     val conv = aturns
       .withColumn("__tok",
         when(col("content").isNull, lit(0L))
-          .otherwise(TextFunctions.tokenCount(col("content"))))
+          .otherwise(graft.operators.Bpe.tokenCountCol(
+            col("content"), releaseMerges(s, dir))))
       .groupBy("doc_id")
       .agg((sum(col("__tok")) + lit(4L) * count(lit(1))).as("n_tokens"),
         sum(when(col("role") === "assistant", col("__tok")).otherwise(0L))
@@ -3680,16 +3706,26 @@ object ExtensionQueries {
       .filter(col("conflicted")).select("key_lo", "key_hi")
     val fa = TextFunctions.fingerprint(col("chosen"))
     val fb = TextFunctions.fingerprint(col("rejected"))
+    // BPE-costed under the FROZEN release tokenizer (the gate flags
+    // stay ws-based — ratio/nonempty are contract checks on the raw
+    // responses; the PACKING unit is what must match the model's
+    // context window)
+    val merges = releaseMerges(s, dir)
+    def bpeT(c: org.apache.spark.sql.Column) =
+      when(c.isNull, lit(0L))
+        .otherwise(graft.operators.Bpe.tokenCountCol(c, merges))
     val clean = valid
       .withColumn("key_lo", least(fa, fb))
       .withColumn("key_hi", greatest(fa, fb))
       .join(conflicted, Seq("key_lo", "key_hi"), "left_anti")
-      .withColumn("n_tokens", col("prompt_tokens") + col("chosen_tokens") +
-        col("rejected_tokens") + lit(3L))
+      .withColumn("n_tokens", bpeT(col("prompt")) + bpeT(col("chosen")) +
+        bpeT(col("rejected")) + lit(3L))
+      .withColumn("chosen_bpe", bpeT(col("chosen")))
       .withColumn("grp", pmod(col("doc_id"), lit(8L)))
     Packing.packBinsByCount(clean, "doc_id", "grp", "n_tokens", capacity = 1024)
       .select(col("id").as("doc_id"), col("grp"), col("n_tokens"), col("bin_id"))
-      .join(clean.select("doc_id", "chosen_tokens"), "doc_id")
+      .join(clean.select(col("doc_id"), col("chosen_bpe").as("chosen_tokens")),
+        "doc_id")
   }
 
   /** [[qPipelineSftLedger]]'s preference twin — the (doc_id, stage,
@@ -3804,6 +3840,7 @@ object ExtensionQueries {
     "q_sim_index_append_pq" -> qSimIndexAppendPq,
     "q_sim_margin_pairs" -> qSimMarginPairs,
     "q_sim_recall_audit" -> qSimRecallAudit,
+    "q_sim_recall_audit_lsh" -> qSimRecallAuditLsh,
     "q_sim_lsh_batch" -> qSimLshBatch,
     "q_sim_index_lsh" -> qSimIndexLsh,
     "q_sim_index_drift" -> qSimIndexDrift,
@@ -4879,6 +4916,35 @@ object ExtensionQueries {
        |      ORDER BY ${cosineSql("c.vec", "q.qv")} DESC, c.id ASC) AS rn
        |  FROM qs q JOIN c ON bit_count(xor(c.bucket, q.qbucket)) <= 2) t
        |WHERE rn <= 5""".stripMargin
+  }
+
+  /** Mirrors [[qSimRecallAuditLsh]]: probed = the radius-1
+    * bit_count join over the SAME frozen hyperplane buckets as
+    * [[simLshBatchSql]]; exact = the full-ball join (radius 8 over 8
+    * planes is every bucket — brute force); recall = the left-join
+    * intersection arithmetic of [[simRecallAuditSql]]. */
+  private val simRecallAuditLshSql: String = {
+    val planes = graft.functions.SimilarityFunctions.hyperplanes(8, DIM, 42L)
+    def topk(name: String, radius: Int) =
+      s"""$name AS (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, c.id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosineSql("c.vec", "q.qv")} DESC, c.id ASC) AS rn
+         |    FROM qs q JOIN c ON bit_count(xor(c.bucket, q.qbucket)) <= $radius) t
+         |  WHERE rn <= 5)""".stripMargin
+    s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qv,
+       |                   ${bucketSql("embedding", planes)} AS qbucket
+       |            FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+       |c AS (SELECT vec_id AS id, embedding AS vec,
+       |             ${bucketSql("embedding", planes)} AS bucket
+       |      FROM embeddings WHERE vec_id >= 6),
+       |${topk("probed", 2)},
+       |${topk("exact", 8)}
+       |SELECT e.qid AS query_id, COUNT(p.id) AS hits,
+       |       CAST(COUNT(p.id) AS DOUBLE) / COUNT(*) AS recall
+       |FROM exact e LEFT JOIN probed p ON p.qid = e.qid AND p.id = e.id
+       |GROUP BY e.qid""".stripMargin
   }
 
   /** Mirrors `Similarity.groupCentroids(quantBits=30)`: quantized
@@ -7690,18 +7756,42 @@ object ExtensionQueries {
     * conjunction) costed as Σ turn tokens + 4·turns, then the
     * [[packBinsSql]] greedy next-fit recursive replay at capacity
     * 512, loss-mask (assistant-token) mass carried through. */
+  /** [[qChatPack]]'s oracle, BPE-costed: valid conversations only
+    * (the flag set excludes every tool-role / misordered / empty-turn
+    * pathology, so within them turn j's role is user/assistant by
+    * parity and every content slice is non-empty), each word position
+    * mapped to its turn by the same `(pos*k - 1) // n` slice inverse
+    * the SFT replay uses, costed through the shared frozen-merge
+    * unroll; + the system turn's template words; + 4/turn. */
   private val chatPackSql: String =
-    s"""WITH RECURSIVE chat_turns AS ($chatTurnsSql),
+    s"""WITH RECURSIVE ${textBpeCtes(8)},
+       |chat_turns AS ($chatTurnsSql),
        |chat_f AS (${chatFlagsSql("chat_turns")}),
-       |conv AS MATERIALIZED (
-       |  SELECT t.doc_id AS id, t.doc_id % 8 AS grp,
-       |    CAST(SUM(t.n_tokens) + 4 * COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(CASE WHEN t.role = 'assistant' THEN t.n_tokens ELSE 0 END)
-       |         AS BIGINT) AS loss_tokens
-       |  FROM chat_turns t JOIN chat_f f ON f.doc_id = t.doc_id
-       |  WHERE f.roles_ok AND f.starts_ok AND f.alternation_ok AND f.nonempty_ok
-       |  GROUP BY t.doc_id),
-       |${packWalkCtes("", "conv", 512, carry = Seq("loss_tokens"))}
+       |chatb_ok AS (SELECT doc_id FROM chat_f
+       |  WHERE roles_ok AND starts_ok AND alternation_ok AND nonempty_ok),
+       |chatb_par AS (SELECT id, w, CAST(len(w) AS BIGINT) AS n,
+       |    CAST(2 + id % 5 AS BIGINT) AS k,
+       |    CASE WHEN id % 7 = 0 THEN 1 ELSE 0 END AS sys
+       |  FROM (SELECT CAST(doc_id AS BIGINT) AS id,
+       |          list_filter($tokensLowerSql,
+       |            x -> regexp_matches(x, '^[a-z0-9]+$$')) AS w
+       |        FROM documents) src),
+       |chatb_pos AS MATERIALIZED (
+       |  SELECT q.id, q.n, q.k, q.sys, r.i AS pos, q.w[r.i] AS word
+       |  FROM chatb_par q JOIN chatb_ok o ON o.doc_id = q.id,
+       |       unnest(range(1, q.n + 1)) r(i)),
+       |${bpeWsubCtes("chatb_", "chatb_pos", Seq("be", "concise"))},
+       |chatb_cost AS MATERIALIZED (
+       |  SELECT q.id, q.id % 8 AS grp,
+       |    CAST(SUM(ws.n_sub)
+       |      + MAX(q.sys) * ((SELECT n_sub FROM chatb_wsub WHERE word = 'be')
+       |          + (SELECT n_sub FROM chatb_wsub WHERE word = 'concise'))
+       |      + 4 * MAX(q.k + q.sys) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN ((q.pos * q.k - 1) // q.n) % 2 = 1
+       |             THEN ws.n_sub ELSE 0 END) AS BIGINT) AS loss_tokens
+       |  FROM chatb_pos q JOIN chatb_wsub ws ON q.word = ws.word
+       |  GROUP BY q.id),
+       |${packWalkCtes("", "chatb_cost", 512, carry = Seq("loss_tokens"))}
        |SELECT id AS doc_id, grp, n AS n_tokens, bin AS bin_id, loss_tokens
        |FROM walk""".stripMargin
 
@@ -8128,16 +8218,12 @@ object ExtensionQueries {
   }
 
   private val pipelineSftSql: String =
-    s"""WITH RECURSIVE ${pipelineSftCtes()},
-       |sft_cost AS MATERIALIZED (SELECT t.doc_id AS id, t.doc_id % 8 AS grp,
-       |    CAST(SUM(t.n_tokens) + 4 * COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(CASE WHEN t.role = 'assistant' THEN t.n_tokens ELSE 0 END)
-       |         AS BIGINT) AS loss_tokens
-       |  FROM sft_turns t JOIN sft_adm a ON a.doc_id = t.doc_id
-       |  WHERE t.doc_id NOT IN (SELECT id FROM sft_drop)
-       |  GROUP BY t.doc_id),
-       |${packWalkCtes("sft_", "sft_cost", 512, carry = Seq("loss_tokens"))}
-       |SELECT id AS doc_id, grp, n AS n_tokens, bin AS bin_id, loss_tokens
+    s"""WITH RECURSIVE ${textBpeCtes(8)},
+       |${pipelineSftCtes()},
+       |${sftBpeCostCtes("sftb_")},
+       |${packWalkCtes("sft_", "sftb_cost", 512, idCol = "cid",
+            carry = Seq("loss_tokens"))}
+       |SELECT cid AS doc_id, grp, n AS n_tokens, bin AS bin_id, loss_tokens
        |FROM sft_walk""".stripMargin
 
   /** Mirrors [[qPipelineSftLedger]] over the SAME
@@ -8212,6 +8298,61 @@ object ExtensionQueries {
        |  FROM rl_toks
        |  WHERE doc_id % 41 = 0 OR is_quote OR doc_id % 43 = 0)""".stripMargin
 
+  /** The frozen-merge per-word segmentation unroll: `<p>wseg0..8`
+    * applies [[textBpeCtes]]'s 8 merge tables (`m0..m7`, which must
+    * be in scope) over the DISTINCT words of `vocabFrom`'s `word`
+    * column plus `extraWords` (chat-template words costed outside
+    * the content positions), and `<p>wsub` reads each word's final
+    * subword count. Shared by every BPE-costed oracle. */
+  private def bpeWsubCtes(
+      p: String, vocabFrom: String, extraWords: Seq[String]): String = {
+    val extras = extraWords.map(w => s"UNION SELECT '$w'").mkString(" ")
+    s"""${p}wseg0 AS MATERIALIZED (
+       |  SELECT word, regexp_replace(word, '(.)', '<\\1>', 'g') AS symseq
+       |  FROM (SELECT DISTINCT word FROM $vocabFrom $extras) tw),
+       |${(0 until 8).map(i =>
+            s"${p}wseg${i + 1} AS MATERIALIZED (SELECT word, " +
+              s"replace(symseq, '<' || m.a || '><' || m.b || '>', " +
+              s"'<' || m.a || m.b || '>') AS symseq FROM ${p}wseg$i, m$i m)")
+          .mkString(",\n")},
+       |${p}wsub AS MATERIALIZED (SELECT word,
+       |  CAST(len(regexp_extract_all(symseq, '<([^>]*)>', 1)) AS BIGINT) AS n_sub
+       |  FROM ${p}wseg8)""".stripMargin
+  }
+
+  /** The BPE cost replay over a [[pipelineSftCtes]] chain — the
+    * frozen-merge per-word segmentation ([[textBpeCtes]]'s `m0..m7`
+    * tables must be in scope) applied to every admitted, non-dup
+    * conversation: `<p>pos` explodes turn-slice word positions,
+    * `<p>wseg0..8` unrolls the 8 merges over the distinct word
+    * vocabulary (plus the chat-template words), `<p>wsub` reads each
+    * word's subword count, and `<p>cost` emits (cid, grp, n,
+    * loss_tokens) — total cost = content subwords + template words +
+    * 4/turn overhead; loss mass = assistant-slice subwords. Shared by
+    * the release pyramid (`rl_`) and the standalone SFT endgame
+    * (`sftb_`), so the two cannot drift. */
+  private def sftBpeCostCtes(p: String): String =
+    s"""${p}pos AS MATERIALIZED (
+       |  SELECT q.id, q.n, q.m, q.sys, q.agentic, q.S, q.nt,
+       |    r.i AS pos, q.w[r.i] AS word
+       |  FROM sft_n q JOIN sft_adm a ON a.doc_id = q.id,
+       |       unnest(range(1, q.n + 1)) r(i)
+       |  WHERE q.id NOT IN (SELECT id FROM sft_drop)),
+       |${bpeWsubCtes(p, s"${p}pos", Seq("be", "concise", "result"))},
+       |${p}cost AS MATERIALIZED (
+       |  SELECT q.id AS cid, q.id % 8 AS grp,
+       |    CAST(SUM(ws.n_sub)
+       |      + MAX(q.sys) * ((SELECT n_sub FROM ${p}wsub WHERE word = 'be')
+       |          + (SELECT n_sub FROM ${p}wsub WHERE word = 'concise'))
+       |      + MAX(CASE WHEN q.agentic THEN 1 ELSE 0 END)
+       |          * (SELECT n_sub FROM ${p}wsub WHERE word = 'result')
+       |      + 4 * MAX(q.nt) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN ((q.pos * q.S - 1) // q.n) % 2 = 1
+       |                    OR (q.agentic AND (q.pos * q.S - 1) // q.n = 2 * q.m)
+       |             THEN ws.n_sub ELSE 0 END) AS BIGINT) AS loss_tokens
+       |  FROM ${p}pos q JOIN ${p}wsub ws ON q.word = ws.word
+       |  GROUP BY q.id)""".stripMargin
+
   /** The from-scratch release pyramid over an input CTE named
     * `rl_in` — every stage of [[graft.operators.Release.pipeline]]
     * replayed in SQL, input-agnostic past the first CTE. */
@@ -8275,38 +8416,7 @@ object ExtensionQueries {
        |    AND n.doc_id NOT IN (SELECT doc_id FROM rld_lsh_hit)
        |    AND n.doc_id NOT IN (SELECT doc_id FROM rl_semhit)),
        |${pipelineSftCtes(from = "rl_keep")},
-       |rl_pos AS MATERIALIZED (
-       |  SELECT p.id, p.n, p.m, p.sys, p.agentic, p.S, p.nt,
-       |    r.i AS pos, p.w[r.i] AS word
-       |  FROM sft_n p JOIN sft_adm a ON a.doc_id = p.id,
-       |       unnest(range(1, p.n + 1)) r(i)
-       |  WHERE p.id NOT IN (SELECT id FROM sft_drop)),
-       |rl_wseg0 AS MATERIALIZED (
-       |  SELECT word, regexp_replace(word, '(.)', '<\\1>', 'g') AS symseq
-       |  FROM (SELECT DISTINCT word FROM rl_pos
-       |        UNION SELECT 'be' UNION SELECT 'concise'
-       |        UNION SELECT 'result') tw),
-       |${(0 until 8).map(i =>
-            s"rl_wseg${i + 1} AS MATERIALIZED (SELECT word, " +
-              s"replace(symseq, '<' || m.a || '><' || m.b || '>', " +
-              s"'<' || m.a || m.b || '>') AS symseq FROM rl_wseg$i, m$i m)")
-          .mkString(",\n")},
-       |rl_wsub AS MATERIALIZED (SELECT word,
-       |  CAST(len(regexp_extract_all(symseq, '<([^>]*)>', 1)) AS BIGINT) AS n_sub
-       |  FROM rl_wseg8),
-       |rl_cost AS MATERIALIZED (
-       |  SELECT q.id AS cid, q.id % 8 AS grp,
-       |    CAST(SUM(ws.n_sub)
-       |      + MAX(q.sys) * ((SELECT n_sub FROM rl_wsub WHERE word = 'be')
-       |          + (SELECT n_sub FROM rl_wsub WHERE word = 'concise'))
-       |      + MAX(CASE WHEN q.agentic THEN 1 ELSE 0 END)
-       |          * (SELECT n_sub FROM rl_wsub WHERE word = 'result')
-       |      + 4 * MAX(q.nt) AS BIGINT) AS n,
-       |    CAST(SUM(CASE WHEN ((q.pos * q.S - 1) // q.n) % 2 = 1
-       |                    OR (q.agentic AND (q.pos * q.S - 1) // q.n = 2 * q.m)
-       |             THEN ws.n_sub ELSE 0 END) AS BIGINT) AS loss_tokens
-       |  FROM rl_pos q JOIN rl_wsub ws ON q.word = ws.word
-       |  GROUP BY q.id),
+       |${sftBpeCostCtes("rl_")},
        |${packWalkCtes("rl_", "rl_cost", 512, idCol = "cid",
             carry = Seq("loss_tokens"))},
        |rl_bins AS MATERIALIZED (SELECT grp, bin, CAST(SUM(n) AS BIGINT) AS w
@@ -8599,13 +8709,35 @@ object ExtensionQueries {
        |  WHERE nf > 0 AND np - nf > 0)"""
   }
 
+  /** [[qPipelinePref]]'s oracle, BPE-costed: each triple's three
+    * response strings explode to their lowercase `[a-z0-9]+` words,
+    * cost through the shared frozen-merge unroll, + the 3-slot
+    * template overhead; gate flags stay ws-based (contract checks),
+    * only the packing unit changes. */
   private val pipelinePrefSql: String =
-    s"""WITH RECURSIVE $pipelinePrefCtes,
-       |pp_s AS MATERIALIZED (SELECT id, id % 8 AS grp,
-       |    prompt_tokens + chosen_tokens + rejected_tokens + 3 AS n,
-       |    chosen_tokens
-       |  FROM pp_k WHERE NOT EXISTS (SELECT 1 FROM pp_c c
-       |    WHERE c.key_lo = pp_k.key_lo AND c.key_hi = pp_k.key_hi)),
+    s"""WITH RECURSIVE ${textBpeCtes(8)},
+       |$pipelinePrefCtes,
+       |prefb_w AS MATERIALIZED (
+       |  SELECT id, part, unnest(list_filter(
+       |    regexp_split_to_array(lower(txt), '$ws+'),
+       |    x -> regexp_matches(x, '^[a-z0-9]+$$'))) AS word
+       |  FROM (SELECT id, 'p' AS part, prompt AS txt FROM pp_k
+       |        UNION ALL SELECT id, 'c', chosen FROM pp_k
+       |        UNION ALL SELECT id, 'r', rejected FROM pp_k) parts),
+       |${bpeWsubCtes("prefb_", "prefb_w", Nil)},
+       |prefb_cost AS MATERIALIZED (
+       |  SELECT w.id,
+       |    CAST(SUM(ws2.n_sub) + 3 AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN w.part = 'c' THEN ws2.n_sub ELSE 0 END)
+       |         AS BIGINT) AS chosen_tokens
+       |  FROM prefb_w w JOIN prefb_wsub ws2 ON ws2.word = w.word
+       |  GROUP BY w.id),
+       |pp_s AS MATERIALIZED (SELECT k.id, k.id % 8 AS grp,
+       |    COALESCE(c.n, 3) AS n,
+       |    COALESCE(c.chosen_tokens, 0) AS chosen_tokens
+       |  FROM pp_k k LEFT JOIN prefb_cost c ON c.id = k.id
+       |  WHERE NOT EXISTS (SELECT 1 FROM pp_c c2
+       |    WHERE c2.key_lo = k.key_lo AND c2.key_hi = k.key_hi)),
        |${packWalkCtes("pp_", "pp_s", 1024, carry = Seq("chosen_tokens"))}
        |SELECT id AS doc_id, grp, n AS n_tokens, bin AS bin_id, chosen_tokens
        |FROM pp_walk""".stripMargin
@@ -8974,6 +9106,7 @@ object ExtensionQueries {
     "q_sim_index_append_pq" -> simIndexAppendPqSql,
     "q_sim_margin_pairs" -> simMarginPairsSql,
     "q_sim_recall_audit" -> simRecallAuditSql,
+    "q_sim_recall_audit_lsh" -> simRecallAuditLshSql,
     "q_sim_lsh_batch" -> simLshBatchSql,
     "q_sim_index_lsh" -> simLshBatchSql,
     "q_sim_index_drift" -> simIndexDriftSql,

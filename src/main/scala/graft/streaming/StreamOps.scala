@@ -552,6 +552,60 @@ object StreamOps {
     query
   }
 
+  /** STREAMED incremental release — the continuous composition of
+    * [[graft.plans.IncrementalRelease]]: the crawl feed itself keeps
+    * every standing store warm (each micro-batch releases through
+    * `runDeltas`, which probes the minhash / holdout / conversation /
+    * ANN stores and appends the batch's deltas and store segments),
+    * and the release artifact at any moment is
+    * [[graft.plans.IncrementalRelease.artifact]] over the state dir —
+    * the "stream maintains the stores, a scheduled release consumes
+    * them" production loop. IncrementalReleaseSpec pins N streamed
+    * micro-batches + one artifact read ≡ the from-scratch batch
+    * release over day-0 ∪ everything streamed.
+    *
+    * Ordering contract: micro-batches must arrive id-ordered above
+    * the bootstrap corpus (the incremental monotone-id contract — a
+    * crawl feed's ids are). Restart posture: a marker file per
+    * COMPLETED batch makes the common replay (batch fully processed,
+    * checkpoint not yet advanced at crash) a no-op; a crash strictly
+    * mid-batch leaves partially-appended deltas, which this form does
+    * NOT repair — recover by bootstrapping a fresh state dir from the
+    * last durable release ([[graft.plans.ReleaseRun]] +
+    * [[graft.plans.IncrementalRelease.bootstrap]]), the streaming
+    * twin of ReleaseRun's refuse-and-use-a-fresh-dir rule. */
+  def releaseStream(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      transcriptsOf: DataFrame => DataFrame,
+      merges: () => Seq[(String, String)],
+      stateDir: String,
+      checkpointDir: String,
+      cfg: graft.plans.ReleaseConfig = graft.plans.ReleaseConfig()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$stateDir/_released/batch=$batchId")
+        if (!fs.exists(marker)) {
+          graft.plans.IncrementalRelease.runDeltas(spark, batch.toDF(),
+            embeddings, transcriptsOf, merges, stateDir, cfg)
+          // completion marker: tmp + one atomic rename (the segment
+          // publish discipline), written only after every delta landed
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$stateDir/_released/_batch.tmp-${java.util.UUID.randomUUID()}")
+          fs.mkdirs(marker.getParent)
+          val out = fs.create(tmp, true)
+          try out.write(Array.emptyByteArray) finally out.close()
+          require(fs.rename(tmp, marker) || fs.exists(marker),
+            s"releaseStream: could not publish completion marker $marker")
+        }
+      }
+      .start()
+
   /** The live corpus manifest over an [[ingestStream]] states
     * directory: merge-on-read of the published per-batch states
     * (counter addition + KMV union — both exact closures, so this IS

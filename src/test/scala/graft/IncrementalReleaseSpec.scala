@@ -94,6 +94,37 @@ class IncrementalReleaseSpec extends SparkSpec {
         "through the standing index")
   }
 
+  test("streamed crawl micro-batches keep the stores warm: " +
+    "releaseStream over N batches + one artifact read ≡ the " +
+    "from-scratch release on the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val state = freshState()
+    val b1 = crawl3.filter(col("doc_id") < 6000000L).localCheckpoint()
+    val b2 = crawl3.filter(col("doc_id") >= 6000000L).localCheckpoint()
+    val ms = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamOps.releaseStream(
+      ms.toDF().toDF("doc_id", "source", "raw"), emb, transcripts _,
+      () => merges, state, tmp("graft_incr_ckpt"))
+    def feed(b: DataFrame): Unit = {
+      ms.addData(b.collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))))
+      q.processAllAvailable()
+    }
+    try { feed(b1); feed(b2) } finally q.stop()
+    val streamed = rows(graft.plans.IncrementalRelease.artifact(spark, state))
+    val scratch = rows(graft.operators.Release.pipeline(spark,
+      rawInput.unionByName(b1).unionByName(b2), emb, transcripts _,
+      () => merges, new graft.operators.Release.LocalStager))
+    assert(streamed == scratch,
+      "the streamed store-warming composition must equal the " +
+        "from-scratch batch release on the union")
+    // each completed micro-batch left its replay marker
+    assert(new java.io.File(s"$state/_released/batch=0").exists &&
+      new java.io.File(s"$state/_released/batch=1").exists)
+  }
+
   test("the persisted-ANN semantic probe drops a batch doc embedded " +
     "next to a day-0 holdout doc, still equal to from-scratch") {
     // a day-0 holdout embedding (the semantic corpus the ANN store

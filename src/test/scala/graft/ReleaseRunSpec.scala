@@ -42,7 +42,7 @@ class ReleaseRunSpec extends SparkSpec {
       stopAfter: Option[String] = None): (Option[DataFrame], Seq[String]) = {
     val st = new ReleaseRun.DurableStager(spark, outDir, stopAfter)
     val r = ReleaseRun.runWithStager(spark, rawInput, emb, transcripts _,
-      () => merges, outDir, st, capacity = 512, numShards = 4)
+      () => merges, outDir, st)
     (r, st.evaluated.toSeq)
   }
 
@@ -100,7 +100,7 @@ class ReleaseRunSpec extends SparkSpec {
     val st = new ReleaseRun.DurableStager(spark, outDir, None)
     val e = intercept[IllegalArgumentException] {
       ReleaseRun.runWithStager(spark, changed, emb, transcripts _,
-        () => merges, outDir, st, capacity = 512, numShards = 4)
+        () => merges, outDir, st)
     }
     assert(e.getMessage.contains("refusing to resume"))
     assert(st.evaluated.isEmpty, "the refusal must precede any stage work")
@@ -108,7 +108,8 @@ class ReleaseRunSpec extends SparkSpec {
     val st2 = new ReleaseRun.DurableStager(spark, outDir, None)
     intercept[IllegalArgumentException] {
       ReleaseRun.runWithStager(spark, rawInput, emb, transcripts _,
-        () => merges, outDir, st2, capacity = 256, numShards = 4)
+        () => merges, outDir, st2, graft.plans.ReleaseConfig(
+          pack = graft.plans.ReleaseConfig.Pack(capacity = 256)))
     }
     // the true resume still completes
     val (done, _) = runWith(outDir)

@@ -322,6 +322,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(batch1 == single)
   }
 
+  test("LSH recall audit: monotone in the Hamming radius, full ball " +
+    "reads recall 1.0 on every query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") >= 6)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    def audit(r: Int): Seq[Double] = {
+      val rows = Similarity.recallAuditLsh(queries, corpus,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, numPlanes = 8, probeHamming = r)
+        .collect()
+      assert(rows.length == 5, "one audit row per query")
+      rows.foreach { x =>
+        assert(x.getLong(1) >= 0L && x.getLong(1) <= 5L)
+        assert(x.getDouble(2) >= 0.0 && x.getDouble(2) <= 1.0)
+      }
+      rows.map(_.getDouble(2)).toSeq
+    }
+    // candidates grow with the radius and exact-top-k members always
+    // win the candidate window, so per-query recall is monotone
+    val curve = Seq(0, 1, 2, 4, 8).map(r => audit(r).sum / 5)
+    assert(curve.zip(curve.tail).forall { case (a, b) => a <= b + 1e-12 },
+      s"mean recall must be monotone in the radius: $curve")
+    assert(curve.last == 1.0,
+      "the full Hamming ball IS brute force — recall 1.0 everywhere")
+  }
+
   test("PQ: codes in range, encode partitioning-invariant, ADC recall beats chance and tracks brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
