@@ -382,8 +382,13 @@ object Dedup {
       .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
       .join(corpusFps, Seq("__fp"), "left_anti")
 
-    // stage 2: LSH probe of the corpus buckets by the batch survivors
-    val matched = dedupAgainstMatches(afterExact, corpusDf, idCol, textCol,
+    // stage 2: LSH probe of the corpus buckets by the batch survivors.
+    // Texts for the rescore come from the ORIGINAL frame — afterExact
+    // embeds the fingerprint anti-join, and sourcing the candidate
+    // texts from it would execute that anti-join a second time
+    // (candidates are already fp-survivors, so the original texts are
+    // equivalent and cheaper)
+    val matched = matchesCore(afterExact, newDf, corpusDf, idCol, textCol,
         shingleN, numHashes, bands, jaccardThreshold, maxBucketSize,
         index = Some(idx))
       .select("id")
@@ -414,18 +419,38 @@ object Dedup {
       bands: Int = 16,
       jaccardThreshold: Double = 0.5,
       maxBucketSize: Option[Int] = None,
-      index: Option[DataFrame] = None): DataFrame = {
+      index: Option[DataFrame] = None): DataFrame =
+    matchesCore(newDf, newDf, corpusDf, idCol, textCol, shingleN,
+      numHashes, bands, jaccardThreshold, maxBucketSize, index)
+
+  /** [[dedupAgainstMatches]] with the band-probe frame and the
+    * rescore-text frame split: `bandDf` drives the bucket probe (it
+    * may embed upstream filters), `textDf` supplies candidate texts
+    * by id (a cheaper superset scan is fine — candidates restrict
+    * it). */
+  private def matchesCore(
+      bandDf: DataFrame,
+      textDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      jaccardThreshold: Double,
+      maxBucketSize: Option[Int],
+      index: Option[DataFrame]): DataFrame = {
     val idx = index.getOrElse(
       corpusIndex(corpusDf, idCol, textCol, shingleN, numHashes, bands))
     val idxCapped = capBuckets(idx, Seq("band_idx", "band_hash"), maxBucketSize)
-    val newBands = bandExplode(newDf, idCol, textCol, shingleN, numHashes, bands)
+    val newBands = bandExplode(bandDf, idCol, textCol, shingleN, numHashes, bands)
     val candidates = newBands
       .join(idxCapped.select(col("id").as("cid"), col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))
       .select("id", "cid")
       .dropDuplicates("id", "cid")
     // exact-jaccard rescore: texts joined for surviving candidates only
-    val newTexts = newDf.select(col(idCol).as("id"), col(textCol).as("t_n"))
+    val newTexts = textDf.select(col(idCol).as("id"), col(textCol).as("t_n"))
     val corpusTexts = corpusDf.select(col(idCol).as("cid"), col(textCol).as("t_c"))
     val shN = HashExpressions.shingleHashes(col("t_n"), shingleN)
     val shC = HashExpressions.shingleHashes(col("t_c"), shingleN)
