@@ -371,16 +371,28 @@ object Dedup {
       bands: Int = 16,
       jaccardThreshold: Double = 0.5,
       maxBucketSize: Option[Int] = None,
-      index: Option[DataFrame] = None): DataFrame = {
+      index: Option[DataFrame] = None,
+      pruneIndexToProbe: Boolean = false): DataFrame = {
     val idx = index.getOrElse(
       corpusIndex(corpusDf, idCol, textCol, shingleN, numHashes, bands))
 
     // stage 1: exact fingerprint anti-join (distinct corpus fps — the
-    // index repeats each fp once per band; dedup to one 16-byte key)
-    val corpusFps = idx.select(col("fp").as("__fp")).distinct()
-    val afterExact = newDf
+    // index repeats each fp once per band; dedup to one 16-byte key).
+    // With pruneIndexToProbe the STORE side is reduced FIRST by a
+    // broadcast semi-join on the batch's own fingerprint set, so the
+    // distinct shuffles only the matched survivors (batch-bounded)
+    // instead of the whole corpus index — the O(batch) posture a
+    // standing-store probe needs (a daily batch must never force a
+    // corpus-sized Exchange; see [[graft.plans.IncrementalRelease]]).
+    val fpd = newDf
       .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
-      .join(corpusFps, Seq("__fp"), "left_anti")
+    val idxFps =
+      if (pruneIndexToProbe)
+        idx.join(broadcast(fpd.select(col("__fp").as("fp")).distinct()),
+          Seq("fp"), "left_semi")
+      else idx
+    val corpusFps = idxFps.select(col("fp").as("__fp")).distinct()
+    val afterExact = fpd.join(corpusFps, Seq("__fp"), "left_anti")
 
     // stage 2: LSH probe of the corpus buckets by the batch survivors.
     // Texts for the rescore come from the ORIGINAL frame — afterExact
@@ -390,7 +402,7 @@ object Dedup {
     // equivalent and cheaper)
     val matched = matchesCore(afterExact, newDf, corpusDf, idCol, textCol,
         shingleN, numHashes, bands, jaccardThreshold, maxBucketSize,
-        index = Some(idx))
+        index = Some(idx), pruneIndexToProbe = pruneIndexToProbe)
       .select("id")
       .distinct()
     afterExact
@@ -419,9 +431,11 @@ object Dedup {
       bands: Int = 16,
       jaccardThreshold: Double = 0.5,
       maxBucketSize: Option[Int] = None,
-      index: Option[DataFrame] = None): DataFrame =
+      index: Option[DataFrame] = None,
+      pruneIndexToProbe: Boolean = false): DataFrame =
     matchesCore(newDf, newDf, corpusDf, idCol, textCol, shingleN,
-      numHashes, bands, jaccardThreshold, maxBucketSize, index)
+      numHashes, bands, jaccardThreshold, maxBucketSize, index,
+      pruneIndexToProbe)
 
   /** [[dedupAgainstMatches]] with the band-probe frame and the
     * rescore-text frame split: `bandDf` drives the bucket probe (it
@@ -439,11 +453,28 @@ object Dedup {
       bands: Int,
       jaccardThreshold: Double,
       maxBucketSize: Option[Int],
-      index: Option[DataFrame]): DataFrame = {
+      index: Option[DataFrame],
+      pruneIndexToProbe: Boolean = false): DataFrame = {
     val idx = index.getOrElse(
       corpusIndex(corpusDf, idCol, textCol, shingleN, numHashes, bands))
-    val idxCapped = capBuckets(idx, Seq("band_idx", "band_hash"), maxBucketSize)
     val newBands = bandExplode(bandDf, idCol, textCol, shingleN, numHashes, bands)
+    // pruneIndexToProbe: reduce the (corpus-sized) index to the band
+    // buckets the batch actually probes BEFORE the bucket-cap window —
+    // a broadcast semi-join on the batch's distinct band keys, so
+    // neither the cap's window nor the candidate equi-join ever
+    // shuffles the store side. The semi-join keeps whole buckets, so
+    // cap decisions on probed buckets are identical to the unpruned
+    // form (pruned-away buckets are never probed) — pair output is
+    // unchanged by construction. The batch-side band keys are
+    // recomputed for the prune (one extra batch-sized signature sweep;
+    // the corpus-sized Exchange it saves dominates at any real scale).
+    val idxProbed =
+      if (pruneIndexToProbe)
+        idx.join(broadcast(
+          newBands.select("band_idx", "band_hash").distinct()),
+          Seq("band_idx", "band_hash"), "left_semi")
+      else idx
+    val idxCapped = capBuckets(idxProbed, Seq("band_idx", "band_hash"), maxBucketSize)
     val candidates = newBands
       .join(idxCapped.select(col("id").as("cid"), col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))

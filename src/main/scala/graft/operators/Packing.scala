@@ -134,8 +134,14 @@ object Packing {
       capacity: Int,
       resume: DataFrame): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
+    // the resume map keys by the RAW group value, so the resume
+    // frame's grp is cast to df's grp type first — an Int-boxed key
+    // against a Long-boxed lookup would miss every group and silently
+    // restart each at bin 0 (wrong bin ids, no error)
+    val grpType = df.schema(df.schema.fieldIndex(groupCol)).dataType
     val init: Map[Any, (Long, Long)] = resume
-      .select(col("grp"), col("bin_id").cast("long"), col("fill").cast("long"))
+      .select(col("grp").cast(grpType),
+        col("bin_id").cast("long"), col("fill").cast("long"))
       .collect().map(r => r.get(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val bc = df.sparkSession.sparkContext.broadcast(init)
     val prep = df.select(col(idCol).as("id"), col(groupCol).as("grp"),

@@ -313,6 +313,22 @@ object Similarity {
     * Per iteration: one scan (assignment UDF) + one partial-aggregated
     * shuffle of nlist×dim keyed sums. Empty cells keep their previous
     * centroid. */
+  /** Cell count for a corpus-proportional k-means model: `n` rows at
+    * a constant expected cell occupancy (`targetCell`), floored at
+    * `minNlist`. SemDeDup-style cell-scoped pair generation costs
+    * Σ|cell|² ≈ n·occupancy, so a FIXED nlist makes pair output grow
+    * quadratically with corpus density (the measured 16× wall-clock
+    * at 10× rows, VERDICT r15) while this keeps it linear; the price
+    * is an assignment term of n·nlist distance evaluations, which the
+    * codegen'd fused-cosine sweep absorbs until nlist reaches the
+    * thousands — at which point use the capped variant or a coarse
+    * quantizer. Replayed in SQL as
+    * `GREATEST(minNlist, CEIL(count/targetCell))`. */
+  def adaptiveNlist(n: Long, targetCell: Int = 64, minNlist: Int = 8): Int = {
+    require(targetCell > 0 && minNlist > 0, "positive targetCell/minNlist")
+    math.max(minNlist, math.ceil(n.toDouble / targetCell).toInt)
+  }
+
   def kmeansCentroidsDistributed(
       df: DataFrame,
       idCol: String,

@@ -14,7 +14,12 @@ import graft.sources.{AnnIndex, DedupIndexStore, Segments}
   * 100 TB, the difference between a minutes-scale daily job and a
   * full-corpus re-release per batch).
   *
-  * STATE LAYOUT (one `stateDir`, everything append-only):
+  * STATE LAYOUT (one `stateDir`; every table a [[Segments]] STORE —
+  * appends land as `<name>/rows/seg=N`, right-to-be-forgotten
+  * deletes as `<name>/tombstones/seg=N` ([[forget]]), and
+  * [[compactState]] rewrites a table through pointer publication,
+  * so the full store discipline the minhash/ANN indexes carry
+  * extends to the release state itself):
   *
   *   corpus_minhash/   [[DedupIndexStore]] bands over every exact-
   *                     dedup survivor (3/64/16 — the dedup params)
@@ -36,10 +41,24 @@ import graft.sources.{AnnIndex, DedupIndexStore, Segments}
   *   ledger/           (doc_id, stage, reason) — cumulative rejects
   *   manifest_states/  mergeable [[Profile.manifestStates]] rows
   *   reconcile/        (n_input, sum_input, n_acc, sum_acc) per batch
+  *   id_watermark/     (max_id) per batch — the monotone-id fence
   *
-  * The text/rep/packed/ledger tables are plain [[Segments]] segmented
-  * tables (append = one staged write + one atomic rename); the three
-  * index stores carry the full pointer-publication discipline.
+  * REPLAY SAFETY (exactly-once across crash replays): a batch run
+  * under an explicit `batchId` publishes EVERY state delta and store
+  * segment idempotently at segment id `StreamSegBase + batchId`
+  * ([[Segments.publishSegment]] / [[DedupIndexStore.appendMinhashAt]]
+  * / [[AnnIndex.appendToIvfAt]]), and every table the batch reads
+  * BEFORE appending is read with the batch's OWN segment excluded —
+  * so a crash at ANY point inside [[runDeltas]] followed by a
+  * Structured Streaming checkpoint replay recomputes the identical
+  * deltas (reads see exactly what the first attempt saw) and each
+  * re-publish lands once or no-ops. No intent markers, no
+  * double-append window, no fresh-bootstrap recovery required —
+  * the streaming form ([[graft.streaming.StreamOps.releaseStream]])
+  * restarts are safe mid-batch. Without a `batchId` (the manual
+  * batch form) appends auto-number below the streaming floor and
+  * carry no replay contract — don't re-run a crashed manual batch
+  * against the same state dir; bootstrap a fresh one.
   *
   * EQUALITY CONTRACT (the oracle `q_pipeline_release_incr` pins it):
   * an incremental run's artifact is row-identical to a from-scratch
@@ -48,7 +67,11 @@ import graft.sources.{AnnIndex, DedupIndexStore, Segments}
   *
   *   - MONOTONE IDS: batch doc_ids exceed every day-N id (so every
   *     min-id keeper/rep decision the union run makes picks the day-N
-  *     member the incremental already kept);
+  *     member the incremental already kept). ENFORCED: [[runDeltas]]
+  *     fences each batch's min id against the standing
+  *     `id_watermark` table and refuses typed on violation — a
+  *     retroactive id would otherwise silently diverge from the
+  *     from-scratch truth;
   *   - NO RETROACTION: released day-N docs are immutable — a batch
   *     doc must not (a) bridge two distinct day-N near-dup clusters
   *     (the union's transitive merge would retract a day-N keeper),
@@ -58,6 +81,11 @@ import graft.sources.{AnnIndex, DedupIndexStore, Segments}
   *     the frozen semantic centroids. (a)–(c) are exactly the events
   *     a production pipeline also forbids — you cannot untrain
   *     yesterday's model; the incremental makes the same call.
+  *     Batch-INTERNAL near-dup chains through a cross-matched doc
+  *     (b2 ~ b1 ~ corpus) are NOT excluded: the near-dup stage runs
+  *     one connected-components pass over the combined edge set
+  *     (cross matches ∪ within-batch pairs), so the union CC's
+  *     transitive rejection of b2 is reproduced exactly;
   *   - CAPS UNDER THE KNEE: the banded pair caps (`maxBucketSize`)
   *     are cost guards; when a bucket exceeds the cap the two forms
   *     may drop different members of the mega-bucket. Below the cap
@@ -65,20 +93,74 @@ import graft.sources.{AnnIndex, DedupIndexStore, Segments}
   *
   * Each batch stage mirrors its [[Release.pipeline]] stage through
   * the SAME shared expression blocks (`Release.withEncOk` /
-  * `scoredGates` / `sftGateRows` / `convoTexts` / `convCosted`), with
-  * the self-join replaced by the two-phase probe the union graph
-  * decomposes into under the contract: cross (batch vs standing
-  * store) first, then within-batch on the cross survivors.
+  * `scoredGates` / `sftGateRows` / `convoTexts` / `convCosted`).
+  * Every standing-store probe is O(batch) on the store side: the
+  * exact-keeper probe and the banded/fingerprint probes reduce the
+  * store FIRST by a broadcast semi-join on the batch's own key set
+  * (`pruneIndexToProbe`), so no per-batch plan ever shuffles a
+  * corpus-sized index. (At batches above broadcast size, write the
+  * stores bucketed — [[graft.sources.BucketedCatalogIO]] — and the
+  * same probes go shuffle-free on the store side without the
+  * broadcast; the segment/tombstone discipline is unchanged.)
   */
 object IncrementalRelease {
 
+  /** The replay-idempotent segment id of a streamed batch: all 13
+    * state/store publishes of batch `b` land at this one id (each in
+    * its own table namespace), above [[Segments.StreamSegBase]] so
+    * manual auto-numbered appends can never collide. */
+  private def segIdOf(batchId: Long): Long = Segments.StreamSegBase + batchId
+
+  /** The ten delta tables (everything except the three minhash
+    * stores and the ANN store, which carry their own layout). */
+  private[graft] val StateTables: Seq[String] = Seq(
+    "corpus_texts", "holdout_texts", "conv_texts", "nd_reps",
+    "conv_reps", "packed", "pack_state", "ledger", "manifest_states",
+    "reconcile", "id_watermark")
+
+  /** Tables whose rows are doc-keyed — the ones a [[forget]]
+    * tombstone suppresses row-wise. */
+  private val DocKeyed: Set[String] = Set(
+    "corpus_texts", "holdout_texts", "conv_texts", "nd_reps",
+    "conv_reps", "packed", "ledger")
+
+  /** Read a state table: resolve the live tree (pointer-published
+    * compactions), read `rows/`, optionally EXCLUDE one segment (the
+    * crash-replay read — a replayed batch must not see its own
+    * partially-published deltas), and apply the tombstone filter for
+    * doc-keyed tables (a forgotten doc vanishes from every read,
+    * including [[artifact]]'s). */
+  private def readState(
+      spark: SparkSession, stateDir: String, name: String,
+      excludeSeg: Option[Long], cols: Seq[String]): DataFrame = {
+    val root = Segments.resolve(spark, s"$stateDir/$name")
+    val rows = spark.read.parquet(s"$root/rows")
+    val kept = excludeSeg match {
+      case Some(s) => rows.filter(col("seg") =!= s)
+      case None => rows
+    }
+    val projected = kept.select(cols.map(col): _*)
+    if (DocKeyed(name))
+      Segments.minusTombstones(spark, root, projected, "doc_id")
+    else projected
+  }
+
   private def seg(spark: SparkSession, stateDir: String, name: String,
       cols: String*): DataFrame =
-    spark.read.parquet(s"$stateDir/$name").select(cols.map(col): _*)
+    readState(spark, stateDir, name, None, cols)
 
+  /** Append a delta: idempotent explicit-segment publish under a
+    * `batchId` (replay-safe), auto-numbered append without. */
   private def app(spark: SparkSession, stateDir: String, name: String,
-      rows: DataFrame): Unit =
-    Segments.appendSegment(spark, s"$stateDir/$name", rows)
+      rows: DataFrame, batchId: Option[Long] = None): Unit =
+    batchId match {
+      case Some(b) =>
+        Segments.publishToStore(spark, s"$stateDir/$name", "rows", rows,
+          segIdOf(b))
+        ()
+      case None =>
+        Segments.appendToStore(spark, s"$stateDir/$name", "rows", rows)
+    }
 
   /** `dup_of_<id>` ledger reasons back to the rep id. */
   private def parseReps(rejects: DataFrame): DataFrame =
@@ -142,6 +224,9 @@ object IncrementalRelease {
     app(spark, stateDir, "manifest_states", Profile.manifestStates(
       keep.join(packed.select("doc_id").distinct(), "doc_id"),
       "source", "text"))
+    app(spark, stateDir, "id_watermark",
+      input.agg(max(col("doc_id")).as("max_id"))
+        .filter(col("max_id").isNotNull))
     val r = input.agg(count(col("doc_id")).as("n"),
       sum(col("doc_id")).as("s")).head()
     val a = packed.select("doc_id")
@@ -168,11 +253,14 @@ object IncrementalRelease {
   }
 
   /** Latest pack tail per group across all batches. */
-  private def latestPackState(spark: SparkSession, stateDir: String): DataFrame = {
+  private def latestPackState(
+      spark: SparkSession, stateDir: String,
+      excludeSeg: Option[Long]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp"))
       .orderBy(col("batch_idx").desc, col("bin_id").desc)
-    seg(spark, stateDir, "pack_state", "batch_idx", "grp", "bin_id", "fill")
+    readState(spark, stateDir, "pack_state", excludeSeg,
+        Seq("batch_idx", "grp", "bin_id", "fill"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -192,9 +280,10 @@ object IncrementalRelease {
       transcriptsOf: DataFrame => DataFrame,
       merges: () => Seq[(String, String)],
       stateDir: String,
-      cfg: ReleaseConfig = ReleaseConfig()): DataFrame = {
+      cfg: ReleaseConfig = ReleaseConfig(),
+      batchId: Option[Long] = None): DataFrame = {
     runDeltas(spark, batchRaw, embeddings, transcriptsOf, merges,
-      stateDir, cfg)
+      stateDir, cfg, batchId)
     artifact(spark, stateDir, cfg.pack.numShards)
   }
 
@@ -202,7 +291,9 @@ object IncrementalRelease {
     * unit a STREAMING caller ([[graft.streaming.StreamOps.releaseStream]])
     * executes: a continuous crawl feed releases one micro-batch at a
     * time, and the artifact is assembled on demand ([[artifact]]),
-    * not per batch. */
+    * not per batch. Under an explicit `batchId` every publish is
+    * replay-idempotent and every pre-append read excludes the batch's
+    * own segment — see REPLAY SAFETY in the object doc. */
   def runDeltas(
       spark: SparkSession,
       batchRaw: DataFrame,
@@ -210,22 +301,62 @@ object IncrementalRelease {
       transcriptsOf: DataFrame => DataFrame,
       merges: () => Seq[(String, String)],
       stateDir: String,
-      cfg: ReleaseConfig = ReleaseConfig()): Unit = {
+      cfg: ReleaseConfig = ReleaseConfig(),
+      batchId: Option[Long] = None): Unit = {
     val id = col("doc_id")
+    val excl = batchId.map(segIdOf)
+    def segX(name: String, cols: String*): DataFrame =
+      readState(spark, stateDir, name, excl, cols)
+    def appX(name: String, rows: DataFrame): Unit =
+      app(spark, stateDir, name, rows, batchId)
+    def appendMh(dir: String, batch: DataFrame): Unit = batchId match {
+      case Some(b) =>
+        DedupIndexStore.appendMinhashAt(spark, dir, batch,
+          "doc_id", "text", segIdOf(b))
+        ()
+      case None =>
+        DedupIndexStore.appendMinhash(spark, dir, batch, "doc_id", "text")
+        ()
+    }
 
     // 1 — ingest gates (the shared expression blocks)
     val input = batchRaw.select(id, col("source"), col("raw")).localCheckpoint()
+
+    // the monotone-id fence: the equality contract is only a theorem
+    // when every batch id exceeds every stored id — enforce it against
+    // the standing watermark (batch-cardinality rows, one tiny agg)
+    // instead of letting a retroactive id silently diverge from the
+    // from-scratch truth
+    val wm = segX("id_watermark", "max_id")
+      .agg(max(col("max_id")).as("wm")).head()
+    val bMin = input.agg(min(id).as("m")).head()
+    if (!wm.isNullAt(0) && !bMin.isNullAt(0))
+      require(bMin.getLong(0) > wm.getLong(0),
+        s"IncrementalRelease: batch min doc_id ${bMin.getLong(0)} does not " +
+          s"exceed the standing id watermark ${wm.getLong(0)} — the " +
+          "monotone-id contract (see the EQUALITY CONTRACT scaladoc) is " +
+          "violated and the incremental result would silently diverge " +
+          "from a from-scratch release over the union. Re-id the batch " +
+          "above the watermark, or re-release from scratch.")
+
     val raw = Release.withEncOk(input)
     val gated = Release.scoredGates(raw, cfg).localCheckpoint()
     val (encRejects, gateRejects) = Release.ingestRejectRows(raw, gated)
     val ingested = Release.ingestedRows(gated)
 
     // 2 — exact dedup: cross (store fingerprints, keeper = the stored
-    // exact survivor — the union window's min id) then within-batch
-    val storeBands = DedupIndexStore.readMinhash(spark, s"$stateDir/corpus_minhash")
-    val keeperByFp = storeBands.select(col("fp").as("__fp"),
-      col("id").as("__keeper")).distinct()
+    // exact survivor — the union window's min id) then within-batch.
+    // The keeper probe reduces the store FIRST by a broadcast
+    // semi-join on the batch's fingerprint set, so the distinct
+    // shuffles only the matched survivors (batch-bounded), never the
+    // corpus-sized index.
+    val storeBands = DedupIndexStore.readMinhash(
+      spark, s"$stateDir/corpus_minhash", excl)
     val fp = ingested.withColumn("__fp", TextFunctions.fingerprint(col("text")))
+    val keeperByFp = storeBands
+      .join(broadcast(fp.select(col("__fp").as("fp")).distinct()),
+        Seq("fp"), "left_semi")
+      .select(col("fp").as("__fp"), col("id").as("__keeper")).distinct()
     val crossExactRejects = fp.join(keeperByFp, "__fp")
       .select(id, lit("exact").as("stage"),
         concat(lit("dup_of_"), col("__keeper").cast("string")).as("reason"))
@@ -238,49 +369,52 @@ object IncrementalRelease {
     val batchExact = afterCross.filter(id === col("__keep"))
       .select(id, col("source"), col("text")).localCheckpoint()
 
-    // 3 — near-dup: cross-matches map to the from-scratch cluster rep
-    // through the standing rep table; within-batch keep-one on the
-    // cross survivors (the union CC decomposes exactly this way under
-    // the no-bridge contract)
-    val corpusTexts = seg(spark, stateDir, "corpus_texts",
-      "doc_id", "source", "text")
-    val ndRepMap = seg(spark, stateDir, "nd_reps", "doc_id", "rep")
+    // 3 — near-dup: ONE connected-components pass over the union
+    // graph's batch-touching edges — cross matches (batch doc → its
+    // day-N cluster rep, through the standing rep table) ∪ the
+    // within-batch candidate pairs over ALL exact survivors. Running
+    // CC over the COMBINED edge set (not over the cross survivors
+    // alone) is what makes a batch-internal chain through a
+    // cross-matched doc (b2 ~ b1 ~ corpus) reject b2 exactly as the
+    // from-scratch union CC does transitively; under the monotone-id
+    // contract the component minimum is the day-N rep whenever any
+    // member cross-matched, so reps match the union run's.
+    val corpusTexts = segX("corpus_texts", "doc_id", "source", "text")
+    val ndRepMap = segX("nd_reps", "doc_id", "rep")
       .select(col("doc_id").as("cid"), col("rep"))
     val crossNd = Dedup.dedupAgainstMatches(batchExact, corpusTexts,
         "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
         cfg.dedup.bands, cfg.dedup.jaccardThreshold,
         maxBucketSize = cfg.dedup.maxBucketSize,
-        index = Some(storeBands))
+        index = Some(storeBands), pruneIndexToProbe = true)
       .join(ndRepMap, Seq("cid"), "left")
       .select(col("id"), coalesce(col("rep"), col("cid")).as("rep"))
-      .groupBy("id").agg(min(col("rep")).as("rep"))
       .localCheckpoint()
-    val crossNdRejects = crossNd.select(col("id").as("doc_id"),
-      lit("neardup").as("stage"),
-      concat(lit("dup_of_"), col("rep").cast("string")).as("reason"))
-    val afterCrossNd = batchExact.join(crossNd.select(col("id").as("doc_id")),
-      Seq("doc_id"), "left_anti")
-    val withinNd = Dedup.connectedComponents(
-        Dedup.minhashPairs(afterCrossNd, "doc_id", "text",
-          cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.dedup.bands,
-          cfg.dedup.jaccardThreshold,
-          maxBucketSize = cfg.dedup.maxBucketSize).select("id_a", "id_b"))
+    val batchNdPairs = Dedup.minhashPairs(batchExact, "doc_id", "text",
+        cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.dedup.bands,
+        cfg.dedup.jaccardThreshold,
+        maxBucketSize = cfg.dedup.maxBucketSize)
+      .select("id_a", "id_b")
+    val ndCc = Dedup.connectedComponents(batchNdPairs.unionByName(
+        crossNd.select(col("id").as("id_a"), col("rep").as("id_b"))))
       .filter(col("id") =!= col("rep"))
+      // batch rows only: day-N rep nodes ride along in the graph, and
+      // under the no-bridge contract each is its own component min
+      // (so the id =!= rep filter already removed it) — the semi-join
+      // makes that structural rather than assumed
+      .join(batchExact.select(id.as("id")), Seq("id"), "left_semi")
       .localCheckpoint()
-    val withinNdRejects = withinNd.select(col("id").as("doc_id"),
+    val ndRejects = ndCc.select(col("id").as("doc_id"),
       lit("neardup").as("stage"),
       concat(lit("dup_of_"), col("rep").cast("string")).as("reason"))
-    val batchNd = afterCrossNd.join(withinNd.select(col("id").as("doc_id")),
+    val batchNd = batchExact.join(ndCc.select(col("id").as("doc_id")),
       Seq("doc_id"), "left_anti").localCheckpoint()
 
     // the corpus stores grow by the batch's exact survivors NOW —
     // tomorrow's batch probes today's
-    DedupIndexStore.appendMinhash(spark, s"$stateDir/corpus_minhash",
-      batchExact, "doc_id", "text")
-    app(spark, stateDir, "corpus_texts", batchExact)
-    app(spark, stateDir, "nd_reps",
-      crossNd.select(col("id").as("doc_id"), col("rep"))
-        .unionByName(withinNd.select(col("id").as("doc_id"), col("rep"))))
+    appendMh(s"$stateDir/corpus_minhash", batchExact)
+    appX("corpus_texts", batchExact)
+    appX("nd_reps", ndCc.select(col("id").as("doc_id"), col("rep")))
 
     // 4 — split; the holdout stores grow BEFORE the decontam probe so
     // batch-tv-vs-batch-holdout hits surface exactly like the union's
@@ -292,25 +426,36 @@ object IncrementalRelease {
       .select(id, lit("holdout").as("stage"), lit("test").as("reason"))
     val batchTv = split.filter(col("split") =!= "test")
       .select(id, col("source"), col("text")).localCheckpoint()
-    DedupIndexStore.appendMinhash(spark, s"$stateDir/holdout_minhash",
-      batchHold, "doc_id", "text")
-    app(spark, stateDir, "holdout_texts", batchHold)
+    appendMh(s"$stateDir/holdout_minhash", batchHold)
+    appX("holdout_texts", batchHold)
 
     // 5 — decontam: lexical first-fail vs the grown holdout store,
-    // then semantic vs the persisted ANN index (frozen centroids)
+    // then semantic vs the persisted ANN index (frozen centroids).
+    // These holdout reads deliberately INCLUDE the batch's own just-
+    // published segment (append-then-read order — identical on first
+    // run and replay), unlike the pre-append reads above.
     val holdTexts = seg(spark, stateDir, "holdout_texts", "doc_id", "text")
     val lexOkIds = Dedup.dedupAgainst(batchTv, holdTexts, "doc_id", "text",
         cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.decontam.bands,
         cfg.decontam.jaccardThreshold,
-        index = Some(DedupIndexStore.readMinhash(spark, s"$stateDir/holdout_minhash")))
+        index = Some(DedupIndexStore.readMinhash(spark, s"$stateDir/holdout_minhash")),
+        pruneIndexToProbe = true)
       .select("doc_id").localCheckpoint()
     val lexRejects = batchTv.select("doc_id")
       .join(lexOkIds, Seq("doc_id"), "left_anti")
       .select(id, lit("decontam").as("stage"), lit("lexical").as("reason"))
     val batchTestEmb = embeddings.join(
       batchHold.select(id.as("vec_id")), Seq("vec_id"), "left_semi")
-    AnnIndex.appendToIvf(spark, s"$stateDir/holdout_ann",
-      batchTestEmb, "vec_id", "embedding")
+    batchId match {
+      case Some(b) =>
+        AnnIndex.appendToIvfAt(spark, s"$stateDir/holdout_ann",
+          batchTestEmb, "vec_id", "embedding", segIdOf(b))
+        ()
+      case None =>
+        AnnIndex.appendToIvf(spark, s"$stateDir/holdout_ann",
+          batchTestEmb, "vec_id", "embedding")
+        ()
+    }
     val ann = AnnIndex.readIvf(spark, s"$stateDir/holdout_ann")
     val batchTvEmb = embeddings.join(
       batchTv.select(id.as("vec_id")), Seq("vec_id"), "left_semi")
@@ -328,7 +473,7 @@ object IncrementalRelease {
       .join(semHits, Seq("doc_id"), "left_anti").localCheckpoint()
 
     // 6 — SFT endgame over the batch survivors; conversation dedup is
-    // the same two-phase cross/within decomposition as stage 3
+    // the same combined-edge CC decomposition as stage 3
     val turns = Chat.parseToolTurns(
       transcriptsOf(keep.select("doc_id", "text")), "doc_id", "transcript")
       .localCheckpoint()
@@ -336,39 +481,35 @@ object IncrementalRelease {
       Release.sftGateRows(turns, cfg.sft.toolNames)
     val aturns = turns.join(admitted, "doc_id").localCheckpoint()
     val convs = Release.convoTexts(aturns).localCheckpoint()
-    val convTexts = seg(spark, stateDir, "conv_texts", "doc_id", "text")
-    val convRepMap = seg(spark, stateDir, "conv_reps", "doc_id", "rep")
+    val convTexts = segX("conv_texts", "doc_id", "text")
+    val convRepMap = segX("conv_reps", "doc_id", "rep")
       .select(col("doc_id").as("cid"), col("rep"))
     val crossConv = Dedup.dedupAgainstMatches(convs, convTexts,
         "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
         cfg.dedup.bands, cfg.dedup.jaccardThreshold,
         maxBucketSize = cfg.dedup.maxBucketSize,
-        index = Some(DedupIndexStore.readMinhash(spark, s"$stateDir/conv_minhash")))
+        index = Some(DedupIndexStore.readMinhash(
+          spark, s"$stateDir/conv_minhash", excl)),
+        pruneIndexToProbe = true)
       .join(convRepMap, Seq("cid"), "left")
       .select(col("id"), coalesce(col("rep"), col("cid")).as("rep"))
-      .groupBy("id").agg(min(col("rep")).as("rep"))
       .localCheckpoint()
-    val afterCrossConv = convs.join(crossConv.select(col("id").as("doc_id")),
-      Seq("doc_id"), "left_anti")
-    val withinConv = Dedup.connectedComponents(
-        Dedup.minhashPairs(afterCrossConv, "doc_id", "text",
-          cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.dedup.bands,
-          cfg.dedup.jaccardThreshold,
-          maxBucketSize = cfg.dedup.maxBucketSize).select("id_a", "id_b"))
+    val convPairs = Dedup.minhashPairs(convs, "doc_id", "text",
+        cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.dedup.bands,
+        cfg.dedup.jaccardThreshold,
+        maxBucketSize = cfg.dedup.maxBucketSize)
+      .select("id_a", "id_b")
+    val convCc = Dedup.connectedComponents(convPairs.unionByName(
+        crossConv.select(col("id").as("id_a"), col("rep").as("id_b"))))
       .filter(col("id") =!= col("rep"))
+      .join(convs.select(id.as("id")), Seq("id"), "left_semi")
       .localCheckpoint()
-    val sftDupRejects = crossConv.select(col("id").as("doc_id"),
-        lit("sft_dedup").as("stage"),
-        concat(lit("dup_of_"), col("rep").cast("string")).as("reason"))
-      .unionByName(withinConv.select(col("id").as("doc_id"),
-        lit("sft_dedup").as("stage"),
-        concat(lit("dup_of_"), col("rep").cast("string")).as("reason")))
-    DedupIndexStore.appendMinhash(spark, s"$stateDir/conv_minhash",
-      convs, "doc_id", "text")
-    app(spark, stateDir, "conv_texts", convs)
-    app(spark, stateDir, "conv_reps",
-      crossConv.select(col("id").as("doc_id"), col("rep"))
-        .unionByName(withinConv.select(col("id").as("doc_id"), col("rep"))))
+    val sftDupRejects = convCc.select(col("id").as("doc_id"),
+      lit("sft_dedup").as("stage"),
+      concat(lit("dup_of_"), col("rep").cast("string")).as("reason"))
+    appendMh(s"$stateDir/conv_minhash", convs)
+    appX("conv_texts", convs)
+    appX("conv_reps", convCc.select(col("id").as("doc_id"), col("rep")))
     val conv = Release.convCosted(aturns, merges(),
         cfg.sft.turnOverhead, cfg.sft.groups)
       .join(sftDupRejects.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -377,7 +518,7 @@ object IncrementalRelease {
     // append-only packing: today's conversations continue yesterday's
     // per-group tail bins — byte-identical to one from-scratch
     // next-fit over the union in id order
-    val tail = latestPackState(spark, stateDir).localCheckpoint()
+    val tail = latestPackState(spark, stateDir, excl).localCheckpoint()
     val batchPacked = Packing.packBinsByCountFrom(conv, "doc_id", "grp",
         "n_tokens", cfg.pack.capacity, tail.select("grp", "bin_id", "fill"))
       .select(col("id").as("doc_id"), col("grp"), col("n_tokens"),
@@ -385,8 +526,12 @@ object IncrementalRelease {
       .join(conv.select("doc_id", "loss_tokens"), "doc_id")
       .select("doc_id", "grp", "n_tokens", "loss_tokens", "bin_id")
       .localCheckpoint()
-    app(spark, stateDir, "packed", batchPacked)
-    val batchIdx = tail.agg(max(col("batch_idx"))).head().getLong(0) + 1L
+    appX("packed", batchPacked)
+    // max over an empty tail is NULL (a day 0 that packed nothing
+    // still bootstraps an empty pack_state) — resume at batch 0, not
+    // an NPE
+    val batchIdx = tail
+      .agg(coalesce(max(col("batch_idx")), lit(-1L))).head().getLong(0) + 1L
     // the new tail per touched group: the batch's last bin, plus the
     // resumed fill when the batch continued yesterday's open bin
     val newTail = packTail(batchPacked, batchIdx)
@@ -395,32 +540,144 @@ object IncrementalRelease {
       .select(col("batch_idx"), col("grp"), col("bin_id"),
         (col("fill") + when(col("bin_id") === col("__pb"), col("__pf"))
           .otherwise(lit(0L))).as("fill"))
-    app(spark, stateDir, "pack_state", newTail)
+    appX("pack_state", newTail)
 
-    // 9 — ledger + manifest states + reconcile deltas
+    // 9 — ledger + manifest states + watermark + reconcile deltas
     val ledgerDelta = encRejects.unionByName(gateRejects)
       .unionByName(crossExactRejects).unionByName(withinExactRejects)
-      .unionByName(crossNdRejects).unionByName(withinNdRejects)
+      .unionByName(ndRejects)
       .unionByName(holdoutRejects).unionByName(lexRejects)
       .unionByName(semRejects).unionByName(contractRejects)
       .unionByName(toolRejects).unionByName(sftDupRejects)
       .localCheckpoint()
-    app(spark, stateDir, "ledger", ledgerDelta)
-    app(spark, stateDir, "manifest_states", Profile.manifestStates(
+    appX("ledger", ledgerDelta)
+    appX("manifest_states", Profile.manifestStates(
       keep.join(batchPacked.select("doc_id").distinct(), "doc_id"),
       "source", "text"))
+    appX("id_watermark",
+      input.agg(max(id).as("max_id")).filter(col("max_id").isNotNull))
     val rIn = input.agg(count(id).as("n"), sum(id).as("s")).head()
     val rAcc = batchPacked.select("doc_id")
       .unionByName(ledgerDelta.select("doc_id"))
       .agg(count(id).as("n"), sum(id).as("s")).head()
     def l(row: org.apache.spark.sql.Row, i: Int) =
       if (row.isNullAt(i)) 0L else row.getLong(i)
-    app(spark, stateDir, "reconcile",
+    appX("reconcile",
       spark.createDataFrame(java.util.Arrays.asList(
         org.apache.spark.sql.Row(rIn.getLong(0), l(rIn, 1),
           rAcc.getLong(0), l(rAcc, 1))),
         org.apache.spark.sql.types.StructType.fromDDL(
           "n_input BIGINT, sum_input BIGINT, n_acc BIGINT, sum_acc BIGINT")))
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN over the standing release state — the
+    * round-12 discipline ("every standing artifact a deleted doc
+    * lives in") extended to the incremental-release store family.
+    * One call tombstones `ids` across every doc-keyed table
+    * (text/rep/packed/ledger — O(deletion) segment publishes, the
+    * corpus tables untouched until [[compactState]]), tombstones the
+    * three minhash stores and the ANN store (band buckets and cell
+    * assignments stop matching immediately — a deleted doc stops
+    * suppressing new near-duplicates of itself), REBUILDS the
+    * manifest states from the retained corpus (KMV sketches cannot
+    * subtract — the [[Profile.manifestStatesRebuild]] rule), and
+    * appends a compensating reconcile row so the tie-out still
+    * balances (the forgotten doc leaves BOTH sides, as if never
+    * crawled). After the call, [[artifact]] and every future
+    * [[runDeltas]] probe answer exactly as a state that never
+    * ingested the ids — and the ids themselves persist nowhere but
+    * the tombstone tables, which the next compaction physically
+    * clears.
+    *
+    * NOT replayed into from-scratch equality: a forgotten doc that
+    * was a keeper/rep may have suppressed other docs in history —
+    * those decisions are frozen (yesterday's model trained on
+    * yesterday's release; the same no-retroaction stance as the
+    * equality contract). The oracle pins the ledger-resident case
+    * (`q_release_forget`), where equality to the
+    * excluded-from-scratch pyramid IS exact. */
+  def forget(
+      spark: SparkSession,
+      stateDir: String,
+      ids: DataFrame,
+      idCol: String = "doc_id"): Unit = {
+    val dead = ids.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+
+    // the compensating reconcile row FIRST (from the pre-tombstone
+    // view): every accounted row about to vanish leaves the input
+    // side too — the artifact's tie-out stays exact
+    val acc = seg(spark, stateDir, "packed", "doc_id")
+      .unionByName(seg(spark, stateDir, "ledger", "doc_id"))
+      .join(dead, Seq("doc_id"), "left_semi")
+      .agg(count(col("doc_id")).as("n"), sum(col("doc_id")).as("s")).head()
+    val n = acc.getLong(0)
+    val s = if (acc.isNullAt(1)) 0L else acc.getLong(1)
+    if (n > 0)
+      app(spark, stateDir, "reconcile",
+        spark.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-n, -s, -n, -s)),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "n_input BIGINT, sum_input BIGINT, n_acc BIGINT, sum_acc BIGINT")))
+
+    DocKeyed.toSeq.sorted.foreach { t =>
+      Segments.deleteIds(spark, s"$stateDir/$t", dead, "doc_id")
+    }
+    Seq("corpus_minhash", "holdout_minhash", "conv_minhash").foreach { t =>
+      DedupIndexStore.deleteIds(spark, s"$stateDir/$t", dead, "doc_id")
+    }
+    AnnIndex.deleteIds(spark, s"$stateDir/holdout_ann", dead, "doc_id")
+
+    // manifest: rebuild-from-retained (tombstones already in force on
+    // both reads), published as a NEW pointer version — atomic, and
+    // the superseded states never resurface
+    val retained = seg(spark, stateDir, "corpus_texts",
+        "doc_id", "source", "text")
+      .join(seg(spark, stateDir, "packed", "doc_id").distinct(), "doc_id")
+    replaceState(spark, stateDir, "manifest_states",
+      Profile.manifestStates(retained, "source", "text"))
+  }
+
+  /** Compact one state table: read through the tombstone filter,
+    * rewrite as a single segment in a fresh pointer-published version
+    * tree (one atomic flip — [[Segments.publishVersionFenced]], so a
+    * concurrent batch's append refuses rather than vanishing), which
+    * physically drops forgotten rows AND clears the tombstone table.
+    * The per-batch segment accumulation (one segment per table per
+    * batch — 365/yr × 10 tables) is bounded by scheduling this off
+    * [[DedupIndexStore.maintenanceAudit]]'s compaction-due trigger,
+    * exactly like the minhash/ANN stores. */
+  def compactState(
+      spark: SparkSession, stateDir: String, name: String): Unit = {
+    val dir = s"$stateDir/$name"
+    val watermark = Segments.segmentWatermark(spark, dir)
+    val root = Segments.resolve(spark, dir)
+    val raw = spark.read.parquet(s"$root/rows").drop("seg")
+    val rows =
+      if (DocKeyed(name)) Segments.minusTombstones(spark, root, raw, "doc_id")
+      else raw
+    publishStateVersion(spark, dir, rows, Some(watermark))
+  }
+
+  /** Replace a state table's contents wholesale (the manifest-rebuild
+    * path) — same pointer-flip publication as [[compactState]]. */
+  private def replaceState(
+      spark: SparkSession, stateDir: String, name: String,
+      rows: DataFrame): Unit = {
+    val dir = s"$stateDir/$name"
+    val watermark = Segments.segmentWatermark(spark, dir)
+    publishStateVersion(spark, dir, rows, Some(watermark))
+  }
+
+  private def publishStateVersion(
+      spark: SparkSession, dir: String, rows: DataFrame,
+      watermark: Option[Segments.StoreWatermark]): Unit = {
+    val staging = Segments.newVersionPath(dir)
+    rows.write.mode("overwrite").parquet(s"$staging/rows/seg=0")
+    watermark match {
+      case Some(w) => Segments.publishVersionFenced(spark, dir, staging, w)
+      case None => Segments.publishVersion(spark, dir, staging)
+    }
   }
 
   /** The union artifact in [[Release.pipeline]]'s (part, k, v) shape,

@@ -79,10 +79,32 @@ object ReleaseConfig {
       semanticThreshold: Double = 0.3,
       semanticMaxCluster: Option[Int] = Some(6))
 
+  /** PARALLELISM CONTRACT — `groups` IS the packing parallelism:
+    * next-fit bin packing is a sequential fold per group
+    * ([[graft.operators.Packing.packBinsByCount]] — one
+    * `repartition(grp)` then an O(1)-state in-partition sweep), so
+    * the TOTAL number of concurrent packing tasks equals `groups`,
+    * and every group's whole conversation stream passes through one
+    * executor core. The default 8 is FIXTURE-scale (it keeps the
+    * sf0.01/sf0.1 DuckDB replay small); a production run must set it
+    * explicitly to thousands (shards/workers — [[groupsFor]] derives
+    * one from corpus cardinality), and thread the SAME value to any
+    * replay. Raising it only re-keys `doc_id % groups`, so the
+    * choice is a config knob, not a code change. */
   final case class Sft(
       toolNames: Seq[String] = Seq("search", "calc"),
       groups: Long = 8L,
       turnOverhead: Long = 4L)
+
+  /** A production `sft.groups` for `n` conversations: one group per
+    * `perGroup` docs (default 100k — minutes of single-core next-fit
+    * sweep per task), floored at 8 so small corpora keep the fixture
+    * default. ~10k groups at a billion conversations — the
+    * "thousands at 100 TB" posture the packing scaladoc requires. */
+  def groupsFor(n: Long, perGroup: Long = 100000L): Long = {
+    require(perGroup > 0, "perGroup must be positive")
+    math.max(8L, (n + perGroup - 1) / perGroup)
+  }
 
   final case class Pack(capacity: Int = 512, numShards: Int = 4)
 

@@ -58,10 +58,32 @@ object ReleaseRun {
     private def fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
 
+    /** `<name>-<uuid>` — the staging naming pattern; a child of a
+      * PUBLISHED stage table matching it is a nested rename-race
+      * loser (see below) whose delete was interrupted by a crash. */
+    private def sweepNestedLosers(
+        f: org.apache.hadoop.fs.FileSystem,
+        dir: org.apache.hadoop.fs.Path,
+        name: String): Unit = {
+      val loser = (java.util.regex.Pattern.quote(name) +
+        "-[0-9a-fA-F-]{36}").r
+      f.listStatus(dir).foreach { st =>
+        if (st.isDirectory && loser.matches(st.getPath.getName))
+          f.delete(st.getPath, true)
+      }
+    }
+
     def apply(name: String)(df: => DataFrame): DataFrame = {
       if (halted) throw new ReleaseHalted
       val dir = new org.apache.hadoop.fs.Path(s"$outDir/stages/$name")
       val f = fs
+      // resume path: before trusting an existing stage table, sweep
+      // any nested loser tree a crash left inside it — the nested
+      // delete below is not atomic with the rename, and a crash in
+      // between leaves the duplicate subtree where no _staging sweep
+      // reaches (it lives INSIDE the published table), so a resumed
+      // read would see duplicate/conflicting children
+      if (f.exists(dir)) sweepNestedLosers(f, dir, name)
       if (!f.exists(dir)) {
         evaluated += name
         val staging = new org.apache.hadoop.fs.Path(

@@ -836,9 +836,16 @@ object ExtensionQueries {
     * FULL corpus. */
   private val qDedupSemantic: Q = (s, dir) => {
     val emb = graft.operators.Sampling.hashSample(
-      pq(s, dir, "embeddings"), "vec_id", pct = 25)
+        pq(s, dir, "embeddings"), "vec_id", pct = 25)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // nlist ∝ corpus (constant expected cell occupancy): a fixed cell
+    // count makes the within-cell pair output quadratic in density —
+    // the worst growth curve in the r15 catalog (16× at 10× rows);
+    // at the oracle scales (125–500 sampled rows) this resolves to
+    // the old nlist=8, so the fixture semantics are unchanged there
+    val nlist = Similarity.adaptiveNlist(emb.count(), targetCell = 64)
     val cents = Similarity.kmeansCentroidsDistributed(
-      emb, "vec_id", "embedding", nlist = 8, iters = 2)
+      emb, "vec_id", "embedding", nlist = nlist, iters = 2)
     Dedup.semanticNearDupPairs(emb, "vec_id", "embedding", cents,
       threshold = 0.2)
   }
@@ -1798,6 +1805,24 @@ object ExtensionQueries {
     DedupIndexStore.deleteIds(s, lnDir,
       docs.filter(col("doc_id") % 6 === 0).select("doc_id"), "doc_id")
 
+    // a RELEASE-STATE delta table ([[graft.plans.IncrementalRelease]]
+    // layout: doc_id-keyed `rows` segments + tombstones, legacy tree)
+    // under the same audit — the compaction-due trigger extends to
+    // the incremental release's standing state tables, not just the
+    // index stores. Two appends + a % 6 forget (168 000 ppm) → due on
+    // the tombstone axis.
+    val stDir = s"$twinRoot/maint_state/$sfName"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stDir), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stDir), true)
+    val stateRows = docs.select(col("doc_id"), col("source"))
+    graft.sources.Segments.appendToStore(s, stDir, "rows",
+      stateRows.filter(d10 < 5))
+    graft.sources.Segments.appendToStore(s, stDir, "rows",
+      stateRows.filter(d10 >= 5))
+    graft.sources.Segments.deleteIds(s, stDir,
+      docs.filter(col("doc_id") % 6 === 0).select("doc_id"), "doc_id")
+
     def tag(label: String, audit: DataFrame): DataFrame =
       audit.select(lit(label).as("store"), col("n_segments"),
         col("n_docs_live"), col("n_docs_tombstoned"),
@@ -1808,6 +1833,8 @@ object ExtensionQueries {
         DedupIndexStore.maintenanceAudit(s, lnDir, "lines")))
       .unionByName(tag("minhash_clean",
         DedupIndexStore.maintenanceAudit(s, mhDir, "bands")))
+      .unionByName(tag("state_rows",
+        DedupIndexStore.maintenanceAudit(s, stDir, "rows", idCol = "doc_id")))
   }
 
   /** Whole-document next-fit packing into 256-token bins, 8 shard
@@ -3521,7 +3548,21 @@ object ExtensionQueries {
     *        the way to packing/holdout;
     *   +6M/+7M (d%53): a reversed-text pair → within-batch exact dup;
     *   +8M/+9M (d%59): reversed text and reversed+3-token-tail
-    *        (jaccard ≈ 0.9) → within-batch near dup.
+    *        (jaccard ≈ 0.9) → within-batch near dup;
+    *   +10M/+11M (d%61, ingested, both split-guarded to train/val):
+    *        the CHAIN — +10M is a 75% prefix (cross-matches the
+    *        day-0 target), +11M a 45% prefix (jaccard ≈ 0.45 to the
+    *        target — BELOW the 0.5 near-dup cut — but ≈ 0.6 to its
+    *        +10M sibling): +11M near-dups the corpus only
+    *        TRANSITIVELY through a cross-matched batch doc, the case
+    *        the combined-edge CC in
+    *        [[graft.plans.IncrementalRelease.runDeltas]] exists for
+    *        (a cross-survivors-only within pass would let it
+    *        through). The split guards keep the no-retroaction
+    *        contract airtight for the rare chain-miss survivor (an
+    *        LSH band miss is identical in both engines, but a
+    *        surviving +11M landing TEST would decontaminate its
+    *        day-0 train target in the union run);
     *
     * The `ingested(d)` guard on the re-crawl/near/markup rows keeps
     * every probed fingerprint present in the standing store (a
@@ -3549,9 +3590,12 @@ object ExtensionQueries {
         .otherwise(w)), " ")
     val pfx75 = array_join(
       slice(toks, lit(1), ceil(size(toks) * lit(0.75)).cast("int")), " ")
-    val cOk = (shiftrightunsigned(
-      graft.functions.HashExpressions.mix64((id + 4000000L).cast("long")),
+    val pfx45 = array_join(
+      slice(toks, lit(1), ceil(size(toks) * lit(0.45)).cast("int")), " ")
+    def splitOk(offset: Long) = (shiftrightunsigned(
+      graft.functions.HashExpressions.mix64((id + offset).cast("long")),
       1) % 100) < 90
+    val cOk = splitOk(4000000L)
     val ingested = docs.join(ing0, Seq("doc_id"), "left_semi")
     def part(src: DataFrame, cond: org.apache.spark.sql.Column,
         offset: Long, text: org.apache.spark.sql.Column) =
@@ -3565,6 +3609,10 @@ object ExtensionQueries {
       .unionByName(part(docs, id % 53 === 0, 7000000L, rev))
       .unionByName(part(docs, id % 59 === 0, 8000000L, rev))
       .unionByName(part(docs, id % 59 === 0, 9000000L, revTail))
+      .unionByName(part(ingested,
+        id % 61 === 0 && splitOk(10000000L), 10000000L, pfx75))
+      .unionByName(part(ingested,
+        id % 61 === 0 && splitOk(11000000L), 11000000L, pfx45))
       .select(id, col("source"),
         concat(lit(htmlPrefix), col("text"), lit(htmlSuffix),
           when(id % 23 === 0, lit("�")).otherwise(lit(""))).as("raw"))
@@ -3596,6 +3644,46 @@ object ExtensionQueries {
       keep => sftTranscriptsOf(s, keep),
       () => releaseMerges(s, dir),
       s"$root/state")
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN over the standing incremental-release
+    * state ([[graft.plans.IncrementalRelease.forget]]) as a gated
+    * catalog row: day-0 durable release → bootstrap → the crawl-3
+    * incremental batch → forget a deterministic dead set (packed
+    * cids ≡ 3 mod 11 and ingest-GATE rejects ≡ 1 mod 13 — one
+    * packed-resident and one ledger-resident family) → the artifact
+    * re-served from the standing state. The oracle is the
+    * from-scratch pyramid over the union with the SAME dead set
+    * excised post-hoc ([[releaseForgetSql]]), so the doc-keyed
+    * tombstone reads, the manifest REBUILD (KMV states cannot
+    * subtract), and the compensating reconcile row are all pinned
+    * row-identical to a release that never shipped those rows. */
+  private val qReleaseForget: Q = (s, dir) => {
+    val root = s"$twinRoot/release_forget/${new java.io.File(dir).getName}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.plans.ReleaseRun.run(s,
+      releaseRawInput(s, dir), pq(s, dir, "embeddings"),
+      keep => sftTranscriptsOf(s, keep),
+      () => releaseMerges(s, dir),
+      s"$root/day0").get
+    graft.plans.IncrementalRelease.bootstrap(s, s"$root/day0", s"$root/state")
+    val art = graft.plans.IncrementalRelease.run(s,
+      crawl3RawBatch(s, dir), pq(s, dir, "embeddings"),
+      keep => sftTranscriptsOf(s, keep),
+      () => releaseMerges(s, dir),
+      s"$root/state")
+    // try_cast: the reconcile part's k is the literal 'tieout' and a
+    // strict ANSI cast inside this whole-frame filter would throw
+    val kLong = expr("try_cast(k AS BIGINT)")
+    val dead = art.filter(
+      (col("part") === "pack" && kLong % 11 === 3) ||
+        (col("part") === "ledger" && col("v").startsWith("ingest:") &&
+          !col("v").contains("encoding") && kLong % 13 === 1))
+      .select(kLong.as("doc_id")).distinct()
+    graft.plans.IncrementalRelease.forget(s, s"$root/state", dead)
+    graft.plans.IncrementalRelease.artifact(s, s"$root/state")
   }
 
   /** Unigram-distribution drift between the even-id and odd-id
@@ -3941,6 +4029,7 @@ object ExtensionQueries {
     "q_pipeline_release" -> qPipelineRelease,
     "q_pipeline_release_run" -> qPipelineReleaseRun,
     "q_pipeline_release_incr" -> qPipelineReleaseIncr,
+    "q_release_forget" -> qReleaseForget,
     "q_pipeline_pref" -> qPipelinePref,
     "q_pipeline_pref_ledger" -> qPipelinePrefLedger,
     "q_chat_dedup" -> qChatDedup,
@@ -4150,7 +4239,7 @@ object ExtensionQueries {
     * then the [[embeddingPairsSql]] pair join scoped by CELL instead
     * of LSH bucket — same guarded cosine, same ≥ 0.2 cut. */
   private def dedupSemanticPairsSql(
-      nlist: Int, cap: Option[Int], samplePct: Option[Int] = None): String = {
+      nlistExpr: String, cap: Option[Int], samplePct: Option[Int]): String = {
     val iters = 2
     val rawName = if (cap.isDefined) "assigned_raw" else "assigned"
     val capCte = cap.map(n =>
@@ -4169,7 +4258,7 @@ object ExtensionQueries {
         "corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings)"
     }
     s"""WITH $corpusCte,
-       |${kmeansDistributedCtes(nlist, iters)},
+       |${kmeansDistributedCtesExpr(nlistExpr, iters)},
        |$rawName AS (
        |  SELECT id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm, cell FROM (
        |    SELECT e.id, e.vec, c.cell,
@@ -4186,11 +4275,13 @@ object ExtensionQueries {
   }
 
   private val dedupSemanticSql: String =
-    dedupSemanticPairsSql(8, None, samplePct = Some(25))
+    dedupSemanticPairsSql(
+      "GREATEST(8, CAST(ceil((SELECT count(*) FROM corpus) / 64.0) AS BIGINT))",
+      None, samplePct = Some(25))
 
   /** [[dedupSemanticPairsSql]] at the capped production posture. */
   private val dedupSemanticCappedSql: String =
-    dedupSemanticPairsSql(32, Some(12))
+    dedupSemanticPairsSql("32", Some(12), samplePct = None)
 
   /** Mirrors [[qSimIndexDrift]]: the k-means CTE chain over the full
     * corpus (the frozen build model), both segments regenerated —
@@ -4668,7 +4759,15 @@ object ExtensionQueries {
     * shared by the single-query distributed oracle and the batch
     * oracle (which differ only in their corpus predicate and probe
     * stage). */
-  private def kmeansDistributedCtes(nlist: Int, iters: Int): String = {
+  private def kmeansDistributedCtes(nlist: Int, iters: Int): String =
+    kmeansDistributedCtesExpr(nlist.toString, iters)
+
+  /** [[kmeansDistributedCtes]] with the seed count as a SQL
+    * EXPRESSION (e.g. the corpus-proportional
+    * `GREATEST(8, CEIL(count/64))` of
+    * [[graft.operators.Similarity.adaptiveNlist]]) — DuckDB accepts
+    * subquery LIMITs, so the cell count can follow the data. */
+  private def kmeansDistributedCtesExpr(nlistExpr: String, iters: Int): String = {
     val quant = "1073741824.0" // 2^30, the quantBits=30 default
     def iterCtes(i: Int): String = {
       val prev = s"cents${i - 1}"
@@ -4691,7 +4790,7 @@ object ExtensionQueries {
     }
     s"""cents0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
        |                  list_transform(vec, x -> CAST(x AS DOUBLE)) AS cvec
-       |           FROM (SELECT id, vec FROM corpus ORDER BY id LIMIT $nlist) t),
+       |           FROM (SELECT id, vec FROM corpus ORDER BY id LIMIT $nlistExpr) t),
        |${(1 to iters).map(iterCtes).mkString(",\n")}""".stripMargin
   }
 
@@ -5756,13 +5855,15 @@ object ExtensionQueries {
     * ([[graft.sources.Segments]]): tables live under the one live
     * versioned tree the `ptr-<seq>` file names — a fresh build always
     * leaves exactly one. */
-  private def maintStoreCtes(p: String, storeDir: String, table: String): String =
+  private def maintStoreCtes(p: String, treeGlob: String, table: String,
+      idCol: String = "id"): String =
     s"""${p}b AS MATERIALIZED (
        |  SELECT DISTINCT
-       |    CAST(regexp_extract(filename, 'seg=(\\d+)', 1) AS BIGINT) AS seg, id
-       |  FROM read_parquet('$storeDir/v-*/$table/*/*.parquet', filename = true)),
+       |    CAST(regexp_extract(filename, 'seg=(\\d+)', 1) AS BIGINT) AS seg,
+       |    $idCol AS id
+       |  FROM read_parquet('$treeGlob/$table/*/*.parquet', filename = true)),
        |${p}t AS (SELECT DISTINCT id
-       |          FROM read_parquet('$storeDir/v-*/tombstones/*/*.parquet')),
+       |          FROM read_parquet('$treeGlob/tombstones/*/*.parquet')),
        |${p}a AS (SELECT
        |  (SELECT count(DISTINCT seg) FROM ${p}b) AS n_segments,
        |  (SELECT count(DISTINCT id) FROM ${p}b
@@ -5789,13 +5890,17 @@ object ExtensionQueries {
     * thresholds replayed — the q_layout_prune discipline for metadata
     * operators. */
   private val storeMaintenanceSql: String =
-    s"""WITH ${maintStoreCtes("m", s"$twinRoot/maint_minhash/__SF_BASENAME__", "bands")},
-       |${maintStoreCtes("l", s"$twinRoot/maint_lines/__SF_BASENAME__", "lines")}
+    s"""WITH ${maintStoreCtes("m", s"$twinRoot/maint_minhash/__SF_BASENAME__/v-*", "bands")},
+       |${maintStoreCtes("l", s"$twinRoot/maint_lines/__SF_BASENAME__/v-*", "lines")},
+       |${maintStoreCtes("st", s"$twinRoot/maint_state/__SF_BASENAME__", "rows",
+            idCol = "doc_id")}
        |${maintAuditRowSql("minhash_segments", "m", 3, 100000L)}
        |UNION ALL
        |${maintAuditRowSql("lines_tombstones", "l", 16, 100000L)}
        |UNION ALL
-       |${maintAuditRowSql("minhash_clean", "m", 16, 100000L)}""".stripMargin
+       |${maintAuditRowSql("minhash_clean", "m", 16, 100000L)}
+       |UNION ALL
+       |${maintAuditRowSql("state_rows", "st", 16, 100000L)}""".stripMargin
 
   /** Mirrors [[qEventsGapfill]]: the hourly aggregate, per-type
     * bounds, a LATERAL generate_series grid, and the zero-coalescing
@@ -8355,14 +8460,33 @@ object ExtensionQueries {
 
   /** The from-scratch release pyramid over an input CTE named
     * `rl_in` — every stage of [[graft.operators.Release.pipeline]]
-    * replayed in SQL, input-agnostic past the first CTE. */
-  private val releasePyramidSql: String = {
+    * replayed in SQL, input-agnostic past the first CTE.
+    *
+    * `dead` (a SELECT yielding one `doc_id` column; it may reference
+    * any CTE up to `rl_walk`) injects an `rl_dead` CTE and replays
+    * [[graft.plans.IncrementalRelease.forget]]'s post-hoc semantics
+    * over the finished pyramid: dead rows excised from the
+    * pack/ledger parts, bins + shards + manifest recomputed from the
+    * retained rows, and the reconcile tie-out reduced on BOTH sides
+    * (the forgotten doc leaves as if never crawled) — the exact
+    * artifact a forget over the standing state must serve. */
+  private def releasePyramidSql(dead: Option[String] = None): String = {
+    val withDead = dead.isDefined
     val raw = s"('$htmlPrefix' || text || '$htmlSuffix'" +
       " || CASE WHEN doc_id % 23 = 0 THEN chr(65533) ELSE '' END)"
     val cleaned = TextFunctions.normalizeTextSql(
       TextFunctions.stripBoilerplateSql("raw"))
     val serpentine =
       "CASE WHEN (rn0 // 4) % 2 = 0 THEN rn0 % 4 ELSE 3 - (rn0 % 4) END"
+    def drop(c: String) =
+      if (withDead) s" WHERE $c NOT IN (SELECT doc_id FROM rl_dead)" else ""
+    // every dead doc is exactly one accounted row by construction
+    // (packed XOR ledger), so "as if never crawled" subtracts the
+    // dead set from the input side verbatim
+    val deadN =
+      if (withDead) " - (SELECT count(*) FROM rl_dead)" else ""
+    val deadS =
+      if (withDead) " - (SELECT COALESCE(sum(doc_id), 0) FROM rl_dead)" else ""
     s"""rl_raw AS (SELECT doc_id, source, $raw AS raw FROM rl_in),
        |rl_clean AS MATERIALIZED (SELECT doc_id, source, $cleaned AS text
        |  FROM rl_raw WHERE ${TextFunctions.encodingOkSql("raw")}),
@@ -8419,14 +8543,16 @@ object ExtensionQueries {
        |${sftBpeCostCtes("rl_")},
        |${packWalkCtes("rl_", "rl_cost", 512, idCol = "cid",
             carry = Seq("loss_tokens"))},
-       |rl_bins AS MATERIALIZED (SELECT grp, bin, CAST(SUM(n) AS BIGINT) AS w
-       |  FROM rl_walk GROUP BY grp, bin),
+       |${dead.map(d => s"rl_dead AS MATERIALIZED ($d),\n").getOrElse("")}rl_bins AS MATERIALIZED (SELECT grp, bin, CAST(SUM(n) AS BIGINT) AS w
+       |  FROM rl_walk${drop("cid")} GROUP BY grp, bin),
        |rl_shard AS (SELECT grp, bin, w,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY w DESC, bin ASC)
        |         - 1 AS BIGINT) AS rn0
        |  FROM rl_bins),
        |rl_rel AS MATERIALIZED (SELECT k.doc_id, k.source, k.text
-       |  FROM rl_keep k WHERE k.doc_id IN (SELECT cid FROM rl_cost)),
+       |  FROM rl_keep k WHERE k.doc_id IN (SELECT cid FROM rl_cost)${
+         if (withDead) "\n    AND k.doc_id NOT IN (SELECT doc_id FROM rl_dead)"
+         else ""}),
        |${manifestMergeCtes("rl_rel")},
        |rl_led AS MATERIALIZED (
        |  SELECT doc_id, 'ingest' AS stage, 'encoding' AS reason FROM rl_raw
@@ -8477,14 +8603,14 @@ object ExtensionQueries {
        |SELECT 'pack' AS part, CAST(cid AS VARCHAR) AS k,
        |  CAST(grp AS VARCHAR) || ':' || CAST(bin AS VARCHAR) || ':'
        |    || CAST(n AS VARCHAR) || ':' || CAST(loss_tokens AS VARCHAR) AS v
-       |FROM rl_walk
+       |FROM rl_walk${drop("cid")}
        |UNION ALL
        |SELECT 'shard', CAST(grp AS VARCHAR) || ':' || CAST(bin AS VARCHAR),
        |  CAST(w AS VARCHAR) || ':' || CAST($serpentine AS VARCHAR)
        |FROM rl_shard
        |UNION ALL
        |SELECT 'ledger', CAST(doc_id AS VARCHAR), stage || ':' || reason
-       |FROM rl_led
+       |FROM rl_led${drop("doc_id")}
        |UNION ALL
        |SELECT 'manifest', c.source,
        |  CAST(n_docs AS VARCHAR) || ':' || CAST(total_tokens AS VARCHAR)
@@ -8494,19 +8620,19 @@ object ExtensionQueries {
        |FROM mm_cnt c JOIN mm_e e ON e.source = c.source
        |UNION ALL
        |SELECT 'reconcile', 'tieout',
-       |  CAST((SELECT count(*) FROM rl_in) AS VARCHAR) || ':' ||
-       |  CAST((SELECT count(*) FROM rl_cost)
-       |       + (SELECT count(*) FROM rl_led) AS VARCHAR) || ':' ||
-       |  CAST(CAST((SELECT sum(doc_id) FROM rl_in) AS BIGINT) AS VARCHAR)
+       |  CAST((SELECT count(*) FROM rl_in)$deadN AS VARCHAR) || ':' ||
+       |  CAST((SELECT count(*) FROM rl_cost${drop("cid")})
+       |       + (SELECT count(*) FROM rl_led${drop("doc_id")}) AS VARCHAR) || ':' ||
+       |  CAST(CAST((SELECT sum(doc_id) FROM rl_in)$deadS AS BIGINT) AS VARCHAR)
        |    || ':' ||
-       |  CAST(CAST((SELECT COALESCE(sum(cid), 0) FROM rl_cost)
-       |       + (SELECT COALESCE(sum(doc_id), 0) FROM rl_led) AS BIGINT)
+       |  CAST(CAST((SELECT COALESCE(sum(cid), 0) FROM rl_cost${drop("cid")})
+       |       + (SELECT COALESCE(sum(doc_id), 0) FROM rl_led${drop("doc_id")}) AS BIGINT)
        |       AS VARCHAR)""".stripMargin
   }
 
   private val pipelineReleaseSql: String =
     s"WITH RECURSIVE ${textBpeCtes(8)},\n" +
-      releaseInputCtes("rl_in") + ",\n" + releasePyramidSql
+      releaseInputCtes("rl_in") + ",\n" + releasePyramidSql()
 
   /** The incremental-release oracle: the SAME from-scratch pyramid,
     * run over day-0 ∪ the third crawl ([[crawl3RawBatch]] replay) —
@@ -8515,7 +8641,7 @@ object ExtensionQueries {
     * day-0's stage-1 gates (the `ingested(d)` target guard) and
     * `c3_sm*` replays the split of the +4M markup ids (the
     * no-retroaction guard). */
-  private val pipelineReleaseIncrSql: String = {
+  private def pipelineReleaseIncrSqlWith(dead: Option[String]): String = {
     val raw0 = s"('$htmlPrefix' || text || '$htmlSuffix'" +
       " || CASE WHEN doc_id % 23 = 0 THEN chr(65533) ELSE '' END)"
     val cleaned0 = TextFunctions.normalizeTextSql(
@@ -8537,11 +8663,21 @@ object ExtensionQueries {
          |c3_sm0 AS (SELECT doc_id, CAST(doc_id + 4000000 AS HUGEINT) AS x
          |  FROM documents),
          |${HashSql.mixCtes("c3_sm", "c3_sm0", "doc_id")},
+         |c3_sa0 AS (SELECT doc_id, CAST(doc_id + 10000000 AS HUGEINT) AS x
+         |  FROM documents),
+         |${HashSql.mixCtes("c3_sa", "c3_sa0", "doc_id")},
+         |c3_sb0 AS (SELECT doc_id, CAST(doc_id + 11000000 AS HUGEINT) AS x
+         |  FROM documents),
+         |${HashSql.mixCtes("c3_sb", "c3_sb0", "doc_id")},
          |c3_t AS (SELECT d.doc_id, d.source, d.text,
          |    list_filter(regexp_split_to_array(d.text, '$ws+'), x -> x <> '') AS t,
          |    (d.doc_id IN (SELECT doc_id FROM rl0_ing)) AS ing,
-         |    ((m.x // 2) % 100 < 90) AS c_ok
-         |  FROM documents d JOIN c3_sm4 m ON m.doc_id = d.doc_id),
+         |    ((m.x // 2) % 100 < 90) AS c_ok,
+         |    ((ma.x // 2) % 100 < 90) AS c_ok10,
+         |    ((mb.x // 2) % 100 < 90) AS c_ok11
+         |  FROM documents d JOIN c3_sm4 m ON m.doc_id = d.doc_id
+         |    JOIN c3_sa4 ma ON ma.doc_id = d.doc_id
+         |    JOIN c3_sb4 mb ON mb.doc_id = d.doc_id),
          |rl_c3 AS MATERIALIZED (
          |  SELECT doc_id + 2000000 AS doc_id, source, text FROM c3_t
          |    WHERE doc_id % 37 = 0 AND ing
@@ -8573,11 +8709,38 @@ object ExtensionQueries {
          |  UNION ALL
          |  SELECT doc_id + 9000000, source,
          |      array_to_string(list_reverse(t) || ['zq', 'zq', 'zq'], ' ')
-         |    FROM c3_t WHERE doc_id % 59 = 0),
+         |    FROM c3_t WHERE doc_id % 59 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, source, array_to_string(
+         |      list_slice(t, 1, CAST(ceil(0.75 * len(t)) AS INT)), ' ')
+         |    FROM c3_t WHERE doc_id % 61 = 0 AND ing AND c_ok10
+         |  UNION ALL
+         |  SELECT doc_id + 11000000, source, array_to_string(
+         |      list_slice(t, 1, CAST(ceil(0.45 * len(t)) AS INT)), ' ')
+         |    FROM c3_t WHERE doc_id % 61 = 0 AND ing AND c_ok11),
          |rl_in AS MATERIALIZED (
          |  SELECT * FROM rl_in0 UNION ALL SELECT * FROM rl_c3),
-         |""".stripMargin + releasePyramidSql
+         |""".stripMargin + releasePyramidSql(dead)
   }
+
+  private val pipelineReleaseIncrSql: String = pipelineReleaseIncrSqlWith(None)
+
+  /** Mirrors [[qReleaseForget]]: the SAME day-0 ∪ crawl-3 pyramid,
+    * with the deterministic dead set (packed cids ≡ 3 mod 11 ∪
+    * ingest-GATE rejects ≡ 1 mod 13 — one packed and one
+    * ledger-resident family, both exactly one accounted row each)
+    * excised post-hoc: pack/ledger rows dropped, bins + shards +
+    * manifest recomputed from the retained rows, tie-out reduced on
+    * both sides. Equality here pins the whole
+    * [[graft.plans.IncrementalRelease.forget]] composition — the
+    * doc-keyed tombstones, the manifest REBUILD (KMV states cannot
+    * subtract), and the compensating reconcile row — against a
+    * from-scratch release that never saw the forgotten docs'
+    * artifact rows. */
+  private val releaseForgetSql: String = pipelineReleaseIncrSqlWith(Some(
+    """SELECT cid AS doc_id FROM rl_walk WHERE cid % 11 = 3
+      |  UNION SELECT doc_id FROM rl_g
+      |  WHERE NOT (lang_ok AND q_ok AND len_ok) AND doc_id % 13 = 1""".stripMargin))
 
 
   /** Mirrors [[qTextDrift]]: per-half token hashes through the
@@ -8950,6 +9113,7 @@ object ExtensionQueries {
     "q_pipeline_release" -> pipelineReleaseSql,
     "q_pipeline_release_run" -> pipelineReleaseSql,
     "q_pipeline_release_incr" -> pipelineReleaseIncrSql,
+    "q_release_forget" -> releaseForgetSql,
     "q_pipeline_pref" -> pipelinePrefSql,
     "q_pipeline_pref_ledger" -> pipelinePrefLedgerSql,
     "q_chat_dedup" -> chatDedupSql,

@@ -308,6 +308,32 @@ object AnnIndex {
     readIvf(spark, dir)
   }
 
+  /** [[appendToIvf]] at an EXPLICIT segment id — the idempotent
+    * streaming-append form ([[Segments.publishToStoreAt]]): replaying
+    * the same (batch, segId) publish after a checkpoint restart is a
+    * no-op, so a foreachBatch-driven release
+    * ([[graft.plans.IncrementalRelease.runDeltas]] under
+    * [[graft.streaming.StreamOps.releaseStream]]) gets exactly-once
+    * ANN appends across crash replays. Rows stay model-coupled: the
+    * publish is pinned to the tree whose frozen centroids encoded
+    * them and refuses typed if a retrain flipped the pointer.
+    * Returns true when this call published. */
+  def appendToIvfAt(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      segId: Long): Boolean = {
+    val root = Segments.resolve(spark, dir)
+    val idx = readIvf(spark, dir)
+    Segments.publishToStoreAt(spark, dir, root, "assigned",
+      batch.select(
+        col(idCol).as("id"),
+        Similarity.assignCellUdf(idx.centroids)(col(vecCol)).as("cell"),
+        col(vecCol).as("vec")), segId)
+  }
+
   /** Load a plain-IVF index directory: centroids to a driver array
     * (nlist-bounded), the assigned table stays a DataFrame. */
   def readIvf(spark: SparkSession, dir: String): LoadedIvf = {

@@ -131,11 +131,29 @@ object DedupIndexStore {
     * shape [[graft.operators.Dedup.dedupAgainst]]'s `index` parameter
     * takes, so a query can never surface a deleted document's
     * fingerprint OR band bucket. */
-  def readMinhash(spark: SparkSession, dir: String): DataFrame = {
+  def readMinhash(spark: SparkSession, dir: String): DataFrame =
+    readMinhash(spark, dir, excludeSeg = None)
+
+  /** [[readMinhash]] with one segment EXCLUDED from the view — the
+    * crash-replay read a replayed micro-batch needs: if a prior
+    * attempt already published this batch's own segment
+    * (`segId = segBase + batchId`, [[appendMinhashAt]]) before
+    * crashing, a replay probing the store must see the index exactly
+    * as the first attempt did — WITHOUT the batch's own rows, or
+    * every batch doc would collide with itself and the recomputation
+    * would diverge from the original. The partition-discovered `seg`
+    * column makes the exclusion a partition-pruned filter, not a
+    * scan. */
+  def readMinhash(
+      spark: SparkSession, dir: String, excludeSeg: Option[Long]): DataFrame = {
     val root = Segments.resolve(spark, dir)
+    val bands = spark.read.parquet(s"$root/bands")
+    val kept = excludeSeg match {
+      case Some(s) => bands.filter(col("seg") =!= s)
+      case None => bands
+    }
     Segments.minusTombstones(spark, root,
-      spark.read.parquet(s"$root/bands")
-        .select("id", "fp", "band_idx", "band_hash"))
+      kept.select("id", "fp", "band_idx", "band_hash"))
   }
 
   /** Compact back to one segment, reading THROUGH the tombstone
@@ -273,7 +291,8 @@ object DedupIndexStore {
       dir: String,
       table: String,
       maxSegments: Int = 16,
-      maxTombstonePpm: Long = 100000L): DataFrame = {
+      maxTombstonePpm: Long = 100000L,
+      idCol: String = "id"): DataFrame = {
     val root = Segments.resolve(spark, dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
@@ -287,7 +306,8 @@ object DedupIndexStore {
     val hasTombstones = segsOf(s"$root/tombstones") > 0
     val live = Segments
       .minusTombstones(spark, root,
-        spark.read.parquet(s"$root/$table").select("id"))
+        spark.read.parquet(s"$root/$table")
+          .select(col(idCol).as("id")), "id")
       .select(lit("live").as("__k"), col("id"))
     val tomb =
       if (!hasTombstones)

@@ -376,6 +376,39 @@ private[graft] object Segments {
     if (resolve(spark, dir) != root) refuse()
   }
 
+  /** [[appendToStoreAt]] for the replay-idempotent form
+    * ([[publishSegment]] — explicit micro-batch segment id) of
+    * MODEL-COUPLED rows: the caller pins the `root` whose frozen
+    * model encoded the rows, and the publish lands only if the
+    * pointer still names that root before AND after the segment
+    * rename — any move refuses typed (no verbatim replay of
+    * old-model rows into a retrained tree, exactly
+    * [[appendToStoreAt]]'s contract). A same-segId replay against
+    * the same root is the tolerated no-op, which is what makes a
+    * crash-replayed micro-batch append exactly-once
+    * ([[graft.plans.IncrementalRelease.runDeltas]]'s ANN-store leg).
+    * Returns true when THIS call published. */
+  def publishToStoreAt(
+      spark: SparkSession, dir: String, root: String, table: String,
+      rows: DataFrame, segId: Long): Boolean = {
+    def refuse(): Nothing = throw new ConcurrentStoreWriteException(
+      s"Segments: the publish into $dir/$table raced a full-tree publish " +
+        s"— the live tree is no longer $root and the rows are encoded " +
+        "against its frozen model, so they cannot be replayed verbatim. " +
+        "Nothing is visible to readers; re-encode against the new live " +
+        "tree and re-publish.")
+    if (resolve(spark, dir) != root) refuse()
+    val published =
+      try publishSegment(spark, s"$root/$table", rows, segId)
+      catch {
+        case e @ (_: java.io.FileNotFoundException |
+          _: IllegalStateException) =>
+          if (resolve(spark, dir) != root) refuse() else throw e
+      }
+    if (resolve(spark, dir) != root) refuse()
+    published
+  }
+
   /** [[appendToStore]] for the streaming, replay-idempotent form
     * ([[publishSegment]] — explicit micro-batch segment id; model-free
     * rows only, like every streamed store in this engine). Returns

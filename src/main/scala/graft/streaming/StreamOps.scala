@@ -566,14 +566,20 @@ object StreamOps {
     *
     * Ordering contract: micro-batches must arrive id-ordered above
     * the bootstrap corpus (the incremental monotone-id contract — a
-    * crawl feed's ids are). Restart posture: a marker file per
-    * COMPLETED batch makes the common replay (batch fully processed,
-    * checkpoint not yet advanced at crash) a no-op; a crash strictly
-    * mid-batch leaves partially-appended deltas, which this form does
-    * NOT repair — recover by bootstrapping a fresh state dir from the
-    * last durable release ([[graft.plans.ReleaseRun]] +
-    * [[graft.plans.IncrementalRelease.bootstrap]]), the streaming
-    * twin of ReleaseRun's refuse-and-use-a-fresh-dir rule. */
+    * crawl feed's ids are; `runDeltas` fences it against the standing
+    * watermark and refuses typed on violation). Restart posture:
+    * REPLAY-SAFE at every crash point — `runDeltas` under an explicit
+    * micro-batch id publishes all 13 state/store deltas idempotently
+    * at `StreamSegBase + batchId` and reads every pre-append table
+    * with the batch's own segment excluded, so a checkpoint replay of
+    * a crashed batch (fully processed OR strictly mid-batch, after
+    * any prefix of the appends) recomputes identical deltas and each
+    * re-publish lands exactly once. The per-batch completion marker
+    * is kept purely as a fast-path skip for the fully-processed
+    * replay (saves recomputing a batch whose work all landed). Run
+    * [[graft.plans.IncrementalRelease.compactState]] only at rest —
+    * compacting between a crash and its replay would fold the crashed
+    * batch's partial deltas into a new tree the replay cannot see. */
   def releaseStream(
       docs: DataFrame,
       embeddings: DataFrame,
@@ -592,7 +598,8 @@ object StreamOps {
           s"$stateDir/_released/batch=$batchId")
         if (!fs.exists(marker)) {
           graft.plans.IncrementalRelease.runDeltas(spark, batch.toDF(),
-            embeddings, transcriptsOf, merges, stateDir, cfg)
+            embeddings, transcriptsOf, merges, stateDir, cfg,
+            batchId = Some(batchId))
           // completion marker: tmp + one atomic rename (the segment
           // publish discipline), written only after every delta landed
           val tmp = new org.apache.hadoop.fs.Path(

@@ -798,6 +798,20 @@ class ExtensionSpec extends SparkSpec {
     assert(counted == expect)
   }
 
+  test("packBinsByCountFrom: a resume frame with a narrower grp type " +
+    "still continues the open bins (no silent restart at bin 0)") {
+    val t = df("doc_id BIGINT, g BIGINT, c BIGINT",
+      Row(10L, 0L, 2L), Row(11L, 0L, 4L))
+    // resume tail typed INT where df's grp is BIGINT — the raw-keyed
+    // broadcast map would miss every lookup without the cast
+    val resume = df("grp INT, bin_id BIGINT, fill BIGINT", Row(0, 3L, 4L))
+    val got = graft.operators.Packing
+      .packBinsByCountFrom(t, "doc_id", "g", "c", capacity = 5, resume)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // bin 3 holds 4: doc 10 (2) overflows -> bin 4; doc 11 (4) -> bin 5
+    assert(got == Map(10L -> 4L, 11L -> 5L))
+  }
+
   test("binStats: utilization counts oversize overflow, per-group totals") {
     val t = df("doc_id BIGINT, g BIGINT, text STRING",
       Row(1L, 0L, "w w w"), Row(2L, 0L, "w w"), Row(3L, 0L, "w"),

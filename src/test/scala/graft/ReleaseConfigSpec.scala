@@ -50,6 +50,20 @@ class ReleaseConfigSpec extends SparkSpec {
     assert(e2.getMessage.contains("min_qualty"))
   }
 
+  test("groupsFor derives production packing parallelism from corpus " +
+    "cardinality, floored at the fixture default") {
+    import graft.plans.ReleaseConfig
+    assert(ReleaseConfig.groupsFor(0L) == 8L)
+    assert(ReleaseConfig.groupsFor(500L) == 8L)
+    assert(ReleaseConfig.groupsFor(100000L) == 8L)
+    assert(ReleaseConfig.groupsFor(1000001L) == 11L)
+    // a billion conversations → ~10k groups ("thousands at 100 TB")
+    assert(ReleaseConfig.groupsFor(1000000000L) == 10000L)
+    assert(intercept[IllegalArgumentException](
+      ReleaseConfig.groupsFor(1L, perGroup = 0L))
+      .getMessage.contains("perGroup"))
+  }
+
   test("distinct configs render distinct canonical fingerprints — " +
     "the durable run's resume guard distinguishes every knob") {
     val base = ReleaseConfig()
