@@ -111,6 +111,14 @@ object IncrementalRelease {
     * manual auto-numbered appends can never collide. */
   private def segIdOf(batchId: Long): Long = Segments.StreamSegBase + batchId
 
+  /** UI/profiler attribution (guide §1.5): every job `body` spawns —
+    * including broadcast-exchange child jobs, which capture the
+    * submitting thread's locals — carries `desc`. */
+  private def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    spark.sparkContext.setJobDescription(desc)
+    try body finally spark.sparkContext.setJobDescription(null)
+  }
+
   /** The ten delta tables (everything except the three minhash
     * stores and the ANN store, which carry their own layout). */
   private[graft] val StateTables: Seq[String] = Seq(
@@ -195,24 +203,31 @@ object IncrementalRelease {
     val ledger = st("s9_ledger").select("doc_id", "stage", "reason")
     val input = st("s0_input")
 
-    DedupIndexStore.buildMinhash(spark, s"$stateDir/corpus_minhash",
-      s2, "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
-      cfg.dedup.bands)
-    DedupIndexStore.buildMinhash(spark, s"$stateDir/holdout_minhash",
-      holdout, "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
-      cfg.decontam.bands)
+    labeled(spark, "bootstrap: minhash stores") {
+      DedupIndexStore.buildMinhash(spark, s"$stateDir/corpus_minhash",
+        s2, "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
+        cfg.dedup.bands)
+      DedupIndexStore.buildMinhash(spark, s"$stateDir/holdout_minhash",
+        holdout, "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
+        cfg.decontam.bands)
+    }
     // the FROZEN semantic model: the same deterministic training the
     // pipeline's stage 5 runs (day-0 holdout embeddings)
-    val cents = Similarity.kmeansCentroidsDistributed(
-      testEmb, "vec_id", "embedding",
-      nlist = cfg.decontam.semanticNlist, iters = cfg.decontam.semanticIters)
-    AnnIndex.buildAndWriteIvf(spark, s"$stateDir/holdout_ann",
-      testEmb, "vec_id", "embedding", cents)
+    labeled(spark, "bootstrap: ann store") {
+      val cents = Similarity.kmeansCentroidsDistributed(
+        testEmb, "vec_id", "embedding",
+        nlist = cfg.decontam.semanticNlist, iters = cfg.decontam.semanticIters)
+      AnnIndex.buildAndWriteIvf(spark, s"$stateDir/holdout_ann",
+        testEmb, "vec_id", "embedding", cents)
+    }
     val convs = Release.convoTexts(aturns)
-    DedupIndexStore.buildMinhash(spark, s"$stateDir/conv_minhash",
-      convs, "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
-      cfg.dedup.bands)
+    labeled(spark, "bootstrap: conv minhash store") {
+      DedupIndexStore.buildMinhash(spark, s"$stateDir/conv_minhash",
+        convs, "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
+        cfg.dedup.bands)
+    }
 
+    labeled(spark, "bootstrap: state tables") {
     app(spark, stateDir, "corpus_texts", s2)
     app(spark, stateDir, "holdout_texts", holdout)
     app(spark, stateDir, "conv_texts", convs)
@@ -239,6 +254,7 @@ object IncrementalRelease {
         org.apache.spark.sql.Row(r.getLong(0), l(r, 1), a.getLong(0), l(a, 1))),
         org.apache.spark.sql.types.StructType.fromDDL(
           "n_input BIGINT, sum_input BIGINT, n_acc BIGINT, sum_acc BIGINT")))
+    }
   }
 
   /** Per-group next-fit tail of a packed frame: the LAST bin's id and
@@ -305,6 +321,10 @@ object IncrementalRelease {
       batchId: Option[Long] = None): Unit = {
     val id = col("doc_id")
     val excl = batchId.map(segIdOf)
+    // phase marker (guide §1.5) — sequential driver code, so a plain
+    // set at each boundary attributes every job (incl. broadcast
+    // children) to its stage; cleared in the terminal finally
+    def mark(d: String): Unit = spark.sparkContext.setJobDescription(d)
     def segX(name: String, cols: String*): DataFrame =
       readState(spark, stateDir, name, excl, cols)
     def appX(name: String, rows: DataFrame): Unit =
@@ -319,6 +339,7 @@ object IncrementalRelease {
         ()
     }
 
+    mark("incr 1: ingest")
     // 1 — ingest gates (the shared expression blocks)
     val input = batchRaw.select(id, col("source"), col("raw")).localCheckpoint()
 
@@ -344,6 +365,7 @@ object IncrementalRelease {
     val (encRejects, gateRejects) = Release.ingestRejectRows(raw, gated)
     val ingested = Release.ingestedRows(gated)
 
+    mark("incr 2: exact")
     // 2 — exact dedup: cross (store fingerprints, keeper = the stored
     // exact survivor — the union window's min id) then within-batch.
     // The keeper probe reduces the store FIRST by a broadcast
@@ -369,6 +391,7 @@ object IncrementalRelease {
     val batchExact = afterCross.filter(id === col("__keep"))
       .select(id, col("source"), col("text")).localCheckpoint()
 
+    mark("incr 3: neardup")
     // 3 — near-dup: ONE connected-components pass over the union
     // graph's batch-touching edges — cross matches (batch doc → its
     // day-N cluster rep, through the standing rep table) ∪ the
@@ -410,12 +433,14 @@ object IncrementalRelease {
     val batchNd = batchExact.join(ndCc.select(col("id").as("doc_id")),
       Seq("doc_id"), "left_anti").localCheckpoint()
 
+    mark("incr 3b: store appends")
     // the corpus stores grow by the batch's exact survivors NOW —
     // tomorrow's batch probes today's
     appendMh(s"$stateDir/corpus_minhash", batchExact)
     appX("corpus_texts", batchExact)
     appX("nd_reps", ndCc.select(col("id").as("doc_id"), col("rep")))
 
+    mark("incr 4: split")
     // 4 — split; the holdout stores grow BEFORE the decontam probe so
     // batch-tv-vs-batch-holdout hits surface exactly like the union's
     val split = Sampling.hashSplit(batchNd, "doc_id",
@@ -429,6 +454,7 @@ object IncrementalRelease {
     appendMh(s"$stateDir/holdout_minhash", batchHold)
     appX("holdout_texts", batchHold)
 
+    mark("incr 5: decontam")
     // 5 — decontam: lexical first-fail vs the grown holdout store,
     // then semantic vs the persisted ANN index (frozen centroids).
     // These holdout reads deliberately INCLUDE the batch's own just-
@@ -472,6 +498,7 @@ object IncrementalRelease {
     val keep = batchTv.join(lexOkIds, Seq("doc_id"), "left_semi")
       .join(semHits, Seq("doc_id"), "left_anti").localCheckpoint()
 
+    mark("incr 6: sft")
     // 6 — SFT endgame over the batch survivors; conversation dedup is
     // the same combined-edge CC decomposition as stage 3
     val turns = Chat.parseToolTurns(
@@ -515,6 +542,7 @@ object IncrementalRelease {
       .join(sftDupRejects.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
 
+    mark("incr 7: pack")
     // append-only packing: today's conversations continue yesterday's
     // per-group tail bins — byte-identical to one from-scratch
     // next-fit over the union in id order
@@ -542,6 +570,7 @@ object IncrementalRelease {
           .otherwise(lit(0L))).as("fill"))
     appX("pack_state", newTail)
 
+    mark("incr 9: ledger/manifest")
     // 9 — ledger + manifest states + watermark + reconcile deltas
     val ledgerDelta = encRejects.unionByName(gateRejects)
       .unionByName(crossExactRejects).unionByName(withinExactRejects)

@@ -88,7 +88,12 @@ object ReleaseRun {
         evaluated += name
         val staging = new org.apache.hadoop.fs.Path(
           s"$outDir/_staging/$name-${java.util.UUID.randomUUID()}")
-        df.write.mode("overwrite").parquet(staging.toString)
+        // UI attribution (guide §1.5): every job this stage's builder
+        // spawns — including broadcast-exchange child jobs — carries
+        // the stage name
+        spark.sparkContext.setJobDescription(s"release stage $name")
+        try df.write.mode("overwrite").parquet(staging.toString)
+        finally spark.sparkContext.setJobDescription(null)
         f.mkdirs(dir.getParent)
         if (f.rename(staging, dir)) {
           // a rename that "succeeded" may still have lost the publish
