@@ -70,14 +70,27 @@ object Classifier {
     require(scaleBits >= 4 && scaleBits <= 30, s"scaleBits out of range: $scaleBits")
     val spark = features.sparkSession
 
+    // Both loop tables are persisted PRE-PARTITIONED on doc_id (guide
+    // §2.4 — operations keyed the same way share one exchange): every
+    // pass's margin aggregate (groupBy doc_id), the label join and the
+    // gradient join all cluster on doc_id, so with the cached layout
+    // already hash-partitioned on it no pass re-shuffles the
+    // corpus-sized feature table — the only per-pass exchange left is
+    // the dims-bounded gradient aggregate. Measured (sf0.1,
+    // q_quality_distill_warm): this was the anti-scaling family in the
+    // round-16 core-ratio probe (8 cores FASTER than 32, ratio 0.58) —
+    // per-pass re-exchanges of tiny frames across 32 partitions were
+    // pure task overhead.
     val f = features
       .select(col("doc_id").cast("long").as("doc_id"),
         col("feat_idx").cast("long").as("feat_idx"),
         col("weight").cast("long").as("x"))
+      .repartition(col("doc_id"))
       .persist()
     val lab = labels
       .select(col("doc_id").cast("long").as("doc_id"),
         col("label").cast("long").as("y"))
+      .repartition(col("doc_id"))
       .persist()
     val n = lab.count()
     require(n > 0, "labels frame is empty")

@@ -157,6 +157,13 @@ object Dedup {
     // set is the difference between shuffling ids and shuffling the
     // corpus. Shingle sets are re-attached afterwards, for surviving
     // candidates only.
+    // NOT materialized before the self-join (unlike [[hammingPairs]]):
+    // measured at sf0.1, eagerly persisting the banded frame here costs
+    // an extra job and replaces the broadcast self-join with a
+    // sort-merge join, which outweighs the duplicated (cheap, codegen'd)
+    // shingle→MinHash sweep. The hamming path differs because its
+    // upstream (image/audio decode) is orders of magnitude more
+    // expensive per row than xxhash shingling.
     val exploded0 = bandExplode(df, idCol, textCol, shingleN, numHashes, bands)
     val exploded = capBuckets(exploded0, Seq("band_idx", "band_hash"), maxBucketSize)
 
@@ -234,7 +241,15 @@ object Dedup {
     val exploded0 = withBlocks.select(
       col("id"), col("__h"),
       posexplode(array((0 until blocks).map(j => col(s"blk$j")): _*)).as(Seq("blk_idx", "blk_val")))
-    val exploded = capBuckets(exploded0, Seq("blk_idx", "blk_val"), maxBucketSize)
+    // Same once-not-twice materialization as [[minhashPairs]]: the
+    // self-join's two subtrees would otherwise each recompute the
+    // upstream fingerprint pipeline — for the multimodal callers that
+    // is a full PNG/WAV/MP4 build + real decoder pass per side
+    // (measured: the whole image-dups plan ran the decode twice, once
+    // under the BroadcastExchange). (id, hash, block) rows only.
+    val exploded = persistMaterialize(
+      capBuckets(exploded0, Seq("blk_idx", "blk_val"), maxBucketSize),
+      eager = true)
 
     val a = exploded.select(col("id").as("id_a"), col("__h").as("h_a"),
       col("blk_idx"), col("blk_val"))
@@ -457,7 +472,14 @@ object Dedup {
       pruneIndexToProbe: Boolean = false): DataFrame = {
     val idx = index.getOrElse(
       corpusIndex(corpusDf, idCol, textCol, shingleN, numHashes, bands))
-    val newBands = bandExplode(bandDf, idCol, textCol, shingleN, numHashes, bands)
+    // With pruneIndexToProbe the batch band frame feeds BOTH the
+    // store-prune semi-join and the candidate equi-join — materialize
+    // it once (batch-sized (id, band) rows) instead of paying the
+    // batch signature sweep twice; single-consumer path stays lazy.
+    val newBands0 = bandExplode(bandDf, idCol, textCol, shingleN, numHashes, bands)
+    val newBands =
+      if (pruneIndexToProbe) persistMaterialize(newBands0, eager = true)
+      else newBands0
     // pruneIndexToProbe: reduce the (corpus-sized) index to the band
     // buckets the batch actually probes BEFORE the bucket-cap window —
     // a broadcast semi-join on the batch's distinct band keys, so
@@ -469,10 +491,7 @@ object Dedup {
     // recomputed for the prune (one extra batch-sized signature sweep;
     // the corpus-sized Exchange it saves dominates at any real scale).
     val idxProbed =
-      if (pruneIndexToProbe)
-        idx.join(broadcast(
-          newBands.select("band_idx", "band_hash").distinct()),
-          Seq("band_idx", "band_hash"), "left_semi")
+      if (pruneIndexToProbe) prunedIndexProbe(idx, newBands)
       else idx
     val idxCapped = capBuckets(idxProbed, Seq("band_idx", "band_hash"), maxBucketSize)
     val candidates = newBands
@@ -493,6 +512,18 @@ object Dedup {
       .filter(jaccard >= jaccardThreshold)
       .select("id", "cid")
   }
+
+  /** The store-side probe prune of [[matchesCore]] — the PRODUCTION
+    * expression (exposed so PlanGuardSpec pins THIS frame, not a
+    * replica): the corpus-sized index reduced to the band buckets the
+    * batch probes by a broadcast semi-join on the batch's distinct
+    * band keys, BEFORE any window/equi-join can shuffle the store
+    * side. */
+  private[graft] def prunedIndexProbe(
+      idx: DataFrame, newBands: DataFrame): DataFrame =
+    idx.join(broadcast(
+      newBands.select("band_idx", "band_hash").distinct()),
+      Seq("band_idx", "band_hash"), "left_semi")
 
   /** Benchmark decontamination — flag corpus documents that share any
     * word `shingleN`-gram with an evaluation set (the standard

@@ -111,12 +111,47 @@ object IncrementalRelease {
     * manual auto-numbered appends can never collide. */
   private def segIdOf(batchId: Long): Long = Segments.StreamSegBase + batchId
 
+  /** A/B toggle for the store-probe prune plan shape (the
+    * `BENCH_sf1skew_r17` on/off measurement): the prune is
+    * semantics-preserving by construction (see
+    * [[graft.operators.Dedup.prunedIndexProbe]] — whole buckets kept,
+    * pruned-away buckets are never probed), so results are identical
+    * either way; default ON. Dev-only knob, read once. */
+  private val pruneProbes: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_PRUNE_PROBE", "true").toBoolean
+
   /** UI/profiler attribution (guide §1.5): every job `body` spawns —
     * including broadcast-exchange child jobs, which capture the
     * submitting thread's locals — carries `desc`. */
   private def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val prev = spark.sparkContext.getLocalProperty("spark.job.description")
     spark.sparkContext.setJobDescription(desc)
-    try body finally spark.sparkContext.setJobDescription(null)
+    try body finally spark.sparkContext.setJobDescription(prev)
+  }
+
+  /** Run INDEPENDENT state/store writes concurrently (guide §2.6 —
+    * overlap independent jobs): each append/build is a small job over
+    * an already-materialized frame that leaves most task slots idle,
+    * so running them back-to-back serializes driver scheduling +
+    * commit latency that overlaps for free. Only ever called on
+    * writes to DISTINCT table directories with no read-after-write
+    * ordering inside the group (the append-then-read barriers in
+    * [[runDeltas]] stay sequential). Threads inherit the caller's job
+    * description (SparkContext local properties clone at thread
+    * creation); the first failure rethrows after all tasks settle, so
+    * a crash replay sees the same "some subset published" states the
+    * sequential form could leave. */
+  private[graft] def inParallel(tasks: (() => Unit)*): Unit = {
+    if (tasks.sizeIs <= 1) { tasks.foreach(_.apply()); return }
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val threads = tasks.map { t =>
+      new Thread(() =>
+        try t() catch { case e: Throwable => failure.compareAndSet(null, e); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val f = failure.get()
+    if (f != null) throw f
   }
 
   /** The ten delta tables (everything except the three minhash
@@ -170,6 +205,32 @@ object IncrementalRelease {
         Segments.appendToStore(spark, s"$stateDir/$name", "rows", rows)
     }
 
+  /** The stage-2 exact-keeper probe — the PRODUCTION expression
+    * [[runDeltas]] plans (exposed so PlanGuardSpec pins THIS frame,
+    * not a test-side replica): reduce the corpus-sized store FIRST by
+    * a broadcast semi-join on the batch's fingerprint set, so the
+    * distinct shuffles only the matched survivors (batch-bounded),
+    * never the corpus index. Removing the `broadcast` hint here is
+    * exactly the regression the guard exists to catch. */
+  private[graft] def keeperByFpFrame(
+      storeBands: DataFrame, fp: DataFrame): DataFrame =
+    storeBands
+      .join(broadcast(fp.select(col("__fp").as("fp")).distinct()),
+        Seq("fp"), "left_semi")
+      .select(col("fp").as("__fp"), col("id").as("__keeper")).distinct()
+
+  /** Two independent materializations, overlapped ([[inParallel]]
+    * returning the results): the [[runDeltas]] stages where two
+    * sibling frames have no data dependency (lexical vs semantic
+    * decontam; cross-store vs within-batch pair generation) but were
+    * materialized back-to-back. */
+  private def par2[A, B](a: => A, b: => B): (A, B) = {
+    var ra: Option[A] = None
+    var rb: Option[B] = None
+    inParallel(() => { ra = Some(a); () }, () => { rb = Some(b); () })
+    (ra.get, rb.get)
+  }
+
   /** `dup_of_<id>` ledger reasons back to the rep id. */
   private def parseReps(rejects: DataFrame): DataFrame =
     rejects.select(col("doc_id"),
@@ -203,58 +264,75 @@ object IncrementalRelease {
     val ledger = st("s9_ledger").select("doc_id", "stage", "reason")
     val input = st("s0_input")
 
-    labeled(spark, "bootstrap: minhash stores") {
-      DedupIndexStore.buildMinhash(spark, s"$stateDir/corpus_minhash",
-        s2, "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
-        cfg.dedup.bands)
-      DedupIndexStore.buildMinhash(spark, s"$stateDir/holdout_minhash",
-        holdout, "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
-        cfg.decontam.bands)
-    }
-    // the FROZEN semantic model: the same deterministic training the
-    // pipeline's stage 5 runs (day-0 holdout embeddings)
-    labeled(spark, "bootstrap: ann store") {
-      val cents = Similarity.kmeansCentroidsDistributed(
-        testEmb, "vec_id", "embedding",
-        nlist = cfg.decontam.semanticNlist, iters = cfg.decontam.semanticIters)
-      AnnIndex.buildAndWriteIvf(spark, s"$stateDir/holdout_ann",
-        testEmb, "vec_id", "embedding", cents)
-    }
     val convs = Release.convoTexts(aturns)
-    labeled(spark, "bootstrap: conv minhash store") {
-      DedupIndexStore.buildMinhash(spark, s"$stateDir/conv_minhash",
-        convs, "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
-        cfg.dedup.bands)
-    }
-
-    labeled(spark, "bootstrap: state tables") {
-    app(spark, stateDir, "corpus_texts", s2)
-    app(spark, stateDir, "holdout_texts", holdout)
-    app(spark, stateDir, "conv_texts", convs)
-    app(spark, stateDir, "nd_reps", parseReps(st("s3_nd_rejects")))
-    app(spark, stateDir, "conv_reps", parseReps(st("s6_dup_rejects")))
-    app(spark, stateDir, "packed", packed)
-    app(spark, stateDir, "pack_state", packTail(packed, batchIdx = 0L))
-    app(spark, stateDir, "ledger", ledger)
-    app(spark, stateDir, "manifest_states", Profile.manifestStates(
-      keep.join(packed.select("doc_id").distinct(), "doc_id"),
-      "source", "text"))
-    app(spark, stateDir, "id_watermark",
-      input.agg(max(col("doc_id")).as("max_id"))
-        .filter(col("max_id").isNotNull))
-    val r = input.agg(count(col("doc_id")).as("n"),
-      sum(col("doc_id")).as("s")).head()
-    val a = packed.select("doc_id")
-      .unionByName(ledger.select("doc_id"))
-      .agg(count(col("doc_id")).as("n"), sum(col("doc_id")).as("s")).head()
-    def l(row: org.apache.spark.sql.Row, i: Int) =
-      if (row.isNullAt(i)) 0L else row.getLong(i)
-    app(spark, stateDir, "reconcile",
-      spark.createDataFrame(java.util.Arrays.asList(
-        org.apache.spark.sql.Row(r.getLong(0), l(r, 1), a.getLong(0), l(a, 1))),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "n_input BIGINT, sum_input BIGINT, n_acc BIGINT, sum_acc BIGINT")))
-    }
+    // EVERY bootstrap write below targets its own directory and
+    // nothing in bootstrap reads the state back — one parallel group
+    // (guide §2.6). Before this the 4 store builds + 11 table appends
+    // ran as ~15 sequential small jobs; now the kmeans training (the
+    // long pole) overlaps all of them.
+    inParallel(
+      () => labeled(spark, "bootstrap: corpus minhash store") {
+        DedupIndexStore.buildMinhash(spark, s"$stateDir/corpus_minhash",
+          s2, "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
+          cfg.dedup.bands)
+        ()
+      },
+      () => labeled(spark, "bootstrap: holdout minhash store") {
+        DedupIndexStore.buildMinhash(spark, s"$stateDir/holdout_minhash",
+          holdout, "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
+          cfg.decontam.bands)
+        ()
+      },
+      // the FROZEN semantic model: the same deterministic training the
+      // pipeline's stage 5 runs (day-0 holdout embeddings)
+      () => labeled(spark, "bootstrap: ann store") {
+        val cents = Similarity.kmeansCentroidsDistributed(
+          testEmb, "vec_id", "embedding",
+          nlist = cfg.decontam.semanticNlist, iters = cfg.decontam.semanticIters)
+        AnnIndex.buildAndWriteIvf(spark, s"$stateDir/holdout_ann",
+          testEmb, "vec_id", "embedding", cents)
+      },
+      () => labeled(spark, "bootstrap: conv minhash store") {
+        DedupIndexStore.buildMinhash(spark, s"$stateDir/conv_minhash",
+          convs, "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
+          cfg.dedup.bands)
+        ()
+      },
+      () => labeled(spark, "bootstrap: state tables") {
+        inParallel(
+          () => app(spark, stateDir, "corpus_texts", s2),
+          () => app(spark, stateDir, "holdout_texts", holdout),
+          () => app(spark, stateDir, "conv_texts", convs),
+          () => app(spark, stateDir, "nd_reps", parseReps(st("s3_nd_rejects"))),
+          () => app(spark, stateDir, "conv_reps", parseReps(st("s6_dup_rejects"))),
+          () => app(spark, stateDir, "packed", packed),
+          () => app(spark, stateDir, "pack_state",
+            packTail(packed, batchIdx = 0L)),
+          () => app(spark, stateDir, "ledger", ledger),
+          () => app(spark, stateDir, "manifest_states", Profile.manifestStates(
+            keep.join(packed.select("doc_id").distinct(), "doc_id"),
+            "source", "text")),
+          () => app(spark, stateDir, "id_watermark",
+            input.agg(max(col("doc_id")).as("max_id"))
+              .filter(col("max_id").isNotNull)),
+          () => {
+            val r = input.agg(count(col("doc_id")).as("n"),
+              sum(col("doc_id")).as("s")).head()
+            val a = packed.select("doc_id")
+              .unionByName(ledger.select("doc_id"))
+              .agg(count(col("doc_id")).as("n"),
+                sum(col("doc_id")).as("s")).head()
+            def l(row: org.apache.spark.sql.Row, i: Int) =
+              if (row.isNullAt(i)) 0L else row.getLong(i)
+            app(spark, stateDir, "reconcile",
+              spark.createDataFrame(java.util.Arrays.asList(
+                org.apache.spark.sql.Row(r.getLong(0), l(r, 1),
+                  a.getLong(0), l(a, 1))),
+                org.apache.spark.sql.types.StructType.fromDDL(
+                  "n_input BIGINT, sum_input BIGINT, " +
+                    "n_acc BIGINT, sum_acc BIGINT")))
+          })
+      })
   }
 
   /** Per-group next-fit tail of a packed frame: the LAST bin's id and
@@ -339,6 +417,7 @@ object IncrementalRelease {
         ()
     }
 
+    try {
     mark("incr 1: ingest")
     // 1 — ingest gates (the shared expression blocks)
     val input = batchRaw.select(id, col("source"), col("raw")).localCheckpoint()
@@ -375,10 +454,7 @@ object IncrementalRelease {
     val storeBands = DedupIndexStore.readMinhash(
       spark, s"$stateDir/corpus_minhash", excl)
     val fp = ingested.withColumn("__fp", TextFunctions.fingerprint(col("text")))
-    val keeperByFp = storeBands
-      .join(broadcast(fp.select(col("__fp").as("fp")).distinct()),
-        Seq("fp"), "left_semi")
-      .select(col("fp").as("__fp"), col("id").as("__keeper")).distinct()
+    val keeperByFp = keeperByFpFrame(storeBands, fp)
     val crossExactRejects = fp.join(keeperByFp, "__fp")
       .select(id, lit("exact").as("stage"),
         concat(lit("dup_of_"), col("__keeper").cast("string")).as("reason"))
@@ -405,19 +481,25 @@ object IncrementalRelease {
     val corpusTexts = segX("corpus_texts", "doc_id", "source", "text")
     val ndRepMap = segX("nd_reps", "doc_id", "rep")
       .select(col("doc_id").as("cid"), col("rep"))
-    val crossNd = Dedup.dedupAgainstMatches(batchExact, corpusTexts,
-        "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
-        cfg.dedup.bands, cfg.dedup.jaccardThreshold,
-        maxBucketSize = cfg.dedup.maxBucketSize,
-        index = Some(storeBands), pruneIndexToProbe = true)
-      .join(ndRepMap, Seq("cid"), "left")
-      .select(col("id"), coalesce(col("rep"), col("cid")).as("rep"))
-      .localCheckpoint()
-    val batchNdPairs = Dedup.minhashPairs(batchExact, "doc_id", "text",
-        cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.dedup.bands,
-        cfg.dedup.jaccardThreshold,
-        maxBucketSize = cfg.dedup.maxBucketSize)
-      .select("id_a", "id_b")
+    // cross-store matches and within-batch pairs are independent until
+    // the combined-edge CC below — materialize them CONCURRENTLY
+    // (guide §2.6; the cross probe is the long pole and the
+    // within-batch sweep hides under it)
+    val (crossNd, batchNdPairs) = par2(
+      Dedup.dedupAgainstMatches(batchExact, corpusTexts,
+          "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
+          cfg.dedup.bands, cfg.dedup.jaccardThreshold,
+          maxBucketSize = cfg.dedup.maxBucketSize,
+          index = Some(storeBands), pruneIndexToProbe = pruneProbes)
+        .join(ndRepMap, Seq("cid"), "left")
+        .select(col("id"), coalesce(col("rep"), col("cid")).as("rep"))
+        .localCheckpoint(),
+      Dedup.minhashPairs(batchExact, "doc_id", "text",
+          cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.dedup.bands,
+          cfg.dedup.jaccardThreshold,
+          maxBucketSize = cfg.dedup.maxBucketSize)
+        .select("id_a", "id_b")
+        .localCheckpoint())
     val ndCc = Dedup.connectedComponents(batchNdPairs.unionByName(
         crossNd.select(col("id").as("id_a"), col("rep").as("id_b"))))
       .filter(col("id") =!= col("rep"))
@@ -435,10 +517,13 @@ object IncrementalRelease {
 
     mark("incr 3b: store appends")
     // the corpus stores grow by the batch's exact survivors NOW —
-    // tomorrow's batch probes today's
-    appendMh(s"$stateDir/corpus_minhash", batchExact)
-    appX("corpus_texts", batchExact)
-    appX("nd_reps", ndCc.select(col("id").as("doc_id"), col("rep")))
+    // tomorrow's batch probes today's. Three independent writes to
+    // three directories over checkpointed frames — overlapped
+    // (guide §2.6); nothing below reads these tables this run.
+    inParallel(
+      () => appendMh(s"$stateDir/corpus_minhash", batchExact),
+      () => appX("corpus_texts", batchExact),
+      () => appX("nd_reps", ndCc.select(col("id").as("doc_id"), col("rep"))))
 
     mark("incr 4: split")
     // 4 — split; the holdout stores grow BEFORE the decontam probe so
@@ -451,8 +536,12 @@ object IncrementalRelease {
       .select(id, lit("holdout").as("stage"), lit("test").as("reason"))
     val batchTv = split.filter(col("split") =!= "test")
       .select(id, col("source"), col("text")).localCheckpoint()
-    appendMh(s"$stateDir/holdout_minhash", batchHold)
-    appX("holdout_texts", batchHold)
+    // both must land BEFORE the decontam reads below (append-then-read
+    // order) — they are independent of each other, so overlap the two
+    // and barrier here
+    inParallel(
+      () => appendMh(s"$stateDir/holdout_minhash", batchHold),
+      () => appX("holdout_texts", batchHold))
 
     mark("incr 5: decontam")
     // 5 — decontam: lexical first-fail vs the grown holdout store,
@@ -461,38 +550,46 @@ object IncrementalRelease {
     // published segment (append-then-read order — identical on first
     // run and replay), unlike the pre-append reads above.
     val holdTexts = seg(spark, stateDir, "holdout_texts", "doc_id", "text")
-    val lexOkIds = Dedup.dedupAgainst(batchTv, holdTexts, "doc_id", "text",
-        cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.decontam.bands,
-        cfg.decontam.jaccardThreshold,
-        index = Some(DedupIndexStore.readMinhash(spark, s"$stateDir/holdout_minhash")),
-        pruneIndexToProbe = true)
-      .select("doc_id").localCheckpoint()
+    // the LEXICAL chain (banded probe + rescore) and the SEMANTIC
+    // chain (ANN append → read → cell-scoped probe) share no data
+    // until semRejects/keep below — run the two materializations
+    // concurrently (guide §2.6); the append-then-read order INSIDE
+    // the semantic thread is preserved
+    val (lexOkIds, semHits) = par2(
+      Dedup.dedupAgainst(batchTv, holdTexts, "doc_id", "text",
+          cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.decontam.bands,
+          cfg.decontam.jaccardThreshold,
+          index = Some(DedupIndexStore.readMinhash(spark, s"$stateDir/holdout_minhash")),
+          pruneIndexToProbe = pruneProbes)
+        .select("doc_id").localCheckpoint(),
+      {
+        val batchTestEmb = embeddings.join(
+          batchHold.select(id.as("vec_id")), Seq("vec_id"), "left_semi")
+        batchId match {
+          case Some(b) =>
+            AnnIndex.appendToIvfAt(spark, s"$stateDir/holdout_ann",
+              batchTestEmb, "vec_id", "embedding", segIdOf(b))
+            ()
+          case None =>
+            AnnIndex.appendToIvf(spark, s"$stateDir/holdout_ann",
+              batchTestEmb, "vec_id", "embedding")
+            ()
+        }
+        val ann = AnnIndex.readIvf(spark, s"$stateDir/holdout_ann")
+        val batchTvEmb = embeddings.join(
+          batchTv.select(id.as("vec_id")), Seq("vec_id"), "left_semi")
+        val semOkIds = Dedup.semanticDedupAgainst(
+            batchTvEmb, ann.assigned, "vec_id", "embedding", ann.centroids,
+            threshold = cfg.decontam.semanticThreshold,
+            maxClusterSize = cfg.decontam.semanticMaxCluster,
+            index = Some(annCorpus(ann.assigned)))
+          .select(col("vec_id").as("doc_id"))
+        batchTvEmb.select(col("vec_id").as("doc_id"))
+          .join(semOkIds, Seq("doc_id"), "left_anti").localCheckpoint()
+      })
     val lexRejects = batchTv.select("doc_id")
       .join(lexOkIds, Seq("doc_id"), "left_anti")
       .select(id, lit("decontam").as("stage"), lit("lexical").as("reason"))
-    val batchTestEmb = embeddings.join(
-      batchHold.select(id.as("vec_id")), Seq("vec_id"), "left_semi")
-    batchId match {
-      case Some(b) =>
-        AnnIndex.appendToIvfAt(spark, s"$stateDir/holdout_ann",
-          batchTestEmb, "vec_id", "embedding", segIdOf(b))
-        ()
-      case None =>
-        AnnIndex.appendToIvf(spark, s"$stateDir/holdout_ann",
-          batchTestEmb, "vec_id", "embedding")
-        ()
-    }
-    val ann = AnnIndex.readIvf(spark, s"$stateDir/holdout_ann")
-    val batchTvEmb = embeddings.join(
-      batchTv.select(id.as("vec_id")), Seq("vec_id"), "left_semi")
-    val semOkIds = Dedup.semanticDedupAgainst(
-        batchTvEmb, ann.assigned, "vec_id", "embedding", ann.centroids,
-        threshold = cfg.decontam.semanticThreshold,
-        maxClusterSize = cfg.decontam.semanticMaxCluster,
-        index = Some(annCorpus(ann.assigned)))
-      .select(col("vec_id").as("doc_id"))
-    val semHits = batchTvEmb.select(col("vec_id").as("doc_id"))
-      .join(semOkIds, Seq("doc_id"), "left_anti").localCheckpoint()
     val semRejects = semHits.join(lexOkIds, Seq("doc_id"), "left_semi")
       .select(id, lit("decontam").as("stage"), lit("semantic").as("reason"))
     val keep = batchTv.join(lexOkIds, Seq("doc_id"), "left_semi")
@@ -511,21 +608,24 @@ object IncrementalRelease {
     val convTexts = segX("conv_texts", "doc_id", "text")
     val convRepMap = segX("conv_reps", "doc_id", "rep")
       .select(col("doc_id").as("cid"), col("rep"))
-    val crossConv = Dedup.dedupAgainstMatches(convs, convTexts,
-        "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
-        cfg.dedup.bands, cfg.dedup.jaccardThreshold,
-        maxBucketSize = cfg.dedup.maxBucketSize,
-        index = Some(DedupIndexStore.readMinhash(
-          spark, s"$stateDir/conv_minhash", excl)),
-        pruneIndexToProbe = true)
-      .join(convRepMap, Seq("cid"), "left")
-      .select(col("id"), coalesce(col("rep"), col("cid")).as("rep"))
-      .localCheckpoint()
-    val convPairs = Dedup.minhashPairs(convs, "doc_id", "text",
-        cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.dedup.bands,
-        cfg.dedup.jaccardThreshold,
-        maxBucketSize = cfg.dedup.maxBucketSize)
-      .select("id_a", "id_b")
+    // same concurrent pair-generation split as stage 3 (guide §2.6)
+    val (crossConv, convPairs) = par2(
+      Dedup.dedupAgainstMatches(convs, convTexts,
+          "doc_id", "text", cfg.dedup.shingleN, cfg.dedup.numHashes,
+          cfg.dedup.bands, cfg.dedup.jaccardThreshold,
+          maxBucketSize = cfg.dedup.maxBucketSize,
+          index = Some(DedupIndexStore.readMinhash(
+            spark, s"$stateDir/conv_minhash", excl)),
+          pruneIndexToProbe = pruneProbes)
+        .join(convRepMap, Seq("cid"), "left")
+        .select(col("id"), coalesce(col("rep"), col("cid")).as("rep"))
+        .localCheckpoint(),
+      Dedup.minhashPairs(convs, "doc_id", "text",
+          cfg.dedup.shingleN, cfg.dedup.numHashes, cfg.dedup.bands,
+          cfg.dedup.jaccardThreshold,
+          maxBucketSize = cfg.dedup.maxBucketSize)
+        .select("id_a", "id_b")
+        .localCheckpoint())
     val convCc = Dedup.connectedComponents(convPairs.unionByName(
         crossConv.select(col("id").as("id_a"), col("rep").as("id_b"))))
       .filter(col("id") =!= col("rep"))
@@ -534,19 +634,31 @@ object IncrementalRelease {
     val sftDupRejects = convCc.select(col("id").as("doc_id"),
       lit("sft_dedup").as("stage"),
       concat(lit("dup_of_"), col("rep").cast("string")).as("reason"))
-    appendMh(s"$stateDir/conv_minhash", convs)
-    appX("conv_texts", convs)
-    appX("conv_reps", convCc.select(col("id").as("doc_id"), col("rep")))
-    val conv = Release.convCosted(aturns, merges(),
-        cfg.sft.turnOverhead, cfg.sft.groups)
-      .join(sftDupRejects.select("doc_id"), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    // three independent writes, nothing below reads them — overlapped
+    // with the BPE costing (reads only the checkpointed aturns/convCc)
+    // and the pack-state tail read (a table none of these writes
+    // touch), the two expensive materializations that follow
+    var conv0: DataFrame = null
+    var tail0: DataFrame = null
+    inParallel(
+      () => appendMh(s"$stateDir/conv_minhash", convs),
+      () => appX("conv_texts", convs),
+      () => appX("conv_reps", convCc.select(col("id").as("doc_id"), col("rep"))),
+      () => {
+        conv0 = Release.convCosted(aturns, merges(),
+            cfg.sft.turnOverhead, cfg.sft.groups)
+          .join(sftDupRejects.select("doc_id"), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        ()
+      },
+      () => { tail0 = latestPackState(spark, stateDir, excl).localCheckpoint(); () })
+    val conv = conv0
 
     mark("incr 7: pack")
     // append-only packing: today's conversations continue yesterday's
     // per-group tail bins — byte-identical to one from-scratch
     // next-fit over the union in id order
-    val tail = latestPackState(spark, stateDir, excl).localCheckpoint()
+    val tail = tail0
     val batchPacked = Packing.packBinsByCountFrom(conv, "doc_id", "grp",
         "n_tokens", cfg.pack.capacity, tail.select("grp", "bin_id", "fill"))
       .select(col("id").as("doc_id"), col("grp"), col("n_tokens"),
@@ -579,24 +691,32 @@ object IncrementalRelease {
       .unionByName(semRejects).unionByName(contractRejects)
       .unionByName(toolRejects).unionByName(sftDupRejects)
       .localCheckpoint()
-    appX("ledger", ledgerDelta)
-    appX("manifest_states", Profile.manifestStates(
-      keep.join(batchPacked.select("doc_id").distinct(), "doc_id"),
-      "source", "text"))
-    appX("id_watermark",
-      input.agg(max(id).as("max_id")).filter(col("max_id").isNotNull))
-    val rIn = input.agg(count(id).as("n"), sum(id).as("s")).head()
-    val rAcc = batchPacked.select("doc_id")
-      .unionByName(ledgerDelta.select("doc_id"))
-      .agg(count(id).as("n"), sum(id).as("s")).head()
-    def l(row: org.apache.spark.sql.Row, i: Int) =
-      if (row.isNullAt(i)) 0L else row.getLong(i)
-    appX("reconcile",
-      spark.createDataFrame(java.util.Arrays.asList(
-        org.apache.spark.sql.Row(rIn.getLong(0), l(rIn, 1),
-          rAcc.getLong(0), l(rAcc, 1))),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "n_input BIGINT, sum_input BIGINT, n_acc BIGINT, sum_acc BIGINT")))
+    // four independent table writes (ledger/manifest/watermark/
+    // reconcile) over checkpointed frames — the terminal barrier,
+    // overlapped like the other append groups
+    inParallel(
+      () => appX("ledger", ledgerDelta),
+      () => appX("manifest_states", Profile.manifestStates(
+        keep.join(batchPacked.select("doc_id").distinct(), "doc_id"),
+        "source", "text")),
+      () => appX("id_watermark",
+        input.agg(max(id).as("max_id")).filter(col("max_id").isNotNull)),
+      () => {
+        val rIn = input.agg(count(id).as("n"), sum(id).as("s")).head()
+        val rAcc = batchPacked.select("doc_id")
+          .unionByName(ledgerDelta.select("doc_id"))
+          .agg(count(id).as("n"), sum(id).as("s")).head()
+        def l(row: org.apache.spark.sql.Row, i: Int) =
+          if (row.isNullAt(i)) 0L else row.getLong(i)
+        appX("reconcile",
+          spark.createDataFrame(java.util.Arrays.asList(
+            org.apache.spark.sql.Row(rIn.getLong(0), l(rIn, 1),
+              rAcc.getLong(0), l(rAcc, 1))),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "n_input BIGINT, sum_input BIGINT, " +
+                "n_acc BIGINT, sum_acc BIGINT")))
+      })
+    } finally spark.sparkContext.setJobDescription(null)
   }
 
   /** RIGHT-TO-BE-FORGOTTEN over the standing release state — the
@@ -649,13 +769,23 @@ object IncrementalRelease {
           org.apache.spark.sql.types.StructType.fromDDL(
             "n_input BIGINT, sum_input BIGINT, n_acc BIGINT, sum_acc BIGINT")))
 
-    DocKeyed.toSeq.sorted.foreach { t =>
-      Segments.deleteIds(spark, s"$stateDir/$t", dead, "doc_id")
-    }
-    Seq("corpus_minhash", "holdout_minhash", "conv_minhash").foreach { t =>
-      DedupIndexStore.deleteIds(spark, s"$stateDir/$t", dead, "doc_id")
-    }
-    AnnIndex.deleteIds(spark, s"$stateDir/holdout_ann", dead, "doc_id")
+    // 11 tombstone publishes to 11 distinct directories over the one
+    // checkpointed dead set — independent, overlapped (guide §2.6);
+    // the manifest rebuild below reads THROUGH the tombstones, so the
+    // barrier before it is the ordering that matters
+    val deleteTasks: Seq[() => Unit] =
+      DocKeyed.toSeq.sorted.map[() => Unit] { t => () =>
+        { Segments.deleteIds(spark, s"$stateDir/$t", dead, "doc_id"); () }
+      } ++
+        Seq("corpus_minhash", "holdout_minhash", "conv_minhash")
+          .map[() => Unit] { t => () =>
+            { DedupIndexStore.deleteIds(spark, s"$stateDir/$t", dead,
+              "doc_id"); () }
+          } ++
+        Seq[() => Unit](() =>
+          { AnnIndex.deleteIds(spark, s"$stateDir/holdout_ann", dead,
+            "doc_id"); () })
+    inParallel(deleteTasks: _*)
 
     // manifest: rebuild-from-retained (tombstones already in force on
     // both reads), published as a NEW pointer version — atomic, and

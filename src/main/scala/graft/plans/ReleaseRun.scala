@@ -91,9 +91,11 @@ object ReleaseRun {
         // UI attribution (guide §1.5): every job this stage's builder
         // spawns — including broadcast-exchange child jobs — carries
         // the stage name
+        val prevDesc = spark.sparkContext
+          .getLocalProperty("spark.job.description")
         spark.sparkContext.setJobDescription(s"release stage $name")
         try df.write.mode("overwrite").parquet(staging.toString)
-        finally spark.sparkContext.setJobDescription(null)
+        finally spark.sparkContext.setJobDescription(prevDesc)
         f.mkdirs(dir.getParent)
         if (f.rename(staging, dir)) {
           // a rename that "succeeded" may still have lost the publish

@@ -230,7 +230,13 @@ object ExtensionQueries {
     * one oracle, so the scoring join is pinned too. */
   private val qQualityDistillScore: Q = (s, dir) => {
     val docs = pq(s, dir, "documents")
+    // persisted at the query level: the hashing-trick feature pass is
+    // the expensive text sweep here, and it feeds BOTH the training
+    // loop and the terminal scoring join — without the persist it ran
+    // twice (train materializes eagerly, so the cache is hot before
+    // the scoring plan is consumed)
     val feats = Search.hashedFeatures(docs, "doc_id", "text", dims = 256, seed = 11L)
+      .persist()
     val w = Classifier.trainLogisticFx(
       feats, distillLabels(docs), dims = 256, iters = 3)
     Classifier.scoreFx(docs, "doc_id", feats, w)
@@ -262,10 +268,19 @@ object ExtensionQueries {
     * discipline. */
   private val qQualityDistillEval: Q = (s, dir) => {
     val docs = pq(s, dir, "documents")
-    val scored = qQualityDistillScore(s, dir)
+    // same one-pass discipline as [[qQualityDistillScore]] — here the
+    // GATE-LABEL text sweep (langId + quality + length) also feeds two
+    // consumers (the training loop and the confusion join), so both
+    // expensive sweeps are persisted and run once each
+    val feats = Search.hashedFeatures(docs, "doc_id", "text", dims = 256, seed = 11L)
+      .persist()
+    val labels = distillLabels(docs).persist()
+    val w = Classifier.trainLogisticFx(
+      feats, labels, dims = 256, iters = 3)
+    val scored = Classifier.scoreFx(docs, "doc_id", feats, w)
     val pred = scored.select(col("doc_id"),
       (col("prob_fx") > lit(1L << 19)).cast("long").as("yhat"))
-    distillLabels(docs).select(col("doc_id"), col("label").cast("long").as("y"))
+    labels.select(col("doc_id"), col("label").cast("long").as("y"))
       .join(pred, Seq("doc_id"))
       .agg(
         sum(when(col("y") === 1 && col("yhat") === 1, 1L).otherwise(0L)).as("tp"),
@@ -322,8 +337,14 @@ object ExtensionQueries {
       .filter(col("__mid") >= 0 && col("__lang") === "en" &&
         col("__q") >= 0.5 && col("n_tokens").between(5, 1000))
       .select("doc_id", "text", "n_tokens")
+    // materialized ONCE: the exact-survivor frame feeds the banded
+    // pair generation (which scans it three times — two self-join
+    // sides + the rescore text re-attach) and the final keep-one
+    // anti-join, and each lazy re-scan re-ran the lang/quality gate
+    // sweep above (guide §5 — one pass per expensive frame)
     val exact = Dedup.exactByFingerprint(gated, "doc_id", "text")
       .select("doc_id", "text", "n_tokens")
+      .localCheckpoint()
     val pairs = Dedup.minhashPairs(exact, "doc_id", "text",
       shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
       maxBucketSize = Some(12)).select("id_a", "id_b")
@@ -1723,16 +1744,28 @@ object ExtensionQueries {
     val lnDir = s"$twinRoot/forget_lines/$sfName"
 
     val segA = col("doc_id") % 10 < 4
-    DedupIndexStore.buildMinhash(s, mhDir, corpus.filter(segA), "doc_id", "text")
-    DedupIndexStore.appendMinhash(s, mhDir, corpus.filter(!segA), "doc_id", "text")
-    DedupIndexStore.buildLines(s, lnDir,
-      lineDocs.filter(segA && col("doc_id") % 10 < 8), "doc_id", "text")
-    DedupIndexStore.appendLines(s, lnDir,
-      lineDocs.filter(!segA && col("doc_id") % 10 < 8), "doc_id", "text")
-
     val dead = corpus.filter(col("doc_id") % 7 === 3).select("doc_id")
-    DedupIndexStore.deleteIds(s, mhDir, dead, "doc_id")
-    DedupIndexStore.deleteIds(s, lnDir, dead, "doc_id")
+    // the minhash and line stores live in separate directories with no
+    // cross-reads — run the two build→append→delete chains
+    // concurrently (guide §2.6); order WITHIN each chain is load-
+    // bearing (auto-numbered segments in one store)
+    graft.plans.IncrementalRelease.inParallel(
+      () => {
+        DedupIndexStore.buildMinhash(s, mhDir, corpus.filter(segA),
+          "doc_id", "text")
+        DedupIndexStore.appendMinhash(s, mhDir, corpus.filter(!segA),
+          "doc_id", "text")
+        DedupIndexStore.deleteIds(s, mhDir, dead, "doc_id")
+        ()
+      },
+      () => {
+        DedupIndexStore.buildLines(s, lnDir,
+          lineDocs.filter(segA && col("doc_id") % 10 < 8), "doc_id", "text")
+        DedupIndexStore.appendLines(s, lnDir,
+          lineDocs.filter(!segA && col("doc_id") % 10 < 8), "doc_id", "text")
+        DedupIndexStore.deleteIds(s, lnDir, dead, "doc_id")
+        ()
+      })
 
     val dedupPart = Dedup.dedupAgainst(batch, corpus, "doc_id", "text",
         index = Some(DedupIndexStore.readMinhash(s, mhDir)))
@@ -1789,39 +1822,50 @@ object ExtensionQueries {
     val lnDir = s"$twinRoot/maint_lines/$sfName"
 
     val d10 = col("doc_id") % 10
-    DedupIndexStore.buildMinhash(s, mhDir, docs.filter(d10 < 4), "doc_id", "text")
-    DedupIndexStore.appendMinhash(s, mhDir, docs.filter(d10 >= 4 && d10 < 6), "doc_id", "text")
-    DedupIndexStore.appendMinhash(s, mhDir, docs.filter(d10 >= 6 && d10 < 8), "doc_id", "text")
-    DedupIndexStore.appendMinhash(s, mhDir, docs.filter(d10 >= 8), "doc_id", "text")
-    DedupIndexStore.deleteIds(s, mhDir,
-      docs.filter(col("doc_id") % 31 === 0).select("doc_id"), "doc_id")
-
     val lineDocs = docs.select(col("doc_id"), col("source"),
       replace(col("text"), lit(" a "), lit("\n")).as("text"))
-    DedupIndexStore.buildLines(s, lnDir,
-      lineDocs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
-    DedupIndexStore.appendLines(s, lnDir,
-      lineDocs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
-    DedupIndexStore.deleteIds(s, lnDir,
-      docs.filter(col("doc_id") % 6 === 0).select("doc_id"), "doc_id")
-
-    // a RELEASE-STATE delta table ([[graft.plans.IncrementalRelease]]
-    // layout: doc_id-keyed `rows` segments + tombstones, legacy tree)
-    // under the same audit — the compaction-due trigger extends to
-    // the incremental release's standing state tables, not just the
-    // index stores. Two appends + a % 6 forget (168 000 ppm) → due on
-    // the tombstone axis.
     val stDir = s"$twinRoot/maint_state/$sfName"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(stDir), s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(stDir), true)
-    val stateRows = docs.select(col("doc_id"), col("source"))
-    graft.sources.Segments.appendToStore(s, stDir, "rows",
-      stateRows.filter(d10 < 5))
-    graft.sources.Segments.appendToStore(s, stDir, "rows",
-      stateRows.filter(d10 >= 5))
-    graft.sources.Segments.deleteIds(s, stDir,
-      docs.filter(col("doc_id") % 6 === 0).select("doc_id"), "doc_id")
+    // THREE independent store chains in three directories — run them
+    // concurrently (guide §2.6); order WITHIN each chain is load-
+    // bearing (auto-numbered segments in one store)
+    graft.plans.IncrementalRelease.inParallel(
+      () => {
+        DedupIndexStore.buildMinhash(s, mhDir, docs.filter(d10 < 4), "doc_id", "text")
+        DedupIndexStore.appendMinhash(s, mhDir, docs.filter(d10 >= 4 && d10 < 6), "doc_id", "text")
+        DedupIndexStore.appendMinhash(s, mhDir, docs.filter(d10 >= 6 && d10 < 8), "doc_id", "text")
+        DedupIndexStore.appendMinhash(s, mhDir, docs.filter(d10 >= 8), "doc_id", "text")
+        DedupIndexStore.deleteIds(s, mhDir,
+          docs.filter(col("doc_id") % 31 === 0).select("doc_id"), "doc_id")
+        ()
+      },
+      () => {
+        DedupIndexStore.buildLines(s, lnDir,
+          lineDocs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        DedupIndexStore.appendLines(s, lnDir,
+          lineDocs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        DedupIndexStore.deleteIds(s, lnDir,
+          docs.filter(col("doc_id") % 6 === 0).select("doc_id"), "doc_id")
+        ()
+      },
+      // a RELEASE-STATE delta table ([[graft.plans.IncrementalRelease]]
+      // layout: doc_id-keyed `rows` segments + tombstones, legacy tree)
+      // under the same audit — the compaction-due trigger extends to
+      // the incremental release's standing state tables, not just the
+      // index stores. Two appends + a % 6 forget (168 000 ppm) → due on
+      // the tombstone axis.
+      () => {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(stDir), s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(stDir), true)
+        val stateRows = docs.select(col("doc_id"), col("source"))
+        graft.sources.Segments.appendToStore(s, stDir, "rows",
+          stateRows.filter(d10 < 5))
+        graft.sources.Segments.appendToStore(s, stDir, "rows",
+          stateRows.filter(d10 >= 5))
+        graft.sources.Segments.deleteIds(s, stDir,
+          docs.filter(col("doc_id") % 6 === 0).select("doc_id"), "doc_id")
+        ()
+      })
 
     def tag(label: String, audit: DataFrame): DataFrame =
       audit.select(lit(label).as("store"), col("n_segments"),
@@ -2961,7 +3005,12 @@ object ExtensionQueries {
     * loader can weigh bins by trainable tokens, not raw fill. */
   private val qChatPack: Q = (s, dir) => {
     import graft.operators.{Chat, Packing}
+    // one-pass discipline (guide §5): the parsed-turn frame feeds the
+    // BPE costing AND the contract gate (2 subtrees = 2 transcript
+    // builds without the cut), and the costed frame is read twice
+    // (pack input + the loss re-attach)
     val turns = Chat.parseTurns(chatTranscripts(s, dir), "doc_id", "transcript")
+      .localCheckpoint()
     // BPE-costed under the FROZEN release tokenizer (the ws-token
     // unit misjudges a context window by the measured 3.74x)
     val conv = turns
@@ -2976,6 +3025,7 @@ object ExtensionQueries {
       .join(Chat.validateTurns(turns, "doc_id")
         .filter(col("valid")).select("doc_id"), "doc_id")
       .withColumn("grp", pmod(col("doc_id"), lit(8L)))
+      .localCheckpoint()
     Packing.packBinsByCount(conv, "doc_id", "grp", "n_tokens", capacity = 512)
       .select(col("id").as("doc_id"), col("grp"), col("n_tokens"), col("bin_id"))
       .join(conv.select("doc_id", "loss_tokens"), "doc_id")
@@ -3281,7 +3331,14 @@ object ExtensionQueries {
     * the driver. */
   private val qPipelineSft: Q = (s, dir) => {
     import graft.operators.{Chat, Packing}
+    // materialized ONCE: the parsed-turn frame (a per-document
+    // transcript build + real JSON parse — the expensive sweep here)
+    // feeds THREE consumers (contract gate, tool gate, admitted join),
+    // and a lazy plan re-built the transcripts once per subtree
+    // (guide §5; the release pipeline stages the same frame for the
+    // same reason)
     val turns = Chat.parseToolTurns(sftTranscripts(s, dir), "doc_id", "transcript")
+      .localCheckpoint()
     val contractOk = Chat.validateTurns(turns, "doc_id",
         roles = Chat.allowedRoles :+ "tool")
       .filter(col("valid")).select("doc_id")
@@ -3289,10 +3346,13 @@ object ExtensionQueries {
       .filter(col("valid")).select("doc_id")
     val admitted = contractOk.join(toolOk, "doc_id")
     val aturns = turns.join(admitted, "doc_id")
+    // the conversation texts feed the banded self-join (three scans)
+    // plus the keep-one anti-join — one aggregate pass, not four
     val convo = aturns.groupBy("doc_id")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("turn_idx"), col("content")))),
         t => t("content")), " ").as("text"))
+      .localCheckpoint()
     val pairs = Dedup.minhashPairs(convo, "doc_id", "text",
       shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
       maxBucketSize = Some(12)).select("id_a", "id_b")
@@ -3300,6 +3360,8 @@ object ExtensionQueries {
     // BPE-costed under the FROZEN release tokenizer — the same unit
     // the flagship release ships in (ws-costing misjudged a context
     // window by the measured 3.74x; q_pack_bins_bpe)
+    // BPE costing is the second expensive sweep and the costed frame
+    // is read twice (pack input + the loss re-attach) — one pass
     val conv = aturns
       .withColumn("__tok",
         when(col("content").isNull, lit(0L))
@@ -3311,6 +3373,7 @@ object ExtensionQueries {
           .as("loss_tokens"))
       .join(kept, "doc_id")
       .withColumn("grp", pmod(col("doc_id"), lit(8L)))
+      .localCheckpoint()
     Packing.packBinsByCount(conv, "doc_id", "grp", "n_tokens", capacity = 512)
       .select(col("id").as("doc_id"), col("grp"), col("n_tokens"), col("bin_id"))
       .join(conv.select("doc_id", "loss_tokens"), "doc_id")
@@ -3344,10 +3407,18 @@ object ExtensionQueries {
     * recomputed per view. */
   private val qPipelineSftLedger: Q = (s, dir) => {
     import graft.operators.Chat
+    // same one-pass discipline as [[qPipelineSft]]: the parsed-turn
+    // frame and each gate frame feed two consumers apiece — without
+    // the cuts the transcript build ran once per subtree and each
+    // gate aggregate twice (making the scaladoc's "no stage is
+    // recomputed per view" true at the plan level, not just intent)
     val turns = Chat.parseToolTurns(sftTranscripts(s, dir), "doc_id", "transcript")
+      .localCheckpoint()
     val contract = Chat.validateTurns(turns, "doc_id",
       roles = Chat.allowedRoles :+ "tool")
+      .localCheckpoint()
     val tool = Chat.validateToolUse(turns, "doc_id", Seq("search", "calc"))
+      .localCheckpoint()
     val contractRejects = contract.filter(!col("valid"))
       .select(col("doc_id"), lit("contract").as("stage"),
         concat_ws(",",
@@ -3370,6 +3441,7 @@ object ExtensionQueries {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("turn_idx"), col("content")))),
         t => t("content")), " ").as("text"))
+      .localCheckpoint()
     val pairs = Dedup.minhashPairs(convo, "doc_id", "text",
       shingleN = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
       maxBucketSize = Some(12)).select("id_a", "id_b")
@@ -3576,11 +3648,19 @@ object ExtensionQueries {
     val id = col("doc_id")
     // day-0 stage-1 outcome, replayed through the SAME shared gate
     // expressions the pipeline runs
+    // materialized ONCE: five of the union branches below semi-join on
+    // this ingest outcome, and a union plans each branch as an
+    // independent subtree — without the checkpoint the full day-0 gate
+    // scoring (withEncOk → scoredGates over the whole raw corpus) ran
+    // 5× inside the batch's first materialization (measured: 10.2 s of
+    // the incremental query's 55.9 s wall, the single biggest job
+    // site). The checkpointed frame is just the surviving doc_ids.
     val ing0 = graft.operators.Release.ingestedRows(
         graft.operators.Release.scoredGates(
           graft.operators.Release.withEncOk(releaseRawInput(s, dir))))
       .filter(id < 1000000L)
       .select("doc_id")
+      .localCheckpoint()
     val toks = TextFunctions.tokens(col("text"))
     val rev = array_join(reverse(toks), " ")
     val revTail = array_join(
@@ -3633,16 +3713,23 @@ object ExtensionQueries {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    // ONE tokenizer training per query invocation: the frozen-merges
+    // thunk is pulled by both the day-0 stage-6 builder and the
+    // incremental batch's stage 6 — the training is deterministic, so
+    // a per-invocation lazy memo is result-identical and saves a full
+    // driver-looped BPE train (no cross-run state: the lazy val dies
+    // with this call)
+    lazy val mergesMemo = releaseMerges(s, dir)
     graft.plans.ReleaseRun.run(s,
       releaseRawInput(s, dir), pq(s, dir, "embeddings"),
       keep => sftTranscriptsOf(s, keep),
-      () => releaseMerges(s, dir),
+      () => mergesMemo,
       s"$root/day0").get
     graft.plans.IncrementalRelease.bootstrap(s, s"$root/day0", s"$root/state")
     graft.plans.IncrementalRelease.run(s,
       crawl3RawBatch(s, dir), pq(s, dir, "embeddings"),
       keep => sftTranscriptsOf(s, keep),
-      () => releaseMerges(s, dir),
+      () => mergesMemo,
       s"$root/state")
   }
 
@@ -3663,16 +3750,18 @@ object ExtensionQueries {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    // same per-invocation tokenizer memo as [[qPipelineReleaseIncr]]
+    lazy val mergesMemo = releaseMerges(s, dir)
     graft.plans.ReleaseRun.run(s,
       releaseRawInput(s, dir), pq(s, dir, "embeddings"),
       keep => sftTranscriptsOf(s, keep),
-      () => releaseMerges(s, dir),
+      () => mergesMemo,
       s"$root/day0").get
     graft.plans.IncrementalRelease.bootstrap(s, s"$root/day0", s"$root/state")
     val art = graft.plans.IncrementalRelease.run(s,
       crawl3RawBatch(s, dir), pq(s, dir, "embeddings"),
       keep => sftTranscriptsOf(s, keep),
-      () => releaseMerges(s, dir),
+      () => mergesMemo,
       s"$root/state")
     // try_cast: the reconcile part's k is the literal 'tieout' and a
     // strict ANSI cast inside this whole-frame filter would throw
@@ -3784,12 +3873,18 @@ object ExtensionQueries {
 
   private val qPipelinePref: Q = (s, dir) => {
     import graft.operators.{Packing, Preference}
-    val triples = prefPipelineTriples(s, dir)
+    // one-pass discipline (guide §5): the built triples feed the gate
+    // AND the survivor join (2 subtrees = 2 triple builds without the
+    // cut); the gated frame feeds the conflict census and the clean
+    // chain; the BPE-costed clean frame is read twice (pack + the
+    // chosen-tokens re-attach)
+    val triples = prefPipelineTriples(s, dir).localCheckpoint()
     val valid = triples.join(
       Preference.validatePairs(triples, "doc_id", "prompt", "chosen", "rejected")
         .filter(col("valid"))
         .select("doc_id", "prompt_tokens", "chosen_tokens", "rejected_tokens"),
       "doc_id")
+      .localCheckpoint()
     val conflicted = Preference.labelConflicts(valid, "chosen", "rejected")
       .filter(col("conflicted")).select("key_lo", "key_hi")
     val fa = TextFunctions.fingerprint(col("chosen"))
@@ -3810,6 +3905,7 @@ object ExtensionQueries {
         bpeT(col("rejected")) + lit(3L))
       .withColumn("chosen_bpe", bpeT(col("chosen")))
       .withColumn("grp", pmod(col("doc_id"), lit(8L)))
+      .localCheckpoint()
     Packing.packBinsByCount(clean, "doc_id", "grp", "n_tokens", capacity = 1024)
       .select(col("id").as("doc_id"), col("grp"), col("n_tokens"), col("bin_id"))
       .join(clean.select(col("doc_id"), col("chosen_bpe").as("chosen_tokens")),

@@ -502,27 +502,37 @@ object AnnIndex {
       refineIters: Int = 2,
       sampleSize: Int = 256): Loaded = {
     val watermark = Segments.segmentWatermark(spark, dir)
+    // persisted for the retrain window: the retained-corpus frame
+    // (tombstone anti-join over every live segment) is scanned THREE
+    // times below — the centroid sample, the codebook sample (an
+    // identical hash-ordered pass), and the full encode — and without
+    // the persist each pass re-read and re-anti-joined the store
+    // (guide §5: persist an iteratively re-read working frame, drop it
+    // when the loop ends)
     val survivors = minusTombstones(spark, Segments.resolve(spark, dir),
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
-    val sample = Similarity.hashOrderedSample(survivors, "id", "vec", sampleSize)
-    require(sample.nonEmpty, "empty retained corpus")
-    val centroids = Similarity.refineCentroids(sample, nlist, refineIters)
-    val codebooks = Similarity.pqCodebooks(survivors, "id", "vec", m, ksub,
-      refineIters, sampleSize)
-    val coded = Similarity.encodeForIndex(survivors, "id", "vec",
-      centroids, codebooks)
-    val staging = Segments.newVersionPath(dir)
-    import spark.implicits._
-    centroids.zipWithIndex
-      .map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("cell", "vec")
-      .write.mode("overwrite").parquet(s"$staging/centroids")
-    codebooks.zipWithIndex.flatMap { case (book, j) =>
-      book.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
-    }.toSeq.toDF("subspace", "code", "vec")
-      .write.mode("overwrite").parquet(s"$staging/codebooks")
-    coded.write.mode("overwrite").parquet(s"$staging/coded/seg=0")
-    Segments.publishVersionFenced(spark, dir, staging, watermark)
+      .persist()
+    try {
+      val sample = Similarity.hashOrderedSample(survivors, "id", "vec", sampleSize)
+      require(sample.nonEmpty, "empty retained corpus")
+      val centroids = Similarity.refineCentroids(sample, nlist, refineIters)
+      val codebooks = Similarity.pqCodebooks(survivors, "id", "vec", m, ksub,
+        refineIters, sampleSize)
+      val coded = Similarity.encodeForIndex(survivors, "id", "vec",
+        centroids, codebooks)
+      val staging = Segments.newVersionPath(dir)
+      import spark.implicits._
+      centroids.zipWithIndex
+        .map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cell", "vec")
+        .write.mode("overwrite").parquet(s"$staging/centroids")
+      codebooks.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
+      }.toSeq.toDF("subspace", "code", "vec")
+        .write.mode("overwrite").parquet(s"$staging/codebooks")
+      coded.write.mode("overwrite").parquet(s"$staging/coded/seg=0")
+      Segments.publishVersionFenced(spark, dir, staging, watermark)
+    } finally survivors.unpersist(blocking = false)
     read(spark, dir)
   }
 

@@ -16,7 +16,10 @@ import org.apache.spark.sql.SparkSession
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // same env default as Bench/Verify ("4") so default-config profiles
+    // reflect bench parallelism; pass SPARK_GRAFT_CPUS=32 for the
+    // bench_quiet shape
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,9 +30,9 @@ object ProfileQuery {
     spark.sparkContext.setLogLevel("WARN")
 
     final case class JobRec(id: Int, site: String, start: Long,
-      var end: Long = 0L, var stages: Int = 0, var tasks: Int = 0)
+      var end: Long = 0L, var stages: Int = 0)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
-    var taskTimeMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val taskTimeMs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val desc = Option(e.properties)
@@ -44,13 +47,22 @@ object ProfileQuery {
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         taskTimeMs.addAndGet(e.stageInfo.taskMetrics.executorRunTime)
-        Option(jobs.get(e.stageInfo.stageId)) // no-op; tasks counted coarsely
         ()
       }
     })
 
-    // same warmup as Bench
+    // same warmup block as Bench: session/codegen, Jackson plan-config
+    // parsing, broadcast-join + aggregate codegen, and the noop write
+    // path — so the first profiled query does not absorb ~3s of
+    // one-time init Bench deliberately pre-pays
     spark.range(1000000).selectExpr("sum(id)").collect()
+    graft.plans.PlanConfig.fromJson(
+      """{"tables":{"w":{"original_table":"t",
+        |"columns":[{"target":"k","original":"k"}]}}}""".stripMargin)
+    val wa = spark.range(1000).toDF("k")
+    val wb = spark.range(100).toDF("k")
+    wa.join(org.apache.spark.sql.functions.broadcast(wb), "k")
+      .groupBy("k").count().write.format("noop").mode("overwrite").save()
 
     args.foreach { name =>
       val fn = graft.SparkEntry.queries(name)

@@ -129,10 +129,11 @@ class PlanGuardSpec extends SparkSpec {
     val store = graft.sources.DedupIndexStore.readMinhash(spark, s"$dir/mh")
     val fp = docs.filter(col("doc_id") % 2 === 1)
       .withColumn("__fp", graft.functions.TextFunctions.fingerprint(col("text")))
-    val keeper = store
-      .join(broadcast(fp.select(col("__fp").as("fp")).distinct()),
-        Seq("fp"), "left_semi")
-      .select(col("fp").as("__fp"), col("id").as("__keeper")).distinct()
+    // the PRODUCTION expression (IncrementalRelease.keeperByFpFrame —
+    // the exact frame runDeltas plans), not a test-side replica: if
+    // the broadcast hint is ever removed from the production code,
+    // THIS guard fails (VERDICT r16 #5)
+    val keeper = graft.plans.IncrementalRelease.keeperByFpFrame(store, fp)
     val plan = keeper.queryExecution
       .explainString(ExplainMode.fromString("formatted"))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
@@ -147,6 +148,36 @@ class PlanGuardSpec extends SparkSpec {
     assert(exchanges.size == 2,
       s"keeper probe: expected only the two batch-bounded distinct " +
         s"Exchanges, got: $exchanges")
+  }
+
+  test("incremental band probe prunes the standing index by a broadcast " +
+    "SEMI join before any store-side shuffle") {
+    // the matchesCore pruneIndexToProbe shape, asserted on the
+    // PRODUCTION expression (Dedup.prunedIndexProbe): the store index
+    // streams from its scan into BroadcastHashJoin(LeftSemi) against
+    // the batch's distinct band keys; the only Exchange is the
+    // batch-bounded distinct
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = graft.operators.Dedup.corpusIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val batchIdx = graft.operators.Dedup.corpusIndex(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    val pruned = graft.operators.Dedup.prunedIndexProbe(idx, batchIdx)
+    val plan = pruned.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"band probe: store side not reduced by a broadcast semi join\n$plan")
+    val shuffledJoins = plan.linesIterator
+      .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      .toSeq
+    assert(shuffledJoins.isEmpty,
+      s"band probe: store side shuffle-joined: $shuffledJoins")
+    val exchanges = plan.linesIterator.map(_.trim)
+      .filter(l => l.startsWith("(") && l.matches("""\(\d+\) Exchange.*""")).toSeq
+    assert(exchanges.size == 1,
+      s"band probe: expected only the batch-bounded distinct Exchange, " +
+        s"got: $exchanges")
   }
 
   test("lmScore joins its model by broadcast — the corpus never shuffles for lookups") {
