@@ -70,30 +70,45 @@ object Classifier {
     require(scaleBits >= 4 && scaleBits <= 30, s"scaleBits out of range: $scaleBits")
     val spark = features.sparkSession
 
-    // Both loop tables are persisted PRE-PARTITIONED on doc_id (guide
+    // The label table persists as scanned first (its count sizes
+    // everything else), then re-persists CO-PARTITIONED with the
+    // feature table — built from the first cache, so the upstream
+    // label sweep still runs exactly once; without this every GD pass
+    // re-exchanged the label side across shuffle.partitions.
+    val lab0 = labels
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("label").cast("long").as("y"))
+      .persist()
+    val n = lab0.count()
+    require(n > 0, "labels frame is empty")
+
+    // The FEATURE table is persisted PRE-PARTITIONED on doc_id (guide
     // §2.4 — operations keyed the same way share one exchange): every
     // pass's margin aggregate (groupBy doc_id), the label join and the
     // gradient join all cluster on doc_id, so with the cached layout
     // already hash-partitioned on it no pass re-shuffles the
-    // corpus-sized feature table — the only per-pass exchange left is
-    // the dims-bounded gradient aggregate. Measured (sf0.1,
-    // q_quality_distill_warm): this was the anti-scaling family in the
-    // round-16 core-ratio probe (8 cores FASTER than 32, ratio 0.58) —
-    // per-pass re-exchanges of tiny frames across 32 partitions were
-    // pure task overhead.
+    // corpus-sized feature table — the only per-pass exchanges left
+    // are the tiny label side and the dims-bounded gradient aggregate.
+    // The partition COUNT is scale-adaptive (guide §2.1 — derive from
+    // data size, never from the core count alone): ~8k docs per
+    // partition, capped at the session's parallelism. Measured (sf0.1,
+    // the q_quality_distill* family): with the count pinned to
+    // shuffle.partitions this was the catalog's only anti-scaling
+    // family (8 cores FASTER than 32, core-ratio 0.58-0.65) — every GD
+    // pass launched 32 near-empty tasks per stage on a 5000-doc
+    // corpus; data-derived sizing gives 1 partition there and grows
+    // with the corpus (sf10: 32).
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, (n + 8191L) / 8192L)).toInt
     val f = features
       .select(col("doc_id").cast("long").as("doc_id"),
         col("feat_idx").cast("long").as("feat_idx"),
         col("weight").cast("long").as("x"))
-      .repartition(col("doc_id"))
+      .repartition(parts, col("doc_id"))
       .persist()
-    val lab = labels
-      .select(col("doc_id").cast("long").as("doc_id"),
-        col("label").cast("long").as("y"))
-      .repartition(col("doc_id"))
-      .persist()
-    val n = lab.count()
-    require(n > 0, "labels frame is empty")
+    val lab = lab0.repartition(parts, col("doc_id")).persist()
+    lab.count()
+    lab0.unpersist(blocking = false)
     val divisor = java.math.BigInteger.valueOf(n << lrShift)
 
     val w = Array.fill(dims)(0L)
